@@ -1,0 +1,333 @@
+package graft
+
+/** DuckDB-dialect oracle SQL for each SparkEntry query (driver runs these
+  * over the same parquet tables at sf0.01 and hash-compares). Queries with
+  * engine-specific hashing (xxhash64/murmur3) or sign-ambiguous math (SVD)
+  * have no oracle → driver records the weaker rows-only check.
+  */
+object OracleSql {
+
+  private val voteFactsCte =
+    """vf AS (
+      |  SELECT l.l_orderkey AS vote_id, l.l_suppkey AS member_id,
+      |         n.n_name AS party, l.l_returnflag AS code
+      |  FROM lineitem l
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN nation n ON s.s_nationkey = n.n_nationkey),
+      |mcnt AS (
+      |  SELECT vote_id, party,
+      |         CAST(sum(CASE WHEN code='A' THEN 1 ELSE 0 END) AS BIGINT) AS yes_cnt,
+      |         CAST(sum(CASE WHEN code='N' THEN 1 ELSE 0 END) AS BIGINT) AS no_cnt
+      |  FROM vf GROUP BY vote_id, party),
+      |maj AS (
+      |  SELECT vote_id, party, yes_cnt, no_cnt,
+      |         CASE WHEN yes_cnt > no_cnt THEN 'A' WHEN no_cnt > yes_cnt THEN 'N' END AS majority_dir
+      |  FROM mcnt WHERE yes_cnt <> no_cnt)""".stripMargin
+
+  private val stop = "('the','a','of','and','to','in','is','on','for','with')"
+
+  val all: Map[String, String] = Map(
+    "q01_scan_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_quantity < 5
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q02_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q03_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin,
+
+    "q04_pagination" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_totalprice
+        |FROM orders
+        |ORDER BY o_date DESC, o_orderkey LIMIT 20 OFFSET 40""".stripMargin,
+
+    "q05_join_enrich" ->
+      """SELECT l_orderkey, l_linenumber, p_name, p_brand, s_name
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE p_size >= 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q06_left_join_count" ->
+      """SELECT c_custkey, c_name, count(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_name
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q07_anti_join" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q08_semi_join" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 49)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q09_majority_direction" ->
+      s"""WITH $voteFactsCte
+         |SELECT vote_id, party, yes_cnt, no_cnt, majority_dir
+         |FROM maj ORDER BY vote_id, party""".stripMargin,
+
+    "q10_rebellion_stats" ->
+      s"""WITH $voteFactsCte,
+         |j AS (
+         |  SELECT f.member_id, f.party, f.code, m.majority_dir
+         |  FROM vf f JOIN maj m ON f.vote_id = m.vote_id AND f.party = m.party
+         |  WHERE f.code IN ('A','N'))
+         |SELECT member_id, party,
+         |  CAST(sum(CASE WHEN code <> majority_dir THEN 1 ELSE 0 END) AS BIGINT) AS rebellion_cnt,
+         |  count(*) AS total_votes,
+         |  CAST(sum(CASE WHEN code <> majority_dir THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) * 100.0 AS rebellion_pct
+         |FROM j GROUP BY member_id, party
+         |ORDER BY member_id, party""".stripMargin,
+
+    "q11_attendance_profile" ->
+      """SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS click_cnt,
+        |  CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS view_cnt,
+        |  CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase_cnt,
+        |  CAST(sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup_cnt,
+        |  CAST(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS error_cnt,
+        |  count(*) AS total_cnt,
+        |  CAST(sum(CASE WHEN event_type IN ('click','view','purchase') THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS active_rate
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q12_pairwise_agreement" ->
+      s"""WITH $voteFactsCte
+         |SELECT a.party AS group_a, b.party AS group_b,
+         |  CAST(sum(CASE WHEN a.majority_dir = b.majority_dir THEN 1 ELSE 0 END) AS BIGINT) AS agree_cnt,
+         |  count(*) AS common_cnt,
+         |  CAST(sum(CASE WHEN a.majority_dir = b.majority_dir THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS agreement_rate
+         |FROM maj a JOIN maj b ON a.vote_id = b.vote_id AND a.party < b.party
+         |GROUP BY a.party, b.party
+         |ORDER BY group_a, group_b""".stripMargin,
+
+    "q13_window_dedup" ->
+      """SELECT user_id, event_id,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str, event_type
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |                ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q14_pivot_counts" ->
+      """SELECT user_id,
+        |  count(CASE WHEN event_type='click' THEN 1 END) AS click_cnt,
+        |  count(CASE WHEN event_type='view' THEN 1 END) AS view_cnt,
+        |  count(CASE WHEN event_type='purchase' THEN 1 END) AS purchase_cnt,
+        |  count(CASE WHEN event_type='signup' THEN 1 END) AS signup_cnt,
+        |  count(CASE WHEN event_type='error' THEN 1 END) AS error_cnt
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q15_conditional_mean" ->
+      """SELECT user_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_all,
+        |  CAST(sum(CASE WHEN event_type='purchase' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE)
+        |    / CAST(count(CASE WHEN event_type='purchase' THEN 1 END) AS DOUBLE) AS mean_purchase
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q16_union_distinct" ->
+      """SELECT n_name FROM (
+        |  SELECT DISTINCT nk FROM (
+        |    SELECT c_nationkey AS nk FROM customer
+        |    UNION ALL SELECT s_nationkey AS nk FROM supplier))
+        |JOIN nation ON nk = n_nationkey
+        |ORDER BY n_name""".stripMargin,
+
+    "q17_having" ->
+      """SELECT o_custkey, count(*) AS n FROM orders
+        |GROUP BY o_custkey HAVING count(*) > 15 ORDER BY o_custkey""".stripMargin,
+
+    "q18_minmax_dates" ->
+      """SELECT o_orderpriority,
+        |  strftime(min(o_orderdate), '%Y-%m-%d') AS first_date,
+        |  strftime(max(o_orderdate), '%Y-%m-%d') AS last_date,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q19_string_funcs" ->
+      """SELECT c_custkey,
+        |  upper(trim(c_name)) AS uname,
+        |  concat_ws('#', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS tag,
+        |  regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+        |  CAST(length(c_name) AS BIGINT) AS name_len
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q20_date_trunc_agg" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |  count(*) AS n,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY day ORDER BY day""".stripMargin,
+
+    "q21_search_diacritics" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE strip_accents(lower(text)) LIKE '%spark%'
+        |ORDER BY doc_id""".stripMargin,
+
+    "q22_code_encoding" ->
+      """SELECT l_suppkey,
+        |  CAST(sum(CASE WHEN l_returnflag='A' THEN 1
+        |                WHEN l_returnflag='R' THEN -1 ELSE 0 END) AS BIGINT) AS score
+        |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+
+    "q24_explode_words" ->
+      """SELECT doc_id, count(DISTINCT word) AS n_distinct, count(*) AS n_words
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+        |WHERE word <> ''
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q25_dedup_exact" ->
+      """SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS keep_id, count(*) AS dup_cnt
+        |FROM documents GROUP BY fp ORDER BY fp""".stripMargin,
+
+    "q26_fingerprint" ->
+      """SELECT doc_id, md5(lower(trim(text))) AS fp,
+        |  CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q27_quality_features" ->
+      s"""SELECT d.doc_id,
+         |  CAST(length(d.text) AS BIGINT) AS n_chars_m,
+         |  w.n_tokens, w.n_stop,
+         |  CAST(w.n_stop AS DOUBLE) / CAST(w.n_tokens AS DOUBLE) AS stop_ratio,
+         |  CAST(w.len_sum AS DOUBLE) / CAST(w.n_tokens AS DOUBLE) AS mean_token_len
+         |FROM documents d JOIN (
+         |  SELECT doc_id, count(*) AS n_tokens,
+         |    CAST(count(CASE WHEN lower(word) IN $stop THEN 1 END) AS BIGINT) AS n_stop,
+         |    CAST(sum(length(word)) AS BIGINT) AS len_sum
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+         |  WHERE word <> '' GROUP BY doc_id) w USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "q28_langid" ->
+      s"""WITH w2 AS (
+         |  SELECT doc_id, lower(word) AS word
+         |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents)
+         |  WHERE word <> ''),
+         |sc AS (
+         |  SELECT doc_id,
+         |    CAST(count(CASE WHEN word IN ('der','die','das','und','ist','nicht') THEN 1 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS s_de,
+         |    CAST(count(CASE WHEN word IN $stop THEN 1 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS s_en,
+         |    CAST(count(CASE WHEN word IN ('el','la','de','que','y','los') THEN 1 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS s_es,
+         |    CAST(count(CASE WHEN word IN ('le','la','les','et','des','une') THEN 1 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS s_fr
+         |  FROM w2 GROUP BY doc_id)
+         |SELECT doc_id,
+         |  CASE WHEN s_fr > greatest(s_de, s_en, s_es) THEN 'fr'
+         |       WHEN s_es > greatest(s_de, s_en) THEN 'es'
+         |       WHEN s_en > s_de THEN 'en'
+         |       ELSE 'de' END AS pred_lang,
+         |  s_en AS score_en
+         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "q31_minhash_lsh_pairs" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents),
+        |toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ts
+        |  FROM corpus),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ts) >= 3
+        |      THEN list_distinct(list_transform(range(1, len(ts) - 1),
+        |             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))
+        |      ELSE [array_to_string(ts, ' ')] END AS shingles
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |shared AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  round(CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) AS jaccard
+        |FROM shared
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.7
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q32_embedding_neardups" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS va, b.embedding AS vb
+        |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id),
+        |scored AS (
+        |  SELECT id_a, id_b,
+        |    list_sum(list_transform(range(1, len(va) + 1),
+        |      i -> CAST(va[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE))) AS dot,
+        |    sqrt(list_sum(list_transform(range(1, len(va) + 1),
+        |      i -> CAST(va[i] AS DOUBLE) * CAST(va[i] AS DOUBLE)))) AS na,
+        |    sqrt(list_sum(list_transform(range(1, len(vb) + 1),
+        |      i -> CAST(vb[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE)))) AS nb
+        |  FROM pairs)
+        |SELECT id_a, id_b,
+        |  round(CASE WHEN na > 0 AND nb > 0 THEN dot / (na * nb) ELSE 0.0 END, 6) AS cosine
+        |FROM scored
+        |WHERE CASE WHEN na > 0 AND nb > 0 THEN dot / (na * nb) ELSE 0.0 END >= 0.99
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q35_cosine_pairs_longform" ->
+      """WITH lf AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day, CAST(count(*) AS DOUBLE) AS cnt
+        |  FROM events GROUP BY user_id, day),
+        |norms AS (
+        |  SELECT user_id,
+        |    CASE WHEN sqrt(sum(cnt*cnt)) > 0 THEN sqrt(sum(cnt*cnt)) ELSE 1.0 END AS norm
+        |  FROM lf GROUP BY user_id),
+        |dots AS (
+        |  SELECT a.user_id AS user_a, b.user_id AS user_b, sum(a.cnt * b.cnt) AS dot
+        |  FROM lf a JOIN lf b ON a.day = b.day AND a.user_id < b.user_id
+        |  GROUP BY 1, 2)
+        |SELECT user_a, user_b, dot / (na.norm * nb.norm) AS cosine
+        |FROM dots
+        |JOIN norms na ON na.user_id = user_a
+        |JOIN norms nb ON nb.user_id = user_b
+        |ORDER BY cosine DESC, user_a, user_b LIMIT 20""".stripMargin,
+
+    "q36_stream_tumbling" ->
+      """SELECT strftime(make_timestamp(CAST(floor(epoch(ts) / 21600) AS BIGINT) * 21600 * 1000000),
+        |                '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""".stripMargin,
+
+    "q37_fuzzy_join" ->
+      """WITH pairs AS (
+        |  SELECT s_suppkey, c_custkey,
+        |    1.0 - CAST(levenshtein(s_name, c_name) AS DOUBLE)
+        |        / CAST(greatest(length(s_name), length(c_name)) AS DOUBLE) AS ratio
+        |  FROM supplier, customer),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY s_suppkey
+        |            ORDER BY ratio DESC, c_custkey) AS rn FROM pairs)
+        |SELECT s_suppkey, c_custkey AS best_custkey, ratio
+        |FROM ranked WHERE rn = 1 ORDER BY s_suppkey""".stripMargin,
+
+    "q38_multimodal_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  'text/plain' AS format
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,13 +1,472 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.plans.GraftFunctions
+import graft.sources.Tables
+
+/** Driver contract (see /root/repo/SURVEY.md §7 + Verify/Bench).
+  *
+  * Each entry in [[queries]] exercises one operator family from SURVEY §2
+  * (the comment on each names the §2 id), expressed over the harness
+  * TPC-H-ish tables; [[oracleSql]] holds the DuckDB-equivalent SQL the
+  * driver validates against at sf0.01.
+  *
+  * Cross-engine determinism rules used throughout:
+  *  - counts are BIGINT on both sides (DuckDB integer `sum` yields HUGEINT
+  *    → always CAST),
+  *  - double aggregates go through exact DECIMAL sums then one final
+  *    cast/division in IEEE double (bitwise-stable regardless of
+  *    accumulation order),
+  *  - timestamps are output as formatted strings or DATE (parquet
+  *    timestamp-annotation differences never reach the comparator),
+  *  - every result has a total deterministic ORDER BY.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private val dec = "decimal(18,4)"
+
+  /** Flagship query on /root/testdata/sf0.001 (driver smoke-checks rows>0):
+    * supplier "loyalty" — rebellion rate of each supplier against its
+    * nation's per-order majority return direction (the reference's
+    * signature loyalty analysis, A1+A2+J4+J6+O1).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    q10Rebellion(spark, "/root/testdata/sf0.001")
+
+  // ------------------------------------------------------------------ base
+
+  private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
+  private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
+  private def cust(s: SparkSession, d: String) = Tables.customer(s, d)
+  private def supp(s: SparkSession, d: String) = Tables.supplier(s, d)
+  private def part(s: SparkSession, d: String) = Tables.part(s, d)
+  private def nat(s: SparkSession, d: String) = Tables.nation(s, d)
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+  private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
+  private def ev(s: SparkSession, d: String) = Tables.events(s, d)
+
+  /** Long-form "member votes" analog: one row per (order, supplier) with
+    * the supplier's nation as the "party" and l_returnflag as the vote
+    * code (A = yes, N = no, R = other-active-code).  J4-style broadcast
+    * dimension enrichment.
+    */
+  private def voteFacts(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .join(broadcast(supp(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .select(
+        col("l_orderkey").as("vote_id"),
+        col("l_suppkey").as("member_id"),
+        col("n_name").as("party"),
+        col("l_returnflag").as("code"))
+
+  // --------------------------------------------------------------- queries
+
+  /** P1-P3+S-scan: filter + projection pushed to the parquet scan. */
+  private def q01(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+        col("l_quantity") < 5)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** A2-A4 shape (TPC-H Q1): grouped conditional/decimal aggregation. */
+  private def q02(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .filter(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** O1 top-k → TakeOrderedAndProject, not a full sort. */
+  private def q03(s: SparkSession, d: String): DataFrame =
+    Browse.topK(
+      ord(s, d).select("o_orderkey", "o_custkey", "o_totalprice"),
+      50, col("o_totalprice").desc, col("o_orderkey").asc)
+
+  /** O3 offset pagination (page 3, 20/page) with deterministic order. */
+  private def q04(s: SparkSession, d: String): DataFrame =
+    Browse.page(
+      ord(s, d).select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+        col("o_totalprice")),
+      pageNum = 3, perPage = 20, col("o_date").desc, col("o_orderkey").asc)
+
+  /** J1/J4 broadcast dimension-enrichment joins. */
+  private def q05(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("p_size") >= 45)
+      .select("l_orderkey", "l_linenumber", "p_name", "p_brand", "s_name")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** J5 left join preserving zero-match rows + count. */
+  private def q06(s: SparkSession, d: String): DataFrame =
+    cust(s, d)
+      .join(ord(s, d), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey", "c_name")
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy("c_custkey")
+
+  /** P4/U2 anti-join (the void-vote exclusion pattern). */
+  private def q07(s: SparkSession, d: String): DataFrame =
+    ord(s, d)
+      .join(
+        cust(s, d).filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").as("o_custkey")),
+        Seq("o_custkey"), "left_anti")
+      .select("o_orderkey", "o_custkey")
+      .orderBy("o_orderkey")
+
+  /** P5/U3/J9 semi-join membership filter. */
+  private def q08(s: SparkSession, d: String): DataFrame =
+    ord(s, d)
+      .join(
+        li(s, d).filter(col("l_quantity") > 49)
+          .select(col("l_orderkey").as("o_orderkey")),
+        Seq("o_orderkey"), "left_semi")
+      .select("o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey")
+
+  /** A1 majority direction — THE load-bearing reference aggregate. */
+  private def q09(s: SparkSession, d: String): DataFrame =
+    Majority.majorityDirection(
+        voteFacts(s, d), Seq("vote_id", "party"), "code", yesCode = "A", noCode = "N")
+      .orderBy("vote_id", "party")
+
+  /** A2+J6 rebellion join-back + per-member stats. */
+  private def q10Rebellion(s: SparkSession, d: String): DataFrame = {
+    val withReb = Majority.withRebellion(
+      voteFacts(s, d), Seq("vote_id", "party"), "code", yesCode = "A", noCode = "N")
+    Majority.rebellionStats(withReb, Seq("member_id", "party"))
+      .orderBy("member_id", "party")
+  }
+
+  /** A3 attendance-histogram profile (conditional sums + rate). */
+  private def q11(s: SparkSession, d: String): DataFrame =
+    Profiles.categoricalProfile(
+        ev(s, d), Seq("user_id"), "event_type",
+        Seq("click", "view", "purchase", "signup", "error"))
+      .withColumn(
+        "active_rate",
+        (col("click_cnt") + col("view_cnt") + col("purchase_cnt")).cast("double") /
+          col("total_cnt").cast("double"))
+      .orderBy("user_id")
+
+  /** J8+A7 self-join pairwise agreement over majority directions. */
+  private def q12(s: SparkSession, d: String): DataFrame =
+    Majority.pairwiseAgreement(
+        Majority.majorityDirection(
+          voteFacts(s, d), Seq("vote_id", "party"), "code", "A", "N"),
+        "vote_id", "party")
+      .orderBy("group_a", "group_b")
+
+  /** A11 keep-first-by-sort window dedup (latest event per user). */
+  private def q13(s: SparkSession, d: String): DataFrame =
+    Browse.keepFirst(
+        ev(s, d), Seq("user_id"), col("ts").desc, col("event_id").desc)
+      .select(
+        col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"),
+        col("event_type"))
+      .orderBy("user_id")
+
+  /** M1 pivot (long → wide counts per event_type). */
+  private def q14(s: SparkSession, d: String): DataFrame = {
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    ev(s, d).groupBy("user_id").pivot("event_type", types).count()
+      .na.fill(0L)
+      .select(col("user_id") +: types.map(t => col(t).cast("long").as(s"${t}_cnt")): _*)
+      .orderBy("user_id")
+  }
+
+  /** A6 conditional mean (exact decimal sums / counts). */
+  private def q15(s: SparkSession, d: String): DataFrame =
+    ev(s, d).groupBy("user_id")
+      .agg(
+        (sum(col("value").cast(dec)).cast("double") /
+          count(lit(1)).cast("double")).as("mean_all"),
+        (sum(when(col("event_type") === "purchase", col("value").cast(dec)))
+          .cast("double") /
+          count(when(col("event_type") === "purchase", lit(1))).cast("double"))
+          .as("mean_purchase"))
+      .orderBy("user_id")
+
+  /** U1+A10 union + distinct. */
+  private def q16(s: SparkSession, d: String): DataFrame =
+    cust(s, d).select(col("c_nationkey").as("nk"))
+      .unionAll(supp(s, d).select(col("s_nationkey").as("nk")))
+      .distinct()
+      .join(broadcast(nat(s, d)), col("nk") === col("n_nationkey"))
+      .select("n_name")
+      .orderBy("n_name")
+
+  /** A8 group-count + HAVING. */
+  private def q17(s: SparkSession, d: String): DataFrame =
+    ord(s, d).groupBy("o_custkey").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 15)
+      .orderBy("o_custkey")
+
+  /** A9 min/max date aggregation. */
+  private def q18(s: SparkSession, d: String): DataFrame =
+    ord(s, d).groupBy("o_orderpriority")
+      .agg(
+        date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("first_date"),
+        date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("last_date"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
+  /** F1/F2/F5/F6 string scalar functions. */
+  private def q19(s: SparkSession, d: String): DataFrame =
+    cust(s, d).select(
+        col("c_custkey"),
+        upper(trim(col("c_name"))).as("uname"),
+        concat_ws("#", col("c_mktsegment"), col("c_custkey").cast("string")).as("tag"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
+        length(col("c_name")).cast("long").as("name_len"))
+      .orderBy("c_custkey")
+
+  /** F3/A9 date bucketing + per-day aggregates. */
+  private def q20(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast(dec)).cast("double").as("sum_value"))
+      .orderBy("day")
+
+  /** P7/F4 diacritic-normalized substring search via the native
+    * strip_diacritics Catalyst expression (codegen path).
+    */
+  private def q21(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.ensure(s)
+    docs(s, d)
+      .filter(lower(call_function("strip_diacritics", col("text"))).contains("spark"))
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
+  /** F9 code → signed-unit encoding + grouped sum. */
+  private def q22(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .groupBy(col("l_suppkey"))
+      .agg(sum(
+        when(col("l_returnflag") === "A", 1)
+          .when(col("l_returnflag") === "R", -1)
+          .otherwise(0)).cast("long").as("score"))
+      .orderBy("l_suppkey")
+
+  /** §2.9 explode/array ops: distinct-word stats per document. */
+  private def q24(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("word"))
+      .groupBy("doc_id")
+      .agg(
+        countDistinct(col("word")).as("n_distinct"),
+        count(lit(1)).as("n_words"))
+      .orderBy("doc_id")
+
+  /** Dedup-exact: fingerprint groups. */
+  private def q25(s: SparkSession, d: String): DataFrame =
+    Dedup.exactGroups(docs(s, d), "doc_id", "text").orderBy("fp")
+
+  /** Text fingerprinting (md5 content key + token count). */
+  private def q26(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .orderBy("doc_id")
+
+  private val stopwords =
+    Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  /** Text quality-scoring features. */
+  private def q27(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.qualityFeatures(docs(s, d), "text", stopwords)
+      .select("doc_id", "n_chars_m", "n_tokens", "n_stop", "stop_ratio",
+        "mean_token_len")
+      .orderBy("doc_id")
+
+  private val langWordlists = Map(
+    "en" -> stopwords,
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "une"))
+
+  /** Language-ID heuristic (stopword-hit argmax). */
+  private def q28(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.langId(docs(s, d), "text", langWordlists)
+      .select("doc_id", "pred_lang", "score_en")
+      .orderBy("doc_id")
+
+  /** MinHash signatures (deterministic; the LSH pair path is q31). */
+  private def q29(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(
+        col("doc_id"),
+        Dedup.minhashSignature(
+          Dedup.shingleHashes(col("text"), 3), 32).as("sig"))
+      .select(
+        col("doc_id"),
+        xxhash64(concat_ws(",", transform(col("sig"), v => v.cast("string"))))
+          .as("sig_hash"),
+        element_at(col("sig"), 1).as("sig0"))
+      .orderBy("doc_id")
+
+  /** SimHash signatures. */
+  private def q30(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+      .orderBy("doc_id")
+
+  /** MinHash-LSH near-duplicate pairs over a corpus with planted exact
+    * duplicates (docs ∪ re-keyed copy) — every doc must pair with its
+    * clone at jaccard 1.0; oracle computes exact shingle-set jaccard.
+    */
+  private def q31(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select("doc_id", "text")
+    val cloned = base.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    Dedup.minhashNearDups(
+        base.unionAll(cloned), "doc_id", "text",
+        shingleN = 3, numHashes = 32, bands = 8, threshold = 0.7)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Embedding near-dup pairs (cosine ≥ 0.99) over corpus ∪ clone. */
+  private def q32(s: SparkSession, d: String): DataFrame = {
+    val base = emb(s, d).select("vec_id", "embedding")
+    val cloned = base.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    Dedup.embeddingNearDups(
+        base.unionAll(cloned), "vec_id", "embedding", threshold = 0.99)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** ANN brute-force cosine top-k for one query vector (rows-only check:
+    * float accumulation isn't portably bit-exact in SQL).
+    */
+  private def q33(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val query = e.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).collect()(0)
+      .getSeq[Double](0)
+    Ann.bruteForceTopK(e, "vec_id", "embedding", query, 10)
+      .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** M2 PCA 2-component embedding (rows-only: SVD signs are arbitrary). */
+  private def q34(s: SparkSession, d: String): DataFrame =
+    VectorOps.pca2(
+        emb(s, d).select(col("vec_id"), col("embedding").cast("array<double>").as("features")),
+        "vec_id", "features")
+      .orderBy("vec_id")
+
+  /** M3 long-form cosine top-k member pairs (no matrix materialization). */
+  private def q35(s: SparkSession, d: String): DataFrame = {
+    val longForm = ev(s, d)
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("cnt"))
+    VectorOps.cosinePairsTopK(longForm, "user_id", "day", "cnt", 20)
+      .select(col("m_a").as("user_a"), col("m_b").as("user_b"), col("cosine"))
+  }
+
+  /** §2.12 streaming-shaped tumbling window agg (batch-equivalent plan;
+    * the streaming variant with watermark is graft.streaming.EventWindows).
+    */
+  private def q36(s: SparkSession, d: String): DataFrame =
+    EventWindows_tumblingForVerify(ev(s, d))
+
+  private def EventWindows_tumblingForVerify(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(dec)).cast("double").as("sum_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+
+  /** J13 fuzzy name-match join (Levenshtein-ratio argmax per supplier;
+    * the exact difflib-SequenceMatcher expression is graft.plans.FuzzyRatio,
+    * unit-tested — levenshtein keeps the oracle portable).
+    */
+  private def q37(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = supp(s, d).select("s_suppkey", "s_name")
+      .crossJoin(broadcast(cust(s, d).select("c_custkey", "c_name")))
+      .withColumn("ratio",
+        lit(1.0) - levenshtein(col("s_name"), col("c_name")).cast("double") /
+          greatest(length(col("s_name")), length(col("c_name"))).cast("double"))
+    pairs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("s_suppkey"))
+          .orderBy(col("ratio").desc, col("c_custkey").asc)))
+      .filter(col("rn") === 1)
+      .select(col("s_suppkey"), col("c_custkey").as("best_custkey"), col("ratio"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Multimodal plumbing: binary payload + typed metadata (decode itself is
+    * stubbed — see graft.operators.Multimodal).
+    */
+  private def q38(s: SparkSession, d: String): DataFrame =
+    Multimodal.withPayloadMeta(docs(s, d))
+      .select("doc_id", "n_bytes", "format")
+      .orderBy("doc_id")
+
+  // ------------------------------------------------------------- contract
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_scan_filter_project" -> (q01(_, _)),
+    "q02_agg_pricing" -> (q02(_, _)),
+    "q03_topk" -> (q03(_, _)),
+    "q04_pagination" -> (q04(_, _)),
+    "q05_join_enrich" -> (q05(_, _)),
+    "q06_left_join_count" -> (q06(_, _)),
+    "q07_anti_join" -> (q07(_, _)),
+    "q08_semi_join" -> (q08(_, _)),
+    "q09_majority_direction" -> (q09(_, _)),
+    "q10_rebellion_stats" -> (q10Rebellion(_, _)),
+    "q11_attendance_profile" -> (q11(_, _)),
+    "q12_pairwise_agreement" -> (q12(_, _)),
+    "q13_window_dedup" -> (q13(_, _)),
+    "q14_pivot_counts" -> (q14(_, _)),
+    "q15_conditional_mean" -> (q15(_, _)),
+    "q16_union_distinct" -> (q16(_, _)),
+    "q17_having" -> (q17(_, _)),
+    "q18_minmax_dates" -> (q18(_, _)),
+    "q19_string_funcs" -> (q19(_, _)),
+    "q20_date_trunc_agg" -> (q20(_, _)),
+    "q21_search_diacritics" -> (q21(_, _)),
+    "q22_code_encoding" -> (q22(_, _)),
+    "q24_explode_words" -> (q24(_, _)),
+    "q25_dedup_exact" -> (q25(_, _)),
+    "q26_fingerprint" -> (q26(_, _)),
+    "q27_quality_features" -> (q27(_, _)),
+    "q28_langid" -> (q28(_, _)),
+    "q29_minhash_signature" -> (q29(_, _)),
+    "q30_simhash" -> (q30(_, _)),
+    "q31_minhash_lsh_pairs" -> (q31(_, _)),
+    "q32_embedding_neardups" -> (q32(_, _)),
+    "q33_ann_bruteforce" -> (q33(_, _)),
+    "q34_pca" -> (q34(_, _)),
+    "q35_cosine_pairs_longform" -> (q35(_, _)),
+    "q36_stream_tumbling" -> (q36(_, _)),
+    "q37_fuzzy_join" -> (q37(_, _)),
+    "q38_multimodal_meta" -> (q38(_, _)),
+  )
+
+  def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  *  - `bruteForceTopK`: exact cosine top-k — the correctness baseline. One
+  *    scan, per-row score, `TakeOrderedAndProject` top-k; the query vector
+  *    ships as a literal (broadcast-equivalent), so this scales linearly
+  *    and is the right choice whenever k ≪ n and there is ONE query.
+  *  - `bruteForceTopKBatch`: many queries at once — broadcast the (small)
+  *    query set, score all (query, row) pairs, per-query window top-k.
+  *  - `ivfTopK`: IVF-style scale path — k-means-ish coarse centroids picked
+  *    deterministically, rows assigned to nearest centroid at write time;
+  *    a query probes only `nprobe` nearest cells, turning the 100 TB scan
+  *    into a partition-pruned read when the table is written partitioned
+  *    by `cell`.
+  */
+object Ann {
+
+  /** Exact cosine top-k neighbors of one query vector. */
+  def bruteForceTopK(
+      df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int): DataFrame = {
+    val q = array(query.map(lit(_)): _*)
+    df.select(
+        col(idCol),
+        Dedup.cosine(col(vecCol).cast("array<double>"), q).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Top-k per query for a small broadcast query table
+    * (qid, qvec: array<double>).
+    */
+  def bruteForceTopKBatch(
+      df: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = df
+      .crossJoin(broadcast(queries))
+      .withColumn("cosine",
+        Dedup.cosine(col(vecCol).cast("array<double>"), col(qvecCol).cast("array<double>")))
+    scored
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy(col(qidCol))
+          .orderBy(col("cosine").desc, col(idCol).asc)))
+      .filter(col("rnk") <= k)
+      .select(col(qidCol), col(idCol), col("cosine"), col("rnk"))
+  }
+
+  /** Assign each row to its nearest centroid (IVF cell). Centroids is a
+    * small local Seq (cell_id → vector).
+    */
+  def assignCells(
+      df: DataFrame, vecCol: String,
+      centroids: Seq[(Int, Seq[Double])]): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val best = centroids.map { case (cid, c) =>
+      struct(Dedup.cosine(v, array(c.map(lit(_)): _*)).as("sim"), lit(cid).as("cell"))
+    }
+    df.withColumn("cell", greatest(best: _*).getField("cell"))
+  }
+
+  /** Deterministic coarse centroids: the embeddings of every (n/cells)-th
+    * row by id order — a seeded-sample stand-in for k-means (which would
+    * run as an offline MLlib job at production scale).
+    */
+  def sampleCentroids(
+      df: DataFrame, idCol: String, vecCol: String, cells: Int): Seq[(Int, Seq[Double])] = {
+    val rows = df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .orderBy(col(idCol)).limit(cells).collect()
+    rows.zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }
+  }
+
+  /** IVF query: score only rows in the `nprobe` cells nearest the query. */
+  def ivfTopK(
+      assigned: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Int, Seq[Double])],
+      query: Seq[Double], k: Int, nprobe: Int): DataFrame = {
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum); val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na > 0 && nb > 0) dot / (na * nb) else 0.0
+    }
+    val probeCells = centroids.sortBy { case (_, c) => -cos(c, query) }
+      .take(nprobe).map(_._1)
+    val q = array(query.map(lit(_)): _*)
+    assigned
+      .filter(col("cell").isin(probeCells: _*))
+      .select(col(idCol),
+        Dedup.cosine(col(vecCol).cast("array<double>"), q).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+}

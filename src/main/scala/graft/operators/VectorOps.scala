@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's linear-algebra core (SURVEY §2.10): the MPs×votes matrix
+  * (M1), its 2-component PCA embedding (M2), and cosine-similarity top-k
+  * pairs (M3, reference `services/similarity_service.py`).
+  *
+  * Two formulations:
+  *  - pivot path (reference parity; valid while the matrix is ~members ×
+  *    10⁴ votes),
+  *  - long-form path (the 100 TB design: never materialize the matrix —
+  *    similarity is a self-join + sum aggregation on the long fact table,
+  *    shuffling on the vote key only).
+  */
+object VectorOps {
+
+  /** M1: long (member, item, value) → wide matrix rows
+    * (member, features array), via pivot + first + fill(0) — exactly the
+    * reference's `pivot(aggregate_function="first").fill_null(0)`.
+    * `items` must be the ordered distinct item list (collected — pivot
+    * needs it; bounded by the item-cardinality cap the caller enforces).
+    */
+  def pivotMatrix(
+      df: DataFrame, memberCol: String, itemCol: String, valueCol: String,
+      items: Seq[Any]): DataFrame = {
+    val wide = df.groupBy(col(memberCol))
+      .pivot(itemCol, items)
+      .agg(first(col(valueCol)))
+      .na.fill(0)
+    wide.select(col(memberCol),
+      array(items.map(i => col(s"`$i`").cast("double")): _*).as("features"))
+  }
+
+  /** M2: 2-component PCA scores (U·S scaling, matching the reference's
+    * `np.linalg.svd` usage: mean-center columns, SVD, coords = U[:,:2]*S[:2]).
+    * Sign of each component is arbitrary — consumers must compare
+    * sign-invariantly (SURVEY §7.4). Uses mllib RowMatrix SVD, which for
+    * small feature dims solves the Gramian locally; rows stay distributed.
+    */
+  def pca2(df: DataFrame, idCol: String, featCol: String): DataFrame = {
+    import org.apache.spark.mllib.linalg.{Vectors => OldVectors}
+    import org.apache.spark.mllib.linalg.distributed.RowMatrix
+    val spark = df.sparkSession
+    val rows = df.select(col(idCol).cast("long"), col(featCol).cast("array<double>"))
+      .rdd.map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    rows.cache()
+    val dim = rows.first()._2.length
+    val n = rows.count().toDouble
+    val means = rows.map(_._2).treeAggregate(new Array[Double](dim))(
+      (acc, v) => { var i = 0; while (i < dim) { acc(i) += v(i); i += 1 }; acc },
+      (a, b) => { var i = 0; while (i < dim) { a(i) += b(i); i += 1 }; a })
+      .map(_ / n)
+    val bMeans = spark.sparkContext.broadcast(means)
+    val centered = rows.mapValues { v =>
+      val m = bMeans.value
+      val out = new Array[Double](dim)
+      var i = 0; while (i < dim) { out(i) = v(i) - m(i); i += 1 }
+      out
+    }.cache()
+    val mat = new RowMatrix(centered.values.map(OldVectors.dense))
+    val svd = mat.computeSVD(2, computeU = false)
+    val v = svd.V // dim x 2
+    val bV = spark.sparkContext.broadcast((0 until dim).map(i => (v(i, 0), v(i, 1))).toArray)
+    import spark.implicits._
+    centered.map { case (id, c) =>
+      val vv = bV.value
+      var x = 0.0; var y = 0.0; var i = 0
+      while (i < dim) { x += c(i) * vv(i)._1; y += c(i) * vv(i)._2; i += 1 }
+      (id, x, y)
+    }.toDF(idCol, "pc1", "pc2")
+  }
+
+  /** M3 at scale: cosine top-k member pairs WITHOUT materializing the
+    * matrix. Long form (member, item, value): dot products via self-join
+    * on item + sum(v_a*v_b) grouped by pair; norms via per-member agg;
+    * zero-norm guarded to 1 exactly like the reference
+    * (`similarity_service.py:84`). Optional member-attribute join for a
+    * cross-group filter (e.g. `party_a != party_b`).
+    */
+  def cosinePairsTopK(
+      df: DataFrame, memberCol: String, itemCol: String, valueCol: String,
+      k: Int): DataFrame = {
+    val norms = df.groupBy(col(memberCol))
+      .agg(sqrt(sum(col(valueCol) * col(valueCol))).as("norm"))
+      .withColumn("norm", when(col("norm") > 0, col("norm")).otherwise(lit(1.0)))
+    val a = df.select(col(memberCol).as("m_a"), col(itemCol).as("item"), col(valueCol).as("v_a"))
+    val b = df.select(col(memberCol).as("m_b"), col(itemCol).as("item"), col(valueCol).as("v_b"))
+    val dots = a.join(b, Seq("item"))
+      .filter(col("m_a") < col("m_b"))
+      .groupBy("m_a", "m_b")
+      .agg(sum(col("v_a") * col("v_b")).as("dot"))
+    dots
+      .join(broadcast(norms.select(col(memberCol).as("m_a"), col("norm").as("norm_a"))), "m_a")
+      .join(broadcast(norms.select(col(memberCol).as("m_b"), col("norm").as("norm_b"))), "m_b")
+      .withColumn("cosine", col("dot") / (col("norm_a") * col("norm_b")))
+      .orderBy(col("cosine").desc, col("m_a").asc, col("m_b").asc)
+      .limit(k)
+      .select("m_a", "m_b", "cosine")
+  }
+}

@@ -1,0 +1,37 @@
+package graft.plans
+
+import org.apache.spark.sql.{GraftShim, SparkSession, SparkSessionExtensions}
+
+/** SparkSessionExtensions installer: `SparkSession.builder
+  * .withExtensions(new GraftExtensions)` — or config
+  * `spark.sql.extensions=graft.plans.GraftExtensions`.
+  *
+  * Injects the graft native functions so they are usable from SQL text as
+  * well as the DataFrame API.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    ext.injectFunction((
+      FunctionIdentifier("strip_diacritics"),
+      new ExpressionInfo(classOf[NormalizeDiacritics].getName, "strip_diacritics"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        NormalizeDiacritics(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("fuzzy_ratio"),
+      new ExpressionInfo(classOf[FuzzyRatio].getName, "fuzzy_ratio"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        FuzzyRatio(children(0), children(1))))
+  }
+}
+
+/** Session-local registration for sessions not built with the extensions
+  * (e.g. a driver-provided session). Idempotent.
+  */
+object GraftFunctions {
+  def ensure(spark: SparkSession): Unit = {
+    GraftShim.registerNative(spark, "strip_diacritics", es => NormalizeDiacritics(es.head))
+    GraftShim.registerNative(spark, "fuzzy_ratio", es => FuzzyRatio(es(0), es(1)))
+  }
+}

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.Row
+
+/** Streaming slice (SURVEY §2.12): the reference has no stream engine (its
+  * "incremental" behavior is a 30 s parquet-mtime poll,
+  * `services/data_reader.py:390-475`); Structured Streaming replaces it.
+  * Windowed aggregations over the `events` table with watermarked
+  * late-data handling; the same transform runs identically over a batch
+  * DataFrame (used by the correctness harness) and a `readStream` source.
+  */
+object EventWindows {
+
+  /** Tumbling-window counts+sums per event_type. Works on batch or
+    * streaming input (same unresolved plan).
+    */
+  def tumblingCounts(events: DataFrame, windowLen: String): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(
+        col("w.start").as("window_start"),
+        col("w.end").as("window_end"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding-window distinct-user activity. */
+  def slidingUserCounts(events: DataFrame, windowLen: String, slide: String): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), windowLen, slide).as("w"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("approx_users"), col("n"))
+
+  /** File-source streaming refresh replacing the reference's mtime watcher
+    * (S8): watch a parquet directory, maintain an always-current temp view
+    * via foreachBatch.
+    */
+  def watchParquetDir(
+      spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      viewName: String): DataStreamWriter[Row] =
+    spark.readStream
+      .schema(schema)
+      .parquet(dir)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.sparkSession.read.parquet(dir).createOrReplaceTempView(viewName)
+      }
+}
