@@ -1,0 +1,67 @@
+package graft.psp
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Browse, Profiles}
+import graft.plans.GraftFunctions
+
+/** Vote browser queries (reference `services/votes_service.py`):
+  * diacritic-insensitive search (P7), outcome filter, topic semi-join
+  * (J9), deterministic pagination (O3), per-vote detail with party
+  * breakdown (A4).
+  */
+object VotesBrowser {
+
+  /** Outcome code → label (votes_service.py:15-29). */
+  val outcomeLabels: Map[String, String] = Map(
+    VoteOutcome.Passed -> "passed", VoteOutcome.Rejected -> "rejected",
+    VoteOutcome.InvalidX -> "invalid", VoteOutcome.InvalidQ -> "invalid",
+    VoteOutcome.InvalidK -> "invalid")
+
+  private def searchNorm(c: Column): Column =
+    lower(call_function("strip_diacritics", c))
+
+  /** Paged vote listing. `topicKeys` (optional) is a small
+    * (schuze, bod) allowlist DataFrame — semi-joined (J9).
+    */
+  def listVotes(
+      spark: SparkSession,
+      votes: DataFrame,
+      voidVotes: DataFrame,
+      search: Option[String] = None,
+      outcome: Option[String] = None,
+      topicKeys: Option[DataFrame] = None,
+      page: Int = 1,
+      perPage: Int = 30): DataFrame = {
+    GraftFunctions.ensure(spark)
+    var df = votes
+      .join(voidVotes, Seq("id_hlasovani"), "left_anti")
+      .withColumn("nazev_dlouhy", coalesce(col("nazev_dlouhy"), lit("")))
+    search.filter(_.nonEmpty).foreach { q =>
+      val needle = graft.functions.TextNorm.normalizeSearch(q)
+      df = df.filter(searchNorm(col("nazev_dlouhy")).contains(needle))
+    }
+    outcome.foreach { o => df = df.filter(col("vysledek") === o) }
+    topicKeys.foreach { keys => df = df.join(keys, Seq("schuze", "bod"), "left_semi") }
+    Browse.page(df, page, perPage, col("id_hlasovani").desc)
+  }
+
+  /** Per-party breakdown for one vote (votes_service.py:265-280, A4). */
+  def partyBreakdown(mpVotes: DataFrame, mpInfo: DataFrame, voteId: Long): DataFrame =
+    Profiles.categoricalProfile(
+        mpVotes.filter(col("id_hlasovani") === voteId)
+          .join(broadcast(mpInfo.select("id_poslanec", "party")),
+            Seq("id_poslanec"), "inner"),
+        Seq("party"), "vysledek",
+        Seq(VoteResult.Yes, VoteResult.No, VoteResult.Abstained,
+          VoteResult.DidNotVote, VoteResult.Absent, VoteResult.Excused))
+      .orderBy("party")
+
+  /** Single-vote MP listing with names, multi-column sort (O2). */
+  def voteMpVotes(mpVotes: DataFrame, mpInfo: DataFrame, voteId: Long): DataFrame =
+    mpVotes.filter(col("id_hlasovani") === voteId)
+      .join(broadcast(mpInfo), Seq("id_poslanec"), "inner")
+      .select("party", "prijmeni", "jmeno", "vysledek")
+      .orderBy("party", "prijmeni", "jmeno")
+}

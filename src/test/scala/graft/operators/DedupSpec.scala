@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import scala.jdk.CollectionConverters._
+
+  private def corpus() = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+      (3L, "the quick brown fox jumps over the lazy dog near the river bend today"), // near dup of 1
+      (4L, "completely different content about spark query engines and shuffles"),
+      (5L, "another unrelated document mentioning aggregation pipelines only"))
+      .toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps smallest id per fingerprint") {
+    val groups = Dedup.exactGroups(corpus(), "doc_id", "text").collect()
+    val dupGroup = groups.find(_.getAs[Long]("dup_cnt") == 2L).get
+    assert(dupGroup.getAs[Long]("keep_id") == 1L)
+    assert(Dedup.exactDedup(corpus(), "doc_id", "text").count() == 4)
+  }
+
+  test("minhash LSH finds exact and near duplicates, skips unrelated") {
+    val pairs = Dedup.minhashNearDups(corpus(), "doc_id", "text",
+      shingleN = 3, numHashes = 32, bands = 8, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((1L, 2L)))   // jaccard 1.0
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // near dup
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("exact-dup pair has jaccard exactly 1.0") {
+    val row = Dedup.minhashNearDups(corpus(), "doc_id", "text")
+      .filter(col("id_a") === 1L && col("id_b") === 2L).collect()
+    assert(row.length == 1)
+    assert(row(0).getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("simhash: identical docs same signature; near dups within hamming 8") {
+    val sigs = corpus().select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("s")).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) <= 8)
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(4L)) > 8)
+  }
+
+  test("simhash near-dup pairs finds the clone pair") {
+    val pairs = Dedup.simhashNearDups(corpus(), "doc_id", "text", maxHamming = 8)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("embedding near-dups: identical vectors cosine 1, orthogonal skipped") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 2.0f, 0.5f)),
+      (2L, Array(1.0f, 0.0f, 2.0f, 0.5f)),
+      (3L, Array(0.0f, 3.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDups(vecs, "vec_id", "embedding", threshold = 0.95)
+      .collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getAs[Long]("id_a") == 1L)
+    assert(pairs(0).getAs[Long]("id_b") == 2L)
+    assert(math.abs(pairs(0).getAs[Double]("cosine") - 1.0) < 1e-12)
+  }
+
+  test("LSH bucketed embedding dedup finds clone pair too") {
+    import spark.implicits._
+    val vecs = (0 until 64).map { i =>
+      (i.toLong, Array.tabulate(64)(j => ((i * 31 + j * 7) % 13 - 6).toFloat))
+    } :+ (999L, Array.tabulate(64)(j => ((5 * 31 + j * 7) % 13 - 6).toFloat))
+    val df = vecs.toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDups(df, "vec_id", "embedding",
+      threshold = 0.999, planes = 4).collect()
+    assert(pairs.exists(r =>
+      r.getAs[Long]("id_a") == 5L && r.getAs[Long]("id_b") == 999L))
+  }
+}

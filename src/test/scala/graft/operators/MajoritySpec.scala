@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class MajoritySpec extends SparkSpec {
+
+  private def facts() = {
+    import spark.implicits._
+    // vote 1: party X 2A/1B -> A ; vote 2: party X 1A/1B -> tie (dropped)
+    // vote 3: party X 0A/2B -> B ; vote 1: party Y 1B -> B
+    Seq(
+      (1L, "X", "A"), (1L, "X", "A"), (1L, "X", "B"),
+      (2L, "X", "A"), (2L, "X", "B"),
+      (3L, "X", "B"), (3L, "X", "B"),
+      (1L, "Y", "B"))
+      .toDF("vote", "party", "code")
+  }
+
+  test("strict majority only; ties dropped (reference tie semantics)") {
+    val m = Majority.majorityDirection(facts(), Seq("vote", "party"), "code", "A", "B")
+      .collect().map(r => (r.getAs[Long]("vote"), r.getAs[String]("party")) ->
+        r.getAs[String]("majority_dir")).toMap
+    assert(m((1L, "X")) == "A")
+    assert(m((3L, "X")) == "B")
+    assert(m((1L, "Y")) == "B")
+    assert(!m.contains((2L, "X"))) // tie -> dropped entirely
+  }
+
+  test("rebellion excludes tie votes from numerator AND denominator") {
+    val wr = Majority.withRebellion(facts(), Seq("vote", "party"), "code", "A", "B")
+    // vote 2 rows must not appear at all
+    assert(wr.filter(col("vote") === 2L).count() == 0)
+    val stats = Majority.rebellionStats(wr, Seq("party")).collect()
+      .map(r => r.getAs[String]("party") -> r).toMap
+    // party X: 6 non-tie active rows, rebel rows: vote1 B (1)
+    assert(stats("X").getAs[Long]("total_votes") == 5L)
+    assert(stats("X").getAs[Long]("rebellion_cnt") == 1L)
+    assert(stats("X").getAs[Double]("rebellion_pct") == 20.0)
+  }
+
+  test("pairwise agreement over majorities") {
+    val maj = Majority.majorityDirection(facts(), Seq("vote", "party"), "code", "A", "B")
+    val agg = Majority.pairwiseAgreement(maj, "vote", "party").collect()
+    assert(agg.length == 1) // only vote 1 common to X and Y
+    val r = agg(0)
+    assert(r.getAs[String]("group_a") == "X")
+    assert(r.getAs[String]("group_b") == "Y")
+    assert(r.getAs[Long]("agree_cnt") == 0L) // A vs B
+    assert(r.getAs[Double]("agreement_rate") == 0.0)
+  }
+}
