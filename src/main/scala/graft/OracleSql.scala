@@ -318,7 +318,7 @@ object OracleSql {
         |  SELECT s_suppkey, c_custkey,
         |    1.0 - CAST(levenshtein(s_name, c_name) AS DOUBLE)
         |        / CAST(greatest(length(s_name), length(c_name)) AS DOUBLE) AS ratio
-        |  FROM supplier, customer),
+        |  FROM supplier JOIN customer ON right(s_name, 3) = right(c_name, 3)),
         |ranked AS (
         |  SELECT *, row_number() OVER (PARTITION BY s_suppkey
         |            ORDER BY ratio DESC, c_custkey) AS rn FROM pairs)

@@ -348,7 +348,8 @@ object SparkEntry {
     val base = emb(s, d).select("vec_id", "embedding")
     val cloned = base.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
     Dedup.embeddingNearDups(
-        base.unionAll(cloned), "vec_id", "embedding", threshold = 0.99)
+        base.unionAll(cloned), "vec_id", "embedding", threshold = 0.99,
+        planes = 4)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
       .orderBy("id_a", "id_b")
   }
@@ -375,9 +376,10 @@ object SparkEntry {
   /** M3 long-form cosine top-k member pairs (no matrix materialization). */
   private def q35(s: SparkSession, d: String): DataFrame = {
     val longForm = ev(s, d)
-      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .groupBy(col("user_id"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
       .agg(count(lit(1)).cast("double").as("cnt"))
-    VectorOps.cosinePairsTopK(longForm, "user_id", "day", "cnt", 20)
+    VectorOps.cosinePairsTopKAuto(longForm, "user_id", "day", "cnt", 20)
       .select(col("m_a").as("user_a"), col("m_b").as("user_b"), col("cosine"))
   }
 
@@ -401,11 +403,18 @@ object SparkEntry {
   /** J13 fuzzy name-match join (Levenshtein-ratio argmax per supplier;
     * the exact difflib-SequenceMatcher expression is graft.plans.FuzzyRatio,
     * unit-tested — levenshtein keeps the oracle portable).
+    *
+    * Blocked: candidate pairs share the last-3-char block of the name, the
+    * standard scale design for fuzzy joins (full cross product is O(n*m)
+    * edit distances; the block bound is mirrored in the oracle).
     */
   private def q37(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pairs = supp(s, d).select("s_suppkey", "s_name")
-      .crossJoin(broadcast(cust(s, d).select("c_custkey", "c_name")))
+    val pairs = supp(s, d)
+      .select(col("s_suppkey"), col("s_name"), expr("right(s_name, 3)").as("blk"))
+      .join(broadcast(cust(s, d)
+        .select(col("c_custkey"), col("c_name"), expr("right(c_name, 3)").as("blk"))),
+        Seq("blk"))
       .withColumn("ratio",
         lit(1.0) - levenshtein(col("s_name"), col("c_name")).cast("double") /
           greatest(length(col("s_name")), length(col("c_name"))).cast("double"))

@@ -51,9 +51,34 @@ object Dedup {
       .otherwise(array(concat_ws(" ", toks)))
   }
 
-  /** Distinct murmur3 hashes of the shingle set. */
-  def shingleHashes(text: Column, n: Int): Column =
-    array_distinct(transform(wordShingles(text, n), s => hash(s)))
+  /** Distinct 32-bit hashes of the shingle set.
+    *
+    * Scale path: never materializes shingle STRINGS — hashes each token
+    * once, then combines `n` shifted hash arrays arithmetically
+    * (((h1*31+h2)*31+h3) & 0xffffffff). O(tokens) work per row instead of
+    * the O(tokens * n) string building + copying of the naive
+    * `transform(wordShingles, hash)` formulation; set cardinalities (and
+    * so Jaccard) are preserved modulo 32-bit collisions, same as hashing
+    * the strings.
+    */
+  def shingleHashes(text: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    val th = transform(toks, t => hash(t).cast("long").bitwiseAND(lit(0xffffffffL)))
+    val cnt = size(th) - (n - 1)
+    val mask = lit(0xffffffffL)
+    val combined = {
+      // shingle_i = fold over the n token hashes starting at i
+      val slices = (0 until n).map(k => slice(th, lit(k + 1), cnt))
+      val zipped = arrays_zip(slices: _*)
+      transform(zipped, s => {
+        val fields = (0 until n).map(k => s.getField(k.toString))
+        // mask every step so arbitrary n can't overflow ANSI long math
+        fields.reduce((acc, h) => (acc * lit(31L) + h).bitwiseAND(mask))
+      })
+    }
+    when(cnt >= 1, array_distinct(combined))
+      .otherwise(array(hash(concat_ws(" ", toks)).cast("long").bitwiseAND(mask)))
+  }
 
   // -------------------------------------------------------------- minhash
 
@@ -114,7 +139,21 @@ object Dedup {
     val withSets = df.select(
       col(idCol),
       shingleHashes(col(textCol), shingleN).as("shset"))
-    val withSig = withSets.withColumn("sig", minhashSignature(col("shset"), numHashes))
+    // signature via explode + k codegen'd min-aggregates (the array-
+    // expression variant in minhashSignature evaluates interpreted
+    // higher-order lambdas - fine per-row, slow over a corpus)
+    val exploded = withSets
+      .select(col(idCol), explode(col("shset")).as("h0"))
+      .select(col(idCol), col("h0").cast("long").bitwiseAND(lit(0xffffffffL)).as("h"))
+    val minAggs = (0 until numHashes).map { j =>
+      val a = (mix64(j.toLong * 2 + 1) & 0x7fffffffL) | 1L
+      val b = mix64(j.toLong * 2 + 2) & 0x7fffffffL
+      min(col("h") * lit(a) + lit(b)).as(s"m$j")
+    }
+    val withSig = exploded.groupBy(col(idCol))
+      .agg(minAggs.head, minAggs.tail: _*)
+      .withColumn("sig", array((0 until numHashes).map(j => col(s"m$j")): _*))
+      .select(col(idCol), col("sig"))
     val rowsPerBand = numHashes / bands
     val bandTable = lshBands(withSig, idCol, "sig", bands, rowsPerBand)
 
@@ -206,11 +245,17 @@ object Dedup {
     * random-hyperplane LSH sign-buckets (deterministic hyperplanes from
     * mix64 of (plane, dim)); `planes = 0` disables blocking (exact O(n²),
     * test scale only).
+    *
+    * Scale design: vectors are L2-normalized ONCE up front so the pairwise
+    * step is a single dot-product fold (not dot + two norms), and the
+    * bucket join caps candidate pairs at sum(bucket²) instead of n² —
+    * identical vectors always share every sign bucket, so exact clones are
+    * never missed regardless of `planes`.
     */
   def embeddingNearDups(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, planes: Int = 0): DataFrame = {
-    val base = df.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+    val base = df.select(col(idCol), normalized(col(vecCol)).as("v"))
     val pairs =
       if (planes <= 0) {
         val a = base.select(col(idCol).as("id_a"), col("v").as("va"))
@@ -223,9 +268,18 @@ object Dedup {
         a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
       }
     pairs
-      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .withColumn("cosine",
+        aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
+          lit(0.0d), (acc, v) => acc + v))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
+  }
+
+  /** L2-normalize a numeric array column (zero vector stays zero). */
+  def normalized(v: Column): Column = {
+    val d = v.cast("array<double>")
+    val n = sqrt(aggregate(d, lit(0.0d), (acc, x) => acc + x * x))
+    when(n > 0, transform(d, x => x / n)).otherwise(d)
   }
 
   /** Sign-pattern bucket id from `planes` deterministic pseudo-random

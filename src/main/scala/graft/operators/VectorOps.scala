@@ -128,4 +128,50 @@ object VectorOps {
       .orderBy(col("cosine").desc, col("m_a").asc, col("m_b").asc)
       .limit(k)
       .select("m_a", "m_b", "cosine")
+
+  /** Dense-vector formulation of M3 for LOW-cardinality item spaces: when
+    * items are few (a 30-day window, a fixed code set), the long-form
+    * self-join on item degenerates — every item matches every member, so
+    * the join emits |items| * |members|² / 2 rows. Pivoting to one dense
+    * vector per member and doing blocked pairwise dots emits |members|²/2
+    * rows with an |items|-step fold each: same arithmetic (dot of exact
+    * counts / norm product — bitwise-identical results), far less shuffle.
+    * Items must be pivot-safe values (strings/numerics).
+    */
+  def cosinePairsTopKDense(
+      df: DataFrame, memberCol: String, itemCol: String, valueCol: String,
+      k: Int, items: Seq[Any]): DataFrame = {
+    val vecs = pivotMatrix(df, memberCol, itemCol, valueCol, items)
+    val withNorm = vecs
+      .withColumn("norm",
+        sqrt(aggregate(col("features"), lit(0.0d), (acc, x) => acc + x * x)))
+      .withColumn("norm", when(col("norm") > 0, col("norm")).otherwise(lit(1.0)))
+    val a = withNorm.select(col(memberCol).as("m_a"),
+      col("features").as("fa"), col("norm").as("norm_a"))
+    val b = withNorm.select(col(memberCol).as("m_b"),
+      col("features").as("fb"), col("norm").as("norm_b"))
+    a.crossJoin(b).filter(col("m_a") < col("m_b"))
+      .withColumn("dot",
+        aggregate(zip_with(col("fa"), col("fb"), (x, y) => x * y),
+          lit(0.0d), (acc, v) => acc + v))
+      .withColumn("cosine", col("dot") / (col("norm_a") * col("norm_b")))
+      .orderBy(col("cosine").desc, col("m_a").asc, col("m_b").asc)
+      .limit(k)
+      .select("m_a", "m_b", "cosine")
+  }
+
+  /** Strategy switch for M3: count distinct items once; densify when the
+    * item space is small enough to pivot, stay long-form otherwise.
+    */
+  def cosinePairsTopKAuto(
+      df: DataFrame, memberCol: String, itemCol: String, valueCol: String,
+      k: Int, denseItemLimit: Int = 2048): DataFrame = {
+    val items = df.select(col(itemCol)).distinct()
+      .orderBy(col(itemCol)).limit(denseItemLimit + 1)
+      .collect().map(_.get(0)).toSeq
+    if (items.length <= denseItemLimit)
+      cosinePairsTopKDense(df, memberCol, itemCol, valueCol, k, items)
+    else
+      cosinePairsTopK(df, memberCol, itemCol, valueCol, k)
+  }
 }
