@@ -188,6 +188,69 @@ object OracleSql {
         |                WHEN l_returnflag='R' THEN -1 ELSE 0 END) AS BIGINT) AS score
         |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
 
+    "q23_null_handling" ->
+      """SELECT coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_norm,
+        |  count(*) AS n
+        |FROM orders GROUP BY status_norm ORDER BY status_norm""".stripMargin,
+
+    "q39_intersect_except" ->
+      """SELECT 'with_orders' AS tag, k FROM (
+        |  SELECT c_custkey AS k FROM customer
+        |  INTERSECT SELECT o_custkey AS k FROM orders)
+        |UNION ALL
+        |SELECT 'no_orders' AS tag, k FROM (
+        |  SELECT c_custkey AS k FROM customer
+        |  EXCEPT SELECT o_custkey AS k FROM orders)
+        |ORDER BY tag, k""".stripMargin,
+
+    "q40_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+
+    "q41_prefix_match_join" ->
+      """WITH brands AS (SELECT DISTINCT p_brand AS b FROM part),
+        |pairs AS (
+        |  SELECT p.p_partkey, p.p_brand, br.b
+        |  FROM part p JOIN brands br
+        |    ON starts_with(p.p_brand, br.b) AND br.b <> p.p_brand),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY p_partkey
+        |            ORDER BY length(b) DESC, b) AS rn FROM pairs)
+        |SELECT p_partkey, p_brand, b AS matched_brand
+        |FROM ranked WHERE rn = 1 ORDER BY p_partkey""".stripMargin,
+
+    "q42_regex_tokenize" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(
+        |    regexp_replace(text, '([^a-zA-Z0-9 ])', ' \1 ', 'g'), '\s+'),
+        |    w -> w <> '')) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT)
+        |    AS n_ws_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q44_session_window" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1
+        |         ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |  count(*) AS n_events
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
     "q24_explode_words" ->
       """SELECT doc_id, count(DISTINCT word) AS n_distinct, count(*) AS n_words
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)

@@ -267,6 +267,87 @@ object SparkEntry {
           .otherwise(0)).cast("long").as("score"))
       .orderBy("l_suppkey")
 
+  /** F10 null handling: nullif + coalesce normalization. */
+  private def q23(s: SparkSession, d: String): DataFrame =
+    ord(s, d)
+      .withColumn("status_norm",
+        coalesce(nullif(col("o_orderstatus"), lit("P")), lit("PENDING")))
+      .groupBy("status_norm")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("status_norm")
+
+  /** U-ops on full relations: INTERSECT + EXCEPT with tags. */
+  private def q39(s: SparkSession, d: String): DataFrame = {
+    val custKeys = cust(s, d).select(col("c_custkey").as("k"))
+    val orderCust = ord(s, d).select(col("o_custkey").as("k"))
+    custKeys.intersect(orderCust).withColumn("tag", lit("with_orders"))
+      .unionAll(custKeys.except(orderCust).withColumn("tag", lit("no_orders")))
+      .select("tag", "k")
+      .orderBy("tag", "k")
+  }
+
+  /** Rollup (grouping-set aggregation; beyond-reference coverage). */
+  private def q40(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_qty"), col("n"))
+      .orderBy("rf", "ls")
+
+  /** J14 greedy longest-prefix text-match join: longest OTHER brand that
+    * is a strict prefix of each part's brand, kept via a length-ranked
+    * window (the reference's tisk-lookup fallback shape).
+    */
+  private def q41(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val brands = part(s, d).select(col("p_brand").as("b")).distinct()
+    part(s, d).select("p_partkey", "p_brand")
+      .join(broadcast(brands),
+        col("p_brand").startsWith(col("b")) && col("b") =!= col("p_brand"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("p_partkey"))
+          .orderBy(length(col("b")).desc, col("b").asc)))
+      .filter(col("rn") === 1)
+      .select(col("p_partkey"), col("p_brand"), col("b").as("matched_brand"))
+      .orderBy("p_partkey")
+  }
+
+  /** P9/F-regex: BPE-ish regex tokenization (punctuation isolated). */
+  private def q42(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(
+        col("doc_id"),
+        size(TextAnalysis.tokenizeRegex(col("text"))).cast("long").as("n_bpe_tokens"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_ws_tokens"))
+      .orderBy("doc_id")
+
+  /** A10 scale path: approx_count_distinct (HLL — engine-specific values,
+    * rows-only check).
+    */
+  private def q43(s: SparkSession, d: String): DataFrame =
+    ev(s, d).groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .orderBy("event_type")
+
+  /** §2.12 session windows (30-minute gap) — oracle via gaps-and-islands
+    * SQL, boundary semantics matched (gap >= 30 min starts a new session).
+    */
+  private def q44(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+
   /** §2.9 explode/array ops: distinct-word stats per document. */
   private def q24(s: SparkSession, d: String): DataFrame =
     docs(s, d)
@@ -460,6 +541,7 @@ object SparkEntry {
     "q20_date_trunc_agg" -> (q20(_, _)),
     "q21_search_diacritics" -> (q21(_, _)),
     "q22_code_encoding" -> (q22(_, _)),
+    "q23_null_handling" -> (q23(_, _)),
     "q24_explode_words" -> (q24(_, _)),
     "q25_dedup_exact" -> (q25(_, _)),
     "q26_fingerprint" -> (q26(_, _)),
@@ -475,6 +557,12 @@ object SparkEntry {
     "q36_stream_tumbling" -> (q36(_, _)),
     "q37_fuzzy_join" -> (q37(_, _)),
     "q38_multimodal_meta" -> (q38(_, _)),
+    "q39_intersect_except" -> (q39(_, _)),
+    "q40_rollup" -> (q40(_, _)),
+    "q41_prefix_match_join" -> (q41(_, _)),
+    "q42_regex_tokenize" -> (q42(_, _)),
+    "q43_approx_distinct" -> (q43(_, _)),
+    "q44_session_window" -> (q44(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
