@@ -51,7 +51,9 @@ object EventWindows {
       .writeStream
       .outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.sparkSession.read.parquet(dir).createOrReplaceTempView(viewName)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        // refresh on the OUTER session — foreachBatch runs in a cloned
+        // session whose temp views are invisible to the serving session
+        spark.read.parquet(dir).createOrReplaceTempView(viewName)
       }
 }
