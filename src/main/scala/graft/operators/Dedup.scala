@@ -136,9 +136,14 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.7): DataFrame = {
+    // persist: the shingle-set subtree feeds the signature path AND both
+    // sides of the verify join — without it Spark recomputes the
+    // (interpreted-lambda) shingling three times. ~16 bytes/shingle, so
+    // memory stays ~|corpus tokens| * 8B; spills to disk beyond that.
     val withSets = df.select(
-      col(idCol),
-      shingleHashes(col(textCol), shingleN).as("shset"))
+        col(idCol),
+        shingleHashes(col(textCol), shingleN).as("shset"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // signature via explode + k codegen'd min-aggregates (the array-
     // expression variant in minhashSignature evaluates interpreted
     // higher-order lambdas - fine per-row, slow over a corpus)
@@ -235,9 +240,11 @@ object Dedup {
     * zipped dot product; deterministic left-to-right accumulation).
     */
   def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
-    val na = sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))
-    val nb = sqrt(aggregate(b, lit(0.0d), (acc, v) => acc + v * v))
+    val ad = a.cast("array<double>")
+    val bd = b.cast("array<double>")
+    val dot = graft.plans.GraftFunctions.dotProduct(ad, bd)
+    val na = sqrt(graft.plans.GraftFunctions.dotProduct(ad, ad))
+    val nb = sqrt(graft.plans.GraftFunctions.dotProduct(bd, bd))
     when(na > 0 && nb > 0, dot / (na * nb)).otherwise(lit(0.0d))
   }
 
@@ -269,8 +276,7 @@ object Dedup {
       }
     pairs
       .withColumn("cosine",
-        aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
-          lit(0.0d), (acc, v) => acc + v))
+        graft.plans.GraftFunctions.dotProduct(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
@@ -278,7 +284,7 @@ object Dedup {
   /** L2-normalize a numeric array column (zero vector stays zero). */
   def normalized(v: Column): Column = {
     val d = v.cast("array<double>")
-    val n = sqrt(aggregate(d, lit(0.0d), (acc, x) => acc + x * x))
+    val n = sqrt(graft.plans.GraftFunctions.dotProduct(d, d))
     when(n > 0, transform(d, x => x / n)).otherwise(d)
   }
 
@@ -288,9 +294,7 @@ object Dedup {
     */
   def hyperplaneBucket(v: Column, planes: Int): Column = {
     val bits = (0 until planes).map { p =>
-      val dot = aggregate(
-        zip_with(v, planeVector(p, 64), (x, w) => x * w),
-        lit(0.0d), (acc, x) => acc + x)
+      val dot = graft.plans.GraftFunctions.dotProduct(v, planeVector(p, 64))
       when(dot >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
     bits.reduce((x, y) => x.bitwiseOR(y))

@@ -144,7 +144,7 @@ object VectorOps {
     val vecs = pivotMatrix(df, memberCol, itemCol, valueCol, items)
     val withNorm = vecs
       .withColumn("norm",
-        sqrt(aggregate(col("features"), lit(0.0d), (acc, x) => acc + x * x)))
+        sqrt(graft.plans.GraftFunctions.dotProduct(col("features"), col("features"))))
       .withColumn("norm", when(col("norm") > 0, col("norm")).otherwise(lit(1.0)))
     val a = withNorm.select(col(memberCol).as("m_a"),
       col("features").as("fa"), col("norm").as("norm_a"))
@@ -152,8 +152,7 @@ object VectorOps {
       col("features").as("fb"), col("norm").as("norm_b"))
     a.crossJoin(b).filter(col("m_a") < col("m_b"))
       .withColumn("dot",
-        aggregate(zip_with(col("fa"), col("fb"), (x, y) => x * y),
-          lit(0.0d), (acc, v) => acc + v))
+        graft.plans.GraftFunctions.dotProduct(col("fa"), col("fb")))
       .withColumn("cosine", col("dot") / (col("norm_a") * col("norm_b")))
       .orderBy(col("cosine").desc, col("m_a").asc, col("m_b").asc)
       .limit(k)

@@ -23,6 +23,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[FuzzyRatio].getName, "fuzzy_ratio"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         FuzzyRatio(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotProduct(children(0), children(1))))
   }
 }
 
@@ -33,5 +38,12 @@ object GraftFunctions {
   def ensure(spark: SparkSession): Unit = {
     GraftShim.registerNative(spark, "strip_diacritics", es => NormalizeDiacritics(es.head))
     GraftShim.registerNative(spark, "fuzzy_ratio", es => FuzzyRatio(es(0), es(1)))
+    GraftShim.registerNative(spark, "dot_product", es => DotProduct(es(0), es(1)))
   }
+
+  /** Column-API access to the native dot product (no registration needed). */
+  def dotProduct(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    GraftShim.toColumn(DotProduct(
+      org.apache.spark.sql.GraftShim.expr(a), org.apache.spark.sql.GraftShim.expr(b)))
 }

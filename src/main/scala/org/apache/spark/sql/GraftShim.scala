@@ -12,6 +12,9 @@ object GraftShim {
   /** Wrap a Catalyst expression as a Column (classic, non-Connect sessions). */
   def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
 
+  /** Extract the Catalyst expression backing a Column. */
+  def expr(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
   /** Register (or replace) a session-local native function backed by a raw
     * Catalyst expression builder — unlike `spark.udf.register` the resulting
     * function participates in codegen and constant folding.
