@@ -89,6 +89,34 @@ object Amendments {
       col("schuze").desc, col("bod").desc)
   }
 
+  /** Revote grouping (amendment_service.py:139-165): nest revotes under
+    * the most recent preceding primary with the same letter. A row is
+    * primary iff it is the first of its letter (in vote order) or not a
+    * revote; each revote attaches to the latest primary before it.
+    * The reference's sequential dict loop becomes two window passes.
+    */
+  def groupRevotes(amendments: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val billLetter = Window.partitionBy("schuze", "bod", "letter")
+      .orderBy(col("vote_number").asc)
+    val withPrimary = amendments
+      .withColumn("__rn", row_number().over(billLetter))
+      .withColumn("is_primary", col("__rn") === 1 || !col("is_revote"))
+      .withColumn("attach_to",
+        last(when(col("is_primary"), col("vote_number")), ignoreNulls = true)
+          .over(billLetter.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val revotes = withPrimary.filter(!col("is_primary"))
+      .groupBy(col("schuze"), col("bod"), col("letter"),
+        col("attach_to").as("vote_number"))
+      .agg(sort_array(collect_list(struct(
+        col("vote_number").as("rv_vote_number"), col("id_hlasovani"),
+        col("result")))).as("revotes"))
+    withPrimary.filter(col("is_primary"))
+      .drop("__rn", "is_primary", "attach_to")
+      .join(revotes, Seq("schuze", "bod", "letter", "vote_number"), "left")
+      .withColumn("revotes", coalesce(col("revotes"), array()))
+  }
+
   /** Per-MP votes on one amendment (amendment_service.py:275-339). */
   def amendmentMpVotes(
       mpVotes: DataFrame, mpInfo: DataFrame, idHlasovani: Long): DataFrame =
