@@ -251,6 +251,14 @@ object OracleSql {
         |FROM sess GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
 
+    "q46_json_extract" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  count(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_k,
+        |  CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+        |  CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q24_explode_words" ->
       """SELECT doc_id, count(DISTINCT word) AS n_distinct, count(*) AS n_words
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)

@@ -516,6 +516,32 @@ object SparkEntry {
       .select("doc_id", "n_bytes", "format")
       .orderBy("doc_id")
 
+  /** ANN scale path: IVF cells + nprobe probing (rows-only: engine-
+    * specific centroid assignment).
+    */
+  private def q45(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val query = e.filter(col("vec_id") === 1)
+      .select(col("embedding").cast("array<double>")).collect()(0)
+      .getSeq[Double](0)
+    val cents = Ann.sampleCentroids(e, "vec_id", "embedding", 16)
+    val assigned = Ann.assignCells(e, "embedding", cents)
+    Ann.ivfTopK(assigned, "vec_id", "embedding", cents, query, 10, nprobe = 4)
+      .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** F11 JSON columns: extract typed values from the props JSON string. */
+  private def q46(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(
+        sum(col("k")).cast("long").as("sum_k"),
+        count(col("k")).as("n_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -563,6 +589,8 @@ object SparkEntry {
     "q42_regex_tokenize" -> (q42(_, _)),
     "q43_approx_distinct" -> (q43(_, _)),
     "q44_session_window" -> (q44(_, _)),
+    "q45_ann_ivf" -> (q45(_, _)),
+    "q46_json_extract" -> (q46(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
