@@ -1,0 +1,77 @@
+package graft.plans
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Plan-quality regression tests: these assert the PHYSICAL plan shape —
+  * pushdown reaching the scan, dimension joins broadcasting, top-k
+  * avoiding a full sort — so a refactor that silently degrades the plan
+  * fails CI, not the cluster.
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def executed(df: org.apache.spark.sql.DataFrame): SparkPlan = {
+    df.collect() // force AQE final plan
+    df.queryExecution.executedPlan
+  }
+
+  private def planString(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter + projection push into the parquet scan") {
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_quantity") < 5 && col("l_shipdate") >= "1998-01-01")
+      .select("l_orderkey", "l_quantity")
+    val scan = planString(df)
+    assert(scan.contains("PushedFilters: [IsNotNull(l_quantity)") ||
+      scan.contains("LessThan(l_quantity,5.0)"))
+    // column pruning: only the needed columns + filter columns are read
+    assert(scan.contains("ReadSchema"))
+    assert(!scan.contains("l_extendedprice"))
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not global sort") {
+    val df = graft.operators.Browse.topK(
+      spark.read.parquet(s"$sf/orders.parquet"), 10, col("o_totalprice").desc)
+    assert(planString(df).contains("TakeOrderedAndProject"))
+  }
+
+  test("dimension join broadcasts (no shuffle of the fact side)") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val supp = spark.read.parquet(s"$sf/supplier.parquet")
+    val joined = li.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+    val p = executed(joined).toString
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("strip_diacritics search stays inside whole-stage codegen") {
+    GraftFunctions.ensure(spark)
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(lower(call_function("strip_diacritics", col("l_returnflag"))) === "a")
+    val plan = executed(df)
+    // '*(n)' prefix in simpleString == WholeStageCodegenExec wrapping
+    val hasCodegen = plan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec])
+    assert(hasCodegen)
+    val p = plan.toString
+    // native expression, not a BatchEvalPython/ScalaUDF node
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEval"))
+  }
+
+  test("majority aggregation is partial+final hash aggregate") {
+    val enc = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey").as("vote"), col("l_returnflag").as("code"),
+        col("l_suppkey").as("party"))
+    val maj = graft.operators.Majority.majorityDirection(
+      enc, Seq("vote", "party"), "code", "A", "N")
+    val p = executed(maj).toString
+    assert(p.contains("HashAggregate"))
+    // partial aggregation present (two HashAggregate levels)
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+}
