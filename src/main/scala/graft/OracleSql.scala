@@ -251,6 +251,37 @@ object OracleSql {
         |FROM sess GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
 
+    "q33_ann_bruteforce" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT vec_id,
+        |    list_sum(list_transform(range(1, len(embedding)+1),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+        |        i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1, len(qv)+1),
+        |        i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))) AS c
+        |  FROM embeddings, q)
+        |SELECT vec_id, round(c, 6) AS cosine
+        |FROM scored ORDER BY c DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q47_sliding_window" ->
+      """WITH expanded AS (
+        |  SELECT event_type, CAST(value AS DECIMAL(18,4)) AS v,
+        |    unnest(range(CAST(floor(epoch(ts)/900) AS BIGINT) - 3,
+        |                 CAST(floor(epoch(ts)/900) AS BIGINT) + 1)) * 900 AS ws
+        |  FROM events)
+        |SELECT strftime(make_timestamp(ws * 1000000), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  count(*) AS n,
+        |  CAST(sum(v) AS DOUBLE) AS sum_value
+        |FROM expanded GROUP BY ws ORDER BY ws""".stripMargin,
+
+    "q48_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 5000.0) AS BIGINT) * 5000 AS bucket,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
+
     "q46_json_extract" ->
       """SELECT event_type,
         |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

@@ -542,6 +542,27 @@ object SparkEntry {
         max(col("k")).as("max_k"))
       .orderBy("event_type")
 
+  /** §2.12 sliding windows (1 h / 15 min) with exact aggregates. */
+  private def q47(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(dec)).cast("double").as("sum_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("n"), col("sum_value"))
+      .orderBy("window_start")
+
+  /** Chart-layer distribution: fixed-width histogram binning. */
+  private def q48(s: SparkSession, d: String): DataFrame =
+    ord(s, d)
+      .groupBy((floor(col("o_totalprice") / 5000.0).cast("long") * 5000).as("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(dec)).cast("double").as("sum_price"))
+      .orderBy("bucket")
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -591,6 +612,8 @@ object SparkEntry {
     "q44_session_window" -> (q44(_, _)),
     "q45_ann_ivf" -> (q45(_, _)),
     "q46_json_extract" -> (q46(_, _)),
+    "q47_sliding_window" -> (q47(_, _)),
+    "q48_histogram" -> (q48(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
