@@ -282,6 +282,11 @@ object OracleSql {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
 
+    "q49_salted_join" ->
+      """SELECT l_orderkey, l_linenumber, l_suppkey, s_name
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
     "q46_json_extract" ->
       """SELECT event_type,
         |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

@@ -563,6 +563,19 @@ object SparkEntry {
         sum(col("o_totalprice").cast(dec)).cast("double").as("sum_price"))
       .orderBy("bucket")
 
+  /** Skew-handling salted join — the oracle is the PLAIN join, proving the
+    * salted physical strategy is semantics-preserving.
+    */
+  private def q49(s: SparkSession, d: String): DataFrame =
+    Skew.saltedInnerJoin(
+        li(s, d).select("l_orderkey", "l_linenumber", "l_suppkey"),
+        supp(s, d).select("s_suppkey", "s_name")
+          .withColumnRenamed("s_suppkey", "l_suppkey"),
+        key = "l_suppkey", factor = 8,
+        leftDistinct = Seq("l_orderkey", "l_linenumber"))
+      .select("l_orderkey", "l_linenumber", "l_suppkey", "s_name")
+      .orderBy("l_orderkey", "l_linenumber")
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -614,6 +627,7 @@ object SparkEntry {
     "q46_json_extract" -> (q46(_, _)),
     "q47_sliding_window" -> (q47(_, _)),
     "q48_histogram" -> (q48(_, _)),
+    "q49_salted_join" -> (q49(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

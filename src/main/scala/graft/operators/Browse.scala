@@ -26,6 +26,23 @@ object Browse {
   def page(df: DataFrame, pageNum: Int, perPage: Int, order: Column*): DataFrame =
     df.orderBy(order: _*).offset((pageNum - 1) * perPage).limit(perPage)
 
+  /** Reference-parity paged result (votes_service.py:171-177): count the
+    * filtered relation, clamp the requested page into [1, total_pages],
+    * then slice. Two jobs (count + slice) — the reference pays the same
+    * two passes; cache `df` upstream when serving many pages.
+    */
+  case class PagedResult(
+      rows: DataFrame, total: Long, page: Int, perPage: Int, totalPages: Int)
+
+  def pageClamped(df: DataFrame, pageNum: Int, perPage: Int, order: Column*): PagedResult = {
+    val total = df.count()
+    val totalPages = math.max(1, ((total + perPage - 1) / perPage).toInt)
+    val page = math.max(1, math.min(pageNum, totalPages))
+    PagedResult(
+      df.orderBy(order: _*).offset((page - 1) * perPage).limit(perPage),
+      total, page, perPage, totalPages)
+  }
+
   /** Keep-first-per-key after sort (reference A11: latest club membership
     * per person). Window `row_number` — deterministic given a total order;
     * callers must pass a tiebreak column (the reference's string-date sort
