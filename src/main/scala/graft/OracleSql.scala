@@ -287,6 +287,16 @@ object OracleSql {
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
+    "q50_date_normalize" ->
+      """WITH c AS (SELECT o_orderkey, strftime(o_orderdate, '%-d.%-m.%Y') AS czech_date
+        |           FROM orders)
+        |SELECT o_orderkey, czech_date,
+        |  concat(
+        |    regexp_extract(czech_date, '(\d{1,2})\.\s*(\d{1,2})\.\s*(\d{4})', 3), '-',
+        |    lpad(regexp_extract(czech_date, '(\d{1,2})\.\s*(\d{1,2})\.\s*(\d{4})', 2), 2, '0'), '-',
+        |    lpad(regexp_extract(czech_date, '(\d{1,2})\.\s*(\d{1,2})\.\s*(\d{4})', 1), 2, '0')) AS iso_date
+        |FROM c ORDER BY o_orderkey""".stripMargin,
+
     "q46_json_extract" ->
       """SELECT event_type,
         |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

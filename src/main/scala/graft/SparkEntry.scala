@@ -576,6 +576,23 @@ object SparkEntry {
       .select("l_orderkey", "l_linenumber", "l_suppkey", "s_name")
       .orderBy("l_orderkey", "l_linenumber")
 
+  /** F5 Czech date-string normalization: "d.M.yyyy" (optionally spaced)
+    * re-normalized to ISO via 3-group regex extraction + zero-padding.
+    */
+  private def q50(s: SparkSession, d: String): DataFrame = {
+    val czech = date_format(col("o_orderdate"), "d.M.yyyy")
+    ord(s, d)
+      .select(col("o_orderkey"), czech.as("czech_date"))
+      .withColumn("iso_date",
+        concat(
+          regexp_extract(col("czech_date"), "(\\d{1,2})\\.\\s*(\\d{1,2})\\.\\s*(\\d{4})", 3),
+          lit("-"),
+          lpad(regexp_extract(col("czech_date"), "(\\d{1,2})\\.\\s*(\\d{1,2})\\.\\s*(\\d{4})", 2), 2, "0"),
+          lit("-"),
+          lpad(regexp_extract(col("czech_date"), "(\\d{1,2})\\.\\s*(\\d{1,2})\\.\\s*(\\d{4})", 1), 2, "0")))
+      .orderBy("o_orderkey")
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -628,6 +645,7 @@ object SparkEntry {
     "q47_sliding_window" -> (q47(_, _)),
     "q48_histogram" -> (q48(_, _)),
     "q49_salted_join" -> (q49(_, _)),
+    "q50_date_normalize" -> (q50(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

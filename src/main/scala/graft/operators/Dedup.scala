@@ -168,12 +168,21 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
 
-    val setsA = withSets.select(col(idCol).as("id_a"), col("shset").as("set_a"))
-    val setsB = withSets.select(col(idCol).as("id_b"), col("shset").as("set_b"))
+    // exact-Jaccard verify as codegen hash joins over the exploded
+    // (id, shingle-hash) relation — set intersection via equi-join +
+    // count, set sizes via one aggregation (array_intersect per pair
+    // would re-walk both arrays interpreted)
+    val sizes = exploded.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val ea = exploded.select(col(idCol).as("id_a"), col("h"))
+    val eb = exploded.select(col(idCol).as("id_b"), col("h"))
     candidates
-      .join(setsA, "id_a").join(setsB, "id_b")
-      .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
-      .withColumn("union_", (size(col("set_a")) + size(col("set_b"))).cast("long") - col("inter"))
+      .join(ea, "id_a")
+      .join(eb, Seq("id_b", "h"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("union_", col("sz_a") + col("sz_b") - col("inter"))
       .withColumn("jaccard",
         when(col("union_") > 0, col("inter").cast("double") / col("union_").cast("double"))
           .otherwise(lit(1.0)))

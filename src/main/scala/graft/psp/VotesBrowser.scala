@@ -44,7 +44,32 @@ object VotesBrowser {
     }
     outcome.foreach { o => df = df.filter(col("vysledek") === o) }
     topicKeys.foreach { keys => df = df.join(keys, Seq("schuze", "bod"), "left_semi") }
-    Browse.page(df, page, perPage, col("id_hlasovani").desc)
+    Browse.pageClamped(df, page, perPage, col("id_hlasovani").desc).rows
+  }
+
+  /** listVotes with the full paging envelope (total / clamped page /
+    * total_pages — the reference's response shape).
+    */
+  def listVotesPaged(
+      spark: SparkSession,
+      votes: DataFrame,
+      voidVotes: DataFrame,
+      search: Option[String] = None,
+      outcome: Option[String] = None,
+      topicKeys: Option[DataFrame] = None,
+      page: Int = 1,
+      perPage: Int = 30): Browse.PagedResult = {
+    GraftFunctions.ensure(spark)
+    var df = votes
+      .join(voidVotes, Seq("id_hlasovani"), "left_anti")
+      .withColumn("nazev_dlouhy", coalesce(col("nazev_dlouhy"), lit("")))
+    search.filter(_.nonEmpty).foreach { q =>
+      val needle = graft.functions.TextNorm.normalizeSearch(q)
+      df = df.filter(searchNorm(col("nazev_dlouhy")).contains(needle))
+    }
+    outcome.foreach { o => df = df.filter(col("vysledek") === o) }
+    topicKeys.foreach { keys => df = df.join(keys, Seq("schuze", "bod"), "left_semi") }
+    Browse.pageClamped(df, page, perPage, col("id_hlasovani").desc)
   }
 
   /** Per-party breakdown for one vote (votes_service.py:265-280, A4). */
