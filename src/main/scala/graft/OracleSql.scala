@@ -297,6 +297,23 @@ object OracleSql {
         |    lpad(regexp_extract(czech_date, '(\d{1,2})\.\s*(\d{1,2})\.\s*(\d{4})', 1), 2, '0')) AS iso_date
         |FROM c ORDER BY o_orderkey""".stripMargin,
 
+    "q51_array_contains" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE list_contains(string_split(p_name, ' '), 'small')
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q52_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+        |  round(quantile_cont(l_quantity, 0.9), 6) AS p90,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q54_string_agg" ->
+      """SELECT o_orderpriority,
+        |  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
     "q46_json_extract" ->
       """SELECT event_type,
         |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

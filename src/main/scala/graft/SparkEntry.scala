@@ -593,6 +593,29 @@ object SparkEntry {
       .orderBy("o_orderkey")
   }
 
+  /** §2.9 array membership: array_contains over a split column. */
+  private def q51(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .filter(array_contains(split(col("p_name"), " "), "small"))
+      .select("p_partkey", "p_name")
+      .orderBy("p_partkey")
+
+  /** Exact interpolated percentiles (median + p90) per group. */
+  private def q52(s: SparkSession, d: String): DataFrame =
+    li(s, d).groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+        round(expr("percentile(l_quantity, 0.9)"), 6).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** Ordered string aggregation (distinct statuses per priority). */
+  private def q54(s: SparkSession, d: String): DataFrame =
+    ord(s, d).groupBy("o_orderpriority")
+      .agg(array_join(array_sort(collect_set(col("o_orderstatus"))), ",")
+        .as("statuses"))
+      .orderBy("o_orderpriority")
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -646,6 +669,9 @@ object SparkEntry {
     "q48_histogram" -> (q48(_, _)),
     "q49_salted_join" -> (q49(_, _)),
     "q50_date_normalize" -> (q50(_, _)),
+    "q51_array_contains" -> (q51(_, _)),
+    "q52_percentiles" -> (q52(_, _)),
+    "q54_string_agg" -> (q54(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
