@@ -314,6 +314,25 @@ object OracleSql {
         |  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
+    "q55_asof_join" ->
+      """SELECT c.user_id, c.event_id,
+        |  strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+        |  strftime(s.ts, '%Y-%m-%d %H:%M:%S.%f') AS signup_ts_str
+        |FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
+        |  ON c.user_id = s.user_id AND c.ts >= s.ts
+        |ORDER BY c.user_id, c.event_id""".stripMargin,
+
+    "q56_range_join" ->
+      """WITH months AS (
+        |  SELECT DISTINCT CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT) AS istart
+        |  FROM orders),
+        |ivs AS (SELECT istart, istart + 45*86400 AS iend FROM months),
+        |pts AS (SELECT o_orderkey, CAST(epoch(o_orderdate) AS BIGINT) AS pt FROM orders)
+        |SELECT o_orderkey, pt, istart
+        |FROM pts JOIN ivs ON pt >= istart AND pt < iend
+        |ORDER BY o_orderkey, istart""".stripMargin,
+
     "q46_json_extract" ->
       """SELECT event_type,
         |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

@@ -616,6 +616,39 @@ object SparkEntry {
         .as("statuses"))
       .orderBy("o_orderpriority")
 
+  /** As-of join: latest signup at-or-before each click per user. */
+  private def q55(s: SparkSession, d: String): DataFrame = {
+    val events = ev(s, d)
+    val clicks = events.filter(col("event_type") === "click")
+      .select("user_id", "ts", "event_id")
+    val signups = events.filter(col("event_type") === "signup")
+      .select("user_id", "ts")
+    AsOf.asofBackward(clicks, signups, Seq("user_id"), "ts", "ts",
+        Map("ts" -> "signup_ts"))
+      .select(
+        col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"),
+        date_format(col("signup_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("signup_ts_str"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Binned point-in-interval range join: orders vs 45-day monthly
+    * windows (the oracle is the plain theta join — bin blocking proven
+    * semantics-preserving).
+    */
+  private def q56(s: SparkSession, d: String): DataFrame = {
+    val pts = ord(s, d).select(col("o_orderkey"),
+      unix_timestamp(col("o_orderdate")).as("pt"))
+    val ivs = ord(s, d)
+      .select(date_trunc("month", col("o_orderdate")).as("mstart")).distinct()
+      .select(unix_timestamp(col("mstart")).as("istart"))
+      .withColumn("iend", col("istart") + lit(45L * 86400))
+    RangeJoin.pointInInterval(pts, "pt", ivs, "istart", "iend",
+        binWidth = 45L * 86400)
+      .select("o_orderkey", "pt", "istart")
+      .orderBy("o_orderkey", "istart")
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -672,6 +705,8 @@ object SparkEntry {
     "q51_array_contains" -> (q51(_, _)),
     "q52_percentiles" -> (q52(_, _)),
     "q54_string_agg" -> (q54(_, _)),
+    "q55_asof_join" -> (q55(_, _)),
+    "q56_range_join" -> (q56(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

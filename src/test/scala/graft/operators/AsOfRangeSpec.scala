@@ -1,0 +1,49 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class AsOfRangeSpec extends SparkSpec {
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("asofBackward: latest-at-or-before, inclusive tie, null before first") {
+    val session = spark
+    import session.implicits._
+    val clicks = Seq(
+      (1L, t("2024-01-01 09:00:00"), 100L), // before any signup -> null
+      (1L, t("2024-01-01 10:00:00"), 101L), // exactly at signup A -> A (inclusive)
+      (1L, t("2024-01-01 12:30:00"), 102L), // after signup B -> B
+      (2L, t("2024-01-01 11:00:00"), 200L)) // other user, no signups -> null
+      .toDF("user_id", "ts", "event_id")
+    val signups = Seq(
+      (1L, t("2024-01-01 10:00:00")),
+      (1L, t("2024-01-01 12:00:00")))
+      .toDF("user_id", "ts")
+    val out = AsOf.asofBackward(clicks, signups, Seq("user_id"), "ts", "ts",
+        Map("ts" -> "signup_ts"))
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[Timestamp]("signup_ts"))).toMap
+    assert(out(100L).isEmpty)
+    assert(out(101L).contains(t("2024-01-01 10:00:00")))
+    assert(out(102L).contains(t("2024-01-01 12:00:00")))
+    assert(out(200L).isEmpty)
+  }
+
+  test("binned range join equals the naive theta join") {
+    val session = spark
+    import session.implicits._
+    val pts = (0L until 500L).map(i => (i, i * 13 % 1000)).toDF("id", "pt")
+    val ivs = Seq((0L, 100L), (50L, 260L), (240L, 1000L), (990L, 995L))
+      .toDF("istart", "iend")
+    val naive = pts.join(ivs, col("pt") >= col("istart") && col("pt") < col("iend"))
+      .select("id", "pt", "istart").collect().map(_.toSeq).toSet
+    val binned = RangeJoin.pointInInterval(pts, "pt", ivs, "istart", "iend", 64)
+      .select("id", "pt", "istart").collect().map(_.toSeq).toSet
+    assert(binned == naive)
+    assert(naive.nonEmpty)
+  }
+}
