@@ -333,6 +333,28 @@ object OracleSql {
         |FROM pts JOIN ivs ON pt >= istart AND pt < iend
         |ORDER BY o_orderkey, istart""".stripMargin,
 
+    "q57_minhash_md5" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ts
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(ts) >= 3
+        |      THEN list_transform(range(1, len(ts) - 1),
+        |             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+        |      ELSE [array_to_string(ts, ' ')] END)) AS sh
+        |  FROM toks)
+        |SELECT doc_id,
+        |  min(substr(md5('0:' || sh), 1, 8)) AS sig0,
+        |  min(substr(md5('1:' || sh), 1, 8)) AS sig1,
+        |  min(substr(md5('2:' || sh), 1, 8)) AS sig2,
+        |  min(substr(md5('3:' || sh), 1, 8)) AS sig3,
+        |  min(substr(md5('4:' || sh), 1, 8)) AS sig4,
+        |  min(substr(md5('5:' || sh), 1, 8)) AS sig5,
+        |  min(substr(md5('6:' || sh), 1, 8)) AS sig6,
+        |  min(substr(md5('7:' || sh), 1, 8)) AS sig7
+        |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q46_json_extract" ->
       """SELECT event_type,
         |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

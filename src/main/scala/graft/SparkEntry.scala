@@ -649,6 +649,22 @@ object SparkEntry {
       .orderBy("o_orderkey", "istart")
   }
 
+  /** Oracle-checkable MinHash: md5-keyed "permutations" with signatures
+    * compared as lexicographic hex strings — fully portable SQL, unlike
+    * the xxhash64-based production path (q29).
+    */
+  private def q57(s: SparkSession, d: String): DataFrame = {
+    val shingled = docs(s, d).select(
+      col("doc_id"),
+      explode(array_distinct(Dedup.wordShingles(col("text"), 3))).as("sh"))
+    val sigAggs = (0 until 8).map { j =>
+      min(substring(md5(concat(lit(s"$j:"), col("sh"))), 1, 8)).as(s"sig$j")
+    }
+    shingled.groupBy("doc_id")
+      .agg(sigAggs.head, sigAggs.tail: _*)
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -707,6 +723,7 @@ object SparkEntry {
     "q54_string_agg" -> (q54(_, _)),
     "q55_asof_join" -> (q55(_, _)),
     "q56_range_join" -> (q56(_, _)),
+    "q57_minhash_md5" -> (q57(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
