@@ -85,8 +85,8 @@ object Amendments {
         lower(call_function("strip_diacritics", coalesce(col("nazev"), lit(""))))
           .contains(needle))
     }
-    graft.operators.Browse.page(df, page, perPage,
-      col("schuze").desc, col("bod").desc)
+    graft.operators.Browse.pageClamped(df, page, perPage,
+      col("schuze").desc, col("bod").desc).rows
   }
 
   /** Revote grouping (amendment_service.py:139-165): nest revotes under

@@ -40,7 +40,7 @@ object LawsBrowser {
     topicFilter.filter(_.nonEmpty).foreach { t =>
       df = df.filter(array_contains(col("topics"), t))
     }
-    Browse.page(df, page, perPage, col("ct").desc, col("id_tisk").asc)
+    Browse.pageClamped(df, page, perPage, col("ct").desc, col("id_tisk").asc).rows
   }
 
   /** Distinct topic labels across a period's laws (reference
