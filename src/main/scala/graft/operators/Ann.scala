@@ -71,7 +71,7 @@ object Ann {
       df: DataFrame, idCol: String, vecCol: String, cells: Int): Seq[(Int, Seq[Double])] = {
     val rows = df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .orderBy(col(idCol)).limit(cells).collect()
-    rows.zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }
+    rows.toSeq.zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }
   }
 
   /** IVF query: score only rows in the `nprobe` cells nearest the query. */

@@ -36,7 +36,7 @@ object UnlReader {
       .csv(path)
       .drop("__phantom")
     // trim + cast with null-on-failure (try_cast, matching strict=False)
-    raw.select(schema.fields.map { f =>
+    raw.select(schema.fields.toSeq.map { f =>
       if (f.dataType == StringType) col(f.name)
       else tryCastCol(trim(col(f.name)), f.dataType).as(f.name)
     }: _*)
