@@ -355,6 +355,31 @@ object OracleSql {
         |  min(substr(md5('7:' || sh), 1, 8)) AS sig7
         |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    "q58_tfidf" ->
+      """WITH words AS (
+        |  SELECT doc_id, word AS term
+        |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+        |        FROM documents)
+        |  WHERE word <> ''),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY doc_id, term),
+        |dfq AS (SELECT term, count(DISTINCT doc_id) AS df_cnt FROM tf GROUP BY term),
+        |n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf,
+        |    CAST(tf.tf AS DOUBLE) * ln(n.n / CAST(dfq.df_cnt AS DOUBLE)) AS tfidf
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |            ORDER BY tfidf DESC, term) AS rn FROM scored)
+        |SELECT doc_id, term, tf, round(tfidf, 6) AS tfidf, rn
+        |FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+
+    "q59_stable_split" ->
+      """SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) AS INTEGER) < 3
+        |            THEN 'test' ELSE 'train' END AS split,
+        |  count(*) AS n, min(doc_id) AS min_id
+        |FROM documents GROUP BY split ORDER BY split""".stripMargin,
+
     "q46_json_extract" ->
       """SELECT event_type,
         |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

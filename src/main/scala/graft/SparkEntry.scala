@@ -665,6 +665,22 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** TF-IDF top-3 characteristic terms per document. */
+  private def q58(s: SparkSession, d: String): DataFrame =
+    TfIdf.topTerms(docs(s, d), "doc_id", "text", 3)
+      .select(col("doc_id"), col("term"), col("tf"),
+        round(col("tfidf"), 6).as("tfidf"), col("rn"))
+      .orderBy("doc_id", "rn")
+
+  /** Deterministic content-hash train/test split (reproducible across
+    * engines and partitionings, unlike seeded sample()).
+    */
+  private def q59(s: SparkSession, d: String): DataFrame =
+    Sampling.trainTestSplit(docs(s, d), "doc_id", testBuckets = 3)
+      .groupBy("split")
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
+      .orderBy("split")
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -724,6 +740,8 @@ object SparkEntry {
     "q55_asof_join" -> (q55(_, _)),
     "q56_range_join" -> (q56(_, _)),
     "q57_minhash_md5" -> (q57(_, _)),
+    "q58_tfidf" -> (q58(_, _)),
+    "q59_stable_split" -> (q59(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

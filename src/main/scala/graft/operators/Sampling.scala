@@ -1,0 +1,25 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic content-hash sampling — reproducible train/test splits
+  * that survive re-runs, repartitioning, and engine changes (unlike
+  * seed-based `sample()`, whose output depends on partitioning). Bucket =
+  * first hex nibble of md5(key) → 16 stable buckets.
+  */
+object Sampling {
+
+  def stableBucket(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 1), 16, 10).cast("int")
+
+  /** Keep rows whose bucket < `keepBuckets` (of 16) — e.g. 2 → 12.5 %. */
+  def stableSample(df: DataFrame, keyCol: String, keepBuckets: Int): DataFrame =
+    df.filter(stableBucket(col(keyCol)) < keepBuckets)
+
+  /** Tagged train/test split at a bucket boundary. */
+  def trainTestSplit(df: DataFrame, keyCol: String, testBuckets: Int): DataFrame =
+    df.withColumn("split",
+      when(stableBucket(col(keyCol)) < testBuckets, lit("test"))
+        .otherwise(lit("train")))
+}
