@@ -93,18 +93,25 @@ object Dedup {
     z ^ (z >>> 31)
   }
 
+  /** Prime just above 2^32 for the universal-hash permutations. */
+  private val MersenneP = 4294967311L
+
   /** MinHash signature (k values) from the shingle-hash array — computed as
     * array expressions, one value per permutation:
-    * sig_j = min over shingles of (a_j * u32(h) + b_j), with a_j a 31-bit
-    * odd constant and b_j 31-bit so the product stays inside 63 bits
-    * (ANSI-safe: no long overflow).
+    * sig_j = min over shingles of ((a_j * u32(h) + b_j) mod p), p prime >
+    * 2^32, a_j a 31-bit odd constant, b_j 31-bit. The modulus is what
+    * makes each permutation a genuinely different ordering — a plain
+    * affine map is MONOTONIC in h, so every "permutation" would select
+    * the same global-min shingle and LSH recall collapses to exact-dup
+    * detection only. a*h stays < 2^63 (ANSI-safe).
     */
   def minhashSignature(shingleHashCol: Column, k: Int): Column = {
     val perms = (0 until k).map { j =>
       val a = (mix64(j.toLong * 2 + 1) & 0x7fffffffL) | 1L
       val b = mix64(j.toLong * 2 + 2) & 0x7fffffffL
       array_min(transform(shingleHashCol,
-        h => h.cast("long").bitwiseAND(lit(0xffffffffL)) * lit(a) + lit(b)))
+        h => pmod(h.cast("long").bitwiseAND(lit(0xffffffffL)) * lit(a) + lit(b),
+          lit(MersenneP))))
     }
     array(perms: _*)
   }
@@ -153,7 +160,9 @@ object Dedup {
     val minAggs = (0 until numHashes).map { j =>
       val a = (mix64(j.toLong * 2 + 1) & 0x7fffffffL) | 1L
       val b = mix64(j.toLong * 2 + 2) & 0x7fffffffL
-      min(col("h") * lit(a) + lit(b)).as(s"m$j")
+      // mod-prime, like minhashSignature: without it the affine map is
+      // monotonic and every permutation picks the same argmin shingle
+      min(pmod(col("h") * lit(a) + lit(b), lit(MersenneP))).as(s"m$j")
     }
     val withSig = exploded.groupBy(col(idCol))
       .agg(minAggs.head, minAggs.tail: _*)
