@@ -395,11 +395,12 @@ object OracleSql {
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q25_dedup_exact" ->
-      """SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS keep_id, count(*) AS dup_cnt
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |  min(doc_id) AS keep_id, count(*) AS dup_cnt
         |FROM documents GROUP BY fp ORDER BY fp""".stripMargin,
 
     "q26_fingerprint" ->
-      """SELECT doc_id, md5(lower(trim(text))) AS fp,
+      """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
         |  CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
 

@@ -11,6 +11,11 @@ import org.apache.spark.sql.functions._
   * No point-in-interval explosion, no per-row subquery; cost is a single
   * sort-within-partitions of |left| + |right|.
   *
+  * The carried payload is ONE struct per right row — so a right row whose
+  * payload fields are genuinely NULL still "wins" as the most recent
+  * match (the struct itself is non-null), and multi-column payloads are
+  * never mixed across different right rows.
+  *
   * Tie semantics: a right row at exactly the left row's timestamp MATCHES
   * (inclusive, `right.ts <= left.ts`) — the right row sorts before the
   * left row at equal ts via the tag ordering.
@@ -22,40 +27,43 @@ object AsOf {
     * @param keys      equality keys (e.g. user_id)
     * @param leftTs    event-time column on `left`
     * @param rightTs   event-time column on `right`
-    * @param payload   right-side columns to carry (renamed as given)
+    * @param payload   right-side columns to carry: from-name → out-name
     */
   def asofBackward(
       left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String,
       payload: Map[String, String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    val payloadStruct = struct(
+      payload.map { case (from, to) => col(from).as(to) }.toSeq: _*)
     // 0 = right (sorts first on ts ties -> inclusive), 1 = left
     val taggedRight = right.select(
-      (keys.map(col) :+ col(rightTs).as("__ts") :+ lit(0).as("__tag")) ++
-        payload.map { case (from, to) => col(from).as(s"__p_$to") } : _*)
+      (keys.map(col) :+ col(rightTs).as("__ts") :+ lit(0).as("__tag") :+
+        payloadStruct.as("__p")): _*)
     val taggedLeft = left.select(
-      (keys.map(col) :+ col(leftTs).as("__ts") :+ lit(1).as("__tag")) ++
-        payload.map { case (_, to) => lit(null).as(s"__p_$to") } ++
-        leftCols.filterNot(keys.contains).map(c => col(c).as(s"__l_$c")) : _*)
+      (keys.map(col) :+ col(leftTs).as("__ts") :+ lit(1).as("__tag") :+
+        lit(null).as("__p")) ++
+        leftCols.filterNot(keys.contains).map(c => col(c).as(s"__l_$c")): _*)
     val unioned = taggedRight
-      .select((taggedLeft.columns.map { c =>
+      .select(taggedLeft.columns.toSeq.map { c =>
         if (taggedRight.columns.contains(c)) col(c)
         else lit(null).cast(taggedLeft.schema(c).dataType).as(c)
-      }).toSeq: _*)
-      .unionByName(taggedLeft)
+      }: _*)
+      .unionByName(taggedLeft.withColumn("__p",
+        col("__p").cast(taggedRight.schema("__p").dataType)))
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts").asc, col("__tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.values.foldLeft(unioned) { (df, to) =>
-      df.withColumn(s"__c_$to",
-        last(when(col("__tag") === 0, col(s"__p_$to")), ignoreNulls = true).over(w))
-    }
+    // carry the WHOLE struct of the latest right row (never mixes rows,
+    // and NULL payload fields don't fall through to older rows)
+    val carried = unioned.withColumn("__c",
+      last(when(col("__tag") === 0, col("__p")), ignoreNulls = true).over(w))
     carried.filter(col("__tag") === 1)
       .select(
         keys.map(col) ++
           Seq(col("__ts").as(leftTs)) ++
           leftCols.filterNot(c => keys.contains(c) || c == leftTs)
             .map(c => col(s"__l_$c").as(c)) ++
-          payload.values.map(to => col(s"__c_$to").as(to)) : _*)
+          payload.values.map(to => col("__c").getField(to).as(to)): _*)
   }
 }

@@ -123,6 +123,9 @@ object Dedup {
     */
   def lshBands(df: DataFrame, idCol: String, sigCol: String,
                bands: Int, rowsPerBand: Int): DataFrame = {
+    require(bands > 0 && rowsPerBand > 0,
+      s"bands=$bands rowsPerBand=$rowsPerBand must be positive — a zero-width " +
+        "band hashes an empty slice and every doc collides into one bucket")
     val bandStructs = (0 until bands).map { b =>
       struct(
         lit(b).as("band_id"),
@@ -143,6 +146,8 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.7): DataFrame = {
+    require(numHashes % bands == 0 && bands <= numHashes,
+      s"numHashes=$numHashes must be a positive multiple of bands=$bands")
     // persist: the shingle-set subtree feeds the signature path AND both
     // sides of the verify join — without it Spark recomputes the
     // (interpreted-lambda) shingling three times. ~16 bytes/shingle, so
@@ -199,13 +204,25 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** Exact n-gram Jaccard over a candidate-pair table (or brute-force pairs
-    * at small scale via `allPairs = true` — test/oracle path only).
+  /** EXACT n-gram Jaccard over ALL pairs — O(n²) brute force, the
+    * test/oracle path (no LSH recall loss). Production scale uses
+    * [[minhashNearDups]].
     */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int, threshold: Double): DataFrame =
-    minhashNearDups(df, idCol, textCol, shingleN, threshold = threshold)
+      shingleN: Int, threshold: Double): DataFrame = {
+    val sets = df.select(col(idCol), shingleHashes(col(textCol), shingleN).as("shset"))
+    val a = sets.select(col(idCol).as("id_a"), col("shset").as("set_a"))
+    val b = sets.select(col(idCol).as("id_b"), col("shset").as("set_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
+      .withColumn("union_", (size(col("set_a")) + size(col("set_b"))).cast("long") - col("inter"))
+      .withColumn("jaccard",
+        when(col("union_") > 0, col("inter").cast("double") / col("union_").cast("double"))
+          .otherwise(lit(1.0)))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
 
   // -------------------------------------------------------------- simhash
 
@@ -279,7 +296,7 @@ object Dedup {
     */
   def embeddingNearDups(
       df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, planes: Int = 0): DataFrame = {
+      threshold: Double, planes: Int = 0, dim: Int = 64): DataFrame = {
     val base = df.select(col(idCol), normalized(col(vecCol)).as("v"))
     val pairs =
       if (planes <= 0) {
@@ -287,7 +304,7 @@ object Dedup {
         val b = base.select(col(idCol).as("id_b"), col("v").as("vb"))
         a.crossJoin(b).filter(col("id_a") < col("id_b"))
       } else {
-        val bucketed = base.withColumn("bucket", hyperplaneBucket(col("v"), planes))
+        val bucketed = base.withColumn("bucket", hyperplaneBucket(col("v"), planes, dim))
         val a = bucketed.select(col(idCol).as("id_a"), col("v").as("va"), col("bucket"))
         val b = bucketed.select(col(idCol).as("id_b"), col("v").as("vb"), col("bucket"))
         a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
@@ -310,9 +327,11 @@ object Dedup {
     * hyperplanes: bit p = sign of dot(v, plane_p), plane_p[d] in [-1,1)
     * derived from mix64(p*8191+d).
     */
-  def hyperplaneBucket(v: Column, planes: Int): Column = {
+  def hyperplaneBucket(v: Column, planes: Int, dim: Int = 64): Column = {
     val bits = (0 until planes).map { p =>
-      val dot = graft.plans.GraftFunctions.dotProduct(v, planeVector(p, 64))
+      // dim MUST cover the vector length — dotProduct truncates to the
+      // shorter side, so an undersized plane would bucket on a prefix
+      val dot = graft.plans.GraftFunctions.dotProduct(v, planeVector(p, dim))
       when(dot >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
     bits.reduce((x, y) => x.bitwiseOR(y))

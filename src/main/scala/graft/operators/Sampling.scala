@@ -10,8 +10,12 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** NULL keys bucket as the empty string — consistently kept/split
+    * rather than silently dropped by a null comparison.
+    */
   def stableBucket(key: Column): Column =
-    conv(substring(md5(key.cast("string")), 1, 1), 16, 10).cast("int")
+    conv(substring(md5(coalesce(key.cast("string"), lit(""))), 1, 1), 16, 10)
+      .cast("int")
 
   /** Keep rows whose bucket < `keepBuckets` (of 16) — e.g. 2 → 12.5 %. */
   def stableSample(df: DataFrame, keyCol: String, keepBuckets: Int): DataFrame =

@@ -61,24 +61,34 @@ object TextAnalysis {
           size(filter(toks, w => w.isInCollection(words))).cast("double") / nTok)
           .otherwise(lit(0.0)))
     }
+    // linear argmax: greatest over (score, -index) structs — a fold that
+    // re-nests the running best would grow the expression tree 2^|langs|
     val langs = wordlists.keys.toSeq.sorted
-    val best = langs.foldLeft((lit("und"), lit(-1.0))) { case ((bl, bs), lang) =>
-      val s = col(s"score_$lang")
-      (when(s > bs, lit(lang)).otherwise(bl), when(s > bs, s).otherwise(bs))
+    val bestStruct =
+      if (langs.size == 1) struct(col(s"score_${langs.head}").as("s"), lit(0).as("negIdx"))
+      else greatest(langs.zipWithIndex.map { case (lang, i) =>
+        struct(col(s"score_$lang").as("s"), lit(-i).as("negIdx"))
+      }: _*)
+    val predFromIdx = langs.zipWithIndex.foldLeft(lit(langs.head)) {
+      case (acc, (lang, i)) =>
+        when(bestStruct.getField("negIdx") === -i, lit(lang)).otherwise(acc)
     }
-    scored.withColumn("pred_lang", best._1)
+    scored.withColumn("pred_lang", predFromIdx)
   }
 
-  /** Content fingerprint: md5 of case/whitespace-normalized text — the
-    * exact-dedup key.
+  /** Content fingerprint: md5 of case/whitespace-normalized text (runs
+    * of whitespace collapse to one space) — the exact-dedup key.
     */
-  def fingerprint(text: Column): Column = md5(lower(trim(text)))
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
-  /** Deterministic 64-bit rolling (polynomial) hash of the token stream —
-    * document fingerprinting robust to whitespace layout. Computed with
-    * `aggregate` over the token array: h = h*31 + xxhash64(token), in Long
-    * arithmetic (wrapping).
+  /** Deterministic 48-bit rolling (polynomial) hash of the token stream —
+    * document fingerprinting robust to whitespace layout:
+    * h = (h*31 + u32(xxhash64(token))) masked to 48 bits each step, so
+    * the arithmetic never overflows a long (ANSI mode throws on wrap).
     */
   def rollingHash(text: Column): Column =
-    aggregate(tokens(text), lit(0L), (acc, w) => acc * lit(31L) + xxhash64(w))
+    aggregate(tokens(text), lit(0L), (acc, w) =>
+      (acc * lit(31L) + xxhash64(w).bitwiseAND(lit(0xffffffffL)))
+        .bitwiseAND(lit(0xffffffffffffL)))
 }

@@ -136,7 +136,9 @@ object VectorOps {
     * vector per member and doing blocked pairwise dots emits |members|²/2
     * rows with an |items|-step fold each: same arithmetic (dot of exact
     * counts / norm product — bitwise-identical results), far less shuffle.
-    * Items must be pivot-safe values (strings/numerics).
+    * Items must be pivot-safe values (strings/numerics) and (member, item)
+    * must be unique (pivot takes first(); cosinePairsTopKAuto
+    * canonicalizes by summing before dispatching here).
     */
   def cosinePairsTopKDense(
       df: DataFrame, memberCol: String, itemCol: String, valueCol: String,
@@ -165,12 +167,17 @@ object VectorOps {
   def cosinePairsTopKAuto(
       df: DataFrame, memberCol: String, itemCol: String, valueCol: String,
       k: Int, denseItemLimit: Int = 2048): DataFrame = {
-    val items = df.select(col(itemCol)).distinct()
+    // canonicalize duplicate (member, item) rows by summing FIRST — the
+    // long path sums duplicates while pivot-first() would pick one
+    // arbitrarily, so without this the two branches could disagree
+    val canon = df.groupBy(col(memberCol), col(itemCol))
+      .agg(sum(col(valueCol)).as(valueCol))
+    val items = canon.select(col(itemCol)).distinct()
       .orderBy(col(itemCol)).limit(denseItemLimit + 1)
       .collect().map(_.get(0)).toSeq
     if (items.length <= denseItemLimit)
-      cosinePairsTopKDense(df, memberCol, itemCol, valueCol, k, items)
+      cosinePairsTopKDense(canon, memberCol, itemCol, valueCol, k, items)
     else
-      cosinePairsTopK(df, memberCol, itemCol, valueCol, k)
+      cosinePairsTopK(canon, memberCol, itemCol, valueCol, k)
   }
 }

@@ -33,6 +33,21 @@ class AsOfRangeSpec extends SparkSpec {
     assert(out(200L).isEmpty)
   }
 
+  test("asofBackward carries the whole latest row — NULL payload fields do " +
+      "not fall through to older rows, multi-column payloads never mix") {
+    val session = spark
+    import session.implicits._
+    val right = Seq(
+      (1L, t("2024-01-01 01:00:00"), Some(10.0), Some(1L)),
+      (1L, t("2024-01-01 02:00:00"), None, Some(5L)))
+      .toDF("k", "ts", "price", "qty")
+    val left = Seq((1L, t("2024-01-01 03:00:00"), 99L)).toDF("k", "ts", "ev")
+    val out = AsOf.asofBackward(left, right, Seq("k"), "ts", "ts",
+      Map("price" -> "price", "qty" -> "qty")).collect()(0)
+    assert(out.isNullAt(out.fieldIndex("price"))) // t=2's real NULL, not t=1's 10.0
+    assert(out.getAs[Long]("qty") == 5L)
+  }
+
   test("binned range join equals the naive theta join") {
     val session = spark
     import session.implicits._
