@@ -80,10 +80,10 @@ object Amendments {
     var df = bills.join(tiskLookup.select("schuze", "bod", "nazev"),
       Seq("schuze", "bod"), "left")
     search.filter(_.nonEmpty).foreach { q =>
-      val needle = graft.functions.TextNorm.normalizeSearch(q)
-      df = df.filter(
-        lower(call_function("strip_diacritics", coalesce(col("nazev"), lit(""))))
-          .contains(needle))
+      // reference parity: plain lowercase substring, no diacritic strip
+      // (amendment_service.py:98-100)
+      df = df.filter(lower(coalesce(col("nazev"), lit("")))
+        .contains(q.toLowerCase(java.util.Locale.ROOT)))
     }
     graft.operators.Browse.pageClamped(df, page, perPage,
       col("schuze").desc, col("bod").desc).rows
@@ -101,7 +101,11 @@ object Amendments {
       .orderBy(col("vote_number").asc)
     val withPrimary = amendments
       .withColumn("__rn", row_number().over(billLetter))
-      .withColumn("is_primary", col("__rn") === 1 || !col("is_revote"))
+      // reference nests only under a TRUTHY letter (amendment_service.py:
+      // 154-163): letterless revotes are always top-level
+      .withColumn("is_primary",
+        col("__rn") === 1 || !col("is_revote") ||
+          col("letter").isNull || col("letter") === "")
       .withColumn("attach_to",
         last(when(col("is_primary"), col("vote_number")), ignoreNulls = true)
           .over(billLetter.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

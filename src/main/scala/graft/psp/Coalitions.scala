@@ -20,6 +20,15 @@ object Coalitions {
       .filter(col("vysledek").isin(VoteResult.Yes, VoteResult.No))
       .join(broadcast(mpInfo.select("id_poslanec", "party")), Seq("id_poslanec"), "inner")
 
+  // reference parity quirk: the amendment party-agreement path does NOT
+  // exclude void votes (coalition_service.py:39-48), unlike rebels and
+  // cohesion which do
+  private def activeWithPartyNoVoidFilter(
+      mpVotes: DataFrame, mpInfo: DataFrame): DataFrame =
+    mpVotes
+      .filter(col("vysledek").isin(VoteResult.Yes, VoteResult.No))
+      .join(broadcast(mpInfo.select("id_poslanec", "party")), Seq("id_poslanec"), "inner")
+
   /** Pairwise party agreement on amendment votes
     * (coalition_service.py:30-90): majority per (vote, party) restricted
     * to amendment votes, then self-join + triangular dedup.
@@ -28,7 +37,7 @@ object Coalitions {
   def partyAgreement(
       mpVotes: DataFrame, voidVotes: DataFrame, mpInfo: DataFrame,
       amendVoteIds: DataFrame): DataFrame = {
-    val active = activeWithParty(mpVotes, voidVotes, mpInfo)
+    val active = activeWithPartyNoVoidFilter(mpVotes, mpInfo)
       .join(broadcast(amendVoteIds), Seq("id_hlasovani"), "left_semi")
     val maj = Majority.majorityDirection(
       active, Seq("id_hlasovani", "party"), "vysledek", VoteResult.Yes, VoteResult.No)
@@ -44,10 +53,17 @@ object Coalitions {
     */
   def amendmentRebels(
       mpVotes: DataFrame, voidVotes: DataFrame, mpInfo: DataFrame,
-      amendVoteIds: DataFrame, topN: Int = 20): DataFrame = {
-    val active = activeWithParty(mpVotes, voidVotes, mpInfo)
-    val withDir = Majority.withRebellion(
-        active, Seq("id_hlasovani", "party"), "vysledek", VoteResult.Yes, VoteResult.No)
+      amendVoteIds: DataFrame, topN: Int = 20): DataFrame =
+    rebelsFrom(
+      Majority.withRebellion(
+        activeWithParty(mpVotes, voidVotes, mpInfo),
+        Seq("id_hlasovani", "party"), "vysledek", VoteResult.Yes, VoteResult.No),
+      mpInfo, amendVoteIds, topN)
+
+  private def rebelsFrom(
+      withRebellion: DataFrame, mpInfo: DataFrame,
+      amendVoteIds: DataFrame, topN: Int): DataFrame = {
+    val withDir = withRebellion
       .join(broadcast(amendVoteIds.select(col("id_hlasovani"), lit(1).as("__amend"))),
         Seq("id_hlasovani"), "left")
       .withColumn("is_amendment", col("__amend").isNotNull)
@@ -78,16 +94,40 @@ object Coalitions {
         "amend_rebellion_pct", "rebellion_diff")
   }
 
+  /** All three coalition outputs with the shared rebellion relation
+    * computed once (rebels and cohesion both consume
+    * withRebellion(active) — separately they shuffle the fact table
+    * twice for the same intermediate).
+    */
+  def all(
+      mpVotes: DataFrame, voidVotes: DataFrame, mpInfo: DataFrame,
+      amendVoteIds: DataFrame, topRebels: Int = 20)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val active = activeWithParty(mpVotes, voidVotes, mpInfo)
+    val withDir = Majority.withRebellion(
+        active, Seq("id_hlasovani", "party"), "vysledek", VoteResult.Yes, VoteResult.No)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (partyAgreement(mpVotes, voidVotes, mpInfo, amendVoteIds),
+      rebelsFrom(withDir, mpInfo, amendVoteIds, topRebels),
+      cohesionFrom(withDir, amendVoteIds))
+  }
+
   /** Per-party cohesion (coalition_service.py:208-290): mean
     * with-majority share overall and on amendment votes (conditional mean
     * — Spark avg ignores nulls, matching Polars).
     */
   def partyCohesion(
       mpVotes: DataFrame, voidVotes: DataFrame, mpInfo: DataFrame,
-      amendVoteIds: DataFrame): DataFrame = {
-    val active = activeWithParty(mpVotes, voidVotes, mpInfo)
-    val withDir = Majority.withRebellion(
-        active, Seq("id_hlasovani", "party"), "vysledek", VoteResult.Yes, VoteResult.No)
+      amendVoteIds: DataFrame): DataFrame =
+    cohesionFrom(
+      Majority.withRebellion(
+        activeWithParty(mpVotes, voidVotes, mpInfo),
+        Seq("id_hlasovani", "party"), "vysledek", VoteResult.Yes, VoteResult.No),
+      amendVoteIds)
+
+  private def cohesionFrom(
+      withRebellion: DataFrame, amendVoteIds: DataFrame): DataFrame = {
+    val withDir = withRebellion
       .withColumn("with_majority", (col("is_rebellion") === 0).cast("double"))
       .join(broadcast(amendVoteIds.select(col("id_hlasovani"), lit(1).as("__amend"))),
         Seq("id_hlasovani"), "left")

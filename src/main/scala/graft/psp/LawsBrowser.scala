@@ -30,8 +30,8 @@ object LawsBrowser {
       perPage: Int = 20): DataFrame = {
     var df = dedupeLaws(laws)
     search.filter(_.nonEmpty).foreach { q =>
-      // reference parity: plain lowercase substring (no diacritic strip
-      // here — law search is the one place the reference doesn't strip)
+      // reference parity: plain lowercase substring (law and amendment
+      // browsers don't diacritic-strip; only vote search does)
       df = df.filter(lower(col("nazev")).contains(q.toLowerCase(java.util.Locale.ROOT)))
     }
     statusFilter.filter(s => s.nonEmpty && s != "all").foreach { st =>

@@ -46,7 +46,14 @@ object PeriodLoader {
     val member = read("poslanci", "zarazeni.unl", PspSchemas.zarazeni)
     val votes = read(s"hl-$period", "hl*s.unl", PspSchemas.hlHlasovani)
     val mpVotes = read(s"hl-$period", "hl*h*.unl", PspSchemas.hlPoslanec)
-    val voids = read(s"hl-$period", "zmatecne.unl", PspSchemas.zmatecne)
+    // new periods may not have a void file yet - the reference substitutes
+    // an empty frame (data_reader.py:314-327)
+    val voids =
+      if (java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$root/hl-$period/zmatecne.unl")))
+        read(s"hl-$period", "zmatecne.unl", PspSchemas.zmatecne)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], PspSchemas.zmatecne)
     val sessions = read("schuze", "schuze.unl", PspSchemas.schuze)
     val bods = read("schuze", "bod_schuze.unl", PspSchemas.bodSchuze)
     val tisky = read("tisky", "tisky.unl", PspSchemas.tisky)
@@ -91,18 +98,17 @@ class Analyzer(val data: PeriodData) {
 
   def coalitions(amendVoteIds: DataFrame, topRebels: Int = 20)
       : (DataFrame, DataFrame, DataFrame) =
-    (Coalitions.partyAgreement(data.mpVotes, data.voidVotes, data.mpInfo, amendVoteIds),
-      Coalitions.amendmentRebels(data.mpVotes, data.voidVotes, data.mpInfo,
-        amendVoteIds, topRebels),
-      Coalitions.partyCohesion(data.mpVotes, data.voidVotes, data.mpInfo, amendVoteIds))
+    Coalitions.all(data.mpVotes, data.voidVotes, data.mpInfo, amendVoteIds, topRebels)
 
   /** Period stats (reference `tisk_models.py:119-141`). */
   def periodStats(): DataFrame = {
     import org.apache.spark.sql.functions._
+    // real psp.cz dates are "18.12.2021"; try_to_date = the reference's
+    // strict=False (bad rows -> null, never an ANSI throw)
     val voteStats = data.votes.agg(
       count(lit(1)).as("n_votes"),
-      min(to_date(col("datum"), "yyyy-MM-dd")).as("first_date"),
-      max(to_date(col("datum"), "yyyy-MM-dd")).as("last_date"))
+      min(try_to_timestamp(col("datum"), lit("d.M.yyyy")).cast("date")).as("first_date"),
+      max(try_to_timestamp(col("datum"), lit("d.M.yyyy")).cast("date")).as("last_date"))
     val mpStats = data.mpVotes.agg(count(lit(1)).as("n_mp_records"))
     val mpCount = data.mpInfo.agg(count(lit(1)).as("n_mps"))
     voteStats.crossJoin(mpStats).crossJoin(mpCount)

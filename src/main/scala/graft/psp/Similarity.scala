@@ -19,14 +19,14 @@ import graft.operators.VectorOps
 object Similarity {
 
   /** Long-form encoded votes: (id_poslanec, id_hlasovani, v ∈ {1,-1,0}),
-    * void votes excluded, joined to mp_info (inner — matching the
-    * reference's pivot input).
+    * void votes excluded. NO mp_info join here — the reference pivots ALL
+    * mp_votes rows and attaches names/parties afterwards (left join,
+    * missing party → "N/A"); an inner join would silently drop MPs absent
+    * from the period's mandate table and shift PCA column means.
     */
-  def encodedVotes(mpVotes: DataFrame, voidVotes: DataFrame, mpInfo: DataFrame): DataFrame =
+  def encodedVotes(mpVotes: DataFrame, voidVotes: DataFrame): DataFrame =
     mpVotes
       .join(voidVotes, Seq("id_hlasovani"), "left_anti")
-      .join(broadcast(mpInfo.select("id_poslanec", "jmeno", "prijmeni", "party")),
-        Seq("id_poslanec"), "inner")
       .withColumn("v",
         when(col("vysledek") === VoteResult.Yes, 1.0)
           .when(col("vysledek") === VoteResult.No, -1.0)
@@ -36,7 +36,7 @@ object Similarity {
     * are arbitrary (SVD) — compare sign-invariantly.
     */
   def computePcaCoords(mpVotes: DataFrame, voidVotes: DataFrame, mpInfo: DataFrame): DataFrame = {
-    val enc = encodedVotes(mpVotes, voidVotes, mpInfo)
+    val enc = encodedVotes(mpVotes, voidVotes)
     val items = enc.select("id_hlasovani").distinct()
       .orderBy("id_hlasovani").collect().map(_.getLong(0)).toSeq
     val matrix = VectorOps.pivotMatrix(
@@ -44,7 +44,7 @@ object Similarity {
     VectorOps.pca2(matrix, "id_poslanec", "features")
       .join(broadcast(mpInfo), Seq("id_poslanec"), "left")
       .select(
-        concat_ws(" ", col("jmeno"), col("prijmeni")).as("mp_name"),
+        coalesce(concat_ws(" ", col("jmeno"), col("prijmeni")), lit("")).as("mp_name"),
         coalesce(col("party"), lit("N/A")).as("party"),
         col("pc1").as("x"), col("pc2").as("y"))
   }
@@ -55,7 +55,7 @@ object Similarity {
   def crossPartySimilarity(
       mpVotes: DataFrame, voidVotes: DataFrame, mpInfo: DataFrame,
       top: Int = 20): DataFrame = {
-    val enc = encodedVotes(mpVotes, voidVotes, mpInfo)
+    val enc = encodedVotes(mpVotes, voidVotes)
       .select(col("id_poslanec"), col("id_hlasovani"), col("v"))
       // zero entries contribute nothing to dots or norms - drop them to
       // shrink the self-join (the reference's dense matrix keeps them;

@@ -7,45 +7,14 @@ import graft.operators.{Browse, Profiles}
 import graft.plans.GraftFunctions
 
 /** Vote browser queries (reference `services/votes_service.py`):
-  * diacritic-insensitive search (P7), outcome filter, topic semi-join
-  * (J9), deterministic pagination (O3), per-vote detail with party
-  * breakdown (A4).
+  * diacritic-insensitive search (P7) over BOTH name columns, outcome
+  * filter, topic semi-join (J9), deterministic clamped pagination (O3),
+  * per-vote detail with party breakdown (A4).
   */
 object VotesBrowser {
 
-  /** Outcome code → label (votes_service.py:15-29). */
-  val outcomeLabels: Map[String, String] = Map(
-    VoteOutcome.Passed -> "passed", VoteOutcome.Rejected -> "rejected",
-    VoteOutcome.InvalidX -> "invalid", VoteOutcome.InvalidQ -> "invalid",
-    VoteOutcome.InvalidK -> "invalid")
-
   private def searchNorm(c: Column): Column =
     lower(call_function("strip_diacritics", c))
-
-  /** Paged vote listing. `topicKeys` (optional) is a small
-    * (schuze, bod) allowlist DataFrame — semi-joined (J9).
-    */
-  def listVotes(
-      spark: SparkSession,
-      votes: DataFrame,
-      voidVotes: DataFrame,
-      search: Option[String] = None,
-      outcome: Option[String] = None,
-      topicKeys: Option[DataFrame] = None,
-      page: Int = 1,
-      perPage: Int = 30): DataFrame = {
-    GraftFunctions.ensure(spark)
-    var df = votes
-      .join(voidVotes, Seq("id_hlasovani"), "left_anti")
-      .withColumn("nazev_dlouhy", coalesce(col("nazev_dlouhy"), lit("")))
-    search.filter(_.nonEmpty).foreach { q =>
-      val needle = graft.functions.TextNorm.normalizeSearch(q)
-      df = df.filter(searchNorm(col("nazev_dlouhy")).contains(needle))
-    }
-    outcome.foreach { o => df = df.filter(col("vysledek") === o) }
-    topicKeys.foreach { keys => df = df.join(keys, Seq("schuze", "bod"), "left_semi") }
-    Browse.pageClamped(df, page, perPage, col("id_hlasovani").desc).rows
-  }
 
   /** listVotes with the full paging envelope (total / clamped page /
     * total_pages — the reference's response shape).
@@ -63,14 +32,32 @@ object VotesBrowser {
     var df = votes
       .join(voidVotes, Seq("id_hlasovani"), "left_anti")
       .withColumn("nazev_dlouhy", coalesce(col("nazev_dlouhy"), lit("")))
+      .withColumn("nazev_kratky", coalesce(col("nazev_kratky"), lit("")))
     search.filter(_.nonEmpty).foreach { q =>
+      // reference matches the normalized needle against long OR short name
+      // (votes_service.py:101-112)
       val needle = graft.functions.TextNorm.normalizeSearch(q)
-      df = df.filter(searchNorm(col("nazev_dlouhy")).contains(needle))
+      df = df.filter(
+        searchNorm(col("nazev_dlouhy")).contains(needle) ||
+          searchNorm(col("nazev_kratky")).contains(needle))
     }
     outcome.foreach { o => df = df.filter(col("vysledek") === o) }
     topicKeys.foreach { keys => df = df.join(keys, Seq("schuze", "bod"), "left_semi") }
     Browse.pageClamped(df, page, perPage, col("id_hlasovani").desc)
   }
+
+  /** Paged vote listing (rows only — see [[listVotesPaged]] for totals). */
+  def listVotes(
+      spark: SparkSession,
+      votes: DataFrame,
+      voidVotes: DataFrame,
+      search: Option[String] = None,
+      outcome: Option[String] = None,
+      topicKeys: Option[DataFrame] = None,
+      page: Int = 1,
+      perPage: Int = 30): DataFrame =
+    listVotesPaged(spark, votes, voidVotes, search, outcome, topicKeys,
+      page, perPage).rows
 
   /** Per-party breakdown for one vote (votes_service.py:265-280, A4). */
   def partyBreakdown(mpVotes: DataFrame, mpInfo: DataFrame, voteId: Long): DataFrame =
