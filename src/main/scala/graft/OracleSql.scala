@@ -438,7 +438,9 @@ object OracleSql {
          |  s_en AS score_en
          |FROM sc ORDER BY doc_id""".stripMargin,
 
-    "q31_minhash_lsh_pairs" ->
+    // exact prefix-filtered Jaccard join (the LSH variant q31 is rows-only
+    // — probabilistic recall near the threshold must not gate correctness)
+    "q60_jaccard_prefix_pairs" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents),
@@ -466,7 +468,8 @@ object OracleSql {
         |WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.7
         |ORDER BY id_a, id_b""".stripMargin,
 
-    "q32_embedding_neardups" ->
+    // exact grid-blocked cosine join (LSH variant q32 is rows-only)
+    "q61_cosine_grid_pairs" ->
       """WITH corpus AS (
         |  SELECT vec_id, embedding FROM embeddings
         |  UNION ALL SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings),

@@ -411,8 +411,11 @@ object SparkEntry {
       .orderBy("doc_id")
 
   /** MinHash-LSH near-duplicate pairs over a corpus with planted exact
-    * duplicates (docs ∪ re-keyed copy) — every doc must pair with its
-    * clone at jaccard 1.0; oracle computes exact shingle-set jaccard.
+    * duplicates (docs ∪ re-keyed copy). Rows-only check: LSH recall is
+    * probabilistic near the threshold (~11% miss at j=0.7 for 8 bands ×
+    * 4 rows), so an exact oracle would only pass while the corpus happens
+    * to have no near-threshold pairs — the EXACT operator with the same
+    * output contract is q60 (prefix-filtered, perfect recall).
     */
   private def q31(s: SparkSession, d: String): DataFrame = {
     val base = docs(s, d).select("doc_id", "text")
@@ -424,7 +427,11 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
   }
 
-  /** Embedding near-dup pairs (cosine ≥ 0.99) over corpus ∪ clone. */
+  /** Embedding near-dup pairs (cosine ≥ 0.99) over corpus ∪ clone via
+    * hyperplane LSH. Rows-only check, same reasoning as q31 (~17% miss
+    * near cosine 0.99 with 4 planes) — the exact-recall operator with
+    * this output contract is q61 (coordinate-grid blocked).
+    */
   private def q32(s: SparkSession, d: String): DataFrame = {
     val base = emb(s, d).select("vec_id", "embedding")
     val cloned = base.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
@@ -681,6 +688,32 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
       .orderBy("split")
 
+  /** EXACT Jaccard near-dup pairs via prefix filtering (AllPairs/PPJoin
+    * family) — perfect recall at the threshold, so unlike the LSH path
+    * (q31) its output is oracle-checkable against brute-force all-pairs.
+    */
+  private def q60(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select("doc_id", "text")
+    val cloned = base.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    Dedup.prefixJaccardPairs(
+        base.unionAll(cloned), "doc_id", "text", shingleN = 3, threshold = 0.7)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** EXACT cosine near-dup pairs via coordinate-grid blocking — perfect
+    * recall (qualifying pairs provably land in adjacent cells), oracle-
+    * checkable against brute-force all-pairs, unlike hyperplane LSH (q32).
+    */
+  private def q61(s: SparkSession, d: String): DataFrame = {
+    val base = emb(s, d).select("vec_id", "embedding")
+    val cloned = base.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    Dedup.gridNearDups(
+        base.unionAll(cloned), "vec_id", "embedding", threshold = 0.99, dims = 3)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+      .orderBy("id_a", "id_b")
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -742,6 +775,8 @@ object SparkEntry {
     "q57_minhash_md5" -> (q57(_, _)),
     "q58_tfidf" -> (q58(_, _)),
     "q59_stable_split" -> (q59(_, _)),
+    "q60_jaccard_prefix_pairs" -> (q60(_, _)),
+    "q61_cosine_grid_pairs" -> (q61(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -33,6 +33,11 @@ object AsOf {
       left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String,
       payload: Map[String, String]): DataFrame = {
+    val reserved = (left.columns ++ right.columns)
+      .filter(c => c.startsWith("__"))
+    require(reserved.isEmpty,
+      s"asofBackward reserves __-prefixed column names internally; " +
+        s"rename input columns: ${reserved.mkString(", ")}")
     val leftCols = left.columns.toSeq
     val payloadStruct = struct(
       payload.map { case (from, to) => col(from).as(to) }.toSeq: _*)
@@ -51,8 +56,13 @@ object AsOf {
       }: _*)
       .unionByName(taggedLeft.withColumn("__p",
         col("__p").cast(taggedRight.schema("__p").dataType)))
+    // __p as the final sort key: when several right rows share (keys, ts)
+    // the carried payload is the struct-wise MAX of the tied payloads —
+    // deterministic under any partitioning (without it, `last` picks
+    // whichever tied row the shuffle happened to order last). The __tag
+    // key still dominates, so left-vs-right ordering is unchanged.
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts").asc, col("__tag").asc)
+      .orderBy(col("__ts").asc, col("__tag").asc, col("__p").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // carry the WHOLE struct of the latest right row (never mixes rows,
     // and NULL payload fields don't fall through to older rows)

@@ -152,10 +152,11 @@ object Dedup {
     // sides of the verify join — without it Spark recomputes the
     // (interpreted-lambda) shingling three times. ~16 bytes/shingle, so
     // memory stays ~|corpus tokens| * 8B; spills to disk beyond that.
-    val withSets = df.select(
-        col(idCol),
-        shingleHashes(col(textCol), shingleN).as("shset"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withSets = CacheRegistry.track(
+      df.select(
+          col(idCol),
+          shingleHashes(col(textCol), shingleN).as("shset"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // signature via explode + k codegen'd min-aggregates (the array-
     // expression variant in minhashSignature evaluates interpreted
     // higher-order lambdas - fine per-row, slow over a corpus)
@@ -204,9 +205,113 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** EXACT Jaccard near-dup pairs via prefix filtering (the AllPairs/
+    * PPJoin family — Bayardo et al. WWW'07, Xiao et al. WWW'08): unlike
+    * MinHash LSH this has PERFECT recall at the threshold, so its output
+    * is oracle-comparable against a brute-force all-pairs computation,
+    * while candidate generation stays far below n².
+    *
+    * Plan shape (all codegen joins/aggs, no UDFs):
+    *  1. shingle sets as xxhash64 of the shingle STRING (64-bit ⇒ distinct
+    *     counts match the string sets; the 32-bit combined-hash fast path
+    *     of [[shingleHashes]] risks collisions the oracle can see),
+    *  2. global shingle order = (document frequency ASC, hash ASC) — rare
+    *     shingles first, so prefixes of frequent-shingle-heavy docs stay
+    *     selective,
+    *  3. per-doc prefix of length |x| - ceil(t*|x|) + 1 under that order;
+    *     two sets with Jaccard >= t MUST share a prefix element (prefix-
+    *     filtering lemma),
+    *  4. candidates = prefix ⋈ prefix on the shingle hash (+ the length
+    *     filter t*|x| <= |y|), verify = exact intersection via equi-join.
+    *
+    * At 100 TB: the frequency table and prefix relation are one shuffle
+    * each on the shingle hash; bucket sizes in the candidate join are
+    * bounded by per-shingle prefix frequency, which the global order keeps
+    * small (a stop-word shingle is in almost no prefixes).
+    */
+  def prefixJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold=$threshold must be in (0,1]")
+    import org.apache.spark.sql.expressions.Window
+    // shingling WITHOUT higher-order lambdas (transform/aggregate are
+    // interpreted — 2x the whole join's cost at sf0.1): posexplode the
+    // tokens (codegen generator), build each shingle from `lead` windows,
+    // hash the STRING with xxhash64 (64-bit ⇒ distinct counts match the
+    // string sets; 32-bit combined hashes risk collisions an exact oracle
+    // can see)
+    val toks = df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
+    val big = toks.filter(size(col("toks")) >= shingleN)
+      .select(col(idCol), posexplode(col("toks")).as(Seq("pos", "tok")))
+    val wLead = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val shingleStr = concat_ws(" ",
+      (0 until shingleN).map(k =>
+        if (k == 0) col("tok") else lead(col("tok"), k).over(wLead)): _*)
+    val lastTok = lead(col("tok"), shingleN - 1).over(wLead)
+    val bigShingles = big
+      .select(col(idCol), shingleStr.as("sh"), lastTok.as("last"))
+      .filter(col("last").isNotNull)
+    val smallShingles = toks.filter(size(col("toks")) < shingleN)
+      .select(col(idCol), concat_ws(" ", col("toks")).as("sh"))
+    // per-doc dedup via collect_set ON the window's output partitioning
+    // (both are hash-partitioned by id — exchange reuse, no extra shuffle
+    // for the big-doc branch); small docs (< n tokens, one shingle) are a
+    // map-side singleton-array union
+    val sets = bigShingles.select(col(idCol), xxhash64(col("sh")).as("h"))
+      .groupBy(col(idCol)).agg(collect_set(col("h")).as("shset"))
+      .unionAll(smallShingles.select(
+        col(idCol), array(xxhash64(col("sh"))).as("shset")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    CacheRegistry.track(sets)
+    // global rarity order: document frequency, hash as tiebreak; freq is
+    // |distinct shingles| rows — broadcast it back to the per-doc relation
+    val exploded = sets.select(col(idCol), explode(col("shset")).as("h"))
+    val freq = exploded.groupBy("h").agg(count(lit(1)).as("df_cnt"))
+    // prefix length |x| - ceil(t*|x|) + 1; the 1e-9 guards the float
+    // product landing a hair ABOVE an exact integer (which would ceil
+    // one too high and shorten the prefix below the safe length).
+    // Ranking happens INSIDE a per-doc sorted array (sort_array on
+    // (df_cnt, h) structs) — no row_number window over the full corpus.
+    val ranked = exploded.join(broadcast(freq), "h")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("df_cnt"), col("h")))).as("ord"))
+      .withColumn("sz", size(col("ord")).cast("long"))
+      .select(col(idCol), col("sz"),
+        explode(slice(col("ord"), lit(1),
+          (col("sz") - ceil(col("sz") * threshold - 1e-9) + 1).cast("int")))
+          .as("pref"))
+      .select(col(idCol), col("pref.h").as("h"), col("sz"))
+    val pa = ranked.select(col(idCol).as("id_a"), col("h"), col("sz").as("sz_a"))
+    val pb = ranked.select(col(idCol).as("id_b"), col("h"), col("sz").as("sz_b"))
+    val candidates = pa.join(pb, Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      // length filter: min size >= t*max size is necessary for J >= t
+      // (same epsilon guard: never prune on a float rounding artifact)
+      .filter(col("sz_b") >= ceil(col("sz_a") * threshold - 1e-9) &&
+        col("sz_a") >= ceil(col("sz_b") * threshold - 1e-9))
+      .select("id_a", "id_b").distinct()
+    // verify: broadcast the per-doc sorted shingle arrays to both sides of
+    // the candidate list and intersect natively — candidate-count × O(|set|)
+    // work, no 10M-row three-way join. (At cluster scale with a corpus too
+    // large to broadcast, swap these two joins for shuffled equi-joins on
+    // the id — the plan shape is otherwise identical.)
+    candidates
+      .join(broadcast(sets.select(col(idCol).as("id_a"), col("shset").as("set_a"))), "id_a")
+      .join(broadcast(sets.select(col(idCol).as("id_b"), col("shset").as("set_b"))), "id_b")
+      .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
+      .withColumn("union_",
+        (size(col("set_a")) + size(col("set_b"))).cast("long") - col("inter"))
+      .withColumn("jaccard",
+        when(col("union_") > 0, col("inter").cast("double") / col("union_").cast("double"))
+          .otherwise(lit(1.0)))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** EXACT n-gram Jaccard over ALL pairs — O(n²) brute force, the
     * test/oracle path (no LSH recall loss). Production scale uses
-    * [[minhashNearDups]].
+    * [[prefixJaccardPairs]] (exact) or [[minhashNearDups]] (approximate,
+    * cheaper at low duplicate density).
     */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
@@ -310,6 +415,57 @@ object Dedup {
         a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
       }
     pairs
+      .withColumn("cosine",
+        graft.plans.GraftFunctions.dotProduct(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** EXACT cosine near-dup pairs via coordinate-grid blocking — perfect
+    * recall (unlike hyperplane LSH), candidate count far below n² at high
+    * thresholds.
+    *
+    * Geometry: for unit vectors, cos(a,b) >= t  ⟹  ||a-b||² = 2-2t  ⟹
+    * |a_i - b_i| <= w := sqrt(2(1-t)) for EVERY coordinate i. Bucket each
+    * vector by cell_i = floor(v_i / w) on the first `dims` coordinates;
+    * any qualifying pair lands in the same or an adjacent cell per
+    * coordinate, so probing the 3^dims neighbor cells is exhaustive.
+    * Verify by exact dot product (vectors pre-normalized once).
+    *
+    * At 100 TB: one shuffle on the cell key; each vector is replicated
+    * 3^dims times on the probe side only; cell occupancy (and so the
+    * pair count) drops geometrically with `dims`. Zero vectors stay in
+    * cell 0 and are eliminated by the cosine filter (their dot is 0).
+    */
+  def gridNearDups(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, dims: Int = 2): DataFrame = {
+    require(threshold > 0 && threshold < 1, s"threshold=$threshold must be in (0,1)")
+    require(dims >= 1 && dims <= 6, s"dims=$dims (3^dims probe cells) must be 1..6")
+    // widen the cell a hair so float error in the division can never push
+    // a qualifying pair two cells apart (wider cells only ADD candidates)
+    val w = math.sqrt(2.0 * (1.0 - threshold)) * (1.0 + 1e-9)
+    val base = df.select(col(idCol), normalized(col(vecCol)).as("v"))
+      .withColumn("cell", array((0 until dims).map { i =>
+        floor(element_at(col("v"), i + 1) / w).cast("long")
+      }: _*))
+    // probe side: every neighbor cell offset in {-1,0,1}^dims
+    val offsets = (0 until dims).foldLeft(Seq(Seq.empty[Int])) { (acc, _) =>
+      acc.flatMap(o => Seq(-1, 0, 1).map(d => o :+ d))
+    }
+    val probe = base.select(
+      col(idCol).as("id_a"), col("v").as("va"),
+      explode(array(offsets.map { off =>
+        array(off.zipWithIndex.map { case (d, i) =>
+          element_at(col("cell"), i + 1) + d
+        }: _*)
+      }: _*)).as("cell"))
+    val build = base.select(col(idCol).as("id_b"), col("v").as("vb"), col("cell"))
+    // no dedupe needed: for a pair (a,b) exactly ONE probe offset equals
+    // cell(b) - cell(a), so the join emits each candidate exactly once —
+    // the verify stays a pipelined codegen filter with no extra shuffle
+    probe.join(build, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
       .withColumn("cosine",
         graft.plans.GraftFunctions.dotProduct(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)

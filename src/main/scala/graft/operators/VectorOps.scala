@@ -45,7 +45,7 @@ object VectorOps {
     val spark = df.sparkSession
     val rows = df.select(col(idCol).cast("long"), col(featCol).cast("array<double>"))
       .rdd.map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    rows.cache()
+    CacheRegistry.trackRdd(rows.cache())
     val dim = rows.first()._2.length
     val n = rows.count().toDouble
     val means = rows.map(_._2).treeAggregate(new Array[Double](dim))(
@@ -59,8 +59,12 @@ object VectorOps {
       var i = 0; while (i < dim) { out(i) = v(i) - m(i); i += 1 }
       out
     }.cache()
+    CacheRegistry.trackRdd(centered)
     val mat = new RowMatrix(centered.values.map(OldVectors.dense))
     val svd = mat.computeSVD(2, computeU = false)
+    // `centered` is materialized by the SVD's actions — `rows` is no
+    // longer needed by anything downstream
+    rows.unpersist(blocking = false)
     val v = svd.V // dim x 2
     val bV = spark.sparkContext.broadcast((0 until dim).map(i => (v(i, 0), v(i, 1))).toArray)
     import spark.implicits._

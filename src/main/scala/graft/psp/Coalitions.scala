@@ -104,9 +104,10 @@ object Coalitions {
       amendVoteIds: DataFrame, topRebels: Int = 20)
       : (DataFrame, DataFrame, DataFrame) = {
     val active = activeWithParty(mpVotes, voidVotes, mpInfo)
-    val withDir = Majority.withRebellion(
-        active, Seq("id_hlasovani", "party"), "vysledek", VoteResult.Yes, VoteResult.No)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withDir = graft.operators.CacheRegistry.track(
+      Majority.withRebellion(
+          active, Seq("id_hlasovani", "party"), "vysledek", VoteResult.Yes, VoteResult.No)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     (partyAgreement(mpVotes, voidVotes, mpInfo, amendVoteIds),
       rebelsFrom(withDir, mpInfo, amendVoteIds, topRebels),
       cohesionFrom(withDir, amendVoteIds))

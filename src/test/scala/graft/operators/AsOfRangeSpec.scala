@@ -48,6 +48,35 @@ class AsOfRangeSpec extends SparkSpec {
     assert(out.getAs[Long]("qty") == 5L)
   }
 
+  test("asofBackward: tied right rows resolve deterministically (struct max)") {
+    val session = spark
+    import session.implicits._
+    // three right rows at the SAME (key, ts) — the carried payload must be
+    // the struct-wise max, independent of shuffle order
+    val right = Seq(
+      (1L, t("2024-01-01 01:00:00"), 10.0),
+      (1L, t("2024-01-01 01:00:00"), 30.0),
+      (1L, t("2024-01-01 01:00:00"), 20.0))
+      .toDF("k", "ts", "price")
+    val left = Seq((1L, t("2024-01-01 02:00:00"), 7L)).toDF("k", "ts", "ev")
+    (1 to 3).foreach { _ =>
+      val out = AsOf.asofBackward(
+        left, right.repartition(4), Seq("k"), "ts", "ts",
+        Map("price" -> "price")).collect()(0)
+      assert(out.getAs[Double]("price") == 30.0)
+    }
+  }
+
+  test("asofBackward rejects reserved __-prefixed input columns") {
+    val session = spark
+    import session.implicits._
+    val bad = Seq((1L, t("2024-01-01 01:00:00"), 1.0)).toDF("k", "ts", "__p")
+    val left = Seq((1L, t("2024-01-01 02:00:00"))).toDF("k", "ts")
+    intercept[IllegalArgumentException] {
+      AsOf.asofBackward(left, bad, Seq("k"), "ts", "ts", Map("__p" -> "p"))
+    }
+  }
+
   test("binned range join equals the naive theta join") {
     val session = spark
     import session.implicits._

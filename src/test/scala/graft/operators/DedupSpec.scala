@@ -71,6 +71,79 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(pairs(0).getAs[Double]("cosine") - 1.0) < 1e-12)
   }
 
+  /** Synthetic corpus with a SPREAD of jaccard values around the 0.7
+    * threshold (sliding token-window overlap) — the case LSH can miss and
+    * the exact prefix join must not.
+    */
+  private def overlapCorpus() = {
+    import spark.implicits._
+    val vocab = (0 until 80).map(i => s"w$i")
+    // doc i = 20 tokens starting at 2*i: consecutive docs share 18/22
+    // distinct trigrams-ish => jaccard ~0.64-0.82 band around 0.7
+    val docs = (0 until 25).map { i =>
+      (i.toLong, vocab.slice(2 * i, 2 * i + 20).mkString(" "))
+    }
+    (docs :+ (100L, docs(3)._2)).toDF("doc_id", "text") // plus an exact clone
+  }
+
+  private def brute64(df: org.apache.spark.sql.DataFrame, t: Double) = {
+    val sets = df.select(col("doc_id"),
+      array_distinct(transform(Dedup.wordShingles(col("text"), 3), s => xxhash64(s)))
+        .as("shset"))
+    val a = sets.select(col("doc_id").as("id_a"), col("shset").as("sa"))
+    val b = sets.select(col("doc_id").as("id_b"), col("shset").as("sb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("union_",
+        (size(col("sa")) + size(col("sb"))).cast("long") - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("union_").cast("double"))
+      .filter(col("jaccard") >= t)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  test("prefix-filtered jaccard join EXACTLY matches brute force (incl. near-threshold pairs)") {
+    for (t <- Seq(0.5, 0.7, 0.9)) {
+      val exact = Dedup.prefixJaccardPairs(overlapCorpus(), "doc_id", "text", 3, t)
+        .collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+          math.rint(r.getAs[Double]("jaccard") * 1e9))).toSet
+      val brute = brute64(overlapCorpus(), t)
+        .collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+          math.rint(r.getAs[Double]("jaccard") * 1e9))).toSet
+      assert(exact == brute, s"threshold $t: prefix join != brute force")
+      assert(brute.nonEmpty, s"threshold $t: degenerate test corpus")
+    }
+    CacheRegistry.drain()
+  }
+
+  test("grid-blocked cosine join EXACTLY matches brute force") {
+    import spark.implicits._
+    val vecs = ((0 until 64).map { i =>
+      (i.toLong, Array.tabulate(16)(j => ((i * 31 + j * 7) % 13 - 6).toFloat))
+    } :+ (999L, Array.tabulate(16)(j => ((5 * 31 + j * 7) % 13 - 6).toFloat)))
+      .toDF("vec_id", "embedding")
+    for (t <- Seq(0.8, 0.95, 0.999); dims <- Seq(1, 2, 3)) {
+      val grid = Dedup.gridNearDups(vecs, "vec_id", "embedding", t, dims)
+        .collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+          math.rint(r.getAs[Double]("cosine") * 1e9))).toSet
+      val brute = Dedup.embeddingNearDups(vecs, "vec_id", "embedding", t, planes = 0)
+        .collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+          math.rint(r.getAs[Double]("cosine") * 1e9))).toSet
+      assert(grid == brute, s"threshold $t dims $dims: grid join != brute force")
+    }
+  }
+
+  test("cache registry: operators track persisted frames, drain releases them") {
+    CacheRegistry.drain()
+    Dedup.minhashNearDups(corpus(), "doc_id", "text").count()
+    assert(CacheRegistry.size >= 1)
+    CacheRegistry.drain()
+    assert(CacheRegistry.size == 0)
+  }
+
   test("LSH bucketed embedding dedup finds clone pair too") {
     import spark.implicits._
     val vecs = (0 until 64).map { i =>
