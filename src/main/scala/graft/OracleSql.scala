@@ -345,14 +345,14 @@ object OracleSql {
         |      ELSE [array_to_string(ts, ' ')] END)) AS sh
         |  FROM toks)
         |SELECT doc_id,
-        |  min(substr(md5('0:' || sh), 1, 8)) AS sig0,
-        |  min(substr(md5('1:' || sh), 1, 8)) AS sig1,
-        |  min(substr(md5('2:' || sh), 1, 8)) AS sig2,
-        |  min(substr(md5('3:' || sh), 1, 8)) AS sig3,
-        |  min(substr(md5('4:' || sh), 1, 8)) AS sig4,
-        |  min(substr(md5('5:' || sh), 1, 8)) AS sig5,
-        |  min(substr(md5('6:' || sh), 1, 8)) AS sig6,
-        |  min(substr(md5('7:' || sh), 1, 8)) AS sig7
+        |  min(substr(md5(sh), 1, 4)) AS sig0,
+        |  min(substr(md5(sh), 5, 4)) AS sig1,
+        |  min(substr(md5(sh), 9, 4)) AS sig2,
+        |  min(substr(md5(sh), 13, 4)) AS sig3,
+        |  min(substr(md5(sh), 17, 4)) AS sig4,
+        |  min(substr(md5(sh), 21, 4)) AS sig5,
+        |  min(substr(md5(sh), 25, 4)) AS sig6,
+        |  min(substr(md5(sh), 29, 4)) AS sig7
         |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q58_tfidf" ->
@@ -437,6 +437,91 @@ object OracleSql {
          |       ELSE 'de' END AS pred_lang,
          |  s_en AS score_en
          |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // IVF ANN: centroids are the first 16 vectors by id, assignment is
+    // argmax cosine (tie -> larger cell, mirroring greatest(struct)),
+    // probe = top-4 cells by centroid-query cosine (tie -> smaller cell),
+    // then exact top-10 within the probed cells
+    "q45_ann_ivf" ->
+      """WITH cents AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS c
+        |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
+        |assigned AS (
+        |  SELECT vec_id, embedding, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
+        |  FROM (
+        |    SELECT e.vec_id, e.embedding, c.cell,
+        |      list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.c[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(range(1, len(c.c) + 1),
+        |           i -> CAST(c.c[i] AS DOUBLE) * CAST(c.c[i] AS DOUBLE))))) AS sim
+        |    FROM embeddings e CROSS JOIN cents c)),
+        |probes AS (
+        |  SELECT cell FROM cents, q
+        |  ORDER BY
+        |    list_sum(list_transform(range(1, len(c) + 1),
+        |      i -> CAST(c[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, len(c) + 1),
+        |         i -> CAST(c[i] AS DOUBLE) * CAST(c[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+        |         i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))) DESC,
+        |    cell ASC
+        |  LIMIT 4),
+        |scored AS (
+        |  SELECT a.vec_id,
+        |    list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |         i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1, len(q.qv) + 1),
+        |         i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))))) AS c
+        |  FROM assigned a, q
+        |  WHERE a.rn = 1 AND a.cell IN (SELECT cell FROM probes))
+        |SELECT vec_id, round(c, 6) AS cosine
+        |FROM scored ORDER BY c DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q30_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, CAST(('0x' || substr(md5(word), 1, 15)) AS BIGINT) AS h
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE word <> ''),
+        |bitsums AS (
+        |  SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM tok, range(0, 60) t(i) GROUP BY doc_id, i),
+        |sims AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << i ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bitsums GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(s.simhash, 0) AS simhash
+        |FROM documents d LEFT JOIN sims s USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q62_simhash_pairs" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents),
+        |tok AS (
+        |  SELECT doc_id, CAST(('0x' || substr(md5(word), 1, 15)) AS BIGINT) AS h
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM corpus)
+        |  WHERE word <> ''),
+        |bitsums AS (
+        |  SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM tok, range(0, 60) t(i) GROUP BY doc_id, i),
+        |sims0 AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << i ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bitsums GROUP BY doc_id),
+        |sims AS (
+        |  SELECT d.doc_id, coalesce(s.simhash, 0) AS simhash
+        |  FROM corpus d LEFT JOIN sims0 s USING (doc_id))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // exact prefix-filtered Jaccard join (the LSH variant q31 is rows-only
     // — probabilistic recall near the threshold must not gate correctness)

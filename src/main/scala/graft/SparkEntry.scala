@@ -405,10 +405,13 @@ object SparkEntry {
         element_at(col("sig"), 1).as("sig0"))
       .orderBy("doc_id")
 
-  /** SimHash signatures. */
+  /** SimHash signatures — md5-derived 60-bit variant whose bit votes are
+    * reproducible in ANSI SQL, making the signature itself (not just row
+    * counts) oracle-checkable. The xxhash64 production variant is
+    * Dedup.simhash.
+    */
   private def q30(s: SparkSession, d: String): DataFrame =
-    docs(s, d).select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
-      .orderBy("doc_id")
+    Dedup.simhashMd5(docs(s, d), "doc_id", "text").orderBy("doc_id")
 
   /** MinHash-LSH near-duplicate pairs over a corpus with planted exact
     * duplicates (docs ∪ re-keyed copy). Rows-only check: LSH recall is
@@ -523,8 +526,10 @@ object SparkEntry {
       .select("doc_id", "n_bytes", "format")
       .orderBy("doc_id")
 
-  /** ANN scale path: IVF cells + nprobe probing (rows-only: engine-
-    * specific centroid assignment).
+  /** ANN scale path: IVF cells + nprobe probing. Fully deterministic —
+    * centroids are the first 16 vectors by id, assignment argmax-cosine
+    * with a fixed tiebreak — so the whole index+probe pipeline is
+    * oracle-checked cell-exactly (same float-parity pattern as q33).
     */
   private def q45(s: SparkSession, d: String): DataFrame = {
     val e = emb(s, d)
@@ -658,14 +663,17 @@ object SparkEntry {
 
   /** Oracle-checkable MinHash: md5-keyed "permutations" with signatures
     * compared as lexicographic hex strings — fully portable SQL, unlike
-    * the xxhash64-based production path (q29).
+    * the xxhash64-based production path (q29). ONE md5 per shingle, the
+    * 128-bit digest sliced into 8 independent 16-bit hex bands (8× fewer
+    * digest computations than hashing "$j:" + shingle per permutation).
     */
   private def q57(s: SparkSession, d: String): DataFrame = {
-    val shingled = docs(s, d).select(
-      col("doc_id"),
-      explode(array_distinct(Dedup.wordShingles(col("text"), 3))).as("sh"))
+    // no distinct: min over a multiset equals min over its set, and
+    // skipping it lets the groupBy reuse the shingle window's partitioning
+    val shingled = Dedup.shingleRows(docs(s, d), "doc_id", "text", 3)
+      .select(col("doc_id"), md5(col("sh")).as("dg"))
     val sigAggs = (0 until 8).map { j =>
-      min(substring(md5(concat(lit(s"$j:"), col("sh"))), 1, 8)).as(s"sig$j")
+      min(substring(col("dg"), 1 + 4 * j, 4)).as(s"sig$j")
     }
     shingled.groupBy("doc_id")
       .agg(sigAggs.head, sigAggs.tail: _*)
@@ -711,6 +719,19 @@ object SparkEntry {
     Dedup.gridNearDups(
         base.unionAll(cloned), "vec_id", "embedding", threshold = 0.99, dims = 3)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** SimHash near-dup pairs over corpus ∪ clone: chunk-blocked Hamming
+    * join (pigeonhole ⇒ perfect recall at ≤ 3 of 60 bits), exact
+    * brute-force oracle.
+    */
+  private def q62(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select("doc_id", "text")
+    val cloned = base.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    Dedup.simhashPairsFromSigs(
+        Dedup.simhashMd5(base.unionAll(cloned), "doc_id", "text"),
+        "doc_id", "simhash", maxHamming = 3, chunkBits = 15, nChunks = 4)
       .orderBy("id_a", "id_b")
   }
 
@@ -777,6 +798,7 @@ object SparkEntry {
     "q59_stable_split" -> (q59(_, _)),
     "q60_jaccard_prefix_pairs" -> (q60(_, _)),
     "q61_cosine_grid_pairs" -> (q61(_, _)),
+    "q62_simhash_pairs" -> (q62(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

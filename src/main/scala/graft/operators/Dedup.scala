@@ -51,6 +51,31 @@ object Dedup {
       .otherwise(array(concat_ws(" ", toks)))
   }
 
+  /** Word w-shingles as a LONG-FORM relation (id, sh) with no
+    * higher-order lambdas: posexplode the tokens (codegen generator) and
+    * assemble each shingle from `lead` windows — at corpus scale the
+    * interpreted transform/slice lambdas of [[wordShingles]] cost more
+    * than every shuffle in a near-dup join combined. Docs with fewer than
+    * `n` tokens contribute one whole-text shingle (same semantics as
+    * [[wordShingles]]). Output is NOT deduplicated.
+    */
+  def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
+    val big = toks.filter(size(col("toks")) >= n)
+      .select(col(idCol), posexplode(col("toks")).as(Seq("pos", "tok")))
+    val wLead = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val shingleStr = concat_ws(" ",
+      (0 until n).map(k =>
+        if (k == 0) col("tok") else lead(col("tok"), k).over(wLead)): _*)
+    val lastTok = lead(col("tok"), n - 1).over(wLead)
+    big.select(col(idCol), shingleStr.as("sh"), lastTok.as("last"))
+      .filter(col("last").isNotNull)
+      .select(col(idCol), col("sh"))
+      .unionAll(toks.filter(size(col("toks")) < n)
+        .select(col(idCol), concat_ws(" ", col("toks")).as("sh")))
+  }
+
   /** Distinct 32-bit hashes of the shingle set.
     *
     * Scale path: never materializes shingle STRINGS — hashes each token
@@ -148,21 +173,21 @@ object Dedup {
       threshold: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0 && bands <= numHashes,
       s"numHashes=$numHashes must be a positive multiple of bands=$bands")
-    // persist: the shingle-set subtree feeds the signature path AND both
-    // sides of the verify join — without it Spark recomputes the
-    // (interpreted-lambda) shingling three times. ~16 bytes/shingle, so
-    // memory stays ~|corpus tokens| * 8B; spills to disk beyond that.
-    val withSets = CacheRegistry.track(
-      df.select(
-          col(idCol),
-          shingleHashes(col(textCol), shingleN).as("shset"))
+    // shingle via [[shingleRows]] (codegen, no interpreted lambdas); the
+    // per-doc dedup (collect_set) reuses the shingle window's hash-
+    // partitioning by id, and the persisted set relation feeds the
+    // signature path AND both sides of the verify — ~8 bytes/shingle.
+    val sets = CacheRegistry.track(
+      shingleRows(df, idCol, textCol, shingleN)
+        .select(col(idCol),
+          xxhash64(col("sh")).bitwiseAND(lit(0xffffffffL)).as("h"))
+        .groupBy(col(idCol)).agg(collect_set(col("h")).as("shset"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val exploded = sets.select(col(idCol), explode(col("shset")).as("h"))
     // signature via explode + k codegen'd min-aggregates (the array-
     // expression variant in minhashSignature evaluates interpreted
-    // higher-order lambdas - fine per-row, slow over a corpus)
-    val exploded = withSets
-      .select(col(idCol), explode(col("shset")).as("h0"))
-      .select(col(idCol), col("h0").cast("long").bitwiseAND(lit(0xffffffffL)).as("h"))
+    // higher-order lambdas - fine per-row, slow over a corpus); explode
+    // preserves the id partitioning, so this aggregation needs no shuffle
     val minAggs = (0 until numHashes).map { j =>
       val a = (mix64(j.toLong * 2 + 1) & 0x7fffffffL) | 1L
       val b = mix64(j.toLong * 2 + 2) & 0x7fffffffL
@@ -183,21 +208,14 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
 
-    // exact-Jaccard verify as codegen hash joins over the exploded
-    // (id, shingle-hash) relation — set intersection via equi-join +
-    // count, set sizes via one aggregation (array_intersect per pair
-    // would re-walk both arrays interpreted)
-    val sizes = exploded.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val ea = exploded.select(col(idCol).as("id_a"), col("h"))
-    val eb = exploded.select(col(idCol).as("id_b"), col("h"))
+    // exact-Jaccard verify: broadcast the per-doc shingle-set arrays onto
+    // the candidate list, intersect natively (candidate-count × O(|set|))
     candidates
-      .join(ea, "id_a")
-      .join(eb, Seq("id_b", "h"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), "id_b")
-      .withColumn("union_", col("sz_a") + col("sz_b") - col("inter"))
+      .join(broadcast(sets.select(col(idCol).as("id_a"), col("shset").as("set_a"))), "id_a")
+      .join(broadcast(sets.select(col(idCol).as("id_b"), col("shset").as("set_b"))), "id_b")
+      .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
+      .withColumn("union_",
+        (size(col("set_a")) + size(col("set_b"))).cast("long") - col("inter"))
       .withColumn("jaccard",
         when(col("union_") > 0, col("inter").cast("double") / col("union_").cast("double"))
           .otherwise(lit(1.0)))
@@ -233,34 +251,14 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int, threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold=$threshold must be in (0,1]")
-    import org.apache.spark.sql.expressions.Window
-    // shingling WITHOUT higher-order lambdas (transform/aggregate are
-    // interpreted — 2x the whole join's cost at sf0.1): posexplode the
-    // tokens (codegen generator), build each shingle from `lead` windows,
-    // hash the STRING with xxhash64 (64-bit ⇒ distinct counts match the
-    // string sets; 32-bit combined hashes risk collisions an exact oracle
-    // can see)
-    val toks = df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
-    val big = toks.filter(size(col("toks")) >= shingleN)
-      .select(col(idCol), posexplode(col("toks")).as(Seq("pos", "tok")))
-    val wLead = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    val shingleStr = concat_ws(" ",
-      (0 until shingleN).map(k =>
-        if (k == 0) col("tok") else lead(col("tok"), k).over(wLead)): _*)
-    val lastTok = lead(col("tok"), shingleN - 1).over(wLead)
-    val bigShingles = big
-      .select(col(idCol), shingleStr.as("sh"), lastTok.as("last"))
-      .filter(col("last").isNotNull)
-    val smallShingles = toks.filter(size(col("toks")) < shingleN)
-      .select(col(idCol), concat_ws(" ", col("toks")).as("sh"))
-    // per-doc dedup via collect_set ON the window's output partitioning
-    // (both are hash-partitioned by id — exchange reuse, no extra shuffle
-    // for the big-doc branch); small docs (< n tokens, one shingle) are a
-    // map-side singleton-array union
-    val sets = bigShingles.select(col(idCol), xxhash64(col("sh")).as("h"))
+    // shingling via [[shingleRows]] (no interpreted lambdas); hash the
+    // shingle STRING with xxhash64 — 64-bit keeps distinct counts equal to
+    // the string sets' (32-bit combined hashes risk collisions an exact
+    // oracle can see); per-doc dedup via collect_set reuses the shingle
+    // window's hash-partitioning by id (no extra shuffle)
+    val sets = shingleRows(df, idCol, textCol, shingleN)
+      .select(col(idCol), xxhash64(col("sh")).as("h"))
       .groupBy(col(idCol)).agg(collect_set(col("h")).as("shset"))
-      .unionAll(smallShingles.select(
-        col(idCol), array(xxhash64(col("sh"))).as("shset")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     CacheRegistry.track(sets)
     // global rarity order: document frequency, hash as tiebreak; freq is
@@ -345,6 +343,71 @@ object Dedup {
       when(votes > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }
     bits.reduce((x, y) => x.bitwiseOR(y))
+  }
+
+  /** Portable 60-bit hash: first 15 hex chars of md5 as a long —
+    * expressible identically in any engine with md5 (DuckDB:
+    * `('0x' || substr(md5(t), 1, 15))::BIGINT`), so SimHash built on it is
+    * oracle-checkable cross-engine, unlike xxhash64/murmur3.
+    */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Oracle-portable SimHash: 60-bit signature over md5-derived token
+    * hashes, computed LONG-FORM — posexplode the tokens (codegen) and run
+    * 60 conditional-sum aggregates in one hash aggregation (one shuffle on
+    * the id), instead of [[simhash]]'s 64 interpreted aggregate() lambdas
+    * per row. Token multiset semantics (no dedup). Docs with no tokens get
+    * signature 0.
+    */
+  def simhashMd5(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("t"))
+      .select(col(idCol), md5Hash60(col("t")).as("h"))
+    val sums = (0 until 60).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"s$i")
+    }
+    val agg = tok.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
+    val bits = (0 until 60).map { i =>
+      when(col(s"s$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    val sims = agg.select(col(idCol), bits.reduce(_ bitwiseOR _).as("simhash"))
+    df.select(col(idCol)).join(sims, Seq(idCol), "left")
+      .na.fill(0L, Seq("simhash"))
+  }
+
+  /** SimHash near-dup pairs from PRECOMPUTED signatures: block on
+    * `nChunks` disjoint `chunkBits`-bit chunks — by pigeonhole, Hamming
+    * distance ≤ maxHamming < nChunks guarantees at least one identical
+    * chunk, so the blocked join has perfect recall — then verify by
+    * popcount of XOR. One shuffle on (chunk, value); bucket sizes bound
+    * the candidate count.
+    */
+  def simhashPairsFromSigs(
+      sigs: DataFrame, idCol: String, sigCol: String,
+      maxHamming: Int, chunkBits: Int, nChunks: Int): DataFrame = {
+    require(maxHamming < nChunks,
+      s"pigeonhole needs maxHamming=$maxHamming < nChunks=$nChunks")
+    val chunked = sigs.select(
+        col(idCol), col(sigCol).as("sim"),
+        explode(array((0 until nChunks).map { c =>
+          struct(lit(c).as("chunk_id"),
+            shiftright(col(sigCol), c * chunkBits)
+              .bitwiseAND(lit((1L << chunkBits) - 1)).as("chunk_val"))
+        }: _*)).as("ch"))
+      .select(col(idCol), col("sim"), col("ch.chunk_id"), col("ch.chunk_val"))
+    val a = chunked.select(col(idCol).as("id_a"), col("sim").as("sim_a"),
+      col("chunk_id"), col("chunk_val"))
+    val b = chunked.select(col(idCol).as("id_b"), col("sim").as("sim_b"),
+      col("chunk_id"), col("chunk_val"))
+    a.join(b, Seq("chunk_id", "chunk_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sim_a", "sim_b").distinct()
+      .withColumn("hamming",
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
   }
 
   /** SimHash near-dup pairs: block on 16-bit chunks (4 chunks; Hamming

@@ -136,6 +136,46 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("md5Hash60 matches the DuckDB hex-cast value (cross-engine parity)") {
+    import spark.implicits._
+    // DuckDB: SELECT CAST(('0x' || substr(md5('hello'),1,15)) AS BIGINT)
+    val h = Seq("hello").toDF("t")
+      .select(Dedup.md5Hash60(col("t")).as("h")).collect()(0).getAs[Long]("h")
+    assert(h == 419982666956583591L)
+  }
+
+  test("simhashMd5: clones identical, near-dups close, empty doc is 0") {
+    import spark.implicits._
+    val withEmpty = corpus().unionAll(Seq((9L, "")).toDF("doc_id", "text"))
+    val sigs = Dedup.simhashMd5(withEmpty, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) <= 8)
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(4L)) > 8)
+    assert(sigs(9L) == 0L)
+    assert(sigs.values.forall(s => (s >> 60) == 0L)) // 60-bit domain
+  }
+
+  test("simhash chunk-blocked pairs EXACTLY match brute force over signatures") {
+    val sigs = Dedup.simhashMd5(overlapCorpus(), "doc_id", "text")
+    val all = sigs.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash"))
+    // production config (3, 15-bit x 4) and a wide config (10, 5-bit x 12)
+    // — both satisfy the pigeonhole bound over the 60-bit domain
+    for ((maxH, cb, nc) <- Seq((3, 15, 4), (10, 5, 12))) {
+      val blocked = Dedup.simhashPairsFromSigs(
+          sigs, "doc_id", "simhash", maxH, cb, nc)
+        .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+          r.getAs[Long]("hamming"))).toSet
+      val brute = (for {
+        (ia, sa) <- all; (ib, sb) <- all
+        if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= maxH
+      } yield (ia, ib, java.lang.Long.bitCount(sa ^ sb).toLong)).toSet
+      assert(blocked == brute, s"config ($maxH,$cb,$nc)")
+      assert(brute.nonEmpty, s"config ($maxH,$cb,$nc): no pairs in corpus")
+    }
+  }
+
   test("cache registry: operators track persisted frames, drain releases them") {
     CacheRegistry.drain()
     Dedup.minhashNearDups(corpus(), "doc_id", "text").count()
