@@ -523,6 +523,34 @@ object OracleSql {
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
 
+    "q63_winnow_fingerprints" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    CAST(('0x' || substr(md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]), 1, 15)) AS BIGINT) AS h
+        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i
+        |        FROM toks WHERE len(ts) >= 3)
+        |  UNION ALL
+        |  SELECT doc_id, 0 AS pos,
+        |    CAST(('0x' || substr(md5(array_to_string(ts, ' ')), 1, 15)) AS BIGINT) AS h
+        |  FROM toks WHERE len(ts) < 3),
+        |winmin AS (
+        |  SELECT doc_id, pos,
+        |    max(pos) OVER (PARTITION BY doc_id) + 1 AS m,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS win_min
+        |  FROM sh)
+        |SELECT doc_id,
+        |  CAST(max(m) AS BIGINT) AS n_kgrams,
+        |  count(DISTINCT win_min) AS n_fps,
+        |  min(win_min) AS min_fp,
+        |  max(win_min) AS max_fp
+        |FROM winmin
+        |WHERE pos + 4 <= m OR (m < 4 AND pos = 0)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // exact prefix-filtered Jaccard join (the LSH variant q31 is rows-only
     // — probabilistic recall near the threshold must not gate correctness)
     "q60_jaccard_prefix_pairs" ->

@@ -735,6 +735,14 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
   }
 
+  /** Winnowing fingerprints (MOSS): per-doc selected-fingerprint stats
+    * from sliding window-min over md5-hashed word 3-grams — position-
+    * sensitive fingerprinting, oracle-checked cell-exactly.
+    */
+  private def q63(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.winnowFingerprints(docs(s, d), "doc_id", "text", n = 3, w = 4)
+      .orderBy("doc_id")
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -799,6 +807,7 @@ object SparkEntry {
     "q60_jaccard_prefix_pairs" -> (q60(_, _)),
     "q61_cosine_grid_pairs" -> (q61(_, _)),
     "q62_simhash_pairs" -> (q62(_, _)),
+    "q63_winnow_fingerprints" -> (q63(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -59,7 +59,15 @@ object Dedup {
     * `n` tokens contribute one whole-text shingle (same semantics as
     * [[wordShingles]]). Output is NOT deduplicated.
     */
-  def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+  def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    shingleRowsPos(df, idCol, textCol, n).select(col(idCol), col("sh"))
+
+  /** [[shingleRows]] with each shingle's 0-based position in the document
+    * (consecutive; a doc with m >= n tokens has shingles 0..m-n; a shorter
+    * doc has one whole-text shingle at position 0) — the input to
+    * position-sensitive fingerprinting like winnowing.
+    */
+  def shingleRowsPos(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
     val big = toks.filter(size(col("toks")) >= n)
@@ -69,11 +77,11 @@ object Dedup {
       (0 until n).map(k =>
         if (k == 0) col("tok") else lead(col("tok"), k).over(wLead)): _*)
     val lastTok = lead(col("tok"), n - 1).over(wLead)
-    big.select(col(idCol), shingleStr.as("sh"), lastTok.as("last"))
+    big.select(col(idCol), col("pos"), shingleStr.as("sh"), lastTok.as("last"))
       .filter(col("last").isNotNull)
-      .select(col(idCol), col("sh"))
+      .select(col(idCol), col("pos"), col("sh"))
       .unionAll(toks.filter(size(col("toks")) < n)
-        .select(col(idCol), concat_ws(" ", col("toks")).as("sh")))
+        .select(col(idCol), lit(0).as("pos"), concat_ws(" ", col("toks")).as("sh")))
   }
 
   /** Distinct 32-bit hashes of the shingle set.

@@ -87,6 +87,58 @@ object TextAnalysis {
     * h = (h*31 + u32(xxhash64(token))) masked to 48 bits each step, so
     * the arithmetic never overflows a long (ANSI mode throws on wrap).
     */
+  /** Winnowing document fingerprints (the MOSS scheme, Schleimer et al.
+    * SIGMOD'03): hash every word n-gram, slide a window of `w` consecutive
+    * n-gram hashes, keep the minimum of each window — any sufficiently
+    * long match between two documents is guaranteed to share a selected
+    * fingerprint, at ~2/(w+1) of the n-gram count.
+    *
+    * Per doc: n_kgrams, the selected-fingerprint count, and min/max
+    * selected fingerprint. Hashes are md5-derived ([[Dedup.md5Hash60]]) so
+    * the whole selection is reproducible in ANSI SQL (oracle-checkable).
+    * One shuffle on the id: the n-gram window, the winnow window, and the
+    * final aggregation all share its partitioning.
+    *
+    * Docs shorter than one window (m < w n-grams) yield one fingerprint:
+    * the minimum over all their n-gram hashes.
+    */
+  private def winnowed(
+      df: DataFrame, idCol: String, textCol: String, n: Int, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(w >= 1, s"window w=$w must be >= 1")
+    val hashed = Dedup.shingleRowsPos(df, idCol, textCol, n)
+      .select(col(idCol), col("pos"), Dedup.md5Hash60(col("sh")).as("h"))
+    val byId = Window.partitionBy(col(idCol))
+    val winFrame = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    hashed
+      .withColumn("m", max(col("pos")).over(byId) + 1)
+      .withColumn("win_min", min(col("h")).over(winFrame))
+      // windows that fit entirely (pos+w <= m); short docs keep pos 0,
+      // whose frame covers every n-gram they have
+      .filter(col("pos") + w <= col("m") || (col("m") < w && col("pos") === 0))
+  }
+
+  /** The selected fingerprints themselves, one row per (doc, fingerprint)
+    * — what a plagiarism/dup index stores and joins on.
+    */
+  def winnowFingerprintRows(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, w: Int = 4): DataFrame =
+    winnowed(df, idCol, textCol, n, w)
+      .select(col(idCol), col("win_min").as("fp")).distinct()
+
+  def winnowFingerprints(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, w: Int = 4): DataFrame =
+    winnowed(df, idCol, textCol, n, w)
+      .groupBy(col(idCol))
+      .agg(
+        first(col("m")).cast("long").as("n_kgrams"),
+        countDistinct(col("win_min")).as("n_fps"),
+        min(col("win_min")).as("min_fp"),
+        max(col("win_min")).as("max_fp"))
+
   def rollingHash(text: Column): Column =
     aggregate(tokens(text), lit(0L), (acc, w) =>
       (acc * lit(31L) + xxhash64(w).bitwiseAND(lit(0xffffffffL)))
