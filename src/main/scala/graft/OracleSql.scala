@@ -483,6 +483,22 @@ object OracleSql {
         |SELECT vec_id, round(c, 6) AS cosine
         |FROM scored ORDER BY c DESC, vec_id LIMIT 10""".stripMargin,
 
+    "q64_knn_graph" ->
+      """WITH pairs AS (
+        |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr,
+        |    list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |         i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+        |         i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) AS c
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |            ORDER BY c DESC, nbr) AS rnk FROM pairs)
+        |SELECT vec_id, nbr, round(c, 6) AS cosine, CAST(rnk AS INTEGER) AS rnk
+        |FROM ranked WHERE rnk <= 5 ORDER BY vec_id, rnk""".stripMargin,
+
     "q30_simhash" ->
       """WITH tok AS (
         |  SELECT doc_id, CAST(('0x' || substr(md5(word), 1, 15)) AS BIGINT) AS h

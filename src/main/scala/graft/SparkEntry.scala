@@ -743,6 +743,15 @@ object SparkEntry {
     TextAnalysis.winnowFingerprints(docs(s, d), "doc_id", "text", n = 3, w = 4)
       .orderBy("doc_id")
 
+  /** Exact kNN graph (top-5 cosine neighbors per embedding) — the recall
+    * baseline for the IVF path, oracle-checked cell-exactly.
+    */
+  private def q64(s: SparkSession, d: String): DataFrame =
+    Ann.knnGraph(emb(s, d), "vec_id", "embedding", 5)
+      .select(col("id").as("vec_id"), col("nbr"),
+        round(col("cosine"), 6).as("cosine"), col("rnk"))
+      .orderBy("vec_id", "rnk")
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -808,6 +817,7 @@ object SparkEntry {
     "q61_cosine_grid_pairs" -> (q61(_, _)),
     "q62_simhash_pairs" -> (q62(_, _)),
     "q63_winnow_fingerprints" -> (q63(_, _)),
+    "q64_knn_graph" -> (q64(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

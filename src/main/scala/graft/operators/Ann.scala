@@ -50,6 +50,31 @@ object Ann {
       .select(col(qidCol), col(idCol), col("cosine"), col("rnk"))
   }
 
+  /** Exact k-nearest-neighbor GRAPH: every node's top-k cosine neighbors —
+    * the similarity-search baseline an approximate index (IVF/LSH) is
+    * measured against, and the input shape for graph-based dedup or
+    * kNN-classification over a corpus.
+    *
+    * Plan: broadcast the (small) node table against itself — no shuffle
+    * for the n² scoring, which stays one codegen stage — then ONE shuffle
+    * for the per-node window top-k. At 100 TB the broadcast side becomes
+    * the IVF-bucketed candidate set ([[ivfTopK]]); this operator is the
+    * n ≲ 10⁵ exact path and the recall oracle.
+    */
+  def knnGraph(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = df.select(col(idCol).as("id"), col(vecCol).as("va"))
+    val b = df.select(col(idCol).as("nbr"), col(vecCol).as("vb"))
+    a.join(broadcast(b), col("id") =!= col("nbr"))
+      .withColumn("cosine",
+        Dedup.cosine(col("va").cast("array<double>"), col("vb").cast("array<double>")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("id"))
+          .orderBy(col("cosine").desc, col("nbr").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("id"), col("nbr"), col("cosine"), col("rnk"))
+  }
+
   /** Assign each row to its nearest centroid (IVF cell). Centroids is a
     * small local Seq (cell_id → vector).
     */

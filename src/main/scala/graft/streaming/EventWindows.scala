@@ -37,6 +37,37 @@ object EventWindows {
       .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
         col("approx_users"), col("n"))
 
+  /** Streaming exact deduplication — the streaming analog of
+    * `Dedup.exactDedup`: keep the first event per key, with state PRUNED
+    * past the watermark (`dropDuplicatesWithinWatermark`), so state size
+    * is bounded by the watermark horizon × key arrival rate instead of
+    * growing with the whole stream — the property that makes exact dedup
+    * viable on an unbounded 100 TB/day feed.
+    */
+  def dedupWithinWatermark(
+      events: DataFrame, tsCol: String, watermark: String,
+      keyCols: Seq[String]): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Stream-stream interval join (click-to-signup attribution shape): each
+    * left event joins right events with the same key at-or-before it,
+    * within `maxAge`. Both sides watermarked; the time-bound condition is
+    * what lets Spark expire right-side state — an UNBOUNDED as-of would
+    * keep every right row forever.
+    */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String,
+      maxAge: String, watermark: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark).alias("l")
+    val r = right.withWatermark(rightTs, watermark).alias("r")
+    l.join(r,
+      expr(s"l.$keyCol = r.$keyCol AND " +
+        s"r.$rightTs <= l.$leftTs AND " +
+        s"r.$rightTs >= l.$leftTs - INTERVAL $maxAge"))
+  }
+
   /** File-source streaming refresh replacing the reference's mtime watcher
     * (S8): watch a parquet directory, maintain an always-current temp view
     * via foreachBatch.

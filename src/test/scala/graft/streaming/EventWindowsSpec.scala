@@ -50,6 +50,55 @@ class EventWindowsSpec extends SparkSpec {
     assert(rows(0).getAs[Long]("n") == 2L)
   }
 
+  test("streaming dedup emits each key once, state bounded by watermark") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = session.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventWindows.dedupWithinWatermark(
+        mem.toDF(), "ts", "10 minutes", Seq("user_id", "event_type"))
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Ev(t("2024-01-01 00:01:00"), "click", 1.0, 1L),
+        Ev(t("2024-01-01 00:02:00"), "click", 2.0, 1L), // dup key within wm
+        Ev(t("2024-01-01 00:03:00"), "view", 3.0, 1L))
+      q.processAllAvailable()
+      val out = session.sql("SELECT event_type, count(*) n FROM dedup GROUP BY 1")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(out == Map("click" -> 1L, "view" -> 1L))
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join attributes clicks to a prior signup only") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = session.sqlContext
+    val clicks = MemoryStream[Ev]
+    val signups = MemoryStream[Ev]
+    val joined = EventWindows.intervalJoin(
+      clicks.toDF().select(col("user_id"), col("ts"), col("value")),
+      signups.toDF().select(col("user_id"), col("ts").as("signup_ts")),
+      "user_id", "ts", "signup_ts", "30 minutes", "10 minutes")
+    val q = joined
+      .select(col("l.user_id"), col("ts"), col("signup_ts"))
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      signups.addData(Ev(t("2024-01-01 00:05:00"), "signup", 0.0, 1L))
+      clicks.addData(
+        Ev(t("2024-01-01 00:10:00"), "click", 1.0, 1L), // 5 min after signup -> match
+        Ev(t("2024-01-01 00:01:00"), "click", 1.0, 1L), // BEFORE signup -> no match
+        Ev(t("2024-01-01 00:10:00"), "click", 1.0, 2L)) // other user -> no match
+      q.processAllAvailable()
+      val out = session.sql("SELECT * FROM attrib").collect()
+      assert(out.length == 1)
+      assert(out(0).getAs[Long]("user_id") == 1L)
+      assert(out(0).getAs[Timestamp]("ts") == t("2024-01-01 00:10:00"))
+    } finally q.stop()
+  }
+
   test("sliding windows count each event in multiple windows") {
     val session = spark
     import session.implicits._
