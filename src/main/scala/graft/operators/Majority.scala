@@ -63,9 +63,15 @@ object Majority {
       codeCol: String,
       yesCode: String = "A",
       noCode: String = "B"): DataFrame = {
-    val maj = majorityDirection(df, groupCols, codeCol, yesCode, noCode)
+    // computing the majority from the PRE-FILTERED active rows is
+    // semantics-preserving (non-yes/no codes contribute 0 to both counts;
+    // groups with no active rows tie at 0=0 and drop either way) and
+    // makes both join inputs share one subtree — smaller aggregation
+    // input, reusable broadcast exchanges
+    val active = df.filter(col(codeCol).isin(yesCode, noCode))
+    val maj = majorityDirection(active, groupCols, codeCol, yesCode, noCode)
       .select((groupCols.map(col) :+ col("majority_dir")): _*)
-    df.filter(col(codeCol).isin(yesCode, noCode))
+    active
       .join(maj, groupCols, "inner")
       .withColumn("is_rebellion", (col(codeCol) =!= col("majority_dir")).cast("int"))
   }
