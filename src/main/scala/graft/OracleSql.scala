@@ -483,6 +483,15 @@ object OracleSql {
         |SELECT vec_id, round(c, 6) AS cosine
         |FROM scored ORDER BY c DESC, vec_id LIMIT 10""".stripMargin,
 
+    "q65_label_centroids" ->
+      """SELECT label, i - 1 AS dim,
+        |  round(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 9) AS centroid,
+        |  count(*) AS n
+        |FROM (SELECT label, embedding, unnest(range(1, len(embedding) + 1)) AS i
+        |      FROM embeddings)
+        |GROUP BY label, i ORDER BY label, dim""".stripMargin,
+
     "q64_knn_graph" ->
       """WITH pairs AS (
         |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr,

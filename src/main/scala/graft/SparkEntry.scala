@@ -752,6 +752,15 @@ object SparkEntry {
         round(col("cosine"), 6).as("cosine"), col("rnk"))
       .orderBy("vec_id", "rnk")
 
+  /** Per-label embedding centroids (the k-means/IVF training step) via
+    * decimal-exact dimension-wise means — oracle-checked cell-exactly.
+    */
+  private def q65(s: SparkSession, d: String): DataFrame =
+    VectorOps.groupCentroids(emb(s, d), "label", "embedding")
+      .select(col("label"), col("dim"),
+        round(col("centroid"), 9).as("centroid"), col("n"))
+      .orderBy("label", "dim")
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -818,6 +827,7 @@ object SparkEntry {
     "q62_simhash_pairs" -> (q62(_, _)),
     "q63_winnow_fingerprints" -> (q63(_, _)),
     "q64_knn_graph" -> (q64(_, _)),
+    "q65_label_centroids" -> (q65(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

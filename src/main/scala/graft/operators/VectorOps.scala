@@ -76,6 +76,24 @@ object VectorOps {
     }.toDF(idCol, "pc1", "pc2")
   }
 
+  /** Per-group centroid of an embedding column — the k-means/IVF training
+    * primitive (a full Lloyd iteration = assignCells + this). Long form:
+    * posexplode to (group, dim, x) and hash-aggregate per (group, dim) —
+    * ONE shuffle whose key count is |groups|·dim regardless of row count,
+    * so it scales to any corpus. Sums go through DECIMAL(28,12) so the
+    * centroid is bit-identical under any partitioning/engine (IEEE double
+    * accumulation is order-sensitive; decimal is exact).
+    */
+  def groupCentroids(
+      df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    df.select(col(groupCol),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "x")))
+      .groupBy(col(groupCol), col("dim"))
+      .agg(
+        (sum(col("x").cast("decimal(28,12)")).cast("double") /
+          count(lit(1)).cast("double")).as("centroid"),
+        count(lit(1)).as("n"))
+
   /** M3 at scale: cosine top-k member pairs WITHOUT materializing the
     * matrix. Long form (member, item, value): dot products via self-join
     * on item + sum(v_a*v_b) grouped by pair; norms via per-member agg;

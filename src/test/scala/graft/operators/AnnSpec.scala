@@ -4,6 +4,34 @@ import graft.SparkSpec
 
 class AnnSpec extends SparkSpec {
 
+  test("knnGraph: every node gets k neighbors, best neighbor is the nearest") {
+    val g = Ann.knnGraph(vecs(), "vec_id", "embedding", 3).collect()
+    assert(g.length == 100 * 3)
+    // node 7's rank-1 neighbor must be the global argmax cosine vs node 7
+    val brute = Ann.bruteForceTopK(
+      vecs().filter(org.apache.spark.sql.functions.col("vec_id") =!= 7L),
+      "vec_id", "embedding",
+      (0 until 16).map(j => math.sin(7 * 0.7 + j)).toSeq, 1).collect()(0)
+    val g7 = g.filter(r => r.getAs[Long]("id") == 7L)
+      .minBy(_.getAs[Int]("rnk"))
+    assert(g7.getAs[Long]("nbr") == brute.getAs[Long]("vec_id"))
+  }
+
+  test("groupCentroids: decimal-exact per-dimension means") {
+    import spark.implicits._
+    val df = Seq(
+      (0, Array(1.0f, 2.0f)), (0, Array(3.0f, 4.0f)),
+      (1, Array(10.0f, 20.0f)))
+      .toDF("label", "embedding")
+    val out = VectorOps.groupCentroids(df, "label", "embedding")
+      .collect().map(r => (r.getAs[Int]("label"), r.getAs[Int]("dim")) ->
+        (r.getAs[Double]("centroid"), r.getAs[Long]("n"))).toMap
+    assert(out((0, 0)) == ((2.0, 2L)))
+    assert(out((0, 1)) == ((3.0, 2L)))
+    assert(out((1, 0)) == ((10.0, 1L)))
+    assert(out((1, 1)) == ((20.0, 1L)))
+  }
+
   private def vecs() = {
     import spark.implicits._
     (0 until 100).map { i =>
