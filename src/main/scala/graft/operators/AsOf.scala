@@ -61,8 +61,16 @@ object AsOf {
     // deterministic under any partitioning (without it, `last` picks
     // whichever tied row the shuffle happened to order last). The __tag
     // key still dominates, so left-vs-right ordering is unchanged.
+    // Non-orderable payload types (maps) can't be a sort key — those fall
+    // back to the tie-arbitrary pre-fix behavior rather than throwing.
+    val payloadOrderable = payload.keys.forall { c =>
+      org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(
+        right.schema(c).dataType)
+    }
+    val tieKeys = Seq(col("__ts").asc, col("__tag").asc) ++
+      (if (payloadOrderable) Seq(col("__p").asc_nulls_first) else Nil)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts").asc, col("__tag").asc, col("__p").asc_nulls_first)
+      .orderBy(tieKeys: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // carry the WHOLE struct of the latest right row (never mixes rows,
     // and NULL payload fields don't fall through to older rows)

@@ -175,10 +175,16 @@ object Dedup {
     * `threshold`. The only shuffles are: signature agg (none — per-row),
     * band groupBy, and the verify join against the per-doc shingle arrays.
     */
+  /** @param broadcastSets verify-join strategy: `true` broadcasts the
+    *   per-doc shingle-set relation onto the candidate list (fastest when
+    *   the corpus's sets fit the broadcast limit — single-node / bench
+    *   scale); `false` (default — the production path must be scale-safe)
+    *   uses shuffled equi-joins on the ids, which scale to any corpus.
+    */
   def minhashNearDups(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7, broadcastSets: Boolean = false): DataFrame = {
     require(numHashes % bands == 0 && bands <= numHashes,
       s"numHashes=$numHashes must be a positive multiple of bands=$bands")
     // shingle via [[shingleRows]] (codegen, no interpreted lambdas); the
@@ -216,11 +222,13 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
 
-    // exact-Jaccard verify: broadcast the per-doc shingle-set arrays onto
-    // the candidate list, intersect natively (candidate-count × O(|set|))
+    // exact-Jaccard verify: attach the per-doc shingle-set arrays to the
+    // candidate list, intersect natively (candidate-count × O(|set|))
+    val setsA = sets.select(col(idCol).as("id_a"), col("shset").as("set_a"))
+    val setsB = sets.select(col(idCol).as("id_b"), col("shset").as("set_b"))
     candidates
-      .join(broadcast(sets.select(col(idCol).as("id_a"), col("shset").as("set_a"))), "id_a")
-      .join(broadcast(sets.select(col(idCol).as("id_b"), col("shset").as("set_b"))), "id_b")
+      .join(if (broadcastSets) broadcast(setsA) else setsA, "id_a")
+      .join(if (broadcastSets) broadcast(setsB) else setsB, "id_b")
       .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
       .withColumn("union_",
         (size(col("set_a")) + size(col("set_b"))).cast("long") - col("inter"))
@@ -257,7 +265,7 @@ object Dedup {
     */
   def prefixJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int, threshold: Double): DataFrame = {
+      shingleN: Int, threshold: Double, broadcastSets: Boolean = false): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold=$threshold must be in (0,1]")
     // shingling via [[shingleRows]] (no interpreted lambdas); hash the
     // shingle STRING with xxhash64 — 64-bit keeps distinct counts equal to
@@ -296,14 +304,16 @@ object Dedup {
       .filter(col("sz_b") >= ceil(col("sz_a") * threshold - 1e-9) &&
         col("sz_a") >= ceil(col("sz_b") * threshold - 1e-9))
       .select("id_a", "id_b").distinct()
-    // verify: broadcast the per-doc sorted shingle arrays to both sides of
-    // the candidate list and intersect natively — candidate-count × O(|set|)
-    // work, no 10M-row three-way join. (At cluster scale with a corpus too
-    // large to broadcast, swap these two joins for shuffled equi-joins on
-    // the id — the plan shape is otherwise identical.)
+    // verify: attach the per-doc shingle arrays to both sides of the
+    // candidate list and intersect natively — candidate-count × O(|set|)
+    // work, no 10M-row three-way join. broadcastSets=true when the corpus
+    // fits the broadcast limit (bench scale); false => shuffled equi-joins
+    // on the id, same plan shape, any scale.
+    val setsA = sets.select(col(idCol).as("id_a"), col("shset").as("set_a"))
+    val setsB = sets.select(col(idCol).as("id_b"), col("shset").as("set_b"))
     candidates
-      .join(broadcast(sets.select(col(idCol).as("id_a"), col("shset").as("set_a"))), "id_a")
-      .join(broadcast(sets.select(col(idCol).as("id_b"), col("shset").as("set_b"))), "id_b")
+      .join(if (broadcastSets) broadcast(setsA) else setsA, "id_a")
+      .join(if (broadcastSets) broadcast(setsB) else setsB, "id_b")
       .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
       .withColumn("union_",
         (size(col("set_a")) + size(col("set_b"))).cast("long") - col("inter"))

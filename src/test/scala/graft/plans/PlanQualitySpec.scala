@@ -63,6 +63,43 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("ScalaUDF") && !p.contains("BatchEval"))
   }
 
+  test("grid cosine join is aggregation-free: the verify filter pipelines " +
+      "straight off the cell join (re-adding a dedupe would regress 50s -> 3s)") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val df = graft.operators.Dedup.gridNearDups(emb, "vec_id", "embedding", 0.99, 3)
+    val p = executed(df).toString
+    assert(p.contains("Join"), "expected a join in the grid plan")
+    // each pair matches in exactly one probe cell, so the whole plan needs
+    // NO aggregation anywhere — a distinct()/dropDuplicates would show up
+    // as a HashAggregate and means the single-match property was broken
+    assert(!p.contains("HashAggregate"),
+      "no aggregation belongs anywhere in the grid near-dup plan")
+  }
+
+  test("kNN graph broadcasts the node table (n x n scoring without shuffle)") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val df = graft.operators.Ann.knnGraph(emb, "vec_id", "embedding", 3)
+    val p = executed(df).toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(p.contains("Window") || p.contains("WindowGroupLimit"))
+  }
+
+  test("prefix jaccard verify joins honor the broadcastSets strategy flag") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val pBroadcast = executed(graft.operators.Dedup.prefixJaccardPairs(
+      docs, "doc_id", "text", 3, 0.7, broadcastSets = true)).toString
+    assert("BroadcastHashJoin".r.findAllIn(pBroadcast).size >= 2,
+      "broadcastSets=true: sets must broadcast onto both candidate sides")
+    graft.operators.CacheRegistry.drain()
+  }
+
+  test("group centroids aggregate partially (map-side combine on (group, dim))") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val df = graft.operators.VectorOps.groupCentroids(emb, "label", "embedding")
+    val p = executed(df).toString
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
   test("majority aggregation is partial+final hash aggregate") {
     val enc = spark.read.parquet(s"$sf/lineitem.parquet")
       .select(col("l_orderkey").as("vote"), col("l_returnflag").as("code"),
