@@ -483,6 +483,13 @@ object OracleSql {
         |SELECT vec_id, round(c, 6) AS cosine
         |FROM scored ORDER BY c DESC, vec_id LIMIT 10""".stripMargin,
 
+    "q66_stratified_sample" ->
+      """SELECT lang, count(*) AS n_kept, min(doc_id) AS min_id
+        |FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) AS INTEGER)
+        |      < CASE WHEN lang = 'en' THEN 4 ELSE 12 END
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
     "q65_label_centroids" ->
       """SELECT label, i - 1 AS dim,
         |  round(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)

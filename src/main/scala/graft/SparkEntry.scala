@@ -763,6 +763,17 @@ object SparkEntry {
         round(col("centroid"), 9).as("centroid"), col("n"))
       .orderBy("label", "dim")
 
+  /** Stratified deterministic sampling: downsample the dominant language
+    * (en -> 4/16) while keeping the tail at 12/16 — the corpus-rebalancing
+    * step, reproducible across engines (content-hash buckets).
+    */
+  private def q66(s: SparkSession, d: String): DataFrame =
+    Sampling.stratifiedSample(
+        docs(s, d), "doc_id", "lang", Map("en" -> 4), defaultBuckets = 12)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_id"))
+      .orderBy("lang")
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -830,6 +841,7 @@ object SparkEntry {
     "q63_winnow_fingerprints" -> (q63(_, _)),
     "q64_knn_graph" -> (q64(_, _)),
     "q65_label_centroids" -> (q65(_, _)),
+    "q66_stratified_sample" -> (q66(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

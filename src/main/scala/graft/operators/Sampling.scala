@@ -26,4 +26,21 @@ object Sampling {
     df.withColumn("split",
       when(stableBucket(col(keyCol)) < testBuckets, lit("test"))
         .otherwise(lit("train")))
+
+  /** Stratified deterministic sampling: a different keep-rate per stratum
+    * value (16ths), e.g. downsample a dominant language while keeping the
+    * long tail whole — the corpus-rebalancing step of a training-data
+    * pipeline. Strata not in `rates` keep `defaultBuckets`. Content-hash
+    * buckets, so the sample is reproducible across engines, runs, and
+    * partitionings; a pure per-row filter, so it pipelines at scan speed
+    * over any corpus size (no shuffle).
+    */
+  def stratifiedSample(
+      df: DataFrame, keyCol: String, strataCol: String,
+      rates: Map[String, Int], defaultBuckets: Int): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultBuckets)) { case (acc, (value, buckets)) =>
+      when(col(strataCol) === value, lit(buckets)).otherwise(acc)
+    }
+    df.filter(stableBucket(col(keyCol)) < rate)
+  }
 }

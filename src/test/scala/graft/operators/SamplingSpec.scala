@@ -18,6 +18,27 @@ class SamplingSpec extends SparkSpec {
     assert(s1.subsetOf(s4))
   }
 
+  test("stratifiedSample: per-stratum rates, default for unknown strata, " +
+      "deterministic under repartitioning") {
+    val session = spark
+    import session.implicits._
+    val df = (1L to 3000L).map(i =>
+      (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "xx"))
+      .toDF("id", "lang")
+    val kept = Sampling.stratifiedSample(df, "id", "lang",
+      Map("en" -> 2, "de" -> 8), defaultBuckets = 16)
+    val byLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(byLang("en") / 1000.0 - 2.0 / 16.0) < 0.05)
+    assert(math.abs(byLang("de") / 1000.0 - 8.0 / 16.0) < 0.05)
+    assert(byLang("xx") == 1000L) // default 16/16 keeps everything
+    val ids1 = kept.collect().map(_.getLong(0)).toSet
+    val ids2 = Sampling.stratifiedSample(df.repartition(17), "id", "lang",
+      Map("en" -> 2, "de" -> 8), defaultBuckets = 16)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+  }
+
   test("trainTestSplit partitions every row exactly once") {
     val session = spark
     import session.implicits._
