@@ -136,6 +136,29 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("prefix join == brute force on seeded RANDOM corpora (not just the " +
+      "structured overlap shape)") {
+    import spark.implicits._
+    for (seed <- Seq(7, 41)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = (0 until 40).map(i => s"v$i")
+      // random doc lengths 1..30 (exercises the <n-token branch), random
+      // tokens with heavy reuse so shared shingles are common
+      val docs = (0 until 40).map { i =>
+        val len = 1 + rnd.nextInt(30)
+        (i.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val exact = Dedup.prefixJaccardPairs(docs, "doc_id", "text", 3, 0.6)
+        .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+          math.rint(r.getAs[Double]("jaccard") * 1e9))).toSet
+      val brute = brute64(docs, 0.6)
+        .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+          math.rint(r.getAs[Double]("jaccard") * 1e9))).toSet
+      assert(exact == brute, s"seed $seed")
+      CacheRegistry.drain()
+    }
+  }
+
   test("md5Hash60 matches the DuckDB hex-cast value (cross-engine parity)") {
     import spark.implicits._
     // DuckDB: SELECT CAST(('0x' || substr(md5('hello'),1,15)) AS BIGINT)

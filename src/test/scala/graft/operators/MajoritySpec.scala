@@ -1,3 +1,5 @@
+// (MajorityAgg's single-pass Aggregator is spec-proven equal to the
+// sum(when) formulation at the bottom of this suite)
 package graft.operators
 
 import org.apache.spark.sql.functions._
@@ -38,6 +40,30 @@ class MajoritySpec extends SparkSpec {
     assert(stats("X").getAs[Long]("total_votes") == 5L)
     assert(stats("X").getAs[Long]("rebellion_cnt") == 1L)
     assert(stats("X").getAs[Double]("rebellion_pct") == 20.0)
+  }
+
+  test("single-pass Aggregator UDAF equals the sum(when) majority on a " +
+      "random fact table (incl. ties and no-active groups)") {
+    import org.apache.spark.sql.functions._
+    val session = spark
+    import session.implicits._
+    val rnd = new scala.util.Random(13)
+    val codes = Seq("A", "B", "C", "@")
+    val df = (0 until 2000).map { _ =>
+      (rnd.nextInt(60).toLong, s"p${rnd.nextInt(4)}", codes(rnd.nextInt(codes.size)))
+    }.toDF("vote", "party", "code").repartition(7)
+    val viaUdaf = df.groupBy("vote", "party")
+      .agg(MajorityAgg.majorityDirectionUdaf(col("code"), "A", "B").as("majority_dir"))
+      .filter(col("majority_dir").isNotNull)
+      .collect()
+      .map(r => (r.getAs[Long]("vote"), r.getAs[String]("party")) ->
+        r.getAs[String]("majority_dir")).toMap
+    val viaSumWhen = Majority.majorityDirection(df, Seq("vote", "party"), "code", "A", "B")
+      .collect()
+      .map(r => (r.getAs[Long]("vote"), r.getAs[String]("party")) ->
+        r.getAs[String]("majority_dir")).toMap
+    assert(viaUdaf == viaSumWhen)
+    assert(viaUdaf.nonEmpty)
   }
 
   test("pairwise agreement over majorities") {
