@@ -99,6 +99,30 @@ object Ann {
     rows.toSeq.zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }
   }
 
+  /** Persist an IVF index as a CELL-PARTITIONED parquet table: rows are
+    * assigned to their nearest centroid and written `partitionBy("cell")`,
+    * so a probe of `nprobe` cells is partition-pruned I/O — at 100 TB a
+    * query reads nprobe/cells of the data, not the full table. This is
+    * the write-side half of the IVF design ([[ivfTopK]] is the read side;
+    * see AnnStoreSpec for the PartitionFilters proof).
+    */
+  def writeCellPartitioned(
+      df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Int, Seq[Double])], path: String): Unit =
+    assignCells(df, vecCol, centroids)
+      .select(col(idCol), col(vecCol), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Probe a cell-partitioned store: top-k within the `nprobe` cells
+    * nearest the query, reading ONLY those cells' directories.
+    */
+  def probeCellStore(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, vecCol: String,
+      centroids: Seq[(Int, Seq[Double])],
+      query: Seq[Double], k: Int, nprobe: Int): DataFrame =
+    ivfTopK(spark.read.parquet(path), idCol, vecCol, centroids, query, k, nprobe)
+
   /** IVF query: score only rows in the `nprobe` cells nearest the query. */
   def ivfTopK(
       assigned: DataFrame, idCol: String, vecCol: String,
