@@ -63,16 +63,27 @@ object Ann {
     */
   def knnGraph(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val a = df.select(col(idCol).as("id"), col(vecCol).as("va"))
-    val b = df.select(col(idCol).as("nbr"), col(vecCol).as("vb"))
+    // norms once per ROW, not per pair: the n² stage then folds ONE dot
+    // product per pair instead of three (dot + both norms) — same float
+    // result bit-for-bit, the division sees identical operands
+    val v = col(vecCol).cast("array<double>")
+    val withNorm = df.select(col(idCol), v.as("v"),
+      sqrt(graft.plans.GraftFunctions.dotProduct(v, v)).as("nrm"))
+    val a = withNorm.select(col(idCol).as("id"), col("v").as("va"), col("nrm").as("na"))
+    val b = withNorm.select(col(idCol).as("nbr"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(broadcast(b), col("id") =!= col("nbr"))
       .withColumn("cosine",
-        Dedup.cosine(col("va").cast("array<double>"), col("vb").cast("array<double>")))
+        when(col("na") > 0 && col("nb") > 0,
+          graft.plans.GraftFunctions.dotProduct(col("va"), col("vb")) /
+            (col("na") * col("nb")))
+          .otherwise(lit(0.0d)))
+      // project the vectors away BEFORE the window: the top-k sort then
+      // shuffles 3 scalar columns, not 2 × dim doubles per candidate row
+      .select(col("id"), col("nbr"), col("cosine"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("id"))
           .orderBy(col("cosine").desc, col("nbr").asc)))
       .filter(col("rnk") <= k)
-      .select(col("id"), col("nbr"), col("cosine"), col("rnk"))
   }
 
   /** Assign each row to its nearest centroid (IVF cell). Centroids is a
