@@ -483,6 +483,18 @@ object OracleSql {
         |SELECT vec_id, round(c, 6) AS cosine
         |FROM scored ORDER BY c DESC, vec_id LIMIT 10""".stripMargin,
 
+    "q67_vocab_stats" ->
+      """WITH tf AS (
+        |  SELECT word AS tok, count(*) AS n
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE word <> '' GROUP BY word)
+        |SELECT CAST(sum(n) AS BIGINT) AS total_tokens,
+        |  count(*) AS distinct_tokens,
+        |  count(CASE WHEN n = 1 THEN 1 END) AS hapax_cnt,
+        |  substr(max(lpad(CAST(n AS VARCHAR), 12, '0') || ':' || tok), 14) AS top_token,
+        |  CAST(max(n) AS BIGINT) AS top_token_cnt
+        |FROM tf""".stripMargin,
+
     "q66_stratified_sample" ->
       """SELECT lang, count(*) AS n_kept, min(doc_id) AS min_id
         |FROM documents

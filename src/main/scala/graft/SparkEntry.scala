@@ -774,6 +774,26 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_id"))
       .orderBy("lang")
 
+  /** Corpus vocabulary audit: token totals, distinct vocabulary, hapax
+    * legomena (frequency-1 tokens — the Zipf tail a tokenizer-training or
+    * vocab-pruning step inspects), and the modal token.
+    */
+  private def q67(s: SparkSession, d: String): DataFrame = {
+    val tf = docs(s, d)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+    // argmax via a fixed-width composite key (zero-padded count + token):
+    // portable to engines whose max_by lacks struct ordering keys
+    tf.agg(
+        sum(col("n")).cast("long").as("total_tokens"),
+        count(lit(1)).as("distinct_tokens"),
+        count(when(col("n") === 1, lit(1))).as("hapax_cnt"),
+        substring(
+          max(concat(lpad(col("n").cast("string"), 12, "0"), lit(":"), col("tok"))),
+          14, 1000000).as("top_token"),
+        max(col("n")).cast("long").as("top_token_cnt"))
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -842,6 +862,7 @@ object SparkEntry {
     "q64_knn_graph" -> (q64(_, _)),
     "q65_label_centroids" -> (q65(_, _)),
     "q66_stratified_sample" -> (q66(_, _)),
+    "q67_vocab_stats" -> (q67(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

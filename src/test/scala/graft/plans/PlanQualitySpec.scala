@@ -100,6 +100,30 @@ class PlanQualitySpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2)
   }
 
+  test("runtime bloom filter injected on a selective shuffle join " +
+      "(Catalyst prunes the fact scan at runtime — free at 100 TB)") {
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      val ords = spark.read.parquet(s"$sf/orders.parquet")
+        .filter(col("o_totalprice") > 500000)
+      val j = li.join(ords, col("l_orderkey") === col("o_orderkey"))
+        .select("l_orderkey", "l_quantity", "o_totalprice")
+      val p = j.queryExecution.optimizedPlan.toString
+      assert(p.contains("bloom_filter"),
+        s"expected an injected bloom_filter_agg/might_contain in:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("majority aggregation is partial+final hash aggregate") {
     val enc = spark.read.parquet(s"$sf/lineitem.parquet")
       .select(col("l_orderkey").as("vote"), col("l_returnflag").as("code"),
