@@ -498,7 +498,8 @@ object OracleSql {
     "q66_stratified_sample" ->
       """SELECT lang, count(*) AS n_kept, min(doc_id) AS min_id
         |FROM documents
-        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) AS INTEGER)
+        |WHERE CAST(('0x' || substr(md5(coalesce(CAST(doc_id AS VARCHAR), '')), 1, 1))
+        |           AS INTEGER)
         |      < CASE WHEN lang = 'en' THEN 4 ELSE 12 END
         |GROUP BY lang ORDER BY lang""".stripMargin,
 
