@@ -483,6 +483,30 @@ object OracleSql {
         |SELECT vec_id, round(c, 6) AS cosine
         |FROM scored ORDER BY c DESC, vec_id LIMIT 10""".stripMargin,
 
+    "q68_decile_buckets" ->
+      """SELECT decile, count(*) AS n,
+        |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+        |FROM (SELECT o_totalprice,
+        |        ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+        |      FROM orders)
+        |GROUP BY decile ORDER BY decile""".stripMargin,
+
+    "q69_decimal_corr" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  round((n * sxy - sx * sy) /
+        |        (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9) AS corr_qty_price,
+        |  CAST(n AS BIGINT) AS n
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+
     "q67_vocab_stats" ->
       """WITH tf AS (
         |  SELECT word AS tok, count(*) AS n

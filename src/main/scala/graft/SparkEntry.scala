@@ -794,6 +794,54 @@ object SparkEntry {
         max(col("n")).cast("long").as("top_token_cnt"))
   }
 
+  /** Equal-frequency deciles (NTILE) over order totals — quantile
+    * bucketing for score-based data filtering. Fully tiebroken window, so
+    * bucket assignment is deterministic cross-engine. Scale note: a
+    * global ntile is a total sort; at 100 TB use approx quantile cuts +
+    * a bucket join instead (q52's percentile family).
+    */
+  private def q68(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    ord(s, d)
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy("decile")
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+      .orderBy("decile")
+  }
+
+  /** Pearson correlation per group via EXACT decimal co-moments — the
+    * built-in `corr` accumulates doubles in partition order and is not
+    * bit-stable across engines/partitionings; five decimal sums + one
+    * double expression are.
+    */
+  private def q69(s: SparkSession, d: String): DataFrame = {
+    val dec6 = "decimal(28,6)"
+    li(s, d).groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("l_quantity").cast(dec6)).cast("double").as("sx"),
+        sum(col("l_extendedprice").cast(dec6)).cast("double").as("sy"),
+        sum((col("l_quantity") * col("l_extendedprice")).cast(dec6))
+          .cast("double").as("sxy"),
+        sum((col("l_quantity") * col("l_quantity")).cast(dec6))
+          .cast("double").as("sxx"),
+        sum((col("l_extendedprice") * col("l_extendedprice")).cast(dec6))
+          .cast("double").as("syy"))
+      .select(
+        col("l_returnflag"),
+        round(
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 9)
+          .as("corr_qty_price"),
+        col("n").cast("long").as("n"))
+      .orderBy("l_returnflag")
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -863,6 +911,8 @@ object SparkEntry {
     "q65_label_centroids" -> (q65(_, _)),
     "q66_stratified_sample" -> (q66(_, _)),
     "q67_vocab_stats" -> (q67(_, _)),
+    "q68_decile_buckets" -> (q68(_, _)),
+    "q69_decimal_corr" -> (q69(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
