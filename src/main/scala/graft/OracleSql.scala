@@ -483,6 +483,32 @@ object OracleSql {
         |SELECT vec_id, round(c, 6) AS cosine
         |FROM scored ORDER BY c DESC, vec_id LIMIT 10""".stripMargin,
 
+    "q70_funnel" ->
+      """WITH t0 AS (
+        |  SELECT user_id, min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup
+        |  FROM events GROUP BY user_id),
+        |t1 AS (
+        |  SELECT e.user_id, any_value(t0.t_signup) AS t_signup,
+        |    min(CASE WHEN e.event_type = 'click' AND e.ts > t0.t_signup
+        |              AND e.ts <= t0.t_signup + INTERVAL 2 HOUR
+        |             THEN e.ts END) AS t_click
+        |  FROM events e JOIN t0 ON e.user_id = t0.user_id
+        |  GROUP BY e.user_id),
+        |t2 AS (
+        |  SELECT e.user_id, any_value(t1.t_signup) AS t_signup,
+        |    any_value(t1.t_click) AS t_click,
+        |    min(CASE WHEN e.event_type = 'purchase' AND e.ts > t1.t_click
+        |              AND e.ts <= t1.t_click + INTERVAL 2 HOUR
+        |             THEN e.ts END) AS t_purchase
+        |  FROM events e JOIN t1 ON e.user_id = t1.user_id
+        |  GROUP BY e.user_id)
+        |SELECT CASE WHEN t_purchase IS NOT NULL THEN 3
+        |            WHEN t_click IS NOT NULL THEN 2
+        |            WHEN t_signup IS NOT NULL THEN 1
+        |            ELSE 0 END AS stage,
+        |  count(*) AS n_users
+        |FROM t2 GROUP BY stage ORDER BY stage""".stripMargin,
+
     "q68_decile_buckets" ->
       """SELECT decile, count(*) AS n,
         |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price

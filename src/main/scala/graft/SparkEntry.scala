@@ -842,6 +842,41 @@ object SparkEntry {
       .orderBy("l_returnflag")
   }
 
+  /** Ordered funnel analysis with conversion windows: per user, signup →
+    * first click within 2h after it → first purchase within 2h after that
+    * click; users counted at the deepest stage reached. Three
+    * conditional-min aggregations, each reusing the (user) partitioning —
+    * the sequential-pattern shape of product analytics, exact-timestamp
+    * deterministic.
+    */
+  private def q70(s: SparkSession, d: String): DataFrame = {
+    val events = ev(s, d)
+    val t0 = events.groupBy("user_id")
+      .agg(min(when(col("event_type") === "signup", col("ts"))).as("t_signup"))
+    val t1 = events.join(t0, "user_id")
+      .groupBy("user_id")
+      .agg(
+        first(col("t_signup")).as("t_signup"),
+        min(when(col("event_type") === "click" && col("ts") > col("t_signup") &&
+          col("ts") <= col("t_signup") + expr("INTERVAL 2 HOURS"),
+          col("ts"))).as("t_click"))
+    val t2 = events.join(t1, "user_id")
+      .groupBy("user_id")
+      .agg(
+        first(col("t_signup")).as("t_signup"),
+        first(col("t_click")).as("t_click"),
+        min(when(col("event_type") === "purchase" && col("ts") > col("t_click") &&
+          col("ts") <= col("t_click") + expr("INTERVAL 2 HOURS"),
+          col("ts"))).as("t_purchase"))
+    t2.select(
+        when(col("t_purchase").isNotNull, 3)
+          .when(col("t_click").isNotNull, 2)
+          .when(col("t_signup").isNotNull, 1)
+          .otherwise(0).as("stage"))
+      .groupBy("stage").agg(count(lit(1)).as("n_users"))
+      .orderBy("stage")
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -913,6 +948,7 @@ object SparkEntry {
     "q67_vocab_stats" -> (q67(_, _)),
     "q68_decile_buckets" -> (q68(_, _)),
     "q69_decimal_corr" -> (q69(_, _)),
+    "q70_funnel" -> (q70(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
