@@ -483,6 +483,21 @@ object OracleSql {
         |SELECT vec_id, round(c, 6) AS cosine
         |FROM scored ORDER BY c DESC, vec_id LIMIT 10""".stripMargin,
 
+    "q71_retention_cohorts" ->
+      """WITH cohorts AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN CAST(ts AS DATE) END) AS signup_day
+        |  FROM events GROUP BY user_id),
+        |act AS (
+        |  SELECT e.user_id,
+        |    strftime(date_trunc('week', c.signup_day), '%Y-%m-%d') AS cohort_week,
+        |    CAST(floor(date_diff('day', c.signup_day, CAST(e.ts AS DATE)) / 7.0) AS BIGINT) AS week_n
+        |  FROM events e JOIN cohorts c ON e.user_id = c.user_id
+        |  WHERE c.signup_day IS NOT NULL AND CAST(e.ts AS DATE) >= c.signup_day)
+        |SELECT cohort_week, week_n, count(DISTINCT user_id) AS n_users
+        |FROM act GROUP BY cohort_week, week_n
+        |ORDER BY cohort_week, week_n""".stripMargin,
+
     "q70_funnel" ->
       """WITH t0 AS (
         |  SELECT user_id, min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup

@@ -877,6 +877,31 @@ object SparkEntry {
       .orderBy("stage")
   }
 
+  /** Retention cohorts: users grouped by signup week, activity counted in
+    * whole weeks since signup — the cohort-retention matrix. One agg for
+    * the cohort anchor, one distinct-count per (cohort, week offset);
+    * date-only arithmetic keeps it engine-exact.
+    */
+  private def q71(s: SparkSession, d: String): DataFrame = {
+    val events = ev(s, d)
+    val cohorts = events
+      .groupBy("user_id")
+      .agg(min(when(col("event_type") === "signup", col("ts").cast("date")))
+        .as("signup_day"))
+      .filter(col("signup_day").isNotNull)
+    events.join(cohorts, "user_id")
+      .filter(col("ts").cast("date") >= col("signup_day"))
+      .select(
+        col("user_id"),
+        date_format(date_trunc("week", col("signup_day")), "yyyy-MM-dd")
+          .as("cohort_week"),
+        floor(datediff(col("ts").cast("date"), col("signup_day")) / 7)
+          .cast("long").as("week_n"))
+      .groupBy("cohort_week", "week_n")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_week", "week_n")
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -949,6 +974,7 @@ object SparkEntry {
     "q68_decile_buckets" -> (q68(_, _)),
     "q69_decimal_corr" -> (q69(_, _)),
     "q70_funnel" -> (q70(_, _)),
+    "q71_retention_cohorts" -> (q71(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
