@@ -199,6 +199,33 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("grid cosine join == brute force on seeded RANDOM unit vectors " +
+      "(boundary-uniform directions, thresholds spanning weak to near-dup)") {
+    import spark.implicits._
+    for (seed <- Seq(3, 99)) {
+      val rnd = new scala.util.Random(seed)
+      // random gaussian vectors + a few planted near-identical pairs
+      val base = (0 until 60).map { i =>
+        (i.toLong, Array.fill(12)(rnd.nextGaussian().toFloat))
+      }
+      val nearDups = (0 until 5).map { j =>
+        val (_, v) = base(j * 7)
+        val w = v.clone(); w(0) = w(0) + 0.01f
+        ((1000 + j).toLong, w)
+      }
+      val vecs = (base ++ nearDups).toDF("vec_id", "embedding")
+      for (t <- Seq(0.7, 0.9, 0.995); dims <- Seq(2, 4)) {
+        val grid = Dedup.gridNearDups(vecs, "vec_id", "embedding", t, dims)
+          .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+            math.rint(r.getAs[Double]("cosine") * 1e9))).toSet
+        val brute = Dedup.embeddingNearDups(vecs, "vec_id", "embedding", t, planes = 0)
+          .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+            math.rint(r.getAs[Double]("cosine") * 1e9))).toSet
+        assert(grid == brute, s"seed $seed threshold $t dims $dims")
+      }
+    }
+  }
+
   test("cache registry: operators track persisted frames, drain releases them") {
     CacheRegistry.drain()
     Dedup.minhashNearDups(corpus(), "doc_id", "text").count()
