@@ -578,15 +578,20 @@ object OracleSql {
         |GROUP BY label, i ORDER BY label, dim""".stripMargin,
 
     "q64_knn_graph" ->
-      """WITH pairs AS (
+      """WITH norms AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS n
+        |  FROM embeddings),
+        |pairs AS (
+        |  -- zero-norm guard matches the Spark side (Ann.knnGraph emits 0.0)
         |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr,
-        |    list_sum(list_transform(range(1, len(a.embedding) + 1),
-        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-        |    / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
-        |         i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
-        |     * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
-        |         i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) AS c
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+        |    CASE WHEN a.n > 0 AND b.n > 0 THEN
+        |      list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |      / (a.n * b.n)
+        |    ELSE 0.0 END AS c
+        |  FROM norms a JOIN norms b ON a.vec_id <> b.vec_id),
         |ranked AS (
         |  SELECT *, row_number() OVER (PARTITION BY vec_id
         |            ORDER BY c DESC, nbr) AS rnk FROM pairs)

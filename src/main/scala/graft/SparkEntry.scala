@@ -425,8 +425,7 @@ object SparkEntry {
     val cloned = base.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
     Dedup.minhashNearDups(
         base.unionAll(cloned), "doc_id", "text",
-        shingleN = 3, numHashes = 32, bands = 8, threshold = 0.7,
-        broadcastSets = true)
+        shingleN = 3, numHashes = 32, bands = 8, threshold = 0.7)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("id_a", "id_b")
   }
@@ -705,8 +704,7 @@ object SparkEntry {
     val base = docs(s, d).select("doc_id", "text")
     val cloned = base.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
     Dedup.prefixJaccardPairs(
-        base.unionAll(cloned), "doc_id", "text", shingleN = 3, threshold = 0.7,
-        broadcastSets = true)
+        base.unionAll(cloned), "doc_id", "text", shingleN = 3, threshold = 0.7)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("id_a", "id_b")
   }

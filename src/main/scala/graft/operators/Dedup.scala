@@ -21,6 +21,33 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** The per-doc shingle-set relation is within a small constant factor of
+    * the raw text bytes (8-byte hash per token vs ~6 text bytes per token),
+    * so the source relation's size estimate stands in for the set
+    * relation's when deciding the verify-join strategy.
+    */
+  private val SetsBroadcastFactor = 4
+
+  /** Size-based auto choice for the verify-join strategy: broadcast the
+    * per-doc set relation only when the SOURCE relation's optimizer size
+    * estimate fits the session's broadcast threshold (scaled by
+    * [[SetsBroadcastFactor]]). A hardcoded `broadcastSets = true` at a
+    * call site is a 100 TB foot-gun — same reasoning as
+    * [[VectorOps.cosinePairsTopKAuto]]'s explicit dispatch. Respects
+    * `spark.sql.autoBroadcastJoinThreshold = -1` (broadcast disabled).
+    */
+  private[graft] def autoBroadcastSets(df: DataFrame): Boolean = {
+    val confVal = df.sparkSession.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", "10MB").trim
+    if (confVal.startsWith("-")) false
+    else {
+      val threshold =
+        org.apache.spark.network.util.JavaUtils.byteStringAsBytes(confVal)
+      df.queryExecution.optimizedPlan.stats.sizeInBytes <=
+        BigInt(threshold) * SetsBroadcastFactor
+    }
+  }
+
   // ---------------------------------------------------------------- exact
 
   /** Exact dedup: group rows by normalized-content fingerprint; emit one
@@ -175,16 +202,18 @@ object Dedup {
     * `threshold`. The only shuffles are: signature agg (none — per-row),
     * band groupBy, and the verify join against the per-doc shingle arrays.
     */
-  /** @param broadcastSets verify-join strategy: `true` broadcasts the
-    *   per-doc shingle-set relation onto the candidate list (fastest when
-    *   the corpus's sets fit the broadcast limit — single-node / bench
-    *   scale); `false` (default — the production path must be scale-safe)
-    *   uses shuffled equi-joins on the ids, which scale to any corpus.
+  /** @param broadcastSets verify-join strategy: `Some(true)` broadcasts
+    *   the per-doc shingle-set relation onto the candidate list (fastest
+    *   when the corpus's sets fit the broadcast limit — single-node /
+    *   bench scale); `Some(false)` uses shuffled equi-joins on the ids,
+    *   which scale to any corpus; `None` (default) decides from the
+    *   source relation's size estimate ([[autoBroadcastSets]]), so call
+    *   sites carry no scale assumption.
     */
   def minhashNearDups(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      threshold: Double = 0.7, broadcastSets: Boolean = false): DataFrame = {
+      threshold: Double = 0.7, broadcastSets: Option[Boolean] = None): DataFrame = {
     require(numHashes % bands == 0 && bands <= numHashes,
       s"numHashes=$numHashes must be a positive multiple of bands=$bands")
     // shingle via [[shingleRows]] (codegen, no interpreted lambdas); the
@@ -224,11 +253,12 @@ object Dedup {
 
     // exact-Jaccard verify: attach the per-doc shingle-set arrays to the
     // candidate list, intersect natively (candidate-count × O(|set|))
+    val doBroadcast = broadcastSets.getOrElse(autoBroadcastSets(df))
     val setsA = sets.select(col(idCol).as("id_a"), col("shset").as("set_a"))
     val setsB = sets.select(col(idCol).as("id_b"), col("shset").as("set_b"))
     candidates
-      .join(if (broadcastSets) broadcast(setsA) else setsA, "id_a")
-      .join(if (broadcastSets) broadcast(setsB) else setsB, "id_b")
+      .join(if (doBroadcast) broadcast(setsA) else setsA, "id_a")
+      .join(if (doBroadcast) broadcast(setsB) else setsB, "id_b")
       .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
       .withColumn("union_",
         (size(col("set_a")) + size(col("set_b"))).cast("long") - col("inter"))
@@ -265,8 +295,10 @@ object Dedup {
     */
   def prefixJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int, threshold: Double, broadcastSets: Boolean = false): DataFrame = {
+      shingleN: Int, threshold: Double,
+      broadcastSets: Option[Boolean] = None): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold=$threshold must be in (0,1]")
+    val doBroadcast = broadcastSets.getOrElse(autoBroadcastSets(df))
     // shingling via [[shingleRows]] (no interpreted lambdas); hash the
     // shingle STRING with xxhash64 — 64-bit keeps distinct counts equal to
     // the string sets' (32-bit combined hashes risk collisions an exact
@@ -279,14 +311,19 @@ object Dedup {
     CacheRegistry.track(sets)
     // global rarity order: document frequency, hash as tiebreak; freq is
     // |distinct shingles| rows — broadcast it back to the per-doc relation
+    // only under the same size gate as the verify join (the distinct-
+    // shingle table grows with the corpus and can exceed the broadcast
+    // limit; ungated, AQE still picks broadcast when the build side is
+    // small enough at runtime)
     val exploded = sets.select(col(idCol), explode(col("shset")).as("h"))
-    val freq = exploded.groupBy("h").agg(count(lit(1)).as("df_cnt"))
+    val freq0 = exploded.groupBy("h").agg(count(lit(1)).as("df_cnt"))
+    val freq = if (doBroadcast) broadcast(freq0) else freq0
     // prefix length |x| - ceil(t*|x|) + 1; the 1e-9 guards the float
     // product landing a hair ABOVE an exact integer (which would ceil
     // one too high and shorten the prefix below the safe length).
     // Ranking happens INSIDE a per-doc sorted array (sort_array on
     // (df_cnt, h) structs) — no row_number window over the full corpus.
-    val ranked = exploded.join(broadcast(freq), "h")
+    val ranked = exploded.join(freq, "h")
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(struct(col("df_cnt"), col("h")))).as("ord"))
       .withColumn("sz", size(col("ord")).cast("long"))
@@ -306,14 +343,14 @@ object Dedup {
       .select("id_a", "id_b").distinct()
     // verify: attach the per-doc shingle arrays to both sides of the
     // candidate list and intersect natively — candidate-count × O(|set|)
-    // work, no 10M-row three-way join. broadcastSets=true when the corpus
-    // fits the broadcast limit (bench scale); false => shuffled equi-joins
-    // on the id, same plan shape, any scale.
+    // work, no 10M-row three-way join. Broadcast when the corpus fits the
+    // broadcast limit (bench scale); otherwise shuffled equi-joins on the
+    // id, same plan shape, any scale.
     val setsA = sets.select(col(idCol).as("id_a"), col("shset").as("set_a"))
     val setsB = sets.select(col(idCol).as("id_b"), col("shset").as("set_b"))
     candidates
-      .join(if (broadcastSets) broadcast(setsA) else setsA, "id_a")
-      .join(if (broadcastSets) broadcast(setsB) else setsB, "id_b")
+      .join(if (doBroadcast) broadcast(setsA) else setsA, "id_a")
+      .join(if (doBroadcast) broadcast(setsB) else setsB, "id_b")
       .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
       .withColumn("union_",
         (size(col("set_a")) + size(col("set_b"))).cast("long") - col("inter"))

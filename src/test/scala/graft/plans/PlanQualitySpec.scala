@@ -87,10 +87,39 @@ class PlanQualitySpec extends SparkSpec {
   test("prefix jaccard verify joins honor the broadcastSets strategy flag") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val pBroadcast = executed(graft.operators.Dedup.prefixJaccardPairs(
-      docs, "doc_id", "text", 3, 0.7, broadcastSets = true)).toString
+      docs, "doc_id", "text", 3, 0.7, broadcastSets = Some(true))).toString
     assert("BroadcastHashJoin".r.findAllIn(pBroadcast).size >= 2,
       "broadcastSets=true: sets must broadcast onto both candidate sides")
     graft.operators.CacheRegistry.drain()
+  }
+
+  test("broadcastSets auto-sizes: small corpus broadcasts, over-threshold " +
+      "corpus takes the shuffled verify path (no 100 TB broadcast foot-gun)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // default threshold (10MB): tiny corpus => auto picks broadcast
+    val pAuto = executed(
+      graft.operators.Dedup.prefixJaccardPairs(docs, "doc_id", "text", 3, 0.7)
+    ).toString
+    assert("BroadcastHashJoin".r.findAllIn(pAuto).size >= 2,
+      "auto under threshold: sets should broadcast at bench scale")
+    graft.operators.CacheRegistry.drain()
+    // broadcast disabled session-wide => auto must choose shuffled joins
+    // everywhere (freq join included) — this is the plan a 100 TB corpus gets
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val pShuffled = executed(
+        graft.operators.Dedup.prefixJaccardPairs(docs, "doc_id", "text", 3, 0.7)
+      ).toString
+      assert(!pShuffled.contains("BroadcastHashJoin"),
+        s"auto over threshold: no broadcast join belongs in the plan:\n$pShuffled")
+      assert(pShuffled.contains("SortMergeJoin") ||
+        pShuffled.contains("ShuffledHashJoin"),
+        "shuffled verify joins expected when broadcast is disabled")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      graft.operators.CacheRegistry.drain()
+    }
   }
 
   test("group centroids aggregate partially (map-side combine on (group, dim))") {
