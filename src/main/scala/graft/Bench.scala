@@ -25,10 +25,14 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
         }
       // failed queries report NEGATIVE elapsed so a regression can never
-      // read as a speedup in the summary line; the cache drain happens
-      // OUTSIDE the timing window (it's bookkeeping, not query cost)
+      // read as a speedup in the summary line; the cache drain and GC
+      // happen OUTSIDE the timing window (bookkeeping, not query cost —
+      // the GC keeps one query's garbage from surfacing as a collection
+      // pause inside a LATER query's window, which is what produced the
+      // r2 q31/q32 one-shot spikes)
       val secs = (System.nanoTime() - t0) / 1e9
       graft.operators.CacheRegistry.drain()
+      System.gc()
       (name, if (ok) secs else -secs, ok)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }

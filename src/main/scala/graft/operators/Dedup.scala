@@ -186,12 +186,15 @@ object Dedup {
     require(bands > 0 && rowsPerBand > 0,
       s"bands=$bands rowsPerBand=$rowsPerBand must be positive — a zero-width " +
         "band hashes an empty slice and every doc collides into one bucket")
+    // band fingerprint = variadic xxhash64 over the band's signature
+    // values directly — fully codegen; no interpreted transform lambda,
+    // no string materialization (equal slices ⇒ equal hash, same as any
+    // injective-enough fingerprint)
     val bandStructs = (0 until bands).map { b =>
       struct(
         lit(b).as("band_id"),
-        xxhash64(concat_ws(",",
-          transform(slice(col(sigCol), b * rowsPerBand + 1, rowsPerBand),
-            v => v.cast("string")))).as("band_hash"))
+        xxhash64((0 until rowsPerBand).map(r =>
+          element_at(col(sigCol), b * rowsPerBand + r + 1)): _*).as("band_hash"))
     }
     df.select(col(idCol), explode(array(bandStructs: _*)).as("band"))
       .select(col(idCol), col("band.band_id"), col("band.band_hash"))
@@ -216,21 +219,38 @@ object Dedup {
       threshold: Double = 0.7, broadcastSets: Option[Boolean] = None): DataFrame = {
     require(numHashes % bands == 0 && bands <= numHashes,
       s"numHashes=$numHashes must be a positive multiple of bands=$bands")
-    // shingle via [[shingleRows]] (codegen, no interpreted lambdas); the
-    // per-doc dedup (collect_set) reuses the shingle window's hash-
-    // partitioning by id, and the persisted set relation feeds the
-    // signature path AND both sides of the verify — ~8 bytes/shingle.
-    val sets = CacheRegistry.track(
-      shingleRows(df, idCol, textCol, shingleN)
-        .select(col(idCol),
-          xxhash64(col("sh")).bitwiseAND(lit(0xffffffffL)).as("h"))
-        .groupBy(col(idCol)).agg(collect_set(col("h")).as("shset"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // The shingle-set relation has two formulations, dispatched on corpus
+    // size; downstream (signature min-aggs, banding, verify) is shared and
+    // insensitive to how the set arrays were built:
+    //  - small (fits the broadcast gate): [[shingleHashes]] as ONE
+    //    projection — token hashes combined arithmetically per row, no
+    //    shingle strings, no window, no collect_set aggregation. The
+    //    lambdas are interpreted, but a reference-scale corpus pays a few
+    //    million interpreted ops, far less than the codegen+JIT bill of
+    //    the long-form plan's extra window + agg stages (one-shot at
+    //    sf0.1: ~9 s → ~4 s).
+    //  - large: long-form [[shingleRows]] (codegen window) + collect_set
+    //    reusing its hash-partitioning by id — minimal marginal cost per
+    //    row, which is what matters at 100 TB. (Hash derivation differs —
+    //    32-bit combined token hashes vs xxhash64 of the shingle string —
+    //    fine for an operator whose contract is approximate near-dup
+    //    detection; the exact-recall operator is [[prefixJaccardPairs]].)
+    val small = autoBroadcastSets(df)
+    val sets = CacheRegistry.track {
+      (if (small)
+        df.select(col(idCol), shingleHashes(col(textCol), shingleN).as("shset"))
+      else
+        shingleRows(df, idCol, textCol, shingleN)
+          .select(col(idCol),
+            xxhash64(col("sh")).bitwiseAND(lit(0xffffffffL)).as("h"))
+          .groupBy(col(idCol)).agg(collect_set(col("h")).as("shset"))
+      ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    // signature via explode + k codegen'd min-aggregates (faster than the
+    // interpreted per-row minhashSignature fold even counting codegen
+    // warmup); in the large path the explode preserves collect_set's id
+    // partitioning, so the aggregation needs no shuffle
     val exploded = sets.select(col(idCol), explode(col("shset")).as("h"))
-    // signature via explode + k codegen'd min-aggregates (the array-
-    // expression variant in minhashSignature evaluates interpreted
-    // higher-order lambdas - fine per-row, slow over a corpus); explode
-    // preserves the id partitioning, so this aggregation needs no shuffle
     val minAggs = (0 until numHashes).map { j =>
       val a = (mix64(j.toLong * 2 + 1) & 0x7fffffffL) | 1L
       val b = mix64(j.toLong * 2 + 2) & 0x7fffffffL
@@ -247,13 +267,17 @@ object Dedup {
 
     val a = bandTable.select(col(idCol).as("id_a"), col("band_id"), col("band_hash"))
     val b = bandTable.select(col(idCol).as("id_b"), col("band_id"), col("band_hash"))
-    val candidates = a.join(b, Seq("band_id", "band_hash"))
+    // small corpus: the band table fits one node, so hash-join it in place
+    // instead of sort-merge (the static planner can't see the band table's
+    // size through the aggregation)
+    val candidates = a.join(if (small) broadcast(b) else b,
+        Seq("band_id", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
 
     // exact-Jaccard verify: attach the per-doc shingle-set arrays to the
     // candidate list, intersect natively (candidate-count × O(|set|))
-    val doBroadcast = broadcastSets.getOrElse(autoBroadcastSets(df))
+    val doBroadcast = broadcastSets.getOrElse(small)
     val setsA = sets.select(col(idCol).as("id_a"), col("shset").as("set_a"))
     val setsB = sets.select(col(idCol).as("id_b"), col("shset").as("set_b"))
     candidates
