@@ -70,12 +70,15 @@ object Amendments {
   /** Amendment browser paging (amendment_service.py:76-118): bills with
     * search over print name + pagination.
     */
-  def listBills(
+  /** [[listBills]] with the full paging envelope (the reference's
+    * response shape, `amendment_service.py:76-118`).
+    */
+  def listBillsPaged(
       bills: DataFrame,
       tiskLookup: DataFrame,
       search: Option[String],
       page: Int,
-      perPage: Int = 20): DataFrame = {
+      perPage: Int = 20): graft.operators.Browse.PagedResult = {
     graft.plans.GraftFunctions.ensure(bills.sparkSession)
     var df = bills.join(tiskLookup.select("schuze", "bod", "nazev"),
       Seq("schuze", "bod"), "left")
@@ -86,8 +89,16 @@ object Amendments {
         .contains(q.toLowerCase(java.util.Locale.ROOT)))
     }
     graft.operators.Browse.pageClamped(df, page, perPage,
-      col("schuze").desc, col("bod").desc).rows
+      col("schuze").desc, col("bod").desc)
   }
+
+  def listBills(
+      bills: DataFrame,
+      tiskLookup: DataFrame,
+      search: Option[String],
+      page: Int,
+      perPage: Int = 20): DataFrame =
+    listBillsPaged(bills, tiskLookup, search, page, perPage).rows
 
   /** Revote grouping (amendment_service.py:139-165): nest revotes under
     * the most recent preceding primary with the same letter. A row is

@@ -21,13 +21,16 @@ object LawsBrowser {
   def dedupeLaws(laws: DataFrame): DataFrame =
     Browse.keepFirst(laws, Seq("ct"), col("id_tisk").asc)
 
-  def listLaws(
+  /** [[listLaws]] with the full paging envelope (total / clamped page /
+    * total_pages — the reference's response shape, `law_service.py`).
+    */
+  def listLawsPaged(
       laws: DataFrame,
       search: Option[String] = None,
       statusFilter: Option[String] = None,
       topicFilter: Option[String] = None,
       page: Int = 1,
-      perPage: Int = 20): DataFrame = {
+      perPage: Int = 20): Browse.PagedResult = {
     var df = dedupeLaws(laws)
     search.filter(_.nonEmpty).foreach { q =>
       // reference parity: plain lowercase substring (law and amendment
@@ -40,8 +43,17 @@ object LawsBrowser {
     topicFilter.filter(_.nonEmpty).foreach { t =>
       df = df.filter(array_contains(col("topics"), t))
     }
-    Browse.pageClamped(df, page, perPage, col("ct").desc, col("id_tisk").asc).rows
+    Browse.pageClamped(df, page, perPage, col("ct").desc, col("id_tisk").asc)
   }
+
+  def listLaws(
+      laws: DataFrame,
+      search: Option[String] = None,
+      statusFilter: Option[String] = None,
+      topicFilter: Option[String] = None,
+      page: Int = 1,
+      perPage: Int = 20): DataFrame =
+    listLawsPaged(laws, search, statusFilter, topicFilter, page, perPage).rows
 
   /** Distinct topic labels across a period's laws (reference
     * `tisk_models.py:147-160`): explode + distinct.

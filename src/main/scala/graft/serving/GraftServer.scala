@@ -1,0 +1,412 @@
+package graft.serving
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.{Executors, TimeUnit, TimeoutException}
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.psp.{Amendments, Analyzer, Coalitions, LawsBrowser}
+
+/** One period's servable tables: the voting analyzer plus the externally
+  * enriched relations the law/amendment browsers read (topics and the
+  * amendment fact table come from the ingestion pipeline — fixtures in
+  * tests, parser output in production).
+  */
+case class PeriodCatalog(
+    analyzer: Analyzer,
+    laws: Option[DataFrame] = None,
+    amendmentBills: Option[DataFrame] = None,
+    amendVoteIds: Option[DataFrame] = None,
+    voteTopics: Option[DataFrame] = None)
+
+/** HTTP serving layer over the Analyzer catalog — the reference's FastAPI
+  * route surface (`routes/voting.py:23-130`, `routes/laws.py`,
+  * `routes/amendments.py`, `routes/charts.py`, `routes/health.py`)
+  * re-expressed over the JDK's built-in `com.sun.net.httpserver` (this
+  * build adds no third-party dependencies). Differences, documented:
+  * responses are JSON rows (the engine's native shape via
+  * `Dataset.toJSON`) instead of Jinja2 HTMX partials, and the chart
+  * endpoints serve chart-shaped DATA — PNG rasterization is
+  * presentation-layer (no plotting libs in this environment) and returns
+  * 501 with a pointer to the data endpoint.
+  *
+  * Kept from the reference, behavior-for-behavior:
+  *  - period validation: unknown period → 404 (`routes/utils.py:10-13`)
+  *  - param envelopes: top ∈ [1,200], page ∈ [1,1000], bounded string
+  *    lengths → 422 outside them (FastAPI Query(ge/le/max_length) parity)
+  *  - result memoization through [[AnalysisCache]] with the reference's
+  *    key scheme `loyalty:{period}:{top}:{party}` (`routes/voting.py:34`)
+  *  - per-route rate limits (60/120/30/15 per minute, `@limiter.limit`)
+  *  - compute timeouts: 15 s loyalty/attendance, 30 s similarity/PCA
+  *    (`middleware.run_with_timeout`) → 504 on expiry
+  *  - a data refresh clears the whole cache (`data_reader.py:444`);
+  *    [[invalidatePeriod]] covers the amendment pipeline's prefix
+  *    invalidation (`data_reader.py:468-469`)
+  */
+class GraftServer(
+    periods: Map[Int, PeriodCatalog],
+    port: Int = 0,
+    val cache: AnalysisCache[String] = new AnalysisCache[String](),
+    limiter: RateLimiter = new RateLimiter(),
+    limits: Map[String, Int] = GraftServer.DefaultLimits,
+    timeoutMillis: Long => Long = identity) {
+
+  private val http = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  private val pool = Executors.newFixedThreadPool(8)
+  private val computePool = Executors.newCachedThreadPool()
+
+  def boundPort: Int = http.getAddress.getPort
+
+  def start(): GraftServer = {
+    http.createContext("/api", (ex: HttpExchange) => handle(ex))
+    http.setExecutor(pool)
+    http.start()
+    this
+  }
+
+  def stop(): Unit = {
+    http.stop(0)
+    pool.shutdown()
+    computePool.shutdown()
+  }
+
+  /** Data-refresh invalidation for one period: every cache key scheme
+    * embeds the period as the second `:`-separated field, so dropping
+    * `prefix:period:` for each route prefix clears exactly that period's
+    * results (the reference's amendment-pipeline shape,
+    * `data_reader.py:468-469`; its full-reload path just calls
+    * `cache.invalidatePrefix("")`).
+    */
+  def invalidatePeriod(period: Int): Int =
+    GraftServer.KeyPrefixes.map(p => cache.invalidatePrefix(s"$p:$period:")).sum
+
+  // ------------------------------------------------------------- plumbing
+
+  private case class HttpError(status: Int, detail: String) extends RuntimeException(detail)
+
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  private def send(ex: HttpExchange, status: Int, body: String,
+      contentType: String = "application/json; charset=utf-8"): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", contentType)
+    ex.sendResponseHeaders(status, bytes.length)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+
+  private def parseQuery(raw: String): Map[String, String] =
+    if (raw == null || raw.isEmpty) Map.empty
+    else raw.split('&').toSeq.flatMap { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => Some(
+          java.net.URLDecoder.decode(k, "UTF-8") ->
+            java.net.URLDecoder.decode(v, "UTF-8"))
+        case Array(k) => Some(java.net.URLDecoder.decode(k, "UTF-8") -> "")
+        case _ => None
+      }
+    }.toMap
+
+  private def intParam(q: Map[String, String], name: String, default: Int,
+      min: Int, max: Int): Int =
+    q.get(name).filter(_.nonEmpty) match {
+      case None => default
+      case Some(s) =>
+        val v = try s.toInt catch {
+          case _: NumberFormatException =>
+            throw HttpError(422, s"Invalid integer for '$name': $s")
+        }
+        if (v < min || v > max)
+          throw HttpError(422, s"Param '$name' must be in [$min, $max], got $v")
+        v
+    }
+
+  private def strParam(q: Map[String, String], name: String, maxLen: Int): String = {
+    val v = q.getOrElse(name, "")
+    if (v.length > maxLen)
+      throw HttpError(422, s"Param '$name' exceeds max length $maxLen")
+    v
+  }
+
+  /** Reference `routes/utils.py:10-13` + DataReader.get_period: the period
+    * must be a known electoral period AND loaded.
+    */
+  private def periodCatalog(q: Map[String, String]): (Int, PeriodCatalog) = {
+    val p = intParam(q, "period", GraftServer.DefaultPeriod, Int.MinValue, Int.MaxValue)
+    if (!GraftServer.PeriodYears.contains(p))
+      throw HttpError(404, s"Unknown period $p")
+    periods.get(p) match {
+      case Some(c) => (p, c)
+      case None => throw HttpError(404, s"Period $p not loaded")
+    }
+  }
+
+  /** `middleware.run_with_timeout` parity: run the compute off-thread and
+    * 504 if it exceeds the route budget. `timeoutMillis` lets tests scale
+    * budgets down.
+    */
+  private def withTimeout[A](budgetMillis: Long, label: String)(f: => A): A = {
+    val task: java.util.concurrent.Callable[A] = () => f
+    val fut = computePool.submit(task)
+    try fut.get(timeoutMillis(budgetMillis), TimeUnit.MILLISECONDS)
+    catch {
+      case _: TimeoutException =>
+        fut.cancel(true)
+        throw HttpError(504, s"$label timed out")
+      case e: java.util.concurrent.ExecutionException =>
+        throw Option(e.getCause).getOrElse(e)
+    }
+  }
+
+  private def rows(df: DataFrame): String =
+    df.toJSON.collect().mkString("[", ",", "]")
+
+  private def paged(r: graft.operators.Browse.PagedResult): String =
+    s"""{"rows":${rows(r.rows)},"total":${r.total},"page":${r.page},""" +
+      s""""per_page":${r.perPage},"total_pages":${r.totalPages}}"""
+
+  private def rateKey(ex: HttpExchange, route: String): String =
+    route + ":" + Option(ex.getRemoteAddress).map(_.getAddress)
+      .map(_.getHostAddress).getOrElse("?")
+
+  // --------------------------------------------------------------- routes
+
+  private def handle(ex: HttpExchange): Unit = {
+    val path = ex.getRequestURI.getPath.stripPrefix("/api").stripSuffix("/")
+    val q = parseQuery(ex.getRequestURI.getRawQuery)
+    try {
+      if (ex.getRequestMethod != "GET") throw HttpError(405, "Method not allowed")
+      val route = path.stripPrefix("/")
+      val limitGroup =
+        if (route.startsWith("charts/") || route.endsWith(".png")) "charts"
+        else route
+      val limit = limits.getOrElse(limitGroup, 120)
+      if (!limiter.allow(rateKey(ex, limitGroup), limit))
+        throw HttpError(429, s"Rate limit exceeded: $limit per minute")
+      val body = route match {
+        case "health" =>
+          s"""{"status":"ok","periods_loaded":[${periods.keys.toSeq.sorted.mkString(",")}]}"""
+        case "loyalty" => loyaltyRoute(q)
+        case "attendance" => attendanceRoute(q)
+        case "similarity" => similarityRoute(q)
+        case "pca" => pcaRoute(q)
+        case "votes" => votesRoute(q)
+        case "laws" => lawsRoute(q)
+        case "amendments" => amendmentsRoute(q)
+        case "amendment-coalitions" => coalitionsRoute(q)
+        case "stats" => statsRoute(q)
+        case "charts/loyalty" => chartLoyaltyRoute(q)
+        case "charts/attendance" => chartAttendanceRoute(q)
+        case "charts/similarity" => chartSimilarityRoute(q)
+        case r if r.endsWith(".png") =>
+          throw HttpError(501,
+            s"PNG rendering is presentation-layer (no raster libs here); " +
+              "fetch the chart data from /api/charts/" +
+              r.stripPrefix("charts/").stripSuffix(".png"))
+        case other => throw HttpError(404, s"No route /api/$other")
+      }
+      send(ex, 200, body)
+    } catch {
+      case HttpError(status, detail) =>
+        send(ex, status, s"""{"detail":${jstr(detail)}}""")
+      case e: Throwable =>
+        send(ex, 500, s"""{"detail":${jstr(s"Internal error: ${e.getMessage}")}}""")
+    } finally ex.close()
+  }
+
+  private def loyaltyRoute(q: Map[String, String]): String = {
+    val (period, cat) = periodCatalog(q)
+    val top = intParam(q, "top", 30, 1, 200)
+    val party = strParam(q, "party", 200)
+    cache.getOrCompute(s"loyalty:$period:$top:$party") {
+      withTimeout(15000, "loyalty analysis") {
+        rows(cat.analyzer.loyalty(top, Some(party).filter(_.nonEmpty)))
+      }
+    }
+  }
+
+  private def attendanceRoute(q: Map[String, String]): String = {
+    val (period, cat) = periodCatalog(q)
+    val top = intParam(q, "top", 30, 1, 200)
+    val sort = strParam(q, "sort", 20) match { case "" => "worst"; case s => s }
+    val party = strParam(q, "party", 200)
+    cache.getOrCompute(s"attendance:$period:$top:$sort:$party") {
+      withTimeout(15000, "attendance analysis") {
+        rows(cat.analyzer.attendance(top, sort, Some(party).filter(_.nonEmpty)))
+      }
+    }
+  }
+
+  private def similarityRoute(q: Map[String, String]): String = {
+    val (period, cat) = periodCatalog(q)
+    val top = intParam(q, "top", 20, 1, 200)
+    cache.getOrCompute(s"similarity:$period:$top") {
+      withTimeout(30000, "similarity analysis") {
+        rows(cat.analyzer.crossPartySimilarity(top))
+      }
+    }
+  }
+
+  private def pcaRoute(q: Map[String, String]): String = {
+    val (period, cat) = periodCatalog(q)
+    // trailing ':' keeps period-prefix invalidation exact ("pca:1:" can
+    // never prefix-match a period-10 key)
+    cache.getOrCompute(s"similarity_pca:$period:") {
+      withTimeout(30000, "PCA analysis") {
+        rows(cat.analyzer.pcaCoords())
+      }
+    }
+  }
+
+  private def votesRoute(q: Map[String, String]): String = {
+    val (period, cat) = periodCatalog(q)
+    val search = strParam(q, "search", 200)
+    val outcome = strParam(q, "outcome", 20)
+    val topic = strParam(q, "topic", 200)
+    val page = intParam(q, "page", 1, 1, 1000)
+    cache.getOrCompute(s"votes:$period:$search:$outcome:$topic:$page") {
+      val topicKeys = Some(topic).filter(_.nonEmpty).flatMap { t =>
+        cat.voteTopics.map(_.filter(col("topic") === t).select("schuze", "bod"))
+      }
+      val d = cat.analyzer.data
+      paged(graft.psp.VotesBrowser.listVotesPaged(
+        d.votes.sparkSession, d.votes, d.voidVotes,
+        Some(search).filter(_.nonEmpty), Some(outcome).filter(_.nonEmpty),
+        topicKeys, page))
+    }
+  }
+
+  private def lawsRoute(q: Map[String, String]): String = {
+    val (period, cat) = periodCatalog(q)
+    val laws = cat.laws.getOrElse(
+      throw HttpError(404, s"Period $period has no laws table loaded"))
+    val search = strParam(q, "search", 200)
+    val status = strParam(q, "status", 200)
+    val topic = strParam(q, "topic", 200)
+    val page = intParam(q, "page", 1, 1, 1000)
+    cache.getOrCompute(s"laws:$period:$search:$status:$topic:$page") {
+      paged(LawsBrowser.listLawsPaged(
+        laws, Some(search).filter(_.nonEmpty), Some(status).filter(_.nonEmpty),
+        Some(topic).filter(_.nonEmpty), page))
+    }
+  }
+
+  private def amendmentsRoute(q: Map[String, String]): String = {
+    val (period, cat) = periodCatalog(q)
+    val bills = cat.amendmentBills.getOrElse(
+      throw HttpError(404, s"Period $period has no amendment table loaded"))
+    val search = strParam(q, "search", 200)
+    val page = intParam(q, "page", 1, 1, 1000)
+    cache.getOrCompute(s"amendments:$period:$search:$page") {
+      paged(Amendments.listBillsPaged(
+        bills, cat.analyzer.data.tiskLookup, Some(search).filter(_.nonEmpty), page))
+    }
+  }
+
+  private def coalitionsRoute(q: Map[String, String]): String = {
+    val (period, cat) = periodCatalog(q)
+    val amendIds = cat.amendVoteIds.getOrElse(
+      throw HttpError(404, s"Period $period has no amendment votes loaded"))
+    cache.getOrCompute(s"amendment-coalitions:$period:") {
+      withTimeout(30000, "coalition analysis") {
+        val d = cat.analyzer.data
+        val (agreement, rebels, cohesion) =
+          Coalitions.all(d.mpVotes, d.voidVotes, d.mpInfo, amendIds)
+        val out = s"""{"party_agreement":${rows(agreement)},""" +
+          s""""rebels":${rows(rebels)},"cohesion":${rows(cohesion)}}"""
+        graft.operators.CacheRegistry.drain()
+        out
+      }
+    }
+  }
+
+  private def statsRoute(q: Map[String, String]): String = {
+    val (period, cat) = periodCatalog(q)
+    cache.getOrCompute(s"stats:$period:") {
+      rows(cat.analyzer.periodStats())
+    }
+  }
+
+  // chart DATA endpoints (`routes/charts.py:39-149` minus the raster):
+  // same cache keys and row prep as the reference's figures
+
+  private def chartLabel: org.apache.spark.sql.Column =
+    concat(col("jmeno"), lit(" "), col("prijmeni"),
+      lit(" ("), coalesce(col("party"), lit("?")), lit(")"))
+
+  private def chartLoyaltyRoute(q: Map[String, String]): String = {
+    val (period, cat) = periodCatalog(q)
+    val top = intParam(q, "top", 20, 1, 200)
+    cache.getOrCompute(s"chart_loyalty:$period:$top") {
+      withTimeout(20000, "loyalty chart") {
+        rows(cat.analyzer.loyalty(top)
+          .select(chartLabel.as("label"), col("rebellion_pct").as("value")))
+      }
+    }
+  }
+
+  /** `charts.py` chart_meta: sort key → plotted field. */
+  private val AttendanceChartField = Map(
+    "worst" -> "attendance_pct", "best" -> "attendance_pct",
+    "most_active" -> "active", "least_active" -> "active",
+    "most_abstained" -> "abstained", "most_excused" -> "excused",
+    "most_passive" -> "passive", "most_absent" -> "absent",
+    "most_yes" -> "yes_votes", "most_no" -> "no_votes")
+
+  private def chartAttendanceRoute(q: Map[String, String]): String = {
+    val (period, cat) = periodCatalog(q)
+    val top = intParam(q, "top", 20, 1, 200)
+    val sort = strParam(q, "sort", 20) match { case "" => "worst"; case s => s }
+    val party = strParam(q, "party", 200)
+    val field = AttendanceChartField.getOrElse(sort, "attendance_pct")
+    cache.getOrCompute(s"chart_attendance:$period:$top:$sort:$party") {
+      withTimeout(20000, "attendance chart") {
+        rows(cat.analyzer.attendance(top, sort, Some(party).filter(_.nonEmpty))
+          .select(chartLabel.as("label"), col(field).as("value")))
+      }
+    }
+  }
+
+  private def chartSimilarityRoute(q: Map[String, String]): String = {
+    val (period, cat) = periodCatalog(q)
+    cache.getOrCompute(s"chart_similarity:$period:") {
+      withTimeout(30000, "similarity chart") {
+        // pcaCoords already serves the chart shape (mp_name, party, x, y)
+        rows(cat.analyzer.pcaCoords())
+      }
+    }
+  }
+}
+
+object GraftServer {
+  /** Reference `config.py` PERIOD_YEARS — the valid electoral periods. */
+  val PeriodYears: Map[Int, String] = Map(
+    10 -> "2025", 9 -> "2021", 8 -> "2017", 7 -> "2013", 6 -> "2010",
+    5 -> "2006", 4 -> "2002", 3 -> "1998", 2 -> "1996", 1 -> "1993")
+
+  val DefaultPeriod = 10
+
+  /** Per-route requests/minute (`@limiter.limit` values in the routes). */
+  val DefaultLimits: Map[String, Int] = Map(
+    "loyalty" -> 60, "attendance" -> 60, "similarity" -> 60, "pca" -> 30,
+    "votes" -> 120, "laws" -> 120, "amendments" -> 120,
+    "amendment-coalitions" -> 15, "stats" -> 120, "health" -> 120,
+    "charts" -> 30)
+
+  /** Every cache-key prefix a period's results live under. */
+  val KeyPrefixes: Seq[String] = Seq(
+    "loyalty", "attendance", "similarity", "similarity_pca", "votes",
+    "laws", "amendments", "amendment-coalitions", "stats",
+    "chart_loyalty", "chart_attendance", "chart_similarity")
+}

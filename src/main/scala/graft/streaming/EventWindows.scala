@@ -70,12 +70,17 @@ object EventWindows {
 
   /** File-source streaming refresh replacing the reference's mtime watcher
     * (S8): watch a parquet directory, maintain an always-current temp view
-    * via foreachBatch.
+    * via foreachBatch. `onRefresh` runs after each refresh — the serving
+    * layer hooks cache invalidation here (the reference's
+    * `data_reader.py:444` drops the analysis cache when the watcher sees
+    * new parquet; pass e.g. `() => server.invalidatePeriod(p)` or a full
+    * `cache.invalidatePrefix("")`).
     */
   def watchParquetDir(
       spark: SparkSession, dir: String,
       schema: org.apache.spark.sql.types.StructType,
-      viewName: String): DataStreamWriter[Row] =
+      viewName: String,
+      onRefresh: () => Unit = () => ()): DataStreamWriter[Row] =
     spark.readStream
       .schema(schema)
       .parquet(dir)
@@ -86,5 +91,6 @@ object EventWindows {
         // refresh on the OUTER session — foreachBatch runs in a cloned
         // session whose temp views are invisible to the serving session
         spark.read.parquet(dir).createOrReplaceTempView(viewName)
+        onRefresh()
       }
 }

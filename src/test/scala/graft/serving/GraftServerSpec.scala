@@ -1,0 +1,203 @@
+package graft.serving
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import graft.SparkSpec
+import graft.psp.{Analyzer, Fixtures, PeriodData}
+
+/** End-to-end serving-layer spec: starts the HTTP server on fixture data
+  * and mirrors the reference's `tests/api/test_api_endpoints.py`
+  * assertions (health / loyalty / attendance / similarity / votes /
+  * invalid-period-404), plus the envelope behaviors the routes promise:
+  * param validation (422), rate limiting (429), cache keying +
+  * invalidation, chart data endpoints, PNG 501 stubs.
+  */
+class GraftServerSpec extends SparkSpec {
+
+  private def fixtureCatalog(): PeriodCatalog = {
+    import spark.implicits._
+    val data = PeriodData(
+      period = 1,
+      votes = Fixtures.makeVotes(spark),
+      mpVotes = Fixtures.makeMpVotes(spark),
+      voidVotes = Fixtures.makeVoidVotes(spark),
+      mpInfo = Fixtures.makeMpInfo(spark),
+      tiskLookup = Seq((1, 1, "Návrh zákona o rozpočtu"))
+        .toDF("schuze", "bod", "nazev"))
+    val laws = Seq(
+      (410L, 100, "Návrh zákona o rozpočtu", "in_progress", Seq("finance")),
+      (412L, 101, "Novela školského zákona", "passed", Seq("education")),
+      (413L, 102, "Zákon o daních", "rejected", Seq("finance", "tax")))
+      .toDF("id_tisk", "ct", "nazev", "status", "topics")
+    val bills = Seq((1, 1, 1, "410"), (1, 1, 2, "411"))
+      .toDF("period", "schuze", "bod", "ct")
+    val amendIds = Seq(1L, 2L).toDF("id_hlasovani")
+    val topics = Seq((1, 1, "finance")).toDF("schuze", "bod", "topic")
+    PeriodCatalog(new Analyzer(data), Some(laws), Some(bills),
+      Some(amendIds), Some(topics))
+  }
+
+  private var server: GraftServer = _
+  private var base: String = _
+  private val client = HttpClient.newHttpClient()
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    server = new GraftServer(
+      periods = Map(1 -> fixtureCatalog()),
+      limits = GraftServer.DefaultLimits + ("similarity" -> 3)).start()
+    base = s"http://127.0.0.1:${server.boundPort}"
+  }
+
+  override def afterAll(): Unit = {
+    if (server != null) server.stop()
+    super.afterAll()
+  }
+
+  private def get(path: String): HttpResponse[String] =
+    client.send(
+      HttpRequest.newBuilder(URI.create(base + path)).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("health returns ok with loaded periods (test_health_returns_ok)") {
+    val r = get("/api/health")
+    assert(r.statusCode() == 200)
+    assert(r.headers().firstValue("Content-Type").get.startsWith("application/json"))
+    assert(r.body().contains("\"status\":\"ok\""))
+    assert(r.body().contains("\"periods_loaded\":[1]"))
+  }
+
+  test("loyalty endpoint serves the fixture's 60% rebel (test_loyalty_api)") {
+    val r = get("/api/loyalty?period=1")
+    assert(r.statusCode() == 200)
+    assert(r.body().contains("Dvořák"))
+    assert(r.body().contains("\"rebellion_pct\":60.0"))
+  }
+
+  test("attendance endpoint (test_attendance_api)") {
+    val r = get("/api/attendance?period=1")
+    assert(r.statusCode() == 200)
+    assert(r.body().contains("attendance_pct"))
+  }
+
+  test("similarity endpoint (test_similarity_api)") {
+    val r = get("/api/similarity?period=1")
+    assert(r.statusCode() == 200)
+    assert(r.body().contains("cosine"))
+  }
+
+  test("votes endpoint returns the paging envelope (test_votes_api)") {
+    val r = get("/api/votes?period=1")
+    assert(r.statusCode() == 200)
+    assert(r.body().contains("\"rows\":["))
+    assert(r.body().contains("\"total\":5"))
+    assert(r.body().contains("\"total_pages\":1"))
+  }
+
+  test("votes search + topic filters narrow the listing") {
+    val r = get("/api/votes?period=1&search=Test%20vote%203")
+    assert(r.statusCode() == 200)
+    assert(r.body().contains("\"total\":1"))
+    // topic 'finance' maps to (schuze=1, bod=1) -> only vote 1
+    val t = get("/api/votes?period=1&topic=finance")
+    assert(t.body().contains("\"total\":1"))
+    val none = get("/api/votes?period=1&topic=space")
+    assert(none.body().contains("\"total\":0"))
+  }
+
+  test("unknown period is a 404 (test_invalid_period_returns_404)") {
+    val r = get("/api/loyalty?period=999")
+    assert(r.statusCode() == 404)
+    assert(r.body().contains("Unknown period 999"))
+    // valid period number that isn't loaded is also a 404
+    assert(get("/api/loyalty?period=9").statusCode() == 404)
+  }
+
+  test("param envelopes reject out-of-range values with 422") {
+    assert(get("/api/loyalty?period=1&top=0").statusCode() == 422)
+    assert(get("/api/loyalty?period=1&top=500").statusCode() == 422)
+    assert(get("/api/votes?period=1&page=2000").statusCode() == 422)
+    assert(get("/api/loyalty?period=1&top=abc").statusCode() == 422)
+  }
+
+  test("page beyond the data clamps to the last page, reference-style") {
+    val r = get("/api/votes?period=1&page=999")
+    assert(r.statusCode() == 200)
+    assert(r.body().contains("\"page\":1"))
+  }
+
+  test("laws endpoint filters and pages") {
+    val all = get("/api/laws?period=1")
+    assert(all.statusCode() == 200)
+    assert(all.body().contains("\"total\":3"))
+    val tax = get("/api/laws?period=1&topic=tax")
+    assert(tax.body().contains("\"total\":1"))
+    assert(tax.body().contains("Zákon o daních"))
+    val passed = get("/api/laws?period=1&status=passed")
+    assert(passed.body().contains("\"total\":1"))
+  }
+
+  test("amendments endpoint joins print names and pages") {
+    val r = get("/api/amendments?period=1")
+    assert(r.statusCode() == 200)
+    assert(r.body().contains("\"total\":2"))
+    assert(r.body().contains("Návrh zákona o rozpočtu"))
+  }
+
+  test("amendment-coalitions endpoint serves all three analyses") {
+    val r = get("/api/amendment-coalitions?period=1")
+    assert(r.statusCode() == 200)
+    assert(r.body().contains("\"party_agreement\":["))
+    assert(r.body().contains("\"rebels\":["))
+    assert(r.body().contains("\"cohesion\":["))
+  }
+
+  test("stats endpoint serves the period envelope") {
+    val r = get("/api/stats?period=1")
+    assert(r.statusCode() == 200)
+    assert(r.body().contains("\"n_votes\":5"))
+    assert(r.body().contains("\"n_mps\":6"))
+  }
+
+  test("chart data endpoints serve label/value rows; PNG is an honest 501") {
+    val loy = get("/api/charts/loyalty?period=1")
+    assert(loy.statusCode() == 200, loy.body())
+    assert(loy.body().contains("\"label\":\"Karel Dvořák (ODS)\""))
+    assert(loy.body().contains("\"value\":60.0"))
+    val att = get("/api/charts/attendance?period=1&sort=most_active")
+    assert(att.statusCode() == 200, att.body())
+    assert(att.body().contains("\"value\":"))
+    val sim = get("/api/charts/similarity?period=1")
+    assert(sim.statusCode() == 200, sim.body())
+    assert(sim.body().contains("\"x\":"))
+    val png = get("/api/loyalty.png?period=1")
+    assert(png.statusCode() == 501)
+    assert(png.body().contains("/api/charts/loyalty"))
+  }
+
+  test("results are memoized under the reference key scheme and " +
+      "period invalidation drops them") {
+    get("/api/loyalty?period=1&top=7")
+    assert(server.cache.get("loyalty:1:7:").isDefined)
+    val before = server.cache.size
+    get("/api/loyalty?period=1&top=7") // hit — no new entry
+    assert(server.cache.size == before)
+    val dropped = server.invalidatePeriod(1)
+    assert(dropped >= 1)
+    assert(server.cache.get("loyalty:1:7:").isEmpty)
+  }
+
+  test("per-route rate limit returns 429 once exhausted") {
+    // similarity limit lowered to 3/min for this suite; first calls may
+    // already have consumed some budget — drive it over the top
+    val codes = (1 to 6).map(_ => get("/api/similarity?period=1&top=5").statusCode())
+    assert(codes.contains(429))
+    // other routes are unaffected by similarity's bucket
+    assert(get("/api/health").statusCode() == 200)
+  }
+
+  test("unknown API route is a 404") {
+    assert(get("/api/nope?period=1").statusCode() == 404)
+  }
+}

@@ -33,4 +33,26 @@ class WatcherSpec extends SparkSpec {
     runPass()
     assert(spark.table("watched").count() == 3)
   }
+
+  test("watcher refresh hook drops the serving cache (reference " +
+      "data_reader.py:444 — new parquet invalidates analysis results)") {
+    val session = spark
+    import session.implicits._
+    val dir = Files.createTempDirectory("watch-inv")
+    val ckpt = Files.createTempDirectory("watch-inv-ckpt")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    val cache = new graft.serving.AnalysisCache[String]()
+    cache.getOrCompute("loyalty:1:30:")("stale-result")
+    assert(cache.size == 1)
+
+    Seq((1L, "a")).toDF("id", "v").write.mode("append").parquet(dir.toString)
+    val q = EventWindows.watchParquetDir(
+        spark, dir.toString, schema, "watched_inv",
+        onRefresh = () => cache.invalidatePrefix(""))
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    q.awaitTermination()
+    assert(cache.size == 0, "refresh must invalidate cached analyses")
+  }
 }
