@@ -80,6 +80,43 @@ class AmendmentsSpec extends SparkSpec {
     assert(letters == Seq("A", "B", "F"))
   }
 
+  test("amendment facts flow from the STENO PARSER, not hand-built " +
+      "fixtures: parse → resolve vote ids → collect bills") {
+    import spark.implicits._
+    // votes for schuze 1: cislo 10/11/12 map to id 1/2/3 (see votes())
+    val steno = """
+<p>Nyní přikročíme k hlasování o pozměňovacích návrzích.</p>
+<p>Pozměňovací návrh písmenem A pana poslance Dvořáka.
+Stanovisko výboru je doporučující. Předkladatel? (Souhlas.)</p>
+<p>Hlasování číslo 10. Přijato.</p>
+<p>Dále pozměňovací návrh pod označením B.
+Stanovisko výboru je nedoporučující.</p>
+<p>Hlasování číslo 11. Zamítnuto.</p>
+<p>Nyní budeme hlasovat o návrhu zákona jako celku.</p>
+<p>Hlasování číslo 12. Přijato.</p>
+"""
+    val pages = Seq((10L, 1L, 2L, 100L, steno))
+      .toDF("period", "schuze", "bod", "ct", "html")
+    val parsed = graft.sources.StenoIngest.parse(pages)
+    assert(parsed.count() == 3) // A, B, final
+
+    val resolved = Amendments.resolveVoteIds(parsed, votes())
+    val byLetter = resolved.collect()
+      .map(r => r.getAs[String]("letter") -> r.getAs[Long]("id_hlasovani")).toMap
+    assert(byLetter("A") == 1L && byLetter("B") == 2L && byLetter("") == 3L)
+
+    val bills = Amendments.collectBills(resolved).collect()
+    assert(bills.length == 1)
+    assert(bills(0).getAs[Long]("amendment_count") == 3L)
+    assert(bills(0).getAs[Long]("final_vote_id") == 3L)
+    val amendA = bills(0)
+      .getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("amendments")
+      .find(_.getAs[String]("letter") == "A").get
+    assert(amendA.getAs[String]("result") == "accepted")
+    assert(amendA.getAs[scala.collection.Seq[String]]("submitter_names") ==
+      Seq("Dvořáka"))
+  }
+
   test("listBills search is plain lowercase substring (reference parity: " +
       "no diacritic strip in the amendment browser)") {
     import spark.implicits._
