@@ -792,24 +792,19 @@ object SparkEntry {
         max(col("n")).cast("long").as("top_token_cnt"))
   }
 
-  /** Equal-frequency deciles (NTILE) over order totals — quantile
-    * bucketing for score-based data filtering. Fully tiebroken window, so
-    * bucket assignment is deterministic cross-engine. Scale note: a
-    * global ntile is a total sort; at 100 TB use approx quantile cuts +
-    * a bucket join instead (q52's percentile family).
+  /** Equal-frequency deciles over order totals — quantile bucketing for
+    * score-based data filtering, via [[graft.operators.Quantiles]]: the
+    * auto dispatch picks exact NTILE here (small input → deterministic
+    * cross-engine assignment for the oracle) and approx-quantile cuts +
+    * codegen bucket assignment past the size threshold (no global sort —
+    * the 100 TB path, plan-tested in PlanQualitySpec).
     */
-  private def q68(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
-    ord(s, d)
-      .withColumn("decile", ntile(10).over(w))
-      .groupBy("decile")
-      .agg(
-        count(lit(1)).as("n"),
-        min(col("o_totalprice")).as("min_price"),
-        max(col("o_totalprice")).as("max_price"))
+  private def q68(s: SparkSession, d: String): DataFrame =
+    graft.operators.Quantiles.bucketStats(
+        ord(s, d), "o_totalprice", col("o_orderkey").asc, 10)
+      .select(col("bucket").as("decile"), col("n"),
+        col("min_value").as("min_price"), col("max_value").as("max_price"))
       .orderBy("decile")
-  }
 
   /** Pearson correlation per group via EXACT decimal co-moments — the
     * built-in `corr` accumulates doubles in partition order and is not

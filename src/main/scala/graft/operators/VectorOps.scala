@@ -183,12 +183,17 @@ object VectorOps {
       .select("m_a", "m_b", "cosine")
   }
 
-  /** Strategy switch for M3: count distinct items once; densify when the
-    * item space is small enough to pivot, stay long-form otherwise.
+  /** Strategy switch for M3: densify only when BOTH cardinalities are
+    * small — few items (the pivot is feasible) AND few members (the dense
+    * path's member×member crossJoin emits members²/2 rows, so a big
+    * member space must stay long-form no matter how few items there are).
+    * Both probes are bounded: items collects at most denseItemLimit+1
+    * values, members counts at most denseMemberLimit+1 rows.
     */
   def cosinePairsTopKAuto(
       df: DataFrame, memberCol: String, itemCol: String, valueCol: String,
-      k: Int, denseItemLimit: Int = 2048): DataFrame = {
+      k: Int, denseItemLimit: Int = 2048,
+      denseMemberLimit: Int = 4096): DataFrame = {
     // canonicalize duplicate (member, item) rows by summing FIRST — the
     // long path sums duplicates while pivot-first() would pick one
     // arbitrarily, so without this the two branches could disagree
@@ -197,9 +202,40 @@ object VectorOps {
     val items = canon.select(col(itemCol)).distinct()
       .orderBy(col(itemCol)).limit(denseItemLimit + 1)
       .collect().map(_.get(0)).toSeq
-    if (items.length <= denseItemLimit)
+    def membersFitDense: Boolean =
+      canon.select(col(memberCol)).distinct()
+        .limit(denseMemberLimit + 1).count() <= denseMemberLimit
+    if (items.length <= denseItemLimit && membersFitDense)
       cosinePairsTopKDense(canon, memberCol, itemCol, valueCol, k, items)
     else
       cosinePairsTopK(canon, memberCol, itemCol, valueCol, k)
+  }
+
+  /** [[pivotMatrix]] WITHOUT a driver-collected item list: items get
+    * contiguous indices from a window over the DISTINCT-item relation
+    * (far smaller than the fact table, and never on the driver), values
+    * scatter into a map per member, and the dense feature array is a
+    * `transform(sequence(...))` fill — value-identical to the pivot when
+    * (member, item) is unique. Only the dimension COUNT (one scalar)
+    * reaches the driver, so the assembly survives any item cardinality
+    * the downstream consumer can handle.
+    */
+  def matrixFromLongForm(
+      df: DataFrame, memberCol: String, itemCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val items = df.select(col(itemCol)).distinct()
+    val dim = items.count()
+    require(dim <= Int.MaxValue, s"item dimension $dim exceeds array bounds")
+    val idx = items.withColumn("__idx",
+      (row_number().over(Window.orderBy(col(itemCol))) - 1))
+    df.join(idx, Seq(itemCol))
+      .groupBy(col(memberCol))
+      .agg(map_from_entries(
+        collect_list(struct(col("__idx"), col(valueCol).cast("double"))))
+        .as("__m"))
+      .select(col(memberCol),
+        transform(sequence(lit(0), lit(dim.toInt - 1)),
+          i => coalesce(element_at(col("__m"), i), lit(0.0d))).as("features"))
   }
 }

@@ -34,13 +34,25 @@ object Similarity {
 
   /** PCA 2-component coords per MP (mp_name, party, x, y). Component signs
     * are arbitrary (SVD) — compare sign-invariantly.
+    *
+    * The item list drives a pivot and must be collected for it, so the
+    * collect is CAPPED at `itemLimit` (the reference's whole item space
+    * is ~10⁴ votes); past the cap the matrix is assembled long-form
+    * ([[VectorOps.matrixFromLongForm]] — value-identical, no driver
+    * materialization of the item list). Either way the SVD's Gramian is
+    * items², which is the true mathematical bound on this analysis.
     */
-  def computePcaCoords(mpVotes: DataFrame, voidVotes: DataFrame, mpInfo: DataFrame): DataFrame = {
+  def computePcaCoords(mpVotes: DataFrame, voidVotes: DataFrame,
+      mpInfo: DataFrame, itemLimit: Int = 20000): DataFrame = {
     val enc = encodedVotes(mpVotes, voidVotes)
     val items = enc.select("id_hlasovani").distinct()
-      .orderBy("id_hlasovani").collect().map(_.getLong(0)).toSeq
-    val matrix = VectorOps.pivotMatrix(
-      enc, "id_poslanec", "id_hlasovani", "v", items)
+      .orderBy("id_hlasovani").limit(itemLimit + 1)
+      .collect().map(_.getLong(0)).toSeq
+    val matrix =
+      if (items.length <= itemLimit)
+        VectorOps.pivotMatrix(enc, "id_poslanec", "id_hlasovani", "v", items)
+      else
+        VectorOps.matrixFromLongForm(enc, "id_poslanec", "id_hlasovani", "v")
     VectorOps.pca2(matrix, "id_poslanec", "features")
       .join(broadcast(mpInfo), Seq("id_poslanec"), "left")
       .select(
