@@ -696,6 +696,45 @@ object OracleSql {
         |WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.7
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // transitive closure of the exact Jaccard pairs: recursive min-label
+    // reachability == the Spark side's label-propagation fixpoint
+    "q72_dedup_clusters" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents),
+        |toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ts
+        |  FROM corpus),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ts) >= 3
+        |      THEN list_distinct(list_transform(range(1, len(ts) - 1),
+        |             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))
+        |      ELSE [array_to_string(ts, ' ')] END AS shingles
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |shared AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM shared
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.7),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+        |reach(id, label) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+        |comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id)
+        |SELECT component AS cluster_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |  max(id) AS max_id
+        |FROM comp GROUP BY component ORDER BY cluster_id""".stripMargin,
+
     // exact grid-blocked cosine join (LSH variant q32 is rows-only)
     "q61_cosine_grid_pairs" ->
       """WITH corpus AS (

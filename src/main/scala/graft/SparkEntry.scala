@@ -895,6 +895,23 @@ object SparkEntry {
       .orderBy("cohort_week", "week_n")
   }
 
+  /** Duplicate-CLUSTER resolution over the exact near-dup pairs: pair
+    * generation says "a ~ b"; dedup needs one keeper per TRANSITIVE
+    * group, so the pairs feed connected components (min-label
+    * propagation) and each cluster reports its keeper (= min id =
+    * component label), size, and max member. Exact pair tier (q60's
+    * operator) ⇒ the whole chain is oracle-checkable — the DuckDB side
+    * recomputes the pairs and closes them with a recursive CTE.
+    */
+  private def q72(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select("doc_id", "text")
+    val cloned = base.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val pairs = Dedup.prefixJaccardPairs(
+      base.unionAll(cloned), "doc_id", "text", shingleN = 3, threshold = 0.7)
+    graft.operators.Components.dupClusters(pairs, "id_a", "id_b")
+      .orderBy("cluster_id")
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -968,6 +985,7 @@ object SparkEntry {
     "q69_decimal_corr" -> (q69(_, _)),
     "q70_funnel" -> (q70(_, _)),
     "q71_retention_cohorts" -> (q71(_, _)),
+    "q72_dedup_clusters" -> (q72(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ComponentsSpec extends SparkSpec {
+
+  private def edges(pairs: (Long, Long)*) = {
+    import spark.implicits._
+    pairs.toDF("id_a", "id_b")
+  }
+
+  test("components: chain, clique, and isolated pair resolve to min labels") {
+    // chain 1-2-3-4 (diameter 3), clique 10-11-12, pair 20-21
+    val e = edges((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L))
+    val cc = Components.connectedComponents(e, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    CacheRegistry.drain()
+  }
+
+  test("label direction matters: min label must flow AGAINST edge " +
+      "direction too (undirected closure)") {
+    // edges listed so the small id is on the b side
+    val cc = Components.connectedComponents(
+        edges((5L, 1L), (6L, 5L)), "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 5L -> 1L, 6L -> 1L))
+    CacheRegistry.drain()
+  }
+
+  test("dupClusters summarizes transitive groups (not just direct pairs)") {
+    val clusters = Components.dupClusters(
+        edges((1L, 2L), (2L, 3L), (10L, 11L)), "id_a", "id_b")
+      .orderBy("cluster_id").collect()
+    assert(clusters.length == 2)
+    assert(clusters(0).getLong(0) == 1L && clusters(0).getLong(1) == 3L &&
+      clusters(0).getLong(2) == 3L)
+    assert(clusters(1).getLong(0) == 10L && clusters(1).getLong(1) == 2L &&
+      clusters(1).getLong(2) == 11L)
+    CacheRegistry.drain()
+  }
+
+  test("clusterDedup keeps exactly one member per transitive cluster") {
+    import spark.implicits._
+    val df = (1L to 6L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val kept = Components.clusterDedup(
+        df, "doc_id", edges((1L, 2L), (2L, 3L), (5L, 6L)), "id_a", "id_b")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // cluster {1,2,3} -> keep 1; {5,6} -> keep 5; 4 untouched
+    assert(kept == Seq(1L, 4L, 5L))
+    CacheRegistry.drain()
+  }
+
+  test("a diameter beyond maxIter fails loudly instead of returning a " +
+      "partial labeling") {
+    val chain = edges((1L to 9L).map(i => (i, i + 1)): _*)
+    val err = intercept[IllegalStateException] {
+      Components.connectedComponents(chain, "id_a", "id_b", maxIter = 2)
+    }
+    assert(err.getMessage.contains("not converged"))
+    CacheRegistry.drain()
+  }
+}
