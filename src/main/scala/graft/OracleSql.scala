@@ -735,6 +735,46 @@ object OracleSql {
         |  max(id) AS max_id
         |FROM comp GROUP BY component ORDER BY cluster_id""".stripMargin,
 
+    "q73_pii_mask" ->
+      """WITH withpii AS (
+        |  SELECT doc_id,
+        |    text || ' kontakt: user' || doc_id ||
+        |    '@example.com tel 777123456 web http://example.com/doc/' || doc_id
+        |    AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{9,}')) AS BIGINT) AS n_nums,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    'https?://[^\s]+', '<URL>', 'g'),
+        |    '[0-9]{9,}', '<NUM>', 'g')) AS masked_md5
+        |FROM withpii ORDER BY doc_id""".stripMargin,
+
+    "q74_incremental_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+        |batch AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM corpus),
+        |bfp AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM batch),
+        |cfp AS (
+        |  SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM corpus),
+        |novel AS (
+        |  SELECT b.* FROM bfp b LEFT JOIN cfp c USING (fp) WHERE c.fp IS NULL),
+        |ranked AS (
+        |  SELECT doc_id, fp,
+        |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |  FROM novel)
+        |SELECT doc_id, fp FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
     // exact grid-blocked cosine join (LSH variant q32 is rows-only)
     "q61_cosine_grid_pairs" ->
       """WITH corpus AS (

@@ -912,6 +912,39 @@ object SparkEntry {
       .orderBy("cluster_id")
   }
 
+  /** PII scrub: plant deterministic synthetic PII (email/phone/URL built
+    * from the doc id) into each document, count hits per kind, and mask.
+    * The masked text is md5'd so the oracle compares VALUES without
+    * shipping full text through the harness.
+    */
+  private def q73(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    val withPii = docs(s, d).select(col("doc_id"),
+      concat(col("text"),
+        lit(" kontakt: user"), col("doc_id"), lit("@example.com tel 777123456"),
+        lit(" web http://example.com/doc/"), col("doc_id")).as("text"))
+    TextAnalysis.piiCounts(withPii, "text")
+      .select(col("doc_id"), col("n_emails"), col("n_urls"), col("n_nums"),
+        md5(TextAnalysis.maskPii(col("text"))).as("masked_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Incremental batch-vs-corpus exact dedup: even-id docs are the
+    * existing corpus; the new batch is the odd-id docs plus a re-keyed
+    * copy of the corpus (planted cross-batch duplicates). Survivors =
+    * batch rows novel against the corpus AND first of their fingerprint
+    * within the batch.
+    */
+  private def q74(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d).select("doc_id", "text")
+    val corpus = all.filter(col("doc_id") % 2 === 0)
+    val batch = all.filter(col("doc_id") % 2 === 1)
+      .unionAll(corpus.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    Dedup.incrementalDedup(batch, corpus, "doc_id", "text")
+      .select("doc_id", "fp")
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -986,6 +1019,8 @@ object SparkEntry {
     "q70_funnel" -> (q70(_, _)),
     "q71_retention_cohorts" -> (q71(_, _)),
     "q72_dedup_clusters" -> (q72(_, _)),
+    "q73_pii_mask" -> (q73(_, _)),
+    "q74_incremental_dedup" -> (q74(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

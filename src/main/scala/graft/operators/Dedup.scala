@@ -64,6 +64,22 @@ object Dedup {
       exactGroups(df, idCol, textCol).select(col("keep_id").as(idCol)),
       Seq(idCol), "left_semi")
 
+  /** Incremental exact dedup — the streaming-batch shape of a corpus
+    * pipeline: a NEW batch dedups against the EXISTING corpus (anti-join
+    * on the content fingerprint; the corpus side reduces to its distinct
+    * fingerprints, so at 100 TB this is a semi-join against a fingerprint
+    * index, not a full-corpus scan per batch) and then within itself
+    * (keep-smallest-id per fingerprint). Returns the surviving batch rows
+    * with their fingerprint.
+    */
+  def incrementalDedup(
+      batch: DataFrame, corpus: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bfp = batch.withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
+    val cfp = corpus.select(TextAnalysis.fingerprint(col(textCol)).as("fp")).distinct()
+    val novel = bfp.join(cfp, Seq("fp"), "left_anti")
+    graft.operators.Browse.keepFirst(novel, Seq("fp"), col(idCol).asc)
+  }
+
   // ------------------------------------------------------------- shingles
 
   /** Word w-shingles as an array column: contiguous n-token windows joined

@@ -25,6 +25,34 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** PII scrub patterns, written to the Java-regex ∩ RE2 common subset so
+    * masking behaves identically in Spark and any RE2 engine (DuckDB,
+    * Go): character classes, bounded repetition, no lookarounds.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://[^\\s]+"
+  val LongDigitsRe = "[0-9]{9,}"
+
+  /** Mask emails → <EMAIL>, URLs → <URL>, long digit runs → <NUM> (the
+    * standard pre-training scrub). Order matters and is part of the
+    * contract: emails first (an address inside a URL masks as email),
+    * then URLs (removing their digits), then bare digit runs.
+    */
+  def maskPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        UrlRe, "<URL>"),
+      LongDigitsRe, "<NUM>")
+
+  /** Pre-mask PII hit counts per kind (regexp_extract_all → size). */
+  def piiCounts(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_emails", size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long"))
+      .withColumn("n_urls", size(regexp_extract_all(t, lit(UrlRe), lit(0))).cast("long"))
+      .withColumn("n_nums", size(regexp_extract_all(t, lit(LongDigitsRe), lit(0))).cast("long"))
+  }
+
   /** Quality-score feature bundle. Ratios are exact-count divisions —
     * deterministic doubles on any engine.
     */
