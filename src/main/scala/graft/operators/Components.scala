@@ -24,11 +24,60 @@ import org.apache.spark.sql.functions._
 object Components {
 
   /** (id, component) for every node appearing in `edges`; component =
-    * min node id reachable. Converges to fixpoint or throws after
-    * `maxIter` (a diameter that large means this propagation is the
+    * min node id reachable.
+    *
+    * Dispatch: an edge set under `localEdgeLimit` is collected and
+    * closed with driver-side union-find (milliseconds, zero iteration
+    * overhead — pair relations from near-dup joins are output-sized,
+    * usually tiny next to the corpus); past the limit the distributed
+    * min-label propagation runs, converging to fixpoint or throwing
+    * after `maxIter` (a diameter that large means propagation is the
     * wrong algorithm, not that a partial answer is acceptable).
     */
   def connectedComponents(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 25, localEdgeLimit: Long = 5000000L): DataFrame = {
+    val probe = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .limit((localEdgeLimit + 1).toInt)
+      .collect()
+    if (probe.length <= localEdgeLimit) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return localUnionFind(probe.map(r => (r.getLong(0), r.getLong(1))))
+        .toSeq.toDF("id", "component")
+    }
+    connectedComponentsDistributed(edges, srcCol, dstCol, maxIter)
+  }
+
+  /** Driver-side union-find with path compression; roots resolve to each
+    * component's min member so the labeling matches the distributed path
+    * exactly.
+    */
+  private[operators] def localUnionFind(
+      edges: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        // union by MIN root: the smaller id becomes the representative
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  /** The scale path: iterative min-label propagation (see object doc). */
+  def connectedComponentsDistributed(
       edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 25): DataFrame = {
     val bidir = edges

@@ -56,12 +56,25 @@ class ComponentsSpec extends SparkSpec {
   }
 
   test("a diameter beyond maxIter fails loudly instead of returning a " +
-      "partial labeling") {
+      "partial labeling (distributed path)") {
     val chain = edges((1L to 9L).map(i => (i, i + 1)): _*)
     val err = intercept[IllegalStateException] {
-      Components.connectedComponents(chain, "id_a", "id_b", maxIter = 2)
+      Components.connectedComponentsDistributed(chain, "id_a", "id_b", maxIter = 2)
     }
     assert(err.getMessage.contains("not converged"))
+    CacheRegistry.drain()
+  }
+
+  test("local union-find dispatch and distributed propagation produce " +
+      "the same labeling; tiny localEdgeLimit forces the scale path") {
+    val e = edges((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (20L, 21L), (7L, 1L))
+    val local = Components.connectedComponents(e, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Components.connectedComponents(e, "id_a", "id_b",
+        localEdgeLimit = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == dist)
     CacheRegistry.drain()
   }
 }
