@@ -735,6 +735,62 @@ object OracleSql {
         |  max(id) AS max_id
         |FROM comp GROUP BY component ORDER BY cluster_id""".stripMargin,
 
+    "q75_leakage_safe_split" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ts
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ts) >= 3
+        |      THEN list_distinct(list_transform(range(1, len(ts) - 1),
+        |             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))
+        |      ELSE [array_to_string(ts, ' ')] END AS shingles
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |shared AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM shared
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.7),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+        |reach(id, label) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+        |comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id)
+        |SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(
+        |         coalesce(c.component, d.doc_id) AS VARCHAR)), 1, 1)) AS INTEGER) < 3
+        |       THEN 'test' ELSE 'train' END AS split,
+        |  count(*) AS n, min(d.doc_id) AS min_id
+        |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+        |GROUP BY split ORDER BY split""".stripMargin,
+
+    "q76_sequence_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS "offset"
+        |  FROM t)
+        |SELECT doc_id, n_tokens, "offset",
+        |  "offset" // 512 AS first_block,
+        |  CASE WHEN n_tokens > 0
+        |    THEN ("offset" + n_tokens - 1) // 512 - "offset" // 512 + 1
+        |    ELSE 0 END AS n_blocks
+        |FROM o ORDER BY doc_id""".stripMargin,
+
     "q73_pii_mask" ->
       """WITH withpii AS (
         |  SELECT doc_id,

@@ -945,6 +945,36 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Leakage-safe train/test split: docs bucket by their near-dup
+    * CLUSTER representative (exact prefix-Jaccard pairs → connected
+    * components), so a test doc can never have a near-duplicate in
+    * train. Oracle closes the same pairs with a recursive CTE and
+    * buckets on the same md5 nibble.
+    */
+  private def q75(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select("doc_id", "text")
+    val pairs = Dedup.prefixJaccardPairs(
+      base, "doc_id", "text", shingleN = 3, threshold = 0.7)
+    graft.operators.Sampling.leakageSafeSplit(
+        base, "doc_id", pairs, "id_a", "id_b", testBuckets = 3)
+      .groupBy("split")
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
+      .orderBy("split")
+  }
+
+  /** Sequence packing: global token offsets over the id-ordered corpus
+    * stream (two-pass distributed prefix sum — no single-partition
+    * window) + the fixed-size blocks each doc spans at block size 512.
+    */
+  private def q76(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.{Packing, TextAnalysis}
+    val withLen = docs(s, d).select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    Packing.packedBlocks(withLen, "doc_id", "n_tokens", blockSize = 512)
+      .select("doc_id", "n_tokens", "offset", "first_block", "n_blocks")
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1021,6 +1051,8 @@ object SparkEntry {
     "q72_dedup_clusters" -> (q72(_, _)),
     "q73_pii_mask" -> (q73(_, _)),
     "q74_incremental_dedup" -> (q74(_, _)),
+    "q75_leakage_safe_split" -> (q75(_, _)),
+    "q76_sequence_packing" -> (q76(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -27,6 +27,25 @@ object Sampling {
       when(stableBucket(col(keyCol)) < testBuckets, lit("test"))
         .otherwise(lit("train")))
 
+  /** Leakage-safe train/test split: near-duplicate CLUSTERS never
+    * straddle the boundary (a test doc whose near-dup sits in train is
+    * test-set contamination). Docs bucket by their cluster
+    * REPRESENTATIVE (connected component of the pair relation; the doc
+    * itself when unpaired), so every member of a duplicate group lands
+    * in the same split — and the split stays content-hash deterministic.
+    */
+  def leakageSafeSplit(
+      df: DataFrame, keyCol: String, pairs: DataFrame,
+      idACol: String, idBCol: String, testBuckets: Int): DataFrame = {
+    val comp = Components.connectedComponents(pairs, idACol, idBCol)
+      .select(col("id").as(keyCol), col("component"))
+    df.join(comp, Seq(keyCol), "left")
+      .withColumn("split",
+        when(stableBucket(coalesce(col("component"), col(keyCol))) < testBuckets,
+          lit("test")).otherwise(lit("train")))
+      .drop("component")
+  }
+
   /** Stratified deterministic sampling: a different keep-rate per stratum
     * value (16ths), e.g. downsample a dominant language while keeping the
     * long tail whole — the corpus-rebalancing step of a training-data

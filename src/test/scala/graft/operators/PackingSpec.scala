@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class PackingSpec extends SparkSpec {
+
+  test("sequence offsets are the exact running total in id order, and " +
+      "INVARIANT to the shard count (the distributed prefix sum is real)") {
+    import spark.implicits._
+    val docs = Seq((1L, 100L), (2L, 50L), (5L, 512L), (7L, 1L), (9L, 0L),
+      (12L, 511L), (20L, 1024L)).toDF("doc_id", "n")
+    def offsets(shards: Int) =
+      Packing.sequenceOffsets(docs, "doc_id", "n", shards)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("offset"))
+        .toMap
+    val expected = Map(1L -> 0L, 2L -> 100L, 5L -> 150L, 7L -> 662L,
+      9L -> 663L, 12L -> 663L, 20L -> 1174L)
+    assert(offsets(shards = 1) == expected)
+    assert(offsets(shards = 7) == expected, "sharding must not change offsets")
+    assert(offsets(shards = 64) == expected)
+  }
+
+  test("packed blocks: spans, boundary exactness, empty docs occupy none") {
+    import spark.implicits._
+    val docs = Seq((1L, 512L), (2L, 1L), (3L, 0L), (4L, 1023L))
+      .toDF("doc_id", "n")
+    val rows = Packing.packedBlocks(docs, "doc_id", "n", blockSize = 512)
+      .orderBy("doc_id").collect()
+    // doc 1 fills block 0 exactly; doc 2 starts block 1; doc 3 empty;
+    // doc 4 spans blocks 1-2 (tokens 513..1535)
+    assert(rows.map(r => (r.getAs[Long]("first_block"), r.getAs[Long]("n_blocks")))
+      .toSeq == Seq((0L, 1L), (1L, 1L), (1L, 0L), (1L, 2L)))
+  }
+
+  test("leakage-safe split: paired docs ALWAYS share a split, unpaired " +
+      "docs keep the plain content-hash split") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L))
+      .toDF("id_a", "id_b")
+    val split = Sampling.leakageSafeSplit(docs, "doc_id", pairs, "id_a", "id_b", 3)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    // each cluster is uniform
+    assert(Set(split(1L), split(2L), split(3L)).size == 1)
+    assert(split(10L) == split(11L))
+    assert(Set(split(20L), split(21L), split(22L)).size == 1)
+    // unpaired docs match the plain split (same bucket function)
+    val plain = Sampling.trainTestSplit(docs, "doc_id", 3)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val unpaired = (1L to 40L).toSet -- Set(1L, 2L, 3L, 10L, 11L, 20L, 21L, 22L)
+    unpaired.foreach(id => assert(split(id) == plain(id), s"doc $id"))
+    CacheRegistry.drain()
+  }
+}
