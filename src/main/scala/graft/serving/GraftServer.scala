@@ -28,10 +28,11 @@ case class PeriodCatalog(
   * re-expressed over the JDK's built-in `com.sun.net.httpserver` (this
   * build adds no third-party dependencies). Differences, documented:
   * responses are JSON rows (the engine's native shape via
-  * `Dataset.toJSON`) instead of Jinja2 HTMX partials, and the chart
-  * endpoints serve chart-shaped DATA — PNG rasterization is
-  * presentation-layer (no plotting libs in this environment) and returns
-  * 501 with a pointer to the data endpoint.
+  * `Dataset.toJSON`) instead of Jinja2 HTMX partials; chart endpoints
+  * serve both chart-shaped DATA (`/api/charts/...`) and rendered PNGs
+  * (`/api/{loyalty,attendance,similarity}.png` via [[ChartRender]] —
+  * the JDK raster stack, matching the reference's seaborn endpoints in
+  * shape if not in typography).
   *
   * Kept from the reference, behavior-for-behavior:
   *  - period validation: unknown period → 404 (`routes/utils.py:10-13`)
@@ -81,7 +82,9 @@ class GraftServer(
     * `cache.invalidatePrefix("")`).
     */
   def invalidatePeriod(period: Int): Int =
-    GraftServer.KeyPrefixes.map(p => cache.invalidatePrefix(s"$p:$period:")).sum
+    GraftServer.KeyPrefixes.map(p => cache.invalidatePrefix(s"$p:$period:")).sum +
+      GraftServer.PngKeyPrefixes
+        .map(p => pngCache.invalidatePrefix(s"$p:$period:")).sum
 
   // ------------------------------------------------------------- plumbing
 
@@ -98,8 +101,11 @@ class GraftServer(
   } + "\""
 
   private def send(ex: HttpExchange, status: Int, body: String,
-      contentType: String = "application/json; charset=utf-8"): Unit = {
-    val bytes = body.getBytes(StandardCharsets.UTF_8)
+      contentType: String = "application/json; charset=utf-8"): Unit =
+    sendBytes(ex, status, body.getBytes(StandardCharsets.UTF_8), contentType)
+
+  private def sendBytes(ex: HttpExchange, status: Int, bytes: Array[Byte],
+      contentType: String): Unit = {
     ex.getResponseHeaders.set("Content-Type", contentType)
     ex.sendResponseHeaders(status, bytes.length)
     val os = ex.getResponseBody
@@ -194,6 +200,12 @@ class GraftServer(
       val limit = limits.getOrElse(limitGroup, 120)
       if (!limiter.allow(rateKey(ex, limitGroup), limit))
         throw HttpError(429, s"Rate limit exceeded: $limit per minute")
+      route match {
+        case "loyalty.png" | "attendance.png" | "similarity.png" =>
+          sendBytes(ex, 200, pngRoute(route, q), "image/png")
+          return
+        case _ =>
+      }
       val body = route match {
         case "health" =>
           s"""{"status":"ok","periods_loaded":[${periods.keys.toSeq.sorted.mkString(",")}]}"""
@@ -209,11 +221,6 @@ class GraftServer(
         case "charts/loyalty" => chartLoyaltyRoute(q)
         case "charts/attendance" => chartAttendanceRoute(q)
         case "charts/similarity" => chartSimilarityRoute(q)
-        case r if r.endsWith(".png") =>
-          throw HttpError(501,
-            s"PNG rendering is presentation-layer (no raster libs here); " +
-              "fetch the chart data from /api/charts/" +
-              r.stripPrefix("charts/").stripSuffix(".png"))
         case other => throw HttpError(404, s"No route /api/$other")
       }
       send(ex, 200, body)
@@ -338,6 +345,53 @@ class GraftServer(
     }
   }
 
+  // chart PNG endpoints (`routes/charts.py:39-149`): same data prep as
+  // the data endpoints, rasterized by ChartRender (JDK-only), memoized
+  // separately from the JSON cache
+  private val pngCache = new AnalysisCache[Array[Byte]]()
+
+  private def pngRoute(route: String, q: Map[String, String]): Array[Byte] =
+    route match {
+      case "loyalty.png" =>
+        val (period, cat) = periodCatalog(q)
+        val top = intParam(q, "top", 20, 1, 200)
+        pngCache.getOrCompute(s"png_loyalty:$period:$top") {
+          withTimeout(20000, "loyalty chart") {
+            val rows = cat.analyzer.loyalty(top)
+              .select(chartLabel.as("label"), col("rebellion_pct").as("value"))
+              .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+            ChartRender.barChart("Rebellion rate by MP", "rebellion %", rows)
+          }
+        }
+      case "attendance.png" =>
+        val (period, cat) = periodCatalog(q)
+        val top = intParam(q, "top", 20, 1, 200)
+        val sort = strParam(q, "sort", 20) match { case "" => "worst"; case s => s }
+        val party = strParam(q, "party", 200)
+        val field = AttendanceChartField.getOrElse(sort, "attendance_pct")
+        pngCache.getOrCompute(s"png_attendance:$period:$top:$sort:$party") {
+          withTimeout(20000, "attendance chart") {
+            val rows = cat.analyzer
+              .attendance(top, sort, Some(party).filter(_.nonEmpty))
+              .select(chartLabel.as("label"),
+                col(field).cast("double").as("value"))
+              .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+            ChartRender.barChart(s"Attendance ($sort)", field, rows)
+          }
+        }
+      case _ => // similarity.png
+        val (period, cat) = periodCatalog(q)
+        pngCache.getOrCompute(s"png_similarity:$period:") {
+          withTimeout(30000, "similarity chart") {
+            val pts = cat.analyzer.pcaCoords()
+              .select(col("party"), col("x"), col("y"))
+              .collect()
+              .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq
+            ChartRender.scatterChart("Voting-pattern PCA", "PC1", "PC2", pts)
+          }
+        }
+    }
+
   // chart DATA endpoints (`routes/charts.py:39-149` minus the raster):
   // same cache keys and row prep as the reference's figures
 
@@ -409,4 +463,8 @@ object GraftServer {
     "loyalty", "attendance", "similarity", "similarity_pca", "votes",
     "laws", "amendments", "amendment-coalitions", "stats",
     "chart_loyalty", "chart_attendance", "chart_similarity")
+
+  /** Rendered-PNG cache prefixes (a separate byte-valued cache). */
+  val PngKeyPrefixes: Seq[String] = Seq(
+    "png_loyalty", "png_attendance", "png_similarity")
 }

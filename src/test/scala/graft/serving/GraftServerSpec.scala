@@ -160,7 +160,29 @@ class GraftServerSpec extends SparkSpec {
     assert(r.body().contains("\"n_mps\":6"))
   }
 
-  test("chart data endpoints serve label/value rows; PNG is an honest 501") {
+  private def getBytes(path: String): HttpResponse[Array[Byte]] =
+    client.send(
+      HttpRequest.newBuilder(URI.create(base + path)).GET().build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+
+  test("PNG chart endpoints render real images (JDK raster, reference " +
+      "routes loyalty.png/attendance.png/similarity.png)") {
+    Seq("/api/loyalty.png?period=1", "/api/attendance.png?period=1&sort=most_active",
+      "/api/similarity.png?period=1").foreach { path =>
+      val r = getBytes(path)
+      assert(r.statusCode() == 200, s"$path -> ${r.statusCode()}")
+      assert(r.headers().firstValue("Content-Type").get == "image/png")
+      val b = r.body()
+      assert(b.length > 1000, s"$path: ${b.length} bytes")
+      // PNG magic
+      assert((b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G')
+    }
+    // unknown png routes are 404s, and invalid periods still validate
+    assert(getBytes("/api/nope.png?period=1").statusCode() == 404)
+    assert(getBytes("/api/loyalty.png?period=999").statusCode() == 404)
+  }
+
+  test("chart data endpoints serve label/value rows") {
     val loy = get("/api/charts/loyalty?period=1")
     assert(loy.statusCode() == 200, loy.body())
     assert(loy.body().contains("\"label\":\"Karel Dvořák (ODS)\""))
@@ -171,9 +193,6 @@ class GraftServerSpec extends SparkSpec {
     val sim = get("/api/charts/similarity?period=1")
     assert(sim.statusCode() == 200, sim.body())
     assert(sim.body().contains("\"x\":"))
-    val png = get("/api/loyalty.png?period=1")
-    assert(png.statusCode() == 501)
-    assert(png.body().contains("/api/charts/loyalty"))
   }
 
   test("results are memoized under the reference key scheme and " +
