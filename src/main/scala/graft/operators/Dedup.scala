@@ -343,12 +343,16 @@ object Dedup {
     // shingle STRING with xxhash64 — 64-bit keeps distinct counts equal to
     // the string sets' (32-bit combined hashes risk collisions an exact
     // oracle can see); per-doc dedup via collect_set reuses the shingle
-    // window's hash-partitioning by id (no extra shuffle)
-    val sets = shingleRows(df, idCol, textCol, shingleN)
-      .select(col(idCol), xxhash64(col("sh")).as("h"))
-      .groupBy(col(idCol)).agg(collect_set(col("h")).as("shset"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    CacheRegistry.track(sets)
+    // window's hash-partitioning by id (no extra shuffle). (A q31-style
+    // small-corpus array path was MEASURED slower here: building shingle
+    // STRINGS with interpreted wordShingles lambdas costs more warm time
+    // than the window+agg stages cost cold; the exactness contract pins
+    // string hashing, so the long form stays the only formulation.)
+    val sets = CacheRegistry.track(
+      shingleRows(df, idCol, textCol, shingleN)
+        .select(col(idCol), xxhash64(col("sh")).as("h"))
+        .groupBy(col(idCol)).agg(collect_set(col("h")).as("shset"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // global rarity order: document frequency, hash as tiebreak; freq is
     // |distinct shingles| rows — broadcast it back to the per-doc relation
     // only under the same size gate as the verify join (the distinct-
