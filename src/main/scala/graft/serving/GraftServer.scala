@@ -53,7 +53,10 @@ class GraftServer(
     val cache: AnalysisCache[String] = new AnalysisCache[String](),
     limiter: RateLimiter = new RateLimiter(),
     limits: Map[String, Int] = GraftServer.DefaultLimits,
-    timeoutMillis: Long => Long = identity) {
+    timeoutMillis: Long => Long = identity,
+    feedback: Option[FeedbackSink] = None,
+    // the reference limits feedback to 3/HOUR, not per minute
+    feedbackLimiter: RateLimiter = new RateLimiter(windowMillis = 3600L * 1000)) {
 
   private val http = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   private val pool = Executors.newFixedThreadPool(8)
@@ -192,8 +195,12 @@ class GraftServer(
     val path = ex.getRequestURI.getPath.stripPrefix("/api").stripSuffix("/")
     val q = parseQuery(ex.getRequestURI.getRawQuery)
     try {
-      if (ex.getRequestMethod != "GET") throw HttpError(405, "Method not allowed")
       val route = path.stripPrefix("/")
+      if (ex.getRequestMethod == "POST" && route == "feedback") {
+        send(ex, 200, feedbackRoute(ex))
+        return
+      }
+      if (ex.getRequestMethod != "GET") throw HttpError(405, "Method not allowed")
       val limitGroup =
         if (route.startsWith("charts/") || route.endsWith(".png")) "charts"
         else route
@@ -342,6 +349,46 @@ class GraftServer(
     val (period, cat) = periodCatalog(q)
     cache.getOrCompute(s"stats:$period:") {
       rows(cat.analyzer.periodStats())
+    }
+  }
+
+  /** POST /api/feedback (`routes/feedback.py:40-116`): same-origin check
+    * (Origin/Referer host must match Host — the reference's CSRF guard),
+    * field envelope, 3/hour rate limit, then the external sink. Always a
+    * 200 with a success/error body, like the reference's HTML partial.
+    */
+  private def feedbackRoute(ex: HttpExchange): String = {
+    def fail(msg: String) = s"""{"success":false,"error":${jstr(msg)}}"""
+    if (!feedbackLimiter.allow(rateKey(ex, "feedback"), 3))
+      throw HttpError(429, "Rate limit exceeded: 3 per hour")
+    val host = Option(ex.getRequestHeaders.getFirst("Host"))
+      .map(_.takeWhile(_ != ':')).getOrElse("")
+    val originHost = Seq("Origin", "Referer")
+      .flatMap(h => Option(ex.getRequestHeaders.getFirst(h)))
+      .headOption.flatMap { v =>
+        try Option(java.net.URI.create(v).getHost)
+        catch { case _: Exception => None }
+      }
+    if (!originHost.contains(host)) return fail("Cross-origin submission rejected")
+    feedback match {
+      case None => fail("Feedback is not enabled")
+      case Some(sink) =>
+        val form = parseQuery(new String(
+          ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+        val title = form.getOrElse("title", "")
+        val body = form.getOrElse("body", "")
+        Feedback.validateFields(title, body) match {
+          case Some(err) => fail(err)
+          case None =>
+            val voteId = form.get("vote_id").flatMap(_.toLongOption).getOrElse(0L)
+            val period = form.get("period").flatMap(_.toIntOption).getOrElse(0)
+            val pageUrl = Option(ex.getRequestHeaders.getFirst("Referer"))
+              .getOrElse(s"/votes/$voteId?period=$period")
+            sink.createIssue(title, body, voteId, period, pageUrl, "cs") match {
+              case Some(url) => s"""{"success":true,"issue_url":${jstr(url)}}"""
+              case None => fail("Could not record feedback")
+            }
+        }
     }
   }
 

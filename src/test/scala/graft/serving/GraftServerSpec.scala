@@ -219,4 +219,79 @@ class GraftServerSpec extends SparkSpec {
   test("unknown API route is a 404") {
     assert(get("/api/nope?period=1").statusCode() == 404)
   }
+
+  test("feedback route: CSRF origin check, field validation, sink " +
+      "success/failure, disabled mode, 3/hour limit (test_feedback.py parity)") {
+    val recorded = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val sink = new FeedbackSink {
+      override def configured = true
+      override def createIssue(title: String, body: String, voteId: Long,
+          period: Int, pageUrl: String, lang: String): Option[String] = {
+        recorded += ((title, body))
+        if (title.contains("apifail")) None
+        else Some(s"https://example.invalid/issues/${recorded.length}")
+      }
+    }
+    // a 1 ms limiter window disables throttling for the functional
+    // assertions; the 3/hour behavior gets its own server below
+    val srv = new GraftServer(Map(1 -> fixtureCatalog()), feedback = Some(sink),
+      feedbackLimiter = new RateLimiter(windowMillis = 1)).start()
+    try {
+      val b = s"http://127.0.0.1:${srv.boundPort}"
+      def post(form: String, origin: Option[String] = Some("keep")): HttpResponse[String] = {
+        val builder = HttpRequest.newBuilder(URI.create(b + "/api/feedback"))
+          .POST(HttpRequest.BodyPublishers.ofString(form))
+          .header("Content-Type", "application/x-www-form-urlencoded")
+        origin.foreach(o => builder.header("Origin",
+          if (o == "keep") b else o))
+        client.send(builder.build(), HttpResponse.BodyHandlers.ofString())
+      }
+      // missing/cross origin -> rejected (test CSRF guard)
+      assert(post("title=Valid+title&body=A+valid+feedback+body", None)
+        .body().contains("Cross-origin"))
+      assert(post("title=Valid+title&body=A+valid+feedback+body",
+        Some("http://evil.example")).body().contains("Cross-origin"))
+      // validation envelope (test_short_title / test_short_body)
+      assert(post("title=abc&body=A+valid+feedback+body+here")
+        .body().contains("out of bounds"))
+      assert(post("title=Valid+title&body=short")
+        .body().contains("out of bounds"))
+      // success (test_valid_feedback_returns_success)
+      val ok = post("title=Valid+title&body=A+valid+feedback+body&vote_id=7&period=1")
+      assert(ok.statusCode() == 200 && ok.body().contains("\"success\":true"), ok.body())
+      assert(ok.body().contains("issues/1"))
+      assert(recorded.head._1 == "Valid title")
+      // sink failure (test_github_api_failure_returns_error)
+      assert(post("title=apifail+title&body=A+valid+feedback+body")
+        .body().contains("Could not record"))
+    } finally srv.stop()
+
+    // 3/hour limit: every attempt counts (slowapi semantics) — 4th is 429
+    val limited = new GraftServer(Map(1 -> fixtureCatalog()),
+      feedback = Some(sink)).start()
+    try {
+      val b = s"http://127.0.0.1:${limited.boundPort}"
+      def post() = client.send(
+        HttpRequest.newBuilder(URI.create(b + "/api/feedback"))
+          .POST(HttpRequest.BodyPublishers.ofString(
+            "title=Valid+title&body=A+valid+feedback+body"))
+          .header("Origin", b).build(),
+        HttpResponse.BodyHandlers.ofString())
+      val codes = (1 to 4).map(_ => post().statusCode())
+      assert(codes.take(3).forall(_ == 200) && codes(3) == 429, codes)
+    } finally limited.stop()
+
+    // disabled mode (test_disabled_returns_unavailable)
+    val off = new GraftServer(Map(1 -> fixtureCatalog())).start()
+    try {
+      val b = s"http://127.0.0.1:${off.boundPort}"
+      val r = client.send(
+        HttpRequest.newBuilder(URI.create(b + "/api/feedback"))
+          .POST(HttpRequest.BodyPublishers.ofString(
+            "title=Valid+title&body=A+valid+feedback+body"))
+          .header("Origin", b).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.body().contains("not enabled"))
+    } finally off.stop()
+  }
 }
