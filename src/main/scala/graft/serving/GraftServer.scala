@@ -20,7 +20,8 @@ case class PeriodCatalog(
     laws: Option[DataFrame] = None,
     amendmentBills: Option[DataFrame] = None,
     amendVoteIds: Option[DataFrame] = None,
-    voteTopics: Option[DataFrame] = None)
+    voteTopics: Option[DataFrame] = None,
+    tiskTexts: Option[graft.sources.ExternalIngestion.TiskTextService] = None)
 
 /** HTTP serving layer over the Analyzer catalog — the reference's FastAPI
   * route surface (`routes/voting.py:23-130`, `routes/laws.py`,
@@ -109,7 +110,17 @@ class GraftServer(
 
   private def sendBytes(ex: HttpExchange, status: Int, bytes: Array[Byte],
       contentType: String): Unit = {
-    ex.getResponseHeaders.set("Content-Type", contentType)
+    val h = ex.getResponseHeaders
+    h.set("Content-Type", contentType)
+    // SecurityHeadersMiddleware parity (reference `middleware.py:19-38`)
+    h.set("X-Content-Type-Options", "nosniff")
+    h.set("X-Frame-Options", "DENY")
+    h.set("Referrer-Policy", "strict-origin-when-cross-origin")
+    h.set("Content-Security-Policy",
+      "default-src 'self'; img-src 'self' data:; frame-ancestors 'none'")
+    h.set("Strict-Transport-Security", "max-age=31536000; includeSubDomains")
+    h.set("Permissions-Policy",
+      "camera=(), microphone=(), geolocation=(), payment=()")
     ex.sendResponseHeaders(status, bytes.length)
     val os = ex.getResponseBody
     try os.write(bytes) finally os.close()
@@ -225,6 +236,7 @@ class GraftServer(
         case "amendments" => amendmentsRoute(q)
         case "amendment-coalitions" => coalitionsRoute(q)
         case "stats" => statsRoute(q)
+        case "tisk-text" => tiskTextRoute(q)
         case "charts/loyalty" => chartLoyaltyRoute(q)
         case "charts/attendance" => chartAttendanceRoute(q)
         case "charts/similarity" => chartSimilarityRoute(q)
@@ -388,6 +400,27 @@ class GraftServer(
               case Some(url) => s"""{"success":true,"issue_url":${jstr(url)}}"""
               case None => fail("Could not record feedback")
             }
+        }
+    }
+  }
+
+  /** GET /api/tisk-text (`routes/tisk.py:31-63`): extracted print text
+    * through the S9 ingestion boundary; a missing text is a 200 with
+    * `available: false`, like the reference's notice partial.
+    */
+  private def tiskTextRoute(q: Map[String, String]): String = {
+    val (period, cat) = periodCatalog(q)
+    val ct = intParam(q, "ct", 0, 0, 999999)
+    cat.tiskTexts match {
+      case None => s"""{"available":false,"detail":"No text service loaded"}"""
+      case Some(svc) =>
+        if (!svc.hasText(period, ct))
+          s"""{"available":false,"detail":"No text for print $ct"}"""
+        else {
+          val text = svc.texts(cat.analyzer.data.votes.sparkSession, period)
+            .filter(col("ct") === ct).select("text")
+            .collect().headOption.map(_.getString(0)).getOrElse("")
+          s"""{"available":true,"ct":$ct,"text":${jstr(text)}}"""
         }
     }
   }

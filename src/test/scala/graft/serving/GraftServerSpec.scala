@@ -34,8 +34,10 @@ class GraftServerSpec extends SparkSpec {
       .toDF("period", "schuze", "bod", "ct")
     val amendIds = Seq(1L, 2L).toDF("id_hlasovani")
     val topics = Seq((1, 1, "finance")).toDF("schuze", "bod", "topic")
+    val texts = new graft.sources.ExternalIngestion.FixtureTexts(
+      Map((1, 100) -> "Plný text tisku 100 o rozpočtu."))
     PeriodCatalog(new Analyzer(data), Some(laws), Some(bills),
-      Some(amendIds), Some(topics))
+      Some(amendIds), Some(topics), Some(texts))
   }
 
   private var server: GraftServer = _
@@ -218,6 +220,30 @@ class GraftServerSpec extends SparkSpec {
 
   test("unknown API route is a 404") {
     assert(get("/api/nope?period=1").statusCode() == 404)
+  }
+
+  test("tisk-text serves extracted print text through the S9 boundary; " +
+      "missing text is available:false (routes/tisk.py parity)") {
+    val hit = get("/api/tisk-text?period=1&ct=100")
+    assert(hit.statusCode() == 200)
+    assert(hit.body().contains("\"available\":true"))
+    assert(hit.body().contains("rozpočtu"))
+    val miss = get("/api/tisk-text?period=1&ct=999")
+    assert(miss.statusCode() == 200)
+    assert(miss.body().contains("\"available\":false"))
+    assert(get("/api/tisk-text?period=1&ct=-1").statusCode() == 422)
+  }
+
+  test("every response carries the security headers (middleware.py parity)") {
+    val r = get("/api/health")
+    val h = r.headers()
+    assert(h.firstValue("X-Content-Type-Options").get == "nosniff")
+    assert(h.firstValue("X-Frame-Options").get == "DENY")
+    assert(h.firstValue("Content-Security-Policy").isPresent)
+    assert(h.firstValue("Strict-Transport-Security").isPresent)
+    // error responses carry them too
+    assert(get("/api/loyalty?period=999").headers()
+      .firstValue("X-Content-Type-Options").get == "nosniff")
   }
 
   test("feedback route: CSRF origin check, field validation, sink " +
