@@ -791,6 +791,67 @@ object OracleSql {
         |    ELSE 0 END AS n_blocks
         |FROM o ORDER BY doc_id""".stripMargin,
 
+    "q77_repetition_filters" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ts
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id,
+        |    CAST(len(ts) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(ts)) AS BIGINT) AS n_distinct
+        |  FROM toks),
+        |bi AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ts) >= 2
+        |      THEN unnest(list_transform(range(1, len(ts)),
+        |             i -> ts[i] || ' ' || ts[i+1]))
+        |      ELSE array_to_string(ts, ' ') END AS sh
+        |  FROM toks),
+        |cnts AS (SELECT doc_id, sh, count(*) AS cnt FROM bi GROUP BY 1, 2),
+        |top AS (
+        |  SELECT doc_id,
+        |    max(lpad(CAST(cnt AS VARCHAR), 12, '0') || ':' || sh) AS comp
+        |  FROM cnts GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_tokens, b.n_distinct,
+        |  round(CASE WHEN b.n_tokens > 0
+        |    THEN 1.0 - CAST(b.n_distinct AS DOUBLE) / CAST(b.n_tokens AS DOUBLE)
+        |    ELSE 0.0 END, 6) AS dup_token_frac,
+        |  coalesce(CAST(substr(t.comp, 1, 12) AS BIGINT), 0) AS top_bigram_cnt,
+        |  substr(t.comp, 14) AS top_bigram
+        |FROM base b LEFT JOIN top t USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
+
+    "q78_contamination" ->
+      """WITH bench0 AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+        |corpus0 AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 50
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM bench0 WHERE doc_id < 5),
+        |csh AS (
+        |  SELECT DISTINCT doc_id AS corpus_id, sh FROM (
+        |    SELECT doc_id,
+        |      CASE WHEN len(ts) >= 3
+        |        THEN unnest(list_transform(range(1, len(ts) - 1),
+        |               i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))
+        |        ELSE array_to_string(ts, ' ') END AS sh
+        |    FROM (SELECT doc_id,
+        |            list_filter(string_split(text, ' '), w -> w <> '') AS ts
+        |          FROM corpus0))),
+        |bsh AS (
+        |  SELECT DISTINCT doc_id AS bench_id, sh FROM (
+        |    SELECT doc_id,
+        |      CASE WHEN len(ts) >= 3
+        |        THEN unnest(list_transform(range(1, len(ts) - 1),
+        |               i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))
+        |        ELSE array_to_string(ts, ' ') END AS sh
+        |    FROM (SELECT doc_id,
+        |            list_filter(string_split(text, ' '), w -> w <> '') AS ts
+        |          FROM bench0)))
+        |SELECT c.corpus_id, b.bench_id, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM csh c JOIN bsh b USING (sh)
+        |GROUP BY 1, 2 HAVING count(*) >= 5
+        |ORDER BY corpus_id, bench_id""".stripMargin,
+
     "q73_pii_mask" ->
       """WITH withpii AS (
         |  SELECT doc_id,

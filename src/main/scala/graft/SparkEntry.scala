@@ -975,6 +975,34 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Repetition quality filters (Gopher/C4 family): duplicate-token
+    * fraction + most-repeated bigram per document, exact-count
+    * arithmetic, portable argmax via the zero-padded composite trick.
+    */
+  private def q77(s: SparkSession, d: String): DataFrame =
+    graft.operators.TextAnalysis.repetitionSignals(
+        docs(s, d).select("doc_id", "text"), "doc_id", "text")
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round(col("dup_token_frac"), 6).as("dup_token_frac"),
+        col("top_bigram_cnt"), col("top_bigram"))
+      .orderBy("doc_id")
+
+  /** Benchmark-contamination scan: docs 0-49 act as the eval set, the
+    * rest as training corpus; pairs sharing ≥ 5 trigram shingles are
+    * contaminated. Exact string-shingle join ⇒ hash-exact oracle.
+    */
+  private def q78(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d).select("doc_id", "text")
+    val bench = all.filter(col("doc_id") < 50)
+    val corpus = all.filter(col("doc_id") >= 50)
+      // plant contamination: clone five eval docs into the corpus
+      .unionAll(bench.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    graft.operators.Contamination.ngramOverlap(
+        corpus, bench, "doc_id", "text", shingleN = 3, minShared = 5)
+      .orderBy("corpus_id", "bench_id")
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1053,6 +1081,8 @@ object SparkEntry {
     "q74_incremental_dedup" -> (q74(_, _)),
     "q75_leakage_safe_split" -> (q75(_, _)),
     "q76_sequence_packing" -> (q76(_, _)),
+    "q77_repetition_filters" -> (q77(_, _)),
+    "q78_contamination" -> (q78(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

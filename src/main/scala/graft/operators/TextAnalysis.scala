@@ -53,6 +53,39 @@ object TextAnalysis {
       .withColumn("n_nums", size(regexp_extract_all(t, lit(LongDigitsRe), lit(0))).cast("long"))
   }
 
+  /** Repetition-based quality signals (the Gopher/C4 filter family):
+    * duplicate-token fraction and the most-repeated bigram with its
+    * count. All exact-count arithmetic (deterministic cross-engine);
+    * the bigram argmax uses a zero-padded count:bigram composite string
+    * so max() is a portable argmax (DuckDB's max_by can't take struct
+    * keys). One pass of array expressions + one hash aggregation on the
+    * exploded bigrams — scan-speed at any corpus size.
+    */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val base = df.select(col(idCol),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct"))
+      .withColumn("dup_token_frac",
+        when(col("n_tokens") > 0,
+          lit(1.0) - col("n_distinct").cast("double") / col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)))
+    // long-form bigrams via the shingle window (codegen, no lambdas)
+    val bigrams = graft.operators.Dedup.shingleRows(
+        df.select(col(idCol), col(textCol)), idCol, textCol, 2)
+      .groupBy(col(idCol), col("sh"))
+      .agg(count(lit(1)).as("cnt"))
+    val top = bigrams
+      .groupBy(col(idCol))
+      .agg(max(concat(lpad(col("cnt").cast("string"), 12, "0"), lit(":"), col("sh")))
+        .as("top_composite"))
+      .select(col(idCol),
+        substring(col("top_composite"), 1, 12).cast("long").as("top_bigram_cnt"),
+        substring(col("top_composite"), 14, 1000000).as("top_bigram"))
+    base.join(top, Seq(idCol), "left")
+      .na.fill(0L, Seq("top_bigram_cnt"))
+  }
+
   /** Quality-score feature bundle. Ratios are exact-count divisions —
     * deterministic doubles on any engine.
     */
