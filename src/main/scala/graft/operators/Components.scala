@@ -7,19 +7,15 @@ import org.apache.spark.sql.functions._
   * stage every near-dup pipeline needs after pair generation (pairs say
   * "a~b"; dedup needs "keep one representative per transitive GROUP").
   *
-  * Algorithm: iterative min-label propagation — each node's label is the
-  * min over itself and its neighbors' labels, repeated to fixpoint. Per
-  * iteration: one join + one hash-aggregate, both shuffling on the node
-  * id; iterations = graph diameter. Near-dup clusters are near-cliques
-  * (diameter ~2-3), so this settles in a few passes. For general graphs
-  * with long chains, the alternating star-contraction family (Kiveris et
-  * al., "Connected Components in MapReduce and Beyond", SoCC'14)
-  * converges in O(log n) rounds — the maxIter guard names that switch
-  * instead of silently looping.
+  * Two tiers: edge sets under a cap collect to driver union-find (pair
+  * relations are output-sized — usually tiny next to the corpus); past
+  * the cap, alternating large-star/small-star contraction (Kiveris et
+  * al., SoCC'14) runs distributed in O(log n) rounds regardless of
+  * topology.
   *
-  * Labels converge to each component's MINIMUM node id, which makes the
-  * output deterministic and oracle-friendly (component == keeper id
-  * under keep-smallest-id dedup).
+  * Labels converge to each component's MINIMUM node id either way, which
+  * makes the output deterministic and oracle-friendly (component ==
+  * keeper id under keep-smallest-id dedup).
   */
 object Components {
 
@@ -76,45 +72,85 @@ object Components {
     parent.keys.map(k => k -> find(k)).toMap
   }
 
-  /** The scale path: iterative min-label propagation (see object doc). */
+  /** The scale path: alternating large-star / small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — O(log n) rounds on ANY topology, unlike min-label
+    * propagation whose round count is the graph diameter. Each round is
+    * two groupBy+join passes; convergence = the edge set reaching a
+    * fixpoint of node→component-minimum star edges.
+    */
   def connectedComponentsDistributed(
       edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 25): DataFrame = {
-    val bidir = edges
-      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .unionAll(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    CacheRegistry.track(bidir)
+    val spark = edges.sparkSession
 
-    var labels = bidir.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    CacheRegistry.track(labels)
+    // large-star: every node attaches its STRICTLY LARGER neighbors to
+    // the minimum of its closed neighborhood
+    def largeStar(e: DataFrame): DataFrame = {
+      val bidir = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = bidir.groupBy("src").agg(min(col("dst")).as("mn"))
+        .select(col("src"), least(col("mn"), col("src")).as("m"))
+      bidir.join(mins, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
+    }
+
+    // small-star: edges oriented large→small; every node attaches its
+    // smaller-or-equal neighbors (and itself) to the neighborhood minimum
+    def smallStar(e: DataFrame): DataFrame = {
+      val oriented = e.select(
+        greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      val mins = oriented.groupBy("src").agg(min(col("dst")).as("m"))
+      val nbrs = oriented.join(mins, "src")
+        .filter(col("dst") =!= col("m"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+      val self = mins.select(col("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+      nbrs.unionAll(self).distinct()
+    }
+
+    // ANSI mode throws on long-sum overflow, so the hash is masked to 32
+    // bits before summing (2^32 rows of 2^32 values stays inside 2^63)
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(xxhash64(col("src"), col("dst"))
+          .bitwiseAND(lit(0xffffffffL))), lit(0L)).as("h"))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+
+    // localCheckpoint (eager) truncates the logical plan each round —
+    // without it the nested join/distinct lineage makes Catalyst
+    // analysis cost grow superlinearly with the round count (the
+    // standard iterative-DataFrame trap)
+    var e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .localCheckpoint(true)
+    var sig = checksum(e)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // candidate labels: own + every neighbor's current label
-      val viaNeighbors = bidir
-        .join(labels.select(col("id").as("dst"), col("component")), Seq("dst"))
-        .select(col("src").as("id"), col("component"))
-      val updated = labels.select("id", "component").unionAll(viaNeighbors)
-        .groupBy("id").agg(min("component").as("component"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      CacheRegistry.track(updated)
-      val changed = updated.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.component") =!= col("o.component"))
-        .count()
-      labels.unpersist(blocking = false)
-      labels = updated
-      converged = changed == 0
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val nextSig = checksum(next)
+      e = next
+      converged = nextSig == sig
+      sig = nextSig
       iter += 1
     }
     if (!converged)
       throw new IllegalStateException(
-        s"not converged after $maxIter label-propagation rounds — the " +
-          "graph's diameter calls for star-contraction, not propagation")
-    labels
+        s"star contraction did not reach a fixpoint in $maxIter rounds " +
+          "(expected O(log n)) — the edge relation is unstable")
+    // fixpoint edges are star edges node→component-min; roots label themselves
+    val members = e.select(col("src").as("id"), col("dst").as("component"))
+    val roots = e.select(col("dst").as("id")).distinct()
+      .join(members.select(col("id")), Seq("id"), "left_anti")
+      .withColumn("component", col("id"))
+    members.unionAll(roots)
   }
 
   /** Per-cluster summary over a near-dup pair relation: one row per

@@ -55,18 +55,41 @@ class ComponentsSpec extends SparkSpec {
     CacheRegistry.drain()
   }
 
-  test("a diameter beyond maxIter fails loudly instead of returning a " +
+  test("an unstable round budget fails loudly instead of returning a " +
       "partial labeling (distributed path)") {
-    val chain = edges((1L to 9L).map(i => (i, i + 1)): _*)
+    val chain = edges((1L to 200L).map(i => (i, i + 1)): _*)
     val err = intercept[IllegalStateException] {
-      Components.connectedComponentsDistributed(chain, "id_a", "id_b", maxIter = 2)
+      Components.connectedComponentsDistributed(chain, "id_a", "id_b", maxIter = 1)
     }
-    assert(err.getMessage.contains("not converged"))
+    assert(err.getMessage.contains("fixpoint"))
     CacheRegistry.drain()
   }
 
-  test("local union-find dispatch and distributed propagation produce " +
-      "the same labeling; tiny localEdgeLimit forces the scale path") {
+  test("star contraction (distributed) matches driver union-find on " +
+      "chains, cliques, and seeded random graphs — O(log n) rounds") {
+    // long chain: the worst case for label propagation, easy for stars
+    val chain = edges((1L to 60L).map(i => (i, i + 1)): _*)
+    val chainDist = Components.connectedComponentsDistributed(chain, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chainDist.keySet == (1L to 61L).toSet)
+    assert(chainDist.values.forall(_ == 1L))
+    CacheRegistry.drain()
+
+    // seeded random graph: distributed == union-find, exactly
+    val rnd = new scala.util.Random(42)
+    val randomPairs = (1 to 120).map { _ =>
+      (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong)
+    }.filter { case (a, b) => a != b }
+    val e = edges(randomPairs: _*)
+    val dist = Components.connectedComponentsDistributed(e, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = Components.localUnionFind(randomPairs.toArray)
+    assert(dist == local)
+    CacheRegistry.drain()
+  }
+
+  test("local union-find dispatch and the distributed path produce the " +
+      "same labeling; tiny localEdgeLimit forces the scale path") {
     val e = edges((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
       (20L, 21L), (7L, 1L))
     val local = Components.connectedComponents(e, "id_a", "id_b")
