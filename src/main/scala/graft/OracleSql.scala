@@ -852,6 +852,23 @@ object OracleSql {
         |GROUP BY 1, 2 HAVING count(*) >= 5
         |ORDER BY corpus_id, bench_id""".stripMargin,
 
+    "q79_source_mixing" ->
+      """WITH tgt(lang, t) AS (
+        |  VALUES ('en', 0.5), ('de', 0.2), ('fr', 0.2), ('es', 0.1)),
+        |cnt AS (
+        |  SELECT lang, CAST(count(*) AS DOUBLE) AS c FROM documents
+        |  GROUP BY lang),
+        |n AS (SELECT min(c / t) AS total FROM cnt JOIN tgt USING (lang)),
+        |thr AS (
+        |  SELECT lang, CAST(floor(t * total / c * 256) AS INTEGER) AS th
+        |  FROM cnt JOIN tgt USING (lang), n)
+        |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept,
+        |  min(d.doc_id) AS min_id
+        |FROM documents d JOIN thr USING (lang)
+        |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2)) AS INTEGER)
+        |      < th
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
     "q73_pii_mask" ->
       """WITH withpii AS (
         |  SELECT doc_id,

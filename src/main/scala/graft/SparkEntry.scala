@@ -1003,6 +1003,18 @@ object SparkEntry {
       .orderBy("corpus_id", "bench_id")
   }
 
+  /** Data-mixture rebalancing: sample each language to target
+    * proportions (en 50 %, de 20 %, fr 20 %, es 10 %; zh dropped) at the
+    * largest feasible total, deterministic content-hash selection.
+    */
+  private def q79(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling.mixToTarget(
+        docs(s, d).select("doc_id", "lang"), "doc_id", "lang",
+        Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.1))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_id"))
+      .orderBy("lang")
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1083,6 +1095,7 @@ object SparkEntry {
     "q76_sequence_packing" -> (q76(_, _)),
     "q77_repetition_filters" -> (q77(_, _)),
     "q78_contamination" -> (q78(_, _)),
+    "q79_source_mixing" -> (q79(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -46,6 +46,42 @@ object Sampling {
       .drop("component")
   }
 
+  /** Finer content-hash bucket (0..255 — two hex digits of md5) for
+    * rates that need better than 1/16 resolution.
+    */
+  def stableBucket256(key: Column): Column =
+    conv(substring(md5(coalesce(key.cast("string"), lit(""))), 1, 2), 16, 10)
+      .cast("int")
+
+  /** Rebalance a corpus to TARGET source proportions (the data-mixture
+    * step of a pretraining pipeline: "the training set should be 50 % en,
+    * 25 % de, 25 % fr"): per-source counts (one agg, |sources| rows)
+    * determine the largest feasible total N = min(count_s / target_s),
+    * then each source keeps a deterministic content-hash fraction
+    * ≈ target_s·N/count_s. floor() everywhere, so the thresholds are
+    * reproducible in any engine's double arithmetic; kept counts are
+    * hash-uniform approximations of the targets (exact-count sampling
+    * would need a global sort). Sources with no target are dropped.
+    */
+  def mixToTarget(
+      df: DataFrame, keyCol: String, sourceCol: String,
+      targets: Map[String, Double]): DataFrame = {
+    require(targets.values.forall(t => t > 0 && t <= 1),
+      "targets must be positive fractions")
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = targets.filter { case (s, _) => counts.getOrElse(s, 0L) > 0 }
+    if (present.isEmpty) return df.limit(0)
+    val total = present.map { case (s, t) => counts(s) / t }.min
+    val thresholds = present.map { case (s, t) =>
+      s -> math.floor(t * total / counts(s) * 256).toInt
+    }
+    val thr = thresholds.foldLeft(lit(0)) { case (acc, (s, th)) =>
+      when(col(sourceCol) === s, lit(th)).otherwise(acc)
+    }
+    df.filter(stableBucket256(col(keyCol)) < thr)
+  }
+
   /** Stratified deterministic sampling: a different keep-rate per stratum
     * value (16ths), e.g. downsample a dominant language while keeping the
     * long tail whole — the corpus-rebalancing step of a training-data

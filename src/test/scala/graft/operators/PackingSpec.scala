@@ -34,6 +34,32 @@ class PackingSpec extends SparkSpec {
       .toSeq == Seq((0L, 1L), (1L, 1L), (1L, 0L), (1L, 2L)))
   }
 
+  test("mixToTarget rebalances sources toward target proportions, drops " +
+      "untargeted sources, and the scarcest source binds the total") {
+    import spark.implicits._
+    // en 600, de 200, zh 100 — targets en 50% / de 50%: de binds (N=400)
+    val docs = ((1L to 600L).map(i => (i, "en")) ++
+      (1001L to 1200L).map(i => (i, "de")) ++
+      (2001L to 2100L).map(i => (i, "zh")))
+      .toDF("doc_id", "lang")
+    val kept = Sampling.mixToTarget(docs, "doc_id", "lang",
+        Map("en" -> 0.5, "de" -> 0.5))
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!kept.contains("zh"), "untargeted source must be dropped")
+    // de binds: keeps ~all of de, ~200 of en (hash-uniform, ±20%)
+    assert(kept("de") > 160 && kept("de") <= 200, kept.toString)
+    assert(math.abs(kept("en") - 200) < 40, kept.toString)
+    // deterministic: a second run keeps the identical set
+    val again = Sampling.mixToTarget(docs, "doc_id", "lang",
+        Map("en" -> 0.5, "de" -> 0.5))
+      .agg(org.apache.spark.sql.functions.sum("doc_id")).collect()(0).getLong(0)
+    val first = Sampling.mixToTarget(docs, "doc_id", "lang",
+        Map("en" -> 0.5, "de" -> 0.5))
+      .agg(org.apache.spark.sql.functions.sum("doc_id")).collect()(0).getLong(0)
+    assert(again == first)
+  }
+
   test("leakage-safe split: paired docs ALWAYS share a split, unpaired " +
       "docs keep the plain content-hash split") {
     import spark.implicits._
