@@ -189,8 +189,15 @@ class GraftServer(
     }
   }
 
-  private def rows(df: DataFrame): String =
-    df.toJSON.collect().mkString("[", ",", "]")
+  /** Serialize a result for the response body. Every route clamps its own
+    * result size (top ∈ [1,200], paged listings), but `collect()` on the
+    * driver must not depend on each future route remembering to — the
+    * structural limit turns a forgotten clamp into a truncated payload
+    * instead of a driver OOM.
+    */
+  private[serving] def rows(df: DataFrame): String =
+    df.limit(GraftServer.MaxResponseRows).toJSON.collect()
+      .mkString("[", ",", "]")
 
   private def paged(r: graft.operators.Browse.PagedResult): String =
     s"""{"rows":${rows(r.rows)},"total":${r.total},"page":${r.page},""" +
@@ -255,7 +262,7 @@ class GraftServer(
     val (period, cat) = periodCatalog(q)
     val top = intParam(q, "top", 30, 1, 200)
     val party = strParam(q, "party", 200)
-    cache.getOrCompute(s"loyalty:$period:$top:$party") {
+    cache.getOrCompute(GraftServer.key("loyalty", period, top, party)) {
       withTimeout(15000, "loyalty analysis") {
         rows(cat.analyzer.loyalty(top, Some(party).filter(_.nonEmpty)))
       }
@@ -267,7 +274,7 @@ class GraftServer(
     val top = intParam(q, "top", 30, 1, 200)
     val sort = strParam(q, "sort", 20) match { case "" => "worst"; case s => s }
     val party = strParam(q, "party", 200)
-    cache.getOrCompute(s"attendance:$period:$top:$sort:$party") {
+    cache.getOrCompute(GraftServer.key("attendance", period, top, sort, party)) {
       withTimeout(15000, "attendance analysis") {
         rows(cat.analyzer.attendance(top, sort, Some(party).filter(_.nonEmpty)))
       }
@@ -277,7 +284,7 @@ class GraftServer(
   private def similarityRoute(q: Map[String, String]): String = {
     val (period, cat) = periodCatalog(q)
     val top = intParam(q, "top", 20, 1, 200)
-    cache.getOrCompute(s"similarity:$period:$top") {
+    cache.getOrCompute(GraftServer.key("similarity", period, top)) {
       withTimeout(30000, "similarity analysis") {
         rows(cat.analyzer.crossPartySimilarity(top))
       }
@@ -288,7 +295,7 @@ class GraftServer(
     val (period, cat) = periodCatalog(q)
     // trailing ':' keeps period-prefix invalidation exact ("pca:1:" can
     // never prefix-match a period-10 key)
-    cache.getOrCompute(s"similarity_pca:$period:") {
+    cache.getOrCompute(GraftServer.key("similarity_pca", period)) {
       withTimeout(30000, "PCA analysis") {
         rows(cat.analyzer.pcaCoords())
       }
@@ -301,7 +308,7 @@ class GraftServer(
     val outcome = strParam(q, "outcome", 20)
     val topic = strParam(q, "topic", 200)
     val page = intParam(q, "page", 1, 1, 1000)
-    cache.getOrCompute(s"votes:$period:$search:$outcome:$topic:$page") {
+    cache.getOrCompute(GraftServer.key("votes", period, search, outcome, topic, page)) {
       val topicKeys = Some(topic).filter(_.nonEmpty).flatMap { t =>
         cat.voteTopics.map(_.filter(col("topic") === t).select("schuze", "bod"))
       }
@@ -321,7 +328,7 @@ class GraftServer(
     val status = strParam(q, "status", 200)
     val topic = strParam(q, "topic", 200)
     val page = intParam(q, "page", 1, 1, 1000)
-    cache.getOrCompute(s"laws:$period:$search:$status:$topic:$page") {
+    cache.getOrCompute(GraftServer.key("laws", period, search, status, topic, page)) {
       paged(LawsBrowser.listLawsPaged(
         laws, Some(search).filter(_.nonEmpty), Some(status).filter(_.nonEmpty),
         Some(topic).filter(_.nonEmpty), page))
@@ -334,7 +341,7 @@ class GraftServer(
       throw HttpError(404, s"Period $period has no amendment table loaded"))
     val search = strParam(q, "search", 200)
     val page = intParam(q, "page", 1, 1, 1000)
-    cache.getOrCompute(s"amendments:$period:$search:$page") {
+    cache.getOrCompute(GraftServer.key("amendments", period, search, page)) {
       paged(Amendments.listBillsPaged(
         bills, cat.analyzer.data.tiskLookup, Some(search).filter(_.nonEmpty), page))
     }
@@ -344,7 +351,7 @@ class GraftServer(
     val (period, cat) = periodCatalog(q)
     val amendIds = cat.amendVoteIds.getOrElse(
       throw HttpError(404, s"Period $period has no amendment votes loaded"))
-    cache.getOrCompute(s"amendment-coalitions:$period:") {
+    cache.getOrCompute(GraftServer.key("amendment-coalitions", period)) {
       withTimeout(30000, "coalition analysis") {
         val d = cat.analyzer.data
         val (agreement, rebels, cohesion) =
@@ -359,7 +366,7 @@ class GraftServer(
 
   private def statsRoute(q: Map[String, String]): String = {
     val (period, cat) = periodCatalog(q)
-    cache.getOrCompute(s"stats:$period:") {
+    cache.getOrCompute(GraftServer.key("stats", period)) {
       rows(cat.analyzer.periodStats())
     }
   }
@@ -435,7 +442,7 @@ class GraftServer(
       case "loyalty.png" =>
         val (period, cat) = periodCatalog(q)
         val top = intParam(q, "top", 20, 1, 200)
-        pngCache.getOrCompute(s"png_loyalty:$period:$top") {
+        pngCache.getOrCompute(GraftServer.key("png_loyalty", period, top)) {
           withTimeout(20000, "loyalty chart") {
             val rows = cat.analyzer.loyalty(top)
               .select(chartLabel.as("label"), col("rebellion_pct").as("value"))
@@ -449,7 +456,7 @@ class GraftServer(
         val sort = strParam(q, "sort", 20) match { case "" => "worst"; case s => s }
         val party = strParam(q, "party", 200)
         val field = AttendanceChartField.getOrElse(sort, "attendance_pct")
-        pngCache.getOrCompute(s"png_attendance:$period:$top:$sort:$party") {
+        pngCache.getOrCompute(GraftServer.key("png_attendance", period, top, sort, party)) {
           withTimeout(20000, "attendance chart") {
             val rows = cat.analyzer
               .attendance(top, sort, Some(party).filter(_.nonEmpty))
@@ -461,7 +468,7 @@ class GraftServer(
         }
       case _ => // similarity.png
         val (period, cat) = periodCatalog(q)
-        pngCache.getOrCompute(s"png_similarity:$period:") {
+        pngCache.getOrCompute(GraftServer.key("png_similarity", period)) {
           withTimeout(30000, "similarity chart") {
             val pts = cat.analyzer.pcaCoords()
               .select(col("party"), col("x"), col("y"))
@@ -482,7 +489,7 @@ class GraftServer(
   private def chartLoyaltyRoute(q: Map[String, String]): String = {
     val (period, cat) = periodCatalog(q)
     val top = intParam(q, "top", 20, 1, 200)
-    cache.getOrCompute(s"chart_loyalty:$period:$top") {
+    cache.getOrCompute(GraftServer.key("chart_loyalty", period, top)) {
       withTimeout(20000, "loyalty chart") {
         rows(cat.analyzer.loyalty(top)
           .select(chartLabel.as("label"), col("rebellion_pct").as("value")))
@@ -504,7 +511,7 @@ class GraftServer(
     val sort = strParam(q, "sort", 20) match { case "" => "worst"; case s => s }
     val party = strParam(q, "party", 200)
     val field = AttendanceChartField.getOrElse(sort, "attendance_pct")
-    cache.getOrCompute(s"chart_attendance:$period:$top:$sort:$party") {
+    cache.getOrCompute(GraftServer.key("chart_attendance", period, top, sort, party)) {
       withTimeout(20000, "attendance chart") {
         rows(cat.analyzer.attendance(top, sort, Some(party).filter(_.nonEmpty))
           .select(chartLabel.as("label"), col(field).as("value")))
@@ -514,7 +521,7 @@ class GraftServer(
 
   private def chartSimilarityRoute(q: Map[String, String]): String = {
     val (period, cat) = periodCatalog(q)
-    cache.getOrCompute(s"chart_similarity:$period:") {
+    cache.getOrCompute(GraftServer.key("chart_similarity", period)) {
       withTimeout(30000, "similarity chart") {
         // pcaCoords already serves the chart shape (mp_name, party, x, y)
         rows(cat.analyzer.pcaCoords())
@@ -530,6 +537,12 @@ object GraftServer {
     5 -> "2006", 4 -> "2002", 3 -> "1998", 2 -> "1996", 1 -> "1993")
 
   val DefaultPeriod = 10
+
+  /** Hard ceiling on rows serialized into any JSON response — larger than
+    * every legitimate route result (top ≤ 200, pages of 30), small enough
+    * that a route that forgot its clamp cannot OOM the driver.
+    */
+  val MaxResponseRows = 10000
 
   /** Per-route requests/minute (`@limiter.limit` values in the routes). */
   val DefaultLimits: Map[String, Int] = Map(
@@ -547,4 +560,17 @@ object GraftServer {
   /** Rendered-PNG cache prefixes (a separate byte-valued cache). */
   val PngKeyPrefixes: Seq[String] = Seq(
     "png_loyalty", "png_attendance", "png_similarity")
+
+  /** Cache keys join user params with `:` — but `:` is legal inside the
+    * params themselves (search strings up to 200 chars), so a raw join is
+    * not injective: `search=a:b&outcome=c` and `search=a&outcome=b&topic=c`
+    * would collide on `votes:1:a:b:c:1` and one query's cached payload
+    * would be served for the other. Percent-escaping `%` and `:` in each
+    * segment makes the join injective while keeping the `prefix:period:`
+    * shape that [[GraftServer.invalidatePeriod]] scans (the period is an
+    * int and never escaped).
+    */
+  def key(prefix: String, period: Int, parts: Any*): String =
+    s"$prefix:$period:" + parts.map(
+      _.toString.replace("%", "%25").replace(":", "%3A")).mkString(":")
 }

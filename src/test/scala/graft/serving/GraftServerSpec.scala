@@ -209,6 +209,29 @@ class GraftServerSpec extends SparkSpec {
     assert(server.cache.get("loyalty:1:7:").isEmpty)
   }
 
+  test("cache keys are injective: params containing ':' cannot collide " +
+      "with a different param split (wrong-cached-result bug)") {
+    // Under a raw ':' join these two attendance requests share the key
+    // "attendance:1:30:worst::" — but their results differ (unknown sort
+    // "worst:" falls back to the full listing; party ":" matches nobody),
+    // so a collision serves one query's cached rows for the other.
+    val a = get("/api/attendance?period=1&sort=worst%3A")
+    val b = get("/api/attendance?period=1&sort=worst&party=%3A")
+    assert(a.statusCode() == 200 && b.statusCode() == 200)
+    assert(a.body().contains("attendance_pct"), a.body())
+    assert(b.body() == "[]", b.body())
+    assert(a.body() != b.body())
+    // the verdict's literal votes example: distinct cache entries
+    val before = server.cache.size
+    get("/api/votes?period=1&search=a%3Ab&outcome=c")
+    get("/api/votes?period=1&search=a&outcome=b&topic=c")
+    assert(server.cache.size == before + 2)
+    // escaped keys still live under the period prefix → invalidation works
+    assert(server.invalidatePeriod(1) >= 4)
+    assert(server.cache.get(
+      GraftServer.key("attendance", 1, 30, "worst:", "")).isEmpty)
+  }
+
   test("per-route rate limit returns 429 once exhausted") {
     // similarity limit lowered to 3/min for this suite; first calls may
     // already have consumed some budget — drive it over the top
@@ -216,6 +239,14 @@ class GraftServerSpec extends SparkSpec {
     assert(codes.contains(429))
     // other routes are unaffected by similarity's bucket
     assert(get("/api/health").statusCode() == 200)
+  }
+
+  test("rows() structurally clamps an unclamped DataFrame at MaxResponseRows") {
+    import spark.implicits._
+    val unclamped = spark.range(GraftServer.MaxResponseRows * 2L).toDF("id")
+    val json = server.rows(unclamped)
+    val n = json.split("\\{").length - 1
+    assert(n == GraftServer.MaxResponseRows, s"serialized $n rows")
   }
 
   test("unknown API route is a 404") {
