@@ -8,7 +8,7 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.psp.{Amendments, Analyzer, Coalitions, LawsBrowser}
+import graft.psp.{Amendments, Analyzer, Coalitions, Details, LawsBrowser}
 
 /** One period's servable tables: the voting analyzer plus the externally
   * enriched relations the law/amendment browsers read (topics and the
@@ -21,7 +21,10 @@ case class PeriodCatalog(
     amendmentBills: Option[DataFrame] = None,
     amendVoteIds: Option[DataFrame] = None,
     voteTopics: Option[DataFrame] = None,
-    tiskTexts: Option[graft.sources.ExternalIngestion.TiskTextService] = None)
+    tiskTexts: Option[graft.sources.ExternalIngestion.TiskTextService] = None,
+    // flat per-amendment fact rows (the Amendments.groupRevotes input
+    // shape) backing the amendment detail routes
+    amendmentFacts: Option[DataFrame] = None)
 
 /** HTTP serving layer over the Analyzer catalog — the reference's FastAPI
   * route surface (`routes/voting.py:23-130`, `routes/laws.py`,
@@ -59,9 +62,22 @@ class GraftServer(
     // the reference limits feedback to 3/HOUR, not per minute
     feedbackLimiter: RateLimiter = new RateLimiter(windowMillis = 3600L * 1000)) {
 
+  // the live catalog map is swappable: the daily refresh replaces a
+  // period's tables wholesale (reference `data_reader.py` reload)
+  @volatile private var livePeriods: Map[Int, PeriodCatalog] = periods
+
   private val http = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   private val pool = Executors.newFixedThreadPool(8)
   private val computePool = Executors.newCachedThreadPool()
+
+  /** Swap a freshly loaded catalog in and drop the period's cached
+    * results — the refresh pipeline's reload semantics
+    * (`data_reader.py:444,468-469`).
+    */
+  def refreshPeriod(period: Int, catalog: PeriodCatalog): Int = {
+    livePeriods = livePeriods + (period -> catalog)
+    invalidatePeriod(period)
+  }
 
   def boundPort: Int = http.getAddress.getPort
 
@@ -159,6 +175,18 @@ class GraftServer(
     v
   }
 
+  /** i18n dimension (reference `i18n/middleware.py` + the `lang` threading
+    * in `routes/voting.py:111-112`, `routes/pages.py:57`): cs | en,
+    * default cs, anything else a 422. Part of every lang-sensitive cache
+    * key so the two languages memoize separately.
+    */
+  private def langParam(q: Map[String, String]): String =
+    q.getOrElse("lang", "cs") match {
+      case "" => "cs"
+      case l @ ("cs" | "en") => l
+      case other => throw HttpError(422, s"Unsupported lang '$other'")
+    }
+
   /** Reference `routes/utils.py:10-13` + DataReader.get_period: the period
     * must be a known electoral period AND loaded.
     */
@@ -166,7 +194,7 @@ class GraftServer(
     val p = intParam(q, "period", GraftServer.DefaultPeriod, Int.MinValue, Int.MaxValue)
     if (!GraftServer.PeriodYears.contains(p))
       throw HttpError(404, s"Unknown period $p")
-    periods.get(p) match {
+    livePeriods.get(p) match {
       case Some(c) => (p, c)
       case None => throw HttpError(404, s"Period $p not loaded")
     }
@@ -219,9 +247,10 @@ class GraftServer(
         return
       }
       if (ex.getRequestMethod != "GET") throw HttpError(405, "Method not allowed")
+      // detail paths (votes/123) rate-limit under their list's bucket
       val limitGroup =
         if (route.startsWith("charts/") || route.endsWith(".png")) "charts"
-        else route
+        else route.takeWhile(_ != '/')
       val limit = limits.getOrElse(limitGroup, 120)
       if (!limiter.allow(rateKey(ex, limitGroup), limit))
         throw HttpError(429, s"Rate limit exceeded: $limit per minute")
@@ -233,7 +262,7 @@ class GraftServer(
       }
       val body = route match {
         case "health" =>
-          s"""{"status":"ok","periods_loaded":[${periods.keys.toSeq.sorted.mkString(",")}]}"""
+          s"""{"status":"ok","periods_loaded":[${livePeriods.keys.toSeq.sorted.mkString(",")}]}"""
         case "loyalty" => loyaltyRoute(q)
         case "attendance" => attendanceRoute(q)
         case "similarity" => similarityRoute(q)
@@ -241,6 +270,12 @@ class GraftServer(
         case "votes" => votesRoute(q)
         case "laws" => lawsRoute(q)
         case "amendments" => amendmentsRoute(q)
+        case GraftServer.AmendMpVotesPath(s, b) =>
+          amendmentMpVotesRoute(q, s.toInt, b.toInt)
+        case GraftServer.AmendDetailPath(s, b) =>
+          amendmentDetailRoute(q, s.toInt, b.toInt)
+        case GraftServer.VoteDetailPath(id) => voteDetailRoute(q, id.toLong)
+        case GraftServer.LawDetailPath(ct) => lawDetailRoute(q, ct.toInt)
         case "amendment-coalitions" => coalitionsRoute(q)
         case "stats" => statsRoute(q)
         case "tisk-text" => tiskTextRoute(q)
@@ -308,15 +343,22 @@ class GraftServer(
     val outcome = strParam(q, "outcome", 20)
     val topic = strParam(q, "topic", 200)
     val page = intParam(q, "page", 1, 1, 1000)
-    cache.getOrCompute(GraftServer.key("votes", period, search, outcome, topic, page)) {
+    val lang = langParam(q)
+    cache.getOrCompute(
+        GraftServer.key("votes", period, search, outcome, topic, page, lang)) {
       val topicKeys = Some(topic).filter(_.nonEmpty).flatMap { t =>
         cat.voteTopics.map(_.filter(col("topic") === t).select("schuze", "bod"))
       }
       val d = cat.analyzer.data
-      paged(graft.psp.VotesBrowser.listVotesPaged(
+      val pr = graft.psp.VotesBrowser.listVotesPaged(
         d.votes.sparkSession, d.votes, d.voidVotes,
         Some(search).filter(_.nonEmpty), Some(outcome).filter(_.nonEmpty),
-        topicKeys, page))
+        topicKeys, page)
+      // `_enrich_vote_rows` (votes_service.py:135-144): localized outcome
+      // label on each listed row — serving-layer projection only, so the
+      // browser query itself stays oracle-comparable
+      paged(pr.copy(rows = pr.rows.withColumn("outcome_label",
+        Details.outcomeLabel(col("vysledek"), lang))))
     }
   }
 
@@ -328,9 +370,19 @@ class GraftServer(
     val status = strParam(q, "status", 200)
     val topic = strParam(q, "topic", 200)
     val page = intParam(q, "page", 1, 1, 1000)
-    cache.getOrCompute(GraftServer.key("laws", period, search, status, topic, page)) {
+    val lang = langParam(q)
+    cache.getOrCompute(
+        GraftServer.key("laws", period, search, status, topic, page, lang)) {
+      // English listings browse (and topic-filter) the English labels
+      // when the TopicPipeline attached them (`law_service.py` topics_en)
+      val langLaws =
+        if (lang == "en" && laws.columns.contains("topics_en"))
+          laws.withColumn("topics",
+            when(size(col("topics_en")) > 0, col("topics_en"))
+              .otherwise(col("topics")))
+        else laws
       paged(LawsBrowser.listLawsPaged(
-        laws, Some(search).filter(_.nonEmpty), Some(status).filter(_.nonEmpty),
+        langLaws, Some(search).filter(_.nonEmpty), Some(status).filter(_.nonEmpty),
         Some(topic).filter(_.nonEmpty), page))
     }
   }
@@ -366,8 +418,114 @@ class GraftServer(
 
   private def statsRoute(q: Map[String, String]): String = {
     val (period, cat) = periodCatalog(q)
-    cache.getOrCompute(GraftServer.key("stats", period)) {
+    // lang is accepted + keyed for parity with the reference's stats page
+    // even though the numeric envelope is language-invariant
+    cache.getOrCompute(GraftServer.key("stats", period, langParam(q))) {
       rows(cat.analyzer.periodStats())
+    }
+  }
+
+  // ------------------------------------------------------- detail routes
+  // Reference pages.py:130 (vote), :174 (law), amendments router — the
+  // browse loop's click-through surface. Each is a single-key lookup:
+  // 404 on an unknown id, lang-keyed caching, 15 s budget.
+
+  /** Serialize a single-row DataFrame as one JSON object; None = 0 rows. */
+  private def singleObject(df: DataFrame): Option[String] = {
+    val json = rows(df)
+    if (json == "[]") None else Some(json.stripPrefix("[").stripSuffix("]"))
+  }
+
+  /** Party breakdown in the reference's field names
+    * (`amendment_service.py:299-314`): yes/no/abstained/passive/absent/
+    * excused/total per party.
+    */
+  private def namedBreakdown(d: graft.psp.PeriodData, id: Long): DataFrame =
+    graft.psp.VotesBrowser.partyBreakdown(d.mpVotes, d.mpInfo, id)
+      .select(col("party"),
+        col("a_cnt").as("yes"), col("b_cnt").as("no"),
+        col("c_cnt").as("abstained"), col("f_cnt").as("passive"),
+        col("@_cnt").as("absent"), col("m_cnt").as("excused"),
+        col("total_cnt").as("total"))
+
+  /** GET /api/votes/{id} (`votes_service.py:303-319` via pages.py:130):
+    * info + party_breakdown + mp_votes.
+    */
+  private def voteDetailRoute(q: Map[String, String], id: Long): String = {
+    val (period, cat) = periodCatalog(q)
+    val lang = langParam(q)
+    cache.getOrCompute(GraftServer.key("vote_detail", period, id, lang)) {
+      withTimeout(15000, "vote detail") {
+        val d = cat.analyzer.data
+        val info = singleObject(Details.voteInfo(
+            d.votes, d.tiskLookup, cat.voteTopics, id, lang))
+          .getOrElse(throw HttpError(404, s"Vote $id not found"))
+        s"""{"info":$info,""" +
+          s""""party_breakdown":${rows(namedBreakdown(d, id))},""" +
+          s""""mp_votes":${rows(Details.voteMpList(d.mpVotes, d.mpInfo, id))}}"""
+      }
+    }
+  }
+
+  /** GET /api/laws/{ct} (`law_service.py:247-312` via pages.py:174). */
+  private def lawDetailRoute(q: Map[String, String], ct: Int): String = {
+    val (period, cat) = periodCatalog(q)
+    val laws = cat.laws.getOrElse(
+      throw HttpError(404, s"Period $period has no laws table loaded"))
+    val lang = langParam(q)
+    cache.getOrCompute(GraftServer.key("law_detail", period, ct, lang)) {
+      withTimeout(15000, "law detail") {
+        singleObject(Details.lawDetail(laws, cat.amendmentBills, ct, lang))
+          .getOrElse(throw HttpError(404, s"Law $ct not found"))
+      }
+    }
+  }
+
+  /** GET /api/amendments/{schuze}/{bod}
+    * (`amendment_service.py:168-246`): the bill's nested amendment list.
+    */
+  private def amendmentDetailRoute(q: Map[String, String],
+      schuze: Int, bod: Int): String = {
+    val (period, cat) = periodCatalog(q)
+    val facts = cat.amendmentFacts.getOrElse(
+      throw HttpError(404, s"Period $period has no amendment facts loaded"))
+    val lang = langParam(q)
+    cache.getOrCompute(
+        GraftServer.key("amendment_detail", period, schuze, bod, lang)) {
+      withTimeout(15000, "amendment detail") {
+        val grouped = rows(Details.amendmentDetail(facts, schuze, bod))
+        if (grouped == "[]")
+          throw HttpError(404, s"No amendments for $schuze/$bod")
+        val count = facts
+          .filter(col("schuze") === schuze && col("bod") === bod).count()
+        s"""{"schuze":$schuze,"bod":$bod,"amendment_count":$count,""" +
+          s""""amendments":$grouped}"""
+      }
+    }
+  }
+
+  /** GET /api/amendments/{schuze}/{bod}/mp-votes?vote={id_hlasovani}
+    * (`amendment_service.py:275-339`): vote header + party breakdown +
+    * per-MP labels for one amendment vote.
+    */
+  private def amendmentMpVotesRoute(q: Map[String, String],
+      schuze: Int, bod: Int): String = {
+    val (period, cat) = periodCatalog(q)
+    val id = q.get("vote").flatMap(_.toLongOption)
+      .getOrElse(throw HttpError(422, "Missing or invalid 'vote' param"))
+    cache.getOrCompute(
+        GraftServer.key("amendment_mp", period, schuze, bod, id)) {
+      withTimeout(15000, "amendment MP votes") {
+        val d = cat.analyzer.data
+        val header = singleObject(d.votes
+            .filter(col("id_hlasovani") === id)
+            .select(col("id_hlasovani"), col("pro"), col("proti"),
+              col("zdrzel"), col("nehlasoval"), col("vysledek")))
+          .getOrElse(throw HttpError(404, s"Vote $id not found"))
+        s"""{"vote":$header,""" +
+          s""""party_breakdown":${rows(namedBreakdown(d, id))},""" +
+          s""""mp_votes":${rows(Details.amendmentMpList(d.mpVotes, d.mpInfo, id))}}"""
+      }
     }
   }
 
@@ -555,7 +713,15 @@ object GraftServer {
   val KeyPrefixes: Seq[String] = Seq(
     "loyalty", "attendance", "similarity", "similarity_pca", "votes",
     "laws", "amendments", "amendment-coalitions", "stats",
+    "vote_detail", "law_detail", "amendment_detail", "amendment_mp",
     "chart_loyalty", "chart_attendance", "chart_similarity")
+
+  /** Detail-page path shapes (digit caps keep ids inside Long/Int). */
+  private[serving] val VoteDetailPath = "votes/([0-9]{1,18})".r
+  private[serving] val LawDetailPath = "laws/([0-9]{1,9})".r
+  private[serving] val AmendDetailPath = "amendments/([0-9]{1,9})/([0-9]{1,9})".r
+  private[serving] val AmendMpVotesPath =
+    "amendments/([0-9]{1,9})/([0-9]{1,9})/mp-votes".r
 
   /** Rendered-PNG cache prefixes (a separate byte-valued cache). */
   val PngKeyPrefixes: Seq[String] = Seq(

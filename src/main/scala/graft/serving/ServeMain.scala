@@ -32,8 +32,18 @@ object ServeMain {
       p -> PeriodCatalog(new Analyzer(PeriodLoader.load(spark, root, p)))
     }.toMap
     val server = new GraftServer(periods, port).start()
+    // daily maintenance (reference `daily_refresh_service.py`): reload
+    // every served period from the dump root at the configured CET hour
+    // and swap it in, dropping its cached results. GRAFT_REFRESH_ENABLED=0
+    // turns it off; pair with Downloader.downloadPeriod(force = true)
+    // upstream when the dump itself should be re-fetched first.
+    val refresher = new DailyRefresh(() => periodIds.foreach { p =>
+      server.refreshPeriod(p,
+        PeriodCatalog(new Analyzer(PeriodLoader.load(spark, root, p))))
+    }).start()
     println(s"serving /api on 127.0.0.1:${server.boundPort} " +
       s"(periods ${periodIds.mkString(",")})")
-    Thread.currentThread().join() // serve until killed
+    try Thread.currentThread().join() // serve until killed
+    finally refresher.stop()
   }
 }

@@ -26,18 +26,27 @@ class GraftServerSpec extends SparkSpec {
       tiskLookup = Seq((1, 1, "Návrh zákona o rozpočtu"))
         .toDF("schuze", "bod", "nazev"))
     val laws = Seq(
-      (410L, 100, "Návrh zákona o rozpočtu", "in_progress", Seq("finance")),
-      (412L, 101, "Novela školského zákona", "passed", Seq("education")),
-      (413L, 102, "Zákon o daních", "rejected", Seq("finance", "tax")))
-      .toDF("id_tisk", "ct", "nazev", "status", "topics")
-    val bills = Seq((1, 1, 1, "410"), (1, 1, 2, "411"))
+      (410L, 100, "Návrh zákona o rozpočtu", "in_progress", Seq("finance"),
+        Seq("public finance")),
+      (412L, 101, "Novela školského zákona", "passed", Seq("education"),
+        Seq("education system")),
+      (413L, 102, "Zákon o daních", "rejected", Seq("finance", "tax"),
+        Seq("public finance", "taxation")))
+      .toDF("id_tisk", "ct", "nazev", "status", "topics", "topics_en")
+    val bills = Seq((1, 1, 1, "410"), (1, 1, 2, "411"), (1, 2, 1, "100"))
       .toDF("period", "schuze", "bod", "ct")
     val amendIds = Seq(1L, 2L).toDF("id_hlasovani")
-    val topics = Seq((1, 1, "finance")).toDF("schuze", "bod", "topic")
+    val topics = Seq((1, 1, "finance", "public finance"))
+      .toDF("schuze", "bod", "topic", "topic_en")
     val texts = new graft.sources.ExternalIngestion.FixtureTexts(
       Map((1, 100) -> "Plný text tisku 100 o rozpočtu."))
+    val facts = Seq(
+      (1, 2, "A", 1L, 2L, false, "accepted"),
+      (1, 2, "A", 3L, 4L, true, "rejected"))
+      .toDF("schuze", "bod", "letter", "vote_number", "id_hlasovani",
+        "is_revote", "result")
     PeriodCatalog(new Analyzer(data), Some(laws), Some(bills),
-      Some(amendIds), Some(topics), Some(texts))
+      Some(amendIds), Some(topics), Some(texts), amendmentFacts = Some(facts))
   }
 
   private var server: GraftServer = _
@@ -143,8 +152,116 @@ class GraftServerSpec extends SparkSpec {
   test("amendments endpoint joins print names and pages") {
     val r = get("/api/amendments?period=1")
     assert(r.statusCode() == 200)
-    assert(r.body().contains("\"total\":2"))
+    assert(r.body().contains("\"total\":3"))
     assert(r.body().contains("Návrh zákona o rozpočtu"))
+  }
+
+  test("vote detail route serves info + party_breakdown + mp_votes; " +
+      "unknown id is a 404 (pages.py:130 / votes_service.py:303-319)") {
+    val r = get("/api/votes/1?period=1")
+    assert(r.statusCode() == 200, r.body())
+    assert(r.body().contains("\"info\":{"))
+    assert(r.body().contains("\"nazev_dlouhy\":\"Test vote 1\""))
+    assert(r.body().contains("\"outcome_label\":\"Schváleno\""))
+    // (schuze=1, bod=1) links to the fixture print + its cs topic
+    assert(r.body().contains("\"tisk_nazev\":\"Návrh zákona o rozpočtu\""))
+    assert(r.body().contains("\"tisk_topics\":[\"finance\"]"))
+    // party breakdown in the reference's field names
+    assert(r.body().contains("\"party_breakdown\":["))
+    assert(r.body().contains("\"yes\":"))
+    // per-MP list with labels, including the fixture's B (NO) voter
+    assert(r.body().contains("\"mp_votes\":["))
+    assert(r.body().contains("\"vote_label\":\"NO\""))
+    assert(get("/api/votes/999?period=1").statusCode() == 404)
+    assert(get("/api/votes/999999999999999999999?period=1").statusCode() == 404)
+  }
+
+  test("vote detail localizes by lang and keys the cache per language") {
+    val cs = get("/api/votes/2?period=1")
+    val en = get("/api/votes/2?period=1&lang=en")
+    assert(cs.body().contains("\"outcome_label\":\"Schváleno\""))
+    assert(en.body().contains("\"outcome_label\":\"Passed\""))
+    // vote 1 is the one linked to the fixture print's topics
+    assert(get("/api/votes/1?period=1&lang=en").body()
+      .contains("\"tisk_topics\":[\"public finance\"]"))
+    assert(get("/api/votes/2?period=1&lang=de").statusCode() == 422)
+  }
+
+  test("votes listing carries the localized outcome label (cs vs en, " +
+      "same data)") {
+    val cs = get("/api/votes?period=1&search=Test%20vote%201")
+    val en = get("/api/votes?period=1&search=Test%20vote%201&lang=en")
+    assert(cs.body().contains("\"outcome_label\":\"Schváleno\""))
+    assert(en.body().contains("\"outcome_label\":\"Passed\""))
+  }
+
+  test("law detail route serves lang-resolved topics and amendment " +
+      "entries; unknown ct is a 404 (law_service.py:247-312)") {
+    val cs = get("/api/laws/100?period=1")
+    assert(cs.statusCode() == 200, cs.body())
+    assert(cs.body().contains("\"nazev\":\"Návrh zákona o rozpočtu\""))
+    assert(cs.body().contains("\"topics\":[\"finance\"]"))
+    // bills fixture links ct 100 to agenda item (2, 1)
+    assert(cs.body().contains("\"has_amendments\":true"))
+    assert(cs.body().contains("\"amendment_entries\":[{\"schuze\":2,\"bod\":1}]"))
+    val en = get("/api/laws/100?period=1&lang=en")
+    assert(en.body().contains("\"topics\":[\"public finance\"]"))
+    assert(get("/api/laws/999?period=1").statusCode() == 404)
+  }
+
+  test("laws listing browses English labels under lang=en (same data)") {
+    val cs = get("/api/laws?period=1&topic=tax")
+    assert(cs.body().contains("\"total\":1"))
+    assert(cs.body().contains("Zákon o daních"))
+    val en = get("/api/laws?period=1&topic=taxation&lang=en")
+    assert(en.body().contains("\"total\":1"), en.body())
+    assert(en.body().contains("Zákon o daních"))
+    // the Czech label no longer matches once topics browse in English
+    assert(get("/api/laws?period=1&topic=tax&lang=en").body()
+      .contains("\"total\":0"))
+  }
+
+  test("amendment detail route nests revotes; unknown agenda item is a " +
+      "404 (amendment_service.py:168-246)") {
+    val r = get("/api/amendments/1/2?period=1")
+    assert(r.statusCode() == 200, r.body())
+    assert(r.body().contains("\"amendment_count\":2"))
+    assert(r.body().contains("\"letter\":\"A\""))
+    assert(r.body().contains("\"rv_vote_number\":3"))
+    assert(get("/api/amendments/9/9?period=1").statusCode() == 404)
+  }
+
+  test("amendment mp-votes route serves the vote header + breakdown + " +
+      "labeled MP list (amendment_service.py:275-339)") {
+    val r = get("/api/amendments/1/2/mp-votes?period=1&vote=2")
+    assert(r.statusCode() == 200, r.body())
+    assert(r.body().contains("\"vote\":{\"id_hlasovani\":2"))
+    assert(r.body().contains("\"pro\":100"))
+    assert(r.body().contains("\"party_breakdown\":["))
+    // MP 5 voted '@' on vote 2 -> Absent; amendment label for F is
+    // DID_NOT_VOTE (checked in DetailsSpec); B -> NO present here
+    assert(r.body().contains("\"vote_label\":\"NO\""))
+    assert(r.body().contains("\"vote_label\":\"Absent\""))
+    assert(get("/api/amendments/1/2/mp-votes?period=1&vote=999").statusCode() == 404)
+    assert(get("/api/amendments/1/2/mp-votes?period=1").statusCode() == 422)
+  }
+
+  test("refreshPeriod swaps the live catalog and drops the period's " +
+      "cached results (daily-refresh reload semantics)") {
+    get("/api/loyalty?period=1&top=9")
+    assert(server.cache.get("loyalty:1:9:").isDefined)
+    val dropped = server.refreshPeriod(1, fixtureCatalog())
+    assert(dropped >= 1)
+    assert(server.cache.get("loyalty:1:9:").isEmpty)
+    // the swapped catalog serves immediately
+    assert(get("/api/loyalty?period=1&top=9").statusCode() == 200)
+  }
+
+  test("detail cache keys invalidate with their period") {
+    get("/api/votes/1?period=1")
+    assert(server.cache.get(GraftServer.key("vote_detail", 1, 1L, "cs")).isDefined)
+    server.invalidatePeriod(1)
+    assert(server.cache.get(GraftServer.key("vote_detail", 1, 1L, "cs")).isEmpty)
   }
 
   test("amendment-coalitions endpoint serves all three analyses") {
