@@ -33,17 +33,28 @@ object Components {
   def connectedComponents(
       edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 25, localEdgeLimit: Long = 5000000L): DataFrame = {
-    val probe = edges
+    require(localEdgeLimit > 0 && localEdgeLimit < Int.MaxValue,
+      s"localEdgeLimit=$localEdgeLimit must be in (0, Int.MaxValue) — the " +
+        "local tier collects edges into one array")
+    // Size probe WITHOUT hauling rows to the driver: cap the relation at
+    // limit+1 and COUNT it executor-side. The capped relation is
+    // persisted so the under-cap branch's collect() reuses the same rows
+    // instead of recomputing pair generation (the expensive upstream).
+    // Over the cap, only a count crossed the wire — an oversized edge
+    // set can no longer OOM the driver just by being probed.
+    val capped = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .limit((localEdgeLimit + 1).toInt)
-      .collect()
-    if (probe.length <= localEdgeLimit) {
-      val spark = edges.sparkSession
-      import spark.implicits._
-      return localUnionFind(probe.map(r => (r.getLong(0), r.getLong(1))))
-        .toSeq.toDF("id", "component")
-    }
-    connectedComponentsDistributed(edges, srcCol, dstCol, maxIter)
+      .limit(localEdgeLimit.toInt + 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (capped.count() <= localEdgeLimit) {
+        val spark = edges.sparkSession
+        import spark.implicits._
+        val probe = capped.collect()
+        localUnionFind(probe.map(r => (r.getLong(0), r.getLong(1))))
+          .toSeq.toDF("id", "component")
+      } else connectedComponentsDistributed(edges, srcCol, dstCol, maxIter)
+    } finally capped.unpersist(false)
   }
 
   /** Driver-side union-find with path compression; roots resolve to each

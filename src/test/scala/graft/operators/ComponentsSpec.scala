@@ -100,4 +100,27 @@ class ComponentsSpec extends SparkSpec {
     assert(local == dist)
     CacheRegistry.drain()
   }
+
+  test("over-cap edge sets take the contraction path off a count probe " +
+      "(no driver collect) and labels stay correct; absurd caps are " +
+      "rejected up front") {
+    import spark.implicits._
+    // one 41-node chain = 40 edges, cap 10 -> the distributed branch
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Components.connectedComponents(chain, "id_a", "id_b",
+        localEdgeLimit = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 41 && out.values.forall(_ == 0L))
+    // a cap the local tier cannot represent fails fast instead of
+    // overflowing (the old probe's (cap+1).toInt wrapped negative)
+    intercept[IllegalArgumentException] {
+      Components.connectedComponents(chain, "id_a", "id_b",
+        localEdgeLimit = Int.MaxValue.toLong)
+    }
+    intercept[IllegalArgumentException] {
+      Components.connectedComponents(chain, "id_a", "id_b",
+        localEdgeLimit = Long.MaxValue)
+    }
+    CacheRegistry.drain()
+  }
 }
