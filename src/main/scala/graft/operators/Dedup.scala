@@ -221,13 +221,18 @@ object Dedup {
     * `threshold`. The only shuffles are: signature agg (none — per-row),
     * band groupBy, and the verify join against the per-doc shingle arrays.
     */
-  /** @param broadcastSets verify-join strategy: `Some(true)` broadcasts
-    *   the per-doc shingle-set relation onto the candidate list (fastest
-    *   when the corpus's sets fit the broadcast limit — single-node /
-    *   bench scale); `Some(false)` uses shuffled equi-joins on the ids,
-    *   which scale to any corpus; `None` (default) decides from the
-    *   source relation's size estimate ([[autoBroadcastSets]]), so call
-    *   sites carry no scale assumption.
+  /** @param broadcastSets pipeline strategy pin. `None` (default):
+    *   dispatch from the source relation's size estimate
+    *   ([[autoBroadcastSets]]), so call sites carry no scale assumption.
+    *   An explicit value pins the WHOLE formulation — shingle-set
+    *   construction, band-join strategy AND verify-join strategy —
+    *   `Some(true)` = the small-corpus path (one-projection sets,
+    *   broadcast joins), `Some(false)` = the scale path (long-form sets,
+    *   shuffled equi-joins). Pinning everything together keeps the
+    *   output pair set independent of `autoBroadcastJoinThreshold`; the
+    *   two formulations hash shingles differently, so letting a size
+    *   gate pick one under an explicit override would let a perf conf
+    *   change results.
     */
   def minhashNearDups(
       df: DataFrame, idCol: String, textCol: String,
@@ -251,7 +256,12 @@ object Dedup {
     //    32-bit combined token hashes vs xxhash64 of the shingle string —
     //    fine for an operator whose contract is approximate near-dup
     //    detection; the exact-recall operator is [[prefixJaccardPairs]].)
-    val small = autoBroadcastSets(df)
+    // An EXPLICIT broadcastSets pins the whole strategy, not just the
+    // verify join: Some(false) must force the long-form formulation and
+    // shuffled joins (and Some(true) the small-corpus one), otherwise the
+    // output pair set would still vary with autoBroadcastJoinThreshold
+    // through the size gate — a perf knob silently changing results.
+    val small = broadcastSets.getOrElse(autoBroadcastSets(df))
     val sets = CacheRegistry.track {
       (if (small)
         df.select(col(idCol), shingleHashes(col(textCol), shingleN).as("shset"))
@@ -293,7 +303,7 @@ object Dedup {
 
     // exact-Jaccard verify: attach the per-doc shingle-set arrays to the
     // candidate list, intersect natively (candidate-count × O(|set|))
-    val doBroadcast = broadcastSets.getOrElse(small)
+    val doBroadcast = small
     val setsA = sets.select(col(idCol).as("id_a"), col("shset").as("set_a"))
     val setsB = sets.select(col(idCol).as("id_b"), col("shset").as("set_b"))
     candidates

@@ -35,6 +35,27 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("an explicit broadcastSets override yields identical pair sets " +
+      "under both autoBroadcastJoinThreshold extremes (the perf knob " +
+      "must not change results)") {
+    def run(pin: Option[Boolean]): Set[(Long, Long)] =
+      Dedup.minhashNearDups(corpus(), "doc_id", "text",
+        shingleN = 3, numHashes = 32, bands = 8, threshold = 0.5,
+        broadcastSets = pin)
+        .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val orig = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val pinnedOff = run(Some(false))
+      val pinnedOn = run(Some(true))
+      spark.conf.set(key, (512L * 1024 * 1024).toString)
+      assert(run(Some(false)) == pinnedOff)
+      assert(run(Some(true)) == pinnedOn)
+      assert(pinnedOff.nonEmpty && pinnedOn.nonEmpty)
+    } finally spark.conf.set(key, orig)
+  }
+
   test("exact-dup pair has jaccard exactly 1.0") {
     val row = Dedup.minhashNearDups(corpus(), "doc_id", "text")
       .filter(col("id_a") === 1L && col("id_b") === 2L).collect()
