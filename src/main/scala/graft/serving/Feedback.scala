@@ -15,14 +15,19 @@ trait FeedbackSink {
 
 object Feedback {
   /** Issue body with the vote-metadata header, user text HTML-escaped
-    * (`feedback_service.py:21-31`).
+    * (`feedback_service.py:21-31`). The page URL comes from the Referer
+    * header — attacker-controlled — so it gets the same escaping plus
+    * newline stripping; otherwise a crafted Referer injects markdown (or
+    * fake metadata lines) into the issue.
     */
   def issueBody(body: String, voteId: Long, period: Int, pageUrl: String,
       lang: String): String = {
-    val escaped = body
+    def esc(s: String): String = s
       .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
       .replace("\"", "&quot;").replace("'", "&#x27;")
-    s"**Vote ID:** $voteId\n**Period:** $period\n**Page URL:** $pageUrl\n" +
+    val escaped = esc(body)
+    val safeUrl = esc(pageUrl.replaceAll("[\\r\\n]+", " "))
+    s"**Vote ID:** $voteId\n**Period:** $period\n**Page URL:** $safeUrl\n" +
       s"**Language:** $lang\n\n---\n\n$escaped"
   }
 
