@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] means 32 concurrent tasks sharing ONE driver heap; 8g on
+  // this 128 GiB box made the heavy shuffle queries (q60/q62 family) GC-
+  // thrash in one-shot bench runs (recorded 15.7 s vs ~5 s steady-state).
+  // 48g leaves the OS plenty and keeps full-rate task concurrency out of
+  // collection pauses.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )
