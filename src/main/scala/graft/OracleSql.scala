@@ -974,5 +974,55 @@ object OracleSql {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  'text/plain' AS format
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q80_boilerplate_lines" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |    text || chr(10) || 'Copyright Example Corp' || chr(10) ||
+        |    'All rights reserved' AS text
+        |  FROM documents),
+        |ls AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM src),
+        |lines AS (
+        |  SELECT doc_id,
+        |    unnest(range(1, len(arr) + 1)) AS line_no,
+        |    unnest(arr) AS line
+        |  FROM ls),
+        |tl AS (SELECT doc_id, line_no, line, trim(line) AS trimmed FROM lines),
+        |bp AS (SELECT trimmed FROM tl WHERE trimmed <> ''
+        |       GROUP BY trimmed HAVING count(DISTINCT doc_id) >= 100),
+        |kept AS (SELECT * FROM tl
+        |         WHERE trimmed NOT IN (SELECT trimmed FROM bp)),
+        |tot AS (SELECT doc_id, count(*) AS n FROM tl GROUP BY doc_id),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |          string_agg(line, chr(10) ORDER BY line_no) AS cleaned
+        |        FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+        |  CAST(t.n - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+        |  coalesce(a.cleaned, '') AS cleaned_text
+        |FROM tot t LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q81_ngram_heavy_hitters" ->
+      """WITH ts AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split(text, ' '), w -> w <> '') AS ts
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN len(ts) >= 3
+        |      THEN unnest(list_transform(range(1, len(ts) - 1),
+        |             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))
+        |      ELSE array_to_string(ts, ' ') END AS sh
+        |  FROM ts),
+        |c AS (SELECT source, sh, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM sh GROUP BY 1, 2),
+        |r AS (SELECT source, sh AS ngram, cnt,
+        |        CAST(row_number() OVER (
+        |          PARTITION BY source ORDER BY cnt DESC, sh ASC) AS INTEGER)
+        |          AS rk
+        |      FROM c)
+        |SELECT source, ngram, cnt, rk FROM r WHERE rk <= 10
+        |ORDER BY source, rk""".stripMargin,
   )
 }

@@ -1015,6 +1015,30 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_id"))
       .orderBy("lang")
 
+  /** Line-level boilerplate removal (CCNet-style cross-document line
+    * dedup): a two-line footer is planted on every document (the
+    * synthetic corpus is single-line text) so the distinct-document
+    * frequency threshold has real chrome to find; the cleaned text keeps
+    * original line order. Exact string semantics ⇒ hash-exact oracle.
+    */
+  private def q80(s: SparkSession, d: String): DataFrame =
+    graft.operators.TextAnalysis.removeBoilerplate(
+        docs(s, d).select(col("doc_id"),
+          concat(col("text"),
+            lit("\nCopyright Example Corp\nAll rights reserved")).as("text")),
+        "doc_id", "text", minDf = 100)
+      .orderBy("doc_id")
+
+  /** Per-source trigram heavy hitters: top-10 word 3-grams per source
+    * with a deterministic (count DESC, ngram ASC) tiebreak — template /
+    * boilerplate mining shape at corpus scale.
+    */
+  private def q81(s: SparkSession, d: String): DataFrame =
+    graft.operators.TextAnalysis.ngramHeavyHitters(
+        docs(s, d).select("doc_id", "source", "text"),
+        "source", "doc_id", "text", n = 3, topK = 10)
+      .orderBy(col("source"), col("rk"))
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1096,6 +1120,8 @@ object SparkEntry {
     "q77_repetition_filters" -> (q77(_, _)),
     "q78_contamination" -> (q78(_, _)),
     "q79_source_mixing" -> (q79(_, _)),
+    "q80_boilerplate_lines" -> (q80(_, _)),
+    "q81_ngram_heavy_hitters" -> (q81(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

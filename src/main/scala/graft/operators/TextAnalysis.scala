@@ -204,4 +204,76 @@ object TextAnalysis {
     aggregate(tokens(text), lit(0L), (acc, w) =>
       (acc * lit(31L) + xxhash64(w).bitwiseAND(lit(0xffffffffL)))
         .bitwiseAND(lit(0xffffffffffffL)))
+
+  // --------------------------------------------- line-level boilerplate
+
+  /** (doc, line_no, line, trimmed) long-form line relation — one codegen
+    * generator, no shuffle.
+    */
+  private def lineRows(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("line_no", "line")))
+      .withColumn("trimmed", trim(col("line")))
+
+  /** Corpus boilerplate lines (CCNet-style line dedup across documents):
+    * a non-empty trimmed line appearing in at least `minDf` DISTINCT
+    * documents is chrome (footers, cookie banners, nav), not content.
+    * One shuffle on the line text; at 100 TB pre-hash the line and count
+    * hashes — the df threshold only needs equality.
+    */
+  def boilerplateLines(df: DataFrame, idCol: String, textCol: String,
+      minDf: Long): DataFrame =
+    lineRows(df, idCol, textCol)
+      .filter(col("trimmed") =!= "")
+      .groupBy(col("trimmed"))
+      .agg(countDistinct(col(idCol)).as("line_df"))
+      .filter(col("line_df") >= minDf)
+
+  /** Documents with corpus-boilerplate lines removed: per doc, the kept
+    * line count, removed count, and the cleaned text (original line
+    * order). Fully-boilerplate docs survive with empty text, like the
+    * filtering stage of a real pipeline (dropping them is a separate
+    * policy decision). The boilerplate relation is df-thresholded and
+    * therefore small — the anti-join auto-broadcasts.
+    */
+  def removeBoilerplate(df: DataFrame, idCol: String, textCol: String,
+      minDf: Long): DataFrame = {
+    val lines = lineRows(df, idCol, textCol)
+    val bp = boilerplateLines(df, idCol, textCol, minDf).select("trimmed")
+    val kept = lines.join(bp, Seq("trimmed"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("line_no"), col("line")))),
+            s => s.getField("line")), "\n").as("cleaned_text"))
+    lines.groupBy(col(idCol)).agg(count(lit(1)).as("__n_lines"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+  }
+
+  // ---------------------------------------------- n-gram heavy hitters
+
+  /** Top-k word n-grams per group (corpus analytics / template mining):
+    * shingle long-form, count per (group, shingle) with partial
+    * aggregation absorbing the skew of common n-grams, then a per-group
+    * top-k window. Deterministic tiebreak (count DESC, ngram ASC).
+    */
+  def ngramHeavyHitters(df: DataFrame, groupCol: String, idCol: String,
+      textCol: String, n: Int, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = Dedup.shingleRows(df, idCol, textCol, n)
+    val counts = sh
+      .join(df.select(col(idCol), col(groupCol)), Seq(idCol))
+      .groupBy(col(groupCol), col("sh"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("cnt").desc, col("sh").asc)
+    counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col(groupCol), col("sh").as("ngram"), col("cnt"), col("rk"))
+  }
 }
