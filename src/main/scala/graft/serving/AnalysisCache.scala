@@ -9,7 +9,8 @@ import java.util.concurrent.ConcurrentHashMap
   * analog for hot inputs is `df.persist`, used separately.
   */
 class AnalysisCache[V](ttlMillis: Long = 3600L * 1000,
-    clock: () => Long = () => System.currentTimeMillis()) {
+    clock: () => Long = () => System.currentTimeMillis(),
+    maxEntries: Int = 10000) {
 
   private case class Entry(value: V, at: Long)
   private val store = new ConcurrentHashMap[String, Entry]()
@@ -21,7 +22,26 @@ class AnalysisCache[V](ttlMillis: Long = 3600L * 1000,
     else {
       val v = compute
       store.put(key, Entry(v, now))
+      if (store.size() > maxEntries) evict(now)
       v
+    }
+  }
+
+  /** Entry-count bound: every distinct param combination is a key, so an
+    * unbounded map is a slow memory leak under adversarial query
+    * diversity. Over the cap: drop expired entries first, then the
+    * oldest until within bound (oldest-inserted ≈ least recently
+    * computed under a TTL'd read-through cache).
+    */
+  private def evict(now: Long): Unit = {
+    store.entrySet().removeIf(e => now - e.getValue.at >= ttlMillis)
+    val over = store.size() - maxEntries
+    if (over > 0) {
+      import scala.jdk.CollectionConverters._
+      store.entrySet().asScala.toSeq
+        .sortBy(_.getValue.at)
+        .take(over)
+        .foreach(e => store.remove(e.getKey))
     }
   }
 
