@@ -278,6 +278,7 @@ class GraftServer(
         case GraftServer.LawDetailPath(ct) => lawDetailRoute(q, ct.toInt)
         case "amendment-coalitions" => coalitionsRoute(q)
         case "stats" => statsRoute(q)
+        case "topics" => topicsRoute(q)
         case "tisk-text" => tiskTextRoute(q)
         case "charts/loyalty" => chartLoyaltyRoute(q)
         case "charts/attendance" => chartAttendanceRoute(q)
@@ -422,6 +423,37 @@ class GraftServer(
     // even though the numeric envelope is language-invariant
     cache.getOrCompute(GraftServer.key("stats", period, langParam(q))) {
       rows(cat.analyzer.periodStats())
+    }
+  }
+
+  /** GET /api/topics: the distinct topic labels the votes/laws filter
+    * dropdowns offer (reference `tisk_models.py:147-160`
+    * get_all_topic_labels — union over the period's prints, lang-aware,
+    * sorted).
+    */
+  private def topicsRoute(q: Map[String, String]): String = {
+    val (period, cat) = periodCatalog(q)
+    val lang = langParam(q)
+    cache.getOrCompute(GraftServer.key("topics", period, lang)) {
+      val fromLaws = cat.laws.toSeq.map { laws =>
+        val l =
+          if (lang == "en" && laws.columns.contains("topics_en"))
+            laws.withColumn("topics",
+              when(size(col("topics_en")) > 0, col("topics_en"))
+                .otherwise(col("topics")))
+          else laws
+        LawsBrowser.allTopics(l)
+      }
+      val fromVotes = cat.voteTopics.toSeq.map { t =>
+        val c =
+          if (lang == "en" && t.columns.contains("topic_en"))
+            coalesce(col("topic_en"), col("topic"))
+          else col("topic")
+        t.select(c.as("topic"))
+      }
+      val all = fromLaws ++ fromVotes
+      if (all.isEmpty) "[]"
+      else rows(all.reduce(_.unionAll(_)).distinct().orderBy("topic"))
     }
   }
 
@@ -712,7 +744,7 @@ object GraftServer {
   /** Every cache-key prefix a period's results live under. */
   val KeyPrefixes: Seq[String] = Seq(
     "loyalty", "attendance", "similarity", "similarity_pca", "votes",
-    "laws", "amendments", "amendment-coalitions", "stats",
+    "laws", "amendments", "amendment-coalitions", "stats", "topics",
     "vote_detail", "law_detail", "amendment_detail", "amendment_mp",
     "chart_loyalty", "chart_attendance", "chart_similarity")
 

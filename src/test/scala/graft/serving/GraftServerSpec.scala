@@ -246,6 +246,18 @@ class GraftServerSpec extends SparkSpec {
     assert(get("/api/amendments/1/2/mp-votes?period=1").statusCode() == 422)
   }
 
+  test("topics route unions law and vote topic labels, lang-aware " +
+      "(get_all_topic_labels parity)") {
+    val cs = get("/api/topics?period=1")
+    assert(cs.statusCode() == 200, cs.body())
+    for (t <- Seq("finance", "education", "tax"))
+      assert(cs.body().contains(s"\"topic\":\"$t\""), cs.body())
+    val en = get("/api/topics?period=1&lang=en")
+    assert(en.body().contains("\"topic\":\"taxation\""))
+    assert(en.body().contains("\"topic\":\"public finance\""))
+    assert(!en.body().contains("\"topic\":\"tax\"}"), en.body())
+  }
+
   test("refreshPeriod swaps the live catalog and drops the period's " +
       "cached results (daily-refresh reload semantics)") {
     get("/api/loyalty?period=1&top=9")
