@@ -1024,5 +1024,25 @@ object OracleSql {
         |      FROM c)
         |SELECT source, ngram, cnt, rk FROM r WHERE rk <= 10
         |ORDER BY source, rk""".stripMargin,
+
+    "q82_doc_chunking" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), w -> w <> '') AS ts
+        |  FROM documents),
+        |n AS (SELECT doc_id, ts, len(ts) AS n FROM t),
+        |c AS (SELECT doc_id, ts,
+        |        greatest(1, CAST(ceil((n - 16) / 48.0) AS INTEGER))
+        |          AS n_chunks
+        |      FROM n),
+        |e AS (SELECT doc_id, ts,
+        |        unnest(range(0, n_chunks)) AS chunk_id
+        |      FROM c),
+        |s AS (SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+        |        list_slice(ts, chunk_id * 48 + 1, chunk_id * 48 + 64) AS ck
+        |      FROM e)
+        |SELECT doc_id, chunk_id, CAST(len(ck) AS BIGINT) AS n_tokens,
+        |  array_to_string(ck, ' ') AS chunk_text
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
   )
 }

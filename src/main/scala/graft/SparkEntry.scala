@@ -1039,6 +1039,16 @@ object SparkEntry {
         "source", "doc_id", "text", n = 3, topK = 10)
       .orderBy(col("source"), col("rk"))
 
+  /** RAG-style document chunking: 64-token windows advancing by 48
+    * (16-token overlap), partial finals kept. Exact token semantics ⇒
+    * hash-exact oracle.
+    */
+  private def q82(s: SparkSession, d: String): DataFrame =
+    graft.operators.Packing.chunkTokens(
+        docs(s, d).select("doc_id", "text"), "doc_id", "text",
+        chunkSize = 64, overlap = 16)
+      .orderBy("doc_id", "chunk_id")
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1122,6 +1132,7 @@ object SparkEntry {
     "q79_source_mixing" -> (q79(_, _)),
     "q80_boilerplate_lines" -> (q80(_, _)),
     "q81_ngram_heavy_hitters" -> (q81(_, _)),
+    "q82_doc_chunking" -> (q82(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

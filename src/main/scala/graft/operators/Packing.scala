@@ -75,4 +75,35 @@ object Packing {
             - floor(col("offset") / blockSize) + 1)
           .otherwise(lit(0L)).cast("long"))
   }
+
+  /** RAG-style overlapping token-window chunking: each document splits
+    * into windows of `chunkSize` tokens advancing by `chunkSize -
+    * overlap`, final partial window kept (ceil division), empty docs
+    * producing one empty chunk. Pure per-row generation (tokens →
+    * sequence → explode → slice) — no shuffle at all; at 100 TB this is
+    * scan-speed, and the output inherits the input's partitioning for
+    * the downstream embed/index stages.
+    */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap=$overlap < chunkSize=$chunkSize")
+    val step = chunkSize - overlap
+    df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      // integer ceil((n - overlap) / step), floored at one chunk; token
+      // counts stay far below 2^52 so the double division is exact
+      .withColumn("__n_chunks",
+        greatest(lit(1),
+          ceil((col("__n") - lit(overlap)).cast("double") / lit(step))
+            .cast("int")))
+      .select(col(idCol),
+        explode(sequence(lit(0), col("__n_chunks") - 1)).as("chunk_id"),
+        col("__toks"))
+      .withColumn("__ck",
+        slice(col("__toks"), col("chunk_id") * step + 1, lit(chunkSize)))
+      .select(col(idCol), col("chunk_id"),
+        size(col("__ck")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("__ck")).as("chunk_text"))
+  }
 }

@@ -4,6 +4,32 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
+class ChunkingSpec extends SparkSpec {
+  test("chunkTokens windows overlap by `overlap`, keep the partial " +
+      "final, and give empty docs one empty chunk") {
+    import spark.implicits._
+    // 10 tokens, size 4, overlap 1 -> step 3 -> ceil(9/3) = 3 chunks
+    val docs = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"),
+      (2L, "a b"),   // shorter than one chunk
+      (3L, ""))      // empty
+      .toDF("doc_id", "text")
+    val out = Packing.chunkTokens(docs, "doc_id", "text", 4, 1)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_id")) ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[String]("chunk_text")))).toMap
+    assert(out((1L, 0)) == ((4L, "t0 t1 t2 t3")))
+    assert(out((1L, 1)) == ((4L, "t3 t4 t5 t6")))   // t3 overlaps
+    assert(out((1L, 2)) == ((4L, "t6 t7 t8 t9")))
+    assert(!out.contains((1L, 3)))
+    assert(out((2L, 0)) == ((2L, "a b")))
+    assert(out((3L, 0)) == ((0L, "")))
+    intercept[IllegalArgumentException] {
+      Packing.chunkTokens(docs, "doc_id", "text", 4, 4)
+    }
+  }
+}
+
 class PackingSpec extends SparkSpec {
 
   test("sequence offsets are the exact running total in id order, and " +
