@@ -1044,5 +1044,19 @@ object OracleSql {
         |SELECT doc_id, chunk_id, CAST(len(ck) AS BIGINT) AS n_tokens,
         |  array_to_string(ck, ' ') AS chunk_text
         |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q83_embedding_quantize" ->
+      """WITH m AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(x))) AS maxabs
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, embedding, maxabs,
+        |        CAST(maxabs AS DOUBLE) / 127.0 AS scale FROM m)
+        |SELECT vec_id, scale,
+        |  CASE WHEN maxabs > 0
+        |    THEN list_transform(embedding,
+        |           x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INTEGER))
+        |    ELSE list_transform(embedding, x -> 0) END AS q
+        |FROM s ORDER BY vec_id""".stripMargin,
   )
 }

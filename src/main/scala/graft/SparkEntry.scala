@@ -1049,6 +1049,16 @@ object SparkEntry {
         chunkSize = 64, overlap = 16)
       .orderBy("doc_id", "chunk_id")
 
+  /** Symmetric int8 embedding quantization (vector-store compression):
+    * scale = max|x| / 127, q_i = floor(x_i / scale + 0.5) — floor-based
+    * rounding because both engines' `round` disagree on tie semantics
+    * while floor is IEEE-exact. float32 → double promotion is exact on
+    * both sides ⇒ hash-exact oracle.
+    */
+  private def q83(s: SparkSession, d: String): DataFrame =
+    graft.operators.VectorOps.quantizeInt8(emb(s, d), "vec_id", "embedding")
+      .orderBy("vec_id")
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1133,6 +1143,7 @@ object SparkEntry {
     "q80_boilerplate_lines" -> (q80(_, _)),
     "q81_ngram_heavy_hitters" -> (q81(_, _)),
     "q82_doc_chunking" -> (q82(_, _)),
+    "q83_embedding_quantize" -> (q83(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -238,4 +238,25 @@ object VectorOps {
         transform(sequence(lit(0), lit(dim.toInt - 1)),
           i => coalesce(element_at(col("__m"), i), lit(0.0d))).as("features"))
   }
+
+  /** Symmetric int8 quantization for vector-store compression: per
+    * vector, scale = max|x| / 127 and q_i = floor(x_i / scale + 0.5), so
+    * q_i ∈ [-127, 127] and dequantized q_i·scale is within scale/2 of
+    * x_i. floor-based rounding because engines disagree on `round` tie
+    * semantics while floor is IEEE-exact (oracle-portable); an all-zero
+    * vector quantizes to zeros with scale 0. Per-row projection — no
+    * shuffle, scan-speed.
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val maxAbs = array_max(transform(col(vecCol), x => abs(x)))
+    val scale = maxAbs.cast("double") / lit(127.0)
+    df.select(
+      col(idCol),
+      scale.as("scale"),
+      when(maxAbs > 0,
+        transform(col(vecCol),
+          x => floor(x.cast("double") / scale + lit(0.5)).cast("int")))
+        .otherwise(transform(col(vecCol), _ => lit(0)))
+        .as("q"))
+  }
 }
