@@ -164,4 +164,30 @@ class PlanQualitySpec extends SparkSpec {
     // partial aggregation present (two HashAggregate levels)
     assert("HashAggregate".r.findAllIn(p).size >= 2)
   }
+
+  test("document chunking is shuffle-free: pure per-row generation, no " +
+      "Exchange anywhere in the plan") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = executed(graft.operators.Packing.chunkTokens(
+      docs, "doc_id", "text", 64, 16)).toString
+    assert(!p.contains("Exchange"), p.linesIterator.take(25).mkString("\n"))
+  }
+
+  test("boilerplate removal broadcasts the thresholded line relation " +
+      "into the anti-join (the big side never shuffles for it)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        concat(col("text"), lit("\nfooter line")).as("text"))
+    val p = executed(graft.operators.TextAnalysis.removeBoilerplate(
+      docs, "doc_id", "text", 3L)).toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+  }
+
+  test("heavy hitters aggregate partially before the shuffle (common " +
+      "n-grams combine map-side)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = executed(graft.operators.TextAnalysis.ngramHeavyHitters(
+      docs, "source", "doc_id", "text", 3, 10)).toString
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
 }
