@@ -279,6 +279,7 @@ class GraftServer(
         case "amendment-coalitions" => coalitionsRoute(q)
         case "stats" => statsRoute(q)
         case "topics" => topicsRoute(q)
+        case "statuses" => statusesRoute(q)
         case "tisk-text" => tiskTextRoute(q)
         case "charts/loyalty" => chartLoyaltyRoute(q)
         case "charts/attendance" => chartAttendanceRoute(q)
@@ -457,6 +458,18 @@ class GraftServer(
     }
   }
 
+  /** GET /api/statuses: the distinct bill statuses the laws filter
+    * offers (reference `law_service.py:48-60` get_all_status_labels).
+    */
+  private def statusesRoute(q: Map[String, String]): String = {
+    val (period, cat) = periodCatalog(q)
+    val laws = cat.laws.getOrElse(
+      throw HttpError(404, s"Period $period has no laws table loaded"))
+    cache.getOrCompute(GraftServer.key("statuses", period)) {
+      rows(laws.select(col("status")).distinct().orderBy("status"))
+    }
+  }
+
   // ------------------------------------------------------- detail routes
   // Reference pages.py:130 (vote), :174 (law), amendments router — the
   // browse loop's click-through surface. Each is a single-key lookup:
@@ -582,8 +595,13 @@ class GraftServer(
     feedback match {
       case None => fail("Feedback is not enabled")
       case Some(sink) =>
-        val form = parseQuery(new String(
-          ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+        // bounded read: the form's legitimate maximum is ~2.5 KB
+        // (title 200 + body 2000 + params); an unbounded readAllBytes
+        // would buffer an arbitrarily large POST on the heap
+        val raw = ex.getRequestBody.readNBytes(GraftServer.MaxFeedbackBytes + 1)
+        if (raw.length > GraftServer.MaxFeedbackBytes)
+          return fail("Request body too large")
+        val form = parseQuery(new String(raw, StandardCharsets.UTF_8))
         val title = form.getOrElse("title", "")
         val body = form.getOrElse("body", "")
         Feedback.validateFields(title, body) match {
@@ -734,6 +752,11 @@ object GraftServer {
     */
   val MaxResponseRows = 10000
 
+  /** Feedback POST body ceiling: generous multiple of the field
+    * envelope's ~2.5 KB legitimate maximum (URL-encoding expansion).
+    */
+  val MaxFeedbackBytes = 32 * 1024
+
   /** Per-route requests/minute (`@limiter.limit` values in the routes). */
   val DefaultLimits: Map[String, Int] = Map(
     "loyalty" -> 60, "attendance" -> 60, "similarity" -> 60, "pca" -> 30,
@@ -745,6 +768,7 @@ object GraftServer {
   val KeyPrefixes: Seq[String] = Seq(
     "loyalty", "attendance", "similarity", "similarity_pca", "votes",
     "laws", "amendments", "amendment-coalitions", "stats", "topics",
+    "statuses",
     "vote_detail", "law_detail", "amendment_detail", "amendment_mp",
     "chart_loyalty", "chart_attendance", "chart_similarity")
 

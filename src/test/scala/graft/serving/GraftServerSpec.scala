@@ -258,6 +258,33 @@ class GraftServerSpec extends SparkSpec {
     assert(!en.body().contains("\"topic\":\"tax\"}"), en.body())
   }
 
+  test("statuses route lists the laws filter's distinct status values") {
+    val r = get("/api/statuses?period=1")
+    assert(r.statusCode() == 200, r.body())
+    for (s <- Seq("in_progress", "passed", "rejected"))
+      assert(r.body().contains(s"\"status\":\"$s\""), r.body())
+  }
+
+  test("oversized feedback POST is rejected without buffering it") {
+    val sink = new FeedbackSink {
+      override def configured = true
+      override def createIssue(t: String, b: String, v: Long, p: Int,
+          u: String, l: String): Option[String] = Some("unreachable")
+    }
+    val srv = new GraftServer(Map(1 -> fixtureCatalog()), feedback = Some(sink),
+      feedbackLimiter = new RateLimiter(windowMillis = 1)).start()
+    try {
+      val b = s"http://127.0.0.1:${srv.boundPort}"
+      val huge = "title=Valid+title&body=" + ("x" * (64 * 1024))
+      val r = client.send(
+        HttpRequest.newBuilder(URI.create(b + "/api/feedback"))
+          .POST(HttpRequest.BodyPublishers.ofString(huge))
+          .header("Origin", b).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.body().contains("too large"), r.body())
+    } finally srv.stop()
+  }
+
   test("refreshPeriod swaps the live catalog and drops the period's " +
       "cached results (daily-refresh reload semantics)") {
     get("/api/loyalty?period=1&top=9")
