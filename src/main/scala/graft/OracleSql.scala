@@ -1058,5 +1058,20 @@ object OracleSql {
         |           x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INTEGER))
         |    ELSE list_transform(embedding, x -> 0) END AS q
         |FROM s ORDER BY vec_id""".stripMargin,
+
+    "q84_dedup_report" ->
+      """WITH fp AS (
+        |  SELECT doc_id, source,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |keep AS (SELECT fp, min(doc_id) AS keep_id FROM fp GROUP BY fp)
+        |SELECT f.source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN f.doc_id = k.keep_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_kept,
+        |  CAST(count(*) - sum(CASE WHEN f.doc_id = k.keep_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_dupes
+        |FROM fp f JOIN keep k USING (fp)
+        |GROUP BY f.source ORDER BY f.source""".stripMargin,
   )
 }

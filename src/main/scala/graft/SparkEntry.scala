@@ -1059,6 +1059,16 @@ object SparkEntry {
     graft.operators.VectorOps.quantizeInt8(emb(s, d), "vec_id", "embedding")
       .orderBy("vec_id")
 
+  /** Dedup observability report: per source, total docs / exact-dedup
+    * survivors / duplicates (global keeper choice — cross-source
+    * duplication counts against the copying source).
+    */
+  private def q84(s: SparkSession, d: String): DataFrame =
+    graft.operators.Dedup.dedupReport(
+        docs(s, d).select("doc_id", "source", "text"),
+        "doc_id", "text", "source")
+      .orderBy("source")
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1144,6 +1154,7 @@ object SparkEntry {
     "q81_ngram_heavy_hitters" -> (q81(_, _)),
     "q82_doc_chunking" -> (q82(_, _)),
     "q83_embedding_quantize" -> (q83(_, _)),
+    "q84_dedup_report" -> (q84(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -64,6 +64,26 @@ object Dedup {
       exactGroups(df, idCol, textCol).select(col("keep_id").as(idCol)),
       Seq(idCol), "left_semi")
 
+  /** Per-group dedup observability (the report every corpus pipeline
+    * publishes next to its dedup stage): for each `groupCol` value, how
+    * many rows existed, how many survive exact dedup, how many were
+    * duplicates. Keepers are chosen GLOBALLY (smallest id per content
+    * fingerprint), so a group whose content duplicates another group's
+    * keeper counts its copies as dupes — cross-source duplication is
+    * visible, not hidden.
+    */
+  def dedupReport(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String): DataFrame = {
+    val kept = exactDedup(df.select(col(idCol), col(textCol)), idCol, textCol)
+      .select(col(idCol), lit(1L).as("__kept"))
+    df.join(kept, Seq(idCol), "left")
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(coalesce(col("__kept"), lit(0L))).as("n_kept"))
+      .withColumn("n_dupes", col("n_docs") - col("n_kept"))
+  }
+
   /** Incremental exact dedup — the streaming-batch shape of a corpus
     * pipeline: a NEW batch dedups against the EXISTING corpus (anti-join
     * on the content fingerprint; the corpus side reduces to its distinct

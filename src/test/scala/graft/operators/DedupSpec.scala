@@ -25,6 +25,24 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.exactDedup(corpus(), "doc_id", "text").count() == 4)
   }
 
+  test("dedupReport counts cross-group duplication against the copying " +
+      "group (global keeper choice)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "same text", "a"),
+      (2L, "same text", "b"),   // duplicates a's keeper
+      (3L, "same text", "b"),
+      (4L, "unique b", "b"),
+      (5L, "unique a2", "a"))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.dedupReport(df, "doc_id", "text", "source")
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"),
+          r.getAs[Long]("n_dupes")))).toMap
+    assert(out("a") == ((2L, 2L, 0L)))
+    assert(out("b") == ((3L, 1L, 2L)))
+  }
+
   test("minhash LSH finds exact and near duplicates, skips unrelated") {
     val pairs = Dedup.minhashNearDups(corpus(), "doc_id", "text",
       shingleN = 3, numHashes = 32, bands = 8, threshold = 0.5)
