@@ -106,4 +106,23 @@ class EventWindowsSpec extends SparkSpec {
     val rows = EventWindows.slidingUserCounts(batch, "10 minutes", "5 minutes").collect()
     assert(rows.length == 2) // 00:00-00:10 and 00:05-00:15
   }
+
+  test("chunkTokens composes into a stream unchanged (stateless per-row " +
+      "generation is streaming-safe)") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = session.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val chunked = graft.operators.Packing.chunkTokens(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", 4, 1)
+    val q = chunked.writeStream.format("memory").queryName("chunks")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), (2L, "a b"))
+      q.processAllAvailable()
+      val rows = session.sql("SELECT * FROM chunks").collect()
+      assert(rows.length == 4) // 3 chunks for doc 1, 1 for doc 2
+      assert(rows.map(_.getAs[String]("chunk_text")).contains("t3 t4 t5 t6"))
+    } finally q.stop()
+  }
 }
