@@ -8,10 +8,15 @@ import org.apache.spark.sql.functions._
   * runs per-partition so decoder state (a codec, a model) is initialized
   * once per task, not per row — the Scala analog of a Pandas-UDF batch.
   *
-  * The actual decoders are NOT available in this environment (no image /
-  * audio libs), so [[decodeStub]] is a clearly-marked deterministic fake;
-  * the Spark-side plumbing — schema, batch shape, partition sizing — is
-  * real and tested.
+  * Decode tiers in this environment:
+  *  - IMAGES are decoded for REAL via the JDK's built-in ImageIO codecs
+  *    (PNG/JPEG/BMP/GIF ship with every JVM) — [[decodeImages]].
+  *  - PCM AUDIO (WAV) is decoded for REAL via `javax.sound.sampled` —
+  *    [[decodeWavs]].
+  *  - compressed audio / video codecs do NOT exist on the JVM without
+  *    external libraries, so that tier keeps the clearly-marked
+  *    deterministic fake ([[fakeDecode]]); the Spark-side plumbing —
+  *    schema, batch shape, partition sizing — is identical either way.
   */
 object Multimodal {
 
@@ -45,7 +50,105 @@ object Multimodal {
     }
   }
 
-  /** STUB: deterministic stand-in for a media decoder (NOT a real decode). */
+  /** Real image decode output: dimensions, per-channel means over a
+    * deterministic sample grid, and a grayscale thumbnail vector.
+    */
+  case class ImageFeatures(asset_id: Long, width: Int, height: Int,
+      mean_r: Double, mean_g: Double, mean_b: Double, thumb: Array[Float])
+
+  /** REAL image decode via the JDK's ImageIO (PNG/JPEG/BMP/GIF — built
+    * into every JVM, nothing external): per asset, dimensions, channel
+    * means over an at-most-64×64 deterministic sample grid (bounded work
+    * per image regardless of resolution), and an n×n grayscale thumbnail
+    * — the classic embedding-ready shape. Runs in `mapPartitions` where
+    * the payload bytes already live; undecodable payloads are dropped
+    * (count the difference to monitor corrupt-asset rate).
+    */
+  def decodeImages(assets: Dataset[Asset], thumbSize: Int = 4): Dataset[ImageFeatures] = {
+    import assets.sparkSession.implicits._
+    val n = thumbSize
+    assets.mapPartitions { it =>
+      it.flatMap { a =>
+        val img =
+          try Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(a.payload)))
+          catch { case _: Exception => None }
+        img.map { im =>
+          val w = im.getWidth
+          val h = im.getHeight
+          def grid(size: Int, cap: Int): Array[Int] = {
+            val k = math.min(size, cap)
+            Array.tabulate(k)(i =>
+              if (k == 1) 0 else (i.toLong * (size - 1) / (k - 1)).toInt)
+          }
+          val (xs, ys) = (grid(w, 64), grid(h, 64))
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          for (y <- ys; x <- xs) {
+            val rgb = im.getRGB(x, y)
+            sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+          }
+          val cnt = (xs.length * ys.length).toDouble
+          val (txs, tys) = (grid(w, n), grid(h, n))
+          val thumb = for (y <- tys; x <- txs) yield {
+            val rgb = im.getRGB(x, y)
+            (((rgb >> 16) & 0xff) * 299L + ((rgb >> 8) & 0xff) * 587L +
+              (rgb & 0xff) * 114L).toFloat / (1000f * 255f)
+          }
+          ImageFeatures(a.asset_id, w, h, sr / cnt, sg / cnt, sb / cnt, thumb)
+        }
+      }
+    }
+  }
+
+  /** Real PCM-audio decode output. */
+  case class AudioFeatures(asset_id: Long, sample_rate: Double, channels: Int,
+      n_frames: Long, duration_ms: Double, rms: Double)
+
+  /** REAL WAV (PCM) decode via `javax.sound.sampled` (JDK-built-in):
+    * frame geometry, duration, and RMS amplitude over 16-bit samples —
+    * the loudness/silence signal an audio-corpus filter needs.
+    * Non-WAV / unsupported encodings are dropped.
+    */
+  def decodeWavs(assets: Dataset[Asset]): Dataset[AudioFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.flatMap { a =>
+        try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.BufferedInputStream(
+              new java.io.ByteArrayInputStream(a.payload)))
+          try {
+            val fmt = in.getFormat
+            if (fmt.getSampleSizeInBits != 16) None
+            else {
+              val bytes = in.readAllBytes()
+              val bigEndian = fmt.isBigEndian
+              var sumSq = 0.0
+              var i = 0
+              while (i + 1 < bytes.length) {
+                val s =
+                  if (bigEndian) ((bytes(i) << 8) | (bytes(i + 1) & 0xff)).toShort
+                  else ((bytes(i + 1) << 8) | (bytes(i) & 0xff)).toShort
+                sumSq += s.toDouble * s.toDouble
+                i += 2
+              }
+              val nSamples = bytes.length / 2
+              val frames = nSamples / math.max(1, fmt.getChannels)
+              Some(AudioFeatures(a.asset_id, fmt.getSampleRate.toDouble,
+                fmt.getChannels, frames,
+                frames * 1000.0 / fmt.getSampleRate,
+                if (nSamples == 0) 0.0
+                else math.sqrt(sumSq / nSamples) / 32768.0))
+            }
+          } finally in.close()
+        } catch { case _: Exception => None }
+      }
+    }
+  }
+
+  /** STUB: deterministic stand-in for the codec tiers the JVM lacks
+    * (compressed audio, video) — NOT a real decode.
+    */
   private[graft] def fakeDecode(payload: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     var h = 1125899906842597L

@@ -32,4 +32,68 @@ class MultimodalSpec extends SparkSpec {
     assert(f1(1L).length == 8)
     assert(f1(1L) != f1(2L)) // content-sensitive
   }
+
+  private def pngBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("decodeImages REALLY decodes PNG payloads (JDK ImageIO): " +
+      "dimensions, channel means, thumbnail; junk payloads are dropped") {
+    val session = spark
+    import session.implicits._
+    val assets = Seq(
+      Multimodal.Asset(1L, pngBytes(10, 6, 0xff0000), "image/png", 0L),
+      Multimodal.Asset(2L, pngBytes(3, 3, 0x0000ff), "image/png", 0L),
+      Multimodal.Asset(3L, "not an image".getBytes("UTF-8"), "text/plain", 12L))
+      .toDS()
+    val out = Multimodal.decodeImages(assets, thumbSize = 2).collect()
+      .map(f => f.asset_id -> f).toMap
+    assert(out.keySet == Set(1L, 2L)) // junk dropped, not thrown
+    assert(out(1L).width == 10 && out(1L).height == 6)
+    assert(out(1L).mean_r == 255.0 && out(1L).mean_g == 0.0 && out(1L).mean_b == 0.0)
+    assert(out(2L).mean_b == 255.0)
+    assert(out(1L).thumb.length == 4)
+    // red's luma = 299/1000 of full scale
+    assert(math.abs(out(1L).thumb(0) - 0.299f) < 1e-3)
+  }
+
+  private def wavBytes(sampleRate: Float, amplitude: Short, n: Int): Array[Byte] = {
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) { // constant-amplitude square of one polarity
+      data(i * 2) = (amplitude & 0xff).toByte
+      data(i * 2 + 1) = ((amplitude >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("decodeWavs REALLY decodes PCM WAV (javax.sound): frames, " +
+      "duration, RMS; non-audio payloads are dropped") {
+    val session = spark
+    import session.implicits._
+    val assets = Seq(
+      Multimodal.Asset(1L, wavBytes(8000f, 16384, 800), "audio/wav", 0L),
+      Multimodal.Asset(2L, "junk".getBytes("UTF-8"), "text/plain", 4L))
+      .toDS()
+    val out = Multimodal.decodeWavs(assets).collect()
+      .map(f => f.asset_id -> f).toMap
+    assert(out.keySet == Set(1L))
+    val a = out(1L)
+    assert(a.sample_rate == 8000.0 && a.channels == 1 && a.n_frames == 800L)
+    assert(math.abs(a.duration_ms - 100.0) < 1e-9)
+    // constant amplitude 16384 -> rms = 16384/32768 = 0.5 exactly
+    assert(math.abs(a.rms - 0.5) < 1e-9)
+  }
 }
