@@ -83,6 +83,9 @@ class GraftServer(
 
   def start(): GraftServer = {
     http.createContext("/api", (ex: HttpExchange) => handle(ex))
+    // server-rendered HTML pages (longest-prefix routing keeps /api
+    // on the JSON handler)
+    http.createContext("/", (ex: HttpExchange) => handlePages(ex))
     http.setExecutor(pool)
     http.start()
     this
@@ -574,6 +577,87 @@ class GraftServer(
     }
   }
 
+  // ---------------------------------------------------------- HTML pages
+
+  /** The reference's page routes (`routes/pages.py` + Jinja2/HTMX),
+    * rendered server-side from the SAME catalog the /api routes serve:
+    * index (stats), votes (+detail), laws, amendments, loyalty,
+    * attendance, similarity — each a minimal semantic-HTML table with
+    * the nav and a cs/en toggle ([[PageRender]]). The chart pages embed
+    * the PNG endpoints (CSP img-src 'self').
+    */
+  private def handlePages(ex: HttpExchange): Unit = {
+    val q = parseQuery(ex.getRequestURI.getRawQuery)
+    try {
+      if (ex.getRequestMethod != "GET") throw HttpError(405, "Method not allowed")
+      val route = ex.getRequestURI.getPath.stripSuffix("/").stripPrefix("/")
+      if (!limiter.allow(rateKey(ex, "pages"),
+          limits.getOrElse("pages", 60)))
+        throw HttpError(429, "Rate limit exceeded: pages")
+      val (period, cat) = periodCatalog(q)
+      val lang = langParam(q)
+      def t(cs: String, en: String) = if (lang == "en") en else cs
+      val d = cat.analyzer.data
+      val html = route match {
+        case "" =>
+          PageRender.page(t("Přehled období", "Period overview"), lang, period,
+            PageRender.table(cat.analyzer.periodStats()))
+        case "votes" =>
+          val page = intParam(q, "page", 1, 1, 1000)
+          val pr = graft.psp.VotesBrowser.listVotesPaged(
+            d.votes.sparkSession, d.votes, d.voidVotes, None, None, None, page)
+          PageRender.page(t("Hlasování", "Votes"), lang, period,
+            PageRender.table(pr.rows
+              .withColumn("outcome_label",
+                Details.outcomeLabel(col("vysledek"), lang))) +
+              s"<p>${t("strana", "page")} ${pr.page}/${pr.totalPages}</p>")
+        case GraftServer.VoteDetailPath(idStr) =>
+          val id = idStr.toLong
+          val info = Details.voteInfo(d.votes, d.tiskLookup, cat.voteTopics, id, lang)
+          if (info.isEmpty) throw HttpError(404, s"Vote $id not found")
+          PageRender.page(t(s"Hlasování $id", s"Vote $id"), lang, period,
+            PageRender.table(info) +
+              s"<h2>${t("Podle stran", "By party")}</h2>" +
+              PageRender.table(namedBreakdown(d, id)) +
+              s"<h2>${t("Poslanci", "MPs")}</h2>" +
+              PageRender.table(Details.voteMpList(d.mpVotes, d.mpInfo, id)))
+        case "laws" =>
+          val laws = cat.laws.getOrElse(
+            throw HttpError(404, s"Period $period has no laws table loaded"))
+          val page = intParam(q, "page", 1, 1, 1000)
+          val pr = LawsBrowser.listLawsPaged(laws, None, None, None, page)
+          PageRender.page(t("Zákony", "Laws"), lang, period,
+            PageRender.table(pr.rows))
+        case "amendments" =>
+          val bills = cat.amendmentBills.getOrElse(
+            throw HttpError(404, s"Period $period has no amendment table loaded"))
+          val page = intParam(q, "page", 1, 1, 1000)
+          val pr = Amendments.listBillsPaged(bills, d.tiskLookup, None, page)
+          PageRender.page(t("Pozměňovací návrhy", "Amendments"), lang, period,
+            PageRender.table(pr.rows))
+        case "loyalty" =>
+          PageRender.page(t("Loajalita", "Loyalty"), lang, period,
+            s"""<img src="/api/loyalty.png?period=$period" alt="loyalty">""" +
+              PageRender.table(cat.analyzer.loyalty(30)))
+        case "attendance" =>
+          PageRender.page(t("Účast", "Attendance"), lang, period,
+            s"""<img src="/api/attendance.png?period=$period" alt="attendance">""" +
+              PageRender.table(cat.analyzer.attendance(30)))
+        case "similarity" =>
+          PageRender.page(t("Podobnost", "Similarity"), lang, period,
+            s"""<img src="/api/similarity.png?period=$period" alt="pca">""" +
+              PageRender.table(cat.analyzer.crossPartySimilarity(20)))
+        case other => throw HttpError(404, s"No page /$other")
+      }
+      send(ex, 200, html, "text/html; charset=utf-8")
+    } catch {
+      case HttpError(status, detail) =>
+        send(ex, status, s"""{"detail":${jstr(detail)}}""")
+      case e: Throwable =>
+        send(ex, 500, s"""{"detail":${jstr(s"Internal error: ${e.getMessage}")}}""")
+    } finally ex.close()
+  }
+
   /** POST /api/feedback (`routes/feedback.py:40-116`): same-origin check
     * (Origin/Referer host must match Host — the reference's CSRF guard),
     * field envelope, 3/hour rate limit, then the external sink. Always a
@@ -762,7 +846,7 @@ object GraftServer {
     "loyalty" -> 60, "attendance" -> 60, "similarity" -> 60, "pca" -> 30,
     "votes" -> 120, "laws" -> 120, "amendments" -> 120,
     "amendment-coalitions" -> 15, "stats" -> 120, "health" -> 120,
-    "charts" -> 30)
+    "charts" -> 30, "pages" -> 60)
 
   /** Every cache-key prefix a period's results live under. */
   val KeyPrefixes: Seq[String] = Seq(

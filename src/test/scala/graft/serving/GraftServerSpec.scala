@@ -258,6 +258,31 @@ class GraftServerSpec extends SparkSpec {
     assert(!en.body().contains("\"topic\":\"tax\"}"), en.body())
   }
 
+  test("HTML pages render the same catalog server-side: index, votes, " +
+      "vote detail, loyalty; localized nav; 404 page (routes/pages.py)") {
+    val idx = get("/?period=1")
+    assert(idx.statusCode() == 200, idx.body())
+    assert(idx.headers().firstValue("Content-Type").get.startsWith("text/html"))
+    assert(idx.body().contains("<nav>") && idx.body().contains("n_votes"))
+    val votes = get("/votes?period=1")
+    assert(votes.body().contains("<table>") && votes.body().contains("Test vote 1"))
+    assert(votes.body().contains("Schváleno"))
+    val votesEn = get("/votes?period=1&lang=en")
+    assert(votesEn.body().contains("Passed"))
+    assert(votesEn.body().contains(">Votes<"), votesEn.body())
+    val detail = get("/votes/1?period=1")
+    assert(detail.statusCode() == 200, detail.body())
+    assert(detail.body().contains("By party") || detail.body().contains("Podle stran"))
+    assert(detail.body().contains("Dvořák"))
+    val loyalty = get("/loyalty?period=1")
+    assert(loyalty.body().contains("/api/loyalty.png"))
+    assert(loyalty.body().contains("rebellion_pct"))
+    assert(get("/nope?period=1").statusCode() == 404)
+    assert(get("/votes/999?period=1").statusCode() == 404)
+    // HTML output escapes row content (no raw angle brackets from data)
+    assert(!votes.body().contains("<script"))
+  }
+
   test("statuses route lists the laws filter's distinct status values") {
     val r = get("/api/statuses?period=1")
     assert(r.statusCode() == 200, r.body())
