@@ -598,7 +598,10 @@ class GraftServer(
       val lang = langParam(q)
       def t(cs: String, en: String) = if (lang == "en") en else cs
       val d = cat.analyzer.data
-      val html = route match {
+      // rendered pages memoize like the JSON routes (and drop with the
+      // period on refresh); 404s throw before the cache stores anything
+      val html = cache.getOrCompute(GraftServer.key(
+          "pages", period, route, lang, q.getOrElse("page", "1"))) { route match {
         case "" =>
           PageRender.page(t("Přehled období", "Period overview"), lang, period,
             PageRender.table(cat.analyzer.periodStats()))
@@ -648,7 +651,7 @@ class GraftServer(
             s"""<img src="/api/similarity.png?period=$period" alt="pca">""" +
               PageRender.table(cat.analyzer.crossPartySimilarity(20)))
         case other => throw HttpError(404, s"No page /$other")
-      }
+      } }
       send(ex, 200, html, "text/html; charset=utf-8")
     } catch {
       case HttpError(status, detail) =>
@@ -852,7 +855,7 @@ object GraftServer {
   val KeyPrefixes: Seq[String] = Seq(
     "loyalty", "attendance", "similarity", "similarity_pca", "votes",
     "laws", "amendments", "amendment-coalitions", "stats", "topics",
-    "statuses",
+    "statuses", "pages",
     "vote_detail", "law_detail", "amendment_detail", "amendment_mp",
     "chart_loyalty", "chart_attendance", "chart_similarity")
 

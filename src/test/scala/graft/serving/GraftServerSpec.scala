@@ -281,6 +281,12 @@ class GraftServerSpec extends SparkSpec {
     assert(get("/votes/999?period=1").statusCode() == 404)
     // HTML output escapes row content (no raw angle brackets from data)
     assert(!votes.body().contains("<script"))
+    // pages memoize under the period and drop with it
+    assert(server.cache.get(
+      GraftServer.key("pages", 1, "votes", "cs", "1")).isDefined)
+    server.invalidatePeriod(1)
+    assert(server.cache.get(
+      GraftServer.key("pages", 1, "votes", "cs", "1")).isEmpty)
   }
 
   test("statuses route lists the laws filter's distinct status values") {
