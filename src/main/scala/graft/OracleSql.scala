@@ -1053,10 +1053,11 @@ object OracleSql {
         |s AS (SELECT vec_id, embedding, maxabs,
         |        CAST(maxabs AS DOUBLE) / 127.0 AS scale FROM m)
         |SELECT vec_id, scale,
-        |  CASE WHEN maxabs > 0
-        |    THEN list_transform(embedding,
-        |           x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INTEGER))
-        |    ELSE list_transform(embedding, x -> 0) END AS q
+        |  array_to_string(
+        |    CASE WHEN maxabs > 0
+        |      THEN list_transform(embedding,
+        |             x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INTEGER))
+        |      ELSE list_transform(embedding, x -> 0) END, ' ') AS q
         |FROM s ORDER BY vec_id""".stripMargin,
 
     "q84_dedup_report" ->

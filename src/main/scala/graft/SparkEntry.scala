@@ -1053,10 +1053,18 @@ object SparkEntry {
     * scale = max|x| / 127, q_i = floor(x_i / scale + 0.5) — floor-based
     * rounding because both engines' `round` disagree on tie semantics
     * while floor is IEEE-exact. float32 → double promotion is exact on
-    * both sides ⇒ hash-exact oracle.
+    * both sides ⇒ hash-exact oracle. The quantized vector is serialized
+    * with array_join (the q82 pattern): the driver's pandas
+    * canonicalization sorts raw columns and cannot lexsort native
+    * arrays, so the catalog layer emits strings while
+    * [[graft.operators.VectorOps.quantizeInt8]] keeps the typed array.
     */
   private def q83(s: SparkSession, d: String): DataFrame =
     graft.operators.VectorOps.quantizeInt8(emb(s, d), "vec_id", "embedding")
+      .select(
+        col("vec_id"),
+        col("scale"),
+        array_join(transform(col("q"), _.cast("string")), " ").as("q"))
       .orderBy("vec_id")
 
   /** Dedup observability report: per source, total docs / exact-dedup

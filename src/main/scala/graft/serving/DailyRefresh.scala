@@ -46,11 +46,14 @@ class DailyRefresh(
   private def scheduleNext(): Unit =
     exec.schedule(new Runnable {
       override def run(): Unit = {
+        // scheduleNext in finally: an Error (OOM, LinkageError) escaping
+        // refresh() must not silently kill the daily chain forever.
         try { refresh(); refreshCount += 1 }
-        catch { case e: Exception =>
+        catch { case e: Throwable =>
           System.err.println(s"[daily-refresh] failed: ${e.getMessage}")
+          if (!scala.util.control.NonFatal(e)) throw e
         }
-        scheduleNext()
+        finally scheduleNext()
       }
     }, DailyRefresh.secondsUntilNextRun(targetHourCet, clock()), TimeUnit.SECONDS)
 

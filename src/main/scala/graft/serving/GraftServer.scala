@@ -180,8 +180,11 @@ class GraftServer(
 
   /** i18n dimension (reference `i18n/middleware.py` + the `lang` threading
     * in `routes/voting.py:111-112`, `routes/pages.py:57`): cs | en,
-    * default cs, anything else a 422. Part of every lang-sensitive cache
-    * key so the two languages memoize separately.
+    * default cs. Deliberate deviation from the reference: its middleware
+    * silently falls back to "cs" for unsupported languages; we 422 instead
+    * — an explicit query param with a typo should fail loudly, not serve
+    * the wrong language. Part of every lang-sensitive cache key so the two
+    * languages memoize separately.
     */
   private def langParam(q: Map[String, String]): String =
     q.getOrElse("lang", "cs") match {

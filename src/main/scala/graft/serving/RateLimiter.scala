@@ -39,7 +39,13 @@ class RateLimiter(windowMillis: Long = 60000L,
         lastSweep.compareAndSet(last, now)) {
       val it = windows.entrySet().iterator()
       while (it.hasNext) {
-        if (now - it.next().getValue.startedAt >= windowMillis) it.remove()
+        val e = it.next()
+        // Value-conditional remove: between our staleness check and the
+        // removal, allow() may install a FRESH window for this key; plain
+        // it.remove() would delete it regardless of value and lose its
+        // counted requests.
+        if (now - e.getValue.startedAt >= windowMillis)
+          windows.remove(e.getKey, e.getValue)
       }
     }
   }

@@ -85,7 +85,11 @@ object PdfText {
     out.toMap
   }
 
-  private val LenRe = """/Length\s+(\d+)(?!\s+\d+\s+R)""".r
+  // (?!\d) forbids the regex engine from backtracking into a shorter
+  // digit prefix: for an indirect `/Length 10 0 R` the greedy group would
+  // otherwise retry "1" (then "0 0 R" no longer matches the lookahead) and
+  // report a bogus tiny direct length, silently truncating the stream.
+  private val LenRe = """/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)""".r
   private def directLength(dict: String): Option[Int] =
     LenRe.findFirstMatchIn(dict).map(_.group(1).toInt)
 

@@ -57,6 +57,30 @@ class PdfTextSpec extends SparkSpec {
       s"got: ${text.replace("\n", "\\n")}")
   }
 
+  test("indirect multi-digit /Length takes the endstream fallback, not a " +
+      "backtracked bogus direct length") {
+    // `/Length 10 0 R`: the greedy digit group must not retry "1" (which
+    // would slice the stream to ~1 byte and extract empty text) — the
+    // (?!\d) guard forbids splitting the number, so directLength is None
+    // and the endstream fallback recovers the full content stream.
+    val content = "BT (Indirect length page) Tj ET"
+    val c = content.getBytes(ISO_8859_1)
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+    w("4 0 obj << /Length 10 0 R >> stream\n")
+    out.write(c)
+    w("\nendstream endobj\n")
+    w(s"10 0 obj ${c.length} endobj\n")
+    w("%%EOF\n")
+    val text = PdfText.extract(out.toByteArray)
+    assert(text == "Indirect length page",
+      s"got: ${text.replace("\n", "\\n")}")
+  }
+
   test("degenerate inputs degrade to empty text, never an exception") {
     assert(PdfText.extract(Array.emptyByteArray) == "")
     assert(PdfText.extract("not a pdf at all".getBytes(ISO_8859_1)) == "")

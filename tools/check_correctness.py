@@ -19,10 +19,14 @@ oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 
 def canon(df):
     df = df.reindex(sorted(df.columns), axis=1)
+    # Harness-faithful ordering: the driver sorts the RAW frame first, so a
+    # native array/object column pandas cannot lexsort must fail HERE too
+    # (q83 round 5 escaped because this tool used to stringify before
+    # sorting). The TypeError propagates to the caller as a per-query FAIL.
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
-    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
 def cells_equal(a, b):
@@ -48,7 +52,11 @@ for name in sorted(glob.glob(f"{outdir}/q*")):
     except Exception as e:
         fails.append((qname, f"oracle SQL error: {e}"))
         continue
-    s, d = canon(spark_df), canon(duck_df)
+    try:
+        s, d = canon(spark_df), canon(duck_df)
+    except TypeError as e:
+        fails.append((qname, f"harness cannot canonicalize (unsortable raw column): {e}"))
+        continue
     if list(s.columns) != list(d.columns):
         fails.append((qname, f"columns spark={list(s.columns)} duck={list(d.columns)}"))
         continue
