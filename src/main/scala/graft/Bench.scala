@@ -81,6 +81,18 @@ object Bench {
       s""""cold_total":$coldTotal,"cold_sec":$colds,""" +
       s""""gc_sec":$gcs,"jit_sec":$jits,"failed":$failed,""" +
       f""""max_heap_gb":$heapGb%.1f,"protocol":"pass2-steady","sf":"$sfDir"}""")
+    // Durability: the driver records only the TAIL of bench output, and
+    // round 5's capture truncated the front of the big line (cold_sec and
+    // the totals were lost). This final compact line repeats the headline
+    // numbers of BOTH passes plus each pass's 5 slowest queries, so the
+    // tail always preserves them.
+    def top5(vals: Seq[(String, Double, Boolean, Double, Double)]): String =
+      objOf(vals.filter(_._3).sortBy(-_._2).take(5)
+        .map { case (k, v, _, _, _) => k -> v })
+    println(f"""{"metric":"summary","value":$total%.2f,"unit":"sec",""" +
+      f""""steady_total_sec":$total%.2f,"cold_total_sec":$coldTotal%.2f,""" +
+      s""""slowest_steady":${top5(results)},"slowest_cold":${top5(cold)},""" +
+      s""""failed":$failed,"protocol":"pass2-steady","sf":"$sfDir"}""")
     spark.stop()
   }
 }

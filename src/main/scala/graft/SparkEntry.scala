@@ -906,9 +906,11 @@ object SparkEntry {
   private def q72(s: SparkSession, d: String): DataFrame = {
     val base = docs(s, d).select("doc_id", "text")
     val cloned = base.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
-    val pairs = Dedup.prefixJaccardPairs(
-      base.unionAll(cloned), "doc_id", "text", shingleN = 3, threshold = 0.7)
-    graft.operators.Components.dupClusters(pairs, "id_a", "id_b")
+    // exact-collapse-first: the planted clones (and any organic exact
+    // dupes) are folded to representatives before the quadratic pair
+    // stage — same transitive clusters, half the pair-generation input
+    Dedup.nearDupClusters(
+        base.unionAll(cloned), "doc_id", "text", shingleN = 3, threshold = 0.7)
       .orderBy("cluster_id")
   }
 

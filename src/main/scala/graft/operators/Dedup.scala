@@ -435,14 +435,83 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Near-dup CLUSTER resolution with exact-duplicate collapse first:
+    * byte-identical texts (raw md5 groups) are collapsed to their min-id
+    * representative BEFORE the expensive shingle/pair stage, the exact
+    * pair tier ([[prefixJaccardPairs]]) + connected components run over
+    * representatives only, and the clusters are expanded back over the
+    * exact groups at the end. Output per transitive cluster:
+    * `(cluster_id = min member id, n_docs, max_id)`.
+    *
+    * Semantics are IDENTICAL to pair generation over the full corpus:
+    * an exact group's members have the representative's shingle set, so
+    * (a) every size-≥2 group is a clique of Jaccard-1.0 pairs (always
+    * clustered, even when the rep has no other neighbor), and (b) a
+    * cross-group pair exists iff the representatives pair (same
+    * Jaccard). Labels stay min-id because each representative IS its
+    * group's min id. Grouping is on the RAW text (not the normalized
+    * [[TextAnalysis.fingerprint]]): case-folding could merge docs whose
+    * shingle sets differ, which would manufacture pairs the exact tier
+    * never emits.
+    *
+    * Why collapse first: exact duplicates are the dominant duplicate
+    * class in web corpora and the pair stage's cost is superlinear in
+    * shingle-bucket sizes — the quadratic stage shrinks by the
+    * duplication factor for the price of one md5 groupBy shuffle.
+    */
+  def nearDupClusters(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, threshold: Double): DataFrame = {
+    val withFp = df.select(col(idCol), col(textCol))
+      .withColumn("fp", md5(col(textCol)))
+    val groups = withFp.groupBy(col("fp"))
+      .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("grp_n"))
+    // every doc → its exact-group representative (one shuffle on fp)
+    val members = withFp.select(col(idCol), col("fp")).join(groups, "fp")
+    // representatives keep their text for the pair stage
+    val reps = withFp
+      .join(groups.select(col("rep_id").as(idCol)), Seq(idCol), "left_semi")
+      .select(col(idCol), col(textCol))
+    val pairs = prefixJaccardPairs(reps, idCol, textCol, shingleN, threshold)
+    val comp = Components.connectedComponents(pairs, "id_a", "id_b")
+      .withColumnRenamed("id", "rep_id")
+    members.join(comp, Seq("rep_id"), "left")
+      .select(col(idCol),
+        // rep in a component → its label; otherwise a size-≥2 exact
+        // group is its own cluster labeled by the rep (= min id);
+        // singletons with no neighbor are not duplicates of anything
+        coalesce(col("component"),
+          when(col("grp_n") > 1, col("rep_id"))).as("cluster_id"))
+      .filter(col("cluster_id").isNotNull)
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_docs"), max(col(idCol)).as("max_id"))
+  }
+
+  /** Hard ceiling for the explicitly-named brute-force (O(n²) crossJoin)
+    * verify tiers: the guard probes with limit(max+1).count() so an
+    * oversized relation costs one capped count, never a quadratic join.
+    */
+  val BruteForceMaxRows: Long = 100000L
+
+  private def requireBruteForceSized(df: DataFrame, op: String, scalePath: String): Unit = {
+    val n = df.limit(BruteForceMaxRows.toInt + 1).count()
+    require(n <= BruteForceMaxRows,
+      s"$op is the O(n²) brute-force verify tier and refuses > " +
+        s"$BruteForceMaxRows input rows (got >= $n); use $scalePath at scale")
+  }
+
   /** EXACT n-gram Jaccard over ALL pairs — O(n²) brute force, the
-    * test/oracle path (no LSH recall loss). Production scale uses
+    * test/oracle path (no LSH recall loss). Named for what it does and
+    * guarded by [[BruteForceMaxRows]] so no catalog query reaches a
+    * crossJoin by an innocent-looking name. Production scale uses
     * [[prefixJaccardPairs]] (exact) or [[minhashNearDups]] (approximate,
     * cheaper at low duplicate density).
     */
-  def ngramJaccardPairs(
+  def bruteForceJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int, threshold: Double): DataFrame = {
+    requireBruteForceSized(df, "bruteForceJaccardPairs",
+      "prefixJaccardPairs (exact) or minhashNearDups (approximate)")
     val sets = df.select(col(idCol), shingleHashes(col(textCol), shingleN).as("shset"))
     val a = sets.select(col(idCol).as("id_a"), col("shset").as("set_a"))
     val b = sets.select(col(idCol).as("id_b"), col("shset").as("set_b"))
@@ -597,6 +666,11 @@ object Dedup {
     val base = df.select(col(idCol), normalized(col(vecCol)).as("v"))
     val pairs =
       if (planes <= 0) {
+        // the documented brute-force reference tier — same explicit
+        // size guard as bruteForceJaccardPairs so the O(n²) branch can
+        // only be reached deliberately on verify-sized input
+        requireBruteForceSized(base, "embeddingNearDups(planes <= 0)",
+          "planes > 0 (hyperplane LSH) or gridNearDups (exact recall)")
         val a = base.select(col(idCol).as("id_a"), col("v").as("va"))
         val b = base.select(col(idCol).as("id_b"), col("v").as("vb"))
         a.crossJoin(b).filter(col("id_a") < col("id_b"))

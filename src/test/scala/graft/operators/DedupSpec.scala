@@ -156,6 +156,58 @@ class DedupSpec extends SparkSpec {
     CacheRegistry.drain()
   }
 
+  test("nearDupClusters (exact-collapse-first) EXACTLY matches clustering " +
+      "over full-corpus pair generation, including rep-less exact cliques") {
+    // overlapCorpus + clones of docs with AND without near-dup neighbors:
+    // doc 3 has neighbors (its clone joins that component); doc 200/201
+    // clone an isolated text (an exact clique whose rep has no pairs — the
+    // coalesce branch); singletons must not appear at all.
+    import spark.implicits._
+    val extra = Seq(
+      (200L, "isolated exact clique text zz yy xx ww vv uu tt ss rr qq"),
+      (201L, "isolated exact clique text zz yy xx ww vv uu tt ss rr qq"))
+      .toDF("doc_id", "text")
+    val df = overlapCorpus().unionAll(extra)
+    val viaCollapse = Dedup.nearDupClusters(df, "doc_id", "text", 3, 0.7)
+      .collect()
+      .map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("max_id"))).toSet
+    val pairs = Dedup.prefixJaccardPairs(df, "doc_id", "text", 3, 0.7)
+    val naive = Components.dupClusters(pairs, "id_a", "id_b")
+      .collect()
+      .map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("max_id"))).toSet
+    assert(viaCollapse == naive,
+      s"collapse-first clusters differ:\n  collapse=$viaCollapse\n  naive=$naive")
+    // the isolated exact clique is present exactly once, labeled min-id
+    assert(viaCollapse.exists { case (cid, n, mx) =>
+      cid == 200L && n == 2L && mx == 201L })
+    CacheRegistry.drain()
+  }
+
+  test("brute-force tiers refuse oversized input (guarded crossJoin)") {
+    import spark.implicits._
+    val big = spark.range(Dedup.BruteForceMaxRows + 1)
+      .select(col("id").as("doc_id"), concat(lit("text w"), col("id")).as("text"))
+    val eJ = intercept[IllegalArgumentException] {
+      Dedup.bruteForceJaccardPairs(big, "doc_id", "text", 3, 0.7)
+    }
+    assert(eJ.getMessage.contains("prefixJaccardPairs"))
+    val bigVec = spark.range(Dedup.BruteForceMaxRows + 1)
+      .select(col("id").as("vec_id"),
+        array(lit(1.0f), lit(0.0f)).as("embedding"))
+    val eC = intercept[IllegalArgumentException] {
+      Dedup.embeddingNearDups(bigVec, "vec_id", "embedding",
+        threshold = 0.9, planes = 0, dim = 2)
+    }
+    assert(eC.getMessage.contains("gridNearDups"))
+    // under the cap the brute tier still works
+    val small = corpus()
+    val pairs = Dedup.bruteForceJaccardPairs(small, "doc_id", "text", 3, 0.7)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
   test("grid-blocked cosine join EXACTLY matches brute force") {
     import spark.implicits._
     val vecs = ((0 until 64).map { i =>
