@@ -389,9 +389,13 @@ class GraftServer(
             when(size(col("topics_en")) > 0, col("topics_en"))
               .otherwise(col("topics")))
         else laws
-      paged(LawsBrowser.listLawsPaged(
+      // raw `status` stays (reference parity + filter compatibility);
+      // `status_label` localizes the canonical trio for en readers
+      val res = LawsBrowser.listLawsPaged(
         langLaws, Some(search).filter(_.nonEmpty), Some(status).filter(_.nonEmpty),
-        Some(topic).filter(_.nonEmpty), page))
+        Some(topic).filter(_.nonEmpty), page)
+      paged(res.copy(rows = res.rows
+        .withColumn("status_label", I18n.statusLabel(col("status"), lang))))
     }
   }
 
@@ -607,7 +611,7 @@ class GraftServer(
           "pages", period, route, lang, q.getOrElse("page", "1"))) { route match {
         case "" =>
           PageRender.page(t("Přehled období", "Period overview"), lang, period,
-            PageRender.table(cat.analyzer.periodStats()))
+            PageRender.table(cat.analyzer.periodStats(), lang))
         case "votes" =>
           val page = intParam(q, "page", 1, 1, 1000)
           val pr = graft.psp.VotesBrowser.listVotesPaged(
@@ -615,44 +619,46 @@ class GraftServer(
           PageRender.page(t("Hlasování", "Votes"), lang, period,
             PageRender.table(pr.rows
               .withColumn("outcome_label",
-                Details.outcomeLabel(col("vysledek"), lang))) +
+                Details.outcomeLabel(col("vysledek"), lang)), lang) +
               s"<p>${t("strana", "page")} ${pr.page}/${pr.totalPages}</p>")
         case GraftServer.VoteDetailPath(idStr) =>
           val id = idStr.toLong
           val info = Details.voteInfo(d.votes, d.tiskLookup, cat.voteTopics, id, lang)
           if (info.isEmpty) throw HttpError(404, s"Vote $id not found")
           PageRender.page(t(s"Hlasování $id", s"Vote $id"), lang, period,
-            PageRender.table(info) +
+            PageRender.table(info, lang) +
               s"<h2>${t("Podle stran", "By party")}</h2>" +
-              PageRender.table(namedBreakdown(d, id)) +
+              PageRender.table(namedBreakdown(d, id), lang) +
               s"<h2>${t("Poslanci", "MPs")}</h2>" +
-              PageRender.table(Details.voteMpList(d.mpVotes, d.mpInfo, id)))
+              PageRender.table(Details.voteMpList(d.mpVotes, d.mpInfo, id), lang))
         case "laws" =>
           val laws = cat.laws.getOrElse(
             throw HttpError(404, s"Period $period has no laws table loaded"))
           val page = intParam(q, "page", 1, 1, 1000)
           val pr = LawsBrowser.listLawsPaged(laws, None, None, None, page)
           PageRender.page(t("Zákony", "Laws"), lang, period,
-            PageRender.table(pr.rows))
+            PageRender.table(pr.rows
+              .withColumn("status_label",
+                I18n.statusLabel(col("status"), lang)), lang))
         case "amendments" =>
           val bills = cat.amendmentBills.getOrElse(
             throw HttpError(404, s"Period $period has no amendment table loaded"))
           val page = intParam(q, "page", 1, 1, 1000)
           val pr = Amendments.listBillsPaged(bills, d.tiskLookup, None, page)
           PageRender.page(t("Pozměňovací návrhy", "Amendments"), lang, period,
-            PageRender.table(pr.rows))
+            PageRender.table(pr.rows, lang))
         case "loyalty" =>
           PageRender.page(t("Loajalita", "Loyalty"), lang, period,
             s"""<img src="/api/loyalty.png?period=$period" alt="loyalty">""" +
-              PageRender.table(cat.analyzer.loyalty(30)))
+              PageRender.table(cat.analyzer.loyalty(30), lang))
         case "attendance" =>
           PageRender.page(t("Účast", "Attendance"), lang, period,
             s"""<img src="/api/attendance.png?period=$period" alt="attendance">""" +
-              PageRender.table(cat.analyzer.attendance(30)))
+              PageRender.table(cat.analyzer.attendance(30), lang))
         case "similarity" =>
           PageRender.page(t("Podobnost", "Similarity"), lang, period,
             s"""<img src="/api/similarity.png?period=$period" alt="pca">""" +
-              PageRender.table(cat.analyzer.crossPartySimilarity(20)))
+              PageRender.table(cat.analyzer.crossPartySimilarity(20), lang))
         case other => throw HttpError(404, s"No page /$other")
       } }
       send(ex, 200, html, "text/html; charset=utf-8")

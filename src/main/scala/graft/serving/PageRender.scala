@@ -48,10 +48,13 @@ object PageRender {
        |</body></html>""".stripMargin
   }
 
-  /** Render a (small, already-clamped) DataFrame as a table. */
-  def table(df: DataFrame, maxRows: Int = 200): String = {
+  /** Render a (small, already-clamped) DataFrame as a table; headers are
+    * localized through [[I18n.headerLabel]] (reference `th.*` keys),
+    * unknown columns fall back to their own name.
+    */
+  def table(df: DataFrame, lang: String = "cs", maxRows: Int = 200): String = {
     val cols = df.columns
-    val head = cols.map(c => s"<th>${esc(c)}</th>").mkString
+    val head = cols.map(c => s"<th>${esc(I18n.headerLabel(c, lang))}</th>").mkString
     val rows = df.limit(maxRows).collect().map { r =>
       cols.indices.map { i =>
         val v = r.get(i)

@@ -26,11 +26,11 @@ class GraftServerSpec extends SparkSpec {
       tiskLookup = Seq((1, 1, "Návrh zákona o rozpočtu"))
         .toDF("schuze", "bod", "nazev"))
     val laws = Seq(
-      (410L, 100, "Návrh zákona o rozpočtu", "in_progress", Seq("finance"),
+      (410L, 100, "Návrh zákona o rozpočtu", "projednáváno", Seq("finance"),
         Seq("public finance")),
-      (412L, 101, "Novela školského zákona", "passed", Seq("education"),
+      (412L, 101, "Novela školského zákona", "přijato", Seq("education"),
         Seq("education system")),
-      (413L, 102, "Zákon o daních", "rejected", Seq("finance", "tax"),
+      (413L, 102, "Zákon o daních", "zamítnuto", Seq("finance", "tax"),
         Seq("public finance", "taxation")))
       .toDF("id_tisk", "ct", "nazev", "status", "topics", "topics_en")
     val bills = Seq((1, 1, 1, "410"), (1, 1, 2, "411"), (1, 2, 1, "100"))
@@ -145,7 +145,8 @@ class GraftServerSpec extends SparkSpec {
     val tax = get("/api/laws?period=1&topic=tax")
     assert(tax.body().contains("\"total\":1"))
     assert(tax.body().contains("Zákon o daních"))
-    val passed = get("/api/laws?period=1&status=passed")
+    val passed = get("/api/laws?period=1&status=" +
+      java.net.URLEncoder.encode("přijato", "UTF-8"))
     assert(passed.body().contains("\"total\":1"))
   }
 
@@ -276,7 +277,9 @@ class GraftServerSpec extends SparkSpec {
     assert(detail.body().contains("Dvořák"))
     val loyalty = get("/loyalty?period=1")
     assert(loyalty.body().contains("/api/loyalty.png"))
-    assert(loyalty.body().contains("rebellion_pct"))
+    // headers are localized through I18n (th.* parity) — cs shows the
+    // Czech header, not the raw column name
+    assert(loyalty.body().contains("<th>Rebelie %</th>"), loyalty.body())
     assert(get("/nope?period=1").statusCode() == 404)
     assert(get("/votes/999?period=1").statusCode() == 404)
     // HTML output escapes row content (no raw angle brackets from data)
@@ -289,10 +292,37 @@ class GraftServerSpec extends SparkSpec {
       GraftServer.key("pages", 1, "votes", "cs", "1")).isEmpty)
   }
 
+  test("table headers localize per lang on HTML pages (i18n th.* parity) " +
+      "and /api/laws carries a localized status_label") {
+    // /votes page: same columns, Czech vs English headers
+    val cs = get("/votes?period=1")
+    assert(cs.body().contains("<th>Datum</th>"), cs.body())
+    assert(cs.body().contains("<th>Výsledek</th>"))
+    val en = get("/votes?period=1&lang=en")
+    assert(en.body().contains("<th>Date</th>"), en.body())
+    assert(en.body().contains("<th>Result</th>"))
+    assert(!en.body().contains("<th>Datum</th>"))
+    // laws page headers + status label column
+    val lawsEn = get("/laws?period=1&lang=en")
+    assert(lawsEn.body().contains("<th>Status</th>"), lawsEn.body())
+    assert(lawsEn.body().contains("<td>passed</td>"), lawsEn.body())
+    val lawsCs = get("/laws?period=1")
+    assert(lawsCs.body().contains("<th>Stav</th>"))
+    assert(lawsCs.body().contains("<td>přijato</td>"))
+    // JSON /api/laws: raw status stays for filters; status_label localizes
+    // the canonical trio under lang=en and passes unknown values through
+    val apiEn = get("/api/laws?period=1&lang=en")
+    assert(apiEn.body().contains("\"status\":\"přijato\""), apiEn.body())
+    assert(apiEn.body().contains("\"status_label\":\"passed\""))
+    assert(apiEn.body().contains("\"status_label\":\"in progress\""))
+    val apiCs = get("/api/laws?period=1")
+    assert(apiCs.body().contains("\"status_label\":\"přijato\""))
+  }
+
   test("statuses route lists the laws filter's distinct status values") {
     val r = get("/api/statuses?period=1")
     assert(r.statusCode() == 200, r.body())
-    for (s <- Seq("in_progress", "passed", "rejected"))
+    for (s <- Seq("projednáváno", "přijato", "zamítnuto"))
       assert(r.body().contains(s"\"status\":\"$s\""), r.body())
   }
 
