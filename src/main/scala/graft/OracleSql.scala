@@ -1074,5 +1074,29 @@ object OracleSql {
         |    AS BIGINT) AS n_dupes
         |FROM fp f JOIN keep k USING (fp)
         |GROUP BY f.source ORDER BY f.source""".stripMargin,
+
+    // the Spark side does a REAL PNG encode->ImageIO decode; the oracle
+    // predicts the outputs in closed form (solid fill, lossless codec)
+    "q85_image_decode" ->
+      """SELECT doc_id AS asset_id,
+        |  8 + doc_id % 8 AS width,
+        |  8 + (doc_id * 3) % 8 AS height,
+        |  (doc_id * 37) % 256 AS mean_r,
+        |  (doc_id * 59) % 256 AS mean_g,
+        |  (doc_id * 83) % 256 AS mean_b
+        |FROM documents ORDER BY asset_id""".stripMargin,
+
+    // REAL WAV decode on the Spark side; square-wave RMS = amp/32768
+    // (power-of-two divisor, bit-exact double) and duration is the same
+    // IEEE expression on both engines
+    "q86_wav_decode" ->
+      """SELECT doc_id AS asset_id,
+        |  CAST(8000 AS DOUBLE) AS sample_rate,
+        |  CAST(1 AS BIGINT) AS channels,
+        |  CAST(800 + doc_id % 100 AS BIGINT) AS n_frames,
+        |  CAST(800 + doc_id % 100 AS DOUBLE) * CAST(1000 AS DOUBLE)
+        |    / CAST(8000 AS DOUBLE) AS duration_ms,
+        |  CAST(1000 + doc_id % 2000 AS DOUBLE) / CAST(32768 AS DOUBLE) AS rms
+        |FROM documents ORDER BY asset_id""".stripMargin,
   )
 }

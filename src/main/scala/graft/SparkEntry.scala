@@ -1069,6 +1069,55 @@ object SparkEntry {
         array_join(transform(col("q"), _.cast("string")), " ").as("q"))
       .orderBy("vec_id")
 
+  /** REAL image decode through the catalog: deterministic synthetic
+    * PNGs (solid fill, closed-form geometry/color in the id —
+    * [[graft.operators.Multimodal.syntheticPng]]) are encoded and then
+    * decoded with the production ImageIO path
+    * ([[graft.operators.Multimodal.decodeImages]]); the oracle predicts
+    * dimensions and channel means arithmetically. Solid fill ⇒ the
+    * sampled means are exactly the fill color ⇒ hash-exact.
+    */
+  private def q85(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val assets = docs(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val png = Multimodal.syntheticPng(id)
+        Multimodal.Asset(id, png, "image/png", png.length.toLong)
+      })
+    Multimodal.decodeImages(assets).toDF()
+      .select(col("asset_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("mean_r").cast("long").as("mean_r"),
+        col("mean_g").cast("long").as("mean_g"),
+        col("mean_b").cast("long").as("mean_b"))
+      .orderBy("asset_id")
+  }
+
+  /** REAL WAV decode through the catalog: synthetic 16-bit mono PCM
+    * square waves ([[graft.operators.Multimodal.syntheticWav]]) decoded
+    * with the production javax.sound path
+    * ([[graft.operators.Multimodal.decodeWavs]]). RMS of a ±amp square
+    * wave is exactly amp/32768 (power-of-two divisor, bit-exact double),
+    * duration is the same IEEE expression on both engines ⇒ hash-exact.
+    */
+  private def q86(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val assets = docs(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val wav = Multimodal.syntheticWav(id)
+        Multimodal.Asset(id, wav, "audio/wav", wav.length.toLong)
+      })
+    Multimodal.decodeWavs(assets).toDF()
+      .select(col("asset_id"),
+        col("sample_rate"),
+        col("channels").cast("long").as("channels"),
+        col("n_frames"),
+        col("duration_ms"),
+        col("rms"))
+      .orderBy("asset_id")
+  }
+
   /** Dedup observability report: per source, total docs / exact-dedup
     * survivors / duplicates (global keeper choice — cross-source
     * duplication counts against the copying source).
@@ -1165,6 +1214,8 @@ object SparkEntry {
     "q82_doc_chunking" -> (q82(_, _)),
     "q83_embedding_quantize" -> (q83(_, _)),
     "q84_dedup_report" -> (q84(_, _)),
+    "q85_image_decode" -> (q85(_, _)),
+    "q86_wav_decode" -> (q86(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

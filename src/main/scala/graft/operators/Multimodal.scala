@@ -146,6 +146,60 @@ object Multimodal {
     }
   }
 
+  /** Deterministic synthetic PNG for oracle-checkable decode tests: a
+    * solid-color image whose geometry and fill are closed-form in the id
+    * (width = 8 + id%8, height = 8 + (3·id)%8, rgb = ((37·id)%256,
+    * (59·id)%256, (83·id)%256)). PNG is lossless and the fill is solid,
+    * so [[decodeImages]]' channel means equal the fill exactly — an
+    * engine with no image codec (the DuckDB oracle) can still predict
+    * every output column arithmetically while the Spark side exercises
+    * the REAL ImageIO encode→decode round trip.
+    */
+  def syntheticPng(id: Long): Array[Byte] = {
+    val w = 8 + (id % 8).toInt
+    val h = 8 + ((id * 3) % 8).toInt
+    val rgb = ((((id * 37) % 256) << 16) | (((id * 59) % 256) << 8) |
+      ((id * 83) % 256)).toInt
+    val im = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { im.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic synthetic WAV (16-bit mono PCM @ 8 kHz) for
+    * oracle-checkable decode tests: frames = 800 + id%100 of an
+    * alternating ±amp square wave with amp = 1000 + id%2000, so
+    * [[decodeWavs]]' RMS is exactly amp/32768 (a power-of-two divisor —
+    * bit-exact in IEEE double) and every other column is closed-form in
+    * the id.
+    */
+  def syntheticWav(id: Long): Array[Byte] = {
+    val frames = 800 + (id % 100).toInt
+    val amp = (1000 + (id % 2000)).toInt
+    val data = new Array[Byte](frames * 2)
+    var i = 0
+    while (i < frames) {
+      val s = if (i % 2 == 0) amp else -amp
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** STUB: deterministic stand-in for the codec tiers the JVM lacks
     * (compressed audio, video) — NOT a real decode.
     */

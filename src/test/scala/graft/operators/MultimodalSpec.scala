@@ -96,4 +96,38 @@ class MultimodalSpec extends SparkSpec {
     // constant amplitude 16384 -> rms = 16384/32768 = 0.5 exactly
     assert(math.abs(a.rms - 0.5) < 1e-9)
   }
+
+  test("synthetic PNG/WAV generators round-trip through the REAL decoders " +
+      "to their closed-form oracle values (the q85/q86 contract)") {
+    val session = spark
+    import session.implicits._
+    val ids = Seq(1L, 7L, 123L, 4096L)
+    val pngAssets = ids.map { id =>
+      val p = Multimodal.syntheticPng(id)
+      Multimodal.Asset(id, p, "image/png", p.length.toLong)
+    }.toDS()
+    val imgs = Multimodal.decodeImages(pngAssets).collect()
+      .map(f => f.asset_id -> f).toMap
+    for (id <- ids) {
+      val f = imgs(id)
+      assert(f.width == 8 + (id % 8).toInt && f.height == 8 + ((id * 3) % 8).toInt)
+      assert(f.mean_r == ((id * 37) % 256).toDouble, s"id=$id mean_r=${f.mean_r}")
+      assert(f.mean_g == ((id * 59) % 256).toDouble)
+      assert(f.mean_b == ((id * 83) % 256).toDouble)
+    }
+    val wavAssets = ids.map { id =>
+      val w = Multimodal.syntheticWav(id)
+      Multimodal.Asset(id, w, "audio/wav", w.length.toLong)
+    }.toDS()
+    val wavs = Multimodal.decodeWavs(wavAssets).collect()
+      .map(f => f.asset_id -> f).toMap
+    for (id <- ids) {
+      val f = wavs(id)
+      assert(f.sample_rate == 8000.0 && f.channels == 1)
+      assert(f.n_frames == 800 + id % 100)
+      // square wave: RMS is EXACTLY amp/32768 (power-of-two divisor)
+      assert(f.rms == (1000 + id % 2000).toDouble / 32768.0, s"id=$id rms=${f.rms}")
+      assert(f.duration_ms == (800 + id % 100) * 1000.0 / 8000.0)
+    }
+  }
 }
