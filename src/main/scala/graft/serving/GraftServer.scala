@@ -606,9 +606,13 @@ class GraftServer(
       def t(cs: String, en: String) = if (lang == "en") en else cs
       val d = cat.analyzer.data
       // rendered pages memoize like the JSON routes (and drop with the
-      // period on refresh); 404s throw before the cache stores anything
+      // period on refresh); 404s throw before the cache stores anything.
+      // Filter params participate in the key (fragments are
+      // filter-sensitive; plain pages just ignore the extra fields).
       val html = cache.getOrCompute(GraftServer.key(
-          "pages", period, route, lang, q.getOrElse("page", "1"))) { route match {
+          "pages", period, route, lang, q.getOrElse("page", "1"),
+          q.getOrElse("search", ""), q.getOrElse("status", ""),
+          q.getOrElse("topic", ""), q.getOrElse("outcome", ""))) { route match {
         case "" =>
           PageRender.page(t("Přehled období", "Period overview"), lang, period,
             PageRender.table(cat.analyzer.periodStats(), lang))
@@ -659,6 +663,61 @@ class GraftServer(
           PageRender.page(t("Podobnost", "Similarity"), lang, period,
             s"""<img src="/api/similarity.png?period=$period" alt="pca">""" +
               PageRender.table(cat.analyzer.crossPartySimilarity(20), lang))
+
+        // HTMX-style partials (reference templates/partials/*_list.html +
+        // the HTML-fragment responses of routes/voting.py etc.): the
+        // listing region alone — found line, localized table, prev/next
+        // carrying the filters — for clients that swap only the results
+        case "fragments/votes" =>
+          val page = intParam(q, "page", 1, 1, 1000)
+          val search = strParam(q, "search", 200)
+          val outcome = strParam(q, "outcome", 10)
+          val pr = graft.psp.VotesBrowser.listVotesPaged(
+            d.votes.sparkSession, d.votes, d.voidVotes,
+            Some(search).filter(_.nonEmpty), Some(outcome).filter(_.nonEmpty),
+            None, page)
+          PageRender.listFragment(
+            pr.rows.withColumn("outcome_label",
+              Details.outcomeLabel(col("vysledek"), lang)),
+            pr.total, pr.page, pr.totalPages, lang, "/fragments/votes",
+            Map("period" -> period.toString, "search" -> search,
+              "outcome" -> outcome))
+        case "fragments/laws" =>
+          val laws = cat.laws.getOrElse(
+            throw HttpError(404, s"Period $period has no laws table loaded"))
+          val page = intParam(q, "page", 1, 1, 1000)
+          val search = strParam(q, "search", 200)
+          val status = strParam(q, "status", 200)
+          val topic = strParam(q, "topic", 200)
+          val pr = LawsBrowser.listLawsPaged(laws,
+            Some(search).filter(_.nonEmpty), Some(status).filter(_.nonEmpty),
+            Some(topic).filter(_.nonEmpty), page)
+          PageRender.listFragment(
+            pr.rows.withColumn("status_label",
+              I18n.statusLabel(col("status"), lang)),
+            pr.total, pr.page, pr.totalPages, lang, "/fragments/laws",
+            Map("period" -> period.toString, "search" -> search,
+              "status" -> status, "topic" -> topic))
+        case "fragments/amendments" =>
+          val bills = cat.amendmentBills.getOrElse(
+            throw HttpError(404, s"Period $period has no amendment table loaded"))
+          val page = intParam(q, "page", 1, 1, 1000)
+          val search = strParam(q, "search", 200)
+          val pr = Amendments.listBillsPaged(bills, d.tiskLookup,
+            Some(search).filter(_.nonEmpty), page)
+          PageRender.listFragment(pr.rows, pr.total, pr.page, pr.totalPages,
+            lang, "/fragments/amendments",
+            Map("period" -> period.toString, "search" -> search))
+        case "fragments/loyalty" =>
+          PageRender.table(cat.analyzer.loyalty(
+            intParam(q, "top", 30, 1, 200)), lang)
+        case "fragments/attendance" =>
+          PageRender.table(cat.analyzer.attendance(
+            intParam(q, "top", 30, 1, 200)), lang)
+        case "fragments/similarity" =>
+          PageRender.table(cat.analyzer.crossPartySimilarity(
+            intParam(q, "top", 20, 1, 200)), lang)
+
         case other => throw HttpError(404, s"No page /$other")
       } }
       send(ex, 200, html, "text/html; charset=utf-8")

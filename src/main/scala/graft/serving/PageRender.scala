@@ -66,4 +66,34 @@ object PageRender {
 
   def link(href: String, label: String): String =
     s"""<a href="${href}">${esc(label)}</a>"""
+
+  /** HTMX-style partial (reference `templates/partials`, `…_list.html`): the
+    * listing envelope — found-count line, localized table, prev/next
+    * links carrying the filter params — WITHOUT page chrome, so a client
+    * can swap just the results region. `baseHref` is the fragment's own
+    * route; `params` the filter params to propagate (already validated
+    * upstream; values are URL-encoded here).
+    */
+  def listFragment(
+      rows: DataFrame, total: Long, page: Int, totalPages: Int,
+      lang: String, baseHref: String, params: Map[String, String]): String = {
+    val found =
+      if (lang == "en") s"$total found (page $page/$totalPages)"
+      else s"nalezeno $total (strana $page/$totalPages)"
+    def href(p: Int): String = {
+      val qs = (params + ("page" -> p.toString) + ("lang" -> lang)).toSeq.sorted
+        .map { case (k, v) =>
+          s"${java.net.URLEncoder.encode(k, "UTF-8")}=${java.net.URLEncoder.encode(v, "UTF-8")}"
+        }.mkString("&amp;")
+      s"$baseHref?$qs"
+    }
+    val prev =
+      if (page > 1) link(href(page - 1), if (lang == "en") "prev" else "předchozí")
+      else ""
+    val next =
+      if (page < totalPages) link(href(page + 1), if (lang == "en") "next" else "další")
+      else ""
+    s"<p><strong>${esc(found)}</strong></p>\n" + table(rows, lang) +
+      s"\n<nav>$prev $next</nav>"
+  }
 }

@@ -285,11 +285,11 @@ class GraftServerSpec extends SparkSpec {
     // HTML output escapes row content (no raw angle brackets from data)
     assert(!votes.body().contains("<script"))
     // pages memoize under the period and drop with it
-    assert(server.cache.get(
-      GraftServer.key("pages", 1, "votes", "cs", "1")).isDefined)
+    assert(server.cache.get(GraftServer.key(
+      "pages", 1, "votes", "cs", "1", "", "", "", "")).isDefined)
     server.invalidatePeriod(1)
-    assert(server.cache.get(
-      GraftServer.key("pages", 1, "votes", "cs", "1")).isEmpty)
+    assert(server.cache.get(GraftServer.key(
+      "pages", 1, "votes", "cs", "1", "", "", "", "")).isEmpty)
   }
 
   test("table headers localize per lang on HTML pages (i18n th.* parity) " +
@@ -317,6 +317,30 @@ class GraftServerSpec extends SparkSpec {
     assert(apiEn.body().contains("\"status_label\":\"in progress\""))
     val apiCs = get("/api/laws?period=1")
     assert(apiCs.body().contains("\"status_label\":\"přijato\""))
+  }
+
+  test("fragment routes serve the listing region alone (HTMX partials " +
+      "parity): filters, localized headers, paging links, no page chrome") {
+    val frag = get("/fragments/votes?period=1")
+    assert(frag.statusCode() == 200, frag.body())
+    assert(frag.headers().firstValue("Content-Type").get.startsWith("text/html"))
+    assert(frag.body().contains("<table>") && frag.body().contains("Test vote 1"))
+    assert(!frag.body().contains("<nav>" + "<a href=\"/?period")) // no page chrome
+    assert(!frag.body().contains("<!DOCTYPE"))
+    assert(frag.body().contains("nalezeno"))
+    val en = get("/fragments/votes?period=1&lang=en")
+    assert(en.body().contains("found (page") && en.body().contains("<th>Date</th>"))
+    // filters narrow and propagate into the paging links region
+    val filtered = get("/fragments/laws?period=1&topic=tax")
+    assert(filtered.body().contains("Zákon o daních"))
+    assert(filtered.body().contains("nalezeno 1"), filtered.body())
+    // table fragments for the analysis pages
+    val loyal = get("/fragments/loyalty?period=1&top=5")
+    assert(loyal.body().startsWith("<table>"), loyal.body().take(80))
+    assert(loyal.body().contains("<th>Rebelie %</th>"))
+    val amend = get("/fragments/amendments?period=1")
+    assert(amend.body().contains("nalezeno 3"), amend.body())
+    assert(get("/fragments/nope?period=1").statusCode() == 404)
   }
 
   test("statuses route lists the laws filter's distinct status values") {
