@@ -32,4 +32,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 48g leaves the OS plenty and keeps full-rate task concurrency out of
   // collection pauses.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // The 87-query catalog generates several whole-stage-codegen classes
+  // per query per pass; the JDK's default 240 MB code cache fills mid-
+  // run and CodeCacheFlushing then evicts hot methods, so later queries
+  // recompile continuously (measured: pass-2 q60 24.8 s vs pass-1 9.5 s
+  // with 11 s of in-window JIT). One gigabyte keeps every compiled stage
+  // resident across both passes.
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -11,6 +11,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // static conf, default 100: an 87-query catalog generates far more
+      // codegen classes than that per pass, so pass 2 would janino- and
+      // JIT-recompile every stage instead of reusing the loaded (already
+      // hot) classes. Sized to hold the whole catalog's stages.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -21,6 +21,9 @@ object BenchProbe {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // static conf: hold the whole catalog's generated classes (default
+      // 100 evicts/recompiles across a multi-query run)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1098,5 +1098,46 @@ object OracleSql {
         |    / CAST(8000 AS DOUBLE) AS duration_ms,
         |  CAST(1000 + doc_id % 2000 AS DOUBLE) / CAST(32768 AS DOUBLE) AS rms
         |FROM documents ORDER BY asset_id""".stripMargin,
+
+    // replicates the planted URL variants and the canonicalization steps
+    // of UrlNorm.canonicalUrl in DuckDB's RE2 dialect ('g' flag: DuckDB
+    // replaces only the first match by default, Java replaces all)
+    "q87_url_dedup" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    'https://' ||
+        |    CASE WHEN doc_id % 4 = 0 THEN 'Example.COM' ELSE 'example.com' END ||
+        |    CASE WHEN doc_id % 4 = 1 THEN ':443' ELSE '' END ||
+        |    '/a/' || CAST(doc_id % 100 AS VARCHAR) ||
+        |    CASE WHEN doc_id % 4 = 0 THEN '/?utm_source=news&utm_medium=web'
+        |         WHEN doc_id % 4 = 2 THEN '?utm_campaign=z'
+        |         WHEN doc_id % 4 = 3 THEN '#frag' ELSE '' END AS url
+        |  FROM documents),
+        |n1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '', 'g') AS u FROM p),
+        |parts AS (SELECT doc_id,
+        |    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS host0,
+        |    regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS after
+        |  FROM n1),
+        |parts2 AS (SELECT doc_id, scheme,
+        |    CASE WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+        |         WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
+        |         ELSE host0 END AS host,
+        |    regexp_extract(after, '^([^?]*)', 1) AS path0,
+        |    regexp_extract(after, '\?(.*)$', 1) AS qs0
+        |  FROM parts),
+        |parts3 AS (SELECT doc_id, scheme, host,
+        |    CASE WHEN path0 = '' THEN '/'
+        |         ELSE regexp_replace(path0, '(.)/$', '\1') END AS path,
+        |    regexp_replace(regexp_replace(regexp_replace(qs0,
+        |      '(^|&)utm_[A-Za-z]+=[^&]*', '\1', 'g'),
+        |      '&&+', '&', 'g'), '^&+|&+$', '', 'g') AS qs
+        |  FROM parts2),
+        |c AS (SELECT doc_id,
+        |    scheme || '://' || host || path ||
+        |    CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS url
+        |  FROM parts3)
+        |SELECT url, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS keep_id
+        |FROM c GROUP BY url ORDER BY url""".stripMargin,
   )
 }

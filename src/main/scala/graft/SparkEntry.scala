@@ -1118,6 +1118,32 @@ object SparkEntry {
       .orderBy("asset_id")
   }
 
+  /** URL-canonicalization dedup (the standard first-pass key in crawled
+    * corpora): deterministic messy URL variants are planted per doc —
+    * host case, explicit default port, utm params, fragment, trailing
+    * slash — all canonicalizing to the same normalized URL
+    * ([[graft.functions.UrlNorm.canonicalUrl]], scan-speed expressions);
+    * dedup is then one groupBy on the canonical key. The oracle
+    * replicates planting + normalization in DuckDB's RE2 dialect.
+    */
+  private def q87(s: SparkSession, d: String): DataFrame = {
+    val v = col("doc_id") % 4
+    val planted = docs(s, d).select(col("doc_id"),
+      concat(lit("https://"),
+        when(v === 0, lit("Example.COM")).otherwise(lit("example.com")),
+        when(v === 1, lit(":443")).otherwise(lit("")),
+        lit("/a/"), (col("doc_id") % 100).cast("string"),
+        when(v === 0, lit("/?utm_source=news&utm_medium=web"))
+          .when(v === 2, lit("?utm_campaign=z"))
+          .when(v === 3, lit("#frag"))
+          .otherwise(lit(""))).as("url"))
+    planted
+      .select(col("doc_id"), graft.functions.UrlNorm.canonicalUrl(col("url")).as("url"))
+      .groupBy("url")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+      .orderBy("url")
+  }
+
   /** Dedup observability report: per source, total docs / exact-dedup
     * survivors / duplicates (global keeper choice — cross-source
     * duplication counts against the copying source).
@@ -1216,6 +1242,7 @@ object SparkEntry {
     "q84_dedup_report" -> (q84(_, _)),
     "q85_image_decode" -> (q85(_, _)),
     "q86_wav_decode" -> (q86(_, _)),
+    "q87_url_dedup" -> (q87(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

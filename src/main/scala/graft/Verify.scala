@@ -18,6 +18,9 @@ object Verify {
       // write micros (not INT96) so the driver's comparator sees the same
       // physical type DuckDB produces
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // static conf: hold the whole catalog's generated classes (default
+      // 100 evicts/recompiles shared plan shapes across an 87-query run)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

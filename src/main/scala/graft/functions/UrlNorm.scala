@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization for web-corpus dedup — the standard first-pass
+  * dedup key in large crawled corpora (CCNet / RefinedWeb dedupe by
+  * normalized URL before any content hashing): RFC 3986 syntax-based
+  * normalization (case of scheme+host, default ports, empty path) plus
+  * the conventional tracking-param strip.
+  *
+  * Pure column expressions (Java-regex/RE2 common subset, like the PII
+  * masker) — scan-speed, codegen-friendly, no shuffle; the dedup that
+  * follows is one groupBy on the canonical key.
+  *
+  * Steps, in order:
+  *  1. drop the fragment (`#...`),
+  *  2. lowercase scheme and authority (path/query case is significant),
+  *  3. strip the scheme's default port (`:80` http, `:443` https),
+  *  4. empty path → `/`; otherwise strip ONE trailing slash,
+  *  5. remove `utm_*` query params, collapsing separator debris,
+  *  6. recompose; a string with no `scheme://` is passed through
+  *     unchanged (not a URL — garbage in, same garbage out).
+  */
+object UrlNorm {
+
+  def canonicalUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val host0 = lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val host = when(scheme === "https", regexp_replace(host0, ":443$", ""))
+      .when(scheme === "http", regexp_replace(host0, ":80$", ""))
+      .otherwise(host0)
+    val after = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    val path0 = regexp_extract(after, "^([^?]*)", 1)
+    val path = when(path0 === "", lit("/"))
+      .otherwise(regexp_replace(path0, "(.)/$", "$1"))
+    val qs0 = regexp_extract(after, "\\?(.*)$", 1)
+    val qs1 = regexp_replace(qs0, "(^|&)utm_[A-Za-z]+=[^&]*", "$1")
+    val qs2 = regexp_replace(qs1, "&&+", "&")
+    val qs3 = regexp_replace(qs2, "^&+|&+$", "")
+    when(scheme === "", u).otherwise(
+      concat(scheme, lit("://"), host, path,
+        when(qs3 === "", lit("")).otherwise(concat(lit("?"), qs3))))
+  }
+}

@@ -68,6 +68,11 @@ object Multimodal {
     import assets.sparkSession.implicits._
     val n = thumbSize
     assets.mapPartitions { it =>
+      // payloads are in-memory byte arrays: the default DISK-backed
+      // ImageIO cache writes a temp file per decode, which at corpus
+      // scale thrashes the local filesystem (measured degrading every
+      // LATER query in the same JVM); the heap cache is strictly better
+      javax.imageio.ImageIO.setUseCache(false)
       it.flatMap { a =>
         val img =
           try Option(javax.imageio.ImageIO.read(
@@ -160,6 +165,7 @@ object Multimodal {
     val h = 8 + ((id * 3) % 8).toInt
     val rgb = ((((id * 37) % 256) << 16) | (((id * 59) % 256) << 8) |
       ((id * 83) % 256)).toInt
+    javax.imageio.ImageIO.setUseCache(false) // in-memory streams only
     val im = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0

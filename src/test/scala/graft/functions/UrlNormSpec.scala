@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class UrlNormSpec extends SparkSpec {
+
+  private def canon(urls: String*): Seq[String] = {
+    import spark.implicits._
+    urls.toDF("u").select(UrlNorm.canonicalUrl(col("u"))).collect()
+      .map(_.getString(0)).toSeq
+  }
+
+  test("RFC 3986 syntax normalization: case, default ports, empty path, " +
+      "trailing slash, fragment") {
+    assert(canon("HTTPS://Example.COM:443/A/b/") == Seq("https://example.com/A/b"))
+    assert(canon("http://example.com:80") == Seq("http://example.com/"))
+    // non-default port survives; http's default isn't https's
+    assert(canon("https://example.com:80/x") == Seq("https://example.com:80/x"))
+    assert(canon("https://example.com/x#frag") == Seq("https://example.com/x"))
+    // root slash stays; ONE trailing slash stripped elsewhere
+    assert(canon("https://example.com/") == Seq("https://example.com/"))
+    // path case is significant (only scheme+host fold)
+    assert(canon("https://example.com/CaseSensitive")
+      == Seq("https://example.com/CaseSensitive"))
+  }
+
+  test("utm_* params are stripped wherever they sit; other params and " +
+      "their order survive") {
+    assert(canon("https://e.com/p?utm_source=x") == Seq("https://e.com/p"))
+    assert(canon("https://e.com/p?utm_source=x&id=7")
+      == Seq("https://e.com/p?id=7"))
+    assert(canon("https://e.com/p?id=7&utm_campaign=z")
+      == Seq("https://e.com/p?id=7"))
+    assert(canon("https://e.com/p?utm_a=1&id=7&utm_b=2&z=3")
+      == Seq("https://e.com/p?id=7&z=3"))
+    assert(canon("https://e.com/p?b=2&a=1") == Seq("https://e.com/p?b=2&a=1"))
+  }
+
+  test("non-URLs pass through unchanged") {
+    assert(canon("not a url", "mailto:x@y.cz")
+      == Seq("not a url", "mailto:x@y.cz"))
+  }
+}
