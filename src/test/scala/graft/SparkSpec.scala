@@ -18,6 +18,10 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // static conf: the suite runs hundreds of distinct plans in one
+      // JVM; the default 100-entry codegen class cache evicts and
+      // recompiles constantly (same fix as Bench/Verify, round 6)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
