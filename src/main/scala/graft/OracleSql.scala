@@ -1139,5 +1139,19 @@ object OracleSql {
         |  FROM parts3)
         |SELECT url, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS keep_id
         |FROM c GROUP BY url ORDER BY url""".stripMargin,
+
+    // chr(769) = the combining acute; both engines implement Unicode NFC
+    // so lengths (code points) and md5 over utf8 bytes agree exactly
+    "q88_nfc_normalize" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' Pr' || 'e' || chr(769) || 'sek ' ||
+        |      CAST(doc_id % 5 AS VARCHAR) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(t) AS INTEGER) AS len_raw,
+        |  CAST(length(nfc_normalize(t)) AS INTEGER) AS len_nfc,
+        |  md5(nfc_normalize(t)) AS nfc_md5
+        |FROM p ORDER BY doc_id""".stripMargin,
   )
 }

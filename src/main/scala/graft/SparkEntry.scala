@@ -1144,6 +1144,26 @@ object SparkEntry {
       .orderBy("url")
   }
 
+  /** Unicode NFC normalization (corpus text-cleaning first pass, native
+    * codegen expression [[graft.plans.NfcNormalize]]): a combining
+    * sequence ("e" + U+0301) planted per doc folds to the composed "é",
+    * so the normalized length drops and the md5 matches DuckDB's
+    * `nfc_normalize` byte-for-byte (both implement Unicode NFC).
+    */
+  private def q88(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.ensure(s)
+    val planted = docs(s, d).select(col("doc_id"),
+      // the literal is DECOMPOSED on purpose: "e" + combining acute
+      // U+0301 (2 code points) — NFC folds it to composed "é" (1)
+      concat(col("text"), lit(" Pr"), lit("é"), lit("sek "),
+        (col("doc_id") % 5).cast("string")).as("t"))
+    planted.select(col("doc_id"),
+      length(col("t")).as("len_raw"),
+      length(call_function("nfc_normalize", col("t"))).as("len_nfc"),
+      md5(call_function("nfc_normalize", col("t")).cast("binary")).as("nfc_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Dedup observability report: per source, total docs / exact-dedup
     * survivors / duplicates (global keeper choice — cross-source
     * duplication counts against the copying source).
@@ -1243,6 +1263,7 @@ object SparkEntry {
     "q85_image_decode" -> (q85(_, _)),
     "q86_wav_decode" -> (q86(_, _)),
     "q87_url_dedup" -> (q87(_, _)),
+    "q88_nfc_normalize" -> (q88(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -28,6 +28,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProduct(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        NfcNormalize(children.head)))
     ext.injectOptimizerRule(NormalizeSimplification)
   }
 }
@@ -40,6 +45,7 @@ object GraftFunctions {
     GraftShim.registerNative(spark, "strip_diacritics", es => NormalizeDiacritics(es.head))
     GraftShim.registerNative(spark, "fuzzy_ratio", es => FuzzyRatio(es(0), es(1)))
     GraftShim.registerNative(spark, "dot_product", es => DotProduct(es(0), es(1)))
+    GraftShim.registerNative(spark, "nfc_normalize", es => NfcNormalize(es.head))
   }
 
   /** Column-API access to the native dot product (no registration needed). */

@@ -31,6 +31,31 @@ case class NormalizeDiacritics(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Unicode NFC normalization as a native codegen expression — the
+  * standard first text-cleaning step in corpus pipelines (combining
+  * sequences fold to their canonical composed form, so "e"+U+0301 and
+  * "é" hash/compare/dedupe identically). `java.text.Normalizer` is
+  * JDK-built-in; DuckDB's `nfc_normalize` is the oracle counterpart,
+  * which keeps the operator hash-exactly checkable cross-engine.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      input.asInstanceOf[UTF8String].toString, java.text.Normalizer.Form.NFC))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"java.text.Normalizer.normalize($c.toString(), " +
+        "java.text.Normalizer.Form.NFC))")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
 /** Exact difflib.SequenceMatcher ratio as a native binary expression (fuzzy
   * name-match join, reference `submitter_resolver.py:16-91`).
   */

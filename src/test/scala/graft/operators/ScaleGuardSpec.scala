@@ -12,6 +12,32 @@ class ScaleGuardSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("nearDupClusters stays join-based end to end: no cartesian " +
+      "product, no nested-loop join anywhere in the physical plan") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i => (i, s"w${i % 7} w${i % 5} w${i % 3} " +
+      s"w${i % 11} text body ${i % 2}")).toDF("doc_id", "text")
+    val plan = Dedup.nearDupClusters(docs, "doc_id", "text", 3, 0.7)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    CacheRegistry.drain()
+  }
+
+  test("canonicalUrl dedup is one aggregation over scan-speed " +
+      "expressions: a single exchange, no join, no window") {
+    import spark.implicits._
+    val urls = (1L to 50L)
+      .map(i => (i, s"https://Example.com:443/p/${i % 9}?utm_source=x&id=${i % 4}"))
+      .toDF("doc_id", "url")
+    val out = urls
+      .select(col("doc_id"), graft.functions.UrlNorm.canonicalUrl(col("url")).as("u"))
+      .groupBy("u").agg(count(lit(1)).as("n"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("Exchange")) <= 1, plan)
+    assert(!plan.contains("Join") && !plan.contains("Window"), plan)
+  }
+
   test("quantile buckets: past the size threshold the plan drops the " +
       "global NTILE sort (no Window), and bucket stats stay coherent") {
     val orders = spark.read.parquet(s"$sf/orders.parquet")

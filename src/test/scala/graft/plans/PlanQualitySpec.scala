@@ -63,6 +63,31 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("ScalaUDF") && !p.contains("BatchEval"))
   }
 
+  test("nfc_normalize folds combining sequences, stays codegen, and is " +
+      "SQL-callable through the extension registration") {
+    GraftFunctions.ensure(spark)
+    import spark.implicits._
+    val decomposed = "Pre\u0301sek" // e + combining acute, 7 code points
+    val composed = "Pr\u00e9sek"    // precomposed e-acute, 6 code points
+    val df = Seq(decomposed, composed, "plain").toDF("t")
+      .select(call_function("nfc_normalize", col("t")).as("n"))
+    val out = df.collect().map(_.getString(0))
+    assert(out(0) == composed, "NFC must fold the combining sequence")
+    assert(out(1) == composed && out(2) == "plain")
+    // a local relation constant-folds at optimization time, so codegen is
+    // asserted over a real scan (the q88 shape)
+    val scanDf = spark.read.parquet(s"$sf/documents.parquet")
+      .select(call_function("nfc_normalize", col("text")).as("n"))
+    val plan = executed(scanDf)
+    assert(plan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec]))
+    assert(!plan.toString.contains("ScalaUDF"))
+    // registered for SQL text too
+    assert(spark.sql(
+      "SELECT nfc_normalize('Pre\u0301sek') = 'Pr\u00e9sek'")
+      .collect()(0).getBoolean(0))
+  }
+
   test("grid cosine join is aggregation-free: the verify filter pipelines " +
       "straight off the cell join (re-adding a dedupe would regress 50s -> 3s)") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
