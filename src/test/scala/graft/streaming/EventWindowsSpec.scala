@@ -125,4 +125,28 @@ class EventWindowsSpec extends SparkSpec {
       assert(rows.map(_.getAs[String]("chunk_text")).contains("t3 t4 t5 t6"))
     } finally q.stop()
   }
+
+  test("canonical-URL streaming dedup: crawl ingestion dedupes on the " +
+      "normalized key with watermark-bounded state") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = session.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val withKey = mem.toDF().toDF("ts", "url")
+      .withColumn("curl", graft.functions.UrlNorm.canonicalUrl(col("url")))
+    val q = EventWindows.dedupWithinWatermark(
+        withKey, "ts", "10 minutes", Seq("curl"))
+      .writeStream.format("memory").queryName("urldedup")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (t("2024-01-01 00:01:00"), "https://Example.COM/a/?utm_source=x"),
+        (t("2024-01-01 00:02:00"), "https://example.com:443/a"), // same canon
+        (t("2024-01-01 00:03:00"), "https://example.com/b"))
+      q.processAllAvailable()
+      val urls = session.sql("SELECT curl FROM urldedup")
+        .collect().map(_.getString(0)).sorted
+      assert(urls.toSeq == Seq("https://example.com/a", "https://example.com/b"))
+    } finally q.stop()
+  }
 }
