@@ -1153,5 +1153,16 @@ object OracleSql {
         |  CAST(length(nfc_normalize(t)) AS INTEGER) AS len_nfc,
         |  md5(nfc_normalize(t)) AS nfc_md5
         |FROM p ORDER BY doc_id""".stripMargin,
+
+    // bilinear resize of a SOLID image is the same solid at any size:
+    // fixed 5x3 output, channel means = the planted fill color
+    "q89_image_resize" ->
+      """SELECT doc_id AS asset_id,
+        |  CAST(5 AS BIGINT) AS width,
+        |  CAST(3 AS BIGINT) AS height,
+        |  (doc_id * 37) % 256 AS mean_r,
+        |  (doc_id * 59) % 256 AS mean_g,
+        |  (doc_id * 83) % 256 AS mean_b
+        |FROM documents ORDER BY asset_id""".stripMargin,
   )
 }

@@ -1144,6 +1144,31 @@ object SparkEntry {
       .orderBy("url")
   }
 
+  /** REAL image resize pipeline: synthetic solid PNGs → Graphics2D
+    * bilinear resize to 5×3 → re-encode → decode again
+    * ([[graft.operators.Multimodal.resizeImages]] composing with
+    * decodeImages, the thumbnail-pipeline shape). Bilinear resampling of
+    * a SOLID image is the same solid color at any size, so the oracle
+    * stays closed-form: fixed output dims, channel means = the planted
+    * fill.
+    */
+  private def q89(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val assets = docs(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val png = Multimodal.syntheticPng(id)
+        Multimodal.Asset(id, png, "image/png", png.length.toLong)
+      })
+    Multimodal.decodeImages(Multimodal.resizeImages(assets, 5, 3)).toDF()
+      .select(col("asset_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("mean_r").cast("long").as("mean_r"),
+        col("mean_g").cast("long").as("mean_g"),
+        col("mean_b").cast("long").as("mean_b"))
+      .orderBy("asset_id")
+  }
+
   /** Unicode NFC normalization (corpus text-cleaning first pass, native
     * codegen expression [[graft.plans.NfcNormalize]]): a combining
     * sequence ("e" + U+0301) planted per doc folds to the composed "é",
@@ -1264,6 +1289,7 @@ object SparkEntry {
     "q86_wav_decode" -> (q86(_, _)),
     "q87_url_dedup" -> (q87(_, _)),
     "q88_nfc_normalize" -> (q88(_, _)),
+    "q89_image_resize" -> (q89(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -105,6 +105,43 @@ object Multimodal {
     }
   }
 
+  /** REAL image resize via JDK Graphics2D (no external codecs): decode,
+    * draw onto a target-size canvas with bilinear interpolation,
+    * re-encode as PNG. Per-partition like the other decode tiers; the
+    * output is again an [[Asset]] so resize composes with
+    * [[decodeImages]] / feature extraction downstream (the
+    * thumbnail-pipeline shape every multimodal corpus runs). Undecodable
+    * payloads are dropped.
+    */
+  def resizeImages(assets: Dataset[Asset], width: Int, height: Int): Dataset[Asset] = {
+    require(width > 0 && height > 0, s"target ${width}x$height must be positive")
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { a =>
+        val img =
+          try Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(a.payload)))
+          catch { case _: Exception => None }
+        img.map { im =>
+          val out = new java.awt.image.BufferedImage(
+            width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          try {
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(im, 0, 0, width, height, null)
+          } finally g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          val bytes = bos.toByteArray
+          Asset(a.asset_id, bytes, "image/png", bytes.length.toLong)
+        }
+      }
+    }
+  }
+
   /** Real PCM-audio decode output. */
   case class AudioFeatures(asset_id: Long, sample_rate: Double, channels: Int,
       n_frames: Long, duration_ms: Double, rms: Double)

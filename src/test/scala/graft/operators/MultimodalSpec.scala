@@ -97,6 +97,24 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(a.rms - 0.5) < 1e-9)
   }
 
+  test("resizeImages REALLY resizes (Graphics2D bilinear) and composes " +
+      "with decodeImages; junk payloads are dropped") {
+    val session = spark
+    import session.implicits._
+    val assets = Seq(
+      Multimodal.Asset(1L, pngBytes(16, 8, 0x336699), "image/png", 0L),
+      Multimodal.Asset(2L, "junk".getBytes("UTF-8"), "text/plain", 4L))
+      .toDS()
+    val out = Multimodal.decodeImages(Multimodal.resizeImages(assets, 4, 2))
+      .collect().map(f => f.asset_id -> f).toMap
+    assert(out.keySet == Set(1L))
+    val f = out(1L)
+    assert(f.width == 4 && f.height == 2)
+    // solid color survives bilinear resampling exactly
+    assert(f.mean_r == 0x33.toDouble && f.mean_g == 0x66.toDouble &&
+      f.mean_b == 0x99.toDouble)
+  }
+
   test("synthetic PNG/WAV generators round-trip through the REAL decoders " +
       "to their closed-form oracle values (the q85/q86 contract)") {
     val session = spark
