@@ -243,6 +243,50 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** One sampled video frame: typed metadata + the frame payload. */
+  case class FrameSample(asset_id: Long, frame_idx: Int, ts_ms: Double,
+      frame: Array[Byte])
+
+  /** Frame sampling for the video tier — every `everyNth` frame with
+    * its index and timestamp, one output row per kept frame. The JVM
+    * has no video codecs (documented environment constraint, same as
+    * compressed audio), so the DECODE step is the clearly-labeled
+    * deterministic stub [[fakeVideoFrames]]; everything Spark-side —
+    * binary payloads in, per-partition decoder init, a typed
+    * exploded-frames relation out — is the real pipeline shape a
+    * JavaCV/ffmpeg-backed decoder would slot into.
+    */
+  def sampleFrames(assets: Dataset[Asset], everyNth: Int,
+      fps: Double = 25.0): Dataset[FrameSample] = {
+    require(everyNth > 0, s"everyNth=$everyNth must be positive")
+    require(fps > 0, s"fps=$fps must be positive")
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      // per-partition decoder init would go here (codec handle)
+      it.flatMap { a =>
+        fakeVideoFrames(a.payload).zipWithIndex.collect {
+          case (f, i) if i % everyNth == 0 =>
+            FrameSample(a.asset_id, i, i * 1000.0 / fps, f)
+        }
+      }
+    }
+  }
+
+  /** STUB: a deterministic payload-derived "frame list" standing in for
+    * a real video demux+decode (no codecs on the offline JVM) — NOT a
+    * real decode. Frame count and bytes derive from the payload hash so
+    * tests are stable.
+    */
+  private[graft] def fakeVideoFrames(payload: Array[Byte]): Seq[Array[Byte]] = {
+    var h = 1125899906842597L
+    var i = 0
+    while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
+    val n = 4 + (math.floorMod(h, 8L)).toInt // 4..11 "frames"
+    (0 until n).map { idx =>
+      fakeDecode(payload :+ idx.toByte, 8).map(f => (f * 255).toByte)
+    }
+  }
+
   /** STUB: deterministic stand-in for the codec tiers the JVM lacks
     * (compressed audio, video) — NOT a real decode.
     */

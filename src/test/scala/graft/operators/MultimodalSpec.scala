@@ -115,6 +115,30 @@ class MultimodalSpec extends SparkSpec {
       f.mean_b == 0x99.toDouble)
   }
 
+  test("sampleFrames explodes every Nth frame with index + timestamp " +
+      "(plumbing real; decode is the labeled no-codec stub)") {
+    val session = spark
+    import session.implicits._
+    val assets = Seq(
+      Multimodal.Asset(1L, "video-bytes-a".getBytes("UTF-8"), "video/mp4", 13L),
+      Multimodal.Asset(2L, "video-bytes-b".getBytes("UTF-8"), "video/mp4", 13L))
+      .toDS()
+    val all = Multimodal.sampleFrames(assets, everyNth = 1).collect()
+    val sampled = Multimodal.sampleFrames(assets, everyNth = 3).collect()
+    // deterministic per payload; sampling keeps exactly the i%3==0 frames
+    val allIdx = all.filter(_.asset_id == 1L).map(_.frame_idx).sorted
+    assert(allIdx.headOption.contains(0) && allIdx.length >= 4)
+    assert(sampled.filter(_.asset_id == 1L).map(_.frame_idx).toSet ==
+      allIdx.filter(_ % 3 == 0).toSet)
+    // timestamps follow the fps grid
+    val f3 = sampled.find(f => f.asset_id == 1L && f.frame_idx == 3)
+    assert(f3.forall(f => math.abs(f.ts_ms - 120.0) < 1e-9)) // 3/25fps
+    // same payload -> same frames (stub is deterministic)
+    val again = Multimodal.sampleFrames(assets, everyNth = 3).collect()
+    assert(again.map(f => (f.asset_id, f.frame_idx, f.frame.toSeq)).toSet ==
+      sampled.map(f => (f.asset_id, f.frame_idx, f.frame.toSeq)).toSet)
+  }
+
   test("synthetic PNG/WAV generators round-trip through the REAL decoders " +
       "to their closed-form oracle values (the q85/q86 contract)") {
     val session = spark
