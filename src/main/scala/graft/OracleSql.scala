@@ -1164,5 +1164,29 @@ object OracleSql {
         |  (doc_id * 59) % 256 AS mean_g,
         |  (doc_id * 83) % 256 AS mean_b
         |FROM documents ORDER BY asset_id""".stripMargin,
+
+    // Bloom prefilter never changes the answer (no false negatives), so
+    // the oracle is the plain exact anti-join over the same split.
+    "q90_bloom_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+        |batch AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id, text FROM corpus),
+        |bfp AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM batch),
+        |cfp AS (
+        |  SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM corpus),
+        |novel AS (
+        |  SELECT b.* FROM bfp b LEFT JOIN cfp c USING (fp) WHERE c.fp IS NULL),
+        |ranked AS (
+        |  SELECT doc_id, fp,
+        |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |  FROM novel)
+        |SELECT doc_id, fp FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
   )
 }

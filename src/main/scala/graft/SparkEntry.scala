@@ -1169,6 +1169,22 @@ object SparkEntry {
       .orderBy("asset_id")
   }
 
+  /** Bloom-prefiltered incremental dedup: identical answer to the plain
+    * anti-join (no false negatives ⇒ the sketch only shrinks the shuffle),
+    * so the oracle is the exact-set SQL. Corpus = every 3rd doc; batch =
+    * the rest plus shifted clones of the corpus (guaranteed duplicates
+    * that the Bloom path must route through the confirm join).
+    */
+  private def q90(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d).select("doc_id", "text")
+    val corpus = all.filter(col("doc_id") % 3 === 0)
+    val batch = all.filter(col("doc_id") % 3 =!= 0)
+      .unionAll(corpus.select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+    Dedup.bloomIncrementalDedup(batch, corpus, "doc_id", "text", fpp = 0.05)
+      .select("doc_id", "fp")
+      .orderBy("doc_id")
+  }
+
   /** Unicode NFC normalization (corpus text-cleaning first pass, native
     * codegen expression [[graft.plans.NfcNormalize]]): a combining
     * sequence ("e" + U+0301) planted per doc folds to the composed "é",
@@ -1290,6 +1306,7 @@ object SparkEntry {
     "q87_url_dedup" -> (q87(_, _)),
     "q88_nfc_normalize" -> (q88(_, _)),
     "q89_image_resize" -> (q89(_, _)),
+    "q90_bloom_dedup" -> (q90(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

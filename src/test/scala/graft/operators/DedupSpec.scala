@@ -317,6 +317,32 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("bloom-prefiltered incremental dedup EXACTLY matches the plain " +
+      "anti-join at every fpp (no false negatives ⇒ sketch never changes " +
+      "the answer)") {
+    import spark.implicits._
+    val all = (1L to 60L).map { i =>
+      (i, if (i % 7 == 0) s"shared text block ${i % 3}"
+          else s"unique document number $i body")
+    }.toDF("doc_id", "text")
+    val corp = all.filter($"doc_id" % 2 === 0)
+    val batch = all.filter($"doc_id" % 2 =!= 0)
+      .unionAll(corp.select(($"doc_id" + 100L).as("doc_id"), $"text"))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "fp").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    val plain = key(Dedup.incrementalDedup(batch, corp, "doc_id", "text"))
+    // exact clones of corpus content must all be excluded
+    assert(plain.nonEmpty && plain.forall { case (id, _) => id <= 100 })
+    // a high fpp floods the confirm join, a low one starves it — the
+    // answer must be identical either way
+    for (fpp <- Seq(0.5, 0.01)) {
+      val bloom =
+        key(Dedup.bloomIncrementalDedup(batch, corp, "doc_id", "text", fpp))
+      assert(bloom == plain, s"fpp=$fpp diverged from the exact anti-join")
+    }
+  }
+
   test("cache registry: operators track persisted frames, drain releases them") {
     CacheRegistry.drain()
     Dedup.minhashNearDups(corpus(), "doc_id", "text").count()
