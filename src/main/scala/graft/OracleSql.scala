@@ -1188,5 +1188,51 @@ object OracleSql {
         |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
         |  FROM novel)
         |SELECT doc_id, fp FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // Unrolled single Lloyd's update of the md5-seeded k-means. Distances
+    // are exact DECIMAL arithmetic (order-free), centroid means the proven
+    // round-9 q65 shape, so the assignment matches the Spark side
+    // cell-exact.
+    "q91_kmeans_assign" ->
+      """WITH e AS (
+        |  SELECT vec_id, i - 1 AS dim,
+        |    CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(14,12)) AS xg,
+        |    CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,12)) AS xs
+        |  FROM (SELECT vec_id, embedding,
+        |          unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)),
+        |seeds AS (
+        |  SELECT vec_id, rn - 1 AS cid FROM (
+        |    SELECT vec_id, row_number()
+        |      OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        |    FROM embeddings)
+        |  WHERE rn <= 8),
+        |c0 AS (
+        |  SELECT s.cid, e.dim, e.xg AS cg FROM seeds s JOIN e USING (vec_id)),
+        |d1 AS (
+        |  SELECT e.vec_id, c.cid, SUM((e.xg - c.cg) * (e.xg - c.cg)) AS dist
+        |  FROM e JOIN c0 c ON e.dim = c.dim GROUP BY e.vec_id, c.cid),
+        |a1 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid, row_number()
+        |      OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d1)
+        |  WHERE rn = 1),
+        |m1 AS (
+        |  SELECT a1.cid, e.dim,
+        |    CAST(round(CAST(SUM(e.xs) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+        |      AS DECIMAL(14,12)) AS cg
+        |  FROM e JOIN a1 USING (vec_id) GROUP BY a1.cid, e.dim),
+        |c1 AS (
+        |  SELECT c0.cid, c0.dim, COALESCE(m1.cg, c0.cg) AS cg
+        |  FROM c0 LEFT JOIN m1 ON m1.cid = c0.cid AND m1.dim = c0.dim),
+        |d2 AS (
+        |  SELECT e.vec_id, c.cid, SUM((e.xg - c.cg) * (e.xg - c.cg)) AS dist
+        |  FROM e JOIN c1 c ON e.dim = c.dim GROUP BY e.vec_id, c.cid),
+        |a2 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid, row_number()
+        |      OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d2)
+        |  WHERE rn = 1)
+        |SELECT vec_id, CAST(cid AS BIGINT) AS cluster
+        |FROM a2 ORDER BY vec_id""".stripMargin,
   )
 }

@@ -1185,6 +1185,17 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Deterministic k-means over the embeddings (SemDeDup-style semantic
+    * bucketing): md5-seeded, decimal-grid distances so the assignment is
+    * bit-identical across engines — the oracle replays the same single
+    * Lloyd's update in unrolled SQL and must agree cell-exact.
+    */
+  private def q91(s: SparkSession, d: String): DataFrame =
+    KMeans.fitAssign(emb(s, d).select("vec_id", "embedding"),
+        "vec_id", "embedding", k = 8, iters = 1)
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+      .orderBy("vec_id")
+
   /** Unicode NFC normalization (corpus text-cleaning first pass, native
     * codegen expression [[graft.plans.NfcNormalize]]): a combining
     * sequence ("e" + U+0301) planted per doc folds to the composed "é",
@@ -1307,6 +1318,7 @@ object SparkEntry {
     "q88_nfc_normalize" -> (q88(_, _)),
     "q89_image_resize" -> (q89(_, _)),
     "q90_bloom_dedup" -> (q90(_, _)),
+    "q91_kmeans_assign" -> (q91(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType}
+
+/** Deterministic distributed k-means (Lloyd's) over an embedding column —
+  * the clustering primitive behind SemDeDup-style semantic dedup and
+  * corpus topic bucketing (ref: services/similarity_service.py clusters
+  * MPs by vote vectors; this is the corpus-scale generalization).
+  *
+  * Every step is bit-deterministic ACROSS ENGINES, so the final
+  * assignment is oracle-checkable cell-exact, not just "close":
+  *
+  *  - seeds: the k vectors with the smallest `md5(vec_id)` hex string
+  *    (hash-derived randomness, no RNG), cluster ids 0..k-1 in that order;
+  *  - distances: squared L2 on a scale-12 DECIMAL grid — each coordinate
+  *    and centroid is cast to DECIMAL(14,12), the diff/square/sum stay in
+  *    decimal (31,24 / 38,24), which is EXACT and summation-order-free,
+  *    so the argmin cannot flip between engines (fold order, SIMD, or
+  *    partial-agg order never matter); ties break on the smaller cluster
+  *    id;
+  *  - centroid update: the proven cross-engine mean shape (q65):
+  *    `round(CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE)/count, 9)` —
+  *    a scale-9-rounded double re-enters the scale-12 grid exactly
+  *    (nearest-double error ~1e-17 << 0.5e-12). Empty clusters keep
+  *    their previous centroid.
+  *
+  * Scale shape (100 TB): assignment is a PER-ROW expression against k
+  * broadcast centroid literals — no shuffle, no join; the update is a
+  * partial-aggregated groupBy onto k·dims cells, and only those k·dims
+  * rounded means (a few KB, independent of data size) ever reach the
+  * driver between iterations — the same driver/executor split Lloyd's
+  * has in any distributed implementation.
+  */
+object KMeans {
+
+  private val Grid = DecimalType(14, 12)
+
+  /** Fold accumulator: 6 integer digits is plenty (a 64-dim scale-12-grid
+    * squared distance is < 300), and re-casting each partial sum back to
+    * this exact (precision, scale) keeps the fold type fixed WITHOUT
+    * rounding — Spark's decimal `+` escalates precision by 1 per step and
+    * would clip the scale at 38, which both breaks the lambda's type
+    * contract and loses the last digit; a same-scale down-cast of a value
+    * far below the precision cap is a pure relabel, so the sum stays
+    * exact and order-free.
+    */
+  private val Acc = DecimalType(30, 24)
+
+  /** Squared L2 distance between `vec` and a centroid literal on the
+    * scale-12 decimal grid (exact, order-free).
+    */
+  private def sqDist(vec: Column, centroid: Array[Double]): Column =
+    aggregate(
+      zip_with(vec, lit(centroid), (x, c) => {
+        val xd = x.cast(DoubleType).cast(Grid)
+        val cd = c.cast(Grid)
+        (xd - cd) * (xd - cd)
+      }),
+      lit(java.math.BigDecimal.ZERO).cast(Acc),
+      (acc, v) => (acc + v).cast(Acc))
+
+  /** Cluster assignment column: argmin over the k centroid distances,
+    * ties to the smaller cluster id (array_min on (dist, cid) structs).
+    */
+  private def assignment(vec: Column, centroids: Array[Array[Double]]): Column =
+    array_min(array(centroids.zipWithIndex.map { case (c, j) =>
+      struct(sqDist(vec, c).as("d"), lit(j).cast(IntegerType).as("j"))
+    }: _*)).getField("j")
+
+  /** The k seed centroids: vectors of the k ids with the smallest
+    * `md5(id)` hex, as raw doubles (floats widen exactly).
+    */
+  private def seeds(
+      df: DataFrame, idCol: String, vecCol: String, k: Int): Array[Array[Double]] =
+    df.select(col(vecCol).cast("array<double>").as("v"),
+        md5(col(idCol).cast("string")).as("h"), col(idCol))
+      .orderBy(col("h"), col(idCol))
+      .limit(k)
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+
+  /** Lloyd's iterations; returns (row*, cluster) — the input row with an
+    * appended `cluster` int column from the final assignment. `iters` is
+    * the number of centroid UPDATES (iters=0 assigns against the seeds).
+    */
+  def fitAssign(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    require(iters >= 0, s"iters=$iters must be >= 0")
+    var centroids = seeds(df, idCol, vecCol, k)
+    require(centroids.length == k,
+      s"need at least k=$k rows to seed, got ${centroids.length}")
+    for (_ <- 0 until iters) {
+      val assigned = df.withColumn("__c", assignment(col(vecCol), centroids))
+      // q65-shape decimal mean per (cluster, dim); only k*dims rounded
+      // means come back to the driver
+      val means = assigned
+        .select(col("__c"), posexplode(col(vecCol)).as(Seq("__d", "__x")))
+        .groupBy("__c", "__d")
+        .agg(round(
+          sum(col("__x").cast(DoubleType).cast(DecimalType(28, 12)))
+            .cast(DoubleType) / count(lit(1)).cast(DoubleType), 9).as("m"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      centroids = centroids.zipWithIndex.map { case (prev, j) =>
+        if (means.contains((j, 0))) prev.indices.map(d => means((j, d))).toArray
+        else prev // empty cluster keeps its previous centroid
+      }
+    }
+    df.withColumn("cluster", assignment(col(vecCol), centroids))
+  }
+}

@@ -1,0 +1,114 @@
+package graft.operators
+
+import java.math.{BigDecimal => JBD, RoundingMode}
+
+import graft.SparkSpec
+
+class KMeansSpec extends SparkSpec {
+
+  /** Exact single-threaded reference of the operator's decimal-grid math:
+    * same md5 seeding, same scale-12 grid distances (exact BigDecimal),
+    * same round-9 double means — so the distributed result must match it
+    * bit-for-bit, not approximately.
+    */
+  private def referenceAssign(
+      rawData: Seq[(Long, Array[Double])], k: Int, iters: Int): Map[Long, Int] = {
+    // the DataFrame side stores float32 embeddings — mirror that rounding
+    val data = rawData.map { case (id, v) =>
+      (id, v.map(x => x.toFloat.toDouble))
+    }
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def grid(d: Double): JBD = JBD.valueOf(d).setScale(12, RoundingMode.HALF_UP)
+    def dist(v: Array[Double], c: Array[Double]): JBD =
+      v.indices.map { i =>
+        val diff = grid(v(i)).subtract(grid(c(i)))
+        diff.multiply(diff)
+      }.foldLeft(JBD.ZERO)(_.add(_))
+    def assign(cents: Array[Array[Double]], v: Array[Double]): Int =
+      cents.zipWithIndex.map { case (c, j) => (dist(v, c), j) }
+        .min(Ordering.Tuple2(Ordering.ordered[JBD], Ordering.Int))._2
+
+    var cents = data.map { case (id, v) => (md5hex(id.toString), id, v) }
+      .sorted(Ordering.by[(String, Long, Array[Double]), (String, Long)](t => (t._1, t._2)))
+      .take(k).map(_._3).toArray
+    for (_ <- 0 until iters) {
+      val byCluster = data.groupBy { case (_, v) => assign(cents, v) }
+      cents = cents.zipWithIndex.map { case (prev, j) =>
+        byCluster.get(j) match {
+          case None => prev
+          case Some(members) =>
+            prev.indices.map { d =>
+              val sum = members.map { case (_, v) => grid(v(d)) }
+                .foldLeft(JBD.ZERO)(_.add(_))
+              val mean = sum.doubleValue() / members.size.toDouble
+              JBD.valueOf(mean).setScale(9, RoundingMode.HALF_UP).doubleValue()
+            }.toArray
+        }
+      }
+    }
+    data.map { case (id, v) => id -> assign(cents, v) }.toMap
+  }
+
+  private def blobs(): Seq[(Long, Array[Double])] = {
+    val centers = Seq(
+      Array(1.0, 0.0, 0.0, 0.0),
+      Array(0.0, 1.0, 0.0, 0.0),
+      Array(0.0, 0.0, 1.0, 0.0))
+    (0L until 30L).map { i =>
+      val c = centers((i % 3).toInt)
+      (i, c.zipWithIndex.map { case (x, d) => x + (i * 7 + d) % 13 * 0.003 })
+    }
+  }
+
+  private def toDf(data: Seq[(Long, Array[Double])]) = {
+    val session = spark
+    import session.implicits._
+    data.map { case (id, v) => (id, v.map(_.toFloat)) }
+      .toDF("vec_id", "embedding")
+  }
+
+  test("fitAssign matches the exact BigDecimal reference bit-for-bit " +
+      "across iteration counts (incl. iters=0 seed assignment)") {
+    val data = blobs()
+    for (iters <- Seq(0, 1, 3)) {
+      val got = KMeans.fitAssign(toDf(data), "vec_id", "embedding", k = 3, iters)
+        .select("vec_id", "cluster").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got == referenceAssign(data, k = 3, iters = iters),
+        s"diverged from exact reference at iters=$iters")
+    }
+  }
+
+  test("well-separated blobs cluster purely after one update, and the " +
+      "assignment is deterministic across runs") {
+    val data = blobs()
+    def run() = KMeans.fitAssign(toDf(data), "vec_id", "embedding", 3, 1)
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val a = run()
+    // purity: every member of a blob lands in the same cluster, and the 3
+    // blobs use 3 distinct clusters
+    val blobToCluster = data.groupBy(_._1 % 3)
+      .map { case (b, members) => b -> members.map(m => a(m._1)).distinct }
+    assert(blobToCluster.values.forall(_.size == 1), s"impure: $blobToCluster")
+    assert(blobToCluster.values.flatten.toSet.size == 3)
+    assert(run() == a)
+  }
+
+  test("k larger than distinct seeds available is rejected; empty " +
+      "clusters keep their previous centroid rather than crashing") {
+    val data = blobs().take(4)
+    intercept[IllegalArgumentException] {
+      KMeans.fitAssign(toDf(data), "vec_id", "embedding", k = 9, iters = 1)
+    }
+    // k=4 on 4 points: after the update at least one cluster can go
+    // empty (two seeds may share a blob); the run must still complete
+    // and assign every point
+    val got = KMeans.fitAssign(toDf(data), "vec_id", "embedding", 4, 2)
+      .select("vec_id", "cluster").collect()
+    assert(got.length == 4)
+    assert(got.map(_.getInt(1)).forall(c => c >= 0 && c < 4))
+  }
+}
