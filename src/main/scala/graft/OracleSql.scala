@@ -1234,5 +1234,72 @@ object OracleSql {
         |  WHERE rn = 1)
         |SELECT vec_id, CAST(cid AS BIGINT) AS cluster
         |FROM a2 ORDER BY vec_id""".stripMargin,
+
+    // q91's unrolled k-means over corpus ∪ clones, then the SemDeDup
+    // prune: kill every row with a smaller-id same-cluster neighbor at
+    // cosine >= 0.99 (the q61-proven cosine shape).
+    "q92_semantic_dedup" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings),
+        |e AS (
+        |  SELECT vec_id, i - 1 AS dim,
+        |    CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(14,12)) AS xg,
+        |    CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,12)) AS xs
+        |  FROM (SELECT vec_id, embedding,
+        |          unnest(range(1, len(embedding) + 1)) AS i FROM corpus)),
+        |seeds AS (
+        |  SELECT vec_id, rn - 1 AS cid FROM (
+        |    SELECT vec_id, row_number()
+        |      OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        |    FROM corpus)
+        |  WHERE rn <= 8),
+        |c0 AS (
+        |  SELECT s.cid, e.dim, e.xg AS cg FROM seeds s JOIN e USING (vec_id)),
+        |d1 AS (
+        |  SELECT e.vec_id, c.cid, SUM((e.xg - c.cg) * (e.xg - c.cg)) AS dist
+        |  FROM e JOIN c0 c ON e.dim = c.dim GROUP BY e.vec_id, c.cid),
+        |a1 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid, row_number()
+        |      OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d1)
+        |  WHERE rn = 1),
+        |m1 AS (
+        |  SELECT a1.cid, e.dim,
+        |    CAST(round(CAST(SUM(e.xs) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+        |      AS DECIMAL(14,12)) AS cg
+        |  FROM e JOIN a1 USING (vec_id) GROUP BY a1.cid, e.dim),
+        |c1 AS (
+        |  SELECT c0.cid, c0.dim, COALESCE(m1.cg, c0.cg) AS cg
+        |  FROM c0 LEFT JOIN m1 ON m1.cid = c0.cid AND m1.dim = c0.dim),
+        |d2 AS (
+        |  SELECT e.vec_id, c.cid, SUM((e.xg - c.cg) * (e.xg - c.cg)) AS dist
+        |  FROM e JOIN c1 c ON e.dim = c.dim GROUP BY e.vec_id, c.cid),
+        |a2 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid, row_number()
+        |      OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d2)
+        |  WHERE rn = 1),
+        |cand AS (
+        |  SELECT b.vec_id AS id_b, ca.embedding AS va, cb.embedding AS vb
+        |  FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |  JOIN corpus ca ON ca.vec_id = a.vec_id
+        |  JOIN corpus cb ON cb.vec_id = b.vec_id),
+        |scored AS (
+        |  SELECT id_b,
+        |    list_sum(list_transform(range(1, len(va) + 1),
+        |      i -> CAST(va[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE))) AS dot,
+        |    sqrt(list_sum(list_transform(range(1, len(va) + 1),
+        |      i -> CAST(va[i] AS DOUBLE) * CAST(va[i] AS DOUBLE)))) AS na,
+        |    sqrt(list_sum(list_transform(range(1, len(vb) + 1),
+        |      i -> CAST(vb[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE)))) AS nb
+        |  FROM cand),
+        |killed AS (
+        |  SELECT DISTINCT id_b FROM scored
+        |  WHERE CASE WHEN na > 0 AND nb > 0 THEN dot / (na * nb) ELSE 0.0 END
+        |    >= 0.99)
+        |SELECT a2.vec_id, CAST(a2.cid AS BIGINT) AS cluster
+        |FROM a2 LEFT JOIN killed ON a2.vec_id = killed.id_b
+        |WHERE killed.id_b IS NULL ORDER BY vec_id""".stripMargin,
   )
 }

@@ -1196,6 +1196,20 @@ object SparkEntry {
       .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
       .orderBy("vec_id")
 
+  /** SemDeDup over corpus ∪ exact clones: the k-means clusters bound the
+    * quadratic cosine join, the planted clones are the semantic dups the
+    * prune must kill (each clone shares its original's cluster, so the
+    * within-cluster pass always sees it).
+    */
+  private def q92(s: SparkSession, d: String): DataFrame = {
+    val base = emb(s, d).select("vec_id", "embedding")
+    val cloned = base.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    KMeans.semanticDedup(base.unionAll(cloned), "vec_id", "embedding",
+        k = 8, iters = 1, threshold = 0.99)
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+      .orderBy("vec_id")
+  }
+
   /** Unicode NFC normalization (corpus text-cleaning first pass, native
     * codegen expression [[graft.plans.NfcNormalize]]): a combining
     * sequence ("e" + U+0301) planted per doc folds to the composed "é",
@@ -1319,6 +1333,7 @@ object SparkEntry {
     "q89_image_resize" -> (q89(_, _)),
     "q90_bloom_dedup" -> (q90(_, _)),
     "q91_kmeans_assign" -> (q91(_, _)),
+    "q92_semantic_dedup" -> (q92(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

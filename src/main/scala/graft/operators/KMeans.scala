@@ -111,4 +111,32 @@ object KMeans {
     }
     df.withColumn("cluster", assignment(col(vecCol), centroids))
   }
+
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", 2023): cluster the
+    * embeddings, then prune near-identical vectors WITHIN each cluster —
+    * a row survives iff no smaller-id row in its cluster has cosine ≥
+    * `threshold` with it. The clusters are what make this tractable: the
+    * quadratic pair join runs per-cluster (one shuffle on the cluster
+    * key), never across the corpus; at 100 TB you pick k so clusters
+    * average ~1-10k members, bounding each cluster's pair count.
+    *
+    * Returns the surviving rows with their `cluster` column.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int, threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold < 1,
+      s"threshold=$threshold must be in (0,1)")
+    val assigned = fitAssign(df, idCol, vecCol, k, iters)
+    val a = assigned.select(col("cluster"), col(idCol).as("__id_a"),
+      Dedup.normalized(col(vecCol)).as("__va"))
+    val b = assigned.select(col("cluster"), col(idCol).as("__id_b"),
+      Dedup.normalized(col(vecCol)).as("__vb"))
+    val killed = a.join(b, Seq("cluster"))
+      .filter(col("__id_a") < col("__id_b"))
+      .filter(graft.plans.GraftFunctions.dotProduct(col("__va"), col("__vb"))
+        >= threshold)
+      .select(col("__id_b").as(idCol)).distinct()
+    assigned.join(killed, Seq(idCol), "left_anti")
+  }
 }

@@ -97,6 +97,34 @@ class KMeansSpec extends SparkSpec {
     assert(run() == a)
   }
 
+  test("semanticDedup kills planted clones but keeps mutually-orthogonal " +
+      "originals; on tight blobs it prunes each cluster to its min-id " +
+      "representative") {
+    val session = spark
+    import session.implicits._
+    import org.apache.spark.sql.functions.col
+    // orthogonal one-hot vectors: zero organic cosine, so exactly the
+    // clones die
+    val ortho = (0L until 12L).map { i =>
+      (i, Array.tabulate(12)(d => if (d == i) 1.0 else 0.0))
+    }
+    val base = toDf(ortho)
+    val cloned = base.select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
+    val out = KMeans.semanticDedup(base.unionAll(cloned), "vec_id", "embedding",
+        k = 3, iters = 1, threshold = 0.99)
+      .select("vec_id").as[Long].collect().toSet
+    assert(out == ortho.map(_._1).toSet,
+      s"expected exactly the originals to survive: $out")
+    // tight blobs: intra-blob cosines clear 0.99, blobs map 1:1 to
+    // clusters (purity test above), so SemDeDup keeps one representative
+    // (the min id — survival = no smaller-id near neighbor) per cluster
+    val pruned = KMeans.semanticDedup(toDf(blobs()), "vec_id", "embedding",
+        k = 3, iters = 1, threshold = 0.99)
+      .select("vec_id").as[Long].collect().toSet
+    assert(pruned == Set(0L, 1L, 2L),
+      s"expected one min-id representative per blob: $pruned")
+  }
+
   test("k larger than distinct seeds available is rejected; empty " +
       "clusters keep their previous centroid rather than crashing") {
     val data = blobs().take(4)
