@@ -69,6 +69,27 @@ object KMeans {
       struct(sqDist(vec, c).as("d"), lit(j).cast(IntegerType).as("j"))
     }: _*)).getField("j")
 
+  /** Production assignment tier: squared-L2 via the native codegen'd dot
+    * product — dist_j = v·v − 2·v·c_j + c_j·c_j, with the ‖c_j‖²
+    * constants folded on the driver. Double math: deterministic within
+    * Spark (fixed fold order) and ~an order of magnitude faster than the
+    * decimal grid (whole-stage codegen, no per-element BigDecimal), but
+    * not bit-auditable against a second engine — the exact tier exists
+    * for that. KMeansSpec proves the two tiers assign identically on
+    * real-shaped data (they can only diverge on sub-ulp distance ties).
+    */
+  private def fastAssignment(vec: Column, centroids: Array[Array[Double]]): Column = {
+    val v = vec.cast("array<double>")
+    val self = graft.plans.GraftFunctions.dotProduct(v, v)
+    array_min(array(centroids.zipWithIndex.map { case (c, j) =>
+      val c2 = c.map(x => x * x).sum
+      struct(
+        (self - lit(2.0) * graft.plans.GraftFunctions.dotProduct(v, lit(c))
+          + lit(c2)).as("d"),
+        lit(j).cast(IntegerType).as("j"))
+    }: _*)).getField("j")
+  }
+
   /** The k seed centroids: vectors of the k ids with the smallest
     * `md5(id)` hex, as raw doubles (floats widen exactly).
     */
@@ -86,14 +107,16 @@ object KMeans {
     * the number of centroid UPDATES (iters=0 assigns against the seeds).
     */
   def fitAssign(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      iters: Int): DataFrame = {
+      iters: Int, exact: Boolean = true): DataFrame = {
     require(k > 0, s"k=$k must be positive")
     require(iters >= 0, s"iters=$iters must be >= 0")
+    def assignCol(vec: Column, cents: Array[Array[Double]]): Column =
+      if (exact) assignment(vec, cents) else fastAssignment(vec, cents)
     var centroids = seeds(df, idCol, vecCol, k)
     require(centroids.length == k,
       s"need at least k=$k rows to seed, got ${centroids.length}")
     for (_ <- 0 until iters) {
-      val assigned = df.withColumn("__c", assignment(col(vecCol), centroids))
+      val assigned = df.withColumn("__c", assignCol(col(vecCol), centroids))
       // q65-shape decimal mean per (cluster, dim); only k*dims rounded
       // means come back to the driver
       val means = assigned
@@ -109,7 +132,7 @@ object KMeans {
         else prev // empty cluster keeps its previous centroid
       }
     }
-    df.withColumn("cluster", assignment(col(vecCol), centroids))
+    df.withColumn("cluster", assignCol(col(vecCol), centroids))
   }
 
   /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
@@ -124,10 +147,14 @@ object KMeans {
     * Returns the surviving rows with their `cluster` column.
     */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      iters: Int, threshold: Double): DataFrame = {
+      iters: Int, threshold: Double, exact: Boolean = true): DataFrame = {
     require(threshold > 0 && threshold < 1,
       s"threshold=$threshold must be in (0,1)")
-    val assigned = fitAssign(df, idCol, vecCol, k, iters)
+    // the final assignment feeds both pair-join sides AND the anti-join
+    // base; the per-row decimal distance expression is the expensive part
+    // (interpreted higher-order functions), so compute it once
+    val assigned = CacheRegistry.track(
+      fitAssign(df, idCol, vecCol, k, iters, exact).persist())
     val a = assigned.select(col("cluster"), col(idCol).as("__id_a"),
       Dedup.normalized(col(vecCol)).as("__va"))
     val b = assigned.select(col("cluster"), col(idCol).as("__id_b"),

@@ -97,6 +97,25 @@ class KMeansSpec extends SparkSpec {
     assert(run() == a)
   }
 
+  test("the fast (codegen dot-product) tier assigns identically to the " +
+      "exact decimal tier on blobs and on pseudo-random vectors") {
+    // deterministic LCG vectors shaped like the real embeddings table
+    var s = 0x2545f4914f6cdd1dL
+    def next(): Double = {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      (s >>> 20).toDouble / (1L << 44).toDouble - 0.5
+    }
+    val rand = (0L until 200L).map(i => (i, Array.fill(16)(next())))
+    for ((data, k) <- Seq((blobs(), 3), (rand, 8)); iters <- Seq(0, 2)) {
+      def run(exact: Boolean) =
+        KMeans.fitAssign(toDf(data), "vec_id", "embedding", k, iters, exact)
+          .select("vec_id", "cluster").collect()
+          .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(run(exact = true) == run(exact = false),
+        s"tiers diverged at k=$k iters=$iters")
+    }
+  }
+
   test("semanticDedup kills planted clones but keeps mutually-orthogonal " +
       "originals; on tight blobs it prunes each cluster to its min-id " +
       "representative") {
