@@ -1301,5 +1301,13 @@ object OracleSql {
         |SELECT a2.vec_id, CAST(a2.cid AS BIGINT) AS cluster
         |FROM a2 LEFT JOIN killed ON a2.vec_id = killed.id_b
         |WHERE killed.id_b IS NULL ORDER BY vec_id""".stripMargin,
+
+    "q93_source_quota" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1210,6 +1210,15 @@ object SparkEntry {
       .orderBy("vec_id")
   }
 
+  /** Per-source quota capping (domain balancing): at most 10 docs per
+    * source, chosen by content-hash rank so the selection is a
+    * deterministic "random" sample, not an id-order bias.
+    */
+  private def q93(s: SparkSession, d: String): DataFrame =
+    Sampling.groupQuota(docs(s, d).select("doc_id", "source"),
+        "doc_id", "source", quota = 10)
+      .orderBy("doc_id")
+
   /** Unicode NFC normalization (corpus text-cleaning first pass, native
     * codegen expression [[graft.plans.NfcNormalize]]): a combining
     * sequence ("e" + U+0301) planted per doc folds to the composed "é",
@@ -1334,6 +1343,7 @@ object SparkEntry {
     "q90_bloom_dedup" -> (q90(_, _)),
     "q91_kmeans_assign" -> (q91(_, _)),
     "q92_semantic_dedup" -> (q92(_, _)),
+    "q93_source_quota" -> (q93(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -50,10 +50,17 @@ object Browse {
     * divergence, SURVEY §7.4).
     */
   def keepFirst(df: DataFrame, partitionCols: Seq[String], order: Column*): DataFrame =
+    keepRanked(df, partitionCols, 1, order: _*)
+
+  /** Keep the first `n` rows per key under the given total order (the
+    * general form of [[keepFirst]]; also the per-group quota primitive).
+    */
+  def keepRanked(df: DataFrame, partitionCols: Seq[String], n: Int,
+      order: Column*): DataFrame =
     df.withColumn(
         "__rn",
         row_number().over(
           Window.partitionBy(partitionCols.map(col): _*).orderBy(order: _*)))
-      .filter(col("__rn") === 1)
+      .filter(col("__rn") <= n)
       .drop("__rn")
 }

@@ -98,4 +98,20 @@ object Sampling {
     }
     df.filter(stableBucket(col(keyCol)) < rate)
   }
+
+  /** Per-group quota capping — the domain-balancing step of a web-corpus
+    * pipeline (CommonCrawl-style: no domain may contribute more than
+    * `quota` documents). Within each `groupCol`, rows are ranked by a
+    * content hash of their key (deterministic "random" order — NOT
+    * insertion or id order, which would bias toward old documents) and
+    * only the first `quota` survive. One shuffle on the group key; the
+    * rank window never materializes more than a group's rows per task,
+    * and skewed mega-domains are exactly the rows the quota discards.
+    */
+  def groupQuota(
+      df: DataFrame, keyCol: String, groupCol: String, quota: Int): DataFrame = {
+    require(quota > 0, s"quota=$quota must be positive")
+    graft.operators.Browse.keepRanked(df, Seq(groupCol),
+      quota, md5(col(keyCol).cast("string")).asc, col(keyCol).asc)
+  }
 }

@@ -39,6 +39,26 @@ class SamplingSpec extends SparkSpec {
     assert(ids1 == ids2)
   }
 
+  test("groupQuota caps every group at the quota, keeps small groups " +
+      "whole, and selects by hash rank (not id order), " +
+      "partitioning-independently") {
+    val session = spark
+    import session.implicits._
+    val df = ((1L to 100L).map(i => (i, "big")) ++
+      (101L to 105L).map(i => (i, "small"))).toDF("id", "grp")
+    val kept = Sampling.groupQuota(df, "id", "grp", quota = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byGrp = kept.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byGrp("big").size == 10)
+    assert(byGrp("small") == (101L to 105L).toSet) // under quota: all kept
+    // hash order, not id order
+    assert(byGrp("big") != (1L to 10L).toSet)
+    // deterministic across partitionings
+    val again = Sampling.groupQuota(df.repartition(7), "id", "grp", 10)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(again == kept.toSet)
+  }
+
   test("trainTestSplit partitions every row exactly once") {
     val session = spark
     import session.implicits._
