@@ -1309,5 +1309,33 @@ object OracleSql {
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
+
+    // add-α bigram LM; per-bigram ln cast to DECIMAL(18,12) before the
+    // per-doc sum (order-free), one double division, round 6.
+    "q94_bigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), w -> w <> '') AS ts
+        |  FROM documents),
+        |big AS (
+        |  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
+        |        FROM toks WHERE len(ts) >= 2)),
+        |cu AS (SELECT w1, count(*) AS cu FROM big GROUP BY w1),
+        |cb AS (SELECT w1, w2, count(*) AS cb FROM big GROUP BY w1, w2),
+        |v AS (SELECT count(DISTINCT w) AS v
+        |      FROM (SELECT unnest(ts) AS w FROM toks)),
+        |scored AS (
+        |  SELECT b.doc_id,
+        |    CAST(ln((cb.cb + CAST(0.4 AS DOUBLE))
+        |      / (cu.cu + CAST(0.4 AS DOUBLE) * v.v)) AS DECIMAL(18,12)) AS lp
+        |  FROM big b
+        |  JOIN cb ON b.w1 = cb.w1 AND b.w2 = cb.w2
+        |  JOIN cu ON b.w1 = cu.w1
+        |  CROSS JOIN v)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(CAST(SUM(lp) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |    AS avg_logprob
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1219,6 +1219,14 @@ object SparkEntry {
         "doc_id", "source", quota = 10)
       .orderBy("doc_id")
 
+  /** Bigram-LM quality scoring (the perplexity-filter verb): each doc's
+    * mean smoothed bigram log-prob under the corpus's own statistics.
+    */
+  private def q94(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.bigramLogProb(docs(s, d).select("doc_id", "text"),
+        "doc_id", "text", alpha = 0.4)
+      .orderBy("doc_id")
+
   /** Unicode NFC normalization (corpus text-cleaning first pass, native
     * codegen expression [[graft.plans.NfcNormalize]]): a combining
     * sequence ("e" + U+0301) planted per doc folds to the composed "é",
@@ -1344,6 +1352,7 @@ object SparkEntry {
     "q91_kmeans_assign" -> (q91(_, _)),
     "q92_semantic_dedup" -> (q92(_, _)),
     "q93_source_quota" -> (q93(_, _)),
+    "q94_bigram_logprob" -> (q94(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -276,4 +276,53 @@ object TextAnalysis {
       .filter(col("rk") <= topK)
       .select(col(groupCol), col("sh").as("ngram"), col("cnt"), col("rk"))
   }
+
+  // ---------------------------------------------- bigram LM scoring
+
+  /** Corpus-trained bigram language-model score per document — the
+    * KenLM/CCNet-style perplexity filter of a training-data pipeline:
+    * documents whose token bigrams are improbable under the corpus's own
+    * bigram statistics (gibberish, boilerplate soup, wrong-language
+    * text) score low and can be thresholded out.
+    *
+    * Model: additive (add-α) smoothing,
+    * `lp(w1,w2) = ln((c(w1,w2) + α) / (c(w1·) + α·V))`, averaged over a
+    * document's bigrams; docs with fewer than 2 tokens are dropped.
+    * Per-bigram log-probs are cast to DECIMAL(18,12) before the per-doc
+    * sum (the repo's cross-engine float rule), so the mean is
+    * summation-order-free and reproducible.
+    *
+    * Scale shape: two shuffles — the count-train groupBys reuse the same
+    * bigram relation partitioning, the score join keys on (w1,w2) where
+    * partial aggregation has already collapsed duplicates, and the vocab
+    * size V rides along as a broadcast 1-row relation (never a driver
+    * collect).
+    */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String,
+      alpha: Double = 0.4): DataFrame = {
+    require(alpha > 0, s"alpha=$alpha must be positive")
+    val ts = tokens(col(textCol))
+    val bigrams = df.select(col(idCol), ts.as("__ts"))
+      .filter(size(col("__ts")) >= 2)
+      .select(col(idCol), explode(transform(
+        sequence(lit(0), size(col("__ts")) - 2),
+        i => struct(
+          element_at(col("__ts"), i + 1).as("w1"),
+          element_at(col("__ts"), i + 2).as("w2")))).as("__bg"))
+      .select(col(idCol), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+    val cu = bigrams.groupBy("w1").agg(count(lit(1)).as("__cu"))
+    val cb = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("__cb"))
+    val vocab = df.select(explode(ts).as("__w"))
+      .agg(count_distinct(col("__w")).as("__v"))
+    val lp = log((col("__cb") + lit(alpha)) /
+      (col("__cu") + lit(alpha) * col("__v")))
+    bigrams
+      .join(cb, Seq("w1", "w2"))
+      .join(cu, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(lp.cast(org.apache.spark.sql.types.DecimalType(18, 12)))
+          .cast("double") / count(lit(1)).cast("double"), 6).as("avg_logprob"))
+  }
 }
