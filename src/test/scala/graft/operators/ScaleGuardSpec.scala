@@ -102,6 +102,58 @@ class ScaleGuardSpec extends SparkSpec {
     assert(longform == pivot)
   }
 
+  test("k-means assignment is a pure per-row projection: no join, no " +
+      "exchange (centroids ride as broadcast literals)") {
+    import spark.implicits._
+    val df = (0L until 20L).map(i =>
+      (i, Array.tabulate(4)(d => (i * 3 + d).toFloat / 10f))).toDF("vec_id", "embedding")
+    for (exact <- Seq(true, false)) {
+      val plan = KMeans.fitAssign(df, "vec_id", "embedding", 3, 0, exact)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Join"), s"exact=$exact: $plan")
+      assert(!plan.contains("Exchange"), s"exact=$exact: $plan")
+    }
+  }
+
+  test("semanticDedup's pair join keys on the cluster (no cartesian, no " +
+      "nested loop); bloom dedup and groupQuota plans are join-shaped " +
+      "and windowed as designed") {
+    import spark.implicits._
+    val df = (0L until 30L).map(i =>
+      (i, Array.tabulate(4)(d => (i % 5 + d).toFloat))).toDF("vec_id", "embedding")
+    val sdPlan = KMeans.semanticDedup(df, "vec_id", "embedding", 3, 1, 0.99)
+      .queryExecution.executedPlan.toString
+    assert(!sdPlan.contains("CartesianProduct"), sdPlan.take(2000))
+    assert(!sdPlan.contains("BroadcastNestedLoopJoin"), sdPlan.take(2000))
+    CacheRegistry.drain()
+
+    val docs = (1L to 40L).map(i => (i, s"text ${i % 9}")).toDF("doc_id", "text")
+    val bloomPlan = Dedup.bloomIncrementalDedup(
+        docs.filter(col("doc_id") % 2 === 1), docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!bloomPlan.contains("CartesianProduct"), bloomPlan.take(2000))
+    assert(!bloomPlan.contains("BroadcastNestedLoopJoin"), bloomPlan.take(2000))
+
+    // quota: one window over the group key, no join anywhere
+    val quotaPlan = Sampling.groupQuota(docs, "doc_id", "text", 5)
+      .queryExecution.executedPlan.toString
+    assert(quotaPlan.contains("Window") && !quotaPlan.contains("Join"), quotaPlan)
+  }
+
+  test("bigramLogProb: the vocab scalar joins as a 1-row broadcast, " +
+      "never a cartesian shuffle") {
+    import spark.implicits._
+    val docs = (1L to 30L).map(i => (i, s"a b c d${i % 4} e")).toDF("doc_id", "text")
+    val plan = TextAnalysis.bigramLogProb(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    // the 1-row vocab relation is allowed to appear as a broadcast
+    // nested-loop cross join — that IS the broadcast scalar pattern —
+    // but it must be Broadcast, not a shuffled cartesian
+    CacheRegistry.drain()
+  }
+
   test("computePcaCoords past itemLimit matches the pivot path " +
       "sign-invariantly on the reference fixture") {
     import graft.psp.{Fixtures, Similarity}
