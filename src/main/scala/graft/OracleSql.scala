@@ -1337,5 +1337,18 @@ object OracleSql {
         |  round(CAST(SUM(lp) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
         |    AS avg_logprob
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // decoded-content identity of the synthetic solid PNGs is the
+    // (w,h,r,g,b) tuple — fully determined by doc_id's residues.
+    "q95_image_dedup" ->
+      """WITH img AS (
+        |  SELECT doc_id,
+        |    8 + doc_id % 8 AS w, 8 + (doc_id * 3) % 8 AS h,
+        |    (doc_id * 37) % 256 AS r, (doc_id * 59) % 256 AS g,
+        |    (doc_id * 83) % 256 AS b
+        |  FROM documents)
+        |SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies,
+        |  w AS width, h AS height
+        |FROM img GROUP BY w, h, r, g, b ORDER BY keep_id""".stripMargin,
   )
 }

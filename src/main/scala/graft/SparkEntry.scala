@@ -1227,6 +1227,25 @@ object SparkEntry {
         "doc_id", "text", alpha = 0.4)
       .orderBy("doc_id")
 
+  /** Image dedup by decoded content: synthetic solid-color PNGs repeat
+    * their (w, h, r, g, b) identity every 256 ids, so the decoded-pixel
+    * fingerprint must collapse exactly those groups — the oracle knows
+    * the closed form.
+    */
+  private def q95(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val assets = docs(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val png = Multimodal.syntheticPng(id)
+        Multimodal.Asset(id, png, "image/png", png.length.toLong)
+      })
+    Multimodal.imageDedup(Multimodal.decodeImages(assets))
+      .select(col("keep_id"), col("n_copies"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"))
+      .orderBy("keep_id")
+  }
+
   /** Unicode NFC normalization (corpus text-cleaning first pass, native
     * codegen expression [[graft.plans.NfcNormalize]]): a combining
     * sequence ("e" + U+0301) planted per doc folds to the composed "é",
@@ -1353,6 +1372,7 @@ object SparkEntry {
     "q92_semantic_dedup" -> (q92(_, _)),
     "q93_source_quota" -> (q93(_, _)),
     "q94_bigram_logprob" -> (q94(_, _)),
+    "q95_image_dedup" -> (q95(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

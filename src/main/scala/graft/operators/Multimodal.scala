@@ -243,6 +243,29 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Exact image dedup by DECODED content — the reason multimodal
+    * pipelines decode before hashing: the same pixels under different
+    * encodings (PNG vs BMP, different compressors, re-saves) are one
+    * image, which a payload-byte hash can never see. The fingerprint
+    * covers dimensions, channel means, and the grayscale thumbnail from
+    * [[decodeImages]] (a canonical content sketch, bounded per image);
+    * groups collapse to the smallest asset id. One shuffle on the
+    * fingerprint — identical shape to text exact-dedup, after the
+    * scan-speed decode.
+    */
+  def imageDedup(features: Dataset[ImageFeatures]): DataFrame = {
+    val f = features.toDF()
+    val fp = md5(concat_ws("|",
+      col("width"), col("height"),
+      col("mean_r"), col("mean_g"), col("mean_b"),
+      array_join(transform(col("thumb"), x => x.cast("string")), ",")))
+    f.withColumn("__fp", fp)
+      .groupBy("__fp")
+      .agg(min(col("asset_id")).as("keep_id"), count(lit(1)).as("n_copies"),
+        min(col("width")).as("width"), min(col("height")).as("height"))
+      .drop("__fp")
+  }
+
   /** One sampled video frame: typed metadata + the frame payload. */
   case class FrameSample(asset_id: Long, frame_idx: Int, ts_ms: Double,
       frame: Array[Byte])

@@ -115,6 +115,34 @@ class MultimodalSpec extends SparkSpec {
       f.mean_b == 0x99.toDouble)
   }
 
+  test("imageDedup collapses the same pixels under DIFFERENT encodings " +
+      "(PNG vs BMP) to one keeper — the decode-before-hash property a " +
+      "payload hash cannot have") {
+    val session = spark
+    import session.implicits._
+    def encode(rgb: Int, w: Int, h: Int, format: String): Array[Byte] = {
+      javax.imageio.ImageIO.setUseCache(false)
+      val im = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) im.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, format, bos)
+      bos.toByteArray
+    }
+    val png = encode(0x336699, 6, 4, "png")
+    val bmp = encode(0x336699, 6, 4, "bmp")
+    val other = encode(0x112233, 6, 4, "png")
+    assert(!png.sameElements(bmp)) // payload bytes differ...
+    val assets = Seq(
+      Multimodal.Asset(1L, png, "image/png", png.length.toLong),
+      Multimodal.Asset(2L, bmp, "image/bmp", bmp.length.toLong),
+      Multimodal.Asset(3L, other, "image/png", other.length.toLong)).toDS()
+    val out = Multimodal.imageDedup(Multimodal.decodeImages(assets))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ...but the decoded content is identical: 1 and 2 collapse, 3 stays
+    assert(out == Set((1L, 2L), (3L, 1L)), s"got $out")
+  }
+
   test("sampleFrames explodes every Nth frame with index + timestamp " +
       "(plumbing real; decode is the labeled no-codec stub)") {
     val session = spark
