@@ -1350,5 +1350,14 @@ object OracleSql {
         |SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies,
         |  w AS width, h AS height
         |FROM img GROUP BY w, h, r, g, b ORDER BY keep_id""".stripMargin,
+
+    // decoded-signal identity of the synthetic WAVs = (frames, amp).
+    "q96_audio_dedup" ->
+      """WITH au AS (
+        |  SELECT doc_id, 800 + doc_id % 100 AS f, 1000 + doc_id % 2000 AS a
+        |  FROM documents)
+        |SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies,
+        |  CAST(f AS BIGINT) AS n_frames
+        |FROM au GROUP BY f, a ORDER BY keep_id""".stripMargin,
   )
 }

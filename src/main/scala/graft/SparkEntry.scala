@@ -1246,6 +1246,22 @@ object SparkEntry {
       .orderBy("keep_id")
   }
 
+  /** Audio dedup by decoded signal: synthetic WAV identity (frames, amp)
+    * repeats every 2000 ids — singletons at sf0.01, real dup groups at
+    * sf0.1, both closed-form for the oracle.
+    */
+  private def q96(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val assets = docs(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val wav = Multimodal.syntheticWav(id)
+        Multimodal.Asset(id, wav, "audio/wav", wav.length.toLong)
+      })
+    Multimodal.audioDedup(Multimodal.decodeWavs(assets))
+      .select(col("keep_id"), col("n_copies"), col("n_frames"))
+      .orderBy("keep_id")
+  }
+
   /** Unicode NFC normalization (corpus text-cleaning first pass, native
     * codegen expression [[graft.plans.NfcNormalize]]): a combining
     * sequence ("e" + U+0301) planted per doc folds to the composed "é",
@@ -1373,6 +1389,7 @@ object SparkEntry {
     "q93_source_quota" -> (q93(_, _)),
     "q94_bigram_logprob" -> (q94(_, _)),
     "q95_image_dedup" -> (q95(_, _)),
+    "q96_audio_dedup" -> (q96(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -266,6 +266,22 @@ object Multimodal {
       .drop("__fp")
   }
 
+  /** Audio twin of [[imageDedup]]: exact dedup by decoded signal
+    * characteristics (rate, channels, frame count, RMS) instead of
+    * payload bytes — re-containered or re-headered audio with the same
+    * PCM content is one recording. Same one-shuffle fingerprint shape.
+    */
+  def audioDedup(features: Dataset[AudioFeatures]): DataFrame = {
+    val f = features.toDF()
+    val fp = md5(concat_ws("|", col("sample_rate"), col("channels"),
+      col("n_frames"), col("rms")))
+    f.withColumn("__fp", fp)
+      .groupBy("__fp")
+      .agg(min(col("asset_id")).as("keep_id"), count(lit(1)).as("n_copies"),
+        min(col("n_frames")).as("n_frames"))
+      .drop("__fp")
+  }
+
   /** One sampled video frame: typed metadata + the frame payload. */
   case class FrameSample(asset_id: Long, frame_idx: Int, ts_ms: Double,
       frame: Array[Byte])

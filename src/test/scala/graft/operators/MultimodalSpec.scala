@@ -143,6 +143,21 @@ class MultimodalSpec extends SparkSpec {
     assert(out == Set((1L, 2L), (3L, 1L)), s"got $out")
   }
 
+  test("audioDedup collapses identical decoded signals across distinct " +
+      "asset ids and keeps distinct signals apart") {
+    val session = spark
+    import session.implicits._
+    def asset(id: Long, srcId: Long) = {
+      val wav = Multimodal.syntheticWav(srcId)
+      Multimodal.Asset(id, wav, "audio/wav", wav.length.toLong)
+    }
+    // ids 1 and 2 carry the same signal (srcId 7); id 3 differs
+    val assets = Seq(asset(1L, 7L), asset(2L, 7L), asset(3L, 8L)).toDS()
+    val out = Multimodal.audioDedup(Multimodal.decodeWavs(assets))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 2L), (3L, 1L)), s"got $out")
+  }
+
   test("sampleFrames explodes every Nth frame with index + timestamp " +
       "(plumbing real; decode is the labeled no-codec stub)") {
     val session = spark
