@@ -48,25 +48,32 @@ object KMeans {
     */
   private val Acc = DecimalType(30, 24)
 
-  /** Squared L2 distance between `vec` and a centroid literal on the
-    * scale-12 decimal grid (exact, order-free).
+  /** The vector pre-cast onto the decimal grid, computed ONCE per row —
+    * the k per-cluster distance lambdas then do pure decimal arithmetic
+    * instead of re-casting every element k times.
     */
-  private def sqDist(vec: Column, centroid: Array[Double]): Column =
+  private def gridCol(vec: Column): Column =
+    transform(vec, x => x.cast(DoubleType).cast(Grid))
+
+  /** Squared L2 distance between a pre-cast grid vector and a centroid
+    * literal (exact, order-free; the literal's cast folds at plan time).
+    */
+  private def sqDist(vecGrid: Column, centroid: Array[Double]): Column =
     aggregate(
-      zip_with(vec, lit(centroid), (x, c) => {
-        val xd = x.cast(DoubleType).cast(Grid)
+      zip_with(vecGrid, lit(centroid), (xd, c) => {
         val cd = c.cast(Grid)
         (xd - cd) * (xd - cd)
       }),
       lit(java.math.BigDecimal.ZERO).cast(Acc),
       (acc, v) => (acc + v).cast(Acc))
 
-  /** Cluster assignment column: argmin over the k centroid distances,
-    * ties to the smaller cluster id (array_min on (dist, cid) structs).
+  /** Cluster assignment column over a pre-cast grid vector: argmin over
+    * the k centroid distances, ties to the smaller cluster id (array_min
+    * on (dist, cid) structs).
     */
-  private def assignment(vec: Column, centroids: Array[Array[Double]]): Column =
+  private def assignment(vecGrid: Column, centroids: Array[Array[Double]]): Column =
     array_min(array(centroids.zipWithIndex.map { case (c, j) =>
-      struct(sqDist(vec, c).as("d"), lit(j).cast(IntegerType).as("j"))
+      struct(sqDist(vecGrid, c).as("d"), lit(j).cast(IntegerType).as("j"))
     }: _*)).getField("j")
 
   /** Production assignment tier: squared-L2 via the native codegen'd dot
@@ -110,13 +117,18 @@ object KMeans {
       iters: Int, exact: Boolean = true): DataFrame = {
     require(k > 0, s"k=$k must be positive")
     require(iters >= 0, s"iters=$iters must be >= 0")
-    def assignCol(vec: Column, cents: Array[Array[Double]]): Column =
-      if (exact) assignment(vec, cents) else fastAssignment(vec, cents)
+    def withAssign(base: DataFrame, outCol: String,
+        cents: Array[Array[Double]]): DataFrame =
+      if (exact)
+        base.withColumn("__xg", gridCol(col(vecCol)))
+          .withColumn(outCol, assignment(col("__xg"), cents))
+          .drop("__xg")
+      else base.withColumn(outCol, fastAssignment(col(vecCol), cents))
     var centroids = seeds(df, idCol, vecCol, k)
     require(centroids.length == k,
       s"need at least k=$k rows to seed, got ${centroids.length}")
     for (_ <- 0 until iters) {
-      val assigned = df.withColumn("__c", assignCol(col(vecCol), centroids))
+      val assigned = withAssign(df, "__c", centroids)
       // q65-shape decimal mean per (cluster, dim); only k*dims rounded
       // means come back to the driver
       val means = assigned
@@ -132,7 +144,7 @@ object KMeans {
         else prev // empty cluster keeps its previous centroid
       }
     }
-    df.withColumn("cluster", assignCol(col(vecCol), centroids))
+    withAssign(df, "cluster", centroids)
   }
 
   /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
