@@ -250,6 +250,27 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("bloom dedup == plain anti-join on seeded RANDOM corpora " +
+      "(random dup rates, random batch/corpus splits)") {
+    import spark.implicits._
+    for (seed <- Seq(11, 83)) {
+      val rnd = new scala.util.Random(seed)
+      // texts drawn from a small pool so duplication is heavy and random
+      val pool = (0 until 25).map(i => s"pooled document body number $i")
+      val rows = (0 until 120).map(i => (i.toLong, pool(rnd.nextInt(pool.size))))
+      val (c, b) = rows.partition(_ => rnd.nextBoolean())
+      val corp = c.toDF("doc_id", "text")
+      val batch = b.toDF("doc_id", "text")
+      def key(df: org.apache.spark.sql.DataFrame) =
+        df.select("doc_id", "fp").collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSet
+      val plain = key(Dedup.incrementalDedup(batch, corp, "doc_id", "text"))
+      val bloom =
+        key(Dedup.bloomIncrementalDedup(batch, corp, "doc_id", "text", 0.3))
+      assert(bloom == plain, s"seed $seed")
+    }
+  }
+
   test("md5Hash60 matches the DuckDB hex-cast value (cross-engine parity)") {
     import spark.implicits._
     // DuckDB: SELECT CAST(('0x' || substr(md5('hello'),1,15)) AS BIGINT)
