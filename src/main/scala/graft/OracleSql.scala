@@ -1359,5 +1359,39 @@ object OracleSql {
         |SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies,
         |  CAST(f AS BIGINT) AS n_frames
         |FROM au GROUP BY f, a ORDER BY keep_id""".stripMargin,
+
+    // inverted-index containment join over corpus ∪ 8-token prefixes;
+    // the single int/int division makes the score float-risk-free.
+    "q97_containment_pairs" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    array_to_string(list_slice(
+        |      list_filter(string_split(text, ' '), w -> w <> ''), 1, 8), ' ')
+        |  FROM documents
+        |  WHERE len(list_filter(string_split(text, ' '), w -> w <> '')) >= 12),
+        |toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), w -> w <> '') AS ts
+        |  FROM corpus),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ts) >= 3
+        |      THEN list_distinct(list_transform(range(1, len(ts) - 1),
+        |             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))
+        |      ELSE [array_to_string(ts, ' ')] END AS shingles
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+        |inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT id_a, id_b, CAST(i AS DOUBLE) / CAST(sa.sz AS DOUBLE) AS c
+        |  FROM inter JOIN sizes sa ON sa.doc_id = inter.id_a)
+        |SELECT id_a, id_b, round(c, 6) AS containment
+        |FROM scored WHERE c >= 0.8 ORDER BY id_a, id_b""".stripMargin,
   )
 }

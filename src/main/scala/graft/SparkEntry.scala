@@ -1262,6 +1262,21 @@ object SparkEntry {
       .orderBy("keep_id")
   }
 
+  /** Containment join over corpus ∪ planted 8-token prefixes: every
+    * prefix doc is fully contained in its original (containment 1.0),
+    * which symmetric Jaccard would score far below threshold.
+    */
+  private def q97(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select("doc_id", "text")
+    val toks = TextAnalysis.tokens(col("text"))
+    val derived = base.filter(size(toks) >= 12)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        array_join(slice(toks, 1, 8), " ").as("text"))
+    Dedup.containmentPairs(base.unionAll(derived), "doc_id", "text",
+        n = 3, threshold = 0.8)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Unicode NFC normalization (corpus text-cleaning first pass, native
     * codegen expression [[graft.plans.NfcNormalize]]): a combining
     * sequence ("e" + U+0301) planted per doc folds to the composed "é",
@@ -1390,6 +1405,7 @@ object SparkEntry {
     "q94_bigram_logprob" -> (q94(_, _)),
     "q95_image_dedup" -> (q95(_, _)),
     "q96_audio_dedup" -> (q96(_, _)),
+    "q97_containment_pairs" -> (q97(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -153,6 +153,51 @@ object Dedup {
     } finally cfp.unpersist(blocking = false)
   }
 
+  /** EXACT containment join — asymmetric overlap `|A∩B| / |A| ≥ t` over
+    * distinct word n-shingle sets: detects when one document is (mostly)
+    * CONTAINED in another — quotes, excerpts, page-of-a-book, prefix
+    * crawls — which symmetric Jaccard misses whenever the container is
+    * much larger than the contained. Emits both directions (a⊂b and b⊂a
+    * score differently by design).
+    *
+    * Shape: classic inverted-index join — one shuffle on the shingle,
+    * group-count per ordered pair = the intersection, one division
+    * against `|A|`. No pairwise scan: only pairs sharing ≥1 indexed
+    * shingle are ever materialized.
+    *
+    * `maxDf > 0` drops shingles appearing in more than `maxDf` docs from
+    * the INDEX (stop-shingles) — the standard skew lever at corpus
+    * scale, where a boilerplate shingle would otherwise create a
+    * quadratic bucket. With the cap the result is a documented
+    * under-count (intersections lose capped shingles; `|A|` stays the
+    * full set size), so recall at the threshold is approximate;
+    * `maxDf = 0` (default) is the exact tier the oracle audits.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, maxDf: Long = 0L): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold=$threshold must be in (0,1]")
+    val sets = df.select(col(idCol),
+      explode(array_distinct(wordShingles(col(textCol), n))).as("sh"))
+    val sizes = sets.groupBy(col(idCol)).agg(count(lit(1)).as("__sz"))
+    val index =
+      if (maxDf <= 0) sets
+      else sets.join(
+        sets.groupBy("sh").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxDf).select("sh"),
+        Seq("sh"))
+    val a = index.select(col(idCol).as("id_a"), col("sh"))
+    val b = index.select(col(idCol).as("id_b"), col("sh"))
+    a.join(b, Seq("sh")).filter(col("id_a") =!= col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("__i"))
+      .join(sizes.select(col(idCol).as("id_a"), col("__sz")), Seq("id_a"))
+      .withColumn("containment",
+        col("__i").cast("double") / col("__sz").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("containment"), 6).as("containment"))
+  }
+
   // ------------------------------------------------------------- shingles
 
   /** Word w-shingles as an array column: contiguous n-token windows joined

@@ -271,6 +271,35 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("containment join finds asymmetric subset pairs Jaccard misses, " +
+      "and the maxDf stop-shingle cap is a recall knob, never a " +
+      "false-positive source") {
+    import spark.implicits._
+    val big = (0 until 30).map(i => s"tok$i").mkString(" ")
+    val prefix = (0 until 8).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, big), (2L, prefix),
+      (3L, "entirely different content with no shared phrasing at all"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // 2's six shingles are all in 1 -> containment(2 in 1) = 1.0;
+    // the reverse direction is 6/28 and must NOT appear; nor doc 3
+    assert(pairs.toSeq == Seq((2L, 1L, 1.0)), pairs.toSeq.toString)
+    // symmetric jaccard on the same pair: 6/28 -- far under any
+    // near-dup threshold, which is exactly why this operator exists
+    val jac = Dedup.prefixJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .collect()
+    assert(jac.isEmpty)
+    // capping df at 1 removes the shared shingles from the index ->
+    // the pair disappears (recall-only effect)
+    val capped = Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.8,
+      maxDf = 1L).collect()
+    assert(capped.isEmpty)
+    CacheRegistry.drain()
+  }
+
   test("md5Hash60 matches the DuckDB hex-cast value (cross-engine parity)") {
     import spark.implicits._
     // DuckDB: SELECT CAST(('0x' || substr(md5('hello'),1,15)) AS BIGINT)
