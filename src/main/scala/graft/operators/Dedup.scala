@@ -177,8 +177,17 @@ object Dedup {
       n: Int, threshold: Double, maxDf: Long = 0L): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold=$threshold must be in (0,1]")
-    val sets = df.select(col(idCol),
-      explode(array_distinct(wordShingles(col(textCol), n))).as("sh"))
+    // join on the 64-bit shingle hash, not the string — q60's precedent:
+    // ~4x smaller shuffle keys; a cross-doc collision (≈2^-64 per pair,
+    // ~1e-7 across this corpus' distinct-shingle count) would overcount
+    // one intersection cell by 1
+    // shingling feeds three consumers (sizes + both join sides) — persist
+    // it once, same pattern as the MinHash set relation
+    val sets = CacheRegistry.track(
+      df.select(col(idCol),
+          explode(array_distinct(wordShingles(col(textCol), n))).as("__s"))
+        .select(col(idCol), xxhash64(col("__s")).as("sh"))
+        .persist())
     val sizes = sets.groupBy(col(idCol)).agg(count(lit(1)).as("__sz"))
     val index =
       if (maxDf <= 0) sets
