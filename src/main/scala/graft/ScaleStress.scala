@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 10× scale-stress harness for the training-data operators: replicates
+  * the sf tables in memory with shifted keys (the same protocol as the
+  * PERFORMANCE.md stress table) and times each operator warm, so the
+  * scaling exponent — not the constant — is what the numbers show.
+  * Usage: `runMain graft.ScaleStress [sfDir] [reps]`.
+  */
+object ScaleStress {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = if (args.length > 1) args(1).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.operators._
+
+    def replicate(df: DataFrame, idCol: String, r: Int): DataFrame =
+      (0 until r).map { i =>
+        df.withColumn(idCol, col(idCol) + lit(i.toLong * 100000000L))
+      }.reduce(_ unionAll _)
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text", "source").persist()
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").persist()
+    docs.count(); embs.count()
+    val docsN = replicate(docs, "doc_id", reps).persist()
+    val embsN = replicate(embs, "vec_id", reps).persist()
+    println(s"[stress] docs x$reps = ${docsN.count()}, embs x$reps = ${embsN.count()}")
+
+    def time(name: String)(f: => Long): Unit = {
+      f // warm pass: plans compile, caches load
+      val t0 = System.nanoTime()
+      val rows = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[stress] $name%-22s $sec%7.2f sec  ($rows rows)")
+      CacheRegistry.drain()
+    }
+
+    def bloom(d: DataFrame): Long = {
+      val corpus = d.filter(col("doc_id") % 3 === 0)
+      val batch = d.filter(col("doc_id") % 3 =!= 0)
+      Dedup.bloomIncrementalDedup(batch, corpus, "doc_id", "text", 0.05).count()
+    }
+    def quota(d: DataFrame): Long =
+      Sampling.groupQuota(d, "doc_id", "source", 10).count()
+    def lm(d: DataFrame): Long =
+      TextAnalysis.bigramLogProb(d, "doc_id", "text").count()
+    def containment(d: DataFrame): Long =
+      Dedup.containmentPairs(d, "doc_id", "text", 3, 0.8).count()
+    def kmeansFast(e: DataFrame): Long =
+      KMeans.fitAssign(e, "vec_id", "embedding", 8, 1, exact = false).count()
+    def semdedupFast(e: DataFrame): Long =
+      KMeans.semanticDedup(e, "vec_id", "embedding", 8, 1, 0.99,
+        exact = false).count()
+
+    println(s"[stress] --- base (1x, $sfDir) ---")
+    time("bloom_dedup")(bloom(docs))
+    time("group_quota")(quota(docs))
+    time("bigram_lm")(lm(docs))
+    time("containment")(containment(docs))
+    time("kmeans_fast")(kmeansFast(embs))
+    time("semdedup_fast")(semdedupFast(embs))
+    println(s"[stress] --- ${reps}x replicated ---")
+    time("bloom_dedup")(bloom(docsN))
+    time("group_quota")(quota(docsN))
+    time("bigram_lm")(lm(docsN))
+    time("containment")(containment(docsN))
+    time("kmeans_fast")(kmeansFast(embsN))
+    time("semdedup_fast")(semdedupFast(embsN))
+    spark.stop()
+  }
+}
