@@ -1393,5 +1393,36 @@ object OracleSql {
         |  FROM inter JOIN sizes sa ON sa.doc_id = inter.id_a)
         |SELECT id_a, id_b, round(c, 6) AS containment
         |FROM scored WHERE c >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+
+    // identical RE2-safe strip chain (DuckDB regexp_replace needs the
+    // explicit 'g' flag; Spark's is global by default).
+    "q98_html_to_text" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><style>p { color: red }</style></head><body>'
+        |    || '<!-- id --><h1>Doc &#39;' || CAST(doc_id AS VARCHAR)
+        |    || '&#39; &amp; friends</h1><p class="b">' || text
+        |    || '</p><script>var x = 1 < 2;</script></body></html>' AS html
+        |  FROM documents),
+        |stripped AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(replace(replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(
+        |              regexp_replace(html,
+        |                '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |              '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |            '(?s)<!--.*?-->', ' ', 'g'),
+        |          '<[^>]*>', ' ', 'g'),
+        |        '&nbsp;', ' '), '&quot;', '"'), '&#39;', ''''),
+        |        '&lt;', '<'), '&gt;', '>'), '&amp;', '&'),
+        |      '\s+', ' ', 'g')) AS clean
+        |  FROM h)
+        |SELECT doc_id, clean,
+        |  CAST(len(list_filter(string_split(clean, ' '), w -> w <> ''))
+        |    AS BIGINT) AS n_tokens
+        |FROM stripped ORDER BY doc_id""".stripMargin,
   )
 }

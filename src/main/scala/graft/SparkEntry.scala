@@ -1277,6 +1277,24 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
   }
 
+  /** HTML→text extraction over synthetically-wrapped docs: script/style/
+    * comment blocks and tags vanish, entities decode, whitespace
+    * collapses — the oracle replays the identical RE2-safe chain.
+    */
+  private def q98(s: SparkSession, d: String): DataFrame = {
+    val html = concat(
+      lit("<html><head><style>p { color: red }</style></head><body>"),
+      lit("<!-- id --><h1>Doc &#39;"), col("doc_id"),
+      lit("&#39; &amp; friends</h1><p class=\"b\">"), col("text"),
+      lit("</p><script>var x = 1 < 2;</script></body></html>"))
+    docs(s, d).select(col("doc_id"), html.as("html"))
+      .select(col("doc_id"),
+        TextAnalysis.htmlToText(col("html")).as("clean"))
+      .withColumn("n_tokens",
+        TextAnalysis.tokenCount(col("clean")).cast("long"))
+      .orderBy("doc_id")
+  }
+
   /** Unicode NFC normalization (corpus text-cleaning first pass, native
     * codegen expression [[graft.plans.NfcNormalize]]): a combining
     * sequence ("e" + U+0301) planted per doc folds to the composed "é",
@@ -1406,6 +1424,7 @@ object SparkEntry {
     "q95_image_dedup" -> (q95(_, _)),
     "q96_audio_dedup" -> (q96(_, _)),
     "q97_containment_pairs" -> (q97(_, _)),
+    "q98_html_to_text" -> (q98(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

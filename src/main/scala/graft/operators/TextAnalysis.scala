@@ -277,6 +277,30 @@ object TextAnalysis {
       .select(col(groupCol), col("sh").as("ngram"), col("cnt"), col("rk"))
   }
 
+  // ---------------------------------------------- HTML -> text
+
+  /** HTML-to-text extraction — the first step of a web-corpus pipeline:
+    * drop script/style blocks, strip tags, decode the common entities,
+    * collapse whitespace. A pure scan-speed `regexp_replace`/`replace`
+    * chain (whole-stage codegen, no UDF); every pattern is chosen to
+    * parse identically under Java regex and RE2 (no backreferences, so
+    * a DuckDB/Trino oracle can replay it verbatim). `&amp;` decodes
+    * LAST, the standard order that avoids double-decoding `&amp;lt;`.
+    * Not a spec-complete HTML5 parser (no CDATA, conditional comments,
+    * or malformed-tag recovery) — the corpus-filter tradeoff, stated.
+    */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    val ent = Seq(
+      "&nbsp;" -> " ", "&quot;" -> "\"", "&#39;" -> "'",
+      "&lt;" -> "<", "&gt;" -> ">", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
+    trim(regexp_replace(ent, "\\s+", " "))
+  }
+
   // ---------------------------------------------- bigram LM scoring
 
   /** Corpus-trained bigram language-model score per document — the
