@@ -42,7 +42,13 @@ object ScaleStress {
     println(s"[stress] docs x$reps = ${docsN.count()}, embs x$reps = ${embsN.count()}")
 
     def time(name: String)(f: => Long): Unit = {
-      f // warm pass: plans compile, caches load
+      f // warm pass: plans compile, JIT warms
+      // drain BETWEEN passes: operators with internal persists
+      // (containment's shingle relation, SemDeDup's assignment) must pay
+      // their full cost in the timed pass like everyone else — otherwise
+      // the timed pass reuses the warm pass's caches and measures only
+      // the join/agg tail
+      CacheRegistry.drain()
       val t0 = System.nanoTime()
       val rows = f
       val sec = (System.nanoTime() - t0) / 1e9

@@ -17,6 +17,8 @@ object CacheRegistry {
   private val tracked = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
   private val trackedRdds =
     new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]()
+  private val trackedBroadcasts =
+    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.broadcast.Broadcast[_]]()
 
   /** Register a persisted frame for later release. Returns the frame. */
   def track(df: DataFrame): DataFrame = { tracked.add(df); df }
@@ -24,6 +26,16 @@ object CacheRegistry {
   /** Register a cached RDD (the mllib PCA path) for later release. */
   def trackRdd[T](rdd: org.apache.spark.rdd.RDD[T]): org.apache.spark.rdd.RDD[T] = {
     trackedRdds.add(rdd); rdd
+  }
+
+  /** Register a broadcast (e.g. a Bloom sketch, GB-scale at corpus
+    * sizes) for later release; drain() unpersists executor copies — the
+    * driver value survives, so a still-lazy plan that re-executes simply
+    * re-broadcasts instead of failing.
+    */
+  def trackBroadcast[T](bc: org.apache.spark.broadcast.Broadcast[T])
+      : org.apache.spark.broadcast.Broadcast[T] = {
+    trackedBroadcasts.add(bc); bc
   }
 
   /** Unpersist every tracked frame/RDD (non-blocking), clear the registry. */
@@ -38,8 +50,13 @@ object CacheRegistry {
       rdd.unpersist(blocking = false)
       rdd = trackedRdds.poll()
     }
+    var bc = trackedBroadcasts.poll()
+    while (bc != null) {
+      bc.unpersist(false)
+      bc = trackedBroadcasts.poll()
+    }
   }
 
-  /** Number of currently tracked frames + RDDs (for tests). */
-  def size: Int = tracked.size + trackedRdds.size
+  /** Number of currently tracked frames + RDDs + broadcasts (for tests). */
+  def size: Int = tracked.size + trackedRdds.size + trackedBroadcasts.size
 }

@@ -141,7 +141,11 @@ object Dedup {
     try {
       val n = math.max(1L, cfp.count())
       val bloom = cfp.stat.bloomFilter("fp", n, fpp)
-      val bc = spark.sparkContext.broadcast(bloom)
+      // tracked: per-batch callers would otherwise accumulate GB-scale
+      // sketches on every executor until driver GC; drain() unpersists
+      // executor copies (driver value survives, lazy plans re-broadcast)
+      val bc = CacheRegistry.trackBroadcast(
+        spark.sparkContext.broadcast(bloom))
       val maybeSeen =
         udf((fp: String) => fp != null && bc.value.mightContainString(fp))
       // definitely-new rows skip the shuffle entirely (no false negatives)

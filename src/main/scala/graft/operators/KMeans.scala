@@ -50,10 +50,23 @@ object KMeans {
 
   /** The vector pre-cast onto the decimal grid, computed ONCE per row —
     * the k per-cluster distance lambdas then do pure decimal arithmetic
-    * instead of re-casting every element k times.
+    * instead of re-casting every element k times. The grid's domain is
+    * |x| < 10 (DECIMAL(14,12) = 2 integer digits); out-of-range
+    * coordinates fail EXPLICITLY with the domain stated, rather than
+    * throwing a bare CAST_OVERFLOW from inside a lambda (ANSI on) or
+    * silently null-poisoning the argmin (ANSI off). Embeddings are
+    * unit-ish by convention; pre-scale anything else, or use the
+    * `exact = false` tier which has no grid.
     */
   private def gridCol(vec: Column): Column =
-    transform(vec, x => x.cast(DoubleType).cast(Grid))
+    transform(vec, x => {
+      val xd = x.cast(DoubleType)
+      when(abs(xd) < lit(10.0), xd.cast(Grid))
+        .otherwise(raise_error(concat(
+          lit("KMeans exact tier requires |coordinate| < 10 (scale-12 " +
+            "decimal grid); got "), xd.cast("string"),
+          lit(". Pre-scale the vectors or use exact = false."))))
+    })
 
   /** Squared L2 distance between a pre-cast grid vector and a centroid
     * literal (exact, order-free; the literal's cast folds at plan time).
@@ -165,16 +178,26 @@ object KMeans {
     // the final assignment feeds both pair-join sides AND the anti-join
     // base; the per-row decimal distance expression is the expensive part
     // (interpreted higher-order functions), so compute it once
+    // cosine as dot/(na*nb) with per-row cached norms — the SAME formula
+    // association the SQL oracle uses (normalize-then-dot rounds
+    // differently in the last ulp, and the kill set is a binary
+    // decision with no round-6 cushion to absorb a near-threshold
+    // flip); also cheaper: one dot per pair instead of two normalized
+    // array materializations per side
     val assigned = CacheRegistry.track(
       fitAssign(df, idCol, vecCol, k, iters, exact).persist())
-    val a = assigned.select(col("cluster"), col(idCol).as("__id_a"),
-      Dedup.normalized(col(vecCol)).as("__va"))
-    val b = assigned.select(col("cluster"), col(idCol).as("__id_b"),
-      Dedup.normalized(col(vecCol)).as("__vb"))
+    val dot = graft.plans.GraftFunctions.dotProduct(_: Column, _: Column)
+    val withNorm = assigned.withColumn("__v", col(vecCol).cast("array<double>"))
+      .withColumn("__n", sqrt(dot(col("__v"), col("__v"))))
+    val a = withNorm.select(col("cluster"), col(idCol).as("__id_a"),
+      col("__v").as("__va"), col("__n").as("__na"))
+    val b = withNorm.select(col("cluster"), col(idCol).as("__id_b"),
+      col("__v").as("__vb"), col("__n").as("__nb"))
     val killed = a.join(b, Seq("cluster"))
       .filter(col("__id_a") < col("__id_b"))
-      .filter(graft.plans.GraftFunctions.dotProduct(col("__va"), col("__vb"))
-        >= threshold)
+      .filter(col("__na") > 0 && col("__nb") > 0 &&
+        dot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))
+          >= threshold)
       .select(col("__id_b").as(idCol)).distinct()
     assigned.join(killed, Seq(idCol), "left_anti")
   }

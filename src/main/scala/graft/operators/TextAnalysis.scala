@@ -326,7 +326,10 @@ object TextAnalysis {
       alpha: Double = 0.4): DataFrame = {
     require(alpha > 0, s"alpha=$alpha must be positive")
     val ts = tokens(col(textCol))
-    val bigrams = df.select(col(idCol), ts.as("__ts"))
+    // persisted: the relation feeds three consumers (context counts,
+    // bigram counts, the score join) and the extraction lambda is
+    // interpreted — pay it once, not per subtree
+    val bigrams = CacheRegistry.track(df.select(col(idCol), ts.as("__ts"))
       .filter(size(col("__ts")) >= 2)
       .select(col(idCol), explode(transform(
         sequence(lit(0), size(col("__ts")) - 2),
@@ -334,6 +337,7 @@ object TextAnalysis {
           element_at(col("__ts"), i + 1).as("w1"),
           element_at(col("__ts"), i + 2).as("w2")))).as("__bg"))
       .select(col(idCol), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+      .persist())
     val cu = bigrams.groupBy("w1").agg(count(lit(1)).as("__cu"))
     val cb = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("__cb"))
     val vocab = df.select(explode(ts).as("__w"))

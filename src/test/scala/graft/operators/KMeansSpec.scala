@@ -144,6 +144,23 @@ class KMeansSpec extends SparkSpec {
       s"expected one min-id representative per blob: $pruned")
   }
 
+  test("the exact tier rejects out-of-grid coordinates (|x| >= 10) with " +
+      "a message naming the domain, instead of a bare cast overflow") {
+    val data = Seq(
+      (1L, Array(0.5, 0.5)), (2L, Array(0.1, 0.2)),
+      (3L, Array(15.0, 0.0))) // out of the scale-12 grid's 2 int digits
+    val e = intercept[Exception] {
+      KMeans.fitAssign(toDf(data), "vec_id", "embedding", 2, 0).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("|coordinate| < 10")), e.toString)
+    // the fast tier has no grid and must accept the same data
+    val ok = KMeans.fitAssign(toDf(data), "vec_id", "embedding", 2, 0,
+      exact = false).collect()
+    assert(ok.length == 3)
+  }
+
   test("k larger than distinct seeds available is rejected; empty " +
       "clusters keep their previous centroid rather than crashing") {
     val data = blobs().take(4)
