@@ -186,11 +186,19 @@ object Dedup {
     // ~1e-7 across this corpus' distinct-shingle count) would overcount
     // one intersection cell by 1
     // shingling feeds three consumers (sizes + both join sides) — persist
-    // it once, same pattern as the MinHash set relation
+    // it once, same pattern as the MinHash set relation. The long-form
+    // path (posexplode + lead window) stays in whole-stage codegen,
+    // unlike the interpreted wordShingles lambdas (see the
+    // prefixJaccardPairs cost note); the tiny union branch preserves
+    // wordShingles' whole-text fallback for sub-n-token docs.
+    val toksN = size(TextAnalysis.tokens(col(textCol)))
     val sets = CacheRegistry.track(
-      df.select(col(idCol),
-          explode(array_distinct(wordShingles(col(textCol), n))).as("__s"))
-        .select(col(idCol), xxhash64(col("__s")).as("sh"))
+      shingleRows(df, idCol, textCol, n)
+        .unionAll(df.filter(toksN < n)
+          .select(col(idCol),
+            array_join(TextAnalysis.tokens(col(textCol)), " ").as("sh")))
+        .select(col(idCol), xxhash64(col("sh")).as("sh"))
+        .distinct()
         .persist())
     val sizes = sets.groupBy(col(idCol)).agg(count(lit(1)).as("__sz"))
     val index =
