@@ -300,6 +300,37 @@ class DedupSpec extends SparkSpec {
     CacheRegistry.drain()
   }
 
+  test("containment join == brute-force set containment on seeded RANDOM " +
+      "corpora (incl. sub-n-token docs via the whole-text fallback)") {
+    import spark.implicits._
+    for (seed <- Seq(5, 29)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = (0 until 30).map(i => s"w$i")
+      val docs = (0 until 35).map { i =>
+        val len = 1 + rnd.nextInt(25) // 1..25 tokens: some below n=3
+        (i.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      // brute force: distinct shingle sets in plain Scala
+      def shingles(text: String): Set[String] = {
+        val ts = text.split(" ").filter(_.nonEmpty).toSeq
+        if (ts.size >= 3) ts.sliding(3).map(_.mkString(" ")).toSet
+        else Set(ts.mkString(" "))
+      }
+      val sets = docs.map { case (id, t) => id -> shingles(t) }.toMap
+      val expected = (for {
+        (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq if a != b
+        inter = (sa & sb).size if inter > 0
+        c = inter.toDouble / sa.size if c >= 0.6
+      } yield (a, b, math.rint(c * 1e6) / 1e6)).toSet
+      val got = Dedup.containmentPairs(
+          docs.toDF("doc_id", "text"), "doc_id", "text", 3, 0.6)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == expected, s"seed $seed")
+      CacheRegistry.drain()
+    }
+  }
+
   test("md5Hash60 matches the DuckDB hex-cast value (cross-engine parity)") {
     import spark.implicits._
     // DuckDB: SELECT CAST(('0x' || substr(md5('hello'),1,15)) AS BIGINT)
