@@ -32,7 +32,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 48g leaves the OS plenty and keeps full-rate task concurrency out of
   // collection pauses.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
-  // The 87-query catalog generates several whole-stage-codegen classes
+  // The full query catalog generates several whole-stage-codegen classes
   // per query per pass; the JDK's default 240 MB code cache fills mid-
   // run and CodeCacheFlushing then evicts hot methods, so later queries
   // recompile continuously (measured: pass-2 q60 24.8 s vs pass-1 9.5 s

@@ -11,7 +11,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
-      // static conf, default 100: an 87-query catalog generates far more
+      // static conf, default 100: the full query catalog generates far more
       // codegen classes than that per pass, so pass 2 would janino- and
       // JIT-recompile every stage instead of reusing the loaded (already
       // hot) classes. Sized to hold the whole catalog's stages.

@@ -1114,11 +1114,15 @@ object OracleSql {
         |         WHEN doc_id % 4 = 3 THEN '#frag' ELSE '' END AS url
         |  FROM documents),
         |n1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '', 'g') AS u FROM p),
+        |parts0 AS (SELECT doc_id, u,
+        |    regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth0
+        |  FROM n1),
         |parts AS (SELECT doc_id,
         |    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-        |    lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS host0,
+        |    regexp_extract(auth0, '^(.*@)', 1)
+        |      || lower(regexp_replace(auth0, '^.*@', '')) AS host0,
         |    regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS after
-        |  FROM n1),
+        |  FROM parts0),
         |parts2 AS (SELECT doc_id, scheme,
         |    CASE WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
         |         WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
@@ -1130,7 +1134,7 @@ object OracleSql {
         |    CASE WHEN path0 = '' THEN '/'
         |         ELSE regexp_replace(path0, '(.)/$', '\1') END AS path,
         |    regexp_replace(regexp_replace(regexp_replace(qs0,
-        |      '(^|&)utm_[A-Za-z]+=[^&]*', '\1', 'g'),
+        |      '(^|&)utm_[A-Za-z_]+=[^&]*', '\1', 'g'),
         |      '&&+', '&', 'g'), '^&+|&+$', '', 'g') AS qs
         |  FROM parts2),
         |c AS (SELECT doc_id,

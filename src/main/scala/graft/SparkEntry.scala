@@ -1306,7 +1306,7 @@ object SparkEntry {
     val planted = docs(s, d).select(col("doc_id"),
       // the literal is DECOMPOSED on purpose: "e" + combining acute
       // U+0301 (2 code points) — NFC folds it to composed "é" (1)
-      concat(col("text"), lit(" Pr"), lit("é"), lit("sek "),
+      concat(col("text"), lit(" Pr"), lit("e\u0301"), lit("sek "),
         (col("doc_id") % 5).cast("string")).as("t"))
     planted.select(col("doc_id"),
       length(col("t")).as("len_raw"),

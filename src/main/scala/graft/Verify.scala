@@ -19,7 +19,7 @@ object Verify {
       // physical type DuckDB produces
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       // static conf: hold the whole catalog's generated classes (default
-      // 100 evicts/recompiles shared plan shapes across an 87-query run)
+      // 100 evicts/recompiles shared plan shapes across a full-catalog run)
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()

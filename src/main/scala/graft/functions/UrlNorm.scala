@@ -15,10 +15,12 @@ import org.apache.spark.sql.functions._
   *
   * Steps, in order:
   *  1. drop the fragment (`#...`),
-  *  2. lowercase scheme and authority (path/query case is significant),
+  *  2. lowercase scheme and host:port — NOT userinfo, which RFC 3986
+  *    §6.2.2.1 keeps case-sensitive (path/query case is significant too),
   *  3. strip the scheme's default port (`:80` http, `:443` https),
   *  4. empty path → `/`; otherwise strip ONE trailing slash,
-  *  5. remove `utm_*` query params, collapsing separator debris,
+  *  5. remove `utm_*` query params (underscores included — GA4 uses
+  *     `utm_source_platform` etc.), collapsing separator debris,
   *  6. recompose; a string with no `scheme://` is passed through
   *     unchanged (not a URL — garbage in, same garbage out).
   */
@@ -27,7 +29,11 @@ object UrlNorm {
   def canonicalUrl(u: Column): Column = {
     val noFrag = regexp_replace(u, "#.*$", "")
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val host0 = lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val auth0 = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    // userinfo (through the last @) keeps its case; host:port folds
+    val host0 = concat(
+      regexp_extract(auth0, "^(.*@)", 1),
+      lower(regexp_replace(auth0, "^.*@", "")))
     val host = when(scheme === "https", regexp_replace(host0, ":443$", ""))
       .when(scheme === "http", regexp_replace(host0, ":80$", ""))
       .otherwise(host0)
@@ -36,7 +42,7 @@ object UrlNorm {
     val path = when(path0 === "", lit("/"))
       .otherwise(regexp_replace(path0, "(.)/$", "$1"))
     val qs0 = regexp_extract(after, "\\?(.*)$", 1)
-    val qs1 = regexp_replace(qs0, "(^|&)utm_[A-Za-z]+=[^&]*", "$1")
+    val qs1 = regexp_replace(qs0, "(^|&)utm_[A-Za-z_]+=[^&]*", "$1")
     val qs2 = regexp_replace(qs1, "&&+", "&")
     val qs3 = regexp_replace(qs2, "^&+|&+$", "")
     when(scheme === "", u).otherwise(

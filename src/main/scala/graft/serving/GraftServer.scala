@@ -609,10 +609,21 @@ class GraftServer(
       // period on refresh); 404s throw before the cache stores anything.
       // Filter params participate in the key (fragments are
       // filter-sensitive; plain pages just ignore the extra fields).
+      // Key inputs are VALIDATED FIRST: oversized values 422 before the
+      // key is computed, so a client cannot mint one cache entry per
+      // arbitrary multi-KB garbage value (entry-cap thrash), and the
+      // numeric params must parse in range. `top` participates in the
+      // key because the fragment tables are top-sensitive.
+      Seq("page" -> 10, "top" -> 10, "search" -> 200, "status" -> 200,
+        "topic" -> 200, "outcome" -> 200)
+        .foreach { case (n, cap) => strParam(q, n, cap) }
+      if (q.contains("page")) intParam(q, "page", 1, 1, 1000)
+      if (q.contains("top")) intParam(q, "top", 30, 1, 200)
       val html = cache.getOrCompute(GraftServer.key(
           "pages", period, route, lang, q.getOrElse("page", "1"),
           q.getOrElse("search", ""), q.getOrElse("status", ""),
-          q.getOrElse("topic", ""), q.getOrElse("outcome", ""))) { route match {
+          q.getOrElse("topic", ""), q.getOrElse("outcome", ""),
+          q.getOrElse("top", ""))) { route match {
         case "" =>
           PageRender.page(t("Přehled období", "Period overview"), lang, period,
             PageRender.table(cat.analyzer.periodStats(), lang))

@@ -36,6 +36,18 @@ class UrlNormSpec extends SparkSpec {
     assert(canon("https://e.com/p?utm_a=1&id=7&utm_b=2&z=3")
       == Seq("https://e.com/p?id=7&z=3"))
     assert(canon("https://e.com/p?b=2&a=1") == Seq("https://e.com/p?b=2&a=1"))
+    // GA4 params contain underscores (utm_source_platform etc.)
+    assert(canon("https://e.com/p?utm_source_platform=web&id=7")
+      == Seq("https://e.com/p?id=7"))
+    assert(canon("https://e.com/p?utm_marketing_tactic=x")
+      == Seq("https://e.com/p"))
+  }
+
+  test("userinfo keeps its case (RFC 3986: only scheme and host fold)") {
+    assert(canon("https://Alice@Example.COM/x")
+      == Seq("https://Alice@example.com/x"))
+    assert(canon("https://alice@example.com/x")
+      == Seq("https://alice@example.com/x"))
   }
 
   test("non-URLs pass through unchanged") {

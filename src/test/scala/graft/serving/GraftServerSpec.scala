@@ -286,10 +286,10 @@ class GraftServerSpec extends SparkSpec {
     assert(!votes.body().contains("<script"))
     // pages memoize under the period and drop with it
     assert(server.cache.get(GraftServer.key(
-      "pages", 1, "votes", "cs", "1", "", "", "", "")).isDefined)
+      "pages", 1, "votes", "cs", "1", "", "", "", "", "")).isDefined)
     server.invalidatePeriod(1)
     assert(server.cache.get(GraftServer.key(
-      "pages", 1, "votes", "cs", "1", "", "", "", "")).isEmpty)
+      "pages", 1, "votes", "cs", "1", "", "", "", "", "")).isEmpty)
   }
 
   test("table headers localize per lang on HTML pages (i18n th.* parity) " +
@@ -341,6 +341,16 @@ class GraftServerSpec extends SparkSpec {
     val amend = get("/fragments/amendments?period=1")
     assert(amend.body().contains("nalezeno 3"), amend.body())
     assert(get("/fragments/nope?period=1").statusCode() == 404)
+    // `top` participates in the cache key: a different top must NOT be
+    // served from the top=5 entry (regression: key omitted top)
+    val loyal3 = get("/fragments/loyalty?period=1&top=3")
+    assert(loyal3.body() != loyal.body(),
+      "top=3 served the cached top=5 fragment")
+    assert(loyal3.body().count(_ == '\n') <= loyal.body().count(_ == '\n'))
+    // cache-key inputs are validated before keying: an oversized filter
+    // value 422s instead of minting a fresh cache entry per garbage value
+    assert(get("/?period=1&search=" + "x" * 300).statusCode() == 422)
+    assert(get("/fragments/loyalty?period=1&top=notanum").statusCode() == 422)
   }
 
   test("statuses route lists the laws filter's distinct status values") {
