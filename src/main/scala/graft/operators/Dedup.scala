@@ -189,14 +189,11 @@ object Dedup {
     // it once, same pattern as the MinHash set relation. The long-form
     // path (posexplode + lead window) stays in whole-stage codegen,
     // unlike the interpreted wordShingles lambdas (see the
-    // prefixJaccardPairs cost note); the tiny union branch preserves
-    // wordShingles' whole-text fallback for sub-n-token docs.
-    val toksN = size(TextAnalysis.tokens(col(textCol)))
+    // prefixJaccardPairs cost note); shingleRows itself emits the
+    // whole-text fallback row for sub-n-token docs (wordShingles
+    // semantics), so no extra branch is needed here.
     val sets = CacheRegistry.track(
       shingleRows(df, idCol, textCol, n)
-        .unionAll(df.filter(toksN < n)
-          .select(col(idCol),
-            array_join(TextAnalysis.tokens(col(textCol)), " ").as("sh")))
         .select(col(idCol), xxhash64(col("sh")).as("sh"))
         .distinct()
         .persist())

@@ -15,11 +15,16 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType}
   *  - seeds: the k vectors with the smallest `md5(vec_id)` hex string
   *    (hash-derived randomness, no RNG), cluster ids 0..k-1 in that order;
   *  - distances: squared L2 on a scale-12 DECIMAL grid — each coordinate
-  *    and centroid is cast to DECIMAL(14,12), the diff/square/sum stay in
-  *    decimal (31,24 / 38,24), which is EXACT and summation-order-free,
-  *    so the argmin cannot flip between engines (fold order, SIMD, or
-  *    partial-agg order never matter); ties break on the smaller cluster
-  *    id;
+  *    and centroid is rounded with exactly the double→DECIMAL(14,12) cast
+  *    semantics, after which the diff/square/sum are pure integer math
+  *    (exact and summation-order-free), so the argmin cannot flip between
+  *    engines (fold order, SIMD, or partial-agg order never matter); ties
+  *    break on the smaller cluster id. Since round 7 this runs as ONE
+  *    native codegen expression (plans/GridArgmin.scala) — scale-12 longs
+  *    and an unsigned 128-bit accumulator — replacing the interpreted
+  *    `transform`/`zip_with`/`aggregate` decimal lambdas that dominated
+  *    the cost; KMeansSpec pins bit-parity against an independent
+  *    BigDecimal reference.
   *  - centroid update: the proven cross-engine mean shape (q65):
   *    `round(CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE)/count, 9)` —
   *    a scale-9-rounded double re-enters the scale-12 grid exactly
@@ -27,7 +32,7 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType}
   *    their previous centroid.
   *
   * Scale shape (100 TB): assignment is a PER-ROW expression against k
-  * broadcast centroid literals — no shuffle, no join; the update is a
+  * broadcast centroid constants — no shuffle, no join; the update is a
   * partial-aggregated groupBy onto k·dims cells, and only those k·dims
   * rounded means (a few KB, independent of data size) ever reach the
   * driver between iterations — the same driver/executor split Lloyd's
@@ -35,68 +40,23 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType}
   */
 object KMeans {
 
-  private val Grid = DecimalType(14, 12)
-
-  /** Fold accumulator: 6 integer digits is plenty (a 64-dim scale-12-grid
-    * squared distance is < 300), and re-casting each partial sum back to
-    * this exact (precision, scale) keeps the fold type fixed WITHOUT
-    * rounding — Spark's decimal `+` escalates precision by 1 per step and
-    * would clip the scale at 38, which both breaks the lambda's type
-    * contract and loses the last digit; a same-scale down-cast of a value
-    * far below the precision cap is a pure relabel, so the sum stays
-    * exact and order-free.
+  /** Exact assignment tier: the codegen'd grid argmin. The centroid
+    * rounding onto the grid happens on the driver inside `gridArgmin`
+    * (same HALF_UP scale-12 semantics), so an out-of-grid SEED fails fast
+    * at plan build with the domain named; out-of-grid DATA fails per-row
+    * inside the expression with the same message.
     */
-  private val Acc = DecimalType(30, 24)
-
-  /** The vector pre-cast onto the decimal grid, computed ONCE per row —
-    * the k per-cluster distance lambdas then do pure decimal arithmetic
-    * instead of re-casting every element k times. The grid's domain is
-    * |x| < 10 (DECIMAL(14,12) = 2 integer digits); out-of-range
-    * coordinates fail EXPLICITLY with the domain stated, rather than
-    * throwing a bare CAST_OVERFLOW from inside a lambda (ANSI on) or
-    * silently null-poisoning the argmin (ANSI off). Embeddings are
-    * unit-ish by convention; pre-scale anything else, or use the
-    * `exact = false` tier which has no grid.
-    */
-  private def gridCol(vec: Column): Column =
-    transform(vec, x => {
-      val xd = x.cast(DoubleType)
-      when(abs(xd) < lit(10.0), xd.cast(Grid))
-        .otherwise(raise_error(concat(
-          lit("KMeans exact tier requires |coordinate| < 10 (scale-12 " +
-            "decimal grid); got "), xd.cast("string"),
-          lit(". Pre-scale the vectors or use exact = false."))))
-    })
-
-  /** Squared L2 distance between a pre-cast grid vector and a centroid
-    * literal (exact, order-free; the literal's cast folds at plan time).
-    */
-  private def sqDist(vecGrid: Column, centroid: Array[Double]): Column =
-    aggregate(
-      zip_with(vecGrid, lit(centroid), (xd, c) => {
-        val cd = c.cast(Grid)
-        (xd - cd) * (xd - cd)
-      }),
-      lit(java.math.BigDecimal.ZERO).cast(Acc),
-      (acc, v) => (acc + v).cast(Acc))
-
-  /** Cluster assignment column over a pre-cast grid vector: argmin over
-    * the k centroid distances, ties to the smaller cluster id (array_min
-    * on (dist, cid) structs).
-    */
-  private def assignment(vecGrid: Column, centroids: Array[Array[Double]]): Column =
-    array_min(array(centroids.zipWithIndex.map { case (c, j) =>
-      struct(sqDist(vecGrid, c).as("d"), lit(j).cast(IntegerType).as("j"))
-    }: _*)).getField("j")
+  private def assignment(vec: Column, centroids: Array[Array[Double]]): Column =
+    graft.plans.GraftFunctions.gridArgmin(vec.cast("array<double>"), centroids)
 
   /** Production assignment tier: squared-L2 via the native codegen'd dot
     * product — dist_j = v·v − 2·v·c_j + c_j·c_j, with the ‖c_j‖²
     * constants folded on the driver. Double math: deterministic within
-    * Spark (fixed fold order) and ~an order of magnitude faster than the
-    * decimal grid (whole-stage codegen, no per-element BigDecimal), but
-    * not bit-auditable against a second engine — the exact tier exists
-    * for that. KMeansSpec proves the two tiers assign identically on
-    * real-shaped data (they can only diverge on sub-ulp distance ties).
+    * Spark (fixed fold order) and fast (whole-stage codegen, no
+    * per-element BigDecimal), but not bit-auditable against a second
+    * engine — the exact tier exists for that. KMeansSpec proves the two
+    * tiers assign identically on real-shaped data (they can only diverge
+    * on sub-ulp distance ties).
     */
   private def fastAssignment(vec: Column, centroids: Array[Array[Double]]): Column = {
     val v = vec.cast("array<double>")
@@ -130,18 +90,22 @@ object KMeans {
       iters: Int, exact: Boolean = true): DataFrame = {
     require(k > 0, s"k=$k must be positive")
     require(iters >= 0, s"iters=$iters must be >= 0")
+    // Lloyd's re-scans the input iters+2 times (seeds, each update, the
+    // final assignment) — persist it once, the standard k-means input
+    // cache (MLlib does the same); MEMORY_AND_DISK so a corpus larger
+    // than storage memory degrades to spill instead of OOM, and
+    // CacheRegistry unpersists when the caller's query drains.
+    val src = CacheRegistry.track(df.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     def withAssign(base: DataFrame, outCol: String,
         cents: Array[Array[Double]]): DataFrame =
-      if (exact)
-        base.withColumn("__xg", gridCol(col(vecCol)))
-          .withColumn(outCol, assignment(col("__xg"), cents))
-          .drop("__xg")
+      if (exact) base.withColumn(outCol, assignment(col(vecCol), cents))
       else base.withColumn(outCol, fastAssignment(col(vecCol), cents))
-    var centroids = seeds(df, idCol, vecCol, k)
+    var centroids = seeds(src, idCol, vecCol, k)
     require(centroids.length == k,
       s"need at least k=$k rows to seed, got ${centroids.length}")
     for (_ <- 0 until iters) {
-      val assigned = withAssign(df, "__c", centroids)
+      val assigned = withAssign(src, "__c", centroids)
       // q65-shape decimal mean per (cluster, dim); only k*dims rounded
       // means come back to the driver
       val means = assigned
@@ -157,7 +121,7 @@ object KMeans {
         else prev // empty cluster keeps its previous centroid
       }
     }
-    withAssign(df, "cluster", centroids)
+    withAssign(src, "cluster", centroids)
   }
 
   /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
@@ -166,39 +130,93 @@ object KMeans {
     * a row survives iff no smaller-id row in its cluster has cosine ≥
     * `threshold` with it. The clusters are what make this tractable: the
     * quadratic pair join runs per-cluster (one shuffle on the cluster
-    * key), never across the corpus; at 100 TB you pick k so clusters
-    * average ~1-10k members, bounding each cluster's pair count.
+    * key), never across the corpus.
+    *
+    * Two layers bound the quadratic cost on degenerate corpora (nothing
+    * is left unguarded — the repo rule that every quadratic tier carries
+    * an explicit cap):
+    *
+    *  1. **Exact-duplicate collapse first** (the q72 precedent): rows
+    *     sharing a bit-identical vector resolve against their group's
+    *     min-id representative directly — a non-representative is killed
+    *     iff the group's self-cosine `dot/(√dot·√dot)` clears the
+    *     threshold (the identical formula the pair join would apply, so
+    *     the kill set is unchanged; for any practical threshold that is
+    *     simply "norm > 0"). Only representatives enter the pair join,
+    *     so an adversarial all-identical corpus costs one group, not
+    *     n²/2 pairs. Identical vectors always share a cluster (the
+    *     assignment is a function of the vector), so collapsing globally
+    *     is safe.
+    *  2. **Oversized-cluster sub-bucketing**: clusters whose
+    *     representative count exceeds `maxClusterSize` are hash-split on
+    *     `xxhash64(vector)` into ⌈size/maxClusterSize⌉ sub-buckets and
+    *     the pair join runs per (cluster, bucket). RECALL NOTE: near-dup
+    *     pairs that straddle two sub-buckets of an oversized cluster are
+    *     missed — this trades recall for a hard per-task pair bound, and
+    *     only engages when k was picked too small for the corpus (the
+    *     paper's contract is clusters of ~1-10k members). Exact
+    *     duplicates are never affected: they were collapsed in layer 1,
+    *     and layer 2 hashes the vector, not the id, so any residual
+    *     identical vectors co-bucket anyway. Never engages below the
+    *     cap — default 10000 leaves every in-contract corpus (and the
+    *     q92 oracle query) byte-identical to the unguarded plan.
+    *
+    * Zero-norm rows can neither kill nor be killed (the cosine guard
+    * requires both norms > 0), so they skip the join and always survive —
+    * same outcome as the unguarded formulation, minus the wasted pairs.
     *
     * Returns the surviving rows with their `cluster` column.
     */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      iters: Int, threshold: Double, exact: Boolean = true): DataFrame = {
+      iters: Int, threshold: Double, exact: Boolean = true,
+      maxClusterSize: Int = 10000): DataFrame = {
     require(threshold > 0 && threshold < 1,
       s"threshold=$threshold must be in (0,1)")
-    // the final assignment feeds both pair-join sides AND the anti-join
-    // base; the per-row decimal distance expression is the expensive part
-    // (interpreted higher-order functions), so compute it once
-    // cosine as dot/(na*nb) with per-row cached norms — the SAME formula
-    // association the SQL oracle uses (normalize-then-dot rounds
-    // differently in the last ulp, and the kill set is a binary
-    // decision with no round-6 cushion to absorb a near-threshold
-    // flip); also cheaper: one dot per pair instead of two normalized
-    // array materializations per side
+    require(maxClusterSize > 0, s"maxClusterSize=$maxClusterSize must be positive")
+    // the final assignment feeds the pair join AND the anti-join base;
+    // compute it once
     val assigned = CacheRegistry.track(
       fitAssign(df, idCol, vecCol, k, iters, exact).persist())
     val dot = graft.plans.GraftFunctions.dotProduct(_: Column, _: Column)
-    val withNorm = assigned.withColumn("__v", col(vecCol).cast("array<double>"))
-      .withColumn("__n", sqrt(dot(col("__v"), col("__v"))))
-    val a = withNorm.select(col("cluster"), col(idCol).as("__id_a"),
+    // cosine as dot/(na*nb) with per-row cached norms — the SAME formula
+    // association the SQL oracle uses (normalize-then-dot rounds
+    // differently in the last ulp, and the kill set is a binary decision
+    // with no cushion to absorb a near-threshold flip); also cheaper:
+    // one dot per pair instead of two normalized array materializations
+    val withNorm = assigned
+      .withColumn("__v", col(vecCol).cast("array<double>"))
+      .withColumn("__d", dot(col("__v"), col("__v")))
+      .withColumn("__n", sqrt(col("__d")))
+    // layer 1: exact-dup collapse — partial-aggregated groupBy on the
+    // vector bytes (skew-safe: a hot identical vector combines map-side),
+    // then a 1:n join back; `marked` feeds the dup kills and the reps
+    val groups = withNorm.groupBy(col("__v")).agg(min(col(idCol)).as("__minId"))
+    val marked = CacheRegistry.track(withNorm.join(groups, Seq("__v")).persist())
+    val dupKill = col(idCol) > col("__minId") && col("__n") > lit(0.0) &&
+      col("__d") / (col("__n") * col("__n")) >= lit(threshold)
+    val exactKilled = marked.filter(dupKill).select(col(idCol))
+    val reps = marked.filter(!dupKill && col("__n") > lit(0.0))
+    // layer 2: per-cluster representative counts (k tiny rows) decide
+    // sub-bucketing; the common case collects k rows and buckets nothing
+    val oversized = reps.groupBy("cluster").agg(count(lit(1)).as("__cn"))
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1) + maxClusterSize - 1) / maxClusterSize))
+      .filter(_._2 > 1).toMap
+    val bucket = oversized.foldLeft(lit(0L)) { case (acc, (cid, nsub)) =>
+      when(col("cluster") === lit(cid),
+        pmod(xxhash64(col("__v")), lit(nsub))).otherwise(acc)
+    }
+    val sides = reps.withColumn("__b", bucket)
+    val a = sides.select(col("cluster"), col("__b"), col(idCol).as("__id_a"),
       col("__v").as("__va"), col("__n").as("__na"))
-    val b = withNorm.select(col("cluster"), col(idCol).as("__id_b"),
+    val b = sides.select(col("cluster"), col("__b"), col(idCol).as("__id_b"),
       col("__v").as("__vb"), col("__n").as("__nb"))
-    val killed = a.join(b, Seq("cluster"))
+    val joinKilled = a.join(b, Seq("cluster", "__b"))
       .filter(col("__id_a") < col("__id_b"))
-      .filter(col("__na") > 0 && col("__nb") > 0 &&
-        dot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))
-          >= threshold)
-      .select(col("__id_b").as(idCol)).distinct()
+      .filter(dot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))
+        >= lit(threshold))
+      .select(col("__id_b").as(idCol))
+    val killed = joinKilled.unionAll(exactKilled).distinct()
     assigned.join(killed, Seq(idCol), "left_anti")
   }
 }

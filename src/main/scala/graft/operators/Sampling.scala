@@ -107,11 +107,20 @@ object Sampling {
     * only the first `quota` survive. One shuffle on the group key; the
     * rank window never materializes more than a group's rows per task,
     * and skewed mega-domains are exactly the rows the quota discards.
+    *
+    * `keyCol` need not be unique per group: rows sharing a key value get
+    * a final tiebreak on a hash of ALL remaining columns, so the
+    * surviving multiset is run- and partitioning-independent — rows that
+    * still tie are identical in every column and therefore
+    * interchangeable. (Map-typed columns are not hashable by Spark and
+    * would need a serialized projection first.)
     */
   def groupQuota(
       df: DataFrame, keyCol: String, groupCol: String, quota: Int): DataFrame = {
     require(quota > 0, s"quota=$quota must be positive")
-    graft.operators.Browse.keepRanked(df, Seq(groupCol),
-      quota, md5(col(keyCol).cast("string")).asc, col(keyCol).asc)
+    val rest = df.columns.filterNot(_ == keyCol).sorted.map(col)
+    val order = Seq(md5(col(keyCol).cast("string")).asc, col(keyCol).asc) ++
+      (if (rest.isEmpty) Nil else Seq(xxhash64(struct(rest: _*)).asc))
+    graft.operators.Browse.keepRanked(df, Seq(groupCol), quota, order: _*)
   }
 }

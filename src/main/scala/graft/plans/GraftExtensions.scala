@@ -53,4 +53,14 @@ object GraftFunctions {
       : org.apache.spark.sql.Column =
     GraftShim.toColumn(DotProduct(
       org.apache.spark.sql.GraftShim.expr(a), org.apache.spark.sql.GraftShim.expr(b)))
+
+  /** Column-API access to the exact-grid k-means argmin. The centroid
+    * matrix is a plan-time constant (pre-rounded onto the scale-12 grid
+    * here, on the driver — out-of-grid centroids fail fast with the
+    * domain named), not a child expression, so there is no SQL-text form.
+    */
+  def gridArgmin(vec: org.apache.spark.sql.Column, centroids: Array[Array[Double]])
+      : org.apache.spark.sql.Column =
+    GraftShim.toColumn(GridArgmin(GraftShim.expr(vec),
+      centroids.map(_.map(GridArgmin.toGrid))))
 }

@@ -144,6 +144,62 @@ class KMeansSpec extends SparkSpec {
       s"expected one min-id representative per blob: $pruned")
   }
 
+  test("semanticDedup survives a degenerate all-identical corpus: the " +
+      "exact-dup collapse keeps the pair join at one representative, and " +
+      "exactly the min id survives") {
+    val session = spark
+    import session.implicits._
+    // 4000 bit-identical vectors: unguarded this is an 8M-pair join in
+    // one cluster; collapsed it is one group and ZERO join pairs
+    val clones = (0L until 4000L).map(i => (i, Array(0.6, 0.3, 0.1, 0.2)))
+    val out = KMeans.semanticDedup(toDf(clones), "vec_id", "embedding",
+        k = 2, iters = 1, threshold = 0.99)
+      .select("vec_id").as[Long].collect().toSet
+    assert(out == Set(0L), s"expected only the min id to survive: $out")
+  }
+
+  test("semanticDedup sub-buckets an oversized cluster of DISTINCT " +
+      "vectors: completes under a tiny cap, planted exact dups still die " +
+      "(vector-hash bucketing co-locates them), and mutually-far vectors " +
+      "all survive") {
+    val session = spark
+    import session.implicits._
+    import org.apache.spark.sql.functions.col
+    // 120 mutually-orthogonal-ish vectors (cosine 0 pairwise) that k=1
+    // forces into ONE cluster of 120 reps — far over a cap of 10, so the
+    // pair join must run per (cluster, xxhash64-bucket)
+    val distinct0 = (0L until 120L).map { i =>
+      (i, Array.tabulate(120)(d => if (d == i) 1.0 else 0.0))
+    }
+    val base = toDf(distinct0)
+    val cloned = base.select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
+    val out = KMeans.semanticDedup(base.unionAll(cloned), "vec_id", "embedding",
+        k = 1, iters = 0, threshold = 0.99, maxClusterSize = 10)
+      .select("vec_id").as[Long].collect().toSet
+    // every clone dies (exact collapse, bucket-independent); every
+    // orthogonal original survives (cosine 0 < threshold in any bucket)
+    assert(out == distinct0.map(_._1).toSet,
+      s"expected exactly the originals to survive: $out")
+  }
+
+  test("the sub-bucket guard never engages below the cap: a corpus under " +
+      "maxClusterSize gives byte-identical survivors with and without a " +
+      "binding cap, and maxClusterSize must be positive") {
+    val session = spark
+    import session.implicits._
+    def run(cap: Int) =
+      KMeans.semanticDedup(toDf(blobs()), "vec_id", "embedding",
+          k = 3, iters = 1, threshold = 0.99, maxClusterSize = cap)
+        .select("vec_id").as[Long].collect().toSet
+    // blobs give 3 clusters of 10 members: cap 11 is the tightest
+    // non-binding cap (ceil(10/11) = 1 sub-bucket)
+    assert(run(10000) == run(11), "a non-binding cap changed the result")
+    intercept[IllegalArgumentException] {
+      KMeans.semanticDedup(toDf(blobs()), "vec_id", "embedding",
+        k = 3, iters = 1, threshold = 0.99, maxClusterSize = 0)
+    }
+  }
+
   test("the exact tier rejects out-of-grid coordinates (|x| >= 10) with " +
       "a message naming the domain, instead of a bare cast overflow") {
     val data = Seq(
