@@ -1101,7 +1101,11 @@ object OracleSql {
 
     // replicates the planted URL variants and the canonicalization steps
     // of UrlNorm.canonicalUrl in DuckDB's RE2 dialect ('g' flag: DuckDB
-    // replaces only the first match by default, Java replaces all)
+    // replaces only the first match by default, Java replaces all). The
+    // percent-encoding normalization (PctNormalize) is replayed
+    // closed-form: the planted corpus contains exactly the triplets
+    // %7E/%7e (unreserved ~ -> decode) and %2f (reserved / -> keep,
+    // uppercase hex), so three plain replaces reproduce it.
     "q87_url_dedup" ->
       """WITH p AS (
         |  SELECT doc_id,
@@ -1109,11 +1113,18 @@ object OracleSql {
         |    CASE WHEN doc_id % 4 = 0 THEN 'Example.COM' ELSE 'example.com' END ||
         |    CASE WHEN doc_id % 4 = 1 THEN ':443' ELSE '' END ||
         |    '/a/' || CAST(doc_id % 100 AS VARCHAR) ||
+        |    CASE WHEN doc_id % 4 = 0 THEN '/p~q%2F'
+        |         WHEN doc_id % 4 = 1 THEN '/p%7Eq%2f'
+        |         WHEN doc_id % 4 = 2 THEN '/p%7eq%2F'
+        |         ELSE '/p~q%2f' END ||
         |    CASE WHEN doc_id % 4 = 0 THEN '/?utm_source=news&utm_medium=web'
-        |         WHEN doc_id % 4 = 2 THEN '?utm_campaign=z'
+        |         WHEN doc_id % 4 = 2 THEN '?utm_campaign=z&utm_abc123'
         |         WHEN doc_id % 4 = 3 THEN '#frag' ELSE '' END AS url
         |  FROM documents),
-        |n1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '', 'g') AS u FROM p),
+        |n1 AS (SELECT doc_id,
+        |  replace(replace(replace(
+        |    regexp_replace(url, '#.*$', '', 'g'),
+        |    '%7E', '~'), '%7e', '~'), '%2f', '%2F') AS u FROM p),
         |parts0 AS (SELECT doc_id, u,
         |    regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth0
         |  FROM n1),
@@ -1134,7 +1145,7 @@ object OracleSql {
         |    CASE WHEN path0 = '' THEN '/'
         |         ELSE regexp_replace(path0, '(.)/$', '\1') END AS path,
         |    regexp_replace(regexp_replace(regexp_replace(qs0,
-        |      '(^|&)utm_[A-Za-z_]+=[^&]*', '\1', 'g'),
+        |      '(^|&)utm_[A-Za-z0-9_]+(=[^&]*)?', '\1', 'g'),
         |      '&&+', '&', 'g'), '^&+|&+$', '', 'g') AS qs
         |  FROM parts2),
         |c AS (SELECT doc_id,
@@ -1399,19 +1410,25 @@ object OracleSql {
         |FROM scored WHERE c >= 0.8 ORDER BY id_a, id_b""".stripMargin,
 
     // identical RE2-safe strip chain (DuckDB regexp_replace needs the
-    // explicit 'g' flag; Spark's is global by default).
+    // explicit 'g' flag; Spark's is global by default). The planted
+    // character references decode closed-form: each token is replaced by
+    // its known decoding, '&amp;' LAST so '&amp;lt;' ends as the literal
+    // '&lt;' (single-pass no-rescan semantics); '&zzz;' and the
+    // surrogate '&#xD800;' are invalid and appear verbatim, so no
+    // replace touches them.
     "q98_html_to_text" ->
       """WITH h AS (
         |  SELECT doc_id,
         |    '<html><head><style>p { color: red }</style></head><body>'
         |    || '<!-- id --><h1>Doc &#39;' || CAST(doc_id AS VARCHAR)
-        |    || '&#39; &amp; friends</h1><p class="b">' || text
+        |    || '&#39; &amp; friends &#x10D;&#269;&eacute;&mdash;&hellip; '
+        |    || '&zzz; &amp;lt; &#xD800;</h1><p class="b">' || text
         |    || '</p><script>var x = 1 < 2;</script></body></html>' AS html
         |  FROM documents),
         |stripped AS (
         |  SELECT doc_id,
         |    trim(regexp_replace(
-        |      replace(replace(replace(replace(replace(replace(
+        |      replace(replace(replace(replace(replace(replace(replace(
         |        regexp_replace(
         |          regexp_replace(
         |            regexp_replace(
@@ -1420,8 +1437,9 @@ object OracleSql {
         |              '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
         |            '(?s)<!--.*?-->', ' ', 'g'),
         |          '<[^>]*>', ' ', 'g'),
-        |        '&nbsp;', ' '), '&quot;', '"'), '&#39;', ''''),
-        |        '&lt;', '<'), '&gt;', '>'), '&amp;', '&'),
+        |        '&#39;', ''''), '&#x10D;', chr(269)), '&#269;', chr(269)),
+        |        '&eacute;', chr(233)), '&mdash;', chr(8212)),
+        |        '&hellip;', chr(8230)), '&amp;', '&'),
         |      '\s+', ' ', 'g')) AS clean
         |  FROM h)
         |SELECT doc_id, clean,

@@ -1120,11 +1120,16 @@ object SparkEntry {
 
   /** URL-canonicalization dedup (the standard first-pass key in crawled
     * corpora): deterministic messy URL variants are planted per doc —
-    * host case, explicit default port, utm params, fragment, trailing
-    * slash — all canonicalizing to the same normalized URL
-    * ([[graft.functions.UrlNorm.canonicalUrl]], scan-speed expressions);
-    * dedup is then one groupBy on the canonical key. The oracle
-    * replicates planting + normalization in DuckDB's RE2 dialect.
+    * host case, explicit default port, utm params (incl. digit-named and
+    * valueless forms), fragment, trailing slash, and percent-encoding
+    * spellings (`~` vs `%7E` vs `%7e`; reserved `%2F`/`%2f` must keep
+    * their encoding, hex uppercased) — all canonicalizing to the same
+    * normalized URL ([[graft.functions.UrlNorm.canonicalUrl]],
+    * scan-speed expressions); dedup is then one groupBy on the canonical
+    * key. The oracle replicates planting + normalization in DuckDB's RE2
+    * dialect; for the percent triplets it applies the closed-form
+    * replacements the planted variants decode to (RE2 cannot replay the
+    * general algorithm — see [[graft.plans.PctNormalize]]).
     */
   private def q87(s: SparkSession, d: String): DataFrame = {
     val v = col("doc_id") % 4
@@ -1133,8 +1138,10 @@ object SparkEntry {
         when(v === 0, lit("Example.COM")).otherwise(lit("example.com")),
         when(v === 1, lit(":443")).otherwise(lit("")),
         lit("/a/"), (col("doc_id") % 100).cast("string"),
+        when(v === 0, lit("/p~q%2F")).when(v === 1, lit("/p%7Eq%2f"))
+          .when(v === 2, lit("/p%7eq%2F")).otherwise(lit("/p~q%2f")),
         when(v === 0, lit("/?utm_source=news&utm_medium=web"))
-          .when(v === 2, lit("?utm_campaign=z"))
+          .when(v === 2, lit("?utm_campaign=z&utm_abc123"))
           .when(v === 3, lit("#frag"))
           .otherwise(lit(""))).as("url"))
     planted
@@ -1278,14 +1285,22 @@ object SparkEntry {
   }
 
   /** HTML→text extraction over synthetically-wrapped docs: script/style/
-    * comment blocks and tags vanish, entities decode, whitespace
-    * collapses — the oracle replays the identical RE2-safe chain.
+    * comment blocks and tags vanish, character references decode —
+    * numeric decimal AND hex, named beyond the XML five, with the
+    * single-pass no-rescan rule (`&amp;lt;` stays literal `&lt;`) and
+    * invalid references (unknown name, surrogate code point) passing
+    * through — whitespace collapses. The oracle replays the structural
+    * strips verbatim in RE2 and the planted references closed-form
+    * (each planted token replaced by its known decoding; see
+    * [[graft.plans.HtmlEntityDecode]] for why RE2 cannot replay the
+    * general algorithm).
     */
   private def q98(s: SparkSession, d: String): DataFrame = {
     val html = concat(
       lit("<html><head><style>p { color: red }</style></head><body>"),
       lit("<!-- id --><h1>Doc &#39;"), col("doc_id"),
-      lit("&#39; &amp; friends</h1><p class=\"b\">"), col("text"),
+      lit("&#39; &amp; friends &#x10D;&#269;&eacute;&mdash;&hellip; " +
+        "&zzz; &amp;lt; &#xD800;</h1><p class=\"b\">"), col("text"),
       lit("</p><script>var x = 1 < 2;</script></body></html>"))
     docs(s, d).select(col("doc_id"), html.as("html"))
       .select(col("doc_id"),

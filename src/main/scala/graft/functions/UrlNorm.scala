@@ -15,19 +15,27 @@ import org.apache.spark.sql.functions._
   *
   * Steps, in order:
   *  1. drop the fragment (`#...`),
-  *  2. lowercase scheme and host:port — NOT userinfo, which RFC 3986
+  *  2. normalize percent-encodings (RFC 3986 §6.2.2.2, the native
+  *     [[graft.plans.PctNormalize]] expression): unreserved chars decode
+  *     (`%7E` → `~`), everything else keeps its encoding with uppercase
+  *     hex (`%2f` → `%2F`, never decoded — reserved delimiters would
+  *     change component boundaries); runs BEFORE the query split so an
+  *     encoded `utm%5Fsource` is visible to the utm strip,
+  *  3. lowercase scheme and host:port — NOT userinfo, which RFC 3986
   *    §6.2.2.1 keeps case-sensitive (path/query case is significant too),
-  *  3. strip the scheme's default port (`:80` http, `:443` https),
-  *  4. empty path → `/`; otherwise strip ONE trailing slash,
-  *  5. remove `utm_*` query params (underscores included — GA4 uses
-  *     `utm_source_platform` etc.), collapsing separator debris,
-  *  6. recompose; a string with no `scheme://` is passed through
+  *  4. strip the scheme's default port (`:80` http, `:443` https),
+  *  5. empty path → `/`; otherwise strip ONE trailing slash,
+  *  6. remove `utm_*` query params — names may carry digits and
+  *     underscores (GA4 `utm_source_platform`, `utm_id_2`), and valueless
+  *     `&utm_x` forms strip too — collapsing separator debris,
+  *  7. recompose; a string with no `scheme://` is passed through
   *     unchanged (not a URL — garbage in, same garbage out).
   */
 object UrlNorm {
 
   def canonicalUrl(u: Column): Column = {
-    val noFrag = regexp_replace(u, "#.*$", "")
+    val noFrag = graft.plans.GraftFunctions.pctNormalize(
+      regexp_replace(u, "#.*$", ""))
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val auth0 = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
     // userinfo (through the last @) keeps its case; host:port folds
@@ -42,7 +50,7 @@ object UrlNorm {
     val path = when(path0 === "", lit("/"))
       .otherwise(regexp_replace(path0, "(.)/$", "$1"))
     val qs0 = regexp_extract(after, "\\?(.*)$", 1)
-    val qs1 = regexp_replace(qs0, "(^|&)utm_[A-Za-z_]+=[^&]*", "$1")
+    val qs1 = regexp_replace(qs0, "(^|&)utm_[A-Za-z0-9_]+(=[^&]*)?", "$1")
     val qs2 = regexp_replace(qs1, "&&+", "&")
     val qs3 = regexp_replace(qs2, "^&+|&+$", "")
     when(scheme === "", u).otherwise(

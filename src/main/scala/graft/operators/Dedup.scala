@@ -115,9 +115,12 @@ object Dedup {
     * Sizing: ~1.2 bytes/item at fpp=1%, so a 10^9-fingerprint corpus index
     * broadcasts at ~1.2 GB — at larger corpora raise `fpp` (2 passes of
     * this prefilter at 10% still drop 90% of novel rows from the shuffle)
-    * or shard the filter. The corpus index is counted here to size the
-    * filter; a production pipeline maintains that count incrementally with
-    * the index itself.
+    * or shard the filter. The filter is sized from `corpusCount` when the
+    * caller provides one (the production path: an incrementally-maintained
+    * fingerprint index knows its own cardinality) and from a `count()`
+    * pass otherwise; the count only SIZES the sketch — any positive value
+    * keeps the result exact, a low-ball merely raises the effective fpp
+    * (more rows pay the join), never drops a row.
     *
     * The membership probe is the one deliberate UDF in this file: a
     * broadcast `org.apache.spark.util.sketch.BloomFilter` lookup cannot be
@@ -128,18 +131,21 @@ object Dedup {
     */
   def bloomIncrementalDedup(
       batch: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
-      fpp: Double = 0.01): DataFrame = {
+      fpp: Double = 0.01, corpusCount: Option[Long] = None): DataFrame = {
     require(fpp > 0 && fpp < 1, s"fpp=$fpp must be in (0,1)")
+    require(corpusCount.forall(_ > 0),
+      s"corpusCount=$corpusCount must be positive when provided")
     val spark = batch.sparkSession
     val bfp = batch.withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
-    // The persist covers the two eager passes here (count, filter build);
-    // the lazy anti-join below re-reads the index at execution time, the
-    // same per-batch cost incrementalDedup already pays — a production
-    // pipeline points both at a materialized fingerprint-index table.
+    // The persist covers the eager pass(es) here (filter build, plus the
+    // sizing count when no corpusCount was provided); the lazy anti-join
+    // below re-reads the index at execution time, the same per-batch cost
+    // incrementalDedup already pays — a production pipeline points both
+    // at a materialized fingerprint-index table.
     val cfp = corpus.select(TextAnalysis.fingerprint(col(textCol)).as("fp"))
       .distinct().persist()
     try {
-      val n = math.max(1L, cfp.count())
+      val n = corpusCount.getOrElse(math.max(1L, cfp.count()))
       val bloom = cfp.stat.bloomFilter("fp", n, fpp)
       // tracked: per-batch callers would otherwise accumulate GB-scale
       // sketches on every executor until driver GC; drain() unpersists

@@ -280,24 +280,25 @@ object TextAnalysis {
   // ---------------------------------------------- HTML -> text
 
   /** HTML-to-text extraction — the first step of a web-corpus pipeline:
-    * drop script/style blocks, strip tags, decode the common entities,
-    * collapse whitespace. A pure scan-speed `regexp_replace`/`replace`
-    * chain (whole-stage codegen, no UDF); every pattern is chosen to
-    * parse identically under Java regex and RE2 (no backreferences, so
-    * a DuckDB/Trino oracle can replay it verbatim). `&amp;` decodes
-    * LAST, the standard order that avoids double-decoding `&amp;lt;`.
-    * Not a spec-complete HTML5 parser (no CDATA, conditional comments,
-    * or malformed-tag recovery) — the corpus-filter tradeoff, stated.
+    * drop script/style blocks, strip tags, decode character references,
+    * collapse whitespace. The structural strips are a scan-speed
+    * `regexp_replace` chain whose patterns parse identically under Java
+    * regex and RE2 (no backreferences, so a DuckDB/Trino oracle can
+    * replay them verbatim); the entity step is the native
+    * [[graft.plans.HtmlEntityDecode]] expression — numeric decimal/hex
+    * references plus the practical named set, decoded in one no-rescan
+    * left-to-right pass exactly like an HTML tokenizer (`&amp;lt;` →
+    * literal `&lt;`, which no replace-chain ordering can express).
+    * Whole-stage codegen throughout, no UDF. Not a spec-complete HTML5
+    * parser (no CDATA, conditional comments, or malformed-tag
+    * recovery) — the corpus-filter tradeoff, stated.
     */
   def htmlToText(html: Column): Column = {
     val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
     val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
     val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
     val noTags = regexp_replace(noComment, "<[^>]*>", " ")
-    val ent = Seq(
-      "&nbsp;" -> " ", "&quot;" -> "\"", "&#39;" -> "'",
-      "&lt;" -> "<", "&gt;" -> ">", "&amp;" -> "&")
-      .foldLeft(noTags) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
+    val ent = graft.plans.GraftFunctions.htmlEntityDecode(noTags)
     trim(regexp_replace(ent, "\\s+", " "))
   }
 

@@ -33,6 +33,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         NfcNormalize(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("pct_normalize"),
+      new ExpressionInfo(classOf[PctNormalize].getName, "pct_normalize"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        PctNormalize(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("html_entity_decode"),
+      new ExpressionInfo(classOf[HtmlEntityDecode].getName, "html_entity_decode"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        HtmlEntityDecode(children.head)))
     ext.injectOptimizerRule(NormalizeSimplification)
   }
 }
@@ -46,7 +56,17 @@ object GraftFunctions {
     GraftShim.registerNative(spark, "fuzzy_ratio", es => FuzzyRatio(es(0), es(1)))
     GraftShim.registerNative(spark, "dot_product", es => DotProduct(es(0), es(1)))
     GraftShim.registerNative(spark, "nfc_normalize", es => NfcNormalize(es.head))
+    GraftShim.registerNative(spark, "pct_normalize", es => PctNormalize(es.head))
+    GraftShim.registerNative(spark, "html_entity_decode", es => HtmlEntityDecode(es.head))
   }
+
+  /** Column-API access to RFC 3986 percent-encoding normalization. */
+  def pctNormalize(s: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    GraftShim.toColumn(PctNormalize(GraftShim.expr(s)))
+
+  /** Column-API access to HTML character-reference decoding. */
+  def htmlEntityDecode(s: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    GraftShim.toColumn(HtmlEntityDecode(GraftShim.expr(s)))
 
   /** Column-API access to the native dot product (no registration needed). */
   def dotProduct(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column)

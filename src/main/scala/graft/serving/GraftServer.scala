@@ -607,23 +607,43 @@ class GraftServer(
       val d = cat.analyzer.data
       // rendered pages memoize like the JSON routes (and drop with the
       // period on refresh); 404s throw before the cache stores anything.
-      // Filter params participate in the key (fragments are
-      // filter-sensitive; plain pages just ignore the extra fields).
       // Key inputs are VALIDATED FIRST: oversized values 422 before the
       // key is computed, so a client cannot mint one cache entry per
       // arbitrary multi-KB garbage value (entry-cap thrash), and the
-      // numeric params must parse in range. `top` participates in the
-      // key because the fragment tables are top-sensitive.
+      // numeric params must parse in range.
       Seq("page" -> 10, "top" -> 10, "search" -> 200, "status" -> 200,
         "topic" -> 200, "outcome" -> 200)
         .foreach { case (n, cap) => strParam(q, n, cap) }
       if (q.contains("page")) intParam(q, "page", 1, 1, 1000)
       if (q.contains("top")) intParam(q, "top", 30, 1, 200)
+      // Each route's key holds ONLY the params that route consumes, and
+      // each is NORMALIZED through the same intParam/strParam reads the
+      // route body performs — so `page=01` and `page=1` (or an ignored
+      // `search=` on a plain page) share one entry instead of churning
+      // the cache's entry cap with identical rendered pages.
+      val keyed: Seq[String] = route match {
+        case "votes" | "laws" | "amendments" =>
+          Seq(intParam(q, "page", 1, 1, 1000).toString)
+        case "fragments/votes" =>
+          Seq(intParam(q, "page", 1, 1, 1000).toString,
+            strParam(q, "search", 200), strParam(q, "outcome", 10))
+        case "fragments/laws" =>
+          Seq(intParam(q, "page", 1, 1, 1000).toString,
+            strParam(q, "search", 200), strParam(q, "status", 200),
+            strParam(q, "topic", 200))
+        case "fragments/amendments" =>
+          Seq(intParam(q, "page", 1, 1, 1000).toString,
+            strParam(q, "search", 200))
+        case "fragments/loyalty" | "fragments/attendance" =>
+          Seq(intParam(q, "top", 30, 1, 200).toString)
+        case "fragments/similarity" =>
+          Seq(intParam(q, "top", 20, 1, 200).toString)
+        // index, vote-detail (id is in the route), and the fixed-top
+        // chart pages take no query params
+        case _ => Nil
+      }
       val html = cache.getOrCompute(GraftServer.key(
-          "pages", period, route, lang, q.getOrElse("page", "1"),
-          q.getOrElse("search", ""), q.getOrElse("status", ""),
-          q.getOrElse("topic", ""), q.getOrElse("outcome", ""),
-          q.getOrElse("top", ""))) { route match {
+          "pages", period, (Seq(route, lang) ++ keyed): _*)) { route match {
         case "" =>
           PageRender.page(t("Přehled období", "Period overview"), lang, period,
             PageRender.table(cat.analyzer.periodStats(), lang))

@@ -50,6 +50,40 @@ class UrlNormSpec extends SparkSpec {
       == Seq("https://alice@example.com/x"))
   }
 
+  test("utm strips cover digit-bearing names and valueless params") {
+    assert(canon("https://e.com/p?utm_id_2=x&id=7") == Seq("https://e.com/p?id=7"))
+    assert(canon("https://e.com/p?utm_x&id=7") == Seq("https://e.com/p?id=7"))
+    assert(canon("https://e.com/p?id=7&utm_x") == Seq("https://e.com/p?id=7"))
+    assert(canon("https://e.com/p?utm_abc123") == Seq("https://e.com/p"))
+    // near-miss names survive: utm needs its underscore, and the match
+    // anchors at a param boundary
+    assert(canon("https://e.com/p?utm=1&xutm_a=2")
+      == Seq("https://e.com/p?utm=1&xutm_a=2"))
+  }
+
+  test("percent-encoding normalizes per RFC 3986 6.2.2.2: unreserved " +
+      "decode, reserved keep uppercase hex, junk triplets untouched") {
+    // unreserved: ALPHA / DIGIT / - . _ ~ decode to the literal
+    assert(canon("https://e.com/%7Euser") == Seq("https://e.com/~user"))
+    assert(canon("https://e.com/%7euser") == Seq("https://e.com/~user"))
+    assert(canon("https://e.com/%41%7a%30%2D%2e%5F")
+      == Seq("https://e.com/Az0-._"))
+    // the three spellings of ~ collapse to ONE dedup key
+    assert(canon("https://e.com/~u", "https://e.com/%7Eu", "https://e.com/%7eu")
+      .toSet.size == 1)
+    // reserved delimiters are NEVER decoded (decoding %2F would change
+    // the path's segment structure) — hex just uppercases
+    assert(canon("https://e.com/a%2Fb") == Seq("https://e.com/a%2Fb"))
+    assert(canon("https://e.com/a%2fb") == Seq("https://e.com/a%2Fb"))
+    assert(canon("https://e.com/p?a=1%262") == Seq("https://e.com/p?a=1%262"))
+    assert(canon("https://e.com/p?a=%3d") == Seq("https://e.com/p?a=%3D"))
+    // non-hex after % and truncated triplets pass through byte-for-byte
+    assert(canon("https://e.com/%G1/%7") == Seq("https://e.com/%G1/%7"))
+    // an encoded underscore un-hides a utm param from the strip
+    assert(canon("https://e.com/p?utm%5Fsource=x&id=7")
+      == Seq("https://e.com/p?id=7"))
+  }
+
   test("non-URLs pass through unchanged") {
     assert(canon("not a url", "mailto:x@y.cz")
       == Seq("not a url", "mailto:x@y.cz"))

@@ -422,6 +422,19 @@ class DedupSpec extends SparkSpec {
         key(Dedup.bloomIncrementalDedup(batch, corp, "doc_id", "text", fpp))
       assert(bloom == plain, s"fpp=$fpp diverged from the exact anti-join")
     }
+    // the production path: a caller-provided index cardinality skips the
+    // sizing count() — exact at the true count, at a 100x overestimate,
+    // and even at a pessimal low-ball (a wrong size only shifts work
+    // into the confirm join, never the answer)
+    for (cnt <- Seq(30L, 3000L, 1L)) {
+      val sized = key(Dedup.bloomIncrementalDedup(
+        batch, corp, "doc_id", "text", 0.01, corpusCount = Some(cnt)))
+      assert(sized == plain, s"corpusCount=$cnt diverged")
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.bloomIncrementalDedup(
+        batch, corp, "doc_id", "text", 0.01, corpusCount = Some(0L))
+    }
   }
 
   test("cache registry: operators track persisted frames, drain releases them") {

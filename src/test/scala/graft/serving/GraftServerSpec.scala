@@ -284,12 +284,21 @@ class GraftServerSpec extends SparkSpec {
     assert(get("/votes/999?period=1").statusCode() == 404)
     // HTML output escapes row content (no raw angle brackets from data)
     assert(!votes.body().contains("<script"))
-    // pages memoize under the period and drop with it
+    // pages memoize under the period and drop with it; the key holds only
+    // the params the route consumes (votes: just the normalized page)
     assert(server.cache.get(GraftServer.key(
-      "pages", 1, "votes", "cs", "1", "", "", "", "", "")).isDefined)
+      "pages", 1, "votes", "cs", "1")).isDefined)
+    // params a route ignores (search on a plain page) and non-canonical
+    // spellings (page=01, explicit page=1) all hit the SAME entry — one
+    // rendered page cannot be multiplied across cache slots
+    val before = server.cache.size
+    get("/votes?period=1&page=01")
+    get("/votes?period=1&page=1&search=zzz")
+    assert(server.cache.size == before,
+      "ignored/unnormalized params minted extra cache entries")
     server.invalidatePeriod(1)
     assert(server.cache.get(GraftServer.key(
-      "pages", 1, "votes", "cs", "1", "", "", "", "", "")).isEmpty)
+      "pages", 1, "votes", "cs", "1")).isEmpty)
   }
 
   test("table headers localize per lang on HTML pages (i18n th.* parity) " +
