@@ -1446,5 +1446,22 @@ object OracleSql {
         |  CAST(len(list_filter(string_split(clean, ' '), w -> w <> ''))
         |    AS BIGINT) AS n_tokens
         |FROM stripped ORDER BY doc_id""".stripMargin,
+
+    // closed-form replay of the synthetic-AVI pipeline: per doc
+    // n = 3 + doc_id%4 frames, every 2nd kept; 25 fps => ts = idx*40ms;
+    // solid DIB fills are exact integer means (syntheticAvi's formulas)
+    "q99_video_frames" ->
+      """WITH idx AS (SELECT unnest(range(0, 7)) AS f),
+        |frames AS (
+        |  SELECT d.doc_id, i.f FROM documents d, idx i
+        |  WHERE i.f < 3 + d.doc_id % 4 AND i.f % 2 = 0)
+        |SELECT doc_id AS asset_id, CAST(f AS BIGINT) AS frame_idx,
+        |  CAST(f AS DOUBLE) * 40.0 AS ts_ms,
+        |  CAST(4 + doc_id % 4 AS BIGINT) AS width,
+        |  CAST(3 + doc_id % 3 AS BIGINT) AS height,
+        |  CAST((doc_id * 19 + f * 23) % 256 AS DOUBLE) AS mean_r,
+        |  CAST((doc_id * 13 + f * 17) % 256 AS DOUBLE) AS mean_g,
+        |  CAST((doc_id * 11 + f * 7) % 256 AS DOUBLE) AS mean_b
+        |FROM frames ORDER BY asset_id, frame_idx""".stripMargin,
   )
 }

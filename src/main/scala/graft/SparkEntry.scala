@@ -1330,6 +1330,31 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** REAL video frame sampling: per doc a synthetic uncompressed AVI
+    * ([[graft.operators.Multimodal.syntheticAvi]] — solid DIB frames,
+    * closed-form geometry/fills/cadence) goes through the pure-JDK RIFF
+    * demux ([[graft.sources.AviDemux]]), every 2nd frame is kept, and
+    * each kept frame decodes to exact channel means. The oracle predicts
+    * every column arithmetically — frame indexes from a range join,
+    * timestamps from the 25 fps header, means = the planted fills.
+    */
+  private def q99(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val assets = docs(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val avi = Multimodal.syntheticAvi(id)
+        Multimodal.Asset(id, avi, "video/x-msvideo", avi.length.toLong)
+      })
+    Multimodal.decodeVideoFrames(
+        Multimodal.sampleAviFrames(assets, everyNth = 2)).toDF()
+      .select(col("asset_id"),
+        col("frame_idx").cast("long").as("frame_idx"), col("ts_ms"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("mean_r"), col("mean_g"), col("mean_b"))
+      .orderBy("asset_id", "frame_idx")
+  }
+
   /** Dedup observability report: per source, total docs / exact-dedup
     * survivors / duplicates (global keeper choice — cross-source
     * duplication counts against the copying source).
@@ -1440,6 +1465,7 @@ object SparkEntry {
     "q96_audio_dedup" -> (q96(_, _)),
     "q97_containment_pairs" -> (q97(_, _)),
     "q98_html_to_text" -> (q98(_, _)),
+    "q99_video_frames" -> (q99(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

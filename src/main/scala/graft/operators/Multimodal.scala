@@ -286,14 +286,16 @@ object Multimodal {
   case class FrameSample(asset_id: Long, frame_idx: Int, ts_ms: Double,
       frame: Array[Byte])
 
-  /** Frame sampling for the video tier — every `everyNth` frame with
-    * its index and timestamp, one output row per kept frame. The JVM
-    * has no video codecs (documented environment constraint, same as
-    * compressed audio), so the DECODE step is the clearly-labeled
-    * deterministic stub [[fakeVideoFrames]]; everything Spark-side —
-    * binary payloads in, per-partition decoder init, a typed
-    * exploded-frames relation out — is the real pipeline shape a
-    * JavaCV/ffmpeg-backed decoder would slot into.
+  /** Frame sampling for containers the JVM cannot demux — every
+    * `everyNth` frame with its index and timestamp, one output row per
+    * kept frame. For AVI files carrying MJPEG or uncompressed frames use
+    * [[sampleAviFrames]], which is a REAL demux (pure-JDK RIFF parsing,
+    * [[graft.sources.AviDemux]]); this generic tier keeps the
+    * clearly-labeled deterministic stub [[fakeVideoFrames]] for true
+    * inter-frame codecs (H.264 etc., no JVM codec exists), while
+    * everything Spark-side — binary payloads in, per-partition decoder
+    * init, a typed exploded-frames relation out — is the real pipeline
+    * shape a JavaCV/ffmpeg-backed decoder would slot into.
     */
   def sampleFrames(assets: Dataset[Asset], everyNth: Int,
       fps: Double = 25.0): Dataset[FrameSample] = {
@@ -311,10 +313,141 @@ object Multimodal {
     }
   }
 
+  /** One sampled AVI video frame: geometry from the container header,
+    * the raw chunk payload, and whether it is MJPEG (`00dc`) or raw DIB
+    * (`00db`).
+    */
+  case class VideoFrame(asset_id: Long, frame_idx: Int, ts_ms: Double,
+      width: Int, height: Int, compressed: Boolean, frame: Array[Byte])
+
+  /** Decoded per-frame stats — the closed-form-checkable shape
+    * ([[ImageFeatures]] convention: dims + channel means).
+    */
+  case class VideoFrameStats(asset_id: Long, frame_idx: Int, ts_ms: Double,
+      width: Int, height: Int, mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** REAL video frame sampling over AVI containers
+    * ([[graft.sources.AviDemux]] — pure-JDK RIFF parsing, no codec
+    * library): every `everyNth` frame of the video stream, with its
+    * index, the container-declared timestamp (`idx · µs-per-frame`), and
+    * geometry. Non-AVI or structurally-broken payloads are dropped, the
+    * [[decodeImages]] corrupt-asset convention. Per-partition demux over
+    * in-memory payloads; one output row per kept frame.
+    */
+  def sampleAviFrames(assets: Dataset[Asset], everyNth: Int): Dataset[VideoFrame] = {
+    require(everyNth > 0, s"everyNth=$everyNth must be positive")
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.flatMap { a =>
+        graft.sources.AviDemux.demux(a.payload).toSeq.flatMap { v =>
+          v.frames.zipWithIndex.collect {
+            case (f, i) if i % everyNth == 0 =>
+              VideoFrame(a.asset_id, i, i * (v.usPerFrame / 1000.0),
+                v.width, v.height, f.compressed, f.payload)
+          }
+        }
+      }
+    }
+  }
+
+  /** REAL decode of sampled AVI frames to per-frame channel means: MJPEG
+    * frames are complete JPEGs (ImageIO, like [[decodeImages]] — exact
+    * 64×64-capped sample grid), raw `00db` frames are interpreted as the
+    * bottom-up BGR DIB layout their header declares (exact over ALL
+    * pixels). Undecodable frames are dropped.
+    */
+  def decodeVideoFrames(frames: Dataset[VideoFrame]): Dataset[VideoFrameStats] = {
+    import frames.sparkSession.implicits._
+    frames.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { f =>
+        if (!f.compressed)
+          graft.sources.AviDemux.dibChannelMeans(f.frame, f.width, f.height)
+            .map { case (mr, mg, mb) =>
+              VideoFrameStats(f.asset_id, f.frame_idx, f.ts_ms,
+                f.width, f.height, mr, mg, mb) }
+        else {
+          val img =
+            try Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(f.frame)))
+            catch { case _: Exception => None }
+          img.map { im =>
+            val w = im.getWidth
+            val h = im.getHeight
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = im.getRGB(x, y)
+                sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff
+                sb += rgb & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            val cnt = (w.toLong * h).toDouble
+            VideoFrameStats(f.asset_id, f.frame_idx, f.ts_ms, w, h,
+              sr / cnt, sg / cnt, sb / cnt)
+          }
+        }
+      }
+    }
+  }
+
+  /** Deterministic synthetic uncompressed AVI for oracle-checkable video
+    * tests: `3 + id%4` solid DIB frames at `(4 + id%4)×(3 + id%3)`,
+    * 25 fps (40 000 µs/frame); frame `f` fills
+    * `rgb = ((19id+23f)%256, (13id+17f)%256, (11id+7f)%256)`. Solid fill
+    * + lossless DIB ⇒ [[decodeVideoFrames]]' means equal the fill
+    * EXACTLY, so an engine with no container parser (the DuckDB oracle)
+    * predicts every column arithmetically while the Spark side exercises
+    * the real RIFF demux + DIB read-back.
+    */
+  def syntheticAvi(id: Long): Array[Byte] = {
+    val w = 4 + (id % 4).toInt
+    val h = 3 + (id % 3).toInt
+    val n = 3 + (id % 4).toInt
+    val frames = (0 until n).map { f =>
+      graft.sources.AviDemux.solidDibFrame(w, h,
+        ((id * 19 + f * 23) % 256).toInt,
+        ((id * 13 + f * 17) % 256).toInt,
+        ((id * 11 + f * 7) % 256).toInt)
+    }
+    graft.sources.AviDemux.mux(frames, w, h, 40000L, compressed = false)
+  }
+
+  /** Deterministic synthetic MJPEG AVI (each frame a real ImageIO JPEG
+    * of a solid gray) — the compressed-container fixture for round-trip
+    * specs. JPEG is lossy, so specs assert dimensions exactly and fills
+    * within codec tolerance rather than bit-equality.
+    */
+  def syntheticMjpegAvi(id: Long): Array[Byte] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val w = 16 + (id % 4).toInt * 8
+    val h = 16 + (id % 3).toInt * 8
+    val n = 2 + (id % 3).toInt
+    val frames = (0 until n).map { f =>
+      val gray = (40 + ((id * 31 + f * 53) % 176)).toInt
+      val im = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g2 = im.createGraphics()
+      try {
+        g2.setColor(new java.awt.Color(gray, gray, gray))
+        g2.fillRect(0, 0, w, h)
+      } finally g2.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "jpg", bos)
+      bos.toByteArray
+    }
+    graft.sources.AviDemux.mux(frames, w, h, 40000L, compressed = true)
+  }
+
   /** STUB: a deterministic payload-derived "frame list" standing in for
-    * a real video demux+decode (no codecs on the offline JVM) — NOT a
-    * real decode. Frame count and bytes derive from the payload hash so
-    * tests are stable.
+    * a real video demux+decode of the codec tiers the JVM lacks
+    * (inter-frame codecs: H.264 etc.) — NOT a real decode; the AVI
+    * container tier IS real, see [[sampleAviFrames]]. Frame count and
+    * bytes derive from the payload hash so tests are stable.
     */
   private[graft] def fakeVideoFrames(payload: Array[Byte]): Seq[Array[Byte]] = {
     var h = 1125899906842597L

@@ -215,4 +215,59 @@ class MultimodalSpec extends SparkSpec {
       assert(f.duration_ms == (800 + id % 100) * 1000.0 / 8000.0)
     }
   }
+
+  test("AVI demux round-trips the synthetic uncompressed container: " +
+      "sampled DIB frames decode to their closed-form fills EXACTLY " +
+      "(the q99 contract)") {
+    val session = spark
+    import session.implicits._
+    val ids = Seq(0L, 1L, 7L, 123L)
+    val assets = ids.map { id =>
+      val avi = Multimodal.syntheticAvi(id)
+      Multimodal.Asset(id, avi, "video/x-msvideo", avi.length.toLong)
+    }.toDS()
+    val stats = Multimodal.decodeVideoFrames(
+        Multimodal.sampleAviFrames(assets, everyNth = 2)).collect()
+      .map(f => (f.asset_id, f.frame_idx) -> f).toMap
+    for (id <- ids) {
+      val n = 3 + (id % 4).toInt
+      val kept = (0 until n).filter(_ % 2 == 0)
+      assert(stats.keys.count(_._1 == id) == kept.length, s"id=$id")
+      for (f <- kept) {
+        val s = stats((id, f))
+        assert(s.width == 4 + (id % 4).toInt && s.height == 3 + (id % 3).toInt)
+        assert(s.ts_ms == f * 40.0) // 25 fps from the container header
+        assert(s.mean_r == ((id * 19 + f * 23) % 256).toDouble, s"id=$id f=$f")
+        assert(s.mean_g == ((id * 13 + f * 17) % 256).toDouble)
+        assert(s.mean_b == ((id * 11 + f * 7) % 256).toDouble)
+      }
+    }
+  }
+
+  test("MJPEG AVI frames are REAL JPEGs: demux + ImageIO decode gives " +
+      "exact dimensions and near-fill means (codec tolerance), and " +
+      "non-AVI / truncated payloads are dropped, not thrown") {
+    val session = spark
+    import session.implicits._
+    val avi = Multimodal.syntheticMjpegAvi(5L)
+    val assets = Seq(
+      Multimodal.Asset(5L, avi, "video/x-msvideo", avi.length.toLong),
+      Multimodal.Asset(6L, "not an avi".getBytes("UTF-8"), "video/mp4", 10L),
+      Multimodal.Asset(7L, avi.take(40).toArray, "video/x-msvideo", 40L))
+      .toDS()
+    val stats = Multimodal.decodeVideoFrames(
+      Multimodal.sampleAviFrames(assets, everyNth = 1)).collect()
+    assert(stats.forall(_.asset_id == 5L), "broken payloads must drop")
+    val n = 2 + (5L % 3).toInt
+    assert(stats.length == n)
+    for (s <- stats) {
+      assert(s.width == 16 + (5 % 4) * 8 && s.height == 16 + (5 % 3) * 8)
+      val gray = (40 + ((5L * 31 + s.frame_idx * 53) % 176)).toDouble
+      for (m <- Seq(s.mean_r, s.mean_g, s.mean_b))
+        assert(math.abs(m - gray) < 3.0, s"frame ${s.frame_idx}: $m vs $gray")
+    }
+    // the demuxer itself: structural garbage is None, never an exception
+    assert(graft.sources.AviDemux.demux("RIFFxxxx".getBytes("UTF-8")).isEmpty)
+    assert(graft.sources.AviDemux.demux(Array[Byte]()).isEmpty)
+  }
 }
