@@ -1144,8 +1144,9 @@ object OracleSql {
         |parts3 AS (SELECT doc_id, scheme, host,
         |    CASE WHEN path0 = '' THEN '/'
         |         ELSE regexp_replace(path0, '(.)/$', '\1') END AS path,
-        |    regexp_replace(regexp_replace(regexp_replace(qs0,
-        |      '(^|&)utm_[A-Za-z0-9_]+(=[^&]*)?', '\1', 'g'),
+        |    regexp_replace(regexp_replace(regexp_replace(
+        |      replace(qs0, '&', '&&'),
+        |      '(^|&)utm_[A-Za-z0-9_]+(=[^&]*)?(&|$)', '\1\3', 'g'),
         |      '&&+', '&', 'g'), '^&+|&+$', '', 'g') AS qs
         |  FROM parts2),
         |c AS (SELECT doc_id,

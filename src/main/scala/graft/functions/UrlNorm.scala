@@ -50,9 +50,19 @@ object UrlNorm {
     val path = when(path0 === "", lit("/"))
       .otherwise(regexp_replace(path0, "(.)/$", "$1"))
     val qs0 = regexp_extract(after, "\\?(.*)$", 1)
-    val qs1 = regexp_replace(qs0, "(^|&)utm_[A-Za-z0-9_]+(=[^&]*)?", "$1")
-    val qs2 = regexp_replace(qs1, "&&+", "&")
-    val qs3 = regexp_replace(qs2, "^&+|&+$", "")
+    // The strip must only remove a COMPLETE param: without a trailing
+    // boundary, `utm_source-platform=x` would lose its bare `utm_source`
+    // prefix and corrupt the query ('-' is outside the name class). RE2
+    // has no lookahead, so the boundary is consumed + re-emitted — and
+    // every '&' is doubled FIRST so adjacent utm params each own a
+    // separator on both sides (a consumed '&' otherwise hides the next
+    // param from `(^|&)` in the same pass); the debris-collapse below
+    // undoes the padding.
+    val qs1 = replace(qs0, lit("&"), lit("&&"))
+    val qs2 = regexp_replace(qs1,
+      "(^|&)utm_[A-Za-z0-9_]+(=[^&]*)?(&|$)", "$1$3")
+    val qs3 = regexp_replace(
+      regexp_replace(qs2, "&&+", "&"), "^&+|&+$", "")
     when(scheme === "", u).otherwise(
       concat(scheme, lit("://"), host, path,
         when(qs3 === "", lit("")).otherwise(concat(lit("?"), qs3))))

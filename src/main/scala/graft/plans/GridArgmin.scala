@@ -28,8 +28,10 @@ import org.apache.spark.sql.types.{DataType, IntegerType}
   *
   * Dims are fixed per corpus; if a centroid and vector disagree in length
   * the common prefix is compared (callers guarantee equal dims, the
-  * DotProduct convention). Null ELEMENTS are not expected — embedding
-  * arrays are dense; callers guarantee non-null elements.
+  * DotProduct convention). A null ELEMENT fails loudly with the position
+  * named (the decimal tier's raise_error convention): this tier exists to
+  * be auditable, and silently reading a null slot as 0.0 would poison the
+  * argmin instead.
   */
 case class GridArgmin(child: Expression, centroids: Array[Array[Long]])
     extends UnaryExpression {
@@ -75,7 +77,11 @@ object GridArgmin {
     val n = v.numElements()
     val g = new Array[Long](n)
     var i = 0
-    while (i < n) { g(i) = toGrid(v.getDouble(i)); i += 1 }
+    while (i < n) {
+      if (v.isNullAt(i)) throw new IllegalArgumentException(
+        s"KMeans exact tier requires dense vectors; null coordinate at index $i")
+      g(i) = toGrid(v.getDouble(i)); i += 1
+    }
     var best = -1
     var bestHi = 0L
     var bestLo = 0L

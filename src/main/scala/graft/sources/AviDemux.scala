@@ -95,9 +95,14 @@ object AviDemux {
     */
   def dibChannelMeans(frame: Array[Byte], width: Int, height: Int)
       : Option[(Double, Double, Double)] = {
-    val stride = ((width * 3 + 3) / 4) * 4
-    if (width <= 0 || height <= 0 ||
-      frame.length < stride * height) return None
+    if (width <= 0 || height <= 0) return None
+    // Long math: a crafted header (e.g. 50000x50000 on a 100-byte chunk)
+    // must fail the bounds check, not overflow Int past it and then
+    // throw out of the pixel loop — inputs are untrusted, the contract
+    // is drop-never-throw
+    val strideL = ((width.toLong * 3 + 3) / 4) * 4
+    if (strideL * height > frame.length) return None
+    val stride = strideL.toInt // <= frame.length, so it fits
     var (sr, sg, sb) = (0L, 0L, 0L)
     var y = 0
     while (y < height) {

@@ -59,6 +59,16 @@ class UrlNormSpec extends SparkSpec {
     // anchors at a param boundary
     assert(canon("https://e.com/p?utm=1&xutm_a=2")
       == Seq("https://e.com/p?utm=1&xutm_a=2"))
+    // a name continuing with chars OUTSIDE the class is NOT a utm param:
+    // the whole param must survive (a bare-prefix strip would corrupt it
+    // to '-platform=x' and falsely collide distinct URLs)
+    assert(canon("https://e.com/p?utm_source-platform=x")
+      == Seq("https://e.com/p?utm_source-platform=x"))
+    // adjacent utm params don't hide each other behind a consumed '&'
+    assert(canon("https://e.com/p?utm_a&utm_b&utm_c&id=1")
+      == Seq("https://e.com/p?id=1"))
+    assert(canon("https://e.com/p?utm_a=1&utm_b=2&utm_c=3&utm_d=4")
+      == Seq("https://e.com/p"))
   }
 
   test("percent-encoding normalizes per RFC 3986 6.2.2.2: unreserved " +

@@ -217,6 +217,22 @@ class KMeansSpec extends SparkSpec {
     assert(ok.length == 3)
   }
 
+  test("the exact tier fails LOUDLY on a null coordinate (position " +
+      "named) instead of silently reading it as 0.0") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(1, 4).select(col("id").as("vec_id"),
+      array(lit(0.5),
+        when(col("id") === 2, lit(null).cast("double"))
+          .otherwise(lit(0.25))).as("embedding"))
+    val e = intercept[Exception] {
+      KMeans.fitAssign(df, "vec_id", "embedding", 2, 0).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("null coordinate at index 1")),
+      e.toString)
+  }
+
   test("k larger than distinct seeds available is rejected; empty " +
       "clusters keep their previous centroid rather than crashing") {
     val data = blobs().take(4)

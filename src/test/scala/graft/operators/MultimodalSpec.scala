@@ -269,5 +269,9 @@ class MultimodalSpec extends SparkSpec {
     // the demuxer itself: structural garbage is None, never an exception
     assert(graft.sources.AviDemux.demux("RIFFxxxx".getBytes("UTF-8")).isEmpty)
     assert(graft.sources.AviDemux.demux(Array[Byte]()).isEmpty)
+    // a crafted header whose stride*height overflows Int must fail the
+    // bounds check (None), not ride the overflow into the pixel loop
+    assert(graft.sources.AviDemux
+      .dibChannelMeans(new Array[Byte](100), 50000, 50000).isEmpty)
   }
 }
