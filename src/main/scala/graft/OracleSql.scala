@@ -1464,5 +1464,68 @@ object OracleSql {
         |  CAST((doc_id * 13 + f * 17) % 256 AS DOUBLE) AS mean_g,
         |  CAST((doc_id * 11 + f * 7) % 256 AS DOUBLE) AS mean_b
         |FROM frames ORDER BY asset_id, frame_idx""".stripMargin,
+
+    // full replay of the repeated-span dedup: identical plants, 8-token
+    // windows over the same single-space tokenization, keeper =
+    // lexicographic-min (doc,pos) via the same two-level grouping,
+    // fixed-length island merge (new span iff pos > lag+8), then the
+    // token-level cut. Positions come from a bounded range cross join
+    // (docs cap at ~112 tokens incl. plants; 128 bounds it) — DuckDB
+    // has no WITH ORDINALITY. Window strings group RAW (no hash); the
+    // Spark side's xxhash64 keys are collision-free at this scale.
+    "q100_repeated_spans" ->
+      """WITH d0 AS (
+        |  SELECT doc_id,
+        |    text || CASE CAST(doc_id % 3 AS INTEGER)
+        |      WHEN 0 THEN ' subscribe to our newsletter today for daily market updates and offers'
+        |      WHEN 1 THEN ' all rights reserved contact support for assistance with billing'
+        |      ELSE '' END AS text
+        |  FROM documents),
+        |tl AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), w -> w <> '') AS ts
+        |  FROM d0),
+        |idx AS (SELECT unnest(range(0, 128)) AS i),
+        |win AS (
+        |  SELECT t.doc_id, i.i AS pos,
+        |    array_to_string(list_slice(t.ts, i.i + 1, i.i + 8), ' ') AS w
+        |  FROM tl t, idx i WHERE i.i + 8 <= len(t.ts)),
+        |k1 AS (SELECT w, min(doc_id) AS kd, count(*) AS cnt
+        |  FROM win GROUP BY w),
+        |k2 AS (SELECT win.w, k1.kd, k1.cnt, min(win.pos) AS kp
+        |  FROM win JOIN k1 ON win.w = k1.w AND win.doc_id = k1.kd
+        |  GROUP BY win.w, k1.kd, k1.cnt),
+        |marked AS (
+        |  SELECT win.doc_id, win.pos FROM win JOIN k2 ON win.w = k2.w
+        |  WHERE k2.cnt > 1 AND NOT (win.doc_id = k2.kd AND win.pos = k2.kp)),
+        |lg AS (SELECT doc_id, pos,
+        |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |  FROM marked),
+        |isl AS (SELECT doc_id, pos,
+        |    CASE WHEN prev IS NULL OR pos > prev + 8 THEN 1 ELSE 0 END AS nw
+        |  FROM lg),
+        |isl2 AS (SELECT doc_id, pos,
+        |    sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM isl),
+        |spans AS (SELECT doc_id, g, min(pos) AS s, max(pos) + 8 AS e
+        |  FROM isl2 GROUP BY doc_id, g),
+        |stats AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |    CAST(sum(e - s) AS BIGINT) AS removed_tokens
+        |  FROM spans GROUP BY doc_id),
+        |tok2 AS (SELECT t.doc_id, i.i AS pos, t.ts[i.i + 1] AS tok
+        |  FROM tl t, idx i WHERE i.i < len(t.ts)),
+        |kept AS (SELECT t.doc_id, t.pos, t.tok FROM tok2 t
+        |  LEFT JOIN spans sp ON t.doc_id = sp.doc_id
+        |    AND t.pos >= sp.s AND t.pos < sp.e
+        |  WHERE sp.doc_id IS NULL),
+        |clean AS (SELECT doc_id,
+        |    string_agg(tok, ' ' ORDER BY pos) AS clean_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d0.doc_id AS doc_id,
+        |  coalesce(st.n_spans, 0) AS n_spans,
+        |  coalesce(st.removed_tokens, 0) AS removed_tokens,
+        |  md5(coalesce(c.clean_text, '')) AS clean_md5
+        |FROM d0
+        |LEFT JOIN stats st ON d0.doc_id = st.doc_id
+        |LEFT JOIN clean c ON d0.doc_id = c.doc_id
+        |ORDER BY d0.doc_id""".stripMargin,
   )
 }

@@ -1355,6 +1355,29 @@ object SparkEntry {
       .orderBy("asset_id", "frame_idx")
   }
 
+  /** Repeated-span (substring-level) dedup, Lee et al. 2022: two
+    * boilerplate passages are planted onto two-thirds of the corpus;
+    * every occurrence except the globally-first is cut
+    * ([[graft.operators.Dedup.cutRepeatedSpans]], n=8 token windows,
+    * keeper = min (doc,pos) via skew-safe partial agg). Gate columns:
+    * span/removed counts + md5 of the cleaned text; the oracle replays
+    * windowing, keeper choice, island merge, and the cut in DuckDB SQL
+    * over the identical plants.
+    */
+  private def q100(s: SparkSession, d: String): DataFrame = {
+    val boilA = "subscribe to our newsletter today for daily market updates and offers"
+    val boilB = "all rights reserved contact support for assistance with billing"
+    val planted = docs(s, d).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit(" " + boilA))
+          .when(col("doc_id") % 3 === 1, lit(" " + boilB))
+          .otherwise(lit(""))).as("text"))
+    graft.operators.Dedup.cutRepeatedSpans(planted, "doc_id", "text", n = 8)
+      .select(col("doc_id"), col("n_spans"), col("removed_tokens"),
+        md5(col("clean_text").cast("binary")).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Dedup observability report: per source, total docs / exact-dedup
     * survivors / duplicates (global keeper choice — cross-source
     * duplication counts against the copying source).
@@ -1466,6 +1489,7 @@ object SparkEntry {
     "q97_containment_pairs" -> (q97(_, _)),
     "q98_html_to_text" -> (q98(_, _)),
     "q99_video_frames" -> (q99(_, _)),
+    "q100_repeated_spans" -> (q100(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

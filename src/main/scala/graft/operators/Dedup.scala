@@ -222,6 +222,96 @@ object Dedup {
         round(col("containment"), 6).as("containment"))
   }
 
+  /** EXACT repeated-span detection — substring-level dedup (Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better":
+    * duplicated PASSAGES inside otherwise-distinct documents are what
+    * whole-doc dedup can never remove, and they dominate memorization).
+    * Token-window formulation of the paper's suffix-array method: every
+    * `n`-token window is hashed; a window occurring more than once in
+    * the corpus (across documents OR within one) is a duplicate
+    * EXCEPT at its globally-first occurrence (smallest `(doc, pos)` —
+    * the keeper, so one copy of every passage always survives);
+    * duplicate windows then merge per document into maximal spans
+    * (overlapping or back-to-back windows coalesce). Returns
+    * `(id, span_start, span_end)` token-index half-open spans. Docs
+    * with fewer than `n` tokens never participate (a "span" below the
+    * window length is whole-doc territory — [[incrementalDedup]]'s job).
+    *
+    * Scale shape: NO self-join and NO per-hash window function — a hot
+    * boilerplate window (millions of occurrences of one hash) would make
+    * either quadratic or single-task; instead the keeper is a two-level
+    * partial aggregation (`min(struct(doc,pos))` per hash) joined back,
+    * so the hot key combines map-side. One shuffle for the keeper agg,
+    * one for the join, one doc-partitioned window (bounded by document
+    * length) for the span merge.
+    */
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n > 0, s"n=$n must be positive")
+    val eligible = df.filter(size(TextAnalysis.tokens(col(textCol))) >= n)
+    // 64-bit window keys, the q60/q97 precedent: ~4x smaller shuffle
+    // than the strings; a collision (~2^-64 per pair) could merge two
+    // distinct windows' occurrence lists — documented, never hit at the
+    // oracle's scale
+    val win = shingleRowsPos(eligible, idCol, textCol, n)
+      .select(col(idCol), col("pos"), xxhash64(col("sh")).as("__h"))
+    val keepers = win.groupBy("__h").agg(
+      min(struct(col(idCol).as("d"), col("pos").as("p"))).as("__k"),
+      count(lit(1)).as("__cnt"))
+    val marked = win.join(keepers, Seq("__h"))
+      .filter(col("__cnt") > 1 &&
+        !(col(idCol) === col("__k.d") && col("pos") === col("__k.p")))
+      .select(col(idCol), col("pos"))
+    val wd = Window.partitionBy(idCol).orderBy("pos")
+    marked
+      .withColumn("__prev", lag(col("pos"), 1).over(wd))
+      // fixed-length windows sorted by pos: coverage so far ends at
+      // lag(pos)+n, so a new span starts iff pos > lag(pos)+n (back-to-
+      // back windows coalesce — same removed set, fewer spans)
+      .withColumn("__new",
+        when(col("__prev").isNull || col("pos") > col("__prev") + n, 1)
+          .otherwise(0))
+      .withColumn("__isl", sum(col("__new")).over(
+        wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + n).as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"))
+  }
+
+  /** [[repeatedSpans]] applied: per document, the cleaned text with
+    * every duplicated span cut (tokens re-joined with single spaces —
+    * the tokenizer's normal form), plus span/removed-token counts.
+    * A document that was ONE big duplicate comes back empty, not
+    * dropped — the caller decides the fate of empties.
+    */
+  def cutRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val spans = CacheRegistry.track(
+      repeatedSpans(df, idCol, textCol, n).persist())
+    val stats = spans.groupBy(idCol).agg(
+      count(lit(1)).as("n_spans"),
+      sum(col("span_end") - col("span_start")).as("removed_tokens"))
+    val toks = df.select(col(idCol),
+      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val kept = toks.join(spans,
+      toks(idCol) === spans(idCol) &&
+        col("pos") >= col("span_start") && col("pos") < col("span_end"),
+      "left_anti")
+    val clean = kept.groupBy(idCol).agg(
+      array_join(transform(
+        sort_array(collect_list(struct(col("pos"), col("tok")))),
+        s => s.getField("tok")), " ").as("clean_text"))
+    df.select(col(idCol))
+      .join(clean, Seq(idCol), "left")
+      .join(stats, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("removed_tokens"), lit(0L)).as("removed_tokens"))
+  }
+
   // ------------------------------------------------------------- shingles
 
   /** Word w-shingles as an array column: contiguous n-token windows joined

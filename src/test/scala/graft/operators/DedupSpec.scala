@@ -437,6 +437,51 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("repeatedSpans: a passage shared across docs is cut everywhere " +
+      "EXCEPT its globally-first occurrence; spans merge maximally; " +
+      "sub-n docs never participate") {
+    import spark.implicits._
+    val boiler = "subscribe to our newsletter for daily updates and offers now"
+    val df = Seq(
+      (1L, s"alpha beta gamma delta $boiler"),            // keeper (min doc)
+      (2L, s"epsilon zeta eta theta iota $boiler kappa"), // cut
+      (3L, s"$boiler"),                                   // cut entirely
+      (4L, "unrelated text with no shared passage at all whatsoever here"),
+      (5L, "tiny doc"))                                   // < n tokens
+      .toDF("doc_id", "text")
+    val out = Dedup.cutRepeatedSpans(df, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // keeper doc 1 keeps everything (its occurrence is globally first)
+    assert(out(1L) == ((s"alpha beta gamma delta $boiler", 0L, 0L)), out(1L))
+    // doc 2 loses exactly the 10-token boilerplate, one merged span
+    assert(out(2L) == (("epsilon zeta eta theta iota kappa", 1L, 10L)), out(2L))
+    // doc 3 WAS the passage: comes back empty, not dropped
+    assert(out(3L) == (("", 1L, 10L)), out(3L))
+    assert(out(4L)._2 == 0L && out(5L)._2 == 0L)
+    val spans = Dedup.repeatedSpans(df, "doc_id", "text", n = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(spans == Set((2L, 5, 15), (3L, 0, 10)), spans)
+  }
+
+  test("repeatedSpans catches WITHIN-document repetition (second " +
+      "occurrence cut, first kept) and leaves a repeat-free corpus " +
+      "byte-identical to its token normal form") {
+    import spark.implicits._
+    val run = "one two three four five six seven eight"
+    val df = Seq(
+      (1L, s"$run filler padding words between occurrences $run"),
+      (2L, "a fully unique document with nothing repeated inside it"))
+      .toDF("doc_id", "text")
+    val out = Dedup.cutRepeatedSpans(df, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((s"$run filler padding words between occurrences",
+      1L, 8L)), out(1L))
+    assert(out(2L) == (("a fully unique document with nothing repeated " +
+      "inside it", 0L, 0L)), out(2L))
+  }
+
   test("cache registry: operators track persisted frames, drain releases them") {
     CacheRegistry.drain()
     Dedup.minhashNearDups(corpus(), "doc_id", "text").count()
