@@ -72,6 +72,22 @@ object ScaleStress {
     def semdedupFast(e: DataFrame): Long =
       KMeans.semanticDedup(e, "vec_id", "embedding", 8, 1, 0.99,
         exact = false).count()
+    // round-7 tiers: the codegen'd EXACT assignment (GridArgmin per-row
+    // path — the interesting scaling axis after the 18x rewrite), the
+    // AVI demux+decode pipeline, and the repeated-span cut
+    def kmeansExact(e: DataFrame): Long =
+      KMeans.fitAssign(e, "vec_id", "embedding", 8, 1, exact = true).count()
+    def aviFrames(d: DataFrame): Long = {
+      import spark.implicits._
+      val assets = d.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+        val avi = Multimodal.syntheticAvi(id)
+        Multimodal.Asset(id, avi, "video/x-msvideo", avi.length.toLong)
+      })
+      Multimodal.decodeVideoFrames(
+        Multimodal.sampleAviFrames(assets, everyNth = 2)).count()
+    }
+    def spans(d: DataFrame): Long =
+      Dedup.cutRepeatedSpans(d, "doc_id", "text", 8).count()
 
     println(s"[stress] --- base (1x, $sfDir) ---")
     time("bloom_dedup")(bloom(docs))
@@ -79,14 +95,20 @@ object ScaleStress {
     time("bigram_lm")(lm(docs))
     time("containment")(containment(docs))
     time("kmeans_fast")(kmeansFast(embs))
+    time("kmeans_exact")(kmeansExact(embs))
     time("semdedup_fast")(semdedupFast(embs))
+    time("avi_frames")(aviFrames(docs))
+    time("repeated_spans")(spans(docs))
     println(s"[stress] --- ${reps}x replicated ---")
     time("bloom_dedup")(bloom(docsN))
     time("group_quota")(quota(docsN))
     time("bigram_lm")(lm(docsN))
     time("containment")(containment(docsN))
     time("kmeans_fast")(kmeansFast(embsN))
+    time("kmeans_exact")(kmeansExact(embsN))
     time("semdedup_fast")(semdedupFast(embsN))
+    time("avi_frames")(aviFrames(docsN))
+    time("repeated_spans")(spans(docsN))
     spark.stop()
   }
 }
