@@ -1527,5 +1527,16 @@ object OracleSql {
         |LEFT JOIN stats st ON d0.doc_id = st.doc_id
         |LEFT JOIN clean c ON d0.doc_id = c.doc_id
         |ORDER BY d0.doc_id""".stripMargin,
+
+    // WARC round-trip is closed-form: framing is deterministic, so the
+    // parsed-back record is exactly (id, 200, the planted content-type,
+    // md5 + byte length of the original text)
+    "q101_warc_roundtrip" ->
+      """SELECT doc_id, 'response' AS warc_type,
+        |  CAST(200 AS BIGINT) AS http_status,
+        |  'text/plain; charset=utf-8' AS http_content_type,
+        |  md5(text) AS body_md5,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1378,6 +1378,39 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** WARC ingestion (ISO 28500, [[graft.sources.WarcReader]]): each
+    * partition's docs are packed into a REAL member-per-record
+    * `.warc.gz` byte stream (response records with HTTP payloads) and
+    * parsed back through the reader — the Common Crawl segment shape.
+    * Gate columns prove the full framing survives: the id parsed back
+    * out of the target URI, HTTP status and content-type from the
+    * embedded HTTP head, and md5/byte-length of the extracted body
+    * (closed-form: md5(text) in the oracle).
+    */
+  private def q101(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rows = docs(s, d).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val recs = it.map { case (id, text) =>
+          graft.sources.WarcReader.WarcRecord("response",
+            s"https://corpus.example/doc/$id", "2024-01-01T00:00:00Z",
+            200, "text/plain; charset=utf-8", text.getBytes("UTF-8"))
+        }.toSeq
+        if (recs.isEmpty) Iterator.empty
+        else graft.sources.WarcReader.parseRecords(
+          graft.sources.WarcReader.write(recs, gzipPerRecord = true)).iterator
+      }
+    rows.toDF().select(
+      regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1)
+        .cast("long").as("doc_id"),
+      col("warc_type"), col("http_status").cast("long").as("http_status"),
+      col("http_content_type"),
+      md5(col("body")).as("body_md5"),
+      octet_length(col("body")).cast("long").as("n_bytes"))
+      .orderBy("doc_id")
+  }
+
   /** Dedup observability report: per source, total docs / exact-dedup
     * survivors / duplicates (global keeper choice — cross-source
     * duplication counts against the copying source).
@@ -1490,6 +1523,7 @@ object SparkEntry {
     "q98_html_to_text" -> (q98(_, _)),
     "q99_video_frames" -> (q99(_, _)),
     "q100_repeated_spans" -> (q100(_, _)),
+    "q101_warc_roundtrip" -> (q101(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -482,6 +482,48 @@ class DedupSpec extends SparkSpec {
       "inside it", 0L, 0L)), out(2L))
   }
 
+  test("repeatedSpans == an independent brute-force reference on seeded " +
+      "RANDOM corpora (small vocab forces organic cross- and within-doc " +
+      "window repeats)") {
+    import spark.implicits._
+    val L = 4
+    for (seed <- Seq(13, 57)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = (0 until 6).map(i => s"w$i") // tiny vocab: 4-grams repeat
+      val raw = (0 until 30).map { i =>
+        val len = 2 + rnd.nextInt(20) // exercises the <L branch too
+        (i.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val df = raw.toDF("doc_id", "text")
+      val got = Dedup.repeatedSpans(df, "doc_id", "text", L)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+      // brute force, written independently of the operator: enumerate
+      // every window, pick each window-string's lexicographic-min
+      // (doc,pos) keeper, mark the rest, merge per doc
+      val wins = for {
+        (id, text) <- raw
+        ts = text.split(" ").filter(_.nonEmpty)
+        p <- 0 to ts.length - L
+      } yield (ts.slice(p, p + L).mkString(" "), id, p)
+      val marked = wins.groupBy(_._1).values.flatMap { occ =>
+        if (occ.size < 2) Nil
+        else occ.map(o => (o._2, o._3)).sorted.tail
+      }.toSeq
+      val expect = marked.groupBy(_._1).flatMap { case (id, ps) =>
+        val sorted = ps.map(_._2).sorted
+        val spans = scala.collection.mutable.ListBuffer[(Int, Int)]()
+        for (p <- sorted) {
+          if (spans.nonEmpty && p <= spans.last._2) {
+            val (s, _) = spans.remove(spans.length - 1); spans += ((s, p + L))
+          } else spans += ((p, p + L))
+        }
+        spans.map { case (s, e) => (id, s, e) }
+      }.toSet
+      assert(got == expect, s"seed $seed")
+      CacheRegistry.drain()
+    }
+  }
+
   test("cache registry: operators track persisted frames, drain releases them") {
     CacheRegistry.drain()
     Dedup.minhashNearDups(corpus(), "doc_id", "text").count()
