@@ -175,4 +175,25 @@ class ScaleGuardSpec extends SparkSpec {
         s"$name: ($x,$y) vs ($x2,$y2)")
     }
   }
+
+  test("repeatedSpans: keeper choice is partial-agg + equi-join (no " +
+      "self-join, no cartesian, no un-partitioned window), and the cut " +
+      "join is doc-keyed") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i =>
+      (i, s"w${i % 3} w${i % 5} w${i % 3} w${i % 2} w${i % 5} w1 w2"))
+      .toDF("doc_id", "text")
+    val spanPlan = Dedup.repeatedSpans(docs, "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString
+    assert(!spanPlan.contains("CartesianProduct"), spanPlan.take(2000))
+    assert(!spanPlan.contains("BroadcastNestedLoopJoin"), spanPlan.take(2000))
+    // the only window runs per document, never one global partition
+    assert(!spanPlan.contains("Window [") ||
+      !spanPlan.contains("No Partition Defined"), spanPlan.take(2000))
+    val cutPlan = Dedup.cutRepeatedSpans(docs, "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString
+    assert(!cutPlan.contains("CartesianProduct"), cutPlan.take(2000))
+    assert(!cutPlan.contains("BroadcastNestedLoopJoin"), cutPlan.take(2000))
+    CacheRegistry.drain()
+  }
 }
