@@ -26,6 +26,89 @@ object OracleSql {
 
   private val stop = "('the','a','of','and','to','in','is','on','for','with')"
 
+  /** Unrolled Sennrich BPE chain (q102/q103): `w0` = word counts with
+    * char symbolization; each stage k derives weighted adjacent-pair
+    * counts (`p{k}`), the count-DESC / lex-ASC argmax (`b{k}`), and the
+    * next vocabulary (`w{k+1}`) via the same doubled-separator literal
+    * replace the Scala operator uses — rule choice, tiebreaks, and
+    * greedy-leftmost application all replayed in SQL. Every stage is
+    * `AS MATERIALIZED`: DuckDB inlines CTEs by default, and each stage
+    * references its parent ~3× (FROM + two scalar subqueries), so the
+    * un-hinted 12-stage chain expands to ~3¹² scans of `documents`
+    * (observed as an fd-exhaustion error before it finishes planning).
+    */
+  private def bpeCtes(numMerges: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """w0 AS MATERIALIZED (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS cnt,
+        |    regexp_replace(w, '(.)', '\1 ', 'g') || '</w>' AS sym
+        |  FROM (SELECT unnest(list_filter(string_split(text, ' '),
+        |          x -> x <> '')) AS w FROM documents)
+        |  WHERE regexp_matches(w, '^[a-z]+$') AND strlen(w) <= 32
+        |  GROUP BY w)""".stripMargin)
+    for (k <- 0 until numMerges) {
+      sb.append(",\n")
+      sb.append(
+        s"""p$k AS MATERIALIZED (
+           |  SELECT ls[i] AS a, ls[i+1] AS b, CAST(SUM(cnt) AS BIGINT) AS pc
+           |  FROM (SELECT cnt, ls, unnest(range(1, len(ls))) AS i
+           |        FROM (SELECT cnt, string_split(sym, ' ') AS ls FROM w$k)
+           |        WHERE len(ls) >= 2)
+           |  GROUP BY 1, 2),
+           |b$k AS MATERIALIZED (
+           |  SELECT a, b, pc FROM p$k ORDER BY pc DESC, a, b LIMIT 1),
+           |w${k + 1} AS MATERIALIZED (
+           |  SELECT w, cnt, trim(regexp_replace(
+           |    replace(' ' || replace(sym, ' ', '  ') || ' ',
+           |      (SELECT ' ' || a || '  ' || b || ' ' FROM b$k),
+           |      (SELECT ' ' || a || b || ' ' FROM b$k)),
+           |    ' +', ' ', 'g')) AS sym
+           |  FROM w$k)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  /** Unrolled fixed-point PageRank (q105): all-integer arithmetic in
+    * 10⁻¹⁵ units (`//` floor division — identical to Spark's `div` for
+    * the non-negative values here), so every iteration is bit-exact.
+    * MATERIALIZED keeps DuckDB from re-inlining the edge relation into
+    * each of the `iters` contribution stages.
+    */
+  private def pageRankCtes(iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """ed AS MATERIALIZED (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS MATERIALIZED (
+        |  SELECT ed.src, ed.dst, o.outdeg
+        |  FROM ed JOIN (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+        |                FROM ed GROUP BY src) o USING (src)),
+        |nodes AS MATERIALIZED (
+        |  SELECT c_custkey * 2 AS node FROM customer
+        |  UNION ALL
+        |  SELECT s_suppkey * 2 + 1 AS node FROM supplier),
+        |ncnt AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        |pr0 AS MATERIALIZED (
+        |  SELECT node,
+        |    CAST(1000000000000000 // (SELECT n FROM ncnt) AS BIGINT) AS pr
+        |  FROM nodes)""".stripMargin)
+    for (k <- 0 until iters) {
+      sb.append(",\n")
+      sb.append(
+        s"""c$k AS MATERIALIZED (
+           |  SELECT e.dst AS node, CAST(SUM(p.pr // e.outdeg) AS BIGINT) AS s
+           |  FROM e JOIN pr$k p ON e.src = p.node GROUP BY e.dst),
+           |pr${k + 1} AS MATERIALIZED (
+           |  SELECT n.node,
+           |    CAST(((1000000000000000 // 100) * 15) // (SELECT n FROM ncnt)
+           |      + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS pr
+           |  FROM nodes n LEFT JOIN c$k c USING (node))""".stripMargin)
+    }
+    sb.toString
+  }
+
   val all: Map[String, String] = Map(
     "q01_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
@@ -1538,5 +1621,67 @@ object OracleSql {
         |  md5(text) AS body_md5,
         |  CAST(strlen(text) AS BIGINT) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q102_bpe_merges" -> ("WITH " + bpeCtes(12) + "\n" +
+      (0 until 12).map { k =>
+        s"SELECT CAST(${k + 1} AS BIGINT) AS merge_rank, a AS lhs, " +
+          s"b AS rhs, a || b AS merged, pc AS pair_count FROM b$k"
+      }.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+        "\n) ORDER BY merge_rank")),
+
+    "q103_bpe_encode" -> ("WITH " + bpeCtes(12) + """,
+        |enc AS (SELECT w,
+        |  CAST(len(string_split(sym, ' ')) AS BIGINT) AS ntok FROM w12),
+        |docw AS (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+        |      x -> x <> '')) AS w FROM documents)
+        |  WHERE regexp_matches(w, '^[a-z]+$') AND strlen(w) <= 32)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(SUM(e.ntok) AS BIGINT) AS n_bpe_tokens
+        |FROM docw d JOIN enc e USING (w)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // quality gate → exact dedup (planted clones) → per-source quota →
+    // stable split; each stage is the already-proven q27/q25/q93/q59 SQL
+    "q104_corpus_pipeline" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, source, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, source, text FROM documents
+         |  WHERE doc_id % 7 = 0),
+         |w AS (
+         |  SELECT doc_id, count(*) AS n_tokens,
+         |    count(CASE WHEN lower(word) IN $stop THEN 1 END) AS n_stop
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |        FROM corpus)
+         |  WHERE word <> '' GROUP BY doc_id),
+         |keep AS (
+         |  SELECT c.doc_id, c.source, c.text
+         |  FROM corpus c JOIN w USING (doc_id)
+         |  WHERE w.n_tokens >= 30
+         |    AND CAST(w.n_stop AS DOUBLE) / CAST(w.n_tokens AS DOUBLE) >= 0.04),
+         |ded AS (
+         |  SELECT min(doc_id) AS doc_id FROM keep
+         |  GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))),
+         |quo AS (
+         |  SELECT doc_id, source FROM (
+         |    SELECT k.doc_id, k.source, row_number() OVER (
+         |      PARTITION BY k.source
+         |      ORDER BY md5(CAST(k.doc_id AS VARCHAR)), k.doc_id) AS rn
+         |    FROM keep k JOIN ded USING (doc_id))
+         |  WHERE rn <= 12)
+         |SELECT doc_id, source,
+         |  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))
+         |            AS INTEGER) < 3
+         |       THEN 'test' ELSE 'train' END AS split
+         |FROM quo ORDER BY doc_id""".stripMargin,
+
+    "q105_pagerank" -> ("WITH " + pageRankCtes(5) + """
+        |SELECT node,
+        |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+        |    AS node_type,
+        |  pr
+        |FROM pr5 ORDER BY node""".stripMargin),
   )
 }

@@ -88,6 +88,25 @@ object ScaleStress {
     }
     def spans(d: DataFrame): Long =
       Dedup.cutRepeatedSpans(d, "doc_id", "text", 8).count()
+    // round-7 additions: BPE (corpus pass scales with input; the 12
+    // merge iterations run on the near-constant distinct-word table) and
+    // fixed-point PageRank (5 iterations of join+agg over a synthetic
+    // 3-out-regular graph whose node set scales with the corpus)
+    def bpe(d: DataFrame): Long = {
+      val model = Bpe.learnMerges(d, "text", numMerges = 12)
+      Bpe.encodeCounts(d, "doc_id", "text", model).count()
+    }
+    def pagerank(d: DataFrame): Long = {
+      val nodes = d.select(col("doc_id").as("node"))
+      val edges = Seq(31L, 53L, 71L).map { m =>
+        // dst stays inside the same 97-block, so most edges land on
+        // real nodes after replication's +i·10⁸ id shifts
+        d.select(col("doc_id").as("src"),
+          (col("doc_id") - pmod(col("doc_id"), lit(97L)) +
+            pmod(col("doc_id") * m, lit(97L))).as("dst"))
+      }.reduce(_ unionAll _)
+      PageRank.run(edges, nodes, iters = 5).count()
+    }
 
     println(s"[stress] --- base (1x, $sfDir) ---")
     time("bloom_dedup")(bloom(docs))
@@ -99,6 +118,8 @@ object ScaleStress {
     time("semdedup_fast")(semdedupFast(embs))
     time("avi_frames")(aviFrames(docs))
     time("repeated_spans")(spans(docs))
+    time("bpe_learn_encode")(bpe(docs))
+    time("pagerank")(pagerank(docs))
     println(s"[stress] --- ${reps}x replicated ---")
     time("bloom_dedup")(bloom(docsN))
     time("group_quota")(quota(docsN))
@@ -109,6 +130,8 @@ object ScaleStress {
     time("semdedup_fast")(semdedupFast(embsN))
     time("avi_frames")(aviFrames(docsN))
     time("repeated_spans")(spans(docsN))
+    time("bpe_learn_encode")(bpe(docsN))
+    time("pagerank")(pagerank(docsN))
     spark.stop()
   }
 }

@@ -1411,6 +1411,81 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** BPE merge learning ([[graft.operators.Bpe]], Sennrich et al. 2016):
+    * 12 merge rules learned from the corpus. One corpus-scale word-count
+    * shuffle, then every iteration runs on the distinct-word table with a
+    * single argmax row reaching the driver. The oracle replays the full
+    * chain as 12 unrolled CTE stages (pair counts → count-desc/lex-asc
+    * argmax → doubled-separator literal replace), so rule choice,
+    * tiebreaks, AND greedy-leftmost application are all gate-checked.
+    */
+  private def q102(s: SparkSession, d: String): DataFrame = {
+    val model = graft.operators.Bpe.learnMerges(
+      docs(s, d).select("text"), "text", numMerges = 12)
+    graft.operators.Bpe.mergesDf(s, model).orderBy("merge_rank")
+  }
+
+  /** BPE encoding under the learned model: per-doc subword token counts
+    * (vocabulary joined back as a broadcast; integer-only gate columns).
+    */
+  private def q103(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val model = graft.operators.Bpe.learnMerges(
+      dd.select("text"), "text", numMerges = 12)
+    graft.operators.Bpe.encodeCounts(dd, "doc_id", "text", model)
+      .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** End-to-end corpus-construction pipeline — the composition every
+    * training-data run executes as ONE declarative plan: quality gate
+    * ([[graft.operators.TextAnalysis.qualityFeatures]]) → exact dedup
+    * ([[graft.operators.Dedup.exactDedup]], clones planted on every
+    * doc_id % 7 == 0 so the stage provably fires) → per-source quota
+    * ([[graft.operators.Sampling.groupQuota]]) → stable content-hash
+    * train/test split. Integer/string gate columns only; the oracle
+    * chains the already-proven per-stage SQL shapes (q27/q25/q93/q59).
+    */
+  private def q104(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select("doc_id", "source", "text")
+    val corpus = base.unionAll(
+      base.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+          col("text")))
+    val keep = TextAnalysis.qualityFeatures(corpus, "text", stopwords)
+      .filter(col("n_tokens") >= 30 && col("stop_ratio") >= 0.04)
+      .select("doc_id", "source", "text")
+    val ded = graft.operators.Dedup.exactDedup(keep, "doc_id", "text")
+    val quo = Sampling.groupQuota(
+      ded.select("doc_id", "source"), "doc_id", "source", quota = 12)
+    Sampling.trainTestSplit(quo, "doc_id", testBuckets = 3)
+      .select(col("doc_id"), col("source"), col("split"))
+      .orderBy("doc_id")
+  }
+
+  /** Fixed-point PageRank ([[graft.operators.PageRank]]) over the
+    * customer→supplier link graph (distinct trading pairs via
+    * orders ⋈ lineitem; node ids disambiguated by parity). 5 iterations,
+    * 85/100 damping, ranks in integer 10⁻¹⁵ units — bit-exact on any
+    * engine, so the oracle replays all 5 iterations as unrolled CTEs.
+    */
+  private def q105(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val l = Tables.lineitem(s, d)
+    val edges = o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+    val nodes = Tables.customer(s, d)
+      .select((col("c_custkey") * 2).as("node"))
+      .unionAll(Tables.supplier(s, d).select((col("s_suppkey") * 2 + 1).as("node")))
+    graft.operators.PageRank.run(edges, nodes, iters = 5)
+      .select(col("node"),
+        when(col("node") % 2 === 0, "customer").otherwise("supplier")
+          .as("node_type"),
+        col("pr"))
+      .orderBy("node")
+  }
+
   /** Dedup observability report: per source, total docs / exact-dedup
     * survivors / duplicates (global keeper choice — cross-source
     * duplication counts against the copying source).
@@ -1524,6 +1599,10 @@ object SparkEntry {
     "q99_video_frames" -> (q99(_, _)),
     "q100_repeated_spans" -> (q100(_, _)),
     "q101_warc_roundtrip" -> (q101(_, _)),
+    "q102_bpe_merges" -> (q102(_, _)),
+    "q103_bpe_encode" -> (q103(_, _)),
+    "q104_corpus_pipeline" -> (q104(_, _)),
+    "q105_pagerank" -> (q105(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed byte-pair-encoding merge learning (Sennrich, Haddow &
+  * Birch 2016, "Neural Machine Translation of Rare Words with Subword
+  * Units") — the tokenizer-training step of an LLM data pipeline.
+  *
+  * Scale shape (the reason real trainers — subword-nmt, SentencePiece,
+  * HF tokenizers — all do this): the corpus is touched ONCE, by a single
+  * tokenize + word-count shuffle. Every merge iteration then runs on the
+  * distinct-word table, which is smaller than the corpus by the word
+  * frequency distribution (Zipf: ~10⁸ distinct words for a 100 TB web
+  * corpus vs ~10¹³ tokens). Per iteration: one map-side symbol-pair
+  * explode + one tiny aggregation, and exactly ONE row crosses to the
+  * driver (the argmax pair). The chosen rule is applied as a literal
+  * string `replace` — map-side, whole-stage codegen, no UDF.
+  *
+  * Determinism: the argmax tiebreak is (count DESC, left ASC, right ASC)
+  * via `min(struct(-count, left, right))` — a partial-aggregatable
+  * reduction, no global sort. Merge application is leftmost
+  * non-overlapping (the reference greedy semantics), implemented by
+  * doubling the symbol separators so adjacent occurrences cannot steal
+  * each other's boundary space (`" a  b "` consumes one space per side,
+  * leaving one for the next match).
+  *
+  * Words are held as canonical single-space symbol strings
+  * (`"s p a r k </w>"`) rather than arrays so every step stays in
+  * codegen'd string expressions (the interpreted-HOF cost note on
+  * [[Dedup.prefixJaccardPairs]]).
+  */
+object Bpe {
+
+  /** One learned merge rule: at `rank` (1-based), `left`+`right` had the
+    * highest weighted adjacent-pair count `pairCount` and were fused into
+    * `merged`.
+    */
+  final case class MergeRule(
+      rank: Int, left: String, right: String, merged: String,
+      pairCount: Long)
+
+  /** A learned model: the driver-side rule list (bounded: `numMerges`
+    * rows) plus the final word→symbols vocabulary relation
+    * (`w`, `cnt`, `sym`), persisted and [[CacheRegistry]]-tracked.
+    */
+  final case class Model(merges: Seq[MergeRule], vocab: DataFrame)
+
+  /** Initial symbolization: every character becomes a symbol, plus the
+    * `</w>` end-of-word marker (`"spark"` → `"s p a r k </w>"`).
+    */
+  private def symbolize(w: org.apache.spark.sql.Column) =
+    concat(regexp_replace(w, "(.)", "$1 "), lit("</w>"))
+
+  /** Learn `numMerges` merge rules from whitespace-tokenized `textCol`.
+    *
+    * Only words matching `^[a-z]+$` with length ≤ `maxWordLen` enter the
+    * vocabulary (symbols then never contain spaces or separators, which
+    * keeps the literal-replace application exact); other tokens are
+    * out-of-vocabulary by contract, the standard pre-tokenizer split.
+    *
+    * Each iteration runs exactly ONE Spark job (the argmax collect, which
+    * also materializes the current vocabulary's cache) and then releases
+    * the previous iteration's cache; the driver sees one argmax row per
+    * merge. Stops early if no adjacent pair is left (fully merged
+    * vocabulary).
+    */
+  def learnMerges(
+      df: DataFrame, textCol: String, numMerges: Int,
+      maxWordLen: Int = 32): Model = {
+    require(numMerges > 0, s"numMerges=$numMerges must be positive")
+    require(maxWordLen > 0, s"maxWordLen=$maxWordLen must be positive")
+    var words = CacheRegistry.track(
+      df.select(explode(split(col(textCol), " ")).as("w"))
+        .filter(col("w").rlike("^[a-z]+$") && length(col("w")) <= maxWordLen)
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .withColumn("sym", symbolize(col("w")))
+        .persist())
+
+    val rules = scala.collection.mutable.ArrayBuffer.empty[MergeRule]
+    // one Spark job per iteration: the argmax collect below materializes
+    // the current vocabulary's cache as a side effect, after which the
+    // previous iteration's cache can be dropped — no separate count()
+    var prev: DataFrame = null
+    var k = 0
+    var exhausted = false
+    while (k < numMerges && !exhausted) {
+      // adjacent symbol pairs weighted by word count — posexplode + lead
+      // long form (codegen; the window partitions by word, never global)
+      val syms = words.select(col("w"), col("cnt"),
+        posexplode(split(col("sym"), " "))).toDF("w", "cnt", "pos", "s")
+      val nxt = Window.partitionBy("w").orderBy("pos")
+      val pairs = syms
+        .withColumn("b", lead(col("s"), 1).over(nxt))
+        .filter(col("b").isNotNull)
+        .groupBy(col("s").as("a"), col("b"))
+        .agg(sum(col("cnt")).as("pc"))
+      val best = pairs
+        .agg(min(struct(negate(col("pc")), col("a"), col("b"))).as("m"))
+        .select(col("m")).collect()
+      if (prev != null) { prev.unpersist(blocking = false); prev = null }
+      if (best.isEmpty || best(0).isNullAt(0)) exhausted = true
+      else {
+        val m = best(0).getStruct(0)
+        val (pc, a, b) = (-m.getLong(0), m.getString(1), m.getString(2))
+        rules += MergeRule(k + 1, a, b, a + b, pc)
+        // leftmost non-overlapping application: double the separators so
+        // " a  b " owns one boundary space on each side, then re-canonize
+        val doubled = concat(lit(" "),
+          call_function("replace", col("sym"), lit(" "), lit("  ")),
+          lit(" "))
+        val merged = call_function("replace", doubled,
+          lit(s" $a  $b "), lit(s" ${a + b} "))
+        val next = CacheRegistry.track(
+          words.withColumn("sym",
+            trim(regexp_replace(merged, " +", " "))).persist())
+        prev = words
+        words = next
+        k += 1
+      }
+    }
+    Model(rules.toSeq, words)
+  }
+
+  /** The learned rules as a DataFrame (for the catalog / persistence):
+    * `(merge_rank, lhs, rhs, merged, pair_count)`.
+    */
+  def mergesDf(spark: SparkSession, model: Model): DataFrame = {
+    import spark.implicits._
+    model.merges
+      .map(r => (r.rank.toLong, r.left, r.right, r.merged, r.pairCount))
+      .toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+  }
+
+  /** Per-document BPE token counts under a learned model: each in-vocab
+    * word costs `len(split(final_sym))` tokens. The corpus long form
+    * joins the (tiny, broadcastable) vocabulary — out-of-vocabulary
+    * tokens are skipped by the semi-join, per the learn contract.
+    */
+  def encodeCounts(
+      df: DataFrame, idCol: String, textCol: String,
+      model: Model): DataFrame = {
+    val perWord = model.vocab
+      .select(col("w"), size(split(col("sym"), " ")).cast("long").as("ntok"))
+    df.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+      .join(broadcast(perWord), Seq("w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("ntok")).as("n_bpe_tokens"))
+  }
+}
