@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed byte-pair-encoding merge learning (Sennrich, Haddow &
@@ -86,15 +85,19 @@ object Bpe {
     var k = 0
     var exhausted = false
     while (k < numMerges && !exhausted) {
-      // adjacent symbol pairs weighted by word count — posexplode + lead
-      // long form (codegen; the window partitions by word, never global)
-      val syms = words.select(col("w"), col("cnt"),
-        posexplode(split(col("sym"), " "))).toDF("w", "cnt", "pos", "s")
-      val nxt = Window.partitionBy("w").orderBy("pos")
+      // adjacent symbol pairs weighted by word count — posexplode keeping
+      // the array column, pair partner via arr[pos+1] (GetArrayItem,
+      // codegen; bounds-safe under ANSI because of the pos filter). All
+      // map-side: the only shuffle per iteration is the tiny (a,b) agg —
+      // a lead() window here would add a per-word shuffle+sort of the
+      // exploded symbol table every iteration for no semantic gain.
+      val syms = words.select(col("cnt"), split(col("sym"), " ").as("syms"))
       val pairs = syms
-        .withColumn("b", lead(col("s"), 1).over(nxt))
-        .filter(col("b").isNotNull)
-        .groupBy(col("s").as("a"), col("b"))
+        .select(col("cnt"), col("syms"), posexplode(col("syms")))
+        .filter(col("pos") < size(col("syms")) - 1)
+        .select(col("cnt"), col("col").as("a"),
+          col("syms")(col("pos") + 1).as("b"))
+        .groupBy("a", "b")
         .agg(sum(col("cnt")).as("pc"))
       val best = pairs
         .agg(min(struct(negate(col("pc")), col("a"), col("b"))).as("m"))

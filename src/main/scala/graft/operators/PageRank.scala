@@ -59,8 +59,11 @@ object PageRank {
       val contrib = e.join(pr, e("src") === pr("node"))
         .select(col("dst").as("node"), expr("pr div outdeg").as("c"))
         .groupBy("node").agg(sum(col("c")).as("s"))
+      // the cached rank relation doubles as the node list (same rows,
+      // already partitioned by node) — re-joining raw `nodes` here would
+      // rescan + reshuffle the source every iteration
       val next = CacheRegistry.track(
-        nodes.select(col("node"))
+        pr.select(col("node"))
           .join(contrib, Seq("node"), "left")
           .select(col("node"),
             (lit(teleport) +
