@@ -42,7 +42,8 @@ object Bpe {
 
   /** A learned model: the driver-side rule list (bounded: `numMerges`
     * rows) plus the final word→symbols vocabulary relation
-    * (`w`, `cnt`, `sym`), persisted and [[CacheRegistry]]-tracked.
+    * (`w`, `cnt`, `sym`), materialized as a [[Lineage.cut]] leaf and
+    * [[CacheRegistry]]-tracked (finish downstream actions before drain).
     */
   final case class Model(merges: Seq[MergeRule], vocab: DataFrame)
 
@@ -59,29 +60,27 @@ object Bpe {
     * keeps the literal-replace application exact); other tokens are
     * out-of-vocabulary by contract, the standard pre-tokenizer split.
     *
-    * Each iteration runs exactly ONE Spark job (the argmax collect, which
-    * also materializes the current vocabulary's cache) and then releases
-    * the previous iteration's cache; the driver sees one argmax row per
-    * merge. Stops early if no adjacent pair is left (fully merged
-    * vocabulary).
+    * Each iteration runs two small Spark jobs — the argmax collect and
+    * the lineage-cut materialization of the updated vocabulary
+    * ([[Lineage.cut]], which keeps every iteration's plan constant-size)
+    * — and the driver sees one argmax row per merge. Stops early if no
+    * adjacent pair is left (fully merged vocabulary).
     */
   def learnMerges(
       df: DataFrame, textCol: String, numMerges: Int,
       maxWordLen: Int = 32): Model = {
     require(numMerges > 0, s"numMerges=$numMerges must be positive")
     require(maxWordLen > 0, s"maxWordLen=$maxWordLen must be positive")
-    var words = CacheRegistry.track(
+    // the vocabulary is loop-carried state: lineage-cut each iteration
+    // ([[Lineage.cut]]) so iteration k's plan is a constant-size leaf,
+    // not a k-deep replace chain the analyzer re-walks every iteration
+    var words = Lineage.cut(
       df.select(explode(split(col(textCol), " ")).as("w"))
         .filter(col("w").rlike("^[a-z]+$") && length(col("w")) <= maxWordLen)
         .groupBy("w").agg(count(lit(1)).as("cnt"))
-        .withColumn("sym", symbolize(col("w")))
-        .persist())
+        .withColumn("sym", symbolize(col("w"))))
 
     val rules = scala.collection.mutable.ArrayBuffer.empty[MergeRule]
-    // one Spark job per iteration: the argmax collect below materializes
-    // the current vocabulary's cache as a side effect, after which the
-    // previous iteration's cache can be dropped — no separate count()
-    var prev: DataFrame = null
     var k = 0
     var exhausted = false
     while (k < numMerges && !exhausted) {
@@ -102,7 +101,6 @@ object Bpe {
       val best = pairs
         .agg(min(struct(negate(col("pc")), col("a"), col("b"))).as("m"))
         .select(col("m")).collect()
-      if (prev != null) { prev.unpersist(blocking = false); prev = null }
       if (best.isEmpty || best(0).isNullAt(0)) exhausted = true
       else {
         val m = best(0).getStruct(0)
@@ -115,11 +113,8 @@ object Bpe {
           lit(" "))
         val merged = call_function("replace", doubled,
           lit(s" $a  $b "), lit(s" ${a + b} "))
-        val next = CacheRegistry.track(
-          words.withColumn("sym",
-            trim(regexp_replace(merged, " +", " "))).persist())
-        prev = words
-        words = next
+        words = Lineage.cut(words.withColumn("sym",
+          trim(regexp_replace(merged, " +", " "))))
         k += 1
       }
     }
@@ -138,8 +133,12 @@ object Bpe {
 
   /** Per-document BPE token counts under a learned model: each in-vocab
     * word costs `len(split(final_sym))` tokens. The corpus long form
-    * joins the (tiny, broadcastable) vocabulary — out-of-vocabulary
-    * tokens are skipped by the semi-join, per the learn contract.
+    * joins the vocabulary relation — out-of-vocabulary tokens are
+    * skipped by the inner join, per the learn contract. No broadcast
+    * hint: the vocab is persisted with known size, so size-gated
+    * dispatch broadcasts it when small — but at 100 TB corpus scale a
+    * Zipf vocabulary is ~10⁸ rows (several GB), where forcing a
+    * broadcast would OOM the driver and a shuffled hash join is right.
     */
   def encodeCounts(
       df: DataFrame, idCol: String, textCol: String,
@@ -147,7 +146,7 @@ object Bpe {
     val perWord = model.vocab
       .select(col("w"), size(split(col("sym"), " ")).cast("long").as("ntok"))
     df.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
-      .join(broadcast(perWord), Seq("w"))
+      .join(perWord, Seq("w"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"), sum(col("ntok")).as("n_bpe_tokens"))
   }

@@ -52,26 +52,25 @@ object PageRank {
         .persist())
     e.count()
     val teleport = (SCALE / dampDen) * (dampDen - dampNum) / n
-    var pr = CacheRegistry.track(
-      nodes.select(col("node"), lit(SCALE / n).as("pr")).persist())
-    pr.count()
+    // every iteration's rank relation is lineage-CUT ([[Lineage.cut]]):
+    // pr appears twice in each step (contribution join + teleport join),
+    // so a persist-only loop doubles the logical tree per iteration —
+    // exponential analyzer cost (measured 45 s by iteration 5 at sf0.1)
+    var pr = Lineage.cut(
+      nodes.select(col("node"), lit(SCALE / n).as("pr")))
     for (_ <- 1 to iters) {
       val contrib = e.join(pr, e("src") === pr("node"))
         .select(col("dst").as("node"), expr("pr div outdeg").as("c"))
         .groupBy("node").agg(sum(col("c")).as("s"))
-      // the cached rank relation doubles as the node list (same rows,
-      // already partitioned by node) — re-joining raw `nodes` here would
-      // rescan + reshuffle the source every iteration
-      val next = CacheRegistry.track(
+      // the rank relation doubles as the node list (same rows, and a
+      // constant-size leaf) — re-joining raw `nodes` here would rescan
+      // + reshuffle the source every iteration
+      pr = Lineage.cut(
         pr.select(col("node"))
           .join(contrib, Seq("node"), "left")
           .select(col("node"),
             (lit(teleport) +
-              expr(s"($dampNum * coalesce(s, 0L)) div $dampDen")).as("pr"))
-          .persist())
-      next.count()
-      pr.unpersist(blocking = false)
-      pr = next
+              expr(s"($dampNum * coalesce(s, 0L)) div $dampDen")).as("pr")))
     }
     pr
   }
