@@ -36,6 +36,10 @@ object OracleSql {
     * references its parent ~3× (FROM + two scalar subqueries), so the
     * un-hinted 12-stage chain expands to ~3¹² scans of `documents`
     * (observed as an fd-exhaustion error before it finishes planning).
+    * A stage past vocabulary exhaustion (empty `b{k}`) coalesces its
+    * scalar subqueries to a no-op replace (`chr(1)` never occurs in a
+    * symbol string), mirroring the Scala learner's early stop — without
+    * this, the NULL search/replacement args NULL out every `sym`.
     */
   private def bpeCtes(numMerges: Int): String = {
     val sb = new StringBuilder
@@ -61,8 +65,9 @@ object OracleSql {
            |w${k + 1} AS MATERIALIZED (
            |  SELECT w, cnt, trim(regexp_replace(
            |    replace(' ' || replace(sym, ' ', '  ') || ' ',
-           |      (SELECT ' ' || a || '  ' || b || ' ' FROM b$k),
-           |      (SELECT ' ' || a || b || ' ' FROM b$k)),
+           |      coalesce((SELECT ' ' || a || '  ' || b || ' ' FROM b$k),
+           |        chr(1)),
+           |      coalesce((SELECT ' ' || a || b || ' ' FROM b$k), '')),
            |    ' +', ' ', 'g')) AS sym
            |  FROM w$k)""".stripMargin)
     }
@@ -1552,9 +1557,10 @@ object OracleSql {
     // windows over the same single-space tokenization, keeper =
     // lexicographic-min (doc,pos) via the same two-level grouping,
     // fixed-length island merge (new span iff pos > lag+8), then the
-    // token-level cut. Positions come from a bounded range cross join
-    // (docs cap at ~112 tokens incl. plants; 128 bounds it) — DuckDB
-    // has no WITH ORDINALITY. Window strings group RAW (no hash); the
+    // token-level cut. Positions come from a range cross join bounded
+    // by the DATA (max token count over the corpus — a hard-coded cap
+    // would silently truncate any longer doc) — DuckDB has no WITH
+    // ORDINALITY. Window strings group RAW (no hash); the
     // Spark side's xxhash64 keys are collision-free at this scale.
     "q100_repeated_spans" ->
       """WITH d0 AS (
@@ -1567,7 +1573,8 @@ object OracleSql {
         |tl AS (SELECT doc_id,
         |    list_filter(string_split(text, ' '), w -> w <> '') AS ts
         |  FROM d0),
-        |idx AS (SELECT unnest(range(0, 128)) AS i),
+        |idx AS (SELECT unnest(range(0,
+        |    (SELECT max(len(ts)) FROM tl))) AS i),
         |win AS (
         |  SELECT t.doc_id, i.i AS pos,
         |    array_to_string(list_slice(t.ts, i.i + 1, i.i + 8), ' ') AS w

@@ -113,8 +113,10 @@ object Bpe {
           lit(" "))
         val merged = call_function("replace", doubled,
           lit(s" $a  $b "), lit(s" ${a + b} "))
+        val prev = words
         words = Lineage.cut(words.withColumn("sym",
           trim(regexp_replace(merged, " +", " "))))
+        Lineage.release(prev) // k-1 vocab dead once the k-th cut is real
         k += 1
       }
     }

@@ -133,21 +133,24 @@ object Components {
       (r.getLong(0), r.getLong(1))
     }
 
-    // localCheckpoint (eager) truncates the logical plan each round —
-    // without it the nested join/distinct lineage makes Catalyst
-    // analysis cost grow superlinearly with the round count (the
-    // standard iterative-DataFrame trap)
-    var e = edges
+    // Lineage.cut truncates the logical plan each round — without it
+    // the nested join/distinct lineage makes Catalyst analysis cost
+    // grow superlinearly with the round count (the standard
+    // iterative-DataFrame trap); the shared helper also registers the
+    // checkpoint blocks with CacheRegistry and the previous round's
+    // blocks are released as soon as the next round is materialized
+    var e = Lineage.cut(edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .filter(col("src") =!= col("dst"))
-      .localCheckpoint(true)
+      .filter(col("src") =!= col("dst")))
     var sig = checksum(e)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val prev = e
+      val next = Lineage.cut(smallStar(largeStar(e)))
       val nextSig = checksum(next)
       e = next
+      Lineage.release(prev)
       converged = nextSig == sig
       sig = nextSig
       iter += 1

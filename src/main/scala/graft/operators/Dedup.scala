@@ -254,7 +254,7 @@ object Dedup {
     // than the strings; a collision (~2^-64 per pair) could merge two
     // distinct windows' occurrence lists — documented, never hit at the
     // oracle's scale
-    val win = shingleRowsPos(eligible, idCol, textCol, n)
+    val win = shingleRowsPos(eligible, idCol, textCol, n, includeSubN = false)
       .select(col(idCol), col("pos"), xxhash64(col("sh")).as("__h"))
     val keepers = win.groupBy("__h").agg(
       min(struct(col(idCol).as("d"), col("pos").as("p"))).as("__k"),
@@ -341,8 +341,16 @@ object Dedup {
     * (consecutive; a doc with m >= n tokens has shingles 0..m-n; a shorter
     * doc has one whole-text shingle at position 0) — the input to
     * position-sensitive fingerprinting like winnowing.
+    *
+    * `includeSubN = false` skips the sub-n-token whole-text fallback
+    * branch: a caller that already filtered to docs with >= n tokens
+    * (repeatedSpans) would otherwise pay a provably-empty extra corpus
+    * scan — Catalyst cannot fold the contradiction between the caller's
+    * `size >= n` filter and the branch's `size < n` because both sit
+    * behind the tokenize HOF.
     */
-  def shingleRowsPos(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+  def shingleRowsPos(df: DataFrame, idCol: String, textCol: String, n: Int,
+      includeSubN: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
     val big = toks.filter(size(col("toks")) >= n)
@@ -352,11 +360,13 @@ object Dedup {
       (0 until n).map(k =>
         if (k == 0) col("tok") else lead(col("tok"), k).over(wLead)): _*)
     val lastTok = lead(col("tok"), n - 1).over(wLead)
-    big.select(col(idCol), col("pos"), shingleStr.as("sh"), lastTok.as("last"))
+    val main = big
+      .select(col(idCol), col("pos"), shingleStr.as("sh"), lastTok.as("last"))
       .filter(col("last").isNotNull)
       .select(col(idCol), col("pos"), col("sh"))
-      .unionAll(toks.filter(size(col("toks")) < n)
-        .select(col(idCol), lit(0).as("pos"), concat_ws(" ", col("toks")).as("sh")))
+    if (!includeSubN) main
+    else main.unionAll(toks.filter(size(col("toks")) < n)
+      .select(col(idCol), lit(0).as("pos"), concat_ws(" ", col("toks")).as("sh")))
   }
 
   /** Distinct 32-bit hashes of the shingle set.

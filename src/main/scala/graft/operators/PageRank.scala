@@ -59,6 +59,7 @@ object PageRank {
     var pr = Lineage.cut(
       nodes.select(col("node"), lit(SCALE / n).as("pr")))
     for (_ <- 1 to iters) {
+      val prev = pr
       val contrib = e.join(pr, e("src") === pr("node"))
         .select(col("dst").as("node"), expr("pr div outdeg").as("c"))
         .groupBy("node").agg(sum(col("c")).as("s"))
@@ -71,6 +72,7 @@ object PageRank {
           .select(col("node"),
             (lit(teleport) +
               expr(s"($dampNum * coalesce(s, 0L)) div $dampDen")).as("pr")))
+      Lineage.release(prev) // k-1 ranks are dead once the k-th cut is real
     }
     pr
   }

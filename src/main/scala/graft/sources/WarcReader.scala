@@ -12,13 +12,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Scale shape: WARC segments are individually-whole units — gzip
   * members carry no split index, so the parallelism axis is ACROSS the
-  * thousands of segment files of a crawl, not within one. `read` maps a
-  * `binaryFile` load (one row per segment) through a per-file parse,
-  * which is exactly how Common Crawl is processed on any engine; a
-  * 1 GB segment bounds a task's memory, and the record iterator streams
-  * inside the file. Malformed framing ends that FILE's iteration
-  * (records already parsed are kept) and never throws — crawl segments
-  * are untrusted input.
+  * thousands of segment files of a crawl, not within one. `read` maps
+  * `SparkContext.binaryFiles` (one `PortableDataStream` per segment)
+  * through a STREAMING per-record parse: the segment is never
+  * materialized as a byte array, so a task's memory is bounded by one
+  * record's body, not the segment — real segments decompress past the
+  * JVM's 2 GB array limit, which a whole-file parse cannot represent at
+  * all. Malformed framing (including a gzip member truncated
+  * mid-stream) ends that FILE's iteration — records already parsed are
+  * kept — and never throws: crawl segments are untrusted input.
   *
   * For `WARC-Type: response` records the HTTP payload splits into the
   * status line, headers, and body; other record types (warcinfo,
@@ -31,35 +33,30 @@ object WarcReader {
       http_status: Int, http_content_type: String, body: Array[Byte])
 
   private val Crlf = "\r\n"
+  // damage guards on untrusted framing: a header "line" that runs for
+  // 64 KB is not a header, and a record body cannot exceed what a JVM
+  // byte array can hold (a Content-Length beyond that is either a lie
+  // or a record this representation cannot carry — stop, keep prefix)
+  private val MaxHeaderLine = 64 * 1024
+  private val MaxBodyBytes = Int.MaxValue - 16L
 
-  /** Parse every record of one WARC file (plain or gzipped — sniffed by
-    * magic). Malformed tail → parsed prefix, never an exception.
+  /** Parse every record of one WARC file held in memory (plain or
+    * gzipped — sniffed by magic). Fixture/test convenience over
+    * [[recordIterator]]; malformed tail → parsed prefix, never an
+    * exception.
     */
-  def parseRecords(fileBytes: Array[Byte]): Seq[WarcRecord] = {
-    val bytes =
-      if (fileBytes.length >= 2 && (fileBytes(0) & 0xff) == 0x1f &&
-        (fileBytes(1) & 0xff) == 0x8b) gunzipAll(fileBytes)
-      else fileBytes
-    val out = Seq.newBuilder[WarcRecord]
-    var o = 0
-    var ok = true
-    while (ok && o < bytes.length) {
-      parseOne(bytes, o) match {
-        case Some((rec, next)) => out += rec; o = next
-        case None => ok = false
-      }
-    }
-    out.result()
-  }
+  def parseRecords(fileBytes: Array[Byte]): Seq[WarcRecord] =
+    recordIterator(new java.io.ByteArrayInputStream(fileBytes)).toVector
 
-  /** One row per WARC record across a binary-file glob (each `.warc` /
-    * `.warc.gz` segment parses independently in its task).
+  /** One row per WARC record across a binary-file glob. Each segment is
+    * opened as a stream and parsed lazily (`PortableDataStream`, the
+    * standard Spark shape for unsplittable archive members) — rows flow
+    * out of the iterator without the file ever being whole in memory.
     */
   def read(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(path)
-      .select("content").as[Array[Byte]]
-      .flatMap(parseRecords _)
+    spark.sparkContext.binaryFiles(path)
+      .flatMap { case (_, pds) => recordIterator(pds.open()) }
       .toDF()
   }
 
@@ -100,46 +97,114 @@ object WarcReader {
 
   // ------------------------------------------------------------ internals
 
-  private def gunzipAll(gz: Array[Byte]): Array[Byte] =
-    try {
-      val in = new java.util.zip.GZIPInputStream(
-        new java.io.ByteArrayInputStream(gz))
-      val out = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](64 * 1024)
-      var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-      out.toByteArray
-    } catch { case _: java.io.IOException => Array.emptyByteArray }
+  /** Lazy record iterator over one segment stream. Sniffs the gzip magic
+    * (buffered mark/reset), then parses records until EOF or damage.
+    * ANY IOException — including a truncated gzip member after valid
+    * ones — ends iteration with the parsed prefix intact. The stream is
+    * closed when iteration ends.
+    */
+  private[sources] def recordIterator(
+      raw: java.io.InputStream): Iterator[WarcRecord] = {
+    val in: java.io.InputStream =
+      try {
+        val buf = new java.io.BufferedInputStream(raw, 64 * 1024)
+        buf.mark(2)
+        val b0 = buf.read(); val b1 = buf.read()
+        buf.reset()
+        if (b0 == 0x1f && b1 == 0x8b)
+          new java.util.zip.GZIPInputStream(buf, 64 * 1024)
+        else buf
+      } catch {
+        case _: java.io.IOException =>
+          try raw.close() catch { case _: java.io.IOException => () }
+          return Iterator.empty
+      }
+    new scala.collection.AbstractIterator[WarcRecord] {
+      private var nextRec: WarcRecord = _
+      private var done = false
+      def hasNext: Boolean = {
+        if (done) return false
+        if (nextRec != null) return true
+        nextRec =
+          try readRecord(in)
+          catch { case _: java.io.IOException => null } // truncated member
+        if (nextRec == null) {
+          done = true
+          try in.close() catch { case _: java.io.IOException => () }
+        }
+        nextRec != null
+      }
+      def next(): WarcRecord =
+        if (hasNext) { val r = nextRec; nextRec = null; r }
+        else Iterator.empty.next()
+    }
+  }
 
-  /** Parse one record at `start`; None on any framing damage. */
-  private def parseOne(b: Array[Byte], start: Int)
-      : Option[(WarcRecord, Int)] = {
-    val headEnd = indexOfDoubleCrlf(b, start)
-    if (headEnd < 0) return None
-    val head = new String(b, start, headEnd - start,
-      java.nio.charset.StandardCharsets.US_ASCII)
-    val lines = head.split(Crlf)
-    if (lines.isEmpty || !lines(0).startsWith("WARC/")) return None
-    def h(name: String): String = lines.iterator.drop(1)
-      .map(_.split(":", 2)).collectFirst {
-        case Array(k, v) if k.trim.equalsIgnoreCase(name) => v.trim
-      }.getOrElse("")
+  /** Read one record from the stream; null on EOF or framing damage. */
+  private def readRecord(in: java.io.InputStream): WarcRecord = {
+    // leading blank lines tolerate sloppy record separators
+    var line = readLine(in)
+    while (line != null && line.isEmpty) line = readLine(in)
+    if (line == null || !line.startsWith("WARC/")) return null
+    val headers = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var hl = readLine(in)
+    while (hl != null && hl.nonEmpty) {
+      val i = hl.indexOf(':')
+      if (i > 0) headers += ((hl.substring(0, i).trim.toLowerCase,
+        hl.substring(i + 1).trim))
+      hl = readLine(in)
+    }
+    if (hl == null) return null // EOF inside the header block
+    def h(name: String): String =
+      headers.collectFirst { case (k, v) if k == name => v }.getOrElse("")
     val len =
-      try h("Content-Length").toLong
+      try h("content-length").toLong
       catch { case _: NumberFormatException => -1L }
-    val payloadStart = headEnd + 4
-    if (len < 0 || payloadStart + len > b.length) return None
-    val payload = java.util.Arrays.copyOfRange(
-      b, payloadStart, (payloadStart + len).toInt)
-    val wtype = h("WARC-Type")
+    if (len < 0 || len > MaxBodyBytes) return null
+    val payload = readFully(in, len.toInt)
+    if (payload == null) return null // EOF before Content-Length bytes
+    // skip the two record-separator CRLFs (tolerate a truncated final
+    // separator at end-of-file; misaligned bytes surface as framing
+    // damage on the NEXT record, keeping this one — same contract as a
+    // whole-buffer parse)
+    var skipped = 0
+    var eof = false
+    while (skipped < 4 && !eof) {
+      if (in.read() < 0) eof = true else skipped += 1
+    }
+    val wtype = h("warc-type")
     val (status, httpCt, body) =
       if (wtype == "response") splitHttp(payload)
       else (-1, "", payload)
-    // past the payload and the two record-separator CRLFs (tolerate a
-    // truncated final separator at end-of-file)
-    val next = math.min(b.length, (payloadStart + len).toInt + 4)
-    Some((WarcRecord(wtype, h("WARC-Target-URI"), h("WARC-Date"),
-      status, httpCt, body), next))
+    WarcRecord(wtype, h("warc-target-uri"), h("warc-date"),
+      status, httpCt, body)
+  }
+
+  /** One CRLF-terminated ASCII line, CR stripped; null on EOF-at-start
+    * or a line longer than [[MaxHeaderLine]] (framing damage).
+    */
+  private def readLine(in: java.io.InputStream): String = {
+    val sb = new java.lang.StringBuilder(80)
+    var c = in.read()
+    if (c < 0) return null
+    while (c >= 0 && c != '\n') {
+      if (c != '\r') sb.append(c.toChar)
+      if (sb.length > MaxHeaderLine) return null
+      c = in.read()
+    }
+    sb.toString
+  }
+
+  /** Exactly `n` bytes, or null if the stream ends first. */
+  private def readFully(in: java.io.InputStream, n: Int): Array[Byte] = {
+    val out = new Array[Byte](n)
+    var off = 0
+    while (off < n) {
+      val r = in.read(out, off, n - off)
+      if (r < 0) return null
+      off += r
+    }
+    out
   }
 
   private def splitHttp(payload: Array[Byte]): (Int, String, Array[Byte]) = {

@@ -183,13 +183,23 @@ class ScaleGuardSpec extends SparkSpec {
     val docs = (1L to 40L).map(i =>
       (i, s"w${i % 3} w${i % 5} w${i % 3} w${i % 2} w${i % 5} w1 w2"))
       .toDF("doc_id", "text")
-    val spanPlan = Dedup.repeatedSpans(docs, "doc_id", "text", 3)
-      .queryExecution.executedPlan.toString
+    val spanQe = Dedup.repeatedSpans(docs, "doc_id", "text", 3)
+      .queryExecution
+    val spanPlan = spanQe.executedPlan.toString
     assert(!spanPlan.contains("CartesianProduct"), spanPlan.take(2000))
     assert(!spanPlan.contains("BroadcastNestedLoopJoin"), spanPlan.take(2000))
-    // the only window runs per document, never one global partition
-    assert(!spanPlan.contains("Window [") ||
-      !spanPlan.contains("No Partition Defined"), spanPlan.take(2000))
+    // every window runs per document, never one global partition —
+    // asserted on the physical nodes' partitionSpec (an empty spec is
+    // the single-task hazard; its only plan-text tell is a runtime log
+    // line, so string matching cannot catch it). Collected from the
+    // pre-AQE sparkPlan: the adaptive wrapper hides its subtree from
+    // TreeNode.collect.
+    val windows = spanQe.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "expected a per-doc window in the span merge")
+    windows.foreach(w =>
+      assert(w.partitionSpec.nonEmpty, s"un-partitioned window: $w"))
     val cutPlan = Dedup.cutRepeatedSpans(docs, "doc_id", "text", 3)
       .queryExecution.executedPlan.toString
     assert(!cutPlan.contains("CartesianProduct"), cutPlan.take(2000))

@@ -40,6 +40,35 @@ class WarcReaderSpec extends SparkSpec {
       Array[Byte](0x1f, 0x8b.toByte, 1, 2, 3)).isEmpty)
   }
 
+  test("a gzip member truncated mid-stream keeps every record from the " +
+      "valid members before it (interrupted segment download)") {
+    val twoGood = WarcReader.write(
+      Seq(rec(1, "first intact"), rec(2, "second intact")),
+      gzipPerRecord = true)
+    val cutMember = WarcReader.write(
+      Seq(rec(3, "this member is cut")), gzipPerRecord = true)
+      .dropRight(15) // inside the deflate stream, past the member header
+    val parsed = WarcReader.parseRecords(twoGood ++ cutMember)
+    assert(parsed.map(r => new String(r.body, "UTF-8")) ==
+      Seq("first intact", "second intact"), parsed.map(_.target_uri))
+  }
+
+  test("streaming iterator parses records lazily without materializing " +
+      "the segment (bodies arrive before the stream is fully read)") {
+    // ~8 KB bodies so the segment (~400 KB) far exceeds the reader's
+    // 64 KB buffer — a whole-file materialization would drain available()
+    val recs = (1 to 50).map(i => rec(i, s"body-$i " * 1000))
+    val bytes = WarcReader.write(recs, gzipPerRecord = false)
+    val in = new java.io.ByteArrayInputStream(bytes)
+    val it = WarcReader.recordIterator(in)
+    val first = it.next()
+    assert(new String(first.body, "UTF-8").startsWith("body-1 "))
+    // only the first record's framing has been consumed, not the file
+    assert(in.available() > bytes.length / 2,
+      s"stream was drained eagerly: ${in.available()} of ${bytes.length}")
+    assert(it.size == 49) // the rest still parse
+  }
+
   test("Spark read: one row per record across a segment-file glob (the " +
       "Common Crawl processing shape)") {
     val dir = java.nio.file.Files.createTempDirectory("warc").toFile
