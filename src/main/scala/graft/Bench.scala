@@ -94,9 +94,19 @@ object Bench {
     def top5(vals: Seq[(String, Double, Boolean, Double, Double)]): String =
       objOf(vals.filter(_._3).sortBy(-_._2).take(5)
         .map { case (k, v, _, _, _) => k -> v })
+    // queries with an ordered performance bar (q91 ≤ 0.5 s steady from
+    // the r6 verdict) or under active per-round watch (the iterative
+    // operators) — their STEADY values ride the durable line so the bar
+    // stays verifiable in the artifact even after tail truncation, not
+    // only in PERFORMANCE.md prose (the r7 legibility finding)
+    val watchedNames = Set("q91_kmeans_assign", "q102_bpe_merges",
+      "q105_pagerank")
+    val watched = objOf(results.filter(r => watchedNames(r._1))
+      .map { case (k, v, _, _, _) => k -> v })
     println(f"""{"metric":"summary","value":$total%.2f,"unit":"sec",""" +
       f""""steady_total_sec":$total%.2f,"cold_total_sec":$coldTotal%.2f,""" +
       s""""slowest_steady":${top5(results)},"slowest_cold":${top5(cold)},""" +
+      s""""watched_steady":$watched,""" +
       s""""failed":$failed,"protocol":"pass2-steady","sf":"$sfDir"}""")
     spark.stop()
   }

@@ -49,7 +49,7 @@ object OracleSql {
         |    regexp_replace(w, '(.)', '\1 ', 'g') || '</w>' AS sym
         |  FROM (SELECT unnest(list_filter(string_split(text, ' '),
         |          x -> x <> '')) AS w FROM documents)
-        |  WHERE regexp_matches(w, '^[a-z]+$') AND strlen(w) <= 32
+        |  WHERE regexp_matches(w, '^\p{L}+$') AND length(w) <= 32
         |  GROUP BY w)""".stripMargin)
     for (k <- 0 until numMerges) {
       sb.append(",\n")
@@ -1643,11 +1643,65 @@ object OracleSql {
         |  SELECT doc_id, w FROM (
         |    SELECT doc_id, unnest(list_filter(string_split(text, ' '),
         |      x -> x <> '')) AS w FROM documents)
-        |  WHERE regexp_matches(w, '^[a-z]+$') AND strlen(w) <= 32)
+        |  WHERE regexp_matches(w, '^\p{L}+$') AND length(w) <= 32)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
         |  CAST(SUM(e.ntok) AS BIGINT) AS n_bpe_tokens
         |FROM docw d JOIN enc e USING (w)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // merges replayed unrolled (bpeCtes), then the deterministic
+    // symbol→id table: base alphabet (w0's initial symbols) sorted
+    // lexicographically at mrank 0, merged strings at their rank, min
+    // rank wins on collision, dense ids by row_number over (mrank, sym)
+    // — both engines order strings by UTF-8 bytes, so the assignment is
+    // identical. Word/symbol order inside a doc comes from correlated
+    // unnest(range(...)) (the established WITH-ORDINALITY substitute),
+    // offsets from a doc-ordered prefix sum.
+    "q106_bpe_pack" -> ("WITH " + bpeCtes(12) + s""",
+        |msym AS (
+        |${(0 until 12).map(k =>
+            s"  SELECT a || b AS sym, ${k + 1} AS mrank FROM b$k")
+            .mkString("\nUNION ALL\n")}),
+        |base AS (
+        |  SELECT DISTINCT s AS sym, 0 AS mrank
+        |  FROM (SELECT unnest(string_split(sym, ' ')) AS s FROM w0)),
+        |symtab AS (
+        |  SELECT sym,
+        |    CAST(row_number() OVER (ORDER BY mrank, sym) - 1 AS BIGINT) AS id
+        |  FROM (SELECT sym, min(mrank) AS mrank
+        |        FROM (SELECT * FROM base UNION ALL SELECT * FROM msym)
+        |        GROUP BY sym)),
+        |enc AS (SELECT w, string_split(sym, ' ') AS sl FROM w12),
+        |docw AS (
+        |  SELECT doc_id, i AS wpos, ws[i + 1] AS w
+        |  FROM (SELECT doc_id, ws, unnest(range(0, len(ws))) AS i
+        |        FROM (SELECT doc_id,
+        |                list_filter(string_split(text, ' '), x -> x <> '')
+        |                  AS ws
+        |              FROM documents))),
+        |tok AS (
+        |  SELECT doc_id, wpos, j AS spos, sl[j + 1] AS s
+        |  FROM (SELECT d.doc_id, d.wpos, e.sl,
+        |          unnest(range(0, len(e.sl))) AS j
+        |        FROM docw d JOIN enc e USING (w))),
+        |seq AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    string_agg(CAST(t.id AS VARCHAR), ' ' ORDER BY wpos, spos)
+        |      AS ids
+        |  FROM tok JOIN symtab t ON tok.s = t.sym
+        |  GROUP BY doc_id),
+        |ofs AS (
+        |  SELECT doc_id, n_tokens, ids,
+        |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS "offset"
+        |  FROM seq)
+        |SELECT doc_id, n_tokens, ids, "offset",
+        |  "offset" // 256 AS first_block,
+        |  CASE WHEN n_tokens > 0
+        |    THEN ("offset" + n_tokens - 1) // 256 - "offset" // 256 + 1
+        |    ELSE 0 END AS n_blocks
+        |FROM ofs ORDER BY doc_id""".stripMargin),
 
     // quality gate → exact dedup (planted clones) → per-source quota →
     // stable split; each stage is the already-proven q27/q25/q93/q59 SQL

@@ -1486,6 +1486,34 @@ object SparkEntry {
       .orderBy("node")
   }
 
+  /** Corpus → training-ready blocks, closed end-to-end: learn 12 BPE
+    * merges, emit every document's token-ID sequence under the
+    * deterministic [[graft.operators.Bpe.symbolTable]] assignment (ids
+    * serialized to a string for the gate — the harness cannot hash raw
+    * arrays), then chain straight into
+    * [[graft.operators.Packing.packedBlocks]] for global token offsets
+    * and block spans at block size 256. After the driver-synchronous
+    * merge loop, encode→offsets→blocks is ONE declarative plan. The
+    * oracle replays the merges unrolled, rebuilds the same symbol→id
+    * table (base alphabet sorted, then merge rank, first assignment
+    * wins), and prefix-sums offsets over doc order.
+    */
+  private def q106(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val model = graft.operators.Bpe.learnMerges(
+      dd.select("text"), "text", numMerges = 12)
+    val enc = graft.operators.Bpe.encodeIds(dd, "doc_id", "text", model)
+      .select(col("doc_id"),
+        size(col("token_ids")).cast("long").as("n_tokens"),
+        array_join(transform(col("token_ids"), _.cast("string")), " ")
+          .as("ids"))
+    graft.operators.Packing.packedBlocks(
+        enc, "doc_id", "n_tokens", blockSize = 256)
+      .select("doc_id", "n_tokens", "ids", "offset", "first_block",
+        "n_blocks")
+      .orderBy("doc_id")
+  }
+
   /** Dedup observability report: per source, total docs / exact-dedup
     * survivors / duplicates (global keeper choice — cross-source
     * duplication counts against the copying source).
@@ -1603,6 +1631,7 @@ object SparkEntry {
     "q103_bpe_encode" -> (q103(_, _)),
     "q104_corpus_pipeline" -> (q104(_, _)),
     "q105_pagerank" -> (q105(_, _)),
+    "q106_bpe_pack" -> (q106(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -22,36 +22,72 @@ import org.apache.spark.sql.execution.LogicalRDD
   * actions before draining; unlike a persisted frame, a checkpointed one
   * cannot recompute after its blocks are dropped (its lineage is gone).
   *
-  * Executor-loss note: `localCheckpoint` data is not fault-tolerant. On
-  * a real cluster a long graph run should use reliable checkpointing
-  * (`SparkContext.setCheckpointDir` + `Dataset.checkpoint`), the
-  * GraphX/GraphFrames practice; the tradeoff is an HDFS write per cut.
+  * Executor-loss note: `localCheckpoint` (the default) is not
+  * fault-tolerant — its blocks live only on the executors that computed
+  * them, and losing one aborts the job (the lineage is gone). A long
+  * run on a real cluster sets `spark.graft.lineage.reliable=true` plus
+  * `SparkContext.setCheckpointDir` and every [[cut]] becomes a reliable
+  * `Dataset.checkpoint` — the GraphX/GraphFrames practice. The tradeoff
+  * is one distributed-store write + read per cut (measured locally at
+  * ~2-3× the localCheckpoint cost per iteration, PERFORMANCE.md), which
+  * is the price of surviving executor loss mid-run.
   */
 object Lineage {
 
+  /** Session conf key: `"true"` switches [[cut]] from `localCheckpoint`
+    * to reliable `Dataset.checkpoint` against the configured
+    * `SparkContext.setCheckpointDir`.
+    */
+  val ReliableConf = "spark.graft.lineage.reliable"
+
   /** Eagerly materialize `df` and return it re-rooted as a constant-size
-    * leaf plan, with the backing blocks tracked for
-    * [[CacheRegistry.drain]].
+    * leaf plan. Default mode tracks the backing blocks for
+    * [[CacheRegistry.drain]]; reliable mode (module doc) writes to the
+    * checkpoint store instead — nothing to track, the files ARE the
+    * materialization.
     */
   def cut(df: DataFrame): DataFrame = {
-    val out = df.localCheckpoint()
-    out.queryExecution.analyzed match {
-      case r: LogicalRDD => CacheRegistry.trackRdd(r.rdd)
-      case _ => // leaf re-rooting still happened; ContextCleaner frees it
+    val reliable = df.sparkSession.conf.getOption(ReliableConf)
+      .exists(_.equalsIgnoreCase("true"))
+    if (reliable) {
+      require(
+        df.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        s"$ReliableConf=true requires SparkContext.setCheckpointDir — the " +
+          "reliable store a cut survives executor loss through")
+      df.checkpoint() // eager; re-roots to a LogicalRDD leaf, like local
+    } else {
+      val out = df.localCheckpoint()
+      out.queryExecution.analyzed match {
+        case r: LogicalRDD => CacheRegistry.trackRdd(r.rdd)
+        case _ => // leaf re-rooting still happened; ContextCleaner frees it
+      }
+      out
     }
-    out
   }
 
-  /** Drop a previously-[[cut]] frame's backing blocks (non-blocking).
-    * In an iterative loop the k-1 state is dead the moment the k-th cut
-    * has materialized — releasing it keeps the loop at ~2 live copies
-    * instead of `iters` (at the 10⁹-node PageRank scale the module doc
-    * cites, that is ~32 GB resident vs ~100 GB). A released frame must
-    * not be re-read: its lineage is gone. The later
-    * [[CacheRegistry.drain]] of the same RDD is an idempotent no-op.
+  /** Drop a previously-[[cut]] frame's backing materialization
+    * (non-blocking). In an iterative loop the k-1 state is dead the
+    * moment the k-th cut has materialized — releasing it keeps the loop
+    * at ~2 live copies instead of `iters` (at the 10⁹-node PageRank
+    * scale the module doc cites, that is ~32 GB resident vs ~100 GB).
+    * Local cuts drop their blocks; reliable cuts delete their
+    * checkpoint FILES (the GraphX `PeriodicCheckpointer` practice —
+    * without it a 32k-iteration run accumulates 32k generations in the
+    * checkpoint store). A released frame must not be re-read: its
+    * lineage is gone. The later [[CacheRegistry.drain]] of the same RDD
+    * is an idempotent no-op.
     */
   def release(df: DataFrame): Unit = df.queryExecution.analyzed match {
-    case r: LogicalRDD => r.rdd.unpersist(blocking = false)
+    case r: LogicalRDD =>
+      r.rdd.unpersist(blocking = false)
+      r.rdd.getCheckpointFile.foreach { f =>
+        try {
+          val p = new org.apache.hadoop.fs.Path(f)
+          p.getFileSystem(
+            df.sparkSession.sparkContext.hadoopConfiguration)
+            .delete(p, true)
+        } catch { case _: java.io.IOException => () } // best-effort
+      }
     case _ => ()
   }
 }

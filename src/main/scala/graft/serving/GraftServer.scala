@@ -611,8 +611,13 @@ class GraftServer(
       // key is computed, so a client cannot mint one cache entry per
       // arbitrary multi-KB garbage value (entry-cap thrash), and the
       // numeric params must parse in range.
+      // "outcome" matches the tightest read any page/fragment body
+      // performs (10, the fragments/votes key below) — a looser cap here
+      // would let an 11+-char value pass "validated first" and then 422
+      // inside key computation, making the invariant honest only by
+      // accident
       Seq("page" -> 10, "top" -> 10, "search" -> 200, "status" -> 200,
-        "topic" -> 200, "outcome" -> 200)
+        "topic" -> 200, "outcome" -> 10)
         .foreach { case (n, cap) => strParam(q, n, cap) }
       if (q.contains("page")) intParam(q, "page", 1, 1, 1000)
       if (q.contains("top")) intParam(q, "top", 30, 1, 200)

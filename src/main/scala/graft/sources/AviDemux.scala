@@ -101,7 +101,10 @@ object AviDemux {
     // throw out of the pixel loop — inputs are untrusted, the contract
     // is drop-never-throw
     val strideL = ((width.toLong * 3 + 3) / 4) * 4
-    if (strideL * height > frame.length) return None
+    // division form: strideL * height would itself overflow Long for
+    // width and height both near Int.MaxValue, wrap negative, and pass
+    // the check (strideL > 0 because width > 0, so dividing is safe)
+    if (height > frame.length / strideL) return None
     val stride = strideL.toInt // <= frame.length, so it fits
     var (sr, sg, sb) = (0L, 0L, 0L)
     var y = 0

@@ -195,16 +195,25 @@ object WarcReader {
     sb.toString
   }
 
-  /** Exactly `n` bytes, or null if the stream ends first. */
+  /** Exactly `n` bytes, or null if the stream ends first. Reads in
+    * bounded chunks rather than allocating `n` upfront: a crafted header
+    * declaring a ~2 GB Content-Length over a tiny actual body must hit
+    * EOF (→ null, framing damage) without ever allocating the declared
+    * length — the upfront allocation would surface as an
+    * OutOfMemoryError, an Error the iterator's IOException damage
+    * handling cannot catch, killing the executor on untrusted input.
+    */
   private def readFully(in: java.io.InputStream, n: Int): Array[Byte] = {
-    val out = new Array[Byte](n)
+    val out = new java.io.ByteArrayOutputStream(math.min(n, 64 * 1024))
+    val buf = new Array[Byte](64 * 1024)
     var off = 0
     while (off < n) {
-      val r = in.read(out, off, n - off)
+      val r = in.read(buf, 0, math.min(buf.length, n - off))
       if (r < 0) return null
+      out.write(buf, 0, r)
       off += r
     }
-    out
+    out.toByteArray
   }
 
   private def splitHttp(payload: Array[Byte]): (Int, String, Array[Byte]) = {

@@ -48,7 +48,7 @@ class BpeSpec extends SparkSpec {
 
   private def refWordCounts(docsSeq: Seq[String]): Map[String, Long] =
     docsSeq.flatMap(_.split(" "))
-      .filter(w => w.nonEmpty && w.forall(c => c >= 'a' && c <= 'z'))
+      .filter(w => w.nonEmpty && w.forall(Character.isLetter))
       .groupBy(identity).map { case (w, g) => w -> g.size.toLong }
 
   private def randomCorpus(seed: Int, nDocs: Int): Seq[String] = {
@@ -74,6 +74,42 @@ class BpeSpec extends SparkSpec {
       assert(got == want, s"seed=$seed\n got=$got\nwant=$want")
       CacheRegistry.drain()
     }
+  }
+
+  test("incremental learnMerges equals the full-rescan formulation — " +
+      "identical rules and identical vocabulary at every merge depth") {
+    import spark.implicits._
+    val corpus = randomCorpus(13, 80)
+    val df = corpus.toDF("text")
+    // every depth 1..12: rule-list equality alone would hide a vocab
+    // divergence that only changes LATER choices; comparing the full
+    // (w, cnt, sym) relation at each depth pins the loop state itself
+    for (n <- 1 to 12) {
+      val inc = Bpe.learnMerges(df, "text", numMerges = n)
+      val ref = Bpe.learnMergesFullRescan(df, "text", numMerges = n)
+      assert(inc.merges == ref.merges, s"n=$n rules diverge")
+      val iv = inc.vocab.select("w", "cnt", "sym").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2))).sorted
+      val rv = ref.vocab.select("w", "cnt", "sym").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2))).sorted
+      assert(iv.sameElements(rv), s"n=$n vocab diverges")
+      CacheRegistry.drain()
+    }
+  }
+
+  test("diacritic words are in-vocabulary (Unicode-letter pre-tokenizer)" +
+      " and merge identically to the reference") {
+    import spark.implicits._
+    val corpus = Seq(
+      "žluťoučký kůň úpěl ďábelské ódy kůň kůň žluťoučký",
+      "příliš žluťoučký kůň úpěl ódy ódy", "šíleně šíleně kůň")
+    val df = corpus.toDF("text")
+    val model = Bpe.learnMerges(df, "text", numMerges = 8)
+    val vws = model.vocab.select("w").collect().map(_.getString(0)).toSet
+    assert(vws.contains("kůň") && vws.contains("žluťoučký"), vws.toString)
+    val want = refMerges(refWordCounts(corpus), 8)
+    assert(model.merges.map(r => (r.left, r.right, r.pairCount)) == want)
+    CacheRegistry.drain()
   }
 
   test("encodeCounts equals applying the reference merges word-by-word") {
@@ -109,10 +145,92 @@ class BpeSpec extends SparkSpec {
     CacheRegistry.drain()
   }
 
-  test("out-of-vocabulary tokens (uppercase, digits, over-length) never " +
-      "enter the vocabulary and are skipped by encode") {
+  /** Reference symbol→id assignment: base alphabet (distinct word chars
+    * + `</w>`) sorted, then merged strings in rank order, first
+    * assignment winning on collision — the [[Bpe.symbolTable]] contract.
+    */
+  private def refSymbolTable(
+      wc: Map[String, Long],
+      merges: Seq[(String, String, Long)]): Map[String, Int] = {
+    val base = (wc.keysIterator.flatMap(_.map(_.toString)).toSet + "</w>")
+      .toSeq.sorted
+    val tab = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    base.foreach(s => tab(s) = tab.size)
+    merges.foreach { case (a, b, _) =>
+      val m = a + b
+      if (!tab.contains(m)) tab(m) = tab.size
+    }
+    tab.toMap
+  }
+
+  test("encodeIds emits the reference token-id sequence per document " +
+      "(ascii and diacritic corpora)") {
     import spark.implicits._
-    val df = Seq((1L, "abc ABC a1 " + "z" * 40 + " abc")).toDF("doc_id", "text")
+    for (corpus <- Seq(
+        randomCorpus(7, 40),
+        Seq("žluťoučký kůň úpěl ďábelské ódy kůň kůň žluťoučký",
+          "příliš žluťoučký kůň úpěl ódy ódy", "šíleně šíleně kůň"))) {
+      val df = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val model = Bpe.learnMerges(df, "text", numMerges = 10)
+      val wc = refWordCounts(corpus)
+      val merges = refMerges(wc, 10)
+      // reference final symbols per word (same replay as encodeCounts)
+      var vocab: Map[String, Vector[String]] = wc.keysIterator
+        .map(w => w -> (w.map(_.toString).toVector :+ "</w>")).toMap
+      merges.foreach { case (a, b, _) =>
+        vocab = vocab.map { case (w, syms) =>
+          val r = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+              r += (a + b); i += 2
+            } else { r += syms(i); i += 1 }
+          }
+          w -> r.result()
+        }
+      }
+      val ids = refSymbolTable(wc, merges)
+      val want = corpus.zipWithIndex.map { case (t, i) =>
+        i.toLong -> t.split(" ").filter(vocab.contains)
+          .flatMap(w => vocab(w).map(ids)).toVector
+      }.filter(_._2.nonEmpty).sortBy(_._1)
+      val got = Bpe.encodeIds(df, "doc_id", "text", model)
+        .orderBy("doc_id").collect()
+        .map(r => r.getLong(0) ->
+          r.getSeq[Int](1).toVector).toSeq
+      assert(got == want, s"\n got=$got\nwant=$want")
+      CacheRegistry.drain()
+    }
+  }
+
+  test("encodeIds → sequenceOffsets is shard-invariant: global token " +
+      "offsets identical at 1, 7, and 64 shards") {
+    import spark.implicits._
+    val corpus = randomCorpus(21, 60)
+    val df = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val model = Bpe.learnMerges(df, "text", numMerges = 6)
+    val enc = Bpe.encodeIds(df, "doc_id", "text", model)
+      .select(col("doc_id"), size(col("token_ids")).cast("long").as("n"))
+    val runs = Seq(1, 7, 64).map { sh =>
+      Packing.sequenceOffsets(enc, "doc_id", "n", shards = sh)
+        .select("doc_id", "offset").orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    }
+    assert(runs(0) == runs(1) && runs(1) == runs(2))
+    // and the offsets are the true prefix sum of the id-ordered lengths
+    val lens = enc.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val want = lens.scanLeft(0L)(_ + _._2).init
+    assert(runs(0).map(_._2).sameElements(want))
+    CacheRegistry.drain()
+  }
+
+  test("out-of-vocabulary tokens (digits, mixed alnum, over-length) " +
+      "never enter the vocabulary and are skipped by encode") {
+    import spark.implicits._
+    val df = Seq((1L, "abc a1c 9 a9 " + "z" * 40 + " abc")).toDF("doc_id", "text")
     val model = Bpe.learnMerges(df, "text", numMerges = 3, maxWordLen = 32)
     val vws = model.vocab.select("w").collect().map(_.getString(0)).toSet
     assert(vws == Set("abc"))
