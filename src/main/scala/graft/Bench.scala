@@ -100,7 +100,7 @@ object Bench {
     // stays verifiable in the artifact even after tail truncation, not
     // only in PERFORMANCE.md prose (the r7 legibility finding)
     val watchedNames = Set("q91_kmeans_assign", "q102_bpe_merges",
-      "q105_pagerank")
+      "q105_pagerank", "q106_bpe_pack")
     val watched = objOf(results.filter(r => watchedNames(r._1))
       .map { case (k, v, _, _, _) => k -> v })
     println(f"""{"metric":"summary","value":$total%.2f,"unit":"sec",""" +

@@ -3,19 +3,31 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scaling probe for BPE merge learning: per-iteration cost of the
-  * incremental pair-count formulation vs the full-rescan reference, BY
-  * MERGE RANK, as the DISTINCT-WORD vocabulary grows (table replication
-  * cannot show this — it grows counts, not the vocabulary, and the
-  * iteration loop runs on the distinct-word table).
+/** Scaling probe for BPE merge learning: per-merge amortized cost of
+  * each formulation, BY MERGE RANK, as the DISTINCT-WORD vocabulary
+  * grows (table replication cannot show this — it grows counts, not the
+  * vocabulary, and the iteration loop runs on the distinct-word table).
   *
-  * Why rank matters: the first few merges genuinely touch a large
-  * fraction of the vocabulary — no formulation makes THEM sublinear —
-  * but at a production tokenizer's 32k merges virtually every iteration
-  * is high-rank, where the affected-word set is tiny. The incremental
-  * path's per-iteration cost must DECAY toward the fixed job-latency
-  * floor as rank grows and stay near-flat as the vocabulary grows; the
-  * full rescan stays O(Σ|w|) at every rank, at every size.
+  * Three formulations (module doc on [[graft.operators.Bpe]]):
+  *  - `rescan`     — sequential full rescan (one merge per corpus-wide
+  *                   pair recount);
+  *  - `increment`  — sequential incremental pair-count maintenance
+  *                   (topM = 1);
+  *  - `batched`    — the production path: top-M candidate collection
+  *                   with sequential-equivalent batch admission
+  *                   (topM = 64), on the size-dispatched formulation.
+  *
+  * What to expect, and what the recorded PERFORMANCE.md table shows:
+  * every formulation REWRITES the loop-carried state once per scan, so
+  * per-SCAN cost has an O(V) floor — sequential per-merge cost GROWS
+  * with V for both sequential formulations (incremental only wins over
+  * rescan past V ≈ 10⁶–10⁷, where recounting all pairs costs more than
+  * maintaining deltas). Batching is the lever that beats the floor:
+  * K merges share one state rewrite, dividing the per-merge amortized
+  * cost by the admitted batch size. Rank matters because early merges
+  * genuinely touch a large fraction of the vocabulary and admit small
+  * batches; at a production tokenizer's 32k merges virtually every scan
+  * is high-rank, where batches are wide and affected-word sets tiny.
   *
   * Corpus: one synthetic word per row, `translate(id % V, digits →
   * letters)` — deterministic, no RNG, vocabulary size exactly V with
@@ -42,36 +54,44 @@ object BpeStress {
       .select(translate(col("id").mod(v).cast("string"),
         "0123456789", "abcdefghij").as("text"))
 
-    // rank buckets: median per-iteration seconds inside each — medians,
-    // not means, because the box has real run-to-run GC/CPU variance
+    // rank buckets: median per-merge amortized seconds inside each —
+    // medians, not means, because the box has real run-to-run GC/CPU
+    // variance (batched scans report scan time / admitted batch size)
     val buckets = Seq((1, 8), (9, 32), (33, 96), (97, numMerges))
       .filter { case (lo, _) => lo <= numMerges }
     def bucketed(times: Array[Double]): String =
       buckets.map { case (lo, hi) =>
-        val xs = times.slice(lo - 1, math.min(hi, times.length)).sorted
+        val xs = times.slice(lo - 1, math.min(hi, times.length))
+          .filter(_ > 0).sorted
         if (xs.isEmpty) f"${s"$lo-$hi"}%9s:    -  "
         else f"${s"$lo-$hi"}%9s:${xs(xs.length / 2)}%6.2f s"
       }.mkString("  ")
 
-    // throwaway compile/JIT warm-up
-    Bpe.learnMerges(corpus(sizes.head / 10 max 1000), "text", 4)
+    // throwaway compile/JIT warm-up of all three paths
+    val warm = corpus(sizes.head / 10 max 1000)
+    Bpe.learnMergesWith(warm, "text", 4, topM = 64, incremental = true)
     CacheRegistry.drain()
-    Bpe.learnMergesFullRescan(corpus(sizes.head / 10 max 1000), "text", 4)
+    Bpe.learnMergesFullRescan(warm, "text", 4)
     CacheRegistry.drain()
 
-    println(s"[bpe-stress] median per-iteration seconds by merge-rank " +
-      s"bucket ($numMerges merges)")
+    println(s"[bpe-stress] median per-merge amortized seconds by " +
+      s"merge-rank bucket ($numMerges merges)")
     for (v <- sizes) {
-      val ti = new Array[Double](numMerges)
-      Bpe.learnMergesTimed(corpus(v), "text", numMerges, 32,
-        (k, s) => ti(k - 1) = s)
-      CacheRegistry.drain()
       val tf = new Array[Double](numMerges)
       Bpe.learnMergesFullRescan(corpus(v), "text", numMerges,
         onIter = (k, s) => tf(k - 1) = s)
       CacheRegistry.drain()
-      println(f"[bpe-stress] V=$v%10d  incremental  ${bucketed(ti)}")
-      println(f"[bpe-stress] V=$v%10d  full-rescan  ${bucketed(tf)}")
+      val ti = new Array[Double](numMerges)
+      Bpe.learnMergesWith(corpus(v), "text", numMerges, topM = 1,
+        incremental = true, onIter = (k, s) => ti(k - 1) = s)
+      CacheRegistry.drain()
+      val tb = new Array[Double](numMerges)
+      Bpe.learnMergesTimed(corpus(v), "text", numMerges, 32,
+        (k, s) => tb(k - 1) = s)
+      CacheRegistry.drain()
+      println(f"[bpe-stress] V=$v%10d  rescan     ${bucketed(tf)}")
+      println(f"[bpe-stress] V=$v%10d  increment  ${bucketed(ti)}")
+      println(f"[bpe-stress] V=$v%10d  batched    ${bucketed(tb)}")
     }
     spark.stop()
   }

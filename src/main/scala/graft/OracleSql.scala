@@ -40,16 +40,26 @@ object OracleSql {
     * scalar subqueries to a no-op replace (`chr(1)` never occurs in a
     * symbol string), mirroring the Scala learner's early stop — without
     * this, the NULL search/replacement args NULL out every `sym`.
+    *
+    * Unicode-version coupling (exactness caveat, like the decimal-grid
+    * notes elsewhere in this file): the `\p{L}` pre-tokenizer is
+    * evaluated by java.util.regex on the Spark side and by DuckDB's RE2
+    * here — two different Unicode tables. A letter added in a newer
+    * Unicode version could classify differently and silently diverge
+    * the two vocabularies. Harmless for the controlled test corpora
+    * (BMP letters long predating both tables); revisit if the corpus
+    * generator ever emits exotic scripts.
     */
-  private def bpeCtes(numMerges: Int): String = {
+  private def bpeCtes(
+      numMerges: Int, docsRel: String = "documents"): String = {
     val sb = new StringBuilder
     sb.append(
-      """w0 AS MATERIALIZED (
+      s"""w0 AS MATERIALIZED (
         |  SELECT w, CAST(count(*) AS BIGINT) AS cnt,
-        |    regexp_replace(w, '(.)', '\1 ', 'g') || '</w>' AS sym
+        |    regexp_replace(w, '(.)', '\\1 ', 'g') || '</w>' AS sym
         |  FROM (SELECT unnest(list_filter(string_split(text, ' '),
-        |          x -> x <> '')) AS w FROM documents)
-        |  WHERE regexp_matches(w, '^\p{L}+$') AND length(w) <= 32
+        |          x -> x <> '')) AS w FROM $docsRel)
+        |  WHERE regexp_matches(w, '^\\p{L}+$$') AND length(w) <= 32
         |  GROUP BY w)""".stripMargin)
     for (k <- 0 until numMerges) {
       sb.append(",\n")
@@ -1702,6 +1712,108 @@ object OracleSql {
         |    THEN ("offset" + n_tokens - 1) // 256 - "offset" // 256 + 1
         |    ELSE 0 END AS n_blocks
         |FROM ofs ORDER BY doc_id""".stripMargin),
+
+    // merges learned on the even-doc_id half (bpeCtes over a filtered
+    // relation), then REPLAYED over the full corpus's distinct words as
+    // 12 more unrolled replace stages (a0..a12) — the merge-replay
+    // tokenizer. A word with any symbol outside the training alphabet
+    // (LEFT JOIN misses symtab) is dropped wholesale (wok), the OOV
+    // contract; token order is (word position, symbol position).
+    "q107_bpe_apply" -> ("WITH " +
+      bpeCtes(12, "(SELECT * FROM documents WHERE doc_id % 2 = 0)") +
+      s""",
+        |msym AS (
+        |${(0 until 12).map(k =>
+            s"  SELECT a || b AS sym, ${k + 1} AS mrank FROM b$k")
+            .mkString("\nUNION ALL\n")}),
+        |base AS (
+        |  SELECT DISTINCT s AS sym, 0 AS mrank
+        |  FROM (SELECT unnest(string_split(sym, ' ')) AS s FROM w0)),
+        |symtab AS (
+        |  SELECT sym,
+        |    CAST(row_number() OVER (ORDER BY mrank, sym) - 1 AS BIGINT)
+        |      AS id
+        |  FROM (SELECT sym, min(mrank) AS mrank
+        |        FROM (SELECT * FROM base UNION ALL SELECT * FROM msym)
+        |        GROUP BY sym)),
+        |a0 AS MATERIALIZED (
+        |  SELECT w, regexp_replace(w, '(.)', '\\1 ', 'g') || '</w>' AS sym
+        |  FROM (SELECT DISTINCT w FROM (
+        |          SELECT unnest(list_filter(string_split(text, ' '),
+        |            x -> x <> '')) AS w FROM documents)
+        |        WHERE regexp_matches(w, '^\\p{L}+$$')
+        |          AND length(w) <= 32))""".stripMargin +
+      (0 until 12).map { k =>
+        s""",
+          |a${k + 1} AS MATERIALIZED (
+          |  SELECT w, trim(regexp_replace(
+          |    replace(' ' || replace(sym, ' ', '  ') || ' ',
+          |      coalesce((SELECT ' ' || a || '  ' || b || ' ' FROM b$k),
+          |        chr(1)),
+          |      coalesce((SELECT ' ' || a || b || ' ' FROM b$k), '')),
+          |    ' +', ' ', 'g')) AS sym
+          |  FROM a$k)""".stripMargin
+      }.mkString +
+      """,
+        |wsym AS (
+        |  SELECT w, j AS spos, sl[j + 1] AS s
+        |  FROM (SELECT w, sl, unnest(range(0, len(sl))) AS j
+        |        FROM (SELECT w, string_split(sym, ' ') AS sl FROM a12))),
+        |wid AS (
+        |  SELECT wsym.w, wsym.spos, symtab.id
+        |  FROM wsym LEFT JOIN symtab ON wsym.s = symtab.sym),
+        |wok AS (
+        |  SELECT w FROM wid GROUP BY w
+        |  HAVING count(CASE WHEN id IS NULL THEN 1 END) = 0),
+        |docw AS (
+        |  SELECT doc_id, i AS wpos, ws[i + 1] AS w
+        |  FROM (SELECT doc_id, ws, unnest(range(0, len(ws))) AS i
+        |        FROM (SELECT doc_id,
+        |                list_filter(string_split(text, ' '), x -> x <> '')
+        |                  AS ws
+        |              FROM documents))),
+        |seq AS (
+        |  SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    string_agg(CAST(u.id AS VARCHAR), ' ' ORDER BY d.wpos, u.spos)
+        |      AS ids
+        |  FROM docw d
+        |  JOIN (SELECT wid.w, wid.spos, wid.id
+        |        FROM wid JOIN wok USING (w)) u USING (w)
+        |  GROUP BY d.doc_id)
+        |SELECT doc_id, n_tokens, ids FROM seq ORDER BY doc_id"""
+        .stripMargin),
+
+    // perceptual dHash pairs: each synthetic banded PNG's 64-bit hash is
+    // closed-form in the id (bit r·8+i set iff (id·31+i·17+r·57)%200 <
+    // 183 — the +17 band step wraps exactly when the comparison falls;
+    // brightness/scale variants share the base id's hash by design), so
+    // the oracle rebuilds every hash arithmetically and brute-force
+    // pairs them. Bit 63 cannot be reached by 1<<63 (DuckDB overflows
+    // signed shift); its signed contribution is the BIGINT min value.
+    "q108_image_dhash" ->
+      """WITH assets AS (
+        |  SELECT doc_id AS asset_id, doc_id AS id FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, doc_id FROM documents
+        |  WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, doc_id FROM documents
+        |  WHERE doc_id % 11 = 0),
+        |bits AS (
+        |  SELECT asset_id,
+        |    CAST(SUM(CASE WHEN (id * 31 + i * 17 + r * 57) % 200 < 183
+        |      THEN CASE WHEN r * 8 + i = 63
+        |        THEN (-9223372036854775807 - 1)
+        |        ELSE (1::BIGINT << (r * 8 + i)) END
+        |      ELSE 0 END) AS BIGINT) AS dhash
+        |  FROM assets, range(0, 8) t1(r), range(0, 8) t2(i)
+        |  GROUP BY asset_id),
+        |pairs AS (
+        |  SELECT x.asset_id AS id_a, y.asset_id AS id_b,
+        |    CAST(bit_count(xor(x.dhash, y.dhash)) AS BIGINT) AS hamming
+        |  FROM bits x JOIN bits y ON x.asset_id < y.asset_id)
+        |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // quality gate → exact dedup (planted clones) → per-source quota →
     // stable split; each stage is the already-proven q27/q25/q93/q59 SQL

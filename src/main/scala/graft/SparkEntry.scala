@@ -1269,6 +1269,38 @@ object SparkEntry {
       .orderBy("keep_id")
   }
 
+  /** Perceptual near-duplicate image detection
+    * ([[graft.operators.Multimodal.dhashImages]] → pigeonhole Hamming
+    * pairs): banded synthetic PNGs, with a brightness-shifted variant
+    * planted on every doc_id % 7 == 0 and a rescaled variant on every
+    * doc_id % 11 == 0 — perturbations that defeat q95's exact decoded-
+    * content fingerprint but leave the difference hash fixed, so every
+    * planted pair surfaces at Hamming 0 (along with the deterministic
+    * natural collisions of the 200-class band profile). The oracle
+    * computes each asset's 64-bit hash arithmetically from the fixture
+    * closed form and brute-force-pairs them.
+    */
+  private def q108(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val assets = docs(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        def asset(aid: Long, png: Array[Byte]) =
+          Multimodal.Asset(aid, png, "image/png", png.length.toLong)
+        Iterator(asset(id, Multimodal.syntheticBandPng(id))) ++
+          (if (id % 7 == 0)
+            Iterator(asset(id + 1000000L,
+              Multimodal.syntheticBandPng(id, brightness = 40)))
+          else Iterator.empty) ++
+          (if (id % 11 == 0)
+            Iterator(asset(id + 2000000L,
+              Multimodal.syntheticBandPng(id, scaleStep = 1)))
+          else Iterator.empty)
+      })
+    Multimodal.imageNearDupPairs(
+        Multimodal.dhashImages(assets).toDF(), maxHamming = 3)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Containment join over corpus ∪ planted 8-token prefixes: every
     * prefix doc is fully contained in its original (containment 1.0),
     * which symmetric Jaccard would score far below threshold.
@@ -1514,6 +1546,30 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Merge-replay tokenization of UNSEEN text
+    * ([[graft.operators.Bpe.applyModel]]): learn 12 merges on the
+    * even-`doc_id` half of the corpus, then tokenize the WHOLE corpus —
+    * odd documents contain words absent from the training vocabulary,
+    * which a real tokenizer (subword-nmt `apply_bpe`) still encodes by
+    * replaying the saved rules; words with out-of-alphabet characters
+    * are skipped per the OOV contract. The oracle replays the learned
+    * rules over the full corpus's distinct words as 12 more unrolled
+    * replace stages and rebuilds the deterministic symbol→id table, so
+    * rule replay, OOV skipping, and id assignment are all gate-checked.
+    */
+  private def q107(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val model = graft.operators.Bpe.learnMerges(
+      dd.filter(col("doc_id") % 2 === 0).select("text"), "text",
+      numMerges = 12)
+    graft.operators.Bpe.applyModel(dd, "doc_id", "text", model)
+      .select(col("doc_id"),
+        size(col("token_ids")).cast("long").as("n_tokens"),
+        array_join(transform(col("token_ids"), _.cast("string")), " ")
+          .as("ids"))
+      .orderBy("doc_id")
+  }
+
   /** Dedup observability report: per source, total docs / exact-dedup
     * survivors / duplicates (global keeper choice — cross-source
     * duplication counts against the copying source).
@@ -1632,6 +1688,8 @@ object SparkEntry {
     "q104_corpus_pipeline" -> (q104(_, _)),
     "q105_pagerank" -> (q105(_, _)),
     "q106_bpe_pack" -> (q106(_, _)),
+    "q107_bpe_apply" -> (q107(_, _)),
+    "q108_image_dhash" -> (q108(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

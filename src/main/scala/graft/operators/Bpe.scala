@@ -7,34 +7,47 @@ import org.apache.spark.sql.functions._
   * Birch 2016, "Neural Machine Translation of Rare Words with Subword
   * Units") — the tokenizer-training step of an LLM data pipeline.
   *
-  * Scale shape (the reason real trainers — subword-nmt, SentencePiece,
-  * HF tokenizers — all do this): the corpus is touched ONCE, by a single
-  * tokenize + word-count shuffle, and the adjacent-pair counts are built
-  * ONCE, by a single explode over the distinct-word table. Every merge
-  * iteration after that is INCREMENTAL, the standard trainers'
-  * formulation (subword-nmt's queue update): after choosing pair (a,b),
-  * only the words whose symbol string actually contains the `a b`
-  * boundary are re-exploded — a Zipf-tiny subset after the first few
-  * merges — and their old pairs are subtracted / new pairs added to a
-  * loop-carried pair-count relation ([[Lineage.cut]] state, partitioned
-  * by (a,b) so the per-iteration delta join co-locates without
-  * reshuffling the state). Per iteration: one map-side filter of the
-  * vocabulary leaf, one explode of the affected subset, one tiny delta
-  * aggregation, and exactly ONE row crosses to the driver (the argmax
-  * pair). Nothing per-iteration explodes or shuffles the full
-  * vocabulary — the full-rescan alternative (one explode+shuffle of ALL
-  * words per merge) is 32k corpus-wide passes at a real tokenizer's
-  * merge count, months of work the incremental path avoids. The chosen
-  * rule is applied as a literal string `replace` — map-side, whole-stage
-  * codegen, no UDF.
+  * Scale shape: the corpus is touched ONCE, by a single tokenize +
+  * word-count shuffle; every scan after that runs on the distinct-word
+  * table. Two formulations share one loop, dispatched on measured
+  * vocabulary size ([[RescanVocabConf]]):
   *
-  * Determinism: the argmax tiebreak is (count DESC, left ASC, right ASC)
-  * via `min(struct(-count, left, right))` — a partial-aggregatable
-  * reduction, no global sort. Merge application is leftmost
-  * non-overlapping (the reference greedy semantics), implemented by
-  * doubling the symbol separators so adjacent occurrences cannot steal
-  * each other's boundary space (`" a  b "` consumes one space per side,
-  * leaving one for the next match).
+  *  - '''full rescan''' (V ≤ ~10⁶, the measured crossover — see the
+  *    BpeStress table in PERFORMANCE.md): recompute all pair counts
+  *    from the vocabulary each scan. At small V the one explode+agg is
+  *    cheaper than maintaining count state.
+  *  - '''incremental''' (large V, subword-nmt's queue-update
+  *    formulation): a loop-carried pair-count relation, maintained by
+  *    deltas from the affected words only — after choosing pair (a,b),
+  *    only words whose symbol string contains the `a b` boundary are
+  *    re-exploded, their old pairs subtracted and new pairs added via a
+  *    full-outer join co-partitioned on (a,b).
+  *
+  * Both formulations REWRITE the loop state (the vocabulary; for the
+  * incremental path also the counts relation) once per scan, so the
+  * per-scan cost has an O(V) floor no delta trick removes. The lever
+  * that beats that floor is '''merge batching''': each scan collects
+  * the top-M candidate pairs (one bounded driver round-trip,
+  * [[BatchTopMConf]]) and applies every pair of a provably
+  * sequential-equivalent prefix ([[selectBatch]]) in ONE conditional
+  * rewrite with ONE combined count delta — K merges per state rewrite,
+  * so a 32k-merge tokenizer costs ~32k/K corpus-state rewrites instead
+  * of 32k. Batching preserves the exact sequential rule sequence (the
+  * oracle replays rules one at a time): see [[selectBatch]] for the
+  * admission proof sketch. Measured per-merge amortized costs for all
+  * three formulations (sequential rescan / sequential incremental /
+  * batched) are recorded in PERFORMANCE.md, produced by
+  * [[graft.BpeStress]].
+  *
+  * Determinism: the candidate order is (count DESC, left ASC, right
+  * ASC) via `TakeOrderedAndProject` (partial per-partition top-M, no
+  * global sort). Merge application is leftmost non-overlapping (the
+  * reference greedy semantics), implemented by doubling the symbol
+  * separators so adjacent occurrences cannot steal each other's
+  * boundary space (`" a  b "` consumes one space per side, leaving one
+  * for the next match); the replacement `" ab "` gives one space back
+  * per side, restoring the doubled invariant, so any rule sequence
+  * chains exactly inside one doubled form ([[applyMerges]]).
   *
   * Words are held as canonical single-space symbol strings
   * (`"s p a r k </w>"`) rather than arrays so every step stays in
@@ -44,6 +57,18 @@ import org.apache.spark.sql.functions._
   * literal-replace application and the ` a b ` containment probe exact.
   */
 object Bpe {
+
+  /** Session conf key: scans collect this many top candidate pairs and
+    * batch the sequential-equivalent prefix (default 64). `1` degrades
+    * to the exact sequential loop.
+    */
+  val BatchTopMConf = "spark.graft.bpe.batchTopM"
+
+  /** Session conf key: at or below this many distinct words the learner
+    * uses the full-rescan formulation; above it, the incremental one
+    * (default 1,000,000 — the measured crossover, PERFORMANCE.md).
+    */
+  val RescanVocabConf = "spark.graft.bpe.rescanMaxVocab"
 
   /** One learned merge rule: at `rank` (1-based), `left`+`right` had the
     * highest weighted adjacent-pair count `pairCount` and were fused into
@@ -86,7 +111,8 @@ object Bpe {
     * of the pos filter). All map-side: the only shuffle is the (a,b)
     * agg — a lead() window here would add a per-word shuffle+sort of
     * the exploded symbol table for no semantic gain. Negative `cnt`
-    * rows are the subtraction half of a delta (see [[learnMerges]]).
+    * rows are the subtraction half of a delta (see the incremental
+    * branch of [[learnLoop]]).
     */
   private def pairCounts(rel: DataFrame): DataFrame = {
     val syms = rel.select(col("cnt"), split(col("sym"), " ").as("syms"))
@@ -99,18 +125,90 @@ object Bpe {
       .agg(sum(col("cnt")).as("pc"))
   }
 
-  /** (count DESC, left ASC, right ASC) argmax — ONE row to the driver;
-    * None when no pair remains (fully merged vocabulary).
+  /** Top-`m` candidate pairs by (count DESC, left ASC, right ASC) — a
+    * `TakeOrderedAndProject` (per-partition partial top-m, merged on the
+    * driver), so the round-trip is bounded by `m` small rows at any
+    * corpus scale.
     */
-  private def argmax(counts: DataFrame): Option[(Long, String, String)] = {
-    val best = counts
-      .agg(min(struct(negate(col("pc")), col("a"), col("b"))).as("m"))
-      .select(col("m")).collect()
-    if (best.isEmpty || best(0).isNullAt(0)) None
-    else {
-      val m = best(0).getStruct(0)
-      Some((-m.getLong(0), m.getString(1), m.getString(2)))
+  private def topPairs(
+      counts: DataFrame, m: Int): Seq[(Long, String, String)] =
+    counts.orderBy(col("pc").desc, col("a"), col("b")).limit(m)
+      .collect().toSeq
+      .map(r => (r.getLong(2), r.getString(0), r.getString(1)))
+
+  /** The sequential-equivalent batch: from `rows` (candidate pairs in
+    * exact tiebreak order; `truncated` = the collection was cut at M, so
+    * unseen pairs with count ≤ `rows.last` count exist), pick a prefix
+    * of merges that the one-at-a-time sequential learner would provably
+    * choose in the same order. `knownMerged` is every merged string
+    * created by PREVIOUS iterations — the only multi-character symbols
+    * that can exist in the vocabulary besides `</w>` (the initial
+    * alphabet is single characters, and two non-empty symbols cannot
+    * concatenate to `</w>`).
+    *
+    * Admission rules, scanning in order:
+    *  1. accept a pair iff its symbol set {left, right, left+right} is
+    *     disjoint from every accepted set (disjoint merges cannot change
+    *     each other's counts or sites, and a merged string that collides
+    *     with another rule's symbol — e.g. (a,bc) vs (ab,c) both fusing
+    *     to `abc` — is a conflict, not a batch-mate);
+    *  2. a pair whose merged string is ALREADY a vocabulary symbol
+    *     (`knownMerged`) is a conflict too: post-merge, the pre-existing
+    *     pairs of that symbol and the merge-created ones conflate, so a
+    *     candidate like (x, ab) could reach oldCount + createdCount —
+    *     up to 2T — and upset a kept pair the T bound cleared. Accepted
+    *     only as the FIRST candidate, ending the scan (a singleton batch
+    *     is literally the sequential step, where conflation is the
+    *     defined string semantics);
+    *  3. a self-pair (x,x) ends the scan: its application creates pairs
+    *     like (xx,x) whose counts derive from the pair ITSELF, which the
+    *     conflict bound below cannot cover (accepted alone if first);
+    *  4. every skipped or unseen count is folded into a blocker bound
+    *     `T` (max conflicting count seen, the scan-stop count, and the
+    *     truncation floor), and only accepted pairs with count
+    *     STRICTLY above `T` are kept.
+    *
+    * Why that is sequential-exact: applying accepted merges p₁..pᵢ₋₁
+    * leaves every later accepted pair's count unchanged (rule 1);
+    * every OTHER candidate at sequential step i is an old pair whose
+    * count never increased, or a merge-created pair (x,m)/(m,y)/(m,m′)
+    * whose count is bounded by the pre-count of exactly one pair
+    * sharing a symbol with the batch (rule 2 guarantees no pre-existing
+    * count conflates in) — all ≤ T < count(pᵢ) (rule 4, strictness
+    * killing tiebreak upsets) — so the step-i argmax is exactly pᵢ.
+    * Falls back to the plain argmax singleton (always exact) when the
+    * guard empties the prefix.
+    */
+  private[graft] def selectBatch(
+      rows: Seq[(Long, String, String)], truncated: Boolean,
+      maxRules: Int,
+      knownMerged: String => Boolean = _ => false)
+      : Seq[(Long, String, String)] = {
+    if (rows.isEmpty) return Nil
+    val accepted =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
+    val used = scala.collection.mutable.HashSet.empty[String]
+    var blocker = -1L
+    var stopped = false
+    val it = rows.iterator
+    while (it.hasNext && !stopped) {
+      val r = it.next()
+      val (c, a, b) = r
+      if (accepted.size >= maxRules) {
+        blocker = math.max(blocker, c); stopped = true
+      } else if (a == b || knownMerged(a + b)) {
+        if (accepted.isEmpty) { accepted += r; stopped = true }
+        else { blocker = math.max(blocker, c); stopped = a == b }
+      } else {
+        val syms = Seq(a, b, a + b)
+        if (syms.exists(used.contains)) blocker = math.max(blocker, c)
+        else { accepted += r; used ++= syms }
+      }
     }
+    val floor = if (truncated) rows.last._1 else -1L
+    val t = math.max(blocker, floor)
+    val kept = accepted.takeWhile(_._1 > t)
+    (if (kept.isEmpty) accepted.take(1) else kept).toSeq
   }
 
   /** True iff the canonical symbol string contains symbol `a` directly
@@ -121,66 +219,117 @@ object Bpe {
   private def containsPair(a: String, b: String): Column =
     instr(concat(lit(" "), col("sym"), lit(" ")), lit(s" $a $b ")) > 0
 
-  /** Leftmost non-overlapping application of merge (a,b): double the
-    * separators so `" a  b "` owns one boundary space on each side,
-    * replace, then re-canonize back to single spaces.
+  /** Leftmost non-overlapping application of `rules` in order, as one
+    * expression over `sym`: double the separators once (so `" a  b "`
+    * owns one boundary space per side and adjacent occurrences cannot
+    * overlap), chain one literal replace per rule, then re-canonize back
+    * to single spaces once.
+    *
+    * Chaining exactness for an ARBITRARY rule sequence (not just a
+    * disjoint batch): the pattern `" a  b "` consumes one space from
+    * each flanking separator and the replacement `" ab "` gives one
+    * back per side, so every replacement RESTORES the doubled invariant
+    * (`" x  a  b  y "` → `" x  ab  y "`) — each rule in the chain sees
+    * a well-formed doubled string, and the chain IS sequential
+    * one-pass-per-rule application. This is what lets [[applyModel]]
+    * replay dependent saved rules in 64-rule chunks.
     */
-  private def applyMerge(a: String, b: String): Column = {
+  private def applyMerges(sym: Column, rules: Seq[(String, String)]): Column = {
     val doubled = concat(lit(" "),
-      call_function("replace", col("sym"), lit(" "), lit("  ")),
+      call_function("replace", sym, lit(" "), lit("  ")),
       lit(" "))
-    val merged = call_function("replace", doubled,
-      lit(s" $a  $b "), lit(s" ${a + b} "))
-    trim(regexp_replace(merged, " +", " "))
+    val replaced = rules.foldLeft(doubled) { case (s, (a, b)) =>
+      call_function("replace", s, lit(s" $a  $b "), lit(s" ${a + b} "))
+    }
+    trim(regexp_replace(replaced, " +", " "))
   }
 
-  /** Learn `numMerges` merge rules from whitespace-tokenized `textCol`
-    * — incremental pair-count maintenance (module doc).
-    *
-    * Loop-carried state, both [[Lineage.cut]] each iteration so every
-    * plan is a constant-size leaf: the vocabulary `(w, cnt, sym)` and
-    * the pair-count relation `(a, b, pc)`. Each iteration runs three
-    * small Spark jobs — the argmax collect, the delta-join
-    * materialization of the updated counts, and the conditional-replace
-    * materialization of the updated vocabulary — and the driver sees
-    * one argmax row per merge. Stops early if no adjacent pair is left.
+  /** Learn `numMerges` merge rules from whitespace-tokenized `textCol`,
+    * dispatching on measured vocabulary size (module doc): full rescan
+    * at small V, incremental pair-count maintenance at large V, merge
+    * batching in both. The driver sees ≤ M bounded rows per scan.
     */
   def learnMerges(
       df: DataFrame, textCol: String, numMerges: Int,
       maxWordLen: Int = 32): Model =
     learnMergesTimed(df, textCol, numMerges, maxWordLen, null)
 
-  /** [[learnMerges]] with a per-iteration timing hook (rank, seconds) —
-    * how [[graft.BpeStress]] shows the incremental cost decaying with
-    * merge rank while the full rescan stays flat.
+  /** [[learnMerges]] with a per-merge timing hook (rank, seconds —
+    * batched scans report the scan time amortized over the batch, the
+    * comparable per-merge cost) — how [[graft.BpeStress]] produces the
+    * PERFORMANCE.md formulation table.
     */
   private[graft] def learnMergesTimed(
       df: DataFrame, textCol: String, numMerges: Int,
       maxWordLen: Int, onIter: (Int, Double) => Unit): Model = {
     require(numMerges > 0, s"numMerges=$numMerges must be positive")
     require(maxWordLen > 0, s"maxWordLen=$maxWordLen must be positive")
-    var words = Lineage.cut(initialVocab(df, textCol, maxWordLen))
-    // the ONE full-vocabulary explode; thereafter the counts relation is
-    // maintained by deltas. Partitioned by (a,b) so each iteration's
-    // delta join shuffles only the (tiny) delta side.
-    var counts = Lineage.cut(
-      pairCounts(words.select(col("cnt"), col("sym")))
-        .repartition(col("a"), col("b")))
+    val conf = df.sparkSession.conf
+    val topM = math.max(1,
+      conf.getOption(BatchTopMConf).map(_.toInt).getOrElse(64))
+    val rescanMax = conf.getOption(RescanVocabConf).map(_.toLong)
+      .getOrElse(1000000L)
+    val words = Lineage.cut(initialVocab(df, textCol, maxWordLen))
+    learnLoop(words, numMerges, topM,
+      incremental = words.count() > rescanMax, onIter)
+  }
 
+  /** Formulation-forced entry (tests and [[graft.BpeStress]]): explicit
+    * batch width and formulation, bypassing the size dispatch.
+    */
+  private[graft] def learnMergesWith(
+      df: DataFrame, textCol: String, numMerges: Int,
+      maxWordLen: Int = 32, topM: Int = 64, incremental: Boolean = true,
+      onIter: (Int, Double) => Unit = null): Model = {
+    require(numMerges > 0, s"numMerges=$numMerges must be positive")
+    require(maxWordLen > 0, s"maxWordLen=$maxWordLen must be positive")
+    learnLoop(Lineage.cut(initialVocab(df, textCol, maxWordLen)),
+      numMerges, math.max(1, topM), incremental, onIter)
+  }
+
+  /** The shared scan loop. Loop-carried state, [[Lineage.cut]] each
+    * scan so every plan is a constant-size leaf: the vocabulary
+    * `(w, cnt, sym)` and — incremental formulation only — the pair-count
+    * relation `(a, b, pc)`. Each scan runs the bounded top-M collect,
+    * applies the [[selectBatch]] prefix in one conditional rewrite, and
+    * (incremental) folds ONE combined delta from the affected words into
+    * the counts. Stops early if no adjacent pair is left.
+    */
+  private def learnLoop(
+      words0: DataFrame, numMerges: Int, topM: Int, incremental: Boolean,
+      onIter: (Int, Double) => Unit): Model = {
+    var words = words0
+    var counts: DataFrame =
+      if (incremental)
+        Lineage.cut(pairCounts(words.select(col("cnt"), col("sym")))
+          .repartition(col("a"), col("b")))
+      else null
     val rules = scala.collection.mutable.ArrayBuffer.empty[MergeRule]
+    val mergedSyms = scala.collection.mutable.HashSet.empty[String]
     var k = 0
     var exhausted = false
     while (k < numMerges && !exhausted) {
       val t0 = System.nanoTime()
-      argmax(counts) match {
-        case None => exhausted = true
-        case Some((pc, a, b)) =>
-          rules += MergeRule(k + 1, a, b, a + b, pc)
-          val touched = containsPair(a, b)
-          val newSym = applyMerge(a, b)
+      val cur =
+        if (incremental) counts
+        else pairCounts(words.select(col("cnt"), col("sym")))
+      val top = topPairs(cur, topM)
+      if (top.isEmpty) exhausted = true
+      else {
+        val batch =
+          selectBatch(top, top.length == topM, numMerges - k, mergedSyms)
+        batch.zipWithIndex.foreach { case ((pc, a, b), i) =>
+          rules += MergeRule(k + i + 1, a, b, a + b, pc)
+          mergedSyms += (a + b)
+        }
+        val touched = batch.map { case (_, a, b) => containsPair(a, b) }
+          .reduce(_ || _)
+        val newSym =
+          applyMerges(col("sym"), batch.map { case (_, a, b) => (a, b) })
+        if (incremental) {
           // pair-count delta from the affected words ONLY: subtract
-          // their old pairs, add their new ones. Words without the
-          // `a b` boundary keep their symbols, hence their pairs.
+          // their old pairs, add their new ones. Words without any
+          // batch boundary keep their symbols, hence their pairs.
           val affected = words.filter(touched)
           val delta = pairCounts(
             affected.select(negate(col("cnt")).as("cnt"), col("sym"))
@@ -194,24 +343,29 @@ object Bpe {
                 (coalesce(col("pc"), lit(0L)) +
                   coalesce(col("d"), lit(0L))).as("pc"))
               .filter(col("pc") > 0))
-          val prevW = words
-          words = Lineage.cut(words.withColumn("sym",
-            when(touched, newSym).otherwise(col("sym"))))
-          Lineage.release(prevC) // k-1 state dead once the k-th cut is real
-          Lineage.release(prevW)
-          k += 1
-          if (onIter != null) onIter(k, (System.nanoTime() - t0) / 1e9)
+          Lineage.release(prevC) // dead once the new cut is real
+        }
+        val prevW = words
+        words = Lineage.cut(words.withColumn("sym",
+          when(touched, newSym).otherwise(col("sym"))))
+        Lineage.release(prevW)
+        val dt = (System.nanoTime() - t0) / 1e9 / batch.length
+        if (onIter != null)
+          (k + 1 to k + batch.length).foreach(r => onIter(r, dt))
+        k += batch.length
       }
     }
+    if (counts != null) Lineage.release(counts) // terminal count state is dead
     Model(rules.toSeq, words)
   }
 
-  /** The pre-incremental formulation — recompute ALL pair counts from
-    * the full vocabulary every iteration. Kept (test-visible only) as
-    * the equality reference for [[learnMerges]]: the incremental path
-    * must choose identical rules and produce an identical vocabulary at
-    * every iteration, and [[graft.ScaleStress]] measures the
-    * per-iteration cost gap as the vocabulary grows.
+  /** The naive reference formulation — recompute ALL pair counts from
+    * the full vocabulary and take ONE merge per scan. Kept (test-visible
+    * only) as the equality reference: every production path —
+    * incremental, batched, dispatched — must choose identical rules and
+    * produce an identical vocabulary at every depth, and
+    * [[graft.BpeStress]] measures the per-merge cost of each
+    * formulation against it (table in PERFORMANCE.md).
     */
   private[graft] def learnMergesFullRescan(
       df: DataFrame, textCol: String, numMerges: Int,
@@ -224,13 +378,13 @@ object Bpe {
     var exhausted = false
     while (k < numMerges && !exhausted) {
       val t0 = System.nanoTime()
-      argmax(pairCounts(words.select(col("cnt"), col("sym")))) match {
-        case None => exhausted = true
-        case Some((pc, a, b)) =>
+      topPairs(pairCounts(words.select(col("cnt"), col("sym"))), 1) match {
+        case Seq() => exhausted = true
+        case Seq((pc, a, b)) =>
           rules += MergeRule(k + 1, a, b, a + b, pc)
           val prev = words
           words = Lineage.cut(words.withColumn("sym",
-            when(containsPair(a, b), applyMerge(a, b))
+            when(containsPair(a, b), applyMerges(col("sym"), Seq((a, b))))
               .otherwise(col("sym"))))
           Lineage.release(prev)
           k += 1
@@ -286,7 +440,8 @@ object Bpe {
     * skipped by the inner join, per the learn contract) expands to its
     * final symbols, each mapped through [[symbolTable]]. Returns
     * `(idCol, token_ids array<int>)` for every document with at least
-    * one in-vocabulary token.
+    * one in-vocabulary token. Encodes the TRAINING corpus (the words in
+    * `model.vocab`); for arbitrary text use [[applyModel]].
     *
     * Scale shape: two map-side explodes, one vocabulary join (size-gated
     * broadcast — see [[encodeCounts]]'s note on why it is NOT hinted),
@@ -311,6 +466,65 @@ object Bpe {
         struct(col("wpos"), col("spos"), col("id")))).as("tl"))
       .select(col(idCol),
         transform(col("tl"), t => t.getField("id")).as("token_ids"))
+  }
+
+  /** Tokenize ARBITRARY text under a saved model — the merge-replay
+    * encoder a real tokenizer applies to unseen documents (subword-nmt
+    * `apply_bpe`): the distinct pre-tokenized words of the INPUT corpus
+    * are symbolized and the saved rules replayed over them in rank
+    * order, so a word never seen at train time still tokenizes by the
+    * rules. Replay semantics are training-equivalent — each rule is
+    * applied exactly once at its rank (leftmost non-overlapping), the
+    * same single-pass-per-rule order [[learnMerges]] used — so on the
+    * training corpus this equals [[encodeIds]] exactly (spec-pinned).
+    * Words the pre-tokenizer rejects, and words containing a character
+    * outside the training alphabet (no symbol id exists), are skipped —
+    * the OOV contract of the learn step. Returns
+    * `(idCol, token_ids array<int>)` for every document with ≥1
+    * tokenizable word.
+    *
+    * `maxWordLen` must match the value the model was trained with.
+    *
+    * Scale shape: the replay loop runs on the DISTINCT-word relation
+    * (vocabulary-sized, not corpus-sized), chunked `rulesPerChunk`
+    * literal replaces per projection inside one doubled-separator form
+    * ([[applyMerges]]) with a [[Lineage.cut]] per chunk — so a
+    * 32k-rule model costs ~32k/chunk bounded-size projections, no
+    * driver data traffic at all. The id mapping broadcasts the bounded
+    * [[symbolTable]]; the corpus join on `w` is size-gated, not hinted
+    * (the [[encodeCounts]] rationale).
+    */
+  def applyModel(
+      df: DataFrame, idCol: String, textCol: String, model: Model,
+      maxWordLen: Int = 32, rulesPerChunk: Int = 64): DataFrame = {
+    require(rulesPerChunk > 0, s"rulesPerChunk=$rulesPerChunk must be positive")
+    val docw = df
+      .select(col(idCol),
+        posexplode(split(col(textCol), " ")).as(Seq("wpos", "w")))
+      .filter(col("w").rlike("^\\p{L}+$") && length(col("w")) <= maxWordLen)
+    var wsym = Lineage.cut(
+      docw.select("w").distinct().withColumn("sym", symbolize(col("w"))))
+    model.merges.sortBy(_.rank).grouped(rulesPerChunk).foreach { chunk =>
+      val prev = wsym
+      wsym = Lineage.cut(wsym.withColumn("sym",
+        applyMerges(col("sym"), chunk.map(r => (r.left, r.right)))))
+      Lineage.release(prev)
+    }
+    val tab = broadcast(symbolTable(model))
+    val perWord = wsym
+      .select(col("w"), posexplode(split(col("sym"), " ")).as(Seq("spos", "sym")))
+      .join(tab, Seq("sym"), "left")
+      .groupBy("w")
+      .agg(
+        array_sort(collect_list(struct(col("spos"), col("id")))).as("sl"),
+        max(col("id").isNull.cast("int")).as("oov"))
+      .filter(col("oov") === 0)
+      .select(col("w"), transform(col("sl"), t => t.getField("id")).as("ids"))
+    docw.join(perWord, Seq("w"))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("wpos"), col("ids")))).as("tl"))
+      .select(col(idCol),
+        flatten(transform(col("tl"), t => t.getField("ids"))).as("token_ids"))
   }
 
   /** Per-document BPE token counts under a learned model: each in-vocab

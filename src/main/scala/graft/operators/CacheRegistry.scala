@@ -19,6 +19,8 @@ object CacheRegistry {
     new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]()
   private val trackedBroadcasts =
     new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.broadcast.Broadcast[_]]()
+  private val trackedCheckpointed =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
   /** Register a persisted frame for later release. Returns the frame. */
   def track(df: DataFrame): DataFrame = { tracked.add(df); df }
@@ -38,6 +40,29 @@ object CacheRegistry {
     trackedBroadcasts.add(bc); bc
   }
 
+  /** Register a reliable-checkpointed frame ([[Lineage.cut]] under
+    * `spark.graft.lineage.reliable`) so [[drain]] deletes its checkpoint
+    * FILES. Iterative operators release dead generations themselves, but
+    * the TERMINAL generation of a loop outlives the operator (it is the
+    * result) — without this, every invocation in reliable mode leaks one
+    * checkpoint directory for the application lifetime
+    * (`spark.cleaner.referenceTracking.cleanCheckpoints` defaults to
+    * false). [[Lineage.release]] on an already-drained frame — and the
+    * drain of an already-released one — are idempotent no-ops.
+    */
+  def trackCheckpointed(df: DataFrame): DataFrame = {
+    trackedCheckpointed.add(df); df
+  }
+
+  /** Forget a reliable-checkpointed frame without touching its files —
+    * [[Lineage.release]] calls this after deleting a dead generation, so
+    * the queue stays bounded by LIVE generations (~2 in an iterative
+    * loop), not by total iterations.
+    */
+  private[operators] def untrackCheckpointed(df: DataFrame): Unit = {
+    trackedCheckpointed.remove(df); ()
+  }
+
   /** Unpersist every tracked frame/RDD (non-blocking), clear the registry. */
   def drain(): Unit = {
     var df = tracked.poll()
@@ -55,8 +80,16 @@ object CacheRegistry {
       bc.unpersist(false)
       bc = trackedBroadcasts.poll()
     }
+    var ck = trackedCheckpointed.poll()
+    while (ck != null) {
+      Lineage.release(ck)
+      ck = trackedCheckpointed.poll()
+    }
   }
 
-  /** Number of currently tracked frames + RDDs + broadcasts (for tests). */
-  def size: Int = tracked.size + trackedRdds.size + trackedBroadcasts.size
+  /** Number of currently tracked frames + RDDs + broadcasts +
+    * reliable checkpoints (for tests).
+    */
+  def size: Int = tracked.size + trackedRdds.size + trackedBroadcasts.size +
+    trackedCheckpointed.size
 }

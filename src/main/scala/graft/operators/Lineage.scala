@@ -54,7 +54,11 @@ object Lineage {
         df.sparkSession.sparkContext.getCheckpointDir.isDefined,
         s"$ReliableConf=true requires SparkContext.setCheckpointDir — the " +
           "reliable store a cut survives executor loss through")
-      df.checkpoint() // eager; re-roots to a LogicalRDD leaf, like local
+      // eager; re-roots to a LogicalRDD leaf, like local. Registered so
+      // CacheRegistry.drain deletes the TERMINAL generation's files
+      // (operators release dead generations themselves, and release
+      // un-registers — the queue holds only live generations).
+      CacheRegistry.trackCheckpointed(df.checkpoint())
     } else {
       val out = df.localCheckpoint()
       out.queryExecution.analyzed match {
@@ -88,6 +92,7 @@ object Lineage {
             .delete(p, true)
         } catch { case _: java.io.IOException => () } // best-effort
       }
+      CacheRegistry.untrackCheckpointed(df)
     case _ => ()
   }
 }

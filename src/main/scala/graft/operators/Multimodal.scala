@@ -56,6 +56,17 @@ object Multimodal {
   case class ImageFeatures(asset_id: Long, width: Int, height: Int,
       mean_r: Double, mean_g: Double, mean_b: Double, thumb: Array[Float])
 
+  /** Deterministic evenly-spaced sample positions: `min(size, cap)`
+    * indices `i·(size-1)/(k-1)` (floor) — the shared grid of
+    * [[decodeImages]] and [[dhashImages]], integer arithmetic only so an
+    * oracle replicates it exactly.
+    */
+  private[operators] def sampleGrid(size: Int, cap: Int): Array[Int] = {
+    val k = math.min(size, cap)
+    Array.tabulate(k)(i =>
+      if (k == 1) 0 else (i.toLong * (size - 1) / (k - 1)).toInt)
+  }
+
   /** REAL image decode via the JDK's ImageIO (PNG/JPEG/BMP/GIF — built
     * into every JVM, nothing external): per asset, dimensions, channel
     * means over an at-most-64×64 deterministic sample grid (bounded work
@@ -81,11 +92,7 @@ object Multimodal {
         img.map { im =>
           val w = im.getWidth
           val h = im.getHeight
-          def grid(size: Int, cap: Int): Array[Int] = {
-            val k = math.min(size, cap)
-            Array.tabulate(k)(i =>
-              if (k == 1) 0 else (i.toLong * (size - 1) / (k - 1)).toInt)
-          }
+          def grid(size: Int, cap: Int): Array[Int] = sampleGrid(size, cap)
           val (xs, ys) = (grid(w, 64), grid(h, 64))
           var (sr, sg, sb) = (0L, 0L, 0L)
           for (y <- ys; x <- xs) {
@@ -216,6 +223,53 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic synthetic banded PNG for oracle-checkable
+    * perceptual-hash tests: a 9-column × 8-row grid of solid gray bands
+    * at band-aligned dimensions — `W = 9·(2 + id%3 + scaleStep)`,
+    * `H = 8·(2 + id%2 + scaleStep)` — where band `(j, r)` fills
+    * `gray = (id·31 + j·17 + r·57) % 200 + brightness` on all three
+    * channels. Band alignment makes [[dhashImages]]' sampled column `i`
+    * of sampled row `r` land in band `(i, r)` at EVERY fixture size
+    * (spec-verified for all multiplier classes), so the hash is
+    * closed-form in the id alone — the step between neighboring bands
+    * is +17 mod 200, so the comparison rises exactly when it does not
+    * wrap: `bit(r,i) = (id·31 + i·17 + r·57) % 200 < 183` — independent
+    * of `brightness` (≤ 55 keeps every gray under 255, unclamped, and
+    * monotone maps preserve comparisons) and of `scaleStep` (a larger
+    * multiplier resamples the same band profile). That independence IS
+    * the perceptual invariance the tier exists for, and it is what lets
+    * the DuckDB oracle predict the hash of a brightness- or
+    * scale-perturbed variant arithmetically.
+    */
+  def syntheticBandPng(
+      id: Long, brightness: Int = 0, scaleStep: Int = 0): Array[Byte] = {
+    require(brightness >= 0 && brightness <= 55,
+      s"brightness=$brightness must be in [0, 55] to stay unclamped")
+    require(scaleStep >= 0, s"scaleStep=$scaleStep must be non-negative")
+    val m = 2 + (id % 3).toInt + scaleStep
+    val n = 2 + (id % 2).toInt + scaleStep
+    val w = 9 * m
+    val h = 8 * n
+    javax.imageio.ImageIO.setUseCache(false)
+    val im = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      val r = y / n
+      var x = 0
+      while (x < w) {
+        val j = x / m
+        val g = (((id * 31 + j * 17 + r * 57) % 200) + brightness).toInt
+        im.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", bos)
+    bos.toByteArray
+  }
+
   /** Deterministic synthetic WAV (16-bit mono PCM @ 8 kHz) for
     * oracle-checkable decode tests: frames = 800 + id%100 of an
     * alternating ±amp square wave with amp = 1000 + id%2000, so
@@ -265,6 +319,81 @@ object Multimodal {
         min(col("width")).as("width"), min(col("height")).as("height"))
       .drop("__fp")
   }
+
+  /** A perceptual image fingerprint: 64-bit difference hash. */
+  case class ImageDHash(asset_id: Long, dhash: Long)
+
+  /** Perceptual 64-bit difference hash (dHash — the standard
+    * near-duplicate image fingerprint, cf. the pHash family): decode,
+    * sample luminance on the deterministic 9-column × 8-row
+    * [[sampleGrid]] points, set bit `r·8+i` iff luminance rises from
+    * sampled column `i` to column `i+1` in row `r`. Because only the
+    * SIGN of neighboring-luminance differences is kept, the hash
+    * survives exactly the perturbations that defeat
+    * [[imageDedup]]'s exact content fingerprint: global brightness /
+    * contrast shifts (any monotone luminance map preserves every
+    * comparison), rescaling (the grid resamples the same relative
+    * positions), and re-encoding. Luminance is the integer BT.601
+    * weighting `299·R + 587·G + 114·B` (no division — comparisons only
+    * need ordering, and the integer form is oracle-replicable). Images
+    * narrower than 9 px or shorter than 8 px have no gradient to hash
+    * and are dropped, the [[decodeImages]] corrupt-asset convention.
+    *
+    * Scale shape: map-side only (decode + 72 `getRGB` probes per
+    * image, bounded regardless of resolution); pair finding is the
+    * separate [[imageNearDupPairs]].
+    */
+  def dhashImages(assets: Dataset[Asset]): Dataset[ImageDHash] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { a =>
+        val img =
+          try Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(a.payload)))
+          catch { case _: Exception => None }
+        img.flatMap { im =>
+          val w = im.getWidth
+          val h = im.getHeight
+          if (w < 9 || h < 8) None
+          else {
+            val xs = sampleGrid(w, 9)
+            val ys = sampleGrid(h, 8)
+            def lum(x: Int, y: Int): Long = {
+              val rgb = im.getRGB(x, y)
+              299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+                114L * (rgb & 0xff)
+            }
+            var hash = 0L
+            var r = 0
+            while (r < 8) {
+              var i = 0
+              while (i < 8) {
+                if (lum(xs(i + 1), ys(r)) > lum(xs(i), ys(r)))
+                  hash |= 1L << (r * 8 + i)
+                i += 1
+              }
+              r += 1
+            }
+            Some(ImageDHash(a.asset_id, hash))
+          }
+        }
+      }
+    }
+  }
+
+  /** Perceptual near-duplicate image pairs from [[dhashImages]]
+    * fingerprints: Hamming distance ≤ `maxHamming` over the 64-bit
+    * hashes, found by [[Dedup.simhashPairsFromSigs]]'s pigeonhole
+    * blocking (4 disjoint 16-bit chunks — distance ≤ 3 guarantees an
+    * identical chunk, perfect recall, no all-pairs join). Returns
+    * `(id_a, id_b, hamming)`.
+    */
+  def imageNearDupPairs(
+      hashes: DataFrame, idCol: String = "asset_id",
+      maxHamming: Int = 3): DataFrame =
+    Dedup.simhashPairsFromSigs(hashes, idCol, "dhash", maxHamming,
+      chunkBits = 16, nChunks = 4)
 
   /** Audio twin of [[imageDedup]]: exact dedup by decoded signal
     * characteristics (rate, channels, frame count, RMS) instead of

@@ -60,6 +60,65 @@ object WarcReader {
       .toDF()
   }
 
+  /** Streaming twin of [[read]] — WARC segments as a Structured
+    * Streaming source. A crawl lands segment-by-segment (Common Crawl
+    * publishes thousands of `.warc.gz` files per dump as they finish),
+    * and the file source's checkpointed discovery gives exactly-once
+    * per-segment processing: run under `Trigger.AvailableNow` to drain
+    * whatever has arrived (the S8 watcher pattern,
+    * [[graft.streaming.EventWindows.watchParquetDir]]), or a timed
+    * trigger to follow a live crawl.
+    *
+    * Scale shape: segment DISCOVERY rides the built-in `binaryFile`
+    * file source with ONLY the `path` column selected — column pruning
+    * keeps the source from ever loading segment content into a row
+    * (the whole-content `content` column is the reason binaryFile
+    * alone cannot be the parse path: it materializes the segment, and
+    * real segments decompress past the 2 GB array limit). Each task
+    * then opens its segment directly and runs the same lazy
+    * [[recordIterator]] as batch [[read]], so task memory stays
+    * bounded by ONE record regardless of segment size, and unreadable
+    * or malformed segments contribute their parsed prefix, never an
+    * exception. The Hadoop conf travels as broadcast key-value pairs
+    * (public API only) so remote filesystems keep their settings.
+    */
+  def readStream(
+      spark: SparkSession, dir: String,
+      glob: String = "*.warc*"): DataFrame = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val confPairs = spark.sparkContext.hadoopConfiguration.iterator()
+      .asScala.map(e => (e.getKey, e.getValue)).toArray
+    val bc = spark.sparkContext.broadcast(confPairs)
+    spark.readStream.format("binaryFile")
+      // binaryFile's fixed schema, declared explicitly — streaming
+      // sources do not infer (path is all we keep; content is pruned)
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("path",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("modificationTime",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("length",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.BinaryType))))
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(org.apache.spark.sql.functions.col("path")).as[String]
+      .mapPartitions { it =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        bc.value.foreach { case (k, v) => conf.set(k, v) }
+        it.flatMap { p =>
+          val path = new org.apache.hadoop.fs.Path(p)
+          val in =
+            try Some(path.getFileSystem(conf).open(path))
+            catch { case _: java.io.IOException => None }
+          in.iterator.flatMap(recordIterator)
+        }
+      }
+      .toDF()
+  }
+
   /** Fixture/round-trip writer: each record becomes one WARC response
     * (or given-type) record; `gzipPerRecord` emits the standard
     * member-per-record `.warc.gz` layout.

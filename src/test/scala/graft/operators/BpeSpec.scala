@@ -83,9 +83,12 @@ class BpeSpec extends SparkSpec {
     val df = corpus.toDF("text")
     // every depth 1..12: rule-list equality alone would hide a vocab
     // divergence that only changes LATER choices; comparing the full
-    // (w, cnt, sym) relation at each depth pins the loop state itself
+    // (w, cnt, sym) relation at each depth pins the loop state itself.
+    // topM = 1 forces the exact sequential loop — the pure
+    // incremental-vs-rescan comparison, no batching in play.
     for (n <- 1 to 12) {
-      val inc = Bpe.learnMerges(df, "text", numMerges = n)
+      val inc = Bpe.learnMergesWith(df, "text", numMerges = n, topM = 1,
+        incremental = true)
       val ref = Bpe.learnMergesFullRescan(df, "text", numMerges = n)
       assert(inc.merges == ref.merges, s"n=$n rules diverge")
       val iv = inc.vocab.select("w", "cnt", "sym").collect()
@@ -95,6 +98,84 @@ class BpeSpec extends SparkSpec {
       assert(iv.sameElements(rv), s"n=$n vocab diverges")
       CacheRegistry.drain()
     }
+  }
+
+  test("batched learning is sequential-exact: every (formulation, topM) " +
+      "combination equals the full rescan — rules AND vocabulary") {
+    import spark.implicits._
+    // tie-heavy corpora (3-letter alphabet) stress the blocker bound:
+    // candidates at equal counts must never upset the kept prefix
+    for (seed <- Seq(3, 13, 29)) {
+      val corpus = randomCorpus(seed, 80)
+      val df = corpus.toDF("text")
+      val ref = Bpe.learnMergesFullRescan(df, "text", numMerges = 18)
+      val rv = ref.vocab.select("w", "cnt", "sym").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2))).sorted
+      for {
+        topM <- Seq(4, 16, 64)
+        incremental <- Seq(true, false)
+      } {
+        val got = Bpe.learnMergesWith(df, "text", numMerges = 18,
+          topM = topM, incremental = incremental)
+        assert(got.merges == ref.merges,
+          s"seed=$seed topM=$topM inc=$incremental rules diverge:\n" +
+            s" got=${got.merges}\nwant=${ref.merges}")
+        val gv = got.vocab.select("w", "cnt", "sym").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getString(2))).sorted
+        assert(gv.sameElements(rv),
+          s"seed=$seed topM=$topM inc=$incremental vocab diverges")
+        CacheRegistry.drain()
+      }
+      CacheRegistry.drain()
+    }
+  }
+
+  test("selectBatch admission: disjoint prefix accepted, conflicts and " +
+      "known-merged collisions block, blocker bound strict") {
+    // plain disjoint candidates, no truncation: all accepted
+    val disjoint = Seq((10L, "a", "b"), (8L, "c", "d"), (5L, "e", "f"))
+    assert(Bpe.selectBatch(disjoint, truncated = false, maxRules = 10) ==
+      disjoint)
+    // symbol conflict (shares "b") blocks itself AND — via the strict
+    // bound — every later accepted pair at or below its count
+    val conflict = Seq((10L, "a", "b"), (8L, "b", "c"), (8L, "e", "f"),
+      (5L, "g", "h"))
+    assert(Bpe.selectBatch(conflict, truncated = false, maxRules = 10) ==
+      Seq((10L, "a", "b")))
+    // merged-string conflict: (a,bc) and (ab,c) both fuse to "abc"
+    val fuse = Seq((10L, "a", "bc"), (9L, "ab", "c"), (8L, "x", "y"))
+    assert(Bpe.selectBatch(fuse, truncated = false, maxRules = 10) ==
+      Seq((10L, "a", "bc")))
+    // truncation floor: unseen pairs may tie the last row's count, so
+    // accepted pairs at that count are dropped
+    val trunc = Seq((10L, "a", "b"), (8L, "c", "d"), (8L, "e", "f"))
+    assert(Bpe.selectBatch(trunc, truncated = true, maxRules = 10) ==
+      Seq((10L, "a", "b")))
+    assert(Bpe.selectBatch(trunc, truncated = false, maxRules = 10) ==
+      trunc)
+    // self-pair: singleton if first, scan-stop otherwise
+    assert(Bpe.selectBatch(Seq((10L, "x", "x"), (8L, "a", "b")),
+      truncated = false, maxRules = 10) == Seq((10L, "x", "x")))
+    assert(Bpe.selectBatch(
+      Seq((10L, "a", "b"), (9L, "x", "x"), (8L, "c", "d")),
+      truncated = false, maxRules = 10) == Seq((10L, "a", "b")))
+    // collision with a PREVIOUS iteration's merged symbol: singleton if
+    // top (sequential semantics conflate, a singleton is the sequential
+    // step); blocked otherwise
+    val known = Set("ab")
+    assert(Bpe.selectBatch(Seq((10L, "a", "b"), (8L, "c", "d")),
+      truncated = false, maxRules = 10, known) == Seq((10L, "a", "b")))
+    assert(Bpe.selectBatch(
+      Seq((10L, "c", "d"), (9L, "a", "b"), (7L, "e", "f")),
+      truncated = false, maxRules = 10, known) == Seq((10L, "c", "d")))
+    // maxRules cap folds the first over-cap count into the bound: at
+    // counts (10,8,5) both kept survive the 5-bound; at (10,8,8) the
+    // over-cap 8 ties the second accepted pair and strictness drops it
+    assert(Bpe.selectBatch(disjoint, truncated = false, maxRules = 2) ==
+      disjoint.take(2))
+    assert(Bpe.selectBatch(Seq((10L, "a", "b"), (8L, "c", "d"),
+      (8L, "e", "f")), truncated = false, maxRules = 2)
+      == Seq((10L, "a", "b")))
   }
 
   test("diacritic words are in-vocabulary (Unicode-letter pre-tokenizer)" +
@@ -202,6 +283,82 @@ class BpeSpec extends SparkSpec {
       assert(got == want, s"\n got=$got\nwant=$want")
       CacheRegistry.drain()
     }
+  }
+
+  /** Reference merge-replay tokenizer: symbolize a word, apply each rule
+    * once in rank order (leftmost non-overlapping), map through the
+    * symbol table — None if any symbol is out-of-alphabet.
+    */
+  private def refApply(
+      w: String, merges: Seq[(String, String, Long)],
+      ids: Map[String, Int]): Option[Vector[Int]] = {
+    var syms = w.map(_.toString).toVector :+ "</w>"
+    merges.foreach { case (a, b, _) =>
+      val r = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+          r += (a + b); i += 2
+        } else { r += syms(i); i += 1 }
+      }
+      syms = r.result()
+    }
+    if (syms.forall(ids.contains)) Some(syms.map(ids).toVector) else None
+  }
+
+  test("applyModel on the TRAINING corpus equals encodeIds exactly") {
+    import spark.implicits._
+    val corpus = randomCorpus(17, 50)
+    val df = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val model = Bpe.learnMerges(df, "text", numMerges = 10)
+    val want = Bpe.encodeIds(df, "doc_id", "text", model)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toVector).toSeq
+    // rulesPerChunk below the rule count exercises the chunked replay
+    for (chunk <- Seq(3, 64)) {
+      val got = Bpe.applyModel(df, "doc_id", "text", model,
+          rulesPerChunk = chunk)
+        .orderBy("doc_id").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1).toVector).toSeq
+      assert(got == want, s"chunk=$chunk")
+    }
+    CacheRegistry.drain()
+  }
+
+  test("applyModel tokenizes UNSEEN words by merge replay — matches the " +
+      "reference tokenizer, out-of-alphabet words are skipped") {
+    import spark.implicits._
+    val train = randomCorpus(23, 60)
+    val model = Bpe.learnMerges(train.toDF("text"), "text", numMerges = 12)
+    val wc = refWordCounts(train)
+    val merges = refMerges(wc, 12)
+    assert(model.merges.map(r => (r.left, r.right, r.pairCount)) == merges)
+    val ids = refSymbolTable(wc, merges)
+    // eval corpus: unseen words over the training alphabet (abc), the
+    // training words' concatenations, and out-of-alphabet words (q, ř)
+    // that must be skipped wholesale
+    val eval = Seq(
+      "abab babab aabb ccab bbbb a b c",
+      "cab abq qqq řeka abcabc", // abq/qqq/řeka: out-of-alphabet
+      "qq zz") // doc with NO tokenizable word: absent from the output
+    val evalDf = eval.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val trainWords = wc.keySet
+    val unseen = eval.flatMap(_.split(" "))
+      .filter(w => w.matches("^\\p{L}+$") && !trainWords.contains(w))
+    assert(unseen.nonEmpty, "eval corpus must actually contain unseen words")
+    val want = eval.zipWithIndex.map { case (t, i) =>
+      i.toLong -> t.split(" ")
+        .filter(w => w.nonEmpty && w.matches("^\\p{L}+$") && w.length <= 32)
+        .flatMap(w => refApply(w, merges, ids).toSeq)
+        .flatten.toVector
+    }.filter(_._2.nonEmpty)
+    val got = Bpe.applyModel(evalDf, "doc_id", "text", model)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toVector).toSeq
+    assert(got == want, s"\n got=$got\nwant=$want")
+    CacheRegistry.drain()
   }
 
   test("encodeIds → sequenceOffsets is shard-invariant: global token " +

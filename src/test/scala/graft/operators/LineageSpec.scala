@@ -58,8 +58,12 @@ class LineageSpec extends SparkSpec {
   }
 
   test("an iterative loop under reliable cuts computes the same result " +
-      "as under local cuts") {
+      "as under local cuts, and drain() deletes the terminal generation") {
     import spark.implicits._
+    // own checkpoint dir (idempotent — must not depend on suite order)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-loop")
+      .toString
+    spark.sparkContext.setCheckpointDir(dir)
     // small fixed-point PageRank: the operator's own loop exercises
     // cut+release generation rotation in both modes
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L))
@@ -73,6 +77,21 @@ class LineageSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
     }
     assert(local.sameElements(reliable))
+    // the loop's TERMINAL generation outlives the operator (it is the
+    // result); drain() must delete its files too — before the registry
+    // tracked reliable cuts, every invocation leaked one generation here
+    def rddDirs(): Seq[java.nio.file.Path] = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(
+          p => p.getFileName.toString.startsWith("rdd-")).toList
+      } finally s.close()
+    }
+    assert(rddDirs().nonEmpty,
+      "terminal reliable generation should exist before drain")
     CacheRegistry.drain()
+    assert(rddDirs().isEmpty,
+      s"drain must delete the terminal generation's checkpoint files")
   }
 }

@@ -274,4 +274,68 @@ class MultimodalSpec extends SparkSpec {
     assert(graft.sources.AviDemux
       .dibChannelMeans(new Array[Byte](100), 50000, 50000).isEmpty)
   }
+
+  /** The fixture's closed-form 64-bit dHash (syntheticBandPng doc). */
+  private def refBandHash(id: Long): Long = {
+    var hash = 0L
+    for (r <- 0 until 8; i <- 0 until 8)
+      if ((id * 31 + i * 17 + r * 57) % 200 < 183)
+        hash |= 1L << (r * 8 + i)
+    hash
+  }
+
+  test("dhashImages: decoded hash equals the fixture closed form for " +
+      "every band-multiplier class, and is brightness/scale invariant") {
+    val session = spark
+    import session.implicits._
+    // ids 0..11 cover every (id%3, id%2) multiplier class twice over;
+    // brightness and scale perturb each — 3 assets per id
+    val ids = (0L until 12L)
+    val assets = ids.flatMap { id =>
+      def a(aid: Long, p: Array[Byte]) =
+        Multimodal.Asset(aid, p, "image/png", p.length.toLong)
+      Seq(
+        a(id, Multimodal.syntheticBandPng(id)),
+        a(id + 100L, Multimodal.syntheticBandPng(id, brightness = 40)),
+        a(id + 200L, Multimodal.syntheticBandPng(id, scaleStep = 1)))
+    }.toDS()
+    val got = Multimodal.dhashImages(assets).collect()
+      .map(h => h.asset_id -> h.dhash).toMap
+    assert(got.size == 36)
+    for (id <- ids) {
+      val want = refBandHash(id)
+      assert(got(id) == want, s"id=$id base hash")
+      assert(got(id + 100L) == want, s"id=$id brightness variant diverged")
+      assert(got(id + 200L) == want, s"id=$id scale variant diverged")
+    }
+    // different band profiles produce different hashes (discriminative)
+    assert(ids.map(got).distinct.size > 1)
+  }
+
+  test("dhashImages drops images too small to hash; imageNearDupPairs " +
+      "finds planted perturbed pairs at Hamming 0 via pigeonhole") {
+    val session = spark
+    import session.implicits._
+    val tiny = pngBytes(4, 4, 0x808080)
+    val assets = Seq(
+      Multimodal.Asset(1L, Multimodal.syntheticBandPng(1L), "image/png", 0L),
+      Multimodal.Asset(101L,
+        Multimodal.syntheticBandPng(1L, brightness = 25), "image/png", 0L),
+      Multimodal.Asset(201L,
+        Multimodal.syntheticBandPng(1L, scaleStep = 2), "image/png", 0L),
+      Multimodal.Asset(2L, Multimodal.syntheticBandPng(2L), "image/png", 0L),
+      Multimodal.Asset(9L, tiny, "image/png", 0L)).toDS()
+    val hashes = Multimodal.dhashImages(assets).toDF()
+    assert(hashes.count() == 4) // the 4x4 image has no 9x8 gradient
+    val pairs = Multimodal.imageNearDupPairs(hashes, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted
+    // all three id=1 variants pair with each other at distance 0; the
+    // id=2 profile is far from all of them (different wrap pattern)
+    val within = pairs.filter { case (a, b, _) =>
+      Set(1L, 101L, 201L).contains(a) && Set(1L, 101L, 201L).contains(b) }
+    assert(within.length == 3 && within.forall(_._3 == 0L), pairs.toSeq)
+    assert(pairs.length == within.length,
+      s"id=2 must not near-pair with the id=1 family: ${pairs.toSeq}")
+  }
 }

@@ -90,4 +90,54 @@ class WarcReaderSpec extends SparkSpec {
       dir.listFiles().foreach(_.delete()); dir.delete()
     }
   }
+
+  test("readStream: segments arriving incrementally are each processed " +
+      "exactly once (checkpointed discovery, AvailableNow drain)") {
+    val dir = java.nio.file.Files.createTempDirectory("warc-stream")
+    val ckpt = java.nio.file.Files.createTempDirectory("warc-stream-ckpt")
+    val stream = WarcReader.readStream(spark, dir.toString)
+    // bounded-memory contract, structurally: the only column requested
+    // from the binaryFile discovery source is `path` — content loading
+    // is pruned away, parsing happens in our per-record iterator
+    val projected = stream.queryExecution.analyzed.collect {
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        p.projectList.map(_.name)
+    }
+    assert(projected.contains(Seq("path")),
+      s"discovery must request only `path`, got projections: $projected")
+    // parquet sink (the crawl-ingest shape; the memory sink cannot
+    // recover a checkpoint, which is the very thing under test)
+    val out = java.nio.file.Files.createTempDirectory("warc-stream-out")
+    def drain(): Unit = {
+      val q = stream.writeStream
+        .format("parquet")
+        .option("path", out.toString)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def uris(): Seq[String] = spark.read.parquet(out.toString)
+      .collect().map(_.getAs[String]("target_uri")).toSeq.sorted
+    java.nio.file.Files.write(dir.resolve("seg-00001.warc.gz"),
+      WarcReader.write(Seq(rec(1, "alpha"), rec(2, "beta")),
+        gzipPerRecord = true))
+    drain()
+    assert(uris() == Seq("https://x.example/doc/1",
+      "https://x.example/doc/2"))
+    // second segment arrives — plain (uncompressed) with a malformed
+    // tail: only ITS records append; segment 1 is not reprocessed, and
+    // the damaged tail contributes its parsed prefix, never an error
+    java.nio.file.Files.write(dir.resolve("seg-00002.warc"),
+      WarcReader.write(Seq(rec(3, "gamma")), gzipPerRecord = false) ++
+        "WARC/1.0\r\ngarbage".getBytes("UTF-8"))
+    drain()
+    assert(uris() == Seq("https://x.example/doc/1",
+      "https://x.example/doc/2", "https://x.example/doc/3"),
+      s"exactly-once violated: ${uris()}")
+    // schema parity with the batch reader
+    assert(stream.schema ==
+      WarcReader.read(spark, dir.toString + "/*.warc*").schema)
+  }
 }
