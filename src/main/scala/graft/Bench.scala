@@ -14,8 +14,12 @@ object Bench {
       // static conf, default 100: the full query catalog generates far more
       // codegen classes than that per pass, so pass 2 would janino- and
       // JIT-recompile every stage instead of reusing the loaded (already
-      // hot) classes. Sized to hold the whole catalog's stages.
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // hot) classes. Sized to hold the whole catalog's stages — re-raised
+      // in round 9: at 5000 the grown catalog evicted q72's classes
+      // between passes (BENCH_r08: q72 steady window carried 3.8 s of
+      // jit_sec in PASS 2 — the compile-free pass — while its isolated
+      // BenchProbe floor stayed at the audited 2.4-2.7 s).
+      .config("spark.sql.codegen.cache.maxEntries", "12000")
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -50,8 +50,19 @@ object BpeStress {
     spark.sparkContext.setLogLevel("WARN")
     import graft.operators.{Bpe, CacheRegistry}
 
+    // uniform: every word appears exactly 3× — digit symmetry makes the
+    // pair counts massively TIED, the worst case for batch admission
+    // (sequential semantics genuinely interleave tied families, so the
+    // guard must keep batches narrow — widths are semantics, not waste)
     def corpus(v: Long) = spark.range(3 * v)
       .select(translate(col("id").mod(v).cast("string"),
+        "0123456789", "abcdefghij").as("text"))
+    // varied: 3 uniform passes + 3 hash-scattered passes break the tie
+    // symmetry (real corpora are tie-sparse); same V distinct words
+    def corpusVaried(v: Long) = spark.range(6 * v)
+      .select(translate(
+        when(col("id") < 3 * v, col("id").mod(v))
+          .otherwise((col("id") * 2654435761L).mod(v)).cast("string"),
         "0123456789", "abcdefghij").as("text"))
 
     // rank buckets: median per-merge amortized seconds inside each —
@@ -76,22 +87,31 @@ object BpeStress {
 
     println(s"[bpe-stress] median per-merge amortized seconds by " +
       s"merge-rank bucket ($numMerges merges)")
-    for (v <- sizes) {
+    for ((tag, mk) <- Seq(
+        ("uniform", corpus _), ("varied ", corpusVaried _));
+        v <- sizes) {
       val tf = new Array[Double](numMerges)
-      Bpe.learnMergesFullRescan(corpus(v), "text", numMerges,
+      Bpe.learnMergesFullRescan(mk(v), "text", numMerges,
         onIter = (k, s) => tf(k - 1) = s)
       CacheRegistry.drain()
       val ti = new Array[Double](numMerges)
-      Bpe.learnMergesWith(corpus(v), "text", numMerges, topM = 1,
+      Bpe.learnMergesWith(mk(v), "text", numMerges, topM = 1,
         incremental = true, onIter = (k, s) => ti(k - 1) = s)
       CacheRegistry.drain()
       val tb = new Array[Double](numMerges)
-      Bpe.learnMergesTimed(corpus(v), "text", numMerges, 32,
+      Bpe.learnMergesTimed(mk(v), "text", numMerges, 32,
         (k, s) => tb(k - 1) = s)
       CacheRegistry.drain()
-      println(f"[bpe-stress] V=$v%10d  rescan     ${bucketed(tf)}")
-      println(f"[bpe-stress] V=$v%10d  increment  ${bucketed(ti)}")
-      println(f"[bpe-stress] V=$v%10d  batched    ${bucketed(tb)}")
+      // ranks in one batch report the identical amortized dt, so scan
+      // count = number of dt transitions — the state-rewrite count the
+      // batching exists to divide
+      val scans = tb.take(numMerges).foldLeft((0, Double.NaN)) {
+        case ((n, prev), t) => if (t != prev) (n + 1, t) else (n, prev)
+      }._1
+      println(f"[bpe-stress] $tag V=$v%10d  rescan     ${bucketed(tf)}")
+      println(f"[bpe-stress] $tag V=$v%10d  increment  ${bucketed(ti)}")
+      println(f"[bpe-stress] $tag V=$v%10d  batched    ${bucketed(tb)}" +
+        f"  ($numMerges merges in $scans scans)")
     }
     spark.stop()
   }

@@ -146,38 +146,53 @@ object Bpe {
     * alphabet is single characters, and two non-empty symbols cannot
     * concatenate to `</w>`).
     *
-    * Admission rules, scanning in order:
-    *  1. accept a pair iff its symbol set {left, right, left+right} is
-    *     disjoint from every accepted set (disjoint merges cannot change
-    *     each other's counts or sites, and a merged string that collides
-    *     with another rule's symbol — e.g. (a,bc) vs (ab,c) both fusing
-    *     to `abc` — is a conflict, not a batch-mate);
+    * Applying one merge (a,b)→m changes EXACTLY these pair counts:
+    * pairs with right = a (an `x a b` site turns `(x,a)` into `(x,m)`),
+    * pairs with left = b (`a b y` turns `(b,y)` into `(m,y)`), the pair
+    * (a,b) itself (→ 0), and the created pairs involving m. Pairs
+    * merely SHARING a's left symbol or b's right symbol are untouched —
+    * `(a,c)` and `(b,c)` style families coexist — which is what lets
+    * same-left and same-right families batch (the early `(x, </w>)`
+    * merges of any corpus are exactly such a family).
+    *
+    * Admission rules, scanning in order (L/R/M = accepted lefts /
+    * rights / merged strings):
+    *  1. accept (c,d)→m iff c ∉ R ∪ M, d ∉ L ∪ M, and m ∉ M — i.e. no
+    *     applied batch-mate changes this pair's count or sites, and no
+    *     two batch-mates fuse to the same string (e.g. (a,bc) vs (ab,c)
+    *     both making `abc`);
     *  2. a pair whose merged string is ALREADY a vocabulary symbol
-    *     (`knownMerged`) is a conflict too: post-merge, the pre-existing
+    *     (`knownMerged`) is a conflict: post-merge, the pre-existing
     *     pairs of that symbol and the merge-created ones conflate, so a
-    *     candidate like (x, ab) could reach oldCount + createdCount —
+    *     candidate like (x, m) could reach oldCount + createdCount —
     *     up to 2T — and upset a kept pair the T bound cleared. Accepted
     *     only as the FIRST candidate, ending the scan (a singleton batch
     *     is literally the sequential step, where conflation is the
     *     defined string semantics);
-    *  3. a self-pair (x,x) ends the scan: its application creates pairs
-    *     like (xx,x) whose counts derive from the pair ITSELF, which the
-    *     conflict bound below cannot cover (accepted alone if first);
+    *  3. a self-pair (x,x) ends the scan: its sites self-overlap and
+    *     its application creates pairs like (xx,x) whose counts derive
+    *     from the pair ITSELF, which the conflict bound below cannot
+    *     cover (accepted alone if first);
     *  4. every skipped or unseen count is folded into a blocker bound
     *     `T` (max conflicting count seen, the scan-stop count, and the
     *     truncation floor), and only accepted pairs with count
     *     STRICTLY above `T` are kept.
     *
     * Why that is sequential-exact: applying accepted merges p₁..pᵢ₋₁
-    * leaves every later accepted pair's count unchanged (rule 1);
-    * every OTHER candidate at sequential step i is an old pair whose
-    * count never increased, or a merge-created pair (x,m)/(m,y)/(m,m′)
-    * whose count is bounded by the pre-count of exactly one pair
-    * sharing a symbol with the batch (rule 2 guarantees no pre-existing
-    * count conflates in) — all ≤ T < count(pᵢ) (rule 4, strictness
-    * killing tiebreak upsets) — so the step-i argmax is exactly pᵢ.
-    * Falls back to the plain argmax singleton (always exact) when the
-    * guard empties the prefix.
+    * leaves pᵢ's count unchanged (rule 1: pᵢ.left is no earlier
+    * right/merged, pᵢ.right no earlier left/merged). Every OTHER
+    * candidate at sequential step i is an old pair whose count never
+    * increased and that either appeared in `rows` (if it survives to
+    * step i un-chosen it was skipped or is below the kept prefix — in
+    * the bound either way) or sat under the truncation floor; or a
+    * merge-created pair (x,mⱼ)/(mⱼ,y)/(mᵢ,mⱼ) whose count is bounded
+    * by the pre-count of its source pair — (x,aⱼ), (bⱼ,y), (bᵢ,aⱼ)
+    * respectively, each of which has a right in L or a left in R, so
+    * it was blocked if scanned and under the floor if not (rule 2
+    * guarantees no pre-existing count conflates on top) — all ≤ T <
+    * count(pᵢ), strictness killing tiebreak upsets — so the step-i
+    * argmax is exactly pᵢ. Falls back to the plain argmax singleton
+    * (always exact) when the guard empties the prefix.
     */
   private[graft] def selectBatch(
       rows: Seq[(Long, String, String)], truncated: Boolean,
@@ -187,7 +202,9 @@ object Bpe {
     if (rows.isEmpty) return Nil
     val accepted =
       scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
-    val used = scala.collection.mutable.HashSet.empty[String]
+    val lefts = scala.collection.mutable.HashSet.empty[String]
+    val rights = scala.collection.mutable.HashSet.empty[String]
+    val mergeds = scala.collection.mutable.HashSet.empty[String]
     var blocker = -1L
     var stopped = false
     val it = rows.iterator
@@ -200,9 +217,11 @@ object Bpe {
         if (accepted.isEmpty) { accepted += r; stopped = true }
         else { blocker = math.max(blocker, c); stopped = a == b }
       } else {
-        val syms = Seq(a, b, a + b)
-        if (syms.exists(used.contains)) blocker = math.max(blocker, c)
-        else { accepted += r; used ++= syms }
+        val m = a + b
+        val conflict = rights.contains(a) || mergeds.contains(a) ||
+          lefts.contains(b) || mergeds.contains(b) || mergeds.contains(m)
+        if (conflict) blocker = math.max(blocker, c)
+        else { accepted += r; lefts += a; rights += b; mergeds += m }
       }
     }
     val floor = if (truncated) rows.last._1 else -1L

@@ -28,9 +28,12 @@ import org.apache.spark.sql.execution.LogicalRDD
   * run on a real cluster sets `spark.graft.lineage.reliable=true` plus
   * `SparkContext.setCheckpointDir` and every [[cut]] becomes a reliable
   * `Dataset.checkpoint` — the GraphX/GraphFrames practice. The tradeoff
-  * is one distributed-store write + read per cut (measured locally at
-  * ~2-3× the localCheckpoint cost per iteration, PERFORMANCE.md), which
-  * is the price of surviving executor loss mid-run.
+  * is one distributed-store write + read per cut: measured by
+  * [[graft.LineageProbe]] (2M-node PageRank, local disk as the store)
+  * at ~1.1× whole-loop vs localCheckpoint (PERFORMANCE.md, round 9);
+  * on a real cluster the store is replicated HDFS/object storage and
+  * the multiple grows with replication and network cost — the price of
+  * surviving executor loss mid-run.
   */
 object Lineage {
 

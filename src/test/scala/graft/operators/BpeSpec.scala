@@ -136,12 +136,29 @@ class BpeSpec extends SparkSpec {
     val disjoint = Seq((10L, "a", "b"), (8L, "c", "d"), (5L, "e", "f"))
     assert(Bpe.selectBatch(disjoint, truncated = false, maxRules = 10) ==
       disjoint)
-    // symbol conflict (shares "b") blocks itself AND — via the strict
-    // bound — every later accepted pair at or below its count
+    // chain conflict ((a,b) then (b,c): sites overlap at the shared b)
+    // blocks itself AND — via the strict bound — every later accepted
+    // pair at or below its count
     val conflict = Seq((10L, "a", "b"), (8L, "b", "c"), (8L, "e", "f"),
       (5L, "g", "h"))
     assert(Bpe.selectBatch(conflict, truncated = false, maxRules = 10) ==
       Seq((10L, "a", "b")))
+    // same-RIGHT and same-LEFT families do NOT interfere (applying
+    // (a,w) never changes count((b,w)) — only right=a / left=w pairs
+    // change) and batch whole: the early `(x, </w>)` era of any corpus
+    val sameRight = Seq((10L, "a", "w"), (9L, "b", "w"), (8L, "c", "w"))
+    assert(Bpe.selectBatch(sameRight, truncated = false, maxRules = 10) ==
+      sameRight)
+    val sameLeft = Seq((10L, "p", "a"), (9L, "p", "b"), (8L, "p", "c"))
+    assert(Bpe.selectBatch(sameLeft, truncated = false, maxRules = 10) ==
+      sameLeft)
+    // ...but the count-interference directions block: (x,a) after (a,b)
+    // (right = accepted left, count decreases) and (b,y) after (a,b)
+    // (left = accepted right, count decreases)
+    assert(Bpe.selectBatch(Seq((10L, "a", "b"), (9L, "x", "a")),
+      truncated = false, maxRules = 10) == Seq((10L, "a", "b")))
+    assert(Bpe.selectBatch(Seq((10L, "a", "b"), (9L, "b", "y")),
+      truncated = false, maxRules = 10) == Seq((10L, "a", "b")))
     // merged-string conflict: (a,bc) and (ab,c) both fuse to "abc"
     val fuse = Seq((10L, "a", "bc"), (9L, "ab", "c"), (8L, "x", "y"))
     assert(Bpe.selectBatch(fuse, truncated = false, maxRules = 10) ==
