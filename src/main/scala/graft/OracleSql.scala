@@ -1815,6 +1815,45 @@ object OracleSql {
         |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // perceptual clusters: q108's closed-form hashes, brute-force pairs
+    // at Hamming <= 3 over ALL assets (the Spark side collapses
+    // identical hashes to representatives first — membership must come
+    // out identical), recursive-CTE transitive closure, min-reachable
+    // label per member (q72's closure pattern)
+    "q109_image_dup_clusters" ->
+      """WITH RECURSIVE assets AS (
+        |  SELECT doc_id AS asset_id, doc_id AS id FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, doc_id FROM documents
+        |  WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, doc_id FROM documents
+        |  WHERE doc_id % 11 = 0),
+        |bits AS (
+        |  SELECT asset_id,
+        |    CAST(SUM(CASE WHEN (id * 31 + i * 17 + r * 57) % 200 < 183
+        |      THEN CASE WHEN r * 8 + i = 63
+        |        THEN (-9223372036854775807 - 1)
+        |        ELSE (1::BIGINT << (r * 8 + i)) END
+        |      ELSE 0 END) AS BIGINT) AS dhash
+        |  FROM assets, range(0, 8) t1(r), range(0, 8) t2(i)
+        |  GROUP BY asset_id),
+        |pairs AS (
+        |  SELECT x.asset_id AS id_a, y.asset_id AS id_b
+        |  FROM bits x JOIN bits y ON x.asset_id < y.asset_id
+        |  WHERE bit_count(xor(x.dhash, y.dhash)) <= 3),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+        |reach(id, label) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+        |comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id)
+        |SELECT component AS cluster_id,
+        |  CAST(count(*) AS BIGINT) AS n_images, max(id) AS max_id
+        |FROM comp GROUP BY component ORDER BY cluster_id""".stripMargin,
+
     // quality gate → exact dedup (planted clones) → per-source quota →
     // stable split; each stage is the already-proven q27/q25/q93/q59 SQL
     "q104_corpus_pipeline" ->

@@ -1301,6 +1301,38 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
   }
 
+  /** Perceptual duplicate-CLUSTER resolution
+    * ([[graft.operators.Multimodal.imageDupClusters]]): q108's asset
+    * set (base + planted brightness/scale variants) resolved into
+    * transitive clusters with the exact-collapse-first formulation —
+    * identical hashes fold to representatives BEFORE the pigeonhole
+    * pair join (the degenerate-hash n² guard), closure over
+    * representative pairs labels clusters. The oracle rebuilds every
+    * hash closed-form, brute-force pairs ALL assets at Hamming ≤ 3,
+    * and closes them with a recursive CTE — so the collapse must be
+    * exactly transparent to cluster membership.
+    */
+  private def q109(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val assets = docs(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        def asset(aid: Long, png: Array[Byte]) =
+          Multimodal.Asset(aid, png, "image/png", png.length.toLong)
+        Iterator(asset(id, Multimodal.syntheticBandPng(id))) ++
+          (if (id % 7 == 0)
+            Iterator(asset(id + 1000000L,
+              Multimodal.syntheticBandPng(id, brightness = 40)))
+          else Iterator.empty) ++
+          (if (id % 11 == 0)
+            Iterator(asset(id + 2000000L,
+              Multimodal.syntheticBandPng(id, scaleStep = 1)))
+          else Iterator.empty)
+      })
+    Multimodal.imageDupClusters(
+        Multimodal.dhashImages(assets).toDF(), maxHamming = 3)
+      .orderBy("cluster_id")
+  }
+
   /** Containment join over corpus ∪ planted 8-token prefixes: every
     * prefix doc is fully contained in its original (containment 1.0),
     * which symmetric Jaccard would score far below threshold.
@@ -1690,6 +1722,7 @@ object SparkEntry {
     "q106_bpe_pack" -> (q106(_, _)),
     "q107_bpe_apply" -> (q107(_, _)),
     "q108_image_dhash" -> (q108(_, _)),
+    "q109_image_dup_clusters" -> (q109(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

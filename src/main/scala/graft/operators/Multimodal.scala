@@ -395,6 +395,50 @@ object Multimodal {
     Dedup.simhashPairsFromSigs(hashes, idCol, "dhash", maxHamming,
       chunkBits = 16, nChunks = 4)
 
+  /** Perceptual duplicate-CLUSTER resolution — the corpus-scale
+    * formulation over [[dhashImages]] fingerprints, mirroring
+    * [[Dedup.nearDupClusters]]' exact-collapse-first design. Images
+    * with IDENTICAL hashes collapse to min-id representatives first
+    * (one shuffle on the hash); the pigeonhole Hamming join then runs
+    * over DISTINCT hash values only. That ordering is the scale
+    * property: a web corpus carries millions of images sharing a
+    * handful of degenerate hashes (solid fills, letterboxes,
+    * boilerplate banners — a solid image hashes to exactly 0), and
+    * pairing raw ids would drop them all into the same chunk buckets —
+    * a per-bucket n² blowup. With representatives, a chunk bucket is
+    * bounded by the number of DISTINCT hashes sharing that chunk,
+    * independent of how many images share each hash. Transitive
+    * closure over representative pairs ([[Components]]) labels the
+    * clusters; identical-hash members ride their representative's
+    * label, and exact groups with no near neighbor are their own
+    * cluster. Returns `(cluster_id, n_images, max_id)` — cluster_id is
+    * the cluster's minimum asset id (each representative is its
+    * group's minimum).
+    */
+  def imageDupClusters(
+      hashes: DataFrame, idCol: String = "asset_id",
+      maxHamming: Int = 3): DataFrame = {
+    val groups = hashes.groupBy(col("dhash"))
+      .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("grp_n"))
+    val members = hashes.select(col(idCol), col("dhash"))
+      .join(groups, "dhash")
+    val reps = groups.select(col("rep_id").as(idCol), col("dhash"))
+    val pairs = Dedup.simhashPairsFromSigs(reps, idCol, "dhash",
+      maxHamming, chunkBits = 16, nChunks = 4)
+    val comp = Components.connectedComponents(pairs, "id_a", "id_b")
+      .withColumnRenamed("id", "rep_id")
+    members.join(comp, Seq("rep_id"), "left")
+      .select(col(idCol),
+        // rep in a component → its label; otherwise a size-≥2
+        // identical-hash group is its own cluster labeled by the rep;
+        // singletons with no neighbor are not duplicates of anything
+        coalesce(col("component"),
+          when(col("grp_n") > 1, col("rep_id"))).as("cluster_id"))
+      .filter(col("cluster_id").isNotNull)
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_images"), max(col(idCol)).as("max_id"))
+  }
+
   /** Audio twin of [[imageDedup]]: exact dedup by decoded signal
     * characteristics (rate, channels, frame count, RMS) instead of
     * payload bytes — re-containered or re-headered audio with the same

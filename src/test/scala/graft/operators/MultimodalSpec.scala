@@ -338,4 +338,49 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.length == within.length,
       s"id=2 must not near-pair with the id=1 family: ${pairs.toSeq}")
   }
+
+  test("imageDupClusters equals the brute-force transitive closure, " +
+      "with degenerate identical-hash families collapsed before pairing") {
+    val session = spark
+    import session.implicits._
+    // id=1 family (3 perturbed variants, identical hash), id=2 and id=5
+    // singles, and six SOLID images — every solid image hashes to
+    // exactly 0 regardless of color or size, the web-scale degenerate
+    // family the representative collapse exists for
+    val assets = (Seq(
+      Multimodal.Asset(1L, Multimodal.syntheticBandPng(1L), "image/png", 0L),
+      Multimodal.Asset(101L,
+        Multimodal.syntheticBandPng(1L, brightness = 30), "image/png", 0L),
+      Multimodal.Asset(201L,
+        Multimodal.syntheticBandPng(1L, scaleStep = 1), "image/png", 0L),
+      Multimodal.Asset(2L, Multimodal.syntheticBandPng(2L), "image/png", 0L),
+      Multimodal.Asset(5L, Multimodal.syntheticBandPng(5L), "image/png", 0L)) ++
+      (50L to 55L).map(i => Multimodal.Asset(i,
+        pngBytes(16, 16, (i * 111).toInt), "image/png", 0L))).toDS()
+    val hashes = Multimodal.dhashImages(assets).toDF()
+    val hs = hashes.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val solid = hs.filter(h => h._1 >= 50L && h._1 <= 55L)
+    assert(solid.length == 6 && solid.forall(_._2 == 0L),
+      s"solid images must hash to 0: ${solid.toSeq}")
+    // brute-force reference closure over Hamming<=3 edges
+    val parent = scala.collection.mutable.Map(hs.map(h => h._1 -> h._1): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    for {
+      (a, ha) <- hs; (b, hb) <- hs
+      if a < b && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } parent(find(a)) = find(b)
+    val want = hs.map(_._1).groupBy(find).values
+      .filter(_.length > 1)
+      .map(g => (g.min, g.length.toLong, g.max))
+      .toSeq.sortBy(_._1)
+    val got = Multimodal.imageDupClusters(hashes).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(_._1)
+    assert(got == want, s"\n got=$got\nwant=$want")
+    // the degenerate solid family is ONE cluster labeled by its min id
+    assert(got.exists { case (c, n, m) => c == 50L && n == 6L && m == 55L },
+      got.toString)
+    CacheRegistry.drain()
+  }
 }
