@@ -423,6 +423,36 @@ object Bpe {
       .toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
   }
 
+  /** Persist a learned model: `<dir>/merges` (bounded — `numMerges`
+    * rows) and `<dir>/vocab` (the corpus-sized `(w, cnt, sym)`
+    * relation) as parquet. The pair with [[loadModel]] is the tokenizer
+    * lifecycle a real pipeline runs: train ONCE, then any later job —
+    * another session, another cluster — loads the model and calls
+    * [[applyModel]] on corpora the trainer never saw (or [[encodeIds]]
+    * / [[encodeCounts]] on the training corpus itself).
+    */
+  def saveModel(model: Model, dir: String): Unit = {
+    val spark = model.vocab.sparkSession
+    mergesDf(spark, model).repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/merges")
+    model.vocab.select("w", "cnt", "sym")
+      .write.mode("overwrite").parquet(s"$dir/vocab")
+  }
+
+  /** Load a [[saveModel]] directory back into a [[Model]]. The merge
+    * list is a bounded driver-side collect (`numMerges` rows by
+    * construction — the same boundedness [[learnMerges]]' own rule
+    * buffer has); the vocabulary stays a lazy parquet relation, so
+    * loading costs no corpus-sized action.
+    */
+  def loadModel(spark: SparkSession, dir: String): Model = {
+    val merges = spark.read.parquet(s"$dir/merges")
+      .orderBy("merge_rank").collect().toSeq
+      .map(r => MergeRule(r.getLong(0).toInt, r.getString(1),
+        r.getString(2), r.getString(3), r.getLong(4)))
+    Model(merges, spark.read.parquet(s"$dir/vocab"))
+  }
+
   /** Deterministic symbol→id table for a learned model, as a (tiny)
     * DataFrame `(sym, id)` — ids are dense ints: the base alphabet
     * (every initial symbol = distinct word characters plus `</w>`)

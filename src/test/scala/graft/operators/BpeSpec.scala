@@ -378,6 +378,32 @@ class BpeSpec extends SparkSpec {
     CacheRegistry.drain()
   }
 
+  test("saveModel → loadModel round-trips the tokenizer: identical " +
+      "rules, and the loaded model encodes seen AND unseen text " +
+      "identically to the in-memory one") {
+    import spark.implicits._
+    val train = randomCorpus(31, 50)
+    val df = train.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val model = Bpe.learnMerges(df, "text", numMerges = 8)
+    val dir = java.nio.file.Files.createTempDirectory("bpe-model").toString
+    Bpe.saveModel(model, dir)
+    val loaded = Bpe.loadModel(spark, dir)
+    assert(loaded.merges == model.merges)
+    def enc(m: Bpe.Model, d: org.apache.spark.sql.DataFrame) =
+      Bpe.encodeIds(d, "doc_id", "text", m).orderBy("doc_id").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1).toVector).toSeq
+    assert(enc(loaded, df) == enc(model, df))
+    // unseen corpus through the loaded model — the cross-job lifecycle
+    val eval = Seq((0L, "abab ccba bac"), (1L, "aabbcc ab"))
+      .toDF("doc_id", "text")
+    def app(m: Bpe.Model) =
+      Bpe.applyModel(eval, "doc_id", "text", m).orderBy("doc_id")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toVector).toSeq
+    assert(app(loaded) == app(model) && app(loaded).nonEmpty)
+    CacheRegistry.drain()
+  }
+
   test("encodeIds → sequenceOffsets is shard-invariant: global token " +
       "offsets identical at 1, 7, and 64 shards") {
     import spark.implicits._
