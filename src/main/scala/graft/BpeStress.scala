@@ -99,15 +99,10 @@ object BpeStress {
         incremental = true, onIter = (k, s) => ti(k - 1) = s)
       CacheRegistry.drain()
       val tb = new Array[Double](numMerges)
+      var scans = 0 // exact state-rewrite count via the per-scan hook
       Bpe.learnMergesTimed(mk(v), "text", numMerges, 32,
-        (k, s) => tb(k - 1) = s)
+        (k, s) => tb(k - 1) = s, onScan = _ => scans += 1)
       CacheRegistry.drain()
-      // ranks in one batch report the identical amortized dt, so scan
-      // count = number of dt transitions — the state-rewrite count the
-      // batching exists to divide
-      val scans = tb.take(numMerges).foldLeft((0, Double.NaN)) {
-        case ((n, prev), t) => if (t != prev) (n + 1, t) else (n, prev)
-      }._1
       println(f"[bpe-stress] $tag V=$v%10d  rescan     ${bucketed(tf)}")
       println(f"[bpe-stress] $tag V=$v%10d  increment  ${bucketed(ti)}")
       println(f"[bpe-stress] $tag V=$v%10d  batched    ${bucketed(tb)}" +

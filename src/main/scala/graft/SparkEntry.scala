@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators._
@@ -1280,9 +1280,15 @@ object SparkEntry {
     * computes each asset's 64-bit hash arithmetically from the fixture
     * closed form and brute-force-pairs them.
     */
-  private def q108(s: SparkSession, d: String): DataFrame = {
+  /** The q108/q109 asset fixture: one banded PNG per doc, a
+    * brightness-shifted variant planted on every doc_id % 7 == 0 (id +
+    * 10⁶) and a rescaled variant on every doc_id % 11 == 0 (id + 2·10⁶)
+    * — must stay in lockstep with both queries' oracle `assets` CTEs.
+    */
+  private def perceptualAssets(
+      s: SparkSession, d: String): Dataset[Multimodal.Asset] = {
     import s.implicits._
-    val assets = docs(s, d).select(col("doc_id")).as[Long]
+    docs(s, d).select(col("doc_id")).as[Long]
       .mapPartitions(_.flatMap { id =>
         def asset(aid: Long, png: Array[Byte]) =
           Multimodal.Asset(aid, png, "image/png", png.length.toLong)
@@ -1296,10 +1302,13 @@ object SparkEntry {
               Multimodal.syntheticBandPng(id, scaleStep = 1)))
           else Iterator.empty)
       })
-    Multimodal.imageNearDupPairs(
-        Multimodal.dhashImages(assets).toDF(), maxHamming = 3)
-      .orderBy("id_a", "id_b")
   }
+
+  private def q108(s: SparkSession, d: String): DataFrame =
+    Multimodal.imageNearDupPairs(
+        Multimodal.dhashImages(perceptualAssets(s, d)).toDF(),
+        maxHamming = 3)
+      .orderBy("id_a", "id_b")
 
   /** Perceptual duplicate-CLUSTER resolution
     * ([[graft.operators.Multimodal.imageDupClusters]]): q108's asset
@@ -1312,26 +1321,11 @@ object SparkEntry {
     * and closes them with a recursive CTE — so the collapse must be
     * exactly transparent to cluster membership.
     */
-  private def q109(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val assets = docs(s, d).select(col("doc_id")).as[Long]
-      .mapPartitions(_.flatMap { id =>
-        def asset(aid: Long, png: Array[Byte]) =
-          Multimodal.Asset(aid, png, "image/png", png.length.toLong)
-        Iterator(asset(id, Multimodal.syntheticBandPng(id))) ++
-          (if (id % 7 == 0)
-            Iterator(asset(id + 1000000L,
-              Multimodal.syntheticBandPng(id, brightness = 40)))
-          else Iterator.empty) ++
-          (if (id % 11 == 0)
-            Iterator(asset(id + 2000000L,
-              Multimodal.syntheticBandPng(id, scaleStep = 1)))
-          else Iterator.empty)
-      })
+  private def q109(s: SparkSession, d: String): DataFrame =
     Multimodal.imageDupClusters(
-        Multimodal.dhashImages(assets).toDF(), maxHamming = 3)
+        Multimodal.dhashImages(perceptualAssets(s, d)).toDF(),
+        maxHamming = 3)
       .orderBy("cluster_id")
-  }
 
   /** Containment join over corpus ∪ planted 8-token prefixes: every
     * prefix doc is fully contained in its original (containment 1.0),

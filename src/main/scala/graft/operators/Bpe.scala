@@ -275,12 +275,15 @@ object Bpe {
 
   /** [[learnMerges]] with a per-merge timing hook (rank, seconds —
     * batched scans report the scan time amortized over the batch, the
-    * comparable per-merge cost) — how [[graft.BpeStress]] produces the
-    * PERFORMANCE.md formulation table.
+    * comparable per-merge cost) and an optional per-scan hook (batch
+    * width — the exact state-rewrite count, no dt-equality inference) —
+    * how [[graft.BpeStress]] produces the PERFORMANCE.md formulation
+    * table.
     */
   private[graft] def learnMergesTimed(
       df: DataFrame, textCol: String, numMerges: Int,
-      maxWordLen: Int, onIter: (Int, Double) => Unit): Model = {
+      maxWordLen: Int, onIter: (Int, Double) => Unit,
+      onScan: Int => Unit = null): Model = {
     require(numMerges > 0, s"numMerges=$numMerges must be positive")
     require(maxWordLen > 0, s"maxWordLen=$maxWordLen must be positive")
     val conf = df.sparkSession.conf
@@ -290,7 +293,7 @@ object Bpe {
       .getOrElse(1000000L)
     val words = Lineage.cut(initialVocab(df, textCol, maxWordLen))
     learnLoop(words, numMerges, topM,
-      incremental = words.count() > rescanMax, onIter)
+      incremental = words.count() > rescanMax, onIter, onScan)
   }
 
   /** Formulation-forced entry (tests and [[graft.BpeStress]]): explicit
@@ -303,7 +306,7 @@ object Bpe {
     require(numMerges > 0, s"numMerges=$numMerges must be positive")
     require(maxWordLen > 0, s"maxWordLen=$maxWordLen must be positive")
     learnLoop(Lineage.cut(initialVocab(df, textCol, maxWordLen)),
-      numMerges, math.max(1, topM), incremental, onIter)
+      numMerges, math.max(1, topM), incremental, onIter, null)
   }
 
   /** The shared scan loop. Loop-carried state, [[Lineage.cut]] each
@@ -316,7 +319,7 @@ object Bpe {
     */
   private def learnLoop(
       words0: DataFrame, numMerges: Int, topM: Int, incremental: Boolean,
-      onIter: (Int, Double) => Unit): Model = {
+      onIter: (Int, Double) => Unit, onScan: Int => Unit = null): Model = {
     var words = words0
     var counts: DataFrame =
       if (incremental)
@@ -371,6 +374,7 @@ object Bpe {
         val dt = (System.nanoTime() - t0) / 1e9 / batch.length
         if (onIter != null)
           (k + 1 to k + batch.length).foreach(r => onIter(r, dt))
+        if (onScan != null) onScan(batch.length)
         k += batch.length
       }
     }
@@ -547,10 +551,17 @@ object Bpe {
       df: DataFrame, idCol: String, textCol: String, model: Model,
       maxWordLen: Int = 32, rulesPerChunk: Int = 64): DataFrame = {
     require(rulesPerChunk > 0, s"rulesPerChunk=$rulesPerChunk must be positive")
-    val docw = df
+    // persisted: the exploded long form feeds BOTH the distinct-word
+    // build and the final per-document join — without the persist the
+    // second reference re-runs the whole split+posexplode+regex corpus
+    // pass (MEMORY_AND_DISK; CacheRegistry-tracked like every operator
+    // intermediate — evicts under pressure, in which case Spark falls
+    // back to exactly that recompute)
+    val docw = CacheRegistry.track(df
       .select(col(idCol),
         posexplode(split(col(textCol), " ")).as(Seq("wpos", "w")))
       .filter(col("w").rlike("^\\p{L}+$") && length(col("w")) <= maxWordLen)
+      .persist())
     var wsym = Lineage.cut(
       docw.select("w").distinct().withColumn("sym", symbolize(col("w"))))
     model.merges.sortBy(_.rank).grouped(rulesPerChunk).foreach { chunk =>

@@ -92,15 +92,14 @@ object Multimodal {
         img.map { im =>
           val w = im.getWidth
           val h = im.getHeight
-          def grid(size: Int, cap: Int): Array[Int] = sampleGrid(size, cap)
-          val (xs, ys) = (grid(w, 64), grid(h, 64))
+          val (xs, ys) = (sampleGrid(w, 64), sampleGrid(h, 64))
           var (sr, sg, sb) = (0L, 0L, 0L)
           for (y <- ys; x <- xs) {
             val rgb = im.getRGB(x, y)
             sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
           }
           val cnt = (xs.length * ys.length).toDouble
-          val (txs, tys) = (grid(w, n), grid(h, n))
+          val (txs, tys) = (sampleGrid(w, n), sampleGrid(h, n))
           val thumb = for (y <- tys; x <- txs) yield {
             val rgb = im.getRGB(x, y)
             (((rgb >> 16) & 0xff) * 299L + ((rgb >> 8) & 0xff) * 587L +
