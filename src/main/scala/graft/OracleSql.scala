@@ -1895,5 +1895,151 @@ object OracleSql {
         |    AS node_type,
         |  pr
         |FROM pr5 ORDER BY node""".stripMargin),
+
+    // perceptual audio hash pairs: the banded-WAV fixture makes each
+    // 64-bit energy-delta sign hash closed-form in the id (bit w set
+    // iff (id·31 + w·17) % 200 < 183 — the +17 band step wraps exactly
+    // when the energy comparison falls; gain/resample variants share
+    // the base id's hash by design), so the oracle rebuilds every hash
+    // arithmetically and brute-force pairs them. Bit 63's signed
+    // contribution is the BIGINT min value (q108 convention).
+    "q110_audio_ahash" ->
+      """WITH assets AS (
+        |  SELECT doc_id AS asset_id, doc_id AS id FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, doc_id FROM documents
+        |  WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, doc_id FROM documents
+        |  WHERE doc_id % 11 = 0),
+        |bits AS (
+        |  SELECT asset_id,
+        |    CAST(SUM(CASE WHEN (id * 31 + w * 17) % 200 < 183
+        |      THEN CASE WHEN w = 63
+        |        THEN (-9223372036854775807 - 1)
+        |        ELSE (1::BIGINT << w) END
+        |      ELSE 0 END) AS BIGINT) AS ahash
+        |  FROM assets, range(0, 64) t(w)
+        |  GROUP BY asset_id),
+        |pairs AS (
+        |  SELECT x.asset_id AS id_a, y.asset_id AS id_b,
+        |    CAST(bit_count(xor(x.ahash, y.ahash)) AS BIGINT) AS hamming
+        |  FROM bits x JOIN bits y ON x.asset_id < y.asset_id)
+        |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // perceptual video signature pairs: per-frame hash bits are
+    // closed-form (bit(f,r,i) = (id·31 + f·53 + i·17 + r·57) % 200 <
+    // 183 over 3 + id%4 frames; brightness/scale re-muxes share the
+    // base id's bits), the majority fold keeps bit b iff strictly more
+    // than half the frames have it, and the folded signatures
+    // brute-force pair. The frame axis is range(0,7) filtered to the
+    // per-asset frame count (max 6 frames — a bounded cross join, no
+    // lateral needed).
+    "q111_video_neardups" ->
+      """WITH assets AS (
+        |  SELECT doc_id AS asset_id, doc_id AS id FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, doc_id FROM documents
+        |  WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, doc_id FROM documents
+        |  WHERE doc_id % 11 = 0),
+        |fb AS (
+        |  SELECT asset_id, r.r * 8 + i.i AS b,
+        |    CASE WHEN 2 * SUM(CASE WHEN
+        |        (id * 31 + f.f * 53 + i.i * 17 + r.r * 57) % 200 < 183
+        |      THEN 1 ELSE 0 END) > (3 + id % 4)
+        |      THEN 1 ELSE 0 END AS mb
+        |  FROM assets, range(0, 8) r(r), range(0, 8) i(i),
+        |    range(0, 7) f(f)
+        |  WHERE f.f < 3 + id % 4
+        |  GROUP BY asset_id, id, r.r, i.i),
+        |sigs AS (
+        |  SELECT asset_id,
+        |    CAST(SUM(CASE WHEN mb = 1
+        |      THEN CASE WHEN b = 63 THEN (-9223372036854775807 - 1)
+        |        ELSE (1::BIGINT << b) END
+        |      ELSE 0 END) AS BIGINT) AS vhash
+        |  FROM fb GROUP BY asset_id),
+        |pairs AS (
+        |  SELECT x.asset_id AS id_a, y.asset_id AS id_b,
+        |    CAST(bit_count(xor(x.vhash, y.vhash)) AS BIGINT) AS hamming
+        |  FROM sigs x JOIN sigs y ON x.asset_id < y.asset_id)
+        |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // q107 with the UNK arm: same learned rules and replay stages, but
+    // docw keeps EVERY non-empty word and the final join is a LEFT
+    // join — a word with no surviving symbol mapping (pre-tokenizer
+    // rejected, so absent from the replay relation; or out-of-alphabet,
+    // excluded by wok) contributes ONE token with the reserved id
+    // count(symtab), the deterministic one-past-the-last UNK id.
+    "q112_bpe_apply_unk" -> ("WITH " +
+      bpeCtes(12, "(SELECT * FROM documents WHERE doc_id % 2 = 0)") +
+      s""",
+        |msym AS (
+        |${(0 until 12).map(k =>
+            s"  SELECT a || b AS sym, ${k + 1} AS mrank FROM b$k")
+            .mkString("\nUNION ALL\n")}),
+        |base AS (
+        |  SELECT DISTINCT s AS sym, 0 AS mrank
+        |  FROM (SELECT unnest(string_split(sym, ' ')) AS s FROM w0)),
+        |symtab AS (
+        |  SELECT sym,
+        |    CAST(row_number() OVER (ORDER BY mrank, sym) - 1 AS BIGINT)
+        |      AS id
+        |  FROM (SELECT sym, min(mrank) AS mrank
+        |        FROM (SELECT * FROM base UNION ALL SELECT * FROM msym)
+        |        GROUP BY sym)),
+        |a0 AS MATERIALIZED (
+        |  SELECT w, regexp_replace(w, '(.)', '\\1 ', 'g') || '</w>' AS sym
+        |  FROM (SELECT DISTINCT w FROM (
+        |          SELECT unnest(list_filter(string_split(text, ' '),
+        |            x -> x <> '')) AS w FROM documents)
+        |        WHERE regexp_matches(w, '^\\p{L}+$$')
+        |          AND length(w) <= 32))""".stripMargin +
+      (0 until 12).map { k =>
+        s""",
+          |a${k + 1} AS MATERIALIZED (
+          |  SELECT w, trim(regexp_replace(
+          |    replace(' ' || replace(sym, ' ', '  ') || ' ',
+          |      coalesce((SELECT ' ' || a || '  ' || b || ' ' FROM b$k),
+          |        chr(1)),
+          |      coalesce((SELECT ' ' || a || b || ' ' FROM b$k), '')),
+          |    ' +', ' ', 'g')) AS sym
+          |  FROM a$k)""".stripMargin
+      }.mkString +
+      """,
+        |wsym AS (
+        |  SELECT w, j AS spos, sl[j + 1] AS s
+        |  FROM (SELECT w, sl, unnest(range(0, len(sl))) AS j
+        |        FROM (SELECT w, string_split(sym, ' ') AS sl FROM a12))),
+        |wid AS (
+        |  SELECT wsym.w, wsym.spos, symtab.id
+        |  FROM wsym LEFT JOIN symtab ON wsym.s = symtab.sym),
+        |wok AS (
+        |  SELECT w FROM wid GROUP BY w
+        |  HAVING count(CASE WHEN id IS NULL THEN 1 END) = 0),
+        |docw AS (
+        |  SELECT doc_id, i AS wpos, ws[i + 1] AS w
+        |  FROM (SELECT doc_id, ws, unnest(range(0, len(ws))) AS i
+        |        FROM (SELECT doc_id,
+        |                list_filter(string_split(text, ' '), x -> x <> '')
+        |                  AS ws
+        |              FROM documents))),
+        |tok AS (
+        |  SELECT d.doc_id, d.wpos, u.spos, u.id
+        |  FROM docw d
+        |  LEFT JOIN (SELECT wid.w, wid.spos, wid.id
+        |             FROM wid JOIN wok USING (w)) u USING (w)),
+        |seq AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    string_agg(
+        |      CAST(coalesce(id, (SELECT count(*) FROM symtab)) AS VARCHAR),
+        |      ' ' ORDER BY wpos, coalesce(spos, 0)) AS ids
+        |  FROM tok GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, ids FROM seq ORDER BY doc_id"""
+        .stripMargin),
   )
 }

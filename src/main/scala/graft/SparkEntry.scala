@@ -1269,17 +1269,6 @@ object SparkEntry {
       .orderBy("keep_id")
   }
 
-  /** Perceptual near-duplicate image detection
-    * ([[graft.operators.Multimodal.dhashImages]] → pigeonhole Hamming
-    * pairs): banded synthetic PNGs, with a brightness-shifted variant
-    * planted on every doc_id % 7 == 0 and a rescaled variant on every
-    * doc_id % 11 == 0 — perturbations that defeat q95's exact decoded-
-    * content fingerprint but leave the difference hash fixed, so every
-    * planted pair surfaces at Hamming 0 (along with the deterministic
-    * natural collisions of the 200-class band profile). The oracle
-    * computes each asset's 64-bit hash arithmetically from the fixture
-    * closed form and brute-force-pairs them.
-    */
   /** The q108/q109 asset fixture: one banded PNG per doc, a
     * brightness-shifted variant planted on every doc_id % 7 == 0 (id +
     * 10⁶) and a rescaled variant on every doc_id % 11 == 0 (id + 2·10⁶)
@@ -1304,6 +1293,17 @@ object SparkEntry {
       })
   }
 
+  /** Perceptual near-duplicate image detection
+    * ([[graft.operators.Multimodal.dhashImages]] → pigeonhole Hamming
+    * pairs): banded synthetic PNGs, with a brightness-shifted variant
+    * planted on every doc_id % 7 == 0 and a rescaled variant on every
+    * doc_id % 11 == 0 — perturbations that defeat q95's exact decoded-
+    * content fingerprint but leave the difference hash fixed, so every
+    * planted pair surfaces at Hamming 0 (along with the deterministic
+    * natural collisions of the 200-class band profile). The oracle
+    * computes each asset's 64-bit hash arithmetically from the fixture
+    * closed form and brute-force-pairs them.
+    */
   private def q108(s: SparkSession, d: String): DataFrame =
     Multimodal.imageNearDupPairs(
         Multimodal.dhashImages(perceptualAssets(s, d)).toDF(),
@@ -1326,6 +1326,113 @@ object SparkEntry {
         Multimodal.dhashImages(perceptualAssets(s, d)).toDF(),
         maxHamming = 3)
       .orderBy("cluster_id")
+
+  /** The q110 asset fixture — the audio twin of [[perceptualAssets]]:
+    * one banded WAV per doc, a re-gained variant (gainShift 3, an 8×
+    * amplitude boost) planted on every doc_id % 7 == 0 (id + 10⁶) and a
+    * 2× resampled variant on every doc_id % 11 == 0 (id + 2·10⁶) —
+    * must stay in lockstep with the oracle's `assets` CTE.
+    */
+  private def audioPerceptualAssets(
+      s: SparkSession, d: String): Dataset[Multimodal.Asset] = {
+    import s.implicits._
+    docs(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        def asset(aid: Long, wav: Array[Byte]) =
+          Multimodal.Asset(aid, wav, "audio/wav", wav.length.toLong)
+        Iterator(asset(id, Multimodal.syntheticBandWav(id))) ++
+          (if (id % 7 == 0)
+            Iterator(asset(id + 1000000L,
+              Multimodal.syntheticBandWav(id, gainShift = 3)))
+          else Iterator.empty) ++
+          (if (id % 11 == 0)
+            Iterator(asset(id + 2000000L,
+              Multimodal.syntheticBandWav(id, rateStep = 1)))
+          else Iterator.empty)
+      })
+  }
+
+  /** Perceptual near-duplicate AUDIO detection
+    * ([[graft.operators.Multimodal.ahashAudio]] → pigeonhole Hamming
+    * pairs): banded synthetic WAVs with a re-gained variant planted on
+    * every doc_id % 7 == 0 and a resampled variant on every
+    * doc_id % 11 == 0 — perturbations that defeat q96's exact
+    * decoded-signal fingerprint (rate, frames, RMS all change) but
+    * leave the energy-delta sign hash fixed, so every planted pair
+    * surfaces at Hamming 0. The oracle computes each asset's 64-bit
+    * hash arithmetically from the fixture closed form
+    * (`bit(w) = (id·31 + w·17) % 200 < 183`) and brute-force-pairs
+    * them.
+    */
+  private def q110(s: SparkSession, d: String): DataFrame =
+    Multimodal.audioNearDupPairs(
+        Multimodal.ahashAudio(audioPerceptualAssets(s, d)).toDF(),
+        maxHamming = 3)
+      .orderBy("id_a", "id_b")
+
+  /** Perceptual near-duplicate VIDEO detection — the full composed
+    * chain ([[graft.operators.Multimodal.sampleAviFrames]] →
+    * [[graft.operators.Multimodal.dhashVideoFrames]] →
+    * [[graft.operators.Multimodal.videoSignatures]] majority fold →
+    * pigeonhole Hamming pairs): banded synthetic DIB AVIs with a
+    * brightness-shifted re-mux planted on every doc_id % 7 == 0 and a
+    * rescaled re-mux on every doc_id % 11 == 0 — re-encodes of the
+    * same footage that every exact video fingerprint misses but that
+    * leave each frame's dHash, hence the majority-fold signature,
+    * fixed. The oracle rebuilds every per-frame hash bit closed-form
+    * (`bit(f,r,i) = (id·31 + f·53 + i·17 + r·57) % 200 < 183`,
+    * `3 + id%4` frames), majority-folds, and brute-force-pairs.
+    */
+  private def q111(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val assets = docs(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        def asset(aid: Long, avi: Array[Byte]) =
+          Multimodal.Asset(aid, avi, "video/avi", avi.length.toLong)
+        Iterator(asset(id, Multimodal.syntheticBandAvi(id))) ++
+          (if (id % 7 == 0)
+            Iterator(asset(id + 1000000L,
+              Multimodal.syntheticBandAvi(id, brightness = 40)))
+          else Iterator.empty) ++
+          (if (id % 11 == 0)
+            Iterator(asset(id + 2000000L,
+              Multimodal.syntheticBandAvi(id, scaleStep = 1)))
+          else Iterator.empty)
+      })
+    Multimodal.videoNearDupPairs(
+        Multimodal.videoSignatures(
+          Multimodal.dhashVideoFrames(
+            Multimodal.sampleAviFrames(assets, everyNth = 1)).toDF()),
+        maxHamming = 3)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** q107 with the UNK fallback on
+    * (`spark.graft.bpe.oov=unk`, [[graft.operators.Bpe.OovModeConf]]):
+    * same even-half training, but pre-tokenizer-rejected and
+    * out-of-alphabet words emit the reserved [[graft.operators.Bpe.unkId]]
+    * token instead of vanishing, so every non-empty word of every
+    * document is covered. The oracle replays q107's rule stages and
+    * adds one CASE arm: a word with no surviving symbol mapping maps
+    * to the single id `count(symtab)`.
+    */
+  private def q112(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val model = graft.operators.Bpe.learnMerges(
+      dd.filter(col("doc_id") % 2 === 0).select("text"), "text",
+      numMerges = 12)
+    s.conf.set(graft.operators.Bpe.OovModeConf, "unk")
+    try {
+      // applyModel reads the conf at plan-construction time, so the
+      // finally-restore cannot race the (lazy) execution
+      graft.operators.Bpe.applyModel(dd, "doc_id", "text", model)
+        .select(col("doc_id"),
+          size(col("token_ids")).cast("long").as("n_tokens"),
+          array_join(transform(col("token_ids"), _.cast("string")), " ")
+            .as("ids"))
+        .orderBy("doc_id")
+    } finally s.conf.unset(graft.operators.Bpe.OovModeConf)
+  }
 
   /** Containment join over corpus ∪ planted 8-token prefixes: every
     * prefix doc is fully contained in its original (containment 1.0),
@@ -1717,6 +1824,9 @@ object SparkEntry {
     "q107_bpe_apply" -> (q107(_, _)),
     "q108_image_dhash" -> (q108(_, _)),
     "q109_image_dup_clusters" -> (q109(_, _)),
+    "q110_audio_ahash" -> (q110(_, _)),
+    "q111_video_neardups" -> (q111(_, _)),
+    "q112_bpe_apply_unk" -> (q112(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

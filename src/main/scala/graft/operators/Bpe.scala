@@ -12,10 +12,12 @@ import org.apache.spark.sql.functions._
   * table. Two formulations share one loop, dispatched on measured
   * vocabulary size ([[RescanVocabConf]]):
   *
-  *  - '''full rescan''' (V ≤ ~10⁶, the measured crossover — see the
-  *    BpeStress table in PERFORMANCE.md): recompute all pair counts
-  *    from the vocabulary each scan. At small V the one explode+agg is
-  *    cheaper than maintaining count state.
+  *  - '''full rescan''' (small V — the default dispatch bound of 10⁶
+  *    sits conservatively below the ~10⁷ measured crossover; see the
+  *    BpeStress table in PERFORMANCE.md and [[RescanVocabConf]]):
+  *    recompute all pair counts from the vocabulary each scan. At
+  *    small V the one explode+agg is cheaper than maintaining count
+  *    state.
   *  - '''incremental''' (large V, subword-nmt's queue-update
   *    formulation): a loop-carried pair-count relation, maintained by
   *    deltas from the affected words only — after choosing pair (a,b),
@@ -65,10 +67,26 @@ object Bpe {
   val BatchTopMConf = "spark.graft.bpe.batchTopM"
 
   /** Session conf key: at or below this many distinct words the learner
-    * uses the full-rescan formulation; above it, the incremental one
-    * (default 1,000,000 — the measured crossover, PERFORMANCE.md).
+    * uses the full-rescan formulation; above it, the incremental one.
+    * The default 1,000,000 is a CONSERVATIVE threshold below the
+    * measured crossover: the BpeStress table in PERFORMANCE.md places
+    * incremental-vs-rescan parity at ~10⁷ distinct words (at V=10⁶
+    * rescan is still the faster formulation on both fixtures), so the
+    * default only switches once the rescan cost is clearly growing,
+    * at the price of picking the slower formulation inside the
+    * 10⁶–10⁷ band. Both formulations are spec-pinned identical; raise
+    * the conf toward 10⁷ when per-scan latency in that band matters.
     */
   val RescanVocabConf = "spark.graft.bpe.rescanMaxVocab"
+
+  /** Session conf key: how [[applyModel]] treats out-of-vocabulary
+    * words — `drop` (default: pre-tokenizer-rejected and
+    * out-of-alphabet words vanish from the output, the learn-step
+    * contract) or `unk` (each such word emits the single reserved
+    * [[unkId]] token, so token counts faithfully cover every word of
+    * every document — what a production tokenizer does).
+    */
+  val OovModeConf = "spark.graft.bpe.oov"
 
   /** One learned merge rule: at `rank` (1-based), `left`+`right` had the
     * highest weighted adjacent-pair count `pairCount` and were fused into
@@ -486,6 +504,17 @@ object Bpe {
       .select("sym", "id")
   }
 
+  /** The reserved out-of-vocabulary token id of a model: one past the
+    * last [[symbolTable]] id (= the table's row count — deterministic
+    * because the table is; NOT necessarily `|Σ| + numMerges`, since a
+    * merged string colliding with an earlier symbol keeps its first
+    * assignment). Costs one bounded job over the vocabulary-sized
+    * alphabet derivation. Only [[applyModel]] under
+    * `spark.graft.bpe.oov=unk` emits it; no real symbol can collide
+    * with it because ids are dense.
+    */
+  def unkId(model: Model): Int = symbolTable(model).count().toInt
+
   /** Per-document token-ID sequences under a learned model — the
     * tokenizer OUTPUT a training run consumes (vs [[encodeCounts]]'s
     * counts-only summary). Each in-vocabulary word (corpus order
@@ -531,10 +560,14 @@ object Bpe {
     * same single-pass-per-rule order [[learnMerges]] used — so on the
     * training corpus this equals [[encodeIds]] exactly (spec-pinned).
     * Words the pre-tokenizer rejects, and words containing a character
-    * outside the training alphabet (no symbol id exists), are skipped —
-    * the OOV contract of the learn step. Returns
+    * outside the training alphabet (no symbol id exists), follow the
+    * [[OovModeConf]] session conf (read once, at plan-construction
+    * time): `drop` (default) skips them — the OOV contract of the
+    * learn step — while `unk` emits the single reserved [[unkId]]
+    * token per such word, so token counts faithfully cover every
+    * non-empty word of every document. Returns
     * `(idCol, token_ids array<int>)` for every document with ≥1
-    * tokenizable word.
+    * tokenizable word (under `unk`, every non-empty word tokenizes).
     *
     * `maxWordLen` must match the value the model was trained with.
     *
@@ -551,19 +584,33 @@ object Bpe {
       df: DataFrame, idCol: String, textCol: String, model: Model,
       maxWordLen: Int = 32, rulesPerChunk: Int = 64): DataFrame = {
     require(rulesPerChunk > 0, s"rulesPerChunk=$rulesPerChunk must be positive")
+    val oovUnk = df.sparkSession.conf.getOption(OovModeConf)
+      .getOrElse("drop") match {
+        case "drop" => false
+        case "unk" => true
+        case other => throw new IllegalArgumentException(
+          s"$OovModeConf=$other (expected drop|unk)")
+      }
+    val pretokOk =
+      col("w").rlike("^\\p{L}+$") && length(col("w")) <= maxWordLen
     // persisted: the exploded long form feeds BOTH the distinct-word
     // build and the final per-document join — without the persist the
     // second reference re-runs the whole split+posexplode+regex corpus
     // pass (MEMORY_AND_DISK; CacheRegistry-tracked like every operator
     // intermediate — evicts under pressure, in which case Spark falls
-    // back to exactly that recompute)
-    val docw = CacheRegistry.track(df
-      .select(col(idCol),
-        posexplode(split(col(textCol), " ")).as(Seq("wpos", "w")))
-      .filter(col("w").rlike("^\\p{L}+$") && length(col("w")) <= maxWordLen)
-      .persist())
+    // back to exactly that recompute). Under `unk` ALL non-empty words
+    // stay (each needs a token); under `drop` the pre-tokenizer filter
+    // prunes before the persist.
+    val raw = df.select(col(idCol),
+      posexplode(split(col(textCol), " ")).as(Seq("wpos", "w")))
+    val docw = CacheRegistry.track(
+      (if (oovUnk) raw.filter(col("w") =!= "") else raw.filter(pretokOk))
+        .persist())
+    // the replay loop runs on pre-tokenizer-admitted words either way
+    // (a rejected word has no symbolization to replay)
     var wsym = Lineage.cut(
-      docw.select("w").distinct().withColumn("sym", symbolize(col("w"))))
+      (if (oovUnk) docw.filter(pretokOk) else docw)
+        .select("w").distinct().withColumn("sym", symbolize(col("w"))))
     model.merges.sortBy(_.rank).grouped(rulesPerChunk).foreach { chunk =>
       val prev = wsym
       wsym = Lineage.cut(wsym.withColumn("sym",
@@ -571,16 +618,32 @@ object Bpe {
       Lineage.release(prev)
     }
     val tab = broadcast(symbolTable(model))
-    val perWord = wsym
+    val perSym = wsym
       .select(col("w"), posexplode(split(col("sym"), " ")).as(Seq("spos", "sym")))
       .join(tab, Seq("sym"), "left")
       .groupBy("w")
       .agg(
         array_sort(collect_list(struct(col("spos"), col("id")))).as("sl"),
         max(col("id").isNull.cast("int")).as("oov"))
-      .filter(col("oov") === 0)
-      .select(col("w"), transform(col("sl"), t => t.getField("id")).as("ids"))
-    docw.join(perWord, Seq("w"))
+    val joined =
+      if (oovUnk) {
+        // out-of-alphabet words (oov=1) and pre-tokenizer-rejected
+        // words (absent from perSym — left-join miss) both collapse to
+        // ONE reserved UNK token
+        val unk = array(lit(unkId(model)))
+        val perWord = perSym.select(col("w"),
+          when(col("oov") === 1, unk)
+            .otherwise(transform(col("sl"), t => t.getField("id")))
+            .as("ids"))
+        docw.join(perWord, Seq("w"), "left")
+          .withColumn("ids", coalesce(col("ids"), unk))
+      } else {
+        val perWord = perSym.filter(col("oov") === 0)
+          .select(col("w"),
+            transform(col("sl"), t => t.getField("id")).as("ids"))
+        docw.join(perWord, Seq("w"))
+      }
+    joined
       .groupBy(col(idCol))
       .agg(array_sort(collect_list(struct(col("wpos"), col("ids")))).as("tl"))
       .select(col(idCol),

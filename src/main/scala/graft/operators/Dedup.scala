@@ -797,19 +797,13 @@ object Dedup {
       .na.fill(0L, Seq("simhash"))
   }
 
-  /** SimHash near-dup pairs from PRECOMPUTED signatures: block on
-    * `nChunks` disjoint `chunkBits`-bit chunks — by pigeonhole, Hamming
-    * distance ≤ maxHamming < nChunks guarantees at least one identical
-    * chunk, so the blocked join has perfect recall — then verify by
-    * popcount of XOR. One shuffle on (chunk, value); bucket sizes bound
-    * the candidate count.
+  /** The chunk-exploded long form shared by [[simhashPairsFromSigs]]
+    * and [[pigeonholeBucketStats]]: one row per (signature, chunk).
     */
-  def simhashPairsFromSigs(
+  private def pigeonholeChunks(
       sigs: DataFrame, idCol: String, sigCol: String,
-      maxHamming: Int, chunkBits: Int, nChunks: Int): DataFrame = {
-    require(maxHamming < nChunks,
-      s"pigeonhole needs maxHamming=$maxHamming < nChunks=$nChunks")
-    val chunked = sigs.select(
+      chunkBits: Int, nChunks: Int): DataFrame =
+    sigs.select(
         col(idCol), col(sigCol).as("sim"),
         explode(array((0 until nChunks).map { c =>
           struct(lit(c).as("chunk_id"),
@@ -817,6 +811,68 @@ object Dedup {
               .bitwiseAND(lit((1L << chunkBits) - 1)).as("chunk_val"))
         }: _*)).as("ch"))
       .select(col(idCol), col("sim"), col("ch.chunk_id"), col("ch.chunk_val"))
+
+  /** Bucket-population observability for the pigeonhole blocking join:
+    * one row `(chunk_id, chunk_val, n)` per bucket with `n ≥ 2`
+    * members (singleton buckets produce no candidates — and at web
+    * scale they are the overwhelming majority, so they are pruned here
+    * rather than shipped). The candidate count of
+    * [[simhashPairsFromSigs]] is `Σ n·(n-1)/2` over these rows; the
+    * MAX `n` is the quadratic-blowup early warning for low-entropy
+    * signature populations (near-solid images concentrate in a few
+    * 16-bit chunk values even after representative collapse), which is
+    * exactly what this relation exists to surface before a corpus run.
+    */
+  def pigeonholeBucketStats(
+      sigs: DataFrame, idCol: String, sigCol: String,
+      chunkBits: Int, nChunks: Int): DataFrame =
+    pigeonholeChunks(sigs, idCol, sigCol, chunkBits, nChunks)
+      .groupBy("chunk_id", "chunk_val")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+
+  /** SimHash near-dup pairs from PRECOMPUTED signatures: block on
+    * `nChunks` disjoint `chunkBits`-bit chunks — by pigeonhole, Hamming
+    * distance ≤ maxHamming < nChunks guarantees at least one identical
+    * chunk, so the blocked join has perfect recall — then verify by
+    * popcount of XOR. One shuffle on (chunk, value); bucket sizes bound
+    * the candidate count ([[pigeonholeBucketStats]] surfaces them).
+    *
+    * `maxBucket` (opt-in, default 0 = uncapped): buckets with more
+    * than `maxBucket` members are EXCLUDED from the candidate join —
+    * the hot-bucket guard for low-entropy populations where one
+    * degenerate chunk value would otherwise go quadratic. The cap is
+    * never silent: enabling it runs one bounded pre-aggregation and
+    * LOGS how many buckets (and members) were dropped, because a
+    * dropped bucket sacrifices the pigeonhole recall guarantee for
+    * exactly those pairs whose only identical chunk sat in it — a
+    * recall trade the operator must own out loud, not bury.
+    */
+  def simhashPairsFromSigs(
+      sigs: DataFrame, idCol: String, sigCol: String,
+      maxHamming: Int, chunkBits: Int, nChunks: Int,
+      maxBucket: Int = 0): DataFrame = {
+    require(maxHamming < nChunks,
+      s"pigeonhole needs maxHamming=$maxHamming < nChunks=$nChunks")
+    val all = pigeonholeChunks(sigs, idCol, sigCol, chunkBits, nChunks)
+    val chunked =
+      if (maxBucket <= 0) all
+      else {
+        val over = all.groupBy("chunk_id", "chunk_val")
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") > maxBucket)
+        // bounded action: three numbers, not the bucket list
+        val s = over.agg(count(lit(1)).as("b"), max(col("n")).as("mx"),
+          sum(col("n")).as("members")).collect()(0)
+        if (s.getLong(0) > 0)
+          org.slf4j.LoggerFactory.getLogger(Dedup.getClass).warn(
+            s"pigeonhole cap maxBucket=$maxBucket dropped ${s.getLong(0)} " +
+              s"hot bucket(s) (largest=${s.getLong(1)}, " +
+              s"members=${s.getLong(2)}): pairs whose only identical " +
+              "chunk sat in a dropped bucket are NOT emitted")
+        all.join(over.select("chunk_id", "chunk_val"),
+          Seq("chunk_id", "chunk_val"), "left_anti")
+      }
     val a = chunked.select(col(idCol).as("id_a"), col("sim").as("sim_a"),
       col("chunk_id"), col("chunk_val"))
     val b = chunked.select(col(idCol).as("id_b"), col("sim").as("sim_b"),

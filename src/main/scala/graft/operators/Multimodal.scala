@@ -338,6 +338,12 @@ object Multimodal {
     * narrower than 9 px or shorter than 8 px have no gradient to hash
     * and are dropped, the [[decodeImages]] corrupt-asset convention.
     *
+    * What it does NOT survive (standard dHash limitation): rotation,
+    * mirroring, and cropping all move content across the sample grid
+    * and scramble the comparisons — a rotated or cropped copy hashes
+    * as a different image. Those need a keypoint-style fingerprint,
+    * out of scope here.
+    *
     * Scale shape: map-side only (decode + 72 `getRGB` probes per
     * image, bounded regardless of resolution); pair finding is the
     * separate [[imageNearDupPairs]].
@@ -352,32 +358,40 @@ object Multimodal {
             new java.io.ByteArrayInputStream(a.payload)))
           catch { case _: Exception => None }
         img.flatMap { im =>
-          val w = im.getWidth
-          val h = im.getHeight
-          if (w < 9 || h < 8) None
-          else {
-            val xs = sampleGrid(w, 9)
-            val ys = sampleGrid(h, 8)
-            def lum(x: Int, y: Int): Long = {
-              val rgb = im.getRGB(x, y)
-              299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
-                114L * (rgb & 0xff)
-            }
-            var hash = 0L
-            var r = 0
-            while (r < 8) {
-              var i = 0
-              while (i < 8) {
-                if (lum(xs(i + 1), ys(r)) > lum(xs(i), ys(r)))
-                  hash |= 1L << (r * 8 + i)
-                i += 1
-              }
-              r += 1
-            }
-            Some(ImageDHash(a.asset_id, hash))
-          }
+          dhashFromLum(im.getWidth, im.getHeight, (x, y) => {
+            val rgb = im.getRGB(x, y)
+            299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+              114L * (rgb & 0xff)
+          }).map(ImageDHash(a.asset_id, _))
         }
       }
+    }
+  }
+
+  /** The dHash core shared by [[dhashImages]] and [[dhashVideoFrames]]:
+    * 9×8 [[sampleGrid]] luminance probes, bit `r·8+i` set iff luminance
+    * rises from sampled column `i` to `i+1` in row `r`; `None` below
+    * 9×8 px (no gradient to hash). `lum` reads TOP-DOWN (x, y)
+    * coordinates, the [[decodeImages]] convention.
+    */
+  private def dhashFromLum(
+      w: Int, h: Int, lum: (Int, Int) => Long): Option[Long] = {
+    if (w < 9 || h < 8) None
+    else {
+      val xs = sampleGrid(w, 9)
+      val ys = sampleGrid(h, 8)
+      var hash = 0L
+      var r = 0
+      while (r < 8) {
+        var i = 0
+        while (i < 8) {
+          if (lum(xs(i + 1), ys(r)) > lum(xs(i), ys(r)))
+            hash |= 1L << (r * 8 + i)
+          i += 1
+        }
+        r += 1
+      }
+      Some(hash)
     }
   }
 
@@ -394,35 +408,36 @@ object Multimodal {
     Dedup.simhashPairsFromSigs(hashes, idCol, "dhash", maxHamming,
       chunkBits = 16, nChunks = 4)
 
-  /** Perceptual duplicate-CLUSTER resolution — the corpus-scale
-    * formulation over [[dhashImages]] fingerprints, mirroring
-    * [[Dedup.nearDupClusters]]' exact-collapse-first design. Images
-    * with IDENTICAL hashes collapse to min-id representatives first
-    * (one shuffle on the hash); the pigeonhole Hamming join then runs
-    * over DISTINCT hash values only. That ordering is the scale
-    * property: a web corpus carries millions of images sharing a
-    * handful of degenerate hashes (solid fills, letterboxes,
-    * boilerplate banners — a solid image hashes to exactly 0), and
-    * pairing raw ids would drop them all into the same chunk buckets —
-    * a per-bucket n² blowup. With representatives, a chunk bucket is
-    * bounded by the number of DISTINCT hashes sharing that chunk,
-    * independent of how many images share each hash. Transitive
-    * closure over representative pairs ([[Components]]) labels the
-    * clusters; identical-hash members ride their representative's
-    * label, and exact groups with no near neighbor are their own
-    * cluster. Returns `(cluster_id, n_images, max_id)` — cluster_id is
-    * the cluster's minimum asset id (each representative is its
-    * group's minimum).
+  /** Perceptual duplicate-CLUSTER resolution over ANY 64-bit
+    * fingerprint column — the corpus-scale formulation shared by the
+    * image ([[dhashImages]]), audio ([[ahashAudio]]) and video
+    * ([[videoSignatures]]) tiers, mirroring [[Dedup.nearDupClusters]]'
+    * exact-collapse-first design. Assets with IDENTICAL hashes collapse
+    * to min-id representatives first (one shuffle on the hash); the
+    * pigeonhole Hamming join then runs over DISTINCT hash values only.
+    * That ordering is the scale property: a web corpus carries millions
+    * of assets sharing a handful of degenerate hashes (solid fills,
+    * letterboxes, silence — a solid image or a constant signal hashes
+    * to exactly 0), and pairing raw ids would drop them all into the
+    * same chunk buckets — a per-bucket n² blowup. With representatives,
+    * a chunk bucket is bounded by the number of DISTINCT hashes sharing
+    * that chunk, independent of how many assets share each hash.
+    * Transitive closure over representative pairs ([[Components]])
+    * labels the clusters; identical-hash members ride their
+    * representative's label, and exact groups with no near neighbor are
+    * their own cluster. Returns `(cluster_id, n_images, max_id)` —
+    * cluster_id is the cluster's minimum asset id (each representative
+    * is its group's minimum).
     */
-  def imageDupClusters(
-      hashes: DataFrame, idCol: String = "asset_id",
+  def perceptualDupClusters(
+      hashes: DataFrame, idCol: String, hashCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val groups = hashes.groupBy(col("dhash"))
+    val groups = hashes.groupBy(col(hashCol))
       .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("grp_n"))
-    val members = hashes.select(col(idCol), col("dhash"))
-      .join(groups, "dhash")
-    val reps = groups.select(col("rep_id").as(idCol), col("dhash"))
-    val pairs = Dedup.simhashPairsFromSigs(reps, idCol, "dhash",
+    val members = hashes.select(col(idCol), col(hashCol))
+      .join(groups, hashCol)
+    val reps = groups.select(col("rep_id").as(idCol), col(hashCol))
+    val pairs = Dedup.simhashPairsFromSigs(reps, idCol, hashCol,
       maxHamming, chunkBits = 16, nChunks = 4)
     val comp = Components.connectedComponents(pairs, "id_a", "id_b")
       .withColumnRenamed("id", "rep_id")
@@ -438,6 +453,12 @@ object Multimodal {
       .agg(count(lit(1)).as("n_images"), max(col(idCol)).as("max_id"))
   }
 
+  /** [[perceptualDupClusters]] over [[dhashImages]] fingerprints. */
+  def imageDupClusters(
+      hashes: DataFrame, idCol: String = "asset_id",
+      maxHamming: Int = 3): DataFrame =
+    perceptualDupClusters(hashes, idCol, "dhash", maxHamming)
+
   /** Audio twin of [[imageDedup]]: exact dedup by decoded signal
     * characteristics (rate, channels, frame count, RMS) instead of
     * payload bytes — re-containered or re-headered audio with the same
@@ -452,6 +473,151 @@ object Multimodal {
       .agg(min(col("asset_id")).as("keep_id"), count(lit(1)).as("n_copies"),
         min(col("n_frames")).as("n_frames"))
       .drop("__fp")
+  }
+
+  /** A perceptual audio fingerprint: 64-bit energy-delta sign hash. */
+  case class AudioAHash(asset_id: Long, ahash: Long)
+
+  /** Perceptual 64-bit audio hash — the audio twin of [[dhashImages]],
+    * closing the gap [[audioDedup]] leaves open (its exact
+    * rate/frames/RMS fingerprint is defeated by any resample, re-gain,
+    * or lossy re-encode of the same recording): decode 16-bit PCM via
+    * `javax.sound.sampled`, partition the sample stream into 65 equal
+    * windows (floor boundaries `w·n/65` — the audio [[sampleGrid]]),
+    * compute per-window energy (sum of squared samples, integer Long
+    * arithmetic), and set bit `w` iff mean energy RISES from window `w`
+    * to window `w+1`. Keeping only the SIGN of successive-window energy
+    * deltas (the chromaprint idea reduced to sign bits) is what buys
+    * the invariances:
+    *
+    *  - '''gain''': scaling every sample by a constant scales every
+    *    window energy by its square — comparisons unchanged;
+    *  - '''resample''': the 65 windows cover the same RELATIVE signal
+    *    regions at any sample count, so a k× resample of the same
+    *    energy profile replays the same comparisons;
+    *  - '''re-encode / re-container''': the hash reads decoded PCM,
+    *    not payload bytes.
+    *
+    * It does NOT survive trimming or time-shifts (content moves across
+    * the window grid — the audio analog of dHash's crop blindness).
+    * When neighboring windows have EQUAL sample counts (always true
+    * when `n % 65 == 0`, the synthetic-fixture shape) the comparison is
+    * pure Long integer ordering, which is what makes the hash
+    * oracle-replicable closed-form; unequal counts (real audio)
+    * compare double means. Multi-channel audio hashes the interleaved
+    * sample stream (channel-constant perturbations cancel the same
+    * way). Streams shorter than 65 samples, or not 16-bit PCM, are
+    * dropped — the [[decodeWavs]] corrupt-asset convention.
+    *
+    * Scale shape: map-side only (one pass over the PCM per asset);
+    * pair finding is the separate [[audioNearDupPairs]] /
+    * [[perceptualDupClusters]].
+    */
+  def ahashAudio(assets: Dataset[Asset]): Dataset[AudioAHash] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.flatMap { a =>
+        try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.BufferedInputStream(
+              new java.io.ByteArrayInputStream(a.payload)))
+          try {
+            val fmt = in.getFormat
+            if (fmt.getSampleSizeInBits != 16) None
+            else {
+              val bytes = in.readAllBytes()
+              val bigEndian = fmt.isBigEndian
+              val n = bytes.length / 2
+              if (n < 65) None
+              else {
+                // per-window energy over the 65-window floor grid
+                val sumSq = new Array[Long](65)
+                val cnt = new Array[Long](65)
+                var i = 0
+                while (i < n) {
+                  val o = 2 * i
+                  val s =
+                    if (bigEndian)
+                      ((bytes(o) << 8) | (bytes(o + 1) & 0xff)).toShort
+                    else ((bytes(o + 1) << 8) | (bytes(o) & 0xff)).toShort
+                  val w = (i.toLong * 65 / n).toInt
+                  sumSq(w) += s.toLong * s
+                  cnt(w) += 1
+                  i += 1
+                }
+                var hash = 0L
+                var w = 0
+                while (w < 64) {
+                  val rises =
+                    if (cnt(w) == cnt(w + 1)) sumSq(w + 1) > sumSq(w)
+                    else sumSq(w + 1).toDouble / cnt(w + 1) >
+                      sumSq(w).toDouble / cnt(w)
+                  if (rises) hash |= 1L << w
+                  w += 1
+                }
+                Some(AudioAHash(a.asset_id, hash))
+              }
+            }
+          } finally in.close()
+        } catch { case _: Exception => None }
+      }
+    }
+  }
+
+  /** Perceptual near-duplicate audio pairs from [[ahashAudio]]
+    * fingerprints — the same pigeonhole Hamming blocking as
+    * [[imageNearDupPairs]] (4 disjoint 16-bit chunks, perfect recall
+    * at distance ≤ 3, no all-pairs join). Returns
+    * `(id_a, id_b, hamming)`.
+    */
+  def audioNearDupPairs(
+      hashes: DataFrame, idCol: String = "asset_id",
+      maxHamming: Int = 3): DataFrame =
+    Dedup.simhashPairsFromSigs(hashes, idCol, "ahash", maxHamming,
+      chunkBits = 16, nChunks = 4)
+
+  /** Deterministic synthetic banded WAV for oracle-checkable
+    * perceptual-audio tests — the audio twin of [[syntheticBandPng]]:
+    * 65 constant-amplitude bands of `L = (2 + id%3) · (1 + rateStep)`
+    * samples each (16-bit mono PCM; band `w` is an alternating ±amp
+    * square wave with `amp = ((id·31 + w·17) % 200 + 1) · 2^gainShift`).
+    * Total length `65·L` makes every [[ahashAudio]] window land exactly
+    * on one band, so the hash is closed-form in the id alone —
+    * `bit(w) = (id·31 + w·17) % 200 < 183` (the +17 band step wraps
+    * exactly when the energy comparison falls) — independent of
+    * `gainShift` (energies scale by `4^gainShift`, comparisons
+    * preserved; ≤ 5 keeps every sample inside 16 bits) and of
+    * `rateStep` (a (1+rateStep)× resample of the same band profile,
+    * with the sample rate raised to match so duration is constant).
+    * That independence IS the perceptual invariance the tier exists
+    * for, and it is what lets the DuckDB oracle predict the hash of a
+    * re-gained or resampled variant arithmetically.
+    */
+  def syntheticBandWav(
+      id: Long, gainShift: Int = 0, rateStep: Int = 0): Array[Byte] = {
+    require(gainShift >= 0 && gainShift <= 5,
+      s"gainShift=$gainShift must be in [0, 5] to stay inside 16 bits")
+    require(rateStep >= 0, s"rateStep=$rateStep must be non-negative")
+    val L = (2 + (id % 3).toInt) * (1 + rateStep)
+    val frames = 65 * L
+    val data = new Array[Byte](frames * 2)
+    var i = 0
+    while (i < frames) {
+      val w = i / L
+      val amp = (((id * 31 + w * 17) % 200 + 1) << gainShift).toInt
+      val s = if (i % 2 == 0) amp else -amp
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      8000f * (1 + rateStep), 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
   }
 
   /** One sampled video frame: typed metadata + the frame payload. */
@@ -567,6 +733,105 @@ object Multimodal {
     }
   }
 
+  /** A per-frame perceptual hash of one demuxed video frame. */
+  case class FrameDHash(asset_id: Long, frame_idx: Int, dhash: Long)
+
+  /** Per-frame perceptual dHash over demuxed AVI frames — the frame
+    * half of the video near-dup tier ([[videoSignatures]] folds these
+    * into one per-video fingerprint). Raw `00db` frames read luminance
+    * straight from the bottom-up BGR DIB layout their header declares
+    * (top-down grid coordinates, the [[decodeImages]] convention);
+    * MJPEG frames decode via ImageIO like [[dhashImages]]. Same 9×8
+    * grid, same invariances (brightness, rescale, re-encode), same
+    * rotation/crop blindness. Undecodable or sub-9×8 frames are
+    * dropped.
+    */
+  def dhashVideoFrames(frames: Dataset[VideoFrame]): Dataset[FrameDHash] = {
+    import frames.sparkSession.implicits._
+    frames.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { f =>
+        val hash =
+          if (!f.compressed) {
+            val w = f.width
+            val h = f.height
+            if (w <= 0 || h <= 0) None
+            else {
+              val strideL = ((w.toLong * 3 + 3) / 4) * 4
+              // untrusted geometry: bounds-check before the pixel reads
+              // (the dibChannelMeans overflow rationale)
+              if (h > f.frame.length / strideL) None
+              else {
+                val stride = strideL.toInt
+                dhashFromLum(w, h, (x, y) => {
+                  val o = (h - 1 - y) * stride + 3 * x
+                  299L * (f.frame(o + 2) & 0xff) +
+                    587L * (f.frame(o + 1) & 0xff) +
+                    114L * (f.frame(o) & 0xff)
+                })
+              }
+            }
+          } else {
+            val img =
+              try Option(javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(f.frame)))
+              catch { case _: Exception => None }
+            img.flatMap { im =>
+              dhashFromLum(im.getWidth, im.getHeight, (x, y) => {
+                val rgb = im.getRGB(x, y)
+                299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+                  114L * (rgb & 0xff)
+              })
+            }
+          }
+        hash.map(FrameDHash(f.asset_id, f.frame_idx, _))
+      }
+    }
+  }
+
+  /** Per-video perceptual signature from sampled-frame hashes
+    * ([[dhashVideoFrames]]): the MAJORITY-BIT fold — signature bit `b`
+    * is set iff strictly more than half of the video's hashed frames
+    * have bit `b` set. The fold inherits the per-frame invariances (a
+    * re-scaled, brightness-shifted, or re-encoded copy of the same
+    * footage has identical per-frame hashes, hence an identical fold)
+    * and adds robustness a single-frame pick lacks: one corrupt or
+    * re-keyframed frame cannot flip more bits than its minority share.
+    * It does NOT survive trimming or re-timing (frames enter/leave the
+    * majority — the temporal analog of dHash's crop blindness).
+    * Returns `(idCol, n_frames, vhash)`.
+    *
+    * Scale shape: one hash aggregation on the video id (64 conditional
+    * sums + a count, the [[Dedup.simhashMd5]] fold shape) — no
+    * per-frame state leaves the aggregation; pair finding is the
+    * separate [[videoNearDupPairs]] / [[perceptualDupClusters]].
+    */
+  def videoSignatures(
+      frameHashes: DataFrame, idCol: String = "asset_id"): DataFrame = {
+    val sums = (0 until 64).map { b =>
+      sum(shiftright(col("dhash"), b).bitwiseAND(lit(1L))).as(s"s$b")
+    }
+    val aggCols = count(lit(1)).as("n_frames") +: sums
+    val agg = frameHashes.groupBy(col(idCol))
+      .agg(aggCols.head, aggCols.tail: _*)
+    val bits = (0 until 64).map { b =>
+      when(col(s"s$b") * 2 > col("n_frames"), shiftleft(lit(1L), b))
+        .otherwise(lit(0L))
+    }
+    agg.select(col(idCol), col("n_frames"),
+      bits.reduce(_ bitwiseOR _).as("vhash"))
+  }
+
+  /** Perceptual near-duplicate video pairs from [[videoSignatures]] —
+    * the same pigeonhole Hamming blocking as [[imageNearDupPairs]].
+    * Returns `(id_a, id_b, hamming)`.
+    */
+  def videoNearDupPairs(
+      sigs: DataFrame, idCol: String = "asset_id",
+      maxHamming: Int = 3): DataFrame =
+    Dedup.simhashPairsFromSigs(sigs.select(col(idCol), col("vhash")),
+      idCol, "vhash", maxHamming, chunkBits = 16, nChunks = 4)
+
   /** Deterministic synthetic uncompressed AVI for oracle-checkable video
     * tests: `3 + id%4` solid DIB frames at `(4 + id%4)×(3 + id%3)`,
     * 25 fps (40 000 µs/frame); frame `f` fills
@@ -585,6 +850,55 @@ object Multimodal {
         ((id * 19 + f * 23) % 256).toInt,
         ((id * 13 + f * 17) % 256).toInt,
         ((id * 11 + f * 7) % 256).toInt)
+    }
+    graft.sources.AviDemux.mux(frames, w, h, 40000L, compressed = false)
+  }
+
+  /** Deterministic synthetic BANDED AVI for oracle-checkable perceptual
+    * video tests — [[syntheticBandPng]]'s grid carried onto DIB frames:
+    * `3 + id%4` uncompressed frames at band-aligned dimensions
+    * `W = 9·(2 + id%3 + scaleStep)`, `H = 8·(2 + id%2 + scaleStep)`,
+    * where frame `f`'s band `(j, r)` fills gray
+    * `(id·31 + f·53 + j·17 + r·57) % 200 + brightness` on all three
+    * channels (bottom-up DIB rows, so stored row `H-1-y` carries
+    * top-down row `y`). Band alignment puts [[dhashVideoFrames]]'
+    * sampled column `i` of row `r` in band `(i, r)` at every fixture
+    * size, so frame `f`'s hash is closed-form:
+    * `bit(r,i) = (id·31 + f·53 + i·17 + r·57) % 200 < 183` —
+    * independent of `brightness` (≤ 55, unclamped monotone shift) and
+    * `scaleStep` (resampled band profile), and therefore so is the
+    * [[videoSignatures]] majority fold the DuckDB oracle replays
+    * arithmetically.
+    */
+  def syntheticBandAvi(
+      id: Long, brightness: Int = 0, scaleStep: Int = 0): Array[Byte] = {
+    require(brightness >= 0 && brightness <= 55,
+      s"brightness=$brightness must be in [0, 55] to stay unclamped")
+    require(scaleStep >= 0, s"scaleStep=$scaleStep must be non-negative")
+    val m = 2 + (id % 3).toInt + scaleStep
+    val nrow = 2 + (id % 2).toInt + scaleStep
+    val w = 9 * m
+    val h = 8 * nrow
+    val stride = ((w * 3 + 3) / 4) * 4
+    val nFrames = 3 + (id % 4).toInt
+    val frames = (0 until nFrames).map { f =>
+      val out = new Array[Byte](stride * h)
+      var y = 0
+      while (y < h) {
+        val r = y / nrow
+        val row = (h - 1 - y) * stride
+        var x = 0
+        while (x < w) {
+          val j = x / m
+          val g = (((id * 31 + f * 53 + j * 17 + r * 57) % 200) +
+            brightness).toByte
+          val o = row + x * 3
+          out(o) = g; out(o + 1) = g; out(o + 2) = g
+          x += 1
+        }
+        y += 1
+      }
+      out
     }
     graft.sources.AviDemux.mux(frames, w, h, 40000L, compressed = false)
   }

@@ -109,10 +109,16 @@ object WarcReader {
         val conf = new org.apache.hadoop.conf.Configuration()
         bc.value.foreach { case (k, v) => conf.set(k, v) }
         it.flatMap { p =>
-          val path = new org.apache.hadoop.fs.Path(p)
+          // NonFatal, not just IOException: the documented contract is
+          // that an unreadable segment NEVER fails the streaming task,
+          // and a malformed URI (IllegalArgumentException from Path) or
+          // a filesystem-resolution RuntimeException are as untrusted
+          // as the bytes themselves
           val in =
-            try Some(path.getFileSystem(conf).open(path))
-            catch { case _: java.io.IOException => None }
+            try {
+              val path = new org.apache.hadoop.fs.Path(p)
+              Some(path.getFileSystem(conf).open(path))
+            } catch { case scala.util.control.NonFatal(_) => None }
           in.iterator.flatMap(recordIterator)
         }
       }

@@ -378,6 +378,49 @@ class BpeSpec extends SparkSpec {
     CacheRegistry.drain()
   }
 
+  test("applyModel under spark.graft.bpe.oov=unk emits ONE reserved " +
+      "UNK id per untokenizable word — full word coverage, drop mode " +
+      "is the subsequence with those words removed") {
+    import spark.implicits._
+    val train = randomCorpus(23, 60)
+    val model = Bpe.learnMerges(train.toDF("text"), "text", numMerges = 12)
+    val wc = refWordCounts(train)
+    val merges = refMerges(wc, 12)
+    val ids = refSymbolTable(wc, merges)
+    val unk = Bpe.unkId(model)
+    assert(unk == ids.size, "UNK must be one past the last symbol id")
+    val eval = Seq(
+      "abab babab aabb ccab bbbb a b c",
+      "cab abq qqq řeka abcabc 123 a9", // out-of-alphabet AND non-letter
+      "qq zz", // all-OOV doc: PRESENT under unk (two UNK tokens)
+      "x".repeat(40) + " ab") // over-length word → UNK
+    val evalDf = eval.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val want = eval.zipWithIndex.map { case (t, i) =>
+      i.toLong -> t.split(" ").filter(_.nonEmpty).flatMap { w =>
+        if (w.matches("^\\p{L}+$") && w.length <= 32)
+          refApply(w, merges, ids).getOrElse(Vector(unk))
+        else Vector(unk)
+      }.toVector
+    }.filter(_._2.nonEmpty)
+    spark.conf.set(Bpe.OovModeConf, "unk")
+    val got =
+      try Bpe.applyModel(evalDf, "doc_id", "text", model)
+        .orderBy("doc_id").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1).toVector).toSeq
+      finally spark.conf.unset(Bpe.OovModeConf)
+    assert(got == want, s"\n got=$got\nwant=$want")
+    // drop mode on the same corpus = unk output with UNK tokens erased
+    // (and then-empty docs gone) — the two modes agree on every real id
+    val dropped = Bpe.applyModel(evalDf, "doc_id", "text", model)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toVector).toSeq
+    val erased = want.map { case (d, v) => d -> v.filter(_ != unk) }
+      .filter(_._2.nonEmpty)
+    assert(dropped == erased)
+    CacheRegistry.drain()
+  }
+
   test("saveModel → loadModel round-trips the tokenizer: identical " +
       "rules, and the loaded model encodes seen AND unseen text " +
       "identically to the in-memory one") {

@@ -371,6 +371,45 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("pigeonholeBucketStats surfaces the hot bucket of a low-entropy " +
+      "population; maxBucket cap drops it LOUDLY and spares healthy buckets") {
+    import spark.implicits._
+    // degenerate low-entropy fixture: 50 signatures differing only in
+    // the low 6 bits — chunks 1..3 (bits 16+) are ALL-ZERO for every
+    // signature, so each is one 50-member hot bucket, while chunk 0
+    // holds 50 distinct singleton values. The near-solid-image shape
+    // the observability exists for.
+    val sigs = (0L until 50L).map(i => (i, i)).toDF("id", "sig")
+    val stats = Dedup.pigeonholeBucketStats(sigs, "id", "sig", 16, 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(stats == Set((1, 0L, 50L), (2, 0L, 50L), (3, 0L, 50L)),
+      s"hot buckets must surface (singletons pruned): $stats")
+    // uncapped: perfect recall — every Hamming<=3 pair
+    val unc = Dedup.simhashPairsFromSigs(sigs, "id", "sig", 3, 16, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = (for {
+      a <- 0L until 50L; b <- 0L until 50L
+      if a < b && java.lang.Long.bitCount(a ^ b) <= 3
+    } yield (a, b)).toSet
+    assert(unc == brute && brute.nonEmpty)
+    // capped below the hot-bucket size: all three hot buckets drop
+    // (logged), chunk 0's singletons yield no candidates — 0 pairs,
+    // the documented recall trade of the cap
+    val capped = Dedup.simhashPairsFromSigs(sigs, "id", "sig", 3, 16, 4,
+      maxBucket = 10)
+    assert(capped.count() == 0L)
+    // a healthy (high-entropy) population under a generous cap is
+    // byte-identical to uncapped — the cap only ever bites hot buckets
+    val healthy = Dedup.simhashMd5(overlapCorpus(), "doc_id", "text")
+    val a1 = Dedup.simhashPairsFromSigs(healthy, "doc_id", "simhash",
+        3, 15, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val a2 = Dedup.simhashPairsFromSigs(healthy, "doc_id", "simhash",
+        3, 15, 4, maxBucket = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a1 == a2 && a1.nonEmpty)
+  }
+
   test("grid cosine join == brute force on seeded RANDOM unit vectors " +
       "(boundary-uniform directions, thresholds spanning weak to near-dup)") {
     import spark.implicits._

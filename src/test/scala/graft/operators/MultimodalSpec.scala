@@ -383,4 +383,155 @@ class MultimodalSpec extends SparkSpec {
       got.toString)
     CacheRegistry.drain()
   }
+
+  /** The fixture's closed-form 64-bit audio hash (syntheticBandWav doc). */
+  private def refBandAudioHash(id: Long): Long = {
+    var hash = 0L
+    for (w <- 0 until 64)
+      if ((id * 31 + w * 17) % 200 < 183) hash |= 1L << w
+    hash
+  }
+
+  /** 16-bit mono PCM WAV from raw samples (for non-fixture audio tests). */
+  private def wavOf(samples: Array[Short], rate: Float = 8000f): Array[Byte] = {
+    val data = new Array[Byte](samples.length * 2)
+    for (i <- samples.indices) {
+      data(2 * i) = (samples(i) & 0xff).toByte
+      data(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("ahashAudio: decoded hash equals the fixture closed form for " +
+      "every band-length class, and is gain/resample invariant") {
+    val session = spark
+    import session.implicits._
+    // ids 0..11 cover every id%3 band-length class; gain (8×) and
+    // resample (2×) perturb each — 3 assets per id
+    val ids = (0L until 12L)
+    val assets = ids.flatMap { id =>
+      def a(aid: Long, p: Array[Byte]) =
+        Multimodal.Asset(aid, p, "audio/wav", p.length.toLong)
+      Seq(
+        a(id, Multimodal.syntheticBandWav(id)),
+        a(id + 100L, Multimodal.syntheticBandWav(id, gainShift = 3)),
+        a(id + 200L, Multimodal.syntheticBandWav(id, rateStep = 1)))
+    }.toDS()
+    val got = Multimodal.ahashAudio(assets).collect()
+      .map(h => h.asset_id -> h.ahash).toMap
+    assert(got.size == 36)
+    for (id <- ids) {
+      val want = refBandAudioHash(id)
+      assert(got(id) == want, s"id=$id base hash")
+      assert(got(id + 100L) == want, s"id=$id gain variant diverged")
+      assert(got(id + 200L) == want, s"id=$id resample variant diverged")
+    }
+    assert(ids.map(got).distinct.size > 1)
+  }
+
+  test("ahashAudio: gain invariance holds on arbitrary (non-fixture) " +
+      "PCM; short or non-16-bit streams drop; pairs surface via pigeonhole") {
+    val session = spark
+    import session.implicits._
+    // deterministic pseudo-random PCM, then an exact 4× re-gain of it —
+    // the general invariance, not the band-aligned special case
+    val rnd = new scala.util.Random(42)
+    val base = Array.fill(1300)((rnd.nextInt(8000) - 4000).toShort)
+    val gained = base.map(s => (s * 4).toShort)
+    val assets = Seq(
+      Multimodal.Asset(1L, wavOf(base), "audio/wav", 0L),
+      Multimodal.Asset(2L, wavOf(gained), "audio/wav", 0L),
+      Multimodal.Asset(3L, wavOf(base, rate = 16000f), "audio/wav", 0L),
+      // 64 samples: one short of the 65-window minimum — must drop
+      Multimodal.Asset(9L, wavOf(Array.fill(64)(100.toShort)), "audio/wav", 0L),
+      // not audio at all — must drop, never throw
+      Multimodal.Asset(8L, "not a wav".getBytes("UTF-8"), "audio/wav", 0L)
+    ).toDS()
+    val hashes = Multimodal.ahashAudio(assets).collect()
+      .map(h => h.asset_id -> h.ahash).toMap
+    assert(hashes.keySet == Set(1L, 2L, 3L))
+    assert(hashes(1L) == hashes(2L), "4x re-gain changed the hash")
+    assert(hashes(1L) == hashes(3L), "rate relabel changed the hash")
+    val pairs = Multimodal.audioNearDupPairs(
+        Multimodal.ahashAudio(assets).toDF(), maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(pairs.toSeq == Seq((1L, 2L), (1L, 3L), (2L, 3L)), pairs.toSeq)
+  }
+
+  /** The fixture's closed-form per-frame dHash (syntheticBandAvi doc). */
+  private def refBandFrameHash(id: Long, f: Int): Long = {
+    var hash = 0L
+    for (r <- 0 until 8; i <- 0 until 8)
+      if ((id * 31 + f * 53 + i * 17 + r * 57) % 200 < 183)
+        hash |= 1L << (r * 8 + i)
+    hash
+  }
+
+  /** The fixture's closed-form majority-fold video signature. */
+  private def refBandVideoSig(id: Long): Long = {
+    val n = 3 + (id % 4).toInt
+    var sig = 0L
+    for (b <- 0 until 64) {
+      val set = (0 until n).count(f => (refBandFrameHash(id, f) >> b & 1L) == 1L)
+      if (2 * set > n) sig |= 1L << b
+    }
+    sig
+  }
+
+  test("dhashVideoFrames + videoSignatures equal the fixture closed " +
+      "form; brightness/scale re-muxes pair at Hamming 0; MJPEG path decodes") {
+    val session = spark
+    import session.implicits._
+    val ids = (0L until 12L) // every (id%3, id%2, id%4) class
+    val assets = ids.flatMap { id =>
+      def a(aid: Long, p: Array[Byte]) =
+        Multimodal.Asset(aid, p, "video/avi", p.length.toLong)
+      Seq(
+        a(id, Multimodal.syntheticBandAvi(id)),
+        a(id + 100L, Multimodal.syntheticBandAvi(id, brightness = 40)),
+        a(id + 200L, Multimodal.syntheticBandAvi(id, scaleStep = 1)))
+    }.toDS()
+    val frames = Multimodal.sampleAviFrames(assets, everyNth = 1)
+    val fh = Multimodal.dhashVideoFrames(frames).collect()
+      .map(h => (h.asset_id, h.frame_idx) -> h.dhash).toMap
+    for (id <- ids; f <- 0 until (3 + (id % 4).toInt)) {
+      val want = refBandFrameHash(id, f)
+      assert(fh((id, f)) == want, s"id=$id frame=$f hash")
+      assert(fh((id + 100L, f)) == want, s"id=$id f=$f brightness diverged")
+      assert(fh((id + 200L, f)) == want, s"id=$id f=$f scale diverged")
+    }
+    val sigs = Multimodal.videoSignatures(
+      Multimodal.dhashVideoFrames(frames).toDF())
+    val sm = sigs.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for (id <- ids) {
+      val n = (3 + (id % 4)).toLong
+      assert(sm(id) == ((n, refBandVideoSig(id))), s"id=$id signature")
+      assert(sm(id + 100L)._2 == refBandVideoSig(id))
+      assert(sm(id + 200L)._2 == refBandVideoSig(id))
+    }
+    // every planted re-mux pairs with its base at distance 0
+    val pairs = Multimodal.videoNearDupPairs(sigs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    for (id <- ids) {
+      assert(pairs.exists(p => p._1 == id && p._2 == id + 100L && p._3 == 0L),
+        s"id=$id brightness re-mux not paired")
+      assert(pairs.exists(p => p._1 == id && p._2 == id + 200L && p._3 == 0L),
+        s"id=$id scale re-mux not paired")
+    }
+    // MJPEG branch: solid gray frames decode via ImageIO and hash to 0
+    val mj = Seq(Multimodal.Asset(7L, Multimodal.syntheticMjpegAvi(7L),
+      "video/avi", 0L)).toDS()
+    val mjh = Multimodal.dhashVideoFrames(
+      Multimodal.sampleAviFrames(mj, everyNth = 1)).collect()
+    assert(mjh.nonEmpty && mjh.forall(_.dhash == 0L),
+      s"solid MJPEG frames must hash 0: ${mjh.toSeq}")
+    CacheRegistry.drain()
+  }
 }
