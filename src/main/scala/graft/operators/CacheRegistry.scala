@@ -63,6 +63,45 @@ object CacheRegistry {
     trackedCheckpointed.remove(df); ()
   }
 
+  /** Run `f` and release ONLY what it tracked — the per-micro-batch
+    * cleanup shape ([[graft.streaming.CorpusStream]]): a streaming
+    * `foreachBatch` body creates per-batch persists and cuts that are
+    * dead once the batch's sink write returns, but a global [[drain]]
+    * there would ALSO destroy the long-lived state the stream runs
+    * under (a loaded [[Bpe.Model]]'s locally-checkpointed vocabulary —
+    * whose lineage is truncated, so unpersisting it is unrecoverable,
+    * not a recompute). Entries tracked before `f` are untouched.
+    * Single-threaded driver loops only: interleaved tracking from a
+    * concurrent query would be swept into this scope's release.
+    */
+  def scope[T](f: => T): T = {
+    import scala.jdk.CollectionConverters._
+    def snap[E](q: java.util.concurrent.ConcurrentLinkedQueue[E]) = {
+      val s = java.util.Collections.newSetFromMap(
+        new java.util.IdentityHashMap[E, java.lang.Boolean]())
+      q.asScala.foreach(s.add)
+      s
+    }
+    val (t0, r0, b0, c0) =
+      (snap(tracked), snap(trackedRdds), snap(trackedBroadcasts),
+        snap(trackedCheckpointed))
+    try f
+    finally {
+      tracked.asScala.filterNot(t0.contains).toList.foreach { d =>
+        tracked.remove(d); d.unpersist(blocking = false)
+      }
+      trackedRdds.asScala.filterNot(r0.contains).toList.foreach { r =>
+        trackedRdds.remove(r); r.unpersist(blocking = false)
+      }
+      trackedBroadcasts.asScala.filterNot(b0.contains).toList.foreach { b =>
+        trackedBroadcasts.remove(b); b.unpersist(false)
+      }
+      trackedCheckpointed.asScala.filterNot(c0.contains).toList.foreach { c =>
+        Lineage.release(c) // also un-registers
+      }
+    }
+  }
+
   /** Unpersist every tracked frame/RDD (non-blocking), clear the registry. */
   def drain(): Unit = {
     var df = tracked.poll()

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.{Bpe, CacheRegistry}
+import graft.sources.WarcReader
+import org.apache.spark.sql.functions._
+
+class CorpusStreamSpec extends SparkSpec {
+
+  private def htmlRec(i: Int, bodyText: String): WarcReader.WarcRecord =
+    WarcReader.WarcRecord("response", s"https://x.example/p/$i",
+      "2026-01-01T00:00:00Z", 200, "text/html",
+      (s"<html><head><style>p{color:red}</style></head>" +
+        s"<body><!-- c --><p>$bodyText</p></body></html>")
+        .getBytes("UTF-8"))
+
+  test("WARC stream → htmlToText → incremental dedup → applyModel: " +
+      "segment 2 appends ONLY its novel docs; token ids match the batch " +
+      "path on the union") {
+    val session = spark
+    import session.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("corpus-stream")
+    val ckpt = java.nio.file.Files.createTempDirectory("corpus-ckpt")
+    val out = java.nio.file.Files.createTempDirectory("corpus-out")
+    // tokenizer trained OFFLINE, before any segment lands — the
+    // train-once / apply-at-ingest lifecycle
+    val model = Bpe.learnMerges(
+      Seq("abab abab bc cc ab", "bc bc abab cc a b c").toDF("text"),
+      "text", numMerges = 4)
+
+    def drain(): Unit = {
+      val q = CorpusStream.run(spark, dir.toString, model,
+        ckpt.toString, out.toString)
+      q.awaitTermination()
+    }
+    def got(): Map[String, Vector[Int]] =
+      spark.read.parquet(out.toString).collect()
+        .map(r => r.getAs[String]("url") ->
+          Option(r.getAs[scala.collection.Seq[Int]]("token_ids"))
+            .map(_.toVector).orNull)
+        .toMap
+
+    // segment 1: two distinct documents
+    java.nio.file.Files.write(dir.resolve("seg-00001.warc.gz"),
+      WarcReader.write(Seq(htmlRec(1, "ab ab bc"), htmlRec(2, "cc abab")),
+        gzipPerRecord = true))
+    drain()
+    assert(got().keySet == Set("https://x.example/p/1",
+      "https://x.example/p/2"))
+
+    // segment 2: one novel doc, one cross-segment duplicate (same
+    // extracted text as p/1 under a NEW url — must not re-emit), one
+    // non-200 and one non-html record (filtered before extraction)
+    java.nio.file.Files.write(dir.resolve("seg-00002.warc.gz"),
+      WarcReader.write(Seq(
+        htmlRec(3, "cc ab a"),
+        htmlRec(4, "ab ab bc"), // duplicate of p/1's text
+        WarcReader.WarcRecord("response", "https://x.example/p/5",
+          "2026-01-01T00:00:00Z", 404, "text/html",
+          "<html><body><p>gone</p></body></html>".getBytes("UTF-8")),
+        WarcReader.WarcRecord("response", "https://x.example/p/6",
+          "2026-01-01T00:00:00Z", 200, "image/png",
+          Array[Byte](1, 2, 3))), gzipPerRecord = true))
+    drain()
+    val streamed = got()
+    assert(streamed.keySet == Set("https://x.example/p/1",
+      "https://x.example/p/2", "https://x.example/p/3"),
+      s"segment 2 must append exactly its novel doc: ${streamed.keySet}")
+
+    // token-id parity with the batch path over the union of segments:
+    // same filter + extraction, applyModel per url — ids depend only
+    // on text, so every streamed row must match its batch twin
+    val batchDocs = WarcReader.read(spark, dir.toString + "/*.warc*")
+      .filter(col("warc_type") === "response" &&
+        col("http_status") === 200 &&
+        col("http_content_type").startsWith("text/html"))
+      .select(col("target_uri").as("url"),
+        graft.operators.TextAnalysis.htmlToText(
+          decode(col("body"), "UTF-8")).as("text"))
+    val want = Bpe.applyModel(batchDocs, "url", "text", model)
+      .collect().map(r => r.getAs[String]("url") ->
+        r.getAs[scala.collection.Seq[Int]]("token_ids").toVector).toMap
+    assert(streamed.nonEmpty)
+    for ((url, ids) <- streamed)
+      assert(ids == want(url), s"$url: stream=$ids batch=${want(url)}")
+    CacheRegistry.drain()
+  }
+}
