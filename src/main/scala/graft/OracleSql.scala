@@ -1928,16 +1928,21 @@ object OracleSql {
         |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
         |ORDER BY id_a, id_b""".stripMargin,
 
-    // perceptual video signature pairs: per-frame hash bits are
-    // closed-form (bit(f,r,i) = (id·31 + f·53 + i·17 + r·57) % 200 <
-    // 183 over 3 + id%4 frames; brightness/scale re-muxes share the
-    // base id's bits), the majority fold keeps bit b iff strictly more
+    // perceptual video duplicate clusters: per-frame hash bits are
+    // closed-form (bit(f,r,i) = (id·31 + f·53 + i·97 + r·57) % 200 <
+    // 103 over 3 + id%4 frames — the near-balanced band step, see
+    // syntheticBandAvi; brightness/scale re-muxes share the base id's
+    // bits), the majority fold keeps bit b iff strictly more
     // than half the frames have it, and the folded signatures
-    // brute-force pair. The frame axis is range(0,7) filtered to the
-    // per-asset frame count (max 6 frames — a bounded cross join, no
-    // lateral needed).
+    // brute-force pair at Hamming <= 3 over ALL assets (the Spark side
+    // collapses identical signatures to representatives first — the
+    // q109 degenerate-class guard — so membership must come out
+    // identical), recursive-CTE transitive closure, min-reachable
+    // label. The frame axis is range(0,7) filtered to the per-asset
+    // frame count (max 6 frames — a bounded cross join, no lateral
+    // needed).
     "q111_video_neardups" ->
-      """WITH assets AS (
+      """WITH RECURSIVE assets AS (
         |  SELECT doc_id AS asset_id, doc_id AS id FROM documents
         |  UNION ALL
         |  SELECT doc_id + 1000000, doc_id FROM documents
@@ -1948,7 +1953,7 @@ object OracleSql {
         |fb AS (
         |  SELECT asset_id, r.r * 8 + i.i AS b,
         |    CASE WHEN 2 * SUM(CASE WHEN
-        |        (id * 31 + f.f * 53 + i.i * 17 + r.r * 57) % 200 < 183
+        |        (id * 31 + f.f * 53 + i.i * 97 + r.r * 57) % 200 < 103
         |      THEN 1 ELSE 0 END) > (3 + id % 4)
         |      THEN 1 ELSE 0 END AS mb
         |  FROM assets, range(0, 8) r(r), range(0, 8) i(i),
@@ -1963,11 +1968,20 @@ object OracleSql {
         |      ELSE 0 END) AS BIGINT) AS vhash
         |  FROM fb GROUP BY asset_id),
         |pairs AS (
-        |  SELECT x.asset_id AS id_a, y.asset_id AS id_b,
-        |    CAST(bit_count(xor(x.vhash, y.vhash)) AS BIGINT) AS hamming
-        |  FROM sigs x JOIN sigs y ON x.asset_id < y.asset_id)
-        |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
-        |ORDER BY id_a, id_b""".stripMargin,
+        |  SELECT x.asset_id AS id_a, y.asset_id AS id_b
+        |  FROM sigs x JOIN sigs y ON x.asset_id < y.asset_id
+        |  WHERE bit_count(xor(x.vhash, y.vhash)) <= 3),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+        |reach(id, label) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+        |comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id)
+        |SELECT component AS cluster_id,
+        |  CAST(count(*) AS BIGINT) AS n_images, max(id) AS max_id
+        |FROM comp GROUP BY component ORDER BY cluster_id""".stripMargin,
 
     // q107 with the UNK arm: same learned rules and replay stages, but
     // docw keeps EVERY non-empty word and the final join is a LEFT

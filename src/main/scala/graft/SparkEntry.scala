@@ -1370,18 +1370,30 @@ object SparkEntry {
         maxHamming = 3)
       .orderBy("id_a", "id_b")
 
-  /** Perceptual near-duplicate VIDEO detection — the full composed
+  /** Perceptual near-duplicate VIDEO resolution — the full composed
     * chain ([[graft.operators.Multimodal.sampleAviFrames]] →
     * [[graft.operators.Multimodal.dhashVideoFrames]] →
     * [[graft.operators.Multimodal.videoSignatures]] majority fold →
-    * pigeonhole Hamming pairs): banded synthetic DIB AVIs with a
-    * brightness-shifted re-mux planted on every doc_id % 7 == 0 and a
-    * rescaled re-mux on every doc_id % 11 == 0 — re-encodes of the
-    * same footage that every exact video fingerprint misses but that
-    * leave each frame's dHash, hence the majority-fold signature,
-    * fixed. The oracle rebuilds every per-frame hash bit closed-form
-    * (`bit(f,r,i) = (id·31 + f·53 + i·17 + r·57) % 200 < 183`,
-    * `3 + id%4` frames), majority-folds, and brute-force-pairs.
+    * [[graft.operators.Multimodal.perceptualDupClusters]]): banded
+    * synthetic DIB AVIs with a brightness-shifted re-mux planted on
+    * every doc_id % 7 == 0 and a rescaled re-mux on every
+    * doc_id % 11 == 0 — re-encodes of the same footage that every
+    * exact video fingerprint misses but that leave each frame's dHash,
+    * hence the majority-fold signature, fixed. CLUSTERS, not raw
+    * pairs, deliberately: the fixture's signature classes are large
+    * (the corpus-degenerate shape), and the pair relation is
+    * quadratic in class size by CONTRACT — ~19M rows at sf0.1, 33 s
+    * of output materialization for no information the collapse-first
+    * closure doesn't carry (measured round 10; the exact situation
+    * q109's representative collapse exists for — pairing runs over
+    * DISTINCT signatures only). The raw-pair tier stays spec-gated
+    * (MultimodalSpec pins every planted re-mux pair at Hamming 0).
+    * The oracle rebuilds every per-frame hash bit closed-form
+    * (`bit(f,r,i) = (id·31 + f·53 + i·97 + r·57) % 200 < 103` — the
+    * near-balanced band step that keeps the majority fold
+    * discriminative, see [[graft.operators.Multimodal.syntheticBandAvi]];
+    * `3 + id%4` frames), majority-folds, brute-force-pairs ALL
+    * assets, and closes with a recursive CTE (the q109 pattern).
     */
   private def q111(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -1399,12 +1411,13 @@ object SparkEntry {
               Multimodal.syntheticBandAvi(id, scaleStep = 1)))
           else Iterator.empty)
       })
-    Multimodal.videoNearDupPairs(
+    Multimodal.perceptualDupClusters(
         Multimodal.videoSignatures(
-          Multimodal.dhashVideoFrames(
-            Multimodal.sampleAviFrames(assets, everyNth = 1)).toDF()),
-        maxHamming = 3)
-      .orderBy("id_a", "id_b")
+            Multimodal.dhashVideoFrames(
+              Multimodal.sampleAviFrames(assets, everyNth = 1)).toDF())
+          .select(col("asset_id"), col("vhash")),
+        "asset_id", "vhash", maxHamming = 3)
+      .orderBy("cluster_id")
   }
 
   /** q107 with the UNK fallback on

@@ -798,8 +798,14 @@ object Multimodal {
     * and adds robustness a single-frame pick lacks: one corrupt or
     * re-keyframed frame cannot flip more bits than its minority share.
     * It does NOT survive trimming or re-timing (frames enter/leave the
-    * majority — the temporal analog of dHash's crop blindness).
-    * Returns `(idCol, n_frames, vhash)`.
+    * majority — the temporal analog of dHash's crop blindness), and it
+    * only DISCRIMINATES when the per-frame bits are roughly balanced —
+    * true of dHash on natural content (luminance rises or falls about
+    * evenly), but a bit that is heavily biased across frames saturates
+    * its majority to the same value for every video (the
+    * [[syntheticBandAvi]] fixture is band-stepped to keep its bits
+    * near 50/50 for exactly this reason). Returns
+    * `(idCol, n_frames, vhash)`.
     *
     * Scale shape: one hash aggregation on the video id (64 conditional
     * sums + a count, the [[Dedup.simhashMd5]] fold shape) — no
@@ -859,16 +865,22 @@ object Multimodal {
     * `3 + id%4` uncompressed frames at band-aligned dimensions
     * `W = 9·(2 + id%3 + scaleStep)`, `H = 8·(2 + id%2 + scaleStep)`,
     * where frame `f`'s band `(j, r)` fills gray
-    * `(id·31 + f·53 + j·17 + r·57) % 200 + brightness` on all three
+    * `(id·31 + f·53 + j·97 + r·57) % 200 + brightness` on all three
     * channels (bottom-up DIB rows, so stored row `H-1-y` carries
     * top-down row `y`). Band alignment puts [[dhashVideoFrames]]'
     * sampled column `i` of row `r` in band `(i, r)` at every fixture
-    * size, so frame `f`'s hash is closed-form:
-    * `bit(r,i) = (id·31 + f·53 + i·17 + r·57) % 200 < 183` —
+    * size, so frame `f`'s hash is closed-form — the +97 band step
+    * wraps exactly when the comparison falls:
+    * `bit(r,i) = (id·31 + f·53 + i·97 + r·57) % 200 < 103` —
     * independent of `brightness` (≤ 55, unclamped monotone shift) and
     * `scaleStep` (resampled band profile), and therefore so is the
     * [[videoSignatures]] majority fold the DuckDB oracle replays
-    * arithmetically.
+    * arithmetically. The step is 97 (bit probability 103/200 ≈ 0.5),
+    * NOT the PNG fixture's 17 (183/200 ≈ 0.92): near-balanced
+    * per-frame bits are what keep the majority fold discriminative —
+    * at 0.92 every video's majority saturates to all-ones and the
+    * folded signature carries zero information (measured round 10:
+    * ONE distinct signature across the whole sf0.01 corpus).
     */
   def syntheticBandAvi(
       id: Long, brightness: Int = 0, scaleStep: Int = 0): Array[Byte] = {
@@ -890,7 +902,7 @@ object Multimodal {
         var x = 0
         while (x < w) {
           val j = x / m
-          val g = (((id * 31 + f * 53 + j * 17 + r * 57) % 200) +
+          val g = (((id * 31 + f * 53 + j * 97 + r * 57) % 200) +
             brightness).toByte
           val o = row + x * 3
           out(o) = g; out(o + 1) = g; out(o + 2) = g

@@ -468,7 +468,7 @@ class MultimodalSpec extends SparkSpec {
   private def refBandFrameHash(id: Long, f: Int): Long = {
     var hash = 0L
     for (r <- 0 until 8; i <- 0 until 8)
-      if ((id * 31 + f * 53 + i * 17 + r * 57) % 200 < 183)
+      if ((id * 31 + f * 53 + i * 97 + r * 57) % 200 < 103)
         hash |= 1L << (r * 8 + i)
     hash
   }
@@ -516,6 +516,11 @@ class MultimodalSpec extends SparkSpec {
       assert(sm(id + 100L)._2 == refBandVideoSig(id))
       assert(sm(id + 200L)._2 == refBandVideoSig(id))
     }
+    // the fold must DISCRIMINATE: distinct videos → distinct signatures
+    // (guards the balanced-bit property of the fixture — a biased band
+    // step saturates every majority to all-ones, round-10 lesson)
+    assert(ids.map(id => sm(id)._2).distinct.size > 6,
+      s"majority fold degenerated: ${ids.map(id => sm(id)._2).distinct}")
     // every planted re-mux pairs with its base at distance 0
     val pairs = Multimodal.videoNearDupPairs(sigs, maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
