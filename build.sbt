@@ -36,7 +36,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // per query per pass; the JDK's default 240 MB code cache fills mid-
   // run and CodeCacheFlushing then evicts hot methods, so later queries
   // recompile continuously (measured: pass-2 q60 24.8 s vs pass-1 9.5 s
-  // with 11 s of in-window JIT). One gigabyte keeps every compiled stage
-  // resident across both passes.
-  "-XX:ReservedCodeCacheSize=1g",
+  // with 11 s of in-window JIT). One gigabyte held the 83-query catalog;
+  // at 111 queries pass 1 overflows it again — silent CodeCacheFlushing
+  // churn, measured round 10 by A/B at identical code: cold total 287.8 s
+  // at 1g vs 142.1 s at 2g (q60 cold 57.1 -> 9.0). Env-keyed so the
+  // hypothesis stays testable without editing the build; evidence in
+  // PERFORMANCE.md round 10.
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_CODE_CACHE", "2g")}",
 )

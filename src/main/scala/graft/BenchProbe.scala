@@ -28,16 +28,30 @@ object BenchProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(2000000).selectExpr("sum(id * 2)").collect()
+    // same in-window hygiene split as Bench: how much of each repeat was
+    // GC pause / JIT compiler time (bisecting an erratic repeat without
+    // these is guesswork — the r10 q60 scatter was only attributable once
+    // the 14 s repeats showed their jit share)
+    import scala.jdk.CollectionConverters._
+    def gcMillis(): Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    val jitBean = java.lang.management.ManagementFactory.getCompilationMXBean
+    def jitMillis(): Long =
+      if (jitBean != null && jitBean.isCompilationTimeMonitoringSupported)
+        jitBean.getTotalCompilationTime else 0L
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       val times = (1 to repeats).map { i =>
+        val gc0 = gcMillis(); val jit0 = jitMillis()
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         val secs = (System.nanoTime() - t0) / 1e9
         graft.operators.CacheRegistry.drain()
-        secs
+        (secs, (gcMillis() - gc0) / 1e3, (jitMillis() - jit0) / 1e3)
       }
-      println(f"[probe] $name: ${times.map(t => f"$t%.2f").mkString(" ")} sec")
+      println(f"[probe] $name: ${times.map(_._1).map(t => f"$t%.2f").mkString(" ")} sec")
+      println(f"[probe] $name gc:  ${times.map(_._2).map(t => f"$t%.2f").mkString(" ")}")
+      println(f"[probe] $name jit: ${times.map(_._3).map(t => f"$t%.2f").mkString(" ")}")
     }
     spark.stop()
   }

@@ -1928,6 +1928,49 @@ object OracleSql {
         |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // perceptual audio duplicate clusters: q110's closed-form hash CTE
+    // (bit w set iff (id·31 + w·17) % 200 < 183; re-gained/resampled
+    // variants share the base id's hash by design) composed with q109's
+    // recursive-CTE transitive closure over brute-force pairs of ALL
+    // assets — the Spark side collapses identical hashes to min-id
+    // representatives before pairing, so membership must come out
+    // identical. Radius 1, not q110's 3: the fixture's biased bits
+    // chain every hash class within distance 2, so >= 2 is one vacuous
+    // corpus-wide cluster (see the q113 scaladoc for the measurement).
+    "q113_audio_dup_clusters" ->
+      """WITH RECURSIVE assets AS (
+        |  SELECT doc_id AS asset_id, doc_id AS id FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, doc_id FROM documents
+        |  WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, doc_id FROM documents
+        |  WHERE doc_id % 11 = 0),
+        |bits AS (
+        |  SELECT asset_id,
+        |    CAST(SUM(CASE WHEN (id * 31 + w * 17) % 200 < 183
+        |      THEN CASE WHEN w = 63
+        |        THEN (-9223372036854775807 - 1)
+        |        ELSE (1::BIGINT << w) END
+        |      ELSE 0 END) AS BIGINT) AS ahash
+        |  FROM assets, range(0, 64) t(w)
+        |  GROUP BY asset_id),
+        |pairs AS (
+        |  SELECT x.asset_id AS id_a, y.asset_id AS id_b
+        |  FROM bits x JOIN bits y ON x.asset_id < y.asset_id
+        |  WHERE bit_count(xor(x.ahash, y.ahash)) <= 1),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+        |reach(id, label) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+        |comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id)
+        |SELECT component AS cluster_id,
+        |  CAST(count(*) AS BIGINT) AS n_assets, max(id) AS max_id
+        |FROM comp GROUP BY component ORDER BY cluster_id""".stripMargin,
+
     // perceptual video duplicate clusters: per-frame hash bits are
     // closed-form (bit(f,r,i) = (id·31 + f·53 + i·97 + r·57) % 200 <
     // 103 over 3 + id%4 frames — the near-balanced band step, see

@@ -1447,6 +1447,38 @@ object SparkEntry {
     } finally s.conf.unset(graft.operators.Bpe.OovModeConf)
   }
 
+  /** Perceptual duplicate-CLUSTER resolution for AUDIO
+    * ([[graft.operators.Multimodal.perceptualDupClusters]] over
+    * [[graft.operators.Multimodal.ahashAudio]] fingerprints) — the
+    * audio twin of q109, completing the pairs(q110)/clusters symmetry
+    * every modality now has (image q108/q109, video q111): q110's
+    * asset set (base + planted re-gained and resampled variants)
+    * resolved into transitive clusters with the same
+    * exact-collapse-first formulation — identical 64-bit energy-delta
+    * hashes fold to min-id representatives BEFORE the pigeonhole pair
+    * join (bounded by DISTINCT hashes: the fixture's hash classes are
+    * id-mod-200 families, the corpus-degenerate shape — silence and
+    * constant tones all hash to 0 at web scale), closure over
+    * representative pairs labels clusters. The oracle rebuilds every
+    * hash closed-form (q110's `bit(w) = (id·31 + w·17) % 200 < 183`),
+    * brute-force pairs ALL assets, and closes with a recursive CTE
+    * (the q109 pattern) — so the collapse must be exactly transparent
+    * to cluster membership. maxHamming is 1 HERE, not q110's 3: the
+    * fixture's 183/200 bit bias leaves its 65 distinct hash classes
+    * chained within distance 2 of each other, so ≥ 2 closes the whole
+    * corpus into ONE vacuous cluster (measured: 65 classes → 63
+    * clusters at 1, → 1 at 2 — the q111 degenerate-fold lesson); at 1
+    * the output stays discriminative in every hash bit while two
+    * genuine Hamming-1 class merges still exercise the pigeonhole
+    * pair path, and q110's ≤ 3 pair tier keeps the wider radius gated.
+    */
+  private def q113(s: SparkSession, d: String): DataFrame =
+    Multimodal.perceptualDupClusters(
+        Multimodal.ahashAudio(audioPerceptualAssets(s, d)).toDF(),
+        "asset_id", "ahash", maxHamming = 1)
+      .withColumnRenamed("n_images", "n_assets")
+      .orderBy("cluster_id")
+
   /** Containment join over corpus ∪ planted 8-token prefixes: every
     * prefix doc is fully contained in its original (containment 1.0),
     * which symmetric Jaccard would score far below threshold.
@@ -1840,6 +1872,7 @@ object SparkEntry {
     "q110_audio_ahash" -> (q110(_, _)),
     "q111_video_neardups" -> (q111(_, _)),
     "q112_bpe_apply_unk" -> (q112(_, _)),
+    "q113_audio_dup_clusters" -> (q113(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

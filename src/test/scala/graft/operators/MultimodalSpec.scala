@@ -464,6 +464,56 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L), (1L, 3L), (2L, 3L)), pairs.toSeq)
   }
 
+  test("audio perceptualDupClusters equals the brute-force transitive " +
+      "closure, with the degenerate constant-signal (hash 0) family " +
+      "collapsed before pairing") {
+    val session = spark
+    import session.implicits._
+    // id=1 family (re-gained + resampled variants, identical hash),
+    // id=2 and id=5 singles, and six CONSTANT signals of differing
+    // amplitude and length — every constant signal has equal per-window
+    // energies, so no delta ever rises and the hash is exactly 0: the
+    // audio twin of the solid-image degenerate family (silence, test
+    // tones, DC offsets at web scale)
+    val assets = (Seq(
+      Multimodal.Asset(1L, Multimodal.syntheticBandWav(1L), "audio/wav", 0L),
+      Multimodal.Asset(101L,
+        Multimodal.syntheticBandWav(1L, gainShift = 3), "audio/wav", 0L),
+      Multimodal.Asset(201L,
+        Multimodal.syntheticBandWav(1L, rateStep = 1), "audio/wav", 0L),
+      Multimodal.Asset(2L, Multimodal.syntheticBandWav(2L), "audio/wav", 0L),
+      Multimodal.Asset(5L, Multimodal.syntheticBandWav(5L), "audio/wav", 0L)) ++
+      (50L to 55L).map(i => Multimodal.Asset(i,
+        wavOf(Array.fill(65 + 13 * i.toInt)((i * 77).toShort)),
+        "audio/wav", 0L))).toDS()
+    val hashes = Multimodal.ahashAudio(assets).toDF()
+    val hs = hashes.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val const = hs.filter(h => h._1 >= 50L && h._1 <= 55L)
+    assert(const.length == 6 && const.forall(_._2 == 0L),
+      s"constant signals must hash to 0: ${const.toSeq}")
+    // brute-force reference closure over Hamming<=3 edges
+    val parent = scala.collection.mutable.Map(hs.map(h => h._1 -> h._1): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    for {
+      (a, ha) <- hs; (b, hb) <- hs
+      if a < b && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } parent(find(a)) = find(b)
+    val want = hs.map(_._1).groupBy(find).values
+      .filter(_.length > 1)
+      .map(g => (g.min, g.length.toLong, g.max))
+      .toSeq.sortBy(_._1)
+    val got = Multimodal.perceptualDupClusters(
+        hashes, "asset_id", "ahash", maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(_._1)
+    assert(got == want, s"\n got=$got\nwant=$want")
+    // the degenerate constant family is ONE cluster labeled by its min id
+    assert(got.exists { case (c, n, m) => c == 50L && n == 6L && m == 55L },
+      got.toString)
+    CacheRegistry.drain()
+  }
+
   /** The fixture's closed-form per-frame dHash (syntheticBandAvi doc). */
   private def refBandFrameHash(id: Long, f: Int): Long = {
     var hash = 0L
