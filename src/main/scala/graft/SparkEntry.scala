@@ -1479,6 +1479,50 @@ object SparkEntry {
       .withColumnRenamed("n_images", "n_assets")
       .orderBy("cluster_id")
 
+  /** Dihedral-canonical perceptual hash pairs
+    * ([[graft.operators.Multimodal.canonicalDhashImages]] → pigeonhole
+    * Hamming join): q108's banded PNGs, with a genuinely ROTATED (90°)
+    * copy planted on every doc_id % 5 == 0 (id + 3·10⁶) and a
+    * transposed + brightness-shifted copy on every doc_id % 13 == 0
+    * (id + 4·10⁶) — perturbations that scramble the plain dHash
+    * (rotation moves every band across the sample grid, the blindness
+    * dhashImages' doc names) but leave the min-over-8-transforms
+    * canonical hash EXACTLY fixed: the eight coordinate maps form the
+    * rectangle's symmetry group, so a planted group element only
+    * permutes the eight member hashes and the signed min is invariant.
+    * The oracle rebuilds every member hash arithmetically — each probe
+    * coordinate mapped through the hash transform, then through the
+    * planted transform, down to a base band index — takes the BIGINT
+    * min over the eight, and brute-force pairs at Hamming ≤ 3 (the
+    * q108 family radius; planted transforms land at 0 regardless).
+    * Min-of-8 selection compresses the fixture's canonical space to
+    * ~79 distinct values, so the output is collision-heavy by design —
+    * 9.2k pairs at sf0.01, 951k at sf0.1 (measured), the same
+    * magnitude as q108's ~1M.
+    */
+  private def q114(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val assets = docs(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        def asset(aid: Long, png: Array[Byte]) =
+          Multimodal.Asset(aid, png, "image/png", png.length.toLong)
+        Iterator(asset(id, Multimodal.syntheticBandPng(id))) ++
+          (if (id % 5 == 0)
+            Iterator(asset(id + 3000000L,
+              Multimodal.syntheticBandPng(id, transform = 1)))
+          else Iterator.empty) ++
+          (if (id % 13 == 0)
+            Iterator(asset(id + 4000000L,
+              Multimodal.syntheticBandPng(id, brightness = 30,
+                transform = 5)))
+          else Iterator.empty)
+      })
+    Dedup.simhashPairsFromSigs(
+        Multimodal.canonicalDhashImages(assets).toDF(),
+        "asset_id", "chash", maxHamming = 3, chunkBits = 16, nChunks = 4)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Containment join over corpus ∪ planted 8-token prefixes: every
     * prefix doc is fully contained in its original (containment 1.0),
     * which symmetric Jaccard would score far below threshold.
@@ -1873,6 +1917,7 @@ object SparkEntry {
     "q111_video_neardups" -> (q111(_, _)),
     "q112_bpe_apply_unk" -> (q112(_, _)),
     "q113_audio_dup_clusters" -> (q113(_, _)),
+    "q114_canonical_dhash" -> (q114(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -238,26 +238,51 @@ object Multimodal {
     * multiplier resamples the same band profile). That independence IS
     * the perceptual invariance the tier exists for, and it is what lets
     * the DuckDB oracle predict the hash of a brightness- or
-    * scale-perturbed variant arithmetically.
+    * scale-perturbed variant arithmetically. `transform` (0–7) emits
+    * the dihedral image of the same band field — a genuinely rotated /
+    * mirrored / transposed copy that DEFEATS the plain [[dhashImages]]
+    * fingerprint and is the planted fixture for the canonical tier
+    * ([[canonicalDhashImages]]).
     */
   def syntheticBandPng(
-      id: Long, brightness: Int = 0, scaleStep: Int = 0): Array[Byte] = {
+      id: Long, brightness: Int = 0, scaleStep: Int = 0,
+      transform: Int = 0): Array[Byte] = {
     require(brightness >= 0 && brightness <= 55,
       s"brightness=$brightness must be in [0, 55] to stay unclamped")
     require(scaleStep >= 0, s"scaleStep=$scaleStep must be non-negative")
+    require(transform >= 0 && transform <= 7,
+      s"transform=$transform must be a dihedral index in [0, 7]")
     val m = 2 + (id % 3).toInt + scaleStep
     val n = 2 + (id % 2).toInt + scaleStep
     val w = 9 * m
     val h = 8 * n
+    // `transform` paints the dihedral image of the base band field —
+    // pixel (x, y) of the emitted image reads the base field at the
+    // canonicalDhashFromLum coordinate map (quarter-turn transforms
+    // swap the emitted dimensions) — the planted-rotation fixture for
+    // the canonical-hash tier (q114).
+    val swap = (transform & 1) == 1
+    val wT = if (swap) h else w
+    val hT = if (swap) w else h
     javax.imageio.ImageIO.setUseCache(false)
     val im = new java.awt.image.BufferedImage(
-      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      wT, hT, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
-    while (y < h) {
-      val r = y / n
+    while (y < hT) {
       var x = 0
-      while (x < w) {
-        val j = x / m
+      while (x < wT) {
+        val (px, py) = transform match {
+          case 0 => (x, y)
+          case 1 => (y, h - 1 - x)
+          case 2 => (w - 1 - x, h - 1 - y)
+          case 3 => (w - 1 - y, x)
+          case 4 => (w - 1 - x, y)
+          case 5 => (y, x)
+          case 6 => (x, h - 1 - y)
+          case _ => (w - 1 - y, h - 1 - x)
+        }
+        val j = px / m
+        val r = py / n
         val g = (((id * 31 + j * 17 + r * 57) % 200) + brightness).toInt
         im.setRGB(x, y, (g << 16) | (g << 8) | g)
         x += 1
@@ -407,6 +432,95 @@ object Multimodal {
       maxHamming: Int = 3): DataFrame =
     Dedup.simhashPairsFromSigs(hashes, idCol, "dhash", maxHamming,
       chunkBits = 16, nChunks = 4)
+
+  /** A rotation/mirror-invariant perceptual image fingerprint. */
+  case class ImageCanonicalHash(asset_id: Long, chash: Long)
+
+  /** Dihedral-canonical difference hash — the answer to [[dhashImages]]'
+    * documented rotation/mirror blindness: compute the 64-bit dHash of
+    * all EIGHT dihedral transforms of the image (identity, the three
+    * right-angle rotations, the horizontal and vertical flips, and the
+    * two transposes — the symmetry group of the rectangle) and keep the
+    * signed-Long MINIMUM as the canonical hash. Because the eight maps
+    * form a group, transforming an image permutes its eight transform
+    * hashes rather than changing them, so the minimum is EXACTLY
+    * invariant: a rotated, mirrored, or transposed copy gets the
+    * identical canonical hash, on top of dHash's existing brightness/
+    * scale/re-encode invariance (each member hash keeps only luminance-
+    * comparison signs). Cropping remains out of scope (it needs
+    * keypoints, not a global grid).
+    *
+    * No pixels are moved: each transform hash is computed by remapping
+    * the 9×8 sample-grid probe coordinates through the transform
+    * (rotations by a quarter turn swap the sampled width/height), so
+    * the cost is 8 × 72 bounded luminance probes per image, map-side
+    * only. Non-square images too small in one orientation (e.g. 10×8 —
+    * rotated it is 8 px wide, under the 9-column grid) take the
+    * minimum over the orientations that CAN hash; an image under 9×8
+    * AND 8×9 has no gradient to hash in any orientation and is dropped,
+    * the [[decodeImages]] corrupt-asset convention. The signed-Long min
+    * (not unsigned) is the documented tie-break so the DuckDB oracle's
+    * BIGINT `min()` replicates it bit-exactly.
+    */
+  def canonicalDhashImages(
+      assets: Dataset[Asset]): Dataset[ImageCanonicalHash] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { a =>
+        val img =
+          try Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(a.payload)))
+          catch { case _: Exception => None }
+        img.flatMap { im =>
+          val w = im.getWidth
+          val h = im.getHeight
+          val lum: (Int, Int) => Long = (x, y) => {
+            val rgb = im.getRGB(x, y)
+            299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+              114L * (rgb & 0xff)
+          }
+          canonicalDhashFromLum(w, h, lum).map(ImageCanonicalHash(a.asset_id, _))
+        }
+      }
+    }
+  }
+
+  /** The dihedral-min core of [[canonicalDhashImages]]: min over the
+    * eight transform hashes, each one [[dhashFromLum]] with probe
+    * coordinates remapped through the transform. Transform t's probe
+    * (x, y) reads the original image at: t0 identity (x, y); t1 rot90°
+    * (y, h−1−x); t2 rot180° (w−1−x, h−1−y); t3 rot270° (w−1−y, x);
+    * t4 flip-x (w−1−x, y); t5 transpose (y, x); t6 flip-y (x, h−1−y);
+    * t7 anti-transpose (w−1−y, h−1−x). Quarter-turn transforms
+    * (t1/t3/t5/t7) hash with width/height swapped.
+    */
+  private[operators] def canonicalDhashFromLum(
+      w: Int, h: Int, lum: (Int, Int) => Long): Option[Long] = {
+    var best = Long.MaxValue
+    var found = false
+    var t = 0
+    while (t < 8) {
+      val swap = (t & 1) == 1
+      val wt = if (swap) h else w
+      val ht = if (swap) w else h
+      val mapped: (Int, Int) => Long = t match {
+        case 0 => lum
+        case 1 => (x, y) => lum(y, h - 1 - x)
+        case 2 => (x, y) => lum(w - 1 - x, h - 1 - y)
+        case 3 => (x, y) => lum(w - 1 - y, x)
+        case 4 => (x, y) => lum(w - 1 - x, y)
+        case 5 => (x, y) => lum(y, x)
+        case 6 => (x, y) => lum(x, h - 1 - y)
+        case _ => (x, y) => lum(w - 1 - y, h - 1 - x)
+      }
+      dhashFromLum(wt, ht, mapped).foreach { hsh =>
+        if (!found || hsh < best) { best = hsh; found = true }
+      }
+      t += 1
+    }
+    if (found) Some(best) else None
+  }
 
   /** Perceptual duplicate-CLUSTER resolution over ANY 64-bit
     * fingerprint column — the corpus-scale formulation shared by the

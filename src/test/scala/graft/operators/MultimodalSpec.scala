@@ -312,6 +312,58 @@ class MultimodalSpec extends SparkSpec {
     assert(ids.map(got).distinct.size > 1)
   }
 
+  test("canonicalDhashImages: invariant under every dihedral transform " +
+      "(+brightness), where the plain dHash provably is not") {
+    val session = spark
+    import session.implicits._
+    // ids 0..11 cover every (id%3, id%2) band-multiplier class twice;
+    // per id: the base, all 8 dihedral transforms, and a transposed +
+    // brightness-shifted composition
+    val ids = (0L until 12L)
+    val assets = ids.flatMap { id =>
+      def a(aid: Long, p: Array[Byte]) =
+        Multimodal.Asset(aid, p, "image/png", p.length.toLong)
+      (0 to 7).map(t => a(id + 100L * (t + 1),
+        Multimodal.syntheticBandPng(id, transform = t))) :+
+        a(id + 1000L,
+          Multimodal.syntheticBandPng(id, brightness = 40, transform = 5)) :+
+        a(id, Multimodal.syntheticBandPng(id))
+    }.toDS()
+    val canon = Multimodal.canonicalDhashImages(assets).collect()
+      .map(h => h.asset_id -> h.chash).toMap
+    assert(canon.size == ids.size * 10)
+    for (id <- ids; t <- 0 to 7)
+      assert(canon(id + 100L * (t + 1)) == canon(id),
+        s"id=$id transform=$t diverged from the base canonical hash")
+    for (id <- ids)
+      assert(canon(id + 1000L) == canon(id),
+        s"id=$id transpose+brightness composition diverged")
+    // discriminative across band profiles
+    assert(ids.map(canon).distinct.size > 1)
+    // the gap being closed: the PLAIN dHash of a rotated copy differs
+    // from the base for at least one profile (rotation scrambles it)
+    val plain = Multimodal.dhashImages(assets).collect()
+      .map(h => h.asset_id -> h.dhash).toMap
+    assert(ids.exists(id => plain(id + 200L) != plain(id)),
+      "rot90 should scramble the plain dHash for some profile")
+  }
+
+  test("canonicalDhashImages: non-square orientation edge — a 10×8 " +
+      "image hashes from its valid orientations; 8×8 is dropped") {
+    val session = spark
+    import session.implicits._
+    // 10×8 solid: identity/rot180/flips hash (all-zero comparisons),
+    // quarter-turn orientations are 8 px wide (< 9 columns) and cannot;
+    // the canonical min over the valid four is defined. 8×8 has no
+    // valid orientation at all.
+    val assets = Seq(
+      Multimodal.Asset(1L, pngBytes(10, 8, 0x406080), "image/png", 0L),
+      Multimodal.Asset(2L, pngBytes(8, 8, 0x406080), "image/png", 0L)).toDS()
+    val canon = Multimodal.canonicalDhashImages(assets).collect()
+      .map(h => h.asset_id -> h.chash).toMap
+    assert(canon == Map(1L -> 0L))
+  }
+
   test("dhashImages drops images too small to hash; imageNearDupPairs " +
       "finds planted perturbed pairs at Hamming 0 via pigeonhole") {
     val session = spark
