@@ -2181,5 +2181,103 @@ object OracleSql {
         |  FROM tok GROUP BY doc_id)
         |SELECT doc_id, n_tokens, ids FROM seq ORDER BY doc_id"""
         .stripMargin),
+
+    // q115: q112's rule-replay stages verbatim, but the OOV CASE arm
+    // becomes BYTE fallback — each word not fully in vocab (or
+    // pre-tokenizer-rejected) expands to its UTF-8 bytes, derived here
+    // from code points by the standard RFC 3629 arithmetic (DuckDB
+    // substr/unicode are code-point-aware), each byte shifted by
+    // count(symtab) onto the reserved page. Spark derives the same
+    // bytes from the engine's UTF8String payload — two independent
+    // UTF-8 encoders must agree byte-for-byte.
+    "q115_bpe_apply_bytes" -> ("WITH " +
+      bpeCtes(12, "(SELECT * FROM documents WHERE doc_id % 2 = 0)") +
+      s""",
+        |msym AS (
+        |${(0 until 12).map(k =>
+            s"  SELECT a || b AS sym, ${k + 1} AS mrank FROM b$k")
+            .mkString("\nUNION ALL\n")}),
+        |base AS (
+        |  SELECT DISTINCT s AS sym, 0 AS mrank
+        |  FROM (SELECT unnest(string_split(sym, ' ')) AS s FROM w0)),
+        |symtab AS (
+        |  SELECT sym,
+        |    CAST(row_number() OVER (ORDER BY mrank, sym) - 1 AS BIGINT)
+        |      AS id
+        |  FROM (SELECT sym, min(mrank) AS mrank
+        |        FROM (SELECT * FROM base UNION ALL SELECT * FROM msym)
+        |        GROUP BY sym)),
+        |a0 AS MATERIALIZED (
+        |  SELECT w, regexp_replace(w, '(.)', '\\1 ', 'g') || '</w>' AS sym
+        |  FROM (SELECT DISTINCT w FROM (
+        |          SELECT unnest(list_filter(string_split(text, ' '),
+        |            x -> x <> '')) AS w FROM documents)
+        |        WHERE regexp_matches(w, '^\\p{L}+$$')
+        |          AND length(w) <= 32))""".stripMargin +
+      (0 until 12).map { k =>
+        s""",
+          |a${k + 1} AS MATERIALIZED (
+          |  SELECT w, trim(regexp_replace(
+          |    replace(' ' || replace(sym, ' ', '  ') || ' ',
+          |      coalesce((SELECT ' ' || a || '  ' || b || ' ' FROM b$k),
+          |        chr(1)),
+          |      coalesce((SELECT ' ' || a || b || ' ' FROM b$k), '')),
+          |    ' +', ' ', 'g')) AS sym
+          |  FROM a$k)""".stripMargin
+      }.mkString +
+      """,
+        |wsym AS (
+        |  SELECT w, j AS spos, sl[j + 1] AS s
+        |  FROM (SELECT w, sl, unnest(range(0, len(sl))) AS j
+        |        FROM (SELECT w, string_split(sym, ' ') AS sl FROM a12))),
+        |wid AS (
+        |  SELECT wsym.w, wsym.spos, symtab.id
+        |  FROM wsym LEFT JOIN symtab ON wsym.s = symtab.sym),
+        |wok AS (
+        |  SELECT w FROM wid GROUP BY w
+        |  HAVING count(CASE WHEN id IS NULL THEN 1 END) = 0),
+        |docw AS (
+        |  SELECT doc_id, i AS wpos, ws[i + 1] AS w
+        |  FROM (SELECT doc_id, ws, unnest(range(0, len(ws))) AS i
+        |        FROM (SELECT doc_id,
+        |                list_filter(string_split(text, ' '), x -> x <> '')
+        |                  AS ws
+        |              FROM documents))),
+        |oovcp AS (
+        |  SELECT w, ci, unicode(substr(w, CAST(ci + 1 AS INT), 1)) AS cp
+        |  FROM (SELECT w, unnest(range(0, length(w))) AS ci
+        |        FROM (SELECT DISTINCT w FROM docw
+        |              WHERE w NOT IN (SELECT w FROM wok)))),
+        |oovb AS (
+        |  SELECT w, ci, bi,
+        |    CASE WHEN bi = 0 THEN
+        |      CASE nb WHEN 1 THEN cp WHEN 2 THEN 192 + cp // 64
+        |        WHEN 3 THEN 224 + cp // 4096
+        |        ELSE 240 + cp // 262144 END
+        |    ELSE 128 + (cp // (CASE nb - 1 - bi WHEN 0 THEN 1
+        |      WHEN 1 THEN 64 WHEN 2 THEN 4096 ELSE 262144 END)) % 64
+        |    END AS byte
+        |  FROM (SELECT w, ci, cp,
+        |          CASE WHEN cp < 128 THEN 1 WHEN cp < 2048 THEN 2
+        |               WHEN cp < 65536 THEN 3 ELSE 4 END AS nb
+        |        FROM oovcp), range(0, 4) bb(bi)
+        |  WHERE bi < nb),
+        |tok AS (
+        |  SELECT d.doc_id, d.wpos, u.spos AS p1, CAST(0 AS BIGINT) AS p2,
+        |    u.id
+        |  FROM docw d
+        |  JOIN (SELECT wid.w, wid.spos, wid.id
+        |        FROM wid JOIN wok USING (w)) u USING (w)
+        |  UNION ALL
+        |  SELECT d.doc_id, d.wpos, o.ci, o.bi,
+        |    (SELECT count(*) FROM symtab) + o.byte
+        |  FROM docw d JOIN oovb o USING (w)),
+        |seq AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    string_agg(CAST(id AS VARCHAR), ' ' ORDER BY wpos, p1, p2)
+        |      AS ids
+        |  FROM tok GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, ids FROM seq ORDER BY doc_id"""
+        .stripMargin),
   )
 }

@@ -1447,6 +1447,33 @@ object SparkEntry {
     } finally s.conf.unset(graft.operators.Bpe.OovModeConf)
   }
 
+  /** q107 with BYTE fallback on (`spark.graft.bpe.oov=bytes`): OOV
+    * words emit their UTF-8 byte sequence shifted onto the reserved
+    * page `[unkId, unkId+256)` instead of collapsing to one UNK —
+    * GPT-2-style byte-level fallback, the loss-free end of the OOV
+    * spectrum (drop < unk < bytes). The [[graft.plans.Utf8Bytes]]
+    * native expression reads the engine's own UTF-8 payload; the
+    * oracle derives the same bytes from code points with the standard
+    * RFC 3629 arithmetic (1–4 CASE arms), so the check crosses two
+    * INDEPENDENT UTF-8 encoders.
+    */
+  private def q115(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val model = graft.operators.Bpe.learnMerges(
+      dd.filter(col("doc_id") % 2 === 0).select("text"), "text",
+      numMerges = 12)
+    s.conf.set(graft.operators.Bpe.OovModeConf, "bytes")
+    try {
+      // conf read at plan-construction time (the q112 rationale)
+      graft.operators.Bpe.applyModel(dd, "doc_id", "text", model)
+        .select(col("doc_id"),
+          size(col("token_ids")).cast("long").as("n_tokens"),
+          array_join(transform(col("token_ids"), _.cast("string")), " ")
+            .as("ids"))
+        .orderBy("doc_id")
+    } finally s.conf.unset(graft.operators.Bpe.OovModeConf)
+  }
+
   /** Perceptual duplicate-CLUSTER resolution for AUDIO
     * ([[graft.operators.Multimodal.perceptualDupClusters]] over
     * [[graft.operators.Multimodal.ahashAudio]] fingerprints) — the
@@ -1918,6 +1945,7 @@ object SparkEntry {
     "q112_bpe_apply_unk" -> (q112(_, _)),
     "q113_audio_dup_clusters" -> (q113(_, _)),
     "q114_canonical_dhash" -> (q114(_, _)),
+    "q115_bpe_apply_bytes" -> (q115(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

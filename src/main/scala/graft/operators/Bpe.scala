@@ -82,9 +82,13 @@ object Bpe {
   /** Session conf key: how [[applyModel]] treats out-of-vocabulary
     * words — `drop` (default: pre-tokenizer-rejected and
     * out-of-alphabet words vanish from the output, the learn-step
-    * contract) or `unk` (each such word emits the single reserved
+    * contract), `unk` (each such word emits the single reserved
     * [[unkId]] token, so token counts faithfully cover every word of
-    * every document — what a production tokenizer does).
+    * every document — what a production tokenizer does), or `bytes`
+    * (each such word emits its UTF-8 byte sequence shifted onto the
+    * reserved page `[unkId, unkId+256)` — GPT-2-style byte fallback:
+    * no text is ever dropped OR collapsed, every document round-trips
+    * to a faithful id sequence regardless of script).
     */
   val OovModeConf = "spark.graft.bpe.oov"
 
@@ -563,11 +567,15 @@ object Bpe {
     * outside the training alphabet (no symbol id exists), follow the
     * [[OovModeConf]] session conf (read once, at plan-construction
     * time): `drop` (default) skips them — the OOV contract of the
-    * learn step — while `unk` emits the single reserved [[unkId]]
-    * token per such word, so token counts faithfully cover every
-    * non-empty word of every document. Returns
-    * `(idCol, token_ids array<int>)` for every document with ≥1
-    * tokenizable word (under `unk`, every non-empty word tokenizes).
+    * learn step — `unk` emits the single reserved [[unkId]] token per
+    * such word, and `bytes` emits the word's UTF-8 byte sequence
+    * shifted onto the reserved page `[unkId, unkId+256)` (byte `b` →
+    * id `unkId + b`; the [[graft.plans.Utf8Bytes]] native expression
+    * reads the engine's own UTF-8 payload, so supplementary-plane
+    * characters encode correctly, not as CESU-8 surrogate halves).
+    * Returns `(idCol, token_ids array<int>)` for every document with
+    * ≥1 tokenizable word (under `unk`/`bytes`, every non-empty word
+    * tokenizes).
     *
     * `maxWordLen` must match the value the model was trained with.
     *
@@ -584,13 +592,13 @@ object Bpe {
       df: DataFrame, idCol: String, textCol: String, model: Model,
       maxWordLen: Int = 32, rulesPerChunk: Int = 64): DataFrame = {
     require(rulesPerChunk > 0, s"rulesPerChunk=$rulesPerChunk must be positive")
-    val oovUnk = df.sparkSession.conf.getOption(OovModeConf)
+    val oovMode = df.sparkSession.conf.getOption(OovModeConf)
       .getOrElse("drop") match {
-        case "drop" => false
-        case "unk" => true
+        case m @ ("drop" | "unk" | "bytes") => m
         case other => throw new IllegalArgumentException(
-          s"$OovModeConf=$other (expected drop|unk)")
+          s"$OovModeConf=$other (expected drop|unk|bytes)")
       }
+    val oovKeep = oovMode != "drop"
     val pretokOk =
       col("w").rlike("^\\p{L}+$") && length(col("w")) <= maxWordLen
     // persisted: the exploded long form feeds BOTH the distinct-word
@@ -598,18 +606,18 @@ object Bpe {
     // second reference re-runs the whole split+posexplode+regex corpus
     // pass (MEMORY_AND_DISK; CacheRegistry-tracked like every operator
     // intermediate — evicts under pressure, in which case Spark falls
-    // back to exactly that recompute). Under `unk` ALL non-empty words
-    // stay (each needs a token); under `drop` the pre-tokenizer filter
-    // prunes before the persist.
+    // back to exactly that recompute). Under `unk`/`bytes` ALL
+    // non-empty words stay (each needs a token); under `drop` the
+    // pre-tokenizer filter prunes before the persist.
     val raw = df.select(col(idCol),
       posexplode(split(col(textCol), " ")).as(Seq("wpos", "w")))
     val docw = CacheRegistry.track(
-      (if (oovUnk) raw.filter(col("w") =!= "") else raw.filter(pretokOk))
+      (if (oovKeep) raw.filter(col("w") =!= "") else raw.filter(pretokOk))
         .persist())
     // the replay loop runs on pre-tokenizer-admitted words either way
     // (a rejected word has no symbolization to replay)
     var wsym = Lineage.cut(
-      (if (oovUnk) docw.filter(pretokOk) else docw)
+      (if (oovKeep) docw.filter(pretokOk) else docw)
         .select("w").distinct().withColumn("sym", symbolize(col("w"))))
     model.merges.sortBy(_.rank).grouped(rulesPerChunk).foreach { chunk =>
       val prev = wsym
@@ -626,17 +634,23 @@ object Bpe {
         array_sort(collect_list(struct(col("spos"), col("id")))).as("sl"),
         max(col("id").isNull.cast("int")).as("oov"))
     val joined =
-      if (oovUnk) {
+      if (oovKeep) {
         // out-of-alphabet words (oov=1) and pre-tokenizer-rejected
-        // words (absent from perSym — left-join miss) both collapse to
-        // ONE reserved UNK token
-        val unk = array(lit(unkId(model)))
+        // words (absent from perSym — left-join miss) both fall back:
+        // under `unk` to ONE reserved token, under `bytes` to the
+        // word's UTF-8 bytes shifted onto the reserved page (byte b →
+        // unkId + b)
+        val reservedBase = unkId(model)
+        val fallback: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+          if (oovMode == "unk") _ => array(lit(reservedBase))
+          else w => transform(
+            graft.plans.GraftFunctions.utf8Bytes(w), b => b + lit(reservedBase))
         val perWord = perSym.select(col("w"),
-          when(col("oov") === 1, unk)
+          when(col("oov") === 1, fallback(col("w")))
             .otherwise(transform(col("sl"), t => t.getField("id")))
             .as("ids"))
         docw.join(perWord, Seq("w"), "left")
-          .withColumn("ids", coalesce(col("ids"), unk))
+          .withColumn("ids", coalesce(col("ids"), fallback(col("w"))))
       } else {
         val perWord = perSym.filter(col("oov") === 0)
           .select(col("w"),

@@ -43,6 +43,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HtmlEntityDecode].getName, "html_entity_decode"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         HtmlEntityDecode(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("utf8_bytes"),
+      new ExpressionInfo(classOf[Utf8Bytes].getName, "utf8_bytes"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Utf8Bytes(children.head)))
     ext.injectOptimizerRule(NormalizeSimplification)
   }
 }
@@ -58,7 +63,12 @@ object GraftFunctions {
     GraftShim.registerNative(spark, "nfc_normalize", es => NfcNormalize(es.head))
     GraftShim.registerNative(spark, "pct_normalize", es => PctNormalize(es.head))
     GraftShim.registerNative(spark, "html_entity_decode", es => HtmlEntityDecode(es.head))
+    GraftShim.registerNative(spark, "utf8_bytes", es => Utf8Bytes(es.head))
   }
+
+  /** Column-API access to the UTF-8 byte sequence (array<int>, 0–255). */
+  def utf8Bytes(s: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    GraftShim.toColumn(Utf8Bytes(GraftShim.expr(s)))
 
   /** Column-API access to RFC 3986 percent-encoding normalization. */
   def pctNormalize(s: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

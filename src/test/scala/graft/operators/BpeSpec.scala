@@ -421,6 +421,46 @@ class BpeSpec extends SparkSpec {
     CacheRegistry.drain()
   }
 
+  test("applyModel under spark.graft.bpe.oov=bytes expands every " +
+      "untokenizable word to its UTF-8 bytes on the reserved page — " +
+      "including multi-byte and supplementary-plane characters") {
+    import spark.implicits._
+    val train = randomCorpus(23, 60)
+    val model = Bpe.learnMerges(train.toDF("text"), "text", numMerges = 12)
+    val wc = refWordCounts(train)
+    val merges = refMerges(wc, 12)
+    val ids = refSymbolTable(wc, merges)
+    val base = Bpe.unkId(model) // bytes page starts at the UNK slot
+    val eval = Seq(
+      "abab babab qq a b c", // in-vocab + out-of-alphabet ascii
+      "řeka čáp 123 a9", // 2-byte letters; digit words pre-tok-rejected
+      "🙂 ok🙂go", // U+1F642 — 4-byte UTF-8, lone and embedded
+      "x".repeat(40)) // over-length word → whole-word byte fallback
+    val evalDf = eval.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    def fb(w: String): Vector[Int] =
+      w.getBytes("UTF-8").toVector.map(b => base + (b & 0xff))
+    val want = eval.zipWithIndex.map { case (t, i) =>
+      i.toLong -> t.split(" ").filter(_.nonEmpty).flatMap { w =>
+        if (w.matches("^\\p{L}+$") && w.length <= 32)
+          refApply(w, merges, ids).getOrElse(fb(w))
+        else fb(w)
+      }.toVector
+    }
+    spark.conf.set(Bpe.OovModeConf, "bytes")
+    val got =
+      try Bpe.applyModel(evalDf, "doc_id", "text", model)
+        .orderBy("doc_id").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1).toVector).toSeq
+      finally spark.conf.unset(Bpe.OovModeConf)
+    assert(got == want, s"\n got=$got\nwant=$want")
+    // the supplementary-plane char must be true UTF-8 (F0 9F 99 82),
+    // not CESU-8 surrogate halves — pin the exact bytes
+    assert(got(2)._2.take(4) ==
+      Vector(0xf0, 0x9f, 0x99, 0x82).map(base + _))
+    CacheRegistry.drain()
+  }
+
   test("saveModel → loadModel round-trips the tokenizer: identical " +
       "rules, and the loaded model encodes seen AND unseen text " +
       "identically to the in-memory one") {
