@@ -766,6 +766,53 @@ object OracleSql {
 
     // exact prefix-filtered Jaccard join (the LSH variant q31 is rows-only
     // — probabilistic recall near the threshold must not gate correctness)
+    // incremental fuzzy dedup: the q60 exact-Jaccard machinery over
+    // batch ∪ corpus, then the one-pass suppression rule — a batch doc
+    // drops when it pairs (J >= 0.7) with any corpus doc, or as the
+    // HIGHER id of a batch-batch pair (suppression-biased: a doc whose
+    // lower-id near-twin was itself suppressed still drops)
+    "q116_incremental_jaccard_dedup" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), w -> w <> '') AS ts
+        |  FROM documents),
+        |corpus AS (SELECT doc_id, ts FROM tok WHERE doc_id % 2 = 0),
+        |batch AS (
+        |  SELECT doc_id, ts FROM tok WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, ts[1:len(ts)-1] FROM tok
+        |  WHERE (doc_id % 6 = 0 OR doc_id % 6 = 3) AND len(ts) >= 10),
+        |u AS (SELECT * FROM batch UNION ALL SELECT * FROM corpus),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ts) >= 3
+        |      THEN list_distinct(list_transform(range(1, len(ts) - 1),
+        |             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))
+        |      ELSE [array_to_string(ts, ' ')] END AS shingles
+        |  FROM u),
+        |sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |shared AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM shared
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE CAST(inter AS DOUBLE) /
+        |    CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.7),
+        |sup AS (
+        |  SELECT id_b AS doc_id FROM pairs
+        |  WHERE id_b IN (SELECT doc_id FROM batch)
+        |  UNION
+        |  SELECT id_a FROM pairs
+        |  WHERE id_a IN (SELECT doc_id FROM batch)
+        |    AND id_b IN (SELECT doc_id FROM corpus))
+        |SELECT doc_id FROM batch
+        |WHERE doc_id NOT IN (SELECT doc_id FROM sup)
+        |ORDER BY doc_id""".stripMargin,
+
     "q60_jaccard_prefix_pairs" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

@@ -1474,6 +1474,31 @@ object SparkEntry {
     } finally s.conf.unset(graft.operators.Bpe.OovModeConf)
   }
 
+  /** Incremental FUZZY dedup ([[graft.operators.Dedup.incrementalJaccardDedup]]):
+    * corpus index = even docs; batch = odd docs plus planted
+    * last-word-dropped copies of every doc_id % 6 ∈ {0, 3} with ≥ 10
+    * words (id + 10⁶). A plant of an EVEN doc is a Jaccard ≥ 0.7
+    * neighbor of the corpus → suppressed; a plant of an ODD doc
+    * near-dups its lower-id batch original → suppressed; odd originals
+    * survive unless they naturally near-dup the corpus. EXACT
+    * set-similarity semantics (the q60 AllPairs tier), so the oracle
+    * replays the whole suppression rule relationally.
+    */
+  private def q116(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d).select("doc_id", "text")
+    val ws = filter(split(col("text"), " "), w => w =!= "")
+    val corpus = dd.filter(col("doc_id") % 2 === 0)
+    val plants = dd
+      .filter((col("doc_id") % 6 === 0 || col("doc_id") % 6 === 3) &&
+        size(ws) >= 10)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        array_join(slice(ws, lit(1), size(ws) - 1), " ").as("text"))
+    val batch = dd.filter(col("doc_id") % 2 === 1).unionByName(plants)
+    Dedup.incrementalJaccardDedup(batch, corpus, "doc_id", "text",
+        shingleN = 3, threshold = 0.7)
+      .select("doc_id").orderBy("doc_id")
+  }
+
   /** Perceptual duplicate-CLUSTER resolution for AUDIO
     * ([[graft.operators.Multimodal.perceptualDupClusters]] over
     * [[graft.operators.Multimodal.ahashAudio]] fingerprints) — the
@@ -1946,6 +1971,7 @@ object SparkEntry {
     "q113_audio_dup_clusters" -> (q113(_, _)),
     "q114_canonical_dhash" -> (q114(_, _)),
     "q115_bpe_apply_bytes" -> (q115(_, _)),
+    "q116_incremental_jaccard_dedup" -> (q116(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

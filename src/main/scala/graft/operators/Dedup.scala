@@ -163,6 +163,124 @@ object Dedup {
     } finally cfp.unpersist(blocking = false)
   }
 
+  /** Incremental FUZZY dedup — the near-duplicate tier of
+    * [[incrementalDedup]]: a batch document is suppressed when its
+    * exact shingle-Jaccard similarity reaches `threshold` against ANY
+    * already-indexed corpus document, or against a LOWER-id document of
+    * the same batch (so a batch containing three near-copies admits
+    * exactly its min-id one, matching [[incrementalDedup]]'s
+    * keep-first-by-id convention). Returns the batch rows that survive;
+    * append their text (or shingle index) to the corpus and call again
+    * on the next batch — the incremental loop a crawl-fed pipeline
+    * runs, with EXACT set-similarity semantics, so the whole operator
+    * is oracle-checkable (unlike the recall-probabilistic MinHash/LSH
+    * tier it complements).
+    *
+    * Suppression is deliberately one-pass, not sequential-greedy: a
+    * batch doc whose only near neighbor is a lower-id batch doc that
+    * was ITSELF suppressed still drops — suppression-biased (never
+    * admits a document the sequential semantics would have dropped),
+    * deterministic, and free of the fixpoint iteration the sequential
+    * rule would need.
+    *
+    * Contract: `idCol` values must be DISJOINT between batch and
+    * corpus (partner classification is by id). Sub-`shingleN`-token
+    * docs carry one whole-text shingle (the [[shingleRows]] fallback),
+    * so short — even empty — docs still compare exactly.
+    *
+    * Scale shape: pair generation is [[prefixJaccardPairs]] over the
+    * batch∪corpus union — AllPairs prefix filtering + length filter,
+    * no all-pairs join — and the suppression rule is two id equi-joins
+    * on the (small) pair relation. At a 100 TB index, point the union's
+    * corpus side at the materialized shingle-set/index table rather
+    * than re-shingling the raw corpus each batch.
+    */
+  def incrementalJaccardDedup(
+      batch: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.7,
+      broadcastSets: Option[Boolean] = None): DataFrame = {
+    val u = batch.select(col(idCol), col(textCol))
+      .unionByName(corpus.select(col(idCol), col(textCol)))
+    val pairs = prefixJaccardPairs(u, idCol, textCol, shingleN, threshold,
+      broadcastSets)
+    val batchIds = batch.select(col(idCol)).distinct()
+    val corpusIds = corpus.select(col(idCol)).distinct()
+    // pairs are (id_a < id_b): the id_b side of ANY pair is suppressed
+    // when it is a batch doc (its partner is either corpus, or a
+    // lower-id batch doc); the id_a side only when the partner is corpus
+    val supHigh = pairs
+      .join(batchIds.withColumnRenamed(idCol, "id_b"), "id_b")
+      .select(col("id_b").as(idCol))
+    val supLow = pairs
+      .join(batchIds.withColumnRenamed(idCol, "id_a"), "id_a")
+      .join(corpusIds.withColumnRenamed(idCol, "id_b"), "id_b")
+      .select(col("id_a").as(idCol))
+    batch.join(supHigh.union(supLow).distinct(), Seq(idCol), "left_anti")
+  }
+
+  /** The MinHash-LSH band-key relation of a corpus slice:
+    * `(idCol, band_id, band_hash)` — `bands` rows per document, where
+    * equal keys mark near-duplicate CANDIDATES (the [[lshBands]]
+    * banding over a `k`-value [[minhashSignature]] of word
+    * `shingleN`-shingles). This is the relation an incremental fuzzy
+    * pipeline PERSISTS as its index: ~`bands` small rows per admitted
+    * document, vs the full shingle sets the exact tier would need.
+    */
+  def lshBandKeys(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 64, bands: Int = 16): DataFrame = {
+    require(bands > 0 && k % bands == 0,
+      s"k=$k must be a positive multiple of bands=$bands")
+    val sigs = df.select(col(idCol),
+      minhashSignature(shingleHashes(col(textCol), shingleN), k).as("sig"))
+    lshBands(sigs, idCol, "sig", bands, k / bands)
+  }
+
+  /** Incremental NEAR-dedup against a persisted band-key index — the
+    * recall-probabilistic, O(bands)-state-per-doc sibling of
+    * [[incrementalJaccardDedup]], the formulation an unbounded crawl
+    * runs: a batch document is suppressed when any of its `bands` LSH
+    * band keys is already claimed in `bandIndex` by a DIFFERENT id, or
+    * is shared with a smaller-id document of the same batch. Returns
+    * the surviving batch rows; the caller appends
+    * `lshBandKeys(novel, …)` (same parameters) to the index for the
+    * next batch. Keys claimed by the document's OWN id never suppress,
+    * so a replayed batch whose keys were already appended (the
+    * at-least-once failure mode of any append-side effect) re-admits
+    * exactly the same documents — idempotent by construction, and
+    * duplicate index rows are harmless to the suppression join.
+    *
+    * Like the exact tier, suppression is one-pass and
+    * suppression-biased (a doc whose only collision is with a
+    * suppressed smaller-id doc still drops). Unlike it, a collision is
+    * a MinHash band agreement, not a verified Jaccard — false-positive
+    * suppressions at the standard LSH rate, which is the accepted
+    * trade for an index of `bands` longs per document at web scale.
+    *
+    * Scale shape: one equi-join of the batch's key relation against
+    * the index on `(band_id, band_hash)` (candidate volume bounded by
+    * bucket sizes, the [[simhashPairsFromSigs]] argument) plus one
+    * groupBy over the batch's own keys. No signatures are recomputed
+    * for indexed docs — the index IS the state.
+    */
+  def incrementalLshDedup(
+      batch: DataFrame, bandIndex: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 64, bands: Int = 16): DataFrame = {
+    val keys = CacheRegistry.track(
+      lshBandKeys(batch, idCol, textCol, shingleN, k, bands).persist())
+    val idx = bandIndex.select(col("band_id"), col("band_hash"),
+      col(idCol).as("__idx_id"))
+    val idxHit = keys.join(idx, Seq("band_id", "band_hash"))
+      .filter(col(idCol) =!= col("__idx_id"))
+      .select(col(idCol)).distinct()
+    val minPer = keys.groupBy("band_id", "band_hash")
+      .agg(min(col(idCol)).as("__min_id"))
+    val batchHit = keys.join(minPer, Seq("band_id", "band_hash"))
+      .filter(col(idCol) > col("__min_id"))
+      .select(col(idCol)).distinct()
+    batch.join(idxHit.union(batchHit).distinct(), Seq(idCol), "left_anti")
+  }
+
   /** EXACT containment join — asymmetric overlap `|A∩B| / |A| ≥ t` over
     * distinct word n-shingle sets: detects when one document is (mostly)
     * CONTAINED in another — quotes, excerpts, page-of-a-book, prefix

@@ -88,4 +88,66 @@ object CorpusStream {
         }
       }
       .start()
+
+  /** [[run]] with a NEAR-duplicate gate behind the exact one: after
+    * the checkpointed exact-fingerprint dedup, each drain's documents
+    * are filtered against a PERSISTED MinHash band-key index
+    * ([[graft.operators.Dedup.incrementalLshDedup]]) — a re-crawled
+    * page with a small edit (date stamp, hit counter) whose exact
+    * fingerprint changed no longer re-enters the corpus. The index is
+    * plain parquet in `bandIndexDir` (`bands` longs per admitted doc,
+    * the state a 100 TB crawl can actually afford) and the drain
+    * appends the survivors' keys before writing their tokenized rows;
+    * a replayed drain re-admits identically because own-id keys never
+    * suppress ([[graft.operators.Dedup.incrementalLshDedup]]'s
+    * idempotence contract), so at-least-once `foreachBatch` semantics
+    * keep the admitted SET exact.
+    */
+  def runFuzzy(
+      spark: SparkSession, warcDir: String, model: graft.operators.Bpe.Model,
+      checkpointDir: String, outDir: String, bandIndexDir: String,
+      glob: String = "*.warc*",
+      shingleN: Int = 3, k: Int = 64, bands: Int = 16): StreamingQuery =
+    docStream(spark, warcDir, glob)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val docs = batch.select("url", "text")
+        if (!docs.isEmpty) graft.operators.CacheRegistry.scope {
+          val novel = graft.operators.CacheRegistry.track(
+            graft.operators.Dedup.incrementalLshDedup(
+              docs, bandIndex(spark, bandIndexDir), "url", "text",
+              shingleN, k, bands).persist())
+          // index append FIRST: a crash between the writes replays the
+          // drain with these keys present, and own-id keys re-admit
+          graft.operators.Dedup
+            .lshBandKeys(novel, "url", "text", shingleN, k, bands)
+            .write.mode("append").parquet(bandIndexDir)
+          novel.join(
+              graft.operators.Bpe.applyModel(novel, "url", "text", model),
+              Seq("url"), "left")
+            .write.mode("append").parquet(outDir)
+        }
+      }
+      .start()
+
+  /** The persisted band-key index relation — empty but correctly
+    * typed before the first drain has appended anything.
+    */
+  private def bandIndex(spark: SparkSession, dir: String): DataFrame =
+    try spark.read.parquet(dir)
+    catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("url",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("band_id",
+              org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField("band_hash",
+              org.apache.spark.sql.types.LongType))))
+    }
 }

@@ -437,6 +437,83 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incrementalJaccardDedup: corpus near-dups, lower-id batch " +
+      "near-dups, and chained twins all suppress; distinct docs survive") {
+    import spark.implicits._
+    def words(tag: String) =
+      (1 to 12).map(k => s"$tag token$k").mkString(" ")
+    val corp = Seq(
+      (2L, words("alpha")),
+      (4L, words("beta"))).toDF("doc_id", "text")
+    val batch = Seq(
+      // near-dup of corpus doc 2 (drop last word) → suppressed
+      (11L, words("alpha").split(" ").dropRight(1).mkString(" ")),
+      // novel original…
+      (13L, words("gamma")),
+      // …whose near-twin has the higher id → only the twin drops
+      (15L, words("gamma").split(" ").dropRight(1).mkString(" ")),
+      // chain: 17 (20/24 tokens of corpus doc 4, J = 18/22 ≈ 0.82)
+      // → suppressed by the corpus; 19 (16/24 tokens, J vs corpus =
+      // 14/22 ≈ 0.64 < 0.7 but J vs 17 = 14/18 ≈ 0.78) → ALSO
+      // suppressed even though its ONLY ≥ 0.7 partner is the lower-id
+      // batch doc that was itself suppressed (suppression-biased
+      // one-pass rule, not sequential-greedy)
+      (17L, words("beta").split(" ").dropRight(4).mkString(" ")),
+      (19L, words("beta").split(" ").dropRight(8).mkString(" ")),
+      // unrelated novel doc
+      (21L, words("delta"))).toDF("doc_id", "text")
+    val novel = Dedup.incrementalJaccardDedup(
+        batch, corp, "doc_id", "text", shingleN = 3, threshold = 0.7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(novel == Set(13L, 21L))
+    // pinning both formulations (the prefixJaccardPairs contract):
+    // explicit broadcast and shuffle paths agree
+    for (b <- Seq(Some(true), Some(false))) {
+      val got = Dedup.incrementalJaccardDedup(
+          batch, corp, "doc_id", "text", 3, 0.7, broadcastSets = b)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == novel, s"broadcastSets=$b diverged")
+    }
+    CacheRegistry.drain()
+  }
+
+  test("incrementalLshDedup: indexed near-dups suppress, own-id keys " +
+      "never do (replay idempotence), min-id wins within a batch") {
+    import spark.implicits._
+    def doc(tag: String, n: Int) =
+      (1 to n).map(k => s"$tag word$k").mkString(" ")
+    val seed = Seq((1L, doc("alpha", 12)), (2L, doc("beta", 12)))
+      .toDF("doc_id", "text")
+    val emptyIdx = Seq.empty[(Long, Int, Long)]
+      .toDF("doc_id", "band_id", "band_hash")
+    // everything is novel against an empty index
+    val n0 = Dedup.incrementalLshDedup(
+        seed, emptyIdx, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(n0 == Set(1L, 2L))
+    val idx = Dedup.lshBandKeys(seed, "doc_id", "text")
+    // batch: a near-dup of indexed doc 1 (last word dropped), a novel
+    // doc, and a higher-id near-copy of that novel doc
+    val batch = Seq(
+      (11L, doc("alpha", 12).split(" ").dropRight(1).mkString(" ")),
+      (13L, doc("gamma", 12)),
+      (15L, doc("gamma", 12).split(" ").dropRight(1).mkString(" ")))
+      .toDF("doc_id", "text")
+    val novel = Dedup.incrementalLshDedup(
+        batch, idx, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(novel == Set(13L), s"got $novel")
+    // replay: after appending the admitted doc's keys, re-running the
+    // SAME batch admits the same set — its own keys never suppress it
+    val idx2 = idx.unionByName(Dedup.lshBandKeys(
+      batch.filter($"doc_id" === 13L), "doc_id", "text"))
+    val replay = Dedup.incrementalLshDedup(
+        batch, idx2, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(replay == Set(13L), s"replay diverged: $replay")
+    CacheRegistry.drain()
+  }
+
   test("bloom-prefiltered incremental dedup EXACTLY matches the plain " +
       "anti-join at every fpp (no false negatives ⇒ sketch never changes " +
       "the answer)") {

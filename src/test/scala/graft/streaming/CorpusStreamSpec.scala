@@ -85,4 +85,50 @@ class CorpusStreamSpec extends SparkSpec {
       assert(ids == want(url), s"$url: stream=$ids batch=${want(url)}")
     CacheRegistry.drain()
   }
+
+  test("runFuzzy: a NEAR-duplicate re-crawl (small edit, new exact " +
+      "fingerprint) is suppressed by the persisted band-key index; " +
+      "novel docs still land") {
+    val session = spark
+    import session.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fuzzy-stream")
+    val ckpt = java.nio.file.Files.createTempDirectory("fuzzy-ckpt")
+    val out = java.nio.file.Files.createTempDirectory("fuzzy-out")
+    val bidx = java.nio.file.Files.createTempDirectory("fuzzy-bidx")
+    val model = Bpe.learnMerges(
+      Seq("abab abab bc cc ab", "bc bc abab cc a b c").toDF("text"),
+      "text", numMerges = 4)
+    def drain(): Unit = {
+      val q = CorpusStream.runFuzzy(spark, dir.toString, model,
+        ckpt.toString, out.toString, bidx.toString)
+      q.awaitTermination()
+    }
+    def urls(): Set[String] =
+      spark.read.parquet(out.toString).select("url").collect()
+        .map(_.getString(0)).toSet
+
+    val longText = (1 to 20).map(k => s"ab token$k").mkString(" ")
+    java.nio.file.Files.write(dir.resolve("seg-00001.warc.gz"),
+      WarcReader.write(Seq(htmlRec(1, longText)), gzipPerRecord = true))
+    drain()
+    assert(urls() == Set("https://x.example/p/1"))
+    // the index now holds p/1's band keys
+    assert(spark.read.parquet(bidx.toString).count() == 16L)
+
+    // segment 2: p/2 is p/1 with the LAST WORD dropped — different
+    // exact fingerprint (passes the checkpointed dropDuplicates), but
+    // a MinHash band collides → suppressed by the fuzzy gate; p/3 is
+    // genuinely new text and must land
+    java.nio.file.Files.write(dir.resolve("seg-00002.warc.gz"),
+      WarcReader.write(Seq(
+        htmlRec(2, longText.split(" ").dropRight(1).mkString(" ")),
+        htmlRec(3, (1 to 20).map(k => s"cc other$k").mkString(" "))),
+        gzipPerRecord = true))
+    drain()
+    assert(urls() == Set("https://x.example/p/1", "https://x.example/p/3"),
+      s"near-dup re-crawl must be suppressed: ${urls()}")
+    // the index grew by exactly the admitted doc's keys
+    assert(spark.read.parquet(bidx.toString).count() == 32L)
+    CacheRegistry.drain()
+  }
 }
