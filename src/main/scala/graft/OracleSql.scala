@@ -90,6 +90,67 @@ object OracleSql {
     * MATERIALIZED keeps DuckDB from re-inlining the edge relation into
     * each of the `iters` contribution stages.
     */
+  /** q117/q118 shared CTE chain: q91's `e` + `seeds`, then one
+    * unrolled decimal-grid Lloyd's update per 16-dim subspace
+    * (suffix `sN`) — the q91 oracle shape four times over dim ranges.
+    */
+  private val pqCtes: String = {
+    val head =
+      """e AS (
+        |  SELECT vec_id, i - 1 AS dim,
+        |    CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(14,12)) AS xg,
+        |    CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,12)) AS xs
+        |  FROM (SELECT vec_id, embedding,
+        |          unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)),
+        |seeds AS (
+        |  SELECT vec_id, rn - 1 AS cid FROM (
+        |    SELECT vec_id, row_number()
+        |      OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        |    FROM embeddings)
+        |  WHERE rn <= 8)""".stripMargin
+    val subs = (0 until 4).map { s =>
+      val lo = s * 16
+      val hi = lo + 16
+      s"""es$s AS (
+         |  SELECT vec_id, dim, xg, xs FROM e
+         |  WHERE dim >= $lo AND dim < $hi),
+         |c0s$s AS (
+         |  SELECT se.cid, x.dim, x.xg AS cg
+         |  FROM seeds se JOIN es$s x USING (vec_id)),
+         |d1s$s AS (
+         |  SELECT x.vec_id, c.cid, SUM((x.xg - c.cg) * (x.xg - c.cg)) AS dist
+         |  FROM es$s x JOIN c0s$s c ON x.dim = c.dim
+         |  GROUP BY x.vec_id, c.cid),
+         |a1s$s AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, row_number()
+         |      OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM d1s$s)
+         |  WHERE rn = 1),
+         |m1s$s AS (
+         |  SELECT a.cid, x.dim,
+         |    CAST(round(CAST(SUM(x.xs) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+         |      AS DECIMAL(14,12)) AS cg
+         |  FROM es$s x JOIN a1s$s a USING (vec_id)
+         |  GROUP BY a.cid, x.dim),
+         |c1s$s AS (
+         |  SELECT c0.cid, c0.dim, COALESCE(m.cg, c0.cg) AS cg
+         |  FROM c0s$s c0
+         |  LEFT JOIN m1s$s m ON m.cid = c0.cid AND m.dim = c0.dim),
+         |d2s$s AS (
+         |  SELECT x.vec_id, c.cid, SUM((x.xg - c.cg) * (x.xg - c.cg)) AS dist
+         |  FROM es$s x JOIN c1s$s c ON x.dim = c.dim
+         |  GROUP BY x.vec_id, c.cid),
+         |a2s$s AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, row_number()
+         |      OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM d2s$s)
+         |  WHERE rn = 1)""".stripMargin
+    }
+    (head +: subs).mkString(",\n")
+  }
+
   private def pageRankCtes(iters: Int): String = {
     val sb = new StringBuilder
     sb.append(
@@ -1395,6 +1456,122 @@ object OracleSql {
         |  WHERE rn = 1)
         |SELECT vec_id, CAST(cid AS BIGINT) AS cluster
         |FROM a2 ORDER BY vec_id""".stripMargin,
+
+    // q117/q118: product quantization — q91's unrolled decimal-grid
+    // k-means repeated once per 16-dim subspace (same md5 seed rows for
+    // all four: the seeds depend only on the id), then codes = the four
+    // per-subspace assignments. q118 adds ADC: exact DECIMAL distance
+    // of the min-vec_id query to each ASSIGNED codeword, summed per
+    // vector, ranked with the id tie-break.
+    "q117_pq_encode" -> ("WITH " + pqCtes +
+      """
+        |SELECT a2s0.vec_id,
+        |  CAST(a2s0.cid AS BIGINT) AS c0, CAST(a2s1.cid AS BIGINT) AS c1,
+        |  CAST(a2s2.cid AS BIGINT) AS c2, CAST(a2s3.cid AS BIGINT) AS c3
+        |FROM a2s0 JOIN a2s1 USING (vec_id) JOIN a2s2 USING (vec_id)
+        |  JOIN a2s3 USING (vec_id)
+        |ORDER BY vec_id""".stripMargin),
+
+    "q118_pq_adc_topk" -> ("WITH " + pqCtes +
+      """,
+        |q AS (
+        |  SELECT dim, xg FROM e
+        |  WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+        |cents AS (
+        |  SELECT 0 AS s, cid, dim, cg FROM c1s0
+        |  UNION ALL SELECT 1, cid, dim, cg FROM c1s1
+        |  UNION ALL SELECT 2, cid, dim, cg FROM c1s2
+        |  UNION ALL SELECT 3, cid, dim, cg FROM c1s3),
+        |codes AS (
+        |  SELECT vec_id, 0 AS s, cid FROM a2s0
+        |  UNION ALL SELECT vec_id, 1, cid FROM a2s1
+        |  UNION ALL SELECT vec_id, 2, cid FROM a2s2
+        |  UNION ALL SELECT vec_id, 3, cid FROM a2s3),
+        |dist AS (
+        |  SELECT co.vec_id, SUM((q.xg - ce.cg) * (q.xg - ce.cg)) AS dd
+        |  FROM codes co
+        |  JOIN cents ce ON ce.s = co.s AND ce.cid = co.cid
+        |  JOIN q ON q.dim = ce.dim
+        |  GROUP BY co.vec_id),
+        |top AS (
+        |  SELECT vec_id,
+        |    row_number() OVER (ORDER BY dd, vec_id) AS rank
+        |  FROM dist)
+        |SELECT CAST(rank AS BIGINT) AS rank, vec_id FROM top
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin),
+
+    // q119: q45's coarse-cell assignment + probe routing (double cosine,
+    // proven parity), then the q118 decimal ADC rank restricted to the
+    // probed cells
+    "q119_ivf_pq_topk" -> ("WITH " + pqCtes +
+      """,
+        |cents16 AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+        |    embedding AS c
+        |  FROM (SELECT vec_id, embedding FROM embeddings
+        |        ORDER BY vec_id LIMIT 16)),
+        |qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
+        |assigned AS (
+        |  SELECT vec_id, cell,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY sim DESC, cell DESC) AS rn
+        |  FROM (
+        |    SELECT e.vec_id, c.cell,
+        |      list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.c[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(range(1, len(c.c) + 1),
+        |           i -> CAST(c.c[i] AS DOUBLE) * CAST(c.c[i] AS DOUBLE))))) AS sim
+        |    FROM embeddings e CROSS JOIN cents16 c)),
+        |probes AS (
+        |  SELECT cell FROM cents16, qv
+        |  ORDER BY
+        |    list_sum(list_transform(range(1, len(c) + 1),
+        |      i -> CAST(c[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, len(c) + 1),
+        |         i -> CAST(c[i] AS DOUBLE) * CAST(c[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+        |         i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))) DESC,
+        |    cell ASC
+        |  LIMIT 4),
+        |q AS (SELECT dim, xg FROM e WHERE vec_id = 1),
+        |cents AS (
+        |  SELECT 0 AS s, cid, dim, cg FROM c1s0
+        |  UNION ALL SELECT 1, cid, dim, cg FROM c1s1
+        |  UNION ALL SELECT 2, cid, dim, cg FROM c1s2
+        |  UNION ALL SELECT 3, cid, dim, cg FROM c1s3),
+        |codes AS (
+        |  SELECT vec_id, 0 AS s, cid FROM a2s0
+        |  UNION ALL SELECT vec_id, 1, cid FROM a2s1
+        |  UNION ALL SELECT vec_id, 2, cid FROM a2s2
+        |  UNION ALL SELECT vec_id, 3, cid FROM a2s3),
+        |probed AS (
+        |  SELECT vec_id FROM assigned
+        |  WHERE rn = 1 AND cell IN (SELECT cell FROM probes)),
+        |dist AS (
+        |  SELECT co.vec_id, SUM((q.xg - ce.cg) * (q.xg - ce.cg)) AS dd
+        |  FROM codes co
+        |  JOIN probed p ON p.vec_id = co.vec_id
+        |  JOIN cents ce ON ce.s = co.s AND ce.cid = co.cid
+        |  JOIN q ON q.dim = ce.dim
+        |  GROUP BY co.vec_id),
+        |top AS (
+        |  SELECT vec_id,
+        |    row_number() OVER (ORDER BY dd, vec_id) AS rank
+        |  FROM dist)
+        |SELECT CAST(rank AS BIGINT) AS rank, vec_id FROM top
+        |WHERE rank <= 10 ORDER BY rank""".stripMargin),
+
+    // deterministic training-order shuffle: the Spark side assigns
+    // positions via per-partition ranks + driver prefix sums; the
+    // oracle is the one-window definition both must equal
+    "q120_deterministic_shuffle" ->
+      """SELECT doc_id,
+        |  row_number() OVER (
+        |    ORDER BY md5('7:' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+        |    AS shuffle_pos
+        |FROM documents ORDER BY shuffle_pos""".stripMargin,
 
     // q91's unrolled k-means over corpus ∪ clones, then the SemDeDup
     // prune: kill every row with a smaller-id same-cluster neighbor at

@@ -1203,6 +1203,67 @@ object SparkEntry {
       .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
       .orderBy("vec_id")
 
+  /** Product-quantization codes ([[graft.operators.Pq]]): 64-dim
+    * embeddings → 4 subspaces of 16 dims, each k-means'd (k=8, 1 Lloyd
+    * update — q91's exact shape per subspace, seeded by the same
+    * md5(vec_id) order) → 4 codeword ids per vector. The oracle unrolls
+    * the q91 decimal-grid k-means four times, one per dim range, and
+    * joins the four assignments.
+    */
+  private def q117(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d).select("vec_id", "embedding")
+    val model = Pq.fit(e, "vec_id", "embedding", dim = 64, m = 4, k = 8,
+      iters = 1)
+    Pq.encode(e, "embedding", model)
+      .select(col("vec_id"),
+        col("code").getItem(0).cast("long").as("c0"),
+        col("code").getItem(1).cast("long").as("c1"),
+        col("code").getItem(2).cast("long").as("c2"),
+        col("code").getItem(3).cast("long").as("c3"))
+      .orderBy("vec_id")
+  }
+
+  /** ADC top-20 under the q117 PQ model: query = the min-vec_id
+    * embedding, distances as exact scale-24 decimal sums of the four
+    * per-subspace lookup constants (no float summation), ties on the
+    * smaller id — so the ranking is total and the oracle reproduces it
+    * from the same unrolled k-means CTEs with DECIMAL arithmetic.
+    */
+  private def q118(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d).select("vec_id", "embedding")
+    val model = Pq.fit(e, "vec_id", "embedding", dim = 64, m = 4, k = 8,
+      iters = 1)
+    val query = e.orderBy("vec_id").limit(1)
+      .select(col("embedding").cast("array<double>")).collect()(0)
+      .getSeq[Double](0).toArray
+    Pq.adcTopK(Pq.encode(e, "embedding", model), "vec_id", "code",
+        model, query, topK = 20)
+      .orderBy("rank")
+  }
+
+  /** IVF-PQ read path ([[graft.operators.Pq.ivfPqTopK]]): q45's coarse
+    * routing (16 sample centroids, argmax-cosine cells, nprobe=4 for
+    * the vec_id-1 query) composed with q117's PQ model and q118's
+    * exact-decimal ADC ranking, restricted to the probed cells — the
+    * serving-layer composition where a query reads nprobe/cells of the
+    * corpus and scores codes, never vectors. Oracle = q45's assigned/
+    * probes CTEs + the four unrolled subspace k-means + the decimal
+    * ADC rank, filtered to the probed cells.
+    */
+  private def q119(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d).select("vec_id", "embedding")
+    val model = Pq.fit(e, "vec_id", "embedding", dim = 64, m = 4, k = 8,
+      iters = 1)
+    val query = e.filter(col("vec_id") === 1)
+      .select(col("embedding").cast("array<double>")).collect()(0)
+      .getSeq[Double](0).toArray
+    val cents = Ann.sampleCentroids(e, "vec_id", "embedding", 16)
+    val assigned = Ann.assignCells(e, "embedding", cents)
+    Pq.ivfPqTopK(assigned, "vec_id", "embedding", cents, model, query,
+        topK = 10, nprobe = 4)
+      .orderBy("rank")
+  }
+
   /** SemDeDup over corpus ∪ exact clones: the k-means clusters bound the
     * quadratic cosine join, the planted clones are the semantic dups the
     * prune must kill (each clone shares its original's cluster, so the
@@ -1473,6 +1534,20 @@ object SparkEntry {
         .orderBy("doc_id")
     } finally s.conf.unset(graft.operators.Bpe.OovModeConf)
   }
+
+  /** Deterministic global shuffle
+    * ([[graft.operators.Sampling.deterministicShuffle]]): the
+    * seed-keyed training-order permutation of the corpus — dense
+    * 0-based positions from a two-level (per-partition rank + driver
+    * prefix-summed offsets) assignment, no global window. The oracle
+    * is one `row_number() OVER (ORDER BY md5('7:' || doc_id), doc_id)`
+    * — the two formulations must produce the identical permutation.
+    */
+  private def q120(s: SparkSession, d: String): DataFrame =
+    Sampling.deterministicShuffle(
+        docs(s, d).select("doc_id"), "doc_id", seed = 7L)
+      .select(col("doc_id"), col("shuffle_pos"))
+      .orderBy("shuffle_pos")
 
   /** Incremental FUZZY dedup ([[graft.operators.Dedup.incrementalJaccardDedup]]):
     * corpus index = even docs; batch = odd docs plus planted
@@ -1972,6 +2047,10 @@ object SparkEntry {
     "q114_canonical_dhash" -> (q114(_, _)),
     "q115_bpe_apply_bytes" -> (q115(_, _)),
     "q116_incremental_jaccard_dedup" -> (q116(_, _)),
+    "q117_pq_encode" -> (q117(_, _)),
+    "q118_pq_adc_topk" -> (q118(_, _)),
+    "q119_ivf_pq_topk" -> (q119(_, _)),
+    "q120_deterministic_shuffle" -> (q120(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -134,21 +134,30 @@ object Ann {
       query: Seq[Double], k: Int, nprobe: Int): DataFrame =
     ivfTopK(spark.read.parquet(path), idCol, vecCol, centroids, query, k, nprobe)
 
-  /** IVF query: score only rows in the `nprobe` cells nearest the query. */
-  def ivfTopK(
-      assigned: DataFrame, idCol: String, vecCol: String,
-      centroids: Seq[(Int, Seq[Double])],
-      query: Seq[Double], k: Int, nprobe: Int): DataFrame = {
+  /** The `nprobe` cell ids nearest the query by centroid cosine —
+    * driver-side routing shared by [[ivfTopK]] and the IVF-PQ read
+    * path ([[Pq.ivfPqTopK]]).
+    */
+  def probeCells(
+      centroids: Seq[(Int, Seq[Double])], query: Seq[Double],
+      nprobe: Int): Seq[Int] = {
     def cos(a: Seq[Double], b: Seq[Double]): Double = {
       val dot = a.zip(b).map { case (x, y) => x * y }.sum
       val na = math.sqrt(a.map(x => x * x).sum); val nb = math.sqrt(b.map(x => x * x).sum)
       if (na > 0 && nb > 0) dot / (na * nb) else 0.0
     }
-    val probeCells = centroids.sortBy { case (_, c) => -cos(c, query) }
+    centroids.sortBy { case (_, c) => -cos(c, query) }
       .take(nprobe).map(_._1)
+  }
+
+  /** IVF query: score only rows in the `nprobe` cells nearest the query. */
+  def ivfTopK(
+      assigned: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Int, Seq[Double])],
+      query: Seq[Double], k: Int, nprobe: Int): DataFrame = {
     val q = array(query.map(lit(_)): _*)
     assigned
-      .filter(col("cell").isin(probeCells: _*))
+      .filter(col("cell").isin(probeCells(centroids, query, nprobe): _*))
       .select(col(idCol),
         Dedup.cosine(col(vecCol).cast("array<double>"), q).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)

@@ -201,8 +201,13 @@ object Dedup {
       broadcastSets: Option[Boolean] = None): DataFrame = {
     val u = batch.select(col(idCol), col(textCol))
       .unionByName(corpus.select(col(idCol), col(textCol)))
-    val pairs = prefixJaccardPairs(u, idCol, textCol, shingleN, threshold,
-      broadcastSets)
+    // persisted: the pair relation feeds BOTH suppression branches —
+    // unpersisted, each branch re-runs the whole AllPairs prefix join
+    // (sf0.1: 11.6 s unpersisted in the catalog; 2.4 s probe floor
+    // with the persist)
+    val pairs = CacheRegistry.track(
+      prefixJaccardPairs(u, idCol, textCol, shingleN, threshold,
+        broadcastSets).persist())
     val batchIds = batch.select(col(idCol)).distinct()
     val corpusIds = corpus.select(col(idCol)).distinct()
     // pairs are (id_a < id_b): the id_b side of ANY pair is suppressed

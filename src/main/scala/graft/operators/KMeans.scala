@@ -82,30 +82,23 @@ object KMeans {
       .collect()
       .map(_.getSeq[Double](0).toArray)
 
-  /** Lloyd's iterations; returns (row*, cluster) — the input row with an
-    * appended `cluster` int column from the final assignment. `iters` is
-    * the number of centroid UPDATES (iters=0 assigns against the seeds).
+  private def withAssign(base: DataFrame, vecCol: String, outCol: String,
+      cents: Array[Array[Double]], exact: Boolean): DataFrame =
+    if (exact) base.withColumn(outCol, assignment(col(vecCol), cents))
+    else base.withColumn(outCol, fastAssignment(col(vecCol), cents))
+
+  /** The Lloyd's loop on an already-persisted source: seeds + `iters`
+    * centroid updates, returning the final centroid matrix (k × dims,
+    * each coordinate a scale-9-rounded double per the q65 mean shape —
+    * except un-updated seed coordinates, which stay as given).
     */
-  def fitAssign(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      iters: Int, exact: Boolean = true): DataFrame = {
-    require(k > 0, s"k=$k must be positive")
-    require(iters >= 0, s"iters=$iters must be >= 0")
-    // Lloyd's re-scans the input iters+2 times (seeds, each update, the
-    // final assignment) — persist it once, the standard k-means input
-    // cache (MLlib does the same); MEMORY_AND_DISK so a corpus larger
-    // than storage memory degrades to spill instead of OOM, and
-    // CacheRegistry unpersists when the caller's query drains.
-    val src = CacheRegistry.track(df.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    def withAssign(base: DataFrame, outCol: String,
-        cents: Array[Array[Double]]): DataFrame =
-      if (exact) base.withColumn(outCol, assignment(col(vecCol), cents))
-      else base.withColumn(outCol, fastAssignment(col(vecCol), cents))
+  private def lloydCentroids(src: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, exact: Boolean): Array[Array[Double]] = {
     var centroids = seeds(src, idCol, vecCol, k)
     require(centroids.length == k,
       s"need at least k=$k rows to seed, got ${centroids.length}")
     for (_ <- 0 until iters) {
-      val assigned = withAssign(src, "__c", centroids)
+      val assigned = withAssign(src, vecCol, "__c", centroids, exact)
       // q65-shape decimal mean per (cluster, dim); only k*dims rounded
       // means come back to the driver
       val means = assigned
@@ -121,7 +114,39 @@ object KMeans {
         else prev // empty cluster keeps its previous centroid
       }
     }
-    withAssign(src, "cluster", centroids)
+    centroids
+  }
+
+  /** The fitted centroid matrix alone — for callers that assign later,
+    * elsewhere, or per-subspace ([[Pq]]): the identical deterministic
+    * loop [[fitAssign]] runs, minus the final assignment projection.
+    */
+  def fitCentroids(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int, exact: Boolean = true): Array[Array[Double]] = {
+    require(k > 0, s"k=$k must be positive")
+    require(iters >= 0, s"iters=$iters must be >= 0")
+    val src = CacheRegistry.track(df.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    lloydCentroids(src, idCol, vecCol, k, iters, exact)
+  }
+
+  /** Lloyd's iterations; returns (row*, cluster) — the input row with an
+    * appended `cluster` int column from the final assignment. `iters` is
+    * the number of centroid UPDATES (iters=0 assigns against the seeds).
+    */
+  def fitAssign(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int, exact: Boolean = true): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    require(iters >= 0, s"iters=$iters must be >= 0")
+    // Lloyd's re-scans the input iters+2 times (seeds, each update, the
+    // final assignment) — persist it once, the standard k-means input
+    // cache (MLlib does the same); MEMORY_AND_DISK so a corpus larger
+    // than storage memory degrades to spill instead of OOM, and
+    // CacheRegistry unpersists when the caller's query drains.
+    val src = CacheRegistry.track(df.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val centroids = lloydCentroids(src, idCol, vecCol, k, iters, exact)
+    withAssign(src, vecCol, "cluster", centroids, exact)
   }
 
   /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at

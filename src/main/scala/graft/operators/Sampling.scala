@@ -123,4 +123,47 @@ object Sampling {
       (if (rest.isEmpty) Nil else Seq(xxhash64(struct(rest: _*)).asc))
     graft.operators.Browse.keepRanked(df, Seq(groupCol), quota, order: _*)
   }
+
+  /** Deterministic global shuffle — the training-ORDER primitive: a
+    * seed-keyed pseudo-random total order (`md5(seed || ':' || key)`,
+    * key as final tiebreak) with a dense 0-based `shuffle_pos`. The
+    * order is a pure function of (seed, key): stable across runs,
+    * engines, partitionings and cluster sizes — re-running a data job
+    * can never silently reshuffle a training curriculum — and changing
+    * the seed is a fresh permutation. Epoch reshuffling = one seed per
+    * epoch.
+    *
+    * Scale shape: one range-partitioned sort (Spark's standard total
+    * sort — sampled range boundaries, no single-reducer funnel) plus a
+    * two-level position assignment: per-partition counts (a
+    * `partitionId`-keyed aggregate, one small row per partition) are
+    * prefix-summed ON THE DRIVER and rejoined as offsets, the same
+    * bounded-driver-traffic shape q106's sequence packing uses — NOT a
+    * global window (a `row_number() OVER (ORDER BY …)` would move the
+    * corpus through one task). Write the result `sortWithinPartitions`
+    * into numbered shards and a trainer streams the permutation.
+    */
+  def deterministicShuffle(
+      df: DataFrame, keyCol: String, seed: Long): DataFrame = {
+    val h = md5(concat_ws(":", lit(seed.toString),
+      col(keyCol).cast("string")))
+    val sorted = df.withColumn("__h", h)
+      .repartitionByRange(col("__h"), col(keyCol))
+      .sortWithinPartitions(col("__h"), col(keyCol))
+    val withPid = sorted.withColumn("__pid", spark_partition_id())
+    val cached = CacheRegistry.track(withPid.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val counts = cached.groupBy("__pid").agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.scanLeft(0L)(_ + _._2).zip(counts)
+      .map { case (off, (pid, _)) => pid -> off }.toMap
+    val offCol = counts.foldLeft(lit(0L)) { case (acc, (pid, _)) =>
+      when(col("__pid") === pid, lit(offsets(pid))).otherwise(acc)
+    }
+    import org.apache.spark.sql.expressions.Window
+    val pos = row_number().over(
+      Window.partitionBy(col("__pid")).orderBy(col("__h"), col(keyCol)))
+      .cast("long") - 1 + offCol
+    cached.withColumn("shuffle_pos", pos).drop("__h", "__pid")
+  }
 }

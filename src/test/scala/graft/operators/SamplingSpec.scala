@@ -4,6 +4,32 @@ import graft.SparkSpec
 
 class SamplingSpec extends SparkSpec {
 
+  test("deterministicShuffle equals the one-window definition, is " +
+      "partitioning-invariant, dense, and seed-sensitive") {
+    val session = spark
+    import session.implicits._
+    val df = (1L to 500L).map(i => (i, s"doc$i")).toDF("id", "v")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def want(seed: Long): Seq[Long] =
+      (1L to 500L).sortBy(i => (md5hex(s"$seed:$i"), i))
+    def got(d: org.apache.spark.sql.DataFrame, seed: Long): Seq[Long] =
+      Sampling.deterministicShuffle(d, "id", seed)
+        .orderBy("shuffle_pos").collect().map(_.getAs[Long]("id")).toSeq
+    val g7 = got(df, 7L)
+    assert(g7 == want(7L))
+    // dense positions 0..n-1
+    val pos = Sampling.deterministicShuffle(df, "id", 7L)
+      .select("shuffle_pos").collect().map(_.getLong(0)).sorted.toSeq
+    assert(pos == (0L until 500L))
+    // partitioning must not change the permutation
+    assert(got(df.repartition(13), 7L) == g7)
+    // a different seed is a genuinely different permutation
+    assert(got(df, 8L) == want(8L) && want(8L) != want(7L))
+    CacheRegistry.drain()
+  }
+
   test("stableSample is deterministic, key-stable, and ~keepBuckets/16") {
     val session = spark
     import session.implicits._
