@@ -151,6 +151,75 @@ object OracleSql {
     (head +: subs).mkString(",\n")
   }
 
+  /** q114/q121 shared CTE chain: the fixture asset set and every
+    * member-hash probe computed arithmetically through the two-level
+    * dihedral coordinate maps, folded to the signed-min canonical
+    * `ch(asset_id, chash)`.
+    */
+  private val canonicalHashCtes: String =
+    """assets AS (
+        |  SELECT doc_id AS asset_id, doc_id AS id, 0 AS tv, 0 AS br
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, doc_id, 1, 0 FROM documents
+        |  WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 4000000, doc_id, 5, 30 FROM documents
+        |  WHERE doc_id % 13 = 0),
+        |vd AS (
+        |  SELECT asset_id, id, tv, br, 2 + id % 3 AS m, 2 + id % 2 AS n,
+        |    9 * (2 + id % 3) AS w0, 8 * (2 + id % 2) AS h0,
+        |    CASE WHEN tv % 2 = 1 THEN 8 * (2 + id % 2)
+        |         ELSE 9 * (2 + id % 3) END AS wv,
+        |    CASE WHEN tv % 2 = 1 THEN 9 * (2 + id % 3)
+        |         ELSE 8 * (2 + id % 2) END AS hv
+        |  FROM assets),
+        |probe AS (
+        |  SELECT asset_id, id, tv, br, m, n, w0, h0, wv, hv, t, r, i,
+        |    (i * ((CASE WHEN t % 2 = 1 THEN hv ELSE wv END) - 1)) // 8
+        |      AS x,
+        |    (r * ((CASE WHEN t % 2 = 1 THEN wv ELSE hv END) - 1)) // 7
+        |      AS y
+        |  FROM vd, range(0, 8) tt(t), range(0, 8) rr(r),
+        |    range(0, 9) ii(i)),
+        |p1 AS (
+        |  SELECT asset_id, id, tv, br, m, n, w0, h0, t, r, i,
+        |    CASE t WHEN 0 THEN x WHEN 1 THEN y WHEN 2 THEN wv - 1 - x
+        |           WHEN 3 THEN wv - 1 - y WHEN 4 THEN wv - 1 - x
+        |           WHEN 5 THEN y WHEN 6 THEN x
+        |           ELSE wv - 1 - y END AS x1,
+        |    CASE t WHEN 0 THEN y WHEN 1 THEN hv - 1 - x
+        |           WHEN 2 THEN hv - 1 - y WHEN 3 THEN x WHEN 4 THEN y
+        |           WHEN 5 THEN x WHEN 6 THEN hv - 1 - y
+        |           ELSE hv - 1 - x END AS y1
+        |  FROM probe),
+        |lum AS (
+        |  SELECT asset_id, t, r, i,
+        |    (id * 31
+        |      + ((CASE tv WHEN 0 THEN x1 WHEN 1 THEN y1
+        |            WHEN 2 THEN w0 - 1 - x1 WHEN 3 THEN w0 - 1 - y1
+        |            WHEN 4 THEN w0 - 1 - x1 WHEN 5 THEN y1
+        |            WHEN 6 THEN x1 ELSE w0 - 1 - y1 END) // m) * 17
+        |      + ((CASE tv WHEN 0 THEN y1 WHEN 1 THEN h0 - 1 - x1
+        |            WHEN 2 THEN h0 - 1 - y1 WHEN 3 THEN x1
+        |            WHEN 4 THEN y1 WHEN 5 THEN x1
+        |            WHEN 6 THEN h0 - 1 - y1 ELSE h0 - 1 - x1 END) // n)
+        |        * 57) % 200 + br AS g
+        |  FROM p1),
+        |bits AS (
+        |  SELECT p.asset_id, p.t,
+        |    CAST(SUM(CASE WHEN q.g > p.g
+        |      THEN CASE WHEN p.r * 8 + p.i = 63
+        |        THEN (-9223372036854775807 - 1)
+        |        ELSE (1::BIGINT << (p.r * 8 + p.i)) END
+        |      ELSE 0 END) AS BIGINT) AS hsh
+        |  FROM lum p JOIN lum q ON q.asset_id = p.asset_id
+        |    AND q.t = p.t AND q.r = p.r AND q.i = p.i + 1
+        |  WHERE p.i < 8
+        |  GROUP BY p.asset_id, p.t),
+        |ch AS (SELECT asset_id, min(hsh) AS chash FROM bits
+        |       GROUP BY asset_id)""".stripMargin
+
   private def pageRankCtes(iters: Int): String = {
     val sb = new StringBuilder
     sb.append(
@@ -2221,75 +2290,39 @@ object OracleSql {
     // BIGINT min value (q108 convention). The tv=5 plant's +30
     // brightness is carried into the gray for fidelity even though
     // comparisons ignore it.
-    "q114_canonical_dhash" ->
-      """WITH assets AS (
-        |  SELECT doc_id AS asset_id, doc_id AS id, 0 AS tv, 0 AS br
-        |  FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 3000000, doc_id, 1, 0 FROM documents
-        |  WHERE doc_id % 5 = 0
-        |  UNION ALL
-        |  SELECT doc_id + 4000000, doc_id, 5, 30 FROM documents
-        |  WHERE doc_id % 13 = 0),
-        |vd AS (
-        |  SELECT asset_id, id, tv, br, 2 + id % 3 AS m, 2 + id % 2 AS n,
-        |    9 * (2 + id % 3) AS w0, 8 * (2 + id % 2) AS h0,
-        |    CASE WHEN tv % 2 = 1 THEN 8 * (2 + id % 2)
-        |         ELSE 9 * (2 + id % 3) END AS wv,
-        |    CASE WHEN tv % 2 = 1 THEN 9 * (2 + id % 3)
-        |         ELSE 8 * (2 + id % 2) END AS hv
-        |  FROM assets),
-        |probe AS (
-        |  SELECT asset_id, id, tv, br, m, n, w0, h0, wv, hv, t, r, i,
-        |    (i * ((CASE WHEN t % 2 = 1 THEN hv ELSE wv END) - 1)) // 8
-        |      AS x,
-        |    (r * ((CASE WHEN t % 2 = 1 THEN wv ELSE hv END) - 1)) // 7
-        |      AS y
-        |  FROM vd, range(0, 8) tt(t), range(0, 8) rr(r),
-        |    range(0, 9) ii(i)),
-        |p1 AS (
-        |  SELECT asset_id, id, tv, br, m, n, w0, h0, t, r, i,
-        |    CASE t WHEN 0 THEN x WHEN 1 THEN y WHEN 2 THEN wv - 1 - x
-        |           WHEN 3 THEN wv - 1 - y WHEN 4 THEN wv - 1 - x
-        |           WHEN 5 THEN y WHEN 6 THEN x
-        |           ELSE wv - 1 - y END AS x1,
-        |    CASE t WHEN 0 THEN y WHEN 1 THEN hv - 1 - x
-        |           WHEN 2 THEN hv - 1 - y WHEN 3 THEN x WHEN 4 THEN y
-        |           WHEN 5 THEN x WHEN 6 THEN hv - 1 - y
-        |           ELSE hv - 1 - x END AS y1
-        |  FROM probe),
-        |lum AS (
-        |  SELECT asset_id, t, r, i,
-        |    (id * 31
-        |      + ((CASE tv WHEN 0 THEN x1 WHEN 1 THEN y1
-        |            WHEN 2 THEN w0 - 1 - x1 WHEN 3 THEN w0 - 1 - y1
-        |            WHEN 4 THEN w0 - 1 - x1 WHEN 5 THEN y1
-        |            WHEN 6 THEN x1 ELSE w0 - 1 - y1 END) // m) * 17
-        |      + ((CASE tv WHEN 0 THEN y1 WHEN 1 THEN h0 - 1 - x1
-        |            WHEN 2 THEN h0 - 1 - y1 WHEN 3 THEN x1
-        |            WHEN 4 THEN y1 WHEN 5 THEN x1
-        |            WHEN 6 THEN h0 - 1 - y1 ELSE h0 - 1 - x1 END) // n)
-        |        * 57) % 200 + br AS g
-        |  FROM p1),
-        |bits AS (
-        |  SELECT p.asset_id, p.t,
-        |    CAST(SUM(CASE WHEN q.g > p.g
-        |      THEN CASE WHEN p.r * 8 + p.i = 63
-        |        THEN (-9223372036854775807 - 1)
-        |        ELSE (1::BIGINT << (p.r * 8 + p.i)) END
-        |      ELSE 0 END) AS BIGINT) AS hsh
-        |  FROM lum p JOIN lum q ON q.asset_id = p.asset_id
-        |    AND q.t = p.t AND q.r = p.r AND q.i = p.i + 1
-        |  WHERE p.i < 8
-        |  GROUP BY p.asset_id, p.t),
-        |ch AS (SELECT asset_id, min(hsh) AS chash FROM bits
-        |       GROUP BY asset_id),
+    "q114_canonical_dhash" -> ("WITH " + canonicalHashCtes +
+      """,
         |pairs AS (
         |  SELECT x.asset_id AS id_a, y.asset_id AS id_b,
         |    CAST(bit_count(xor(x.chash, y.chash)) AS BIGINT) AS hamming
         |  FROM ch x JOIN ch y ON x.asset_id < y.asset_id)
         |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
-        |ORDER BY id_a, id_b""".stripMargin,
+        |ORDER BY id_a, id_b""".stripMargin),
+
+    // canonical-hash CLUSTERS at radius 1 (the q113 discriminative-
+    // radius lesson: 3 would fold the min-compressed canonical space
+    // into mega-clusters), closed with the q109 recursive-CTE pattern
+    // over ALL assets — the Spark side's representative collapse must
+    // be exactly transparent to membership
+    "q121_canonical_dup_clusters" -> ("WITH RECURSIVE " +
+      canonicalHashCtes +
+      """,
+        |pairs AS (
+        |  SELECT x.asset_id AS id_a, y.asset_id AS id_b
+        |  FROM ch x JOIN ch y ON x.asset_id < y.asset_id
+        |  WHERE bit_count(xor(x.chash, y.chash)) <= 1),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+        |reach(id, label) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+        |comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id)
+        |SELECT component AS cluster_id,
+        |  CAST(count(*) AS BIGINT) AS n_assets, max(id) AS max_id
+        |FROM comp GROUP BY component ORDER BY cluster_id""".stripMargin),
+
 
     "q111_video_neardups" ->
       """WITH RECURSIVE assets AS (

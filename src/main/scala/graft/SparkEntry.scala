@@ -1627,9 +1627,14 @@ object SparkEntry {
     * 9.2k pairs at sf0.01, 951k at sf0.1 (measured), the same
     * magnitude as q108's ~1M.
     */
-  private def q114(s: SparkSession, d: String): DataFrame = {
+  /** The q114/q121 asset fixture: base band PNGs + a rot90 plant on
+    * doc_id % 5 == 0 and a transposed+brightened plant on
+    * doc_id % 13 == 0 — in lockstep with both queries' oracle CTEs.
+    */
+  private def q114Assets(
+      s: SparkSession, d: String): Dataset[Multimodal.Asset] = {
     import s.implicits._
-    val assets = docs(s, d).select(col("doc_id")).as[Long]
+    docs(s, d).select(col("doc_id")).as[Long]
       .mapPartitions(_.flatMap { id =>
         def asset(aid: Long, png: Array[Byte]) =
           Multimodal.Asset(aid, png, "image/png", png.length.toLong)
@@ -1644,11 +1649,34 @@ object SparkEntry {
                 transform = 5)))
           else Iterator.empty)
       })
+  }
+
+  private def q114(s: SparkSession, d: String): DataFrame =
     Dedup.simhashPairsFromSigs(
-        Multimodal.canonicalDhashImages(assets).toDF(),
+        Multimodal.canonicalDhashImages(q114Assets(s, d)).toDF(),
         "asset_id", "chash", maxHamming = 3, chunkBits = 16, nChunks = 4)
       .orderBy("id_a", "id_b")
-  }
+
+  /** Rotation/mirror-invariant duplicate CLUSTERS: q114's canonical
+    * hashes resolved by [[graft.operators.Multimodal.perceptualDupClusters]]
+    * (exact-collapse-first + pigeonhole closure). maxHamming 1, not
+    * q114's pair radius 3 — the q113 lesson applied to the min-of-8
+    * canonical space: min-folding compresses the fixture's hashes to
+    * ~76 distinct values whose components read 65 at radius 1 but 10
+    * at radius 3 (measured at sf0.01) — a wider closure radius here
+    * folds unrelated band profiles into near-vacuous mega-clusters
+    * while radius 1 keeps the output discriminative AND still
+    * exercises 11 genuine cross-hash merges through the pigeonhole
+    * pair path. The oracle rebuilds the canonical hashes through the
+    * q114 coordinate-map arithmetic, brute-force pairs at ≤ 1, and
+    * closes with a recursive CTE (the q109 pattern).
+    */
+  private def q121(s: SparkSession, d: String): DataFrame =
+    Multimodal.perceptualDupClusters(
+        Multimodal.canonicalDhashImages(q114Assets(s, d)).toDF(),
+        "asset_id", "chash", maxHamming = 1)
+      .withColumnRenamed("n_images", "n_assets")
+      .orderBy("cluster_id")
 
   /** Containment join over corpus ∪ planted 8-token prefixes: every
     * prefix doc is fully contained in its original (containment 1.0),
@@ -2051,6 +2079,7 @@ object SparkEntry {
     "q118_pq_adc_topk" -> (q118(_, _)),
     "q119_ivf_pq_topk" -> (q119(_, _)),
     "q120_deterministic_shuffle" -> (q120(_, _)),
+    "q121_canonical_dup_clusters" -> (q121(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -103,6 +103,12 @@ object Pq {
     * sharing a code sequence shares a distance) break on the smaller
     * id, so the ranking is total and engine-independent. Returns
     * `(rank, idCol)`, rank 1-based.
+    *
+    * The LUT is inlined as a `when`-chain of `m · k` decimal
+    * constants — exactly right for PQ's standard k ≤ 256 (≤ 1024
+    * branches across 4 subspaces); a much larger k would want the
+    * LUT as a broadcast array lookup instead, trading the exact
+    * decimal literals for grid longs.
     */
   def adcTopK(codes: DataFrame, idCol: String, codeCol: String,
       model: Model, query: Array[Double], topK: Int): DataFrame = {

@@ -156,14 +156,18 @@ object Sampling {
     val counts = cached.groupBy("__pid").agg(count(lit(1)).as("__n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = counts.scanLeft(0L)(_ + _._2).zip(counts)
-      .map { case (off, (pid, _)) => pid -> off }.toMap
-    val offCol = counts.foldLeft(lit(0L)) { case (acc, (pid, _)) =>
-      when(col("__pid") === pid, lit(offsets(pid))).otherwise(acc)
-    }
+      .map { case (off, (pid, _)) => (pid, off) }
+    // offsets rejoin as a BROADCAST relation (one row per partition),
+    // not a when-chain — at 10⁵ partitions a chain would be 10⁵
+    // codegen branches per row
+    val session = df.sparkSession
+    import session.implicits._
+    val offDf = broadcast(offsets.toSeq.toDF("__pid", "__off"))
     import org.apache.spark.sql.expressions.Window
     val pos = row_number().over(
       Window.partitionBy(col("__pid")).orderBy(col("__h"), col(keyCol)))
-      .cast("long") - 1 + offCol
-    cached.withColumn("shuffle_pos", pos).drop("__h", "__pid")
+      .cast("long") - 1 + col("__off")
+    cached.join(offDf, "__pid")
+      .withColumn("shuffle_pos", pos).drop("__h", "__pid", "__off")
   }
 }
