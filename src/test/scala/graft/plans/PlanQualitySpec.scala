@@ -215,4 +215,45 @@ class PlanQualitySpec extends SparkSpec {
       docs, "source", "doc_id", "text", 3, 10)).toString
     assert("HashAggregate".r.findAllIn(p).size >= 2)
   }
+
+  test("PQ encode is a per-row expression: no Exchange anywhere; ADC " +
+      "top-k plans as TakeOrderedAndProject over the code relation") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val model = graft.operators.Pq.fit(e, "vec_id", "embedding",
+      dim = 64, m = 4, k = 4, iters = 1)
+    val enc = graft.operators.Pq.encode(e, "embedding", model)
+    assert(!executed(enc).toString.contains("Exchange"))
+    val top = graft.operators.Pq.adcTopK(enc, "vec_id", "code", model,
+      Array.fill(64)(0.5), topK = 5)
+    assert(executed(top).toString.contains("TakeOrderedAndProject"))
+    graft.operators.CacheRegistry.drain()
+  }
+
+  test("deterministicShuffle range-partitions the total sort and " +
+      "broadcasts the per-partition offset relation") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id")
+    val p = executed(graft.operators.Sampling.deterministicShuffle(
+      docs, "doc_id", seed = 3L)).toString
+    assert(p.contains("rangepartitioning") || p.contains("RangePartitioning"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    graft.operators.CacheRegistry.drain()
+  }
+
+  test("incrementalLshDedup probes the band index by equi-join: no " +
+      "cartesian or nested-loop join anywhere") {
+    val session = spark
+    import session.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    val idx = graft.operators.Dedup.lshBandKeys(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+    val p = executed(graft.operators.Dedup.incrementalLshDedup(
+      docs.filter(col("doc_id") % 2 === 1), idx, "doc_id", "text"))
+      .toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    graft.operators.CacheRegistry.drain()
+  }
 }
