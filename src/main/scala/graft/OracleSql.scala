@@ -1632,6 +1632,75 @@ object OracleSql {
         |SELECT CAST(rank AS BIGINT) AS rank, vec_id FROM top
         |WHERE rank <= 10 ORDER BY rank""".stripMargin),
 
+    // Gopher rule battery: every signal is exact-count arithmetic with
+    // one double division (the q27 convention); the keep conjunction
+    // replays the bounds verbatim (minWords=30 fixture override)
+    "q122_gopher_rules" ->
+      """WITH t0 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0
+        |      THEN '- one thing' || chr(10) || '- two things' ||
+        |        chr(10) || '- three things'
+        |      ELSE text ||
+        |        CASE WHEN doc_id % 4 = 0
+        |          THEN chr(10) || '- planted bullet line' ELSE '' END ||
+        |        CASE WHEN doc_id % 5 = 0
+        |          THEN chr(10) || 'to be continued...' ELSE '' END ||
+        |        CASE WHEN doc_id % 7 = 0
+        |          THEN chr(10) || '# # # # # # # #' ELSE '' END
+        |    END AS text
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+        |      AS ws,
+        |    list_filter(string_split(text, chr(10)), x -> x <> '') AS ls
+        |  FROM t0),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
+        |    CASE WHEN len(ws) > 0 THEN
+        |      CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
+        |        / CAST(len(ws) AS DOUBLE) ELSE 0.0 END AS mean_word_len,
+        |    CASE WHEN len(ws) > 0 THEN
+        |      CAST((length(text) - length(replace(text, '#', '')))
+        |        + (length(text) - length(replace(text, '…', '')))
+        |        + (length(text) - length(replace(text, '...', ''))) // 3
+        |        AS DOUBLE) / CAST(len(ws) AS DOUBLE)
+        |      ELSE 0.0 END AS symbol_ratio,
+        |    CASE WHEN len(ls) > 0 THEN
+        |      CAST(len(list_filter(ls, l -> ltrim(l) LIKE '- %'
+        |        OR ltrim(l) LIKE '•%' OR ltrim(l) LIKE '* %')) AS DOUBLE)
+        |        / CAST(len(ls) AS DOUBLE) ELSE 0.0 END AS bullet_line_frac,
+        |    CASE WHEN len(ls) > 0 THEN
+        |      CAST(len(list_filter(ls, l -> rtrim(l) LIKE '%...'
+        |        OR rtrim(l) LIKE '%…')) AS DOUBLE)
+        |        / CAST(len(ls) AS DOUBLE) ELSE 0.0 END AS ellipsis_line_frac,
+        |    CASE WHEN len(ws) > 0 THEN
+        |      CAST(len(list_filter(ws, x -> regexp_matches(x, '\p{L}')))
+        |        AS DOUBLE) / CAST(len(ws) AS DOUBLE)
+        |      ELSE 0.0 END AS alpha_word_frac,
+        |    CAST(
+        |      (CASE WHEN list_contains(list_transform(ws, x -> lower(x)), 'and') THEN 1 ELSE 0 END) +
+        |      (CASE WHEN list_contains(list_transform(ws, x -> lower(x)), 'be') THEN 1 ELSE 0 END) +
+        |      (CASE WHEN list_contains(list_transform(ws, x -> lower(x)), 'have') THEN 1 ELSE 0 END) +
+        |      (CASE WHEN list_contains(list_transform(ws, x -> lower(x)), 'of') THEN 1 ELSE 0 END) +
+        |      (CASE WHEN list_contains(list_transform(ws, x -> lower(x)), 'that') THEN 1 ELSE 0 END) +
+        |      (CASE WHEN list_contains(list_transform(ws, x -> lower(x)), 'the') THEN 1 ELSE 0 END) +
+        |      (CASE WHEN list_contains(list_transform(ws, x -> lower(x)), 'to') THEN 1 ELSE 0 END) +
+        |      (CASE WHEN list_contains(list_transform(ws, x -> lower(x)), 'with') THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_stop_kinds
+        |  FROM w)
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+        |  bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+        |  n_stop_kinds,
+        |  (n_words >= 30 AND n_words <= 100000
+        |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |    AND symbol_ratio <= 0.1 AND bullet_line_frac <= 0.9
+        |    AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
+        |    AND n_stop_kinds >= 1) AS keep
+        |FROM sig ORDER BY doc_id""".stripMargin,
+
     // deterministic training-order shuffle: the Spark side assigns
     // positions via per-partition ranks + driver prefix sums; the
     // oracle is the one-window definition both must equal

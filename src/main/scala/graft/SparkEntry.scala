@@ -1535,6 +1535,38 @@ object SparkEntry {
     } finally s.conf.unset(graft.operators.Bpe.OovModeConf)
   }
 
+  /** Gopher quality-rule battery
+    * ([[graft.operators.TextAnalysis.gopherQualityRules]]) over a
+    * fixture that exercises every rule: a fully-bulleted doc replaces
+    * every doc_id % 11 == 0 (bullet fraction 1.0), a bullet line is
+    * appended on % 4, a trailing-ellipsis line on % 5, a `#` spray on
+    * % 7 (symbol ratio + alpha fraction both move), and the corpus's
+    * natural 10–99 word counts straddle the minWords=30 bound. Every
+    * signal is exact-count arithmetic, so the oracle replays the whole
+    * battery cell-exact, `keep` conjunction included.
+    */
+  private def q122(s: SparkSession, d: String): DataFrame = {
+    val planted = docs(s, d).select("doc_id", "text").withColumn("text",
+      when(col("doc_id") % 11 === 0,
+        lit("- one thing\n- two things\n- three things"))
+        .otherwise(concat(col("text"),
+          when(col("doc_id") % 4 === 0,
+            lit("\n- planted bullet line")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            lit("\nto be continued...")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            lit("\n# # # # # # # #")).otherwise(lit("")))))
+    // minStopKinds 1, not the Gopher-default 2: the synthetic corpus
+    // averages 1.05 distinct required stopwords, so 2 would bind alone
+    // (90/500) and mask every other rule in `keep`
+    TextAnalysis.gopherQualityRules(planted, "text", minWords = 30,
+      minStopKinds = 1)
+      .select("doc_id", "n_words", "mean_word_len", "symbol_ratio",
+        "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac",
+        "n_stop_kinds", "keep")
+      .orderBy("doc_id")
+  }
+
   /** Deterministic global shuffle
     * ([[graft.operators.Sampling.deterministicShuffle]]): the
     * seed-keyed training-order permutation of the corpus — dense
@@ -2080,6 +2112,7 @@ object SparkEntry {
     "q119_ivf_pq_topk" -> (q119(_, _)),
     "q120_deterministic_shuffle" -> (q120(_, _)),
     "q121_canonical_dup_clusters" -> (q121(_, _)),
+    "q122_gopher_rules" -> (q122(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -86,6 +86,79 @@ object TextAnalysis {
       .na.fill(0L, Seq("top_bigram_cnt"))
   }
 
+  /** The Gopher document-quality rule set (Rae et al. 2021, appendix
+    * A1.1 — the filter battery most corpus pipelines start from),
+    * per document: word-count bounds, mean-word-length bounds,
+    * symbol-to-word ratio (`#` and ellipses), bullet-/ellipsis-line
+    * fractions, alphabetic-word fraction, and a minimum count of
+    * DISTINCT required stopwords; `keep` is the conjunction. All
+    * signals are exact-count arithmetic (integer counts, one double
+    * division each — the q27 cross-engine convention), so the whole
+    * gate is oracle-checkable cell-exact.
+    *
+    * Words here are WHITESPACE-regex tokens (`\s+`, so newlines split
+    * words too — unlike [[tokens]]' single-space split, because the
+    * line rules make multi-line text first-class); lines are the
+    * non-empty `\n` segments. One pass of codegen per-row
+    * expressions — no shuffle, no UDF.
+    */
+  def gopherQualityRules(
+      df: DataFrame, textCol: String,
+      stopwords: Seq[String] =
+        Seq("the", "be", "to", "of", "and", "that", "have", "with"),
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, maxBulletFrac: Double = 0.9,
+      maxEllipsisFrac: Double = 0.3, minAlphaFrac: Double = 0.8,
+      minStopKinds: Int = 2): DataFrame = {
+    val t = col(textCol)
+    val toks = filter(split(t, "\\s+"), w => w =!= "")
+    val nW = size(toks).cast("long")
+    val meanLen = when(nW > 0,
+      aggregate(toks, lit(0L), (acc, w) => acc + length(w)).cast("double") /
+        nW.cast("double")).otherwise(lit(0.0))
+    def occ(pat: String, patLen: Int): Column =
+      ((length(t) - length(replace(t, lit(pat), lit("")))) / patLen)
+        .cast("long")
+    val nSym = occ("#", 1) + occ("…", 1) + occ("...", 3)
+    val symRatio = when(nW > 0,
+      nSym.cast("double") / nW.cast("double")).otherwise(lit(0.0))
+    val lines = filter(split(t, "\n"), l => l =!= "")
+    val nLines = size(lines).cast("long")
+    def lineFrac(p: Column => Column): Column =
+      when(nLines > 0,
+        size(filter(lines, p)).cast("double") / nLines.cast("double"))
+        .otherwise(lit(0.0))
+    val bulletFrac = lineFrac(l =>
+      ltrim(l).startsWith("- ") || ltrim(l).startsWith("•") ||
+        ltrim(l).startsWith("* "))
+    val ellipsisFrac = lineFrac(l =>
+      rtrim(l).endsWith("...") || rtrim(l).endsWith("…"))
+    val alphaFrac = when(nW > 0,
+      size(filter(toks, w => w.rlike("\\p{L}"))).cast("double") /
+        nW.cast("double")).otherwise(lit(0.0))
+    val lowToks = transform(toks, w => lower(w))
+    val stopKinds = stopwords.sorted.map(s =>
+      when(array_contains(lowToks, s), 1L).otherwise(0L))
+      .reduce(_ + _)
+    df.withColumn("n_words", nW)
+      .withColumn("mean_word_len", meanLen)
+      .withColumn("symbol_ratio", symRatio)
+      .withColumn("bullet_line_frac", bulletFrac)
+      .withColumn("ellipsis_line_frac", ellipsisFrac)
+      .withColumn("alpha_word_frac", alphaFrac)
+      .withColumn("n_stop_kinds", stopKinds)
+      .withColumn("keep",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_word_len") >= minMeanLen &&
+          col("mean_word_len") <= maxMeanLen &&
+          col("symbol_ratio") <= maxSymbolRatio &&
+          col("bullet_line_frac") <= maxBulletFrac &&
+          col("ellipsis_line_frac") <= maxEllipsisFrac &&
+          col("alpha_word_frac") >= minAlphaFrac &&
+          col("n_stop_kinds") >= minStopKinds)
+  }
+
   /** Quality-score feature bundle. Ratios are exact-count divisions —
     * deterministic doubles on any engine.
     */
