@@ -1701,6 +1701,48 @@ object OracleSql {
         |    AND n_stop_kinds >= 1) AS keep
         |FROM sig ORDER BY doc_id""".stripMargin,
 
+    // C4 line filters: rebuild the fixture page, then replay the line
+    // and page rules with list arithmetic; clean_text is the retained
+    // lines re-joined
+    "q123_c4_line_filters" ->
+      """WITH t0 AS (
+        |  SELECT doc_id,
+        |    'This is a proper opening sentence for the page.' ||
+        |    chr(10) || text || chr(10) || 'Too short.' ||
+        |    CASE WHEN doc_id % 3 = 0 THEN chr(10) ||
+        |      'This line talks about JavaScript frameworks today.'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN chr(10) ||
+        |      'A line with a { brace character inside it.'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN chr(10) ||
+        |      'Lorem ipsum dolor sit amet consectetur.'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 2 = 0 THEN chr(10) ||
+        |      'Here is a second proper sentence for the page.' ||
+        |      chr(10) || 'And here is a third proper sentence for it.'
+        |      ELSE '' END AS text
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split(text, chr(10)), x -> x <> '') AS ls
+        |  FROM t0),
+        |k AS (
+        |  SELECT doc_id, text, ls,
+        |    list_filter(ls, l ->
+        |      (rtrim(l) LIKE '%.' OR rtrim(l) LIKE '%!'
+        |        OR rtrim(l) LIKE '%?' OR rtrim(l) LIKE '%"')
+        |      AND len(list_filter(string_split(l, ' '), x -> x <> '')) >= 5
+        |      AND NOT contains(lower(l), 'javascript')) AS kept
+        |  FROM w)
+        |SELECT doc_id,
+        |  CAST(len(ls) AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  (len(kept) >= 3 AND NOT contains(text, '{')
+        |    AND NOT contains(lower(text), 'lorem ipsum')) AS page_keep,
+        |  array_to_string(kept, chr(10)) AS clean_text
+        |FROM k ORDER BY doc_id""".stripMargin,
+
     // deterministic training-order shuffle: the Spark side assigns
     // positions via per-partition ranks + driver prefix sums; the
     // oracle is the one-window definition both must equal

@@ -1567,6 +1567,41 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** C4 line-filter battery
+    * ([[graft.operators.TextAnalysis.c4LineFilters]]): each doc is
+    * rebuilt as a multi-line page — one proper sentence, the raw
+    * word-soup body (no terminal punctuation → dropped), a too-short
+    * sentence, and planted tells: a javascript line on % 3, a `{` line
+    * on % 7, a "Lorem ipsum" line on % 5, and two extra proper
+    * sentences on even ids (so odd ids fail the 3-kept-line page
+    * minimum and even ids survive unless a tell kills the page). The
+    * oracle rebuilds the page construction and replays every rule,
+    * clean_text included.
+    */
+  private def q123(s: SparkSession, d: String): DataFrame = {
+    val planted = docs(s, d).select("doc_id", "text").withColumn("text",
+      concat(
+        lit("This is a proper opening sentence for the page."),
+        lit("\n"), col("text"),
+        lit("\nToo short."),
+        when(col("doc_id") % 3 === 0,
+          lit("\nThis line talks about JavaScript frameworks today."))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          lit("\nA line with a { brace character inside it."))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          lit("\nLorem ipsum dolor sit amet consectetur."))
+          .otherwise(lit("")),
+        when(col("doc_id") % 2 === 0,
+          lit("\nHere is a second proper sentence for the page." +
+            "\nAnd here is a third proper sentence for it."))
+          .otherwise(lit(""))))
+    TextAnalysis.c4LineFilters(planted, "text")
+      .select("doc_id", "n_lines", "n_kept", "page_keep", "clean_text")
+      .orderBy("doc_id")
+  }
+
   /** Deterministic global shuffle
     * ([[graft.operators.Sampling.deterministicShuffle]]): the
     * seed-keyed training-order permutation of the corpus — dense
@@ -2113,6 +2148,7 @@ object SparkEntry {
     "q120_deterministic_shuffle" -> (q120(_, _)),
     "q121_canonical_dup_clusters" -> (q121(_, _)),
     "q122_gopher_rules" -> (q122(_, _)),
+    "q123_c4_line_filters" -> (q123(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

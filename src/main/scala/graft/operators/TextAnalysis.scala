@@ -159,6 +159,38 @@ object TextAnalysis {
           col("n_stop_kinds") >= minStopKinds)
   }
 
+  /** C4-style line-level cleaning (Raffel et al. 2020 §2.2, reduced to
+    * its SQL-replicable core) — the complement of
+    * [[gopherQualityRules]]' document-level gate: a LINE is retained
+    * iff it ends in terminal punctuation (`.` `!` `?` `"`), carries at
+    * least `minLineWords` words, and does not mention javascript
+    * (case-insensitive — C4's boilerplate tell); the PAGE survives iff
+    * at least `minKeptLines` lines were retained and the raw text
+    * contains neither `{` (code tell) nor "lorem ipsum". Returns the
+    * input plus `n_lines`, `n_kept`, `page_keep`, and `clean_text`
+    * (the retained lines re-joined with newlines — empty when nothing
+    * survives). One pass of per-row array/string expressions, no
+    * shuffle; every rule is exact string arithmetic, so the whole
+    * battery is oracle-checkable cell-exact.
+    */
+  def c4LineFilters(
+      df: DataFrame, textCol: String,
+      minLineWords: Int = 5, minKeptLines: Int = 3): DataFrame = {
+    val t = col(textCol)
+    val lines = filter(split(t, "\n"), l => l =!= "")
+    val kept = filter(lines, l =>
+      (rtrim(l).endsWith(".") || rtrim(l).endsWith("!") ||
+        rtrim(l).endsWith("?") || rtrim(l).endsWith("\"")) &&
+        size(filter(split(l, " "), w => w =!= "")) >= minLineWords &&
+        !lower(l).contains("javascript"))
+    df.withColumn("n_lines", size(lines).cast("long"))
+      .withColumn("n_kept", size(kept).cast("long"))
+      .withColumn("page_keep",
+        size(kept) >= minKeptLines &&
+          !t.contains("{") && !lower(t).contains("lorem ipsum"))
+      .withColumn("clean_text", array_join(kept, "\n"))
+  }
+
   /** Quality-score feature bundle. Ratios are exact-count divisions —
     * deterministic doubles on any engine.
     */

@@ -52,6 +52,43 @@ class GopherRulesSpec extends SparkSpec {
       out(4L).getAs[Long]("n_words") == 70L)
   }
 
+  test("c4LineFilters: line rules (terminal punctuation, word minimum, " +
+      "javascript tell) and page rules (kept minimum, brace, lorem " +
+      "ipsum) each fire on their own line/page") {
+    val session = spark
+    import session.implicits._
+    val good = "Here is a perfectly ordinary retained sentence."
+    val docs = Seq(
+      // three good lines, one dropped per line rule → page keeps
+      1L -> Seq(good, "no terminal punctuation here at all", "Too few.",
+        "A line about JAVASCRIPT widgets everywhere today.",
+        good, good).mkString("\n"),
+      // only two good lines → page fails the kept minimum
+      2L -> Seq(good, good).mkString("\n"),
+      // brace kills the page even though lines are fine
+      3L -> Seq(good, good, good, "A stray { appears in this line.")
+        .mkString("\n"),
+      // lorem ipsum kills the page (case-insensitive)
+      4L -> Seq(good, good, good, "LOREM IPSUM filler sentence here.")
+        .mkString("\n")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.c4LineFilters(docs, "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("page_keep"))
+    assert(out(1L).getAs[Long]("n_kept") == 3L &&
+      out(1L).getAs[Long]("n_lines") == 6L)
+    assert(out(1L).getAs[String]("clean_text") ==
+      Seq(good, good, good).mkString("\n"))
+    assert(!out(2L).getAs[Boolean]("page_keep") &&
+      out(2L).getAs[Long]("n_kept") == 2L)
+    // the brace line itself is retained (it is a proper sentence) but
+    // the PAGE dies — the two rule levels are independent
+    assert(!out(3L).getAs[Boolean]("page_keep") &&
+      out(3L).getAs[Long]("n_kept") == 4L)
+    assert(!out(4L).getAs[Boolean]("page_keep") &&
+      out(4L).getAs[Long]("n_kept") == 4L)
+  }
+
   test("empty and whitespace-only text: zero signals, keep = false") {
     val session = spark
     import session.implicits._
