@@ -1743,6 +1743,26 @@ object OracleSql {
         |  array_to_string(kept, chr(10)) AS clean_text
         |FROM k ORDER BY doc_id""".stripMargin,
 
+    // exact edit-distance pairs: brute-force Levenshtein over the
+    // title relation — the Spark side's segment-pigeonhole candidates
+    // must recall every one of these
+    "q124_edit_distance_pairs" ->
+      """WITH titles AS (
+        |  SELECT doc_id, substr(text, 1, 40) AS title FROM documents
+        |  WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, substr(text, 1, 40) || 'xy'
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, substr(text, 1, 38) FROM documents
+        |  WHERE doc_id % 15 = 0)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.title, b.title) AS BIGINT) AS edits
+        |FROM titles a JOIN titles b ON a.doc_id < b.doc_id
+        |WHERE abs(length(a.title) - length(b.title)) <= 3
+        |  AND levenshtein(a.title, b.title) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
     // deterministic training-order shuffle: the Spark side assigns
     // positions via per-partition ranks + driver prefix sums; the
     // oracle is the one-window definition both must equal

@@ -1602,6 +1602,31 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Exact edit-distance similarity join
+    * ([[graft.operators.Dedup.editDistancePairs]], the PassJoin
+    * pigeonhole): 40-char title prefixes of every doc_id % 5 == 0,
+    * with an append-two-chars plant (ed 2) on % 10 and a
+    * drop-two-chars plant (ed 2) on % 15, paired at Levenshtein ≤ 3.
+    * The small shared vocabulary also produces natural near-title
+    * pairs (876 total at sf0.1, measured). The oracle brute-forces
+    * `levenshtein(a, b) ≤ 3` over the same title relation — perfect
+    * recall of the segment-pigeonhole candidates is exactly what the
+    * hash compare proves.
+    */
+  private def q124(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select("doc_id", "text")
+    val titles = base.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), substring(col("text"), 1, 40).as("title"))
+      .unionByName(base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(substring(col("text"), 1, 40), lit("xy")).as("title")))
+      .unionByName(base.filter(col("doc_id") % 15 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          substring(col("text"), 1, 38).as("title")))
+    Dedup.editDistancePairs(titles, "doc_id", "title", maxEdits = 3)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Deterministic global shuffle
     * ([[graft.operators.Sampling.deterministicShuffle]]): the
     * seed-keyed training-order permutation of the corpus — dense
@@ -2149,6 +2174,7 @@ object SparkEntry {
     "q121_canonical_dup_clusters" -> (q121(_, _)),
     "q122_gopher_rules" -> (q122(_, _)),
     "q123_c4_line_filters" -> (q123(_, _)),
+    "q124_edit_distance_pairs" -> (q124(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

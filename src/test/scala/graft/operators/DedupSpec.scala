@@ -477,6 +477,46 @@ class DedupSpec extends SparkSpec {
     CacheRegistry.drain()
   }
 
+  test("editDistancePairs EXACTLY matches brute-force Levenshtein on " +
+      "seeded random strings with planted insert/delete/substitute " +
+      "edits at and beyond the radius") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    def randStr(n: Int): String =
+      (1 to n).map(_ => ('a' + rnd.nextInt(6)).toChar).mkString
+    val base = (1L to 40L).map(i => i -> randStr(20 + rnd.nextInt(15)))
+    val planted = base.collect {
+      case (i, s) if i % 4 == 0 =>
+        (i + 100L, s + "xq") // 2 insertions
+      case (i, s) if i % 5 == 0 =>
+        (i + 200L, s.drop(3)) // 3 deletions — at the radius
+      case (i, s) if i % 7 == 0 =>
+        (i + 300L, s.take(4) + "ZZZZ" + s.drop(8)) // 4 subs — beyond
+    }
+    val all = base ++ planted
+    val df = all.toDF("id", "s")
+    val got = Dedup.editDistancePairs(df, "id", "s", maxEdits = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      (ia, sa) <- all; (ib, sb) <- all if ia < ib
+      e = lev(sa, sb) if e <= 3
+    } yield (ia, ib, e.toLong)).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    // the radius-boundary plants are found, the beyond-radius are not
+    assert(want.exists { case (a, b, e) => b == a + 200L && e == 3L })
+    assert(!got.exists { case (a, b, _) => b == a + 300L })
+    CacheRegistry.drain()
+  }
+
   test("incrementalLshDedup: indexed near-dups suppress, own-id keys " +
       "never do (replay idempotence), min-id wins within a batch") {
     import spark.implicits._
