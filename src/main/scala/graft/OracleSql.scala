@@ -2570,6 +2570,68 @@ object OracleSql {
         |SELECT doc_id, n_tokens, ids FROM seq ORDER BY doc_id"""
         .stripMargin),
 
+    // q125: the round trip collapses to the identity on its contract
+    // domain — decode(applyModel(x)) must equal the admitted
+    // pre-tokenized words rejoined in order, so the oracle is q107's
+    // admitted-word relations + one string_agg (no symbol replay in
+    // the final select: that the chain reduces to THIS is the check)
+    "q125_bpe_roundtrip" -> ("WITH " +
+      bpeCtes(12, "(SELECT * FROM documents WHERE doc_id % 2 = 0)") +
+      s""",
+        |msym AS (
+        |${(0 until 12).map(k =>
+            s"  SELECT a || b AS sym, ${k + 1} AS mrank FROM b$k")
+            .mkString("\nUNION ALL\n")}),
+        |base AS (
+        |  SELECT DISTINCT s AS sym, 0 AS mrank
+        |  FROM (SELECT unnest(string_split(sym, ' ')) AS s FROM w0)),
+        |symtab AS (
+        |  SELECT sym,
+        |    CAST(row_number() OVER (ORDER BY mrank, sym) - 1 AS BIGINT)
+        |      AS id
+        |  FROM (SELECT sym, min(mrank) AS mrank
+        |        FROM (SELECT * FROM base UNION ALL SELECT * FROM msym)
+        |        GROUP BY sym)),
+        |a0 AS MATERIALIZED (
+        |  SELECT w, regexp_replace(w, '(.)', '\\1 ', 'g') || '</w>' AS sym
+        |  FROM (SELECT DISTINCT w FROM (
+        |          SELECT unnest(list_filter(string_split(text, ' '),
+        |            x -> x <> '')) AS w FROM documents)
+        |        WHERE regexp_matches(w, '^\\p{L}+$$')
+        |          AND length(w) <= 32))""".stripMargin +
+      (0 until 12).map { k =>
+        s""",
+          |a${k + 1} AS MATERIALIZED (
+          |  SELECT w, trim(regexp_replace(
+          |    replace(' ' || replace(sym, ' ', '  ') || ' ',
+          |      coalesce((SELECT ' ' || a || '  ' || b || ' ' FROM b$k),
+          |        chr(1)),
+          |      coalesce((SELECT ' ' || a || b || ' ' FROM b$k), '')),
+          |    ' +', ' ', 'g')) AS sym
+          |  FROM a$k)""".stripMargin
+      }.mkString +
+      """,
+        |wsym AS (
+        |  SELECT w, j AS spos, sl[j + 1] AS s
+        |  FROM (SELECT w, sl, unnest(range(0, len(sl))) AS j
+        |        FROM (SELECT w, string_split(sym, ' ') AS sl FROM a12))),
+        |wid AS (
+        |  SELECT wsym.w, wsym.spos, symtab.id
+        |  FROM wsym LEFT JOIN symtab ON wsym.s = symtab.sym),
+        |wok AS (
+        |  SELECT w FROM wid GROUP BY w
+        |  HAVING count(CASE WHEN id IS NULL THEN 1 END) = 0),
+        |docw AS (
+        |  SELECT doc_id, i AS wpos, ws[i + 1] AS w
+        |  FROM (SELECT doc_id, ws, unnest(range(0, len(ws))) AS i
+        |        FROM (SELECT doc_id,
+        |                list_filter(string_split(text, ' '), x -> x <> '')
+        |                  AS ws
+        |              FROM documents)))
+        |SELECT doc_id, string_agg(w, ' ' ORDER BY wpos) AS decoded
+        |FROM docw JOIN wok USING (w)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
     // q115: q112's rule-replay stages verbatim, but the OOV CASE arm
     // becomes BYTE fallback — each word not fully in vocab (or
     // pre-tokenizer-rejected) expands to its UTF-8 bytes, derived here

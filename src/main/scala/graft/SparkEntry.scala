@@ -1627,6 +1627,27 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
   }
 
+  /** Tokenizer ROUND TRIP ([[graft.operators.Bpe.decodeIds]] ∘
+    * [[graft.operators.Bpe.applyModel]], q107's model): decode must
+    * reconstruct the pre-tokenized admitted text EXACTLY, so the
+    * oracle is simply the admitted-word reconstruction
+    * (`string_agg(w, ' ' ORDER BY wpos)` over q107's docw ∩ wok
+    * relations) — the whole encode→id→decode chain collapses to the
+    * identity on its contract domain, and any drift anywhere in the
+    * chain (rule replay, symbol ids, marker handling) breaks the
+    * string compare.
+    */
+  private def q125(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val model = graft.operators.Bpe.learnMerges(
+      dd.filter(col("doc_id") % 2 === 0).select("text"), "text",
+      numMerges = 12)
+    graft.operators.Bpe.decodeIds(
+        graft.operators.Bpe.applyModel(dd, "doc_id", "text", model),
+        "doc_id", "token_ids", model)
+      .orderBy("doc_id")
+  }
+
   /** Deterministic global shuffle
     * ([[graft.operators.Sampling.deterministicShuffle]]): the
     * seed-keyed training-order permutation of the corpus — dense
@@ -2175,6 +2196,7 @@ object SparkEntry {
     "q122_gopher_rules" -> (q122(_, _)),
     "q123_c4_line_filters" -> (q123(_, _)),
     "q124_edit_distance_pairs" -> (q124(_, _)),
+    "q125_bpe_roundtrip" -> (q125(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

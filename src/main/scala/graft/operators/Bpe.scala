@@ -554,6 +554,40 @@ object Bpe {
         transform(col("tl"), t => t.getField("id")).as("token_ids"))
   }
 
+  /** Invert the tokenizer: token-id sequences back to text — the
+    * detokenizer every training/serving loop needs to inspect,
+    * display, or round-trip its data. Each id maps through the
+    * broadcast [[symbolTable]] to its symbol string; symbols
+    * concatenate in sequence order and the `</w>` end-of-word markers
+    * become spaces, so `decodeIds(encodeIds(x)) == pre-tokenized(x)`
+    * EXACTLY (drop-mode contract; the q125 oracle checks precisely
+    * that round trip). Ids on the reserved OOV page (≥ [[unkId]] —
+    * the `unk` token or `bytes`-mode fallback bytes) have no symbol
+    * and render as U+FFFD REPLACEMENT CHARACTER each: UNK is
+    * irreversible by definition, and byte-fallback runs carry no
+    * word-boundary marker to split on — an honest lossy arm, visibly
+    * marked, never silently dropped.
+    *
+    * Scale shape: one explode, one broadcast join on the bounded
+    * symbol table, one per-document aggregation — the mirror image of
+    * [[encodeIds]]' shape.
+    */
+  def decodeIds(
+      df: DataFrame, idCol: String, idsCol: String,
+      model: Model): DataFrame = {
+    val tab = broadcast(symbolTable(model)
+      .select(col("id").as("__tid"), col("sym")))
+    df.select(col(idCol), posexplode(col(idsCol)).as(Seq("__pos", "__tid")))
+      .join(tab, Seq("__tid"), "left")
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("__pos"),
+        coalesce(col("sym"), lit("�")).as("sym")))).as("sl"))
+      .select(col(idCol),
+        rtrim(replace(
+          array_join(transform(col("sl"), t => t.getField("sym")), ""),
+          lit("</w>"), lit(" "))).as("decoded"))
+  }
+
   /** Tokenize ARBITRARY text under a saved model — the merge-replay
     * encoder a real tokenizer applies to unseen documents (subword-nmt
     * `apply_bpe`): the distinct pre-tokenized words of the INPUT corpus

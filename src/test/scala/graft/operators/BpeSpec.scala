@@ -461,6 +461,45 @@ class BpeSpec extends SparkSpec {
     CacheRegistry.drain()
   }
 
+  test("decodeIds inverts the encoder exactly on the drop-mode domain; " +
+      "reserved-page ids render as visible replacement characters") {
+    import spark.implicits._
+    val train = randomCorpus(23, 60)
+    val model = Bpe.learnMerges(train.toDF("text"), "text", numMerges = 12)
+    val eval = Seq(
+      "abab babab aabb ccab a b c",
+      "cab abq qqq 123 bbbb", // OOV + rejected words interleaved
+      "qq zz") // all-OOV
+    val evalDf = eval.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    // drop mode: decode(applyModel(x)) == the admitted words rejoined
+    val decoded = Bpe.decodeIds(
+        Bpe.applyModel(evalDf, "doc_id", "text", model),
+        "doc_id", "token_ids", model)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val wc = refWordCounts(train)
+    val merges = refMerges(wc, 12)
+    val ids = refSymbolTable(wc, merges)
+    val want = eval.zipWithIndex.map { case (t, i) =>
+      i.toLong -> t.split(" ").filter(_.nonEmpty).filter { w =>
+        w.matches("^\\p{L}+$") && w.length <= 32 &&
+          refApply(w, merges, ids).isDefined
+      }.mkString(" ")
+    }.filter(_._2.nonEmpty).toMap
+    assert(decoded == want, s"\n got=$decoded\nwant=$want")
+    // unk mode: every OOV word decodes to ONE visible replacement char
+    spark.conf.set(Bpe.OovModeConf, "unk")
+    val unkDecoded =
+      try Bpe.decodeIds(
+          Bpe.applyModel(evalDf, "doc_id", "text", model),
+          "doc_id", "token_ids", model)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      finally spark.conf.unset(Bpe.OovModeConf)
+    assert(unkDecoded(2L) == "��", // "qq zz" → two UNKs, no spaces
+      s"got ${unkDecoded(2L)}")
+    CacheRegistry.drain()
+  }
+
   test("saveModel → loadModel round-trips the tokenizer: identical " +
       "rules, and the loaded model encodes seen AND unseen text " +
       "identically to the in-memory one") {
