@@ -561,12 +561,14 @@ object Bpe {
     * concatenate in sequence order and the `</w>` end-of-word markers
     * become spaces, so `decodeIds(encodeIds(x)) == pre-tokenized(x)`
     * EXACTLY (drop-mode contract; the q125 oracle checks precisely
-    * that round trip). Ids on the reserved OOV page (≥ [[unkId]] —
-    * the `unk` token or `bytes`-mode fallback bytes) have no symbol
-    * and render as U+FFFD REPLACEMENT CHARACTER each: UNK is
-    * irreversible by definition, and byte-fallback runs carry no
-    * word-boundary marker to split on — an honest lossy arm, visibly
-    * marked, never silently dropped.
+    * that round trip). Reserved-page ids render visibly instead of
+    * silently dropping: the [[unkId]] itself decodes as `U+FFFD` WITH
+    * a word boundary (in `unk` mode one UNK is by contract one whole
+    * word, so spacing is recoverable), while ids ABOVE it (`bytes`-
+    * mode fallback bytes) render as bare `U+FFFD` each — a byte run
+    * carries no boundary marker, so adjacent OOV words legitimately
+    * fuse there; UNK's content stays irreversible by definition
+    * either way.
     *
     * Scale shape: one explode, one broadcast join on the bounded
     * symbol table, one per-document aggregation — the mirror image of
@@ -575,13 +577,16 @@ object Bpe {
   def decodeIds(
       df: DataFrame, idCol: String, idsCol: String,
       model: Model): DataFrame = {
+    val unk = unkId(model)
     val tab = broadcast(symbolTable(model)
       .select(col("id").as("__tid"), col("sym")))
     df.select(col(idCol), posexplode(col(idsCol)).as(Seq("__pos", "__tid")))
       .join(tab, Seq("__tid"), "left")
       .groupBy(col(idCol))
       .agg(array_sort(collect_list(struct(col("__pos"),
-        coalesce(col("sym"), lit("�")).as("sym")))).as("sl"))
+        coalesce(col("sym"),
+          when(col("__tid") === unk, lit("�</w>")).otherwise(lit("�")))
+          .as("sym")))).as("sl"))
       .select(col(idCol),
         rtrim(replace(
           array_join(transform(col("sl"), t => t.getField("sym")), ""),

@@ -244,7 +244,11 @@ object Dedup {
     * near-dup at corpus scale, the shingle tiers are the path).
     * Identical boilerplate strings concentrate candidates in one
     * content bucket — the usual inverted-index skew; dedupe or
-    * length-cap upstream for adversarial inputs.
+    * length-cap upstream for adversarial inputs. Strings shorter than
+    * k+1 characters (where the pigeonhole cannot anchor — every
+    * segment can be edited away) pair through a brute tier bounded to
+    * that tiny-string population, so recall stays perfect for ALL
+    * lengths, empty strings included.
     */
   def editDistancePairs(
       df: DataFrame, idCol: String, strCol: String,
@@ -253,11 +257,12 @@ object Dedup {
       s"maxEdits=$maxEdits must be in [1, 8] — the probe enumeration " +
         "grows with k; larger radii want the shingle tiers")
     val k = maxEdits
-    val s = CacheRegistry.track(
+    val all = CacheRegistry.track(
       df.select(col(idCol), col(strCol).as("__s"))
-        .filter(col("__s").isNotNull && length(col("__s")) >= 1)
+        .filter(col("__s").isNotNull)
         .withColumn("__L", length(col("__s")))
         .persist())
+    val s = all.filter(col("__L") >= 1)
     val segs = s.select(col(idCol).as("__idx_id"),
         explode(array((0 to k).map { i =>
           val st = floor(lit(i) * col("__L") / (k + 1)).cast("int")
@@ -290,11 +295,36 @@ object Dedup {
       col("__L").as("__la"))
     val sb = s.select(col(idCol).as("id_b"), col("__s").as("__sb"),
       col("__L").as("__lb"))
-    cand.join(sa, "id_a").join(sb, "id_b")
+    val main = cand.join(sa, "id_a").join(sb, "id_b")
       .filter(abs(col("__la") - col("__lb")) <= k)
       .withColumn("edits", levenshtein(col("__sa"), col("__sb"), k))
       .filter(col("edits") >= 0)
       .select(col("id_a"), col("id_b"), col("edits").cast("long").as("edits"))
+    // the pigeonhole can only anchor on strings of length ≥ k+1 (its
+    // k+1 even segments are all non-empty exactly then; a shorter
+    // string can have ALL its content edited within budget, leaving
+    // only trivially-empty untouched segments). Pairs whose SHORTER
+    // side is ≤ k chars — the partner then being ≤ 2k by the length
+    // prune — go through a brute tier instead: a guarded cross join
+    // bounded to those tiny strings (empty strings included: ed("",x)
+    // = |x|). Quadratic only in the tiny-string population, the same
+    // degenerate class as an identical-string clique.
+    val tiny = all.filter(col("__L") <= k)
+      .select(col(idCol).as("__tid"), col("__s").as("__ts"),
+        col("__L").as("__tl"))
+    val near = all.filter(col("__L") <= 2 * k)
+      .select(col(idCol).as("__uid"), col("__s").as("__us"),
+        col("__L").as("__ul"))
+    val extra = tiny.crossJoin(near)
+      .filter(col("__tid") =!= col("__uid") &&
+        abs(col("__tl") - col("__ul")) <= k)
+      .withColumn("edits", levenshtein(col("__ts"), col("__us"), k))
+      .filter(col("edits") >= 0)
+      .select(
+        least(col("__tid"), col("__uid")).as("id_a"),
+        greatest(col("__tid"), col("__uid")).as("id_b"),
+        col("edits").cast("long").as("edits"))
+    main.unionByName(extra).distinct()
   }
 
   /** The MinHash-LSH band-key relation of a corpus slice:

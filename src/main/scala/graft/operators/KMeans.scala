@@ -91,8 +91,12 @@ object KMeans {
     * centroid updates, returning the final centroid matrix (k × dims,
     * each coordinate a scale-9-rounded double per the q65 mean shape —
     * except un-updated seed coordinates, which stay as given).
+    * `private[operators]` so [[Pq.fit]] can run its m per-subspace
+    * loops against cheap projections of ONE shared persisted source
+    * instead of [[fitCentroids]]' per-call persist (m extra cached
+    * copies of essentially the same data).
     */
-  private def lloydCentroids(src: DataFrame, idCol: String, vecCol: String,
+  private[operators] def lloydCentroids(src: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, exact: Boolean): Array[Array[Double]] = {
     var centroids = seeds(src, idCol, vecCol, k)
     require(centroids.length == k,

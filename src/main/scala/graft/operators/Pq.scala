@@ -65,9 +65,12 @@ object Pq {
       df.select(col(idCol), col(vecCol)).persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val codebooks = (0 until m).map { s =>
-      KMeans.fitCentroids(
+      // lloydCentroids, not fitCentroids: the projection re-reads the
+      // ONE persisted src (slicing is map-side free) instead of
+      // caching m additional sliced copies of the same vectors
+      KMeans.lloydCentroids(
         src.select(col(idCol), subSlice(vecCol, s, subDim).as("__sub")),
-        idCol, "__sub", k, iters)
+        idCol, "__sub", k, iters, exact = true)
     }.toArray
     Model(m, subDim, codebooks)
   }
@@ -123,7 +126,14 @@ object Pq {
     val dist = (0 until model.m).map { s =>
       val qs = query.slice(s * model.subDim, (s + 1) * model.subDim)
       val c = col(codeCol).getItem(s)
-      (0 until model.codebooks(s).length).foldLeft(lit(null).cast("decimal(30,24)")) {
+      // fail FAST on a code outside this codebook (a codes table from
+      // a different/older model, or corruption) — a null fall-through
+      // would sort nulls-first and silently crown a garbage neighbor
+      val outOfRange = raise_error(concat(
+        lit(s"pq code out of range for subspace $s (k=" +
+          s"${model.codebooks(s).length}): "), c.cast("string")))
+        .cast("decimal(30,24)")
+      (0 until model.codebooks(s).length).foldLeft(outOfRange) {
         (acc, j) => when(c === j, lit(gridDist2(qs, model.codebooks(s)(j)))
           .cast("decimal(30,24)")).otherwise(acc)
       }

@@ -159,15 +159,27 @@ object Sampling {
       .map { case (off, (pid, _)) => (pid, off) }
     // offsets rejoin as a BROADCAST relation (one row per partition),
     // not a when-chain — at 10⁵ partitions a chain would be 10⁵
-    // codegen branches per row
+    // codegen branches per row. The within-partition rank comes from a
+    // mapPartitions counter over the range-sorted cached layout — NOT
+    // a window partitioned by __pid, which would hash-exchange and
+    // re-sort the whole corpus a second time for an ordering the range
+    // sort already established (if the cache evicts, the recompute
+    // replays the same deterministic sort, so ranks never drift).
     val session = df.sparkSession
     import session.implicits._
     val offDf = broadcast(offsets.toSeq.toDF("__pid", "__off"))
-    import org.apache.spark.sql.expressions.Window
-    val pos = row_number().over(
-      Window.partitionBy(col("__pid")).orderBy(col("__h"), col(keyCol)))
-      .cast("long") - 1 + col("__off")
-    cached.join(offDf, "__pid")
-      .withColumn("shuffle_pos", pos).drop("__h", "__pid", "__off")
+    val rankedSchema = cached.schema
+      .add("__rank", org.apache.spark.sql.types.LongType, nullable = false)
+    val ranked = session.createDataFrame(
+      cached.rdd.mapPartitions { it =>
+        var i = -1L
+        it.map { r =>
+          i += 1
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+        }
+      }, rankedSchema)
+    ranked.join(offDf, "__pid")
+      .withColumn("shuffle_pos", col("__rank") + col("__off"))
+      .drop("__h", "__pid", "__off", "__rank")
   }
 }

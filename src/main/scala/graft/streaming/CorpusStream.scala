@@ -76,7 +76,7 @@ object CorpusStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val docs = batch.select("url", "text")
+        val docs = oneRowPerUrl(batch)
         // scope, not drain: the batch's own persists/cuts die with the
         // write, but the MODEL's materialized vocabulary must survive
         // into the next micro-batch (a global drain would truncate it)
@@ -88,6 +88,20 @@ object CorpusStream {
         }
       }
       .start()
+
+  /** One row per URL per drain: a drain whose segments carry the SAME
+    * url with two different bodies (an in-flight re-crawl — different
+    * fingerprints, so the exact-dedup state keeps both) must not reach
+    * `applyModel`, whose per-url grouping would interleave both texts'
+    * token ids into one garbled sequence duplicated onto both rows.
+    * Deterministic winner: smallest content fingerprint (the fp column
+    * [[docStream]] already carries).
+    */
+  private def oneRowPerUrl(batch: DataFrame): DataFrame =
+    graft.operators.Browse.keepFirst(
+      batch.select("url", "text", "fp"), Seq("url"),
+      org.apache.spark.sql.functions.col("fp").asc)
+      .select("url", "text")
 
   /** [[run]] with a NEAR-duplicate gate behind the exact one: after
     * the checkpointed exact-fingerprint dedup, each drain's documents
@@ -114,7 +128,7 @@ object CorpusStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val docs = batch.select("url", "text")
+        val docs = oneRowPerUrl(batch)
         if (!docs.isEmpty) graft.operators.CacheRegistry.scope {
           val novel = graft.operators.CacheRegistry.track(
             graft.operators.Dedup.incrementalLshDedup(

@@ -495,7 +495,8 @@ class BpeSpec extends SparkSpec {
           "doc_id", "token_ids", model)
         .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
       finally spark.conf.unset(Bpe.OovModeConf)
-    assert(unkDecoded(2L) == "��", // "qq zz" → two UNKs, no spaces
+    // one UNK = one whole word in unk mode, so the boundary survives
+    assert(unkDecoded(2L) == "� �", // "qq zz" → two spaced UNKs
       s"got ${unkDecoded(2L)}")
     CacheRegistry.drain()
   }

@@ -493,7 +493,12 @@ class DedupSpec extends SparkSpec {
       case (i, s) if i % 7 == 0 =>
         (i + 300L, s.take(4) + "ZZZZ" + s.drop(8)) // 4 subs — beyond
     }
-    val all = base ++ planted
+    // tiny-string tier: shorter than k+1 the pigeonhole cannot anchor
+    // ("ab" vs "xy" share nothing yet ed=2) — including the empty
+    // string (ed("", x) = |x|)
+    val tiny = Seq(401L -> "", 402L -> "ab", 403L -> "xy",
+      404L -> "abcd", 405L -> "", 406L -> "abq")
+    val all = base ++ planted ++ tiny
     val df = all.toDF("id", "s")
     val got = Dedup.editDistancePairs(df, "id", "s", maxEdits = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

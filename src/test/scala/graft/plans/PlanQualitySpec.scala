@@ -230,14 +230,20 @@ class PlanQualitySpec extends SparkSpec {
     graft.operators.CacheRegistry.drain()
   }
 
-  test("deterministicShuffle range-partitions the total sort and " +
-      "broadcasts the per-partition offset relation") {
+  test("deterministicShuffle broadcasts the offset relation and adds " +
+      "NO exchange after the range sort (the rank rides the sorted " +
+      "cached layout, not a second window shuffle)") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id")
     val p = executed(graft.operators.Sampling.deterministicShuffle(
       docs, "doc_id", seed = 3L)).toString
-    assert(p.contains("rangepartitioning") || p.contains("RangePartitioning"), p)
     assert(p.contains("BroadcastHashJoin"), p)
+    // the one data shuffle (range partitioning) lives inside the
+    // cached RDD lineage; the visible plan after it must be
+    // exchange-free — a hashpartitioning here means the old
+    // window-by-partition-id double shuffle regressed
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Window"), p)
     graft.operators.CacheRegistry.drain()
   }
 

@@ -131,4 +131,37 @@ class CorpusStreamSpec extends SparkSpec {
     assert(spark.read.parquet(bidx.toString).count() == 32L)
     CacheRegistry.drain()
   }
+
+  test("a drain carrying the SAME url twice with different bodies " +
+      "lands exactly one coherent row (min-fingerprint winner), not " +
+      "two rows of interleaved token ids") {
+    val session = spark
+    import session.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dup-url-stream")
+    val ckpt = java.nio.file.Files.createTempDirectory("dup-url-ckpt")
+    val out = java.nio.file.Files.createTempDirectory("dup-url-out")
+    val model = Bpe.learnMerges(
+      Seq("abab abab bc cc ab", "bc bc abab cc a b c").toDF("text"),
+      "text", numMerges = 4)
+    // same target URI, two different bodies, one segment = one drain
+    val textA = "ab ab bc cc"
+    val textB = "cc cc ab"
+    java.nio.file.Files.write(dir.resolve("seg-00001.warc.gz"),
+      WarcReader.write(Seq(htmlRec(1, textA), htmlRec(1, textB)),
+        gzipPerRecord = true))
+    CorpusStream.run(spark, dir.toString, model,
+      ckpt.toString, out.toString).awaitTermination()
+    val rows = spark.read.parquet(out.toString).collect()
+    assert(rows.length == 1, s"must land ONE row: ${rows.toSeq}")
+    val gotIds = rows.head.getAs[scala.collection.Seq[Int]]("token_ids")
+      .toVector
+    // the winner is whichever body has the smaller content fingerprint;
+    // its ids must equal the plain batch encoding of THAT text alone
+    def enc(t: String): Vector[Int] =
+      Bpe.applyModel(Seq(("u", t)).toDF("url", "text"), "url", "text",
+        model).collect().head.getAs[scala.collection.Seq[Int]](1).toVector
+    assert(gotIds == enc(textA) || gotIds == enc(textB),
+      s"interleaved/garbled ids: $gotIds")
+    CacheRegistry.drain()
+  }
 }
