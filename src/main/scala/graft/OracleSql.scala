@@ -1763,6 +1763,35 @@ object OracleSql {
         |  AND levenshtein(a.title, b.title) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // edit-distance clusters: brute-force pair relation closed with
+    // the q109 recursive-CTE pattern
+    "q126_edit_distance_clusters" ->
+      """WITH RECURSIVE titles AS (
+        |  SELECT doc_id, substr(text, 1, 40) AS title FROM documents
+        |  WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, substr(text, 1, 40) || 'xy'
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, substr(text, 1, 38) FROM documents
+        |  WHERE doc_id % 15 = 0),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM titles a JOIN titles b ON a.doc_id < b.doc_id
+        |  WHERE abs(length(a.title) - length(b.title)) <= 3
+        |    AND levenshtein(a.title, b.title) <= 3),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+        |reach(id, label) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+        |comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id)
+        |SELECT component AS cluster_id,
+        |  CAST(count(*) AS BIGINT) AS n_titles, max(id) AS max_id
+        |FROM comp GROUP BY component ORDER BY cluster_id""".stripMargin,
+
     // deterministic training-order shuffle: the Spark side assigns
     // positions via per-partition ranks + driver prefix sums; the
     // oracle is the one-window definition both must equal

@@ -1627,6 +1627,24 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
   }
 
+  /** Edit-distance duplicate CLUSTERS: transitive closure
+    * ([[graft.operators.Components]]) over the q124 pair relation —
+    * the title near-dup GROUPS a dedup pass consumes (base + its two
+    * planted variants chain into one cluster through the base even
+    * when the variants are 4 edits apart from each other). The oracle
+    * closes the brute-force pair relation with the q109 recursive-CTE
+    * pattern.
+    */
+  private def q126(s: SparkSession, d: String): DataFrame = {
+    val pairs = q124(s, d)
+    Components.connectedComponents(pairs, "id_a", "id_b")
+      .groupBy("component")
+      .agg(count(lit(1)).as("n_titles"), max(col("id")).as("max_id"))
+      .select(col("component").as("cluster_id"), col("n_titles"),
+        col("max_id"))
+      .orderBy("cluster_id")
+  }
+
   /** Tokenizer ROUND TRIP ([[graft.operators.Bpe.decodeIds]] ∘
     * [[graft.operators.Bpe.applyModel]], q107's model): decode must
     * reconstruct the pre-tokenized admitted text EXACTLY, so the
@@ -2197,6 +2215,7 @@ object SparkEntry {
     "q123_c4_line_filters" -> (q123(_, _)),
     "q124_edit_distance_pairs" -> (q124(_, _)),
     "q125_bpe_roundtrip" -> (q125(_, _)),
+    "q126_edit_distance_clusters" -> (q126(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
