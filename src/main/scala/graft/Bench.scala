@@ -90,8 +90,19 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true, _, _) => v }.sum
     val coldTotal = cold.collect { case (_, v, true, _, _) => v }.sum
+    // jit-subtracted steady: the catalog's steady total carries a
+    // ±15-20 s compile-scatter band at 125+ query shapes (PERFORMANCE.md
+    // round-10 probes: q60 read 3.1-25.9 s in-catalog against a 2.0 s
+    // isolated floor purely from in-window JIT). Subtracting each
+    // steady window's measured jit_sec gives the plan-cost total that
+    // round-over-round comparison should use — catalog growth stops
+    // reading as regression. Clamped per-query at 0 so a window where
+    // background compilation exceeded elapsed can't go negative.
+    val planTotal = results.collect { case (_, v, true, _, j) =>
+      math.max(0.0, v - j) }.sum
     val heapGb = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      f""""steady_plan_sec":$planTotal%.2f,""" +
       s""""cold_total":$coldTotal,"cold_sec":$colds,""" +
       s""""gc_sec":$gcs,"jit_sec":$jits,""" +
       s""""cold_gc_sec":$coldGcs,"cold_jit_sec":$coldJits,"failed":$failed,""" +
@@ -123,7 +134,8 @@ object Bench {
     val watched = objOf(results.filter(r => watchedNames(r._1))
       .map { case (k, v, _, _, _) => k -> v })
     println(f"""{"metric":"summary","value":$total%.2f,"unit":"sec",""" +
-      f""""steady_total_sec":$total%.2f,"cold_total_sec":$coldTotal%.2f,""" +
+      f""""steady_total_sec":$total%.2f,"steady_plan_sec":$planTotal%.2f,""" +
+      f""""cold_total_sec":$coldTotal%.2f,""" +
       s""""slowest_steady":${top5(results)},"slowest_cold":${top5(cold)},""" +
       s""""watched_steady":$watched,""" +
       s""""failed":$failed,"protocol":"pass2-steady","sf":"$sfDir"}""")

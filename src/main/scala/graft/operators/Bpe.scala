@@ -105,7 +105,18 @@ object Bpe {
     * (`w`, `cnt`, `sym`), materialized as a [[Lineage.cut]] leaf and
     * [[CacheRegistry]]-tracked (finish downstream actions before drain).
     */
-  final case class Model(merges: Seq[MergeRule], vocab: DataFrame)
+  final case class Model(merges: Seq[MergeRule], vocab: DataFrame) {
+    /** Memoized symbol→id assignment (driver-side, bounded:
+      * |alphabet| + numMerges rows, ordered by id): the alphabet
+      * derivation job runs ONCE per model instance, lazily, and every
+      * consumer — [[Bpe.symbolTable]], [[Bpe.unkId]],
+      * [[Bpe.applyModel]], [[Bpe.decodeIds]] — reuses it. Before the
+      * memo, applyModel in unk/bytes mode re-ran the derivation twice
+      * per CALL and a streaming pipeline paid it every micro-batch for
+      * an immutable model.
+      */
+    lazy val symbolRows: Seq[(String, Int)] = Bpe.deriveSymbolRows(this)
+  }
 
   /** Initial symbolization: every character becomes a symbol, plus the
     * `</w>` end-of-word marker (`"spark"` → `"s p a r k </w>"`).

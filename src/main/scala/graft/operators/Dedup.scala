@@ -242,13 +242,21 @@ object Dedup {
     * URLs, lines: probe enumeration is O(L·k) rows per string, the
     * right trade when L is tens of characters (for whole-document
     * near-dup at corpus scale, the shingle tiers are the path).
-    * Identical boilerplate strings concentrate candidates in one
-    * content bucket — the usual inverted-index skew; dedupe or
-    * length-cap upstream for adversarial inputs. Strings shorter than
+    *
+    * Degenerate-population hardening: identical strings are collapsed
+    * to their min-id representative BEFORE both tiers — an
+    * identical-string clique (boilerplate titles, empty strings — NOT
+    * rare in dirty corpora) otherwise concentrates quadratic candidate
+    * mass in one content bucket. Within-group pairs are distance 0 by
+    * construction and come straight off the group relation
+    * (equi-join on the group key, output-sensitive); cross-group
+    * distances are computed once per DISTINCT string pair and expanded
+    * back to members by two more equi-joins. Strings shorter than
     * k+1 characters (where the pigeonhole cannot anchor — every
-    * segment can be edited away) pair through a brute tier bounded to
-    * that tiny-string population, so recall stays perfect for ALL
-    * lengths, empty strings included.
+    * segment can be edited away) pair through a brute tier over the
+    * distinct tiny strings, guarded by [[BruteForceMaxRows]] (loud
+    * refusal, never a silent quadratic join), so recall stays perfect
+    * for ALL lengths, empty strings included.
     */
   def editDistancePairs(
       df: DataFrame, idCol: String, strCol: String,
@@ -257,13 +265,29 @@ object Dedup {
       s"maxEdits=$maxEdits must be in [1, 8] — the probe enumeration " +
         "grows with k; larger radii want the shingle tiers")
     val k = maxEdits
-    val all = CacheRegistry.track(
-      df.select(col(idCol), col(strCol).as("__s"))
-        .filter(col("__s").isNotNull)
+    val all = df.select(col(idCol), col(strCol).as("__s"))
+      .filter(col("__s").isNotNull)
+    // collapse identical strings: one representative row per distinct
+    // string; members rejoin at the end
+    val groups = CacheRegistry.track(
+      all.groupBy(col("__s"))
+        .agg(min(col(idCol)).as("__rep"))
         .withColumn("__L", length(col("__s")))
         .persist())
-    val s = all.filter(col("__L") >= 1)
-    val segs = s.select(col(idCol).as("__idx_id"),
+    val members = CacheRegistry.track(
+      all.join(groups.select(col("__s"), col("__rep")), "__s")
+        .select(col(idCol), col("__rep"))
+        .persist())
+    // distance-0 pairs inside each identical-string group
+    val zero = members.select(col("__rep").as("__g"), col(idCol).as("id_a"))
+      .join(members.select(col("__rep").as("__g"), col(idCol).as("id_b")),
+        "__g")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(0L).as("edits"))
+    // both tiers below run over representatives only (distinct strings)
+    val reps = groups.select(col("__rep").as("__rid"), col("__s"), col("__L"))
+    val s = reps.filter(col("__L") >= 1)
+    val segs = s.select(col("__rid").as("__idx_id"),
         explode(array((0 to k).map { i =>
           val st = floor(lit(i) * col("__L") / (k + 1)).cast("int")
           val en = floor(lit(i + 1) * col("__L") / (k + 1)).cast("int")
@@ -272,7 +296,7 @@ object Dedup {
       .filter(length(col("__seg")) >= 1)
       .distinct()
     // candidate segment lengths of any partner with |ΔL| <= k
-    val lens = s.select(col(idCol).as("__probe_id"), col("__s"), col("__L"),
+    val lens = s.select(col("__rid").as("__probe_id"), col("__s"), col("__L"),
         explode(array_distinct(flatten(array((0 to k).map { i =>
           array((-k to k).map { d =>
             val lb = col("__L") + d
@@ -291,9 +315,9 @@ object Dedup {
         least(col("__probe_id"), col("__idx_id")).as("id_a"),
         greatest(col("__probe_id"), col("__idx_id")).as("id_b"))
       .distinct()
-    val sa = s.select(col(idCol).as("id_a"), col("__s").as("__sa"),
+    val sa = s.select(col("__rid").as("id_a"), col("__s").as("__sa"),
       col("__L").as("__la"))
-    val sb = s.select(col(idCol).as("id_b"), col("__s").as("__sb"),
+    val sb = s.select(col("__rid").as("id_b"), col("__s").as("__sb"),
       col("__L").as("__lb"))
     val main = cand.join(sa, "id_a").join(sb, "id_b")
       .filter(abs(col("__la") - col("__lb")) <= k)
@@ -305,16 +329,20 @@ object Dedup {
     // string can have ALL its content edited within budget, leaving
     // only trivially-empty untouched segments). Pairs whose SHORTER
     // side is ≤ k chars — the partner then being ≤ 2k by the length
-    // prune — go through a brute tier instead: a guarded cross join
-    // bounded to those tiny strings (empty strings included: ed("",x)
-    // = |x|). Quadratic only in the tiny-string population, the same
-    // degenerate class as an identical-string clique.
-    val tiny = all.filter(col("__L") <= k)
-      .select(col(idCol).as("__tid"), col("__s").as("__ts"),
+    // prune — go through a brute tier instead: a cross join over the
+    // DISTINCT tiny strings (the collapse above already merged
+    // identical-string cliques — empty strings included: ed("",x) =
+    // |x|), guarded so an adversarial short-string population refuses
+    // loudly instead of running a quadratic join.
+    val tiny = reps.filter(col("__L") <= k)
+      .select(col("__rid").as("__tid"), col("__s").as("__ts"),
         col("__L").as("__tl"))
-    val near = all.filter(col("__L") <= 2 * k)
-      .select(col(idCol).as("__uid"), col("__s").as("__us"),
+    val near = reps.filter(col("__L") <= 2 * k)
+      .select(col("__rid").as("__uid"), col("__s").as("__us"),
         col("__L").as("__ul"))
+    requireBruteForceSized(near, "editDistancePairs' tiny-string tier " +
+        s"(distinct strings of length <= ${2 * k})",
+      "a length->=1 pre-filter, a smaller maxEdits, or the shingle tiers")
     val extra = tiny.crossJoin(near)
       .filter(col("__tid") =!= col("__uid") &&
         abs(col("__tl") - col("__ul")) <= k)
@@ -324,7 +352,20 @@ object Dedup {
         least(col("__tid"), col("__uid")).as("id_a"),
         greatest(col("__tid"), col("__uid")).as("id_b"),
         col("edits").cast("long").as("edits"))
-    main.unionByName(extra).distinct()
+    // distinct representative-level pairs (the two tiers overlap on
+    // pairs whose shorter side has length in [1, k]) …
+    val repPairs = main.unionByName(extra).distinct()
+    // … expanded back to member pairs: every member of rep_a's group
+    // pairs with every member of rep_b's group at the same distance
+    // (equi-joins on the group key — output-sensitive, and disjoint
+    // from the within-group distance-0 relation, so no final distinct)
+    val ma = members.select(col("__rep").as("id_a"), col(idCol).as("__ma"))
+    val mb = members.select(col("__rep").as("id_b"), col(idCol).as("__mb"))
+    val cross = repPairs.join(ma, "id_a").join(mb, "id_b")
+      .select(least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b"),
+        col("edits"))
+    zero.unionByName(cross)
   }
 
   /** The MinHash-LSH band-key relation of a corpus slice:

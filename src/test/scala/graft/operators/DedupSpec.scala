@@ -522,6 +522,60 @@ class DedupSpec extends SparkSpec {
     CacheRegistry.drain()
   }
 
+  test("editDistancePairs on a degenerate duplicate-heavy population " +
+      "(identical-string cliques of empty/1-char titles) stays EXACT and " +
+      "bounded: cliques collapse to representatives before both tiers") {
+    import spark.implicits._
+    // dirty-corpus shape: mass-duplicated empty and 1-char titles (the
+    // population that used to concentrate quadratic candidate mass in
+    // the tiny tier's cross join), plus duplicated real titles whose
+    // cross-group distance exercises the member expansion
+    val dirty =
+      (1L to 150L).map(i => i -> "") ++
+      (201L to 300L).map(i => i -> "a") ++
+      (401L to 405L).map(i => i -> "hello world title") ++
+      (501L to 504L).map(i => i -> "hello world titles") ++
+      Seq(601L -> "completely different heading")
+    val df = dirty.toDF("id", "s")
+    val got = Dedup.editDistancePairs(df, "id", "s", maxEdits = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      (ia, sa) <- dirty; (ib, sb) <- dirty if ia < ib
+      e = lev(sa, sb) if e <= 3
+    } yield (ia, ib, e.toLong)).toSet
+    assert(got.size == want.size && got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    // the planted cross-group relation survived the collapse/expand
+    assert(got.contains((401L, 501L, 1L)))
+    assert(got.contains((1L, 201L, 1L))) // ed("", "a") = 1
+    CacheRegistry.drain()
+  }
+
+  test("editDistancePairs REFUSES an adversarial distinct-short-string " +
+      "population instead of running an unguarded quadratic join") {
+    import spark.implicits._
+    // > BruteForceMaxRows DISTINCT strings of length <= 2k: the brute
+    // tier's honest worst case — collapse cannot shrink it, so the
+    // guard must fire loudly
+    val n = (Dedup.BruteForceMaxRows + 1L).toInt
+    val df = spark.range(1, n + 1)
+      .selectExpr("id", "cast(id as string) as s")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.editDistancePairs(df, "id", "s", maxEdits = 4).count()
+    }
+    assert(ex.getMessage.contains("tiny-string tier"))
+    CacheRegistry.drain()
+  }
+
   test("incrementalLshDedup: indexed near-dups suppress, own-id keys " +
       "never do (replay idempotence), min-id wins within a batch") {
     import spark.implicits._
