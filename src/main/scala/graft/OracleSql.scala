@@ -2666,7 +2666,8 @@ object OracleSql {
     // pre-tokenizer-rejected) expands to its UTF-8 bytes, derived here
     // from code points by the standard RFC 3629 arithmetic (DuckDB
     // substr/unicode are code-point-aware), each byte shifted by
-    // count(symtab) onto the reserved page. Spark derives the same
+    // count(symtab) + 1 onto the reserved page (one past the UNK id —
+    // NUL and UNK never collide). Spark derives the same
     // bytes from the engine's UTF8String payload — two independent
     // UTF-8 encoders must agree byte-for-byte.
     "q115_bpe_apply_bytes" -> ("WITH " +
@@ -2749,7 +2750,7 @@ object OracleSql {
         |        FROM wid JOIN wok USING (w)) u USING (w)
         |  UNION ALL
         |  SELECT d.doc_id, d.wpos, o.ci, o.bi,
-        |    (SELECT count(*) FROM symtab) + o.byte
+        |    (SELECT count(*) FROM symtab) + 1 + o.byte
         |  FROM docw d JOIN oovb o USING (w)),
         |seq AS (
         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
@@ -2758,5 +2759,78 @@ object OracleSql {
         |  FROM tok GROUP BY doc_id)
         |SELECT doc_id, n_tokens, ids FROM seq ORDER BY doc_id"""
         .stripMargin),
+
+    // q127: the bytes-mode round trip collapses to the full-domain
+    // reconstruction — decode(applyModel(x)) under oov=bytes must
+    // equal the pre-tokenized words rejoined in order, where an
+    // ADMITTED word (all final symbols mapped) carries its boundary
+    // space and an OOV word's byte run carries none (adjacent OOV
+    // words fuse). No byte arithmetic appears in the final select:
+    // that the whole encode→bytes→decode chain reduces to THIS string
+    // expression is the check.
+    "q127_bpe_bytes_roundtrip" -> ("WITH " +
+      bpeCtes(12, "(SELECT * FROM documents WHERE doc_id % 2 = 0)") +
+      s""",
+        |msym AS (
+        |${(0 until 12).map(k =>
+            s"  SELECT a || b AS sym, ${k + 1} AS mrank FROM b$k")
+            .mkString("\nUNION ALL\n")}),
+        |base AS (
+        |  SELECT DISTINCT s AS sym, 0 AS mrank
+        |  FROM (SELECT unnest(string_split(sym, ' ')) AS s FROM w0)),
+        |symtab AS (
+        |  SELECT sym,
+        |    CAST(row_number() OVER (ORDER BY mrank, sym) - 1 AS BIGINT)
+        |      AS id
+        |  FROM (SELECT sym, min(mrank) AS mrank
+        |        FROM (SELECT * FROM base UNION ALL SELECT * FROM msym)
+        |        GROUP BY sym)),
+        |pl AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 4 = 0 THEN ' žluťoučký 🦆🦆 kůň42'
+        |         ELSE '' END AS text
+        |  FROM documents),
+        |a0 AS MATERIALIZED (
+        |  SELECT w, regexp_replace(w, '(.)', '\\1 ', 'g') || '</w>' AS sym
+        |  FROM (SELECT DISTINCT w FROM (
+        |          SELECT unnest(list_filter(string_split(text, ' '),
+        |            x -> x <> '')) AS w FROM pl)
+        |        WHERE regexp_matches(w, '^\\p{L}+$$')
+        |          AND length(w) <= 32))""".stripMargin +
+      (0 until 12).map { k =>
+        s""",
+          |a${k + 1} AS MATERIALIZED (
+          |  SELECT w, trim(regexp_replace(
+          |    replace(' ' || replace(sym, ' ', '  ') || ' ',
+          |      coalesce((SELECT ' ' || a || '  ' || b || ' ' FROM b$k),
+          |        chr(1)),
+          |      coalesce((SELECT ' ' || a || b || ' ' FROM b$k), '')),
+          |    ' +', ' ', 'g')) AS sym
+          |  FROM a$k)""".stripMargin
+      }.mkString +
+      """,
+        |wsym AS (
+        |  SELECT w, j AS spos, sl[j + 1] AS s
+        |  FROM (SELECT w, sl, unnest(range(0, len(sl))) AS j
+        |        FROM (SELECT w, string_split(sym, ' ') AS sl FROM a12))),
+        |wid AS (
+        |  SELECT wsym.w, wsym.spos, symtab.id
+        |  FROM wsym LEFT JOIN symtab ON wsym.s = symtab.sym),
+        |wok AS (
+        |  SELECT w FROM wid GROUP BY w
+        |  HAVING count(CASE WHEN id IS NULL THEN 1 END) = 0),
+        |docw AS (
+        |  SELECT doc_id, i AS wpos, ws[i + 1] AS w
+        |  FROM (SELECT doc_id, ws, unnest(range(0, len(ws))) AS i
+        |        FROM (SELECT doc_id,
+        |                list_filter(string_split(text, ' '), x -> x <> '')
+        |                  AS ws
+        |              FROM pl)))
+        |SELECT doc_id,
+        |  rtrim(string_agg(
+        |    CASE WHEN wok.w IS NOT NULL THEN docw.w || ' ' ELSE docw.w END,
+        |    '' ORDER BY wpos), ' ') AS decoded
+        |FROM docw LEFT JOIN wok ON docw.w = wok.w
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
   )
 }

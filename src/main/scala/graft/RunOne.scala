@@ -23,6 +23,11 @@ object RunOne {
     SparkEntry.queries(name)(spark, sfDir)
       .coalesce(1).write.mode("overwrite").parquet(out)
     println("SQL_START"); println(SparkEntry.oracleSql(name)); println("SQL_END")
+    // stdout may not be UTF-8 under sbt (non-ASCII SQL literals mangle
+    // to '?'); the file copy is authoritative — Files.writeString is
+    // UTF-8, same as Verify's oracle_sql.json
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$out.sql"), SparkEntry.oracleSql(name))
     spark.stop()
   }
 }

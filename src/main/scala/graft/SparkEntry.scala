@@ -1510,7 +1510,8 @@ object SparkEntry {
 
   /** q107 with BYTE fallback on (`spark.graft.bpe.oov=bytes`): OOV
     * words emit their UTF-8 byte sequence shifted onto the reserved
-    * page `[unkId, unkId+256)` instead of collapsing to one UNK —
+    * page `[unkId+1, unkId+256]` (one past the UNK id, so NUL and UNK
+    * never collide) instead of collapsing to one UNK —
     * GPT-2-style byte-level fallback, the loss-free end of the OOV
     * spectrum (drop < unk < bytes). The [[graft.plans.Utf8Bytes]]
     * native expression reads the engine's own UTF-8 payload; the
@@ -1664,6 +1665,40 @@ object SparkEntry {
         graft.operators.Bpe.applyModel(dd, "doc_id", "text", model),
         "doc_id", "token_ids", model)
       .orderBy("doc_id")
+  }
+
+  /** BYTE-fallback tokenizer round trip ([[graft.operators.Bpe.decodeIds]]
+    * ∘ [[graft.operators.Bpe.applyModel]] under
+    * `spark.graft.bpe.oov=bytes`): unlike q125's drop-mode identity on
+    * the ADMITTED domain, `oov=bytes` is loss-free on the FULL domain —
+    * every word either tokenizes by rule replay or falls back to its
+    * UTF-8 bytes on the reserved page, and decode reassembles byte
+    * runs back to the original text. Planted multi-byte words on
+    * doc_id % 4 == 0 (Czech diacritics = 2-byte chars, duck emoji =
+    * 4-byte supplementary plane, a digit-bearing word = pre-tokenizer
+    * reject) exercise every RFC 3629 length class through the whole
+    * encode→decode chain. The oracle reconstructs the contract
+    * directly: words rejoin in order, an admitted word carrying its
+    * boundary space and an OOV word's byte run carrying none (adjacent
+    * OOV words fuse — the documented boundary loss, and the ONLY loss).
+    */
+  private def q127(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val model = graft.operators.Bpe.learnMerges(
+      dd.filter(col("doc_id") % 2 === 0).select("text"), "text",
+      numMerges = 12)
+    val planted = dd.select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 4 === 0, lit(" žluťoučký 🦆🦆 kůň42"))
+          .otherwise(lit(""))).as("text"))
+    s.conf.set(graft.operators.Bpe.OovModeConf, "bytes")
+    try {
+      // conf read at plan-construction time (the q112 rationale)
+      graft.operators.Bpe.decodeIds(
+          graft.operators.Bpe.applyModel(planted, "doc_id", "text", model),
+          "doc_id", "token_ids", model)
+        .orderBy("doc_id")
+    } finally s.conf.unset(graft.operators.Bpe.OovModeConf)
   }
 
   /** Deterministic global shuffle
@@ -2216,6 +2251,7 @@ object SparkEntry {
     "q124_edit_distance_pairs" -> (q124(_, _)),
     "q125_bpe_roundtrip" -> (q125(_, _)),
     "q126_edit_distance_clusters" -> (q126(_, _)),
+    "q127_bpe_bytes_roundtrip" -> (q127(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -499,9 +499,22 @@ object Bpe {
     * after (ab,c)) keeps its FIRST assignment, so the map is a
     * function. The table is bounded (|alphabet| + numMerges rows), so
     * the unpartitioned row_number window and the downstream broadcast
-    * join are both safe at any corpus scale.
+    * join are both safe at any corpus scale. Backed by the
+    * [[Model.symbolRows]] memo: the derivation job runs once per model
+    * instance; this call just wraps the memoized rows as a local
+    * relation (no corpus job).
     */
   def symbolTable(model: Model): DataFrame = {
+    val spark = model.vocab.sparkSession
+    import spark.implicits._
+    model.symbolRows.toDF("sym", "id")
+  }
+
+  /** The one derivation job behind [[Model.symbolRows]]: run the
+    * alphabet scan + window once and collect the bounded result to the
+    * driver (ordered by id). Callers go through the memo, never here.
+    */
+  private[operators] def deriveSymbolRows(model: Model): Seq[(String, Int)] = {
     val spark = model.vocab.sparkSession
     import org.apache.spark.sql.expressions.Window
     // initial symbols, derived exactly as symbolize() produces them
@@ -517,18 +530,20 @@ object Bpe {
         (row_number().over(Window.orderBy(col("mrank"), col("sym"))) - 1)
           .cast("int"))
       .select("sym", "id")
+      .orderBy("id")
+      .collect().toSeq.map(r => (r.getString(0), r.getInt(1)))
   }
 
   /** The reserved out-of-vocabulary token id of a model: one past the
     * last [[symbolTable]] id (= the table's row count — deterministic
     * because the table is; NOT necessarily `|Σ| + numMerges`, since a
     * merged string colliding with an earlier symbol keeps its first
-    * assignment). Costs one bounded job over the vocabulary-sized
-    * alphabet derivation. Only [[applyModel]] under
+    * assignment). Free after the first [[Model.symbolRows]] derivation
+    * (driver-side length, no job). Only [[applyModel]] under
     * `spark.graft.bpe.oov=unk` emits it; no real symbol can collide
     * with it because ids are dense.
     */
-  def unkId(model: Model): Int = symbolTable(model).count().toInt
+  def unkId(model: Model): Int = model.symbolRows.length
 
   /** Per-document token-ID sequences under a learned model — the
     * tokenizer OUTPUT a training run consumes (vs [[encodeCounts]]'s
@@ -572,18 +587,31 @@ object Bpe {
     * concatenate in sequence order and the `</w>` end-of-word markers
     * become spaces, so `decodeIds(encodeIds(x)) == pre-tokenized(x)`
     * EXACTLY (drop-mode contract; the q125 oracle checks precisely
-    * that round trip). Reserved-page ids render visibly instead of
-    * silently dropping: the [[unkId]] itself decodes as `U+FFFD` WITH
-    * a word boundary (in `unk` mode one UNK is by contract one whole
-    * word, so spacing is recoverable), while ids ABOVE it (`bytes`-
-    * mode fallback bytes) render as bare `U+FFFD` each — a byte run
-    * carries no boundary marker, so adjacent OOV words legitimately
-    * fuse there; UNK's content stays irreversible by definition
-    * either way.
+    * that round trip).
+    *
+    * Reserved-page ids decode LOSS-FREE: a maximal run of consecutive
+    * `bytes`-mode fallback ids (`unkId + 1 + b`, the page one past the
+    * UNK id) reassembles into its UTF-8 bytes and decodes back to the
+    * original text — GPT-2-style byte fallback is reversible, so
+    * `oov=bytes` round-trips END TO END (q127's oracle checks exactly
+    * that). A byte run carries no word-boundary marker, so adjacent
+    * OOV words legitimately fuse (documented encode-side too). Only
+    * the true [[unkId]] stays irreversible by definition — it decodes
+    * as `U+FFFD` WITH a word boundary (in `unk` mode one UNK is one
+    * whole word, so spacing is recoverable); ids beyond the page
+    * render as bare `U+FFFD`. A hand-crafted id array whose byte run
+    * is not valid UTF-8 fails the ANSI-mode charset decode loudly
+    * (MALFORMED_CHARACTER_CODING) rather than silently mojibake-ing —
+    * encoder output is always valid by construction.
     *
     * Scale shape: one explode, one broadcast join on the bounded
-    * symbol table, one per-document aggregation — the mirror image of
-    * [[encodeIds]]' shape.
+    * symbol table, one per-document aggregation; the byte-run
+    * reassembly is a single linear `aggregate` fold per document over
+    * the collected fragment list (symbols pass through, byte ids
+    * accumulate as hex until a non-byte fragment or the end flushes
+    * them through `unhex` + UTF-8 decode). The `</w>`→space rewrite
+    * happens per SYMBOL fragment, so byte-decoded content that
+    * happens to contain the literal text `</w>` is never corrupted.
     */
   def decodeIds(
       df: DataFrame, idCol: String, idsCol: String,
@@ -591,17 +619,39 @@ object Bpe {
     val unk = unkId(model)
     val tab = broadcast(symbolTable(model)
       .select(col("id").as("__tid"), col("sym")))
+    // per-token fragment: a (boundary-rewritten) symbol string, or a
+    // 2-hex-digit byte destined for run reassembly
+    val frag =
+      when(col("sym").isNotNull,
+        struct(replace(col("sym"), lit("</w>"), lit(" ")).as("sym"),
+          lit(null).cast("string").as("hx")))
+      .when(col("__tid") === unk,
+        struct(lit("� ").as("sym"), lit(null).cast("string").as("hx")))
+      .when(col("__tid") > unk && col("__tid") <= unk + 256,
+        struct(lit(null).cast("string").as("sym"),
+          lpad(hex(col("__tid") - unk - 1), 2, "0").as("hx")))
+      .otherwise(
+        struct(lit("�").as("sym"), lit(null).cast("string").as("hx")))
+    def flush(hx: Column): Column =
+      when(hx === "", lit("")).otherwise(decode(unhex(hx), "UTF-8"))
     df.select(col(idCol), posexplode(col(idsCol)).as(Seq("__pos", "__tid")))
       .join(tab, Seq("__tid"), "left")
       .groupBy(col(idCol))
-      .agg(array_sort(collect_list(struct(col("__pos"),
-        coalesce(col("sym"),
-          when(col("__tid") === unk, lit("�</w>")).otherwise(lit("�")))
-          .as("sym")))).as("sl"))
+      .agg(array_sort(collect_list(struct(col("__pos"), frag.as("f"))))
+        .as("sl"))
       .select(col(idCol),
-        rtrim(replace(
-          array_join(transform(col("sl"), t => t.getField("sym")), ""),
-          lit("</w>"), lit(" "))).as("decoded"))
+        rtrim(aggregate(
+          transform(col("sl"), t => t.getField("f")),
+          struct(lit("").as("out"), lit("").as("hx")),
+          (acc, e) => when(e.getField("hx").isNotNull,
+              struct(acc.getField("out").as("out"),
+                concat(acc.getField("hx"), e.getField("hx")).as("hx")))
+            .otherwise(struct(
+              concat(acc.getField("out"), flush(acc.getField("hx")),
+                e.getField("sym")).as("out"),
+              lit("").as("hx"))),
+          acc => concat(acc.getField("out"), flush(acc.getField("hx")))))
+          .as("decoded"))
   }
 
   /** Tokenize ARBITRARY text under a saved model — the merge-replay
@@ -619,8 +669,10 @@ object Bpe {
     * time): `drop` (default) skips them — the OOV contract of the
     * learn step — `unk` emits the single reserved [[unkId]] token per
     * such word, and `bytes` emits the word's UTF-8 byte sequence
-    * shifted onto the reserved page `[unkId, unkId+256)` (byte `b` →
-    * id `unkId + b`; the [[graft.plans.Utf8Bytes]] native expression
+    * shifted onto the reserved page `[unkId+1, unkId+256]` (byte `b` →
+    * id `unkId + 1 + b` — one past the UNK id, so a NUL byte and the
+    * UNK token can never share an id;
+    * the [[graft.plans.Utf8Bytes]] native expression
     * reads the engine's own UTF-8 payload, so supplementary-plane
     * characters encode correctly, not as CESU-8 surrogate halves).
     * Returns `(idCol, token_ids array<int>)` for every document with
@@ -689,12 +741,15 @@ object Bpe {
         // words (absent from perSym — left-join miss) both fall back:
         // under `unk` to ONE reserved token, under `bytes` to the
         // word's UTF-8 bytes shifted onto the reserved page (byte b →
-        // unkId + b)
+        // unkId + 1 + b: the page starts one PAST the UNK id, so byte
+        // 0x00 can never collide with the UNK token and an id stream
+        // is unambiguous between the two modes)
         val reservedBase = unkId(model)
         val fallback: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
           if (oovMode == "unk") _ => array(lit(reservedBase))
           else w => transform(
-            graft.plans.GraftFunctions.utf8Bytes(w), b => b + lit(reservedBase))
+            graft.plans.GraftFunctions.utf8Bytes(w),
+            b => b + lit(reservedBase + 1))
         val perWord = perSym.select(col("w"),
           when(col("oov") === 1, fallback(col("w")))
             .otherwise(transform(col("sl"), t => t.getField("id")))

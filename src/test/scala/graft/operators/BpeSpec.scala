@@ -430,7 +430,7 @@ class BpeSpec extends SparkSpec {
     val wc = refWordCounts(train)
     val merges = refMerges(wc, 12)
     val ids = refSymbolTable(wc, merges)
-    val base = Bpe.unkId(model) // bytes page starts at the UNK slot
+    val base = Bpe.unkId(model) + 1 // bytes page starts ONE PAST UNK
     val eval = Seq(
       "abab babab qq a b c", // in-vocab + out-of-alphabet ascii
       "řeka čáp 123 a9", // 2-byte letters; digit words pre-tok-rejected
@@ -498,6 +498,71 @@ class BpeSpec extends SparkSpec {
     // one UNK = one whole word in unk mode, so the boundary survives
     assert(unkDecoded(2L) == "� �", // "qq zz" → two spaced UNKs
       s"got ${unkDecoded(2L)}")
+    CacheRegistry.drain()
+  }
+
+  test("decodeIds reassembles bytes-mode reserved-page runs back to " +
+      "the original text — oov=bytes round-trips end to end, adjacent " +
+      "OOV words fusing (a byte run carries no boundary marker)") {
+    import spark.implicits._
+    val train = randomCorpus(23, 60)
+    val model = Bpe.learnMerges(train.toDF("text"), "text", numMerges = 12)
+    val eval = Seq(
+      "abab babab aabb a b c", // fully admitted
+      "cab řeka čáp abab", // 2-byte OOV words between admitted ones
+      "🙂 ok🙂go 123", // 4-byte supplementary plane + rejected word
+      "qq zz abab") // adjacent ascii-OOV words: fuse
+    val evalDf = eval.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    spark.conf.set(Bpe.OovModeConf, "bytes")
+    val decoded =
+      try Bpe.decodeIds(
+          Bpe.applyModel(evalDf, "doc_id", "text", model),
+          "doc_id", "token_ids", model)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      finally spark.conf.unset(Bpe.OovModeConf)
+    val wc = refWordCounts(train)
+    val merges = refMerges(wc, 12)
+    val ids = refSymbolTable(wc, merges)
+    def admitted(w: String) =
+      w.matches("^\\p{L}+$") && w.length <= 32 &&
+        refApply(w, merges, ids).isDefined
+    // expected: words in order; an admitted word carries its boundary
+    // space, an OOV word's byte run carries none — so OOV words fuse
+    // with whatever follows, exactly as the scaladoc contracts
+    val want = eval.zipWithIndex.map { case (t, i) =>
+      i.toLong -> t.split(" ").filter(_.nonEmpty)
+        .map(w => if (admitted(w)) w + " " else w)
+        .mkString.stripSuffix(" ")
+    }.toMap
+    assert(decoded == want, s"\n got=$decoded\nwant=$want")
+    CacheRegistry.drain()
+  }
+
+  test("symbolRows memo: the alphabet-derivation job runs ONCE per " +
+      "model — later unkId calls are driver-side and symbolTable is a " +
+      "local relation (zero Spark jobs)") {
+    import spark.implicits._
+    val model = Bpe.learnMerges(
+      randomCorpus(23, 40).toDF("text"), "text", numMerges = 6)
+    val first = Bpe.unkId(model) // pays the one derivation job
+    Thread.sleep(300) // let in-flight listener events drain
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(Bpe.unkId(model) == first)
+      val plan = Bpe.symbolTable(model).queryExecution.optimizedPlan
+      assert(plan.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
+        s"symbolTable should be a memo-backed local relation, got:\n$plan")
+      Thread.sleep(300)
+      assert(jobs == 0, s"expected 0 jobs after memoization, saw $jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
     CacheRegistry.drain()
   }
 
