@@ -94,25 +94,25 @@ object OracleSql {
     * unrolled decimal-grid Lloyd's update per 16-dim subspace
     * (suffix `sN`) — the q91 oracle shape four times over dim ranges.
     */
-  private val pqCtes: String = {
-    val head =
-      """e AS (
-        |  SELECT vec_id, i - 1 AS dim,
-        |    CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(14,12)) AS xg,
-        |    CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,12)) AS xs
-        |  FROM (SELECT vec_id, embedding,
-        |          unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)),
-        |seeds AS (
-        |  SELECT vec_id, rn - 1 AS cid FROM (
-        |    SELECT vec_id, row_number()
-        |      OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
-        |    FROM embeddings)
-        |  WHERE rn <= 8)""".stripMargin
-    val subs = (0 until 4).map { s =>
+  private val pqSeedsCte =
+    """seeds AS (
+      |  SELECT vec_id, rn - 1 AS cid FROM (
+      |    SELECT vec_id, row_number()
+      |      OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+      |    FROM embeddings)
+      |  WHERE rn <= 8)""".stripMargin
+
+  /** The four per-subspace unrolled Lloyd chains over a long-form
+    * coordinate relation `src(vec_id, dim, xg, xs)` — shared by the
+    * raw-vector PQ oracles (src = `e`) and the IVFADC residual oracle
+    * (src = `er`).
+    */
+  private def pqSubChains(src: String): String =
+    (0 until 4).map { s =>
       val lo = s * 16
       val hi = lo + 16
       s"""es$s AS (
-         |  SELECT vec_id, dim, xg, xs FROM e
+         |  SELECT vec_id, dim, xg, xs FROM $src
          |  WHERE dim >= $lo AND dim < $hi),
          |c0s$s AS (
          |  SELECT se.cid, x.dim, x.xg AS cg
@@ -147,8 +147,18 @@ object OracleSql {
          |      OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
          |    FROM d2s$s)
          |  WHERE rn = 1)""".stripMargin
-    }
-    (head +: subs).mkString(",\n")
+    }.mkString(",\n")
+
+  private val pqCtes: String = {
+    val head =
+      """e AS (
+        |  SELECT vec_id, i - 1 AS dim,
+        |    CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(14,12)) AS xg,
+        |    CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,12)) AS xs
+        |  FROM (SELECT vec_id, embedding,
+        |          unnest(range(1, len(embedding) + 1)) AS i FROM embeddings))"""
+        .stripMargin
+    Seq(head, pqSeedsCte, pqSubChains("e")).mkString(",\n")
   }
 
   /** q114/q121 shared CTE chain: the fixture asset set and every
@@ -2832,5 +2842,92 @@ object OracleSql {
         |    '' ORDER BY wpos), ' ') AS decoded
         |FROM docw LEFT JOIN wok ON docw.w = wok.w
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // q128: IVFADC — q119's routing CTEs, but the long-form coordinate
+    // relation becomes the RESIDUAL (x − coarse centroid of the row's
+    // cell, double subtraction then the same scale-12 grid), the four
+    // subspace k-means chains re-run over it, and the ADC distance
+    // joins each vector's code against the query's PER-CELL residual
+    // — so the hash compare proves the residual codes and the
+    // per-cell LUTs, not just the routing.
+    "q128_ivfadc_topk" -> ("WITH " +
+      """cents16 AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+        |    embedding AS c
+        |  FROM (SELECT vec_id, embedding FROM embeddings
+        |        ORDER BY vec_id LIMIT 16)),
+        |qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
+        |assigned AS (
+        |  SELECT vec_id, cell,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY sim DESC, cell DESC) AS rn
+        |  FROM (
+        |    SELECT e.vec_id, c.cell,
+        |      list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.c[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(range(1, len(c.c) + 1),
+        |           i -> CAST(c.c[i] AS DOUBLE) * CAST(c.c[i] AS DOUBLE))))) AS sim
+        |    FROM embeddings e CROSS JOIN cents16 c)),
+        |cellof AS (SELECT vec_id, cell FROM assigned WHERE rn = 1),
+        |er AS (
+        |  SELECT x.vec_id, x.i - 1 AS dim,
+        |    CAST(CAST(x.embedding[x.i] AS DOUBLE) - CAST(c.c[x.i] AS DOUBLE)
+        |      AS DECIMAL(14,12)) AS xg,
+        |    CAST(CAST(x.embedding[x.i] AS DOUBLE) - CAST(c.c[x.i] AS DOUBLE)
+        |      AS DECIMAL(28,12)) AS xs
+        |  FROM (SELECT vec_id, embedding,
+        |          unnest(range(1, len(embedding) + 1)) AS i
+        |        FROM embeddings) x
+        |  JOIN cellof USING (vec_id)
+        |  JOIN cents16 c USING (cell))""".stripMargin +
+      ",\n" + pqSeedsCte + ",\n" + pqSubChains("er") +
+      """,
+        |probes AS (
+        |  SELECT cell FROM cents16, qv
+        |  ORDER BY
+        |    list_sum(list_transform(range(1, len(c) + 1),
+        |      i -> CAST(c[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, len(c) + 1),
+        |         i -> CAST(c[i] AS DOUBLE) * CAST(c[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+        |         i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))) DESC,
+        |    cell ASC
+        |  LIMIT 4),
+        |qr AS (
+        |  SELECT p.cell, q.i - 1 AS dim,
+        |    CAST(CAST(q.qv[q.i] AS DOUBLE) - CAST(c.c[q.i] AS DOUBLE)
+        |      AS DECIMAL(14,12)) AS xg
+        |  FROM probes p
+        |  JOIN cents16 c USING (cell)
+        |  CROSS JOIN (SELECT qv, unnest(range(1, len(qv) + 1)) AS i
+        |              FROM qv) q),
+        |cents AS (
+        |  SELECT 0 AS s, cid, dim, cg FROM c1s0
+        |  UNION ALL SELECT 1, cid, dim, cg FROM c1s1
+        |  UNION ALL SELECT 2, cid, dim, cg FROM c1s2
+        |  UNION ALL SELECT 3, cid, dim, cg FROM c1s3),
+        |codes AS (
+        |  SELECT vec_id, 0 AS s, cid FROM a2s0
+        |  UNION ALL SELECT vec_id, 1, cid FROM a2s1
+        |  UNION ALL SELECT vec_id, 2, cid FROM a2s2
+        |  UNION ALL SELECT vec_id, 3, cid FROM a2s3),
+        |probed AS (
+        |  SELECT vec_id, cell FROM cellof
+        |  WHERE cell IN (SELECT cell FROM probes)),
+        |dist AS (
+        |  SELECT co.vec_id, SUM((qr.xg - ce.cg) * (qr.xg - ce.cg)) AS dd
+        |  FROM codes co
+        |  JOIN probed p ON p.vec_id = co.vec_id
+        |  JOIN cents ce ON ce.s = co.s AND ce.cid = co.cid
+        |  JOIN qr ON qr.cell = p.cell AND qr.dim = ce.dim
+        |  GROUP BY co.vec_id),
+        |top AS (
+        |  SELECT vec_id,
+        |    row_number() OVER (ORDER BY dd, vec_id) AS rank
+        |  FROM dist)
+        |SELECT CAST(rank AS BIGINT) AS rank, vec_id FROM top
+        |WHERE rank <= 10 ORDER BY rank""".stripMargin),
   )
 }

@@ -1264,6 +1264,31 @@ object SparkEntry {
       .orderBy("rank")
   }
 
+  /** IVFADC — the RESIDUAL-encoded IVF-PQ of Jégou et al. §IV
+    * ([[graft.operators.Pq.fitResiduals]] /
+    * [[graft.operators.Pq.ivfAdcTopK]]): q119's coarse routing, but
+    * the product codebooks train on `x − centroid(cell)` and each
+    * probed cell ranks against its own query-residual lookup table.
+    * The oracle rebuilds the residual relation (double subtraction,
+    * then the same scale-12 decimal grid), re-runs the four unrolled
+    * subspace k-means on it, and replays the per-cell decimal ADC —
+    * so the hash compare proves the residual codes, not just the
+    * routing.
+    */
+  private def q128(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d).select("vec_id", "embedding")
+    val cents = Ann.sampleCentroids(e, "vec_id", "embedding", 16)
+    val assigned = Ann.assignCells(e, "embedding", cents)
+    val model = Pq.fitResiduals(assigned, "vec_id", "embedding", "cell",
+      cents, dim = 64, m = 4, k = 8, iters = 1)
+    val query = e.filter(col("vec_id") === 1)
+      .select(col("embedding").cast("array<double>")).collect()(0)
+      .getSeq[Double](0).toArray
+    Pq.ivfAdcTopK(assigned, "vec_id", "embedding", "cell", cents, model,
+        query, topK = 10, nprobe = 4)
+      .orderBy("rank")
+  }
+
   /** SemDeDup over corpus ∪ exact clones: the k-means clusters bound the
     * quadratic cosine join, the planted clones are the semantic dups the
     * prune must kill (each clone shares its original's cluster, so the
@@ -2252,6 +2277,7 @@ object SparkEntry {
     "q125_bpe_roundtrip" -> (q125(_, _)),
     "q126_edit_distance_clusters" -> (q126(_, _)),
     "q127_bpe_bytes_roundtrip" -> (q127(_, _)),
+    "q128_ivfadc_topk" -> (q128(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

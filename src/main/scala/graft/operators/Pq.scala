@@ -60,9 +60,18 @@ object Pq {
     require(m > 0 && dim > 0 && dim % m == 0,
       s"dim=$dim must be a positive multiple of m=$m")
     val subDim = dim / m
+    // fail FAST on a malformed training vector (the GridArgmin
+    // convention): without this, a vector shorter than dim silently
+    // trains later subspaces on truncated/empty slices and the model
+    // degrades quietly — only encode would ever notice
+    val vecType = df.select(col(vecCol)).schema.head.dataType
+    val checked = when(size(col(vecCol)) === dim, col(vecCol))
+      .otherwise(raise_error(concat(
+        lit(s"pq fit: vector length != dim=$dim for $idCol="),
+        col(idCol).cast("string"))).cast(vecType))
     // one persist shared by all m training runs (each re-scans it)
     val src = CacheRegistry.track(
-      df.select(col(idCol), col(vecCol)).persist(
+      df.select(col(idCol), checked.as(vecCol)).persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val codebooks = (0 until m).map { s =>
       // lloydCentroids, not fitCentroids: the projection re-reads the
@@ -113,17 +122,21 @@ object Pq {
     * LUT as a broadcast array lookup instead, trading the exact
     * decimal literals for grid longs.
     */
-  def adcTopK(codes: DataFrame, idCol: String, codeCol: String,
-      model: Model, query: Array[Double], topK: Int): DataFrame = {
-    require(query.length == model.m * model.subDim,
-      s"query dim ${query.length} != model dim ${model.m * model.subDim}")
-    require(topK > 0, s"topK=$topK must be positive")
-    // DECIMAL(30,24), not (38,24): Spark widens an addition's precision
-    // by one per step, and at 38 it would RE-SCALE (losing the exact
-    // last digits); grid coords are < 10 so a subspace distance is
-    // < 400·subDim — six integer digits of headroom keep all m-1
-    // additions inside precision 38 with scale 24 intact, i.e. exact.
-    val dist = (0 until model.m).map { s =>
+  /** The exact ADC distance expression: `Σ_s lut_s(code_s)` as a sum
+    * of `m` DECIMAL(30,24) constants chosen by code. Shared by
+    * [[adcTopK]] (whole-corpus) and [[ivfAdcTopK]] (per-probed-cell
+    * residual LUTs).
+    *
+    * DECIMAL(30,24), not (38,24): Spark widens an addition's precision
+    * by one per step, and at 38 it would RE-SCALE (losing the exact
+    * last digits); grid coords are < 10 so a subspace distance is
+    * < 400·subDim — six integer digits of headroom keep all m-1
+    * additions inside precision 38 with scale 24 intact, i.e. exact.
+    * That headroom argument is exactly why callers require m ≤ 9.
+    */
+  private def adcDistExpr(codeCol: String, model: Model,
+      query: Array[Double]): Column =
+    (0 until model.m).map { s =>
       val qs = query.slice(s * model.subDim, (s + 1) * model.subDim)
       val c = col(codeCol).getItem(s)
       // fail FAST on a code outside this codebook (a codes table from
@@ -138,6 +151,28 @@ object Pq {
           .cast("decimal(30,24)")).otherwise(acc)
       }
     }.reduce(_ + _)
+
+  /** The exact-ranking contract only survives while every one of the
+    * m-1 DECIMAL additions stays inside precision 38 at scale 24 —
+    * true for m ≤ 9; at m ≥ 10 Spark would silently reduce the scale
+    * (rounding the last digits) and the documented engine-exact
+    * ranking would break WITHOUT error. Refuse loudly instead (the
+    * k ≤ 256 note on the LUT is the same boundary in the other
+    * dimension).
+    */
+  private def requireExactDecimalHeadroom(model: Model): Unit =
+    require(model.m <= 9,
+      s"m=${model.m} > 9 breaks the exact DECIMAL(30,24) ranking " +
+        "(precision-38 headroom allows at most 8 additions); compute " +
+        "the per-row sum on grid longs for larger m")
+
+  def adcTopK(codes: DataFrame, idCol: String, codeCol: String,
+      model: Model, query: Array[Double], topK: Int): DataFrame = {
+    require(query.length == model.m * model.subDim,
+      s"query dim ${query.length} != model dim ${model.m * model.subDim}")
+    require(topK > 0, s"topK=$topK must be positive")
+    requireExactDecimalHeadroom(model)
+    val dist = adcDistExpr(codeCol, model, query)
     val top = codes.select(col(idCol), dist.as("__adc"))
       .orderBy(col("__adc"), col(idCol))
       .limit(topK)
@@ -156,6 +191,12 @@ object Pq {
     * codes — so a query touches neither the full corpus nor any full
     * vector in the probed slice. Same exact-decimal ranking contract
     * as [[adcTopK]].
+    *
+    * This variant scores RAW-vector codes (one global codebook, no
+    * per-cell query work — the cheaper write/read path); the standard
+    * IVFADC, which encodes residuals against the coarse centroids and
+    * recovers measurable recall at equal code budget, is
+    * [[fitResiduals]]/[[ivfAdcTopK]].
     */
   def ivfPqTopK(
       assigned: DataFrame, idCol: String, vecCol: String,
@@ -166,4 +207,101 @@ object Pq {
         col("cell").isin(Ann.probeCells(centroids, query.toSeq, nprobe): _*)),
         vecCol, model),
       idCol, "code", model, query, topK)
+
+  // ------------------------------------------------- IVFADC (residuals)
+
+  /** The residual of each assigned vector against its coarse-cell
+    * centroid: `x − centroid(cell)`, per coordinate in double (both
+    * engines' IEEE-754 subtraction — deterministic, so the scale-12
+    * grid downstream sees identical operands). The centroid lookup is
+    * a broadcast map literal; under ANSI mode a cell id missing from
+    * `centroids` fails fast (MAP_KEY_DOES_NOT_EXIST) instead of
+    * nulling the residual.
+    */
+  private def residualExpr(vecCol: String, cellCol: String,
+      centroids: Seq[(Int, Seq[Double])]): Column = {
+    val centMap = map(centroids.flatMap { case (cid, c) =>
+      Seq(lit(cid), array(c.map(lit(_)): _*))
+    }: _*)
+    zip_with(col(vecCol).cast("array<double>"),
+      element_at(centMap, col(cellCol).cast("int")),
+      (x, c) => x - c)
+  }
+
+  /** Train PQ codebooks on coarse-cell RESIDUALS — the actual IVFADC
+    * of Jégou et al. (TPAMI 2011, §IV): the coarse quantizer explains
+    * the between-cell variance, so the product codebooks spend their
+    * k codewords on the (much smaller) within-cell displacement
+    * instead of re-encoding absolute position. At equal code budget
+    * this measurably improves recall over raw-vector codes (PqSpec
+    * pins the improvement on a planted-cluster fixture). Same
+    * determinism contract as [[fit]] — residual doubles feed the same
+    * decimal grid.
+    */
+  def fitResiduals(
+      assigned: DataFrame, idCol: String, vecCol: String, cellCol: String,
+      centroids: Seq[(Int, Seq[Double])], dim: Int,
+      m: Int, k: Int, iters: Int): Model =
+    fit(assigned.select(col(idCol),
+        residualExpr(vecCol, cellCol, centroids).as(vecCol)),
+      idCol, vecCol, dim, m, k, iters)
+
+  /** Encode each assigned vector's RESIDUAL as its `m` codeword ids —
+    * the IVFADC write path ([[fitResiduals]]' model).
+    */
+  def encodeResiduals(
+      assigned: DataFrame, vecCol: String, cellCol: String,
+      centroids: Seq[(Int, Seq[Double])], model: Model): DataFrame = {
+    val res = residualExpr(vecCol, cellCol, centroids)
+    assigned.withColumn("code", array((0 until model.m).map { s =>
+      graft.plans.GraftFunctions.gridArgmin(
+        slice(res, s * model.subDim + 1, model.subDim), model.codebooks(s))
+    }: _*))
+  }
+
+  /** The IVFADC read path (residual codes): route to the `nprobe`
+    * nearest cells, then rank by ADC where each probed cell `c` gets
+    * its OWN lookup table built from the query's residual against
+    * `centroid(c)` — `‖(q − c) − codeword‖²` per subspace, the
+    * query-residual LUT of Jégou et al. §IV.B. Rows carry their cell,
+    * so the per-row distance selects its cell's LUT by one `when`
+    * chain over the probed cells (nprobe · m · k decimal constants —
+    * bounded by the same k ≤ 256 / m ≤ 9 guidance as [[adcTopK]]).
+    * Same exact-decimal total-order contract: ties break on id, the
+    * ranking is engine-independent. Grid bound: the QUERY residual
+    * against every probed cell must also satisfy |coordinate| < 10
+    * (the scale-12 grid's domain) — true whenever query and centroids
+    * share the data's scale; fails fast in [[gridDist2]] otherwise.
+    */
+  def ivfAdcTopK(
+      assigned: DataFrame, idCol: String, vecCol: String, cellCol: String,
+      centroids: Seq[(Int, Seq[Double])], model: Model,
+      query: Array[Double], topK: Int, nprobe: Int): DataFrame = {
+    require(query.length == model.m * model.subDim,
+      s"query dim ${query.length} != model dim ${model.m * model.subDim}")
+    require(topK > 0, s"topK=$topK must be positive")
+    requireExactDecimalHeadroom(model)
+    val probes = Ann.probeCells(centroids, query.toSeq, nprobe)
+    val centById = centroids.toMap
+    val codes = encodeResiduals(
+      assigned.filter(col(cellCol).isin(probes: _*)),
+      vecCol, cellCol, centroids, model)
+    // a row can only reach here with a probed cell id (the filter
+    // above), so the fall-through arm is a loud invariant check
+    val badCell = raise_error(concat(
+      lit("ivfAdcTopK: unprobed cell reached scoring: "),
+      col(cellCol).cast("string"))).cast("decimal(30,24)")
+    val dist = probes.foldLeft(badCell) { (acc, cell) =>
+      val qres = query.indices.map(i => query(i) - centById(cell)(i)).toArray
+      when(col(cellCol) === cell, adcDistExpr("code", model, qres))
+        .otherwise(acc)
+    }
+    val top = codes.select(col(idCol), dist.as("__adc"))
+      .orderBy(col("__adc"), col(idCol))
+      .limit(topK)
+    top.withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("__adc"), col(idCol))).cast("long"))
+      .select(col("rank"), col(idCol))
+  }
 }
