@@ -14,7 +14,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *     → visible text                    TextAnalysis.htmlToText
   *     → exact dedup vs ALL prior text   dropDuplicates on fingerprint
   *     → BPE token ids (saved model)     Bpe.applyModel per micro-batch
-  *     → parquet (append)
+  *     → parquet (batchId-keyed overwrite — exactly-once on replay)
   * }}}
   *
   * Incrementality is carried by two pieces of checkpointed state: the
@@ -61,10 +61,19 @@ object CorpusStream {
 
   /** Run one drain of the full pipeline: whatever segments have landed
     * in `warcDir` and were not yet processed are parsed, deduped, and
-    * tokenized under the saved `model`, appending
-    * `(url, text, token_ids)` to `outDir` (`Trigger.AvailableNow` —
+    * tokenized under the saved `model`, writing
+    * `(url, text, token_ids)` under `outDir` (`Trigger.AvailableNow` —
     * call again after more segments land; the checkpoint carries both
     * discovery and dedup state across calls and restarts).
+    *
+    * Output is EXACTLY-ONCE by construction: each micro-batch
+    * OVERWRITES its own `batch_id=N` partition directory, so the
+    * at-least-once `foreachBatch` replay after a crash between the
+    * data write and the checkpoint commit rewrites the same rows into
+    * the same directory instead of appending duplicates (the standard
+    * batchId-keyed idempotent-sink recipe). Read the corpus with
+    * `spark.read.parquet(outDir)` — `batch_id` surfaces as a partition
+    * column.
     */
   def run(
       spark: SparkSession, warcDir: String, model: graft.operators.Bpe.Model,
@@ -75,16 +84,16 @@ object CorpusStream {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val docs = oneRowPerUrl(batch)
         // scope, not drain: the batch's own persists/cuts die with the
         // write, but the MODEL's materialized vocabulary must survive
         // into the next micro-batch (a global drain would truncate it)
         if (!docs.isEmpty) graft.operators.CacheRegistry.scope {
-          docs.join(
+          docs.select("url", "text").join(
               graft.operators.Bpe.applyModel(docs, "url", "text", model),
               Seq("url"), "left")
-            .write.mode("append").parquet(outDir)
+            .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
         }
       }
       .start()
@@ -101,7 +110,7 @@ object CorpusStream {
     graft.operators.Browse.keepFirst(
       batch.select("url", "text", "fp"), Seq("url"),
       org.apache.spark.sql.functions.col("fp").asc)
-      .select("url", "text")
+      .select("url", "text", "fp")
 
   /** [[run]] with a NEAR-duplicate gate behind the exact one: after
     * the checkpointed exact-fingerprint dedup, each drain's documents
@@ -110,12 +119,21 @@ object CorpusStream {
     * page with a small edit (date stamp, hit counter) whose exact
     * fingerprint changed no longer re-enters the corpus. The index is
     * plain parquet in `bandIndexDir` (`bands` longs per admitted doc,
-    * the state a 100 TB crawl can actually afford) and the drain
-    * appends the survivors' keys before writing their tokenized rows;
-    * a replayed drain re-admits identically because own-id keys never
-    * suppress ([[graft.operators.Dedup.incrementalLshDedup]]'s
-    * idempotence contract), so at-least-once `foreachBatch` semantics
-    * keep the admitted SET exact.
+    * the state a 100 TB crawl can actually afford).
+    *
+    * The gate is keyed by the CONTENT fingerprint (`fp`), not the url:
+    * a same-url edited re-crawl gets a NEW fp, so the old fp's index
+    * keys suppress it like any other near-dup (url-keyed, its own
+    * url's keys would exempt it and the gate's motivating case would
+    * never fire — only url-varying mirrors would be caught). Replay
+    * idempotence still holds: same content ⇒ same fp ⇒ own-id
+    * exemption re-admits identically
+    * ([[graft.operators.Dedup.incrementalLshDedup]]'s contract).
+    *
+    * Both writes are batchId-keyed OVERWRITES of their own
+    * `batch_id=N` partition directory, so a crash-replay rewrites the
+    * same rows instead of appending duplicates — the admitted set AND
+    * the stored rows (index and output) are exactly-once.
     */
   def runFuzzy(
       spark: SparkSession, warcDir: String, model: graft.operators.Bpe.Model,
@@ -127,37 +145,69 @@ object CorpusStream {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val docs = oneRowPerUrl(batch)
-        if (!docs.isEmpty) graft.operators.CacheRegistry.scope {
-          val novel = graft.operators.CacheRegistry.track(
-            graft.operators.Dedup.incrementalLshDedup(
-              docs, bandIndex(spark, bandIndexDir), "url", "text",
-              shingleN, k, bands).persist())
-          // index append FIRST: a crash between the writes replays the
-          // drain with these keys present, and own-id keys re-admit
-          graft.operators.Dedup
-            .lshBandKeys(novel, "url", "text", shingleN, k, bands)
-            .write.mode("append").parquet(bandIndexDir)
-          novel.join(
-              graft.operators.Bpe.applyModel(novel, "url", "text", model),
-              Seq("url"), "left")
-            .write.mode("append").parquet(outDir)
-        }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        fuzzyBatch(spark, model, outDir, bandIndexDir, shingleN, k,
+          bands)(batch, batchId)
       }
       .start()
 
-  /** The persisted band-key index relation — empty but correctly
-    * typed before the first drain has appended anything.
+  /** One [[runFuzzy]] micro-batch, factored out so the at-least-once
+    * replay contract is directly testable: executing this twice with
+    * the SAME batchId and data must leave index and output byte-wise
+    * identical (CorpusStreamSpec's crash-replay test does exactly
+    * that).
     */
-  private def bandIndex(spark: SparkSession, dir: String): DataFrame =
-    try spark.read.parquet(dir)
-    catch {
+  private[streaming] def fuzzyBatch(
+      spark: SparkSession, model: graft.operators.Bpe.Model,
+      outDir: String, bandIndexDir: String,
+      shingleN: Int, k: Int, bands: Int)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val docs = oneRowPerUrl(batch)
+    if (!docs.isEmpty) graft.operators.CacheRegistry.scope {
+      val novel = graft.operators.CacheRegistry.track(
+        graft.operators.Dedup.incrementalLshDedup(
+          docs, bandIndex(spark, bandIndexDir, batchId), "fp", "text",
+          shingleN, k, bands).persist())
+      // index write FIRST: a crash between the writes replays the
+      // drain against the same earlier-batch keys (the current
+      // batch's partition is excluded from the gate's read), and the
+      // overwrite makes the replayed write a rewrite, not an append
+      graft.operators.Dedup
+        .lshBandKeys(novel, "fp", "text", shingleN, k, bands)
+        .write.mode("overwrite")
+        .parquet(s"$bandIndexDir/batch_id=$batchId")
+      novel.select("url", "text").join(
+          graft.operators.Bpe.applyModel(novel, "url", "text", model),
+          Seq("url"), "left")
+        .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+    }
+  }
+
+  /** The persisted band-key index relation as batch `currentBatch`
+    * must see it: every EARLIER batch's keys, excluding the current
+    * batch's own partition. The exclusion does two jobs at once — on
+    * a crash-replay it reproduces the exact pre-crash gate input (so
+    * the replayed batch re-admits identically even though its own
+    * partition already holds keys), and it keeps the suppression
+    * join's scan disjoint from the partition the same batch is about
+    * to OVERWRITE (a lazy self-read of files the overwrite deletes is
+    * a FILE_NOT_EXIST at action time). Empty but correctly typed
+    * before the first drain has written anything.
+    */
+  private def bandIndex(spark: SparkSession, dir: String,
+      currentBatch: Long): DataFrame =
+    try {
+      val idx = spark.read.parquet(dir)
+      (if (idx.columns.contains("batch_id"))
+         idx.filter(col("batch_id") =!= lit(currentBatch))
+       else idx)
+        .select("fp", "band_id", "band_hash")
+    } catch {
       case _: org.apache.spark.sql.AnalysisException =>
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("url",
+            org.apache.spark.sql.types.StructField("fp",
               org.apache.spark.sql.types.StringType),
             org.apache.spark.sql.types.StructField("band_id",
               org.apache.spark.sql.types.IntegerType),

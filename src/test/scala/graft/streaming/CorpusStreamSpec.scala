@@ -129,6 +129,76 @@ class CorpusStreamSpec extends SparkSpec {
       s"near-dup re-crawl must be suppressed: ${urls()}")
     // the index grew by exactly the admitted doc's keys
     assert(spark.read.parquet(bidx.toString).count() == 32L)
+
+    // segment 3: the SAME url p/1 re-crawled with a small edit — a new
+    // exact fingerprint (passes dropDuplicates), and because the band
+    // index is keyed by CONTENT fingerprint (not url), p/1's old keys
+    // belong to a different fp and suppress the edit like any other
+    // near-dup (url-keyed, its own keys would have exempted it)
+    java.nio.file.Files.write(dir.resolve("seg-00003.warc.gz"),
+      WarcReader.write(Seq(
+        htmlRec(1, longText.split(" ").drop(1).mkString(" "))),
+        gzipPerRecord = true))
+    drain()
+    assert(urls() == Set("https://x.example/p/1", "https://x.example/p/3"),
+      s"same-url edited re-crawl must be suppressed: ${urls()}")
+    assert(spark.read.parquet(bidx.toString).count() == 32L)
+    assert(spark.read.parquet(out.toString).count() == 2L)
+    CacheRegistry.drain()
+  }
+
+  test("crash-replay idempotence: re-executing a micro-batch with the " +
+      "SAME batchId (foreachBatch's at-least-once contract) rewrites " +
+      "its batch_id partitions instead of appending duplicates — " +
+      "output AND band index stay exact, and a later batch still " +
+      "gates against the earlier keys") {
+    val session = spark
+    import session.implicits._
+    val out = java.nio.file.Files.createTempDirectory("replay-out")
+    val bidx = java.nio.file.Files.createTempDirectory("replay-bidx")
+    val model = Bpe.learnMerges(
+      Seq("abab abab bc cc ab", "bc bc abab cc a b c").toDF("text"),
+      "text", numMerges = 4)
+    val longText = (1 to 20).map(k => s"ab token$k").mkString(" ")
+    val otherText = (1 to 20).map(k => s"cc other$k").mkString(" ")
+    def docsDf(rows: (String, String)*) =
+      rows.toSeq.toDF("url", "text").withColumn("fp",
+        graft.operators.TextAnalysis.fingerprint(col("text")))
+    def exec(batch: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      CorpusStream.fuzzyBatch(spark, model, out.toString, bidx.toString,
+        3, 64, 16)(batch, id)
+    def snapshot(): (Seq[(String, String)], Long) = (
+      spark.read.parquet(out.toString).collect()
+        .map(r => (r.getAs[String]("url"),
+          r.getAs[scala.collection.Seq[Int]]("token_ids").mkString(",")))
+        .sortBy(x => (x._1, x._2)).toSeq,
+      spark.read.parquet(bidx.toString).count())
+
+    val b0 = docsDf("https://x.example/p/1" -> longText,
+      "https://x.example/p/2" -> otherText)
+    exec(b0, 0L)
+    val (rows0, idx0) = snapshot()
+    assert(rows0.map(_._1).toSet ==
+      Set("https://x.example/p/1", "https://x.example/p/2") && idx0 == 32L)
+    // the crash window: index and output writes landed, the commit did
+    // not — foreachBatch re-executes with the same batchId and data
+    exec(b0, 0L)
+    val (rows1, idx1) = snapshot()
+    assert(rows1 == rows0,
+      s"replay must not duplicate or change rows:\n$rows1\nvs\n$rows0")
+    assert(idx1 == idx0, "replay must not grow the band index")
+    // and a LATER batch still sees batch 0's keys: a near-dup of p/1
+    // is suppressed, a novel doc lands in its own partition
+    val b1 = docsDf(
+      "https://x.example/p/9" ->
+        longText.split(" ").dropRight(1).mkString(" "),
+      "https://x.example/p/3" -> (1 to 20).map(k => s"bc new$k")
+        .mkString(" "))
+    exec(b1, 1L)
+    val (rows2, idx2) = snapshot()
+    assert(rows2.map(_._1).toSet == Set("https://x.example/p/1",
+      "https://x.example/p/2", "https://x.example/p/3"), s"$rows2")
+    assert(idx2 == 48L)
     CacheRegistry.drain()
   }
 
