@@ -189,9 +189,11 @@ object Dedup {
     * so short — even empty — docs still compare exactly.
     *
     * Scale shape: pair generation is [[prefixJaccardPairs]] over the
-    * batch∪corpus union — AllPairs prefix filtering + length filter,
-    * no all-pairs join — and the suppression rule is two id equi-joins
-    * on the (small) pair relation. At a 100 TB index, point the union's
+    * batch∪corpus union with the candidate join RESTRICTED to pairs
+    * touching a batch id (`probeIds`) — corpus×corpus bucket pairs,
+    * which both suppression branches would discard anyway, are never
+    * generated or verified, so the dominant per-batch cost follows the
+    * batch size, not the corpus. At a 100 TB index, point the union's
     * corpus side at the materialized shingle-set/index table rather
     * than re-shingling the raw corpus each batch.
     */
@@ -201,15 +203,15 @@ object Dedup {
       broadcastSets: Option[Boolean] = None): DataFrame = {
     val u = batch.select(col(idCol), col(textCol))
       .unionByName(corpus.select(col(idCol), col(textCol)))
+    val batchIds = batch.select(col(idCol)).distinct()
+    val corpusIds = corpus.select(col(idCol)).distinct()
     // persisted: the pair relation feeds BOTH suppression branches —
     // unpersisted, each branch re-runs the whole AllPairs prefix join
     // (sf0.1: 11.6 s unpersisted in the catalog; 2.4 s probe floor
     // with the persist)
     val pairs = CacheRegistry.track(
       prefixJaccardPairs(u, idCol, textCol, shingleN, threshold,
-        broadcastSets).persist())
-    val batchIds = batch.select(col(idCol)).distinct()
-    val corpusIds = corpus.select(col(idCol)).distinct()
+        broadcastSets, probeIds = Some(batchIds)).persist())
     // pairs are (id_a < id_b): the id_b side of ANY pair is suppressed
     // when it is a batch doc (its partner is either corpus, or a
     // lower-id batch doc); the id_a side only when the partner is corpus
@@ -852,11 +854,23 @@ object Dedup {
     * each on the shingle hash; bucket sizes in the candidate join are
     * bounded by per-shingle prefix frequency, which the global order keeps
     * small (a stop-word shingle is in almost no prefixes).
+    *
+    * `probeIds` (one `idCol` column) restricts the output to pairs
+    * TOUCHING a probe id: the candidate equi-join's left side is
+    * semi-joined to the probes BEFORE pairing, so probe-free
+    * (e.g. corpus×corpus) bucket pairs are never generated — the
+    * incremental formulation's lever ([[incrementalJaccardDedup]]),
+    * where candidate cost must follow the batch, not the corpus.
+    * Prefixes, frequencies, and verification still use the FULL input
+    * (the prefix-filtering lemma needs the global rarity order), and
+    * for the touching pairs the output is identical to the
+    * unrestricted call (spec-pinned).
     */
   def prefixJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int, threshold: Double,
-      broadcastSets: Option[Boolean] = None): DataFrame = {
+      broadcastSets: Option[Boolean] = None,
+      probeIds: Option[DataFrame] = None): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold=$threshold must be in (0,1]")
     val doBroadcast = broadcastSets.getOrElse(autoBroadcastSets(df))
     // shingling via [[shingleRows]] (no interpreted lambdas); hash the
@@ -896,15 +910,36 @@ object Dedup {
           (col("sz") - ceil(col("sz") * threshold - 1e-9) + 1).cast("int")))
           .as("pref"))
       .select(col(idCol), col("pref.h").as("h"), col("sz"))
-    val pa = ranked.select(col(idCol).as("id_a"), col("h"), col("sz").as("sz_a"))
-    val pb = ranked.select(col(idCol).as("id_b"), col("h"), col("sz").as("sz_b"))
-    val candidates = pa.join(pb, Seq("h"))
-      .filter(col("id_a") < col("id_b"))
-      // length filter: min size >= t*max size is necessary for J >= t
-      // (same epsilon guard: never prune on a float rounding artifact)
-      .filter(col("sz_b") >= ceil(col("sz_a") * threshold - 1e-9) &&
-        col("sz_a") >= ceil(col("sz_b") * threshold - 1e-9))
-      .select("id_a", "id_b").distinct()
+    // length filter: min size >= t*max size is necessary for J >= t
+    // (same epsilon guard: never prune on a float rounding artifact)
+    val candidates = probeIds match {
+      case None =>
+        val pa = ranked.select(col(idCol).as("id_a"), col("h"),
+          col("sz").as("sz_a"))
+        val pb = ranked.select(col(idCol).as("id_b"), col("h"),
+          col("sz").as("sz_b"))
+        pa.join(pb, Seq("h"))
+          .filter(col("id_a") < col("id_b"))
+          .filter(col("sz_b") >= ceil(col("sz_a") * threshold - 1e-9) &&
+            col("sz_a") >= ceil(col("sz_b") * threshold - 1e-9))
+          .select("id_a", "id_b").distinct()
+      case Some(probe) =>
+        // probe side × full side: every pair touching a probe appears
+        // (both orientations when both sides are probes — the distinct
+        // folds them); probe-free bucket pairs never materialize
+        val pp = ranked
+          .join(probe.select(col(idCol)), Seq(idCol), "left_semi")
+          .select(col(idCol).as("__pid"), col("h"), col("sz").as("sz_p"))
+        val po = ranked.select(col(idCol).as("__oid"), col("h"),
+          col("sz").as("sz_o"))
+        pp.join(po, Seq("h"))
+          .filter(col("__pid") =!= col("__oid"))
+          .filter(col("sz_o") >= ceil(col("sz_p") * threshold - 1e-9) &&
+            col("sz_p") >= ceil(col("sz_o") * threshold - 1e-9))
+          .select(least(col("__pid"), col("__oid")).as("id_a"),
+            greatest(col("__pid"), col("__oid")).as("id_b"))
+          .distinct()
+    }
     // verify: attach the per-doc shingle arrays to both sides of the
     // candidate list and intersect natively — candidate-count × O(|set|)
     // work, no 10M-row three-way join. Broadcast when the corpus fits the

@@ -522,6 +522,37 @@ class DedupSpec extends SparkSpec {
     CacheRegistry.drain()
   }
 
+  test("prefixJaccardPairs with probeIds equals the unrestricted pair " +
+      "relation filtered to probe-touching pairs — same jaccard values, " +
+      "no probe-free pair ever emitted") {
+    import spark.implicits._
+    def words(tag: String) = (1 to 15).map(k => s"$tag word$k").mkString(" ")
+    // clone families so near-dup pairs exist within AND across the
+    // probe/non-probe split
+    val df = (1L to 40L).map { i =>
+      val fam = i % 5
+      (i, words(s"fam$fam").split(" ").dropRight((i % 3).toInt)
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val probe = df.filter($"doc_id" % 4 === 0).select("doc_id")
+    val probeSet = probe.collect().map(_.getLong(0)).toSet
+    def collectPairs(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+    val full = collectPairs(Dedup.prefixJaccardPairs(
+      df, "doc_id", "text", shingleN = 3, threshold = 0.6))
+    val probed = collectPairs(Dedup.prefixJaccardPairs(
+      df, "doc_id", "text", shingleN = 3, threshold = 0.6,
+      probeIds = Some(probe)))
+    val want = full.filter { case (a, b, _) =>
+      probeSet(a) || probeSet(b) }
+    assert(probed == want,
+      s"missing=${(want -- probed).take(5)} extra=${(probed -- want).take(5)}")
+    // the fixture really exercises both sides of the restriction
+    assert(want.nonEmpty && (full -- want).nonEmpty)
+    CacheRegistry.drain()
+  }
+
   test("editDistancePairs on a degenerate duplicate-heavy population " +
       "(identical-string cliques of empty/1-char titles) stays EXACT and " +
       "bounded: cliques collapse to representatives before both tiers") {
