@@ -2929,5 +2929,39 @@ object OracleSql {
         |  FROM dist)
         |SELECT CAST(rank AS BIGINT) AS rank, vec_id FROM top
         |WHERE rank <= 10 ORDER BY rank""".stripMargin),
+
+    // q129: span-anchored audio tier — the q110 shape, but the hash
+    // rule is the SPAN fixture's closed form (pinned 200-amp
+    // delimiter bands: bit 0 never set, bits 1-62 the q110 rule,
+    // bit 63 rises into the trailing delimiter unless band 63 is
+    // itself 200). Leading silence never enters the arithmetic at
+    // all — that absence IS the trim-invariance being checked.
+    "q129_audio_span_pairs" ->
+      """WITH assets AS (
+        |  SELECT doc_id AS asset_id, doc_id AS id FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, doc_id FROM documents
+        |  WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, doc_id FROM documents
+        |  WHERE doc_id % 11 = 0),
+        |bits AS (
+        |  SELECT asset_id,
+        |    CAST(SUM(CASE WHEN
+        |        CASE WHEN w = 0 THEN FALSE
+        |             WHEN w = 63 THEN (id * 31 + 1071) % 200 < 199
+        |             ELSE (id * 31 + w * 17) % 200 < 183 END
+        |      THEN CASE WHEN w = 63
+        |        THEN (-9223372036854775807 - 1)
+        |        ELSE (1::BIGINT << w) END
+        |      ELSE 0 END) AS BIGINT) AS ahash
+        |  FROM assets, range(0, 64) t(w)
+        |  GROUP BY asset_id),
+        |pairs AS (
+        |  SELECT x.asset_id AS id_a, y.asset_id AS id_b,
+        |    CAST(bit_count(xor(x.ahash, y.ahash)) AS BIGINT) AS hamming
+        |  FROM bits x JOIN bits y ON x.asset_id < y.asset_id)
+        |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
   )
 }

@@ -1456,6 +1456,47 @@ object SparkEntry {
         maxHamming = 3)
       .orderBy("id_a", "id_b")
 
+  /** TRIM-robust perceptual audio pairs
+    * ([[graft.operators.Multimodal.ahashAudioSpan]] → pigeonhole
+    * Hamming pairs): span-delimited synthetic WAVs
+    * ([[graft.operators.Multimodal.syntheticSpanWav]]) where every
+    * original carries `id % 4` bands of LEADING SILENCE, a re-gained
+    * TRIMMED re-upload (silence removed, gain ×8) is planted on every
+    * doc_id % 7 == 0 and a resampled differently-trimmed variant on
+    * every doc_id % 11 == 0 — the exact edits [[graft.operators
+    * .Multimodal.ahashAudio]]'s container-anchored grid is blind to
+    * (q110's documented limit, closed here): the half-max loud span
+    * excludes the silence, so every planted pair surfaces at
+    * Hamming 0. The oracle computes each asset's 64-bit hash
+    * arithmetically from the span fixture's closed form (bit 0 never
+    * set — nothing rises above the leading delimiter; the q110 rule
+    * for bits 1–62; `(id·31 + 1071) % 200 < 199` for bit 63) and
+    * brute-force-pairs them — silence never appears in the oracle's
+    * arithmetic because the span never sees it.
+    */
+  private def q129(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val assets = docs(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        def asset(aid: Long, wav: Array[Byte]) =
+          Multimodal.Asset(aid, wav, "audio/wav", wav.length.toLong)
+        Iterator(asset(id, Multimodal.syntheticSpanWav(id,
+          silenceBands = (id % 4).toInt))) ++
+          (if (id % 7 == 0)
+            Iterator(asset(id + 1000000L,
+              Multimodal.syntheticSpanWav(id, gainShift = 3)))
+          else Iterator.empty) ++
+          (if (id % 11 == 0)
+            Iterator(asset(id + 2000000L,
+              Multimodal.syntheticSpanWav(id, rateStep = 1,
+                silenceBands = 2)))
+          else Iterator.empty)
+      })
+    Multimodal.audioNearDupPairs(
+        Multimodal.ahashAudioSpan(assets).toDF(), maxHamming = 3)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Perceptual near-duplicate VIDEO resolution — the full composed
     * chain ([[graft.operators.Multimodal.sampleAviFrames]] →
     * [[graft.operators.Multimodal.dhashVideoFrames]] →
@@ -2278,6 +2319,7 @@ object SparkEntry {
     "q126_edit_distance_clusters" -> (q126(_, _)),
     "q127_bpe_bytes_roundtrip" -> (q127(_, _)),
     "q128_ivfadc_topk" -> (q128(_, _)),
+    "q129_audio_span_pairs" -> (q129(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

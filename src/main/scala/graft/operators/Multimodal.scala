@@ -613,7 +613,10 @@ object Multimodal {
     *    not payload bytes.
     *
     * It does NOT survive trimming or time-shifts (content moves across
-    * the window grid — the audio analog of dHash's crop blindness).
+    * the window grid — the audio analog of dHash's crop blindness);
+    * [[ahashAudioSpan]] closes the commonest case (leading/trailing
+    * silence or quiet-edge edits) by anchoring the same grid to the
+    * signal's half-max loud span.
     * When neighboring windows have EQUAL sample counts (always true
     * when `n % 65 == 0`, the synthetic-fixture shape) the comparison is
     * pure Long integer ordering, which is what makes the hash
@@ -719,6 +722,155 @@ object Multimodal {
     while (i < frames) {
       val w = i / L
       val amp = (((id * 31 + w * 17) % 200 + 1) << gainShift).toInt
+      val s = if (i % 2 == 0) amp else -amp
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      8000f * (1 + rateStep), 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** TRIM-ROBUST perceptual audio hash — [[ahashAudio]] with the
+    * window grid anchored to the signal's LOUD SPAN instead of the
+    * container boundaries, closing the documented trim/shift blindness
+    * for the commonest real-world case (a re-upload with leading or
+    * trailing silence / quiet intro removed or added): the 65-window
+    * energy-delta grid runs over `[firstLoud, lastLoud]`, where a
+    * sample is loud when `|s| ≥ ceil(maxAmp/2)` (half the stream's
+    * peak — a RELATIVE threshold, so re-gains move it in lockstep and
+    * the span is gain-invariant; integer arithmetic throughout).
+    * Everything outside the span — however long — never touches the
+    * hash, so `hash(silence ++ x) == hash(x)` EXACTLY.
+    *
+    * Inherited invariances (same argument as [[ahashAudio]]): gain
+    * (energies scale by the square, span endpoints scale with the
+    * threshold), resample (relative span positions and window regions
+    * are rate-free), re-encode/re-container (reads decoded PCM).
+    * Honest limits: an edit INSIDE the loud span still shifts the
+    * grid (that is content change, not trimming), and a recording
+    * whose onset is quieter than half its global peak anchors on the
+    * later loud part — the half-max anchor trades a sharp, arithmetic,
+    * oracle-replicable span for onset-detection heuristics. Streams
+    * with no sample at/above threshold (pure silence) or a span
+    * shorter than 65 samples are dropped, the [[decodeWavs]]
+    * corrupt-asset convention.
+    *
+    * Scale shape: identical to [[ahashAudio]] — one map-side pass per
+    * asset (two scans of the PCM: peak+span, then windows); pair
+    * finding reuses [[audioNearDupPairs]] / [[perceptualDupClusters]]
+    * on the emitted `ahash` column.
+    */
+  def ahashAudioSpan(assets: Dataset[Asset]): Dataset[AudioAHash] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.flatMap { a =>
+        try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.BufferedInputStream(
+              new java.io.ByteArrayInputStream(a.payload)))
+          try {
+            val fmt = in.getFormat
+            if (fmt.getSampleSizeInBits != 16) None
+            else {
+              val bytes = in.readAllBytes()
+              val bigEndian = fmt.isBigEndian
+              val n = bytes.length / 2
+              def sample(i: Int): Int = {
+                val o = 2 * i
+                val s =
+                  if (bigEndian)
+                    ((bytes(o) << 8) | (bytes(o + 1) & 0xff)).toShort
+                  else ((bytes(o + 1) << 8) | (bytes(o) & 0xff)).toShort
+                s.toInt
+              }
+              // pass 1: peak, then the half-max loud span
+              var maxAmp = 0
+              var i = 0
+              while (i < n) {
+                val v = math.abs(sample(i))
+                if (v > maxAmp) maxAmp = v
+                i += 1
+              }
+              if (maxAmp == 0) None
+              else {
+                val thr = (maxAmp + 1) / 2
+                var first = 0
+                while (first < n && math.abs(sample(first)) < thr) first += 1
+                var last = n - 1
+                while (last >= 0 && math.abs(sample(last)) < thr) last -= 1
+                val m = last - first + 1
+                if (m < 65) None
+                else {
+                  // pass 2: the ahashAudio grid over the span only
+                  val sumSq = new Array[Long](65)
+                  val cnt = new Array[Long](65)
+                  var j = 0
+                  while (j < m) {
+                    val s = sample(first + j).toLong
+                    val w = (j.toLong * 65 / m).toInt
+                    sumSq(w) += s * s
+                    cnt(w) += 1
+                    j += 1
+                  }
+                  var hash = 0L
+                  var w = 0
+                  while (w < 64) {
+                    val rises =
+                      if (cnt(w) == cnt(w + 1)) sumSq(w + 1) > sumSq(w)
+                      else sumSq(w + 1).toDouble / cnt(w + 1) >
+                        sumSq(w).toDouble / cnt(w)
+                    if (rises) hash |= 1L << w
+                    w += 1
+                  }
+                  Some(AudioAHash(a.asset_id, hash))
+                }
+              }
+            }
+          } finally in.close()
+        } catch { case _: Exception => None }
+      }
+    }
+  }
+
+  /** [[syntheticBandWav]]'s trim-fixture twin for the span-anchored
+    * tier: bands 0 and 64 are pinned at the MAX amplitude 200 (loud
+    * delimiters), inner bands follow the same `(id·31 + w·17) % 200 + 1`
+    * profile, and `silenceBands` zero-amplitude bands are PREPENDED.
+    * With the delimiters pinned, [[ahashAudioSpan]]'s half-max span is
+    * exactly the 65 content bands (threshold `100·2^gainShift`; band 0
+    * and 64 always reach it), every window lands on one band, and the
+    * hash is closed-form in the id alone — `bit(0) = 0` (nothing tops
+    * the leading delimiter), `bit(w) = (id·31 + w·17) % 200 < 183` for
+    * `w ∈ [1, 62]` (the q110 rule), `bit(63) = (id·31 + 63·17) % 200 <
+    * 199` (everything but a 200-amp band 63 rises into the trailing
+    * delimiter) — independent of `gainShift`, `rateStep` AND
+    * `silenceBands`. That last independence is the trim robustness the
+    * tier exists for, arithmetically checkable by the DuckDB oracle.
+    */
+  def syntheticSpanWav(
+      id: Long, gainShift: Int = 0, rateStep: Int = 0,
+      silenceBands: Int = 0): Array[Byte] = {
+    require(gainShift >= 0 && gainShift <= 5,
+      s"gainShift=$gainShift must be in [0, 5] to stay inside 16 bits")
+    require(rateStep >= 0, s"rateStep=$rateStep must be non-negative")
+    require(silenceBands >= 0,
+      s"silenceBands=$silenceBands must be non-negative")
+    val L = (2 + (id % 3).toInt) * (1 + rateStep)
+    val frames = (65 + silenceBands) * L
+    val data = new Array[Byte](frames * 2)
+    var i = silenceBands * L // leading silence stays zero-filled
+    while (i < frames) {
+      val w = i / L - silenceBands
+      val base =
+        if (w == 0 || w == 64) 200L else (id * 31 + w * 17) % 200 + 1
+      val amp = (base << gainShift).toInt
       val s = if (i % 2 == 0) amp else -amp
       data(2 * i) = (s & 0xff).toByte
       data(2 * i + 1) = ((s >> 8) & 0xff).toByte

@@ -516,6 +516,97 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L), (1L, 3L), (2L, 3L)), pairs.toSeq)
   }
 
+  /** The SPAN fixture's closed-form hash (syntheticSpanWav doc): pinned
+    * 200-amp delimiter bands ⇒ bit 0 never set, bits 1-62 the band
+    * rule, bit 63 rises into the trailing delimiter unless band 63 is
+    * itself at 200.
+    */
+  private def refSpanAudioHash(id: Long): Long = {
+    var hash = 0L
+    for (w <- 1 until 63)
+      if ((id * 31 + w * 17) % 200 < 183) hash |= 1L << w
+    if ((id * 31 + 63 * 17) % 200 < 199) hash |= 1L << 63
+    hash
+  }
+
+  test("ahashAudioSpan: TRIM-invariant — leading silence of any length " +
+      "never changes the hash (closed form holds), gain/resample " +
+      "invariance carries over, and the container-anchored ahashAudio " +
+      "really is blind to the same trim (the gap being closed)") {
+    val session = spark
+    import session.implicits._
+    val ids = (0L until 12L)
+    val assets = ids.flatMap { id =>
+      def a(aid: Long, p: Array[Byte]) =
+        Multimodal.Asset(aid, p, "audio/wav", p.length.toLong)
+      Seq(
+        a(id, Multimodal.syntheticSpanWav(id)),
+        // the trimmed-re-upload relation: original carries silence,
+        // variant none — plus gain and resample on top
+        a(id + 100L, Multimodal.syntheticSpanWav(id, silenceBands = 5)),
+        a(id + 200L, Multimodal.syntheticSpanWav(id, gainShift = 3,
+          silenceBands = 2)),
+        a(id + 300L, Multimodal.syntheticSpanWav(id, rateStep = 1,
+          silenceBands = 7)))
+    }.toDS()
+    val got = Multimodal.ahashAudioSpan(assets).collect()
+      .map(h => h.asset_id -> h.ahash).toMap
+    assert(got.size == 48)
+    for (id <- ids) {
+      val want = refSpanAudioHash(id)
+      assert(got(id) == want, s"id=$id base hash vs closed form")
+      assert(got(id + 100L) == want, s"id=$id silence-trim diverged")
+      assert(got(id + 200L) == want, s"id=$id gain+trim diverged")
+      assert(got(id + 300L) == want, s"id=$id resample+trim diverged")
+    }
+    assert(ids.map(got).distinct.size > 1)
+    // the OLD container-anchored tier is genuinely blind to this edit:
+    // silence shifts its window grid, so the same pair diverges there
+    val oldTier = Multimodal.ahashAudio(assets).collect()
+      .map(h => h.asset_id -> h.ahash).toMap
+    assert(ids.exists(id => oldTier(id) != oldTier(id + 100L)),
+      "expected ahashAudio to differ on at least one silence-trim pair")
+    // and the planted trimmed pairs surface through the pigeonhole
+    val pairs = Multimodal.audioNearDupPairs(
+        Multimodal.ahashAudioSpan(assets.filter(a =>
+          a.asset_id == 3L || a.asset_id == 103L)).toDF(),
+        maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs == Seq((3L, 103L)), pairs)
+  }
+
+  test("ahashAudioSpan: non-fixture sanity — pure silence drops, a " +
+      "sub-65-sample loud span drops, and arbitrary PCM survives its " +
+      "own silence-padding round trip") {
+    val session = spark
+    import session.implicits._
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(1300)((rnd.nextInt(8000) - 4000).toShort)
+    val padded = Array.fill(400)(0.toShort) ++ base ++
+      Array.fill(250)(0.toShort)
+    // quiet padding BELOW half-max (not exact silence) must also stay
+    // outside the span: pad with values under maxAmp/2
+    val maxAmp = base.map(s => math.abs(s.toInt)).max
+    val quiet = Array.fill(300)(((maxAmp + 1) / 2 - 1).toShort)
+    val quietPadded = quiet ++ base ++ quiet
+    val assets = Seq(
+      Multimodal.Asset(1L, wavOf(base), "audio/wav", 0L),
+      Multimodal.Asset(2L, wavOf(padded), "audio/wav", 0L),
+      Multimodal.Asset(3L, wavOf(quietPadded), "audio/wav", 0L),
+      // pure silence: no sample reaches any threshold — drop
+      Multimodal.Asset(8L, wavOf(Array.fill(500)(0.toShort)), "audio/wav", 0L),
+      // loud span of 1 sample inside quiet: span < 65 — drop
+      Multimodal.Asset(9L, wavOf(
+        Array.fill(100)(10.toShort) ++ Array(32000.toShort) ++
+          Array.fill(100)(10.toShort)), "audio/wav", 0L)
+    ).toDS()
+    val hashes = Multimodal.ahashAudioSpan(assets).collect()
+      .map(h => h.asset_id -> h.ahash).toMap
+    assert(hashes.keySet == Set(1L, 2L, 3L))
+    assert(hashes(1L) == hashes(2L), "silence padding changed the hash")
+    assert(hashes(1L) == hashes(3L), "sub-threshold padding changed the hash")
+  }
+
   test("audio perceptualDupClusters equals the brute-force transitive " +
       "closure, with the degenerate constant-signal (hash 0) family " +
       "collapsed before pairing") {
