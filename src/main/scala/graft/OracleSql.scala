@@ -2963,5 +2963,72 @@ object OracleSql {
         |  FROM bits x JOIN bits y ON x.asset_id < y.asset_id)
         |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // q130: hash-keyed Efraimidis-Spirakis — the oracle enumerates the
+    // w hash draws per document (Spark keeps them inside one array_min
+    // projection; row-explosion here is the oracle's shape, not the
+    // engine's), takes the per-doc min, and ranks the global top-60.
+    "q130_weighted_sample" ->
+      """WITH w AS (
+        |  SELECT doc_id, doc_id % 7 + 1 AS wt FROM documents),
+        |keys AS (
+        |  SELECT doc_id, min(md5('11:' || CAST(doc_id AS VARCHAR) ||
+        |    ':' || CAST(j AS VARCHAR))) AS wkey
+        |  FROM (SELECT doc_id, unnest(range(1, wt + 1)) AS j FROM w)
+        |  GROUP BY doc_id),
+        |top AS (
+        |  SELECT doc_id, wkey,
+        |    row_number() OVER (ORDER BY wkey, doc_id) AS rank
+        |  FROM keys)
+        |SELECT CAST(rank AS BIGINT) AS rank, doc_id,
+        |  CAST(doc_id % 7 + 1 AS BIGINT) AS wt
+        |FROM top WHERE rank <= 60 ORDER BY rank""".stripMargin,
+
+    // q131: q111's closed-form frame-hash arithmetic, but per-frame
+    // hashes materialize first so the DEGENERATE-frame exclusion
+    // (hash exactly 0) is replayed faithfully, and the majority runs
+    // over the surviving content frames. The planted intro/outro
+    // padding never appears in the arithmetic — that absence is the
+    // robustness being checked.
+    "q131_video_content_sigs" ->
+      """WITH assets AS (
+        |  SELECT doc_id AS asset_id, doc_id AS id FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, doc_id FROM documents
+        |  WHERE doc_id % 9 = 0),
+        |frames AS (
+        |  SELECT asset_id, id, f.f AS f
+        |  FROM assets, range(0, 7) f(f) WHERE f.f < 3 + id % 4),
+        |fh AS (
+        |  SELECT asset_id, id, f,
+        |    CAST(SUM(CASE WHEN
+        |        (id * 31 + f * 53 + i.i * 97 + r.r * 57) % 200 < 103
+        |      THEN CASE WHEN r.r * 8 + i.i = 63
+        |        THEN (-9223372036854775807 - 1)
+        |        ELSE (1::BIGINT << (r.r * 8 + i.i)) END
+        |      ELSE 0 END) AS BIGINT) AS h
+        |  FROM frames, range(0, 8) r(r), range(0, 8) i(i)
+        |  GROUP BY asset_id, id, f),
+        |content AS (SELECT * FROM fh WHERE h <> 0),
+        |nf AS (
+        |  SELECT asset_id, CAST(count(*) AS BIGINT) AS n_frames
+        |  FROM content GROUP BY asset_id),
+        |fb AS (
+        |  SELECT c.asset_id, r.r * 8 + i.i AS b,
+        |    CASE WHEN 2 * SUM(CASE WHEN
+        |        (c.id * 31 + c.f * 53 + i.i * 97 + r.r * 57) % 200 < 103
+        |      THEN 1 ELSE 0 END) > COUNT(*) THEN 1 ELSE 0 END AS mb
+        |  FROM content c, range(0, 8) r(r), range(0, 8) i(i)
+        |  GROUP BY c.asset_id, r.r, i.i),
+        |sigs AS (
+        |  SELECT asset_id,
+        |    CAST(SUM(CASE WHEN mb = 1
+        |      THEN CASE WHEN b = 63 THEN (-9223372036854775807 - 1)
+        |        ELSE (1::BIGINT << b) END
+        |      ELSE 0 END) AS BIGINT) AS vhash
+        |  FROM fb GROUP BY asset_id)
+        |SELECT s.asset_id, nf.n_frames, s.vhash
+        |FROM sigs s JOIN nf USING (asset_id)
+        |ORDER BY s.asset_id""".stripMargin,
   )
 }

@@ -1767,6 +1767,55 @@ object SparkEntry {
     } finally s.conf.unset(graft.operators.Bpe.OovModeConf)
   }
 
+  /** INTRO/OUTRO-robust video signatures
+    * ([[graft.operators.Multimodal.videoContentSignatures]]): q111's
+    * banded AVIs, with a re-edited upload planted on every
+    * doc_id % 9 == 0 — the same footage wrapped in 2 solid intro
+    * frames and 1 solid outro frame, plus a brightness shift (the
+    * title-card-and-fade re-edit every exact fingerprint AND the
+    * plain majority fold miss: padding frames shift its majority).
+    * Degenerate frames hash to exactly 0 and are excluded before the
+    * fold, so the variant's signature AND content-frame count equal
+    * the original's — the hash compare proves it row-by-row, because
+    * the oracle's closed-form arithmetic (q111's majority rule) never
+    * mentions the padding at all.
+    */
+  private def q131(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val assets = docs(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        def asset(aid: Long, avi: Array[Byte]) =
+          Multimodal.Asset(aid, avi, "video/avi", avi.length.toLong)
+        Iterator(asset(id, Multimodal.syntheticBandAvi(id))) ++
+          (if (id % 9 == 0)
+            Iterator(asset(id + 1000000L,
+              Multimodal.syntheticBandAvi(id, brightness = 25,
+                introFrames = 2, outroFrames = 1)))
+          else Iterator.empty)
+      })
+    Multimodal.videoContentSignatures(
+        Multimodal.dhashVideoFrames(
+          Multimodal.sampleAviFrames(assets, everyNth = 1)).toDF())
+      .select(col("asset_id"), col("n_frames"), col("vhash"))
+      .orderBy("asset_id")
+  }
+
+  /** Deterministic weighted sample without replacement
+    * ([[graft.operators.Sampling.weightedSample]], hash-keyed
+    * Efraimidis-Spirakis): weights `doc_id % 7 + 1`, k = 60, seed 11.
+    * The oracle replays the min-of-w-hashes key per document
+    * (`min_{j=1..w} md5('11:' || doc_id || ':' || j)`) and takes the
+    * same top-60 — the two engines must agree on every draw, every
+    * min, and the final ranking.
+    */
+  private def q130(s: SparkSession, d: String): DataFrame =
+    Sampling.weightedSample(
+        docs(s, d).select(col("doc_id"),
+          (col("doc_id") % 7 + 1).as("wt")),
+        "doc_id", "wt", k = 60, seed = 11L)
+      .select(col("rank"), col("doc_id"), col("wt").cast("long").as("wt"))
+      .orderBy("rank")
+
   /** Deterministic global shuffle
     * ([[graft.operators.Sampling.deterministicShuffle]]): the
     * seed-keyed training-order permutation of the corpus — dense
@@ -2320,6 +2369,8 @@ object SparkEntry {
     "q127_bpe_bytes_roundtrip" -> (q127(_, _)),
     "q128_ivfadc_topk" -> (q128(_, _)),
     "q129_audio_span_pairs" -> (q129(_, _)),
+    "q130_weighted_sample" -> (q130(_, _)),
+    "q131_video_content_sigs" -> (q131(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

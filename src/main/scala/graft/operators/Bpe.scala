@@ -510,11 +510,20 @@ object Bpe {
     model.symbolRows.toDF("sym", "id")
   }
 
+  /** Test-visible count of [[deriveSymbolRows]] executions — the memo
+    * contract ("one derivation job per model, ever") is pinned by
+    * specs (BpeSpec's listener test, CorpusStreamSpec's two-drain
+    * test) against this counter.
+    */
+  private[graft] val symbolDerivations =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
   /** The one derivation job behind [[Model.symbolRows]]: run the
     * alphabet scan + window once and collect the bounded result to the
     * driver (ordered by id). Callers go through the memo, never here.
     */
   private[operators] def deriveSymbolRows(model: Model): Seq[(String, Int)] = {
+    symbolDerivations.incrementAndGet()
     val spark = model.vocab.sparkSession
     import org.apache.spark.sql.expressions.Window
     // initial symbols, derived exactly as symbolize() produces them

@@ -1064,7 +1064,9 @@ object Multimodal {
     * and adds robustness a single-frame pick lacks: one corrupt or
     * re-keyframed frame cannot flip more bits than its minority share.
     * It does NOT survive trimming or re-timing (frames enter/leave the
-    * majority — the temporal analog of dHash's crop blindness), and it
+    * majority — the temporal analog of dHash's crop blindness;
+    * [[videoContentSignatures]] closes the commonest case, added or
+    * trimmed solid intro/outro frames), and it
     * only DISCRIMINATES when the per-frame bits are roughly balanced —
     * true of dHash on natural content (luminance rises or falls about
     * evenly), but a bit that is heavily biased across frames saturates
@@ -1093,6 +1095,28 @@ object Multimodal {
     agg.select(col(idCol), col("n_frames"),
       bits.reduce(_ bitwiseOR _).as("vhash"))
   }
+
+  /** INTRO/OUTRO-robust video signature — [[videoSignatures]] with
+    * DEGENERATE frames excluded from the majority fold (frame hash
+    * exactly 0: a solid fill ties every dHash comparison, which is
+    * what title cards, fades-to-black, and blank leaders hash to), the
+    * video analog of [[ahashAudioSpan]]'s silence exclusion: a
+    * re-upload that adds or trims any number of such frames at either
+    * end — the commonest real-world re-edit — folds the identical
+    * content-frame multiset and gets the IDENTICAL signature, where
+    * the plain fold's majority shifts. Honest limits: edits to the
+    * CONTENT frames still move the majority (that is content change),
+    * and a genuine content frame that happens to hash to exactly 0
+    * (near-solid footage) is excluded too — the price of an exact,
+    * oracle-replicable exclusion rule. Videos with ONLY degenerate
+    * frames drop entirely (no signature), the corrupt-asset
+    * convention. `n_frames` counts content frames only — itself a
+    * useful dedup feature (two re-edits of the same footage agree on
+    * it). Same one-aggregation scale shape as [[videoSignatures]].
+    */
+  def videoContentSignatures(
+      frameHashes: DataFrame, idCol: String = "asset_id"): DataFrame =
+    videoSignatures(frameHashes.filter(col("dhash") =!= 0L), idCol)
 
   /** Perceptual near-duplicate video pairs from [[videoSignatures]] —
     * the same pigeonhole Hamming blocking as [[imageNearDupPairs]].
@@ -1147,29 +1171,35 @@ object Multimodal {
     * at 0.92 every video's majority saturates to all-ones and the
     * folded signature carries zero information (measured round 10:
     * ONE distinct signature across the whole sf0.01 corpus).
+    * `introFrames`/`outroFrames` prepend/append SOLID gray frames
+    * (hash exactly 0 — the [[videoContentSignatures]] trim fixture):
+    * the content frames and their closed form are untouched.
     */
   def syntheticBandAvi(
-      id: Long, brightness: Int = 0, scaleStep: Int = 0): Array[Byte] = {
+      id: Long, brightness: Int = 0, scaleStep: Int = 0,
+      introFrames: Int = 0, outroFrames: Int = 0): Array[Byte] = {
     require(brightness >= 0 && brightness <= 55,
       s"brightness=$brightness must be in [0, 55] to stay unclamped")
     require(scaleStep >= 0, s"scaleStep=$scaleStep must be non-negative")
+    require(introFrames >= 0 && outroFrames >= 0,
+      s"intro/outro frame counts must be non-negative")
     val m = 2 + (id % 3).toInt + scaleStep
     val nrow = 2 + (id % 2).toInt + scaleStep
     val w = 9 * m
     val h = 8 * nrow
     val stride = ((w * 3 + 3) / 4) * 4
     val nFrames = 3 + (id % 4).toInt
-    val frames = (0 until nFrames).map { f =>
+    // intro/outro: SOLID frames (title card / fade-to-black stand-ins)
+    // — every dHash comparison ties on a solid fill, so their frame
+    // hash is exactly 0 and [[videoContentSignatures]] excludes them
+    val solid = {
+      val g = (40 + brightness).toByte
       val out = new Array[Byte](stride * h)
       var y = 0
       while (y < h) {
-        val r = y / nrow
         val row = (h - 1 - y) * stride
         var x = 0
         while (x < w) {
-          val j = x / m
-          val g = (((id * 31 + f * 53 + j * 97 + r * 57) % 200) +
-            brightness).toByte
           val o = row + x * 3
           out(o) = g; out(o + 1) = g; out(o + 2) = g
           x += 1
@@ -1178,6 +1208,28 @@ object Multimodal {
       }
       out
     }
+    val frames =
+      Seq.fill(introFrames)(solid) ++
+      (0 until nFrames).map { f =>
+        val out = new Array[Byte](stride * h)
+        var y = 0
+        while (y < h) {
+          val r = y / nrow
+          val row = (h - 1 - y) * stride
+          var x = 0
+          while (x < w) {
+            val j = x / m
+            val g = (((id * 31 + f * 53 + j * 97 + r * 57) % 200) +
+              brightness).toByte
+            val o = row + x * 3
+            out(o) = g; out(o + 1) = g; out(o + 2) = g
+            x += 1
+          }
+          y += 1
+        }
+        out
+      } ++
+      Seq.fill(outroFrames)(solid)
     graft.sources.AviDemux.mux(frames, w, h, 40000L, compressed = false)
   }
 

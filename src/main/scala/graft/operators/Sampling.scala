@@ -182,4 +182,52 @@ object Sampling {
       .withColumn("shuffle_pos", col("__rank") + col("__off"))
       .drop("__h", "__pid", "__off", "__rank")
   }
+
+  /** Deterministic WEIGHTED sample without replacement — the
+    * quality-weighted selection step of a data-curation pipeline
+    * ("keep the best 10M documents, preferring high quality scores,
+    * but randomly so the tail stays represented"): the
+    * Efraimidis-Spirakis A-ES scheme with content hashes in place of
+    * random draws. Each row with integer weight `w ≥ 1` gets the key
+    * `min_{j=1..w} md5(seed:key:j)` — w independent hash draws, keep
+    * the smallest — and the global sample is the `k` rows with the
+    * smallest keys (key column as final tiebreak). A row's chance of
+    * beating another rises with its weight exactly as in weighted
+    * sampling without replacement, yet the selection is a pure
+    * function of (seed, key, weight): reproducible across runs,
+    * engines, partitionings — and oracle-checkable, which a
+    * rand()-based sampler can never be. Returns the sampled rows with
+    * a dense 1-based `rank` in key order.
+    *
+    * Scale shape: the min-of-w-hashes key is ONE per-row `array_min ∘
+    * transform` projection (no explode — the w hash draws never
+    * materialize as rows), then a single `TakeOrderedAndProject`
+    * top-k: map-side + one bounded reduce, no shuffle of the corpus.
+    * Weights above `maxWeight` (default 10⁴) fail fast rather than
+    * silently building giant per-row arrays — rescale/quantize
+    * weights upstream; the scheme only needs their RATIOS.
+    */
+  def weightedSample(
+      df: DataFrame, keyCol: String, weightCol: String, k: Int,
+      seed: Long, maxWeight: Int = 10000): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    require(maxWeight >= 1, s"maxWeight=$maxWeight must be positive")
+    val w = col(weightCol).cast("long")
+    val guarded = when(w <= maxWeight, w)
+      .otherwise(raise_error(concat(
+        lit(s"weightedSample: weight > maxWeight=$maxWeight for $keyCol="),
+        col(keyCol).cast("string"))).cast("long"))
+    val wkey = array_min(transform(
+      sequence(lit(1L), guarded),
+      j => md5(concat_ws(":", lit(seed.toString),
+        col(keyCol).cast("string"), j.cast("string")))))
+    val top = df.filter(w >= 1)
+      .withColumn("__wkey", wkey)
+      .orderBy(col("__wkey"), col(keyCol))
+      .limit(k)
+    top.withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("__wkey"), col(keyCol))).cast("long"))
+      .drop("__wkey")
+  }
 }

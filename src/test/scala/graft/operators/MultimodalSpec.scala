@@ -516,6 +516,46 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L), (1L, 3L), (2L, 3L)), pairs.toSeq)
   }
 
+  test("videoContentSignatures: solid intro/outro padding never changes " +
+      "the signature or the content-frame count; the plain fold IS " +
+      "moved by the same padding (the gap being closed); all-degenerate " +
+      "videos drop") {
+    val session = spark
+    import session.implicits._
+    def a(aid: Long, avi: Array[Byte]) =
+      Multimodal.Asset(aid, avi, "video/avi", avi.length.toLong)
+    val solidOnly = graft.sources.AviDemux.mux(
+      Seq.fill(4)(graft.sources.AviDemux.solidDibFrame(18, 16, 40, 40, 40)),
+      18, 16, 40000L, compressed = false)
+    val assets = ((0L until 8L).flatMap { id =>
+      Seq(
+        a(id, Multimodal.syntheticBandAvi(id)),
+        a(id + 100L, Multimodal.syntheticBandAvi(id, introFrames = 3,
+          outroFrames = 2)),
+        a(id + 200L, Multimodal.syntheticBandAvi(id, brightness = 25,
+          introFrames = 1)))
+    } :+ a(900L, solidOnly)).toDS()
+    val hashes = Multimodal.dhashVideoFrames(
+      Multimodal.sampleAviFrames(assets, everyNth = 1)).toDF()
+    val content = Multimodal.videoContentSignatures(hashes).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // all-degenerate video: no content frames, no signature
+    assert(!content.contains(900L))
+    for (id <- 0L until 8L) {
+      assert(content(id + 100L) == content(id),
+        s"id=$id intro/outro padding changed the content signature")
+      assert(content(id + 200L) == content(id),
+        s"id=$id brightness+intro variant diverged")
+    }
+    // the PLAIN fold is genuinely moved by the same padding on at
+    // least one video — the blindness videoContentSignatures closes
+    val plain = Multimodal.videoSignatures(hashes).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert((0L until 8L).exists(id => plain(id + 100L) != plain(id)),
+      "expected the plain majority fold to shift under padding")
+    CacheRegistry.drain()
+  }
+
   /** The SPAN fixture's closed-form hash (syntheticSpanWav doc): pinned
     * 200-amp delimiter bands ⇒ bit 0 never set, bits 1-62 the band
     * rule, bit 63 rises into the trailing delimiter unless band 63 is

@@ -96,4 +96,47 @@ class SamplingSpec extends SparkSpec {
     assert(bySplit.keySet == Set("train", "test"))
     assert(bySplit.values.sum == 1000L)
   }
+
+  test("weightedSample: matches a driver-side replay of the " +
+      "min-of-w-hashes keys, overrepresents heavy rows, is seed- and " +
+      "partitioning-invariant, and refuses oversized weights") {
+    val session = spark
+    import session.implicits._
+    val df = (1L to 400L).map(id => (id, (id % 10 + 1).toInt))
+      .toDF("id", "wt")
+    def run(d: org.apache.spark.sql.DataFrame, seed: Long) =
+      Sampling.weightedSample(d, "id", "wt", k = 80, seed = seed)
+        .collect().map(r => r.getLong(2) -> r.getLong(0)).sortBy(_._1)
+        .map(_._2).toSeq
+    val got = run(df, 7L)
+    // driver-side replay of the exact key definition
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(
+        s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = (1L to 400L).map { id =>
+      val w = (id % 10 + 1).toInt
+      val key = (1 to w).map(j => md5hex(s"7:$id:$j")).min
+      (key, id)
+    }.sorted.take(80).map(_._2)
+    assert(got == want)
+    // heavy rows (wt >= 8) should out-appear light rows (wt <= 3) by
+    // roughly their weight ratio — a coarse bound, deterministic here
+    val heavy = got.count(id => id % 10 + 1 >= 8)
+    val light = got.count(id => id % 10 + 1 <= 3)
+    assert(heavy > light,
+      s"heavy=$heavy light=$light — weighting had no effect")
+    // partitioning-invariance and seed-sensitivity
+    assert(run(df.repartition(13), 7L) == got)
+    assert(run(df, 8L) != got)
+    // oversized weight fails fast, never builds the array
+    val bad = Seq((1L, 20000)).toDF("id", "wt")
+    val ex = intercept[Exception] {
+      Sampling.weightedSample(bad, "id", "wt", k = 1, seed = 1L).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("weightedSample")), s"got $ex")
+    CacheRegistry.drain()
+  }
 }

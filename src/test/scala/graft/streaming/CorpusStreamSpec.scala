@@ -41,6 +41,7 @@ class CorpusStreamSpec extends SparkSpec {
         .toMap
 
     // segment 1: two distinct documents
+    val derivations0 = Bpe.symbolDerivations.get()
     java.nio.file.Files.write(dir.resolve("seg-00001.warc.gz"),
       WarcReader.write(Seq(htmlRec(1, "ab ab bc"), htmlRec(2, "cc abab")),
         gzipPerRecord = true))
@@ -83,6 +84,11 @@ class CorpusStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
     for ((url, ids) <- streamed)
       assert(ids == want(url), s"$url: stream=$ids batch=${want(url)}")
+    // the symbol-table memo across the whole two-drain lifecycle (plus
+    // the batch-path encode above): at most ONE derivation for this
+    // model — pre-memo, every micro-batch re-ran it twice
+    assert(Bpe.symbolDerivations.get() - derivations0 <= 1L,
+      s"model derived ${Bpe.symbolDerivations.get() - derivations0} times")
     CacheRegistry.drain()
   }
 
