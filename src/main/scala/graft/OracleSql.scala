@@ -3030,5 +3030,29 @@ object OracleSql {
         |SELECT s.asset_id, nf.n_frames, s.vhash
         |FROM sigs s JOIN nf USING (asset_id)
         |ORDER BY s.asset_id""".stripMargin,
+
+    // q132: q108's closed-form dHash bit rule, verbatim, for every
+    // asset including the letterboxed re-frames — the matte never
+    // appears in the arithmetic because the content box strips it
+    // before the grid samples anything.
+    "q132_image_content_dhash" ->
+      """WITH assets AS (
+        |  SELECT doc_id AS asset_id, doc_id AS id FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, doc_id FROM documents
+        |  WHERE doc_id % 6 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, doc_id FROM documents
+        |  WHERE doc_id % 13 = 0),
+        |bits AS (
+        |  SELECT asset_id,
+        |    CAST(SUM(CASE WHEN (id * 31 + i * 17 + r * 57) % 200 < 183
+        |      THEN CASE WHEN r * 8 + i = 63
+        |        THEN (-9223372036854775807 - 1)
+        |        ELSE (1::BIGINT << (r * 8 + i)) END
+        |      ELSE 0 END) AS BIGINT) AS dhash
+        |  FROM assets, range(0, 8) t1(r), range(0, 8) t2(i)
+        |  GROUP BY asset_id)
+        |SELECT asset_id, dhash FROM bits ORDER BY asset_id""".stripMargin,
   )
 }

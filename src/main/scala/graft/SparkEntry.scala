@@ -1800,6 +1800,40 @@ object SparkEntry {
       .orderBy("asset_id")
   }
 
+  /** LETTERBOX-robust image hashes
+    * ([[graft.operators.Multimodal.contentBoxDhashImages]]): q108's
+    * banded PNGs, with a letterboxed re-frame planted on every
+    * doc_id % 6 == 0 (the original inside a 4 px uniform matte, plus a
+    * brightness shift) and a matte-over-rescale on every
+    * doc_id % 13 == 0 — re-frames whose bars the fixed dHash grid
+    * would sample, scrambling the comparisons. The content box strips
+    * the uniform border exactly, so every variant's hash equals its
+    * original's — and the oracle's arithmetic (q108's closed-form bit
+    * rule) never mentions the border at all.
+    */
+  private def q132(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val assets = docs(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        def asset(aid: Long, png: Array[Byte]) =
+          Multimodal.Asset(aid, png, "image/png", png.length.toLong)
+        Iterator(asset(id, Multimodal.syntheticBandPng(id))) ++
+          (if (id % 6 == 0)
+            Iterator(asset(id + 1000000L, Multimodal.padImage(
+              Multimodal.syntheticBandPng(id, brightness = 25),
+              border = 4, gray = 10)))
+          else Iterator.empty) ++
+          (if (id % 13 == 0)
+            Iterator(asset(id + 2000000L, Multimodal.padImage(
+              Multimodal.syntheticBandPng(id, scaleStep = 1),
+              border = 7, gray = 230)))
+          else Iterator.empty)
+      })
+    Multimodal.contentBoxDhashImages(assets).toDF()
+      .select(col("asset_id"), col("dhash"))
+      .orderBy("asset_id")
+  }
+
   /** Deterministic weighted sample without replacement
     * ([[graft.operators.Sampling.weightedSample]], hash-keyed
     * Efraimidis-Spirakis): weights `doc_id % 7 + 1`, k = 60, seed 11.
@@ -2371,6 +2405,7 @@ object SparkEntry {
     "q129_audio_span_pairs" -> (q129(_, _)),
     "q130_weighted_sample" -> (q130(_, _)),
     "q131_video_content_sigs" -> (q131(_, _)),
+    "q132_image_content_dhash" -> (q132(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -366,8 +366,10 @@ object Multimodal {
     * What it does NOT survive (standard dHash limitation): rotation,
     * mirroring, and cropping all move content across the sample grid
     * and scramble the comparisons — a rotated or cropped copy hashes
-    * as a different image. Those need a keypoint-style fingerprint,
-    * out of scope here.
+    * as a different image. Rotation/mirroring are closed by
+    * [[canonicalDhashImages]]; uniform-border re-framing (letterbox/
+    * matte) by [[contentBoxDhashImages]]; true content cropping needs
+    * a keypoint-style fingerprint, out of scope here.
     *
     * Scale shape: map-side only (decode + 72 `getRGB` probes per
     * image, bounded regardless of resolution); pair finding is the
@@ -432,6 +434,102 @@ object Multimodal {
       maxHamming: Int = 3): DataFrame =
     Dedup.simhashPairsFromSigs(hashes, idCol, "dhash", maxHamming,
       chunkBits = 16, nChunks = 4)
+
+  /** LETTERBOX/PILLARBOX-robust difference hash — the image member of
+    * the border-anchor family ([[ahashAudioSpan]] trims silence,
+    * [[videoContentSignatures]] drops title cards): strip the maximal
+    * UNIFORM border before hashing, so a copy re-framed inside black
+    * bars, a solid matte, or any uniform padding — the commonest
+    * "crop-ish" re-encode in the wild — hashes identically to the
+    * original, where [[dhashImages]]' fixed grid samples the bars and
+    * scrambles. The content box is an exact rule (oracle-replicable,
+    * no tolerance): strip top/bottom rows that are each a single
+    * color, then left/right columns uniform within the remaining rows;
+    * the interior then feeds the ordinary 9×8 [[dhashImages]] grid, so
+    * brightness/rescale/re-encode invariance carries over. Honest
+    * limits: true CONTENT cropping still needs keypoints (documented
+    * out of scope); an exactly-uniform content edge row (synthetic
+    * solids, flat skies rendered without noise) is stripped too — the
+    * price of the exact rule, same trade as the video tier's 0-hash
+    * exclusion. Fully-uniform images and interiors under 9×8 px drop,
+    * the [[decodeImages]] corrupt-asset convention.
+    *
+    * Scale shape: map-side only — the border scan touches each border
+    * row/column once (O(w + h) pixel reads beyond the bars on
+    * non-degenerate images) plus the 72 grid probes.
+    */
+  def contentBoxDhashImages(assets: Dataset[Asset]): Dataset[ImageDHash] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { a =>
+        val img =
+          try Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(a.payload)))
+          catch { case _: Exception => None }
+        img.flatMap { im =>
+          val w = im.getWidth
+          val h = im.getHeight
+          def rowUniform(y: Int): Boolean = {
+            val c0 = im.getRGB(0, y)
+            var x = 1
+            while (x < w && im.getRGB(x, y) == c0) x += 1
+            x == w
+          }
+          def colUniform(x: Int, y0: Int, y1: Int): Boolean = {
+            val c0 = im.getRGB(x, y0)
+            var y = y0 + 1
+            while (y < y1 && im.getRGB(x, y) == c0) y += 1
+            y == y1
+          }
+          var top = 0
+          while (top < h && rowUniform(top)) top += 1
+          if (top == h) None // fully uniform: no content to hash
+          else {
+            var bot = h
+            while (bot > top && rowUniform(bot - 1)) bot -= 1
+            var left = 0
+            while (left < w && colUniform(left, top, bot)) left += 1
+            var right = w
+            while (right > left && colUniform(right - 1, top, bot))
+              right -= 1
+            dhashFromLum(right - left, bot - top, (x, y) => {
+              val rgb = im.getRGB(left + x, top + y)
+              299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+                114L * (rgb & 0xff)
+            }).map(ImageDHash(a.asset_id, _))
+          }
+        }
+      }
+    }
+  }
+
+  /** Re-frame any decodable image inside a uniform gray border of
+    * `border` px on all four sides (PNG out) — the letterbox fixture
+    * generator for [[contentBoxDhashImages]] tests and oracles: the
+    * interior pixels are copied verbatim, so the content box recovers
+    * them exactly.
+    */
+  def padImage(payload: Array[Byte], border: Int, gray: Int): Array[Byte] = {
+    require(border >= 1, s"border=$border must be positive")
+    require(gray >= 0 && gray <= 255, s"gray=$gray out of range")
+    javax.imageio.ImageIO.setUseCache(false)
+    val im = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    val w = im.getWidth + 2 * border
+    val h = im.getHeight + 2 * border
+    val out = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g2 = out.createGraphics()
+    try {
+      g2.setColor(new java.awt.Color(gray, gray, gray))
+      g2.fillRect(0, 0, w, h)
+      g2.drawImage(im, border, border, null)
+    } finally g2.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", bos)
+    bos.toByteArray
+  }
 
   /** A rotation/mirror-invariant perceptual image fingerprint. */
   case class ImageCanonicalHash(asset_id: Long, chash: Long)

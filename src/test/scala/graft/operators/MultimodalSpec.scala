@@ -516,6 +516,56 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L), (1L, 3L), (2L, 3L)), pairs.toSeq)
   }
 
+  test("contentBoxDhashImages: uniform letterbox/pillarbox/matte " +
+      "borders never change the hash (equals the bare dHash of the " +
+      "interior); the fixed-grid dHash IS scrambled by the same bars; " +
+      "fully-uniform images drop") {
+    val session = spark
+    import session.implicits._
+    def a(aid: Long, png: Array[Byte]) =
+      Multimodal.Asset(aid, png, "image/png", png.length.toLong)
+    // a solid PNG: fully uniform — must drop
+    val solid = {
+      javax.imageio.ImageIO.setUseCache(false)
+      val im = new java.awt.image.BufferedImage(
+        20, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g2 = im.createGraphics()
+      try {
+        g2.setColor(new java.awt.Color(30, 30, 30))
+        g2.fillRect(0, 0, 20, 16)
+      } finally g2.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      bos.toByteArray
+    }
+    val assets = ((0L until 8L).flatMap { id =>
+      Seq(
+        a(id, Multimodal.syntheticBandPng(id)),
+        a(id + 100L, Multimodal.padImage(
+          Multimodal.syntheticBandPng(id), border = 3, gray = 0)),
+        a(id + 200L, Multimodal.padImage(
+          Multimodal.syntheticBandPng(id, brightness = 25),
+          border = 9, gray = 255)))
+    } :+ a(900L, solid)).toDS()
+    val boxed = Multimodal.contentBoxDhashImages(assets).collect()
+      .map(h => h.asset_id -> h.dhash).toMap
+    assert(!boxed.contains(900L))
+    val bare = Multimodal.dhashImages(assets).collect()
+      .map(h => h.asset_id -> h.dhash).toMap
+    for (id <- 0L until 8L) {
+      assert(boxed(id) == bare(id),
+        s"id=$id content box of an unpadded image must be the image")
+      assert(boxed(id + 100L) == boxed(id),
+        s"id=$id black matte changed the content hash")
+      assert(boxed(id + 200L) == boxed(id),
+        s"id=$id white matte + brightness diverged")
+    }
+    // the fixed grid is genuinely scrambled by the bars it samples
+    assert((0L until 8L).exists(id => bare(id + 100L) != bare(id)),
+      "expected plain dHash to differ under letterboxing")
+    CacheRegistry.drain()
+  }
+
   test("videoContentSignatures: solid intro/outro padding never changes " +
       "the signature or the content-frame count; the plain fold IS " +
       "moved by the same padding (the gap being closed); all-degenerate " +
