@@ -282,14 +282,25 @@ object Pq {
     require(topK > 0, s"topK=$topK must be positive")
     requireExactDecimalHeadroom(model)
     val probes = Ann.probeCells(centroids, query.toSeq, nprobe)
-    val centById = centroids.toMap
     val codes = encodeResiduals(
       assigned.filter(col(cellCol).isin(probes: _*)),
       vecCol, cellCol, centroids, model)
-    // a row can only reach here with a probed cell id (the filter
-    // above), so the fall-through arm is a loud invariant check
+    rankByCellLuts(codes, idCol, cellCol, probes, centroids, model,
+      query, topK)
+  }
+
+  /** The shared IVFADC ranking tail: per-probed-cell query-residual
+    * LUTs over an already-filtered `(idCol, code, cellCol)` relation.
+    */
+  private def rankByCellLuts(
+      codes: DataFrame, idCol: String, cellCol: String, probes: Seq[Int],
+      centroids: Seq[(Int, Seq[Double])], model: Model,
+      query: Array[Double], topK: Int): DataFrame = {
+    val centById = centroids.toMap
+    // rows can only reach here with a probed cell id (callers filter),
+    // so the fall-through arm is a loud invariant check
     val badCell = raise_error(concat(
-      lit("ivfAdcTopK: unprobed cell reached scoring: "),
+      lit("ivfAdc ranking: unprobed cell reached scoring: "),
       col(cellCol).cast("string"))).cast("decimal(30,24)")
     val dist = probes.foldLeft(badCell) { (acc, cell) =>
       val qres = query.indices.map(i => query(i) - centById(cell)(i)).toArray
@@ -303,5 +314,46 @@ object Pq {
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("__adc"), col(idCol))).cast("long"))
       .select(col("rank"), col(idCol))
+  }
+
+  /** Persist an IVFADC index the way a 100 TB serving layer stores it:
+    * rows route to their coarse cell, RESIDUAL codes are computed once
+    * at write time, and the table is `(idCol, code)` partitioned by
+    * `cell` — `m` small ints per vector, NO vector column at all. The
+    * write-side pair of [[probeIvfAdcStore]] (the
+    * [[Ann.writeCellPartitioned]] layout with codes instead of
+    * vectors: nprobe/cells of the I/O per query, and what little is
+    * read is codes, not floats).
+    */
+  def writeIvfAdcIndex(
+      df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Int, Seq[Double])], model: Model,
+      path: String): Unit =
+    encodeResiduals(Ann.assignCells(df, vecCol, centroids), vecCol,
+        "cell", centroids, model)
+      .select(col(idCol), col("code"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Probe a [[writeIvfAdcIndex]] store: partition-pruned scan of the
+    * `nprobe` probed cells' CODE rows (the vectors were never stored —
+    * the scan's ReadSchema is ids and codes only, which
+    * PqStoreSpec pins along with the PartitionFilters entry), then the
+    * same per-cell query-residual exact-decimal ranking as
+    * [[ivfAdcTopK]] — with which it agrees row-for-row on the same
+    * data (spec-pinned).
+    */
+  def probeIvfAdcStore(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, centroids: Seq[(Int, Seq[Double])], model: Model,
+      query: Array[Double], topK: Int, nprobe: Int): DataFrame = {
+    require(query.length == model.m * model.subDim,
+      s"query dim ${query.length} != model dim ${model.m * model.subDim}")
+    require(topK > 0, s"topK=$topK must be positive")
+    requireExactDecimalHeadroom(model)
+    val probes = Ann.probeCells(centroids, query.toSeq, nprobe)
+    val codes = spark.read.parquet(path)
+      .filter(col("cell").isin(probes: _*))
+    rankByCellLuts(codes, idCol, "cell", probes, centroids, model,
+      query, topK)
   }
 }
