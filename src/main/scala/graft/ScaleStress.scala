@@ -108,6 +108,53 @@ object ScaleStress {
       PageRank.run(edges, nodes, iters = 5).count()
     }
 
+    // round-11 tiers: the hardened edit-distance join (replication
+    // makes every title a 10-member identical clique — the degenerate
+    // class the collapse handles; output grows quadratically per
+    // clique BY CONTRACT, candidate work stays collapse-bounded), the
+    // weighted sampler (constant output, scan-bound cost), the two new
+    // border-anchored perceptual tiers, and the IVFADC read path
+    // (routing + residual encode + per-cell decimal ADC; codebooks and
+    // coarse centroids trained ONCE on the base corpus outside the
+    // timed pass — the serve-time shape).
+    def editDist(d: DataFrame): Long =
+      Dedup.editDistancePairs(
+        d.select(col("doc_id"), substring(col("text"), 1, 40).as("title")),
+        "doc_id", "title", maxEdits = 3).count()
+    def weighted(d: DataFrame): Long =
+      Sampling.weightedSample(
+        d.select(col("doc_id"), (col("doc_id") % 7 + 1).as("wt")),
+        "doc_id", "wt", k = 1000, seed = 11L).count()
+    def audioSpan(d: DataFrame): Long = {
+      import spark.implicits._
+      val assets = d.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+        val wav = Multimodal.syntheticSpanWav(id,
+          silenceBands = (id % 4).toInt)
+        Multimodal.Asset(id, wav, "audio/wav", wav.length.toLong)
+      })
+      Multimodal.ahashAudioSpan(assets).count()
+    }
+    def contentBox(d: DataFrame): Long = {
+      import spark.implicits._
+      val assets = d.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+        val png = Multimodal.padImage(
+          Multimodal.syntheticBandPng(id), border = 4, gray = 10)
+        Multimodal.Asset(id, png, "image/png", png.length.toLong)
+      })
+      Multimodal.contentBoxDhashImages(assets).count()
+    }
+    val ivfCents = Ann.sampleCentroids(embs, "vec_id", "embedding", 16)
+    val ivfModel = Pq.fitResiduals(
+      Ann.assignCells(embs, "embedding", ivfCents), "vec_id", "embedding",
+      "cell", ivfCents, dim = 64, m = 4, k = 8, iters = 1)
+    val ivfQuery = embs.orderBy("vec_id").limit(1)
+      .select(col("embedding").cast("array<double>")).collect()(0)
+      .getSeq[Double](0).toArray
+    def ivfAdc(e: DataFrame): Long =
+      Pq.ivfAdcTopK(Ann.assignCells(e, "embedding", ivfCents), "vec_id",
+        "embedding", "cell", ivfCents, ivfModel, ivfQuery,
+        topK = 10, nprobe = 4).count()
+
     println(s"[stress] --- base (1x, $sfDir) ---")
     time("bloom_dedup")(bloom(docs))
     time("group_quota")(quota(docs))
@@ -120,6 +167,11 @@ object ScaleStress {
     time("repeated_spans")(spans(docs))
     time("bpe_learn_encode")(bpe(docs))
     time("pagerank")(pagerank(docs))
+    time("edit_distance")(editDist(docs))
+    time("weighted_sample")(weighted(docs))
+    time("audio_span_hash")(audioSpan(docs))
+    time("content_box_hash")(contentBox(docs))
+    time("ivfadc_topk")(ivfAdc(embs))
     println(s"[stress] --- ${reps}x replicated ---")
     time("bloom_dedup")(bloom(docsN))
     time("group_quota")(quota(docsN))
@@ -132,6 +184,11 @@ object ScaleStress {
     time("repeated_spans")(spans(docsN))
     time("bpe_learn_encode")(bpe(docsN))
     time("pagerank")(pagerank(docsN))
+    time("edit_distance")(editDist(docsN))
+    time("weighted_sample")(weighted(docsN))
+    time("audio_span_hash")(audioSpan(docsN))
+    time("content_box_hash")(contentBox(docsN))
+    time("ivfadc_topk")(ivfAdc(embsN))
     spark.stop()
   }
 }
