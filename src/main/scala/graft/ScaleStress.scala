@@ -125,15 +125,22 @@ object ScaleStress {
       Sampling.weightedSample(
         d.select(col("doc_id"), (col("doc_id") % 7 + 1).as("wt")),
         "doc_id", "wt", k = 1000, seed = 11L).count()
-    def audioSpan(d: DataFrame): Long = {
+    def spanAssets(d: DataFrame) = {
       import spark.implicits._
-      val assets = d.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      d.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
         val wav = Multimodal.syntheticSpanWav(id,
           silenceBands = (id % 4).toInt)
         Multimodal.Asset(id, wav, "audio/wav", wav.length.toLong)
       })
-      Multimodal.ahashAudioSpan(assets).count()
     }
+    // generation-only control: the WAV synthesis (AudioSystem.write —
+    // a synchronized provider lookup per call) is fixture cost, not
+    // operator cost; this row isolates it so audio_span_hash's delta
+    // over it is the hash's own scaling
+    def audioGen(d: DataFrame): Long =
+      spanAssets(d).rdd.map(_.payload.length.toLong).reduce(_ + _)
+    def audioSpan(d: DataFrame): Long =
+      Multimodal.ahashAudioSpan(spanAssets(d)).count()
     def contentBox(d: DataFrame): Long = {
       import spark.implicits._
       val assets = d.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
@@ -169,6 +176,7 @@ object ScaleStress {
     time("pagerank")(pagerank(docs))
     time("edit_distance")(editDist(docs))
     time("weighted_sample")(weighted(docs))
+    time("audio_wav_gen")(audioGen(docs))
     time("audio_span_hash")(audioSpan(docs))
     time("content_box_hash")(contentBox(docs))
     time("ivfadc_topk")(ivfAdc(embs))
@@ -186,6 +194,7 @@ object ScaleStress {
     time("pagerank")(pagerank(docsN))
     time("edit_distance")(editDist(docsN))
     time("weighted_sample")(weighted(docsN))
+    time("audio_wav_gen")(audioGen(docsN))
     time("audio_span_hash")(audioSpan(docsN))
     time("content_box_hash")(contentBox(docsN))
     time("ivfadc_topk")(ivfAdc(embsN))

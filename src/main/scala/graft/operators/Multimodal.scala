@@ -693,8 +693,10 @@ object Multimodal {
   /** Perceptual 64-bit audio hash — the audio twin of [[dhashImages]],
     * closing the gap [[audioDedup]] leaves open (its exact
     * rate/frames/RMS fingerprint is defeated by any resample, re-gain,
-    * or lossy re-encode of the same recording): decode 16-bit PCM via
-    * `javax.sound.sampled`, partition the sample stream into 65 equal
+    * or lossy re-encode of the same recording): extract 16-bit PCM (a
+    * direct RIFF/WAVE chunk walk for plain WAV — see [[pcm16Of]] for
+    * the AudioSystem-lock rationale — `javax.sound.sampled` for other
+    * containers), partition the sample stream into 65 equal
     * windows (floor boundaries `w·n/65` — the audio [[sampleGrid]]),
     * compute per-window energy (sum of squared samples, integer Long
     * arithmetic), and set bit `w` iff mean energy RISES from window `w`
@@ -732,50 +734,105 @@ object Multimodal {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
       it.flatMap { a =>
-        try {
-          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.BufferedInputStream(
-              new java.io.ByteArrayInputStream(a.payload)))
-          try {
-            val fmt = in.getFormat
-            if (fmt.getSampleSizeInBits != 16) None
-            else {
-              val bytes = in.readAllBytes()
-              val bigEndian = fmt.isBigEndian
-              val n = bytes.length / 2
-              if (n < 65) None
-              else {
-                // per-window energy over the 65-window floor grid
-                val sumSq = new Array[Long](65)
-                val cnt = new Array[Long](65)
-                var i = 0
-                while (i < n) {
-                  val o = 2 * i
-                  val s =
-                    if (bigEndian)
-                      ((bytes(o) << 8) | (bytes(o + 1) & 0xff)).toShort
-                    else ((bytes(o + 1) << 8) | (bytes(o) & 0xff)).toShort
-                  val w = (i.toLong * 65 / n).toInt
-                  sumSq(w) += s.toLong * s
-                  cnt(w) += 1
-                  i += 1
-                }
-                var hash = 0L
-                var w = 0
-                while (w < 64) {
-                  val rises =
-                    if (cnt(w) == cnt(w + 1)) sumSq(w + 1) > sumSq(w)
-                    else sumSq(w + 1).toDouble / cnt(w + 1) >
-                      sumSq(w).toDouble / cnt(w)
-                  if (rises) hash |= 1L << w
-                  w += 1
-                }
-                Some(AudioAHash(a.asset_id, hash))
-              }
-            }
-          } finally in.close()
-        } catch { case _: Exception => None }
+        pcm16Of(a.payload).flatMap { case (bytes, bigEndian) =>
+          ahashFromPcm(bytes, bigEndian)
+        }.map(AudioAHash(a.asset_id, _))
       }
+    }
+  }
+
+  /** The [[ahashAudio]] core over already-extracted 16-bit PCM. */
+  private def ahashFromPcm(
+      bytes: Array[Byte], bigEndian: Boolean): Option[Long] = {
+    val n = bytes.length / 2
+    if (n < 65) None
+    else {
+      // per-window energy over the 65-window floor grid
+      val sumSq = new Array[Long](65)
+      val cnt = new Array[Long](65)
+      var i = 0
+      while (i < n) {
+        val o = 2 * i
+        val s =
+          if (bigEndian)
+            ((bytes(o) << 8) | (bytes(o + 1) & 0xff)).toShort
+          else ((bytes(o + 1) << 8) | (bytes(o) & 0xff)).toShort
+        val w = (i.toLong * 65 / n).toInt
+        sumSq(w) += s.toLong * s
+        cnt(w) += 1
+        i += 1
+      }
+      var hash = 0L
+      var w = 0
+      while (w < 64) {
+        val rises =
+          if (cnt(w) == cnt(w + 1)) sumSq(w + 1) > sumSq(w)
+          else sumSq(w + 1).toDouble / cnt(w + 1) >
+            sumSq(w).toDouble / cnt(w)
+        if (rises) hash |= 1L << w
+        w += 1
+      }
+      Some(hash)
+    }
+  }
+
+  /** 16-bit PCM sample bytes of an audio payload, with endianness:
+    * RIFF/WAVE PCM16 is read DIRECTLY (one chunk walk over the byte
+    * array — WAV data is little-endian by spec), because
+    * `AudioSystem.getAudioInputStream`'s provider lookup synchronizes
+    * process-wide and measurably serializes 32-thread corpus scans
+    * (ScaleStress round 11: the hash tier read ~3× over linear at 10×
+    * purely from that lock); a RIFF/WAVE container that is NOT plain
+    * PCM16 drops (exactly what the AudioSystem path did — it reports
+    * the stored format and non-16-bit was dropped); anything that is
+    * not RIFF/WAVE falls back to the AudioSystem path, so AIFF/AU and
+    * friends keep decoding as before.
+    */
+  private def pcm16Of(
+      payload: Array[Byte]): Option[(Array[Byte], Boolean)] = {
+    def le16(o: Int): Int =
+      (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8)
+    def le32(o: Int): Long =
+      (payload(o) & 0xffL) | ((payload(o + 1) & 0xffL) << 8) |
+        ((payload(o + 2) & 0xffL) << 16) | ((payload(o + 3) & 0xffL) << 24)
+    def tag(o: Int): String =
+      if (o + 4 <= payload.length)
+        new String(payload, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      else ""
+    if (payload.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE") {
+      var off = 12
+      var pcm16 = false
+      var sawFmt = false
+      var data: Array[Byte] = null
+      while (off + 8 <= payload.length && (data == null || !sawFmt)) {
+        val id = tag(off)
+        val size = le32(off + 4)
+        // clamp: streaming writers emit 0xFFFFFFFF / oversized sizes
+        val avail = math.min(size, (payload.length - off - 8).toLong).toInt
+        if (id == "fmt " && avail >= 16) {
+          sawFmt = true
+          // 1 = PCM; 0xFFFE = WAVE_FORMAT_EXTENSIBLE, whose 16-bit
+          // payload is PCM16 too (16-bit float does not exist)
+          val code = le16(off + 8)
+          pcm16 = (code == 1 || code == 0xFFFE) && le16(off + 8 + 14) == 16
+        } else if (id == "data") {
+          data = java.util.Arrays.copyOfRange(payload, off + 8,
+            off + 8 + math.max(0, avail))
+        }
+        off += 8 + avail + (avail & 1) // RIFF chunks are word-aligned
+      }
+      if (sawFmt && pcm16 && data != null) Some((data, false)) else None
+    } else {
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.BufferedInputStream(
+            new java.io.ByteArrayInputStream(payload)))
+        try {
+          val fmt = in.getFormat
+          if (fmt.getSampleSizeInBits != 16) None
+          else Some((in.readAllBytes(), fmt.isBigEndian))
+        } finally in.close()
+      } catch { case _: Exception => None }
     }
   }
 
@@ -869,70 +926,65 @@ object Multimodal {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
       it.flatMap { a =>
-        try {
-          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.BufferedInputStream(
-              new java.io.ByteArrayInputStream(a.payload)))
-          try {
-            val fmt = in.getFormat
-            if (fmt.getSampleSizeInBits != 16) None
-            else {
-              val bytes = in.readAllBytes()
-              val bigEndian = fmt.isBigEndian
-              val n = bytes.length / 2
-              def sample(i: Int): Int = {
-                val o = 2 * i
-                val s =
-                  if (bigEndian)
-                    ((bytes(o) << 8) | (bytes(o + 1) & 0xff)).toShort
-                  else ((bytes(o + 1) << 8) | (bytes(o) & 0xff)).toShort
-                s.toInt
-              }
-              // pass 1: peak, then the half-max loud span
-              var maxAmp = 0
-              var i = 0
-              while (i < n) {
-                val v = math.abs(sample(i))
-                if (v > maxAmp) maxAmp = v
-                i += 1
-              }
-              if (maxAmp == 0) None
-              else {
-                val thr = (maxAmp + 1) / 2
-                var first = 0
-                while (first < n && math.abs(sample(first)) < thr) first += 1
-                var last = n - 1
-                while (last >= 0 && math.abs(sample(last)) < thr) last -= 1
-                val m = last - first + 1
-                if (m < 65) None
-                else {
-                  // pass 2: the ahashAudio grid over the span only
-                  val sumSq = new Array[Long](65)
-                  val cnt = new Array[Long](65)
-                  var j = 0
-                  while (j < m) {
-                    val s = sample(first + j).toLong
-                    val w = (j.toLong * 65 / m).toInt
-                    sumSq(w) += s * s
-                    cnt(w) += 1
-                    j += 1
-                  }
-                  var hash = 0L
-                  var w = 0
-                  while (w < 64) {
-                    val rises =
-                      if (cnt(w) == cnt(w + 1)) sumSq(w + 1) > sumSq(w)
-                      else sumSq(w + 1).toDouble / cnt(w + 1) >
-                        sumSq(w).toDouble / cnt(w)
-                    if (rises) hash |= 1L << w
-                    w += 1
-                  }
-                  Some(AudioAHash(a.asset_id, hash))
-                }
-              }
-            }
-          } finally in.close()
-        } catch { case _: Exception => None }
+        pcm16Of(a.payload).flatMap { case (bytes, bigEndian) =>
+          spanHashFromPcm(bytes, bigEndian)
+        }.map(AudioAHash(a.asset_id, _))
+      }
+    }
+  }
+
+  /** The [[ahashAudioSpan]] core over already-extracted 16-bit PCM. */
+  private def spanHashFromPcm(
+      bytes: Array[Byte], bigEndian: Boolean): Option[Long] = {
+    val n = bytes.length / 2
+    def sample(i: Int): Int = {
+      val o = 2 * i
+      val s =
+        if (bigEndian)
+          ((bytes(o) << 8) | (bytes(o + 1) & 0xff)).toShort
+        else ((bytes(o + 1) << 8) | (bytes(o) & 0xff)).toShort
+      s.toInt
+    }
+    // pass 1: peak, then the half-max loud span
+    var maxAmp = 0
+    var i = 0
+    while (i < n) {
+      val v = math.abs(sample(i))
+      if (v > maxAmp) maxAmp = v
+      i += 1
+    }
+    if (maxAmp == 0) None
+    else {
+      val thr = (maxAmp + 1) / 2
+      var first = 0
+      while (first < n && math.abs(sample(first)) < thr) first += 1
+      var last = n - 1
+      while (last >= 0 && math.abs(sample(last)) < thr) last -= 1
+      val m = last - first + 1
+      if (m < 65) None
+      else {
+        // pass 2: the ahashAudio grid over the span only
+        val sumSq = new Array[Long](65)
+        val cnt = new Array[Long](65)
+        var j = 0
+        while (j < m) {
+          val s = sample(first + j).toLong
+          val w = (j.toLong * 65 / m).toInt
+          sumSq(w) += s * s
+          cnt(w) += 1
+          j += 1
+        }
+        var hash = 0L
+        var w = 0
+        while (w < 64) {
+          val rises =
+            if (cnt(w) == cnt(w + 1)) sumSq(w + 1) > sumSq(w)
+            else sumSq(w + 1).toDouble / cnt(w + 1) >
+              sumSq(w).toDouble / cnt(w)
+          if (rises) hash |= 1L << w
+          w += 1
+        }
+        Some(hash)
       }
     }
   }

@@ -697,6 +697,48 @@ class MultimodalSpec extends SparkSpec {
     assert(hashes(1L) == hashes(3L), "sub-threshold padding changed the hash")
   }
 
+  test("pcm16 extraction: the direct RIFF/WAVE reader and the " +
+      "AudioSystem fallback agree — an AU re-container (big-endian " +
+      "PCM) of the same samples hashes identically on both tiers, and " +
+      "the WAV path still matches the closed form") {
+    val session = spark
+    import session.implicits._
+    def auOf(samples: Array[Short]): Array[Byte] = {
+      // AU stores PCM big-endian — exercises the fallback path AND the
+      // endianness handling of the shared hash cores
+      val data = new Array[Byte](samples.length * 2)
+      for (i <- samples.indices) {
+        data(2 * i) = ((samples(i) >> 8) & 0xff).toByte
+        data(2 * i + 1) = (samples(i) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, true)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.AU, bos)
+      bos.toByteArray
+    }
+    // decode fixture WAV samples back out so the AU twin is sample-exact
+    val wav = Multimodal.syntheticSpanWav(5L, silenceBands = 2)
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val pcm = in.readAllBytes(); in.close()
+    val samples = Array.tabulate(pcm.length / 2)(i =>
+      (((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff))).toShort)
+    val assets = Seq(
+      Multimodal.Asset(1L, wav, "audio/wav", wav.length.toLong),
+      Multimodal.Asset(2L, auOf(samples), "audio/basic", 0L)).toDS()
+    val span = Multimodal.ahashAudioSpan(assets).collect()
+      .map(h => h.asset_id -> h.ahash).toMap
+    val plain = Multimodal.ahashAudio(assets).collect()
+      .map(h => h.asset_id -> h.ahash).toMap
+    assert(span(1L) == span(2L), "AU re-container diverged on span tier")
+    assert(plain(1L) == plain(2L), "AU re-container diverged on plain tier")
+    assert(span(1L) == refSpanAudioHash(5L), "direct WAV path vs closed form")
+    CacheRegistry.drain()
+  }
+
   test("audio perceptualDupClusters equals the brute-force transitive " +
       "closure, with the degenerate constant-signal (hash 0) family " +
       "collapsed before pairing") {
