@@ -3054,5 +3054,49 @@ object OracleSql {
         |  FROM assets, range(0, 8) t1(r), range(0, 8) t2(i)
         |  GROUP BY asset_id)
         |SELECT asset_id, dhash FROM bits ORDER BY asset_id""".stripMargin,
+
+    // q133: the datasheet is plain exact aggregation — token counts by
+    // the filtered space split, dup mass via count - count(distinct
+    // normalized-md5), PII hits by the shared RE2-subset patterns, and
+    // ONE double division for the mean (the q27 convention).
+    "q133_corpus_card" ->
+      """WITH base AS (
+        |  SELECT doc_id, source,
+        |    text || CASE WHEN doc_id % 6 = 0
+        |      THEN ' kontakt: user' || doc_id ||
+        |        '@example.com tel 777123456 web http://example.com/doc/'
+        |        || doc_id
+        |      ELSE '' END AS text
+        |  FROM documents),
+        |corpus AS (
+        |  SELECT doc_id, source, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, source, text FROM base
+        |  WHERE doc_id % 9 = 0),
+        |enriched AS (
+        |  SELECT source,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |      AS BIGINT) AS ntok,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |    CAST(len(regexp_extract_all(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |      AS BIGINT) AS nem,
+        |    CAST(len(regexp_extract_all(text, 'https?://[^\s]+'))
+        |      AS BIGINT) AS nur,
+        |    CAST(len(regexp_extract_all(text, '[0-9]{9,}'))
+        |      AS BIGINT) AS nnum
+        |  FROM corpus)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+        |  CAST(CAST(sum(ntok) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS DOUBLE) AS mean_tokens,
+        |  CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_dup_docs,
+        |  CAST(sum(CASE WHEN ntok < 30 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_short_docs,
+        |  CAST(sum(nem) AS BIGINT) AS n_emails,
+        |  CAST(sum(nur) AS BIGINT) AS n_urls,
+        |  CAST(sum(nnum) AS BIGINT) AS n_digit_runs
+        |FROM enriched GROUP BY source ORDER BY source""".stripMargin,
   )
 }

@@ -1834,6 +1834,31 @@ object SparkEntry {
       .orderBy("asset_id")
   }
 
+  /** Per-source corpus datasheet
+    * ([[graft.operators.TextAnalysis.corpusCard]]): the release card
+    * over a corpus with planted PII (q73's contact-block append on
+    * doc_id % 6 == 0) and planted exact duplicates (a clone of every
+    * doc_id % 9 == 0 under a new id, same source) — counts, token
+    * totals, mean length, duplicate mass, short-doc and per-kind PII
+    * totals, one aggregation row per source. Everything is exact-count
+    * arithmetic plus one double division, so the oracle replays the
+    * whole card cell-exact.
+    */
+  private def q133(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select("doc_id", "source", "text")
+      .withColumn("text", concat(col("text"),
+        when(col("doc_id") % 6 === 0,
+          concat(lit(" kontakt: user"), col("doc_id"),
+            lit("@example.com tel 777123456 web http://example.com/doc/"),
+            col("doc_id"))).otherwise(lit(""))))
+    val corpus = base.unionAll(
+      base.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+          col("text")))
+    TextAnalysis.corpusCard(corpus, "doc_id", "text", "source")
+      .orderBy("source")
+  }
+
   /** Deterministic weighted sample without replacement
     * ([[graft.operators.Sampling.weightedSample]], hash-keyed
     * Efraimidis-Spirakis): weights `doc_id % 7 + 1`, k = 60, seed 11.
@@ -2406,6 +2431,7 @@ object SparkEntry {
     "q130_weighted_sample" -> (q130(_, _)),
     "q131_video_content_sigs" -> (q131(_, _)),
     "q132_image_content_dhash" -> (q132(_, _)),
+    "q133_corpus_card" -> (q133(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

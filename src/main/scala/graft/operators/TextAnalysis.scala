@@ -53,6 +53,49 @@ object TextAnalysis {
       .withColumn("n_nums", size(regexp_extract_all(t, lit(LongDigitsRe), lit(0))).cast("long"))
   }
 
+  /** Per-source corpus DATASHEET — the summary card a curation
+    * pipeline publishes with a release (Gebru et al.'s datasheet idea
+    * reduced to the exactly-computable corpus row): document and token
+    * counts, mean length, exact-duplicate mass (docs beyond the first
+    * of each normalized-[[fingerprint]] group), short-document count,
+    * and pre-mask PII hit totals per kind. Every column is exact-count
+    * arithmetic except `mean_tokens` — one double division of two
+    * exact longs, the q27 cross-engine convention — so the whole card
+    * is oracle-checkable cell-exact.
+    *
+    * Scale shape: one codegen projection per row (token split, md5
+    * fingerprint, three RE2-subset regex extracts) and ONE hash
+    * aggregation on the source — |sources| output rows, no second
+    * shuffle (the dup count rides `count_distinct` inside the same
+    * aggregation).
+    */
+  def corpusCard(
+      df: DataFrame, idCol: String, textCol: String, sourceCol: String,
+      shortDocTokens: Int = 30): DataFrame = {
+    val t = col(textCol)
+    val enriched = df.select(col(sourceCol),
+      tokenCount(t).cast("long").as("__ntok"),
+      fingerprint(t).as("__fp"),
+      size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long")
+        .as("__nem"),
+      size(regexp_extract_all(t, lit(UrlRe), lit(0))).cast("long")
+        .as("__nur"),
+      size(regexp_extract_all(t, lit(LongDigitsRe), lit(0))).cast("long")
+        .as("__nnum"))
+    enriched.groupBy(col(sourceCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__ntok")).as("n_tokens"),
+        (sum(col("__ntok")).cast("double") /
+          count(lit(1)).cast("double")).as("mean_tokens"),
+        (count(lit(1)) - countDistinct(col("__fp"))).as("n_dup_docs"),
+        sum(when(col("__ntok") < shortDocTokens, 1L).otherwise(0L))
+          .as("n_short_docs"),
+        sum(col("__nem")).as("n_emails"),
+        sum(col("__nur")).as("n_urls"),
+        sum(col("__nnum")).as("n_digit_runs"))
+  }
+
   /** Repetition-based quality signals (the Gopher/C4 filter family):
     * duplicate-token fraction and the most-repeated bigram with its
     * count. All exact-count arithmetic (deterministic cross-engine);

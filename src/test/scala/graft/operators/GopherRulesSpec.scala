@@ -97,4 +97,37 @@ class GopherRulesSpec extends SparkSpec {
     assert(out.forall(!_.getAs[Boolean]("keep")))
     assert(out.forall(_.getAs[Long]("n_words") == 0L))
   }
+
+  test("corpusCard: every column matches a hand computation on a " +
+      "fixture with duplicates, short docs, and planted PII — dup mass " +
+      "counts docs beyond the first of each NORMALIZED fingerprint") {
+    val session = spark
+    import session.implicits._
+    val docs = Seq(
+      (1L, "a", "one two three four five"),
+      (2L, "a", "one two three four five"), // exact dup of 1
+      (3L, "a", "  ONE two   three four FIVE "), // normalized dup of 1
+      (4L, "a", "short doc"), // short (< 3 tokens threshold below? no: count)
+      (5L, "b", "mail me at x@y.cz or http://z.example/q 123456789 now"),
+      (6L, "b", "six seven eight")
+    ).toDF("doc_id", "source", "text")
+    val card = TextAnalysis.corpusCard(docs, "doc_id", "text", "source",
+        shortDocTokens = 4)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val a = card("a")
+    assert(a.getAs[Long]("n_docs") == 4L)
+    assert(a.getAs[Long]("n_tokens") == 17L) // 5+5+5+2
+    assert(a.getAs[Long]("n_dup_docs") == 2L,
+      "docs 2 AND 3 (case/whitespace variant) are dup mass")
+    assert(a.getAs[Long]("n_short_docs") == 1L) // doc 4 (2 < 4)
+    assert(a.getAs[Double]("mean_tokens") == 17.0 / 4.0)
+    assert(a.getAs[Long]("n_emails") == 0L)
+    val b = card("b")
+    assert(b.getAs[Long]("n_docs") == 2L)
+    assert(b.getAs[Long]("n_dup_docs") == 0L)
+    assert(b.getAs[Long]("n_emails") == 1L)
+    assert(b.getAs[Long]("n_urls") == 1L)
+    assert(b.getAs[Long]("n_digit_runs") == 1L)
+    CacheRegistry.drain()
+  }
 }
