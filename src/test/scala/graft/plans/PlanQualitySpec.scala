@@ -262,4 +262,62 @@ class PlanQualitySpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
     graft.operators.CacheRegistry.drain()
   }
+
+  test("weightedSample is one projection + TakeOrderedAndProject: no " +
+      "explode of the weight draws, no corpus shuffle") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), (col("doc_id") % 7 + 1).as("wt"))
+    val top = graft.operators.Sampling.weightedSample(
+      docs, "doc_id", "wt", k = 10, seed = 3L)
+    val p = executed(top).toString
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    assert(!p.contains("Generate"), "weight draws must not explode")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "the sampler must not shuffle the corpus")
+    graft.operators.CacheRegistry.drain()
+  }
+
+  test("corpusCard is ONE hash aggregation with partial (map-side) " +
+      "combine — the dup count rides count_distinct inside it, no " +
+      "second shuffle") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source", "text")
+    val p = executed(graft.operators.TextAnalysis.corpusCard(
+      docs, "doc_id", "text", "source")).toString
+    assert(p.contains("HashAggregate"), p.take(1500))
+    // count_distinct plans as the expand+two-level aggregate on the
+    // SAME grouping — exchanges only on the source key, never a join
+    assert(!p.contains("Join"), "the card must not self-join")
+    graft.operators.CacheRegistry.drain()
+  }
+
+  test("the IVFADC store probe plans its cell predicate as a partition " +
+      "filter over codes-only ReadSchema (no vector column exists to " +
+      "read)") {
+    val session = spark
+    import session.implicits._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val cents = graft.operators.Ann.sampleCentroids(
+      e, "vec_id", "embedding", 4)
+    val model = graft.operators.Pq.fitResiduals(
+      graft.operators.Ann.assignCells(e, "embedding", cents),
+      "vec_id", "embedding", "cell", cents, dim = 64, m = 4, k = 4,
+      iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("pqstore-plan")
+      .toString
+    graft.operators.Pq.writeIvfAdcIndex(e, "vec_id", "embedding", cents,
+      model, dir)
+    val q = e.orderBy("vec_id").limit(1)
+      .select(col("embedding").cast("array<double>")).collect()(0)
+      .getSeq[Double](0).toArray
+    val probe = graft.operators.Pq.probeIvfAdcStore(spark, dir,
+      "vec_id", cents, model, q, topK = 3, nprobe = 2)
+    val p = executed(probe).toString
+    assert(p.contains("PartitionFilters") && p.contains("cell"),
+      p.take(2000))
+    assert(!p.contains("embedding"),
+      "the probe must never touch a vector column")
+    graft.operators.CacheRegistry.drain()
+  }
 }
