@@ -3098,5 +3098,103 @@ object OracleSql {
         |  CAST(sum(nur) AS BIGINT) AS n_urls,
         |  CAST(sum(nnum) AS BIGINT) AS n_digit_runs
         |FROM enriched GROUP BY source ORDER BY source""".stripMargin,
+
+    // q134: the three curation stages replayed IN SEQUENCE — the q123
+    // line/page rules (adjusted plant: the body is sentence-ified so
+    // it can survive), the q122 Gopher battery over the CLEANED text,
+    // then min-id-per-normalized-fingerprint dedup over the survivors.
+    // That the composition agrees, clone suppression included (a clone
+    // dedups only when its original survived the gates), is the check.
+    "q134_curation_pipeline" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    'This is a proper opening sentence for the page.' ||
+        |    chr(10) || text || ' tail.' || chr(10) || 'Too short.' ||
+        |    CASE WHEN doc_id % 7 = 0 THEN chr(10) ||
+        |      'A line with a { brace character inside it.'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN chr(10) ||
+        |      'Lorem ipsum dolor sit amet consectetur.'
+        |      ELSE '' END ||
+        |    chr(10) || 'Here is a second proper sentence for the page.' ||
+        |    CASE WHEN doc_id % 2 = 0 THEN chr(10) ||
+        |      'And here is a third proper sentence for it.'
+        |      ELSE '' END AS text
+        |  FROM documents),
+        |corpus AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM base WHERE doc_id % 9 = 0),
+        |w AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split(text, chr(10)), x -> x <> '') AS ls
+        |  FROM corpus),
+        |k AS (
+        |  SELECT doc_id, text, ls,
+        |    list_filter(ls, l ->
+        |      (rtrim(l) LIKE '%.' OR rtrim(l) LIKE '%!'
+        |        OR rtrim(l) LIKE '%?' OR rtrim(l) LIKE '%"')
+        |      AND len(list_filter(string_split(l, ' '), x -> x <> '')) >= 5
+        |      AND NOT contains(lower(l), 'javascript')) AS kept
+        |  FROM w),
+        |cleaned AS (
+        |  SELECT doc_id, array_to_string(kept, chr(10)) AS text
+        |  FROM k
+        |  WHERE len(kept) >= 3 AND NOT contains(text, '{')
+        |    AND NOT contains(lower(text), 'lorem ipsum')),
+        |w2 AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+        |      AS ws,
+        |    list_filter(string_split(text, chr(10)), x -> x <> '') AS ls
+        |  FROM cleaned),
+        |sig AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
+        |    CASE WHEN len(ws) > 0 THEN
+        |      CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
+        |        / CAST(len(ws) AS DOUBLE) ELSE 0.0 END AS mean_word_len,
+        |    CASE WHEN len(ws) > 0 THEN
+        |      CAST((length(text) - length(replace(text, '#', '')))
+        |        + (length(text) - length(replace(text, '…', '')))
+        |        + (length(text) - length(replace(text, '...', ''))) // 3
+        |        AS DOUBLE) / CAST(len(ws) AS DOUBLE)
+        |      ELSE 0.0 END AS symbol_ratio,
+        |    CASE WHEN len(ls) > 0 THEN
+        |      CAST(len(list_filter(ls, l -> ltrim(l) LIKE '- %'
+        |        OR ltrim(l) LIKE '•%' OR ltrim(l) LIKE '* %')) AS DOUBLE)
+        |        / CAST(len(ls) AS DOUBLE) ELSE 0.0 END AS bullet_line_frac,
+        |    CASE WHEN len(ls) > 0 THEN
+        |      CAST(len(list_filter(ls, l -> rtrim(l) LIKE '%...'
+        |        OR rtrim(l) LIKE '%…')) AS DOUBLE)
+        |        / CAST(len(ls) AS DOUBLE) ELSE 0.0 END AS ellipsis_line_frac,
+        |    CASE WHEN len(ws) > 0 THEN
+        |      CAST(len(list_filter(ws, x -> regexp_matches(x, '\p{L}')))
+        |        AS DOUBLE) / CAST(len(ws) AS DOUBLE)
+        |      ELSE 0.0 END AS alpha_word_frac,
+        |    CAST(
+        |      (CASE WHEN list_contains(list_transform(ws, x -> lower(x)), 'and') THEN 1 ELSE 0 END) +
+        |      (CASE WHEN list_contains(list_transform(ws, x -> lower(x)), 'be') THEN 1 ELSE 0 END) +
+        |      (CASE WHEN list_contains(list_transform(ws, x -> lower(x)), 'have') THEN 1 ELSE 0 END) +
+        |      (CASE WHEN list_contains(list_transform(ws, x -> lower(x)), 'of') THEN 1 ELSE 0 END) +
+        |      (CASE WHEN list_contains(list_transform(ws, x -> lower(x)), 'that') THEN 1 ELSE 0 END) +
+        |      (CASE WHEN list_contains(list_transform(ws, x -> lower(x)), 'the') THEN 1 ELSE 0 END) +
+        |      (CASE WHEN list_contains(list_transform(ws, x -> lower(x)), 'to') THEN 1 ELSE 0 END) +
+        |      (CASE WHEN list_contains(list_transform(ws, x -> lower(x)), 'with') THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_stop_kinds
+        |  FROM w2),
+        |survivors AS (
+        |  SELECT doc_id, text, n_words FROM sig
+        |  WHERE n_words >= 30 AND n_words <= 100000
+        |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |    AND symbol_ratio <= 0.1 AND bullet_line_frac <= 0.9
+        |    AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
+        |    AND n_stop_kinds >= 1),
+        |keep_ids AS (
+        |  SELECT min(doc_id) AS doc_id FROM survivors
+        |  GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
+        |SELECT s.doc_id, s.n_words
+        |FROM survivors s JOIN keep_ids USING (doc_id)
+        |ORDER BY s.doc_id""".stripMargin,
   )
 }

@@ -1834,6 +1834,52 @@ object SparkEntry {
       .orderBy("asset_id")
   }
 
+  /** The composed CURATION PIPELINE, end to end — C4 line cleaning →
+    * Gopher document gate → exact dedup, each stage feeding the next
+    * the way a real corpus build chains them
+    * ([[graft.operators.TextAnalysis.c4LineFilters]] →
+    * [[graft.operators.TextAnalysis.gopherQualityRules]] →
+    * [[graft.operators.Dedup.exactDedup]]): multi-line pages built
+    * from the corpus (the doc body sentence-ified so it survives the
+    * line rules), code/lorem tells planted on % 7 / % 5 (kill the
+    * page), exact clones planted on % 9 (killed by dedup iff their
+    * original survives the quality gates — stage ORDER is part of
+    * what the oracle checks), and the Gopher gate binding on the
+    * CLEANED text's word counts. One SQL oracle replays all three
+    * stages in sequence — the composition, not just each stage, is
+    * hash-exact.
+    */
+  private def q134(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select("doc_id", "text").withColumn("text",
+      concat(
+        lit("This is a proper opening sentence for the page.\n"),
+        col("text"), lit(" tail."),
+        lit("\nToo short."),
+        when(col("doc_id") % 7 === 0,
+          lit("\nA line with a { brace character inside it."))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          lit("\nLorem ipsum dolor sit amet consectetur."))
+          .otherwise(lit("")),
+        lit("\nHere is a second proper sentence for the page."),
+        when(col("doc_id") % 2 === 0,
+          lit("\nAnd here is a third proper sentence for it."))
+          .otherwise(lit(""))))
+    val corpus = base.unionAll(
+      base.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val cleaned = TextAnalysis.c4LineFilters(corpus, "text")
+      .filter(col("page_keep"))
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val kept = TextAnalysis.gopherQualityRules(cleaned, "text",
+        minWords = 30, minStopKinds = 1)
+      .filter(col("keep"))
+      .select("doc_id", "text", "n_words")
+    Dedup.exactDedup(kept, "doc_id", "text")
+      .select(col("doc_id"), col("n_words"))
+      .orderBy("doc_id")
+  }
+
   /** Per-source corpus datasheet
     * ([[graft.operators.TextAnalysis.corpusCard]]): the release card
     * over a corpus with planted PII (q73's contact-block append on
@@ -2432,6 +2478,7 @@ object SparkEntry {
     "q131_video_content_sigs" -> (q131(_, _)),
     "q132_image_content_dhash" -> (q132(_, _)),
     "q133_corpus_card" -> (q133(_, _)),
+    "q134_curation_pipeline" -> (q134(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
