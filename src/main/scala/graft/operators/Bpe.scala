@@ -450,6 +450,35 @@ object Bpe {
     Model(rules.toSeq, words)
   }
 
+  /** The model at merge depth `k` — the vocabulary-size ablation tool
+    * a tokenizer team actually wants: train ONCE at full depth, then
+    * serve any smaller vocabulary without retraining. EXACTLY equal to
+    * `learnMerges(corpus, k)` by construction: merge selection is
+    * sequential (rule k+1 never influences rules 1..k — the batched
+    * learner is spec-pinned sequential-equivalent), so the first `k`
+    * rules ARE the depth-k training, and the depth-k vocabulary is the
+    * initial symbolization with those rules replayed (a
+    * vocabulary-sized job — `model.vocab`'s word list re-symbolized,
+    * no corpus pass; counts carry over unchanged). The equality is
+    * spec-pinned, rules AND vocabulary AND encode output.
+    */
+  def truncate(model: Model, k: Int, rulesPerChunk: Int = 64): Model = {
+    require(k >= 0 && k <= model.merges.length,
+      s"k=$k must be in [0, ${model.merges.length}]")
+    require(rulesPerChunk > 0, s"rulesPerChunk=$rulesPerChunk must be positive")
+    val rules = model.merges.filter(_.rank <= k).sortBy(_.rank)
+    var words = Lineage.cut(model.vocab
+      .select(col("w"), col("cnt"))
+      .withColumn("sym", symbolize(col("w"))))
+    rules.grouped(rulesPerChunk).foreach { chunk =>
+      val prev = words
+      words = Lineage.cut(words.withColumn("sym",
+        applyMerges(col("sym"), chunk.map(r => (r.left, r.right)))))
+      Lineage.release(prev)
+    }
+    Model(rules, words)
+  }
+
   /** The learned rules as a DataFrame (for the catalog / persistence):
     * `(merge_rank, lhs, rhs, merged, pair_count)`.
     */

@@ -566,6 +566,35 @@ class BpeSpec extends SparkSpec {
     CacheRegistry.drain()
   }
 
+  test("truncate(model, k) EXACTLY equals training at depth k — rules, " +
+      "vocabulary, and encode output — at every depth, including the " +
+      "degenerate ends") {
+    import spark.implicits._
+    val train = randomCorpus(29, 50)
+    val df = train.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val full = Bpe.learnMerges(df, "text", numMerges = 12)
+    for (k <- Seq(0, 1, 5, 12)) {
+      val cut = Bpe.truncate(full, k)
+      assert(cut.merges == full.merges.take(k), s"k=$k rules diverged")
+      if (k > 0) {
+        val direct = Bpe.learnMerges(df, "text", numMerges = k)
+        assert(cut.merges == direct.merges, s"k=$k vs direct training")
+        val vCut = cut.vocab.select("w", "cnt", "sym").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+        val vDir = direct.vocab.select("w", "cnt", "sym").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+        assert(vCut == vDir, s"k=$k vocabulary diverged")
+        def enc(m: Bpe.Model) =
+          Bpe.encodeIds(df, "doc_id", "text", m).orderBy("doc_id")
+            .collect().map(r =>
+              r.getLong(0) -> r.getSeq[Int](1).toVector).toSeq
+        assert(enc(cut) == enc(direct), s"k=$k encode diverged")
+      }
+    }
+    CacheRegistry.drain()
+  }
+
   test("saveModel → loadModel round-trips the tokenizer: identical " +
       "rules, and the loaded model encodes seen AND unseen text " +
       "identically to the in-memory one") {
