@@ -450,6 +450,32 @@ object TextAnalysis {
     trim(regexp_replace(ent, "\\s+", " "))
   }
 
+  /** [[htmlToText]] preserving BLOCK structure as lines: closing
+    * block-level tags (`</p> </div> </li> </h1..6> </tr>`) and `<br>`
+    * become newlines BEFORE tag stripping, then whitespace collapses
+    * per line (newlines survive, runs of blank lines fold to one).
+    * This is the extractor the LINE-level quality rules need —
+    * [[c4LineFilters]] splits on newlines, and [[htmlToText]]'s global
+    * whitespace collapse would leave every page a single line that the
+    * 3-kept-lines minimum always kills. Same script/style/comment
+    * removal and entity decode as [[htmlToText]]; same Java-regex/RE2
+    * common subset.
+    */
+  def htmlToTextLines(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val breaks = regexp_replace(noComment,
+      "(?i)<(/p|/div|/li|/h[1-6]|/tr|br[^>]*)>", "\n")
+    val noTags = regexp_replace(breaks, "<[^>]*>", " ")
+    val ent = graft.plans.GraftFunctions.htmlEntityDecode(noTags)
+    // collapse within lines, then trim each line and fold blank runs
+    val oneSpace = regexp_replace(ent, "[^\\S\\n]+", " ")
+    val trimmedLines = regexp_replace(oneSpace, " ?\\n ?", "\n")
+    regexp_replace(
+      regexp_replace(trimmedLines, "\\n+", "\n"), "^\\s+|\\s+$", "")
+  }
+
   // ---------------------------------------------- bigram LM scoring
 
   /** Corpus-trained bigram language-model score per document — the

@@ -183,6 +183,71 @@ object CorpusStream {
     }
   }
 
+  /** The CURATED ingest — q134's composed quality chain running in the
+    * stream: the doc stream is extracted with
+    * [[graft.operators.TextAnalysis.htmlToTextLines]] (block tags
+    * become lines — the LINE-level rules are dead on flattened text),
+    * each drain's novel documents pass
+    * [[graft.operators.TextAnalysis.c4LineFilters]]' page gate and
+    * [[graft.operators.TextAnalysis.gopherQualityRules]] over the
+    * CLEANED text, and the survivors tokenize under the saved model
+    * into the same batchId-keyed exactly-once layout as [[run]].
+    * Cross-batch exact dedup stays on the RAW extracted text
+    * (the checkpointed `dropDuplicates` state) — the gate is
+    * content-identity BEFORE cleaning, the documented choice: two
+    * raw-distinct pages whose cleaned text coincides both land.
+    */
+  def runCurated(
+      spark: SparkSession, warcDir: String, model: graft.operators.Bpe.Model,
+      checkpointDir: String, outDir: String,
+      glob: String = "*.warc*",
+      minWords: Int = 30, minStopKinds: Int = 1): StreamingQuery =
+    graft.sources.WarcReader.readStream(spark, warcDir, glob)
+      .filter(col("warc_type") === "response" &&
+        col("http_status") === 200 &&
+        col("http_content_type").startsWith("text/html"))
+      .select(col("target_uri").as("url"),
+        graft.operators.TextAnalysis.htmlToTextLines(
+          decode(col("body"), "UTF-8")).as("text"))
+      .withColumn("fp",
+        graft.operators.TextAnalysis.fingerprint(col("text")))
+      .dropDuplicates("fp")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        curatedBatch(spark, model, outDir, minWords, minStopKinds)(
+          batch, batchId)
+      }
+      .start()
+
+  /** One [[runCurated]] micro-batch (factored out like [[fuzzyBatch]]
+    * so the at-least-once replay contract is directly testable).
+    */
+  private[streaming] def curatedBatch(
+      spark: SparkSession, model: graft.operators.Bpe.Model,
+      outDir: String, minWords: Int, minStopKinds: Int)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val docs = oneRowPerUrl(batch)
+    if (!docs.isEmpty) graft.operators.CacheRegistry.scope {
+      val cleaned = graft.operators.TextAnalysis
+        .c4LineFilters(docs.select("url", "text"), "text")
+        .filter(col("page_keep"))
+        .select(col("url"), col("clean_text").as("text"))
+      val kept = graft.operators.TextAnalysis
+        .gopherQualityRules(cleaned, "text",
+          minWords = minWords, minStopKinds = minStopKinds)
+        .filter(col("keep"))
+        .select("url", "text")
+      if (!kept.isEmpty)
+        kept.join(
+            graft.operators.Bpe.applyModel(kept, "url", "text", model),
+            Seq("url"), "left")
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+    }
+  }
+
   /** The persisted band-key index relation as batch `currentBatch`
     * must see it: every EARLIER batch's keys, excluding the current
     * batch's own partition. The exclusion does two jobs at once — on

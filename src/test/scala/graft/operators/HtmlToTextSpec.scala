@@ -53,4 +53,36 @@ class HtmlToTextSpec extends SparkSpec {
     assert(clean("<p>fish &chips and more; stuff</p>")
       == "fish &chips and more; stuff")
   }
+
+  test("htmlToTextLines: block boundaries become lines, inline tags do " +
+      "not, blank-line runs fold, per-line whitespace collapses — and " +
+      "htmlToText's flattening really loses the structure") {
+    val session = spark
+    import session.implicits._
+    def lines(html: String): String =
+      Seq(html).toDF("h")
+        .select(TextAnalysis.htmlToTextLines(col("h")).as("c"))
+        .collect().head.getString(0)
+    val html = "<html><body><h1>Title here.</h1>" +
+      "<p>First  para with <b>inline</b> bold.</p>" +
+      "<div>Second   block.</div><ul><li>item one.</li>" +
+      "<li>item two.</li></ul><p>Tail&nbsp;para.</p></body></html>"
+    assert(lines(html) ==
+      "Title here.\nFirst para with inline bold.\nSecond block.\n" +
+        "item one.\nitem two.\nTail para.")
+    // <br> breaks too; empty blocks fold to a single newline
+    assert(lines("<p>a.</p><p></p><p></p><p>b.</p>") == "a.\nb.")
+    assert(lines("x<br>y<br/>z") == "x\ny\nz")
+    // the flat extractor really is line-free on the same input
+    assert(!clean(html).contains("\n"))
+    // the line extractor feeds the line rules: this page survives C4
+    val page = Seq(1L -> lines(
+      "<p>This is a proper opening sentence for the page.</p>" +
+        "<p>Here is a second proper sentence for the page.</p>" +
+        "<p>And here is a third proper sentence for it.</p>"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.c4LineFilters(page, "text").collect().head
+    assert(out.getAs[Boolean]("page_keep") &&
+      out.getAs[Long]("n_kept") == 3L)
+  }
 }

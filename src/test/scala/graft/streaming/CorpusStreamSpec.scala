@@ -208,6 +208,66 @@ class CorpusStreamSpec extends SparkSpec {
     CacheRegistry.drain()
   }
 
+  test("runCurated: the composed quality chain runs in the stream — " +
+      "pages failing the C4/Gopher gates never land, survivors " +
+      "tokenize like the batch chain, and a replayed batch rewrites " +
+      "its partition") {
+    val session = spark
+    import session.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("curated-stream")
+    val ckpt = java.nio.file.Files.createTempDirectory("curated-ckpt")
+    val out = java.nio.file.Files.createTempDirectory("curated-out")
+    val model = Bpe.learnMerges(
+      Seq("abab abab bc cc ab", "bc bc abab cc a b c").toDF("text"),
+      "text", numMerges = 4)
+    def para(s: String) = s"<p>$s</p>"
+    def rec(i: Int, paras: String*): WarcReader.WarcRecord =
+      WarcReader.WarcRecord("response", s"https://x.example/p/$i",
+        "2026-01-01T00:00:00Z", 200, "text/html",
+        (s"<html><body>${paras.map(para).mkString}</body></html>")
+          .getBytes("UTF-8"))
+    // a long proper sentence built from model-adjacent words so the
+    // Gopher word-count and stopword gates can pass (minWords=12 below)
+    val good = (1 to 6).map(k => s"abab the bc$k cc").mkString(" ") + "."
+    java.nio.file.Files.write(dir.resolve("seg-00001.warc.gz"),
+      WarcReader.write(Seq(
+        // survivor: 3 proper sentences, enough words, has stopwords
+        rec(1, good, "Here is the second proper sentence now.",
+          "And here is the third proper sentence."),
+        // killed by C4's page gate: a lorem-ipsum tell
+        rec(2, good, "Here is the second proper sentence now.",
+          "Lorem ipsum dolor sit amet consectetur adipiscing elit."),
+        // killed by C4's 3-kept-lines minimum: one real sentence
+        rec(3, good),
+        // killed by Gopher: enough lines but too few words
+        rec(4, "Tiny one here.", "Tiny two here.", "Tiny three here.")),
+        gzipPerRecord = true))
+    CorpusStream.runCurated(spark, dir.toString, model,
+        ckpt.toString, out.toString, minWords = 12, minStopKinds = 1)
+      .awaitTermination()
+    val rows = spark.read.parquet(out.toString).collect()
+      .map(r => r.getAs[String]("url") ->
+        r.getAs[scala.collection.Seq[Int]]("token_ids").toVector).toMap
+    assert(rows.keySet == Set("https://x.example/p/1"), s"${rows.keySet}")
+    // token ids equal the batch chain over the same cleaned text
+    val cleanedText = Seq(good, "Here is the second proper sentence now.",
+      "And here is the third proper sentence.").mkString("\n")
+    val want = Bpe.applyModel(
+        Seq(("u", cleanedText)).toDF("url", "text"), "url", "text", model)
+      .collect().head.getAs[scala.collection.Seq[Int]](1).toVector
+    assert(rows("https://x.example/p/1") == want)
+    // at-least-once replay: re-execute the batch body with the same id
+    val docs = Seq(("https://x.example/p/1", cleanedText))
+      .toDF("url", "text")
+      .withColumn("fp",
+        graft.operators.TextAnalysis.fingerprint(org.apache.spark.sql
+          .functions.col("text")))
+    CorpusStream.curatedBatch(spark, model, out.toString, 12, 1)(docs, 0L)
+    val again = spark.read.parquet(out.toString).collect()
+    assert(again.length == 1, s"replay duplicated rows: ${again.length}")
+    CacheRegistry.drain()
+  }
+
   test("a drain carrying the SAME url twice with different bodies " +
       "lands exactly one coherent row (min-fingerprint winner), not " +
       "two rows of interleaved token ids") {
