@@ -72,11 +72,26 @@ object Bench {
         (name, if (ok) secs else -secs, ok, gcSecs, jitSecs)
       }
 
-    val cold = runPass()
-    val results = runPass()
-
     def objOf(vals: Seq[(String, Double)]): String =
       vals.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // every per-query dict that reaches stdout is wrapped in a line that
+    // names its pass and run ordinal (the r11 "internally ambiguous tail"
+    // finding: a truncated unlabeled dict in the captured tail could not
+    // be attributed to either pass from the artifact alone)
+    def passLine(pass: String, run: Int,
+                 vals: Seq[(String, Double, Boolean, Double, Double)]): Unit = {
+      val total = vals.collect { case (_, v, true, _, _) => v }.sum
+      println(s"""{"metric":"pass","pass":"$pass","run":$run,""" +
+        f""""total_sec":$total%.2f,""" +
+        s""""queries_sec":${objOf(vals.map { case (k, v, _, _, _) => k -> v })},""" +
+        s""""gc_sec":${objOf(vals.map { case (k, _, _, g, _) => k -> g })},""" +
+        s""""jit_sec":${objOf(vals.map { case (k, _, _, _, j) => k -> j })}}""")
+    }
+
+    val cold = runPass()
+    passLine("cold", 1, cold)
+    val results = runPass()
+    passLine("steady", 2, results)
     val qs = objOf(results.map { case (k, v, _, _, _) => k -> v })
     val colds = objOf(cold.map { case (k, v, _, _, _) => k -> v })
     val gcs = objOf(results.map { case (k, _, _, g, _) => k -> g })
@@ -106,15 +121,27 @@ object Bench {
       s""""cold_total":$coldTotal,"cold_sec":$colds,""" +
       s""""gc_sec":$gcs,"jit_sec":$jits,""" +
       s""""cold_gc_sec":$coldGcs,"cold_jit_sec":$coldJits,"failed":$failed,""" +
+      s""""pass_of":{"queries":"steady-run2","cold_sec":"cold-run1"},""" +
       f""""max_heap_gb":$heapGb%.1f,"protocol":"pass2-steady","sf":"$sfDir"}""")
     // Durability: the driver records only the TAIL of bench output, and
     // round 5's capture truncated the front of the big line (cold_sec and
     // the totals were lost). This final compact line repeats the headline
     // numbers of BOTH passes plus each pass's 5 slowest queries, so the
     // tail always preserves them.
-    def top5(vals: Seq[(String, Double, Boolean, Double, Double)]): String =
-      objOf(vals.filter(_._3).sortBy(-_._2).take(5)
-        .map { case (k, v, _, _, _) => k -> v })
+    // durable per-query entries carry their own jit share, the
+    // jit-subtracted plan cost, and the pass/run they were measured in —
+    // the r11 q105 finding (a 2.5× watched-value swing nobody could
+    // attribute from the artifact) is answerable from this line alone
+    def qObj(pass: String, run: Int)
+            (vals: Seq[(String, Double, Boolean, Double, Double)]): String =
+      vals.map { case (k, v, _, _, j) =>
+        f""""$k":{"sec":$v%.3f,"jit_sec":$j%.3f,""" +
+          f""""plan_sec":${math.max(0.0, v - j)}%.3f,""" +
+          s""""pass":"$pass","run":$run}"""
+      }.mkString("{", ",", "}")
+    def top5(pass: String, run: Int)
+            (vals: Seq[(String, Double, Boolean, Double, Double)]): String =
+      qObj(pass, run)(vals.filter(_._3).sortBy(-_._2).take(5))
     // queries with an ordered performance bar (q91 ≤ 0.7 s steady —
     // re-baselined in round 10 from the r6 verdict's 0.5 after three
     // rounds of straddling: the isolated BenchProbe floor over 16
@@ -131,12 +158,12 @@ object Bench {
     // in PERFORMANCE.md prose (the r7 legibility finding)
     val watchedNames = Set("q91_kmeans_assign", "q102_bpe_merges",
       "q105_pagerank", "q106_bpe_pack")
-    val watched = objOf(results.filter(r => watchedNames(r._1))
-      .map { case (k, v, _, _, _) => k -> v })
+    val watched = qObj("steady", 2)(results.filter(r => watchedNames(r._1)))
     println(f"""{"metric":"summary","value":$total%.2f,"unit":"sec",""" +
       f""""steady_total_sec":$total%.2f,"steady_plan_sec":$planTotal%.2f,""" +
       f""""cold_total_sec":$coldTotal%.2f,""" +
-      s""""slowest_steady":${top5(results)},"slowest_cold":${top5(cold)},""" +
+      s""""slowest_steady":${top5("steady", 2)(results)},""" +
+      s""""slowest_cold":${top5("cold", 1)(cold)},""" +
       s""""watched_steady":$watched,""" +
       s""""failed":$failed,"protocol":"pass2-steady","sf":"$sfDir"}""")
     spark.stop()

@@ -496,13 +496,29 @@ object Bpe {
     * another session, another cluster — loads the model and calls
     * [[applyModel]] on corpora the trainer never saw (or [[encodeIds]]
     * / [[encodeCounts]] on the training corpus itself).
+    *
+    * `<dir>/meta` records the persisted-format version. Version 2 is
+    * the current format: the oov=bytes reserved page starts at
+    * `unkId + 1` (the `unkId + b` base of the unreleased predecessor
+    * collided byte 0 with UNK itself, so id streams written under one
+    * base decode shifted-by-one under the other — the marker exists
+    * precisely so that mismatch is a loud load-time error, never a
+    * silent mis-decode). [[loadModel]] refuses any other version; a
+    * directory with no `meta` (written before the marker existed) is
+    * accepted as version 2, the only format ever released.
     */
+  val FormatVersion = 2
+
   def saveModel(model: Model, dir: String): Unit = {
     val spark = model.vocab.sparkSession
+    import spark.implicits._
     mergesDf(spark, model).repartition(1)
       .write.mode("overwrite").parquet(s"$dir/merges")
     model.vocab.select("w", "cnt", "sym")
       .write.mode("overwrite").parquet(s"$dir/vocab")
+    Seq((FormatVersion.toLong, "unk_id+1"))
+      .toDF("format_version", "oov_page_base").repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/meta")
   }
 
   /** Load a [[saveModel]] directory back into a [[Model]]. The merge
@@ -512,6 +528,19 @@ object Bpe {
     * loading costs no corpus-sized action.
     */
   def loadModel(spark: SparkSession, dir: String): Model = {
+    val metaPath = new org.apache.hadoop.fs.Path(s"$dir/meta")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(metaPath)) {
+      val v = spark.read.parquet(s"$dir/meta")
+        .select("format_version").head().getLong(0)
+      require(v == FormatVersion,
+        s"loadModel: $dir was saved with persisted-format version $v; " +
+          s"this release reads version $FormatVersion (the oov=bytes " +
+          "reserved page moved from unkId+b to unkId+1+b between " +
+          "versions — decoding across the boundary would shift every " +
+          "byte-fallback id by one). Re-save the model with this " +
+          "release's saveModel.")
+    }
     val merges = spark.read.parquet(s"$dir/merges")
       .orderBy("merge_rank").collect().toSeq
       .map(r => MergeRule(r.getLong(0).toInt, r.getString(1),

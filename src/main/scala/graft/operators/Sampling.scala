@@ -203,26 +203,37 @@ object Sampling {
     * transform` projection (no explode — the w hash draws never
     * materialize as rows), then a single `TakeOrderedAndProject`
     * top-k: map-side + one bounded reduce, no shuffle of the corpus.
-    * Weights above `maxWeight` (default 10⁴) fail fast rather than
-    * silently building giant per-row arrays — rescale/quantize
-    * weights upstream; the scheme only needs their RATIOS.
+    * Weights must be integral values in `[1, maxWeight]` (default 10⁴):
+    * anything else — null, zero, negative, fractional, or oversized —
+    * fails fast with `raise_error` rather than silently shrinking the
+    * candidate pool (a mis-typed weight column that truncated via
+    * cast or dropped rows would distort the sample with no signal).
+    * Rescale/quantize weights upstream; the scheme only needs their
+    * RATIOS.
     */
   def weightedSample(
       df: DataFrame, keyCol: String, weightCol: String, k: Int,
       seed: Long, maxWeight: Int = 10000): DataFrame = {
     require(k > 0, s"k=$k must be positive")
     require(maxWeight >= 1, s"maxWeight=$maxWeight must be positive")
-    val w = col(weightCol).cast("long")
-    val guarded = when(w <= maxWeight, w)
+    val raw = col(weightCol)
+    val w = raw.cast("long")
+    // integral check: a fractional weight survives cast("long") by
+    // truncation, so compare the double views; null weights fail the
+    // isNotNull arm and land in the same raise
+    val ok = w.isNotNull && w >= 1 && w <= maxWeight &&
+      raw.cast("double") === w.cast("double")
+    val guarded = when(ok, w)
       .otherwise(raise_error(concat(
-        lit(s"weightedSample: weight > maxWeight=$maxWeight for $keyCol="),
-        col(keyCol).cast("string"))).cast("long"))
-    val wkey = array_min(transform(
-      sequence(lit(1L), guarded),
-      j => md5(concat_ws(":", lit(seed.toString),
-        col(keyCol).cast("string"), j.cast("string")))))
-    val top = df.filter(w >= 1)
-      .withColumn("__wkey", wkey)
+        lit(s"weightedSample: weight must be an integral value in " +
+          s"[1, $maxWeight] but got "),
+        coalesce(raw.cast("string"), lit("null")),
+        lit(s" for $keyCol="), col(keyCol).cast("string"))).cast("long"))
+    val top = df
+      .withColumn("__wkey", array_min(transform(
+        sequence(lit(1L), guarded),
+        j => md5(concat_ws(":", lit(seed.toString),
+          col(keyCol).cast("string"), j.cast("string"))))))
       .orderBy(col("__wkey"), col(keyCol))
       .limit(k)
     top.withColumn("rank",

@@ -465,8 +465,11 @@ object TextAnalysis {
     val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
     val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
     val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    // br's tag name is anchored (whitespace, "/", or ">" must follow):
+    // a bare "br[^>]*" also matched any tag merely STARTING with br
+    // (<broken>, <breadcrumb …>) and minted spurious line breaks
     val breaks = regexp_replace(noComment,
-      "(?i)<(/p|/div|/li|/h[1-6]|/tr|br[^>]*)>", "\n")
+      "(?i)<(/p|/div|/li|/h[1-6]|/tr|br(\\s[^>]*)?/?)>", "\n")
     val noTags = regexp_replace(breaks, "<[^>]*>", " ")
     val ent = graft.plans.GraftFunctions.htmlEntityDecode(noTags)
     // collapse within lines, then trim each line and fold blank runs

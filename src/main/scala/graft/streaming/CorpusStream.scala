@@ -74,6 +74,13 @@ object CorpusStream {
     * batchId-keyed idempotent-sink recipe). Read the corpus with
     * `spark.read.parquet(outDir)` — `batch_id` surfaces as a partition
     * column.
+    *
+    * UPGRADE NOTE: releases before the batchId-keyed layout appended
+    * flat parquet files directly under `outDir`. Resuming such a
+    * checkpoint+outDir pair under this release would mix flat files
+    * with `batch_id=N` partition directories and break partition
+    * discovery on read — start a fresh `outDir` (or move the old flat
+    * files into a synthetic `batch_id=-1` partition) before resuming.
     */
   def run(
       spark: SparkSession, warcDir: String, model: graft.operators.Bpe.Model,

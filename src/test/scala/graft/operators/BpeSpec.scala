@@ -618,6 +618,18 @@ class BpeSpec extends SparkSpec {
       Bpe.applyModel(eval, "doc_id", "text", m).orderBy("doc_id")
         .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toVector).toSeq
     assert(app(loaded) == app(model) && app(loaded).nonEmpty)
+    // the persisted-format marker is present and current…
+    val meta = spark.read.parquet(s"$dir/meta").collect().head
+    assert(meta.getLong(meta.fieldIndex("format_version"))
+      == Bpe.FormatVersion.toLong)
+    // …and a version mismatch refuses loudly instead of mis-decoding
+    // (the oov byte-page base moved between formats)
+    Seq((1L, "unk_id")).toDF("format_version", "oov_page_base")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    val ex = intercept[IllegalArgumentException] {
+      Bpe.loadModel(spark, dir)
+    }
+    assert(ex.getMessage.contains("format version 1"))
     CacheRegistry.drain()
   }
 

@@ -73,6 +73,11 @@ class HtmlToTextSpec extends SparkSpec {
     // <br> breaks too; empty blocks fold to a single newline
     assert(lines("<p>a.</p><p></p><p></p><p>b.</p>") == "a.\nb.")
     assert(lines("x<br>y<br/>z") == "x\ny\nz")
+    // br is a full tag NAME, not a prefix: attribute and self-closing
+    // forms break, but tags merely starting with "br" stay inline
+    assert(lines("x<br class=\"a\">y<br />z") == "x\ny\nz")
+    assert(lines("<p>a <breadcrumb>b</breadcrumb> c<broken>d</p>")
+      == "a b c d")
     // the flat extractor really is line-free on the same input
     assert(!clean(html).contains("\n"))
     // the line extractor feeds the line rules: this page survives C4

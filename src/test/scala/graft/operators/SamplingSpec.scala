@@ -137,6 +137,19 @@ class SamplingSpec extends SparkSpec {
       if (t == null) Seq.empty
       else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(ex).exists(_.contains("weightedSample")), s"got $ex")
+    // null, sub-1, and fractional weights fail fast too — a mis-typed
+    // weight column must not silently shrink the candidate pool
+    def raises(df: org.apache.spark.sql.DataFrame): Unit = {
+      val e = intercept[Exception] {
+        Sampling.weightedSample(df, "id", "wt", k = 1, seed = 1L).count()
+      }
+      assert(msgs(e).exists(_.contains("weightedSample")), s"got $e")
+    }
+    raises(Seq((1L, Option.empty[Int]), (2L, Some(3)))
+      .toDF("id", "wt"))
+    raises(Seq((1L, 0), (2L, 3)).toDF("id", "wt"))
+    raises(Seq((1L, -4), (2L, 3)).toDF("id", "wt"))
+    raises(Seq((1L, 2.5), (2L, 3.0)).toDF("id", "wt"))
     CacheRegistry.drain()
   }
 }
