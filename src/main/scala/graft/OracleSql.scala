@@ -3196,5 +3196,56 @@ object OracleSql {
         |SELECT s.doc_id, s.n_words
         |FROM survivors s JOIN keep_ids USING (doc_id)
         |ORDER BY s.doc_id""".stripMargin,
+
+    // q135: the tiled k-of-n crop tier replayed arithmetically — per
+    // 9-px tile of each (possibly cropped) emitted image, the 9×8 dHash
+    // bit rule over the band closed form with the crop's x0/y0 shift
+    // folded into the sample coordinates (brightness cancels in the
+    // sign comparisons; bit 63 via the BIGINT-min trick, q108's
+    // convention); then distinct non-zero hash sets value-joined and
+    // count-filtered at >= 3 shared tiles.
+    "q135_tiled_crop_neardups" ->
+      """WITH assets AS (
+        |  SELECT doc_id AS asset_id, doc_id AS id,
+        |    0 AS x0, 0 AS y0, 0 AS cr, 0 AS cb
+        |  FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, doc_id, 9, 9, 0, 0
+        |  FROM documents WHERE doc_id % 5 = 0 AND doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, doc_id, 0, 0, 9, 9
+        |  FROM documents WHERE doc_id % 5 = 0 AND doc_id % 11 = 0),
+        |dims AS (
+        |  SELECT asset_id, id, x0, y0,
+        |    4 + id % 3 AS m, 4 + id % 2 AS n,
+        |    9 * (4 + id % 3) - x0 - cr AS w,
+        |    8 * (4 + id % 2) - y0 - cb AS h
+        |  FROM assets),
+        |tilebits AS (
+        |  SELECT asset_id, tx, ty,
+        |    CAST(SUM(CASE WHEN
+        |        (id*31 + ((x0 + tx*9 + i + 1) // m) * 17
+        |               + ((y0 + ty*9 + (8*r) // 7) // n) * 57) % 200
+        |      > (id*31 + ((x0 + tx*9 + i) // m) * 17
+        |               + ((y0 + ty*9 + (8*r) // 7) // n) * 57) % 200
+        |      THEN CASE WHEN r * 8 + i = 63
+        |        THEN (-9223372036854775807 - 1)
+        |        ELSE (1::BIGINT << (r * 8 + i)) END
+        |      ELSE 0 END) AS BIGINT) AS dhash
+        |  FROM dims, range(0, 6) t1(tx), range(0, 4) t2(ty),
+        |       range(0, 8) t3(r), range(0, 8) t4(i)
+        |  WHERE tx < w // 9 AND ty < h // 9
+        |  GROUP BY asset_id, tx, ty),
+        |hashes AS (
+        |  SELECT DISTINCT asset_id, dhash FROM tilebits WHERE dhash <> 0),
+        |pairs AS (
+        |  SELECT x.asset_id AS id_a, y.asset_id AS id_b,
+        |    CAST(COUNT(*) AS BIGINT) AS shared_tiles
+        |  FROM hashes x JOIN hashes y
+        |    ON x.dhash = y.dhash AND x.asset_id < y.asset_id
+        |  GROUP BY 1, 2
+        |  HAVING COUNT(*) >= 3)
+        |SELECT id_a, id_b, shared_tiles FROM pairs
+        |ORDER BY id_a, id_b""".stripMargin,
   )
 }

@@ -1880,6 +1880,48 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Cropping-robust image near-dup
+    * ([[graft.operators.Multimodal.tiledDhashImages]] →
+    * [[graft.operators.Multimodal.tiledImageNearDupPairs]], the tiled
+    * k-of-n dHash): band PNGs at scaleStep 2 over every doc_id % 5 ==
+    * 0, with a left+top crop of exactly one 9-px tile planted on every
+    * doc_id % 7 == 0 (id + 10⁶) and a brightness-25 PLUS right+bottom
+    * one-tile crop composition on every doc_id % 11 == 0 (id + 2·10⁶)
+    * — true content crops that defeat q108's fixed grid, q132's
+    * uniform-border rule, AND q114's dihedral canonicalization, yet
+    * leave every surviving whole tile bit-identical. Pairs share ≥ 3
+    * distinct non-degenerate tile hashes. The oracle replays the
+    * per-tile bit rule arithmetically: sample x = x0 + 9·tx + i,
+    * y = y0 + 9·ty + ⌊8r/7⌋ into the band closed form (brightness
+    * cancels in the sign comparisons), folds 64 bits per tile with the
+    * bit-63 sign trick, and value-joins the distinct hash sets.
+    */
+  private def q135(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val assets = docs(s, d).select(col("doc_id")).as[Long]
+      .filter(_ % 5 == 0)
+      .mapPartitions(_.flatMap { id =>
+        def asset(aid: Long, png: Array[Byte]) =
+          Multimodal.Asset(aid, png, "image/png", png.length.toLong)
+        Iterator(asset(id, Multimodal.syntheticBandPng(id, scaleStep = 2))) ++
+          (if (id % 7 == 0)
+            Iterator(asset(id + 1000000L, Multimodal.cropImage(
+              Multimodal.syntheticBandPng(id, scaleStep = 2),
+              left = 9, top = 9)))
+          else Iterator.empty) ++
+          (if (id % 11 == 0)
+            Iterator(asset(id + 2000000L, Multimodal.cropImage(
+              Multimodal.syntheticBandPng(id, brightness = 25,
+                scaleStep = 2),
+              left = 0, top = 0, right = 9, bottom = 9)))
+          else Iterator.empty)
+      })
+    Multimodal.tiledImageNearDupPairs(
+        Multimodal.tiledDhashImages(assets, tile = 9).toDF(),
+        minShared = 3)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Per-source corpus datasheet
     * ([[graft.operators.TextAnalysis.corpusCard]]): the release card
     * over a corpus with planted PII (q73's contact-block append on
@@ -2479,6 +2521,7 @@ object SparkEntry {
     "q132_image_content_dhash" -> (q132(_, _)),
     "q133_corpus_card" -> (q133(_, _)),
     "q134_curation_pipeline" -> (q134(_, _)),
+    "q135_tiled_crop_neardups" -> (q135(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

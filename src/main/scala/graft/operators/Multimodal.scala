@@ -368,8 +368,8 @@ object Multimodal {
     * and scramble the comparisons — a rotated or cropped copy hashes
     * as a different image. Rotation/mirroring are closed by
     * [[canonicalDhashImages]]; uniform-border re-framing (letterbox/
-    * matte) by [[contentBoxDhashImages]]; true content cropping needs
-    * a keypoint-style fingerprint, out of scope here.
+    * matte) by [[contentBoxDhashImages]]; true content cropping by
+    * [[tiledDhashImages]] (grid-aligned crops, the k-of-n tile rule).
     *
     * Scale shape: map-side only (decode + 72 `getRGB` probes per
     * image, bounded regardless of resolution); pair finding is the
@@ -447,8 +447,8 @@ object Multimodal {
     * color, then left/right columns uniform within the remaining rows;
     * the interior then feeds the ordinary 9×8 [[dhashImages]] grid, so
     * brightness/rescale/re-encode invariance carries over. Honest
-    * limits: true CONTENT cropping still needs keypoints (documented
-    * out of scope); an exactly-uniform content edge row (synthetic
+    * limits: true CONTENT cropping is the separate
+    * [[tiledDhashImages]] tier; an exactly-uniform content edge row (synthetic
     * solids, flat skies rendered without noise) is stripped too — the
     * price of the exact rule, same trade as the video tier's 0-hash
     * exclusion. Fully-uniform images and interiors under 9×8 px drop,
@@ -514,8 +514,13 @@ object Multimodal {
     require(border >= 1, s"border=$border must be positive")
     require(gray >= 0 && gray <= 255, s"gray=$gray out of range")
     javax.imageio.ImageIO.setUseCache(false)
-    val im = javax.imageio.ImageIO.read(
-      new java.io.ByteArrayInputStream(payload))
+    // ImageIO.read returns null (not an exception) on an undecodable
+    // payload; fail loudly here — unlike the scan paths, this is a
+    // fixture GENERATOR, so a corrupt input is a caller bug, not data
+    val im = Option(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload)))
+      .getOrElse(throw new IllegalArgumentException(
+        s"padImage: undecodable image payload (${payload.length} bytes)"))
     val w = im.getWidth + 2 * border
     val h = im.getHeight + 2 * border
     val out = new java.awt.image.BufferedImage(
@@ -529,6 +534,142 @@ object Multimodal {
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(out, "png", bos)
     bos.toByteArray
+  }
+
+  /** Crop any decodable image to the window that remains after removing
+    * `left`/`top`/`right`/`bottom` pixels (PNG out) — the crop fixture
+    * generator for [[tiledDhashImages]] tests and oracles (the inverse
+    * of [[padImage]]): surviving pixels are copied verbatim, so every
+    * fully-contained tile of the original whose origin the crop shifts
+    * by a whole tile count re-hashes identically.
+    */
+  def cropImage(payload: Array[Byte], left: Int, top: Int,
+      right: Int = 0, bottom: Int = 0): Array[Byte] = {
+    require(left >= 0 && top >= 0 && right >= 0 && bottom >= 0,
+      s"crop offsets must be non-negative: $left/$top/$right/$bottom")
+    javax.imageio.ImageIO.setUseCache(false)
+    val im = Option(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload)))
+      .getOrElse(throw new IllegalArgumentException(
+        s"cropImage: undecodable image payload (${payload.length} bytes)"))
+    val w = im.getWidth - left - right
+    val h = im.getHeight - top - bottom
+    require(w >= 1 && h >= 1,
+      s"crop $left/$top/$right/$bottom leaves no pixels of " +
+        s"${im.getWidth}x${im.getHeight}")
+    val out = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        out.setRGB(x, y, im.getRGB(left + x, top + y) & 0xffffff)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", bos)
+    bos.toByteArray
+  }
+
+  /** One sub-region difference hash of a tiled image. */
+  case class ImageTileHash(asset_id: Long, tile_x: Int, tile_y: Int,
+      dhash: Long)
+
+  /** CROPPING-robust perceptual fingerprints — the answer to
+    * [[dhashImages]]' (and [[contentBoxDhashImages]]') documented
+    * content-crop blindness, without keypoints: hash every complete
+    * `tile`×`tile` pixel block of the image (absolute top-left-anchored
+    * grid) with the ordinary 9×8 [[dhashImages]] rule, one 64-bit hash
+    * per tile. A crop whose offsets are multiples of `tile` shifts the
+    * grid by WHOLE tiles, so every fully-contained tile of the original
+    * that survives the crop re-hashes bit-identically — pigeonhole:
+    * the copy and the original share those tiles' hash VALUES no matter
+    * where the tiles landed, which is exactly what
+    * [[tiledImageNearDupPairs]] joins on. Per-tile brightness/contrast
+    * invariance carries over from the dHash sign rule, so
+    * crop+brightness compositions are still recalled. Honest limits:
+    * a crop NOT aligned to the tile grid shifts content within tiles
+    * and scrambles their hashes (the alignment granularity is the
+    * knob: smaller `tile` = finer crop tolerance, more hashes/rows);
+    * rescaled crops change the pixels under every tile (compose with
+    * [[canonicalDhashImages]]-style canonicalization upstream if
+    * needed). Tiles must be at least 9×9 px (the dHash grid minimum);
+    * images smaller than one tile emit nothing, the [[decodeImages]]
+    * corrupt-asset convention.
+    *
+    * Scale shape: map-side only — `⌊w/tile⌋·⌊h/tile⌋` tiles × 72
+    * luminance probes each, bounded by resolution/`tile`²; pair
+    * finding is the separate value-join in [[tiledImageNearDupPairs]].
+    */
+  def tiledDhashImages(
+      assets: Dataset[Asset], tile: Int = 32): Dataset[ImageTileHash] = {
+    require(tile >= 9, s"tile=$tile must be at least 9 (the dHash grid)")
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { a =>
+        val img =
+          try Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(a.payload)))
+          catch { case _: Exception => None }
+        img.toSeq.flatMap { im =>
+          for {
+            ty <- 0 until im.getHeight / tile
+            tx <- 0 until im.getWidth / tile
+            h <- dhashFromLum(tile, tile, (x, y) => {
+              val rgb = im.getRGB(tx * tile + x, ty * tile + y)
+              299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+                114L * (rgb & 0xff)
+            })
+          } yield ImageTileHash(a.asset_id, tx, ty, h)
+        }
+      }
+    }
+  }
+
+  /** Crop-robust near-duplicate image pairs from [[tiledDhashImages]]
+    * fingerprints: two images pair iff they share at least `minShared`
+    * distinct non-degenerate tile-hash VALUES (positions deliberately
+    * ignored — that is what makes grid-aligned crops free). Degenerate
+    * all-flat tiles (hash 0 — solid mattes, letterbox bars, blank
+    * margins) are excluded BEFORE the join: every document scan with a
+    * white margin would otherwise pair with every other through the
+    * blank tile, the same n²-through-degenerate-keys guard as the
+    * video tier's 0-hash exclusion. `maxHashFreq` optionally drops
+    * tile hashes carried by more than that many assets (stop-tiles —
+    * shared headers/watermarks at corpus scale); the recall contract
+    * then reads "≥ `minShared` shared non-ubiquitous tiles".
+    *
+    * Scale shape: distinct → value-equi-join on the 64-bit hash →
+    * count-filtered pair aggregation; no all-pairs product, join
+    * fan-out bounded by per-hash asset frequency (capped when
+    * `maxHashFreq` is set). Returns `(id_a, id_b, shared_tiles)`.
+    */
+  def tiledImageNearDupPairs(
+      tiles: DataFrame, idCol: String = "asset_id",
+      minShared: Int = 3, maxHashFreq: Int = Int.MaxValue): DataFrame = {
+    require(minShared >= 1, s"minShared=$minShared must be positive")
+    require(maxHashFreq >= 1, s"maxHashFreq=$maxHashFreq must be positive")
+    val distinctTiles = tiles
+      .filter(col("dhash") =!= 0L)
+      .select(col(idCol), col("dhash")).distinct()
+    val usable =
+      if (maxHashFreq == Int.MaxValue) distinctTiles
+      else {
+        val rare = distinctTiles.groupBy("dhash")
+          .agg(count(lit(1)).as("__assets"))
+          .filter(col("__assets") <= maxHashFreq)
+          .select("dhash")
+        distinctTiles.join(rare, Seq("dhash"), "left_semi")
+      }
+    usable.as("x")
+      .join(usable.as("y"), Seq("dhash"))
+      .filter(col(s"x.$idCol") < col(s"y.$idCol"))
+      .groupBy(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("shared_tiles"))
+      .filter(col("shared_tiles") >= minShared)
   }
 
   /** A rotation/mirror-invariant perceptual image fingerprint. */

@@ -563,6 +563,90 @@ class MultimodalSpec extends SparkSpec {
     // the fixed grid is genuinely scrambled by the bars it samples
     assert((0L until 8L).exists(id => bare(id + 100L) != bare(id)),
       "expected plain dHash to differ under letterboxing")
+    // fixture generator fails loudly on an undecodable payload (the
+    // scan paths DROP corrupt assets; a generator input is a caller bug)
+    val bad = intercept[IllegalArgumentException] {
+      Multimodal.padImage(Array[Byte](1, 2, 3), border = 2, gray = 0)
+    }
+    assert(bad.getMessage.contains("undecodable"))
+    CacheRegistry.drain()
+  }
+
+  test("tiledDhashImages: a grid-aligned crop's tile hashes are a " +
+      "subset of the original's, crop+brightness compositions pair, a " +
+      "misaligned crop genuinely scrambles (the documented boundary), " +
+      "and flat tiles never create pairs") {
+    val session = spark
+    import session.implicits._
+    def a(aid: Long, png: Array[Byte]) =
+      Multimodal.Asset(aid, png, "image/png", png.length.toLong)
+    def base(id: Long, b: Int = 0) =
+      Multimodal.syntheticBandPng(id, brightness = b, scaleStep = 2)
+    val assets = ((0L until 12L).flatMap { id =>
+      Seq(
+        a(id, base(id)),
+        // one-tile left+top crop — every surviving tile grid-aligned
+        a(id + 100L, Multimodal.cropImage(base(id), left = 9, top = 9)),
+        // brightness + right/bottom crop composition
+        a(id + 200L, Multimodal.cropImage(base(id, b = 30),
+          left = 0, top = 0, right = 9, bottom = 9)),
+        // misaligned crop: 4 px is NOT a multiple of the 9-px tile
+        a(id + 300L, Multimodal.cropImage(base(id), left = 4, top = 4)))
+    } :+ a(900L, { // a solid image: every tile flat, hash 0, excluded
+      val im = new java.awt.image.BufferedImage(
+        27, 27, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g2 = im.createGraphics()
+      try {
+        g2.setColor(new java.awt.Color(77, 77, 77))
+        g2.fillRect(0, 0, 27, 27)
+      } finally g2.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      bos.toByteArray
+    })).toDS()
+    val tiles = Multimodal.tiledDhashImages(assets, tile = 9)
+    val byAsset = tiles.collect().groupBy(_.asset_id)
+      .map { case (k, v) => k -> v.map(_.dhash).toSet }
+    for (id <- 0L until 12L) {
+      assert(byAsset(id + 100L).subsetOf(byAsset(id)),
+        s"id=$id aligned-crop tiles escaped the original's hash set")
+      assert(byAsset(id + 200L).subsetOf(byAsset(id)),
+        s"id=$id crop+brightness tiles escaped the original's hash set")
+    }
+    // the misaligned crop is NOT a subset for at least some images —
+    // the grid-alignment boundary is real, not vacuous
+    assert((0L until 12L).exists(id => !byAsset(id + 300L)
+        .forall(h => byAsset(id)(h) || h == 0L)),
+      "expected a 4-px crop to scramble some tile hashes")
+    // the solid image's tiles all hashed 0
+    assert(byAsset.get(900L).forall(_ == Set(0L)))
+    val pairs = Multimodal.tiledImageNearDupPairs(tiles.toDF(),
+        minShared = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // rule-exact recall: a variant pairs with its original IFF their
+    // non-degenerate hash sets share >= 3 distinct values (band-phase
+    // repetition can collapse a crop's surviving tiles to fewer
+    // DISTINCT hashes — the k-of-n rule counts values, not positions)
+    var aligned = 0
+    var composed = 0
+    for (id <- 0L until 12L; off <- Seq(100L, 200L)) {
+      val shared = (byAsset(id) & byAsset(id + off)) - 0L
+      assert(pairs((id, id + off)) == (shared.size >= 3),
+        s"id=$id off=$off shared=${shared.size} pair=${pairs((id, id + off))}")
+      if (pairs((id, id + off))) {
+        if (off == 100L) aligned += 1 else composed += 1
+      }
+    }
+    // and the tier genuinely recalls most planted crops (deterministic
+    // fixture — pin the floor, not the exact count)
+    assert(aligned >= 8, s"only $aligned/12 aligned crops recalled")
+    assert(composed >= 8, s"only $composed/12 compositions recalled")
+    // the flat image pairs with NOTHING (degenerate-tile exclusion)
+    assert(!pairs.exists(p => p._1 == 900L || p._2 == 900L))
+    // stop-tile cap: at maxHashFreq = 1 every hash is "ubiquitous"
+    // (each planted family shares it), so no pairs survive
+    assert(Multimodal.tiledImageNearDupPairs(tiles.toDF(),
+      minShared = 1, maxHashFreq = 1).count() == 0L)
     CacheRegistry.drain()
   }
 
