@@ -3247,5 +3247,58 @@ object OracleSql {
         |  HAVING COUNT(*) >= 3)
         |SELECT id_a, id_b, shared_tiles FROM pairs
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // q136: the frame-shingle trim/splice tier — per-frame hashes from
+    // q131's closed-form bit rule (the trim variant's frames keep their
+    // ORIGINAL f, the splice's frame list is clip A's then clip B's),
+    // the 0-hash exclusion and dense content re-indexing replayed, the
+    // w=3 windows built by self-joining consecutive positions, then the
+    // distinct shingle sets value-joined (any shared window pairs).
+    "q136_video_shingle_neardups" ->
+      """WITH assets AS (
+        |  SELECT doc_id AS asset_id, doc_id AS src, 0 AS f0, 0 AS off
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, doc_id, 1, 0 FROM documents
+        |  WHERE doc_id % 9 = 0 AND doc_id % 4 >= 1
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, doc_id, 0, 0 FROM documents
+        |  WHERE doc_id % 11 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, doc_id + 6, 0, 10 FROM documents
+        |  WHERE doc_id % 11 = 0),
+        |frames AS (
+        |  SELECT asset_id, src, f.f AS f, off + f.f AS ord
+        |  FROM assets, range(0, 7) f(f)
+        |  WHERE f.f >= f0 AND f.f < 3 + src % 4),
+        |fh AS (
+        |  SELECT asset_id, ord,
+        |    CAST(SUM(CASE WHEN
+        |        (src * 31 + f * 53 + i.i * 97 + r.r * 57) % 200 < 103
+        |      THEN CASE WHEN r.r * 8 + i.i = 63
+        |        THEN (-9223372036854775807 - 1)
+        |        ELSE (1::BIGINT << (r.r * 8 + i.i)) END
+        |      ELSE 0 END) AS BIGINT) AS h
+        |  FROM frames, range(0, 8) r(r), range(0, 8) i(i)
+        |  GROUP BY asset_id, src, f, ord),
+        |content AS (
+        |  SELECT asset_id, h,
+        |    row_number() OVER (PARTITION BY asset_id ORDER BY ord) AS pos
+        |  FROM fh WHERE h <> 0),
+        |shingles AS (
+        |  SELECT DISTINCT a.asset_id,
+        |    CAST(a.h AS VARCHAR) || ':' || CAST(b.h AS VARCHAR) || ':' ||
+        |      CAST(c.h AS VARCHAR) AS shingle
+        |  FROM content a
+        |  JOIN content b ON b.asset_id = a.asset_id AND b.pos = a.pos + 1
+        |  JOIN content c ON c.asset_id = a.asset_id AND c.pos = a.pos + 2),
+        |pairs AS (
+        |  SELECT x.asset_id AS id_a, y.asset_id AS id_b,
+        |    CAST(COUNT(*) AS BIGINT) AS shared_shingles
+        |  FROM shingles x JOIN shingles y
+        |    ON x.shingle = y.shingle AND x.asset_id < y.asset_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, shared_shingles FROM pairs
+        |ORDER BY id_a, id_b""".stripMargin,
   )
 }

@@ -1922,6 +1922,46 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
   }
 
+  /** Content-trim/splice-robust video near-dups
+    * ([[graft.operators.Multimodal.videoShingles]] → value-joined
+    * shared windows): q111's banded AVIs, with a genuine content
+    * re-edit planted on every doc_id % 9 == 0 with ≥ 4 frames — the
+    * FIRST content frame cut plus a brightness shift (id + 10⁶; real
+    * frames gone, so q131's degenerate-exclusion fold moves too) — and
+    * a two-clip splice on every doc_id % 11 == 0 (id + 2·10⁶: the
+    * clip's frames followed by clip id+6's, one container). Windows of
+    * 3 consecutive content-frame hashes shingle each video; any intact
+    * run is a shared value, so the trim pairs with its original and
+    * the splice pairs with BOTH sources. The oracle materializes
+    * per-frame hashes from the band closed form (q131's bit rule),
+    * replays the 0-hash exclusion and dense re-indexing, builds the
+    * 3-windows by self-joining consecutive positions, and value-joins
+    * the distinct shingle sets.
+    */
+  private def q136(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val assets = docs(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        def asset(aid: Long, avi: Array[Byte]) =
+          Multimodal.Asset(aid, avi, "video/avi", avi.length.toLong)
+        Iterator(asset(id, Multimodal.syntheticBandAvi(id))) ++
+          (if (id % 9 == 0 && id % 4 >= 1)
+            Iterator(asset(id + 1000000L, Multimodal.syntheticBandAvi(
+              id, brightness = 25, trimHead = 1)))
+          else Iterator.empty) ++
+          (if (id % 11 == 0)
+            Iterator(asset(id + 2000000L,
+              Multimodal.syntheticSpliceBandAvi(id, id + 6)))
+          else Iterator.empty)
+      })
+    Multimodal.videoShingleNearDupPairs(
+        Multimodal.videoShingles(
+          Multimodal.dhashVideoFrames(
+            Multimodal.sampleAviFrames(assets, everyNth = 1)).toDF(),
+          w = 3))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Per-source corpus datasheet
     * ([[graft.operators.TextAnalysis.corpusCard]]): the release card
     * over a corpus with planted PII (q73's contact-block append on
@@ -2522,6 +2562,7 @@ object SparkEntry {
     "q133_corpus_card" -> (q133(_, _)),
     "q134_curation_pipeline" -> (q134(_, _)),
     "q135_tiled_crop_neardups" -> (q135(_, _)),
+    "q136_video_shingle_neardups" -> (q136(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

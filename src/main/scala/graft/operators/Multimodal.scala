@@ -649,28 +649,9 @@ object Multimodal {
     */
   def tiledImageNearDupPairs(
       tiles: DataFrame, idCol: String = "asset_id",
-      minShared: Int = 3, maxHashFreq: Int = Int.MaxValue): DataFrame = {
-    require(minShared >= 1, s"minShared=$minShared must be positive")
-    require(maxHashFreq >= 1, s"maxHashFreq=$maxHashFreq must be positive")
-    val distinctTiles = tiles
-      .filter(col("dhash") =!= 0L)
-      .select(col(idCol), col("dhash")).distinct()
-    val usable =
-      if (maxHashFreq == Int.MaxValue) distinctTiles
-      else {
-        val rare = distinctTiles.groupBy("dhash")
-          .agg(count(lit(1)).as("__assets"))
-          .filter(col("__assets") <= maxHashFreq)
-          .select("dhash")
-        distinctTiles.join(rare, Seq("dhash"), "left_semi")
-      }
-    usable.as("x")
-      .join(usable.as("y"), Seq("dhash"))
-      .filter(col(s"x.$idCol") < col(s"y.$idCol"))
-      .groupBy(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
-      .agg(count(lit(1)).as("shared_tiles"))
-      .filter(col("shared_tiles") >= minShared)
-  }
+      minShared: Int = 3, maxHashFreq: Int = Int.MaxValue): DataFrame =
+    sharedValuePairs(tiles.filter(col("dhash") =!= 0L), idCol, "dhash",
+      "shared_tiles", minShared, maxHashFreq)
 
   /** A rotation/mirror-invariant perceptual image fingerprint. */
   case class ImageCanonicalHash(asset_id: Long, chash: Long)
@@ -1419,6 +1400,93 @@ object Multimodal {
     Dedup.simhashPairsFromSigs(sigs.select(col(idCol), col("vhash")),
       idCol, "vhash", maxHamming, chunkBits = 16, nChunks = 4)
 
+  /** One frame-hash shingle (a window of consecutive content-frame
+    * hashes) of a video. */
+  case class VideoShingle(asset_id: Long, start_idx: Int, shingle: String)
+
+  /** CONTENT-TRIM-robust video fingerprints — the answer to
+    * [[videoContentSignatures]]' documented boundary (an edit that cuts
+    * REAL frames, or splices two clips, still moves the majority fold):
+    * after the 0-hash degenerate-frame exclusion, slide a window of `w`
+    * consecutive content-frame hashes per video (frame order, dense
+    * over the surviving subsequence) and emit each window as one
+    * shingle value — the video analog of text w-shingling, and the
+    * temporal twin of [[tiledDhashImages]]' spatial tiles. A re-edit
+    * that keeps ANY run of ≥ `w` consecutive content frames intact
+    * shares that run's shingles verbatim (pigeonhole — position
+    * independent, so head/mid/tail cuts and splices are all recalled
+    * by [[videoShingleNearDupPairs]]' value join); per-frame
+    * brightness/rescale/re-encode invariance carries over from the
+    * dHash. Honest limits: an edit that re-times EVERY run below `w`
+    * frames leaves no shared window (that is pervasive content
+    * change); videos with fewer than `w` content frames emit nothing,
+    * the corrupt-asset convention.
+    *
+    * Scale shape: one per-video window aggregation (partitioned by the
+    * video id, ordered by frame index, `w`-row frames — no global
+    * window); pair finding is the separate value join.
+    */
+  def videoShingles(
+      frameHashes: DataFrame, w: Int = 3,
+      idCol: String = "asset_id"): DataFrame = {
+    require(w >= 1, s"w=$w must be positive")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("frame_idx"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
+        w - 1)
+    frameHashes.filter(col("dhash") =!= 0L)
+      .withColumn("__run", collect_list(col("dhash")).over(win))
+      .filter(size(col("__run")) === w)
+      .select(col(idCol), col("frame_idx").as("start_idx"),
+        array_join(col("__run"), ":").as("shingle"))
+  }
+
+  /** Trim/splice-robust near-duplicate video pairs from
+    * [[videoShingles]]: two videos pair iff they share at least
+    * `minShared` distinct shingle values — any intact run of `w`
+    * consecutive content frames is one shared shingle, wherever the
+    * edit moved it. `maxShingleFreq` optionally drops shingles carried
+    * by more than that many videos (stop-shingles — shared channel
+    * intros at corpus scale), the [[tiledImageNearDupPairs]] cap.
+    * Returns `(id_a, id_b, shared_shingles)`; same
+    * distinct → value-equi-join → count-filter scale shape.
+    */
+  def videoShingleNearDupPairs(
+      shingles: DataFrame, idCol: String = "asset_id",
+      minShared: Int = 1, maxShingleFreq: Int = Int.MaxValue): DataFrame =
+    sharedValuePairs(shingles, idCol, "shingle", "shared_shingles",
+      minShared, maxShingleFreq)
+
+  /** The shared k-of-n value-set pair join of [[tiledImageNearDupPairs]]
+    * and [[videoShingleNearDupPairs]]: distinct (id, value) → self
+    * equi-join on the value → pair counts filtered at `minShared`,
+    * with an optional per-value frequency cap. Degenerate-value
+    * exclusion is the CALLER's contract (each tier filters its own
+    * notion of "flat" before the distinct).
+    */
+  private def sharedValuePairs(
+      df: DataFrame, idCol: String, valCol: String, outCol: String,
+      minShared: Int, maxFreq: Int): DataFrame = {
+    require(minShared >= 1, s"minShared=$minShared must be positive")
+    require(maxFreq >= 1, s"maxFreq=$maxFreq must be positive")
+    val distinctVals = df.select(col(idCol), col(valCol)).distinct()
+    val usable =
+      if (maxFreq == Int.MaxValue) distinctVals
+      else {
+        val rare = distinctVals.groupBy(valCol)
+          .agg(count(lit(1)).as("__ids"))
+          .filter(col("__ids") <= maxFreq)
+          .select(valCol)
+        distinctVals.join(rare, Seq(valCol), "left_semi")
+      }
+    usable.as("x")
+      .join(usable.as("y"), Seq(valCol))
+      .filter(col(s"x.$idCol") < col(s"y.$idCol"))
+      .groupBy(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+      .agg(count(lit(1)).as(outCol))
+      .filter(col(outCol) >= minShared)
+  }
+
   /** Deterministic synthetic uncompressed AVI for oracle-checkable video
     * tests: `3 + id%4` solid DIB frames at `(4 + id%4)×(3 + id%3)`,
     * 25 fps (40 000 µs/frame); frame `f` fills
@@ -1465,15 +1533,24 @@ object Multimodal {
     * `introFrames`/`outroFrames` prepend/append SOLID gray frames
     * (hash exactly 0 — the [[videoContentSignatures]] trim fixture):
     * the content frames and their closed form are untouched.
+    * `trimHead`/`trimTail` instead CUT content frames — the emitted
+    * range is `f ∈ [trimHead, nFrames - trimTail)` with each frame's
+    * closed form keyed by its ORIGINAL `f` (a genuine content re-edit:
+    * the surviving frames are bit-identical to the original's, the
+    * cut ones are gone) — the [[videoShingles]] trim fixture.
     */
   def syntheticBandAvi(
       id: Long, brightness: Int = 0, scaleStep: Int = 0,
-      introFrames: Int = 0, outroFrames: Int = 0): Array[Byte] = {
+      introFrames: Int = 0, outroFrames: Int = 0,
+      trimHead: Int = 0, trimTail: Int = 0): Array[Byte] = {
     require(brightness >= 0 && brightness <= 55,
       s"brightness=$brightness must be in [0, 55] to stay unclamped")
     require(scaleStep >= 0, s"scaleStep=$scaleStep must be non-negative")
     require(introFrames >= 0 && outroFrames >= 0,
       s"intro/outro frame counts must be non-negative")
+    require(trimHead >= 0 && trimTail >= 0 &&
+      trimHead + trimTail < 3 + (id % 4).toInt,
+      s"trim $trimHead/$trimTail must leave at least one content frame")
     val m = 2 + (id % 3).toInt + scaleStep
     val nrow = 2 + (id % 2).toInt + scaleStep
     val w = 9 * m
@@ -1501,7 +1578,7 @@ object Multimodal {
     }
     val frames =
       Seq.fill(introFrames)(solid) ++
-      (0 until nFrames).map { f =>
+      (trimHead until nFrames - trimTail).map { f =>
         val out = new Array[Byte](stride * h)
         var y = 0
         while (y < h) {
@@ -1522,6 +1599,49 @@ object Multimodal {
       } ++
       Seq.fill(outroFrames)(solid)
     graft.sources.AviDemux.mux(frames, w, h, 40000L, compressed = false)
+  }
+
+  /** A SPLICE of two [[syntheticBandAvi]] clips into one container —
+    * idA's content frames followed by idB's, each keyed by its own
+    * closed form ([[videoShingles]]' splice fixture: the spliced video
+    * shares every length-w frame run with BOTH sources). The two ids
+    * must agree on band dimensions (`idA ≡ idB (mod 6)` — m and nrow
+    * are functions of id mod 3 and mod 2), since one AVI carries one
+    * geometry.
+    */
+  def syntheticSpliceBandAvi(
+      idA: Long, idB: Long, brightness: Int = 0): Array[Byte] = {
+    require(idA % 6 == idB % 6,
+      s"idA=$idA and idB=$idB must agree mod 6 (shared band geometry)")
+    require(brightness >= 0 && brightness <= 55,
+      s"brightness=$brightness must be in [0, 55] to stay unclamped")
+    val m = 2 + (idA % 3).toInt
+    val nrow = 2 + (idA % 2).toInt
+    val w = 9 * m
+    val h = 8 * nrow
+    val stride = ((w * 3 + 3) / 4) * 4
+    def clip(id: Long): Seq[Array[Byte]] =
+      (0 until 3 + (id % 4).toInt).map { f =>
+        val out = new Array[Byte](stride * h)
+        var y = 0
+        while (y < h) {
+          val r = y / nrow
+          val row = (h - 1 - y) * stride
+          var x = 0
+          while (x < w) {
+            val j = x / m
+            val g = (((id * 31 + f * 53 + j * 97 + r * 57) % 200) +
+              brightness).toByte
+            val o = row + x * 3
+            out(o) = g; out(o + 1) = g; out(o + 2) = g
+            x += 1
+          }
+          y += 1
+        }
+        out
+      }
+    graft.sources.AviDemux.mux(clip(idA) ++ clip(idB), w, h, 40000L,
+      compressed = false)
   }
 
   /** Deterministic synthetic MJPEG AVI (each frame a real ImageIO JPEG

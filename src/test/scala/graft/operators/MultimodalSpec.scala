@@ -650,6 +650,72 @@ class MultimodalSpec extends SparkSpec {
     CacheRegistry.drain()
   }
 
+  test("videoShingles: mid-stream trims and splices share intact " +
+      "windows with their source (the content-signature fold is MOVED " +
+      "by the same edits — the gap being closed); sub-w videos emit " +
+      "nothing; the stop-shingle cap prunes") {
+    val session = spark
+    import session.implicits._
+    def a(aid: Long, avi: Array[Byte]) =
+      Multimodal.Asset(aid, avi, "video/avi", avi.length.toLong)
+    // ids chosen with >= 5 content frames (3 + id%4 >= 5) so a head
+    // trim AND a tail trim both leave a 3-run
+    val ids = Seq(2L, 3L, 6L, 7L, 14L, 15L)
+    val assets = (ids.flatMap { id =>
+      Seq(
+        a(id, Multimodal.syntheticBandAvi(id)),
+        // head cut + brightness: a GENUINE content re-edit
+        a(id + 100L, Multimodal.syntheticBandAvi(id, brightness = 30,
+          trimHead = 1)),
+        // tail cut
+        a(id + 200L, Multimodal.syntheticBandAvi(id, trimTail = 1)),
+        // splice with the geometry-sharing neighbor id+6
+        a(id + 300L, Multimodal.syntheticSpliceBandAvi(id, id + 6)))
+    } :+ a(900L, Multimodal.syntheticBandAvi(1L))  // 4 frames
+     :+ a(901L, Multimodal.syntheticBandAvi(1L, trimHead = 1,
+          trimTail = 1))  // only 2 content frames: below w=3, no shingles
+    ).toDS()
+    val fh = Multimodal.dhashVideoFrames(
+      Multimodal.sampleAviFrames(assets, everyNth = 1)).toDF()
+    val sh = Multimodal.videoShingles(fh, w = 3)
+    val byAsset = sh.collect()
+      .groupBy(_.getLong(0)).map { case (k, v) =>
+        k -> v.map(_.getString(2)).toSet }
+    for (id <- ids) {
+      assert(byAsset(id + 100L).subsetOf(byAsset(id)),
+        s"id=$id head-trim windows escaped the original's")
+      assert(byAsset(id + 200L).subsetOf(byAsset(id)),
+        s"id=$id tail-trim windows escaped the original's")
+      assert(byAsset(id + 100L).nonEmpty && byAsset(id + 200L).nonEmpty)
+      // the splice carries every window of BOTH clips (id+6 is not an
+      // asset here; compare against its would-be shingle set via a
+      // second spliced build sharing only the B clip is overkill —
+      // the A-side subset is the load-bearing claim)
+      assert(byAsset(id).subsetOf(byAsset(id + 300L)),
+        s"id=$id splice lost some of clip A's windows")
+    }
+    // below-w videos emit nothing (901 has 2 content frames)
+    assert(!byAsset.contains(901L))
+    val pairs = Multimodal.videoShingleNearDupPairs(sh).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (id <- ids) {
+      assert(pairs((id, id + 100L)), s"id=$id head trim not recalled")
+      assert(pairs((id, id + 200L)), s"id=$id tail trim not recalled")
+      assert(pairs((id, id + 300L)), s"id=$id splice not recalled")
+    }
+    // the content-signature fold (q131's tier) is genuinely MOVED by
+    // a content trim for at least some ids — this tier's raison d'être
+    val sigs = Multimodal.videoContentSignatures(fh).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(ids.exists(id => sigs(id) != sigs(id + 100L)),
+      "expected a head cut to move the majority fold")
+    // stop-shingle cap: every planted family shares its windows across
+    // >= 3 assets, so a cap of 1 leaves nothing to pair
+    assert(Multimodal.videoShingleNearDupPairs(sh,
+      maxShingleFreq = 1).count() == 0L)
+    CacheRegistry.drain()
+  }
+
   test("videoContentSignatures: solid intro/outro padding never changes " +
       "the signature or the content-frame count; the plain fold IS " +
       "moved by the same padding (the gap being closed); all-degenerate " +
