@@ -166,6 +166,35 @@ object Pq {
         "(precision-38 headroom allows at most 8 additions); compute " +
         "the per-row sum on grid longs for larger m")
 
+  /** The IVFADC rankers inline `nprobe · m · k` decimal constants as
+    * one per-row `when`-chain. That is the right shape for the
+    * standard PQ envelope (k ≤ 256, single-digit m, single-digit
+    * nprobe), but the generated projection grows linearly with the
+    * product and past this bound the compiled methods push against
+    * janino/JVM method limits — Spark then silently degrades the
+    * stage to interpreted evaluation, a large per-row slowdown with
+    * no error. Refuse loudly instead (the codegen twin of the m ≤ 9
+    * decimal-headroom guard; PlanQualitySpec pins compiled-method
+    * sizes under the JIT-inlining envelope AT this bound). The
+    * documented large-k path: keep codes and codebooks as grid longs
+    * and sum via a broadcast-array lookup (`element_at` over an array
+    * literal / broadcast map) — approximate decimal exactness is then
+    * recovered by rescoring the short candidate list with the exact
+    * chain.
+    */
+  val MaxAdcWhenBranches = 4096
+
+  private def requireAdcCodegenBound(probes: Int, model: Model): Unit = {
+    val k = model.codebooks.map(_.length).max
+    val branches = probes.toLong * model.m * k
+    require(branches <= MaxAdcWhenBranches,
+      s"probed-cells*m*k = $probes*${model.m}*$k = $branches exceeds " +
+        s"MaxAdcWhenBranches=$MaxAdcWhenBranches: the inlined per-cell " +
+        "LUT when-chain would fall out of whole-stage codegen; probe " +
+        "fewer cells, use a smaller codebook, or rank large-k stores " +
+        "via a broadcast-array LUT over grid longs")
+  }
+
   def adcTopK(codes: DataFrame, idCol: String, codeCol: String,
       model: Model, query: Array[Double], topK: Int): DataFrame = {
     require(query.length == model.m * model.subDim,
@@ -282,6 +311,7 @@ object Pq {
     require(topK > 0, s"topK=$topK must be positive")
     requireExactDecimalHeadroom(model)
     val probes = Ann.probeCells(centroids, query.toSeq, nprobe)
+    requireAdcCodegenBound(probes.size, model)
     val codes = encodeResiduals(
       assigned.filter(col(cellCol).isin(probes: _*)),
       vecCol, cellCol, centroids, model)
@@ -351,6 +381,7 @@ object Pq {
     require(topK > 0, s"topK=$topK must be positive")
     requireExactDecimalHeadroom(model)
     val probes = Ann.probeCells(centroids, query.toSeq, nprobe)
+    requireAdcCodegenBound(probes.size, model)
     val codes = spark.read.parquet(path)
       .filter(col("cell").isin(probes: _*))
     rankByCellLuts(codes, idCol, "cell", probes, centroids, model,

@@ -238,21 +238,168 @@ object CorpusStream {
       batch: DataFrame, batchId: Long): Unit = {
     val docs = oneRowPerUrl(batch)
     if (!docs.isEmpty) graft.operators.CacheRegistry.scope {
-      val cleaned = graft.operators.TextAnalysis
-        .c4LineFilters(docs.select("url", "text"), "text")
-        .filter(col("page_keep"))
-        .select(col("url"), col("clean_text").as("text"))
-      val kept = graft.operators.TextAnalysis
-        .gopherQualityRules(cleaned, "text",
-          minWords = minWords, minStopKinds = minStopKinds)
-        .filter(col("keep"))
-        .select("url", "text")
-      if (!kept.isEmpty)
-        kept.join(
-            graft.operators.Bpe.applyModel(kept, "url", "text", model),
-            Seq("url"), "left")
-          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+      curateAndWrite(model, outDir, minWords, minStopKinds)(docs, batchId)
     }
+  }
+
+  /** The curated quality chain of one drain's NOVEL documents —
+    * C4 page gate → Gopher battery over the CLEANED text → tokenize —
+    * writing the survivors into the batchId-keyed exactly-once layout.
+    * Shared tail of [[curatedBatch]] and [[curatedFuzzyBatch]].
+    */
+  private def curateAndWrite(
+      model: graft.operators.Bpe.Model, outDir: String,
+      minWords: Int, minStopKinds: Int)(
+      docs: DataFrame, batchId: Long): Unit = {
+    val cleaned = graft.operators.TextAnalysis
+      .c4LineFilters(docs.select("url", "text"), "text")
+      .filter(col("page_keep"))
+      .select(col("url"), col("clean_text").as("text"))
+    val kept = graft.operators.TextAnalysis
+      .gopherQualityRules(cleaned, "text",
+        minWords = minWords, minStopKinds = minStopKinds)
+      .filter(col("keep"))
+      .select("url", "text")
+    if (!kept.isEmpty)
+      kept.join(
+          graft.operators.Bpe.applyModel(kept, "url", "text", model),
+          Seq("url"), "left")
+        .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+  }
+
+  /** [[runCurated]] with [[runFuzzy]]'s NEAR-duplicate gate composed
+    * BEHIND the exact dedup and BEFORE the quality gates — the full
+    * curated build a production crawl runs: an edited re-crawl (date
+    * stamp, hit counter — new exact fingerprint, near-identical
+    * shingles) is suppressed by the persisted MinHash band index and
+    * never reaches the C4/Gopher batteries at all, so per-drain
+    * quality compute follows NOVEL content, not re-crawl volume. The
+    * index is keyed by content fingerprint and carries keys for EVERY
+    * gate-passing document — including ones the quality gates then
+    * reject — so a near-dup of a quality-reject is suppressed from
+    * re-running the batteries every drain. Index write first, both
+    * writes batchId-keyed overwrites: the same-batchId replay contract
+    * of [[fuzzyBatch]] carries over unchanged.
+    */
+  def runCuratedFuzzy(
+      spark: SparkSession, warcDir: String, model: graft.operators.Bpe.Model,
+      checkpointDir: String, outDir: String, bandIndexDir: String,
+      glob: String = "*.warc*",
+      minWords: Int = 30, minStopKinds: Int = 1,
+      shingleN: Int = 3, k: Int = 64, bands: Int = 16): StreamingQuery =
+    graft.sources.WarcReader.readStream(spark, warcDir, glob)
+      .filter(col("warc_type") === "response" &&
+        col("http_status") === 200 &&
+        col("http_content_type").startsWith("text/html"))
+      .select(col("target_uri").as("url"),
+        graft.operators.TextAnalysis.htmlToTextLines(
+          decode(col("body"), "UTF-8")).as("text"))
+      .withColumn("fp",
+        graft.operators.TextAnalysis.fingerprint(col("text")))
+      .dropDuplicates("fp")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        curatedFuzzyBatch(spark, model, outDir, bandIndexDir,
+          minWords, minStopKinds, shingleN, k, bands)(batch, batchId)
+      }
+      .start()
+
+  /** One [[runCuratedFuzzy]] micro-batch (factored out like
+    * [[fuzzyBatch]] so the replay contract is directly testable).
+    */
+  private[streaming] def curatedFuzzyBatch(
+      spark: SparkSession, model: graft.operators.Bpe.Model,
+      outDir: String, bandIndexDir: String,
+      minWords: Int, minStopKinds: Int,
+      shingleN: Int, k: Int, bands: Int)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val docs = oneRowPerUrl(batch)
+    if (!docs.isEmpty) graft.operators.CacheRegistry.scope {
+      val novel = graft.operators.CacheRegistry.track(
+        graft.operators.Dedup.incrementalLshDedup(
+          docs, bandIndex(spark, bandIndexDir, batchId), "fp", "text",
+          shingleN, k, bands).persist())
+      graft.operators.Dedup
+        .lshBandKeys(novel, "fp", "text", shingleN, k, bands)
+        .write.mode("overwrite")
+        .parquet(s"$bandIndexDir/batch_id=$batchId")
+      curateAndWrite(model, outDir, minWords, minStopKinds)(
+        novel, batchId)
+    }
+  }
+
+  /** Small-files maintenance for the batchId-keyed layouts ([[run]] /
+    * [[runFuzzy]] / [[runCurated]] outputs and the band index): after
+    * thousands of drains the directory holds thousands of tiny
+    * `batch_id=N` partitions and every gate read lists them all — the
+    * classic streaming small-files decay. This pass consolidates every
+    * partition with `batch_id < beforeBatch` (pass the CURRENT batch
+    * id: the one batch `foreachBatch` may still replay is never
+    * touched, so the same-batchId overwrite contract is preserved)
+    * into ONE partition, written under a NEGATIVE id that encodes its
+    * coverage: `batch_id = -(M + 2)` consolidates all batches with id
+    * ≤ M. Readers are unaffected — the row set is unchanged, and
+    * [[bandIndex]]'s current-batch exclusion compares against a
+    * non-negative id, which a consolidated partition never carries.
+    *
+    * Crash-safe by self-healing, not atomicity: the consolidated
+    * partition is written BEFORE its sources are deleted, so a crash
+    * inside the window leaves covered rows visible twice; the next
+    * call (or drain-time healing via this method) deletes any
+    * partition whose id is ≤ some negative partition's coverage before
+    * doing new work. For the band index the duplicate window is
+    * semantically invisible (suppression is a semi-join on keys); for
+    * an OUTPUT corpus, run the pass between drains and re-run it after
+    * a crash before reading.
+    *
+    * Trigger policy: cheap enough to call after every drain (it
+    * no-ops below 2 consolidatable partitions); at scale, trigger when
+    * the positive-partition count exceeds the number of files a gate
+    * read should list (e.g. 64) — the pass costs one read + one write
+    * of the consolidated mass, `targetFiles` bounds the output file
+    * count. Returns true iff a consolidation was performed.
+    */
+  def compactBatches(
+      spark: SparkSession, dir: String, beforeBatch: Long,
+      targetFiles: Int = 1): Boolean = {
+    require(targetFiles >= 1, s"targetFiles=$targetFiles must be positive")
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return false
+    def parts(): Seq[(Long, org.apache.hadoop.fs.Path)] =
+      fs.listStatus(root).toSeq.filter(_.isDirectory).flatMap { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("batch_id="))
+          scala.util.Try(name.stripPrefix("batch_id=").toLong)
+            .toOption.map(_ -> st.getPath)
+        else None
+      }
+    // heal a crashed prior pass: anything covered by a negative
+    // partition is a leftover source — delete it before new work
+    val all = parts()
+    val maxCover = all.collect { case (id, _) if id < 0 => -id - 2 }
+      .foldLeft(-1L)(math.max)
+    for ((id, p) <- all
+         if (id >= 0 && id <= maxCover) || (id < 0 && -id - 2 < maxCover))
+      fs.delete(p, true)
+    val sources = parts().filter { case (id, _) =>
+      id < 0 || id < beforeBatch }
+    if (sources.size <= 1) return false
+    val newCover = sources.map(_._1).filter(_ >= 0)
+      .foldLeft(maxCover)(math.max)
+    // read via basePath so the partition column materializes, drop it,
+    // and write the union under the explicit consolidated dir (the
+    // same no-column-in-data layout the drains write)
+    spark.read.option("basePath", dir)
+      .parquet(sources.map(_._2.toString): _*)
+      .drop("batch_id")
+      .coalesce(targetFiles)
+      .write.mode("overwrite").parquet(s"$dir/batch_id=${-(newCover + 2)}")
+    sources.foreach { case (_, p) => fs.delete(p, true) }
+    true
   }
 
   /** The persisted band-key index relation as batch `currentBatch`

@@ -222,6 +222,41 @@ class PqSpec extends SparkSpec {
     CacheRegistry.drain()
   }
 
+  test("ivfAdcTopK and probeIvfAdcStore REFUSE probes*m*k above the " +
+      "codegen branch bound instead of silently degrading the stage " +
+      "to interpreted rows") {
+    val session = spark
+    import session.implicits._
+    // 9 cells * m=8 * k=64 = 4608 > MaxAdcWhenBranches = 4096
+    val m = 8
+    val k = 64
+    val model = Pq.Model(m, 1,
+      Array.tabulate(m, k, 1)((_, j, _) => j * 0.01))
+    val centroids = (0 until 9).map(c => c -> Seq.fill(8)(c * 0.05))
+    val df = (1L to 20L)
+      .map(i => (i, Array.fill(8)((i % 5) * 0.04))).toDF("id", "vec")
+    val query = Array.fill(8)(0.03)
+    val ex = intercept[IllegalArgumentException] {
+      Pq.ivfAdcTopK(Ann.assignCells(df, "vec", centroids), "id", "vec",
+        "cell", centroids, model, query, topK = 3, nprobe = 9)
+    }
+    assert(ex.getMessage.contains("MaxAdcWhenBranches"), ex.getMessage)
+    // the store probe enforces the same bound
+    val dir = java.nio.file.Files.createTempDirectory("adc-bound")
+      .toString
+    Pq.writeIvfAdcIndex(df, "id", "vec", centroids, model, dir)
+    val ex2 = intercept[IllegalArgumentException] {
+      Pq.probeIvfAdcStore(spark, dir, "id", centroids, model, query,
+        topK = 3, nprobe = 9)
+    }
+    assert(ex2.getMessage.contains("MaxAdcWhenBranches"), ex2.getMessage)
+    // and the SAME configuration probed one cell fewer is allowed
+    // (9→8 probes: exactly the bound)
+    assert(Pq.probeIvfAdcStore(spark, dir, "id", centroids, model,
+      query, topK = 3, nprobe = 8).count() == 3L)
+    CacheRegistry.drain()
+  }
+
   test("fit FAILS FAST on a training vector whose length != dim — no " +
       "silently truncated subspace training") {
     val session = spark

@@ -320,4 +320,40 @@ class PlanQualitySpec extends SparkSpec {
       "the probe must never touch a vector column")
     graft.operators.CacheRegistry.drain()
   }
+
+  test("the IVFADC when-chain stays inside whole-stage codegen AT the " +
+      "enforced branch bound (probes*m*k = MaxAdcWhenBranches), with " +
+      "compiled methods under the huge-method fallback limit") {
+    val session = spark
+    import session.implicits._
+    // synthetic model AT the documented ceiling: 8 cells * m=8 * k=64
+    val m = 8
+    val k = 64
+    val codebooks = Array.tabulate(m, k, 1)((_, j, _) => j * 0.01)
+    val model = graft.operators.Pq.Model(m, 1, codebooks)
+    val centroids = (0 until 8).map(c => c -> Seq.fill(8)(c * 0.05))
+    val rows = (1L to 200L)
+      .map(i => (i, Array.fill(8)((i % 7) * 0.04))).toDF("id", "vec")
+    val assigned = graft.operators.Ann.assignCells(rows, "vec", centroids)
+    val top = graft.operators.Pq.ivfAdcTopK(assigned, "id", "vec",
+      "cell", centroids, model, Array.fill(8)(0.03), topK = 5,
+      nprobe = 8)
+    assert(top.count() == 5L, "the bound-sized ranking must execute")
+    val plan = executed(top)
+    assert(plan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec]),
+      "the ADC projection fell out of whole-stage codegen at the bound")
+    // compiled evidence, not just plan shape: every generated method
+    // stays under spark.sql.codegen.hugeMethodLimit (65535 bytecode
+    // bytes) — past it Spark silently degrades to interpreted rows,
+    // which is exactly what MaxAdcWhenBranches exists to prevent
+    val stats = org.apache.spark.sql.execution.debug
+      .codegenStringSeq(plan)
+    assert(stats.nonEmpty, "no codegen subtrees found")
+    val maxMethod = stats.map(_._3.maxMethodCodeSize).max
+    assert(maxMethod > 0 && maxMethod < 65535,
+      s"maxMethodCodeSize=$maxMethod at the bound — raise/lower " +
+        "MaxAdcWhenBranches with this evidence")
+    graft.operators.CacheRegistry.drain()
+  }
 }

@@ -268,6 +268,175 @@ class CorpusStreamSpec extends SparkSpec {
     CacheRegistry.drain()
   }
 
+  test("runCuratedFuzzy: an edited near-dup re-crawl is suppressed by " +
+      "the band index BEFORE the quality gates (even a near-dup of a " +
+      "quality-REJECTED page), novel pages still curate, and the " +
+      "same-batchId replay stays byte-identical") {
+    val session = spark
+    import session.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cfz-stream")
+    val ckpt = java.nio.file.Files.createTempDirectory("cfz-ckpt")
+    val out = java.nio.file.Files.createTempDirectory("cfz-out")
+    val bidx = java.nio.file.Files.createTempDirectory("cfz-bidx")
+    val model = Bpe.learnMerges(
+      Seq("abab abab bc cc ab", "bc bc abab cc a b c").toDF("text"),
+      "text", numMerges = 4)
+    def para(s: String) = s"<p>$s</p>"
+    def rec(i: Int, paras: String*): WarcReader.WarcRecord =
+      WarcReader.WarcRecord("response", s"https://x.example/p/$i",
+        "2026-01-01T00:00:00Z", 200, "text/html",
+        (s"<html><body>${paras.map(para).mkString}</body></html>")
+          .getBytes("UTF-8"))
+    val good = (1 to 6).map(k => s"abab the bc$k cc").mkString(" ") + "."
+    val s2 = "Here is the second proper sentence now."
+    val s3 = "And here is the third proper sentence."
+    val lorem = "Lorem ipsum dolor sit amet consectetur adipiscing elit."
+    def drain(): Unit =
+      CorpusStream.runCuratedFuzzy(spark, dir.toString, model,
+          ckpt.toString, out.toString, bidx.toString,
+          minWords = 12, minStopKinds = 1)
+        .awaitTermination()
+    def urls(): Set[String] =
+      spark.read.parquet(out.toString).select("url").collect()
+        .map(_.getString(0)).toSet
+
+    // drain 1: p/1 curates; p/4 (textually DISTINCT from p/1 — it must
+    // pass the LSH gate) dies on the C4 lorem tell, but its band keys
+    // must STILL be indexed
+    val good4 = (1 to 6).map(k => s"ab the ccx$k bcy").mkString(" ") + "."
+    java.nio.file.Files.write(dir.resolve("seg-00001.warc.gz"),
+      WarcReader.write(Seq(
+        rec(1, good, s2, s3),
+        rec(4, good4, "A different middle sentence lives here.", lorem)),
+        gzipPerRecord = true))
+    drain()
+    assert(urls() == Set("https://x.example/p/1"), s"${urls()}")
+    assert(spark.read.parquet(bidx.toString).count() == 32L,
+      "both gate-passing pages' keys must be indexed")
+
+    // drain 2: p/2 is p/1 with one word edited (new exact fp, WOULD
+    // pass quality) -> suppressed before the gates; p/5 edits the
+    // quality-REJECTED p/4 -> suppressed too; p/3 is novel and lands
+    java.nio.file.Files.write(dir.resolve("seg-00002.warc.gz"),
+      WarcReader.write(Seq(
+        rec(2, good, "Here is the second proper sentence today.", s3),
+        rec(5, good4, "A different middle sentence lived here.", lorem),
+        rec(3, (1 to 6).map(k => s"cc the ab$k bc").mkString(" ") + ".",
+          "Novel second proper sentence for this page.",
+          "Novel third proper sentence for this page.")),
+        gzipPerRecord = true))
+    drain()
+    assert(urls() == Set("https://x.example/p/1", "https://x.example/p/3"),
+      s"near-dups must never reach the quality gates: ${urls()}")
+    assert(spark.read.parquet(bidx.toString).count() == 48L,
+      "suppressed near-dups must not add keys")
+
+    // same-batchId replay (the foreachBatch at-least-once window):
+    // output and index byte-identical before/after
+    def snapshot(): (Seq[String], Long) = (
+      spark.read.parquet(out.toString).select("url").collect()
+        .map(_.getString(0)).sorted.toSeq,
+      spark.read.parquet(bidx.toString).count())
+    val docs = Seq(("https://x.example/p/9",
+        Seq((1 to 6).map(k => s"bc the cc$k ab").mkString(" ") + ".",
+          "Replay second proper sentence for this page.",
+          "Replay third proper sentence for this page.").mkString("\n")))
+      .toDF("url", "text")
+      .withColumn("fp", graft.operators.TextAnalysis.fingerprint(
+        org.apache.spark.sql.functions.col("text")))
+    def exec(): Unit =
+      CorpusStream.curatedFuzzyBatch(spark, model, out.toString,
+        bidx.toString, 12, 1, 3, 64, 16)(docs, 7L)
+    exec()
+    val snap1 = snapshot()
+    exec()
+    assert(snapshot() == snap1, "replay must rewrite, not append")
+    CacheRegistry.drain()
+  }
+
+  test("compactBatches: old batch_id partitions consolidate into one " +
+      "coverage-encoded partition — gate decisions identical, the " +
+      "current batch's replay contract untouched, partition count " +
+      "bounded, crashed passes self-heal") {
+    val session = spark
+    import session.implicits._
+    val out = java.nio.file.Files.createTempDirectory("cmp-out")
+    val bidx = java.nio.file.Files.createTempDirectory("cmp-bidx")
+    val model = Bpe.learnMerges(
+      Seq("abab abab bc cc ab", "bc bc abab cc a b c").toDF("text"),
+      "text", numMerges = 4)
+    def docsDf(rows: (String, String)*) =
+      rows.toSeq.toDF("url", "text").withColumn("fp",
+        graft.operators.TextAnalysis.fingerprint(col("text")))
+    def exec(batch: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      CorpusStream.fuzzyBatch(spark, model, out.toString, bidx.toString,
+        3, 64, 16)(batch, id)
+    def text(tag: String) =
+      (1 to 20).map(k => s"$tag token$k").mkString(" ")
+    exec(docsDf("https://x.example/p/0" -> text("aa")), 0L)
+    exec(docsDf("https://x.example/p/1" -> text("bb")), 1L)
+    exec(docsDf("https://x.example/p/2" -> text("cc")), 2L)
+    def partDirs(dir: java.nio.file.Path): Set[String] =
+      new java.io.File(dir.toString).listFiles.toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+        .map(_.getName).toSet
+    assert(partDirs(bidx) ==
+      Set("batch_id=0", "batch_id=1", "batch_id=2"))
+    val idxBefore = spark.read.parquet(bidx.toString)
+      .select("fp", "band_id", "band_hash").collect().map(_.toString)
+      .sorted.toSeq
+    // compact everything older than the current batch (id 2)
+    assert(CorpusStream.compactBatches(spark, bidx.toString, 2L))
+    assert(CorpusStream.compactBatches(spark, out.toString, 2L))
+    // bounded: one consolidated partition (coverage -(1+2)) + batch 2
+    assert(partDirs(bidx) == Set("batch_id=-3", "batch_id=2"),
+      s"${partDirs(bidx)}")
+    // the row set is unchanged
+    val idxAfter = spark.read.parquet(bidx.toString)
+      .select("fp", "band_id", "band_hash").collect().map(_.toString)
+      .sorted.toSeq
+    assert(idxAfter == idxBefore, "compaction changed the key set")
+    // gate decisions identical: a near-dup of COMPACTED batch 0's text
+    // is still suppressed, a novel doc still lands
+    exec(docsDf(
+      "https://x.example/p/9" ->
+        text("aa").split(" ").dropRight(1).mkString(" "),
+      "https://x.example/p/3" -> text("dd")), 3L)
+    val urls = spark.read.parquet(out.toString).select("url").collect()
+      .map(_.getString(0)).toSet
+    assert(urls == Set("https://x.example/p/0", "https://x.example/p/1",
+      "https://x.example/p/2", "https://x.example/p/3"), s"$urls")
+    // the current batch's replay contract is untouched: re-execute
+    // batch 3 with the same id — byte-identical
+    def snapshot(): (Long, Long) = (
+      spark.read.parquet(out.toString).count(),
+      spark.read.parquet(bidx.toString).count())
+    val snap = snapshot()
+    exec(docsDf(
+      "https://x.example/p/9" ->
+        text("aa").split(" ").dropRight(1).mkString(" "),
+      "https://x.example/p/3" -> text("dd")), 3L)
+    assert(snapshot() == snap, "replay after compaction must rewrite")
+    // crashed-pass healing: simulate the window where the consolidated
+    // partition landed but a source survived — recreate a covered
+    // positive partition, then compact again
+    val stale = docsDf("https://x.example/p/0" -> text("aa"))
+    graft.operators.Dedup.lshBandKeys(stale, "fp", "text", 3, 64, 16)
+      .write.mode("overwrite").parquet(s"$bidx/batch_id=1")
+    assert(CorpusStream.compactBatches(spark, bidx.toString, 4L))
+    // batch_id=1 (covered by -3) was healed away BEFORE consolidation,
+    // so the key set is still exactly the pre-crash one + batch 3's
+    val healed = spark.read.parquet(bidx.toString)
+      .select("fp", "band_id", "band_hash").collect().map(_.toString)
+      .sorted.toSeq
+    assert(healed.size == snap._2,
+      s"healing must drop covered leftovers: ${healed.size} vs ${snap._2}")
+    assert(partDirs(bidx) == Set("batch_id=-5"), s"${partDirs(bidx)}")
+    // and a no-op call returns false
+    assert(!CorpusStream.compactBatches(spark, bidx.toString, 4L))
+    CacheRegistry.drain()
+  }
+
   test("a drain carrying the SAME url twice with different bodies " +
       "lands exactly one coherent row (min-fingerprint winner), not " +
       "two rows of interleaved token ids") {
