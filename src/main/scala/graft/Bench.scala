@@ -132,10 +132,14 @@ object Bench {
     // jit-subtracted plan cost, and the pass/run they were measured in —
     // the r11 q105 finding (a 2.5× watched-value swing nobody could
     // attribute from the artifact) is answerable from this line alone
+    // gc_sec rides each durable entry too (r12 finding: q60/q64's
+    // recorded regressions could rule OUT jit from the tail alone but
+    // not GC — plan_sec conflated GC pause with real plan cost until
+    // the full dict, which tail truncation loses, was consulted)
     def qObj(pass: String, run: Int)
             (vals: Seq[(String, Double, Boolean, Double, Double)]): String =
-      vals.map { case (k, v, _, _, j) =>
-        f""""$k":{"sec":$v%.3f,"jit_sec":$j%.3f,""" +
+      vals.map { case (k, v, _, g, j) =>
+        f""""$k":{"sec":$v%.3f,"gc_sec":$g%.3f,"jit_sec":$j%.3f,""" +
           f""""plan_sec":${math.max(0.0, v - j)}%.3f,""" +
           s""""pass":"$pass","run":$run}"""
       }.mkString("{", ",", "}")

@@ -115,17 +115,46 @@ object Pq {
     * sharing a code sequence shares a distance) break on the smaller
     * id, so the ranking is total and engine-independent. Returns
     * `(rank, idCol)`, rank 1-based.
-    *
-    * The LUT is inlined as a `when`-chain of `m · k` decimal
-    * constants — exactly right for PQ's standard k ≤ 256 (≤ 1024
-    * branches across 4 subspaces); a much larger k would want the
-    * LUT as a broadcast array lookup instead, trading the exact
-    * decimal literals for grid longs.
     */
+
+  /** One subspace's LUT as a FOLDABLE array literal of `k` exact
+    * DECIMAL(30,24) constants. `CreateArray` of foldable children is
+    * foldable, so ConstantFolding collapses it to a single
+    * `Literal(ArrayData)` — in generated code that is ONE entry in the
+    * codegen references array, O(1) bytecode regardless of `k`. This
+    * is what deleted the old `when`-chain codegen cliff: the chain's
+    * bytecode grew linearly with `m·k` (and with `nprobe·m·k` in the
+    * IVFADC rankers) until janino hit its method limits at ~4k
+    * branches and Spark silently fell back to interpreted rows
+    * (measured: CodegenProbe, PERFORMANCE.md round-13 table). The
+    * array-literal LUT has no such cliff — k=256 costs the same
+    * bytecode as k=4 — while keeping the same exact decimal constants,
+    * so the engine-exact ranking contract is unchanged.
+    */
+  private def lutArrayLit(qs: Array[Double],
+      codebook: Array[Array[Double]]): Column =
+    array(codebook.map(cw =>
+      lit(gridDist2(qs, cw)).cast("decimal(30,24)")): _*)
+
+  /** Guarded O(1) LUT lookup: fail FAST on a code outside
+    * `[0, k)` (a codes table from a different/older model, or
+    * corruption). The explicit bounds check matters beyond ANSI
+    * politeness: `element_at` treats NEGATIVE indexes as from-the-end
+    * lookups, so a corrupted code of −1 would silently read a wrong
+    * (but valid-looking) constant — worse than the null fall-through
+    * the old when-chain guarded against.
+    */
+  private def lutLookup(lutArr: Column, c: Column, s: Int,
+      k: Int): Column =
+    when(c >= 0 && c < k, element_at(lutArr, c + lit(1)))
+      .otherwise(raise_error(concat(
+        lit(s"pq code out of range for subspace $s (k=$k): "),
+        c.cast("string"))).cast("decimal(30,24)"))
+
   /** The exact ADC distance expression: `Σ_s lut_s(code_s)` as a sum
-    * of `m` DECIMAL(30,24) constants chosen by code. Shared by
-    * [[adcTopK]] (whole-corpus) and [[ivfAdcTopK]] (per-probed-cell
-    * residual LUTs).
+    * of `m` DECIMAL(30,24) constants selected by array lookup. Shared
+    * by [[adcTopK]] (whole-corpus) and, in per-cell form, by the
+    * IVFADC rankers.
     *
     * DECIMAL(30,24), not (38,24): Spark widens an addition's precision
     * by one per step, and at 38 it would RE-SCALE (losing the exact
@@ -138,62 +167,23 @@ object Pq {
       query: Array[Double]): Column =
     (0 until model.m).map { s =>
       val qs = query.slice(s * model.subDim, (s + 1) * model.subDim)
-      val c = col(codeCol).getItem(s)
-      // fail FAST on a code outside this codebook (a codes table from
-      // a different/older model, or corruption) — a null fall-through
-      // would sort nulls-first and silently crown a garbage neighbor
-      val outOfRange = raise_error(concat(
-        lit(s"pq code out of range for subspace $s (k=" +
-          s"${model.codebooks(s).length}): "), c.cast("string")))
-        .cast("decimal(30,24)")
-      (0 until model.codebooks(s).length).foldLeft(outOfRange) {
-        (acc, j) => when(c === j, lit(gridDist2(qs, model.codebooks(s)(j)))
-          .cast("decimal(30,24)")).otherwise(acc)
-      }
+      lutLookup(lutArrayLit(qs, model.codebooks(s)),
+        col(codeCol).getItem(s), s, model.codebooks(s).length)
     }.reduce(_ + _)
 
   /** The exact-ranking contract only survives while every one of the
     * m-1 DECIMAL additions stays inside precision 38 at scale 24 —
     * true for m ≤ 9; at m ≥ 10 Spark would silently reduce the scale
     * (rounding the last digits) and the documented engine-exact
-    * ranking would break WITHOUT error. Refuse loudly instead (the
-    * k ≤ 256 note on the LUT is the same boundary in the other
-    * dimension).
+    * ranking would break WITHOUT error. Refuse loudly instead. (`k`
+    * has no such ceiling: the flat-LUT array literals cost O(1)
+    * bytecode at any codebook size — see [[lutArrayLit]].)
     */
   private def requireExactDecimalHeadroom(model: Model): Unit =
     require(model.m <= 9,
       s"m=${model.m} > 9 breaks the exact DECIMAL(30,24) ranking " +
         "(precision-38 headroom allows at most 8 additions); compute " +
         "the per-row sum on grid longs for larger m")
-
-  /** The IVFADC rankers inline `nprobe · m · k` decimal constants as
-    * one per-row `when`-chain. That is the right shape for the
-    * standard PQ envelope (k ≤ 256, single-digit m, single-digit
-    * nprobe), but the generated projection grows linearly with the
-    * product and past this bound the compiled methods push against
-    * janino/JVM method limits — Spark then silently degrades the
-    * stage to interpreted evaluation, a large per-row slowdown with
-    * no error. Refuse loudly instead (the codegen twin of the m ≤ 9
-    * decimal-headroom guard; PlanQualitySpec pins compiled-method
-    * sizes under the JIT-inlining envelope AT this bound). The
-    * documented large-k path: keep codes and codebooks as grid longs
-    * and sum via a broadcast-array lookup (`element_at` over an array
-    * literal / broadcast map) — approximate decimal exactness is then
-    * recovered by rescoring the short candidate list with the exact
-    * chain.
-    */
-  val MaxAdcWhenBranches = 4096
-
-  private def requireAdcCodegenBound(probes: Int, model: Model): Unit = {
-    val k = model.codebooks.map(_.length).max
-    val branches = probes.toLong * model.m * k
-    require(branches <= MaxAdcWhenBranches,
-      s"probed-cells*m*k = $probes*${model.m}*$k = $branches exceeds " +
-        s"MaxAdcWhenBranches=$MaxAdcWhenBranches: the inlined per-cell " +
-        "LUT when-chain would fall out of whole-stage codegen; probe " +
-        "fewer cells, use a smaller codebook, or rank large-k stores " +
-        "via a broadcast-array LUT over grid longs")
-  }
 
   def adcTopK(codes: DataFrame, idCol: String, codeCol: String,
       model: Model, query: Array[Double], topK: Int): DataFrame = {
@@ -293,9 +283,9 @@ object Pq {
     * its OWN lookup table built from the query's residual against
     * `centroid(c)` — `‖(q − c) − codeword‖²` per subspace, the
     * query-residual LUT of Jégou et al. §IV.B. Rows carry their cell,
-    * so the per-row distance selects its cell's LUT by one `when`
-    * chain over the probed cells (nprobe · m · k decimal constants —
-    * bounded by the same k ≤ 256 / m ≤ 9 guidance as [[adcTopK]]).
+    * so the per-row distance selects its cell's LUT by one lookup
+    * into a constant-folded `cell → LUT-array` map literal
+    * ([[rankByCellLuts]] — bytecode O(m), no nprobe·k codegen growth).
     * Same exact-decimal total-order contract: ties break on id, the
     * ranking is engine-independent. Grid bound: the QUERY residual
     * against every probed cell must also satisfy |coordinate| < 10
@@ -311,7 +301,6 @@ object Pq {
     require(topK > 0, s"topK=$topK must be positive")
     requireExactDecimalHeadroom(model)
     val probes = Ann.probeCells(centroids, query.toSeq, nprobe)
-    requireAdcCodegenBound(probes.size, model)
     val codes = encodeResiduals(
       assigned.filter(col(cellCol).isin(probes: _*)),
       vecCol, cellCol, centroids, model)
@@ -321,22 +310,60 @@ object Pq {
 
   /** The shared IVFADC ranking tail: per-probed-cell query-residual
     * LUTs over an already-filtered `(idCol, code, cellCol)` relation.
+    *
+    * The per-cell LUTs live in ONE foldable map literal
+    * `cell → flat array of m·k decimals` (flat layout: entry
+    * `s·k + code_s` is subspace `s`'s distance for codeword
+    * `code_s`) — constant-folded to a single `Literal(MapData)`, one
+    * codegen reference. The per-row expression is one guarded map
+    * lookup + `m` guarded array lookups: bytecode O(m), independent
+    * of BOTH `nprobe` and `k`, where the old per-cell `when`-chain
+    * grew O(nprobe·m·k) and fell out of whole-stage codegen past ~4k
+    * branches. Same exact-decimal total order; ties break on id.
     */
   private def rankByCellLuts(
       codes: DataFrame, idCol: String, cellCol: String, probes: Seq[Int],
       centroids: Seq[(Int, Seq[Double])], model: Model,
       query: Array[Double], topK: Int): DataFrame = {
     val centById = centroids.toMap
-    // rows can only reach here with a probed cell id (callers filter),
-    // so the fall-through arm is a loud invariant check
-    val badCell = raise_error(concat(
-      lit("ivfAdc ranking: unprobed cell reached scoring: "),
-      col(cellCol).cast("string"))).cast("decimal(30,24)")
-    val dist = probes.foldLeft(badCell) { (acc, cell) =>
+    val k = model.codebooks.map(_.length).max
+    val cellLutMap = map(probes.flatMap { cell =>
       val qres = query.indices.map(i => query(i) - centById(cell)(i)).toArray
-      when(col(cellCol) === cell, adcDistExpr("code", model, qres))
-        .otherwise(acc)
-    }
+      Seq(lit(cell), array((0 until model.m).flatMap { s =>
+        val qs = qres.slice(s * model.subDim, (s + 1) * model.subDim)
+        val cb = model.codebooks(s)
+        // pad ragged codebooks to the flat k stride; the lutLookup
+        // bounds guard (per-subspace true k) keeps pads unreachable
+        (0 until k).map { j =>
+          val d = if (j < cb.length) gridDist2(qs, cb(j))
+                  else java.math.BigDecimal.ZERO
+          lit(d).cast("decimal(30,24)")
+        }
+      }: _*))
+    }: _*)
+    // rows can only reach here with a probed cell id (callers filter),
+    // so the fall-through arm is a loud invariant check (kept explicit
+    // rather than leaning on ANSI's MAP_KEY_DOES_NOT_EXIST)
+    val cellC = col(cellCol).cast("int")
+    val lutArr = when(cellC.isin(probes: _*),
+        element_at(cellLutMap, cellC))
+      .otherwise(raise_error(concat(
+        lit("ivfAdc ranking: unprobed cell reached scoring: "),
+        col(cellCol).cast("string")))
+        .cast("array<decimal(30,24)>"))
+    // index the FLAT array directly (element_at at offset s·k +
+    // code + 1) — no per-row slice copies; same negative-code guard
+    // as [[lutLookup]] (from-the-end indexing would read a wrong
+    // constant silently)
+    val dist = (0 until model.m).map { s =>
+      val sk = model.codebooks(s).length
+      val c = col("code").getItem(s)
+      when(c >= 0 && c < sk,
+          element_at(lutArr, c + lit(s * k + 1)))
+        .otherwise(raise_error(concat(
+          lit(s"pq code out of range for subspace $s (k=$sk): "),
+          c.cast("string"))).cast("decimal(30,24)"))
+    }.reduce(_ + _)
     val top = codes.select(col(idCol), dist.as("__adc"))
       .orderBy(col("__adc"), col(idCol))
       .limit(topK)
@@ -381,7 +408,6 @@ object Pq {
     require(topK > 0, s"topK=$topK must be positive")
     requireExactDecimalHeadroom(model)
     val probes = Ann.probeCells(centroids, query.toSeq, nprobe)
-    requireAdcCodegenBound(probes.size, model)
     val codes = spark.read.parquet(path)
       .filter(col("cell").isin(probes: _*))
     rankByCellLuts(codes, idCol, "cell", probes, centroids, model,

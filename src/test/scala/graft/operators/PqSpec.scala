@@ -222,12 +222,16 @@ class PqSpec extends SparkSpec {
     CacheRegistry.drain()
   }
 
-  test("ivfAdcTopK and probeIvfAdcStore REFUSE probes*m*k above the " +
-      "codegen branch bound instead of silently degrading the stage " +
-      "to interpreted rows") {
+  test("the array-literal LUT has no probes*m*k ceiling: the envelope " +
+      "the old when-chain refused (9*8*64 = 4608 branches-worth) now " +
+      "EXECUTES, and the live ranker agrees with the store probe " +
+      "row-for-row") {
     val session = spark
     import session.implicits._
-    // 9 cells * m=8 * k=64 = 4608 > MaxAdcWhenBranches = 4096
+    // 9 cells * m=8 * k=64 = 4608 — past the old MaxAdcWhenBranches
+    // cliff, where the when-chain provably fell out of whole-stage
+    // codegen (r12 red spec); the flat-LUT map literal is O(m)
+    // bytecode so the same configuration simply runs
     val m = 8
     val k = 64
     val model = Pq.Model(m, 1,
@@ -236,24 +240,18 @@ class PqSpec extends SparkSpec {
     val df = (1L to 20L)
       .map(i => (i, Array.fill(8)((i % 5) * 0.04))).toDF("id", "vec")
     val query = Array.fill(8)(0.03)
-    val ex = intercept[IllegalArgumentException] {
-      Pq.ivfAdcTopK(Ann.assignCells(df, "vec", centroids), "id", "vec",
-        "cell", centroids, model, query, topK = 3, nprobe = 9)
-    }
-    assert(ex.getMessage.contains("MaxAdcWhenBranches"), ex.getMessage)
-    // the store probe enforces the same bound
+    val live = Pq.ivfAdcTopK(Ann.assignCells(df, "vec", centroids),
+        "id", "vec", "cell", centroids, model, query, topK = 3,
+        nprobe = 9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(live.size == 3, live.toString)
     val dir = java.nio.file.Files.createTempDirectory("adc-bound")
       .toString
     Pq.writeIvfAdcIndex(df, "id", "vec", centroids, model, dir)
-    val ex2 = intercept[IllegalArgumentException] {
-      Pq.probeIvfAdcStore(spark, dir, "id", centroids, model, query,
-        topK = 3, nprobe = 9)
-    }
-    assert(ex2.getMessage.contains("MaxAdcWhenBranches"), ex2.getMessage)
-    // and the SAME configuration probed one cell fewer is allowed
-    // (9→8 probes: exactly the bound)
-    assert(Pq.probeIvfAdcStore(spark, dir, "id", centroids, model,
-      query, topK = 3, nprobe = 8).count() == 3L)
+    val probed = Pq.probeIvfAdcStore(spark, dir, "id", centroids,
+        model, query, topK = 3, nprobe = 9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(live == probed, s"live=$live probed=$probed")
     CacheRegistry.drain()
   }
 

@@ -14,9 +14,23 @@ class PlanQualitySpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  /** AQE's AdaptiveSparkPlanExec and the QueryStageExec wrappers are
+    * LEAF nodes: `.exists`/`.collect` over them never traverse the
+    * final physical plan, so WholeStageCodegen assertions would be
+    * vacuously false on any exchange-bearing query. Strip them
+    * recursively to the real executed tree.
+    */
+  private def strip(p: SparkPlan): SparkPlan = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      strip(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      strip(q.plan)
+    case other => other.withNewChildren(other.children.map(strip))
+  }
+
   private def executed(df: org.apache.spark.sql.DataFrame): SparkPlan = {
     df.collect() // force AQE final plan
-    df.queryExecution.executedPlan
+    strip(df.queryExecution.executedPlan)
   }
 
   private def planString(df: org.apache.spark.sql.DataFrame): String =
@@ -321,14 +335,19 @@ class PlanQualitySpec extends SparkSpec {
     graft.operators.CacheRegistry.drain()
   }
 
-  test("the IVFADC when-chain stays inside whole-stage codegen AT the " +
-      "enforced branch bound (probes*m*k = MaxAdcWhenBranches), with " +
-      "compiled methods under the huge-method fallback limit") {
+  test("the IVFADC flat-LUT ranking stays inside whole-stage codegen " +
+      "at 4x the old when-chain cliff (8 probes * m=8 * k=256 = 16384 " +
+      "constants), with compiled methods under the huge-method " +
+      "fallback limit") {
     val session = spark
     import session.implicits._
-    // synthetic model AT the documented ceiling: 8 cells * m=8 * k=64
+    // 8 cells * m=8 * k=256: the standard PQ codebook size, 4x the
+    // 4096-branch envelope where the old when-chain provably fell out
+    // of codegen (r12). The map-literal LUT is one codegen reference,
+    // so bytecode is O(m) here — this arm pins that claim with
+    // compiled evidence, not just plan shape.
     val m = 8
-    val k = 64
+    val k = 256
     val codebooks = Array.tabulate(m, k, 1)((_, j, _) => j * 0.01)
     val model = graft.operators.Pq.Model(m, 1, codebooks)
     val centroids = (0 until 8).map(c => c -> Seq.fill(8)(c * 0.05))
@@ -338,22 +357,21 @@ class PlanQualitySpec extends SparkSpec {
     val top = graft.operators.Pq.ivfAdcTopK(assigned, "id", "vec",
       "cell", centroids, model, Array.fill(8)(0.03), topK = 5,
       nprobe = 8)
-    assert(top.count() == 5L, "the bound-sized ranking must execute")
+    assert(top.count() == 5L, "the large-envelope ranking must execute")
     val plan = executed(top)
     assert(plan.exists(
       _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec]),
-      "the ADC projection fell out of whole-stage codegen at the bound")
+      "the ADC projection fell out of whole-stage codegen")
     // compiled evidence, not just plan shape: every generated method
     // stays under spark.sql.codegen.hugeMethodLimit (65535 bytecode
     // bytes) — past it Spark silently degrades to interpreted rows,
-    // which is exactly what MaxAdcWhenBranches exists to prevent
+    // which is exactly the cliff the flat-LUT rewrite deleted
     val stats = org.apache.spark.sql.execution.debug
       .codegenStringSeq(plan)
     assert(stats.nonEmpty, "no codegen subtrees found")
     val maxMethod = stats.map(_._3.maxMethodCodeSize).max
     assert(maxMethod > 0 && maxMethod < 65535,
-      s"maxMethodCodeSize=$maxMethod at the bound — raise/lower " +
-        "MaxAdcWhenBranches with this evidence")
+      s"maxMethodCodeSize=$maxMethod — the O(m) bytecode claim broke")
     graft.operators.CacheRegistry.drain()
   }
 }
