@@ -50,6 +50,27 @@ object OracleSql {
     * (BMP letters long predating both tables); revisit if the corpus
     * generator ever emits exotic scripts.
     */
+  /** Per-doc BPE token counts at merge depth `numMerges` — q103's
+    * shape. Shared with q137 (truncate gate): there the Spark side
+    * trains DEEPER (24) and truncates to this depth, while this SQL
+    * replays training straight to `numMerges` — agreement proves the
+    * truncated model equals the directly-trained one.
+    */
+  private def bpeEncodeSql(numMerges: Int): String =
+    "WITH " + bpeCtes(numMerges) + s""",
+        |enc AS (SELECT w,
+        |  CAST(len(string_split(sym, ' ')) AS BIGINT) AS ntok
+        |  FROM w$numMerges),
+        |docw AS (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+        |      x -> x <> '')) AS w FROM documents)
+        |  WHERE regexp_matches(w, '^\\p{L}+$$') AND length(w) <= 32)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(SUM(e.ntok) AS BIGINT) AS n_bpe_tokens
+        |FROM docw d JOIN enc e USING (w)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   private def bpeCtes(
       numMerges: Int, docsRel: String = "documents"): String = {
     val sb = new StringBuilder
@@ -2109,18 +2130,13 @@ object OracleSql {
       }.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
         "\n) ORDER BY merge_rank")),
 
-    "q103_bpe_encode" -> ("WITH " + bpeCtes(12) + """,
-        |enc AS (SELECT w,
-        |  CAST(len(string_split(sym, ' ')) AS BIGINT) AS ntok FROM w12),
-        |docw AS (
-        |  SELECT doc_id, w FROM (
-        |    SELECT doc_id, unnest(list_filter(string_split(text, ' '),
-        |      x -> x <> '')) AS w FROM documents)
-        |  WHERE regexp_matches(w, '^\p{L}+$') AND length(w) <= 32)
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
-        |  CAST(SUM(e.ntok) AS BIGINT) AS n_bpe_tokens
-        |FROM docw d JOIN enc e USING (w)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    "q103_bpe_encode" -> bpeEncodeSql(12),
+
+    // q137: the Spark side trains 24 merges and serves depth 12 via
+    // Bpe.truncate — the oracle NEVER trains past 12 (the exact q103
+    // replay), so a truncate that leaked rule 13+, dropped a rule, or
+    // mis-replayed the vocabulary symbolization hash-mismatches here
+    "q137_bpe_truncate" -> bpeEncodeSql(12),
 
     // merges replayed unrolled (bpeCtes), then the deterministic
     // symbol→id table: base alphabet (w0's initial symbols) sorted

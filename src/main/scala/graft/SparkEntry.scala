@@ -2314,6 +2314,23 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** The tokenizer-ops serve path ([[graft.operators.Bpe.truncate]]):
+    * train ONCE at depth 24, serve depth 12 without retraining. The
+    * oracle replays training straight to 12 — agreement proves the
+    * truncated model (first 12 rules + re-symbolized vocabulary) is
+    * byte-identical to the directly-trained depth-12 model, through
+    * the encode stage.
+    */
+  private def q137(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val full = graft.operators.Bpe.learnMerges(
+      dd.select("text"), "text", numMerges = 24)
+    val served = graft.operators.Bpe.truncate(full, 12)
+    graft.operators.Bpe.encodeCounts(dd, "doc_id", "text", served)
+      .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** End-to-end corpus-construction pipeline — the composition every
     * training-data run executes as ONE declarative plan: quality gate
     * ([[graft.operators.TextAnalysis.qualityFeatures]]) → exact dedup
@@ -2563,6 +2580,7 @@ object SparkEntry {
     "q134_curation_pipeline" -> (q134(_, _)),
     "q135_tiled_crop_neardups" -> (q135(_, _)),
     "q136_video_shingle_neardups" -> (q136(_, _)),
+    "q137_bpe_truncate" -> (q137(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
