@@ -39,19 +39,29 @@ object BenchProbe {
     def jitMillis(): Long =
       if (jitBean != null && jitBean.isCompilationTimeMonitoringSupported)
         jitBean.getTotalCompilationTime else 0L
+    // janino source-compiles run synchronously ON THE DRIVER THREAD and
+    // are invisible to both beans above (they are neither GC pause nor
+    // JVM JIT) — a codegen-cache miss mid-repeat shows up as elapsed
+    // time with gc≈0 and jit≈0, exactly the r12 q60 mystery-stall shape.
+    // CodegenMetrics counts each generated-class compilation.
+    def janinoCount(): Long = org.apache.spark.metrics.source
+      .CodegenMetrics.METRIC_COMPILATION_TIME.getCount
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       val times = (1 to repeats).map { i =>
         val gc0 = gcMillis(); val jit0 = jitMillis()
+        val jan0 = janinoCount()
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         val secs = (System.nanoTime() - t0) / 1e9
         graft.operators.CacheRegistry.drain()
-        (secs, (gcMillis() - gc0) / 1e3, (jitMillis() - jit0) / 1e3)
+        (secs, (gcMillis() - gc0) / 1e3, (jitMillis() - jit0) / 1e3,
+          janinoCount() - jan0)
       }
       println(f"[probe] $name: ${times.map(_._1).map(t => f"$t%.2f").mkString(" ")} sec")
       println(f"[probe] $name gc:  ${times.map(_._2).map(t => f"$t%.2f").mkString(" ")}")
       println(f"[probe] $name jit: ${times.map(_._3).map(t => f"$t%.2f").mkString(" ")}")
+      println(s"[probe] $name janino-compiles: ${times.map(_._4).mkString(" ")}")
     }
     spark.stop()
   }
