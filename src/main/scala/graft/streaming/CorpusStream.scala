@@ -146,7 +146,8 @@ object CorpusStream {
       spark: SparkSession, warcDir: String, model: graft.operators.Bpe.Model,
       checkpointDir: String, outDir: String, bandIndexDir: String,
       glob: String = "*.warc*",
-      shingleN: Int = 3, k: Int = 64, bands: Int = 16): StreamingQuery =
+      shingleN: Int = 3, k: Int = 64, bands: Int = 16,
+      compactEvery: Int = 0): StreamingQuery =
     docStream(spark, warcDir, glob)
       .writeStream
       .outputMode("append")
@@ -154,7 +155,7 @@ object CorpusStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         fuzzyBatch(spark, model, outDir, bandIndexDir, shingleN, k,
-          bands)(batch, batchId)
+          bands, compactEvery)(batch, batchId)
       }
       .start()
 
@@ -167,7 +168,8 @@ object CorpusStream {
   private[streaming] def fuzzyBatch(
       spark: SparkSession, model: graft.operators.Bpe.Model,
       outDir: String, bandIndexDir: String,
-      shingleN: Int, k: Int, bands: Int)(
+      shingleN: Int, k: Int, bands: Int,
+      compactEvery: Int = 0)(
       batch: DataFrame, batchId: Long): Unit = {
     val docs = oneRowPerUrl(batch)
     if (!docs.isEmpty) graft.operators.CacheRegistry.scope {
@@ -187,8 +189,26 @@ object CorpusStream {
           graft.operators.Bpe.applyModel(novel, "url", "text", model),
           Seq("url"), "left")
         .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+      maybeCompact(spark, Seq(bandIndexDir, outDir), compactEvery, batchId)
     }
   }
+
+  /** Auto-compaction trigger for the streaming drains: after every
+    * `compactEvery`-th drain (opt-in, 0 = off), consolidate each
+    * layout's sub-`batchId` partitions. Runs AFTER the drain's own
+    * writes, with `beforeBatch` derived from the LIVE `batchId` the
+    * sink handed `foreachBatch` — the one authoritative safe bound
+    * (the still-replayable current partition is never touched), so
+    * callers of the `run*` knob cannot reproduce the manual-call
+    * misuse [[compactBatches]]' scaladoc warns about. A replay of the
+    * same drain re-triggers harmlessly: gate decisions were already
+    * made against the (row-identical) consolidated index, and the
+    * pass no-ops below 2 consolidatable partitions.
+    */
+  private def maybeCompact(spark: SparkSession, dirs: Seq[String],
+      compactEvery: Int, batchId: Long): Unit =
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+      dirs.foreach(d => compactBatches(spark, d, beforeBatch = batchId))
 
   /** The CURATED ingest — q134's composed quality chain running in the
     * stream: the doc stream is extracted with
@@ -208,7 +228,8 @@ object CorpusStream {
       spark: SparkSession, warcDir: String, model: graft.operators.Bpe.Model,
       checkpointDir: String, outDir: String,
       glob: String = "*.warc*",
-      minWords: Int = 30, minStopKinds: Int = 1): StreamingQuery =
+      minWords: Int = 30, minStopKinds: Int = 1,
+      compactEvery: Int = 0): StreamingQuery =
     graft.sources.WarcReader.readStream(spark, warcDir, glob)
       .filter(col("warc_type") === "response" &&
         col("http_status") === 200 &&
@@ -224,8 +245,8 @@ object CorpusStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        curatedBatch(spark, model, outDir, minWords, minStopKinds)(
-          batch, batchId)
+        curatedBatch(spark, model, outDir, minWords, minStopKinds,
+          compactEvery)(batch, batchId)
       }
       .start()
 
@@ -234,11 +255,13 @@ object CorpusStream {
     */
   private[streaming] def curatedBatch(
       spark: SparkSession, model: graft.operators.Bpe.Model,
-      outDir: String, minWords: Int, minStopKinds: Int)(
+      outDir: String, minWords: Int, minStopKinds: Int,
+      compactEvery: Int = 0)(
       batch: DataFrame, batchId: Long): Unit = {
     val docs = oneRowPerUrl(batch)
     if (!docs.isEmpty) graft.operators.CacheRegistry.scope {
       curateAndWrite(model, outDir, minWords, minStopKinds)(docs, batchId)
+      maybeCompact(spark, Seq(outDir), compactEvery, batchId)
     }
   }
 
@@ -286,7 +309,8 @@ object CorpusStream {
       checkpointDir: String, outDir: String, bandIndexDir: String,
       glob: String = "*.warc*",
       minWords: Int = 30, minStopKinds: Int = 1,
-      shingleN: Int = 3, k: Int = 64, bands: Int = 16): StreamingQuery =
+      shingleN: Int = 3, k: Int = 64, bands: Int = 16,
+      compactEvery: Int = 0): StreamingQuery =
     graft.sources.WarcReader.readStream(spark, warcDir, glob)
       .filter(col("warc_type") === "response" &&
         col("http_status") === 200 &&
@@ -303,7 +327,8 @@ object CorpusStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         curatedFuzzyBatch(spark, model, outDir, bandIndexDir,
-          minWords, minStopKinds, shingleN, k, bands)(batch, batchId)
+          minWords, minStopKinds, shingleN, k, bands, compactEvery)(
+          batch, batchId)
       }
       .start()
 
@@ -314,7 +339,8 @@ object CorpusStream {
       spark: SparkSession, model: graft.operators.Bpe.Model,
       outDir: String, bandIndexDir: String,
       minWords: Int, minStopKinds: Int,
-      shingleN: Int, k: Int, bands: Int)(
+      shingleN: Int, k: Int, bands: Int,
+      compactEvery: Int = 0)(
       batch: DataFrame, batchId: Long): Unit = {
     val docs = oneRowPerUrl(batch)
     if (!docs.isEmpty) graft.operators.CacheRegistry.scope {
@@ -328,6 +354,7 @@ object CorpusStream {
         .parquet(s"$bandIndexDir/batch_id=$batchId")
       curateAndWrite(model, outDir, minWords, minStopKinds)(
         novel, batchId)
+      maybeCompact(spark, Seq(bandIndexDir, outDir), compactEvery, batchId)
     }
   }
 
@@ -338,8 +365,18 @@ object CorpusStream {
     * classic streaming small-files decay. This pass consolidates every
     * partition with `batch_id < beforeBatch` (pass the CURRENT batch
     * id: the one batch `foreachBatch` may still replay is never
-    * touched, so the same-batchId overwrite contract is preserved)
-    * into ONE partition, written under a NEGATIVE id that encodes its
+    * touched, so the same-batchId overwrite contract is preserved).
+    * MISUSE CONSEQUENCE — if `beforeBatch` EXCEEDS the true current
+    * batch id (or this is called mid-drain), the still-replayable
+    * batch's partition gets folded into the consolidated copy, and a
+    * subsequent `foreachBatch` replay re-creates `batch_id=N`
+    * ALONGSIDE it: the output corpus double-counts that batch's rows
+    * until the next healing pass. Prefer the drains' `compactEvery`
+    * knob, which derives the bound from the live `batchId` inside
+    * `foreachBatch` and cannot get this wrong; when calling manually,
+    * do it strictly BETWEEN drains with `beforeBatch` = the id the
+    * NEXT drain will use (the checkpoint's last committed batch + 1).
+    * The consolidated mass is written under a NEGATIVE id that encodes its
     * coverage: `batch_id = -(M + 2)` consolidates all batches with id
     * ≤ M. Readers are unaffected — the row set is unchanged, and
     * [[bandIndex]]'s current-batch exclusion compares against a

@@ -469,4 +469,92 @@ class CorpusStreamSpec extends SparkSpec {
       s"interleaved/garbled ids: $gotIds")
     CacheRegistry.drain()
   }
+
+  test("auto-compaction (compactEvery=2): a multi-drain run produces " +
+      "IDENTICAL output rows and gate decisions to the uncompacted " +
+      "run, keeps the partition count bounded, and the same-batchId " +
+      "replay contract survives — including a replay that re-triggers " +
+      "the compaction pass") {
+    val session = spark
+    import session.implicits._
+    val model = Bpe.learnMerges(
+      Seq("abab abab bc cc ab", "bc bc abab cc a b c").toDF("text"),
+      "text", numMerges = 4)
+    def text(tag: String) =
+      (1 to 20).map(k => s"$tag token$k").mkString(" ")
+    def docsDf(rows: (String, String)*) =
+      rows.toSeq.toDF("url", "text").withColumn("fp",
+        graft.operators.TextAnalysis.fingerprint(col("text")))
+    // the drain sequence: three novel batches, then two batches each
+    // pairing a NEAR-DUP of an already-COMPACTED batch's text (must
+    // stay suppressed) with a novel doc (must land)
+    val drains: Seq[(Long, Seq[(String, String)])] = Seq(
+      0L -> Seq("https://x.example/p/0" -> text("aa")),
+      1L -> Seq("https://x.example/p/1" -> text("bb")),
+      2L -> Seq("https://x.example/p/2" -> text("cc")),
+      // novel tags stay inside the model's a/b/c alphabet so every
+      // landed row tokenizes (a fully-OOV text yields NO applyModel
+      // row and a null token_ids via the left join — a fixture
+      // artifact, not a pipeline property worth pinning here)
+      3L -> Seq(
+        "https://x.example/p/9" ->
+          text("aa").split(" ").dropRight(1).mkString(" "),
+        "https://x.example/p/3" -> text("ca")),
+      4L -> Seq(
+        "https://x.example/p/8" ->
+          text("bb").split(" ").dropRight(1).mkString(" "),
+        "https://x.example/p/4" -> text("ba")))
+    def runAll(compactEvery: Int): (java.nio.file.Path, java.nio.file.Path) = {
+      val out = java.nio.file.Files.createTempDirectory(s"ac-out-$compactEvery")
+      val bidx = java.nio.file.Files.createTempDirectory(s"ac-bidx-$compactEvery")
+      drains.foreach { case (id, rows) =>
+        CorpusStream.fuzzyBatch(spark, model, out.toString, bidx.toString,
+          3, 64, 16, compactEvery)(docsDf(rows: _*), id)
+      }
+      (out, bidx)
+    }
+    def outRows(out: java.nio.file.Path): Seq[(String, String)] =
+      spark.read.parquet(out.toString).collect()
+        .map(r => (r.getAs[String]("url"),
+          Option(r.getAs[scala.collection.Seq[Int]]("token_ids"))
+            .map(_.mkString(",")).getOrElse("null")))
+        .sortBy(identity).toSeq
+    def idxKeys(bidx: java.nio.file.Path): Seq[String] =
+      spark.read.parquet(bidx.toString)
+        .select("fp", "band_id", "band_hash").collect().map(_.toString)
+        .sorted.toSeq
+    def partDirs(dir: java.nio.file.Path): Set[String] =
+      new java.io.File(dir.toString).listFiles.toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+        .map(_.getName).toSet
+
+    val (outC, bidxC) = runAll(compactEvery = 2)
+    val (outU, bidxU) = runAll(compactEvery = 0)
+    // identical corpus AND identical gate decisions (near-dups of
+    // compacted batches stayed suppressed — p/9 and p/8 absent)
+    assert(outRows(outC) == outRows(outU),
+      s"compacted run diverged:\n${outRows(outC)}\nvs\n${outRows(outU)}")
+    assert(outRows(outC).map(_._1).toSet == Set(
+      "https://x.example/p/0", "https://x.example/p/1",
+      "https://x.example/p/2", "https://x.example/p/3",
+      "https://x.example/p/4"))
+    assert(idxKeys(bidxC) == idxKeys(bidxU),
+      "compaction changed the band-key set")
+    // bounded: the trigger at batchId=3 consolidated batches 0-2 into
+    // coverage partition -4; the uncompacted run keeps all five
+    assert(partDirs(bidxC) ==
+      Set("batch_id=-4", "batch_id=3", "batch_id=4"), s"${partDirs(bidxC)}")
+    assert(partDirs(outC) ==
+      Set("batch_id=-4", "batch_id=3", "batch_id=4"), s"${partDirs(outC)}")
+    assert(partDirs(bidxU).size == 5 && partDirs(outU).size == 5)
+    // replay contract: re-execute the TRIGGERING drain (id 3) with the
+    // same data — byte-identical state, even though the replay re-runs
+    // maybeCompact (which must no-op against the consolidated layout)
+    val snap = (outRows(outC), idxKeys(bidxC), partDirs(outC), partDirs(bidxC))
+    CorpusStream.fuzzyBatch(spark, model, outC.toString, bidxC.toString,
+      3, 64, 16, 2)(docsDf(drains(3)._2: _*), 3L)
+    assert((outRows(outC), idxKeys(bidxC), partDirs(outC), partDirs(bidxC))
+      == snap, "replay of the triggering drain must leave state identical")
+    CacheRegistry.drain()
+  }
 }
