@@ -1457,12 +1457,43 @@ object Multimodal {
     sharedValuePairs(shingles, idCol, "shingle", "shared_shingles",
       minShared, maxShingleFreq)
 
+  /** Hot-value observability for the shared-value pair joins
+    * ([[tiledImageNearDupPairs]] / [[videoShingleNearDupPairs]]) — the
+    * [[Dedup.pigeonholeBucketStats]] counterpart for these tiers: one
+    * row `(value, n)` per tile-hash / shingle value carried by `n ≥ 2`
+    * distinct ids (singleton values produce no candidates and are the
+    * overwhelming majority at corpus scale, so they are pruned here
+    * rather than shipped). The join's candidate count is
+    * `Σ n·(n-1)/2` over these rows; the MAX `n` is the
+    * quadratic-blowup early warning that tells an operator the
+    * `maxHashFreq`/`maxShingleFreq` cap is needed — a ubiquitous
+    * watermark tile or shared channel-intro shingle shows up here as
+    * one value carried by thousands of assets BEFORE the pair join is
+    * ever run. `valCol` is `"dhash"` for the tiled tier (pass the
+    * tier's own degenerate filter first — `dhash =!= 0`), `"shingle"`
+    * for the video tier.
+    */
+  def sharedValueStats(
+      df: DataFrame, idCol: String, valCol: String): DataFrame =
+    df.select(col(idCol), col(valCol)).distinct()
+      .groupBy(valCol)
+      .agg(countDistinct(col(idCol)).as("n"))
+      .filter(col("n") >= 2)
+
   /** The shared k-of-n value-set pair join of [[tiledImageNearDupPairs]]
     * and [[videoShingleNearDupPairs]]: distinct (id, value) → self
     * equi-join on the value → pair counts filtered at `minShared`,
     * with an optional per-value frequency cap. Degenerate-value
     * exclusion is the CALLER's contract (each tier filters its own
     * notion of "flat" before the distinct).
+    *
+    * The cap is never silent (the [[Dedup.simhashPairsFromSigs]]
+    * no-silent-caps rule): when `maxFreq` binds, one bounded
+    * pre-aggregation LOGS how many hot values (and carrying ids) were
+    * dropped — a dropped value weakens the recall contract to
+    * "≥ `minShared` shared non-ubiquitous values", a trade the
+    * operator must own out loud. [[sharedValueStats]] surfaces the
+    * same populations ahead of the run.
     */
   private def sharedValuePairs(
       df: DataFrame, idCol: String, valCol: String, outCol: String,
@@ -1473,11 +1504,20 @@ object Multimodal {
     val usable =
       if (maxFreq == Int.MaxValue) distinctVals
       else {
-        val rare = distinctVals.groupBy(valCol)
+        val over = distinctVals.groupBy(valCol)
           .agg(count(lit(1)).as("__ids"))
-          .filter(col("__ids") <= maxFreq)
-          .select(valCol)
-        distinctVals.join(rare, Seq(valCol), "left_semi")
+          .filter(col("__ids") > maxFreq)
+        // bounded action: three numbers, not the hot-value list
+        val s = over.agg(count(lit(1)).as("v"), max(col("__ids")).as("mx"),
+          sum(col("__ids")).as("members")).collect()(0)
+        if (s.getLong(0) > 0)
+          org.slf4j.LoggerFactory.getLogger(Multimodal.getClass).warn(
+            s"shared-value cap maxFreq=$maxFreq dropped ${s.getLong(0)} " +
+              s"hot $valCol value(s) (largest carried ${s.getLong(1)} " +
+              s"ids, ${s.getLong(2)} id-value rows total): pairs that " +
+              s"needed a dropped value to reach minShared=$minShared " +
+              "are NOT emitted")
+        distinctVals.join(over.select(valCol), Seq(valCol), "left_anti")
       }
     usable.as("x")
       .join(usable.as("y"), Seq(valCol))

@@ -650,6 +650,54 @@ class MultimodalSpec extends SparkSpec {
     CacheRegistry.drain()
   }
 
+  test("sharedValueStats surfaces a ubiquitous tile before the pair " +
+      "join goes quadratic through it; the maxHashFreq cap drops it " +
+      "LOUDLY and spares genuine duplicate pairs") {
+    val session = spark
+    import session.implicits._
+    // degenerate corpus, distilled to the tiles relation the tier
+    // joins on: 40 assets ALL carrying tile-hash 111 (a shared
+    // watermark/header tile), plus each even/odd pair (2i, 2i+1)
+    // sharing three hashes of its own (genuine near-dups)
+    val tiles = (0L until 40L).flatMap { id =>
+      val fam = id / 2
+      (111L, id) +: (1 to 3).map(j => (1000L + fam * 10 + j, id))
+    }.map { case (h, id) => (id, h) }.toDF("asset_id", "dhash")
+    // the stats surface the hazard BEFORE any join: hash 111 carried
+    // by all 40 ids (the max-n early warning), each family hash by 2;
+    // singletons would be pruned (none here)
+    val stats = Multimodal.sharedValueStats(tiles, "asset_id", "dhash")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(stats(111L) == 40L, s"hot tile must surface: $stats")
+    assert(stats.size == 61 && stats.filter(_._1 != 111L).values
+      .forall(_ == 2L), s"family tiles must read n=2: ${stats.size}")
+    // uncapped at minShared=1, the hot tile alone pairs EVERYONE:
+    // 40*39/2 candidate pairs — the n²-through-one-value hazard
+    assert(Multimodal.tiledImageNearDupPairs(tiles, minShared = 1)
+      .count() == 780L)
+    // capped below the hot tile's population (logged drop): only the
+    // 20 genuine families pair, through their own three shared hashes
+    val capped = Multimodal.tiledImageNearDupPairs(tiles,
+        minShared = 1, maxHashFreq = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(capped == (0L until 20L).map(f =>
+      (2 * f, 2 * f + 1, 3L)).toSet, s"$capped")
+    // and a pair that needed the hot tile to reach minShared is the
+    // documented recall trade: at minShared=4 the uncapped join pairs
+    // every family (3 own + the watermark), the capped one pairs none
+    assert(Multimodal.tiledImageNearDupPairs(tiles, minShared = 4)
+      .count() == 20L)
+    assert(Multimodal.tiledImageNearDupPairs(tiles,
+      minShared = 4, maxHashFreq = 10).count() == 0L)
+    // the video tier shares the same join and cap (one smoke row)
+    val sh = Seq((1L, "5:6:7"), (2L, "5:6:7"), (3L, "9:9:9"))
+      .toDF("asset_id", "shingle")
+    assert(Multimodal.sharedValueStats(sh, "asset_id", "shingle")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("5:6:7", 2L)))
+    CacheRegistry.drain()
+  }
+
   test("videoShingles: mid-stream trims and splices share intact " +
       "windows with their source (the content-signature fold is MOVED " +
       "by the same edits — the gap being closed); sub-w videos emit " +
