@@ -531,8 +531,16 @@ object Bpe {
     val metaPath = new org.apache.hadoop.fs.Path(s"$dir/meta")
     val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(metaPath)) {
+      // headOption, not head(): a meta directory that exists but holds
+      // no rows (partial copy, interrupted write) must raise the same
+      // descriptive format error, not a bare NoSuchElementException
       val v = spark.read.parquet(s"$dir/meta")
-        .select("format_version").head().getLong(0)
+        .select("format_version").limit(1).collect().headOption
+        .map(_.getLong(0))
+        .getOrElse(throw new IllegalArgumentException(
+          s"loadModel: $dir/meta exists but holds no readable " +
+            "format_version row (interrupted or partial save?); " +
+            "re-save the model with this release's saveModel"))
       require(v == FormatVersion,
         s"loadModel: $dir was saved with persisted-format version $v; " +
           s"this release reads version $FormatVersion (the oov=bytes " +

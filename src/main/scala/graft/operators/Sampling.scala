@@ -210,6 +210,13 @@ object Sampling {
     * cast or dropped rows would distort the sample with no signal).
     * Rescale/quantize weights upstream; the scheme only needs their
     * RATIOS.
+    *
+    * MIGRATION (behavior break vs releases that silently filtered
+    * `weight >= 1`): a corpus that legitimately carries zero/null
+    * weight rows — "never sample this" markers — now aborts the whole
+    * job at the first such row. Pre-filter them explicitly
+    * (`df.filter(col(w) >= 1)`) before calling; the explicit filter
+    * documents the exclusion the old behavior performed invisibly.
     */
   def weightedSample(
       df: DataFrame, keyCol: String, weightCol: String, k: Int,

@@ -630,6 +630,16 @@ class BpeSpec extends SparkSpec {
       Bpe.loadModel(spark, dir)
     }
     assert(ex.getMessage.contains("format version 1"))
+    // …and a meta dir that EXISTS but holds no rows (interrupted or
+    // partial save) raises the same descriptive error, not a bare
+    // NoSuchElementException from head()
+    Seq((1L, "unk_id")).toDF("format_version", "oov_page_base")
+      .filter(lit(false)).write.mode("overwrite").parquet(s"$dir/meta")
+    val ex2 = intercept[IllegalArgumentException] {
+      Bpe.loadModel(spark, dir)
+    }
+    assert(ex2.getMessage.contains("no readable format_version"),
+      ex2.getMessage)
     CacheRegistry.drain()
   }
 
