@@ -2138,6 +2138,23 @@ object OracleSql {
     // mis-replayed the vocabulary symbolization hash-mismatches here
     "q137_bpe_truncate" -> bpeEncodeSql(12),
 
+    // q138: the byte-level round-trip contract decode(encode(x)) ==
+    // pretokenized(x) collapses the whole BPE pipeline out of the
+    // oracle — this SQL replays ONLY the GPT-2-style regex split
+    // (leftmost-first alternation, no lookahead: identical under
+    // java.util.regex and RE2) and re-concatenates the raw tokens,
+    // which equals the Spark side's decode because the leading-space
+    // -> Ġ rewrite and its inverse cancel. DuckDB regexp_replace
+    // needs the explicit 'g' flag to match Spark's replace-all.
+    "q138_bpe_bytelevel_roundtrip" -> """
+        |SELECT doc_id, array_to_string(
+        |  regexp_extract_all(
+        |    concat(regexp_replace(text, 'merge', 'merge,', 'g'),
+        |      ' v', CAST(doc_id % 100 AS VARCHAR), '.0!'),
+        |    ' ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'),
+        |  '') AS decoded
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // merges replayed unrolled (bpeCtes), then the deterministic
     // symbol→id table: base alphabet (w0's initial symbols) sorted
     // lexicographically at mrank 0, merged strings at their rank, min

@@ -2331,6 +2331,34 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Byte-level (GPT-2-style) BPE round trip
+    * ([[graft.operators.Bpe.PretokenizerConf]]=bytelevel): punctuation
+    * and digit runs are learnable tokens under the leading-space `Ġ`
+    * convention, and `decodeIds(encodeIds(x))` reconstructs the
+    * pre-tokenized text EXACTLY — including the synthesized
+    * punctuation/digits (the corpus text is all-letter, so the query
+    * plants `,`/`.`/`!` and a per-doc version number with plain string
+    * transforms both engines replay identically). The oracle never
+    * runs BPE at all: it replays only the regex split + concat, which
+    * is the whole round-trip contract.
+    */
+  private def q138(s: SparkSession, d: String): DataFrame = {
+    s.conf.set(graft.operators.Bpe.PretokenizerConf, "bytelevel")
+    try {
+      val dd = docs(s, d).select(col("doc_id"),
+        concat(
+          regexp_replace(col("text"), "merge", "merge,"),
+          lit(" v"), (col("doc_id") % 100).cast("string"), lit(".0!"))
+          .as("text"))
+      val model = graft.operators.Bpe.learnMerges(
+        dd.select("text"), "text", numMerges = 10)
+      val enc = graft.operators.Bpe.encodeIds(dd, "doc_id", "text", model)
+      graft.operators.Bpe.decodeIds(enc, "doc_id", "token_ids", model)
+        .select(col("doc_id"), col("decoded"))
+        .orderBy("doc_id")
+    } finally s.conf.unset(graft.operators.Bpe.PretokenizerConf)
+  }
+
   /** End-to-end corpus-construction pipeline — the composition every
     * training-data run executes as ONE declarative plan: quality gate
     * ([[graft.operators.TextAnalysis.qualityFeatures]]) → exact dedup
@@ -2581,6 +2609,7 @@ object SparkEntry {
     "q135_tiled_crop_neardups" -> (q135(_, _)),
     "q136_video_shingle_neardups" -> (q136(_, _)),
     "q137_bpe_truncate" -> (q137(_, _)),
+    "q138_bpe_bytelevel_roundtrip" -> (q138(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -79,6 +79,74 @@ object Bpe {
     */
   val RescanVocabConf = "spark.graft.bpe.rescanMaxVocab"
 
+  /** Session conf key: the pre-tokenizer that splits text into the
+    * word units BPE learns over — `whitespace` (default: split on
+    * single spaces, admit only all-letter words ≤ `maxWordLen`; the
+    * subword-nmt-style contract every existing catalog query pins) or
+    * `bytelevel` (GPT-2-style, Radford et al. 2019: letter runs,
+    * digit runs, and punctuation runs are each their own learnable
+    * token, with a LEADING-SPACE convention — a token that followed a
+    * space carries it, rewritten to the `Ġ` marker U+0120 so symbols
+    * still never contain spaces and the separator-doubling merge
+    * application stays exact. Punctuation and digits stop routing to
+    * the OOV page and become learnable vocabulary). Read once at plan
+    * construction by [[learnMerges]] / [[applyModel]] / [[encodeIds]] /
+    * [[encodeCounts]] / [[decodeIds]]; set the SAME mode for training
+    * and every later encode/decode of that model (the mode is a
+    * training-time property, like `maxWordLen`).
+    *
+    * Byte-level honest limits: only the SPACE character carries the
+    * leading-space convention — other whitespace (tabs, newlines)
+    * separates tokens but does not round-trip, and a literal `Ġ` in
+    * the input decodes as a space (the same ambiguity GPT-2 accepts).
+    * Runs of k ≥ 2 spaces keep one space on the following token and
+    * drop the rest (no lookahead — deliberately regular so the DuckDB
+    * oracle's RE2 replays the split identically).
+    */
+  val PretokenizerConf = "spark.graft.bpe.pretokenizer"
+
+  /** GPT-2's leading-space marker (U+0120 `Ġ`). */
+  private[operators] val SpaceMarker = "Ġ"
+
+  /** The byte-level split: optional-leading-space letter / digit /
+    * punctuation runs. Leftmost-first alternation, no lookahead —
+    * identical under java.util.regex (Spark) and RE2 (DuckDB).
+    */
+  private[operators] val BytelevelPattern =
+    " ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+
+  private def pretokMode(spark: SparkSession): String =
+    spark.conf.getOption(PretokenizerConf).getOrElse("whitespace") match {
+      case m @ ("whitespace" | "bytelevel") => m
+      case other => throw new IllegalArgumentException(
+        s"$PretokenizerConf=$other (expected whitespace|bytelevel)")
+    }
+
+  /** The raw token array of a text column under `mode` (bytelevel
+    * tokens still carry their leading space — rewrite AFTER the
+    * explode via [[markSpace]], a codegen'd string function, so no
+    * interpreted HOF runs over the corpus).
+    */
+  private def rawTokens(textCol: Column, mode: String): Column =
+    if (mode == "whitespace") split(textCol, " ")
+    else regexp_extract_all(textCol, lit(BytelevelPattern), lit(0))
+
+  /** Leading-space → `Ġ` rewrite (identity in whitespace mode). */
+  private def markSpace(w: Column, mode: String): Column =
+    if (mode == "whitespace") w
+    else regexp_replace(w, "^ ", SpaceMarker)
+
+  /** The pre-tokenizer admission predicate: which exploded tokens may
+    * enter the vocabulary / replay loop. Whitespace mode admits only
+    * all-letter words; bytelevel admits every non-empty run (that is
+    * the point — punctuation and digits become learnable), bounded by
+    * the same `maxWordLen`.
+    */
+  private def pretokAdmit(w: Column, mode: String, maxWordLen: Int): Column =
+    if (mode == "whitespace")
+      w.rlike("^\\p{L}+$") && length(w) <= maxWordLen
+    else w =!= "" && length(w) <= maxWordLen
+
   /** Session conf key: how [[applyModel]] treats out-of-vocabulary
     * words — `drop` (default: pre-tokenizer-rejected and
     * out-of-alphabet words vanish from the output, the learn-step
@@ -132,11 +200,14 @@ object Bpe {
     * out-of-vocabulary by contract, the standard pre-tokenizer split.
     */
   private def initialVocab(
-      df: DataFrame, textCol: String, maxWordLen: Int): DataFrame =
-    df.select(explode(split(col(textCol), " ")).as("w"))
-      .filter(col("w").rlike("^\\p{L}+$") && length(col("w")) <= maxWordLen)
+      df: DataFrame, textCol: String, maxWordLen: Int): DataFrame = {
+    val mode = pretokMode(df.sparkSession)
+    df.select(explode(rawTokens(col(textCol), mode)).as("w0"))
+      .select(markSpace(col("w0"), mode).as("w"))
+      .filter(pretokAdmit(col("w"), mode, maxWordLen))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .withColumn("sym", symbolize(col("w")))
+  }
 
   /** Weighted adjacent-pair counts `(a, b, pc)` of a `(cnt, sym)`
     * relation — posexplode keeping the array column, pair partner via
@@ -639,10 +710,12 @@ object Bpe {
   def encodeIds(
       df: DataFrame, idCol: String, textCol: String,
       model: Model): DataFrame = {
+    val mode = pretokMode(df.sparkSession)
     val perWord = model.vocab.select(col("w"), split(col("sym"), " ").as("sl"))
     val docw = df
       .select(col(idCol),
-        posexplode(split(col(textCol), " ")).as(Seq("wpos", "w")))
+        posexplode(rawTokens(col(textCol), mode)).as(Seq("wpos", "w0")))
+      .select(col(idCol), col("wpos"), markSpace(col("w0"), mode).as("w"))
       .join(perWord, Seq("w"))
     docw
       .select(col(idCol), col("wpos"),
@@ -692,16 +765,26 @@ object Bpe {
       df: DataFrame, idCol: String, idsCol: String,
       model: Model): DataFrame = {
     val unk = unkId(model)
+    val mode = pretokMode(df.sparkSession)
     val tab = broadcast(symbolTable(model)
       .select(col("id").as("__tid"), col("sym")))
+    // boundary rewrite per mode: whitespace turns `</w>` into the
+    // space the split consumed; bytelevel DROPS the marker (tokens
+    // abut directly) and turns the leading-space `Ġ` back into its
+    // space — so both modes invert their own pre-tokenizer exactly
+    def boundary(sym: Column): Column =
+      if (mode == "whitespace") replace(sym, lit("</w>"), lit(" "))
+      else replace(replace(sym, lit("</w>"), lit("")),
+        lit(SpaceMarker), lit(" "))
     // per-token fragment: a (boundary-rewritten) symbol string, or a
     // 2-hex-digit byte destined for run reassembly
     val frag =
       when(col("sym").isNotNull,
-        struct(replace(col("sym"), lit("</w>"), lit(" ")).as("sym"),
+        struct(boundary(col("sym")).as("sym"),
           lit(null).cast("string").as("hx")))
       .when(col("__tid") === unk,
-        struct(lit("� ").as("sym"), lit(null).cast("string").as("hx")))
+        struct(lit(if (mode == "whitespace") "� " else "�").as("sym"),
+          lit(null).cast("string").as("hx")))
       .when(col("__tid") > unk && col("__tid") <= unk + 256,
         struct(lit(null).cast("string").as("sym"),
           lpad(hex(col("__tid") - unk - 1), 2, "0").as("hx")))
@@ -714,8 +797,8 @@ object Bpe {
       .groupBy(col(idCol))
       .agg(array_sort(collect_list(struct(col("__pos"), frag.as("f"))))
         .as("sl"))
-      .select(col(idCol),
-        rtrim(aggregate(
+      .select(col(idCol), {
+        val folded = aggregate(
           transform(col("sl"), t => t.getField("f")),
           struct(lit("").as("out"), lit("").as("hx")),
           (acc, e) => when(e.getField("hx").isNotNull,
@@ -725,8 +808,14 @@ object Bpe {
               concat(acc.getField("out"), flush(acc.getField("hx")),
                 e.getField("sym")).as("out"),
               lit("").as("hx"))),
-          acc => concat(acc.getField("out"), flush(acc.getField("hx")))))
-          .as("decoded"))
+          acc => concat(acc.getField("out"), flush(acc.getField("hx"))))
+        // whitespace mode's last `</w>` leaves a trailing space to
+        // trim; bytelevel emits no boundary spaces at all, and an
+        // rtrim there could eat a byte-decoded legitimate trailing
+        // space — trim only where the artifact exists
+        (if (mode == "whitespace") rtrim(folded) else folded)
+          .as("decoded")
+      })
   }
 
   /** Tokenize ARBITRARY text under a saved model — the merge-replay
@@ -776,8 +865,8 @@ object Bpe {
           s"$OovModeConf=$other (expected drop|unk|bytes)")
       }
     val oovKeep = oovMode != "drop"
-    val pretokOk =
-      col("w").rlike("^\\p{L}+$") && length(col("w")) <= maxWordLen
+    val mode = pretokMode(df.sparkSession)
+    val pretokOk = pretokAdmit(col("w"), mode, maxWordLen)
     // persisted: the exploded long form feeds BOTH the distinct-word
     // build and the final per-document join — without the persist the
     // second reference re-runs the whole split+posexplode+regex corpus
@@ -787,7 +876,8 @@ object Bpe {
     // non-empty words stay (each needs a token); under `drop` the
     // pre-tokenizer filter prunes before the persist.
     val raw = df.select(col(idCol),
-      posexplode(split(col(textCol), " ")).as(Seq("wpos", "w")))
+        posexplode(rawTokens(col(textCol), mode)).as(Seq("wpos", "w0")))
+      .select(col(idCol), col("wpos"), markSpace(col("w0"), mode).as("w"))
     val docw = CacheRegistry.track(
       (if (oovKeep) raw.filter(col("w") =!= "") else raw.filter(pretokOk))
         .persist())
@@ -820,10 +910,18 @@ object Bpe {
         // 0x00 can never collide with the UNK token and an id stream
         // is unambiguous between the two modes)
         val reservedBase = unkId(model)
+        // bytelevel byte-fallback encodes the token with its leading
+        // `Ġ` restored to the space it stands for, so the byte page
+        // round-trips the ORIGINAL spacing (the decode side's byte
+        // path emits raw text, never the marker); a literal Ġ in the
+        // input shares this rewrite — the documented ambiguity
+        val fallbackSrc: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+          if (mode == "whitespace") identity
+          else w => replace(w, lit(SpaceMarker), lit(" "))
         val fallback: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
           if (oovMode == "unk") _ => array(lit(reservedBase))
           else w => transform(
-            graft.plans.GraftFunctions.utf8Bytes(w),
+            graft.plans.GraftFunctions.utf8Bytes(fallbackSrc(w)),
             b => b + lit(reservedBase + 1))
         val perWord = perSym.select(col("w"),
           when(col("oov") === 1, fallback(col("w")))
@@ -856,9 +954,11 @@ object Bpe {
   def encodeCounts(
       df: DataFrame, idCol: String, textCol: String,
       model: Model): DataFrame = {
+    val mode = pretokMode(df.sparkSession)
     val perWord = model.vocab
       .select(col("w"), size(split(col("sym"), " ")).cast("long").as("ntok"))
-    df.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+    df.select(col(idCol), explode(rawTokens(col(textCol), mode)).as("w0"))
+      .select(col(idCol), markSpace(col("w0"), mode).as("w"))
       .join(perWord, Seq("w"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"), sum(col("ntok")).as("n_bpe_tokens"))

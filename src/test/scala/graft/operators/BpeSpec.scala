@@ -62,6 +62,102 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  /** Reference byte-level pre-tokenization (java.util.regex, driver
+    * side): GPT-2-style runs with the leading-space → `Ġ` rewrite.
+    */
+  private def refBytelevelTokens(t: String): Seq[String] = {
+    val m = java.util.regex.Pattern
+      .compile(" ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+").matcher(t)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (m.find()) buf += m.group().replaceFirst("^ ", "Ġ")
+    buf.toSeq
+  }
+
+  private def refBytelevelCounts(docsSeq: Seq[String]): Map[String, Long] =
+    docsSeq.flatMap(refBytelevelTokens)
+      .filter(w => w.nonEmpty && w.length <= 32)
+      .groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+
+  test("bytelevel pre-tokenizer: punctuation and digit runs become " +
+      "learnable vocabulary (not OOV) and merge learning matches the " +
+      "naive reference over the GPT-2-style split") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    // letter words + digit runs + punctuation runs + contractions-ish
+    // apostrophes, with and without leading spaces; ties on purpose
+    val corpus = Seq.fill(50) {
+      Seq.fill(3 + rnd.nextInt(8)) {
+        rnd.nextInt(5) match {
+          case 0 => Seq.fill(1 + rnd.nextInt(4))(('a' + rnd.nextInt(3)).toChar).mkString
+          case 1 => (10 + rnd.nextInt(90)).toString
+          case 2 => Seq("!!", "...", ",", "?!", "''")(rnd.nextInt(5))
+          case 3 => "ab's"
+          case _ => "ab" + Seq("!", "?", ".")(rnd.nextInt(3))
+        }
+      }.mkString(" ")
+    }
+    spark.conf.set(Bpe.PretokenizerConf, "bytelevel")
+    try {
+      val model = Bpe.learnMerges(corpus.toDF("text"), "text",
+        numMerges = 15)
+      val got = model.merges.map(r => (r.left, r.right, r.pairCount))
+      val want = refMerges(refBytelevelCounts(corpus), 15)
+      assert(got == want, s"\n got=$got\nwant=$want")
+      // the vocabulary genuinely carries the leading-space convention
+      // and punctuation/digit tokens — the whitespace mode's OOV class
+      val words = model.vocab.select("w").collect()
+        .map(_.getString(0)).toSet
+      assert(words.exists(_.startsWith("Ġ")), s"no Ġ-words: $words")
+      assert(words.exists(w => w.exists(c => !Character.isLetter(c) &&
+        c != 'Ġ')), s"no punct/digit tokens entered the vocab: $words")
+      // whitespace mode (default conf) is untouched: same corpus,
+      // letters-only vocabulary
+      spark.conf.unset(Bpe.PretokenizerConf)
+      val ws = Bpe.learnMerges(corpus.toDF("text"), "text", numMerges = 5)
+      assert(ws.vocab.select("w").collect().map(_.getString(0))
+        .forall(_.forall(Character.isLetter)))
+      assert(ws.merges.map(r => (r.left, r.right, r.pairCount)) ==
+        refMerges(refWordCounts(corpus), 5))
+    } finally spark.conf.unset(Bpe.PretokenizerConf)
+    CacheRegistry.drain()
+  }
+
+  test("bytelevel encode → decode round-trips punctuation, digits, and " +
+      "spacing exactly (the regex-reconstruction contract), and the " +
+      "bytes OOV page restores the leading space of a fallback token") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "ab ab, cd!! 12 ab's"),
+      (2L, "abc... 99 ?! ab  cd"), // double space: one survives (doc'd)
+      (3L, ",,ab 7cd"))
+    spark.conf.set(Bpe.PretokenizerConf, "bytelevel")
+    try {
+      val df = docs.toDF("doc_id", "text")
+      val model = Bpe.learnMerges(df.select("text"), "text", numMerges = 10)
+      val enc = Bpe.encodeIds(df, "doc_id", "text", model)
+      val dec = Bpe.decodeIds(enc, "doc_id", "token_ids", model)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      for ((id, t) <- docs)
+        assert(dec(id) == refBytelevelTokens(t)
+          .map(_.replaceFirst("^Ġ", " ")).mkString(""),
+          s"doc $id: got '${dec(id)}'")
+      // punctuation genuinely round-trips through learned ids
+      assert(dec(1L).contains("ab,") && dec(1L).contains("!!"))
+      // byte-fallback under bytelevel: an out-of-alphabet token that
+      // carried a leading space decodes with the SPACE, not the marker
+      spark.conf.set(Bpe.OovModeConf, "bytes")
+      val eval = Seq((9L, "ab ** ab zz")).toDF("doc_id", "text")
+      val ids = Bpe.applyModel(eval, "doc_id", "text", model)
+      val back = Bpe.decodeIds(ids, "doc_id", "token_ids", model)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(back(9L) == "ab ** ab zz", s"got '${back(9L)}'")
+    } finally {
+      spark.conf.unset(Bpe.PretokenizerConf)
+      spark.conf.unset(Bpe.OovModeConf)
+    }
+    CacheRegistry.drain()
+  }
+
   test("learnMerges matches the naive Sennrich reference on random " +
       "tie-heavy corpora") {
     import spark.implicits._
