@@ -573,6 +573,90 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Nearest-neighbor scale of a decoded image to `dstW`×`dstH`:
+    * destination pixel `(x, y)` samples source
+    * `(⌊x·srcW/dstW⌋, ⌊y·srcH/dstH⌋)` — exact integer floors, no
+    * blending. The FLOOR rule is load-bearing for
+    * [[scaleNormalizeImages]]' composition guarantee
+    * (`⌊⌊2a⌋/2⌋ = ⌊a⌋`), which interpolating resamplers break.
+    */
+  private def nearestScale(im: java.awt.image.BufferedImage,
+      dstW: Int, dstH: Int): java.awt.image.BufferedImage = {
+    val out = new java.awt.image.BufferedImage(
+      dstW, dstH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val srcW = im.getWidth
+    val srcH = im.getHeight
+    var y = 0
+    while (y < dstH) {
+      val sy = (y.toLong * srcH / dstH).toInt
+      var x = 0
+      while (x < dstW) {
+        out.setRGB(x, y,
+          im.getRGB((x.toLong * srcW / dstW).toInt, sy) & 0xffffff)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Scale canonicalization for the tiled crop tier — the upstream
+    * pre-step [[tiledDhashImages]]' scaladoc sketches: re-sample every
+    * image so its LONG edge is exactly `longEdge` pixels (aspect
+    * preserved by integer floor, minimum 1), nearest-neighbor. After
+    * this, a rescaled copy and its source normalize to IDENTICAL
+    * pixels whenever the scale factors compose through the floor rule
+    * — exactly true for k× nearest up/down-scales
+    * (`⌊⌊k·a⌋/k⌋ = ⌊a⌋`), approximately true for real-world
+    * interpolated rescales (the dHash sign rule absorbs small
+    * resampling error). Composition contract with the tiled tier:
+    * `tiledDhashImages(scaleNormalizeImages(assets))` pairs a
+    * RESCALED tile-aligned crop with its original PROVIDED the crop
+    * kept the long edge (a short-edge trim: letterbox removal, bottom
+    * banner cuts) — the long edge pins the normalization factor, so
+    * the surviving rows re-sample bit-identically and whole tiles
+    * re-hash equal (MultimodalSpec pins the 2×-rescaled case
+    * end-to-end). A crop that shortens the LONG edge changes the
+    * factor and stays out of scope, as does rotation
+    * ([[canonicalDhashImages]] owns that axis). Undecodable payloads
+    * drop, the [[decodeImages]] corrupt-asset convention; re-encoding
+    * is lossless PNG so no generation loss enters the pipeline.
+    *
+    * Scale shape: map-side only — one decode + one `longEdge`-bounded
+    * resample + one PNG encode per asset; downstream tiling cost
+    * becomes resolution-INDEPENDENT (every normalized image carries
+    * ≤ `⌈longEdge/tile⌉²` tiles).
+    */
+  def scaleNormalizeImages(
+      assets: Dataset[Asset], longEdge: Int = 256): Dataset[Asset] = {
+    require(longEdge >= 9,
+      s"longEdge=$longEdge must be at least 9 (the dHash grid)")
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { a =>
+        val img =
+          try Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(a.payload)))
+          catch { case _: Exception => None }
+        img.filter(im => im.getWidth > 0 && im.getHeight > 0).map { im =>
+          val (dw, dh) =
+            if (im.getWidth >= im.getHeight)
+              (longEdge,
+                math.max(1, (im.getHeight.toLong * longEdge /
+                  im.getWidth).toInt))
+            else
+              (math.max(1, (im.getWidth.toLong * longEdge /
+                im.getHeight).toInt), longEdge)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(nearestScale(im, dw, dh), "png", bos)
+          val png = bos.toByteArray
+          Asset(a.asset_id, png, "image/png", png.length.toLong)
+        }
+      }
+    }
+  }
+
   /** One sub-region difference hash of a tiled image. */
   case class ImageTileHash(asset_id: Long, tile_x: Int, tile_y: Int,
       dhash: Long)

@@ -698,6 +698,64 @@ class MultimodalSpec extends SparkSpec {
     CacheRegistry.drain()
   }
 
+  test("scaleNormalizeImages closes the crop+RESCALE gap: a 2x-" +
+      "rescaled short-edge crop re-pairs with its original through " +
+      "the normalized tiled tier, and provably does NOT pair without " +
+      "the normalization pre-step") {
+    val session = spark
+    import session.implicits._
+    javax.imageio.ImageIO.setUseCache(false)
+    def png(im: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      bos.toByteArray
+    }
+    // deterministic dense-texture source: every tile non-flat, every
+    // hash informative
+    val rnd = new scala.util.Random(77)
+    val base = new java.awt.image.BufferedImage(
+      64, 48, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 48; x <- 0 until 64)
+      base.setRGB(x, y, rnd.nextInt(1 << 24))
+    // short-edge trim (bottom 18 rows): the long edge survives, so
+    // the normalization factor is pinned — the documented in-scope
+    // crop class (letterbox removal / banner cuts)
+    val cropPng = Multimodal.cropImage(png(base), left = 0, top = 0,
+      right = 0, bottom = 18)
+    val crop = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(cropPng))
+    // 2x nearest upscale — the re-upload rescale being recovered
+    val up = new java.awt.image.BufferedImage(
+      128, 60, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 60; x <- 0 until 128)
+      up.setRGB(x, y, crop.getRGB(x / 2, y / 2) & 0xffffff)
+    val assets = Seq(
+      Multimodal.Asset(1L, png(base), "image/png", 1L),
+      Multimodal.Asset(2L, png(up), "image/png", 1L)).toDS()
+    // WITHOUT normalization the rescale scrambles every tile: no pair
+    val rawTiles = Multimodal.tiledDhashImages(assets, tile = 9)
+    assert(Multimodal.tiledImageNearDupPairs(rawTiles.toDF(),
+      minShared = 3).count() == 0L,
+      "the gap being closed must actually exist")
+    // WITH it: the rescaled crop normalizes to the exact pixels the
+    // un-rescaled crop would (floor-composition), so its whole tiles
+    // re-hash identically and the pair lands
+    val norm = Multimodal.scaleNormalizeImages(assets, longEdge = 256)
+    val tiles = Multimodal.tiledDhashImages(norm, tile = 9)
+    val byAsset = tiles.collect().groupBy(_.asset_id)
+      .map { case (k, v) => k -> v.map(_.dhash).toSet }
+    val shared = (byAsset(1L) & byAsset(2L)) - 0L
+    assert(shared.size >= 3,
+      s"normalized tiles must overlap: ${shared.size}")
+    assert((byAsset(2L) - 0L).subsetOf(byAsset(1L)),
+      "normalized rescaled-crop tiles must be a subset of the original's")
+    val pairs = Multimodal.tiledImageNearDupPairs(tiles.toDF(),
+        minShared = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"$pairs")
+    CacheRegistry.drain()
+  }
+
   test("videoShingles: mid-stream trims and splices share intact " +
       "windows with their source (the content-signature fold is MOVED " +
       "by the same edits — the gap being closed); sub-w videos emit " +
