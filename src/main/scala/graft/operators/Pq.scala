@@ -267,14 +267,32 @@ object Pq {
 
   /** Encode each assigned vector's RESIDUAL as its `m` codeword ids —
     * the IVFADC write path ([[fitResiduals]]' model).
+    *
+    * NOT [[residualExpr]] + `slice`: `zip_with` is a CodegenFallback
+    * higher-order function, and routing the residual through it left
+    * the whole encode projection interpreted (measured round 13 — the
+    * one non-codegen stage in the ADC chain). Here each subspace's
+    * residual slice is a plain `CreateArray` of per-coordinate
+    * subtractions (`vec[i] − centroid[i]`, same IEEE-754 operands and
+    * results), so the encode stays inside whole-stage codegen;
+    * subexpression elimination collapses the repeated centroid-map
+    * lookup. Same fail-fast posture under ANSI: a short vector hits
+    * INVALID_ARRAY_INDEX, an unknown cell id
+    * MAP_KEY_DOES_NOT_EXIST.
     */
   def encodeResiduals(
       assigned: DataFrame, vecCol: String, cellCol: String,
       centroids: Seq[(Int, Seq[Double])], model: Model): DataFrame = {
-    val res = residualExpr(vecCol, cellCol, centroids)
+    val centMap = map(centroids.flatMap { case (cid, c) =>
+      Seq(lit(cid), array(c.map(lit(_)): _*))
+    }: _*)
+    val vec = col(vecCol).cast("array<double>")
+    val cent = element_at(centMap, col(cellCol).cast("int"))
     assigned.withColumn("code", array((0 until model.m).map { s =>
       graft.plans.GraftFunctions.gridArgmin(
-        slice(res, s * model.subDim + 1, model.subDim), model.codebooks(s))
+        array((s * model.subDim until (s + 1) * model.subDim).map(i =>
+          vec.getItem(i) - cent.getItem(i)): _*),
+        model.codebooks(s))
     }: _*))
   }
 

@@ -372,6 +372,21 @@ class PlanQualitySpec extends SparkSpec {
     val maxMethod = stats.map(_._3.maxMethodCodeSize).max
     assert(maxMethod > 0 && maxMethod < 65535,
       s"maxMethodCodeSize=$maxMethod — the O(m) bytecode claim broke")
+    // the WHOLE chain compiles: encode (per-coordinate residual
+    // CreateArray — zip_with would fall back interpreted) + ADC
+    // ranking. No projection may run outside whole-stage codegen.
+    def bareProjects(p: SparkPlan, inWsc: Boolean): Int = p match {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec =>
+        w.children.map(bareProjects(_, true)).sum
+      case i: org.apache.spark.sql.execution.InputAdapter =>
+        i.children.map(bareProjects(_, false)).sum
+      case pr: org.apache.spark.sql.execution.ProjectExec =>
+        (if (inWsc) 0 else 1) + pr.children.map(bareProjects(_, inWsc)).sum
+      case other => other.children.map(bareProjects(_, inWsc)).sum
+    }
+    assert(bareProjects(plan, inWsc = false) == 0,
+      "an interpreted projection survives in the ADC chain:\n" +
+        plan.toString.linesIterator.take(12).mkString("\n"))
     graft.operators.CacheRegistry.drain()
   }
 }
