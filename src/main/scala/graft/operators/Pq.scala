@@ -117,10 +117,11 @@ object Pq {
     * `(rank, idCol)`, rank 1-based.
     */
 
-  /** One subspace's LUT as a FOLDABLE array literal of `k` exact
-    * DECIMAL(30,24) constants. `CreateArray` of foldable children is
-    * foldable, so ConstantFolding collapses it to a single
-    * `Literal(ArrayData)` — in generated code that is ONE entry in the
+  /** One subspace's LUT as a PRE-FOLDED `Literal(ArrayData)` of `k`
+    * exact DECIMAL(30,24) constants (built driver-side rather than as
+    * a `CreateArray` for ConstantFolding to collapse — one node from
+    * the start, so analysis never walks k cast subtrees). In generated
+    * code that is ONE entry in the
     * codegen references array, O(1) bytecode regardless of `k`. This
     * is what deleted the old `when`-chain codegen cliff: the chain's
     * bytecode grew linearly with `m·k` (and with `nprobe·m·k` in the
@@ -133,8 +134,14 @@ object Pq {
     */
   private def lutArrayLit(qs: Array[Double],
       codebook: Array[Array[Double]]): Column =
-    array(codebook.map(cw =>
-      lit(gridDist2(qs, cw)).cast("decimal(30,24)")): _*)
+    org.apache.spark.sql.GraftShim.toColumn(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          codebook.map(cw => org.apache.spark.sql.types
+            .Decimal(gridDist2(qs, cw), 30, 24): Any)),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DecimalType(30, 24),
+          containsNull = false)))
 
   /** Guarded O(1) LUT lookup: fail FAST on a code outside
     * `[0, k)` (a codes table from a different/older model, or
@@ -229,23 +236,44 @@ object Pq {
 
   // ------------------------------------------------- IVFADC (residuals)
 
+  /** The `cell → centroid` lookup as ONE pre-folded `Literal(MapData)`
+    * node — NOT a `CreateMap` of per-coordinate `lit`s. The
+    * distinction is plan-construction cost, not semantics: a CreateMap
+    * of 16 cells × 64 doubles is a ~1000-node expression tree, and
+    * every `getItem` that references it duplicates the whole tree —
+    * [[encodeResiduals]]' per-coordinate form would carry `dim` copies
+    * (~65k nodes) through analysis and optimization (measured round
+    * 13: ~1 s of driver time per query on the q128 shape). The folded
+    * literal is one node sharing one MapData however often it is
+    * referenced. Same ANSI fail-fast on a missing cell id
+    * (MAP_KEY_DOES_NOT_EXIST).
+    */
+  private def centroidMapLit(centroids: Seq[(Int, Seq[Double])]): Column = {
+    import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+    import org.apache.spark.sql.types._
+    val keys = new GenericArrayData(centroids.map(_._1).toArray)
+    val vals = new GenericArrayData(centroids.map { case (_, c) =>
+      new GenericArrayData(c.toArray): Any }.toArray)
+    org.apache.spark.sql.GraftShim.toColumn(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        new ArrayBasedMapData(keys, vals),
+        MapType(IntegerType, ArrayType(DoubleType, containsNull = false),
+          valueContainsNull = false)))
+  }
+
   /** The residual of each assigned vector against its coarse-cell
     * centroid: `x − centroid(cell)`, per coordinate in double (both
     * engines' IEEE-754 subtraction — deterministic, so the scale-12
     * grid downstream sees identical operands). The centroid lookup is
-    * a broadcast map literal; under ANSI mode a cell id missing from
-    * `centroids` fails fast (MAP_KEY_DOES_NOT_EXIST) instead of
-    * nulling the residual.
+    * the pre-folded [[centroidMapLit]]; under ANSI mode a cell id
+    * missing from `centroids` fails fast (MAP_KEY_DOES_NOT_EXIST)
+    * instead of nulling the residual.
     */
   private def residualExpr(vecCol: String, cellCol: String,
-      centroids: Seq[(Int, Seq[Double])]): Column = {
-    val centMap = map(centroids.flatMap { case (cid, c) =>
-      Seq(lit(cid), array(c.map(lit(_)): _*))
-    }: _*)
+      centroids: Seq[(Int, Seq[Double])]): Column =
     zip_with(col(vecCol).cast("array<double>"),
-      element_at(centMap, col(cellCol).cast("int")),
+      element_at(centroidMapLit(centroids), col(cellCol).cast("int")),
       (x, c) => x - c)
-  }
 
   /** Train PQ codebooks on coarse-cell RESIDUALS — the actual IVFADC
     * of Jégou et al. (TPAMI 2011, §IV): the coarse quantizer explains
@@ -283,11 +311,8 @@ object Pq {
   def encodeResiduals(
       assigned: DataFrame, vecCol: String, cellCol: String,
       centroids: Seq[(Int, Seq[Double])], model: Model): DataFrame = {
-    val centMap = map(centroids.flatMap { case (cid, c) =>
-      Seq(lit(cid), array(c.map(lit(_)): _*))
-    }: _*)
     val vec = col(vecCol).cast("array<double>")
-    val cent = element_at(centMap, col(cellCol).cast("int"))
+    val cent = element_at(centroidMapLit(centroids), col(cellCol).cast("int"))
     assigned.withColumn("code", array((0 until model.m).map { s =>
       graft.plans.GraftFunctions.gridArgmin(
         array((s * model.subDim until (s + 1) * model.subDim).map(i =>
@@ -345,20 +370,36 @@ object Pq {
       query: Array[Double], topK: Int): DataFrame = {
     val centById = centroids.toMap
     val k = model.codebooks.map(_.length).max
-    val cellLutMap = map(probes.flatMap { cell =>
-      val qres = query.indices.map(i => query(i) - centById(cell)(i)).toArray
-      Seq(lit(cell), array((0 until model.m).flatMap { s =>
-        val qs = qres.slice(s * model.subDim, (s + 1) * model.subDim)
-        val cb = model.codebooks(s)
-        // pad ragged codebooks to the flat k stride; the lutLookup
-        // bounds guard (per-subspace true k) keeps pads unreachable
-        (0 until k).map { j =>
-          val d = if (j < cb.length) gridDist2(qs, cb(j))
-                  else java.math.BigDecimal.ZERO
-          lit(d).cast("decimal(30,24)")
-        }
-      }: _*))
-    }: _*)
+    // ONE pre-folded Literal(MapData) node (the [[centroidMapLit]]
+    // rationale): the m distance terms below each reference the map,
+    // and a CreateMap of nprobe·m·k decimal casts would be copied m
+    // times through analysis — at the PlanQualitySpec envelope that is
+    // 8 copies of a ~16k-node tree
+    val cellLutMap = {
+      import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+      import org.apache.spark.sql.types._
+      val keys = new GenericArrayData(probes.toArray)
+      val vals = new GenericArrayData(probes.map { cell =>
+        val qres = query.indices.map(i => query(i) - centById(cell)(i)).toArray
+        new GenericArrayData((0 until model.m).flatMap { s =>
+          val qs = qres.slice(s * model.subDim, (s + 1) * model.subDim)
+          val cb = model.codebooks(s)
+          // pad ragged codebooks to the flat k stride; the bounds
+          // guard below (per-subspace true k) keeps pads unreachable
+          (0 until k).map { j =>
+            val d = if (j < cb.length) gridDist2(qs, cb(j))
+                    else new java.math.BigDecimal(java.math.BigInteger.ZERO, 24)
+            org.apache.spark.sql.types.Decimal(d, 30, 24): Any
+          }
+        }.toArray): Any
+      }.toArray)
+      org.apache.spark.sql.GraftShim.toColumn(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          new ArrayBasedMapData(keys, vals),
+          MapType(IntegerType,
+            ArrayType(DecimalType(30, 24), containsNull = false),
+            valueContainsNull = false)))
+    }
     // rows can only reach here with a probed cell id (callers filter),
     // so the fall-through arm is a loud invariant check (kept explicit
     // rather than leaning on ANSI's MAP_KEY_DOES_NOT_EXIST)
