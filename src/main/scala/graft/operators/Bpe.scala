@@ -89,11 +89,15 @@ object Bpe {
     * space carries it, rewritten to the `Ġ` marker U+0120 so symbols
     * still never contain spaces and the separator-doubling merge
     * application stays exact. Punctuation and digits stop routing to
-    * the OOV page and become learnable vocabulary). Read once at plan
-    * construction by [[learnMerges]] / [[applyModel]] / [[encodeIds]] /
-    * [[encodeCounts]] / [[decodeIds]]; set the SAME mode for training
-    * and every later encode/decode of that model (the mode is a
-    * training-time property, like `maxWordLen`).
+    * the OOV page and become learnable vocabulary). Read at TRAINING
+    * time by [[learnMerges]]; the learned [[Model]] CARRIES its mode
+    * (persisted by [[saveModel]], restored by [[loadModel]] —
+    * pre-column saves default to whitespace, the only mode that
+    * existed), and every consumer — [[applyModel]] / [[encodeIds]] /
+    * [[encodeCounts]] / [[decodeIds]] — follows the MODEL, not this
+    * conf. A train/apply mode mismatch (which would silently tokenize
+    * garbage) is therefore impossible by construction; this conf only
+    * matters on the job that trains.
     *
     * Byte-level honest limits: only the SPACE character carries the
     * leading-space convention — other whitespace (tabs, newlines)
@@ -173,7 +177,8 @@ object Bpe {
     * (`w`, `cnt`, `sym`), materialized as a [[Lineage.cut]] leaf and
     * [[CacheRegistry]]-tracked (finish downstream actions before drain).
     */
-  final case class Model(merges: Seq[MergeRule], vocab: DataFrame) {
+  final case class Model(merges: Seq[MergeRule], vocab: DataFrame,
+      pretokenizer: String = "whitespace") {
     /** Memoized symbol→id assignment (driver-side, bounded:
       * |alphabet| + numMerges rows, ordered by id): the alphabet
       * derivation job runs ONCE per model instance, lazily, and every
@@ -397,7 +402,8 @@ object Bpe {
       .getOrElse(1000000L)
     val words = Lineage.cut(initialVocab(df, textCol, maxWordLen))
     learnLoop(words, numMerges, topM,
-      incremental = words.count() > rescanMax, onIter, onScan)
+      incremental = words.count() > rescanMax, onIter, onScan,
+      pretokMode(df.sparkSession))
   }
 
   /** Formulation-forced entry (tests and [[graft.BpeStress]]): explicit
@@ -410,7 +416,8 @@ object Bpe {
     require(numMerges > 0, s"numMerges=$numMerges must be positive")
     require(maxWordLen > 0, s"maxWordLen=$maxWordLen must be positive")
     learnLoop(Lineage.cut(initialVocab(df, textCol, maxWordLen)),
-      numMerges, math.max(1, topM), incremental, onIter, null)
+      numMerges, math.max(1, topM), incremental, onIter, null,
+      pretokMode(df.sparkSession))
   }
 
   /** The shared scan loop. Loop-carried state, [[Lineage.cut]] each
@@ -423,7 +430,8 @@ object Bpe {
     */
   private def learnLoop(
       words0: DataFrame, numMerges: Int, topM: Int, incremental: Boolean,
-      onIter: (Int, Double) => Unit, onScan: Int => Unit = null): Model = {
+      onIter: (Int, Double) => Unit, onScan: Int => Unit = null,
+      pretokenizer: String = "whitespace"): Model = {
     var words = words0
     var counts: DataFrame =
       if (incremental)
@@ -483,7 +491,7 @@ object Bpe {
       }
     }
     if (counts != null) Lineage.release(counts) // terminal count state is dead
-    Model(rules.toSeq, words)
+    Model(rules.toSeq, words, pretokenizer)
   }
 
   /** The naive reference formulation — recompute ALL pair counts from
@@ -518,7 +526,7 @@ object Bpe {
           if (onIter != null) onIter(k, (System.nanoTime() - t0) / 1e9)
       }
     }
-    Model(rules.toSeq, words)
+    Model(rules.toSeq, words, pretokMode(df.sparkSession))
   }
 
   /** The model at merge depth `k` — the vocabulary-size ablation tool
@@ -547,7 +555,7 @@ object Bpe {
         applyMerges(col("sym"), chunk.map(r => (r.left, r.right)))))
       Lineage.release(prev)
     }
-    Model(rules, words)
+    Model(rules, words, model.pretokenizer)
   }
 
   /** The learned rules as a DataFrame (for the catalog / persistence):
@@ -587,8 +595,9 @@ object Bpe {
       .write.mode("overwrite").parquet(s"$dir/merges")
     model.vocab.select("w", "cnt", "sym")
       .write.mode("overwrite").parquet(s"$dir/vocab")
-    Seq((FormatVersion.toLong, "unk_id+1"))
-      .toDF("format_version", "oov_page_base").repartition(1)
+    Seq((FormatVersion.toLong, "unk_id+1", model.pretokenizer))
+      .toDF("format_version", "oov_page_base", "pretokenizer")
+      .repartition(1)
       .write.mode("overwrite").parquet(s"$dir/meta")
   }
 
@@ -601,17 +610,18 @@ object Bpe {
   def loadModel(spark: SparkSession, dir: String): Model = {
     val metaPath = new org.apache.hadoop.fs.Path(s"$dir/meta")
     val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var pretok = "whitespace"
     if (fs.exists(metaPath)) {
       // headOption, not head(): a meta directory that exists but holds
       // no rows (partial copy, interrupted write) must raise the same
       // descriptive format error, not a bare NoSuchElementException
-      val v = spark.read.parquet(s"$dir/meta")
-        .select("format_version").limit(1).collect().headOption
-        .map(_.getLong(0))
+      val meta = spark.read.parquet(s"$dir/meta")
+      val row = meta.limit(1).collect().headOption
         .getOrElse(throw new IllegalArgumentException(
           s"loadModel: $dir/meta exists but holds no readable " +
             "format_version row (interrupted or partial save?); " +
             "re-save the model with this release's saveModel"))
+      val v = row.getLong(row.fieldIndex("format_version"))
       require(v == FormatVersion,
         s"loadModel: $dir was saved with persisted-format version $v; " +
           s"this release reads version $FormatVersion (the oov=bytes " +
@@ -619,12 +629,16 @@ object Bpe {
           "versions — decoding across the boundary would shift every " +
           "byte-fallback id by one). Re-save the model with this " +
           "release's saveModel.")
+      // models saved before the pretokenizer column existed are
+      // whitespace by construction (the only mode that existed)
+      if (meta.columns.contains("pretokenizer"))
+        pretok = row.getString(row.fieldIndex("pretokenizer"))
     }
     val merges = spark.read.parquet(s"$dir/merges")
       .orderBy("merge_rank").collect().toSeq
       .map(r => MergeRule(r.getLong(0).toInt, r.getString(1),
         r.getString(2), r.getString(3), r.getLong(4)))
-    Model(merges, spark.read.parquet(s"$dir/vocab"))
+    Model(merges, spark.read.parquet(s"$dir/vocab"), pretok)
   }
 
   /** Deterministic symbol→id table for a learned model, as a (tiny)
@@ -710,7 +724,7 @@ object Bpe {
   def encodeIds(
       df: DataFrame, idCol: String, textCol: String,
       model: Model): DataFrame = {
-    val mode = pretokMode(df.sparkSession)
+    val mode = model.pretokenizer
     val perWord = model.vocab.select(col("w"), split(col("sym"), " ").as("sl"))
     val docw = df
       .select(col(idCol),
@@ -765,7 +779,7 @@ object Bpe {
       df: DataFrame, idCol: String, idsCol: String,
       model: Model): DataFrame = {
     val unk = unkId(model)
-    val mode = pretokMode(df.sparkSession)
+    val mode = model.pretokenizer
     val tab = broadcast(symbolTable(model)
       .select(col("id").as("__tid"), col("sym")))
     // boundary rewrite per mode: whitespace turns `</w>` into the
@@ -865,7 +879,7 @@ object Bpe {
           s"$OovModeConf=$other (expected drop|unk|bytes)")
       }
     val oovKeep = oovMode != "drop"
-    val mode = pretokMode(df.sparkSession)
+    val mode = model.pretokenizer
     val pretokOk = pretokAdmit(col("w"), mode, maxWordLen)
     // persisted: the exploded long form feeds BOTH the distinct-word
     // build and the final per-document join — without the persist the
@@ -954,7 +968,7 @@ object Bpe {
   def encodeCounts(
       df: DataFrame, idCol: String, textCol: String,
       model: Model): DataFrame = {
-    val mode = pretokMode(df.sparkSession)
+    val mode = model.pretokenizer
     val perWord = model.vocab
       .select(col("w"), size(split(col("sym"), " ")).cast("long").as("ntok"))
     df.select(col(idCol), explode(rawTokens(col(textCol), mode)).as("w0"))

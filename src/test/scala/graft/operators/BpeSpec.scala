@@ -151,6 +151,27 @@ class BpeSpec extends SparkSpec {
       val back = Bpe.decodeIds(ids, "doc_id", "token_ids", model)
         .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
       assert(back(9L) == "ab ** ab zz", s"got '${back(9L)}'")
+      // the MODE IS A MODEL PROPERTY: save the bytelevel model, unset
+      // every conf, load it in a "different job" — apply/decode still
+      // run byte-level (a train/apply mode mismatch, which would
+      // silently tokenize garbage, is unrepresentable)
+      val dir = java.nio.file.Files.createTempDirectory("bpe-bl").toString
+      Bpe.saveModel(model, dir)
+      spark.conf.unset(Bpe.PretokenizerConf)
+      spark.conf.unset(Bpe.OovModeConf)
+      val loaded = Bpe.loadModel(spark, dir)
+      assert(loaded.pretokenizer == "bytelevel")
+      val df2 = docs.toDF("doc_id", "text")
+      val dec2 = Bpe.decodeIds(
+          Bpe.encodeIds(df2, "doc_id", "text", loaded),
+          "doc_id", "token_ids", loaded)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      for ((id, t) <- docs)
+        assert(dec2(id) == refBytelevelTokens(t)
+          .map(_.replaceFirst("^Ġ", " ")).mkString(""),
+          s"loaded-model doc $id: got '${dec2(id)}'")
+      // truncate propagates the mode too
+      assert(Bpe.truncate(loaded, 3).pretokenizer == "bytelevel")
     } finally {
       spark.conf.unset(Bpe.PretokenizerConf)
       spark.conf.unset(Bpe.OovModeConf)
