@@ -1936,6 +1936,59 @@ object OracleSql {
         |    AS avg_logprob
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // q139: CCNet-style perplexity filter — bigram stats train on the
+    // reference slice (src0-4), ALL docs score under them with LEFT
+    // joins carrying the smoothing mass for unseen n-grams, and the
+    // gate drops the exact floor(0.25*n) lowest (avg_logprob, doc_id)
+    // pairs. The oracle's cutoff is a rank window; the Spark side's is
+    // the histogram-pruned distributed selection — same k-th pair.
+    "q139_perplexity_filter" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split(text, ' '), w -> w <> '') AS ts
+        |  FROM documents),
+        |ref AS (SELECT ts FROM toks
+        |  WHERE source IN ('src0','src1','src2','src3','src4')),
+        |rbig AS (
+        |  SELECT ts[i] AS w1, ts[i + 1] AS w2
+        |  FROM (SELECT ts, unnest(range(1, len(ts))) AS i
+        |        FROM ref WHERE len(ts) >= 2)),
+        |cu AS (SELECT w1, count(*) AS cu FROM rbig GROUP BY w1),
+        |cb AS (SELECT w1, w2, count(*) AS cb FROM rbig GROUP BY w1, w2),
+        |v AS (SELECT count(DISTINCT w) AS v
+        |      FROM (SELECT unnest(ts) AS w FROM ref)),
+        |big AS (
+        |  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
+        |        FROM toks WHERE len(ts) >= 2)),
+        |lp AS (
+        |  SELECT b.doc_id,
+        |    CAST(ln((COALESCE(cb.cb, 0) + CAST(0.4 AS DOUBLE))
+        |      / (COALESCE(cu.cu, 0) + CAST(0.4 AS DOUBLE) * v.v))
+        |      AS DECIMAL(18,12)) AS lp
+        |  FROM big b
+        |  LEFT JOIN cb ON b.w1 = cb.w1 AND b.w2 = cb.w2
+        |  LEFT JOIN cu ON b.w1 = cu.w1
+        |  CROSS JOIN v),
+        |scored AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    round(CAST(SUM(lp) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |      AS avg_logprob
+        |  FROM lp GROUP BY doc_id),
+        |kk AS (SELECT CAST(floor(0.25 * count(*)) AS BIGINT) AS k
+        |       FROM scored),
+        |cut AS (
+        |  SELECT r.avg_logprob AS ca, r.doc_id AS ci
+        |  FROM (SELECT *, row_number()
+        |          OVER (ORDER BY avg_logprob, doc_id) AS rn
+        |        FROM scored) r, kk
+        |  WHERE r.rn = kk.k)
+        |SELECT s.doc_id, s.n_bigrams, s.avg_logprob,
+        |  (s.avg_logprob > cut.ca
+        |    OR (s.avg_logprob = cut.ca AND s.doc_id > cut.ci)) AS keep
+        |FROM scored s CROSS JOIN cut
+        |ORDER BY s.doc_id""".stripMargin,
+
     // decoded-content identity of the synthetic solid PNGs is the
     // (w,h,r,g,b) tuple — fully determined by doc_id's residues.
     "q95_image_dedup" ->

@@ -2359,6 +2359,31 @@ object SparkEntry {
     } finally s.conf.unset(graft.operators.Bpe.PretokenizerConf)
   }
 
+  /** The CCNet-style perplexity quality filter (Wenzek et al. 2020) —
+    * the reference-model composition a real corpus build runs: bigram
+    * statistics train on a curated REFERENCE slice (sources src0–src4
+    * here), every document scores under them
+    * ([[graft.operators.TextAnalysis.bigramLogProbUnder]] — unseen
+    * n-grams take the smoothing mass via left joins), and the gate
+    * drops the worst quartile by the exact k-th `(score, doc_id)`
+    * cutoff ([[graft.operators.TextAnalysis.perplexityFilter]] —
+    * histogram-pruned distributed selection, no global sort). The
+    * oracle replays training, left-join scoring, and a rank-window
+    * cutoff.
+    */
+  private def q139(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d).select("doc_id", "source", "text")
+    val ref = dd.filter(col("source")
+      .isin("src0", "src1", "src2", "src3", "src4")).select("text")
+    val scored = TextAnalysis.bigramLogProbUnder(
+      ref, dd, "doc_id", "text", alpha = 0.4)
+    TextAnalysis.perplexityFilter(scored, "doc_id", "avg_logprob",
+        dropFrac = 0.25)
+      .select(col("doc_id"), col("n_bigrams"), col("avg_logprob"),
+        col("keep"))
+      .orderBy("doc_id")
+  }
+
   /** End-to-end corpus-construction pipeline — the composition every
     * training-data run executes as ONE declarative plan: quality gate
     * ([[graft.operators.TextAnalysis.qualityFeatures]]) → exact dedup
@@ -2610,6 +2635,7 @@ object SparkEntry {
     "q136_video_shingle_neardups" -> (q136(_, _)),
     "q137_bpe_truncate" -> (q137(_, _)),
     "q138_bpe_bytelevel_roundtrip" -> (q138(_, _)),
+    "q139_perplexity_filter" -> (q139(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -531,4 +531,114 @@ object TextAnalysis {
         round(sum(lp.cast(org.apache.spark.sql.types.DecimalType(18, 12)))
           .cast("double") / count(lit(1)).cast("double"), 6).as("avg_logprob"))
   }
+
+  /** [[bigramLogProb]] with the TRAIN and SCORE corpora decoupled — the
+    * reference-model shape of the CCNet/LLaMA perplexity filter
+    * (Wenzek et al. 2020): statistics come from a REFERENCE corpus
+    * (`train`, e.g. a curated high-quality slice), and every document
+    * of `df` is scored under them. Bigrams the reference never saw
+    * score the pure smoothing mass — `ln(α / (c(w1·) + α·V))`, i.e.
+    * `ln(1/V)` for an unseen context — via LEFT joins + coalesce, so
+    * out-of-reference text gets a low (but finite) score instead of
+    * silently vanishing from the mean. On `train == df` this equals
+    * [[bigramLogProb]] exactly (every own bigram has count ≥ 1, the
+    * left joins never miss). Same decimal summation rule; same
+    * `< 2 tokens → dropped` domain.
+    */
+  def bigramLogProbUnder(train: DataFrame, df: DataFrame,
+      idCol: String, textCol: String, alpha: Double = 0.4): DataFrame = {
+    require(alpha > 0, s"alpha=$alpha must be positive")
+    val ts = tokens(col(textCol))
+    def bigramsOf(src: DataFrame, keep: Seq[String]): DataFrame =
+      src.select(keep.map(col) :+ ts.as("__ts"): _*)
+        .filter(size(col("__ts")) >= 2)
+        .select(keep.map(col) :+ explode(transform(
+          sequence(lit(0), size(col("__ts")) - 2),
+          i => struct(
+            element_at(col("__ts"), i + 1).as("w1"),
+            element_at(col("__ts"), i + 2).as("w2")))).as("__bg"): _*)
+        .select(keep.map(col) :+ col("__bg.w1").as("w1") :+
+          col("__bg.w2").as("w2"): _*)
+    val ref = CacheRegistry.track(bigramsOf(train, Nil).persist())
+    val cu = ref.groupBy("w1").agg(count(lit(1)).as("__cu"))
+    val cb = ref.groupBy("w1", "w2").agg(count(lit(1)).as("__cb"))
+    val vocab = train.select(explode(ts).as("__w"))
+      .agg(count_distinct(col("__w")).as("__v"))
+    val lp = log((coalesce(col("__cb"), lit(0L)) + lit(alpha)) /
+      (coalesce(col("__cu"), lit(0L)) + lit(alpha) * col("__v")))
+    bigramsOf(df, Seq(idCol))
+      .join(cb, Seq("w1", "w2"), "left")
+      .join(cu, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(lp.cast(org.apache.spark.sql.types.DecimalType(18, 12)))
+          .cast("double") / count(lit(1)).cast("double"), 6).as("avg_logprob"))
+  }
+
+  /** The perplexity-filter GATE: drop the `dropFrac` lowest-scoring
+    * documents (lowest mean log-prob = highest perplexity — the CCNet
+    * "tail" bucket), keeping the rest. The cutoff is the EXACT
+    * `k = ⌊dropFrac·n⌋`-th smallest `(score, id)` pair — ties break on
+    * id, so the kept set is a deterministic function of the input and
+    * the DuckDB oracle replays it with a rank window. Emits the scored
+    * relation plus a `keep` boolean (the gate is a column, not a
+    * filter, so the drop decision stays auditable — callers filter).
+    *
+    * Scale shape (exact selection WITHOUT a global sort or a
+    * single-partition window): one pass for `n`/min/max, one
+    * micro-bucket histogram (4096 buckets over the 6-decimal score
+    * grid, collected — 4096 rows) to locate the bucket holding the
+    * k-th value, then a `TakeOrderedAndProject` of rank-within-bucket
+    * ≤ bucket population ≈ n/4096 rows — the classic two-round
+    * distributed selection. Degenerate mass (most scores identical)
+    * collapses buckets and the in-bucket top-k grows toward k; the
+    * selection stays exact, just less pruned. The cutoff joins back
+    * as a broadcast 1-row relation — no per-row driver traffic.
+    */
+  def perplexityFilter(scored: DataFrame, idCol: String,
+      scoreCol: String, dropFrac: Double): DataFrame = {
+    require(dropFrac >= 0 && dropFrac < 1,
+      s"dropFrac=$dropFrac must be in [0, 1)")
+    val s = CacheRegistry.track(scored.persist())
+    val n = s.count()
+    val k = math.floor(dropFrac * n).toLong
+    if (k == 0L) return s.withColumn("keep", lit(true))
+    // micro-integer score grid (scores are round(·, 6) by contract —
+    // exact longs, no float bucket-boundary ambiguity)
+    val sm = s.select(round(col(scoreCol) * 1e6, 0).cast("long").as("__sm"),
+      col(idCol).cast("long").as("__id"),
+      col(scoreCol).as("__sc"))
+    val Array(lo, hi) = sm.agg(min(col("__sm")), max(col("__sm")))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+    val width = math.max(1L, (hi - lo) / 4096L + 1L)
+    // Column `/` is DOUBLE division — the bucket key must be the exact
+    // integer quotient (SQL DIV), not a float round-trip
+    def bucketOf(c: Column): Column =
+      expr(s"CAST((__sm - ${lo}L) DIV ${width}L AS BIGINT)")
+    val hist = sm.groupBy(bucketOf(col("__sm")).as("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    var below = 0L
+    var bucket = -1L
+    var kInBucket = k
+    for ((b, c) <- hist if bucket < 0) {
+      if (below + c >= k) { bucket = b; kInBucket = k - below }
+      else below += c
+    }
+    require(kInBucket <= Int.MaxValue,
+      s"perplexityFilter: $kInBucket ranks inside one score bucket " +
+        "(degenerate tie mass) exceeds the top-k limit; coarsen " +
+        "dropFrac or pre-jitter the score grid")
+    val cut = sm.filter(bucketOf(col("__sm")) === bucket)
+      .orderBy(col("__sm"), col("__id"))
+      .limit(kInBucket.toInt)
+      .agg(max(struct(col("__sc"), col("__id"))).as("__cut"))
+    s.crossJoin(broadcast(cut))
+      .withColumn("keep",
+        col(scoreCol) > col("__cut.__sc") ||
+          (col(scoreCol) === col("__cut.__sc") &&
+            col(idCol).cast("long") > col("__cut.__id")))
+      .drop("__cut")
+  }
 }

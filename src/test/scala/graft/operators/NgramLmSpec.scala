@@ -85,4 +85,60 @@ class NgramLmSpec extends SparkSpec {
     assert(scores(99L) < commonAvg - 1.0,
       s"outlier ${scores(99L)} should score well below common $commonAvg")
   }
+
+  test("bigramLogProbUnder: train==score equals bigramLogProb exactly; " +
+      "unseen n-grams take the LEFT-JOIN smoothing mass instead of " +
+      "vanishing from the mean") {
+    val session = spark
+    import session.implicits._
+    val df = Seq(
+      (1L, "a b a b"),
+      (2L, "a b c"),
+      (3L, "a c b a")).toDF("doc_id", "text")
+    val self = TextAnalysis.bigramLogProbUnder(df.select("text"), df,
+        "doc_id", "text", alpha = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val base = TextAnalysis.bigramLogProb(df, "doc_id", "text", alpha = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(self == base, s"$self vs $base")
+    // score a doc the reference never saw: both the unseen-context
+    // case (cu miss -> ln(α/(αV)) = ln(1/V)) and the seen-context /
+    // unseen-bigram case (cb miss only) must appear in the mean
+    val eval = Seq((9L, "z z a z")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLogProbUnder(df.select("text"), eval,
+        "doc_id", "text", alpha = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // train: cu(a)=3,cu(b)=2,cu(c)=1? bigrams: (a,b)x3,(b,a)x2,(b,c)x1,
+    // (a,c)x1,(c,b)x1 -> cu: a=4, b=3, c=1; V=3 (a,b,c)
+    def lp(cb: Long, cu: Long): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(
+        math.log((cb + 0.5) / (cu + 0.5 * 3)))
+        .setScale(12, java.math.RoundingMode.HALF_UP)
+    val lps = Seq(lp(0, 0), lp(0, 0), lp(0, 4)) // (z,z),(z,a),(a,z)
+    val want = java.math.BigDecimal.valueOf(
+      lps.foldLeft(java.math.BigDecimal.ZERO)(_.add(_)).doubleValue() / 3)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    assert(got(9L) == ((3L, want)), s"got ${got(9L)}, want (3, $want)")
+  }
+
+  test("perplexityFilter drops the EXACT floor(dropFrac*n) lowest " +
+      "(score, id) pairs — tie-break on id, k=0 keeps all, and the " +
+      "histogram-pruned selection agrees with a driver-side sort") {
+    val session = spark
+    import session.implicits._
+    // engineered ties: scores repeat across ids
+    val rows = (1L to 37L).map(i => (i, (i % 7).toDouble / 10.0))
+    val scored = rows.toDF("doc_id", "avg_logprob")
+    for (frac <- Seq(0.0, 0.25, 0.5, 0.9)) {
+      val got = TextAnalysis.perplexityFilter(scored, "doc_id",
+          "avg_logprob", frac)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      val k = math.floor(frac * 37).toInt
+      val dropped = rows.sortBy { case (id, s) => (s, id) }.take(k)
+        .map(_._1).toSet
+      val want = rows.map { case (id, _) => id -> !dropped(id) }.toMap
+      assert(got == want, s"frac=$frac: diverges from reference sort")
+      CacheRegistry.drain()
+    }
+  }
 }
