@@ -1175,6 +1175,25 @@ object OracleSql {
         |      < th
         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
 
+    // q140: temperature mixing at alpha=0.5 — the canceled threshold
+    // floor(256*sqrt(min_c/c)) is sqrt of an identical double
+    // quotient, correctly rounded in both engines (the operator's
+    // documented gate point; generic pow would not be ulp-identical)
+    "q140_temperature_mix" ->
+      """WITH cnt AS (
+        |  SELECT lang, CAST(count(*) AS DOUBLE) AS c FROM documents
+        |  GROUP BY lang),
+        |m AS (SELECT min(c) AS mc FROM cnt),
+        |thr AS (
+        |  SELECT lang, CAST(floor(256 * sqrt(mc / c)) AS INTEGER) AS th
+        |  FROM cnt, m)
+        |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept,
+        |  min(d.doc_id) AS min_id
+        |FROM documents d JOIN thr USING (lang)
+        |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2)) AS INTEGER)
+        |      < th
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
     "q73_pii_mask" ->
       """WITH withpii AS (
         |  SELECT doc_id,

@@ -2384,6 +2384,21 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Temperature-weighted language rebalancing
+    * ([[graft.operators.Sampling.temperatureMix]], α = 0.5 — the
+    * sqrt-exact gate point): the tail languages keep everything, the
+    * head downsamples by `⌊256·√(min_c/c)⌋` content-hash buckets. The
+    * oracle replays counts, the canceled sqrt threshold, and the md5
+    * bucket rule.
+    */
+  private def q140(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling.temperatureMix(
+        docs(s, d).select("doc_id", "lang"), "doc_id", "lang",
+        alpha = 0.5)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_id"))
+      .orderBy("lang")
+
   /** End-to-end corpus-construction pipeline — the composition every
     * training-data run executes as ONE declarative plan: quality gate
     * ([[graft.operators.TextAnalysis.qualityFeatures]]) → exact dedup
@@ -2636,6 +2651,7 @@ object SparkEntry {
     "q137_bpe_truncate" -> (q137(_, _)),
     "q138_bpe_bytelevel_roundtrip" -> (q138(_, _)),
     "q139_perplexity_filter" -> (q139(_, _)),
+    "q140_temperature_mix" -> (q140(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -82,6 +82,43 @@ object Sampling {
     df.filter(stableBucket256(col(keyCol)) < thr)
   }
 
+  /** TEMPERATURE-weighted source mixing (the multilingual rebalancing
+    * rule of mT5 / XLM-R: sampling weight ∝ count^α, α ∈ (0, 1] — α=1
+    * keeps natural proportions, smaller α upsamples the tail relative
+    * to the head): like [[mixToTarget]] but the targets derive from
+    * the corpus itself, so no explicit proportion table is needed.
+    * Implemented in the algebraically CANCELED form — the per-source
+    * keep threshold reduces to `⌊256·(min_c/c_s)^(1−α)⌋` (the
+    * smallest source keeps everything, larger sources downsample by
+    * their count ratio to the α−1 power) — because the canceled form
+    * is what an independent engine can replay bit-exactly: at the
+    * α = 0.5 catalog gate the power is `sqrt` of an identical double
+    * quotient, correctly rounded per IEEE 754 in BOTH engines. Other
+    * α values go through `pow`, whose last-ulp rounding is NOT
+    * specified identically across libm implementations — a threshold
+    * can flip by one bucket in ~2⁻⁵² of configurations; fine for
+    * production mixing, excluded from the exactness gate by design.
+    * Same per-row content-hash filter as [[mixToTarget]]: no shuffle,
+    * reproducible across runs, engines, and partitionings.
+    */
+  def temperatureMix(
+      df: DataFrame, keyCol: String, sourceCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha=$alpha must be in (0, 1]")
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (counts.isEmpty) return df.limit(0)
+    val minC = counts.values.min.toDouble
+    val e = 1.0 - alpha
+    def powE(x: Double): Double =
+      if (e == 0.5) math.sqrt(x) else math.pow(x, e)
+    val thr = counts.foldLeft(lit(0)) { case (acc, (s, c)) =>
+      when(col(sourceCol) === s,
+        lit(math.floor(256.0 * powE(minC / c)).toInt)).otherwise(acc)
+    }
+    df.filter(stableBucket256(col(keyCol)) < thr)
+  }
+
   /** Stratified deterministic sampling: a different keep-rate per stratum
     * value (16ths), e.g. downsample a dominant language while keeping the
     * long tail whole — the corpus-rebalancing step of a training-data

@@ -152,4 +152,38 @@ class SamplingSpec extends SparkSpec {
     raises(Seq((1L, 2.5), (2L, 3.0)).toDF("id", "wt"))
     CacheRegistry.drain()
   }
+
+  test("temperatureMix: alpha=1 keeps everything (natural proportions), " +
+      "alpha=0.5 matches a driver-side replay of the canceled sqrt " +
+      "threshold, and the smallest source always keeps all rows") {
+    import spark.implicits._
+    // skewed sources: head 600, mid 120, tail 30
+    val rows = (1L to 600L).map(i => (i, "head")) ++
+      (601L to 720L).map(i => (i, "mid")) ++
+      (721L to 750L).map(i => (i, "tail"))
+    val df = rows.toDF("doc_id", "src")
+    assert(Sampling.temperatureMix(df, "doc_id", "src", alpha = 1.0)
+      .count() == 750L, "alpha=1 must keep natural proportions (all rows)")
+    val kept = Sampling.temperatureMix(df, "doc_id", "src", alpha = 0.5)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // driver replay: th_s = floor(256*sqrt(minC/c)); bucket = first two
+    // md5 hex digits of the key string
+    val counts = rows.groupBy(_._2).map { case (s, g) => s -> g.size }
+    val minC = counts.values.min.toDouble
+    def bucket(id: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      ((md(0) & 0xff))
+    }
+    val want = rows.filter { case (id, s) =>
+      bucket(id) < math.floor(256.0 * math.sqrt(minC / counts(s))).toInt
+    }.toSet
+    assert(kept == want, s"${kept.size} vs ${want.size}")
+    // the smallest source's threshold is exactly 256: nothing dropped
+    assert(kept.count(_._2 == "tail") == 30)
+    // and the head genuinely downsampled toward sqrt proportions
+    val headKept = kept.count(_._2 == "head")
+    assert(headKept < 600 && headKept > 0, s"head kept $headKept")
+    CacheRegistry.drain()
+  }
 }
