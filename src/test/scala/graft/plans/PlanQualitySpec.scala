@@ -291,6 +291,47 @@ class PlanQualitySpec extends SparkSpec {
     graft.operators.CacheRegistry.drain()
   }
 
+  test("perplexityFilter's exact-quantile cutoff plans WITHOUT a global " +
+      "sort or a single-partition window: the in-bucket selection is a " +
+      "TakeOrderedAndProject and the gate joins the 1-row cutoff back " +
+      "as a broadcast") {
+    val session = spark
+    import session.implicits._
+    val scored = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        round((col("doc_id") % 97).cast("double") / 10.0, 6)
+          .as("avg_logprob"))
+    val gated = graft.operators.TextAnalysis.perplexityFilter(
+      scored, "doc_id", "avg_logprob", dropFrac = 0.25)
+    val p = executed(gated).toString
+    assert(!p.contains("Window"),
+      "the cutoff must not use a (single-partition) rank window")
+    assert(!p.contains("Exchange rangepartitioning"),
+      "the cutoff must not globally sort the scored relation")
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      "the 1-row cutoff must broadcast back, not shuffle:\n" + p.take(1500))
+    // behavior smoke on the real relation: exactly floor(n/4) dropped
+    val n = scored.count()
+    assert(gated.filter(!col("keep")).count() == n / 4, "drop count")
+    graft.operators.CacheRegistry.drain()
+  }
+
+  test("temperatureMix is a pure per-row filter: the gate itself adds " +
+      "no shuffle and the bucket predicate reaches the scan stage") {
+    val session = spark
+    import session.implicits._
+    val mixed = graft.operators.Sampling.temperatureMix(
+      spark.read.parquet(s"$sf/documents.parquet")
+        .select("doc_id", "lang"),
+      "doc_id", "lang", alpha = 0.5)
+    val p = executed(mixed).toString
+    assert(!p.contains("Exchange"),
+      "the mix gate must not shuffle:\n" + p.take(1500))
+    assert(!p.contains("Join"), "the thresholds must inline, not join")
+    graft.operators.CacheRegistry.drain()
+  }
+
   test("corpusCard is ONE hash aggregation with partial (map-side) " +
       "combine — the dup count rides count_distinct inside it, no " +
       "second shuffle") {
