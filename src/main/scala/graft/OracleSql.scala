@@ -1194,6 +1194,32 @@ object OracleSql {
         |      < th
         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
 
+    // q141: URL synthesis replayed, then host extraction (scheme/port
+    // strip + lowercase) and the last-two-label registrable-domain
+    // rule, each with DuckDB's own regex calls
+    "q141_domain_stats" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTP://' END)
+        |    || (CASE WHEN doc_id % 3 = 0 THEN 'www.'
+        |             WHEN doc_id % 3 = 1 THEN 'cdn.img.' ELSE '' END)
+        |    || 'Example' || CAST(doc_id % 7 AS VARCHAR)
+        |    || '.com/p/' || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)) AS host
+        |  FROM u),
+        |r AS (
+        |  SELECT doc_id, host,
+        |    regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain
+        |  FROM h)
+        |SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+        |  min(doc_id) AS min_id
+        |FROM r GROUP BY domain ORDER BY domain""".stripMargin,
+
     "q73_pii_mask" ->
       """WITH withpii AS (
         |  SELECT doc_id,

@@ -2399,6 +2399,36 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_id"))
       .orderBy("lang")
 
+  /** RefinedWeb-style URL accounting
+    * ([[graft.operators.TextAnalysis.urlHost]] /
+    * [[graft.operators.TextAnalysis.registrableDomain]]): URLs are
+    * synthesized deterministically from doc_id (the corpus carries no
+    * URL column — q73's planted-PII pattern), spread over seven base
+    * domains × three subdomain shapes and a mixed-case scheme/host,
+    * then grouped by registrable domain: doc and distinct-host counts
+    * plus the smallest id. The oracle replays synthesis, host
+    * extraction, and the last-two-label rule with its own regexes.
+    */
+  private def q141(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d).select("doc_id")
+    val url = concat(
+      when(col("doc_id") % 2 === 0, lit("https://")).otherwise(lit("HTTP://")),
+      when(col("doc_id") % 3 === 0, lit("www."))
+        .when(col("doc_id") % 3 === 1, lit("cdn.img.")).otherwise(lit("")),
+      lit("Example"), (col("doc_id") % 7).cast("string"),
+      lit(".com/p/"), col("doc_id").cast("string"))
+    dd.select(col("doc_id"), url.as("url"))
+      .select(col("doc_id"),
+        graft.operators.TextAnalysis.urlHost(col("url")).as("host"),
+        graft.operators.TextAnalysis.registrableDomain(col("url"))
+          .as("domain"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("host")).as("n_hosts"),
+        min(col("doc_id")).as("min_id"))
+      .orderBy("domain")
+  }
+
   /** End-to-end corpus-construction pipeline — the composition every
     * training-data run executes as ONE declarative plan: quality gate
     * ([[graft.operators.TextAnalysis.qualityFeatures]]) → exact dedup
@@ -2652,6 +2682,7 @@ object SparkEntry {
     "q138_bpe_bytelevel_roundtrip" -> (q138(_, _)),
     "q139_perplexity_filter" -> (q139(_, _)),
     "q140_temperature_mix" -> (q140(_, _)),
+    "q141_domain_stats" -> (q141(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

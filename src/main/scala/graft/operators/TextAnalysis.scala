@@ -33,6 +33,26 @@ object TextAnalysis {
   val UrlRe = "https?://[^\\s]+"
   val LongDigitsRe = "[0-9]{9,}"
 
+  /** The HOST of a URL, lowercased (scheme and port stripped) — the
+    * unit RefinedWeb-style URL filtering groups and blocklists on.
+    * RE2 ∩ java-regex subset like every scrub pattern here, so the
+    * DuckDB oracle replays it identically; a string with no
+    * `scheme://` prefix yields the empty string (filter upstream).
+    */
+  def urlHost(url: Column): Column =
+    lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)", 1))
+
+  /** Approximate REGISTRABLE domain: the last two dot-labels of
+    * [[urlHost]] (`cdn.img.example.com → example.com`). HONEST LIMIT:
+    * without the public-suffix list (offline by design), multi-label
+    * suffixes group one level too high (`foo.co.uk → co.uk`) — per-
+    * suffix pooling rather than over-splitting, the conservative
+    * failure for quota/blocklist use. Swap in a PSL-backed extractor
+    * where the list is available; the relational shape is unchanged.
+    */
+  def registrableDomain(url: Column): Column =
+    regexp_extract(urlHost(url), "([^.]+\\.[^.]+)$", 1)
+
   /** Mask emails → <EMAIL>, URLs → <URL>, long digit runs → <NUM> (the
     * standard pre-training scrub). Order matters and is part of the
     * contract: emails first (an address inside a URL masks as email),
