@@ -565,28 +565,33 @@ object TextAnalysis {
     * left joins never miss). Same decimal summation rule; same
     * `< 2 tokens → dropped` domain.
     */
-  def bigramLogProbUnder(train: DataFrame, df: DataFrame,
-      idCol: String, textCol: String, alpha: Double = 0.4): DataFrame = {
-    require(alpha > 0, s"alpha=$alpha must be positive")
+  /** The per-doc adjacent-bigram long form `(keep..., w1, w2)`. */
+  private def bigramsOf(src: DataFrame, textCol: String,
+      keep: Seq[String]): DataFrame = {
     val ts = tokens(col(textCol))
-    def bigramsOf(src: DataFrame, keep: Seq[String]): DataFrame =
-      src.select(keep.map(col) :+ ts.as("__ts"): _*)
-        .filter(size(col("__ts")) >= 2)
-        .select(keep.map(col) :+ explode(transform(
-          sequence(lit(0), size(col("__ts")) - 2),
-          i => struct(
-            element_at(col("__ts"), i + 1).as("w1"),
-            element_at(col("__ts"), i + 2).as("w2")))).as("__bg"): _*)
-        .select(keep.map(col) :+ col("__bg.w1").as("w1") :+
-          col("__bg.w2").as("w2"): _*)
-    val ref = CacheRegistry.track(bigramsOf(train, Nil).persist())
-    val cu = ref.groupBy("w1").agg(count(lit(1)).as("__cu"))
-    val cb = ref.groupBy("w1", "w2").agg(count(lit(1)).as("__cb"))
-    val vocab = train.select(explode(ts).as("__w"))
-      .agg(count_distinct(col("__w")).as("__v"))
+    src.select(keep.map(col) :+ ts.as("__ts"): _*)
+      .filter(size(col("__ts")) >= 2)
+      .select(keep.map(col) :+ explode(transform(
+        sequence(lit(0), size(col("__ts")) - 2),
+        i => struct(
+          element_at(col("__ts"), i + 1).as("w1"),
+          element_at(col("__ts"), i + 2).as("w2")))).as("__bg"): _*)
+      .select(keep.map(col) :+ col("__bg.w1").as("w1") :+
+        col("__bg.w2").as("w2"): _*)
+  }
+
+  /** The shared left-join scoring tail over REFERENCE statistics
+    * (`cu: (w1, __cu)`, `cb: (w1, w2, __cb)`, `vocab: 1 row (__v)`) —
+    * the live ([[bigramLogProbUnder]]) and persisted
+    * ([[scoreUnderBigramRef]]) paths differ only in where the stats
+    * relations come from.
+    */
+  private def scoreUnder(cu: DataFrame, cb: DataFrame, vocab: DataFrame,
+      df: DataFrame, idCol: String, textCol: String,
+      alpha: Double): DataFrame = {
     val lp = log((coalesce(col("__cb"), lit(0L)) + lit(alpha)) /
       (coalesce(col("__cu"), lit(0L)) + lit(alpha) * col("__v")))
-    bigramsOf(df, Seq(idCol))
+    bigramsOf(df, textCol, Seq(idCol))
       .join(cb, Seq("w1", "w2"), "left")
       .join(cu, Seq("w1"), "left")
       .crossJoin(broadcast(vocab))
@@ -594,6 +599,56 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"),
         round(sum(lp.cast(org.apache.spark.sql.types.DecimalType(18, 12)))
           .cast("double") / count(lit(1)).cast("double"), 6).as("avg_logprob"))
+  }
+
+  def bigramLogProbUnder(train: DataFrame, df: DataFrame,
+      idCol: String, textCol: String, alpha: Double = 0.4): DataFrame = {
+    require(alpha > 0, s"alpha=$alpha must be positive")
+    val ref = CacheRegistry.track(
+      bigramsOf(train, textCol, Nil).persist())
+    val cu = ref.groupBy("w1").agg(count(lit(1)).as("__cu"))
+    val cb = ref.groupBy("w1", "w2").agg(count(lit(1)).as("__cb"))
+    val vocab = train.select(explode(tokens(col(textCol))).as("__w"))
+      .agg(count_distinct(col("__w")).as("__v"))
+    scoreUnder(cu, cb, vocab, df, idCol, textCol, alpha)
+  }
+
+  /** Persist a reference bigram model — the train-ONCE half of the
+    * production CCNet lifecycle (the [[graft.operators.Bpe.saveModel]]
+    * convention): context counts, bigram counts, and the vocabulary
+    * size as three parquet relations under `dir`. A later job — or
+    * every drain of a streaming ingest — scores against the SAVED
+    * statistics via [[scoreUnderBigramRef]] without touching the
+    * reference corpus again; per-batch cost then follows batch size,
+    * not reference size.
+    */
+  def saveBigramRef(train: DataFrame, textCol: String,
+      dir: String): Unit = {
+    val ref = CacheRegistry.track(
+      bigramsOf(train, textCol, Nil).persist())
+    ref.groupBy("w1").agg(count(lit(1)).as("__cu"))
+      .write.mode("overwrite").parquet(s"$dir/cu")
+    ref.groupBy("w1", "w2").agg(count(lit(1)).as("__cb"))
+      .write.mode("overwrite").parquet(s"$dir/cb")
+    train.select(explode(tokens(col(textCol))).as("__w"))
+      .agg(count_distinct(col("__w")).as("__v"))
+      .write.mode("overwrite").parquet(s"$dir/vocab")
+  }
+
+  /** Score under a [[saveBigramRef]] directory — byte-identical to
+    * [[bigramLogProbUnder]] on the same reference (spec-pinned): the
+    * counts are exact longs, so the persisted round trip changes
+    * nothing.
+    */
+  def scoreUnderBigramRef(spark: org.apache.spark.sql.SparkSession,
+      dir: String, df: DataFrame, idCol: String, textCol: String,
+      alpha: Double = 0.4): DataFrame = {
+    require(alpha > 0, s"alpha=$alpha must be positive")
+    scoreUnder(
+      spark.read.parquet(s"$dir/cu"),
+      spark.read.parquet(s"$dir/cb"),
+      spark.read.parquet(s"$dir/vocab"),
+      df, idCol, textCol, alpha)
   }
 
   /** The perplexity-filter GATE: drop the `dropFrac` lowest-scoring

@@ -121,6 +121,29 @@ class NgramLmSpec extends SparkSpec {
     assert(got(9L) == ((3L, want)), s"got ${got(9L)}, want (3, $want)")
   }
 
+  test("saveBigramRef -> scoreUnderBigramRef is byte-identical to the " +
+      "live bigramLogProbUnder on the same reference (the train-once " +
+      "production lifecycle)") {
+    val session = spark
+    import session.implicits._
+    val train = Seq("a b a b", "a b c", "a c b a").toDF("text")
+    val eval = Seq((1L, "a b z"), (2L, "c b a b"), (3L, "z z"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bigram-ref")
+      .toString
+    TextAnalysis.saveBigramRef(train, "text", dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+    val live = rows(TextAnalysis.bigramLogProbUnder(train, eval,
+      "doc_id", "text", alpha = 0.4))
+    val saved = rows(TextAnalysis.scoreUnderBigramRef(spark, dir, eval,
+      "doc_id", "text", alpha = 0.4))
+    assert(saved == live, s"$saved vs $live")
+    assert(live.nonEmpty && live.map(_._1).toSet == Set(1L, 2L, 3L))
+    CacheRegistry.drain()
+  }
+
   test("perplexityFilter drops the EXACT floor(dropFrac*n) lowest " +
       "(score, id) pairs — tie-break on id, k=0 keeps all, and the " +
       "histogram-pruned selection agrees with a driver-side sort") {
