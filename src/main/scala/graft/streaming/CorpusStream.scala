@@ -169,7 +169,8 @@ object CorpusStream {
       spark: SparkSession, model: graft.operators.Bpe.Model,
       outDir: String, bandIndexDir: String,
       shingleN: Int, k: Int, bands: Int,
-      compactEvery: Int = 0)(
+      compactEvery: Int = 0,
+      bigramRefDir: String = null, minAvgLogprob: Double = 0.0)(
       batch: DataFrame, batchId: Long): Unit = {
     val docs = oneRowPerUrl(batch)
     if (!docs.isEmpty) graft.operators.CacheRegistry.scope {
@@ -229,7 +230,9 @@ object CorpusStream {
       checkpointDir: String, outDir: String,
       glob: String = "*.warc*",
       minWords: Int = 30, minStopKinds: Int = 1,
-      compactEvery: Int = 0): StreamingQuery =
+      compactEvery: Int = 0,
+      bigramRefDir: String = null,
+      minAvgLogprob: Double = 0.0): StreamingQuery =
     graft.sources.WarcReader.readStream(spark, warcDir, glob)
       .filter(col("warc_type") === "response" &&
         col("http_status") === 200 &&
@@ -246,7 +249,7 @@ object CorpusStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         curatedBatch(spark, model, outDir, minWords, minStopKinds,
-          compactEvery)(batch, batchId)
+          compactEvery, bigramRefDir, minAvgLogprob)(batch, batchId)
       }
       .start()
 
@@ -256,33 +259,59 @@ object CorpusStream {
   private[streaming] def curatedBatch(
       spark: SparkSession, model: graft.operators.Bpe.Model,
       outDir: String, minWords: Int, minStopKinds: Int,
-      compactEvery: Int = 0)(
+      compactEvery: Int = 0,
+      bigramRefDir: String = null, minAvgLogprob: Double = 0.0)(
       batch: DataFrame, batchId: Long): Unit = {
     val docs = oneRowPerUrl(batch)
     if (!docs.isEmpty) graft.operators.CacheRegistry.scope {
-      curateAndWrite(model, outDir, minWords, minStopKinds)(docs, batchId)
+      curateAndWrite(model, outDir, minWords, minStopKinds,
+        bigramRefDir, minAvgLogprob)(docs, batchId)
       maybeCompact(spark, Seq(outDir), compactEvery, batchId)
     }
   }
 
   /** The curated quality chain of one drain's NOVEL documents —
-    * C4 page gate → Gopher battery over the CLEANED text → tokenize —
-    * writing the survivors into the batchId-keyed exactly-once layout.
-    * Shared tail of [[curatedBatch]] and [[curatedFuzzyBatch]].
+    * C4 page gate → Gopher battery → (optional) perplexity gate over
+    * the CLEANED text → tokenize — writing the survivors into the
+    * batchId-keyed exactly-once layout. Shared tail of
+    * [[curatedBatch]] and [[curatedFuzzyBatch]].
+    *
+    * The perplexity gate is the STREAMING half of the CCNet lifecycle
+    * ([[graft.operators.TextAnalysis.saveBigramRef]] trains the
+    * reference ONCE offline; the threshold comes from an offline
+    * [[graft.operators.TextAnalysis.perplexityFilter]] pass over a
+    * sample — a per-drain quantile would make admission depend on
+    * batch composition and break replay determinism, so the drain
+    * takes the PRECOMPUTED scalar): a doc lands only if its mean
+    * bigram log-prob under the saved statistics reaches
+    * `minAvgLogprob`. Unscorable docs (< 2 tokens after cleaning)
+    * have no defined perplexity and are REJECTED while the gate is
+    * on — the CCNet convention. Per-drain cost follows batch size
+    * (the reference is read, never recomputed). `bigramRefDir = null`
+    * (default) disables the gate; every existing drain is unchanged.
     */
   private def curateAndWrite(
       model: graft.operators.Bpe.Model, outDir: String,
-      minWords: Int, minStopKinds: Int)(
+      minWords: Int, minStopKinds: Int,
+      bigramRefDir: String = null, minAvgLogprob: Double = 0.0)(
       docs: DataFrame, batchId: Long): Unit = {
     val cleaned = graft.operators.TextAnalysis
       .c4LineFilters(docs.select("url", "text"), "text")
       .filter(col("page_keep"))
       .select(col("url"), col("clean_text").as("text"))
-    val kept = graft.operators.TextAnalysis
+    val quality = graft.operators.TextAnalysis
       .gopherQualityRules(cleaned, "text",
         minWords = minWords, minStopKinds = minStopKinds)
       .filter(col("keep"))
       .select("url", "text")
+    val kept =
+      if (bigramRefDir == null) quality
+      else quality.join(
+        graft.operators.TextAnalysis.scoreUnderBigramRef(
+            quality.sparkSession, bigramRefDir, quality, "url", "text")
+          .filter(col("avg_logprob") >= minAvgLogprob)
+          .select("url"),
+        Seq("url"), "left_semi")
     if (!kept.isEmpty)
       kept.join(
           graft.operators.Bpe.applyModel(kept, "url", "text", model),
@@ -310,7 +339,9 @@ object CorpusStream {
       glob: String = "*.warc*",
       minWords: Int = 30, minStopKinds: Int = 1,
       shingleN: Int = 3, k: Int = 64, bands: Int = 16,
-      compactEvery: Int = 0): StreamingQuery =
+      compactEvery: Int = 0,
+      bigramRefDir: String = null,
+      minAvgLogprob: Double = 0.0): StreamingQuery =
     graft.sources.WarcReader.readStream(spark, warcDir, glob)
       .filter(col("warc_type") === "response" &&
         col("http_status") === 200 &&
@@ -327,8 +358,8 @@ object CorpusStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         curatedFuzzyBatch(spark, model, outDir, bandIndexDir,
-          minWords, minStopKinds, shingleN, k, bands, compactEvery)(
-          batch, batchId)
+          minWords, minStopKinds, shingleN, k, bands, compactEvery,
+          bigramRefDir, minAvgLogprob)(batch, batchId)
       }
       .start()
 
@@ -340,7 +371,8 @@ object CorpusStream {
       outDir: String, bandIndexDir: String,
       minWords: Int, minStopKinds: Int,
       shingleN: Int, k: Int, bands: Int,
-      compactEvery: Int = 0)(
+      compactEvery: Int = 0,
+      bigramRefDir: String = null, minAvgLogprob: Double = 0.0)(
       batch: DataFrame, batchId: Long): Unit = {
     val docs = oneRowPerUrl(batch)
     if (!docs.isEmpty) graft.operators.CacheRegistry.scope {
@@ -352,8 +384,8 @@ object CorpusStream {
         .lshBandKeys(novel, "fp", "text", shingleN, k, bands)
         .write.mode("overwrite")
         .parquet(s"$bandIndexDir/batch_id=$batchId")
-      curateAndWrite(model, outDir, minWords, minStopKinds)(
-        novel, batchId)
+      curateAndWrite(model, outDir, minWords, minStopKinds,
+        bigramRefDir, minAvgLogprob)(novel, batchId)
       maybeCompact(spark, Seq(bandIndexDir, outDir), compactEvery, batchId)
     }
   }

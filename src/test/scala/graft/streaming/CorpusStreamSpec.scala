@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.SparkSpec
-import graft.operators.{Bpe, CacheRegistry}
+import graft.operators.{Bpe, CacheRegistry, TextAnalysis}
 import graft.sources.WarcReader
 import org.apache.spark.sql.functions._
 
@@ -265,6 +265,77 @@ class CorpusStreamSpec extends SparkSpec {
     CorpusStream.curatedBatch(spark, model, out.toString, 12, 1)(docs, 0L)
     val again = spark.read.parquet(out.toString).collect()
     assert(again.length == 1, s"replay duplicated rows: ${again.length}")
+    CacheRegistry.drain()
+  }
+
+  test("curated drain with the perplexity gate: a doc scoring below " +
+      "the precomputed threshold under the SAVED bigram reference " +
+      "never lands, the same doc lands with the gate off, and the " +
+      "gated drain's same-batchId replay stays byte-identical") {
+    val session = spark
+    import session.implicits._
+    val model = Bpe.learnMerges(
+      Seq("abab abab bc cc ab", "bc bc abab cc a b c").toDF("text"),
+      "text", numMerges = 4)
+    // both docs pass C4/Gopher (3 proper sentences, >= 12 words,
+    // stopwords); they differ only in how reference-like they read
+    val goodText = Seq(
+      "the quick brown fox jumps over the lazy dog today.",
+      "Here is the second proper sentence now.",
+      "And here is the third proper sentence.").mkString("\n")
+    val junkText = Seq(
+      "the zqpw xvktra qplduv wkrmes jxvnot vztyle bnmdia today.",
+      "Here is the wvqzor kxjpan mnrtle sentence now.",
+      "And here is the pxvkel qjwmus sentence.").mkString("\n")
+    // reference trained ONCE, offline, on good-like text
+    val refDir = java.nio.file.Files.createTempDirectory("ppl-ref")
+      .toString
+    TextAnalysis.saveBigramRef(
+      Seq(goodText, "the quick brown fox naps under the old dog.",
+        "Here is another proper sentence now.").toDF("text"),
+      "text", refDir)
+    // the threshold comes from an OFFLINE pass (here: midpoint of the
+    // two cleaned-text scores — the spec's stand-in for the
+    // perplexityFilter percentile run)
+    def cleanOf(t: String): String = TextAnalysis
+      .c4LineFilters(Seq(("u", t)).toDF("url", "text"), "text")
+      .filter(col("page_keep")).select("clean_text")
+      .collect().head.getString(0)
+    val scores = TextAnalysis.scoreUnderBigramRef(spark, refDir,
+        Seq((1L, cleanOf(goodText)), (2L, cleanOf(junkText)))
+          .toDF("id", "text"), "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores(1L) > scores(2L),
+      s"fixture broke: good ${scores(1L)} <= junk ${scores(2L)}")
+    val mid = (scores(1L) + scores(2L)) / 2
+    def docsDf() = Seq(
+      ("https://x.example/p/1", goodText),
+      ("https://x.example/p/2", junkText)).toDF("url", "text")
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+    def urls(dir: java.nio.file.Path): Set[String] =
+      spark.read.parquet(dir.toString).select("url").collect()
+        .map(_.getString(0)).toSet
+    // gate OFF: both land (the junk passes every other battery)
+    val plain = java.nio.file.Files.createTempDirectory("ppl-plain")
+    CorpusStream.curatedBatch(spark, model, plain.toString, 12, 1)(
+      docsDf(), 0L)
+    assert(urls(plain) == Set("https://x.example/p/1",
+      "https://x.example/p/2"), s"${urls(plain)}")
+    // gate ON: only the reference-like doc lands
+    val gated = java.nio.file.Files.createTempDirectory("ppl-gated")
+    def gatedDrain(): Unit =
+      CorpusStream.curatedBatch(spark, model, gated.toString, 12, 1,
+        compactEvery = 0, bigramRefDir = refDir, minAvgLogprob = mid)(
+        docsDf(), 0L)
+    gatedDrain()
+    assert(urls(gated) == Set("https://x.example/p/1"), s"${urls(gated)}")
+    val snap = spark.read.parquet(gated.toString).collect()
+      .map(_.toString).sorted.toSeq
+    // at-least-once replay with the gate: byte-identical
+    gatedDrain()
+    val again = spark.read.parquet(gated.toString).collect()
+      .map(_.toString).sorted.toSeq
+    assert(again == snap, "gated replay must rewrite, not change")
     CacheRegistry.drain()
   }
 
