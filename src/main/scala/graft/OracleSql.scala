@@ -1220,6 +1220,36 @@ object OracleSql {
         |  min(doc_id) AS min_id
         |FROM r GROUP BY domain ORDER BY domain""".stripMargin,
 
+    // q142: FIM replayed — synthetic sequence input, one md5 per doc,
+    // hex-slice selection + two modulo cut draws, list slicing in PSM
+    // order (DuckDB range() is end-exclusive where Spark sequence() is
+    // inclusive → +2; list[a:b] is 1-based end-inclusive = Spark slice)
+    "q142_fim_transform" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    range(doc_id % 50, doc_id % 50 + doc_id % 37 + 2) AS ids,
+        |    md5('0:' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, ids,
+        |    CAST(('0x' || substr(h, 1, 2)) AS INTEGER) < 128 AS fim,
+        |    CAST(('0x' || substr(h, 3, 12)) AS BIGINT)
+        |      % (len(ids) + 1) AS i0,
+        |    len(ids) AS n,
+        |    CAST(('0x' || substr(h, 15, 12)) AS BIGINT) AS d2
+        |  FROM t),
+        |cc AS (
+        |  SELECT doc_id, ids, fim, n, i0 AS i,
+        |    i0 + d2 % (n - i0 + 1) AS j
+        |  FROM c)
+        |SELECT doc_id, fim,
+        |  array_to_string(CASE WHEN fim THEN
+        |    [CAST(-1 AS BIGINT)] || ids[1:i]
+        |    || [CAST(-2 AS BIGINT)] || ids[j+1:n]
+        |    || [CAST(-3 AS BIGINT)] || ids[i+1:j]
+        |  ELSE ids END, ',') AS ids
+        |FROM cc ORDER BY doc_id""".stripMargin,
+
     "q73_pii_mask" ->
       """WITH withpii AS (
         |  SELECT doc_id,

@@ -2429,6 +2429,25 @@ object SparkEntry {
       .orderBy("domain")
   }
 
+  /** FIM rewrite ([[graft.operators.Packing.fimTransform]]) over
+    * deterministic synthetic token sequences (`sequence` ranges keyed
+    * by doc_id — the q141 synthesis convention, so the oracle replays
+    * input AND transform): half the docs rewrite to
+    * `[PRE] prefix [SUF] suffix [MID] middle` with hash-drawn cut
+    * points, the rest pass through. Sentinels −1/−2/−3.
+    */
+  private def q142(s: SparkSession, d: String): DataFrame = {
+    val ids = sequence(col("doc_id") % 50,
+      col("doc_id") % 50 + col("doc_id") % 37 + 1)
+    graft.operators.Packing.fimTransform(
+        docs(s, d).select(col("doc_id"), ids.as("token_ids")),
+        "doc_id", "token_ids", fimRate = 0.5,
+        preId = -1, sufId = -2, midId = -3)
+      .select(col("doc_id"), col("fim"),
+        concat_ws(",", col("token_ids")).as("ids"))
+      .orderBy("doc_id")
+  }
+
   /** End-to-end corpus-construction pipeline — the composition every
     * training-data run executes as ONE declarative plan: quality gate
     * ([[graft.operators.TextAnalysis.qualityFeatures]]) → exact dedup
@@ -2683,6 +2702,7 @@ object SparkEntry {
     "q139_perplexity_filter" -> (q139(_, _)),
     "q140_temperature_mix" -> (q140(_, _)),
     "q141_domain_stats" -> (q141(_, _)),
+    "q142_fim_transform" -> (q142(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -106,4 +106,58 @@ object Packing {
         size(col("__ck")).cast("long").as("n_tokens"),
         concat_ws(" ", col("__ck")).as("chunk_text"))
   }
+
+  /** FIM (fill-in-the-middle) transformation of token-id sequences —
+    * the code-LLM data-prep verb (Bavarian et al. 2022, "Efficient
+    * Training of Language Models to Fill in the Middle"): a
+    * deterministic `fimRate` fraction of documents is rewritten in PSM
+    * order, `[PRE] prefix [SUF] suffix [MID] middle`, so the model
+    * learns infilling from the same corpus mass; the rest pass
+    * through untouched. Document selection AND the two cut points are
+    * pure functions of `md5(seed:id)` — hex slices of one hash,
+    * mapped by modulo onto the selection bucket and the two ordered
+    * cuts `0 ≤ i ≤ j ≤ n` — so the transform is reproducible across
+    * runs, engines, and partitionings, and a DuckDB oracle replays
+    * every rewritten sequence exactly (the [[Sampling.stableBucket]]
+    * determinism convention; modulo bias over a 2⁴⁸ hex slice is
+    * ≤ 2⁻⁴⁰ per document — negligible but DOCUMENTED, not hidden).
+    * Sentinel ids are caller-chosen (use ids outside the model's
+    * vocabulary and reserved page, e.g. negatives — they must never
+    * collide with real tokens or [[graft.operators.Bpe.decodeIds]]
+    * would mis-render).
+    *
+    * Scale shape: one codegen projection per row — an md5, two
+    * modulos, three `slice`s and a `concat` — no shuffle, no UDF;
+    * output length is input length + 3 sentinels for transformed
+    * rows.
+    */
+  def fimTransform(
+      df: DataFrame, idCol: String, idsCol: String,
+      fimRate: Double, preId: Int, sufId: Int, midId: Int,
+      seed: Long = 0L): DataFrame = {
+    require(fimRate >= 0 && fimRate <= 1,
+      s"fimRate=$fimRate must be in [0, 1]")
+    require(Set(preId, sufId, midId).size == 3,
+      "sentinel ids must be distinct")
+    val h = md5(concat(lit(seed.toString), lit(":"),
+      col(idCol).cast("string")))
+    // three independent hex slices of the one hash: selection bucket
+    // (2 hex digits, the stableBucket256 rule) and two 12-digit cut
+    // draws (48 bits each — conv() to BIGINT is exact at this width)
+    val sel = conv(substring(h, 1, 2), 16, 10).cast("int")
+    val n = size(col(idsCol))
+    val d1 = conv(substring(h, 3, 12), 16, 10).cast("long")
+    val d2 = conv(substring(h, 15, 12), 16, 10).cast("long")
+    val i = (d1 % (n + 1)).cast("int")
+    val j = (i + d2 % (n - i + 1)).cast("int")
+    val rewritten = concat(
+      array(lit(preId)), slice(col(idsCol), lit(1), i),
+      array(lit(sufId)), slice(col(idsCol), j + lit(1), n - j),
+      array(lit(midId)), slice(col(idsCol), i + lit(1), j - i))
+    val threshold = math.floor(fimRate * 256).toInt
+    df.withColumn("fim",
+        (sel < threshold).as("fim"))
+      .withColumn(idsCol,
+        when(col("fim"), rewritten).otherwise(col(idsCol)))
+  }
 }

@@ -105,4 +105,43 @@ class PackingSpec extends SparkSpec {
     unpaired.foreach(id => assert(split(id) == plain(id), s"doc $id"))
     CacheRegistry.drain()
   }
+
+  test("fimTransform: PSM rewrites round-trip to the original sequence " +
+      "(prefix+middle+suffix reassemble), untransformed rows pass " +
+      "through untouched, rate 0/1 are no-op/all, and the transform " +
+      "is partitioning-invariant") {
+    import spark.implicits._
+    val docs = (1L to 80L)
+      .map(i => (i, (0 until (i % 13).toInt + 2).map(k => i * 100 + k)))
+      .toDF("doc_id", "token_ids")
+    def run(rate: Double, df: org.apache.spark.sql.DataFrame = docs) =
+      Packing.fimTransform(df, "doc_id", "token_ids", rate,
+          preId = -1, sufId = -2, midId = -3)
+        .collect()
+        .map(r => (r.getLong(0),
+          r.getSeq[Long](1).toVector, r.getBoolean(2)))
+        .sortBy(_._1).toSeq
+    val orig = docs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    val out = run(0.5)
+    assert(out.exists(_._3) && out.exists(!_._3),
+      "rate 0.5 must transform some and spare some")
+    for ((id, ids, fim) <- out) {
+      if (!fim) assert(ids == orig(id), s"doc $id modified without fim")
+      else {
+        // [PRE] p [SUF] s [MID] m  — reassemble p ++ m ++ s == original
+        assert(ids.head == -1L, s"doc $id: missing PRE")
+        val (p, rest) = ids.tail.span(_ != -2L)
+        val (sfx, rest2) = rest.tail.span(_ != -3L)
+        val m = rest2.tail
+        assert(p ++ m ++ sfx == orig(id),
+          s"doc $id: PSM does not round-trip: $ids vs ${orig(id)}")
+      }
+    }
+    assert(run(0.0).forall(!_._3), "rate 0 must be a no-op")
+    assert(run(1.0).forall(_._3), "rate 1 must transform everything")
+    // pure function of (seed, id, ids): repartitioning changes nothing
+    assert(run(0.5, docs.repartition(7)) == out)
+    CacheRegistry.drain()
+  }
 }
