@@ -2266,6 +2266,28 @@ object OracleSql {
     // mis-replayed the vocabulary symbolization hash-mismatches here
     "q137_bpe_truncate" -> bpeEncodeSql(12),
 
+    // q143: the q103 per-doc encode machinery grouped by language —
+    // exact-long sums, one rounded double ratio (the q27 float rule)
+    "q143_tokenizer_fertility" -> ("WITH " + bpeCtes(12) + """,
+        |enc AS (SELECT w,
+        |  CAST(len(string_split(sym, ' ')) AS BIGINT) AS ntok FROM w12),
+        |docw AS (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+        |      x -> x <> '')) AS w FROM documents)
+        |  WHERE regexp_matches(w, '^\p{L}+$') AND length(w) <= 32),
+        |perdoc AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |    CAST(SUM(e.ntok) AS BIGINT) AS n_bpe
+        |  FROM docw d JOIN enc e USING (w)
+        |  GROUP BY doc_id)
+        |SELECT l.lang, CAST(SUM(p.n_words) AS BIGINT) AS n_words,
+        |  CAST(SUM(p.n_bpe) AS BIGINT) AS n_bpe_tokens,
+        |  round(CAST(SUM(p.n_bpe) AS DOUBLE)
+        |    / CAST(SUM(p.n_words) AS DOUBLE), 6) AS fertility
+        |FROM perdoc p JOIN documents l USING (doc_id)
+        |GROUP BY l.lang ORDER BY l.lang""".stripMargin),
+
     // q138: the byte-level round-trip contract decode(encode(x)) ==
     // pretokenized(x) collapses the whole BPE pipeline out of the
     // oracle — this SQL replays ONLY the GPT-2-style regex split

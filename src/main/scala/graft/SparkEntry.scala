@@ -2448,6 +2448,28 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Tokenizer FERTILITY report (tokens-per-word, per language) — the
+    * standard tokenizer-evaluation table a multilingual pipeline
+    * publishes before committing to a vocabulary: high fertility on a
+    * language means its text fragments into many subwords (an
+    * under-served script). One [[graft.operators.Bpe.encodeCounts]]
+    * pass joined to the language column, exact-long sums, one rounded
+    * double ratio (the q27 cross-engine float rule).
+    */
+  private def q143(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val model = graft.operators.Bpe.learnMerges(
+      dd.select("text"), "text", numMerges = 12)
+    graft.operators.Bpe.encodeCounts(dd, "doc_id", "text", model)
+      .join(dd.select("doc_id", "lang"), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(sum(col("n_words")).as("n_words"),
+        sum(col("n_bpe_tokens")).as("n_bpe_tokens"),
+        round(sum(col("n_bpe_tokens")).cast("double") /
+          sum(col("n_words")).cast("double"), 6).as("fertility"))
+      .orderBy("lang")
+  }
+
   /** End-to-end corpus-construction pipeline — the composition every
     * training-data run executes as ONE declarative plan: quality gate
     * ([[graft.operators.TextAnalysis.qualityFeatures]]) → exact dedup
@@ -2703,6 +2725,7 @@ object SparkEntry {
     "q140_temperature_mix" -> (q140(_, _)),
     "q141_domain_stats" -> (q141(_, _)),
     "q142_fim_transform" -> (q142(_, _)),
+    "q143_tokenizer_fertility" -> (q143(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
