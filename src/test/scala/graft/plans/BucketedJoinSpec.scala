@@ -32,7 +32,20 @@ class BucketedJoinSpec extends SparkSpec {
       .join(spark.table("b_majority"), Seq("vote_id"))
       .withColumn("rebel", (col("code") =!= col("majority_dir")).cast("int"))
     joined.collect()
-    val shuffles = joined.queryExecution.executedPlan.collect {
+    // strip AQE wrappers first: today the zero-exchange plan is not
+    // adaptive-wrapped, but the REGRESSION this test guards (a shuffle
+    // appearing) WOULD wrap the plan in leaf-node AdaptiveSparkPlanExec/
+    // QueryStageExec stages — an un-stripped collect would then see
+    // nothing and pass vacuously, exactly when it must fail
+    def strip(p: org.apache.spark.sql.execution.SparkPlan):
+        org.apache.spark.sql.execution.SparkPlan = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        strip(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        strip(q.plan)
+      case other => other.withNewChildren(other.children.map(strip))
+    }
+    val shuffles = strip(joined.queryExecution.executedPlan).collect {
       case s: ShuffleExchangeExec => s
     }
     assert(shuffles.isEmpty, s"expected no shuffle, got ${shuffles.size}")
