@@ -2288,6 +2288,81 @@ object OracleSql {
         |FROM perdoc p JOIN documents l USING (doc_id)
         |GROUP BY l.lang ORDER BY l.lang""".stripMargin),
 
+    // q144: token/bigram streams replayed with list arithmetic; the
+    // blocklists are inlined as list literals (word-boundary semantics:
+    // hits count on whole tokens / adjacent pairs, never substrings)
+    "q144_blocklist_filter" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), w -> w <> '') AS ts
+        |  FROM documents),
+        |big AS (
+        |  SELECT doc_id, ts,
+        |    list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1]) AS bg
+        |  FROM toks),
+        |counted AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(ts,
+        |      w -> list_contains(['slow', 'vector'], w))) AS BIGINT) AS n_term_hits,
+        |    CAST(len(list_intersect(ts, ['slow', 'vector'])) AS BIGINT)
+        |      AS n_distinct_terms,
+        |    CAST(len(list_filter(bg,
+        |      g -> list_contains(['hash join', 'big table'], g))) AS BIGINT)
+        |      AS n_phrase_hits
+        |  FROM big)
+        |SELECT doc_id, n_term_hits, n_distinct_terms, n_phrase_hits,
+        |  (n_term_hits = 0 AND n_phrase_hits = 0) AS keep
+        |FROM counted ORDER BY doc_id""".stripMargin,
+
+    // q145: BM25 replayed relationally — identical IEEE parenthesization
+    // to the Spark side, per-term contributions quantized to
+    // DECIMAL(20,12) before the sum so ranking is fold-order-free
+    "q145_bm25_topk" ->
+      """WITH words AS (
+        |  SELECT doc_id, word AS term
+        |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+        |        FROM documents)
+        |  WHERE word <> ''),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM words GROUP BY doc_id, term),
+        |qt AS (SELECT * FROM (VALUES
+        |  ('q_hash', 'hash'), ('q_hash', 'join'),
+        |  ('q_stream', 'window'), ('q_stream', 'agg'), ('q_stream', 'stream'),
+        |  ('q_scan', 'slow'), ('q_scan', 'scan'), ('q_scan', 'filter'))
+        |  AS t(query_id, term)),
+        |tfq AS (SELECT q.query_id, tf.doc_id, tf.term, tf.tf
+        |        FROM tf JOIN qt q USING (term)),
+        |dfq AS (SELECT query_id, term, CAST(count(*) AS BIGINT) AS df_cnt
+        |        FROM tfq GROUP BY query_id, term),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+        |       FROM words GROUP BY doc_id),
+        |s AS (SELECT
+        |  CAST((SELECT count(DISTINCT doc_id) FROM documents) AS DOUBLE) AS n,
+        |  CAST((SELECT count(*) FROM words) AS DOUBLE)
+        |    / CAST((SELECT count(DISTINCT doc_id) FROM documents) AS DOUBLE)
+        |    AS avgdl),
+        |contrib AS (
+        |  SELECT t.query_id, t.doc_id,
+        |    CAST((ln(1.0 + (s.n - CAST(d.df_cnt AS DOUBLE) + 0.5)
+        |                  / (CAST(d.df_cnt AS DOUBLE) + 0.5))
+        |        * (CAST(t.tf AS DOUBLE) * (1.2 + 1)))
+        |      / (CAST(t.tf AS DOUBLE)
+        |         + 1.2 * ((1.0 - 0.75)
+        |                  + 0.75 * (CAST(l.dl AS DOUBLE) / s.avgdl)))
+        |      AS DECIMAL(20,12)) AS c
+        |  FROM tfq t JOIN dfq d USING (query_id, term)
+        |  JOIN dl l USING (doc_id) CROSS JOIN s),
+        |scored AS (
+        |  SELECT query_id, doc_id, SUM(c) AS sc,
+        |    CAST(count(*) AS BIGINT) AS n_terms
+        |  FROM contrib GROUP BY query_id, doc_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |            ORDER BY sc DESC, doc_id) AS rn FROM scored)
+        |SELECT query_id, rn, doc_id, n_terms,
+        |  round(CAST(sc AS DOUBLE), 6) AS score
+        |FROM ranked WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+
     // q138: the byte-level round-trip contract decode(encode(x)) ==
     // pretokenized(x) collapses the whole BPE pipeline out of the
     // oracle — this SQL replays ONLY the GPT-2-style regex split

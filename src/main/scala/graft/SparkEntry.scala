@@ -2470,6 +2470,34 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** C4-style word-boundary blocklist gate
+    * ([[graft.operators.TextAnalysis.blocklistFilter]]): blocked TERMS
+    * count on whitespace-token boundaries of the lowercased text,
+    * blocked two-word PHRASES on adjacent token pairs; `keep` = no hit
+    * of either kind. Exact integer counts — the oracle replays the
+    * token and bigram streams with list arithmetic.
+    */
+  private def q144(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.blocklistFilter(docs(s, d).select("doc_id", "text"),
+        "text", terms = Seq("slow", "vector"),
+        phrases = Seq("hash join", "big table"))
+      .select(col("doc_id"), col("n_term_hits"), col("n_distinct_terms"),
+        col("n_phrase_hits"), col("keep"))
+      .orderBy("doc_id")
+
+  /** BM25 top-k lexical retrieval ([[graft.operators.TfIdf.bm25TopK]]):
+    * three fixed queries over the corpus, Lucene-style non-negative
+    * idf `ln(1 + (N-df+0.5)/(df+0.5))`, per-term contributions summed
+    * as DECIMAL(20,12) so the ranking is summation-order-free, top-5
+    * per query (score desc, doc_id asc).
+    */
+  private def q145(s: SparkSession, d: String): DataFrame =
+    TfIdf.bm25TopK(docs(s, d).select("doc_id", "text"), "doc_id", "text",
+        queries = Seq("q_hash" -> "hash join",
+          "q_stream" -> "window agg stream",
+          "q_scan" -> "slow scan filter"), k = 5)
+      .orderBy("query_id", "rn")
+
   /** End-to-end corpus-construction pipeline — the composition every
     * training-data run executes as ONE declarative plan: quality gate
     * ([[graft.operators.TextAnalysis.qualityFeatures]]) → exact dedup
@@ -2726,6 +2754,8 @@ object SparkEntry {
     "q141_domain_stats" -> (q141(_, _)),
     "q142_fim_transform" -> (q142(_, _)),
     "q143_tokenizer_fertility" -> (q143(_, _)),
+    "q144_blocklist_filter" -> (q144(_, _)),
+    "q145_bm25_topk" -> (q145(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

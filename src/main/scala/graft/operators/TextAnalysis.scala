@@ -254,6 +254,57 @@ object TextAnalysis {
       .withColumn("clean_text", array_join(kept, "\n"))
   }
 
+  /** Word-boundary blocklist gate — the C4 "bad words" filter (Raffel
+    * et al. 2020 §2.2 drop any page containing a blocklisted word; the
+    * reference's closest relative is its topic-allowlist semi-join,
+    * routes/voting.py:113-118, inverted to a content denylist). Hits
+    * are counted on WHITESPACE TOKENS of the lowercased text, so
+    * matching is word-boundary exact — a blocked `scan` never fires
+    * inside `scanner`, the failure mode of substring blocklists.
+    * Two-word `phrases` match on adjacent token pairs (the bigram
+    * stream), same boundary rule.
+    *
+    * Returns every input row plus `n_term_hits` (token occurrences of
+    * any blocked term), `n_distinct_terms` (how many DISTINCT blocked
+    * terms appear — the severity signal reviewers triage on),
+    * `n_phrase_hits`, and `keep` (no hit of either kind). Pure per-row
+    * array expressions against two broadcast-literal lists — no
+    * shuffle, no join, scan-speed over 100 TB; exact integer counts,
+    * so the gate is oracle-checkable cell-exact. For blocklists past
+    * the low thousands (where a literal `isInCollection` expression
+    * stops being the right plan), explode the token stream and
+    * semi-join a broadcast blocklist table instead — same semantics,
+    * one map-side join.
+    */
+  def blocklistFilter(df: DataFrame, textCol: String,
+      terms: Seq[String], phrases: Seq[String] = Nil): DataFrame = {
+    require(terms.nonEmpty || phrases.nonEmpty,
+      "blocklistFilter needs at least one term or phrase")
+    require(phrases.forall(_.split(" ").count(_.nonEmpty) == 2),
+      s"phrases must be exactly two space-separated words, got: " +
+        phrases.filterNot(_.split(" ").count(_.nonEmpty) == 2).mkString(", "))
+    val toks = tokens(lower(col(textCol)))
+    val nTermHits =
+      if (terms.isEmpty) lit(0L)
+      else size(filter(toks, w => w.isInCollection(terms))).cast("long")
+    val nDistinct =
+      if (terms.isEmpty) lit(0L)
+      else size(array_intersect(toks, lit(terms.toArray))).cast("long")
+    // adjacent-pair bigrams; sequence(1, n-1) needs the n >= 2 guard
+    // (Spark's sequence(1, 0) yields the DESCENDING [1, 0], not empty)
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val nPhraseHits =
+      if (phrases.isEmpty) lit(0L)
+      else size(filter(bigrams, g => g.isInCollection(phrases))).cast("long")
+    df.withColumn("n_term_hits", nTermHits)
+      .withColumn("n_distinct_terms", nDistinct)
+      .withColumn("n_phrase_hits", nPhraseHits)
+      .withColumn("keep", nTermHits === 0 && nPhraseHits === 0)
+  }
+
   /** Quality-score feature bundle. Ratios are exact-count divisions —
     * deterministic doubles on any engine.
     */
