@@ -2363,6 +2363,60 @@ object OracleSql {
         |  round(CAST(sc AS DOUBLE), 6) AS score
         |FROM ranked WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
 
+    // q146: the q92 decimal k-means replay (seeds → assign → one Lloyd
+    // update → final assign), then rank WITHIN each cluster by the d2
+    // distance itself (exact decimal, ties on vec_id) and drop the
+    // closest floor(0.25·n) rows as prototypes
+    "q146_prototype_filter" ->
+      """WITH e AS (
+        |  SELECT vec_id, i - 1 AS dim,
+        |    CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(14,12)) AS xg,
+        |    CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,12)) AS xs
+        |  FROM (SELECT vec_id, embedding,
+        |          unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)),
+        |seeds AS (
+        |  SELECT vec_id, rn - 1 AS cid FROM (
+        |    SELECT vec_id, row_number()
+        |      OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        |    FROM embeddings)
+        |  WHERE rn <= 8),
+        |c0 AS (
+        |  SELECT s.cid, e.dim, e.xg AS cg FROM seeds s JOIN e USING (vec_id)),
+        |d1 AS (
+        |  SELECT e.vec_id, c.cid, SUM((e.xg - c.cg) * (e.xg - c.cg)) AS dist
+        |  FROM e JOIN c0 c ON e.dim = c.dim GROUP BY e.vec_id, c.cid),
+        |a1 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid, row_number()
+        |      OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d1)
+        |  WHERE rn = 1),
+        |m1 AS (
+        |  SELECT a1.cid, e.dim,
+        |    CAST(round(CAST(SUM(e.xs) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+        |      AS DECIMAL(14,12)) AS cg
+        |  FROM e JOIN a1 USING (vec_id) GROUP BY a1.cid, e.dim),
+        |c1 AS (
+        |  SELECT c0.cid, c0.dim, COALESCE(m1.cg, c0.cg) AS cg
+        |  FROM c0 LEFT JOIN m1 ON m1.cid = c0.cid AND m1.dim = c0.dim),
+        |d2 AS (
+        |  SELECT e.vec_id, c.cid, SUM((e.xg - c.cg) * (e.xg - c.cg)) AS dist
+        |  FROM e JOIN c1 c ON e.dim = c.dim GROUP BY e.vec_id, c.cid),
+        |a2 AS (
+        |  SELECT vec_id, cid, dist FROM (
+        |    SELECT vec_id, cid, dist, row_number()
+        |      OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d2)
+        |  WHERE rn = 1),
+        |ranked AS (
+        |  SELECT vec_id, cid,
+        |    row_number() OVER (PARTITION BY cid ORDER BY dist, vec_id)
+        |      AS proto_rank,
+        |    count(*) OVER (PARTITION BY cid) AS nc
+        |  FROM a2)
+        |SELECT vec_id, CAST(cid AS BIGINT) AS cluster,
+        |  CAST(proto_rank AS BIGINT) AS proto_rank,
+        |  (proto_rank > CAST(floor(0.25 * nc) AS BIGINT)) AS keep
+        |FROM ranked ORDER BY vec_id""".stripMargin,
+
     // q138: the byte-level round-trip contract decode(encode(x)) ==
     // pretokenized(x) collapses the whole BPE pipeline out of the
     // oracle — this SQL replays ONLY the GPT-2-style regex split

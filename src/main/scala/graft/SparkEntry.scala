@@ -2498,6 +2498,22 @@ object SparkEntry {
           "q_scan" -> "slow scan filter"), k = 5)
       .orderBy("query_id", "rn")
 
+  /** D4-style prototype-proximity filter
+    * ([[graft.operators.KMeans.prototypeFilter]]): cluster the
+    * embeddings (q91's exact grid k-means), rank every row by its
+    * EXACT squared grid distance to its assigned centroid (the native
+    * `GridDistTo` decimal — the same 128-bit fold the argmin
+    * compared), and drop the closest 25% of each cluster as
+    * too-prototypical. The oracle replays the q92 decimal k-means
+    * CTEs and ranks by the d2 distance itself.
+    */
+  private def q146(s: SparkSession, d: String): DataFrame =
+    KMeans.prototypeFilter(emb(s, d).select("vec_id", "embedding"),
+        "vec_id", "embedding", k = 8, iters = 1, dropFrac = 0.25)
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+        col("proto_rank"), col("keep"))
+      .orderBy("vec_id")
+
   /** End-to-end corpus-construction pipeline — the composition every
     * training-data run executes as ONE declarative plan: quality gate
     * ([[graft.operators.TextAnalysis.qualityFeatures]]) → exact dedup
@@ -2756,6 +2772,7 @@ object SparkEntry {
     "q143_tokenizer_fertility" -> (q143(_, _)),
     "q144_blocklist_filter" -> (q144(_, _)),
     "q145_bm25_topk" -> (q145(_, _)),
+    "q146_prototype_filter" -> (q146(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

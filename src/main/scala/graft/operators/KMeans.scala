@@ -248,4 +248,52 @@ object KMeans {
     val killed = joinKilled.unionAll(exactKilled).distinct()
     assigned.join(killed, Seq(idCol), "left_anti")
   }
+
+  /** D4-style prototype-proximity filter (Tirumala et al., "D4:
+    * Improving LLM Pretraining via Document De-Duplication and
+    * Diversification", 2023): cluster the embeddings, then DROP the
+    * `dropFrac` most PROTOTYPICAL rows of each cluster — the rows
+    * closest to their centroid, i.e. the generic near-duplicates of
+    * the cluster's center of mass. The complement of [[semanticDedup]]
+    * (which prunes pairwise near-identical rows): together they are
+    * the paper's dedup-then-diversify recipe.
+    *
+    * Exact tier end to end: the assignment is [[GridArgmin]]'s
+    * scale-12 grid argmin, and the ranking distance is its per-row
+    * companion `GridDistTo` — the SAME 128-bit integer fold the argmin
+    * compared, surfaced as DECIMAL(38,24), so rank order is
+    * bit-deterministic across engines and partitionings (ties break on
+    * the smaller id). A row keeps iff its distance rank within the
+    * cluster exceeds `floor(dropFrac · clusterSize)`.
+    *
+    * Returns every input row plus `cluster`, `dist` (the exact decimal
+    * squared grid distance), `proto_rank` (1 = most prototypical), and
+    * `keep`. Scale shape: one codegen expression per row for
+    * assignment + distance (no join, no explode), then ONE shuffle on
+    * `cluster` for the two window functions — the same partitioning
+    * both windows reuse.
+    */
+  def prototypeFilter(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, dropFrac: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(dropFrac >= 0.0 && dropFrac < 1.0,
+      s"dropFrac=$dropFrac must be in [0, 1)")
+    require(k > 0, s"k=$k must be positive")
+    require(iters >= 0, s"iters=$iters must be >= 0")
+    val src = CacheRegistry.track(df.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val cents = lloydCentroids(src, idCol, vecCol, k, iters, exact = true)
+    val assigned = withAssign(src, vecCol, "cluster", cents, exact = true)
+    val distCol = graft.plans.GraftFunctions.gridDistTo(
+      col(vecCol).cast("array<double>"), col("cluster"), cents)
+    val byDist = Window.partitionBy(col("cluster"))
+      .orderBy(col("dist").asc, col(idCol).asc)
+    val cluster = Window.partitionBy(col("cluster"))
+    assigned.withColumn("dist", distCol)
+      .withColumn("proto_rank", row_number().over(byDist).cast("long"))
+      .withColumn("__nc", count(lit(1)).over(cluster))
+      .withColumn("keep", col("proto_rank") >
+        floor(lit(dropFrac) * col("__nc").cast("double")).cast("long"))
+      .drop("__nc")
+  }
 }

@@ -93,4 +93,14 @@ object GraftFunctions {
       : org.apache.spark.sql.Column =
     GraftShim.toColumn(GridArgmin(GraftShim.expr(vec),
       centroids.map(_.map(GridArgmin.toGrid))))
+
+  /** Column-API access to the exact squared grid distance against the
+    * row's assigned centroid (same plan-time constant table as
+    * [[gridArgmin]]; `cluster` is its 0-based output).
+    */
+  def gridDistTo(vec: org.apache.spark.sql.Column,
+      cluster: org.apache.spark.sql.Column, centroids: Array[Array[Double]])
+      : org.apache.spark.sql.Column =
+    GraftShim.toColumn(GridDistTo(GraftShim.expr(vec), GraftShim.expr(cluster),
+      centroids.map(_.map(GridArgmin.toGrid))))
 }

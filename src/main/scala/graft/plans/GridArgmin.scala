@@ -109,4 +109,70 @@ object GridArgmin {
     }
     best
   }
+
+  /** Exact squared grid distance from a vector to centroid `j`, as the
+    * DECIMAL(38,24) the oracle's decimal fold produces: the same
+    * scale-12 grid longs and unsigned-128 accumulation as [[argmin]],
+    * re-expressed as `unscaled·10⁻²⁴` — order-free integer math end to
+    * end, so the value (not just the argmin) is cross-engine exact.
+    */
+  def distTo(v: ArrayData, cents: Array[Array[Long]], j: Int)
+      : org.apache.spark.sql.types.Decimal = {
+    if (j < 0 || j >= cents.length) throw new IllegalArgumentException(
+      s"cluster index $j outside the centroid table (k=${cents.length})")
+    val c = cents(j)
+    val n = v.numElements()
+    val m = math.min(n, c.length)
+    var hi = 0L
+    var lo = 0L
+    var idx = 0
+    while (idx < m) {
+      if (v.isNullAt(idx)) throw new IllegalArgumentException(
+        s"KMeans exact tier requires dense vectors; null coordinate at index $idx")
+      val d = toGrid(v.getDouble(idx)) - c(idx)
+      val p = d * d
+      val nl = lo + p
+      hi += Math.multiplyHigh(d, d) +
+        (if (java.lang.Long.compareUnsigned(nl, lo) < 0) 1L else 0L)
+      lo = nl
+      idx += 1
+    }
+    val unscaled = new java.math.BigInteger(java.lang.Long.toUnsignedString(hi))
+      .shiftLeft(64)
+      .add(new java.math.BigInteger(java.lang.Long.toUnsignedString(lo)))
+    org.apache.spark.sql.types.Decimal(
+      new java.math.BigDecimal(unscaled, 24), 38, 24)
+  }
+}
+
+/** Squared grid distance to the row's ASSIGNED centroid (`cluster` is
+  * the [[GridArgmin]] output or any 0-based centroid index) — the
+  * per-row companion that lets prototype-proximity filters rank by the
+  * exact distance the argmin compared, with no explode/join: one
+  * codegen'd expression against the same plan-time centroid constants.
+  */
+case class GridDistTo(vec: Expression, cluster: Expression,
+    centroids: Array[Array[Long]])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  require(centroids.nonEmpty, "GridDistTo needs at least one centroid")
+
+  override def left: Expression = vec
+  override def right: Expression = cluster
+  override def dataType: DataType =
+    org.apache.spark.sql.types.DecimalType(38, 24)
+  override def prettyName: String = "grid_dist_to"
+
+  override protected def nullSafeEval(v: Any, j: Any): Any =
+    GridArgmin.distTo(v.asInstanceOf[ArrayData], centroids,
+      j.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cents = ctx.addReferenceObj("centroids", centroids, "long[][]")
+    nullSafeCodeGen(ctx, ev, (v, j) =>
+      s"${ev.value} = graft.plans.GridArgmin.distTo($v, $cents, $j);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GridDistTo =
+    copy(vec = newLeft, cluster = newRight)
 }
