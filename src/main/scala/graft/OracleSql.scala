@@ -2417,6 +2417,74 @@ object OracleSql {
         |  (proto_rank > CAST(floor(0.25 * nc) AS BIGINT)) AS keep
         |FROM ranked ORDER BY vec_id""".stripMargin,
 
+    // q147: the q139 bigram machinery replayed TWICE (target slice +
+    // whole corpus), weight = rounded-avg difference, Gumbel noise from
+    // the 48-bit md5 uniform (rounded to 6 before the add), top-100 by
+    // (key desc, doc_id)
+    "q147_dsir_selection" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split(text, ' '), w -> w <> '') AS ts
+        |  FROM documents),
+        |tref AS (SELECT ts FROM toks
+        |  WHERE source IN ('src0','src1','src2','src3','src4')),
+        |tbig AS (
+        |  SELECT ts[i] AS w1, ts[i + 1] AS w2
+        |  FROM (SELECT ts, unnest(range(1, len(ts))) AS i
+        |        FROM tref WHERE len(ts) >= 2)),
+        |tcu AS (SELECT w1, count(*) AS cu FROM tbig GROUP BY w1),
+        |tcb AS (SELECT w1, w2, count(*) AS cb FROM tbig GROUP BY w1, w2),
+        |tv AS (SELECT count(DISTINCT w) AS v
+        |       FROM (SELECT unnest(ts) AS w FROM tref)),
+        |rbig AS (
+        |  SELECT ts[i] AS w1, ts[i + 1] AS w2
+        |  FROM (SELECT ts, unnest(range(1, len(ts))) AS i
+        |        FROM toks WHERE len(ts) >= 2)),
+        |rcu AS (SELECT w1, count(*) AS cu FROM rbig GROUP BY w1),
+        |rcb AS (SELECT w1, w2, count(*) AS cb FROM rbig GROUP BY w1, w2),
+        |rv AS (SELECT count(DISTINCT w) AS v
+        |       FROM (SELECT unnest(ts) AS w FROM toks)),
+        |big AS (
+        |  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
+        |        FROM toks WHERE len(ts) >= 2)),
+        |st AS (
+        |  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    round(CAST(SUM(CAST(ln((COALESCE(c.cb, 0) + CAST(0.4 AS DOUBLE))
+        |        / (COALESCE(u.cu, 0) + CAST(0.4 AS DOUBLE) * v.v))
+        |      AS DECIMAL(18,12))) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE), 6) AS a
+        |  FROM big b
+        |  LEFT JOIN tcb c ON b.w1 = c.w1 AND b.w2 = c.w2
+        |  LEFT JOIN tcu u ON b.w1 = u.w1
+        |  CROSS JOIN tv v GROUP BY b.doc_id),
+        |sr AS (
+        |  SELECT b.doc_id,
+        |    round(CAST(SUM(CAST(ln((COALESCE(c.cb, 0) + CAST(0.4 AS DOUBLE))
+        |        / (COALESCE(u.cu, 0) + CAST(0.4 AS DOUBLE) * v.v))
+        |      AS DECIMAL(18,12))) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE), 6) AS a
+        |  FROM big b
+        |  LEFT JOIN rcb c ON b.w1 = c.w1 AND b.w2 = c.w2
+        |  LEFT JOIN rcu u ON b.w1 = u.w1
+        |  CROSS JOIN rv v GROUP BY b.doc_id),
+        |w AS (
+        |  SELECT st.doc_id, st.n_bigrams, st.a - sr.a AS weight
+        |  FROM st JOIN sr ON st.doc_id = sr.doc_id),
+        |k AS (
+        |  SELECT doc_id, n_bigrams, weight,
+        |    weight + round(-ln(-ln(
+        |      (CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+        |            AS BIGINT) AS DOUBLE) + 0.5) / 281474976710656.0)), 6)
+        |      AS key
+        |  FROM w),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (ORDER BY key DESC, doc_id) AS rn
+        |  FROM k)
+        |SELECT CAST(rn AS BIGINT) AS rank, doc_id, n_bigrams, weight,
+        |  round(key, 6) AS gumbel_key
+        |FROM ranked WHERE rn <= 100 ORDER BY rn""".stripMargin,
+
     // q138: the byte-level round-trip contract decode(encode(x)) ==
     // pretokenized(x) collapses the whole BPE pipeline out of the
     // oracle — this SQL replays ONLY the GPT-2-style regex split

@@ -2514,6 +2514,21 @@ object SparkEntry {
         col("proto_rank"), col("keep"))
       .orderBy("vec_id")
 
+  /** DSIR importance resampling
+    * ([[graft.operators.Sampling.dsirSelect]]): target model = the
+    * q139 curated-source slice, raw model = the whole corpus; weight =
+    * mean-bigram-log-prob difference, Gumbel-top-k with md5-derived
+    * uniforms selects 100 docs without replacement. The oracle replays
+    * both bigram models, the weight join, and the hash-Gumbel keys.
+    */
+  private def q147(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d).select("doc_id", "source", "text")
+    val target = dd.filter(col("source")
+      .isin("src0", "src1", "src2", "src3", "src4"))
+    Sampling.dsirSelect(target, dd, dd, "doc_id", "text", n = 100)
+      .orderBy("rank")
+  }
+
   /** End-to-end corpus-construction pipeline — the composition every
     * training-data run executes as ONE declarative plan: quality gate
     * ([[graft.operators.TextAnalysis.qualityFeatures]]) → exact dedup
@@ -2773,6 +2788,7 @@ object SparkEntry {
     "q144_blocklist_filter" -> (q144(_, _)),
     "q145_bm25_topk" -> (q145(_, _)),
     "q146_prototype_filter" -> (q146(_, _)),
+    "q147_dsir_selection" -> (q147(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -285,4 +285,54 @@ object Sampling {
           .orderBy(col("__wkey"), col(keyCol))).cast("long"))
       .drop("__wkey")
   }
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023):
+    * score every document's mean bigram log-prob under a TARGET-domain
+    * reference LM and under the RAW-corpus LM (both the proven
+    * [[TextAnalysis.bigramLogProbUnder]] surface, hashed-n-gram spirit
+    * with exact bigrams), take the log importance ratio
+    * `weight = avgLp_target − avgLp_raw`, and select `n` documents
+    * WITHOUT replacement with probability ∝ exp(weight) via
+    * Gumbel-top-k: key = weight + g, g = −ln(−ln(u)) with u the
+    * deterministic 48-bit md5 uniform `(h + 0.5)/16¹²` — hash-derived
+    * noise in place of RNG (the [[weightedSample]] convention), so the
+    * "resample" is a pure function of the corpus: reproducible across
+    * runs, engines, partitionings, and oracle-checkable.
+    *
+    * The Gumbel draw is rounded to 6 decimals BEFORE the add (the
+    * cross-engine float rule — the rounded grid absorbs last-ulp libm
+    * `ln` differences); final-key ties break on the smaller id.
+    * Returns the selected rows: (rank, id, n_bigrams, weight,
+    * gumbel_key), rank 1 = best.
+    *
+    * Scale shape: two reference-model scorings (bigram explode + two
+    * count aggregations + broadcast-vocab join each — the
+    * bigramLogProbUnder plan), one id-keyed join, then a single
+    * `TakeOrderedAndProject` top-n on the key: no global sort, no
+    * single-partition window, nothing corpus-sized on the driver.
+    * Documents with fewer than 2 tokens carry no bigram evidence and
+    * are outside the scored domain (the bigramLogProbUnder contract).
+    */
+  def dsirSelect(target: DataFrame, raw: DataFrame, df: DataFrame,
+      idCol: String, textCol: String, n: Int,
+      alpha: Double = 0.4): DataFrame = {
+    require(n > 0, s"n=$n must be positive")
+    val st = TextAnalysis.bigramLogProbUnder(target, df, idCol, textCol, alpha)
+      .select(col(idCol), col("n_bigrams"), col("avg_logprob").as("__t"))
+    val sr = TextAnalysis.bigramLogProbUnder(raw, df, idCol, textCol, alpha)
+      .select(col(idCol), col("avg_logprob").as("__r"))
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10)
+      .cast("long")
+    val u = (h.cast("double") + lit(0.5)) / lit(281474976710656.0)
+    val g = round(-log(-log(u)), 6)
+    val keyed = st.join(sr, Seq(idCol))
+      .withColumn("weight", col("__t") - col("__r"))
+      .withColumn("gumbel_key", col("weight") + g)
+    val top = keyed.orderBy(col("gumbel_key").desc, col(idCol)).limit(n)
+    top.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("gumbel_key").desc, col(idCol))).cast("long"))
+      .select(col("rank"), col(idCol), col("n_bigrams"), col("weight"),
+        round(col("gumbel_key"), 6).as("gumbel_key"))
+  }
 }
