@@ -2485,6 +2485,103 @@ object OracleSql {
         |  round(key, 6) AS gumbel_key
         |FROM ranked WHERE rn <= 100 ORDER BY rn""".stripMargin,
 
+    // q148: MMR pick sequence replayed with 5 unrolled argmax CTEs —
+    // every cosine is the same left-to-right double fold the Spark side
+    // computes, so the greedy selection is value-exact
+    "q148_mmr_rerank" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT vec_id, emb,
+        |    CASE WHEN na > 0 AND nb > 0 THEN dot / (na * nb)
+        |         ELSE 0.0 END AS qsim
+        |  FROM (
+        |    SELECT e.vec_id, e.embedding AS emb,
+        |      list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+        |        AS dot,
+        |      sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |        i -> CAST(e.embedding[i] AS DOUBLE)
+        |             * CAST(e.embedding[i] AS DOUBLE)))) AS na,
+        |      sqrt(list_sum(list_transform(range(1, len(q.qv) + 1),
+        |        i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))) AS nb
+        |    FROM embeddings e CROSS JOIN q)),
+        |cand AS (
+        |  SELECT vec_id, emb, qsim FROM (
+        |    SELECT *, row_number() OVER (ORDER BY qsim DESC, vec_id) AS rnk
+        |    FROM scored)
+        |  WHERE rnk <= 20),
+        |pair AS (
+        |  SELECT ia, ib,
+        |    CASE WHEN na > 0 AND nb > 0 THEN dot / (na * nb)
+        |         ELSE 0.0 END AS sim
+        |  FROM (
+        |    SELECT a.vec_id AS ia, b.vec_id AS ib,
+        |      list_sum(list_transform(range(1, len(a.emb) + 1),
+        |        i -> CAST(a.emb[i] AS DOUBLE) * CAST(b.emb[i] AS DOUBLE)))
+        |        AS dot,
+        |      sqrt(list_sum(list_transform(range(1, len(a.emb) + 1),
+        |        i -> CAST(a.emb[i] AS DOUBLE) * CAST(a.emb[i] AS DOUBLE))))
+        |        AS na,
+        |      sqrt(list_sum(list_transform(range(1, len(b.emb) + 1),
+        |        i -> CAST(b.emb[i] AS DOUBLE) * CAST(b.emb[i] AS DOUBLE))))
+        |        AS nb
+        |    FROM cand a JOIN cand b ON a.vec_id <> b.vec_id)),
+        |s1 AS (
+        |  SELECT vec_id, qsim, (0.7 * qsim) - ((1 - 0.7) * 0.0) AS mmr
+        |  FROM cand ORDER BY mmr DESC, vec_id LIMIT 1),
+        |m2 AS (
+        |  SELECT c.vec_id, c.qsim,
+        |    (0.7 * c.qsim) - ((1 - 0.7) * (
+        |      SELECT max(p.sim) FROM pair p WHERE p.ia = c.vec_id
+        |        AND p.ib IN (SELECT vec_id FROM s1))) AS mmr
+        |  FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM s1)),
+        |s2 AS (SELECT * FROM m2 ORDER BY mmr DESC, vec_id LIMIT 1),
+        |m3 AS (
+        |  SELECT c.vec_id, c.qsim,
+        |    (0.7 * c.qsim) - ((1 - 0.7) * (
+        |      SELECT max(p.sim) FROM pair p WHERE p.ia = c.vec_id
+        |        AND p.ib IN (SELECT vec_id FROM s1
+        |                     UNION ALL SELECT vec_id FROM s2))) AS mmr
+        |  FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM s1
+        |                                     UNION ALL SELECT vec_id FROM s2)),
+        |s3 AS (SELECT * FROM m3 ORDER BY mmr DESC, vec_id LIMIT 1),
+        |m4 AS (
+        |  SELECT c.vec_id, c.qsim,
+        |    (0.7 * c.qsim) - ((1 - 0.7) * (
+        |      SELECT max(p.sim) FROM pair p WHERE p.ia = c.vec_id
+        |        AND p.ib IN (SELECT vec_id FROM s1
+        |                     UNION ALL SELECT vec_id FROM s2
+        |                     UNION ALL SELECT vec_id FROM s3))) AS mmr
+        |  FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM s1
+        |                                     UNION ALL SELECT vec_id FROM s2
+        |                                     UNION ALL SELECT vec_id FROM s3)),
+        |s4 AS (SELECT * FROM m4 ORDER BY mmr DESC, vec_id LIMIT 1),
+        |m5 AS (
+        |  SELECT c.vec_id, c.qsim,
+        |    (0.7 * c.qsim) - ((1 - 0.7) * (
+        |      SELECT max(p.sim) FROM pair p WHERE p.ia = c.vec_id
+        |        AND p.ib IN (SELECT vec_id FROM s1
+        |                     UNION ALL SELECT vec_id FROM s2
+        |                     UNION ALL SELECT vec_id FROM s3
+        |                     UNION ALL SELECT vec_id FROM s4))) AS mmr
+        |  FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM s1
+        |                                     UNION ALL SELECT vec_id FROM s2
+        |                                     UNION ALL SELECT vec_id FROM s3
+        |                                     UNION ALL SELECT vec_id FROM s4)),
+        |s5 AS (SELECT * FROM m5 ORDER BY mmr DESC, vec_id LIMIT 1)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS rank, vec_id,
+        |    round(qsim, 6) AS qsim, round(mmr, 6) AS mmr FROM s1
+        |  UNION ALL SELECT CAST(2 AS BIGINT), vec_id,
+        |    round(qsim, 6), round(mmr, 6) FROM s2
+        |  UNION ALL SELECT CAST(3 AS BIGINT), vec_id,
+        |    round(qsim, 6), round(mmr, 6) FROM s3
+        |  UNION ALL SELECT CAST(4 AS BIGINT), vec_id,
+        |    round(qsim, 6), round(mmr, 6) FROM s4
+        |  UNION ALL SELECT CAST(5 AS BIGINT), vec_id,
+        |    round(qsim, 6), round(mmr, 6) FROM s5)
+        |ORDER BY rank""".stripMargin,
+
     // q138: the byte-level round-trip contract decode(encode(x)) ==
     // pretokenized(x) collapses the whole BPE pipeline out of the
     // oracle — this SQL replays ONLY the GPT-2-style regex split

@@ -2529,6 +2529,23 @@ object SparkEntry {
       .orderBy("rank")
   }
 
+  /** MMR diversified re-ranking ([[graft.operators.Ann.mmrRerank]]):
+    * top-20 exact-cosine slate for the vec_id-0 query vector, then the
+    * greedy λ=0.7 diversity selection of 5. Every similarity is the
+    * engine's exact double (identical dot-product fold both engines),
+    * so the oracle replays the pick sequence with 5 unrolled argmax
+    * CTEs.
+    */
+  private def q148(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d).select("vec_id", "embedding")
+    val qv = e.filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    Ann.mmrRerank(e, "vec_id", "embedding", qv, m = 20, k = 5, lambda = 0.7)
+      .select(col("rank"), col("vec_id"),
+        round(col("qsim"), 6).as("qsim"), round(col("mmr"), 6).as("mmr"))
+      .orderBy("rank")
+  }
+
   /** End-to-end corpus-construction pipeline — the composition every
     * training-data run executes as ONE declarative plan: quality gate
     * ([[graft.operators.TextAnalysis.qualityFeatures]]) → exact dedup
@@ -2789,6 +2806,7 @@ object SparkEntry {
     "q145_bm25_topk" -> (q145(_, _)),
     "q146_prototype_filter" -> (q146(_, _)),
     "q147_dsir_selection" -> (q147(_, _)),
+    "q148_mmr_rerank" -> (q148(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

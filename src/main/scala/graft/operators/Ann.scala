@@ -150,6 +150,72 @@ object Ann {
       .take(nprobe).map(_._1)
   }
 
+  /** MMR diversified re-ranking (Carbonell & Goldstein, SIGIR 1998) —
+    * the standard retrieval post-step that trades pure relevance for
+    * coverage: greedily pick `k` of the top-`m` exact-cosine
+    * candidates, each step maximizing
+    *
+    *   λ · sim(query, d) − (1 − λ) · max_{s ∈ selected} sim(d, s)
+    *
+    * (the max over the empty selection is 0, so step 1 is the pure
+    * relevance argmax); ties break on the smaller id.
+    *
+    * Division of labor at 100 TB: the DISTRIBUTED work is the corpus
+    * scan that produces the top-m candidate slate
+    * ([[bruteForceTopK]]'s TakeOrderedAndProject — swap in
+    * [[ivfTopK]] upstream for the partition-pruned variant) and the
+    * m² candidate-pair cosines (one broadcast self-join, codegen dot
+    * products); the greedy k-step selection is inherently sequential
+    * and runs on the driver over the BOUNDED m-row slate — the
+    * limit-bounded serving convention, m a few hundred at most, never
+    * the corpus. All sims are the engine's exact doubles
+    * ([[Dedup.cosine]] both sides), so the pick sequence is
+    * deterministic and oracle-replayable. Ids must be integral
+    * (long-castable).
+    *
+    * Returns one row per pick: (rank, id, qsim, mmr) in pick order.
+    */
+  def mmrRerank(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], m: Int, k: Int, lambda: Double): DataFrame = {
+    require(k > 0 && m >= k, s"need m >= k > 0, got m=$m k=$k")
+    require(lambda >= 0.0 && lambda <= 1.0,
+      s"lambda=$lambda must be in [0, 1]")
+    val session = df.sparkSession
+    import session.implicits._
+    val q = array(query.map(lit(_)): _*)
+    val cand = CacheRegistry.track(df
+      .select(col(idCol).cast("long").as("__id"),
+        col(vecCol).cast("array<double>").as("__v"),
+        Dedup.cosine(col(vecCol), q).as("qsim"))
+      .orderBy(col("qsim").desc, col("__id").asc)
+      .limit(m)
+      .persist())
+    val a = cand.select(col("__id").as("__ia"), col("__v").as("__va"))
+    val b = cand.select(col("__id").as("__ib"), col("__v").as("__vb"))
+    val pairSim = a.join(b, col("__ia") =!= col("__ib"))
+      .select(col("__ia"), col("__ib"),
+        Dedup.cosine(col("__va"), col("__vb")).as("sim"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val slate = cand.select(col("__id"), col("qsim")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    val selected = scala.collection.mutable.ArrayBuffer[(Long, Double, Double)]()
+    val remaining = scala.collection.mutable.LinkedHashMap(slate: _*)
+    while (selected.length < math.min(k, slate.length)) {
+      val best = remaining.iterator.map { case (id, qs) =>
+        val ms =
+          if (selected.isEmpty) 0.0
+          else selected.iterator.map(s => pairSim((id, s._1))).max
+        (id, qs, (lambda * qs) - ((1 - lambda) * ms))
+      }.minBy { case (id, _, mmr) => (-mmr, id) }
+      selected += best
+      remaining.remove(best._1)
+    }
+    selected.toSeq.zipWithIndex
+      .map { case ((id, qs, mmr), i) => (i + 1L, id, qs, mmr) }
+      .toDF("rank", idCol, "qsim", "mmr")
+  }
+
   /** IVF query: score only rows in the `nprobe` cells nearest the query. */
   def ivfTopK(
       assigned: DataFrame, idCol: String, vecCol: String,
