@@ -170,7 +170,8 @@ object CorpusStream {
       outDir: String, bandIndexDir: String,
       shingleN: Int, k: Int, bands: Int,
       compactEvery: Int = 0,
-      bigramRefDir: String = null, minAvgLogprob: Double = 0.0)(
+      bigramRefDir: String = null, minAvgLogprob: Double = 0.0,
+      blockTerms: Seq[String] = Nil, blockPhrases: Seq[String] = Nil)(
       batch: DataFrame, batchId: Long): Unit = {
     val docs = oneRowPerUrl(batch)
     if (!docs.isEmpty) graft.operators.CacheRegistry.scope {
@@ -232,7 +233,9 @@ object CorpusStream {
       minWords: Int = 30, minStopKinds: Int = 1,
       compactEvery: Int = 0,
       bigramRefDir: String = null,
-      minAvgLogprob: Double = 0.0): StreamingQuery =
+      minAvgLogprob: Double = 0.0,
+      blockTerms: Seq[String] = Nil,
+      blockPhrases: Seq[String] = Nil): StreamingQuery =
     graft.sources.WarcReader.readStream(spark, warcDir, glob)
       .filter(col("warc_type") === "response" &&
         col("http_status") === 200 &&
@@ -249,7 +252,8 @@ object CorpusStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         curatedBatch(spark, model, outDir, minWords, minStopKinds,
-          compactEvery, bigramRefDir, minAvgLogprob)(batch, batchId)
+          compactEvery, bigramRefDir, minAvgLogprob,
+          blockTerms, blockPhrases)(batch, batchId)
       }
       .start()
 
@@ -260,19 +264,22 @@ object CorpusStream {
       spark: SparkSession, model: graft.operators.Bpe.Model,
       outDir: String, minWords: Int, minStopKinds: Int,
       compactEvery: Int = 0,
-      bigramRefDir: String = null, minAvgLogprob: Double = 0.0)(
+      bigramRefDir: String = null, minAvgLogprob: Double = 0.0,
+      blockTerms: Seq[String] = Nil, blockPhrases: Seq[String] = Nil)(
       batch: DataFrame, batchId: Long): Unit = {
     val docs = oneRowPerUrl(batch)
     if (!docs.isEmpty) graft.operators.CacheRegistry.scope {
       curateAndWrite(model, outDir, minWords, minStopKinds,
-        bigramRefDir, minAvgLogprob)(docs, batchId)
+        bigramRefDir, minAvgLogprob, blockTerms, blockPhrases)(docs, batchId)
       maybeCompact(spark, Seq(outDir), compactEvery, batchId)
     }
   }
 
   /** The curated quality chain of one drain's NOVEL documents —
-    * C4 page gate → Gopher battery → (optional) perplexity gate over
-    * the CLEANED text → tokenize — writing the survivors into the
+    * C4 page gate → (optional) word-boundary blocklist gate
+    * ([[graft.operators.TextAnalysis.blocklistFilter]], C4's badwords
+    * rule) → Gopher battery → (optional) perplexity gate over the
+    * CLEANED text → tokenize — writing the survivors into the
     * batchId-keyed exactly-once layout. Shared tail of
     * [[curatedBatch]] and [[curatedFuzzyBatch]].
     *
@@ -293,14 +300,25 @@ object CorpusStream {
   private def curateAndWrite(
       model: graft.operators.Bpe.Model, outDir: String,
       minWords: Int, minStopKinds: Int,
-      bigramRefDir: String = null, minAvgLogprob: Double = 0.0)(
+      bigramRefDir: String = null, minAvgLogprob: Double = 0.0,
+      blockTerms: Seq[String] = Nil, blockPhrases: Seq[String] = Nil)(
       docs: DataFrame, batchId: Long): Unit = {
     val cleaned = graft.operators.TextAnalysis
       .c4LineFilters(docs.select("url", "text"), "text")
       .filter(col("page_keep"))
       .select(col("url"), col("clean_text").as("text"))
+    // C4's badwords rule, word-boundary exact, applied to the CLEANED
+    // text (the lines the page actually keeps — boilerplate that the
+    // line filter already discarded cannot block a page). Off when
+    // both lists are empty; every existing drain is unchanged.
+    val unblocked =
+      if (blockTerms.isEmpty && blockPhrases.isEmpty) cleaned
+      else graft.operators.TextAnalysis
+        .blocklistFilter(cleaned, "text", blockTerms, blockPhrases)
+        .filter(col("keep"))
+        .select("url", "text")
     val quality = graft.operators.TextAnalysis
-      .gopherQualityRules(cleaned, "text",
+      .gopherQualityRules(unblocked, "text",
         minWords = minWords, minStopKinds = minStopKinds)
       .filter(col("keep"))
       .select("url", "text")
@@ -341,7 +359,9 @@ object CorpusStream {
       shingleN: Int = 3, k: Int = 64, bands: Int = 16,
       compactEvery: Int = 0,
       bigramRefDir: String = null,
-      minAvgLogprob: Double = 0.0): StreamingQuery =
+      minAvgLogprob: Double = 0.0,
+      blockTerms: Seq[String] = Nil,
+      blockPhrases: Seq[String] = Nil): StreamingQuery =
     graft.sources.WarcReader.readStream(spark, warcDir, glob)
       .filter(col("warc_type") === "response" &&
         col("http_status") === 200 &&
@@ -359,7 +379,8 @@ object CorpusStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         curatedFuzzyBatch(spark, model, outDir, bandIndexDir,
           minWords, minStopKinds, shingleN, k, bands, compactEvery,
-          bigramRefDir, minAvgLogprob)(batch, batchId)
+          bigramRefDir, minAvgLogprob, blockTerms, blockPhrases)(
+          batch, batchId)
       }
       .start()
 
@@ -372,7 +393,8 @@ object CorpusStream {
       minWords: Int, minStopKinds: Int,
       shingleN: Int, k: Int, bands: Int,
       compactEvery: Int = 0,
-      bigramRefDir: String = null, minAvgLogprob: Double = 0.0)(
+      bigramRefDir: String = null, minAvgLogprob: Double = 0.0,
+      blockTerms: Seq[String] = Nil, blockPhrases: Seq[String] = Nil)(
       batch: DataFrame, batchId: Long): Unit = {
     val docs = oneRowPerUrl(batch)
     if (!docs.isEmpty) graft.operators.CacheRegistry.scope {
@@ -385,7 +407,8 @@ object CorpusStream {
         .write.mode("overwrite")
         .parquet(s"$bandIndexDir/batch_id=$batchId")
       curateAndWrite(model, outDir, minWords, minStopKinds,
-        bigramRefDir, minAvgLogprob)(novel, batchId)
+        bigramRefDir, minAvgLogprob, blockTerms, blockPhrases)(
+        novel, batchId)
       maybeCompact(spark, Seq(bandIndexDir, outDir), compactEvery, batchId)
     }
   }

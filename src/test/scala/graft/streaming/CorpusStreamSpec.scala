@@ -628,4 +628,64 @@ class CorpusStreamSpec extends SparkSpec {
       == snap, "replay of the triggering drain must leave state identical")
     CacheRegistry.drain()
   }
+
+  test("curated drain with the blocklist gate: a page whose CLEANED " +
+      "text carries a blocked term or phrase never lands, the same " +
+      "pages land with the gate off, a blocked word that only appears " +
+      "in a C4-discarded line cannot block, and gated replay stays " +
+      "byte-identical") {
+    val session = spark
+    import session.implicits._
+    val model = Bpe.learnMerges(
+      Seq("abab abab bc cc ab", "bc bc abab cc a b c").toDF("text"),
+      "text", numMerges = 4)
+    // all four pass C4 (3 proper >= 5-word sentences) and Gopher
+    // (>= 12 words, a stopword)
+    def page(mid: String) = Seq(
+      "the quick brown fox jumps over the lazy dog today.",
+      mid,
+      "And here is the third proper sentence.").mkString("\n")
+    val cleanDoc = page("Here is the second proper sentence now.")
+    val termDoc = page("Here is the contraband second sentence now.")
+    val phraseDoc = page("Here is the truly bad phrase sentence now.")
+    // "contraband" alone on a line: dropped by the C4 line filter
+    // (no terminal punctuation, < 5 words) BEFORE the blocklist sees it
+    val boilerDoc = Seq(
+      "the quick brown fox jumps over the lazy dog today.",
+      "contraband",
+      "Here is the second proper sentence now.",
+      "And here is the third proper sentence.").mkString("\n")
+    def docsDf() = Seq(
+      ("https://x.example/p/clean", cleanDoc),
+      ("https://x.example/p/term", termDoc),
+      ("https://x.example/p/phrase", phraseDoc),
+      ("https://x.example/p/boiler", boilerDoc)).toDF("url", "text")
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+    def urls(dir: java.nio.file.Path): Set[String] =
+      spark.read.parquet(dir.toString).select("url").collect()
+        .map(_.getString(0)).toSet
+    // gate OFF: all four land
+    val plain = java.nio.file.Files.createTempDirectory("blk-plain")
+    CorpusStream.curatedBatch(spark, model, plain.toString, 12, 1)(
+      docsDf(), 0L)
+    assert(urls(plain).size == 4, s"${urls(plain)}")
+    // gate ON: the term page and the phrase page are rejected; the
+    // page whose blocked word lived only in boilerplate still lands
+    val gated = java.nio.file.Files.createTempDirectory("blk-gated")
+    def gatedDrain(): Unit =
+      CorpusStream.curatedBatch(spark, model, gated.toString, 12, 1,
+        compactEvery = 0, bigramRefDir = null, minAvgLogprob = 0.0,
+        blockTerms = Seq("contraband"), blockPhrases = Seq("bad phrase"))(
+        docsDf(), 0L)
+    gatedDrain()
+    assert(urls(gated) == Set("https://x.example/p/clean",
+      "https://x.example/p/boiler"), s"${urls(gated)}")
+    val snap = spark.read.parquet(gated.toString).collect()
+      .map(_.toString).sorted.toSeq
+    gatedDrain()
+    val again = spark.read.parquet(gated.toString).collect()
+      .map(_.toString).sorted.toSeq
+    assert(again == snap, "gated replay must rewrite, not change")
+    CacheRegistry.drain()
+  }
 }
