@@ -430,4 +430,42 @@ class PlanQualitySpec extends SparkSpec {
         plan.toString.linesIterator.take(12).mkString("\n"))
     graft.operators.CacheRegistry.drain()
   }
+
+  test("blocklistFilter is a pure per-row projection: no Exchange " +
+      "anywhere in the plan") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = executed(graft.operators.TextAnalysis.blocklistFilter(
+      docs, "text", Seq("slow"), Seq("hash join"))).toString
+    assert(!p.contains("Exchange"), p.linesIterator.take(25).mkString("\n"))
+  }
+
+  test("bm25TopK broadcasts the query-term table (tf collapses before " +
+      "the corpus-wide aggregates) and plans no cartesian product") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = executed(graft.operators.TfIdf.bm25TopK(
+      docs, "doc_id", "text",
+      Seq("q1" -> "hash join", "q2" -> "slow scan"), k = 5)).toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("prototypeFilter assigns and ranks with ONE shuffle: a single " +
+      "hash Exchange on cluster shared by both windows, distance as a " +
+      "per-row expression (no explode, no distance join)") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val plan = executed(graft.operators.KMeans.prototypeFilter(
+      emb, "vec_id", "embedding", k = 4, iters = 1, dropFrac = 0.25))
+    val shuffles = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.length == 1,
+      s"want exactly 1 shuffle, got ${shuffles.length}:\n" +
+        plan.toString.linesIterator.take(25).mkString("\n"))
+    assert(shuffles.head.outputPartitioning.toString.contains("cluster"),
+      shuffles.head.outputPartitioning.toString)
+    val s = plan.toString
+    assert(s.contains("grid_dist_to"), "distance must be the per-row expr")
+    assert(!s.contains("Generate"), "no explode in the distance path")
+    graft.operators.CacheRegistry.drain()
+  }
 }
