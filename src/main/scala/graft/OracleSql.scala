@@ -2582,6 +2582,43 @@ object OracleSql {
         |    round(qsim, 6), round(mmr, 6) FROM s5)
         |ORDER BY rank""".stripMargin,
 
+    // q149: q139's reference scoring + the SQL-standard ntile(3) rule
+    // per language over (score desc, doc_id)
+    "q149_perplexity_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split(text, ' '), w -> w <> '') AS ts
+        |  FROM documents),
+        |ref AS (SELECT ts FROM toks
+        |  WHERE source IN ('src0','src1','src2','src3','src4')),
+        |rbig AS (
+        |  SELECT ts[i] AS w1, ts[i + 1] AS w2
+        |  FROM (SELECT ts, unnest(range(1, len(ts))) AS i
+        |        FROM ref WHERE len(ts) >= 2)),
+        |cu AS (SELECT w1, count(*) AS cu FROM rbig GROUP BY w1),
+        |cb AS (SELECT w1, w2, count(*) AS cb FROM rbig GROUP BY w1, w2),
+        |v AS (SELECT count(DISTINCT w) AS v
+        |      FROM (SELECT unnest(ts) AS w FROM ref)),
+        |big AS (
+        |  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
+        |        FROM toks WHERE len(ts) >= 2)),
+        |scored AS (
+        |  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    round(CAST(SUM(CAST(ln((COALESCE(cb.cb, 0) + CAST(0.4 AS DOUBLE))
+        |        / (COALESCE(cu.cu, 0) + CAST(0.4 AS DOUBLE) * v.v))
+        |      AS DECIMAL(18,12))) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE), 6) AS avg_logprob
+        |  FROM big b
+        |  LEFT JOIN cb ON b.w1 = cb.w1 AND b.w2 = cb.w2
+        |  LEFT JOIN cu ON b.w1 = cu.w1
+        |  CROSS JOIN v GROUP BY b.doc_id)
+        |SELECT s.doc_id, d.lang, s.n_bigrams, s.avg_logprob,
+        |  CAST(ntile(3) OVER (PARTITION BY d.lang
+        |    ORDER BY s.avg_logprob DESC, s.doc_id) AS BIGINT) AS bucket
+        |FROM scored s JOIN documents d USING (doc_id)
+        |ORDER BY s.doc_id""".stripMargin,
+
     // q138: the byte-level round-trip contract decode(encode(x)) ==
     // pretokenized(x) collapses the whole BPE pipeline out of the
     // oracle — this SQL replays ONLY the GPT-2-style regex split

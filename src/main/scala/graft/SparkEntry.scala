@@ -2546,6 +2546,26 @@ object SparkEntry {
       .orderBy("rank")
   }
 
+  /** CCNet head/middle/tail buckets
+    * ([[graft.operators.TextAnalysis.perplexityBuckets]]): q139's
+    * reference-model scoring, then per-LANGUAGE ntile(3) tiles over
+    * (score desc, id) — bucket 1 = most reference-like. The oracle
+    * replays the scoring and the SQL-standard tile rule.
+    */
+  private def q149(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d).select("doc_id", "lang", "source", "text")
+    val ref = dd.filter(col("source")
+      .isin("src0", "src1", "src2", "src3", "src4")).select("text")
+    val scored = TextAnalysis.bigramLogProbUnder(
+      ref, dd, "doc_id", "text", alpha = 0.4)
+    TextAnalysis.perplexityBuckets(
+        scored.join(dd.select("doc_id", "lang"), Seq("doc_id")),
+        "lang", "doc_id", "avg_logprob", buckets = 3)
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        col("avg_logprob"), col("bucket"))
+      .orderBy("doc_id")
+  }
+
   /** End-to-end corpus-construction pipeline — the composition every
     * training-data run executes as ONE declarative plan: quality gate
     * ([[graft.operators.TextAnalysis.qualityFeatures]]) → exact dedup
@@ -2807,6 +2827,7 @@ object SparkEntry {
     "q146_prototype_filter" -> (q146(_, _)),
     "q147_dsir_selection" -> (q147(_, _)),
     "q148_mmr_rerank" -> (q148(_, _)),
+    "q149_perplexity_buckets" -> (q149(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -767,4 +767,29 @@ object TextAnalysis {
             col(idCol).cast("long") > col("__cut.__id")))
       .drop("__cut")
   }
+
+  /** CCNet head/middle/tail buckets (Wenzek et al. 2020 §4.3): within
+    * each GROUP (CCNet buckets per language), rank documents by score
+    * descending and split into `buckets` equal-population tiles —
+    * bucket 1 is the head (most reference-like), bucket `buckets` the
+    * tail. The complement of [[perplexityFilter]]'s hard gate: CCNet
+    * ships all three tiers and lets the consumer choose the mix.
+    *
+    * `ntile` with a total order (`score desc, id asc`) is exactly the
+    * SQL-standard tile rule — bucket sizes differ by at most one,
+    * larger buckets first — so the assignment is deterministic and
+    * cross-engine exact. One shuffle on the group key; groups are
+    * languages (dozens), so per-group windows parallelize across the
+    * cluster while each stays a single partition's sort — for a
+    * HIGH-CARDINALITY group column prefer the [[perplexityFilter]]
+    * histogram selection per group instead.
+    */
+  def perplexityBuckets(scored: DataFrame, groupCol: String,
+      idCol: String, scoreCol: String, buckets: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(buckets > 0, s"buckets=$buckets must be positive")
+    scored.withColumn("bucket",
+      ntile(buckets).over(Window.partitionBy(col(groupCol))
+        .orderBy(col(scoreCol).desc, col(idCol).asc)).cast("long"))
+  }
 }
