@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators — the write-ONCE passes a 100 TB corpus runs so
+  * that every later scan reads only the slice it needs (the layout
+  * design the reference side-steps by holding one period in memory,
+  * services/data_reader.py; at corpus scale the layout IS the index).
+  *
+  *  - [[writeRangeSorted]]: global range-partition + in-file sort on a
+  *    key. Every output file then covers a (near-)disjoint key range,
+  *    so parquet footer min/max statistics act as zone maps: a range
+  *    predicate prunes whole row groups at read time — I/O follows the
+  *    selected range, not the corpus. This composes with (not replaces)
+  *    hash BUCKETING (plans/BucketedJoinSpec): bucketing co-locates
+  *    equi-JOIN keys; range-sorting serves range SCANS.
+  *  - [[fileStats]]: the auditing half — per-file footer min/max/rows
+  *    for an INT64 column via the parquet-hadoop API, so a layout job
+  *    can PROVE its ranges are disjoint (and a spec can pin it)
+  *    instead of trusting the writer.
+  */
+object Layout {
+
+  /** Write `df` as parquet range-sorted by `sortCol`: rows land in
+    * `numFiles` range partitions (Spark samples range bounds — the
+    * only full-data pass) and each file is internally sorted, so
+    * footer min/max are tight and files overlap at most at sampled
+    * boundary duplicates. Deterministic content given a deterministic
+    * input ordering of equal keys (ties keep arrival order within a
+    * partition; add a tiebreak column to `sortCol`s for total
+    * determinism).
+    */
+  def writeRangeSorted(df: DataFrame, path: String, numFiles: Int,
+      sortCols: String*): Unit = {
+    require(numFiles > 0, s"numFiles=$numFiles must be positive")
+    require(sortCols.nonEmpty, "writeRangeSorted needs at least one sort column")
+    val cols = sortCols.map(col)
+    df.repartitionByRange(numFiles, cols: _*)
+      .sortWithinPartitions(cols: _*)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Per-file parquet footer statistics for an INT64 column:
+    * (fileName, min, max, numRows), fileName-sorted. Reads ONLY
+    * footers (metadata I/O, no row decode) — cheap enough to audit a
+    * whole table after a layout job.
+    */
+  def fileStats(spark: SparkSession, path: String,
+      column: String): Seq[(String, Long, Long, Long)] = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    val files = fs.listStatus(dir).map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    files.toSeq.map { p =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+      try {
+        val blocks = reader.getFooter.getBlocks
+        var lo = Long.MaxValue
+        var hi = Long.MinValue
+        var rows = 0L
+        blocks.forEach { b =>
+          rows += b.getRowCount
+          b.getColumns.forEach { c =>
+            if (c.getPath.toDotString == column && c.getStatistics != null &&
+                !c.getStatistics.isEmpty) {
+              c.getStatistics.genericGetMin match {
+                case m: java.lang.Long => lo = math.min(lo, m.longValue())
+                case m: java.lang.Integer => lo = math.min(lo, m.longValue())
+                case _ => ()
+              }
+              c.getStatistics.genericGetMax match {
+                case m: java.lang.Long => hi = math.max(hi, m.longValue())
+                case m: java.lang.Integer => hi = math.max(hi, m.longValue())
+                case _ => ()
+              }
+            }
+          }
+        }
+        (p.getName, lo, hi, rows)
+      } finally reader.close()
+    }
+  }
+}
