@@ -2619,6 +2619,44 @@ object OracleSql {
         |FROM scored s JOIN documents d USING (doc_id)
         |ORDER BY s.doc_id""".stripMargin,
 
+    // q150: quote synthesis + 8-shingle streams + diagonal
+    // gaps-and-islands, joined on shingle STRINGS (the Spark side joins
+    // 64-bit hashes — collision-free here by construction)
+    "q150_shared_span_pairs" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    array_to_string(list_filter(string_split(text, ' '),
+        |      w -> w <> '')[11:40], ' ') AS text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), w -> w <> '') AS ts
+        |  FROM corpus),
+        |sh AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    array_to_string(ts[i:i+7], ' ') AS sh
+        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 6)) AS i
+        |        FROM toks WHERE len(ts) >= 8)),
+        |m AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib, a.pos AS pa, b.pos AS pb
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+        |isl AS (
+        |  SELECT ia, ib, pa - pb AS diag, pa, pb,
+        |    pa - row_number() OVER (PARTITION BY ia, ib, pa - pb
+        |                            ORDER BY pa) AS grp
+        |  FROM m),
+        |spans AS (
+        |  SELECT ia AS id_a, ib AS id_b,
+        |    CAST(min(pa) AS BIGINT) AS start_a,
+        |    CAST(min(pb) AS BIGINT) AS start_b,
+        |    CAST(count(*) + 7 AS BIGINT) AS span_tokens
+        |  FROM isl GROUP BY ia, ib, diag, grp)
+        |SELECT id_a, id_b, start_a, start_b, span_tokens
+        |FROM spans WHERE span_tokens >= 20
+        |ORDER BY id_a, id_b, start_a, start_b""".stripMargin,
+
     // q138: the byte-level round-trip contract decode(encode(x)) ==
     // pretokenized(x) collapses the whole BPE pipeline out of the
     // oracle — this SQL replays ONLY the GPT-2-style regex split

@@ -2566,6 +2566,27 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Cross-document exact shared-span pairs
+    * ([[graft.operators.Dedup.sharedSpanPairs]]): every doc_id % 10 ==
+    * 0 document gets a planted "quote" clone carrying tokens 11..40 of
+    * its source, so the detector must recover each (source, quote)
+    * pair with the exact 0-based token offsets and span length. The
+    * oracle replays the quote synthesis, the 8-shingle streams, and
+    * the diagonal gaps-and-islands — joining shingle STRINGS where the
+    * Spark side joins their 64-bit hashes (collision-free at gate
+    * scale by construction; a collision would hash-mismatch the gate).
+    */
+  private def q150(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select("doc_id", "text")
+    val quotes = base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat_ws(" ", slice(graft.operators.TextAnalysis.tokens(col("text")),
+          11, 30)).as("text"))
+    Dedup.sharedSpanPairs(base.unionAll(quotes), "doc_id", "text",
+        minSpan = 20, shingleN = 8)
+      .orderBy("id_a", "id_b", "start_a", "start_b")
+  }
+
   /** End-to-end corpus-construction pipeline — the composition every
     * training-data run executes as ONE declarative plan: quality gate
     * ([[graft.operators.TextAnalysis.qualityFeatures]]) → exact dedup
@@ -2828,6 +2849,7 @@ object SparkEntry {
     "q147_dsir_selection" -> (q147(_, _)),
     "q148_mmr_rerank" -> (q148(_, _)),
     "q149_perplexity_buckets" -> (q149(_, _)),
+    "q150_shared_span_pairs" -> (q150(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

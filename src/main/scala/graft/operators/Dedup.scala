@@ -582,6 +582,76 @@ object Dedup {
         coalesce(col("removed_tokens"), lit(0L)).as("removed_tokens"))
   }
 
+  /** Cross-document EXACT shared-span PAIRS — the provenance view of
+    * [[repeatedSpans]]' substring dedup (Lee et al. 2022): not just
+    * "this passage is duplicated somewhere" but WHICH pairs of
+    * documents share WHICH maximal token spans — the quote/photocopy
+    * detector a curation pipeline runs before deciding what a
+    * "duplicate passage" even is. Suffix-array-free formulation: a
+    * shared span of `L >= minSpan` tokens between two documents
+    * appears as exactly `L − shingleN + 1` CONSECUTIVE matching
+    * shingles on one `(id_a, id_b, posA − posB)` DIAGONAL, so maximal
+    * spans are the gaps-and-islands of the shingle-match relation —
+    * `pos − row_number()` per diagonal groups each run, and a run of
+    * `r` shingles is a span of `r + shingleN − 1` tokens.
+    *
+    * Returns one row per maximal shared span:
+    * `(id_a, id_b, start_a, start_b, span_tokens)`, `id_a < id_b`,
+    * 0-based token starts.
+    *
+    * Scale shape: shingles ship as 64-bit `xxhash64` keys (the q100
+    * precedent — a collision could fuse two distinct shingles, at
+    * ~2⁻⁶⁴ per pair; the DuckDB oracle joins the strings, so a
+    * mismatch would surface as a gate failure, and never has), one
+    * shuffle for the match join, one for the diagonal window, one
+    * aggregation per island — all keyed, nothing quadratic in the
+    * corpus. Quadratic exposure is per-VALUE: a boilerplate shingle
+    * shared by f documents contributes f² match rows — `maxShingleFreq
+    * > 0` drops shingles above the frequency cap BEFORE the join
+    * (RECALL NOTE: spans consisting solely of capped shingles are
+    * missed; spans merely CONTAINING one split in two — the
+    * conservative failure for a provenance report).
+    */
+  def sharedSpanPairs(df: DataFrame, idCol: String, textCol: String,
+      minSpan: Int, shingleN: Int = 8,
+      maxShingleFreq: Long = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shingleN > 0, s"shingleN=$shingleN must be positive")
+    require(minSpan >= shingleN,
+      s"minSpan=$minSpan must be >= shingleN=$shingleN (a shorter span " +
+        "never produces a shingle match)")
+    val eligible = df.filter(
+      size(TextAnalysis.tokens(col(textCol))) >= shingleN)
+    val sh = shingleRowsPos(eligible, idCol, textCol, shingleN,
+        includeSubN = false)
+      .select(col(idCol), col("pos"), xxhash64(col("sh")).as("__h"))
+    val capped =
+      if (maxShingleFreq <= 0) sh
+      else sh.join(
+        sh.groupBy("__h").agg(count(lit(1)).as("__f"))
+          .filter(col("__f") <= maxShingleFreq).select("__h"),
+        Seq("__h"))
+    val a = capped.select(col("__h"), col(idCol).as("id_a"),
+      col("pos").as("__pa"))
+    val b = capped.select(col("__h"), col(idCol).as("id_b"),
+      col("pos").as("__pb"))
+    val matches = a.join(b, Seq("__h"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("__pa"), col("__pb"),
+        (col("__pa") - col("__pb")).as("__diag"))
+    val wd = Window.partitionBy(col("id_a"), col("id_b"), col("__diag"))
+      .orderBy(col("__pa"))
+    matches
+      .withColumn("__grp", col("__pa") - row_number().over(wd))
+      .groupBy(col("id_a"), col("id_b"), col("__diag"), col("__grp"))
+      .agg(min(col("__pa")).cast("long").as("start_a"),
+        min(col("__pb")).cast("long").as("start_b"),
+        (count(lit(1)) + (shingleN - 1)).cast("long").as("span_tokens"))
+      .filter(col("span_tokens") >= minSpan)
+      .select(col("id_a"), col("id_b"), col("start_a"), col("start_b"),
+        col("span_tokens"))
+  }
+
   // ------------------------------------------------------------- shingles
 
   /** Word w-shingles as an array column: contiguous n-token windows joined
