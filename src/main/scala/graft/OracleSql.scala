@@ -2657,6 +2657,59 @@ object OracleSql {
         |FROM spans WHERE span_tokens >= 20
         |ORDER BY id_a, id_b, start_a, start_b""".stripMargin,
 
+    // q151: stupid backoff replayed — four count relations over the
+    // reference stream, the identical CASE chain and IEEE
+    // parenthesization, decimal-summed per-position log-scores
+    "q151_trigram_backoff" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split(text, ' '), w -> w <> '') AS ts
+        |  FROM documents),
+        |ref AS (SELECT ts FROM toks
+        |  WHERE source IN ('src0','src1','src2','src3','src4')),
+        |rtri AS (
+        |  SELECT ts[i] AS w1, ts[i + 1] AS w2, ts[i + 2] AS w3
+        |  FROM (SELECT ts, unnest(range(1, len(ts) - 1)) AS i
+        |        FROM ref WHERE len(ts) >= 3)),
+        |rbig AS (
+        |  SELECT ts[i] AS w1, ts[i + 1] AS w2
+        |  FROM (SELECT ts, unnest(range(1, len(ts))) AS i
+        |        FROM ref WHERE len(ts) >= 2)),
+        |c3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM rtri
+        |       GROUP BY w1, w2, w3),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM rbig GROUP BY w1, w2),
+        |cbk AS (SELECT w1 AS u, w2 AS v, count(*) AS cb FROM rbig
+        |        GROUP BY w1, w2),
+        |c1 AS (SELECT w, count(*) AS c1
+        |       FROM (SELECT unnest(ts) AS w FROM ref) GROUP BY w),
+        |nv AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(count(DISTINCT w) AS BIGINT) AS v
+        |       FROM (SELECT unnest(ts) AS w FROM ref)),
+        |tg AS (
+        |  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2, ts[i + 2] AS w3
+        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i
+        |        FROM toks WHERE len(ts) >= 3)),
+        |lp AS (
+        |  SELECT t.doc_id,
+        |    CAST(ln(CASE WHEN c3.c3 IS NOT NULL
+        |      THEN CAST(c3.c3 AS DOUBLE) / CAST(c2.c2 AS DOUBLE)
+        |      ELSE 0.4 * (CASE WHEN cbk.cb IS NOT NULL
+        |        THEN CAST(cbk.cb AS DOUBLE) / CAST(cu.c1 AS DOUBLE)
+        |        ELSE 0.4 * ((CAST(COALESCE(c1.c1, 0) AS DOUBLE) + 0.4)
+        |          / (CAST(nv.n AS DOUBLE) + 0.4 * CAST(nv.v AS DOUBLE)))
+        |        END) END) AS DECIMAL(18,12)) AS lp
+        |  FROM tg t
+        |  LEFT JOIN c3 ON t.w1 = c3.w1 AND t.w2 = c3.w2 AND t.w3 = c3.w3
+        |  LEFT JOIN c2 ON t.w1 = c2.w1 AND t.w2 = c2.w2
+        |  LEFT JOIN cbk ON t.w2 = cbk.u AND t.w3 = cbk.v
+        |  LEFT JOIN c1 cu ON t.w2 = cu.w
+        |  LEFT JOIN c1 ON t.w3 = c1.w
+        |  CROSS JOIN nv)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+        |  round(CAST(SUM(lp) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |    AS avg_logprob
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // q138: the byte-level round-trip contract decode(encode(x)) ==
     // pretokenized(x) collapses the whole BPE pipeline out of the
     // oracle — this SQL replays ONLY the GPT-2-style regex split

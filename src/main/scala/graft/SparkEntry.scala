@@ -2587,6 +2587,22 @@ object SparkEntry {
       .orderBy("id_a", "id_b", "start_a", "start_b")
   }
 
+  /** Trigram stupid-backoff scoring
+    * ([[graft.operators.TextAnalysis.trigramLogProbUnder]]): q139's
+    * curated-source reference, order-3 counts with λ=0.4 backoff
+    * through bigram to the α-smoothed unigram floor; same decimal
+    * summation rule as the bigram path. The oracle replays all four
+    * count relations and the backoff CASE chain.
+    */
+  private def q151(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d).select("doc_id", "source", "text")
+    val ref = dd.filter(col("source")
+      .isin("src0", "src1", "src2", "src3", "src4")).select("text")
+    TextAnalysis.trigramLogProbUnder(ref, dd, "doc_id", "text",
+        alpha = 0.4, backoff = 0.4)
+      .orderBy("doc_id")
+  }
+
   /** End-to-end corpus-construction pipeline — the composition every
     * training-data run executes as ONE declarative plan: quality gate
     * ([[graft.operators.TextAnalysis.qualityFeatures]]) → exact dedup
@@ -2850,6 +2866,7 @@ object SparkEntry {
     "q148_mmr_rerank" -> (q148(_, _)),
     "q149_perplexity_buckets" -> (q149(_, _)),
     "q150_shared_span_pairs" -> (q150(_, _)),
+    "q151_trigram_backoff" -> (q151(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -664,6 +664,86 @@ object TextAnalysis {
     scoreUnder(cu, cb, vocab, df, idCol, textCol, alpha)
   }
 
+  /** The per-doc adjacent-TRIGRAM long form `(keep..., w1, w2, w3)` —
+    * [[bigramsOf]]'s order-3 sibling.
+    */
+  private def trigramsOf(src: DataFrame, textCol: String,
+      keep: Seq[String]): DataFrame = {
+    val ts = tokens(col(textCol))
+    src.select(keep.map(col) :+ ts.as("__ts"): _*)
+      .filter(size(col("__ts")) >= 3)
+      .select(keep.map(col) :+ explode(transform(
+        sequence(lit(0), size(col("__ts")) - 3),
+        i => struct(
+          element_at(col("__ts"), i + 1).as("w1"),
+          element_at(col("__ts"), i + 2).as("w2"),
+          element_at(col("__ts"), i + 3).as("w3")))).as("__tg"): _*)
+      .select(keep.map(col) :+ col("__tg.w1").as("w1") :+
+        col("__tg.w2").as("w2") :+ col("__tg.w3").as("w3"): _*)
+  }
+
+  /** Trigram STUPID-BACKOFF scoring under a reference corpus (Brants
+    * et al. 2007, "Large Language Models in Machine Translation" — the
+    * web-scale LM recipe: no discounting, a fixed backoff factor, raw
+    * relative frequencies):
+    *
+    *   S(w3 | w1 w2) = c(w1w2w3)/c(w1w2)                if seen
+    *                 | λ · c(w2w3)/c(w2)                else if seen
+    *                 | λ · λ · (c(w3) + α)/(N + α·V)    else
+    *
+    * with λ = `backoff` (the paper's 0.4) and an α-smoothed unigram
+    * floor so out-of-reference words stay finite (the
+    * [[bigramLogProbUnder]] convention). Returns per doc
+    * `(n_trigrams, avg_logprob)` — mean `ln S` over positions 3..len,
+    * decimal-summed (order-free) and rounded to 6; docs with < 3
+    * tokens are outside the scored domain.
+    *
+    * Scale shape: counts are four aggregations over the reference
+    * stream (trigrams, bigrams keyed both ways, unigrams) + one
+    * broadcast (N, V) scalar row; scoring is left joins against those
+    * count relations at the score-corpus's trigram granularity — per
+    * shape identical to the proven bigram path, one extra join level.
+    */
+  def trigramLogProbUnder(train: DataFrame, df: DataFrame,
+      idCol: String, textCol: String, alpha: Double = 0.4,
+      backoff: Double = 0.4): DataFrame = {
+    require(alpha > 0, s"alpha=$alpha must be positive")
+    require(backoff > 0 && backoff <= 1,
+      s"backoff=$backoff must be in (0, 1]")
+    val tri = CacheRegistry.track(trigramsOf(train, textCol, Nil).persist())
+    val big = CacheRegistry.track(bigramsOf(train, textCol, Nil).persist())
+    val uni = train.select(explode(tokens(col(textCol))).as("__w"))
+    val c3 = tri.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("__c3"))
+    val c2 = big.groupBy("w1", "w2").agg(count(lit(1)).as("__c2"))
+    val cb = big.select(col("w1").as("w2"), col("w2").as("w3"))
+      .groupBy("w2", "w3").agg(count(lit(1)).as("__cb"))
+    val c1 = CacheRegistry.track(
+      uni.groupBy(col("__w")).agg(count(lit(1)).as("__c1")).persist())
+    val nv = uni.agg(count(lit(1)).as("__n"),
+      count_distinct(col("__w")).as("__v"))
+    val s = when(col("__c3").isNotNull,
+        col("__c3").cast("double") / col("__c2").cast("double"))
+      .otherwise(lit(backoff) * (
+        when(col("__cb").isNotNull,
+          col("__cb").cast("double") / col("__cu").cast("double"))
+          .otherwise(lit(backoff) *
+            ((coalesce(col("__c1"), lit(0L)).cast("double") + lit(alpha)) /
+              (col("__n").cast("double") +
+                lit(alpha) * col("__v").cast("double"))))))
+    trigramsOf(df, textCol, Seq(idCol))
+      .join(c3, Seq("w1", "w2", "w3"), "left")
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(cb, Seq("w2", "w3"), "left")
+      .join(c1.select(col("__w").as("w2"), col("__c1").as("__cu")),
+        Seq("w2"), "left")
+      .join(c1.select(col("__w").as("w3"), col("__c1")), Seq("w3"), "left")
+      .crossJoin(broadcast(nv))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"),
+        round(sum(log(s).cast(org.apache.spark.sql.types.DecimalType(18, 12)))
+          .cast("double") / count(lit(1)).cast("double"), 6).as("avg_logprob"))
+  }
+
   /** Persist a reference bigram model — the train-ONCE half of the
     * production CCNet lifecycle (the [[graft.operators.Bpe.saveModel]]
     * convention): context counts, bigram counts, and the vocabulary
