@@ -2710,6 +2710,49 @@ object OracleSql {
         |    AS avg_logprob
         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // q152: the closed-form waterfill — (count, lang)-sorted prefix
+    // sums locate the pivot (first group over its fair share); groups
+    // before it take everything, the rest take floor share (+1 apiece
+    // for the integer remainder, in sort order); per-group selection
+    // by (md5(id), id) rank
+    "q152_unimax_sample" ->
+      """WITH counts AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY lang),
+        |ord AS (
+        |  SELECT lang, c,
+        |    CAST(row_number() OVER (ORDER BY c, lang) AS BIGINT) AS i,
+        |    CAST(count(*) OVER () AS BIGINT) AS l,
+        |    CAST(sum(c) OVER (ORDER BY c, lang
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pre
+        |  FROM counts),
+        |cand AS (
+        |  SELECT *, CAST(floor(CAST(400 - (pre - c) AS DOUBLE)
+        |    / CAST(l - i + 1 AS DOUBLE)) AS BIGINT) AS t
+        |  FROM ord),
+        |piv AS (SELECT min(i) AS pi FROM cand WHERE c > t),
+        |pv AS (SELECT c2.i AS pi, c2.t AS pt, c2.pre - c2.c AS prepiv,
+        |         c2.l AS l
+        |       FROM cand c2 JOIN piv ON c2.i = piv.pi),
+        |alloc AS (
+        |  SELECT o.lang,
+        |    CASE WHEN p.pi IS NULL OR o.i < p.pi THEN o.c
+        |      ELSE p.pt + (CASE WHEN o.i - p.pi <
+        |          (400 - p.prepiv) - p.pt * (p.l - p.pi + 1)
+        |        THEN 1 ELSE 0 END) END AS alloc
+        |  FROM cand o LEFT JOIN pv p ON true),
+        |ranked AS (
+        |  SELECT d.lang, d.doc_id,
+        |    row_number() OVER (PARTITION BY d.lang
+        |      ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS r
+        |  FROM documents d),
+        |kept AS (
+        |  SELECT r.lang, r.doc_id, a.alloc
+        |  FROM ranked r JOIN alloc a USING (lang) WHERE r.r <= a.alloc)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(max(alloc) AS BIGINT) AS alloc, min(doc_id) AS min_id
+        |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
+
     // q138: the byte-level round-trip contract decode(encode(x)) ==
     // pretokenized(x) collapses the whole BPE pipeline out of the
     // oracle — this SQL replays ONLY the GPT-2-style regex split

@@ -2603,6 +2603,22 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** UniMax language sampling
+    * ([[graft.operators.Sampling.unimaxSample]]): budget 400 docs
+    * waterfilled uniformly across languages — every tail language
+    * contributes everything it has (fr 64 … zh 75 at sf0.01), the
+    * head language caps at the redistributed fair share. The oracle
+    * replays the prefix-sum waterfill pivot, the remainder rule, and
+    * the per-language md5-rank selection.
+    */
+  private def q152(s: SparkSession, d: String): DataFrame =
+    Sampling.unimaxSample(docs(s, d).select("doc_id", "lang"),
+        "doc_id", "lang", budget = 400L)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), max(col("alloc")).as("alloc"),
+        min(col("doc_id")).as("min_id"))
+      .orderBy("lang")
+
   /** End-to-end corpus-construction pipeline — the composition every
     * training-data run executes as ONE declarative plan: quality gate
     * ([[graft.operators.TextAnalysis.qualityFeatures]]) → exact dedup
@@ -2867,6 +2883,7 @@ object SparkEntry {
     "q149_perplexity_buckets" -> (q149(_, _)),
     "q150_shared_span_pairs" -> (q150(_, _)),
     "q151_trigram_backoff" -> (q151(_, _)),
+    "q152_unimax_sample" -> (q152(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

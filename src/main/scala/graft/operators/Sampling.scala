@@ -286,6 +286,70 @@ object Sampling {
       .drop("__wkey")
   }
 
+  /** UniMax language sampling (Chung et al. 2023, "UniMax: Fairer and
+    * More Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining"): distribute a total document `budget` UNIFORMLY
+    * across groups (languages), capped by what each group actually
+    * has — the closed-form waterfill. Head languages get the fair
+    * share, tail languages contribute everything they have, and the
+    * mass a tail language cannot absorb redistributes among the rest
+    * (temperature sampling's α-power compromise, q140, replaced by a
+    * hard uniform-up-to-cap rule).
+    *
+    * Exact allocation, all relational (groups sorted by (count, name);
+    * running prefix sums locate the waterfill pivot — the first group
+    * whose count exceeds `⌊remaining/groupsLeft⌋`; groups before it
+    * take everything, groups from it on take the floor share, and the
+    * integer remainder goes +1 apiece to the first capped groups in
+    * sort order). Within each group the kept documents are the
+    * `alloc` smallest `(md5(id), id)` — the deterministic
+    * content-hash "random" sample every split here uses. Returns the
+    * kept rows plus `alloc` (the group's allocation).
+    *
+    * Scale shape: the allocation math runs on the per-GROUP count
+    * relation (dozens of rows — two window passes over it); the
+    * corpus-side work is one rank-within-group window (one shuffle on
+    * the group key) and the rank ≤ alloc filter.
+    */
+  def unimaxSample(df: DataFrame, idCol: String, groupCol: String,
+      budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0, s"budget=$budget must be positive")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__c"))
+    val byC = Window.orderBy(col("__c"), col(groupCol))
+    val ord = counts
+      .withColumn("__i", row_number().over(byC).cast("long"))
+      .withColumn("__L", count(lit(1)).over(
+        Window.partitionBy()).cast("long"))
+      .withColumn("__pre", sum(col("__c")).over(
+        byC.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // fair share if the waterfill stopped at this row; exact-integer
+    // doubles (< 2^53), so floor is cross-engine identical
+    val t = floor((lit(budget) - (col("__pre") - col("__c"))).cast("double")
+      / (col("__L") - col("__i") + lit(1L)).cast("double")).cast("long")
+    val cand = ord.withColumn("__t", t)
+    val pivot = cand.filter(col("__c") > col("__t"))
+      .agg(min(struct(col("__i").as("pi"), col("__t").as("pt"),
+        (col("__pre") - col("__c")).as("prepiv"), col("__L").as("l")))
+        .as("__p"))
+    val alloc = cand.crossJoin(broadcast(pivot))
+      .withColumn("__rem",
+        (lit(budget) - col("__p.prepiv")) -
+          col("__p.pt") * (col("__p.l") - col("__p.pi") + lit(1L)))
+      .withColumn("alloc",
+        when(col("__p").isNull || col("__i") < col("__p.pi"), col("__c"))
+          .otherwise(col("__p.pt") +
+            when(col("__i") - col("__p.pi") < col("__rem"), lit(1L))
+              .otherwise(lit(0L))))
+      .select(col(groupCol), col("alloc"))
+    val rank = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__r", row_number().over(rank).cast("long"))
+      .join(broadcast(alloc), Seq(groupCol))
+      .filter(col("__r") <= col("alloc"))
+      .drop("__r")
+  }
+
   /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023):
     * score every document's mean bigram log-prob under a TARGET-domain
     * reference LM and under the RAW-corpus LM (both the proven
