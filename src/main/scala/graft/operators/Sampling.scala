@@ -381,9 +381,17 @@ object Sampling {
       idCol: String, textCol: String, n: Int,
       alpha: Double = 0.4): DataFrame = {
     require(n > 0, s"n=$n must be positive")
-    val st = TextAnalysis.bigramLogProbUnder(target, df, idCol, textCol, alpha)
+    // the score corpus's bigram explode runs ONCE and feeds both model
+    // scorings — at corpus scale the explode is the dominant scan, and
+    // scoring under k reference models must cost k join tails, not k
+    // full passes
+    val bigrams = CacheRegistry.track(
+      TextAnalysis.docBigrams(df, idCol, textCol).persist())
+    val (tcu, tcb, tv) = TextAnalysis.bigramModelStats(target, textCol)
+    val (rcu, rcb, rv) = TextAnalysis.bigramModelStats(raw, textCol)
+    val st = TextAnalysis.scoreUnderBigrams(tcu, tcb, tv, bigrams, idCol, alpha)
       .select(col(idCol), col("n_bigrams"), col("avg_logprob").as("__t"))
-    val sr = TextAnalysis.bigramLogProbUnder(raw, df, idCol, textCol, alpha)
+    val sr = TextAnalysis.scoreUnderBigrams(rcu, rcb, rv, bigrams, idCol, alpha)
       .select(col(idCol), col("avg_logprob").as("__r"))
     val h = conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10)
       .cast("long")

@@ -639,10 +639,21 @@ object TextAnalysis {
     */
   private def scoreUnder(cu: DataFrame, cb: DataFrame, vocab: DataFrame,
       df: DataFrame, idCol: String, textCol: String,
+      alpha: Double): DataFrame =
+    scoreUnderBigrams(cu, cb, vocab,
+      bigramsOf(df, textCol, Seq(idCol)), idCol, alpha)
+
+  /** [[scoreUnder]] over an ALREADY-BUILT per-doc bigram relation —
+    * so a caller scoring the same corpus under several reference
+    * models ([[graft.operators.Sampling.dsirSelect]]) pays the bigram
+    * explode ONCE, not once per model.
+    */
+  private[operators] def scoreUnderBigrams(cu: DataFrame, cb: DataFrame,
+      vocab: DataFrame, bigrams: DataFrame, idCol: String,
       alpha: Double): DataFrame = {
     val lp = log((coalesce(col("__cb"), lit(0L)) + lit(alpha)) /
       (coalesce(col("__cu"), lit(0L)) + lit(alpha) * col("__v")))
-    bigramsOf(df, textCol, Seq(idCol))
+    bigrams
       .join(cb, Seq("w1", "w2"), "left")
       .join(cu, Seq("w1"), "left")
       .crossJoin(broadcast(vocab))
@@ -652,15 +663,30 @@ object TextAnalysis {
           .cast("double") / count(lit(1)).cast("double"), 6).as("avg_logprob"))
   }
 
+  /** Reference-model count relations `(cu, cb, vocab)` of a training
+    * corpus — the build half of [[bigramLogProbUnder]], exposed so
+    * multi-model scorers assemble their own shared-bigram plans.
+    */
+  private[operators] def bigramModelStats(train: DataFrame,
+      textCol: String): (DataFrame, DataFrame, DataFrame) = {
+    val ref = CacheRegistry.track(
+      bigramsOf(train, textCol, Nil).persist())
+    (ref.groupBy("w1").agg(count(lit(1)).as("__cu")),
+      ref.groupBy("w1", "w2").agg(count(lit(1)).as("__cb")),
+      train.select(explode(tokens(col(textCol))).as("__w"))
+        .agg(count_distinct(col("__w")).as("__v")))
+  }
+
+  /** The per-doc adjacent-bigram relation, package-shared for
+    * multi-model scorers.
+    */
+  private[operators] def docBigrams(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = bigramsOf(df, textCol, Seq(idCol))
+
   def bigramLogProbUnder(train: DataFrame, df: DataFrame,
       idCol: String, textCol: String, alpha: Double = 0.4): DataFrame = {
     require(alpha > 0, s"alpha=$alpha must be positive")
-    val ref = CacheRegistry.track(
-      bigramsOf(train, textCol, Nil).persist())
-    val cu = ref.groupBy("w1").agg(count(lit(1)).as("__cu"))
-    val cb = ref.groupBy("w1", "w2").agg(count(lit(1)).as("__cb"))
-    val vocab = train.select(explode(tokens(col(textCol))).as("__w"))
-      .agg(count_distinct(col("__w")).as("__v"))
+    val (cu, cb, vocab) = bigramModelStats(train, textCol)
     scoreUnder(cu, cb, vocab, df, idCol, textCol, alpha)
   }
 
