@@ -2753,6 +2753,66 @@ object OracleSql {
         |  CAST(max(alloc) AS BIGINT) AS alloc, min(doc_id) AS min_id
         |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
 
+    // q153: the q82 chunk-slicing arithmetic (32-token windows, step
+    // 24) feeding the q145 BM25 body over chunk keys
+    "q153_chunk_retrieval" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), w -> w <> '') AS ts
+        |  FROM documents),
+        |chunks AS (
+        |  SELECT doc_id * 1000 + (i - 1) AS chunk_key,
+        |    array_to_string(ts[(i - 1) * 24 + 1 : (i - 1) * 24 + 32], ' ')
+        |      AS chunk_text
+        |  FROM (SELECT doc_id, ts, unnest(range(1,
+        |      CAST(greatest(1, ceil(CAST(len(ts) - 8 AS DOUBLE) / 24.0))
+        |        AS BIGINT) + 1)) AS i
+        |    FROM toks)),
+        |words AS (
+        |  SELECT chunk_key, word AS term
+        |  FROM (SELECT chunk_key,
+        |          unnest(string_split(lower(chunk_text), ' ')) AS word
+        |        FROM chunks)
+        |  WHERE word <> ''),
+        |tf AS (SELECT chunk_key, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM words GROUP BY chunk_key, term),
+        |qt AS (SELECT * FROM (VALUES
+        |  ('q_hash', 'hash'), ('q_hash', 'join'),
+        |  ('q_stream', 'window'), ('q_stream', 'agg'), ('q_stream', 'stream'))
+        |  AS t(query_id, term)),
+        |tfq AS (SELECT q.query_id, tf.chunk_key, tf.term, tf.tf
+        |        FROM tf JOIN qt q USING (term)),
+        |dfq AS (SELECT query_id, term, CAST(count(*) AS BIGINT) AS df_cnt
+        |        FROM tfq GROUP BY query_id, term),
+        |dl AS (SELECT chunk_key, CAST(count(*) AS BIGINT) AS dl
+        |       FROM words GROUP BY chunk_key),
+        |s AS (SELECT
+        |  CAST((SELECT count(DISTINCT chunk_key) FROM chunks) AS DOUBLE) AS n,
+        |  CAST((SELECT count(*) FROM words) AS DOUBLE)
+        |    / CAST((SELECT count(DISTINCT chunk_key) FROM chunks) AS DOUBLE)
+        |    AS avgdl),
+        |contrib AS (
+        |  SELECT t.query_id, t.chunk_key,
+        |    CAST((ln(1.0 + (s.n - CAST(d.df_cnt AS DOUBLE) + 0.5)
+        |                  / (CAST(d.df_cnt AS DOUBLE) + 0.5))
+        |        * (CAST(t.tf AS DOUBLE) * (1.2 + 1)))
+        |      / (CAST(t.tf AS DOUBLE)
+        |         + 1.2 * ((1.0 - 0.75)
+        |                  + 0.75 * (CAST(l.dl AS DOUBLE) / s.avgdl)))
+        |      AS DECIMAL(20,12)) AS c
+        |  FROM tfq t JOIN dfq d USING (query_id, term)
+        |  JOIN dl l USING (chunk_key) CROSS JOIN s),
+        |scored AS (
+        |  SELECT query_id, chunk_key, SUM(c) AS sc,
+        |    CAST(count(*) AS BIGINT) AS n_terms
+        |  FROM contrib GROUP BY query_id, chunk_key),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |            ORDER BY sc DESC, chunk_key) AS rn FROM scored)
+        |SELECT query_id, rn, chunk_key, n_terms,
+        |  round(CAST(sc AS DOUBLE), 6) AS score
+        |FROM ranked WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+
     // q138: the byte-level round-trip contract decode(encode(x)) ==
     // pretokenized(x) collapses the whole BPE pipeline out of the
     // oracle — this SQL replays ONLY the GPT-2-style regex split

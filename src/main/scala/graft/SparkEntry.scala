@@ -2619,6 +2619,25 @@ object SparkEntry {
         min(col("doc_id")).as("min_id"))
       .orderBy("lang")
 
+  /** Chunked BM25 retrieval — the RAG retrieval shape as ONE
+    * declarative composition: [[graft.operators.Packing.chunkTokens]]
+    * (32-token windows, 8 overlap) feeds
+    * [[graft.operators.TfIdf.bm25TopK]] over chunk keys, so queries
+    * rank passages, not whole documents. The oracle replays the
+    * chunk slicing arithmetic and the full BM25 body.
+    */
+  private def q153(s: SparkSession, d: String): DataFrame = {
+    val chunks = graft.operators.Packing.chunkTokens(
+        docs(s, d).select("doc_id", "text"), "doc_id", "text",
+        chunkSize = 32, overlap = 8)
+      .select((col("doc_id") * 1000 + col("chunk_id")).as("chunk_key"),
+        col("chunk_text"))
+    TfIdf.bm25TopK(chunks, "chunk_key", "chunk_text",
+        queries = Seq("q_hash" -> "hash join",
+          "q_stream" -> "window agg stream"), k = 5)
+      .orderBy("query_id", "rn")
+  }
+
   /** End-to-end corpus-construction pipeline — the composition every
     * training-data run executes as ONE declarative plan: quality gate
     * ([[graft.operators.TextAnalysis.qualityFeatures]]) → exact dedup
@@ -2884,6 +2903,7 @@ object SparkEntry {
     "q150_shared_span_pairs" -> (q150(_, _)),
     "q151_trigram_backoff" -> (q151(_, _)),
     "q152_unimax_sample" -> (q152(_, _)),
+    "q153_chunk_retrieval" -> (q153(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
