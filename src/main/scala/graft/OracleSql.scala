@@ -2813,6 +2813,54 @@ object OracleSql {
         |  round(CAST(sc AS DOUBLE), 6) AS score
         |FROM ranked WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
 
+    // q154: leak synthesis + cross-side 8-shingle match + diagonal
+    // gaps-and-islands (the q150 machinery, corpus x benchmark only)
+    "q154_span_decontamination" ->
+      """WITH bench AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 25),
+        |corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 25
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id,
+        |    array_to_string(list_filter(string_split(text, ' '),
+        |      w -> w <> '')[6:30], ' ') AS text
+        |  FROM documents WHERE doc_id < 25),
+        |ctoks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), w -> w <> '') AS ts
+        |  FROM corpus),
+        |btoks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), w -> w <> '') AS ts
+        |  FROM bench),
+        |csh AS (
+        |  SELECT doc_id AS corpus_id, i - 1 AS pc,
+        |    array_to_string(ts[i:i+7], ' ') AS sh
+        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 6)) AS i
+        |        FROM ctoks WHERE len(ts) >= 8)),
+        |bsh AS (
+        |  SELECT doc_id AS bench_id, i - 1 AS pb,
+        |    array_to_string(ts[i:i+7], ' ') AS sh
+        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 6)) AS i
+        |        FROM btoks WHERE len(ts) >= 8)),
+        |m AS (
+        |  SELECT c.corpus_id, b.bench_id, c.pc, b.pb
+        |  FROM csh c JOIN bsh b ON c.sh = b.sh),
+        |isl AS (
+        |  SELECT corpus_id, bench_id, pc - pb AS diag, pc, pb,
+        |    pc - row_number() OVER (PARTITION BY corpus_id, bench_id,
+        |      pc - pb ORDER BY pc) AS grp
+        |  FROM m),
+        |spans AS (
+        |  SELECT corpus_id, bench_id,
+        |    CAST(min(pc) AS BIGINT) AS start_corpus,
+        |    CAST(min(pb) AS BIGINT) AS start_bench,
+        |    CAST(count(*) + 7 AS BIGINT) AS span_tokens
+        |  FROM isl GROUP BY corpus_id, bench_id, diag, grp)
+        |SELECT corpus_id, bench_id, start_corpus, start_bench, span_tokens
+        |FROM spans WHERE span_tokens >= 20
+        |ORDER BY corpus_id, bench_id, start_corpus, start_bench""".stripMargin,
+
     // q138: the byte-level round-trip contract decode(encode(x)) ==
     // pretokenized(x) collapses the whole BPE pipeline out of the
     // oracle — this SQL replays ONLY the GPT-2-style regex split

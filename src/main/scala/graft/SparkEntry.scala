@@ -2638,6 +2638,26 @@ object SparkEntry {
       .orderBy("query_id", "rn")
   }
 
+  /** Span-level benchmark decontamination
+    * ([[graft.operators.Contamination.spanContamination]]): docs 0-24
+    * play the benchmark; the corpus is every other doc plus planted
+    * leaks carrying tokens 6..30 of each benchmark item. The detector
+    * must recover every leak with exact offsets and span length — and
+    * whatever natural ≥-20-token overlaps exist, which the oracle
+    * replays identically.
+    */
+  private def q154(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select("doc_id", "text")
+    val bench = base.filter(col("doc_id") < 25)
+    val leaks = bench.select((col("doc_id") + 2000000L).as("doc_id"),
+      concat_ws(" ", slice(graft.operators.TextAnalysis.tokens(col("text")),
+        6, 25)).as("text"))
+    val corpus = base.filter(col("doc_id") >= 25).unionAll(leaks)
+    graft.operators.Contamination.spanContamination(
+        corpus, bench, "doc_id", "text", minSpan = 20, shingleN = 8)
+      .orderBy("corpus_id", "bench_id", "start_corpus", "start_bench")
+  }
+
   /** End-to-end corpus-construction pipeline — the composition every
     * training-data run executes as ONE declarative plan: quality gate
     * ([[graft.operators.TextAnalysis.qualityFeatures]]) → exact dedup
@@ -2904,6 +2924,7 @@ object SparkEntry {
     "q151_trigram_backoff" -> (q151(_, _)),
     "q152_unimax_sample" -> (q152(_, _)),
     "q153_chunk_retrieval" -> (q153(_, _)),
+    "q154_span_decontamination" -> (q154(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -46,4 +46,53 @@ object Contamination {
       ngramOverlap(corpus, benchmark, idCol, textCol, shingleN, minShared)
         .select(col("corpus_id").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
+
+  /** SPAN-level contamination evidence — [[ngramOverlap]]'s count says
+    * "these two share k shingles"; this says WHERE and HOW LONG: every
+    * maximal contiguous token span the corpus document shares verbatim
+    * with a benchmark item (the consecutive-overlap criterion modern
+    * decontamination uses — e.g. PaLM/GPT-3-style ≥ L-token exact
+    * matches — rather than bag-of-shingles counts that fire on common
+    * phrases). The [[graft.operators.Dedup.sharedSpanPairs]] diagonal
+    * gaps-and-islands machinery, specialized to a CROSS-side join: the
+    * benchmark side is tiny by definition, so its shingle relation
+    * broadcasts and the corpus never pairs with itself — per-corpus-doc
+    * cost follows the benchmark hit rate, not the corpus.
+    *
+    * Returns one row per maximal shared span:
+    * `(corpus_id, bench_id, start_corpus, start_bench, span_tokens)`
+    * with `span_tokens >= minSpan`, 0-based token starts. Joining on
+    * shingle STRINGS (oracle-exact); pre-hash both sides at corpus
+    * scale (the [[ngramOverlap]] note).
+    */
+  def spanContamination(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, minSpan: Int,
+      shingleN: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shingleN > 0, s"shingleN=$shingleN must be positive")
+    require(minSpan >= shingleN,
+      s"minSpan=$minSpan must be >= shingleN=$shingleN")
+    val c = Dedup.shingleRowsPos(corpus, idCol, textCol, shingleN,
+        includeSubN = false)
+      .select(col(idCol).as("corpus_id"), col("pos").as("__pc"), col("sh"))
+    val b = Dedup.shingleRowsPos(benchmark, idCol, textCol, shingleN,
+        includeSubN = false)
+      .select(col(idCol).as("bench_id"), col("pos").as("__pb"), col("sh"))
+    val matches = c.join(broadcast(b), Seq("sh"))
+      .select(col("corpus_id"), col("bench_id"), col("__pc"), col("__pb"),
+        (col("__pc") - col("__pb")).as("__diag"))
+    val wd = Window
+      .partitionBy(col("corpus_id"), col("bench_id"), col("__diag"))
+      .orderBy(col("__pc"))
+    matches
+      .withColumn("__grp", col("__pc") - row_number().over(wd))
+      .groupBy(col("corpus_id"), col("bench_id"), col("__diag"),
+        col("__grp"))
+      .agg(min(col("__pc")).cast("long").as("start_corpus"),
+        min(col("__pb")).cast("long").as("start_bench"),
+        (count(lit(1)) + (shingleN - 1)).cast("long").as("span_tokens"))
+      .filter(col("span_tokens") >= minSpan)
+      .select(col("corpus_id"), col("bench_id"), col("start_corpus"),
+        col("start_bench"), col("span_tokens"))
+  }
 }

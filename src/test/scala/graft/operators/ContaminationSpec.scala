@@ -44,4 +44,37 @@ class ContaminationSpec extends SparkSpec {
     assert(out(3L).getAs[String]("top_bigram") == "go go")
     assert(out(3L).getAs[Long]("top_bigram_cnt") == 3L)
   }
+
+  test("spanContamination recovers a planted leak with exact offsets, " +
+      "never pairs corpus with corpus or bench with bench, and drops " +
+      "sub-minSpan overlaps") {
+    val session = spark
+    import session.implicits._
+    def words(r: Range): String = r.map(i => s"w$i").mkString(" ")
+    val bench = Seq(100L -> words(0 until 20)).toDF("doc_id", "text")
+    val corpus = Seq(
+      // tokens 5..14 of the benchmark item at corpus position 2
+      1L -> ("x0 x1 " + words(5 until 15) + " x2"),
+      // two corpus docs sharing 12 tokens with EACH OTHER but not
+      // with the benchmark — must not appear
+      2L -> words(50 until 62),
+      3L -> words(50 until 62),
+      // 5-token overlap with the benchmark: under minSpan
+      4L -> ("y0 " + words(0 until 5))
+    ).toDF("doc_id", "text")
+    val out = Contamination.spanContamination(corpus, bench,
+        "doc_id", "text", minSpan = 8, shingleN = 4)
+      .collect()
+    assert(out.length == 1, out.mkString(","))
+    val r = out.head
+    assert(r.getAs[Long]("corpus_id") == 1L)
+    assert(r.getAs[Long]("bench_id") == 100L)
+    assert(r.getAs[Long]("start_corpus") == 2L)
+    assert(r.getAs[Long]("start_bench") == 5L)
+    assert(r.getAs[Long]("span_tokens") == 10L)
+    intercept[IllegalArgumentException] {
+      Contamination.spanContamination(corpus, bench, "doc_id", "text",
+        minSpan = 2, shingleN = 4)
+    }
+  }
 }
