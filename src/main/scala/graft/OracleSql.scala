@@ -2861,6 +2861,77 @@ object OracleSql {
         |FROM spans WHERE span_tokens >= 20
         |ORDER BY corpus_id, bench_id, start_corpus, start_bench""".stripMargin,
 
+    // q155: q154's span evidence applied — anti-range token filter,
+    // ordered string_agg reassembly, token-counted removal
+    "q155_cut_contamination" ->
+      """WITH bench AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 25),
+        |corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 25
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id,
+        |    array_to_string(list_filter(string_split(text, ' '),
+        |      w -> w <> '')[6:30], ' ') AS text
+        |  FROM documents WHERE doc_id < 25),
+        |ctoks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), w -> w <> '') AS ts
+        |  FROM corpus),
+        |btoks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), w -> w <> '') AS ts
+        |  FROM bench),
+        |csh AS (
+        |  SELECT doc_id AS corpus_id, i - 1 AS pc,
+        |    array_to_string(ts[i:i+7], ' ') AS sh
+        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 6)) AS i
+        |        FROM ctoks WHERE len(ts) >= 8)),
+        |bsh AS (
+        |  SELECT doc_id AS bench_id, i - 1 AS pb,
+        |    array_to_string(ts[i:i+7], ' ') AS sh
+        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 6)) AS i
+        |        FROM btoks WHERE len(ts) >= 8)),
+        |m AS (
+        |  SELECT c.corpus_id, b.bench_id, c.pc, b.pb
+        |  FROM csh c JOIN bsh b ON c.sh = b.sh),
+        |isl AS (
+        |  SELECT corpus_id, bench_id, pc - pb AS diag, pc, pb,
+        |    pc - row_number() OVER (PARTITION BY corpus_id, bench_id,
+        |      pc - pb ORDER BY pc) AS grp
+        |  FROM m),
+        |spans AS (
+        |  SELECT corpus_id,
+        |    CAST(min(pc) AS BIGINT) AS start_corpus,
+        |    CAST(count(*) + 7 AS BIGINT) AS span_tokens
+        |  FROM isl GROUP BY corpus_id, bench_id, diag, grp
+        |  HAVING count(*) + 7 >= 20),
+        |ctokp AS (
+        |  SELECT doc_id, i - 1 AS pos, ts[i] AS tok
+        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i
+        |        FROM ctoks)),
+        |kept AS (
+        |  SELECT t.doc_id, t.pos, t.tok FROM ctokp t
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM spans s WHERE s.corpus_id = t.doc_id
+        |      AND t.pos >= s.start_corpus
+        |      AND t.pos < s.start_corpus + s.span_tokens)),
+        |agg AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+        |    CAST(count(*) AS BIGINT) AS kept
+        |  FROM kept GROUP BY doc_id),
+        |nsp AS (
+        |  SELECT corpus_id AS doc_id, CAST(count(*) AS BIGINT) AS n_spans
+        |  FROM spans GROUP BY corpus_id),
+        |ntok AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n FROM ctoks)
+        |SELECT ntok.doc_id,
+        |  COALESCE(agg.clean_text, '') AS clean_text,
+        |  CAST(COALESCE(nsp.n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(ntok.n - COALESCE(agg.kept, 0) AS BIGINT) AS removed_tokens
+        |FROM ntok
+        |LEFT JOIN agg ON agg.doc_id = ntok.doc_id
+        |LEFT JOIN nsp ON nsp.doc_id = ntok.doc_id
+        |ORDER BY ntok.doc_id""".stripMargin,
+
     // q138: the byte-level round-trip contract decode(encode(x)) ==
     // pretokenized(x) collapses the whole BPE pipeline out of the
     // oracle — this SQL replays ONLY the GPT-2-style regex split

@@ -2658,6 +2658,26 @@ object SparkEntry {
       .orderBy("corpus_id", "bench_id", "start_corpus", "start_bench")
   }
 
+  /** Surgical decontamination
+    * ([[graft.operators.Contamination.cutContamination]]): q154's
+    * corpus, but the leaked spans are CUT rather than the documents
+    * dropped — planted leak docs come back empty, naturally
+    * overlapping docs lose exactly their shared tokens, clean docs
+    * pass through in token normal form. The oracle replays the spans
+    * and an anti-range token filter with ordered string_agg.
+    */
+  private def q155(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select("doc_id", "text")
+    val bench = base.filter(col("doc_id") < 25)
+    val leaks = bench.select((col("doc_id") + 2000000L).as("doc_id"),
+      concat_ws(" ", slice(graft.operators.TextAnalysis.tokens(col("text")),
+        6, 25)).as("text"))
+    val corpus = base.filter(col("doc_id") >= 25).unionAll(leaks)
+    graft.operators.Contamination.cutContamination(
+        corpus, bench, "doc_id", "text", minSpan = 20, shingleN = 8)
+      .orderBy("doc_id")
+  }
+
   /** End-to-end corpus-construction pipeline — the composition every
     * training-data run executes as ONE declarative plan: quality gate
     * ([[graft.operators.TextAnalysis.qualityFeatures]]) → exact dedup
@@ -2925,6 +2945,7 @@ object SparkEntry {
     "q152_unimax_sample" -> (q152(_, _)),
     "q153_chunk_retrieval" -> (q153(_, _)),
     "q154_span_decontamination" -> (q154(_, _)),
+    "q155_cut_contamination" -> (q155(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

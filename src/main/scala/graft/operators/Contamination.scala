@@ -95,4 +95,49 @@ object Contamination {
       .select(col("corpus_id"), col("bench_id"), col("start_corpus"),
         col("start_bench"), col("span_tokens"))
   }
+
+  /** [[spanContamination]] APPLIED — surgical decontamination: instead
+    * of dropping every flagged document ([[decontaminated]]'s
+    * whole-doc rule), cut ONLY the leaked spans and keep the rest (the
+    * [[graft.operators.Dedup.cutRepeatedSpans]] convention: tokens
+    * re-joined with single spaces — the tokenizer's normal form; a doc
+    * that was one big leak comes back empty, not dropped). Overlapping
+    * spans from different benchmark items remove each token once —
+    * `removed_tokens` counts tokens, not span-length sums.
+    *
+    * Returns every corpus row as
+    * `(id, clean_text, n_spans, removed_tokens)`.
+    */
+  def cutContamination(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, minSpan: Int,
+      shingleN: Int = 8): DataFrame = {
+    val spans = CacheRegistry.track(
+      spanContamination(corpus, benchmark, idCol, textCol, minSpan,
+        shingleN).persist())
+    val stats = spans.groupBy(col("corpus_id"))
+      .agg(count(lit(1)).as("n_spans"))
+      .select(col("corpus_id").as(idCol), col("n_spans"))
+    val toks = corpus.select(col(idCol),
+      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val nTok = corpus.select(col(idCol),
+      size(TextAnalysis.tokens(col(textCol))).cast("long").as("__n"))
+    val kept = toks.join(spans,
+      toks(idCol) === spans("corpus_id") &&
+        col("pos") >= col("start_corpus") &&
+        col("pos") < col("start_corpus") + col("span_tokens"),
+      "left_anti")
+    val clean = kept.groupBy(idCol).agg(
+      array_join(transform(
+        sort_array(collect_list(struct(col("pos"), col("tok")))),
+        s => s.getField("tok")), " ").as("clean_text"),
+      count(lit(1)).as("__kept"))
+    nTok
+      .join(clean, Seq(idCol), "left")
+      .join(stats, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        (col("__n") - coalesce(col("__kept"), lit(0L)))
+          .as("removed_tokens"))
+  }
 }

@@ -77,4 +77,37 @@ class ContaminationSpec extends SparkSpec {
         minSpan = 2, shingleN = 4)
     }
   }
+
+  test("cutContamination removes exactly the leaked tokens (once, even " +
+      "under overlapping spans from two benchmark items), empties a " +
+      "whole-leak doc, and passes clean docs through in normal form") {
+    val session = spark
+    import session.implicits._
+    def words(r: Range): String = r.map(i => s"w$i").mkString(" ")
+    // two bench items OVERLAP on tokens 4..9 of the leaky corpus doc
+    val bench = Seq(
+      100L -> words(0 until 10),   // matches corpus tokens 2..11
+      101L -> words(6 until 16)    // matches corpus tokens 8..17
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      1L -> ("x0 x1 " + words(0 until 16) + " x2 x3"), // 20 tokens
+      2L -> words(0 until 10),                          // whole-doc leak
+      3L -> "c0  c1   c2 c3 c4 c5 c6 c7 c8"             // clean, messy ws
+    ).toDF("doc_id", "text")
+    val out = Contamination.cutContamination(corpus, bench,
+        "doc_id", "text", minSpan = 8, shingleN = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc 1: spans [2,12) and [8,18) -> union [2,18) = 16 tokens removed
+    assert(out(1L).getAs[Long]("n_spans") == 2L)
+    assert(out(1L).getAs[Long]("removed_tokens") == 16L)
+    assert(out(1L).getAs[String]("clean_text") == "x0 x1 x2 x3")
+    // doc 2 was one big leak: empty, not dropped
+    assert(out(2L).getAs[Long]("removed_tokens") == 10L)
+    assert(out(2L).getAs[String]("clean_text") == "")
+    // doc 3 untouched, whitespace-normalized
+    assert(out(3L).getAs[Long]("n_spans") == 0L)
+    assert(out(3L).getAs[Long]("removed_tokens") == 0L)
+    assert(out(3L).getAs[String]("clean_text") ==
+      "c0 c1 c2 c3 c4 c5 c6 c7 c8")
+  }
 }
