@@ -2932,6 +2932,61 @@ object OracleSql {
         |LEFT JOIN nsp ON nsp.doc_id = ntok.doc_id
         |ORDER BY ntok.doc_id""".stripMargin,
 
+    // q156: cross-side cosines (the q148 double folds), decimal-
+    // quantized k-neighborhood means, ratio margin, mutual top-1
+    "q156_bitext_mining" ->
+      """WITH va AS (SELECT vec_id AS id_left, embedding AS v
+        |  FROM embeddings WHERE vec_id < 250),
+        |vb AS (SELECT vec_id AS id_right, embedding AS v
+        |  FROM embeddings WHERE vec_id >= 250),
+        |pairs AS (
+        |  SELECT id_left, id_right,
+        |    CASE WHEN na > 0 AND nb > 0 THEN dot / (na * nb)
+        |         ELSE 0.0 END AS cos
+        |  FROM (
+        |    SELECT a.id_left, b.id_right,
+        |      list_sum(list_transform(range(1, len(a.v) + 1),
+        |        i -> CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE)))
+        |        AS dot,
+        |      sqrt(list_sum(list_transform(range(1, len(a.v) + 1),
+        |        i -> CAST(a.v[i] AS DOUBLE) * CAST(a.v[i] AS DOUBLE))))
+        |        AS na,
+        |      sqrt(list_sum(list_transform(range(1, len(b.v) + 1),
+        |        i -> CAST(b.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE))))
+        |        AS nb
+        |    FROM va a CROSS JOIN vb b)),
+        |ma AS (
+        |  SELECT id_left,
+        |    CAST(SUM(CAST(cos AS DECIMAL(18,12))) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE) AS m
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY id_left
+        |          ORDER BY cos DESC, id_right) AS rk FROM pairs)
+        |  WHERE rk <= 4 GROUP BY id_left),
+        |mb AS (
+        |  SELECT id_right,
+        |    CAST(SUM(CAST(cos AS DECIMAL(18,12))) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE) AS m
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY id_right
+        |          ORDER BY cos DESC, id_left) AS rk FROM pairs)
+        |  WHERE rk <= 4 GROUP BY id_right),
+        |sc AS (
+        |  SELECT p.id_left, p.id_right, p.cos,
+        |    p.cos / ((ma.m + mb.m) / 2.0) AS margin
+        |  FROM pairs p JOIN ma USING (id_left) JOIN mb USING (id_right)),
+        |fwd AS (
+        |  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY id_left
+        |    ORDER BY margin DESC, id_right) AS rf FROM sc) WHERE rf = 1),
+        |bwd AS (
+        |  SELECT id_left, id_right FROM (
+        |    SELECT id_left, id_right, row_number() OVER (PARTITION BY
+        |      id_right ORDER BY margin DESC, id_left) AS rb FROM sc)
+        |  WHERE rb = 1)
+        |SELECT f.id_left, f.id_right, round(f.cos, 6) AS cos,
+        |  round(f.margin, 6) AS margin
+        |FROM fwd f JOIN bwd USING (id_left, id_right)
+        |WHERE f.margin >= 1.0
+        |ORDER BY id_left, id_right""".stripMargin,
+
     // q138: the byte-level round-trip contract decode(encode(x)) ==
     // pretokenized(x) collapses the whole BPE pipeline out of the
     // oracle — this SQL replays ONLY the GPT-2-style regex split

@@ -2678,6 +2678,20 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Margin-based bitext mining ([[graft.operators.Ann.bitextMine]]):
+    * embeddings split into two sides (vec_id < / ≥ 250), k=4 ratio
+    * margin, mutual top-1, threshold 1.0. The oracle replays the
+    * cross-side cosines, both decimal-quantized neighborhood means,
+    * and both argmax directions.
+    */
+  private def q156(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d).select("vec_id", "embedding")
+    Ann.bitextMine(e.filter(col("vec_id") < 250),
+        e.filter(col("vec_id") >= 250), "vec_id", "embedding",
+        k = 4, threshold = 1.0)
+      .orderBy("id_left", "id_right")
+  }
+
   /** End-to-end corpus-construction pipeline — the composition every
     * training-data run executes as ONE declarative plan: quality gate
     * ([[graft.operators.TextAnalysis.qualityFeatures]]) → exact dedup
@@ -2946,6 +2960,7 @@ object SparkEntry {
     "q153_chunk_retrieval" -> (q153(_, _)),
     "q154_span_decontamination" -> (q154(_, _)),
     "q155_cut_contamination" -> (q155(_, _)),
+    "q156_bitext_mining" -> (q156(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -216,6 +216,75 @@ object Ann {
       .toDF("rank", idCol, "qsim", "mmr")
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk, ACL 2019,
+    * "Margin-based Parallel Corpus Mining with Multilingual Sentence
+    * Embeddings" — the LASER/CCMatrix alignment rule): a cross-side
+    * candidate pair (x, y) scores
+    *
+    *   margin(x, y) = cos(x, y) / ((meanK(x) + meanK(y)) / 2)
+    *
+    * where `meanK(v)` is the mean cosine of v's k nearest CROSS-side
+    * neighbors — the ratio margin that suppresses "hub" vectors close
+    * to everything. Mined pairs are the MUTUAL top-1 by (margin, id)
+    * with margin ≥ `threshold` (> 1 ⇒ the pair is closer than its
+    * neighborhoods' average — the paper's operating regime).
+    *
+    * Determinism: per-side neighborhood sums quantize each cosine to
+    * DECIMAL(18,12) before summation (order-free — the repo's
+    * cross-engine float rule), so means, margins, and both argmax
+    * selections replay exactly in the oracle.
+    *
+    * Scale shape: ONE cross-side scoring relation (right side
+    * broadcast; vectors projected away immediately — only (ids, cos)
+    * rows flow on) feeds the two neighborhood windows AND the two
+    * direction argmaxes, all partitioned by an id. This is the exact
+    * n_l × n_r tier; at corpus scale generate candidates with
+    * [[ivfTopK]]/[[Pq.ivfAdcTopK]] per side and feed the same margin
+    * tail.
+    */
+  def bitextMine(left: DataFrame, right: DataFrame, idCol: String,
+      vecCol: String, k: Int, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    require(k > 0, s"k=$k must be positive")
+    val a = left.select(col(idCol).cast("long").as("id_left"),
+      col(vecCol).cast("array<double>").as("__va"))
+    val b = right.select(col(idCol).cast("long").as("id_right"),
+      col(vecCol).cast("array<double>").as("__vb"))
+    val pairs = CacheRegistry.track(a.join(broadcast(b))
+      .select(col("id_left"), col("id_right"),
+        Dedup.cosine(col("__va"), col("__vb")).as("cos"))
+      .persist())
+    def meanTopK(keyCol: String, outCol: String): DataFrame = {
+      val other = if (keyCol == "id_left") "id_right" else "id_left"
+      val w = Window.partitionBy(col(keyCol))
+        .orderBy(col("cos").desc, col(other).asc)
+      pairs.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= k)
+        .groupBy(col(keyCol))
+        .agg((sum(col("cos").cast(DecimalType(18, 12))).cast("double") /
+          count(lit(1)).cast("double")).as(outCol))
+    }
+    val scored = pairs
+      .join(meanTopK("id_left", "__ma"), Seq("id_left"))
+      .join(meanTopK("id_right", "__mb"), Seq("id_right"))
+      .withColumn("margin",
+        col("cos") / ((col("__ma") + col("__mb")) / lit(2.0)))
+    val fwd = scored.withColumn("__rf", row_number().over(
+        Window.partitionBy(col("id_left"))
+          .orderBy(col("margin").desc, col("id_right").asc)))
+      .filter(col("__rf") === 1)
+    val bwd = scored.withColumn("__rb", row_number().over(
+        Window.partitionBy(col("id_right"))
+          .orderBy(col("margin").desc, col("id_left").asc)))
+      .filter(col("__rb") === 1)
+      .select(col("id_left"), col("id_right"))
+    fwd.join(bwd, Seq("id_left", "id_right"))
+      .filter(col("margin") >= threshold)
+      .select(col("id_left"), col("id_right"),
+        round(col("cos"), 6).as("cos"), round(col("margin"), 6).as("margin"))
+  }
+
   /** IVF query: score only rows in the `nprobe` cells nearest the query. */
   def ivfTopK(
       assigned: DataFrame, idCol: String, vecCol: String,
