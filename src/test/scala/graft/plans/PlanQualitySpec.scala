@@ -449,6 +449,25 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("bitextMine broadcasts the right side for the cross-side scoring " +
+      "(no CartesianProduct) and reuses ONE cached scoring relation " +
+      "for the means and both argmax directions") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val df = graft.operators.Ann.bitextMine(
+      emb.filter(col("vec_id") < 50), emb.filter(col("vec_id") >= 450),
+      "vec_id", "embedding", k = 2, threshold = 0.0)
+    val plan = executed(df)
+    val s = plan.toString
+    assert(!s.contains("CartesianProduct"), s.linesIterator.take(20).mkString("\n"))
+    val cached = plan.collect {
+      case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => c
+    }
+    // pairs feed margin + two means + fwd/bwd argmaxes — all must read
+    // the ONE persisted scoring relation, not recompute the n^2 scoring
+    assert(cached.length >= 4, s"InMemoryTableScans=${cached.length}")
+    graft.operators.CacheRegistry.drain()
+  }
+
   test("prototypeFilter assigns and ranks with ONE shuffle: a single " +
       "hash Exchange on cluster shared by both windows, distance as a " +
       "per-row expression (no explode, no distance join)") {
