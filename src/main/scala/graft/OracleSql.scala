@@ -2987,6 +2987,54 @@ object OracleSql {
         |WHERE f.margin >= 1.0
         |ORDER BY id_left, id_right""".stripMargin,
 
+    // q157: interpolated Kneser-Ney replayed — five count relations
+    // over the reference bigram stream, the identical discount /
+    // interpolation parenthesization, decimal-summed log-scores
+    "q157_kneser_ney" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split(text, ' '), w -> w <> '') AS ts
+        |  FROM documents),
+        |ref AS (SELECT ts FROM toks
+        |  WHERE source IN ('src0','src1','src2','src3','src4')),
+        |rbig AS (
+        |  SELECT ts[i] AS w1, ts[i + 1] AS w2
+        |  FROM (SELECT ts, unnest(range(1, len(ts))) AS i
+        |        FROM ref WHERE len(ts) >= 2)),
+        |cb AS (SELECT w1, w2, count(*) AS cb FROM rbig GROUP BY w1, w2),
+        |cuf AS (SELECT w1, count(*) AS cu, count(DISTINCT w2) AS f
+        |        FROM rbig GROUP BY w1),
+        |pred AS (SELECT w2, count(DISTINCT w1) AS p FROM rbig GROUP BY w2),
+        |tv AS (SELECT
+        |  CAST((SELECT count(*) FROM (SELECT DISTINCT w1, w2 FROM rbig))
+        |    AS BIGINT) AS t,
+        |  CAST((SELECT count(DISTINCT w)
+        |        FROM (SELECT unnest(ts) AS w FROM ref)) AS BIGINT) AS v),
+        |big AS (
+        |  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
+        |        FROM toks WHERE len(ts) >= 2)),
+        |lp AS (
+        |  SELECT b.doc_id,
+        |    CAST(ln(CASE WHEN cuf.cu IS NOT NULL THEN
+        |      (greatest(CAST(COALESCE(cb.cb, 0) AS DOUBLE) - 0.75, 0.0)
+        |        / CAST(cuf.cu AS DOUBLE))
+        |      + ((0.75 * CAST(cuf.f AS DOUBLE) / CAST(cuf.cu AS DOUBLE))
+        |         * ((CAST(COALESCE(pred.p, 0) AS DOUBLE) + 0.4)
+        |            / (CAST(tv.t AS DOUBLE) + 0.4 * CAST(tv.v AS DOUBLE))))
+        |      ELSE ((CAST(COALESCE(pred.p, 0) AS DOUBLE) + 0.4)
+        |            / (CAST(tv.t AS DOUBLE) + 0.4 * CAST(tv.v AS DOUBLE)))
+        |      END) AS DECIMAL(18,12)) AS lp
+        |  FROM big b
+        |  LEFT JOIN cb ON b.w1 = cb.w1 AND b.w2 = cb.w2
+        |  LEFT JOIN cuf ON b.w1 = cuf.w1
+        |  LEFT JOIN pred ON b.w2 = pred.w2
+        |  CROSS JOIN tv)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(CAST(SUM(lp) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |    AS avg_logprob
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // q138: the byte-level round-trip contract decode(encode(x)) ==
     // pretokenized(x) collapses the whole BPE pipeline out of the
     // oracle — this SQL replays ONLY the GPT-2-style regex split

@@ -2692,6 +2692,22 @@ object SparkEntry {
       .orderBy("id_left", "id_right")
   }
 
+  /** Interpolated Kneser-Ney scoring
+    * ([[graft.operators.TextAnalysis.kneserNeyLogProbUnder]]): the
+    * q139 curated-source reference, D = 0.75 absolute discounting
+    * interpolated with α-smoothed continuation probabilities. The
+    * oracle replays all five count relations and the discount/
+    * interpolation arithmetic.
+    */
+  private def q157(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d).select("doc_id", "source", "text")
+    val ref = dd.filter(col("source")
+      .isin("src0", "src1", "src2", "src3", "src4")).select("text")
+    TextAnalysis.kneserNeyLogProbUnder(ref, dd, "doc_id", "text",
+        discount = 0.75, alpha = 0.4)
+      .orderBy("doc_id")
+  }
+
   /** End-to-end corpus-construction pipeline — the composition every
     * training-data run executes as ONE declarative plan: quality gate
     * ([[graft.operators.TextAnalysis.qualityFeatures]]) → exact dedup
@@ -2961,6 +2977,7 @@ object SparkEntry {
     "q154_span_decontamination" -> (q154(_, _)),
     "q155_cut_contamination" -> (q155(_, _)),
     "q156_bitext_mining" -> (q156(_, _)),
+    "q157_kneser_ney" -> (q157(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -770,6 +770,63 @@ object TextAnalysis {
           .cast("double") / count(lit(1)).cast("double"), 6).as("avg_logprob"))
   }
 
+  /** Interpolated KNESER-NEY bigram scoring under a reference corpus
+    * (Kneser & Ney 1995; the Chen & Goodman 1999 interpolated form —
+    * the strongest classical n-gram smoother, and the one KenLM-style
+    * perplexity filters actually ship):
+    *
+    *   P(w2 | w1) = max(c(w1w2) − D, 0)/c(w1·)
+    *              + (D · N1+(w1·)/c(w1·)) · Pcont(w2)
+    *
+    * with discount `D` (the standard 0.75) and the CONTINUATION
+    * probability `Pcont(w2) = (N1+(·w2) + α)/(N1+(··) + α·V)` —
+    * α-smoothed over distinct-predecessor counts so out-of-reference
+    * words keep finite mass (the open-vocabulary variant of the
+    * closed-vocab textbook formula; α = 0 recovers it on in-vocab
+    * words). An UNSEEN context (c(w1·) = 0) scores `Pcont(w2)`
+    * directly. Same decimal summation rule and `< 2 tokens → dropped`
+    * domain as [[bigramLogProbUnder]]; returns per doc
+    * `(n_bigrams, avg_logprob)`.
+    *
+    * Scale shape: five aggregations over the reference bigram stream
+    * (bigram counts, context counts + distinct followers in ONE agg,
+    * distinct predecessors, two broadcast scalars) and left joins at
+    * the score corpus's bigram granularity — the bigramLogProbUnder
+    * plan with one extra join.
+    */
+  def kneserNeyLogProbUnder(train: DataFrame, df: DataFrame,
+      idCol: String, textCol: String, discount: Double = 0.75,
+      alpha: Double = 0.4): DataFrame = {
+    require(discount > 0 && discount < 1,
+      s"discount=$discount must be in (0, 1)")
+    require(alpha > 0, s"alpha=$alpha must be positive")
+    val big = CacheRegistry.track(bigramsOf(train, textCol, Nil).persist())
+    val cb = big.groupBy("w1", "w2").agg(count(lit(1)).as("__cb"))
+    val cuf = big.groupBy("w1").agg(count(lit(1)).as("__cu"),
+      count_distinct(col("w2")).as("__f"))
+    val pred = big.groupBy("w2").agg(count_distinct(col("w1")).as("__p"))
+    val tv = big.agg(count_distinct(col("w1"), col("w2")).as("__t"))
+      .crossJoin(train.select(explode(tokens(col(textCol))).as("__w"))
+        .agg(count_distinct(col("__w")).as("__v")))
+    val pc = (coalesce(col("__p"), lit(0L)).cast("double") + lit(alpha)) /
+      (col("__t").cast("double") + lit(alpha) * col("__v").cast("double"))
+    val prob = when(col("__cu").isNotNull,
+      (greatest(coalesce(col("__cb"), lit(0L)).cast("double") - lit(discount),
+        lit(0.0)) / col("__cu").cast("double")) +
+        ((lit(discount) * col("__f").cast("double") /
+          col("__cu").cast("double")) * pc))
+      .otherwise(pc)
+    bigramsOf(df, textCol, Seq(idCol))
+      .join(cb, Seq("w1", "w2"), "left")
+      .join(cuf, Seq("w1"), "left")
+      .join(pred, Seq("w2"), "left")
+      .crossJoin(broadcast(tv))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(log(prob).cast(org.apache.spark.sql.types.DecimalType(18, 12)))
+          .cast("double") / count(lit(1)).cast("double"), 6).as("avg_logprob"))
+  }
+
   /** Persist a reference bigram model — the train-ONCE half of the
     * production CCNet lifecycle (the [[graft.operators.Bpe.saveModel]]
     * convention): context counts, bigram counts, and the vocabulary
