@@ -2710,6 +2710,114 @@ object OracleSql {
         |    AS avg_logprob
         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // q158: the four proven shapes chained — q27 quality counts, q144
+    // blocklist streams, q139 survivor-trained perplexity gate, q152
+    // waterfill over what remains; stage order is the check
+    "q158_curation_pipeline2" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, count(*) AS n_tokens,
+         |    count(CASE WHEN lower(word) IN $stop THEN 1 END) AS n_stop
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |        FROM documents)
+         |  WHERE word <> '' GROUP BY doc_id),
+         |keep AS (
+         |  SELECT d.doc_id, d.lang, d.source, d.text
+         |  FROM documents d JOIN w USING (doc_id)
+         |  WHERE w.n_tokens >= 30
+         |    AND CAST(w.n_stop AS DOUBLE) / CAST(w.n_tokens AS DOUBLE)
+         |        >= 0.04),
+         |blk AS (
+         |  SELECT k.doc_id, k.lang, k.source, k.text FROM keep k JOIN (
+         |    SELECT doc_id,
+         |      len(list_filter(bg, g -> list_contains(
+         |        ['slow scan', 'big table'], g))) AS ph
+         |    FROM (SELECT doc_id, ts,
+         |            list_transform(range(1, len(ts)),
+         |              i -> ts[i] || ' ' || ts[i + 1]) AS bg
+         |          FROM (SELECT doc_id,
+         |                  list_filter(string_split(lower(text), ' '),
+         |                    x -> x <> '') AS ts
+         |                FROM keep))) h USING (doc_id)
+         |  WHERE h.ph = 0),
+         |toksb AS (
+         |  SELECT doc_id, source,
+         |    list_filter(string_split(text, ' '), x -> x <> '') AS ts
+         |  FROM blk),
+         |refb AS (SELECT ts FROM toksb
+         |  WHERE source IN ('src0','src1','src2','src3','src4')),
+         |rbig AS (
+         |  SELECT ts[i] AS w1, ts[i + 1] AS w2
+         |  FROM (SELECT ts, unnest(range(1, len(ts))) AS i
+         |        FROM refb WHERE len(ts) >= 2)),
+         |cu AS (SELECT w1, count(*) AS cu FROM rbig GROUP BY w1),
+         |cb AS (SELECT w1, w2, count(*) AS cb FROM rbig GROUP BY w1, w2),
+         |v AS (SELECT count(DISTINCT x) AS v
+         |      FROM (SELECT unnest(ts) AS x FROM refb)),
+         |big AS (
+         |  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+         |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
+         |        FROM toksb WHERE len(ts) >= 2)),
+         |scoredq AS (
+         |  SELECT b.doc_id,
+         |    round(CAST(SUM(CAST(ln((COALESCE(cb.cb, 0)
+         |        + CAST(0.4 AS DOUBLE))
+         |        / (COALESCE(cu.cu, 0) + CAST(0.4 AS DOUBLE) * v.v))
+         |      AS DECIMAL(18,12))) AS DOUBLE)
+         |      / CAST(count(*) AS DOUBLE), 6) AS avg_logprob
+         |  FROM big b
+         |  LEFT JOIN cb ON b.w1 = cb.w1 AND b.w2 = cb.w2
+         |  LEFT JOIN cu ON b.w1 = cu.w1
+         |  CROSS JOIN v GROUP BY b.doc_id),
+         |kk AS (SELECT CAST(floor(0.25 * count(*)) AS BIGINT) AS k
+         |       FROM scoredq),
+         |cut AS (
+         |  SELECT r.avg_logprob AS ca, r.doc_id AS ci
+         |  FROM (SELECT *, row_number()
+         |          OVER (ORDER BY avg_logprob, doc_id) AS rn
+         |        FROM scoredq) r, kk
+         |  WHERE r.rn = kk.k),
+         |surv AS (
+         |  SELECT b.doc_id, b.lang FROM blk b
+         |  JOIN scoredq s ON s.doc_id = b.doc_id CROSS JOIN cut
+         |  WHERE s.avg_logprob > cut.ca
+         |     OR (s.avg_logprob = cut.ca AND s.doc_id > cut.ci)),
+         |counts AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS c
+         |  FROM surv GROUP BY lang),
+         |ord AS (
+         |  SELECT lang, c,
+         |    CAST(row_number() OVER (ORDER BY c, lang) AS BIGINT) AS i,
+         |    CAST(count(*) OVER () AS BIGINT) AS l,
+         |    CAST(sum(c) OVER (ORDER BY c, lang
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pre
+         |  FROM counts),
+         |cand AS (
+         |  SELECT *, CAST(floor(CAST(200 - (pre - c) AS DOUBLE)
+         |    / CAST(l - i + 1 AS DOUBLE)) AS BIGINT) AS t
+         |  FROM ord),
+         |piv AS (SELECT min(i) AS pi FROM cand WHERE c > t),
+         |pv AS (SELECT c2.i AS pi, c2.t AS pt, c2.pre - c2.c AS prepiv,
+         |         c2.l AS l
+         |       FROM cand c2 JOIN piv ON c2.i = piv.pi),
+         |alloc AS (
+         |  SELECT o.lang,
+         |    CASE WHEN p.pi IS NULL OR o.i < p.pi THEN o.c
+         |      ELSE p.pt + (CASE WHEN o.i - p.pi <
+         |          (200 - p.prepiv) - p.pt * (p.l - p.pi + 1)
+         |        THEN 1 ELSE 0 END) END AS alloc
+         |  FROM cand o LEFT JOIN pv p ON true),
+         |rankedv AS (
+         |  SELECT s.lang, s.doc_id,
+         |    row_number() OVER (PARTITION BY s.lang
+         |      ORDER BY md5(CAST(s.doc_id AS VARCHAR)), s.doc_id) AS r
+         |  FROM surv s),
+         |keptv AS (
+         |  SELECT r.lang, r.doc_id, a.alloc
+         |  FROM rankedv r JOIN alloc a USING (lang) WHERE r.r <= a.alloc)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+         |  CAST(max(alloc) AS BIGINT) AS alloc, min(doc_id) AS min_id
+         |FROM keptv GROUP BY lang ORDER BY lang""".stripMargin,
+
     // q152: the closed-form waterfill — (count, lang)-sorted prefix
     // sums locate the pivot (first group over its fair share); groups
     // before it take everything, the rest take floor share (+1 apiece

@@ -2708,6 +2708,39 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Modern curation pipeline v2 — this round's operators composed
+    * with the proven battery as ONE declarative plan, stage order
+    * load-bearing: quality gate (q27 shape) → word-boundary blocklist
+    * (q144) → perplexity gate trained on the SURVIVING curated-source
+    * slice (q139 — the reference model sees only post-gate text) →
+    * UniMax language budget (q152) over what remains. The oracle
+    * chains the four proven SQL shapes in sequence.
+    */
+  private def q158(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select("doc_id", "lang", "source", "text")
+    val quality = TextAnalysis.qualityFeatures(base, "text", stopwords)
+      .filter(col("n_tokens") >= 30 && col("stop_ratio") >= 0.04)
+      .select("doc_id", "lang", "source", "text")
+    val unblocked = TextAnalysis.blocklistFilter(quality, "text",
+        terms = Nil, phrases = Seq("slow scan", "big table"))
+      .filter(col("keep"))
+      .select("doc_id", "lang", "source", "text")
+    val ref = unblocked.filter(col("source")
+      .isin("src0", "src1", "src2", "src3", "src4")).select("text")
+    val scored = TextAnalysis.bigramLogProbUnder(
+      ref, unblocked, "doc_id", "text", alpha = 0.4)
+    val gate = TextAnalysis.perplexityFilter(scored, "doc_id",
+        "avg_logprob", dropFrac = 0.25)
+      .filter(col("keep")).select("doc_id")
+    val survivors = unblocked.join(gate, Seq("doc_id"), "left_semi")
+    Sampling.unimaxSample(survivors.select("doc_id", "lang"),
+        "doc_id", "lang", budget = 200L)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), max(col("alloc")).as("alloc"),
+        min(col("doc_id")).as("min_id"))
+      .orderBy("lang")
+  }
+
   /** End-to-end corpus-construction pipeline — the composition every
     * training-data run executes as ONE declarative plan: quality gate
     * ([[graft.operators.TextAnalysis.qualityFeatures]]) → exact dedup
@@ -2978,6 +3011,7 @@ object SparkEntry {
     "q155_cut_contamination" -> (q155(_, _)),
     "q156_bitext_mining" -> (q156(_, _)),
     "q157_kneser_ney" -> (q157(_, _)),
+    "q158_curation_pipeline2" -> (q158(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
