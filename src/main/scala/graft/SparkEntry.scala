@@ -2721,14 +2721,21 @@ object SparkEntry {
     val quality = TextAnalysis.qualityFeatures(base, "text", stopwords)
       .filter(col("n_tokens") >= 30 && col("stop_ratio") >= 0.04)
       .select("doc_id", "lang", "source", "text")
-    val unblocked = TextAnalysis.blocklistFilter(quality, "text",
-        terms = Nil, phrases = Seq("slow scan", "big table"))
-      .filter(col("keep"))
-      .select("doc_id", "lang", "source", "text")
+    // the gated corpus feeds the reference slice, the scoring pass,
+    // the final semi-join, AND perplexityFilter's multi-job selection
+    // — persist it once (and the scored relation) or every downstream
+    // job re-runs the whole quality+blocklist chain
+    val unblocked = graft.operators.CacheRegistry.track(
+      TextAnalysis.blocklistFilter(quality, "text",
+          terms = Nil, phrases = Seq("slow scan", "big table"))
+        .filter(col("keep"))
+        .select("doc_id", "lang", "source", "text")
+        .persist())
     val ref = unblocked.filter(col("source")
       .isin("src0", "src1", "src2", "src3", "src4")).select("text")
-    val scored = TextAnalysis.bigramLogProbUnder(
-      ref, unblocked, "doc_id", "text", alpha = 0.4)
+    val scored = graft.operators.CacheRegistry.track(
+      TextAnalysis.bigramLogProbUnder(
+        ref, unblocked, "doc_id", "text", alpha = 0.4).persist())
     val gate = TextAnalysis.perplexityFilter(scored, "doc_id",
         "avg_logprob", dropFrac = 0.25)
       .filter(col("keep")).select("doc_id")
