@@ -4338,5 +4338,51 @@ object OracleSql {
         |  GROUP BY 1, 2)
         |SELECT id_a, id_b, shared_shingles FROM pairs
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // per-(source/lang)-group gate: the q139 scoring replay, then the
+    // DIRECT per-group rank formulation (the distributed operator's
+    // histogram selection must agree with a plain partitioned
+    // row_number cutoff)
+    "q159_grouped_perplexity_gate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, source || '/' || lang AS grp,
+        |    list_filter(string_split(text, ' '), w -> w <> '') AS ts
+        |  FROM documents),
+        |ref AS (SELECT ts FROM toks
+        |  WHERE source IN ('src0','src1','src2','src3','src4')),
+        |rbig AS (
+        |  SELECT ts[i] AS w1, ts[i + 1] AS w2
+        |  FROM (SELECT ts, unnest(range(1, len(ts))) AS i
+        |        FROM ref WHERE len(ts) >= 2)),
+        |cu AS (SELECT w1, count(*) AS cu FROM rbig GROUP BY w1),
+        |cb AS (SELECT w1, w2, count(*) AS cb FROM rbig GROUP BY w1, w2),
+        |v AS (SELECT count(DISTINCT w) AS v
+        |      FROM (SELECT unnest(ts) AS w FROM ref)),
+        |big AS (
+        |  SELECT doc_id, grp, ts[i] AS w1, ts[i + 1] AS w2
+        |  FROM (SELECT doc_id, grp, ts, unnest(range(1, len(ts))) AS i
+        |        FROM toks WHERE len(ts) >= 2)),
+        |lp AS (
+        |  SELECT b.doc_id, b.grp,
+        |    CAST(ln((COALESCE(cb.cb, 0) + CAST(0.4 AS DOUBLE))
+        |      / (COALESCE(cu.cu, 0) + CAST(0.4 AS DOUBLE) * v.v))
+        |      AS DECIMAL(18,12)) AS lp
+        |  FROM big b
+        |  LEFT JOIN cb ON b.w1 = cb.w1 AND b.w2 = cb.w2
+        |  LEFT JOIN cu ON b.w1 = cu.w1
+        |  CROSS JOIN v),
+        |scored AS (
+        |  SELECT doc_id, grp,
+        |    round(CAST(SUM(lp) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |      AS avg_logprob
+        |  FROM lp GROUP BY doc_id, grp),
+        |g AS (SELECT grp, CAST(floor(0.25 * count(*)) AS BIGINT) AS k
+        |      FROM scored GROUP BY grp),
+        |r AS (SELECT scored.*, row_number()
+        |        OVER (PARTITION BY grp ORDER BY avg_logprob, doc_id) AS rn
+        |      FROM scored)
+        |SELECT r.doc_id, r.grp, r.avg_logprob, (r.rn > g.k) AS keep
+        |FROM r JOIN g USING (grp)
+        |ORDER BY r.doc_id""".stripMargin,
   )
 }

@@ -2748,6 +2748,30 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** Per-domain perplexity gate
+    * ([[graft.operators.TextAnalysis.groupedPerplexityFilter]]): the
+    * q139 reference-model scores gated INDEPENDENTLY inside every
+    * (source, lang) group — the per-domain quality floor a real
+    * corpus build applies so one over-represented domain's tail
+    * doesn't survive a global cutoff. 97 groups here; the operator's
+    * keyed histogram selection is built for millions. The oracle
+    * replays the scoring and ranks per group — the direct
+    * formulation the distributed operator avoids.
+    */
+  private def q159(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d).select(col("doc_id"), col("source"), col("text"),
+      concat_ws("/", col("source"), col("lang")).as("grp"))
+    val ref = dd.filter(col("source")
+      .isin("src0", "src1", "src2", "src3", "src4")).select("text")
+    val scored = TextAnalysis.bigramLogProbUnder(
+        ref, dd, "doc_id", "text", alpha = 0.4)
+      .join(dd.select("doc_id", "grp"), Seq("doc_id"))
+    TextAnalysis.groupedPerplexityFilter(scored, "grp", "doc_id",
+        "avg_logprob", dropFrac = 0.25)
+      .select(col("doc_id"), col("grp"), col("avg_logprob"), col("keep"))
+      .orderBy("doc_id")
+  }
+
   /** End-to-end corpus-construction pipeline — the composition every
     * training-data run executes as ONE declarative plan: quality gate
     * ([[graft.operators.TextAnalysis.qualityFeatures]]) → exact dedup
@@ -3019,6 +3043,7 @@ object SparkEntry {
     "q156_bitext_mining" -> (q156(_, _)),
     "q157_kneser_ney" -> (q157(_, _)),
     "q158_curation_pipeline2" -> (q158(_, _)),
+    "q159_grouped_perplexity_gate" -> (q159(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -931,6 +931,82 @@ object TextAnalysis {
       .drop("__cut")
   }
 
+  /** PER-GROUP perplexity gate — [[perplexityFilter]]'s exact
+    * `k_g = ⌊dropFrac·n_g⌋`-th smallest `(score, id)` cutoff computed
+    * independently inside every group, for HIGH-CARDINALITY group
+    * columns (per-domain gates over millions of registrable domains)
+    * where neither a driver-side histogram per group nor an `ntile`
+    * window sort per group survives: this variant never collects and
+    * never sorts a whole group.
+    *
+    * Fully distributed two-round selection, all keyed: (1) one
+    * aggregation gives each group's `n`/min/max on the 6-decimal
+    * micro-integer score grid; (2) a `(group, bucket)` histogram over
+    * `buckets` equal-width integer buckets per group; (3) a running
+    * sum over each group's ≤ `buckets` histogram rows (a window over
+    * the HISTOGRAM relation, thousands of rows per group at most —
+    * never the corpus) locates the bucket holding the k-th value and
+    * how many ranks fall inside it; (4) only that one bucket's rows
+    * rank within `(group, bucket)` to yield the per-group cutoff
+    * struct, which joins back on the group key. Shuffles are all on
+    * the group (or group+bucket) key; no stage materializes a group on
+    * one partition except the single cut bucket (≈ n_g/buckets rows —
+    * degenerate tie mass collapses buckets and grows it toward k_g,
+    * exactly [[perplexityFilter]]'s documented behavior).
+    *
+    * Groups with `k_g = 0` (too few rows to drop anything) keep every
+    * row. Emits the input plus `keep` — the gate stays a column.
+    */
+  def groupedPerplexityFilter(scored: DataFrame, groupCol: String,
+      idCol: String, scoreCol: String, dropFrac: Double,
+      buckets: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(dropFrac >= 0 && dropFrac < 1,
+      s"dropFrac=$dropFrac must be in [0, 1)")
+    require(buckets > 0, s"buckets=$buckets must be positive")
+    val s = CacheRegistry.track(scored.persist())
+    val sm = s.select(col(groupCol).as("__g"),
+      col(idCol).cast("long").as("__id"),
+      col(scoreCol).as("__sc"),
+      round(col(scoreCol) * 1e6, 0).cast("long").as("__sm"))
+    val g = sm.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n"),
+        min(col("__sm")).as("__lo"), max(col("__sm")).as("__hi"))
+      .withColumn("__k", floor(lit(dropFrac) * col("__n")).cast("long"))
+      .filter(col("__k") > 0)
+      // exact integer bucket width (SQL DIV, not float division) sized
+      // so (hi - lo) spans at most `buckets` buckets
+      .withColumn("__w", greatest(lit(1L),
+        expr(s"(__hi - __lo) DIV ${buckets}L + 1L")))
+      .select("__g", "__k", "__lo", "__w")
+    val bucketed = CacheRegistry.track(sm.join(g, Seq("__g"))
+      .withColumn("__b", expr("(__sm - __lo) DIV __w"))
+      .persist())
+    val wcum = Window.partitionBy(col("__g")).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cutBucket = bucketed.groupBy(col("__g"), col("__b"))
+      .agg(count(lit(1)).as("__c"), max(col("__k")).as("__k2"))
+      .withColumn("__cum", sum(col("__c")).over(wcum))
+      .withColumn("__below", col("__cum") - col("__c"))
+      .filter(col("__below") < col("__k2") && col("__cum") >= col("__k2"))
+      .select(col("__g"), col("__b").as("__cb"),
+        (col("__k2") - col("__below")).as("__kin"))
+    val wrank = Window.partitionBy(col("__g"))
+      .orderBy(col("__sm"), col("__id"))
+    val cut = bucketed.join(cutBucket, Seq("__g"))
+      .filter(col("__b") === col("__cb"))
+      .withColumn("__rk", row_number().over(wrank))
+      .filter(col("__rk") === col("__kin"))
+      .select(col("__g").as(groupCol), col("__sc").as("__cs"),
+        col("__id").as("__ci"))
+    s.join(cut, Seq(groupCol), "left")
+      .withColumn("keep", col("__cs").isNull ||
+        col(scoreCol) > col("__cs") ||
+        (col(scoreCol) === col("__cs") &&
+          col(idCol).cast("long") > col("__ci")))
+      .drop("__cs", "__ci")
+  }
+
   /** CCNet head/middle/tail buckets (Wenzek et al. 2020 §4.3): within
     * each GROUP (CCNet buckets per language), rank documents by score
     * descending and split into `buckets` equal-population tiles —

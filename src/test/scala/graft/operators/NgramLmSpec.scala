@@ -164,4 +164,34 @@ class NgramLmSpec extends SparkSpec {
       CacheRegistry.drain()
     }
   }
+
+  test("groupedPerplexityFilter drops floor(dropFrac*n_g) per GROUP — " +
+      "ties on id, k=0 groups keep all, degenerate single-score groups " +
+      "stay exact, and a 2-bucket histogram agrees with per-group sort") {
+    val session = spark
+    import session.implicits._
+    // group A: 9 rows with tie mass; B: 3 rows (k=0 at 0.25); C: 6 rows
+    // all the SAME score (one bucket holds the whole group); D: 1 row
+    val rows =
+      (1L to 9L).map(i => ("A", i, (i % 3).toDouble / 10.0)) ++
+      (10L to 12L).map(i => ("B", i, i.toDouble)) ++
+      (13L to 18L).map(i => ("C", i, 0.5)) ++
+      Seq(("D", 19L, -1.0))
+    val scored = rows.toDF("grp", "doc_id", "score")
+    for (frac <- Seq(0.0, 0.25, 0.5); nb <- Seq(2, 4096)) {
+      val got = TextAnalysis.groupedPerplexityFilter(scored, "grp",
+          "doc_id", "score", frac, buckets = nb)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          r.getAs[Boolean]("keep")).toMap
+      val want = rows.groupBy(_._1).flatMap { case (_, grows) =>
+        val k = math.floor(frac * grows.size).toInt
+        val dropped = grows.sortBy { case (_, id, s) => (s, id) }.take(k)
+          .map(_._2).toSet
+        grows.map { case (_, id, _) => id -> !dropped(id) }
+      }
+      assert(got == want, s"frac=$frac buckets=$nb: diverges from " +
+        "per-group reference sort")
+      CacheRegistry.drain()
+    }
+  }
 }
