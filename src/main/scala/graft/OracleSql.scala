@@ -4384,5 +4384,35 @@ object OracleSql {
         |SELECT r.doc_id, r.grp, r.avg_logprob, (r.rn > g.k) AS keep
         |FROM r JOIN g USING (grp)
         |ORDER BY r.doc_id""".stripMargin,
+
+    // full Count-Min replay: the 4x256 sketch from the same 48-bit md5
+    // row hashes, point estimates = min over rows, threshold on the
+    // ESTIMATE (collision-inflated entries must appear on both sides)
+    "q160_cms_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT list_filter(string_split(text, ' '), w -> w <> '') AS ts
+        |  FROM documents),
+        |big AS (
+        |  SELECT ts[i] || ' ' || ts[i + 1] AS v
+        |  FROM (SELECT ts, unnest(range(1, len(ts))) AS i
+        |        FROM toks WHERE len(ts) >= 2)),
+        |rws AS (SELECT unnest(range(0, 4)) AS r),
+        |occ AS (
+        |  SELECT r, CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || v),
+        |      1, 12)) AS BIGINT) % 1024 AS b
+        |  FROM big CROSS JOIN rws),
+        |sk AS (SELECT r, b, count(*) AS c FROM occ GROUP BY r, b),
+        |cand AS (SELECT v, CAST(count(*) AS BIGINT) AS exact_n
+        |         FROM big GROUP BY v),
+        |est AS (
+        |  SELECT cand.v, cand.exact_n,
+        |    CAST(min(COALESCE(sk.c, 0)) AS BIGINT) AS est_n
+        |  FROM cand CROSS JOIN rws
+        |  LEFT JOIN sk ON sk.r = rws.r
+        |    AND sk.b = CAST(('0x' || substr(md5(CAST(rws.r AS VARCHAR)
+        |      || ':' || cand.v), 1, 12)) AS BIGINT) % 1024
+        |  GROUP BY cand.v, cand.exact_n)
+        |SELECT v AS bigram, exact_n, est_n
+        |FROM est WHERE est_n >= 40 ORDER BY bigram""".stripMargin,
   )
 }

@@ -2772,6 +2772,28 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Count-Min heavy hitters ([[graft.operators.Sketch]]): bigram
+    * frequencies summarized into a 4×1024 CMS — a fixed-size mergeable
+    * summary whose shuffle volume is bounded regardless of corpus
+    * size — then every bigram whose ESTIMATE clears the threshold,
+    * with the exact count alongside (the one-sided guarantee: est ≥
+    * exact always, so the emitted set can only over-include). 916
+    * distinct bigrams through 1024 counters per row forces real
+    * collisions — the estimates genuinely diverge from exact and the
+    * oracle must replay the sketch, not the counts.
+    */
+  private def q160(s: SparkSession, d: String): DataFrame = {
+    val ts = filter(split(col("text"), " "), t => t =!= "")
+    val big = docs(s, d).select(ts.as("__ts"))
+      .filter(size(col("__ts")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("__ts")) - 2),
+        i => concat(element_at(col("__ts"), i + 1), lit(" "),
+          element_at(col("__ts"), i + 2)))).as("bigram"))
+    graft.operators.Sketch.cmsHeavyHitters(big, "bigram",
+        depth = 4, width = 1024, threshold = 40L)
+      .orderBy("bigram")
+  }
+
   /** End-to-end corpus-construction pipeline — the composition every
     * training-data run executes as ONE declarative plan: quality gate
     * ([[graft.operators.TextAnalysis.qualityFeatures]]) → exact dedup
@@ -3044,6 +3066,7 @@ object SparkEntry {
     "q157_kneser_ney" -> (q157(_, _)),
     "q158_curation_pipeline2" -> (q158(_, _)),
     "q159_grouped_perplexity_gate" -> (q159(_, _)),
+    "q160_cms_heavy_hitters" -> (q160(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

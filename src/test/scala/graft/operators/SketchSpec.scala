@@ -1,0 +1,71 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import graft.SparkSpec
+
+class SketchSpec extends SparkSpec {
+
+  /** The operator's 48-bit md5 bucket, replayed on the JVM. */
+  private def bucket(row: Int, v: String, width: Int): Long = {
+    val hex = MessageDigest.getInstance("MD5")
+      .digest(s"$row:$v".getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(12), 16) % width
+  }
+
+  test("cmsSketch + cmsEstimate replay the scalar CMS: estimates are " +
+      "min-over-rows of hashed counters, one-sided (est >= exact), and " +
+      "collision-free at large width (est == exact)") {
+    val session = spark
+    import session.implicits._
+    val values = Seq.fill(7)("a") ++ Seq.fill(5)("b") ++ Seq.fill(2)("c") ++
+      Seq("d")
+    val df = values.toDF("v")
+    for (width <- Seq(4, 1 << 20)) {
+      val depth = 3
+      // reference sketch: counter map from the same hash
+      val counters = values.flatMap(v =>
+          (0 until depth).map(r => (r, bucket(r, v, width))))
+        .groupBy(identity).map { case (k, occ) => k -> occ.size.toLong }
+      val exact = values.groupBy(identity).map { case (v, o) => v -> o.size }
+      val want = exact.keys.map { v =>
+        v -> (0 until depth)
+          .map(r => counters.getOrElse((r, bucket(r, v, width)), 0L)).min
+      }.toMap
+
+      val sk = Sketch.cmsSketch(df, "v", depth, width)
+      val got = Sketch.cmsEstimate(sk, df.distinct(), "v", depth, width)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == want, s"width=$width: diverges from scalar replay")
+      got.foreach { case (v, est) =>
+        assert(est >= exact(v), s"width=$width $v: est $est < exact")
+      }
+      if (width == (1 << 20))
+        assert(got == exact.map { case (v, n) => v -> n.toLong },
+          "collision-free width must be exact")
+    }
+  }
+
+  test("cmsMerge of per-batch sketches equals the sketch of the union, " +
+      "and cmsHeavyHitters has no false negatives at any width") {
+    val session = spark
+    import session.implicits._
+    val a = (Seq.fill(6)("x") ++ Seq.fill(2)("y")).toDF("v")
+    val b = (Seq.fill(5)("x") ++ Seq.fill(9)("z")).toDF("v")
+    val merged = Sketch.cmsMerge(Seq(
+        Sketch.cmsSketch(a, "v", 4, 8), Sketch.cmsSketch(b, "v", 4, 8)))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val whole = Sketch.cmsSketch(a.unionAll(b), "v", 4, 8)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == whole, "merged sketch must equal whole-stream sketch")
+
+    for (width <- Seq(2, 64)) {
+      val hh = Sketch.cmsHeavyHitters(a.unionAll(b), "v", 4, width, 9L)
+        .collect().map(_.getString(0)).toSet
+      assert(Set("x", "z").subsetOf(hh),
+        s"width=$width: heavy values (x=11, z=9) must always appear")
+    }
+  }
+}
