@@ -4414,5 +4414,129 @@ object OracleSql {
         |  GROUP BY cand.v, cand.exact_n)
         |SELECT v AS bigram, exact_n, est_n
         |FROM est WHERE est_n >= 40 ORDER BY bigram""".stripMargin,
+
+    // IVF-pruned MMR: the q45 cell-assignment/probe routing (16
+    // centroids, nprobe 4, query vec 1) restricts the pool, then the
+    // q148 five-pick greedy tail runs on the probed top-20 slate
+    "q161_ivf_mmr_rerank" ->
+      """WITH cents AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS c
+        |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
+        |assigned AS (
+        |  SELECT vec_id, embedding, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
+        |  FROM (
+        |    SELECT e.vec_id, e.embedding, c.cell,
+        |      list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.c[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(range(1, len(c.c) + 1),
+        |           i -> CAST(c.c[i] AS DOUBLE) * CAST(c.c[i] AS DOUBLE))))) AS sim
+        |    FROM embeddings e CROSS JOIN cents c)),
+        |probes AS (
+        |  SELECT cell FROM cents, q
+        |  ORDER BY
+        |    list_sum(list_transform(range(1, len(c) + 1),
+        |      i -> CAST(c[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, len(c) + 1),
+        |         i -> CAST(c[i] AS DOUBLE) * CAST(c[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+        |         i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))) DESC,
+        |    cell ASC
+        |  LIMIT 4),
+        |scored AS (
+        |  SELECT vec_id, emb,
+        |    CASE WHEN na > 0 AND nb > 0 THEN dot / (na * nb)
+        |         ELSE 0.0 END AS qsim
+        |  FROM (
+        |    SELECT a.vec_id, a.embedding AS emb,
+        |      list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+        |        AS dot,
+        |      sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |        i -> CAST(a.embedding[i] AS DOUBLE)
+        |             * CAST(a.embedding[i] AS DOUBLE)))) AS na,
+        |      sqrt(list_sum(list_transform(range(1, len(q.qv) + 1),
+        |        i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))) AS nb
+        |    FROM assigned a CROSS JOIN q
+        |    WHERE a.rn = 1 AND a.cell IN (SELECT cell FROM probes))),
+        |cand AS (
+        |  SELECT vec_id, emb, qsim FROM (
+        |    SELECT *, row_number() OVER (ORDER BY qsim DESC, vec_id) AS rnk
+        |    FROM scored)
+        |  WHERE rnk <= 20),
+        |pair AS (
+        |  SELECT ia, ib,
+        |    CASE WHEN na > 0 AND nb > 0 THEN dot / (na * nb)
+        |         ELSE 0.0 END AS sim
+        |  FROM (
+        |    SELECT a.vec_id AS ia, b.vec_id AS ib,
+        |      list_sum(list_transform(range(1, len(a.emb) + 1),
+        |        i -> CAST(a.emb[i] AS DOUBLE) * CAST(b.emb[i] AS DOUBLE)))
+        |        AS dot,
+        |      sqrt(list_sum(list_transform(range(1, len(a.emb) + 1),
+        |        i -> CAST(a.emb[i] AS DOUBLE) * CAST(a.emb[i] AS DOUBLE))))
+        |        AS na,
+        |      sqrt(list_sum(list_transform(range(1, len(b.emb) + 1),
+        |        i -> CAST(b.emb[i] AS DOUBLE) * CAST(b.emb[i] AS DOUBLE))))
+        |        AS nb
+        |    FROM cand a JOIN cand b ON a.vec_id <> b.vec_id)),
+        |s1 AS (
+        |  SELECT vec_id, qsim, (0.7 * qsim) - ((1 - 0.7) * 0.0) AS mmr
+        |  FROM cand ORDER BY mmr DESC, vec_id LIMIT 1),
+        |m2 AS (
+        |  SELECT c.vec_id, c.qsim,
+        |    (0.7 * c.qsim) - ((1 - 0.7) * (
+        |      SELECT max(p.sim) FROM pair p WHERE p.ia = c.vec_id
+        |        AND p.ib IN (SELECT vec_id FROM s1))) AS mmr
+        |  FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM s1)),
+        |s2 AS (SELECT * FROM m2 ORDER BY mmr DESC, vec_id LIMIT 1),
+        |m3 AS (
+        |  SELECT c.vec_id, c.qsim,
+        |    (0.7 * c.qsim) - ((1 - 0.7) * (
+        |      SELECT max(p.sim) FROM pair p WHERE p.ia = c.vec_id
+        |        AND p.ib IN (SELECT vec_id FROM s1
+        |                     UNION ALL SELECT vec_id FROM s2))) AS mmr
+        |  FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM s1
+        |                                     UNION ALL SELECT vec_id FROM s2)),
+        |s3 AS (SELECT * FROM m3 ORDER BY mmr DESC, vec_id LIMIT 1),
+        |m4 AS (
+        |  SELECT c.vec_id, c.qsim,
+        |    (0.7 * c.qsim) - ((1 - 0.7) * (
+        |      SELECT max(p.sim) FROM pair p WHERE p.ia = c.vec_id
+        |        AND p.ib IN (SELECT vec_id FROM s1
+        |                     UNION ALL SELECT vec_id FROM s2
+        |                     UNION ALL SELECT vec_id FROM s3))) AS mmr
+        |  FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM s1
+        |                                     UNION ALL SELECT vec_id FROM s2
+        |                                     UNION ALL SELECT vec_id FROM s3)),
+        |s4 AS (SELECT * FROM m4 ORDER BY mmr DESC, vec_id LIMIT 1),
+        |m5 AS (
+        |  SELECT c.vec_id, c.qsim,
+        |    (0.7 * c.qsim) - ((1 - 0.7) * (
+        |      SELECT max(p.sim) FROM pair p WHERE p.ia = c.vec_id
+        |        AND p.ib IN (SELECT vec_id FROM s1
+        |                     UNION ALL SELECT vec_id FROM s2
+        |                     UNION ALL SELECT vec_id FROM s3
+        |                     UNION ALL SELECT vec_id FROM s4))) AS mmr
+        |  FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM s1
+        |                                     UNION ALL SELECT vec_id FROM s2
+        |                                     UNION ALL SELECT vec_id FROM s3
+        |                                     UNION ALL SELECT vec_id FROM s4)),
+        |s5 AS (SELECT * FROM m5 ORDER BY mmr DESC, vec_id LIMIT 1)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS rank, vec_id,
+        |    round(qsim, 6) AS qsim, round(mmr, 6) AS mmr FROM s1
+        |  UNION ALL SELECT CAST(2 AS BIGINT), vec_id,
+        |    round(qsim, 6), round(mmr, 6) FROM s2
+        |  UNION ALL SELECT CAST(3 AS BIGINT), vec_id,
+        |    round(qsim, 6), round(mmr, 6) FROM s3
+        |  UNION ALL SELECT CAST(4 AS BIGINT), vec_id,
+        |    round(qsim, 6), round(mmr, 6) FROM s4
+        |  UNION ALL SELECT CAST(5 AS BIGINT), vec_id,
+        |    round(qsim, 6), round(mmr, 6) FROM s5)
+        |ORDER BY rank""".stripMargin,
   )
 }

@@ -2772,6 +2772,27 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** IVF-accelerated MMR ([[graft.operators.Ann.ivfMmrRerank]]): the
+    * q148 diversified re-ranking with its candidate slate drawn from
+    * the q45 IVF restriction (16 sampled centroids, nprobe=4) instead
+    * of the full corpus — the swap the MMR and bitext scaladocs
+    * prescribe at scale. The oracle replays cell assignment, probe
+    * routing, the probed top-20 slate, and all five greedy picks.
+    */
+  private def q161(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val query = e.filter(col("vec_id") === 1)
+      .select(col("embedding").cast("array<double>")).collect()(0)
+      .getSeq[Double](0)
+    val cents = Ann.sampleCentroids(e, "vec_id", "embedding", 16)
+    val assigned = Ann.assignCells(e, "embedding", cents)
+    Ann.ivfMmrRerank(assigned, "vec_id", "embedding", cents, query,
+        nprobe = 4, m = 20, k = 5, lambda = 0.7)
+      .select(col("rank"), col("vec_id"),
+        round(col("qsim"), 6).as("qsim"), round(col("mmr"), 6).as("mmr"))
+      .orderBy("rank")
+  }
+
   /** Count-Min heavy hitters ([[graft.operators.Sketch]]): bigram
     * frequencies summarized into a 4×1024 CMS — a fixed-size mergeable
     * summary whose shuffle volume is bounded regardless of corpus
@@ -3067,6 +3088,7 @@ object SparkEntry {
     "q158_curation_pipeline2" -> (q158(_, _)),
     "q159_grouped_perplexity_gate" -> (q159(_, _)),
     "q160_cms_heavy_hitters" -> (q160(_, _)),
+    "q161_ivf_mmr_rerank" -> (q161(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

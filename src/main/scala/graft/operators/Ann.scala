@@ -216,6 +216,25 @@ object Ann {
       .toDF("rank", idCol, "qsim", "mmr")
   }
 
+  /** [[mmrRerank]] over an IVF-PRUNED candidate pool — the scale path
+    * the MMR scaladoc promises: instead of ranking the whole corpus
+    * for the top-m slate, restrict to the `nprobe` cells nearest the
+    * query ([[probeCells]] routing — over a [[writeCellPartitioned]]
+    * store this is partition-pruned I/O, reading nprobe/cells of the
+    * data) and run the identical greedy diversification on that
+    * slate. Same contract as [[mmrRerank]]; the only semantic
+    * difference is the candidate pool, exactly as [[ivfTopK]] vs
+    * [[bruteForceTopK]] — and like those, the pruning is replayed
+    * exactly by the oracle, not approximated away.
+    */
+  def ivfMmrRerank(assigned: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Int, Seq[Double])], query: Seq[Double],
+      nprobe: Int, m: Int, k: Int, lambda: Double): DataFrame =
+    mmrRerank(
+      assigned.filter(
+        col("cell").isin(probeCells(centroids, query, nprobe): _*)),
+      idCol, vecCol, query, m, k, lambda)
+
   /** Margin-based bitext mining (Artetxe & Schwenk, ACL 2019,
     * "Margin-based Parallel Corpus Mining with Multilingual Sentence
     * Embeddings" — the LASER/CCMatrix alignment rule): a cross-side

@@ -58,4 +58,31 @@ class MmrSpec extends SparkSpec {
         m = 3, k = 2, lambda = 1.5)
     }
   }
+
+  test("ivfMmrRerank equals mmrRerank over the probed-cell restriction, " +
+      "and the pruning genuinely binds (an unprobed cell's vector is " +
+      "excluded even when it would out-rank every pick)") {
+    // two far-apart clusters; centroids = first 2 vectors by id, so
+    // cluster A (e1-ish) -> cell 0, cluster B (e2-ish) -> cell 1
+    val vecs = Seq(
+      1L -> Array(1.0, 0.0, 0.0), 2L -> Array(0.0, 1.0, 0.0),
+      3L -> Array(0.9, 0.1, 0.0), 4L -> Array(0.95, 0.0, 0.1),
+      5L -> Array(0.1, 0.9, 0.0), 6L -> Array(0.0, 0.98, 0.05))
+    val df = toDf(vecs)
+    val cents = Ann.sampleCentroids(df, "vec_id", "embedding", 2)
+    val assigned = Ann.assignCells(df, "embedding", cents)
+    val q = Seq(0.0, 1.0, 0.0) // dead-on cluster B
+    val got = Ann.ivfMmrRerank(assigned, "vec_id", "embedding", cents, q,
+        nprobe = 1, m = 3, k = 3, lambda = 0.7)
+      .orderBy("rank").collect().map(_.getAs[Long]("vec_id")).toSeq
+    val probed = Ann.probeCells(cents, q, 1)
+    val want = Ann.mmrRerank(
+        assigned.filter(col("cell").isin(probed: _*)),
+        "vec_id", "embedding", q, m = 3, k = 3, lambda = 0.7)
+      .orderBy("rank").collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(got == want, "must equal MMR over the probed restriction")
+    assert(got.toSet == Set(2L, 5L, 6L),
+      s"only cluster B's cell is probed, got $got")
+    CacheRegistry.drain()
+  }
 }
