@@ -4538,5 +4538,69 @@ object OracleSql {
         |  UNION ALL SELECT CAST(5 AS BIGINT), vec_id,
         |    round(qsim, 6), round(mmr, 6) FROM s5)
         |ORDER BY rank""".stripMargin,
+
+    // corpus-internal span dedup: the q150 evidence replay (keep the
+    // smaller-id copy), then the q155 cut tail applied to the id_b
+    // side only
+    "q162_cut_shared_spans" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  -- COALESCE: array_to_string([]) is NULL in DuckDB, but the
+        |  -- engine's concat_ws over an empty slice is '' (sub-11-token
+        |  -- source docs exist at sf0.001)
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    COALESCE(array_to_string(list_filter(string_split(text, ' '),
+        |      w -> w <> '')[11:40], ' '), '') AS text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), w -> w <> '') AS ts
+        |  FROM corpus),
+        |sh AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    array_to_string(ts[i:i+7], ' ') AS sh
+        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 6)) AS i
+        |        FROM toks WHERE len(ts) >= 8)),
+        |m AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib, a.pos AS pa, b.pos AS pb
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+        |isl AS (
+        |  SELECT ia, ib, pa - pb AS diag, pa, pb,
+        |    pa - row_number() OVER (PARTITION BY ia, ib, pa - pb
+        |                            ORDER BY pa) AS grp
+        |  FROM m),
+        |spans AS (
+        |  SELECT ib AS doc_id,
+        |    CAST(min(pb) AS BIGINT) AS start_b,
+        |    CAST(count(*) + 7 AS BIGINT) AS span_tokens
+        |  FROM isl GROUP BY ia, ib, diag, grp
+        |  HAVING count(*) + 7 >= 20),
+        |ctokp AS (
+        |  SELECT doc_id, i - 1 AS pos, ts[i] AS tok
+        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i
+        |        FROM toks)),
+        |kept AS (
+        |  SELECT t.doc_id, t.pos, t.tok FROM ctokp t
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM spans s WHERE s.doc_id = t.doc_id
+        |      AND t.pos >= s.start_b
+        |      AND t.pos < s.start_b + s.span_tokens)),
+        |agg AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+        |    CAST(count(*) AS BIGINT) AS kept
+        |  FROM kept GROUP BY doc_id),
+        |nsp AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans
+        |  FROM spans GROUP BY doc_id),
+        |ntok AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n FROM toks)
+        |SELECT ntok.doc_id,
+        |  COALESCE(agg.clean_text, '') AS clean_text,
+        |  CAST(COALESCE(nsp.n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(ntok.n - COALESCE(agg.kept, 0) AS BIGINT) AS removed_tokens
+        |FROM ntok
+        |LEFT JOIN agg ON agg.doc_id = ntok.doc_id
+        |LEFT JOIN nsp ON nsp.doc_id = ntok.doc_id
+        |ORDER BY ntok.doc_id""".stripMargin,
   )
 }

@@ -2772,6 +2772,25 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** C4-style cross-document span dedup
+    * ([[graft.operators.Dedup.cutSharedSpans]]): the q150 corpus
+    * (every doc_id % 10 == 0 document re-posted as a token-11..40
+    * excerpt under a new id) with each shared span CUT from the
+    * later document — the re-posts come back empty while every
+    * original keeps its text verbatim. The oracle chains the q150
+    * span-evidence replay with the q155 cut tail.
+    */
+  private def q162(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select("doc_id", "text")
+    val quotes = base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat_ws(" ", slice(graft.operators.TextAnalysis.tokens(col("text")),
+          11, 30)).as("text"))
+    Dedup.cutSharedSpans(base.unionAll(quotes), "doc_id", "text",
+        minSpan = 20, shingleN = 8)
+      .orderBy("doc_id")
+  }
+
   /** IVF-accelerated MMR ([[graft.operators.Ann.ivfMmrRerank]]): the
     * q148 diversified re-ranking with its candidate slate drawn from
     * the q45 IVF restriction (16 sampled centroids, nprobe=4) instead
@@ -3089,6 +3108,7 @@ object SparkEntry {
     "q159_grouped_perplexity_gate" -> (q159(_, _)),
     "q160_cms_heavy_hitters" -> (q160(_, _)),
     "q161_ivf_mmr_rerank" -> (q161(_, _)),
+    "q162_cut_shared_spans" -> (q162(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -114,6 +114,26 @@ object Contamination {
     val spans = CacheRegistry.track(
       spanContamination(corpus, benchmark, idCol, textCol, minSpan,
         shingleN).persist())
+    cutSpansAt(corpus, idCol, textCol,
+      spans.select(col("corpus_id"), col("start_corpus"),
+        col("span_tokens")))
+  }
+
+  /** The generic span CUTTER the surgical paths share: remove from
+    * each document every token covered by a `(corpus_id,
+    * start_corpus, span_tokens)` evidence row and reassemble the
+    * remainder in order (single-space normal form). Overlapping spans
+    * remove each token once; documents with no evidence pass through
+    * verbatim; a fully-covered document comes back empty, not
+    * dropped. Evidence can come from benchmark contamination
+    * ([[cutContamination]]) or corpus-internal duplication
+    * ([[graft.operators.Dedup.cutSharedSpans]]) — the cut tail is
+    * identical: one anti-range join at token granularity + one
+    * id-keyed ordered reassembly, both partitioned on the document
+    * id.
+    */
+  private[operators] def cutSpansAt(corpus: DataFrame, idCol: String,
+      textCol: String, spans: DataFrame): DataFrame = {
     val stats = spans.groupBy(col("corpus_id"))
       .agg(count(lit(1)).as("n_spans"))
       .select(col("corpus_id").as(idCol), col("n_spans"))

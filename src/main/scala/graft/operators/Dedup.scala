@@ -652,6 +652,36 @@ object Dedup {
         col("span_tokens"))
   }
 
+  /** C4-style CROSS-DOCUMENT span deduplication (Raffel et al. 2020
+    * removed duplicated three-sentence spans corpus-wide, keeping one
+    * occurrence): [[sharedSpanPairs]]' evidence applied as a cut —
+    * for every maximal shared span the FIRST occurrence (the smaller
+    * id, `id_a`) keeps its text and the later document cuts the span
+    * at `start_b` via the shared surgical tail
+    * ([[graft.operators.Contamination.cutSpansAt]]). One greedy
+    * evidence pass, not a fixpoint: a document cuts exactly the spans
+    * it shares with SMALLER-id documents, so the earliest copy in any
+    * duplication clique survives intact and every later copy loses
+    * the span once (overlapping evidence removes each token once).
+    * Returns every corpus row as
+    * `(id, clean_text, n_spans, removed_tokens)`.
+    *
+    * Scale shape = [[sharedSpanPairs]] (keyed shingle-match shuffles,
+    * the opt-in `maxShingleFreq` hot-value cap) + the cut tail's two
+    * id-partitioned joins; nothing quadratic beyond the documented
+    * per-hot-shingle exposure.
+    */
+  def cutSharedSpans(df: DataFrame, idCol: String, textCol: String,
+      minSpan: Int, shingleN: Int = 8,
+      maxShingleFreq: Long = 0): DataFrame = {
+    val spans = CacheRegistry.track(
+      sharedSpanPairs(df, idCol, textCol, minSpan, shingleN,
+        maxShingleFreq).persist())
+    Contamination.cutSpansAt(df, idCol, textCol,
+      spans.select(col("id_b").as("corpus_id"),
+        col("start_b").as("start_corpus"), col("span_tokens")))
+  }
+
   // ------------------------------------------------------------- shingles
 
   /** Word w-shingles as an array column: contiguous n-token windows joined

@@ -62,4 +62,31 @@ class SharedSpanSpec extends SparkSpec {
         minSpan = 3, shingleN = 8)
     }
   }
+
+  test("cutSharedSpans keeps the FIRST occurrence intact and cuts every " +
+      "later copy: a whole-doc re-post comes back empty, a partial copy " +
+      "loses only the shared span, untouched docs pass through verbatim") {
+    // doc 1 original; doc 2 = exact re-post of 1's tokens 4..11;
+    // doc 3 = that same span wrapped in its own prefix/suffix;
+    // doc 4 shares nothing
+    val span = words(4 until 12) // 8 tokens
+    val df = toDf(
+      1L -> words(0 until 20),
+      2L -> span,
+      3L -> (s"p0 p1 p2 $span s0 s1"),
+      4L -> words(100 until 110))
+    val out = Dedup.cutSharedSpans(df, "doc_id", "text",
+        minSpan = 8, shingleN = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_spans"),
+          r.getAs[Long]("removed_tokens")))).toMap
+    assert(out(1L) == ((words(0 until 20), 0L, 0L)), s"original: ${out(1L)}")
+    assert(out(2L) == (("", 1L, 8L)), s"re-post: ${out(2L)}")
+    // doc 3 cuts the span it shares with docs 1 AND 2 (two evidence
+    // rows, same tokens — removed counts tokens once)
+    assert(out(3L) == (("p0 p1 p2 s0 s1", 2L, 8L)), s"partial: ${out(3L)}")
+    assert(out(4L) == ((words(100 until 110), 0L, 0L)),
+      s"untouched: ${out(4L)}")
+    CacheRegistry.drain()
+  }
 }
