@@ -4602,5 +4602,51 @@ object OracleSql {
         |LEFT JOIN agg ON agg.doc_id = ntok.doc_id
         |LEFT JOIN nsp ON nsp.doc_id = ntok.doc_id
         |ORDER BY ntok.doc_id""".stripMargin,
+
+    // Naive-Bayes replay: per-class token counts, the two Laplace-
+    // smoothed per-token log terms quantized to DECIMAL(18,12) before
+    // the sum, the doc-count prior, round-6 display
+    "q163_nb_quality_classifier" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    source IN ('src0','src1','src2','src3','src4') AS y,
+        |    list_filter(string_split(text, ' '), w -> w <> '') AS ts
+        |  FROM documents),
+        |tokl AS (SELECT y, unnest(ts) AS w FROM toks),
+        |cw AS (
+        |  SELECT w,
+        |    sum(CASE WHEN y THEN 1 ELSE 0 END) AS cp,
+        |    sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS cn
+        |  FROM tokl GROUP BY w),
+        |tot AS (
+        |  SELECT sum(CASE WHEN y THEN 1 ELSE 0 END) AS np,
+        |    sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS nn,
+        |    count(DISTINCT w) AS v
+        |  FROM tokl),
+        |pri AS (
+        |  SELECT sum(CASE WHEN y THEN 1 ELSE 0 END) AS dp,
+        |    sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS dn
+        |  FROM toks),
+        |st AS (SELECT doc_id, unnest(ts) AS w FROM toks),
+        |term AS (
+        |  SELECT s.doc_id,
+        |    CAST(ln((COALESCE(cw.cp, 0) + CAST(1.0 AS DOUBLE))
+        |      / (tot.np + CAST(1.0 AS DOUBLE) * tot.v))
+        |      AS DECIMAL(18,12))
+        |    - CAST(ln((COALESCE(cw.cn, 0) + CAST(1.0 AS DOUBLE))
+        |      / (tot.nn + CAST(1.0 AS DOUBLE) * tot.v))
+        |      AS DECIMAL(18,12)) AS t
+        |  FROM st s LEFT JOIN cw ON s.w = cw.w CROSS JOIN tot),
+        |sc AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    SUM(t) AS s
+        |  FROM term GROUP BY doc_id),
+        |fin AS (
+        |  SELECT sc.doc_id, sc.n_tokens,
+        |    round(CAST(sc.s + CAST(ln(pri.dp) AS DECIMAL(18,12))
+        |      - CAST(ln(pri.dn) AS DECIMAL(18,12)) AS DOUBLE), 6) AS score
+        |  FROM sc CROSS JOIN pri)
+        |SELECT doc_id, n_tokens, score, (score > 0) AS pred_pos
+        |FROM fin ORDER BY doc_id""".stripMargin,
   )
 }

@@ -2772,6 +2772,23 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Naive-Bayes quality classifier
+    * ([[graft.operators.TextAnalysis.nbQualityScore]]): the
+    * fastText-gate analog in exactly-replayable form — train token
+    * counts on curated-vs-rest labels (src0–src4 positive, the q139
+    * seed), score every document by the smoothed log-likelihood
+    * ratio plus the doc-count prior. The oracle replays counts, both
+    * per-token decimal-quantized log terms, and the prior.
+    */
+  private def q163(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d).select("doc_id", "source", "text")
+    val labeled = dd.withColumn("is_curated",
+      col("source").isin("src0", "src1", "src2", "src3", "src4"))
+    TextAnalysis.nbQualityScore(labeled, "is_curated", dd, "doc_id",
+        "text", alpha = 1.0)
+      .orderBy("doc_id")
+  }
+
   /** C4-style cross-document span dedup
     * ([[graft.operators.Dedup.cutSharedSpans]]): the q150 corpus
     * (every doc_id % 10 == 0 document re-posted as a token-11..40
@@ -3109,6 +3126,7 @@ object SparkEntry {
     "q160_cms_heavy_hitters" -> (q160(_, _)),
     "q161_ivf_mmr_rerank" -> (q161(_, _)),
     "q162_cut_shared_spans" -> (q162(_, _)),
+    "q163_nb_quality_classifier" -> (q163(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -931,6 +931,71 @@ object TextAnalysis {
       .drop("__cut")
   }
 
+  /** Multinomial Naive-Bayes quality classifier — the deterministic
+    * analog of the fastText-style "looks like the curated seed"
+    * classifiers real pipelines train (GPT-3's WebText-vs-CommonCrawl
+    * LR, CCNet's fastText gate, FineWeb-Edu's scorer): train
+    * closed-form token counts on a LABELED seed (positive = curated),
+    * score every document by the summed log-likelihood ratio
+    *
+    *   score(d) = Σ_w [ln P(w|pos) − ln P(w|neg)] + ln n_pos − ln n_neg
+    *
+    * with Laplace-`alpha` smoothing over the seed vocabulary V:
+    * P(w|c) = (c(w,c) + α) / (N_c + α·V). Positive score ⇒ the
+    * curated class explains the document better. NB training IS
+    * counting, so unlike an SGD classifier the whole path is exactly
+    * replayable: each per-token ln and each prior ln quantizes to
+    * DECIMAL(18,12) before the order-free decimal sum, display
+    * rounds to 6 (the repo's cross-engine float rules).
+    *
+    * Scale shape = the [[bigramLogProbUnder]] skeleton: training is
+    * one `(token, class)` count aggregation + one broadcast scalar
+    * row (N_pos, N_neg, V); scoring is the corpus token stream
+    * left-joined against the count relation (AQE broadcasts it when
+    * the seed vocabulary is small) and one id-keyed aggregation —
+    * linear end to end, no shuffle beyond the keyed aggs.
+    *
+    * `labelCol` must be boolean; both classes must be non-empty.
+    * Emits `(idCol, n_tokens, score, pred_pos)` for every document
+    * with ≥ 1 token.
+    */
+  def nbQualityScore(labeled: DataFrame, labelCol: String,
+      df: DataFrame, idCol: String, textCol: String,
+      alpha: Double = 1.0): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(alpha > 0, s"alpha=$alpha must be positive")
+    def dec(c: Column): Column = c.cast(DecimalType(18, 12))
+    val tok = CacheRegistry.track(labeled
+      .select(col(labelCol).as("__y"),
+        explode(tokens(col(textCol))).as("__w"))
+      .persist())
+    val cw = tok.groupBy(col("__w")).agg(
+      sum(when(col("__y"), 1L).otherwise(0L)).as("__cp"),
+      sum(when(!col("__y"), 1L).otherwise(0L)).as("__cn"))
+    val tot = tok.agg(
+      sum(when(col("__y"), 1L).otherwise(0L)).as("__np"),
+      sum(when(!col("__y"), 1L).otherwise(0L)).as("__nn"),
+      count_distinct(col("__w")).as("__v"))
+    val prior = labeled.agg(
+      sum(when(col(labelCol), 1L).otherwise(0L)).as("__dp"),
+      sum(when(!col(labelCol), 1L).otherwise(0L)).as("__dn"))
+    val term =
+      dec(log((coalesce(col("__cp"), lit(0L)) + lit(alpha)) /
+        (col("__np") + lit(alpha) * col("__v")))) -
+      dec(log((coalesce(col("__cn"), lit(0L)) + lit(alpha)) /
+        (col("__nn") + lit(alpha) * col("__v"))))
+    df.select(col(idCol), explode(tokens(col(textCol))).as("__w"))
+      .join(cw, Seq("__w"), "left")
+      .crossJoin(broadcast(tot))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(term).as("__s"))
+      .crossJoin(broadcast(prior))
+      .select(col(idCol), col("n_tokens"),
+        round((col("__s") + dec(log(col("__dp"))) - dec(log(col("__dn"))))
+          .cast("double"), 6).as("score"))
+      .withColumn("pred_pos", col("score") > 0)
+  }
+
   /** PER-GROUP perplexity gate — [[perplexityFilter]]'s exact
     * `k_g = ⌊dropFrac·n_g⌋`-th smallest `(score, id)` cutoff computed
     * independently inside every group, for HIGH-CARDINALITY group
