@@ -4648,5 +4648,24 @@ object OracleSql {
         |  FROM sc CROSS JOIN pri)
         |SELECT doc_id, n_tokens, score, (score > 0) AS pred_pos
         |FROM fin ORDER BY doc_id""".stripMargin,
+
+    // Morton interleave replayed as integer arithmetic: bit i of each
+    // key lifted to curve positions 2i / 2i+1, summed (disjoint bits)
+    "q164_zorder_cells" ->
+      """WITH k AS (
+        |  SELECT o_custkey % 1024 AS ka, o_orderkey % 1024 AS kb
+        |  FROM orders),
+        |z AS (
+        |  SELECT ka, kb,
+        |    CAST(list_sum(list_transform(range(0, 10), i ->
+        |      ((ka // (CAST(1 AS BIGINT) << i)) % 2)
+        |        * (CAST(1 AS BIGINT) << (2 * i))
+        |      + ((kb // (CAST(1 AS BIGINT) << i)) % 2)
+        |        * (CAST(1 AS BIGINT) << (2 * i + 1)))) AS BIGINT) AS zc
+        |  FROM k)
+        |SELECT zc // 16384 AS bucket, CAST(count(*) AS BIGINT) AS n,
+        |  min(ka) AS min_ka, max(ka) AS max_ka,
+        |  min(kb) AS min_kb, max(kb) AS max_kb
+        |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin,
   )
 }

@@ -2772,6 +2772,28 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Z-order locality audit ([[graft.operators.Layout.mortonCode]] —
+    * the key under [[graft.operators.Layout.writeZOrderSorted]], the
+    * Delta/Iceberg-style multi-column clustering layout): orders on
+    * a stable 1024×1024 key grid (custkey/orderkey mod 1024), 10-bit
+    * Morton interleave, 64 curve cells of 2¹⁴ codes; per cell the
+    * row count and BOTH keys' min/max — every cell is a bounded
+    * 128×128 rectangle, the property that makes multi-column
+    * zone-map pruning work (measured end-to-end in LayoutSpec). The
+    * oracle replays the bit interleave as integer arithmetic.
+    */
+  private def q164(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select((col("o_custkey") % 1024).as("ka"),
+        (col("o_orderkey") % 1024).as("kb"))
+      .withColumn("z",
+        graft.operators.Layout.mortonCode(col("ka"), col("kb"), 10))
+      .groupBy(expr("z DIV 16384").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min("ka").as("min_ka"), max("ka").as("max_ka"),
+        min("kb").as("min_kb"), max("kb").as("max_kb"))
+      .orderBy("bucket")
+
   /** Naive-Bayes quality classifier
     * ([[graft.operators.TextAnalysis.nbQualityScore]]): the
     * fastText-gate analog in exactly-replayable form — train token
@@ -3127,6 +3149,7 @@ object SparkEntry {
     "q161_ivf_mmr_rerank" -> (q161(_, _)),
     "q162_cut_shared_spans" -> (q162(_, _)),
     "q163_nb_quality_classifier" -> (q163(_, _)),
+    "q164_zorder_cells" -> (q164(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Data-layout operators — the write-ONCE passes a 100 TB corpus runs so
@@ -38,6 +38,47 @@ object Layout {
     val cols = sortCols.map(col)
     df.repartitionByRange(numFiles, cols: _*)
       .sortWithinPartitions(cols: _*)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** The 2-D Morton (Z-order) code of two NON-NEGATIVE integer
+    * columns: the low `bits` bits of `a` and `b` interleaved
+    * (a → even positions, b → odd), a 2·bits-bit space-filling-curve
+    * key. Values ≥ 2^bits fold onto their low bits — size `bits` to
+    * cover the column domains (21 bits each stays inside 63-bit
+    * longs with room to spare). Pure codegen'd shift/mask
+    * arithmetic, exactly replayable in SQL on any engine with
+    * integer division.
+    */
+  def mortonCode(a: Column, b: Column, bits: Int): Column = {
+    require(bits > 0 && bits <= 31, s"bits=$bits must be in [1, 31]")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(
+          shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** [[writeRangeSorted]] along the [[mortonCode]] curve — the
+    * MULTI-column zone-map layout: range-partitioning one column
+    * leaves the other's per-file min/max spanning the whole domain,
+    * but z-ordering bounds BOTH (each file covers a rectangle-ish
+    * cell of the (a, b) grid), so range predicates on EITHER column
+    * — and especially rectangle predicates on both — prune files at
+    * read time. This is the standard lakehouse multi-dimensional
+    * clustering recipe (Delta/Iceberg `ZORDER BY`), built from the
+    * same two Spark primitives as the sorted layout: one
+    * `repartitionByRange` pass on the computed key + in-file sort.
+    * The z column itself is dropped before the write — the layout,
+    * not an extra column, carries the structure.
+    */
+  def writeZOrderSorted(df: DataFrame, path: String, numFiles: Int,
+      colA: String, colB: String, bits: Int = 21): Unit = {
+    require(numFiles > 0, s"numFiles=$numFiles must be positive")
+    df.withColumn("__z", mortonCode(col(colA), col(colB), bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
 

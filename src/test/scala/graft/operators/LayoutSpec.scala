@@ -58,4 +58,64 @@ class LayoutSpec extends SparkSpec {
     assert(sortedRows <= n / 4 + 64, s"sorted scan emitted $sortedRows")
     assert(shuffledRows == n, s"interleaved scan emitted $shuffledRows")
   }
+
+  test("mortonCode matches a scalar bit-interleave replay") {
+    val session = spark
+    import session.implicits._
+    def ref(a: Long, b: Long, bits: Int): Long =
+      (0 until bits).map(i =>
+        (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1)))
+        .reduce(_ | _)
+    val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (5L, 3L), (1023L, 17L),
+      (1L << 20, 1L << 20), ((1L << 21) - 1L, (1L << 21) - 1L))
+    val got = rows.toDF("a", "b")
+      .select(col("a"), col("b"),
+        Layout.mortonCode(col("a"), col("b"), 21).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    for ((a, b) <- rows)
+      assert(got((a, b)) == ref(a, b, 21), s"($a, $b)")
+    // the canonical small cases: (1,0)->1, (0,1)->2, (1,1)->3
+    assert(ref(1, 1, 4) == 3L && got((1L, 0L)) == 1L && got((0L, 1L)) == 2L)
+  }
+
+  test("writeZOrderSorted bounds BOTH columns per file (footer-stats " +
+      "proof on a dense grid) and a rectangle predicate prunes the scan " +
+      "that an interleaved layout cannot") {
+    val session = spark
+    import session.implicits._
+    // dense 32x32 grid: 16 z-range files of ~64 consecutive codes each
+    // cover at most a couple of 8x8 curve cells -> both spans stay far
+    // below the 31-value domain
+    val grid = (0 until 1024).map(i => (i.toLong % 32, i.toLong / 32))
+      .toDF("a", "b")
+    val zdir = java.nio.file.Files.createTempDirectory("layout-z").toString
+    Layout.writeZOrderSorted(grid, zdir, numFiles = 16, "a", "b", bits = 5)
+    val aStats = Layout.fileStats(spark, zdir, "a")
+    val bStats = Layout.fileStats(spark, zdir, "b")
+    assert(aStats.map(_._4).sum == 1024L)
+    for (s <- aStats)
+      assert(s._3 - s._2 <= 24, s"a-span not bounded: $s")
+    for (s <- bStats)
+      assert(s._3 - s._2 <= 24, s"b-span not bounded: $s")
+
+    // interleaved baseline: every file spans the whole domain on both
+    val flat = java.nio.file.Files.createTempDirectory("layout-f").toString
+    grid.repartition(16) // round robin: every file spans both domains
+      .write.mode("overwrite").parquet(flat)
+    def scanRows(path: String): Long = {
+      val df = spark.read.parquet(path)
+        .filter(col("a") < 8 && col("b") < 8)
+      assert(df.count() == 64L)
+      df.collect()
+      val scans = df.queryExecution.executedPlan.collectLeaves().collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      scans.map(_.metrics("numOutputRows").value).sum
+    }
+    val zRows = scanRows(zdir)
+    val flatRows = scanRows(flat)
+    assert(zRows <= 256, s"z-order scan emitted $zRows of 1024")
+    assert(flatRows == 1024L, s"interleaved scan emitted $flatRows")
+  }
 }
