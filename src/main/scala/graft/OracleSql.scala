@@ -4667,5 +4667,54 @@ object OracleSql {
         |  min(ka) AS min_ka, max(ka) AS max_ka,
         |  min(kb) AS min_kb, max(kb) AS max_kb
         |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // JL projection replay: the ±1 sign matrix from the same md5
+    // parities, both cosine folds in the engine's operand order
+    "q165_jl_projected_topk" ->
+      """WITH proj AS (
+        |  SELECT vec_id,
+        |    list_transform(range(0, 16), j ->
+        |      list_sum(list_transform(range(1, 65), i ->
+        |        CAST(embedding[i] AS DOUBLE) *
+        |        (CASE WHEN CAST(('0x' || substr(md5('jl:'
+        |             || CAST(i - 1 AS VARCHAR) || ':' || CAST(j AS VARCHAR)),
+        |             1, 12)) AS BIGINT) % 2 = 0
+        |         THEN 1.0 ELSE -1.0 END))) / sqrt(16.0)) AS pv
+        |  FROM embeddings),
+        |qp AS (SELECT pv AS qpv FROM proj WHERE vec_id = 2),
+        |qe AS (SELECT embedding AS qev FROM embeddings WHERE vec_id = 2),
+        |pc AS (
+        |  SELECT vec_id,
+        |    CASE WHEN na > 0 AND nb > 0 THEN dot / (na * nb)
+        |         ELSE 0.0 END AS pcos
+        |  FROM (
+        |    SELECT p.vec_id,
+        |      list_sum(list_transform(range(1, 17),
+        |        i -> p.pv[i] * q.qpv[i])) AS dot,
+        |      sqrt(list_sum(list_transform(range(1, 17),
+        |        i -> p.pv[i] * p.pv[i]))) AS na,
+        |      sqrt(list_sum(list_transform(range(1, 17),
+        |        i -> q.qpv[i] * q.qpv[i]))) AS nb
+        |    FROM proj p CROSS JOIN qp q) s0),
+        |top AS (SELECT vec_id, pcos FROM pc
+        |        ORDER BY pcos DESC, vec_id LIMIT 10),
+        |ec AS (
+        |  SELECT vec_id,
+        |    CASE WHEN na > 0 AND nb > 0 THEN dot / (na * nb)
+        |         ELSE 0.0 END AS ecos
+        |  FROM (
+        |    SELECT e.vec_id,
+        |      list_sum(list_transform(range(1, 65), i ->
+        |        CAST(e.embedding[i] AS DOUBLE) * CAST(q.qev[i] AS DOUBLE)))
+        |        AS dot,
+        |      sqrt(list_sum(list_transform(range(1, 65), i ->
+        |        CAST(e.embedding[i] AS DOUBLE)
+        |          * CAST(e.embedding[i] AS DOUBLE)))) AS na,
+        |      sqrt(list_sum(list_transform(range(1, 65), i ->
+        |        CAST(q.qev[i] AS DOUBLE) * CAST(q.qev[i] AS DOUBLE)))) AS nb
+        |    FROM embeddings e CROSS JOIN qe q) s1)
+        |SELECT t.vec_id, round(t.pcos, 6) AS pcos, round(ec.ecos, 6) AS ecos
+        |FROM top t JOIN ec ON ec.vec_id = t.vec_id
+        |ORDER BY pcos DESC, t.vec_id""".stripMargin,
   )
 }

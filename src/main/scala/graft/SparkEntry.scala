@@ -2772,6 +2772,36 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Johnson-Lindenstrauss projected retrieval
+    * ([[graft.operators.Ann.jlProject]]): embeddings projected 64→16
+    * dims through the deterministic ±1 md5 matrix, top-10 by
+    * PROJECTED cosine for query vec 2, with the exact 64-dim cosine
+    * alongside — the recall audit surface for the 4× cheaper scoring
+    * path. The oracle rebuilds the sign matrix from the same md5
+    * parities and replays both cosine folds.
+    */
+  private def q165(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d).select("vec_id", "embedding")
+    val proj = graft.operators.CacheRegistry.track(
+      Ann.jlProject(e, "vec_id", "embedding", inDim = 64, outDim = 16)
+        .persist())
+    val qp = proj.filter(col("vec_id") === 2)
+      .select(col("projected").as("qp"))
+    val qe = e.filter(col("vec_id") === 2)
+      .select(col("embedding").cast("array<double>").as("qe"))
+    val top = proj.crossJoin(broadcast(qp))
+      .select(col("vec_id"),
+        Dedup.cosine(col("projected"), col("qp")).as("pcos"))
+      .orderBy(col("pcos").desc, col("vec_id"))
+      .limit(10)
+    top.join(e, Seq("vec_id"))
+      .crossJoin(broadcast(qe))
+      .select(col("vec_id"), round(col("pcos"), 6).as("pcos"),
+        round(Dedup.cosine(col("embedding").cast("array<double>"),
+          col("qe")), 6).as("ecos"))
+      .orderBy(col("pcos").desc, col("vec_id"))
+  }
+
   /** Z-order locality audit ([[graft.operators.Layout.mortonCode]] —
     * the key under [[graft.operators.Layout.writeZOrderSorted]], the
     * Delta/Iceberg-style multi-column clustering layout): orders on
@@ -3150,6 +3180,7 @@ object SparkEntry {
     "q162_cut_shared_spans" -> (q162(_, _)),
     "q163_nb_quality_classifier" -> (q163(_, _)),
     "q164_zorder_cells" -> (q164(_, _)),
+    "q165_jl_projected_topk" -> (q165(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

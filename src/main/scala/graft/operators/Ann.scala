@@ -216,6 +216,47 @@ object Ann {
       .toDF("rank", idCol, "qsim", "mmr")
   }
 
+  /** Johnson-Lindenstrauss random projection with a DETERMINISTIC ±1
+    * matrix (Achlioptas 2003: ±1 entries preserve pairwise distances
+    * as well as Gaussian ones): out-dimension j of vector v is
+    *
+    *   p_j = (Σ_i s(i,j) · v_i) / √outDim,   s(i,j) ∈ {+1, −1}
+    *
+    * with the signs drawn from the repo's 48-bit md5 integers of
+    * `"seed:i:j"` (parity → sign) — no RNG, so the projection, every
+    * downstream cosine, and the oracle replay bit-exactly.
+    *
+    * Scale shape: the sign matrix is a PLAN-TIME CONSTANT (computed
+    * once on the driver, folded into literal arrays — the Pq
+    * literal-LUT move), so the projection is one codegen'd row-local
+    * projection of `outDim` native
+    * [[graft.plans.GraftFunctions.dotProduct]] folds: no shuffle, no
+    * join, corpus-linear. The
+    * point at 100 TB: score/cluster/near-dup passes downstream run on
+    * `outDim`-wide vectors instead of `inDim`-wide ones — a
+    * inDim/outDim I/O-and-FLOP cut ahead of every ANN tier, composing
+    * with (not replacing) IVF/PQ.
+    */
+  def jlProject(df: DataFrame, idCol: String, vecCol: String,
+      inDim: Int, outDim: Int, seed: String = "jl"): DataFrame = {
+    require(inDim > 0 && outDim > 0 && outDim <= inDim,
+      s"need inDim >= outDim > 0, got inDim=$inDim outDim=$outDim")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(i: Int, j: Int): Double = {
+      val hex = md.digest(s"$seed:$i:$j"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString.take(12)
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
+    }
+    val v = col(vecCol).cast("array<double>")
+    val scale = math.sqrt(outDim.toDouble)
+    val proj = array((0 until outDim).map { j =>
+      graft.plans.GraftFunctions.dotProduct(v,
+        array((0 until inDim).map(i => lit(sign(i, j))): _*)) / lit(scale)
+    }: _*)
+    df.select(col(idCol), proj.as("projected"))
+  }
+
   /** [[mmrRerank]] over an IVF-PRUNED candidate pool — the scale path
     * the MMR scaladoc promises: instead of ranking the whole corpus
     * for the top-m slate, restrict to the `nprobe` cells nearest the

@@ -85,4 +85,33 @@ class AnnSpec extends SparkSpec {
       .minBy(_.getAs[Int]("rnk"))
     assert(q0best.getAs[Long]("vec_id") == 0L)
   }
+
+  test("jlProject matches a scalar replay of the md5 sign matrix and " +
+      "the left-to-right fold; invalid dims are refused") {
+    import spark.implicits._
+    def sign(i: Int, j: Int): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"jl:$i:$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
+    }
+    val data = Seq(
+      1L -> Array(1.0, 2.0, -3.0, 0.5, 0.0, 4.0, -1.0, 2.5),
+      2L -> Array.fill(8)(0.0),
+      3L -> (0 until 8).map(i => math.sin(i.toDouble)).toArray)
+    val df = data.map { case (id, v) => (id, v) }.toDF("vec_id", "embedding")
+    val got = Ann.jlProject(df, "vec_id", "embedding", inDim = 8, outDim = 4)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Double]]("projected")).toMap
+    for ((id, v) <- data; j <- 0 until 4) {
+      // the engine folds left-to-right: ((0 + s0·v0) + s1·v1) + ...
+      var acc = 0.0
+      for (i <- 0 until 8) acc += sign(i, j) * v(i)
+      val want = acc / math.sqrt(4.0)
+      assert(got(id)(j) == want, s"id=$id j=$j: ${got(id)(j)} != $want")
+    }
+    intercept[IllegalArgumentException] {
+      Ann.jlProject(df, "vec_id", "embedding", inDim = 8, outDim = 9)
+    }
+  }
 }
