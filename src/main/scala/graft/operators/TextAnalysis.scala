@@ -962,23 +962,38 @@ object TextAnalysis {
   def nbQualityScore(labeled: DataFrame, labelCol: String,
       df: DataFrame, idCol: String, textCol: String,
       alpha: Double = 1.0): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    require(alpha > 0, s"alpha=$alpha must be positive")
-    def dec(c: Column): Column = c.cast(DecimalType(18, 12))
+    val (cw, tot, prior) = nbModelStats(labeled, labelCol, textCol)
+    nbScoreUnder(cw, tot, prior, df, idCol, textCol, alpha)
+  }
+
+  /** The NB count relations `(cw, tot, prior)` — the train half of
+    * [[nbQualityScore]], exposed for persistence ([[saveNbRef]]).
+    */
+  private[operators] def nbModelStats(labeled: DataFrame,
+      labelCol: String, textCol: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val tok = CacheRegistry.track(labeled
       .select(col(labelCol).as("__y"),
         explode(tokens(col(textCol))).as("__w"))
       .persist())
-    val cw = tok.groupBy(col("__w")).agg(
-      sum(when(col("__y"), 1L).otherwise(0L)).as("__cp"),
-      sum(when(!col("__y"), 1L).otherwise(0L)).as("__cn"))
-    val tot = tok.agg(
-      sum(when(col("__y"), 1L).otherwise(0L)).as("__np"),
-      sum(when(!col("__y"), 1L).otherwise(0L)).as("__nn"),
-      count_distinct(col("__w")).as("__v"))
-    val prior = labeled.agg(
-      sum(when(col(labelCol), 1L).otherwise(0L)).as("__dp"),
-      sum(when(!col(labelCol), 1L).otherwise(0L)).as("__dn"))
+    (tok.groupBy(col("__w")).agg(
+        sum(when(col("__y"), 1L).otherwise(0L)).as("__cp"),
+        sum(when(!col("__y"), 1L).otherwise(0L)).as("__cn")),
+      tok.agg(
+        sum(when(col("__y"), 1L).otherwise(0L)).as("__np"),
+        sum(when(!col("__y"), 1L).otherwise(0L)).as("__nn"),
+        count_distinct(col("__w")).as("__v")),
+      labeled.agg(
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("__dp"),
+        sum(when(!col(labelCol), 1L).otherwise(0L)).as("__dn")))
+  }
+
+  private def nbScoreUnder(cw: DataFrame, tot: DataFrame,
+      prior: DataFrame, df: DataFrame, idCol: String, textCol: String,
+      alpha: Double): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(alpha > 0, s"alpha=$alpha must be positive")
+    def dec(c: Column): Column = c.cast(DecimalType(18, 12))
     val term =
       dec(log((coalesce(col("__cp"), lit(0L)) + lit(alpha)) /
         (col("__np") + lit(alpha) * col("__v")))) -
@@ -995,6 +1010,33 @@ object TextAnalysis {
           .cast("double"), 6).as("score"))
       .withColumn("pred_pos", col("score") > 0)
   }
+
+  /** Persist a trained NB reference to `dir` (the [[saveBigramRef]]
+    * lifecycle: train ONCE offline on the labeled seed, gate
+    * anywhere — batch jobs and streaming drains read the counts, never
+    * recompute them). Counts are exact longs, so the round trip is
+    * byte-identical to scoring against the live relations
+    * (spec-pinned).
+    */
+  def saveNbRef(labeled: DataFrame, labelCol: String, textCol: String,
+      dir: String): Unit = {
+    val (cw, tot, prior) = nbModelStats(labeled, labelCol, textCol)
+    cw.write.mode("overwrite").parquet(s"$dir/cw")
+    tot.write.mode("overwrite").parquet(s"$dir/tot")
+    prior.write.mode("overwrite").parquet(s"$dir/prior")
+  }
+
+  /** Score under a [[saveNbRef]] directory — [[nbQualityScore]]'s
+    * apply half against persisted counts.
+    */
+  def scoreUnderNbRef(spark: org.apache.spark.sql.SparkSession,
+      dir: String, df: DataFrame, idCol: String, textCol: String,
+      alpha: Double = 1.0): DataFrame =
+    nbScoreUnder(
+      spark.read.parquet(s"$dir/cw"),
+      spark.read.parquet(s"$dir/tot"),
+      spark.read.parquet(s"$dir/prior"),
+      df, idCol, textCol, alpha)
 
   /** PER-GROUP perplexity gate — [[perplexityFilter]]'s exact
     * `k_g = ⌊dropFrac·n_g⌋`-th smallest `(score, id)` cutoff computed

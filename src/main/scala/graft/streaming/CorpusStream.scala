@@ -171,7 +171,8 @@ object CorpusStream {
       shingleN: Int, k: Int, bands: Int,
       compactEvery: Int = 0,
       bigramRefDir: String = null, minAvgLogprob: Double = 0.0,
-      blockTerms: Seq[String] = Nil, blockPhrases: Seq[String] = Nil)(
+      blockTerms: Seq[String] = Nil, blockPhrases: Seq[String] = Nil,
+      nbRefDir: String = null, minNbScore: Double = 0.0)(
       batch: DataFrame, batchId: Long): Unit = {
     val docs = oneRowPerUrl(batch)
     if (!docs.isEmpty) graft.operators.CacheRegistry.scope {
@@ -235,7 +236,9 @@ object CorpusStream {
       bigramRefDir: String = null,
       minAvgLogprob: Double = 0.0,
       blockTerms: Seq[String] = Nil,
-      blockPhrases: Seq[String] = Nil): StreamingQuery =
+      blockPhrases: Seq[String] = Nil,
+      nbRefDir: String = null,
+      minNbScore: Double = 0.0): StreamingQuery =
     graft.sources.WarcReader.readStream(spark, warcDir, glob)
       .filter(col("warc_type") === "response" &&
         col("http_status") === 200 &&
@@ -253,7 +256,7 @@ object CorpusStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         curatedBatch(spark, model, outDir, minWords, minStopKinds,
           compactEvery, bigramRefDir, minAvgLogprob,
-          blockTerms, blockPhrases)(batch, batchId)
+          blockTerms, blockPhrases, nbRefDir, minNbScore)(batch, batchId)
       }
       .start()
 
@@ -265,12 +268,14 @@ object CorpusStream {
       outDir: String, minWords: Int, minStopKinds: Int,
       compactEvery: Int = 0,
       bigramRefDir: String = null, minAvgLogprob: Double = 0.0,
-      blockTerms: Seq[String] = Nil, blockPhrases: Seq[String] = Nil)(
+      blockTerms: Seq[String] = Nil, blockPhrases: Seq[String] = Nil,
+      nbRefDir: String = null, minNbScore: Double = 0.0)(
       batch: DataFrame, batchId: Long): Unit = {
     val docs = oneRowPerUrl(batch)
     if (!docs.isEmpty) graft.operators.CacheRegistry.scope {
       curateAndWrite(model, outDir, minWords, minStopKinds,
-        bigramRefDir, minAvgLogprob, blockTerms, blockPhrases)(docs, batchId)
+        bigramRefDir, minAvgLogprob, blockTerms, blockPhrases,
+        nbRefDir, minNbScore)(docs, batchId)
       maybeCompact(spark, Seq(outDir), compactEvery, batchId)
     }
   }
@@ -279,8 +284,10 @@ object CorpusStream {
     * C4 page gate → (optional) word-boundary blocklist gate
     * ([[graft.operators.TextAnalysis.blocklistFilter]], C4's badwords
     * rule) → Gopher battery → (optional) perplexity gate over the
-    * CLEANED text → tokenize — writing the survivors into the
-    * batchId-keyed exactly-once layout. Shared tail of
+    * CLEANED text → (optional) NB classifier gate
+    * ([[graft.operators.TextAnalysis.scoreUnderNbRef]], the
+    * fastText-seed-gate analog) → tokenize — writing the survivors
+    * into the batchId-keyed exactly-once layout. Shared tail of
     * [[curatedBatch]] and [[curatedFuzzyBatch]].
     *
     * The perplexity gate is the STREAMING half of the CCNet lifecycle
@@ -301,7 +308,8 @@ object CorpusStream {
       model: graft.operators.Bpe.Model, outDir: String,
       minWords: Int, minStopKinds: Int,
       bigramRefDir: String = null, minAvgLogprob: Double = 0.0,
-      blockTerms: Seq[String] = Nil, blockPhrases: Seq[String] = Nil)(
+      blockTerms: Seq[String] = Nil, blockPhrases: Seq[String] = Nil,
+      nbRefDir: String = null, minNbScore: Double = 0.0)(
       docs: DataFrame, batchId: Long): Unit = {
     val cleaned = graft.operators.TextAnalysis
       .c4LineFilters(docs.select("url", "text"), "text")
@@ -330,9 +338,24 @@ object CorpusStream {
           .filter(col("avg_logprob") >= minAvgLogprob)
           .select("url"),
         Seq("url"), "left_semi")
-    if (!kept.isEmpty)
-      kept.join(
-          graft.operators.Bpe.applyModel(kept, "url", "text", model),
+    // classifier gate (the fastText-style seed gate, NB form): the
+    // STREAMING half of the saveNbRef lifecycle — the labeled seed
+    // trains ONCE offline, the drain reads counts and admits only
+    // docs whose log-likelihood-ratio score reaches the PRECOMPUTED
+    // threshold (a per-drain threshold would break replay
+    // determinism, the perplexity-gate rule). nbRefDir = null
+    // (default) disables the gate; every existing drain is unchanged.
+    val admitted =
+      if (nbRefDir == null) kept
+      else kept.join(
+        graft.operators.TextAnalysis.scoreUnderNbRef(
+            kept.sparkSession, nbRefDir, kept, "url", "text")
+          .filter(col("score") >= minNbScore)
+          .select("url"),
+        Seq("url"), "left_semi")
+    if (!admitted.isEmpty)
+      admitted.join(
+          graft.operators.Bpe.applyModel(admitted, "url", "text", model),
           Seq("url"), "left")
         .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
   }
@@ -361,7 +384,9 @@ object CorpusStream {
       bigramRefDir: String = null,
       minAvgLogprob: Double = 0.0,
       blockTerms: Seq[String] = Nil,
-      blockPhrases: Seq[String] = Nil): StreamingQuery =
+      blockPhrases: Seq[String] = Nil,
+      nbRefDir: String = null,
+      minNbScore: Double = 0.0): StreamingQuery =
     graft.sources.WarcReader.readStream(spark, warcDir, glob)
       .filter(col("warc_type") === "response" &&
         col("http_status") === 200 &&
@@ -379,8 +404,8 @@ object CorpusStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         curatedFuzzyBatch(spark, model, outDir, bandIndexDir,
           minWords, minStopKinds, shingleN, k, bands, compactEvery,
-          bigramRefDir, minAvgLogprob, blockTerms, blockPhrases)(
-          batch, batchId)
+          bigramRefDir, minAvgLogprob, blockTerms, blockPhrases,
+          nbRefDir, minNbScore)(batch, batchId)
       }
       .start()
 
@@ -394,7 +419,8 @@ object CorpusStream {
       shingleN: Int, k: Int, bands: Int,
       compactEvery: Int = 0,
       bigramRefDir: String = null, minAvgLogprob: Double = 0.0,
-      blockTerms: Seq[String] = Nil, blockPhrases: Seq[String] = Nil)(
+      blockTerms: Seq[String] = Nil, blockPhrases: Seq[String] = Nil,
+      nbRefDir: String = null, minNbScore: Double = 0.0)(
       batch: DataFrame, batchId: Long): Unit = {
     val docs = oneRowPerUrl(batch)
     if (!docs.isEmpty) graft.operators.CacheRegistry.scope {
@@ -407,8 +433,8 @@ object CorpusStream {
         .write.mode("overwrite")
         .parquet(s"$bandIndexDir/batch_id=$batchId")
       curateAndWrite(model, outDir, minWords, minStopKinds,
-        bigramRefDir, minAvgLogprob, blockTerms, blockPhrases)(
-        novel, batchId)
+        bigramRefDir, minAvgLogprob, blockTerms, blockPhrases,
+        nbRefDir, minNbScore)(novel, batchId)
       maybeCompact(spark, Seq(bandIndexDir, outDir), compactEvery, batchId)
     }
   }

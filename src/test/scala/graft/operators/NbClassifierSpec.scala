@@ -71,4 +71,21 @@ class NbClassifierSpec extends SparkSpec {
     assert(out == Set(6L), "empty doc must not be scored")
     CacheRegistry.drain()
   }
+
+  test("saveNbRef + scoreUnderNbRef round-trips byte-identical to the " +
+      "live-relation scoring (counts are exact longs)") {
+    val labeled = toDf(
+      (1L, true, "good good fine"),
+      (2L, true, "good"),
+      (3L, false, "bad bad good"))
+    val corpus = toDf((10L, true, "good fine bad novel"))
+    val dir = java.nio.file.Files.createTempDirectory("nb-model").toString
+    TextAnalysis.saveNbRef(labeled, "is_pos", "text", dir)
+    val live = TextAnalysis.nbQualityScore(labeled, "is_pos", corpus,
+      "doc_id", "text").collect().map(_.toString).sorted.toSeq
+    val saved = TextAnalysis.scoreUnderNbRef(spark, dir, corpus,
+      "doc_id", "text").collect().map(_.toString).sorted.toSeq
+    assert(live == saved, s"live=$live saved=$saved")
+    CacheRegistry.drain()
+  }
 }

@@ -339,6 +339,64 @@ class CorpusStreamSpec extends SparkSpec {
     CacheRegistry.drain()
   }
 
+  test("curated drain with the NB classifier gate: a doc the saved " +
+      "seed classifier scores below threshold never lands, the same " +
+      "doc lands with the gate off, and the gated replay stays " +
+      "byte-identical") {
+    val session = spark
+    import session.implicits._
+    val model = Bpe.learnMerges(
+      Seq("abab abab bc cc ab", "bc bc abab cc a b c").toDF("text"),
+      "text", numMerges = 4)
+    // both pass C4/Gopher; they differ in seed-vocabulary overlap
+    val goodText = Seq(
+      "the quick brown fox jumps over the lazy dog today.",
+      "Here is the second proper sentence now.",
+      "And here is the third proper sentence.").mkString("\n")
+    val junkText = Seq(
+      "the zqpw xvktra qplduv wkrmes jxvnot vztyle bnmdia today.",
+      "Here is the wvqzor kxjpan mnrtle sentence now.",
+      "And here is the pxvkel qjwmus sentence.").mkString("\n")
+    // NB seed trained ONCE offline: curated label = good-like text
+    val refDir = java.nio.file.Files.createTempDirectory("nb-ref").toString
+    TextAnalysis.saveNbRef(Seq(
+        (true, goodText),
+        (true, "the quick brown fox naps under the old dog."),
+        (false, junkText),
+        (false, "zzqy wwrtk jjplm sentence vvbnm kkrty.")).toDF(
+        "is_curated", "text"),
+      "is_curated", "text", refDir)
+    def docsDf() = Seq(
+      ("https://x.example/n/1", goodText),
+      ("https://x.example/n/2", junkText)).toDF("url", "text")
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+    def urls(dir: java.nio.file.Path): Set[String] =
+      spark.read.parquet(dir.toString).select("url").collect()
+        .map(_.getString(0)).toSet
+    // gate OFF: both land
+    val plain = java.nio.file.Files.createTempDirectory("nb-plain")
+    CorpusStream.curatedBatch(spark, model, plain.toString, 12, 1)(
+      docsDf(), 0L)
+    assert(urls(plain) == Set("https://x.example/n/1",
+      "https://x.example/n/2"), s"${urls(plain)}")
+    // gate ON at the sign threshold: only the seed-like doc lands
+    val gated = java.nio.file.Files.createTempDirectory("nb-gated")
+    def gatedDrain(): Unit =
+      CorpusStream.curatedBatch(spark, model, gated.toString, 12, 1,
+        compactEvery = 0, bigramRefDir = null, minAvgLogprob = 0.0,
+        blockTerms = Nil, blockPhrases = Nil,
+        nbRefDir = refDir, minNbScore = 0.0)(docsDf(), 0L)
+    gatedDrain()
+    assert(urls(gated) == Set("https://x.example/n/1"), s"${urls(gated)}")
+    val snap = spark.read.parquet(gated.toString).collect()
+      .map(_.toString).sorted.toSeq
+    gatedDrain()
+    val again = spark.read.parquet(gated.toString).collect()
+      .map(_.toString).sorted.toSeq
+    assert(again == snap, "gated replay must rewrite, not change")
+    CacheRegistry.drain()
+  }
+
   test("runCuratedFuzzy: an edited near-dup re-crawl is suppressed by " +
       "the band index BEFORE the quality gates (even a near-dup of a " +
       "quality-REJECTED page), novel pages still curate, and the " +
