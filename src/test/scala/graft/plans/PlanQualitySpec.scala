@@ -487,4 +487,97 @@ class PlanQualitySpec extends SparkSpec {
     assert(!s.contains("Generate"), "no explode in the distance path")
     graft.operators.CacheRegistry.drain()
   }
+
+  test("groupedPerplexityFilter never globally sorts and never " +
+      "collects: every Exchange is hash-partitioned on the group (or " +
+      "group histogram) key, no rangepartitioning, no single-partition " +
+      "window") {
+    val session = spark
+    import session.implicits._
+    val scored = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("lang"),
+        round((col("doc_id") % 97).cast("double") / 10.0, 6).as("sc"))
+    val gated = graft.operators.TextAnalysis.groupedPerplexityFilter(
+      scored, "lang", "doc_id", "sc", dropFrac = 0.25)
+    val plan = executed(gated)
+    val p = plan.toString
+    assert(!p.contains("Exchange rangepartitioning"),
+      "no global sort anywhere in the gate:\n" + p.take(1500))
+    assert(!p.contains("Exchange SinglePartition"),
+      "no single-partition stage:\n" + p.take(1500))
+    // the tracked persists surface as InMemoryTableScan leaves, so
+    // exchanges may sit inside cached subplans — any that remain
+    // visible must be hash-partitioned on the group key
+    val shuffles = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    for (e <- shuffles)
+      assert(e.outputPartitioning.toString.contains("__g") ||
+        e.outputPartitioning.toString.contains("lang"),
+        s"non-group shuffle: ${e.outputPartitioning}")
+    // behavior smoke: per-group drop counts are exact
+    val drops = gated.filter(!col("keep")).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ns = scored.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((g, n) <- ns)
+      assert(drops.getOrElse(g, 0L) == n / 4, s"group $g")
+    graft.operators.CacheRegistry.drain()
+  }
+
+  test("cmsSketch aggregates partially before its ONE shuffle (map-side " +
+      "combine bounds shuffle volume at depth*width per partition) and " +
+      "cmsEstimate broadcasts the sketch side") {
+    val vals = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("lang").as("v"))
+    val sk = graft.operators.Sketch.cmsSketch(vals, "v", 4, 64)
+    val skPlan = executed(sk)
+    val shuffles = skPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.length == 1, s"sketch shuffles: ${shuffles.length}")
+    // the partial HashAggregate must sit BELOW the exchange
+    assert(shuffles.head.child.toString.contains("HashAggregate"),
+      "no map-side combine under the sketch shuffle:\n" +
+        shuffles.head.child.toString.take(800))
+    val est = graft.operators.Sketch.cmsEstimate(
+      graft.operators.Sketch.cmsSketch(vals, "v", 4, 64),
+      vals.distinct(), "v", 4, 64)
+    val ep = executed(est).toString
+    assert(ep.contains("BroadcastExchange"),
+      "the sketch side must broadcast into the probe join:\n" +
+        ep.take(1500))
+    graft.operators.CacheRegistry.drain()
+  }
+
+  test("nbQualityScore plans as the LM-scorer skeleton: scalar count " +
+      "rows broadcast (no CartesianProduct), the corpus-side work is " +
+      "keyed aggregation") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source", "text")
+    val labeled = docs.withColumn("y", col("source") === "src0")
+    val scored = graft.operators.TextAnalysis.nbQualityScore(
+      labeled, "y", docs, "doc_id", "text")
+    val p = executed(scored).toString
+    assert(!p.contains("CartesianProduct"),
+      "scalar relations must broadcast, not cartesian:\n" + p.take(1500))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p.take(1500))
+    graft.operators.CacheRegistry.drain()
+  }
+
+  test("jlProject is ONE shuffle-free codegen projection: no Exchange, " +
+      "no Join, and the fold stays inside WholeStageCodegen") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val proj = graft.operators.Ann.jlProject(
+      emb, "vec_id", "embedding", inDim = 64, outDim = 16)
+    val plan = executed(proj)
+    val p = plan.toString
+    assert(!p.contains("Exchange"), "projection must not shuffle:\n" + p.take(800))
+    assert(!p.contains("Join"), "projection must not join:\n" + p.take(800))
+    assert(plan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec]),
+      "projection must stay in whole-stage codegen:\n" + p.take(800))
+    graft.operators.CacheRegistry.drain()
+  }
 }
