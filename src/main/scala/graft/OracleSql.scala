@@ -4716,5 +4716,54 @@ object OracleSql {
         |SELECT t.vec_id, round(t.pcos, 6) AS pcos, round(ec.ecos, 6) AS ecos
         |FROM top t JOIN ec ON ec.vec_id = t.vec_id
         |ORDER BY pcos DESC, t.vec_id""".stripMargin,
+
+    // PaLM-style fraction rule: shared distinct 8-grams per pair over
+    // the bench item's distinct-shingle total, round-6 threshold
+    "q166_overlap_fraction" ->
+      """WITH bench0 AS (SELECT doc_id, text FROM documents WHERE doc_id < 25),
+        |corpus0 AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 25
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id,
+        |    COALESCE(array_to_string(list_filter(string_split(text, ' '),
+        |      w -> w <> '')[6:30], ' '), '') AS text
+        |  FROM bench0),
+        |csh AS (
+        |  SELECT DISTINCT doc_id AS corpus_id, sh FROM (
+        |    SELECT doc_id,
+        |      CASE WHEN len(ts) >= 8
+        |        THEN unnest(list_transform(range(1, len(ts) - 6),
+        |               i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' '
+        |                 || ts[i+3] || ' ' || ts[i+4] || ' ' || ts[i+5]
+        |                 || ' ' || ts[i+6] || ' ' || ts[i+7]))
+        |        ELSE array_to_string(ts, ' ') END AS sh
+        |    FROM (SELECT doc_id,
+        |            list_filter(string_split(text, ' '), w -> w <> '') AS ts
+        |          FROM corpus0))),
+        |bsh AS (
+        |  SELECT DISTINCT doc_id AS bench_id, sh FROM (
+        |    SELECT doc_id,
+        |      CASE WHEN len(ts) >= 8
+        |        THEN unnest(list_transform(range(1, len(ts) - 6),
+        |               i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' '
+        |                 || ts[i+3] || ' ' || ts[i+4] || ' ' || ts[i+5]
+        |                 || ' ' || ts[i+6] || ' ' || ts[i+7]))
+        |        ELSE array_to_string(ts, ' ') END AS sh
+        |    FROM (SELECT doc_id,
+        |            list_filter(string_split(text, ' '), w -> w <> '') AS ts
+        |          FROM bench0))),
+        |tot AS (SELECT bench_id, CAST(count(*) AS BIGINT) AS bench_total
+        |        FROM bsh GROUP BY 1),
+        |p AS (
+        |  SELECT c.corpus_id, b.bench_id, CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM csh c JOIN bsh b USING (sh) GROUP BY 1, 2),
+        |f AS (
+        |  SELECT p.corpus_id, p.bench_id, p.n_shared, tot.bench_total,
+        |    round(CAST(p.n_shared AS DOUBLE)
+        |      / CAST(tot.bench_total AS DOUBLE), 6) AS overlap_frac
+        |  FROM p JOIN tot USING (bench_id))
+        |SELECT corpus_id, bench_id, n_shared, bench_total, overlap_frac
+        |FROM f WHERE overlap_frac >= 0.3
+        |ORDER BY corpus_id, bench_id""".stripMargin,
   )
 }

@@ -2772,6 +2772,28 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Fraction-normalized contamination
+    * ([[graft.operators.Contamination.overlapFraction]] — the
+    * PaLM-style "share of the eval item's n-grams seen" rule): q154's
+    * corpus (25 bench items, token-6..30 partial leaks planted under
+    * new ids), flagged when ≥ 30% of a bench item's distinct 8-gram
+    * shingles appear in a corpus document — the rule that catches a
+    * SHORT eval item inside a long document where any absolute
+    * shared-count floor misses. The oracle replays shingles, totals,
+    * and the round-6 fraction threshold.
+    */
+  private def q166(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select("doc_id", "text")
+    val bench = base.filter(col("doc_id") < 25)
+    val leaks = bench.select((col("doc_id") + 2000000L).as("doc_id"),
+      concat_ws(" ", slice(graft.operators.TextAnalysis.tokens(col("text")),
+        6, 25)).as("text"))
+    val corpus = base.filter(col("doc_id") >= 25).unionAll(leaks)
+    graft.operators.Contamination.overlapFraction(corpus, bench,
+        "doc_id", "text", shingleN = 8, minFrac = 0.3)
+      .orderBy("corpus_id", "bench_id")
+  }
+
   /** Johnson-Lindenstrauss projected retrieval
     * ([[graft.operators.Ann.jlProject]]): embeddings projected 64→16
     * dims through the deterministic ±1 md5 matrix, top-10 by
@@ -3181,6 +3203,7 @@ object SparkEntry {
     "q163_nb_quality_classifier" -> (q163(_, _)),
     "q164_zorder_cells" -> (q164(_, _)),
     "q165_jl_projected_topk" -> (q165(_, _)),
+    "q166_overlap_fraction" -> (q166(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

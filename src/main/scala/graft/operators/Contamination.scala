@@ -37,6 +37,44 @@ object Contamination {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** [[ngramOverlap]] normalized by the BENCHMARK item's shingle
+    * population — the published fraction rule (PaLM's "70% of 8-grams
+    * seen", GPT-4's 50-char-substring variant): a pair is contaminated
+    * when `n_shared / bench_total ≥ minFrac`, so a short eval item
+    * fully contained in a long document is caught even though its
+    * absolute shared count is small (the case a fixed `minShared`
+    * misses). The fraction is rounded to 6 before the threshold so
+    * the flagged set replays exactly cross-engine.
+    *
+    * Same plan as [[ngramOverlap]] plus one broadcast join against
+    * the per-item totals (benchmark-sized, tiny by definition).
+    */
+  def overlapFraction(
+      corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, shingleN: Int,
+      minFrac: Double): DataFrame = {
+    require(minFrac > 0 && minFrac <= 1,
+      s"minFrac=$minFrac must be in (0, 1]")
+    val c = Dedup.shingleRows(corpus, idCol, textCol, shingleN)
+      .select(col(idCol).as("corpus_id"), col("sh")).distinct()
+    val b = CacheRegistry.track(
+      Dedup.shingleRows(benchmark, idCol, textCol, shingleN)
+        .select(col(idCol).as("bench_id"), col("sh")).distinct()
+        .persist())
+    val totals = b.groupBy("bench_id")
+      .agg(count(lit(1)).as("bench_total"))
+    c.join(broadcast(b), Seq("sh"))
+      .groupBy("corpus_id", "bench_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(totals), Seq("bench_id"))
+      .withColumn("overlap_frac",
+        round(col("n_shared").cast("double") /
+          col("bench_total").cast("double"), 6))
+      .filter(col("overlap_frac") >= minFrac)
+      .select(col("corpus_id"), col("bench_id"), col("n_shared"),
+        col("bench_total"), col("overlap_frac"))
+  }
+
   /** Corpus rows with NO contaminated pairing — the decontaminated set. */
   def decontaminated(
       corpus: DataFrame, benchmark: DataFrame,

@@ -27,6 +27,45 @@ class ContaminationSpec extends SparkSpec {
     assert(clean == Seq(11L, 12L))
   }
 
+  test("overlapFraction normalizes by the BENCH item's shingle total: " +
+      "a short eval item fully inside a long doc is caught where the " +
+      "absolute-count rule misses it, and the round-6 threshold is a " +
+      "closed-form fraction") {
+    import spark.implicits._
+    // bench 1: short (5 tokens -> 3 distinct 3-shingles); bench 2: long
+    val bench = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, (0 until 40).map(i => s"b$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    // doc 10 embeds ALL of bench 1 inside 30 tokens of noise;
+    // doc 11 shares exactly 3 shingles with bench 2 (same absolute
+    // count as doc 10's hit, but 3/38 of bench 2's population)
+    val corpus = Seq(
+      (10L, ((0 until 15).map(i => s"x$i") ++
+        Seq("alpha", "beta", "gamma", "delta", "epsilon") ++
+        (15 until 30).map(i => s"x$i")).mkString(" ")),
+      (11L, "b0 b1 b2 b3 b4 y0 y1 y2 y3 y4"))
+      .toDF("doc_id", "text")
+    val got = Contamination.overlapFraction(corpus, bench, "doc_id",
+        "text", shingleN = 3, minFrac = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    // bench 1 has 3 distinct shingles, all in doc 10 -> frac 1.0;
+    // doc 11's 3 shared of bench 2's 38 -> 0.078947, under threshold
+    assert(got.toSeq == Seq((10L, 1L, 3L, 3L, 1.0)), got.mkString(","))
+    // the absolute rule at the same floor misses nothing here but
+    // cannot distinguish the two pairs: both share exactly 3 shingles
+    val abs = Contamination.ngramOverlap(corpus, bench, "doc_id",
+        "text", shingleN = 3, minShared = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(abs == Set((10L, 1L), (11L, 2L)))
+    intercept[IllegalArgumentException] {
+      Contamination.overlapFraction(corpus, bench, "doc_id", "text",
+        shingleN = 3, minFrac = 0.0)
+    }
+    CacheRegistry.drain()
+  }
+
   test("repetition signals: duplicate-token fraction and top bigram " +
       "expose looped text (the Gopher/C4 filter inputs)") {
     import spark.implicits._
