@@ -4765,5 +4765,99 @@ object OracleSql {
         |SELECT corpus_id, bench_id, n_shared, bench_total, overlap_frac
         |FROM f WHERE overlap_frac >= 0.3
         |ORDER BY corpus_id, bench_id""".stripMargin,
+
+    // capstone: the q162 cut replay -> q163 NB replay on the surviving
+    // clean text -> q159's per-group rank gate, chained
+    "q167_curation_pipeline3" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, lang, source, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, lang, source,
+        |    COALESCE(array_to_string(list_filter(string_split(text, ' '),
+        |      w -> w <> '')[11:40], ' '), '') AS text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), w -> w <> '') AS ts
+        |  FROM corpus),
+        |sh AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    array_to_string(ts[i:i+7], ' ') AS sh
+        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 6)) AS i
+        |        FROM toks WHERE len(ts) >= 8)),
+        |m AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib, a.pos AS pa, b.pos AS pb
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+        |isl AS (
+        |  SELECT ia, ib, pa - pb AS diag, pa, pb,
+        |    pa - row_number() OVER (PARTITION BY ia, ib, pa - pb
+        |                            ORDER BY pa) AS grp
+        |  FROM m),
+        |spans AS (
+        |  SELECT ib AS doc_id,
+        |    CAST(min(pb) AS BIGINT) AS start_b,
+        |    CAST(count(*) + 7 AS BIGINT) AS span_tokens
+        |  FROM isl GROUP BY ia, ib, diag, grp
+        |  HAVING count(*) + 7 >= 20),
+        |ctokp AS (
+        |  SELECT doc_id, i - 1 AS pos, ts[i] AS tok
+        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i
+        |        FROM toks)),
+        |keptt AS (
+        |  SELECT t.doc_id, t.pos, t.tok FROM ctokp t
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM spans s WHERE s.doc_id = t.doc_id
+        |      AND t.pos >= s.start_b
+        |      AND t.pos < s.start_b + s.span_tokens)),
+        |agg AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+        |    CAST(count(*) AS BIGINT) AS kept
+        |  FROM keptt GROUP BY doc_id),
+        |surv AS (
+        |  SELECT c.doc_id, c.lang, c.source,
+        |    (c.source IN ('src0','src1','src2','src3','src4')) AS y,
+        |    list_filter(string_split(a.clean_text, ' '), w -> w <> '') AS ts
+        |  FROM corpus c JOIN agg a ON a.doc_id = c.doc_id
+        |  WHERE a.kept >= 20),
+        |tokl AS (SELECT y, unnest(ts) AS w FROM surv),
+        |cw AS (
+        |  SELECT w,
+        |    sum(CASE WHEN y THEN 1 ELSE 0 END) AS cp,
+        |    sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS cn
+        |  FROM tokl GROUP BY w),
+        |tot AS (
+        |  SELECT sum(CASE WHEN y THEN 1 ELSE 0 END) AS np,
+        |    sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS nn,
+        |    count(DISTINCT w) AS v
+        |  FROM tokl),
+        |pri AS (
+        |  SELECT sum(CASE WHEN y THEN 1 ELSE 0 END) AS dp,
+        |    sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS dn
+        |  FROM surv),
+        |st AS (SELECT doc_id, unnest(ts) AS w FROM surv),
+        |term AS (
+        |  SELECT s.doc_id,
+        |    CAST(ln((COALESCE(cw.cp, 0) + CAST(1.0 AS DOUBLE))
+        |      / (tot.np + CAST(1.0 AS DOUBLE) * tot.v))
+        |      AS DECIMAL(18,12))
+        |    - CAST(ln((COALESCE(cw.cn, 0) + CAST(1.0 AS DOUBLE))
+        |      / (tot.nn + CAST(1.0 AS DOUBLE) * tot.v))
+        |      AS DECIMAL(18,12)) AS t
+        |  FROM st s LEFT JOIN cw ON s.w = cw.w CROSS JOIN tot),
+        |sc AS (SELECT doc_id, SUM(t) AS s FROM term GROUP BY doc_id),
+        |fin AS (
+        |  SELECT sc.doc_id, sv.lang,
+        |    round(CAST(sc.s + CAST(ln(pri.dp) AS DECIMAL(18,12))
+        |      - CAST(ln(pri.dn) AS DECIMAL(18,12)) AS DOUBLE), 6) AS score
+        |  FROM sc JOIN surv sv ON sv.doc_id = sc.doc_id CROSS JOIN pri),
+        |g AS (SELECT lang, CAST(floor(0.25 * count(*)) AS BIGINT) AS k
+        |      FROM fin GROUP BY lang),
+        |r AS (SELECT fin.*, row_number()
+        |        OVER (PARTITION BY lang ORDER BY score, doc_id) AS rn
+        |      FROM fin)
+        |SELECT r.lang, CAST(count(*) AS BIGINT) AS n_kept,
+        |  min(r.doc_id) AS min_id
+        |FROM r JOIN g USING (lang) WHERE r.rn > g.k
+        |GROUP BY r.lang ORDER BY r.lang""".stripMargin,
   )
 }

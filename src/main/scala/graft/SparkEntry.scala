@@ -2772,6 +2772,48 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Curation pipeline v3 — THIS round's operators composed end to
+    * end as one declarative plan, stage order load-bearing:
+    * cross-document span dedup (q162 — re-posts lose their copied
+    * spans, the emptied ones fall to the length floor) → NB seed
+    * classifier scored on the SURVIVING clean text (q163 — the model
+    * trains on what the pipeline will keep, the q158 convention) →
+    * per-LANGUAGE quantile gate on the classifier score (q159 — every
+    * language drops its own worst quartile, so one seed-distant
+    * language doesn't absorb the whole global cut). The oracle chains
+    * the three proven SQL shapes.
+    */
+  private def q167(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select("doc_id", "lang", "source", "text")
+    val quotes = base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+        col("source"),
+        concat_ws(" ", slice(graft.operators.TextAnalysis.tokens(col("text")),
+          11, 30)).as("text"))
+    val corpus = graft.operators.CacheRegistry.track(
+      base.unionAll(quotes).persist())
+    val cut = Dedup.cutSharedSpans(corpus.select("doc_id", "text"),
+      "doc_id", "text", minSpan = 20, shingleN = 8)
+    val survivors = graft.operators.CacheRegistry.track(cut
+      .filter(size(graft.operators.TextAnalysis.tokens(
+        col("clean_text"))) >= 20)
+      .join(corpus.select("doc_id", "lang", "source"), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("clean_text").as("text"))
+      .persist())
+    val labeled = survivors.withColumn("is_curated",
+      col("source").isin("src0", "src1", "src2", "src3", "src4"))
+    val scored = TextAnalysis.nbQualityScore(labeled, "is_curated",
+        survivors, "doc_id", "text", alpha = 1.0)
+      .join(survivors.select("doc_id", "lang"), Seq("doc_id"))
+    TextAnalysis.groupedPerplexityFilter(scored, "lang", "doc_id",
+        "score", dropFrac = 0.25)
+      .filter(col("keep"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), min("doc_id").as("min_id"))
+      .orderBy("lang")
+  }
+
   /** Fraction-normalized contamination
     * ([[graft.operators.Contamination.overlapFraction]] — the
     * PaLM-style "share of the eval item's n-grams seen" rule): q154's
@@ -3204,6 +3246,7 @@ object SparkEntry {
     "q164_zorder_cells" -> (q164(_, _)),
     "q165_jl_projected_topk" -> (q165(_, _)),
     "q166_overlap_fraction" -> (q166(_, _)),
+    "q167_curation_pipeline3" -> (q167(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
