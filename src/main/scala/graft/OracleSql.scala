@@ -4859,5 +4859,17 @@ object OracleSql {
         |  min(r.doc_id) AS min_id
         |FROM r JOIN g USING (lang) WHERE r.rn > g.k
         |GROUP BY r.lang ORDER BY r.lang""".stripMargin,
+
+    // the MG funnel provably equals the direct answer when
+    // minFrac > 1/(k+1): the oracle IS the plain GROUP BY / HAVING
+    "q168_mg_heavy_hitters" ->
+      """WITH stream AS (
+        |  SELECT unnest([event_type, 'u' || CAST(user_id AS VARCHAR)]) AS v
+        |  FROM events),
+        |nn AS (SELECT count(*) AS n FROM stream)
+        |SELECT v, CAST(count(*) AS BIGINT) AS exact_n
+        |FROM stream, nn GROUP BY v, nn.n
+        |HAVING count(*) >= ceil(0.05 * nn.n)
+        |ORDER BY v""".stripMargin,
   )
 }

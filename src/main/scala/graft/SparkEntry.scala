@@ -2772,6 +2772,23 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Misra-Gries heavy hitters
+    * ([[graft.operators.Sketch.mgHeavyHitters]]): a mixed stream of 5
+    * hot event types and 150-ish rare user keys, k=63 per-partition
+    * counters, threshold 5% of the stream — the UNBOUNDED-domain
+    * funnel: the nondeterministic per-partition summaries only prune,
+    * the exact re-count makes the output a deterministic function of
+    * the data (the guarantee `minFrac > 1/(k+1)` is checked at run
+    * time), so the oracle is the plain GROUP BY / HAVING answer the
+    * funnel provably equals.
+    */
+  private def q168(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sketch.mgHeavyHitters(
+        ev(s, d).select(explode(array(col("event_type"),
+          concat(lit("u"), col("user_id").cast("string")))).as("v")),
+        "v", k = 63, minFrac = 0.05)
+      .orderBy("v")
+
   /** Curation pipeline v3 — THIS round's operators composed end to
     * end as one declarative plan, stage order load-bearing:
     * cross-document span dedup (q162 — re-posts lose their copied
@@ -3247,6 +3264,7 @@ object SparkEntry {
     "q165_jl_projected_topk" -> (q165(_, _)),
     "q166_overlap_fraction" -> (q166(_, _)),
     "q167_curation_pipeline3" -> (q167(_, _)),
+    "q168_mg_heavy_hitters" -> (q168(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

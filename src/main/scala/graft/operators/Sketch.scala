@@ -77,6 +77,76 @@ object Sketch {
       .agg(min(coalesce(col("c"), lit(0L))).as("est_n"))
   }
 
+  /** Per-partition Misra-Gries candidate summaries (Misra & Gries
+    * 1982) — the UNBOUNDED-domain candidate generator the
+    * [[cmsHeavyHitters]] scaladoc promises: each partition keeps at
+    * most `k` counters (admit while free; otherwise decrement all —
+    * the classic frequent-items sweep), so driver/shuffle volume is
+    * ≤ k·partitions regardless of how many distinct values exist.
+    *
+    * The summary itself depends on partitioning and arrival order
+    * (NOT deterministic); what IS guaranteed is one-sided: any value
+    * whose PARTITION-local count exceeds n_p/(k+1) survives that
+    * partition, so any value with global count > N/(k+1) survives
+    * somewhere. Consumers must re-count candidates exactly before
+    * acting ([[mgHeavyHitters]]) — only the recounted output is a
+    * deterministic function of the data.
+    *
+    * `mapPartitions` is the right tool here (the rare genuine case):
+    * the algorithm is per-partition imperative state with
+    * data-dependent eviction — no Catalyst expression expresses it,
+    * and the whole point is that it runs BEFORE any shuffle.
+    */
+  def mgCandidates(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    val session = df.sparkSession
+    import session.implicits._
+    df.select(col(valueCol).cast("string"))
+      .filter(col(valueCol).isNotNull)
+      .as[String]
+      .mapPartitions { it =>
+        val c = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach { v =>
+          c.get(v) match {
+            case Some(x) => c.update(v, x + 1)
+            case None if c.size < k => c.update(v, 1L)
+            case None =>
+              c.mapValuesInPlace((_, x) => x - 1)
+              c.filterInPlace((_, x) => x > 0)
+          }
+        }
+        c.keysIterator
+      }
+      .toDF(valueCol).distinct()
+  }
+
+  /** EXACT heavy hitters through the Misra-Gries funnel: values with
+    * global count ≥ ⌈minFrac·N⌉, computed as per-partition candidate
+    * summaries → exact re-count of just the candidates. `minFrac >
+    * 1/(k+1)` is REQUIRED (checked): under it the candidate set
+    * provably contains every qualifying value, so the recounted,
+    * thresholded output equals the plain `GROUP BY … HAVING` answer —
+    * deterministic even though the intermediate summaries are not —
+    * while the full-domain aggregation is replaced by one bounded
+    * candidate list (≤ k·partitions rows) plus a semi-joined
+    * re-count.
+    */
+  def mgHeavyHitters(df: DataFrame, valueCol: String, k: Int,
+      minFrac: Double): DataFrame = {
+    require(minFrac > 1.0 / (k + 1) && minFrac <= 1,
+      s"minFrac=$minFrac must exceed 1/(k+1)=${1.0 / (k + 1)} for the " +
+        "no-false-negative guarantee (raise k or the threshold)")
+    val vals = CacheRegistry.track(
+      df.select(col(valueCol).cast("string").as(valueCol))
+        .filter(col(valueCol).isNotNull).persist())
+    val threshold = math.ceil(minFrac * vals.count()).toLong
+    vals.groupBy(col(valueCol))
+      .agg(count(lit(1)).as("exact_n"))
+      .join(broadcast(mgCandidates(vals, valueCol, k)),
+        Seq(valueCol), "left_semi")
+      .filter(col("exact_n") >= threshold)
+  }
+
   /** Heavy hitters by CMS estimate: every candidate whose estimate
     * clears `threshold`, alongside its exact count for audit — the
     * one-sided guarantee means NO false negatives (est ≥ exact always)

@@ -68,4 +68,44 @@ class SketchSpec extends SparkSpec {
         s"width=$width: heavy values (x=11, z=9) must always appear")
     }
   }
+
+  test("mgHeavyHitters equals the direct GROUP BY/HAVING answer under " +
+      "EVERY partition layout when minFrac > 1/(k+1), with far more " +
+      "distinct values than counters; the vacuous-guarantee config is " +
+      "refused") {
+    val session = spark
+    import session.implicits._
+    // 3 hot values (120 each) drowned in 600 singletons: N = 960,
+    // k = 15 counters << 603 distinct, minFrac 0.1 > 1/16
+    val values = (0 until 3).flatMap(h => Seq.fill(120)(s"hot$h")) ++
+      (0 until 600).map(i => s"rare$i")
+    val want = values.groupBy(identity).collect {
+      case (v, o) if o.size >= math.ceil(0.1 * values.size) =>
+        v -> o.size.toLong
+    }.toMap
+    assert(want.keySet == Set("hot0", "hot1", "hot2"))
+    for (parts <- Seq(1, 4, 32)) {
+      val df = values.toDF("v").repartition(parts)
+      val got = Sketch.mgHeavyHitters(df, "v", k = 15, minFrac = 0.1)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == want, s"parts=$parts: $got")
+      CacheRegistry.drain()
+    }
+    intercept[IllegalArgumentException] {
+      Sketch.mgHeavyHitters(values.toDF("v"), "v", k = 15, minFrac = 0.1 / 10)
+    }
+  }
+
+  test("mgCandidates: a value exceeding n_p/(k+1) inside one partition " +
+      "always survives that partition's summary") {
+    val session = spark
+    import session.implicits._
+    // one partition, n = 80, k = 3: 'big' has 25 > 80/4 = 20
+    val values = Seq.fill(25)("big") ++ (0 until 55).map(i => s"r$i")
+    val cands = Sketch.mgCandidates(
+        values.toDF("v").repartition(1), "v", k = 3)
+      .collect().map(_.getString(0)).toSet
+    assert(cands.contains("big"), s"got $cands")
+    assert(cands.size <= 3, s"summary must stay bounded: $cands")
+  }
 }
