@@ -4871,5 +4871,85 @@ object OracleSql {
         |FROM stream, nn GROUP BY v, nn.n
         |HAVING count(*) >= ceil(0.05 * nn.n)
         |ORDER BY v""".stripMargin,
+
+    // batch IVF vs exact: q45's assignment, per-QUERY cell ranking
+    // (sim desc, cell asc), both per-query top-10s, intersection
+    "q169_ivf_recall_audit" ->
+      """WITH cents AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS c
+        |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+        |qs AS (SELECT vec_id AS qid, embedding AS qv
+        |       FROM embeddings WHERE vec_id < 8),
+        |assigned AS (
+        |  SELECT vec_id, embedding, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
+        |  FROM (
+        |    SELECT e.vec_id, e.embedding, c.cell,
+        |      list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.c[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(range(1, len(c.c) + 1),
+        |           i -> CAST(c.c[i] AS DOUBLE) * CAST(c.c[i] AS DOUBLE))))) AS sim
+        |    FROM embeddings e CROSS JOIN cents c)),
+        |routing AS (
+        |  SELECT qid, cell FROM (
+        |    SELECT qid, cell,
+        |      row_number() OVER (PARTITION BY qid
+        |        ORDER BY csim DESC, cell ASC) AS crk
+        |    FROM (
+        |      SELECT q.qid, c.cell,
+        |        list_sum(list_transform(range(1, len(c.c) + 1),
+        |          i -> CAST(c.c[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+        |        / (sqrt(list_sum(list_transform(range(1, len(c.c) + 1),
+        |             i -> CAST(c.c[i] AS DOUBLE) * CAST(c.c[i] AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(range(1, len(q.qv) + 1),
+        |             i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))))
+        |          AS csim
+        |      FROM qs q CROSS JOIN cents c) s0)
+        |  WHERE crk <= 4),
+        |ivf AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id,
+        |      row_number() OVER (PARTITION BY qid
+        |        ORDER BY cos DESC, vec_id ASC) AS rk
+        |    FROM (
+        |      SELECT r.qid, a.vec_id,
+        |        list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+        |        / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |             i -> CAST(a.embedding[i] AS DOUBLE)
+        |                  * CAST(a.embedding[i] AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(range(1, len(q.qv) + 1),
+        |             i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))))
+        |          AS cos
+        |      FROM assigned a
+        |      JOIN routing r ON a.cell = r.cell AND a.rn = 1
+        |      JOIN qs q ON q.qid = r.qid) s1)
+        |  WHERE rk <= 10),
+        |ex AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id,
+        |      row_number() OVER (PARTITION BY qid
+        |        ORDER BY cos DESC, vec_id ASC) AS rk
+        |    FROM (
+        |      SELECT q.qid, e.vec_id,
+        |        list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+        |        / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |             i -> CAST(e.embedding[i] AS DOUBLE)
+        |                  * CAST(e.embedding[i] AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(range(1, len(q.qv) + 1),
+        |             i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))))
+        |          AS cos
+        |      FROM embeddings e CROSS JOIN qs q) s2)
+        |  WHERE rk <= 10),
+        |hits AS (
+        |  SELECT e.qid, CAST(count(*) AS BIGINT) AS n_hits
+        |  FROM ex e JOIN ivf USING (qid, vec_id) GROUP BY e.qid)
+        |SELECT qs.qid, COALESCE(h.n_hits, 0) AS n_hits,
+        |  round(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 10.0, 6) AS recall
+        |FROM qs LEFT JOIN hits h ON h.qid = qs.qid
+        |ORDER BY qs.qid""".stripMargin,
   )
 }

@@ -2772,6 +2772,35 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Batch-IVF recall audit ([[graft.operators.Ann.ivfTopKBatch]] —
+    * probe routing as a broadcast relation, one plan for the whole
+    * query table, no per-query driver routing): 8 queries, IVF
+    * (16 cells, nprobe 4) top-10 joined against the exact batch
+    * top-10, per-query hit count and recall — the index-quality
+    * monitoring read an ANN deployment runs continuously. The oracle
+    * replays assignment, per-query cell ranking, both top-10s, and
+    * the intersection.
+    */
+  private def q169(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val queries = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"),
+        col("embedding").cast("array<double>").as("qvec"))
+    val cents = Ann.sampleCentroids(e, "vec_id", "embedding", 16)
+    val assigned = Ann.assignCells(e, "embedding", cents)
+    val ivf = Ann.ivfTopKBatch(assigned, "vec_id", "embedding", cents,
+      queries, "qid", "qvec", k = 10, nprobe = 4).select("qid", "vec_id")
+    val exact = Ann.bruteForceTopKBatch(e, "vec_id", "embedding",
+      queries, "qid", "qvec", 10).select("qid", "vec_id")
+    val hits = exact.join(ivf, Seq("qid", "vec_id"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+    queries.select("qid").join(hits, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") / lit(10.0), 6)
+          .as("recall"))
+      .orderBy("qid")
+  }
+
   /** Misra-Gries heavy hitters
     * ([[graft.operators.Sketch.mgHeavyHitters]]): a mixed stream of 5
     * hot event types and 150-ish rare user keys, k=63 per-partition
@@ -3265,6 +3294,7 @@ object SparkEntry {
     "q166_overlap_fraction" -> (q166(_, _)),
     "q167_curation_pipeline3" -> (q167(_, _)),
     "q168_mg_heavy_hitters" -> (q168(_, _)),
+    "q169_ivf_recall_audit" -> (q169(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -345,6 +345,49 @@ object Ann {
         round(col("cos"), 6).as("cos"), round(col("margin"), 6).as("margin"))
   }
 
+  /** BATCH IVF: [[ivfTopK]] for a whole query TABLE in one declarative
+    * plan — no per-query driver routing. The probe routing itself
+    * becomes a relation: queries × centroids (both tiny, broadcast)
+    * rank cells per query by centroid cosine with [[probeCells]]' tie
+    * rule (sim desc, cell asc), keep `nprobe` per query; the corpus
+    * joins that (qid, cell) routing table on the cell key — over a
+    * [[writeCellPartitioned]] store the cell predicate is still
+    * partition-pruned I/O via dynamic partition pruning — and one
+    * per-qid window takes the top-k. Shuffle shape: a broadcast of
+    * the routing relation, one window shuffle on qid; per-query cost
+    * follows probed-cell volume, never the corpus.
+    */
+  def ivfTopKBatch(
+      assigned: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Int, Seq[Double])],
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0 && nprobe > 0, s"k=$k nprobe=$nprobe must be positive")
+    val session = assigned.sparkSession
+    import session.implicits._
+    val cents = centroids.map { case (cid, v) => (cid, v) }
+      .toDF("cell", "__cvec")
+    val q = queries.select(col(qidCol).cast("long").as("__qid"),
+      col(qvecCol).cast("array<double>").as("__qv"))
+    val routing = q.crossJoin(broadcast(cents))
+      .withColumn("__csim",
+        Dedup.cosine(col("__cvec"), col("__qv")))
+      .withColumn("__crk", row_number().over(
+        Window.partitionBy(col("__qid"))
+          .orderBy(col("__csim").desc, col("cell").asc)))
+      .filter(col("__crk") <= nprobe)
+      .select(col("__qid"), col("__qv"), col("cell"))
+    assigned.join(broadcast(routing), Seq("cell"))
+      .select(col("__qid").as(qidCol), col(idCol),
+        Dedup.cosine(col(vecCol).cast("array<double>"), col("__qv"))
+          .as("cosine"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col(qidCol))
+          .orderBy(col("cosine").desc, col(idCol).asc)))
+      .filter(col("rnk") <= k)
+  }
+
   /** IVF query: score only rows in the `nprobe` cells nearest the query. */
   def ivfTopK(
       assigned: DataFrame, idCol: String, vecCol: String,

@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSpec
 
 class AnnSpec extends SparkSpec {
@@ -84,6 +86,31 @@ class AnnSpec extends SparkSpec {
     val q0best = out.filter(_.getAs[Long]("qid") == 0L)
       .minBy(_.getAs[Int]("rnk"))
     assert(q0best.getAs[Long]("vec_id") == 0L)
+  }
+
+  test("ivfTopKBatch equals a per-query ivfTopK loop: the declarative " +
+      "routing relation reproduces probeCells' tie rule exactly") {
+    import spark.implicits._
+    val df = vecs()
+    val cents = Ann.sampleCentroids(df, "vec_id", "embedding", 4)
+    val assigned = Ann.assignCells(df, "embedding", cents)
+    val queries = df.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"),
+        col("embedding").cast("array<double>").as("qvec"))
+    val batch = Ann.ivfTopKBatch(assigned, "vec_id", "embedding", cents,
+        queries, "qid", "qvec", k = 5, nprobe = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rnk")) ->
+        r.getAs[Long]("vec_id")).toMap
+    for (q <- queries.collect()) {
+      val qid = q.getAs[Long]("qid")
+      val qv = q.getSeq[Double](1)
+      val loop = Ann.ivfTopK(assigned, "vec_id", "embedding", cents,
+          qv, k = 5, nprobe = 2)
+        .collect().map(_.getAs[Long]("vec_id")).toSeq
+      val got = (1 to loop.length).map(r => batch((qid, r)))
+      assert(got == loop, s"qid=$qid: batch $got != loop $loop")
+    }
   }
 
   test("jlProject matches a scalar replay of the md5 sign matrix and " +
