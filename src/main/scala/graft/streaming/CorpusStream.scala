@@ -85,7 +85,9 @@ object CorpusStream {
   def run(
       spark: SparkSession, warcDir: String, model: graft.operators.Bpe.Model,
       checkpointDir: String, outDir: String,
-      glob: String = "*.warc*"): StreamingQuery =
+      glob: String = "*.warc*",
+      sketchDir: String = null,
+      sketchDepth: Int = 4, sketchWidth: Int = 1024): StreamingQuery =
     docStream(spark, warcDir, glob)
       .writeStream
       .outputMode("append")
@@ -101,9 +103,33 @@ object CorpusStream {
               graft.operators.Bpe.applyModel(docs, "url", "text", model),
               Seq("url"), "left")
             .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+          // running corpus frequency telemetry: each drain writes ITS
+          // OWN batch's token CMS under batch_id=N (same exactly-once
+          // overwrite contract as the corpus itself — counters add, so
+          // replay-rewriting a batch's sketch partition cannot
+          // double-count), and [[readCmsSketch]] folds the partitions
+          // back into ONE sketch of everything admitted so far.
+          // sketchDir = null (default) disables; drains are unchanged.
+          if (sketchDir != null)
+            graft.operators.Sketch.cmsSketch(
+                docs.select(explode(graft.operators.TextAnalysis.tokens(
+                  col("text"))).as("tok")),
+                "tok", sketchDepth, sketchWidth)
+              .write.mode("overwrite")
+              .parquet(s"$sketchDir/batch_id=$batchId")
         }
       }
       .start()
+
+  /** The merged Count-Min sketch of every drain so far: the
+    * batchId-keyed per-drain sketches under `dir` re-summed —
+    * [[graft.operators.Sketch.cmsMerge]] over the partition layout.
+    * ≤ depth·width rows out regardless of how many drains ran.
+    */
+  def readCmsSketch(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+      .groupBy(col("row"), col("bucket"))
+      .agg(sum(col("c")).as("c"))
 
   /** One row per URL per drain: a drain whose segments carry the SAME
     * url with two different bodies (an in-flight re-crawl — different

@@ -92,6 +92,55 @@ class CorpusStreamSpec extends SparkSpec {
     CacheRegistry.drain()
   }
 
+  test("running CMS across drains: the merged per-batch sketches equal " +
+      "the one-shot sketch of everything admitted, and a same-batchId " +
+      "replay cannot double-count") {
+    val session = spark
+    import session.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cms-stream")
+    val ckpt = java.nio.file.Files.createTempDirectory("cms-ckpt")
+    val out = java.nio.file.Files.createTempDirectory("cms-out")
+    val skd = java.nio.file.Files.createTempDirectory("cms-sketch")
+    val model = Bpe.learnMerges(Seq("a b c ab").toDF("text"), "text", 2)
+    def drain(): Unit = {
+      val q = CorpusStream.run(spark, dir.toString, model,
+        ckpt.toString, out.toString,
+        sketchDir = skd.toString, sketchDepth = 3, sketchWidth = 16)
+      q.awaitTermination()
+    }
+    java.nio.file.Files.write(dir.resolve("seg-00001.warc.gz"),
+      WarcReader.write(Seq(htmlRec(1, "alpha beta alpha"),
+        htmlRec(2, "gamma beta")), gzipPerRecord = true))
+    drain()
+    java.nio.file.Files.write(dir.resolve("seg-00002.warc.gz"),
+      WarcReader.write(Seq(htmlRec(3, "alpha delta")),
+        gzipPerRecord = true))
+    drain()
+    def sketchMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Int]("row"),
+        r.getAs[Long]("bucket")) -> r.getAs[Long]("c")).toMap
+    val merged = sketchMap(
+      CorpusStream.readCmsSketch(spark, skd.toString))
+    val admitted = spark.read.parquet(out.toString)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    val whole = sketchMap(
+      graft.operators.Sketch.cmsSketch(admitted, "tok", 3, 16))
+    assert(merged == whole,
+      s"merged sketch must equal the one-shot sketch: $merged vs $whole")
+    // crash-replay of batch 1: rewrite, not re-add
+    val batch1 = spark.read.parquet(out.toString)
+      .filter(col("batch_id") === 1L).select("url", "text")
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+    graft.operators.Sketch.cmsSketch(
+        batch1.select(explode(TextAnalysis.tokens(col("text"))).as("tok")),
+        "tok", 3, 16)
+      .write.mode("overwrite").parquet(s"${skd.toString}/batch_id=1")
+    val replayed = sketchMap(
+      CorpusStream.readCmsSketch(spark, skd.toString))
+    assert(replayed == whole, "replay overwrite must not double-count")
+    CacheRegistry.drain()
+  }
+
   test("runFuzzy: a NEAR-duplicate re-crawl (small edit, new exact " +
       "fingerprint) is suppressed by the persisted band-key index; " +
       "novel docs still land") {
