@@ -4951,5 +4951,34 @@ object OracleSql {
         |  round(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 10.0, 6) AS recall
         |FROM qs LEFT JOIN hits h ON h.qid = qs.qid
         |ORDER BY qs.qid""".stripMargin,
+
+    // KMV replay: the k smallest DISTINCT 48-bit hashes per language
+    // (set semantics, so distinct-on-hash), exact below k, the folded
+    // (k-1)*2^48 constant over the k-th smallest at k
+    "q170_kmv_distinct" ->
+      """WITH toks AS (
+        |  SELECT lang, list_filter(string_split(text, ' '), w -> w <> '') AS ts
+        |  FROM documents),
+        |big AS (
+        |  SELECT lang, ts[i] || ' ' || ts[i + 1] AS v
+        |  FROM (SELECT lang, ts, unnest(range(1, len(ts))) AS i
+        |        FROM toks WHERE len(ts) >= 2)),
+        |h AS (
+        |  SELECT DISTINCT lang,
+        |    CAST(('0x' || substr(md5(v), 1, 12)) AS BIGINT) AS hv
+        |  FROM big),
+        |sk AS (
+        |  SELECT lang, list_sort(list(hv))[1:64] AS kmv,
+        |    count(*) AS nd
+        |  FROM h GROUP BY lang),
+        |ex AS (
+        |  SELECT lang, CAST(count(DISTINCT v) AS BIGINT) AS exact_distinct
+        |  FROM big GROUP BY lang)
+        |SELECT sk.lang, CAST(least(sk.nd, 64) AS BIGINT) AS n_hashes,
+        |  CASE WHEN sk.nd < 64 THEN CAST(sk.nd AS DOUBLE)
+        |       ELSE round(17732923532771328.0 / CAST(kmv[64] AS DOUBLE), 6)
+        |  END AS est_distinct,
+        |  ex.exact_distinct
+        |FROM sk JOIN ex USING (lang) ORDER BY sk.lang""".stripMargin,
   )
 }

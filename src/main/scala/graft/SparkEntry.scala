@@ -2801,6 +2801,31 @@ object SparkEntry {
       .orderBy("qid")
   }
 
+  /** KMV distinct sketch ([[graft.operators.Sketch.KmvAgg]]): the
+    * deterministic approximate-distinct — per-language distinct
+    * BIGRAM estimates from the 64 smallest md5 hashes, with the exact
+    * count alongside as the audit. Unlike the HLL tier (q43,
+    * rows-only by design) the whole sketch is a pure function of the
+    * value set, so the oracle rebuilds it hash for hash. Estimates
+    * are exact below k and `(k−1)·2⁴⁸/v_k` at k.
+    */
+  private def q170(s: SparkSession, d: String): DataFrame = {
+    val ts = filter(split(col("text"), " "), t => t =!= "")
+    val big = docs(s, d).select(col("lang"), ts.as("__ts"))
+      .filter(size(col("__ts")) >= 2)
+      .select(col("lang"),
+        explode(transform(sequence(lit(0), size(col("__ts")) - 2),
+          i => concat(element_at(col("__ts"), i + 1), lit(" "),
+            element_at(col("__ts"), i + 2)))).as("bigram"))
+    val est = graft.operators.Sketch.kmvEstimate(
+        graft.operators.Sketch.kmvSketch(big, "lang", "bigram", k = 64), 64)
+      .select(col("lang"), size(col("kmv")).cast("long").as("n_hashes"),
+        col("est_distinct"))
+    val exact = big.groupBy("lang")
+      .agg(count_distinct(col("bigram")).as("exact_distinct"))
+    est.join(exact, Seq("lang")).orderBy("lang")
+  }
+
   /** Misra-Gries heavy hitters
     * ([[graft.operators.Sketch.mgHeavyHitters]]): a mixed stream of 5
     * hot event types and 150-ish rare user keys, k=63 per-partition
@@ -3295,6 +3320,7 @@ object SparkEntry {
     "q167_curation_pipeline3" -> (q167(_, _)),
     "q168_mg_heavy_hitters" -> (q168(_, _)),
     "q169_ivf_recall_audit" -> (q169(_, _)),
+    "q170_kmv_distinct" -> (q170(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

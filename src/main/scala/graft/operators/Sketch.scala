@@ -77,6 +77,86 @@ object Sketch {
       .agg(min(coalesce(col("c"), lit(0L))).as("est_n"))
   }
 
+  /** K-minimum-values distinct sketch (Bar-Yossef et al. 2002) as a
+    * typed Aggregator — the DETERMINISTIC approximate-distinct the
+    * HLL path (q43) can't oracle-check: the buffer is the k smallest
+    * DISTINCT 48-bit md5 hashes of the values, a pure function of the
+    * value SET (insertion order, partitioning, and duplication all
+    * cancel), so sketch contents and estimates replay exactly in SQL
+    * (`list_sort(list(DISTINCT h))[1:k]`). Mergeable by construction
+    * (union, keep k smallest) — the Aggregator's `merge` IS the
+    * map-side combine, so per-key shuffle state is ≤ k longs per
+    * partition no matter how many values stream through.
+    *
+    * Estimate: exact when fewer than k distinct hashes were seen
+    * (the buffer is simply all of them); otherwise the classic
+    * `(k−1) / (v_k / 2⁴⁸)` — the k-th smallest of n uniform draws
+    * sits near k/n of the range.
+    */
+  class KmvAgg(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        Long, Array[Long], Array[Long]] {
+    require(k > 1, s"k=$k must exceed 1")
+    override def zero: Array[Long] = Array.emptyLongArray
+    override def reduce(b: Array[Long], h: Long): Array[Long] = {
+      val pos = java.util.Arrays.binarySearch(b, h)
+      if (pos >= 0) b // already present: set semantics
+      else {
+        val ins = -(pos + 1)
+        if (b.length < k) {
+          val out = new Array[Long](b.length + 1)
+          System.arraycopy(b, 0, out, 0, ins)
+          out(ins) = h
+          System.arraycopy(b, ins, out, ins + 1, b.length - ins)
+          out
+        } else if (ins < k) {
+          val out = new Array[Long](k)
+          System.arraycopy(b, 0, out, 0, ins)
+          out(ins) = h
+          System.arraycopy(b, ins, out, ins + 1, k - ins - 1)
+          out
+        } else b // h exceeds the current k-th smallest
+      }
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+      b.foldLeft(a)(reduce)
+    override def finish(b: Array[Long]): Array[Long] = b
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** The 48-bit md5 hash KMV draws from — shared by the sketch and
+    * its oracle (DuckDB: `CAST(('0x' || substr(md5(v), 1, 12)) AS
+    * BIGINT)`).
+    */
+  def kmvHash(value: Column): Column =
+    conv(substring(md5(value.cast("string")), 1, 12), 16, 10).cast("long")
+
+  /** Per-group KMV sketches: one row per group, `kmv` = the k
+    * smallest distinct value hashes (ascending). ONE aggregation with
+    * bounded per-key state — never a distinct of the raw values.
+    */
+  def kmvSketch(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(udaf(new KmvAgg(k),
+        org.apache.spark.sql.Encoders.scalaLong)(
+        kmvHash(col(valueCol))).as("kmv"))
+
+  /** Distinct-count estimates from a [[kmvSketch]] relation: exact
+    * below k, `(k−1)·2⁴⁸ / v_k` at k. The scale constant folds on the
+    * driver so the oracle can inline the identical literal.
+    */
+  def kmvEstimate(sketch: DataFrame, k: Int): DataFrame = {
+    val const = (k - 1).toDouble * 281474976710656.0
+    sketch.withColumn("est_distinct",
+      when(size(col("kmv")) < k, size(col("kmv")).cast("double"))
+        .otherwise(round(lit(const) /
+          element_at(col("kmv"), k).cast("double"), 6)))
+  }
+
   /** Per-partition Misra-Gries candidate summaries (Misra & Gries
     * 1982) — the UNBOUNDED-domain candidate generator the
     * [[cmsHeavyHitters]] scaladoc promises: each partition keeps at

@@ -96,6 +96,41 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("KMV sketch is a pure function of the value SET: duplication " +
+      "and partition layout cannot move it; below-k groups estimate " +
+      "exactly; the at-k estimate replays the scalar formula") {
+    val session = spark
+    import session.implicits._
+    def kmvHash(v: String): Long = {
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(v.getBytes(StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(12), 16)
+    }
+    val k = 4
+    // group A: 10 distinct values (> k) with heavy duplication;
+    // group B: 2 distinct (< k -> exact)
+    val base = (0 until 10).map(i => ("A", s"v$i")) ++
+      Seq(("B", "x"), ("B", "y"))
+    val rows = base ++ base ++ base.take(5) // duplicates
+    val want = {
+      val hs = (0 until 10).map(i => kmvHash(s"v$i")).sorted.take(k)
+      Map("A" -> ((k.toLong,
+          BigDecimal((k - 1).toDouble * 281474976710656.0 / hs.last.toDouble)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)),
+        "B" -> ((2L, 2.0)))
+    }
+    for (parts <- Seq(1, 7)) {
+      val df = rows.toDF("g", "v").repartition(parts)
+      val got = Sketch.kmvEstimate(
+          Sketch.kmvSketch(df, "g", "v", k), k)
+        .collect().map(r => r.getString(0) ->
+          ((r.getAs[scala.collection.Seq[Long]]("kmv").size.toLong,
+            r.getAs[Double]("est_distinct")))).toMap
+      assert(got == want, s"parts=$parts: $got != $want")
+    }
+  }
+
   test("mgCandidates: a value exceeding n_p/(k+1) inside one partition " +
       "always survives that partition's summary") {
     val session = spark
