@@ -82,6 +82,32 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Write parquet with a PER-ROW-GROUP BLOOM FILTER on `column` —
+    * the point-lookup complement of the zone-map layouts: min/max
+    * stats prune RANGE scans only when the layout is sorted, but a
+    * high-cardinality column that arrives unsorted (ids in a
+    * round-robin corpus) has every file spanning the whole domain and
+    * stats prune nothing. The bloom filter answers "is this exact
+    * value possibly here?" per row group, so an equality lookup skips
+    * every file that doesn't contain the key — no re-sort, no second
+    * copy of the data. `expectedNdv` sizes the filter (parquet-mr's
+    * standard knob); reads need no configuration — Spark's parquet
+    * filter pushdown consults the filters automatically
+    * (spec-MEASURED in LayoutSpec, same discipline as the zone-map
+    * and rectangle-pruning claims).
+    */
+  def writeBloomIndexed(df: DataFrame, path: String, numFiles: Int,
+      column: String, expectedNdv: Long): Unit = {
+    require(numFiles > 0, s"numFiles=$numFiles must be positive")
+    require(expectedNdv > 0, s"expectedNdv=$expectedNdv must be positive")
+    df.repartition(numFiles)
+      .write.mode("overwrite")
+      .option(s"parquet.bloom.filter.enabled#$column", "true")
+      .option(s"parquet.bloom.filter.expected.ndv#$column",
+        expectedNdv.toString)
+      .parquet(path)
+  }
+
   /** Per-file parquet footer statistics for an INT64 column:
     * (fileName, min, max, numRows), fileName-sorted. Reads ONLY
     * footers (metadata I/O, no row decode) — cheap enough to audit a

@@ -118,4 +118,34 @@ class LayoutSpec extends SparkSpec {
     assert(zRows <= 256, s"z-order scan emitted $zRows of 1024")
     assert(flatRows == 1024L, s"interleaved scan emitted $flatRows")
   }
+
+  test("writeBloomIndexed: an equality lookup on an UNSORTED " +
+      "high-cardinality column skips the row groups that cannot hold " +
+      "the key (measured), where the same layout without the filter " +
+      "reads everything") {
+    val session = spark
+    import session.implicits._
+    // every file spans the whole id domain -> stats prune nothing
+    val ids = (0L until 4096L).map(i => (i, s"payload$i")).toDF("id", "p")
+    val bdir = java.nio.file.Files.createTempDirectory("layout-b").toString
+    val ndir = java.nio.file.Files.createTempDirectory("layout-n").toString
+    Layout.writeBloomIndexed(ids, bdir, numFiles = 8, "id",
+      expectedNdv = 4096L)
+    ids.repartition(8).write.mode("overwrite").parquet(ndir)
+    def scanRows(path: String): Long = {
+      val df = spark.read.parquet(path).filter(col("id") === 1234L)
+      assert(df.count() == 1L)
+      df.collect()
+      val scans = df.queryExecution.executedPlan.collectLeaves().collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      scans.map(_.metrics("numOutputRows").value).sum
+    }
+    val bloomRows = scanRows(bdir)
+    val plainRows = scanRows(ndir)
+    assert(plainRows >= 4096L / 8,
+      s"baseline must read at least one whole file: $plainRows")
+    assert(bloomRows < plainRows,
+      s"bloom must skip row groups: bloom=$bloomRows plain=$plainRows")
+  }
 }
