@@ -4980,5 +4980,48 @@ object OracleSql {
         |  END AS est_distinct,
         |  ex.exact_distinct
         |FROM sk JOIN ex USING (lang) ORDER BY sk.lang""".stripMargin,
+
+    // curriculum positions: the q149 tier replay, then the GLOBAL
+    // window the distributed operator avoids — row_number over
+    // (stage, md5 shuffle hash, id), 0-based
+    "q171_curriculum_order" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split(text, ' '), w -> w <> '') AS ts
+        |  FROM documents),
+        |ref AS (SELECT ts FROM toks
+        |  WHERE source IN ('src0','src1','src2','src3','src4')),
+        |rbig AS (
+        |  SELECT ts[i] AS w1, ts[i + 1] AS w2
+        |  FROM (SELECT ts, unnest(range(1, len(ts))) AS i
+        |        FROM ref WHERE len(ts) >= 2)),
+        |cu AS (SELECT w1, count(*) AS cu FROM rbig GROUP BY w1),
+        |cb AS (SELECT w1, w2, count(*) AS cb FROM rbig GROUP BY w1, w2),
+        |v AS (SELECT count(DISTINCT w) AS v
+        |      FROM (SELECT unnest(ts) AS w FROM ref)),
+        |big AS (
+        |  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
+        |        FROM toks WHERE len(ts) >= 2)),
+        |scored AS (
+        |  SELECT b.doc_id,
+        |    round(CAST(SUM(CAST(ln((COALESCE(cb.cb, 0) + CAST(0.4 AS DOUBLE))
+        |        / (COALESCE(cu.cu, 0) + CAST(0.4 AS DOUBLE) * v.v))
+        |      AS DECIMAL(18,12))) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE), 6) AS avg_logprob
+        |  FROM big b
+        |  LEFT JOIN cb ON b.w1 = cb.w1 AND b.w2 = cb.w2
+        |  LEFT JOIN cu ON b.w1 = cu.w1
+        |  CROSS JOIN v GROUP BY b.doc_id),
+        |staged AS (
+        |  SELECT s.doc_id,
+        |    CAST(ntile(3) OVER (PARTITION BY d.lang
+        |      ORDER BY s.avg_logprob DESC, s.doc_id) AS BIGINT) AS bucket
+        |  FROM scored s JOIN documents d USING (doc_id))
+        |SELECT CAST(row_number() OVER (ORDER BY bucket,
+        |    md5('7:' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT)
+        |    AS position,
+        |  doc_id, bucket
+        |FROM staged ORDER BY position""".stripMargin,
   )
 }

@@ -2801,6 +2801,31 @@ object SparkEntry {
       .orderBy("qid")
   }
 
+  /** Curriculum training order
+    * ([[graft.operators.Sampling.curriculumOrder]]): q149's CCNet
+    * tiers become the curriculum STAGES — every head-tier (bucket 1)
+    * document takes a position before any middle-tier one, and within
+    * a tier the order is the seed-7 deterministic shuffle; positions
+    * are dense 0-based and a pure function of the data. The operator
+    * never runs a global window — one range-partitioned sort plus the
+    * bounded-driver offset join — while the oracle IS the global
+    * window it avoids.
+    */
+  private def q171(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d).select("doc_id", "source", "lang", "text")
+    val ref = dd.filter(col("source")
+      .isin("src0", "src1", "src2", "src3", "src4")).select("text")
+    val scored = TextAnalysis.bigramLogProbUnder(
+        ref, dd, "doc_id", "text", alpha = 0.4)
+      .join(dd.select("doc_id", "lang"), Seq("doc_id"))
+    val staged = TextAnalysis.perplexityBuckets(scored, "lang",
+        "doc_id", "avg_logprob", buckets = 3)
+      .select("doc_id", "bucket")
+    Sampling.curriculumOrder(staged, "doc_id", "bucket", seed = 7L)
+      .select(col("position"), col("doc_id"), col("bucket"))
+      .orderBy("position")
+  }
+
   /** KMV distinct sketch ([[graft.operators.Sketch.KmvAgg]]): the
     * deterministic approximate-distinct — per-language distinct
     * BIGRAM estimates from the 64 smallest md5 hashes, with the exact
@@ -3321,6 +3346,7 @@ object SparkEntry {
     "q168_mg_heavy_hitters" -> (q168(_, _)),
     "q169_ivf_recall_audit" -> (q169(_, _)),
     "q170_kmv_distinct" -> (q170(_, _)),
+    "q171_curriculum_order" -> (q171(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

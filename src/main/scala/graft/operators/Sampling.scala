@@ -184,9 +184,42 @@ object Sampling {
       df: DataFrame, keyCol: String, seed: Long): DataFrame = {
     val h = md5(concat_ws(":", lit(seed.toString),
       col(keyCol).cast("string")))
-    val sorted = df.withColumn("__h", h)
-      .repartitionByRange(col("__h"), col(keyCol))
-      .sortWithinPartitions(col("__h"), col(keyCol))
+    globalPositions(df.withColumn("__h", h),
+      Seq(col("__h"), col(keyCol)), "shuffle_pos")
+      .drop("__h")
+  }
+
+  /** Curriculum ordering — [[deterministicShuffle]] with a leading
+    * STAGE key: global 0-based training positions where every row of
+    * stage s precedes every row of stage s+1 (easy→hard curricula,
+    * CCNet head-first schedules) and WITHIN a stage the order is the
+    * seed-keyed pseudo-random shuffle. Same scale shape as the plain
+    * shuffle: one range-partitioned sort on (stage, hash, key), the
+    * two-level bounded-driver position assignment — never a global
+    * window, and never a per-stage single partition (stages SPAN
+    * range partitions; the curriculum is the sort order, not a
+    * partitioning).
+    */
+  def curriculumOrder(df: DataFrame, keyCol: String, stageCol: String,
+      seed: Long): DataFrame = {
+    val h = md5(concat_ws(":", lit(seed.toString),
+      col(keyCol).cast("string")))
+    globalPositions(df.withColumn("__h", h),
+      Seq(col(stageCol), col("__h"), col(keyCol)), "position")
+      .drop("__h")
+  }
+
+  /** Dense 0-based global positions under `orderCols` — the shared
+    * tail of [[deterministicShuffle]] and [[curriculumOrder]]: one
+    * range-partitioned sort, per-partition counts prefix-summed on
+    * the driver, offsets broadcast back, within-partition ranks from
+    * a mapPartitions counter over the already-sorted layout.
+    */
+  private def globalPositions(df: DataFrame, orderCols: Seq[Column],
+      posCol: String): DataFrame = {
+    val sorted = df
+      .repartitionByRange(orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
     val withPid = sorted.withColumn("__pid", spark_partition_id())
     val cached = CacheRegistry.track(withPid.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -216,8 +249,8 @@ object Sampling {
         }
       }, rankedSchema)
     ranked.join(offDf, "__pid")
-      .withColumn("shuffle_pos", col("__rank") + col("__off"))
-      .drop("__h", "__pid", "__off", "__rank")
+      .withColumn(posCol, col("__rank") + col("__off"))
+      .drop("__pid", "__off", "__rank")
   }
 
   /** Deterministic WEIGHTED sample without replacement — the

@@ -30,6 +30,34 @@ class SamplingSpec extends SparkSpec {
     CacheRegistry.drain()
   }
 
+  test("curriculumOrder: stages are strictly ordered, within-stage " +
+      "order is the seeded shuffle, positions dense, partitioning " +
+      "invariant") {
+    val session = spark
+    import session.implicits._
+    val df = (1L to 300L).map(i => (i, (i % 3 + 1))).toDF("id", "stage")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = (1L to 300L)
+      .sortBy(i => (i % 3 + 1, md5hex(s"7:$i"), i))
+    def got(d: org.apache.spark.sql.DataFrame): Seq[Long] =
+      Sampling.curriculumOrder(d, "id", "stage", 7L)
+        .orderBy("position").collect().map(_.getAs[Long]("id")).toSeq
+    val g = got(df)
+    assert(g == want, "must equal the one-window definition")
+    assert(got(df.repartition(11)) == g, "partitioning moved positions")
+    val out = Sampling.curriculumOrder(df, "id", "stage", 7L).collect()
+    assert(out.map(_.getAs[Long]("position")).sorted.toSeq ==
+      (0L until 300L), "positions must be dense 0..n-1")
+    // stage boundary: max position of stage s < min position of s+1
+    val byStage = out.groupBy(_.getAs[Long]("stage"))
+      .view.mapValues(_.map(_.getAs[Long]("position"))).toMap
+    assert(byStage(1L).max < byStage(2L).min &&
+      byStage(2L).max < byStage(3L).min, "stages must not interleave")
+    CacheRegistry.drain()
+  }
+
   test("stableSample is deterministic, key-stable, and ~keepBuckets/16") {
     val session = spark
     import session.implicits._
