@@ -566,6 +566,46 @@ class PlanQualitySpec extends SparkSpec {
     graft.operators.CacheRegistry.drain()
   }
 
+  test("kmvSketch partially aggregates below its exchange (bounded " +
+      "per-key state ships, never the raw values) and the estimate " +
+      "adds no shuffle") {
+    val session = spark
+    import session.implicits._
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("lang"), col("doc_id").cast("string").as("v"))
+    val plan = executed(graft.operators.Sketch.kmvEstimate(
+      graft.operators.Sketch.kmvSketch(df, "lang", "v", 8), 8))
+    val shuffles = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.length == 1, s"shuffles: ${shuffles.length}")
+    assert(shuffles.head.child.toString.contains("Aggregate"),
+      "no partial aggregation under the sketch shuffle:\n" +
+        shuffles.head.child.toString.take(600))
+    assert(!plan.toString.contains("Exchange rangepartitioning"))
+    graft.operators.CacheRegistry.drain()
+  }
+
+  test("curriculumOrder never funnels the corpus through one task: no " +
+      "SinglePartition exchange, no global window — the only exchange " +
+      "family is the intended range partition (plus the broadcast " +
+      "offset join)") {
+    val session = spark
+    import session.implicits._
+    val df = (1L to 2000L).map(i => (i, i % 3 + 1)).toDF("id", "stage")
+    val ordered = graft.operators.Sampling.curriculumOrder(
+      df, "id", "stage", seed = 3L)
+    val p = executed(ordered).toString
+    assert(!p.contains("Exchange SinglePartition"),
+      "global funnel detected:\n" + p.take(1200))
+    assert(!p.contains("Window"),
+      "the operator must not use a window:\n" + p.take(1200))
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      "offsets must join back as a broadcast:\n" + p.take(1200))
+    graft.operators.CacheRegistry.drain()
+  }
+
   test("jlProject is ONE shuffle-free codegen projection: no Exchange, " +
       "no Join, and the fold stays inside WholeStageCodegen") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
