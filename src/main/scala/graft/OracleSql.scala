@@ -5023,5 +5023,33 @@ object OracleSql {
         |    AS position,
         |  doc_id, bucket
         |FROM staged ORDER BY position""".stripMargin,
+
+    // full-outer fingerprint diff: presence decides added/removed,
+    // null-safe fingerprint equality decides changed/unchanged
+    "q172_snapshot_diff" ->
+      """WITH oldf AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fo
+        |  FROM documents),
+        |neu0 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' edited v2'
+        |         WHEN doc_id = 2 THEN '  ' || text || '   '
+        |         ELSE text END AS text
+        |  FROM documents WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |neuf AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fn
+        |  FROM neu0)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.fo IS NOT DISTINCT FROM n.fn THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM oldf o FULL OUTER JOIN neuf n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
   )
 }

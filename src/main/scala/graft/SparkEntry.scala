@@ -2801,6 +2801,28 @@ object SparkEntry {
       .orderBy("qid")
   }
 
+  /** Snapshot diff ([[graft.operators.Dedup.snapshotDiff]]): crawl N
+    * vs crawl N+1 — every doc_id % 13 == 0 page dropped, every
+    * % 7 == 0 page edited, every % 11 == 0 re-posted under a new id,
+    * and one page reflowed (whitespace only — must read UNCHANGED
+    * under the normalized fingerprint). One full-outer id join over
+    * (id, fingerprint) rows; the oracle replays the fingerprints and
+    * the null-safe status rules.
+    */
+  private def q172(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select("doc_id", "text")
+    val neu = base
+      .filter(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" edited v2")))
+          .when(col("doc_id") === 2, concat(lit("  "), col("text"), lit("   ")))
+          .otherwise(col("text")).as("text"))
+      .unionAll(base.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    Dedup.snapshotDiff(base, neu, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   /** Curriculum training order
     * ([[graft.operators.Sampling.curriculumOrder]]): q149's CCNet
     * tiers become the curriculum STAGES — every head-tier (bucket 1)
@@ -3347,6 +3369,7 @@ object SparkEntry {
     "q169_ivf_recall_audit" -> (q169(_, _)),
     "q170_kmv_distinct" -> (q170(_, _)),
     "q171_curriculum_order" -> (q171(_, _)),
+    "q172_snapshot_diff" -> (q172(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

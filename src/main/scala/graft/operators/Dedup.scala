@@ -652,6 +652,39 @@ object Dedup {
         col("span_tokens"))
   }
 
+  /** Corpus SNAPSHOT DIFF — the crawl-over-crawl change audit every
+    * periodically-rebuilt corpus needs before shipping: classify every
+    * document id across two snapshots as `added` (new only), `removed`
+    * (old only), `changed` (both, different normalized content
+    * fingerprint), or `unchanged`. Content identity is
+    * [[graft.operators.TextAnalysis.fingerprint]] (whitespace-
+    * normalized md5), so a reflowed-but-identical page reads
+    * unchanged. Null-vs-null content compares null-safe (unchanged).
+    *
+    * Scale shape: two per-row fingerprint projections and ONE
+    * full-outer id-keyed join — the texts never flow past the
+    * projection, only (id, 32-hex) rows shuffle. Feed the output to a
+    * groupBy for the release summary, or filter `status != unchanged`
+    * for the incremental-processing worklist.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    // presence flags, NOT fingerprint nullness: a present row with a
+    // null text must not read as absent
+    val o = oldSnap.select(col(idCol),
+      TextAnalysis.fingerprint(col(textCol)).as("__fo"),
+      lit(true).as("__po"))
+    val n = newSnap.select(col(idCol),
+      TextAnalysis.fingerprint(col(textCol)).as("__fn"),
+      lit(true).as("__pn"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__po").isNull, "added")
+          .when(col("__pn").isNull, "removed")
+          .when(col("__fo") <=> col("__fn"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** C4-style CROSS-DOCUMENT span deduplication (Raffel et al. 2020
     * removed duplicated three-sentence spans corpus-wide, keeping one
     * occurrence): [[sharedSpanPairs]]' evidence applied as a cut —

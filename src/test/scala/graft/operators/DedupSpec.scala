@@ -789,4 +789,24 @@ class DedupSpec extends SparkSpec {
     assert(pairs.exists(r =>
       r.getAs[Long]("id_a") == 5L && r.getAs[Long]("id_b") == 999L))
   }
+
+  test("snapshotDiff: presence decides added/removed, the normalized " +
+      "fingerprint decides changed/unchanged (whitespace reflow is " +
+      "UNCHANGED), and a present null-text row is never 'added'") {
+    val session = spark
+    import session.implicits._
+    val oldSnap = Seq(
+      (1L, "alpha beta"), (2L, "gamma delta"), (3L, "gone soon"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val newSnap = Seq(
+      (1L, "  alpha   beta "), // reflow only
+      (2L, "gamma delta EDITED"),
+      (4L, null.asInstanceOf[String]), // still-null: unchanged
+      (5L, "brand new")).toDF("doc_id", "text")
+    val got = Dedup.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("status")).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "unchanged", 5L -> "added"), got.toString)
+  }
 }
