@@ -5051,5 +5051,55 @@ object OracleSql {
         |       ELSE 'changed' END AS status
         |FROM oldf o FULL OUTER JOIN neuf n ON o.doc_id = n.doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    // the q172 diff replay filtered to the delta, then the q27 quality
+    // rules over ONLY that worklist (left join: token-less docs stay
+    // counted, never admitted)
+    "q173_incremental_worklist" ->
+      s"""WITH oldf AS (
+         |  SELECT doc_id,
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fo
+         |  FROM documents),
+         |neu0 AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 0 THEN text || ' edited v2'
+         |         ELSE text END AS text
+         |  FROM documents WHERE doc_id % 13 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, text
+         |  FROM documents WHERE doc_id % 11 = 0),
+         |neuf AS (
+         |  SELECT doc_id,
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fn
+         |  FROM neu0),
+         |diff AS (
+         |  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+         |    CASE WHEN o.doc_id IS NULL THEN 'added'
+         |         WHEN n.doc_id IS NULL THEN 'removed'
+         |         WHEN o.fo IS NOT DISTINCT FROM n.fn THEN 'unchanged'
+         |         ELSE 'changed' END AS status
+         |  FROM oldf o FULL OUTER JOIN neuf n ON o.doc_id = n.doc_id),
+         |work AS (
+         |  SELECT nu.doc_id, nu.text, d.status
+         |  FROM neu0 nu JOIN diff d USING (doc_id)
+         |  WHERE d.status IN ('added', 'changed')),
+         |w AS (
+         |  SELECT doc_id, count(*) AS n_tokens,
+         |    CAST(count(CASE WHEN lower(word) IN $stop THEN 1 END) AS BIGINT)
+         |      AS n_stop
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |        FROM work)
+         |  WHERE word <> '' GROUP BY doc_id),
+         |adm AS (
+         |  SELECT work.doc_id, work.status,
+         |    (COALESCE(w.n_tokens, 0) >= 30 AND
+         |     CAST(COALESCE(w.n_stop, 0) AS DOUBLE)
+         |       / CAST(COALESCE(w.n_tokens, 1) AS DOUBLE) >= 0.04) AS admit
+         |  FROM work LEFT JOIN w USING (doc_id))
+         |SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN admit THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_admitted,
+         |  min(doc_id) AS min_id
+         |FROM adm GROUP BY status ORDER BY status""".stripMargin,
   )
 }

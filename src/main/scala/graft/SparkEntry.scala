@@ -2823,6 +2823,36 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Incremental reprocessing worklist — the point of q172's diff:
+    * re-run the quality battery over ONLY the added/changed documents
+    * of the new snapshot (the delta a periodic rebuild actually pays
+    * for, not the full corpus), emitting per-status admit/reject
+    * counts. Composes [[graft.operators.Dedup.snapshotDiff]] with the
+    * q27 quality gate; the oracle chains both replays.
+    */
+  private def q173(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select("doc_id", "text")
+    val neu = graft.operators.CacheRegistry.track(base
+      .filter(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" edited v2")))
+          .otherwise(col("text")).as("text"))
+      .unionAll(base.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .persist())
+    val delta = Dedup.snapshotDiff(base, neu, "doc_id", "text")
+      .filter(col("status").isin("added", "changed"))
+    val work = neu.join(delta, Seq("doc_id"))
+    TextAnalysis.qualityFeatures(work, "text", stopwords)
+      .withColumn("admit",
+        col("n_tokens") >= 30 && col("stop_ratio") >= 0.04)
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("admit"), 1L).otherwise(0L)).as("n_admitted"),
+        min("doc_id").as("min_id"))
+      .orderBy("status")
+  }
+
   /** Curriculum training order
     * ([[graft.operators.Sampling.curriculumOrder]]): q149's CCNet
     * tiers become the curriculum STAGES — every head-tier (bucket 1)
@@ -3370,6 +3400,7 @@ object SparkEntry {
     "q170_kmv_distinct" -> (q170(_, _)),
     "q171_curriculum_order" -> (q171(_, _)),
     "q172_snapshot_diff" -> (q172(_, _)),
+    "q173_incremental_worklist" -> (q173(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
