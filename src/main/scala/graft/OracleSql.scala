@@ -5101,5 +5101,92 @@ object OracleSql {
          |    AS n_admitted,
          |  min(doc_id) AS min_id
          |FROM adm GROUP BY status ORDER BY status""".stripMargin,
+
+    // the q28 argmax replay crossed with the labeled lang column:
+    // per-(label, prediction) counts, label totals, round-6 fractions
+    "q174_langid_confusion" ->
+      s"""WITH w2 AS (
+         |  SELECT doc_id, lower(word) AS word
+         |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+         |        FROM documents)
+         |  WHERE word <> ''),
+         |sc AS (
+         |  SELECT doc_id,
+         |    CAST(count(CASE WHEN word IN ('der','die','das','und','ist','nicht') THEN 1 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS s_de,
+         |    CAST(count(CASE WHEN word IN $stop THEN 1 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS s_en,
+         |    CAST(count(CASE WHEN word IN ('el','la','de','que','y','los') THEN 1 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS s_es,
+         |    CAST(count(CASE WHEN word IN ('le','la','les','et','des','une') THEN 1 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS s_fr
+         |  FROM w2 GROUP BY doc_id),
+         |pred AS (
+         |  SELECT doc_id,
+         |    CASE WHEN s_fr > greatest(s_de, s_en, s_es) THEN 'fr'
+         |         WHEN s_es > greatest(s_de, s_en) THEN 'es'
+         |         WHEN s_en > s_de THEN 'en'
+         |         ELSE 'de' END AS pred_lang
+         |  FROM sc),
+         |lab AS (
+         |  SELECT d.lang AS label, p.pred_lang
+         |  FROM documents d JOIN pred p USING (doc_id)),
+         |cm AS (
+         |  SELECT label, pred_lang, CAST(count(*) AS BIGINT) AS n
+         |  FROM lab GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT label, CAST(count(*) AS BIGINT) AS label_total
+         |  FROM lab GROUP BY 1)
+         |SELECT cm.label, cm.pred_lang, cm.n, tot.label_total,
+         |  round(CAST(cm.n AS DOUBLE) / CAST(tot.label_total AS DOUBLE), 6)
+         |    AS frac
+         |FROM cm JOIN tot USING (label)
+         |ORDER BY cm.label, cm.pred_lang""".stripMargin,
+
+    // manifest capstone: q140's mix replay -> the q27 stage rule ->
+    // the q171 global-order window (seed 11) -> running-sum offsets
+    // and q76's block arithmetic, all chained
+    "q175_training_manifest" ->
+      s"""WITH cnt AS (
+         |  SELECT lang, CAST(count(*) AS DOUBLE) AS c FROM documents
+         |  GROUP BY lang),
+         |m AS (SELECT min(c) AS mc FROM cnt),
+         |thr AS (
+         |  SELECT lang, CAST(floor(256 * sqrt(mc / c)) AS INTEGER) AS th
+         |  FROM cnt, m),
+         |kept AS (
+         |  SELECT d.doc_id, d.text
+         |  FROM documents d JOIN thr USING (lang)
+         |  WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2))
+         |        AS INTEGER) < th),
+         |w AS (
+         |  SELECT doc_id, count(*) AS n_tokens,
+         |    CAST(count(CASE WHEN lower(word) IN $stop THEN 1 END) AS BIGINT)
+         |      AS n_stop
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |        FROM kept)
+         |  WHERE word <> '' GROUP BY doc_id),
+         |staged AS (
+         |  SELECT k.doc_id,
+         |    CASE WHEN COALESCE(w.n_tokens, 0) >= 30 AND
+         |      CAST(COALESCE(w.n_stop, 0) AS DOUBLE)
+         |        / CAST(COALESCE(w.n_tokens, 1) AS DOUBLE) >= 0.04
+         |      THEN 1 ELSE 2 END AS stage,
+         |    CAST(COALESCE(w.n_tokens, 0) AS BIGINT) AS n_tokens
+         |  FROM kept k LEFT JOIN w USING (doc_id)),
+         |ordered AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY stage,
+         |      md5('11:' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT)
+         |      AS position,
+         |    doc_id, CAST(stage AS BIGINT) AS stage, n_tokens
+         |  FROM staged),
+         |offs AS (
+         |  SELECT *,
+         |    CAST(SUM(n_tokens) OVER (ORDER BY position
+         |      ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS so
+         |  FROM ordered)
+         |SELECT position, doc_id, stage, n_tokens, so AS "offset",
+         |  CAST(floor(so / 512.0) AS BIGINT) AS first_block,
+         |  CASE WHEN n_tokens > 0
+         |    THEN CAST(floor((so + n_tokens - 1) / 512.0)
+         |      - floor(so / 512.0) + 1 AS BIGINT)
+         |    ELSE CAST(0 AS BIGINT) END AS n_blocks
+         |FROM offs ORDER BY position""".stripMargin,
   )
 }

@@ -2801,6 +2801,58 @@ object SparkEntry {
       .orderBy("qid")
   }
 
+  /** Training-run manifest — the end-to-end ORDER side of corpus
+    * construction, composed from three proven tiers as one plan:
+    * temperature-mix selection (q140 — head languages downsample to
+    * √-proportions), a two-stage quality curriculum (clean docs —
+    * the q27/q104 gate — train first), the seed-11 deterministic
+    * within-stage shuffle with dense global positions (q171), and
+    * block packing of the concatenated token stream IN TRAINING
+    * ORDER (q76's offsets keyed by position, not id): every kept
+    * document's position, stream offset, and 512-token block span.
+    * The oracle chains the mix replay, the stage rule, the global
+    * order window, and running-sum block arithmetic.
+    */
+  private def q175(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select("doc_id", "lang", "text")
+    val kept = base.join(
+      Sampling.temperatureMix(base.select("doc_id", "lang"),
+        "doc_id", "lang", alpha = 0.5).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val staged = TextAnalysis.qualityFeatures(kept, "text", stopwords)
+      .select(col("doc_id"),
+        when(col("n_tokens") >= 30 && col("stop_ratio") >= 0.04, 1L)
+          .otherwise(2L).as("stage"),
+        col("n_tokens"))
+    val ordered = graft.operators.CacheRegistry.track(
+      Sampling.curriculumOrder(staged, "doc_id", "stage", seed = 11L)
+        .persist())
+    graft.operators.Packing.packedBlocks(ordered, "position", "n_tokens",
+        blockSize = 512)
+      .select("position", "doc_id", "stage", "n_tokens", "offset",
+        "first_block", "n_blocks")
+      .orderBy("position")
+  }
+
+  /** Language-ID confusion matrix: the q28 n-gram classifier scored
+    * against the corpus's labeled `lang` column — the evaluation
+    * surface a language-router ships with (which languages leak into
+    * which predictions, per-cell counts plus per-label totals and the
+    * diagonal hit rate). One classifier pass + one (label, pred)
+    * aggregation; the oracle replays the q28 argmax and the counts.
+    */
+  private def q174(s: SparkSession, d: String): DataFrame = {
+    val preds = TextAnalysis.langId(
+      docs(s, d).select("doc_id", "lang", "text"), "text", langWordlists)
+    preds.groupBy(col("lang").as("label"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .join(preds.groupBy(col("lang").as("label"))
+        .agg(count(lit(1)).as("label_total")), Seq("label"))
+      .withColumn("frac",
+        round(col("n").cast("double") / col("label_total").cast("double"), 6))
+      .orderBy("label", "pred_lang")
+  }
+
   /** Snapshot diff ([[graft.operators.Dedup.snapshotDiff]]): crawl N
     * vs crawl N+1 — every doc_id % 13 == 0 page dropped, every
     * % 7 == 0 page edited, every % 11 == 0 re-posted under a new id,
@@ -3401,6 +3453,8 @@ object SparkEntry {
     "q171_curriculum_order" -> (q171(_, _)),
     "q172_snapshot_diff" -> (q172(_, _)),
     "q173_incremental_worklist" -> (q173(_, _)),
+    "q174_langid_confusion" -> (q174(_, _)),
+    "q175_training_manifest" -> (q175(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
