@@ -161,7 +161,12 @@ object Bench {
     // verifiable in the artifact even after tail truncation, not only
     // in PERFORMANCE.md prose (the r7 legibility finding)
     val watchedNames = Set("q91_kmeans_assign", "q102_bpe_merges",
-      "q105_pagerank", "q106_bpe_pack")
+      "q105_pagerank", "q106_bpe_pack",
+      // the round-14/15 capstone pipelines: the catalog's two most
+      // expensive plans (probed floors ~6.8/7.1 s, PERFORMANCE.md
+      // round 15) — a swing past ~9 s in the durable tail means the
+      // composed chain regressed, not scatter
+      "q158_curation_pipeline2", "q167_curation_pipeline3")
     val watched = qObj("steady", 2)(results.filter(r => watchedNames(r._1)))
     println(f"""{"metric":"summary","value":$total%.2f,"unit":"sec",""" +
       f""""steady_total_sec":$total%.2f,"steady_plan_sec":$planTotal%.2f,""" +

@@ -446,6 +446,63 @@ class CorpusStreamSpec extends SparkSpec {
     CacheRegistry.drain()
   }
 
+  test("perplexity AND NB gates composed in one drain: a doc must pass " +
+      "BOTH — scrambled word order falls to the bigram gate alone, " +
+      "off-seed topic falls to the classifier alone") {
+    val session = spark
+    import session.implicits._
+    val model = Bpe.learnMerges(Seq("a b ab").toDF("text"), "text", 2)
+    // topic X (the NB-positive seed) and topic Y (NB-negative) share
+    // function words; the BIGRAM reference knows BOTH topics
+    val topicX = Seq(
+      "the quick brown fox jumps over the lazy dog today.",
+      "Here is the second proper sentence now.",
+      "And here is the third proper sentence.").mkString("\n")
+    val scrambledX = Seq(
+      "the dog lazy over jumps fox brown quick the today.",
+      "Here now sentence proper second the is.",
+      "And sentence proper third the is here.").mkString("\n")
+    val topicY = Seq(
+      "the slow green turtle walks under the old tree today.",
+      "Here is the second turtle sentence now.",
+      "And here is the third turtle sentence.").mkString("\n")
+    val pplRef = java.nio.file.Files.createTempDirectory("both-ppl").toString
+    TextAnalysis.saveBigramRef(Seq(topicX, topicY).toDF("text"),
+      "text", pplRef)
+    val nbRef = java.nio.file.Files.createTempDirectory("both-nb").toString
+    TextAnalysis.saveNbRef(Seq(
+        (true, topicX), (true, "the quick brown fox naps today."),
+        (false, topicY), (false, "the green turtle sleeps today."))
+      .toDF("is_curated", "text"), "is_curated", "text", nbRef)
+    // threshold between the clean-text scores of topicX and scrambledX
+    def cleanOf(t: String): String = TextAnalysis
+      .c4LineFilters(Seq(("u", t)).toDF("url", "text"), "text")
+      .filter(col("page_keep")).select("clean_text")
+      .collect().head.getString(0)
+    val ppl = TextAnalysis.scoreUnderBigramRef(spark, pplRef,
+        Seq((1L, cleanOf(topicX)), (2L, cleanOf(scrambledX)),
+          (3L, cleanOf(topicY))).toDF("id", "text"), "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(ppl(3L) > (ppl(1L) + ppl(2L)) / 2,
+      s"fixture broke: topicY ${ppl(3L)} must clear the midpoint")
+    val mid = (ppl(1L) + ppl(2L)) / 2
+    val docsDf = Seq(
+      ("https://x.example/b/1", topicX),
+      ("https://x.example/b/2", scrambledX),
+      ("https://x.example/b/3", topicY)).toDF("url", "text")
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+    val out = java.nio.file.Files.createTempDirectory("both-out")
+    CorpusStream.curatedBatch(spark, model, out.toString, 12, 1,
+      compactEvery = 0, bigramRefDir = pplRef, minAvgLogprob = mid,
+      blockTerms = Nil, blockPhrases = Nil,
+      nbRefDir = nbRef, minNbScore = 0.0)(docsDf, 0L)
+    val landed = spark.read.parquet(out.toString).select("url")
+      .collect().map(_.getString(0)).toSet
+    assert(landed == Set("https://x.example/b/1"),
+      s"only the both-gates survivor may land: $landed")
+    CacheRegistry.drain()
+  }
+
   test("runCuratedFuzzy: an edited near-dup re-crawl is suppressed by " +
       "the band index BEFORE the quality gates (even a near-dup of a " +
       "quality-REJECTED page), novel pages still curate, and the " +
