@@ -5188,5 +5188,70 @@ object OracleSql {
          |      - floor(so / 512.0) + 1 AS BIGINT)
          |    ELSE CAST(0 AS BIGINT) END AS n_blocks
          |FROM offs ORDER BY position""".stripMargin,
+
+    // edit triage: the diff replay restricted to CHANGED ids (both
+    // present, fingerprints differ), then per-id 3-shingle Jaccard
+    // between the old and new text
+    "q176_edit_magnitude" ->
+      """WITH oldt AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split(text, ' '), w -> w <> '') AS ts
+        |  FROM documents),
+        |neu0 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' edited v2'
+        |         WHEN doc_id % 17 = 0 THEN COALESCE(array_to_string(
+        |           list_transform(range(1, len(ts) + 1),
+        |             i -> ts[len(ts) - i + 1]), ' '), '')
+        |         ELSE text END AS text
+        |  FROM oldt WHERE doc_id % 13 <> 0),
+        |ofp AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fo
+        |  FROM documents),
+        |nfp AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fn
+        |  FROM neu0),
+        |chg AS (
+        |  SELECT o.doc_id FROM ofp o JOIN nfp n USING (doc_id)
+        |  WHERE NOT (o.fo IS NOT DISTINCT FROM n.fn)),
+        |osh AS (
+        |  SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT t.doc_id,
+        |      CASE WHEN len(t.ts) >= 3
+        |        THEN unnest(list_transform(range(1, len(t.ts) - 1),
+        |               i -> t.ts[i] || ' ' || t.ts[i+1] || ' ' || t.ts[i+2]))
+        |        ELSE array_to_string(t.ts, ' ') END AS sh
+        |    FROM oldt t JOIN chg USING (doc_id))),
+        |nsh AS (
+        |  SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT n.doc_id,
+        |      CASE WHEN len(ts) >= 3
+        |        THEN unnest(list_transform(range(1, len(ts) - 1),
+        |               i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))
+        |        ELSE array_to_string(ts, ' ') END AS sh
+        |    FROM (SELECT nu.doc_id,
+        |            list_filter(string_split(nu.text, ' '), w -> w <> '') AS ts
+        |          FROM neu0 nu JOIN chg USING (doc_id)) n)),
+        |no_ AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_old
+        |        FROM osh GROUP BY 1),
+        |nn_ AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_new
+        |        FROM nsh GROUP BY 1),
+        |ns AS (
+        |  SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM osh o JOIN nsh n USING (doc_id, sh) GROUP BY 1),
+        |j AS (
+        |  SELECT no_.doc_id, no_.n_old, nn_.n_new,
+        |    COALESCE(ns.n_shared, 0) AS n_shared,
+        |    round(CAST(COALESCE(ns.n_shared, 0) AS DOUBLE)
+        |      / CAST(no_.n_old + nn_.n_new - COALESCE(ns.n_shared, 0)
+        |        AS DOUBLE), 6) AS jaccard
+        |  FROM no_ JOIN nn_ USING (doc_id)
+        |  LEFT JOIN ns USING (doc_id))
+        |SELECT doc_id, n_old, n_new, n_shared, jaccard,
+        |  CASE WHEN jaccard >= 0.5 THEN 'minor_edit' ELSE 'rewrite' END
+        |    AS edit_class
+        |FROM j ORDER BY doc_id""".stripMargin,
   )
 }

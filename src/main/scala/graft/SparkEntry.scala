@@ -2834,6 +2834,48 @@ object SparkEntry {
       .orderBy("position")
   }
 
+  /** Edit-magnitude classification of the q172 diff's CHANGED docs:
+    * per id, the 3-shingle Jaccard between the old and new text —
+    * `minor_edit` (≥ 0.5: the appended-suffix case) vs `rewrite` —
+    * the triage that decides whether a changed page re-enters the
+    * full pipeline or just patches its tail. Per-id keyed joins over
+    * (id, shingle) rows; the oracle replays the diff and the shingle
+    * sets.
+    */
+  private def q176(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select("doc_id", "text")
+    val neu = graft.operators.CacheRegistry.track(base
+      .filter(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" edited v2")))
+          .when(col("doc_id") % 17 === 0,
+            concat_ws(" ", reverse(graft.operators.TextAnalysis.tokens(
+              col("text")))))
+          .otherwise(col("text")).as("text"))
+      .persist())
+    val changed = Dedup.snapshotDiff(base, neu, "doc_id", "text")
+      .filter(col("status") === "changed").select("doc_id")
+    val oldSh = Dedup.shingleRows(
+        base.join(changed, Seq("doc_id"), "left_semi"), "doc_id", "text", 3)
+      .distinct()
+    val newSh = Dedup.shingleRows(
+        neu.join(changed, Seq("doc_id"), "left_semi"), "doc_id", "text", 3)
+      .distinct()
+    val nOld = oldSh.groupBy("doc_id").agg(count(lit(1)).as("n_old"))
+    val nNew = newSh.groupBy("doc_id").agg(count(lit(1)).as("n_new"))
+    val nShared = oldSh.join(newSh, Seq("doc_id", "sh"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    nOld.join(nNew, Seq("doc_id"))
+      .join(nShared, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_old"), col("n_new"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("jaccard", round(col("n_shared").cast("double") /
+        (col("n_old") + col("n_new") - col("n_shared")).cast("double"), 6))
+      .withColumn("edit_class",
+        when(col("jaccard") >= 0.5, "minor_edit").otherwise("rewrite"))
+      .orderBy("doc_id")
+  }
+
   /** Language-ID confusion matrix: the q28 n-gram classifier scored
     * against the corpus's labeled `lang` column — the evaluation
     * surface a language-router ships with (which languages leak into
@@ -3455,6 +3497,7 @@ object SparkEntry {
     "q173_incremental_worklist" -> (q173(_, _)),
     "q174_langid_confusion" -> (q174(_, _)),
     "q175_training_manifest" -> (q175(_, _)),
+    "q176_edit_magnitude" -> (q176(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
