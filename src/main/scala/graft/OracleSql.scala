@@ -4385,7 +4385,7 @@ object OracleSql {
         |FROM r JOIN g USING (grp)
         |ORDER BY r.doc_id""".stripMargin,
 
-    // full Count-Min replay: the 4x256 sketch from the same 48-bit md5
+    // full Count-Min replay: the 4x1024 sketch from the same 48-bit md5
     // row hashes, point estimates = min over rows, threshold on the
     // ESTIMATE (collision-inflated entries must appear on both sides)
     "q160_cms_heavy_hitters" ->

@@ -199,6 +199,14 @@ object Ann {
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     val slate = cand.select(col("__id"), col("qsim")).collect()
       .map(r => r.getLong(0) -> r.getDouble(1))
+    // the pairwise map excludes self-pairs, so a duplicate id in the
+    // slate would throw a bare NoSuchElementException mid-selection —
+    // fail the contract up front with the offending ids named
+    require(slate.map(_._1).distinct.length == slate.length,
+      "mmrRerank requires distinct ids in the candidate slate; duplicates: " +
+        slate.map(_._1).groupBy(identity).collect {
+          case (id, g) if g.length > 1 => id
+        }.mkString(","))
     val selected = scala.collection.mutable.ArrayBuffer[(Long, Double, Double)]()
     val remaining = scala.collection.mutable.LinkedHashMap(slate: _*)
     while (selected.length < math.min(k, slate.length)) {

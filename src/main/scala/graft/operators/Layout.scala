@@ -108,13 +108,27 @@ object Layout {
       .parquet(path)
   }
 
+  /** One file's footer statistics for a column: `range` is None when NO
+    * row group in the file carries min/max statistics for it — distinct
+    * from a real range, so a layout audit can never mistake the
+    * untouched (Long.MaxValue, Long.MinValue) accumulator sentinels for
+    * an (inverted) data range.
+    */
+  case class FileColStats(file: String, range: Option[(Long, Long)],
+      rows: Long) {
+    def min: Long = range.getOrElse(sys.error(
+      s"$file has no footer statistics for the audited column"))._1
+    def max: Long = range.getOrElse(sys.error(
+      s"$file has no footer statistics for the audited column"))._2
+  }
+
   /** Per-file parquet footer statistics for an INT64 column:
-    * (fileName, min, max, numRows), fileName-sorted. Reads ONLY
-    * footers (metadata I/O, no row decode) — cheap enough to audit a
-    * whole table after a layout job.
+    * fileName-sorted [[FileColStats]]. Reads ONLY footers (metadata
+    * I/O, no row decode) — cheap enough to audit a whole table after a
+    * layout job.
     */
   def fileStats(spark: SparkSession, path: String,
-      column: String): Seq[(String, Long, Long, Long)] = {
+      column: String): Seq[FileColStats] = {
     import org.apache.hadoop.fs.Path
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
@@ -149,7 +163,8 @@ object Layout {
             }
           }
         }
-        (p.getName, lo, hi, rows)
+        FileColStats(p.getName,
+          if (lo <= hi) Some((lo, hi)) else None, rows)
       } finally reader.close()
     }
   }

@@ -62,19 +62,32 @@ object Sketch {
     * counter was never touched — only possible for values absent from
     * the sketched stream). The sketch side is ≤ depth·width rows, so
     * the join broadcasts.
+    *
+    * Candidate contract: `items` rows are treated as a SET — the
+    * estimate re-groups by all of `items`' columns, so fully duplicate
+    * candidate rows collapse to one output row (callers that need
+    * per-occurrence rows must carry a distinguishing column). The
+    * depth-probe plumbing lives in `__cms_`-prefixed columns so a
+    * caller's own `row`/`bucket` columns pass through untouched; only
+    * the reserved internal names themselves are refused.
     */
   def cmsEstimate(sketch: DataFrame, items: DataFrame, valueCol: String,
       depth: Int, width: Int): DataFrame = {
     require(depth > 0 && width > 0,
       s"depth=$depth width=$width must be positive")
+    require(!items.columns.exists(_.startsWith("__cms_")),
+      s"items columns ${items.columns.mkString(",")} collide with the " +
+        "reserved __cms_ internal prefix")
     val probes = items
       .select(col("*"),
-        explode(array((0 until depth).map(lit(_)): _*)).as("row"))
-      .withColumn("bucket",
-        bucket(col("row"), col(valueCol), width))
-    probes.join(broadcast(sketch), Seq("row", "bucket"), "left")
+        explode(array((0 until depth).map(lit(_)): _*)).as("__cms_row"))
+      .withColumn("__cms_bucket",
+        bucket(col("__cms_row"), col(valueCol), width))
+    val sk = sketch.select(col("row").as("__cms_row"),
+      col("bucket").as("__cms_bucket"), col("c").as("__cms_c"))
+    probes.join(broadcast(sk), Seq("__cms_row", "__cms_bucket"), "left")
       .groupBy(items.columns.map(col): _*)
-      .agg(min(coalesce(col("c"), lit(0L))).as("est_n"))
+      .agg(min(coalesce(col("__cms_c"), lit(0L))).as("est_n"))
   }
 
   /** K-minimum-values distinct sketch (Bar-Yossef et al. 2002) as a

@@ -1063,6 +1063,13 @@ object TextAnalysis {
     *
     * Groups with `k_g = 0` (too few rows to drop anything) keep every
     * row. Emits the input plus `keep` — the gate stays a column.
+    *
+    * Selection runs entirely on the 6-decimal micro-integer grid
+    * `round(score·10⁶)` with the id as tiebreak — and so does the keep
+    * predicate (same key, never the raw score), so every group drops
+    * EXACTLY `k_g` rows for any score precision: house round-6 scorers
+    * get the raw-score answer unchanged, finer-precision scores get
+    * well-defined grid semantics rather than a rank-vs-gate mismatch.
     */
   def groupedPerplexityFilter(scored: DataFrame, groupCol: String,
       idCol: String, scoreCol: String, dropFrac: Double,
@@ -1104,14 +1111,19 @@ object TextAnalysis {
       .filter(col("__b") === col("__cb"))
       .withColumn("__rk", row_number().over(wrank))
       .filter(col("__rk") === col("__kin"))
-      .select(col("__g").as(groupCol), col("__sc").as("__cs"),
+      .select(col("__g").as(groupCol), col("__sm").as("__csm"),
         col("__id").as("__ci"))
+    // gate on the SAME (grid value, id) key the ranking used — scores
+    // finer than the 6-decimal grid get the documented grid semantics
+    // (k-th smallest ON the grid, id tiebreak) instead of a silent
+    // rank-vs-gate disagreement that could drop ≠ ⌊dropFrac·n⌋ rows
     s.join(cut, Seq(groupCol), "left")
-      .withColumn("keep", col("__cs").isNull ||
-        col(scoreCol) > col("__cs") ||
-        (col(scoreCol) === col("__cs") &&
+      .withColumn("__smx", round(col(scoreCol) * 1e6, 0).cast("long"))
+      .withColumn("keep", col("__csm").isNull ||
+        col("__smx") > col("__csm") ||
+        (col("__smx") === col("__csm") &&
           col(idCol).cast("long") > col("__ci")))
-      .drop("__cs", "__ci")
+      .drop("__csm", "__ci", "__smx")
   }
 
   /** CCNet head/middle/tail buckets (Wenzek et al. 2020 §4.3): within

@@ -15,12 +15,13 @@ class LayoutSpec extends SparkSpec {
     Layout.writeRangeSorted(docs, dir, numFiles = 4, "doc_id")
     val stats = Layout.fileStats(spark, dir, "doc_id")
     assert(stats.length == 4, stats.toString)
-    assert(stats.map(_._4).sum == docs.count())
+    assert(stats.map(_.rows).sum == docs.count())
+    assert(stats.forall(_.range.isDefined), stats.toString)
     // ranges sorted by min must not overlap: every file's min exceeds
     // the previous file's max — the property zone-map pruning needs
-    val ordered = stats.sortBy(_._2)
+    val ordered = stats.sortBy(_.min)
     for (Seq(a, b) <- ordered.sliding(2))
-      assert(a._3 < b._2, s"overlap: $a vs $b")
+      assert(a.max < b.min, s"overlap: $a vs $b")
     // read-back parity
     val back = spark.read.parquet(dir)
     assert(back.count() == docs.count())
@@ -93,11 +94,11 @@ class LayoutSpec extends SparkSpec {
     Layout.writeZOrderSorted(grid, zdir, numFiles = 16, "a", "b", bits = 5)
     val aStats = Layout.fileStats(spark, zdir, "a")
     val bStats = Layout.fileStats(spark, zdir, "b")
-    assert(aStats.map(_._4).sum == 1024L)
+    assert(aStats.map(_.rows).sum == 1024L)
     for (s <- aStats)
-      assert(s._3 - s._2 <= 24, s"a-span not bounded: $s")
+      assert(s.max - s.min <= 24, s"a-span not bounded: $s")
     for (s <- bStats)
-      assert(s._3 - s._2 <= 24, s"b-span not bounded: $s")
+      assert(s.max - s.min <= 24, s"b-span not bounded: $s")
 
     // interleaved baseline: every file spans the whole domain on both
     val flat = java.nio.file.Files.createTempDirectory("layout-f").toString
@@ -147,5 +148,20 @@ class LayoutSpec extends SparkSpec {
       s"baseline must read at least one whole file: $plainRows")
     assert(bloomRows < plainRows,
       s"bloom must skip row groups: bloom=$bloomRows plain=$plainRows")
+  }
+
+  test("fileStats reports range=None (not inverted sentinels) for a " +
+      "column with no footer statistics, and the accessors fail loudly") {
+    val session = spark
+    import session.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("layout-ns").toString
+    (1L to 8L).toDF("id").coalesce(1).write.mode("overwrite").parquet(dir)
+    val absent = Layout.fileStats(spark, dir, "no_such_column")
+    assert(absent.nonEmpty && absent.forall(_.range.isEmpty), absent.toString)
+    assert(absent.map(_.rows).sum == 8L)
+    val e = intercept[RuntimeException] { absent.head.min }
+    assert(e.getMessage.contains("no footer statistics"), e.getMessage)
+    val present = Layout.fileStats(spark, dir, "id")
+    assert(present.head.range.contains((1L, 8L)), present.toString)
   }
 }

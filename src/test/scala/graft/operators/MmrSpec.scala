@@ -59,6 +59,18 @@ class MmrSpec extends SparkSpec {
     }
   }
 
+  test("a duplicate id in the slate is refused up front with the id " +
+      "named — not a NoSuchElementException mid-selection") {
+    val dupIds = Seq(
+      4L -> Array(1.0, 0.0), 4L -> Array(0.9, 0.1), 6L -> Array(0.0, 1.0))
+    val e = intercept[IllegalArgumentException] {
+      Ann.mmrRerank(toDf(dupIds), "vec_id", "embedding", Seq(1.0, 0.0),
+        m = 3, k = 3, lambda = 0.5)
+    }
+    assert(e.getMessage.contains("distinct ids") &&
+      e.getMessage.contains("4"), e.getMessage)
+  }
+
   test("ivfMmrRerank equals mmrRerank over the probed-cell restriction, " +
       "and the pruning genuinely binds (an unprobed cell's vector is " +
       "excluded even when it would out-rank every pick)") {

@@ -194,4 +194,34 @@ class NgramLmSpec extends SparkSpec {
       CacheRegistry.drain()
     }
   }
+
+  test("groupedPerplexityFilter with scores FINER than the 6-decimal " +
+      "grid still drops exactly floor(dropFrac*n_g) per group (grid " +
+      "semantics: rank and gate share the micro-integer key)") {
+    val session = spark
+    import session.implicits._
+    // adjacent scores that collapse to the SAME micro-int value: under
+    // the old raw-score gate the rank (on the grid) and the keep
+    // comparison (on raw) disagreed and the drop count could drift
+    val rows = (1L to 24L).map(i => ("G", i, 0.1 + i.toDouble * 1e-9)) ++
+      (25L to 30L).map(i => ("H", i, i.toDouble * 1e-8))
+    val scored = rows.toDF("grp", "doc_id", "score")
+    for (frac <- Seq(0.25, 0.5)) {
+      val kept = TextAnalysis.groupedPerplexityFilter(scored, "grp",
+          "doc_id", "score", frac)
+        .collect().map(r => (r.getAs[String]("grp"),
+          r.getAs[Long]("doc_id"), r.getAs[Boolean]("keep")))
+      for ((g, n) <- Seq(("G", 24), ("H", 6))) {
+        val dropped = kept.filter(r => r._1 == g && !r._3).map(_._2)
+        val k = math.floor(frac * n).toInt
+        assert(dropped.length == k,
+          s"group $g frac=$frac dropped ${dropped.length} != $k")
+        // grid ties broken by id: the dropped set is the k smallest
+        // (round-6 score, id) — here all grid-tied, so the k lowest ids
+        val ids = rows.filter(_._1 == g).map(_._2).sorted.take(k).toSet
+        assert(dropped.toSet == ids, s"group $g frac=$frac: $dropped")
+      }
+      CacheRegistry.drain()
+    }
+  }
 }

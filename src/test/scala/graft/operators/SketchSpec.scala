@@ -48,6 +48,28 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("cmsEstimate passes a caller's own row/bucket columns through " +
+      "untouched (collision-safe __cms_ internals) and refuses only " +
+      "the reserved prefix itself") {
+    val session = spark
+    import session.implicits._
+    val values = (Seq.fill(4)("a") ++ Seq.fill(2)("b")).toDF("v")
+    val sk = Sketch.cmsSketch(values, "v", 3, 1 << 16)
+    // items carrying their own `row` and `bucket` columns — before the
+    // rename these collided with the probe plumbing's aliases
+    val items = Seq(("a", 10L, 20L), ("b", 11L, 21L))
+      .toDF("v", "row", "bucket")
+    val got = Sketch.cmsEstimate(sk, items, "v", 3, 1 << 16)
+      .collect().map(r => (r.getAs[String]("v"), r.getAs[Long]("row"),
+        r.getAs[Long]("bucket"), r.getAs[Long]("est_n"))).toSet
+    assert(got == Set(("a", 10L, 20L, 4L), ("b", 11L, 21L, 2L)), got)
+    val e = intercept[IllegalArgumentException] {
+      Sketch.cmsEstimate(sk,
+        Seq(("a", 1L)).toDF("v", "__cms_row"), "v", 3, 1 << 16)
+    }
+    assert(e.getMessage.contains("__cms_"), e.getMessage)
+  }
+
   test("cmsMerge of per-batch sketches equals the sketch of the union, " +
       "and cmsHeavyHitters has no false negatives at any width") {
     val session = spark
