@@ -5253,5 +5253,61 @@ object OracleSql {
         |  CASE WHEN jaccard >= 0.5 THEN 'minor_edit' ELSE 'rewrite' END
         |    AS edit_class
         |FROM j ORDER BY doc_id""".stripMargin,
+
+    // portable-HLL replay: registers from the same 48-bit md5 integers
+    // (top 6 bits route, max-rho over the low 42), the EXACT fixed-point
+    // harmonic sum, the alpha_64 estimator with linear-counting
+    // correction, against the exact distinct — branch chain generated
+    // identically to the Spark when-chain
+    "q180_hll_audit" -> {
+      val w = 42
+      val rhoChain = (1 to w).map(g =>
+        s"WHEN rest >= ${1L << (w - g)} THEN $g").mkString("\n        |      ")
+      s"""WITH h AS (
+        |  SELECT event_type,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
+        |      AS BIGINT) AS h
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, h >> 42 AS reg, h & 4398046511103 AS rest
+        |  FROM h),
+        |rho AS (
+        |  SELECT event_type, reg,
+        |    max(CASE $rhoChain ELSE 43 END) AS rho
+        |  FROM r GROUP BY event_type, reg),
+        |agg AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS present,
+        |    CAST(sum(CAST(1 AS BIGINT) << (43 - rho)) AS BIGINT)
+        |      AS sum_present
+        |  FROM rho GROUP BY event_type),
+        |est AS (
+        |  SELECT event_type, 64 - present AS n_zero,
+        |    sum_present + (64 - present) * CAST(8796093022208 AS BIGINT)
+        |      AS sum_fp
+        |  FROM agg),
+        |est2 AS (
+        |  SELECT event_type, n_zero, sum_fp,
+        |    CAST(0.709 AS DOUBLE) * CAST(64 AS DOUBLE) * CAST(64 AS DOUBLE)
+        |      * CAST(8796093022208 AS DOUBLE) / CAST(sum_fp AS DOUBLE)
+        |      AS raw
+        |  FROM est),
+        |fin AS (
+        |  SELECT event_type, CAST(n_zero AS BIGINT) AS n_zero, sum_fp,
+        |    round(CASE WHEN raw <= CAST(160 AS DOUBLE) AND n_zero > 0
+        |      THEN CAST(64 AS DOUBLE)
+        |        * ln(CAST(64 AS DOUBLE) / CAST(n_zero AS DOUBLE))
+        |      ELSE raw END, 6) AS est_distinct
+        |  FROM est2),
+        |ex AS (
+        |  SELECT event_type,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+        |  FROM events GROUP BY event_type)
+        |SELECT f.event_type, f.n_zero, f.sum_fp, f.est_distinct,
+        |  ex.exact_distinct,
+        |  round(abs(f.est_distinct - CAST(ex.exact_distinct AS DOUBLE))
+        |    / CAST(ex.exact_distinct AS DOUBLE), 6) AS rel_err
+        |FROM fin f JOIN ex USING (event_type)
+        |ORDER BY f.event_type""".stripMargin
+    },
   )
 }

@@ -3320,6 +3320,33 @@ object SparkEntry {
         "doc_id", "text", "source")
       .orderBy("source")
 
+  /** HLL-vs-exact distinct audit ([[graft.operators.Sketch.hllRegisters]]
+    * / [[graft.operators.Sketch.hllEstimate]]) — retires the q43
+    * `no_oracle` row (VERDICT r14 order #1d): q43's engine-internal
+    * `approx_count_distinct` can never be replayed in another engine,
+    * so this runs the PORTABLE HLL (md5-derived registers, exact
+    * fixed-point harmonic sum) over the same per-event-type distinct-
+    * user question and emits, per group, the register-state digest
+    * (`n_zero`, `sum_fp` — integers, hash-exact), the estimate, the
+    * exact count, and the relative error. The oracle re-derives the
+    * registers from the md5 arithmetic and replays the estimator —
+    * the audit is deterministic even though the sketch is
+    * probabilistic in the usual accuracy sense.
+    */
+  private def q180(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d).select(col("event_type"), col("user_id"))
+    val est = Sketch.hllEstimate(
+      Sketch.hllRegisters(e, "event_type", "user_id", p = 6),
+      "event_type", p = 6)
+    val exact = e.groupBy("event_type")
+      .agg(count_distinct(col("user_id")).as("exact_distinct"))
+    est.join(exact, Seq("event_type"))
+      .withColumn("rel_err",
+        round(abs(col("est_distinct") - col("exact_distinct").cast("double")) /
+          col("exact_distinct").cast("double"), 6))
+      .orderBy("event_type")
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3498,6 +3525,7 @@ object SparkEntry {
     "q174_langid_confusion" -> (q174(_, _)),
     "q175_training_manifest" -> (q175(_, _)),
     "q176_edit_magnitude" -> (q176(_, _)),
+    "q180_hll_audit" -> (q180(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -170,6 +170,80 @@ object Sketch {
           element_at(col("kmv"), k).cast("double"), 6)))
   }
 
+  /** Portable HyperLogLog registers (Flajolet et al. 2007) as a
+    * RELATION — the mergeable approximate-distinct analog of
+    * [[cmsSketch]], and the ORACLE-CHECKABLE cousin of the engine-
+    * internal HLL behind `approx_count_distinct` (q43): m = 2ᵖ
+    * registers per group; a value routes to register = top p bits of
+    * its 48-bit md5 hash ([[kmvHash]] — the repo's house uniform), and
+    * the register keeps max ρ = 1 + leading-zero count of the
+    * remaining w = 48−p bits (w+1 when they are all zero). Every piece
+    * is integer md5 arithmetic — register contents AND estimates
+    * replay exactly in DuckDB SQL, no engine internals, no RNG.
+    *
+    * ρ is a w-branch codegen comparison chain (no log2/libm); the
+    * aggregation is ONE `groupBy (group, register)` max — partial
+    * aggregation bounds shuffle volume at m rows per partition per
+    * group regardless of stream size, and register relations from
+    * different corpora/batches merge by union + re-max (max is the
+    * HLL merge).
+    */
+  def hllRegisters(df: DataFrame, groupCol: String, valueCol: String,
+      p: Int): DataFrame = {
+    require(p >= 2 && p <= 12, s"p=$p (m=2^p registers) must be 2..12")
+    val w = 48 - p
+    val h = kmvHash(col(valueCol))
+    val rest = h.bitwiseAND(lit((1L << w) - 1))
+    val rho = (1 to w).foldRight(lit(w + 1): Column) { (g, acc) =>
+      when(rest >= lit(1L << (w - g)), lit(g)).otherwise(acc)
+    }
+    df.select(col(groupCol), shiftright(h, w).as("reg"), rho.as("rho"))
+      .groupBy(col(groupCol), col("reg"))
+      .agg(max(col("rho")).as("rho"))
+  }
+
+  /** Published bias-correction constant α_m (Flajolet et al. 2007). */
+  private def hllAlpha(m: Int): Double = m match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case _ => 0.7213 / (1.0 + 1.079 / m)
+  }
+
+  /** Per-group estimates from a [[hllRegisters]] relation. The
+    * harmonic sum Σ 2^−ρ runs in EXACT fixed point — each register
+    * contributes the integer 2^(w+1−ρ) (an untouched register, ρ = 0,
+    * contributes 2^(w+1)) — so `sum_fp` is order-free and
+    * cross-engine exact; the estimate is one double division off it:
+    * α_m·m²·2^(w+1)/sum_fp, with the standard small-range linear-
+    * counting correction m·ln(m/V) when the raw estimate is ≤ 2.5m
+    * and V > 0 registers are untouched (ln is the house-allowed libm
+    * call — round-6 absorbs its ulp). Emits per group: `n_zero` (V),
+    * `sum_fp`, `est_distinct` (round-6).
+    */
+  def hllEstimate(registers: DataFrame, groupCol: String,
+      p: Int): DataFrame = {
+    require(p >= 2 && p <= 12, s"p=$p must be 2..12")
+    val m = 1 << p
+    val w = 48 - p
+    val full = 1L << (w + 1)
+    val scale = hllAlpha(m) * m.toDouble * m.toDouble * full.toDouble
+    registers.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__present"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${w + 1} - rho)"))
+          .as("__sum_present"))
+      .withColumn("n_zero", lit(m.toLong) - col("__present"))
+      .withColumn("sum_fp",
+        col("__sum_present") + col("n_zero") * lit(full))
+      .withColumn("__raw", lit(scale) / col("sum_fp").cast("double"))
+      .withColumn("est_distinct",
+        round(when(col("__raw") <= lit(2.5 * m) && col("n_zero") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("n_zero").cast("double")))
+          .otherwise(col("__raw")), 6))
+      .select(col(groupCol), col("n_zero"), col("sum_fp"),
+        col("est_distinct"))
+  }
+
   /** Per-partition Misra-Gries candidate summaries (Misra & Gries
     * 1982) — the UNBOUNDED-domain candidate generator the
     * [[cmsHeavyHitters]] scaladoc promises: each partition keeps at

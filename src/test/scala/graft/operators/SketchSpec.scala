@@ -91,6 +91,50 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("hllRegisters matches a scalar md5 replay, merges by union+max, " +
+      "and hllEstimate tracks the exact distinct within HLL error") {
+    val session = spark
+    import session.implicits._
+    def md5_48(v: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(v.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(6).map("%02x".format(_)).mkString, 16)
+    }
+    val p = 6
+    val w = 48 - p
+    def scalarReg(v: String): (Long, Int) = {
+      val h = md5_48(v)
+      val rest = h & ((1L << w) - 1)
+      val rho =
+        if (rest == 0) w + 1
+        else w - (63 - java.lang.Long.numberOfLeadingZeros(rest))
+      (h >>> w, rho)
+    }
+    val values = (1 to 300).map(i => s"u${i % 170}") // dups collapse
+    val df = values.map(("g", _)).toDF("grp", "v")
+    val got = Sketch.hllRegisters(df, "grp", "v", p)
+      .collect().map(r => r.getAs[Long]("reg") -> r.getAs[Int]("rho")).toMap
+    val want = values.map(scalarReg).groupBy(_._1)
+      .map { case (reg, rs) => reg -> rs.map(_._2).max }
+    assert(got == want, "registers diverge from scalar replay")
+
+    // merge = union + re-max equals the whole-stream registers
+    val (a, b) = values.splitAt(140)
+    val merged = Sketch.hllRegisters(a.map(("g", _)).toDF("grp", "v"), "grp", "v", p)
+      .unionAll(Sketch.hllRegisters(b.map(("g", _)).toDF("grp", "v"), "grp", "v", p))
+      .groupBy("grp", "reg")
+      .agg(org.apache.spark.sql.functions.max("rho").as("rho"))
+      .collect().map(r => r.getAs[Long]("reg") -> r.getAs[Int]("rho")).toMap
+    assert(merged == got, "merged registers must equal whole-stream")
+
+    val est = Sketch.hllEstimate(
+        Sketch.hllRegisters(df, "grp", "v", p), "grp", p)
+      .collect().head.getAs[Double]("est_distinct")
+    val exact = values.distinct.size.toDouble
+    assert(math.abs(est - exact) / exact < 0.25,
+      s"est $est too far from exact $exact for m=64")
+  }
+
   test("mgHeavyHitters equals the direct GROUP BY/HAVING answer under " +
       "EVERY partition layout when minFrac > 1/(k+1), with far more " +
       "distinct values than counters; the vacuous-guarantee config is " +
