@@ -7,6 +7,63 @@ package graft
   */
 object OracleSql {
 
+  /** Shared CTE chain for the portable-minhash audits (q177/q179):
+    * corpus ∪ clone, 3-shingles, distinct 32-bit md5 shingle hashes,
+    * exact Jaccard pairs ≥ 0.7 from the hash relation, and the k=32
+    * affine mod-prime signatures with the SAME (a_j, b_j) constants
+    * the Spark side derives (inlined as a VALUES relation — parameters
+    * shared, formulation independent).
+    */
+  private val minhashAuditCtes: String = {
+    val perms = graft.operators.Dedup.permConstants(32).zipWithIndex
+      .map { case ((a, b), j) => s"($j, $a, $b)" }
+      .grouped(3).map(_.mkString(", ")).mkString(",\n        |    ")
+    s"""btoks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ts
+      |  FROM documents),
+      |variant AS (
+      |  SELECT doc_id + 1000000 AS doc_id,
+      |    array_to_string(ts[1 : CAST(greatest(3,
+      |      len(ts) - ((doc_id % 8) * len(ts)) // 12) AS INT)], ' ') AS text
+      |  FROM btoks),
+      |corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id, text FROM variant),
+      |toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ts
+      |  FROM corpus),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(ts) >= 3
+      |      THEN list_distinct(list_transform(range(1, len(ts) - 1),
+      |             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))
+      |      ELSE [array_to_string(ts, ' ')] END AS shingles
+      |  FROM toks),
+      |ex AS (
+      |  SELECT DISTINCT doc_id,
+      |    CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS h
+      |  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      |  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |exact AS (
+      |  SELECT id_a, id_b,
+      |    CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE)
+      |      AS jaccard
+      |  FROM inter
+      |  JOIN sizes sa ON sa.doc_id = id_a
+      |  JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE)
+      |    >= 0.3),
+      |perms(j, a, b) AS (
+      |  VALUES $perms),
+      |sig AS (
+      |  SELECT e.doc_id, p.j, min((e.h * p.a + p.b) % 4294967311) AS m
+      |  FROM ex e CROSS JOIN perms p GROUP BY e.doc_id, p.j)""".stripMargin
+  }
+
   private val voteFactsCte =
     """vf AS (
       |  SELECT l.l_orderkey AS vote_id, l.l_suppkey AS member_id,
@@ -5253,6 +5310,54 @@ object OracleSql {
         |  CASE WHEN jaccard >= 0.5 THEN 'minor_edit' ELSE 'rewrite' END
         |    AS edit_class
         |FROM j ORDER BY doc_id""".stripMargin,
+
+    // LSH recall audit: full band-key replay (string_agg over the j-th
+    // signature slice == the Spark concat_ws band key), candidates from
+    // the band self-join, recall per exact-Jaccard decile
+    "q177_lsh_recall_audit" ->
+      s"""WITH $minhashAuditCtes,
+        |bands AS (
+        |  SELECT doc_id, j // 4 AS band_id,
+        |    string_agg(CAST(m AS VARCHAR), '_' ORDER BY j) AS key
+        |  FROM sig GROUP BY doc_id, j // 4),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a
+        |  JOIN bands b ON a.band_id = b.band_id AND a.key = b.key
+        |    AND a.doc_id < b.doc_id),
+        |banded AS (
+        |  SELECT least(CAST(floor(jaccard * 10) AS BIGINT), 9) AS j_band,
+        |    id_a, id_b,
+        |    CASE WHEN EXISTS (SELECT 1 FROM cand c
+        |      WHERE c.id_a = exact.id_a AND c.id_b = exact.id_b)
+        |      THEN 1 ELSE 0 END AS found
+        |  FROM exact)
+        |SELECT j_band, CAST(count(*) AS BIGINT) AS n_exact,
+        |  CAST(sum(found) AS BIGINT) AS n_found,
+        |  round(CAST(sum(found) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |    AS recall
+        |FROM banded GROUP BY j_band ORDER BY j_band""".stripMargin,
+
+    // signature-fidelity audit: per true near-dup pair, the matching
+    // fraction of the 32 replayed signature components vs exact Jaccard
+    "q179_minhash_fidelity_audit" ->
+      s"""WITH $minhashAuditCtes,
+        |sigl AS (
+        |  SELECT doc_id, list(m ORDER BY j) AS sig FROM sig GROUP BY doc_id)
+        |SELECT e.id_a, e.id_b, round(e.jaccard, 6) AS j_exact,
+        |  CAST(list_sum(list_transform(range(1, 33),
+        |    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
+        |    AS BIGINT) AS matches,
+        |  round(CAST(list_sum(list_transform(range(1, 33),
+        |    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
+        |    AS DOUBLE) / 32.0, 6) AS j_est,
+        |  round(abs(CAST(list_sum(list_transform(range(1, 33),
+        |    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
+        |    AS DOUBLE) / 32.0 - e.jaccard), 6) AS abs_err
+        |FROM exact e
+        |JOIN sigl sa ON sa.doc_id = e.id_a
+        |JOIN sigl sb ON sb.doc_id = e.id_b
+        |ORDER BY e.id_a, e.id_b""".stripMargin,
 
     // portable-HLL replay: registers from the same 48-bit md5 integers
     // (top 6 bits route, max-rho over the low 42), the EXACT fixed-point

@@ -964,6 +964,157 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  // --------------------------------------------- portable minhash audits
+
+  /** 32-bit md5 hash (first 8 hex chars) — cross-engine exact (DuckDB:
+    * `('0x' || substr(md5(v), 1, 8))::BIGINT`) and small enough that the
+    * affine permutations' a·h + b stays inside 63 bits on both engines.
+    */
+  def md5Hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** The minhash permutation constants (a_j odd 31-bit, b_j 31-bit —
+    * the same splitmix64 derivation [[minhashSignature]] uses), public
+    * so the DuckDB oracle can inline the identical literals.
+    */
+  def permConstants(k: Int): Seq[(Long, Long)] =
+    (0 until k).map { j =>
+      ((mix64(j.toLong * 2 + 1) & 0x7fffffffL) | 1L,
+        mix64(j.toLong * 2 + 2) & 0x7fffffffL)
+    }
+
+  /** Distinct (id, 32-bit md5 shingle hash) rows — the PORTABLE
+    * shingle-set relation the audit tiers share with their oracles
+    * (the production tiers hash with murmur3/xxhash64, which no other
+    * engine can replay).
+    */
+  private def portableShingleHashes(df: DataFrame, idCol: String,
+      textCol: String, shingleN: Int): DataFrame =
+    shingleRows(df, idCol, textCol, shingleN)
+      .select(col(idCol).as("id"), md5Hash32(col("sh")).as("h"))
+      .distinct()
+
+  /** Exact Jaccard pairs over a (id, h) shingle-hash relation — the
+    * keyed-equi-join formulation (shared-hash counts + sizes), i.e.
+    * exactly how the DuckDB oracle computes it. Audit-tier shape: a
+    * globally hot shingle fans this join out; the production exact
+    * tier with prefix pruning is [[prefixJaccardPairs]].
+    */
+  private def exactJaccardFromHashes(ex: DataFrame,
+      threshold: Double): DataFrame = {
+    val sizes = ex.groupBy("id").agg(count(lit(1)).as("sz"))
+    ex.select(col("id").as("id_a"), col("h"))
+      .join(ex.select(col("id").as("id_b"), col("h")), Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sa")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sb")), Seq("id_b"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("sa") + col("sb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Wide minhash signatures (m0..m_{k-1}) over the portable hash
+    * relation: explode-free — `ex` is already long-form, so the
+    * signature is k codegen'd min-aggregates in ONE keyed aggregation.
+    */
+  private def portableSigs(ex: DataFrame, numHashes: Int): DataFrame = {
+    val aggs = permConstants(numHashes).zipWithIndex.map {
+      case ((a, b), j) =>
+        min(pmod(col("h") * lit(a) + lit(b), lit(MersenneP))).as(s"m$j")
+    }
+    ex.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash-LSH recall audit (the q169 in-catalog-audit pattern,
+    * VERDICT r14 order #1a): per exact-Jaccard decile band ≥ the
+    * threshold, how many TRUE near-dup pairs exist and how many of
+    * them the banded LSH candidate stage surfaces. The tier it audits
+    * (q31) is probabilistic in RECALL, but the audit itself is a
+    * deterministic function of the corpus: md5-32 shingle hashes, the
+    * [[permConstants]] affine mod-prime permutations, band keys as
+    * the joined signature slice — all integer arithmetic an
+    * independent engine replays exactly, so the audit row set is
+    * hash-exact even where recall < 1.
+    *
+    * Scale shape: signature build is one keyed aggregation; band
+    * candidates one equi-join on (band, key); the exact side is the
+    * audit-scale keyed shingle join (see [[prefixJaccardPairs]] for
+    * the pruned production tier). Nothing collects; bands of the
+    * output relation are ≤ 10 rows.
+    */
+  def minhashRecallAudit(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.7): DataFrame = {
+    require(numHashes % bands == 0 && bands <= numHashes,
+      s"numHashes=$numHashes must be a positive multiple of bands=$bands")
+    val ex = CacheRegistry.track(
+      portableShingleHashes(df, idCol, textCol, shingleN).persist())
+    val exact = CacheRegistry.track(
+      exactJaccardFromHashes(ex, threshold).persist())
+    val r = numHashes / bands
+    val bandRows = portableSigs(ex, numHashes).select(col("id"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band_id"),
+            concat_ws("_",
+              (0 until r).map(x => col(s"m${b * r + x}")): _*).as("key"))
+        }: _*)).as("bd"))
+      .select(col("id"), col("bd.band_id").as("band_id"),
+        col("bd.key").as("key"))
+    val cand = bandRows
+      .select(col("id").as("id_a"), col("band_id"), col("key"))
+      .join(bandRows.select(col("id").as("id_b"), col("band_id"),
+        col("key")), Seq("band_id", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val jb = least(floor(col("jaccard") * 10).cast("long"), lit(9L))
+    val denom = exact.groupBy(jb.as("j_band"))
+      .agg(count(lit(1)).as("n_exact"))
+    val numer = exact.join(cand, Seq("id_a", "id_b"), "left_semi")
+      .groupBy(jb.as("j_band")).agg(count(lit(1)).as("n_found"))
+    denom.join(numer, Seq("j_band"), "left")
+      .select(col("j_band"), col("n_exact"),
+        coalesce(col("n_found"), lit(0L)).as("n_found"),
+        round(coalesce(col("n_found"), lit(0L)).cast("double") /
+          col("n_exact").cast("double"), 6).as("recall"))
+      .orderBy("j_band")
+  }
+
+  /** MinHash signature-fidelity audit (VERDICT r14 order #1c): per
+    * TRUE near-dup pair, the signature-estimated Jaccard (matching
+    * fraction of the k portable signature components) against the
+    * exact Jaccard, with the absolute error — the "how faithful are
+    * the signatures themselves" read that the pair-level tier (q31)
+    * can't give. Deterministic end-to-end for the same reason as
+    * [[minhashRecallAudit]].
+    */
+  def minhashFidelityAudit(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 32,
+      threshold: Double = 0.7): DataFrame = {
+    val ex = CacheRegistry.track(
+      portableShingleHashes(df, idCol, textCol, shingleN).persist())
+    val sig = portableSigs(ex, numHashes)
+      .select(col("id"),
+        array((0 until numHashes).map(j => col(s"m$j")): _*).as("sig"))
+    exactJaccardFromHashes(ex, threshold)
+      .join(sig.select(col("id").as("id_a"), col("sig").as("sa")),
+        Seq("id_a"))
+      .join(sig.select(col("id").as("id_b"), col("sig").as("sb")),
+        Seq("id_b"))
+      .withColumn("matches",
+        size(filter(zip_with(col("sa"), col("sb"), (x, y) => x - y),
+          v => v === 0)).cast("long"))
+      .withColumn("j_est",
+        col("matches").cast("double") / lit(numHashes.toDouble))
+      .select(col("id_a"), col("id_b"),
+        round(col("jaccard"), 6).as("j_exact"),
+        col("matches"),
+        round(col("j_est"), 6).as("j_est"),
+        round(abs(col("j_est") - col("jaccard")), 6).as("abs_err"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** EXACT Jaccard near-dup pairs via prefix filtering (the AllPairs/
     * PPJoin family — Bayardo et al. WWW'07, Xiao et al. WWW'08): unlike
     * MinHash LSH this has PERFECT recall at the threshold, so its output

@@ -809,4 +809,81 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(1L -> "unchanged", 2L -> "changed",
       3L -> "removed", 4L -> "unchanged", 5L -> "added"), got.toString)
   }
+
+  test("minhashRecallAudit + minhashFidelityAudit match a full scalar " +
+      "replay of the portable pipeline (md5-32 hashes, mod-prime " +
+      "permutations, band keys, candidates, exact Jaccard)") {
+    val session = spark
+    import session.implicits._
+    val docsSeq = Seq(
+      (1L, "a b c d e f g h i j k l"),
+      (2L, "a b c d e f g h i j k l"), // exact dup of 1
+      (3L, "a b c d e f g h i j k x"), // near dup of 1
+      (4L, "a b c d e f zz yy xx ww vv uu"), // mid-jaccard with 1
+      (5L, "p q r s t u v w y z")) // unrelated
+    val df = docsSeq.toDF("doc_id", "text")
+
+    def md5_32(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString,
+      16)
+    def shingleSet(text: String): Set[Long] = {
+      val t = text.split(" ").filter(_.nonEmpty).toSeq
+      val ss =
+        if (t.length >= 3) t.sliding(3).map(_.mkString(" ")).toSeq
+        else Seq(t.mkString(" "))
+      ss.map(md5_32).toSet
+    }
+    val P = 4294967311L
+    val perms = Dedup.permConstants(32)
+    def sig(h: Set[Long]): Seq[Long] =
+      perms.map { case (a, b) => h.map(x => (x * a + b) % P).min }
+    def bandKeys(s: Seq[Long]): Set[(Int, String)] =
+      s.grouped(4).zipWithIndex.map { case (g, b) => (b, g.mkString("_")) }
+        .toSet
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+    val sets = docsSeq.map { case (id, t) => id -> shingleSet(t) }.toMap
+    val sigs = sets.map { case (id, h) => id -> sig(h) }
+    val pairs = for {
+      (i, si) <- sets.toSeq; (j, sj) <- sets.toSeq
+      if i < j
+      inter = (si & sj).size
+      jac = inter.toDouble / (si.size + sj.size - inter)
+      if jac >= 0.3
+    } yield (i, j, jac,
+      (bandKeys(sigs(i)) & bandKeys(sigs(j))).nonEmpty,
+      sigs(i).zip(sigs(j)).count { case (x, y) => x == y })
+    assert(pairs.exists(p => p._3 < 1.0) && pairs.exists(p => p._3 == 1.0),
+      s"corpus must plant both exact and partial pairs: $pairs")
+
+    val wantRecall = pairs.groupBy(p =>
+        math.min(math.floor(p._3 * 10).toLong, 9L))
+      .map { case (b, ps) =>
+        (b, ps.size.toLong, ps.count(_._4).toLong,
+          r6(ps.count(_._4).toDouble / ps.size.toDouble))
+      }.toSet
+    val gotRecall = Dedup.minhashRecallAudit(df, "doc_id", "text",
+        shingleN = 3, numHashes = 32, bands = 8, threshold = 0.3)
+      .collect().map(r => (r.getAs[Long]("j_band"),
+        r.getAs[Long]("n_exact"), r.getAs[Long]("n_found"),
+        r.getAs[Double]("recall"))).toSet
+    assert(gotRecall == wantRecall, s"recall audit:\n$gotRecall\n$wantRecall")
+
+    val wantFid = pairs.map { case (i, j, jac, _, m) =>
+      (i, j, r6(jac), m.toLong, r6(m / 32.0),
+        r6(math.abs(m / 32.0 - jac)))
+    }.toSet
+    val gotFid = Dedup.minhashFidelityAudit(df, "doc_id", "text",
+        shingleN = 3, numHashes = 32, threshold = 0.3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("j_exact"), r.getAs[Long]("matches"),
+        r.getAs[Double]("j_est"), r.getAs[Double]("abs_err"))).toSet
+    assert(gotFid == wantFid, s"fidelity audit:\n$gotFid\n$wantFid")
+    // exact duplicates: every signature component matches, every band
+    // shared — recall on the jaccard=1 pair is structural, not luck
+    val dup = gotFid.find(p => p._1 == 1L && p._2 == 2L).get
+    assert(dup._4 == 32L && dup._3 == 1.0 && dup._6 == 0.0, dup.toString)
+  }
 }
