@@ -5338,6 +5338,76 @@ object OracleSql {
         |    AS recall
         |FROM banded GROUP BY j_band ORDER BY j_band""".stripMargin,
 
+    // hyperplane-LSH recall audit: rotated-variant corpus, sign-bucket
+    // replay against the inlined plane constants, cosine via the q61
+    // ordered-fold form, recall per cosine decile
+    "q178_hyperplane_recall_audit" -> {
+      val planeRows = (0 until 4).map { p =>
+        val vals = graft.operators.Dedup.planeVectorValues(p, 64)
+          .map(_.toString).mkString(", ")
+        s"($p, [$vals])"
+      }.mkString(",\n        |    ")
+      s"""WITH base AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |withn AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i])))
+        |      AS normv,
+        |    CAST(vec_id % 5 AS DOUBLE) / CAST(5 AS DOUBLE) AS t
+        |  FROM base),
+        |variant AS (
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |    list_transform(range(1, 65), i ->
+        |      (CAST(1 AS DOUBLE) - t) * v[i] + t * normv *
+        |        (CASE WHEN (i - 1) % 2 = 0 THEN CAST(1 AS DOUBLE)
+        |              ELSE CAST(-1 AS DOUBLE) END) / CAST(8 AS DOUBLE))
+        |      AS v
+        |  FROM withn),
+        |corpus AS (
+        |  SELECT vec_id, v FROM base
+        |  UNION ALL SELECT vec_id, v FROM variant),
+        |planes(p, w) AS (
+        |  VALUES $planeRows),
+        |buck AS (
+        |  SELECT c.vec_id,
+        |    CAST(sum(CASE WHEN list_sum(list_transform(range(1, 65),
+        |      i -> c.v[i] * p.w[i])) >= 0
+        |      THEN CAST(1 AS BIGINT) << p.p ELSE 0 END) AS BIGINT)
+        |      AS bucket
+        |  FROM corpus c CROSS JOIN planes p GROUP BY c.vec_id),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb,
+        |    ba.bucket AS ba, bb.bucket AS bb
+        |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        |  JOIN buck ba ON ba.vec_id = a.vec_id
+        |  JOIN buck bb ON bb.vec_id = b.vec_id),
+        |scored AS (
+        |  SELECT id_a, id_b, ba, bb,
+        |    list_sum(list_transform(range(1, 65), i -> va[i] * vb[i]))
+        |      AS dot,
+        |    sqrt(list_sum(list_transform(range(1, 65), i -> va[i] * va[i])))
+        |      AS na,
+        |    sqrt(list_sum(list_transform(range(1, 65), i -> vb[i] * vb[i])))
+        |      AS nb
+        |  FROM pairs),
+        |cos AS (
+        |  SELECT id_a, id_b,
+        |    CASE WHEN na > 0 AND nb > 0 THEN dot / (na * nb)
+        |         ELSE CAST(0 AS DOUBLE) END AS cosine,
+        |    CASE WHEN ba = bb THEN 1 ELSE 0 END AS found
+        |  FROM scored
+        |  WHERE CASE WHEN na > 0 AND nb > 0 THEN dot / (na * nb)
+        |        ELSE CAST(0 AS DOUBLE) END >= 0.4)
+        |SELECT least(CAST(floor(cosine * 10) AS BIGINT), 9) AS c_band,
+        |  CAST(count(*) AS BIGINT) AS n_exact,
+        |  CAST(sum(found) AS BIGINT) AS n_found,
+        |  round(CAST(sum(found) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |    AS recall
+        |FROM cos GROUP BY c_band ORDER BY c_band""".stripMargin
+    },
+
     // signature-fidelity audit: per true near-dup pair, the matching
     // fraction of the 32 replayed signature components vs exact Jaccard
     "q179_minhash_fidelity_audit" ->

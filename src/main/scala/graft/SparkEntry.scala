@@ -3388,6 +3388,32 @@ object SparkEntry {
     Dedup.minhashRecallAudit(minhashAuditCorpus(s, d), "doc_id", "text",
       shingleN = 3, numHashes = 32, bands = 8, threshold = 0.3)
 
+  /** Hyperplane-LSH recall audit
+    * ([[graft.operators.Dedup.hyperplaneRecallAudit]]) — retires the
+    * q32 `no_oracle` row (VERDICT r14 order #1b). Exact embedding
+    * clones share every sign bucket structurally, so (as with q177) a
+    * clone-only corpus would read recall ≡ 1; instead each embedding
+    * gets a ROTATED variant — v' = (1−t)·v + t·‖v‖·u/8 with u the
+    * ±1-alternating direction and t = (vec_id mod 5)/5 — planting
+    * true pairs across cosine bands 0.4–1.0 where the 4-plane bucket
+    * genuinely misses. Everything (rotation, buckets from the shared
+    * plane constants, cosines, bands) is arithmetic the DuckDB oracle
+    * replays op for op, so the recall curve is hash-exact.
+    */
+  private def q178(s: SparkSession, d: String): DataFrame = {
+    val base = emb(s, d).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val t = (col("vec_id") % 5).cast("double") / lit(5.0)
+    val normv = sqrt(GraftFunctions.dotProduct(col("v"), col("v")))
+    val variant = base.select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("v"), (x, i) =>
+        (lit(1.0) - t) * x +
+          t * normv * when(pmod(i, lit(2)) === 0, lit(1.0))
+            .otherwise(lit(-1.0)) / lit(8.0)).as("v"))
+    Dedup.hyperplaneRecallAudit(base.unionAll(variant), "vec_id", "v",
+      threshold = 0.4, planes = 4, dim = 64)
+  }
+
   /** MinHash signature-fidelity audit
     * ([[graft.operators.Dedup.minhashFidelityAudit]]) — retires the
     * q29 `no_oracle` row (VERDICT r14 order #1c): per true ≥ 0.3-
@@ -3578,6 +3604,7 @@ object SparkEntry {
     "q175_training_manifest" -> (q175(_, _)),
     "q176_edit_magnitude" -> (q176(_, _)),
     "q177_lsh_recall_audit" -> (q177(_, _)),
+    "q178_hyperplane_recall_audit" -> (q178(_, _)),
     "q179_minhash_fidelity_audit" -> (q179(_, _)),
     "q180_hll_audit" -> (q180(_, _)),
   )

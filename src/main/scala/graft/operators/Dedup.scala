@@ -1625,11 +1625,55 @@ object Dedup {
   }
 
   /** Deterministic hyperplane as an array literal (values in [-1,1)). */
-  private def planeVector(p: Int, dim: Int): Column = {
-    val vals = (0 until dim).map { d =>
-      val m = mix64(p.toLong * 8191 + d)
-      (m.toDouble / Long.MaxValue.toDouble)
+  private def planeVector(p: Int, dim: Int): Column =
+    array(planeVectorValues(p, dim).map(lit(_)): _*)
+
+  /** The [[hyperplaneBucket]] plane constants, public so the DuckDB
+    * oracle can inline the identical double literals.
+    */
+  def planeVectorValues(p: Int, dim: Int): Seq[Double] =
+    (0 until dim).map { d =>
+      mix64(p.toLong * 8191 + d).toDouble / Long.MaxValue.toDouble
     }
-    array(vals.map(lit(_)): _*)
+
+  /** Hyperplane-LSH recall audit (VERDICT r14 order #1b, the q169
+    * in-catalog-audit pattern): per cosine decile band ≥ `threshold`,
+    * how many TRUE pairs exist and how many share their full
+    * sign-pattern bucket — the deterministic recall read for the tier
+    * q32 runs (which is rows-only checkable itself). Buckets are
+    * computed on the RAW vectors (sign of dot(v, plane) is invariant
+    * to positive scaling, so this equals the normalized-vector
+    * bucketing of [[embeddingNearDups]]), and cosines via the
+    * dot/(‖a‖·‖b‖) form — both replay in SQL as ordered left-fold
+    * double sums, identical IEEE op for op.
+    *
+    * The exact side is the brute-force all-pairs reference (guarded,
+    * audit scale only — the production exact tier is [[gridNearDups]],
+    * the candidate swap at 100 TB is IVF routing).
+    */
+  def hyperplaneRecallAudit(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, planes: Int, dim: Int = 64): DataFrame = {
+    require(planes >= 1 && planes <= 16, s"planes=$planes must be 1..16")
+    val base = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    requireBruteForceSized(base, "hyperplaneRecallAudit",
+      "gridNearDups (exact recall) or IVF candidates at corpus scale")
+    val bucketed = CacheRegistry.track(base
+      .withColumn("bucket", hyperplaneBucket(col("v"), planes, dim))
+      .persist())
+    val a = bucketed.select(col("id").as("id_a"), col("v").as("va"),
+      col("bucket").as("ba"))
+    val b = bucketed.select(col("id").as("id_b"), col("v").as("vb"),
+      col("bucket").as("bb"))
+    val cb = least(floor(col("cosine") * 10).cast("long"), lit(9L))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .withColumn("found", (col("ba") === col("bb")).cast("long"))
+      .groupBy(cb.as("c_band"))
+      .agg(count(lit(1)).as("n_exact"), sum(col("found")).as("n_found"))
+      .withColumn("recall", round(col("n_found").cast("double") /
+        col("n_exact").cast("double"), 6))
+      .orderBy("c_band")
   }
 }

@@ -886,4 +886,69 @@ class DedupSpec extends SparkSpec {
     val dup = gotFid.find(p => p._1 == 1L && p._2 == 2L).get
     assert(dup._4 == 32L && dup._3 == 1.0 && dup._6 == 0.0, dup.toString)
   }
+
+  test("hyperplaneRecallAudit matches a scalar replay of buckets, " +
+      "cosines, and per-band recall; exact clones always share the " +
+      "bucket") {
+    val session = spark
+    import session.implicits._
+    val dim = 8
+    // deterministic small vector set with clones and partial rotations
+    val vecs: Seq[(Long, Array[Double])] = (0 until 12).map { i =>
+      val v = Array.tabulate(dim)(d =>
+        math.sin(i * 1.7 + d * 0.9) + (if (d == i % dim) 1.5 else 0.0))
+      (i.toLong, v)
+    } ++ (0 until 12).map { i =>
+      val t = (i % 4) / 4.0
+      val b = Array.tabulate(dim)(d =>
+        math.sin(i * 1.7 + d * 0.9) + (if (d == i % dim) 1.5 else 0.0))
+      val n = math.sqrt(b.map(x => x * x).sum)
+      ((i + 100).toLong,
+        b.zipWithIndex.map { case (x, d) =>
+          (1.0 - t) * x + t * n * (if (d % 2 == 0) 1.0 else -1.0) / 4.0
+        })
+    }
+    val df = vecs.map { case (id, v) => (id, v.toSeq) }.toDF("id", "vec")
+
+    val planes = (0 until 4).map(p =>
+      Dedup.planeVectorValues(p, dim).toArray)
+    def bucket(v: Array[Double]): Long =
+      (0 until 4).map { p =>
+        val dot = v.zip(planes(p)).foldLeft(0.0) { case (a, (x, w)) =>
+          a + x * w
+        }
+        if (dot >= 0) 1L << p else 0L
+      }.reduce(_ | _)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      def fold(x: Array[Double], y: Array[Double]) =
+        x.zip(y).foldLeft(0.0) { case (acc, (p, q)) => acc + p * q }
+      val (na, nb) = (math.sqrt(fold(a, a)), math.sqrt(fold(b, b)))
+      if (na > 0 && nb > 0) fold(a, b) / (na * nb) else 0.0
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pairs = for {
+      (i, vi) <- vecs; (j, vj) <- vecs
+      if i < j
+      c = cos(vi, vj)
+      if c >= 0.4
+    } yield (math.min(math.floor(c * 10).toLong, 9L),
+      bucket(vi) == bucket(vj))
+    val want = pairs.groupBy(_._1).map { case (b, ps) =>
+      (b, ps.size.toLong, ps.count(_._2).toLong,
+        r6(ps.count(_._2).toDouble / ps.size.toDouble))
+    }.toSet
+    val got = Dedup.hyperplaneRecallAudit(df, "id", "vec",
+        threshold = 0.4, planes = 4, dim = dim)
+      .collect().map(r => (r.getAs[Long]("c_band"),
+        r.getAs[Long]("n_exact"), r.getAs[Long]("n_found"),
+        r.getAs[Double]("recall"))).toSet
+    assert(got == want, s"hyperplane audit:\n$got\n$want")
+    // the t=0 variants are exact clones: found structurally
+    val cloneBands = pairs.nonEmpty && (0 until 12).filter(_ % 4 == 0)
+      .forall { i =>
+        bucket(vecs(i)._2) == bucket(vecs.find(_._1 == i + 100L).get._2)
+      }
+    assert(cloneBands, "exact clones must share every sign bucket")
+  }
 }
