@@ -5429,6 +5429,46 @@ object OracleSql {
         |JOIN sigl sb ON sb.doc_id = e.id_b
         |ORDER BY e.id_a, e.id_b""".stripMargin,
 
+    // PCA invariant audit: the invariant rows are literal 0.0/1.0 (their
+    // values are provable, not replayed); total_ss / axes_energy_rel /
+    // n_rows / n_dims are re-derived through the exact decimal sums
+    "q181_pca_invariant_audit" ->
+      """WITH ex AS (
+        |  SELECT vec_id, i AS d, CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM (SELECT vec_id, embedding,
+        |        unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)),
+        |means AS (
+        |  SELECT d, CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS mean
+        |  FROM ex GROUP BY d),
+        |en AS (
+        |  SELECT d, sum(CAST((x - mean) * (x - mean) AS DECIMAL(38,12))) AS e
+        |  FROM ex JOIN means USING (d) GROUP BY d),
+        |tot AS (SELECT sum(e) AS total FROM en),
+        |top2 AS (
+        |  SELECT sum(e) AS e2
+        |  FROM (SELECT e FROM en ORDER BY e DESC LIMIT 2)),
+        |nn AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(max(len(embedding)) AS DOUBLE) AS nd
+        |  FROM embeddings)
+        |SELECT metric, value FROM (
+        |  SELECT 'axes_energy_rel' AS metric,
+        |    (SELECT round(CAST(t2.e2 AS DOUBLE) / CAST(t.total AS DOUBLE), 6)
+        |     FROM top2 t2, tot t) AS value
+        |  UNION ALL SELECT 'contraction_violations', CAST(0 AS DOUBLE)
+        |  UNION ALL SELECT 'energy_defect_rel', CAST(0 AS DOUBLE)
+        |  UNION ALL SELECT 'n_dims', (SELECT nd FROM nn)
+        |  UNION ALL SELECT 'n_rows', (SELECT n FROM nn)
+        |  UNION ALL SELECT 'pca_ge_axes', CAST(1 AS DOUBLE)
+        |  UNION ALL SELECT 'score_cross_corr', CAST(0 AS DOUBLE)
+        |  UNION ALL SELECT 'total_ss',
+        |    (SELECT round(CAST(total AS DOUBLE), 6) FROM tot)
+        |  UNION ALL SELECT 'v1_norm_defect', CAST(0 AS DOUBLE)
+        |  UNION ALL SELECT 'v2_norm_defect', CAST(0 AS DOUBLE)
+        |  UNION ALL SELECT 'v_orthogonality', CAST(0 AS DOUBLE))
+        |ORDER BY metric""".stripMargin,
+
     // portable-HLL replay: registers from the same 48-bit md5 integers
     // (top 6 bits route, max-rho over the low 42), the EXACT fixed-point
     // harmonic sum, the alpha_64 estimator with linear-counting

@@ -3425,6 +3425,22 @@ object SparkEntry {
     Dedup.minhashFidelityAudit(minhashAuditCorpus(s, d), "doc_id", "text",
       shingleN = 3, numHashes = 32, threshold = 0.3)
 
+  /** PCA invariant audit
+    * ([[graft.operators.VectorOps.pcaInvariantAudit]]) — retires the
+    * q34 `no_oracle` row (VERDICT r14 order #1e): the q34 projection
+    * values are SVD-sign-ambiguous, but this relation's rows are all
+    * deterministic — provable invariants (norms, orthogonality,
+    * energy conservation, contraction) as round-6 defects that must
+    * read 0.0/1.0, plus `total_ss` and `axes_energy_rel` that the
+    * DuckDB oracle computes independently through the exact
+    * decimal-quantized sums.
+    */
+  private def q181(s: SparkSession, d: String): DataFrame =
+    VectorOps.pcaInvariantAudit(
+      emb(s, d).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("features")),
+      "vec_id", "features", pairIdLimit = 32L)
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3607,6 +3623,7 @@ object SparkEntry {
     "q178_hyperplane_recall_audit" -> (q178(_, _)),
     "q179_minhash_fidelity_audit" -> (q179(_, _)),
     "q180_hll_audit" -> (q180(_, _)),
+    "q181_pca_invariant_audit" -> (q181(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

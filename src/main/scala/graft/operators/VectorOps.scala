@@ -76,6 +76,144 @@ object VectorOps {
     }.toDF(idCol, "pc1", "pc2")
   }
 
+  /** PCA invariant audit (VERDICT r14 order #1e — retires the q34
+    * `no_oracle` row): PCA values themselves are sign-ambiguous (SVD),
+    * so instead of replaying them the audit emits a (metric, value)
+    * relation in which EVERY row is deterministic and oracle-checkable:
+    *
+    *  - invariants with provable values — component norms = 1,
+    *    component orthogonality, score cross-correlation, energy
+    *    conservation (scores + residuals = total), projection
+    *    contraction on a bounded pair set, PCA-energy ≥ best-2-
+    *    coordinate-axes energy — all emitted as round-6 defects that
+    *    MUST read 0.0 (resp. 1.0) when the PCA is correct, and
+    *  - data-dependent values the oracle computes independently —
+    *    `total_ss` (total centered sum of squares) and
+    *    `axes_energy_rel` (top-2 coordinate-axes energy share) via the
+    *    exact DECIMAL-quantized sums of the house float rule, plus
+    *    n_rows/n_dims.
+    *
+    * A broken PCA (unnormalized or non-orthogonal components, wrong
+    * centering, wrong projection) moves several defect rows off 0 —
+    * the same gate PcaOracleSpec applies, now in-catalog where the
+    * driver's DuckDB comparison exercises it every round.
+    *
+    * Driver-side data is bounded: the 2×dim component matrix, dim
+    * per-dimension energy decimals, five scalar accumulators, and the
+    * `pairIdLimit` rows used for the contraction check.
+    */
+  def pcaInvariantAudit(df: DataFrame, idCol: String, featCol: String,
+      pairIdLimit: Long = 32L): DataFrame = {
+    import org.apache.spark.mllib.linalg.{Vectors => OldVectors}
+    import org.apache.spark.mllib.linalg.distributed.RowMatrix
+    val spark = df.sparkSession
+    val rows = df.select(col(idCol).cast("long"), col(featCol).cast("array<double>"))
+      .rdd.map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    CacheRegistry.trackRdd(rows.cache())
+    val dim = rows.first()._2.length
+    val n = rows.count()
+    val meansF = rows.map(_._2).treeAggregate(new Array[Double](dim))(
+      (acc, v) => { var i = 0; while (i < dim) { acc(i) += v(i); i += 1 }; acc },
+      (a, b) => { var i = 0; while (i < dim) { a(i) += b(i); i += 1 }; a })
+      .map(_ / n.toDouble)
+    val bMeans = spark.sparkContext.broadcast(meansF)
+    val centered = rows.mapValues { v =>
+      val m = bMeans.value
+      val out = new Array[Double](dim)
+      var i = 0; while (i < dim) { out(i) = v(i) - m(i); i += 1 }
+      out
+    }.cache()
+    CacheRegistry.trackRdd(centered)
+    val svd = new RowMatrix(centered.values.map(OldVectors.dense))
+      .computeSVD(2, computeU = false)
+    rows.unpersist(blocking = false)
+    val v = svd.V
+    val v1 = Array.tabulate(dim)(i => v(i, 0))
+    val v2 = Array.tabulate(dim)(i => v(i, 1))
+    val bV = spark.sparkContext.broadcast((v1, v2))
+
+    // distributed score/residual accumulators: [Σp1², Σp2², Σp1p2,
+    // Σ‖resid‖², Σ‖centered‖²]
+    val acc = centered.values.treeAggregate(new Array[Double](5))(
+      (a, c) => {
+        val (w1, w2) = bV.value
+        var p1 = 0.0; var p2 = 0.0; var i = 0
+        while (i < dim) { p1 += c(i) * w1(i); p2 += c(i) * w2(i); i += 1 }
+        var r2 = 0.0; var t2 = 0.0; i = 0
+        while (i < dim) {
+          val r = c(i) - p1 * w1(i) - p2 * w2(i)
+          r2 += r * r; t2 += c(i) * c(i); i += 1
+        }
+        a(0) += p1 * p1; a(1) += p2 * p2; a(2) += p1 * p2
+        a(3) += r2; a(4) += t2; a
+      },
+      (a, b) => { var i = 0; while (i < 5) { a(i) += b(i); i += 1 }; a })
+    val Array(sp11, sp22, sp12, sresid, stot) = acc
+
+    // exact-decimal per-dimension energies (the oracle's formulation):
+    // mean = double(decimal sum)/n, term = (x-mean)² quantized to
+    // DECIMAL(38,12), per-dim sums exact — collected (dim rows) and
+    // totaled in BigDecimal so the emitted values are order-free
+    val exploded = df.select(
+      posexplode(col(featCol).cast("array<double>")).as(Seq("d", "x")))
+    val meansDf = exploded.groupBy("d")
+      .agg((sum(col("x").cast("decimal(28,12)")).cast("double") /
+        count(lit(1)).cast("double")).as("mean"))
+    val energies = exploded.join(broadcast(meansDf), Seq("d"))
+      .select(col("d"), ((col("x") - col("mean")) * (col("x") - col("mean")))
+        .cast("decimal(38,12)").as("e2"))
+      .groupBy("d").agg(sum(col("e2")).as("e"))
+      .collect().map(_.getAs[java.math.BigDecimal]("e"))
+    val totalDec = energies.foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
+    val top2Dec = energies.map(BigDecimal(_)).sorted.reverse.take(2)
+      .foldLeft(java.math.BigDecimal.ZERO)((a, b) => a.add(b.bigDecimal))
+    val totalSs = totalDec.doubleValue
+    val axesRel = top2Dec.doubleValue / totalSs
+
+    // bounded contraction check: orthogonal projection can only shrink
+    // pairwise distances (up to float tolerance)
+    val sample = centered.filter(_._1 < pairIdLimit).collect()
+    val (w1, w2) = (v1, v2)
+    def proj(c: Array[Double]): (Double, Double) = {
+      var p1 = 0.0; var p2 = 0.0; var i = 0
+      while (i < dim) { p1 += c(i) * w1(i); p2 += c(i) * w2(i); i += 1 }
+      (p1, p2)
+    }
+    val projs = sample.map { case (id, c) => (id, c, proj(c)) }
+    var violations = 0L
+    for (i <- projs.indices; j <- (i + 1) until projs.length) {
+      val (_, ci, (pi1, pi2)) = projs(i)
+      val (_, cj, (pj1, pj2)) = projs(j)
+      var full = 0.0; var k = 0
+      while (k < dim) { val dlt = ci(k) - cj(k); full += dlt * dlt; k += 1 }
+      val pd = (pi1 - pj1) * (pi1 - pj1) + (pi2 - pj2) * (pi2 - pj2)
+      if (pd > full * (1.0 + 1e-6) + 1e-9) violations += 1
+    }
+
+    def norm(a: Array[Double]) = math.sqrt(a.map(x => x * x).sum)
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val metrics = Seq(
+      "axes_energy_rel" -> r6(axesRel),
+      "contraction_violations" -> violations.toDouble,
+      "energy_defect_rel" ->
+        r6(math.abs(sp11 + sp22 + sresid - stot) / stot),
+      "n_dims" -> dim.toDouble,
+      "n_rows" -> n.toDouble,
+      "pca_ge_axes" ->
+        (if (sp11 + sp22 >= top2Dec.doubleValue * (1.0 - 1e-9)) 1.0 else 0.0),
+      "score_cross_corr" ->
+        r6(math.abs(sp12) / (math.sqrt(sp11) * math.sqrt(sp22))),
+      "total_ss" -> r6(totalSs),
+      "v1_norm_defect" -> r6(math.abs(norm(v1) - 1.0)),
+      "v2_norm_defect" -> r6(math.abs(norm(v2) - 1.0)),
+      "v_orthogonality" -> r6(math.abs(dot(v1, v2))))
+    import spark.implicits._
+    metrics.toDF("metric", "value").orderBy("metric")
+  }
+
   /** Per-group centroid of an embedding column — the k-means/IVF training
     * primitive (a full Lloyd iteration = assignCells + this). Long form:
     * posexplode to (group, dim, x) and hash-aggregate per (group, dim) —

@@ -103,4 +103,39 @@ class PcaOracleSpec extends SparkSpec {
     assert(math.abs(s1 - l1) / l1 < 1e-9, s"energy(pc1)=$s1 != λ1=$l1")
     assert(math.abs(s2 - l2) / l2 < 1e-9, s"energy(pc2)=$s2 != λ2=$l2")
   }
+
+  test("pcaInvariantAudit (q181): every defect row reads 0, the gate " +
+      "rows read 1, and the decimal-path values match a scalar replay") {
+    val df = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("features"))
+    val got = VectorOps.pcaInvariantAudit(df, "vec_id", "features")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+    for (m <- Seq("contraction_violations", "energy_defect_rel",
+        "score_cross_corr", "v1_norm_defect", "v2_norm_defect",
+        "v_orthogonality"))
+      assert(got(m) == 0.0, s"$m = ${got(m)} must be exactly 0 at round-6")
+    assert(got("pca_ge_axes") == 1.0)
+
+    // scalar replay of the oracle's decimal formulation
+    val rows = df.collect().map(_.getSeq[Double](1).toArray)
+    val n = rows.length
+    val dim = rows.head.length
+    assert(got("n_rows") == n.toDouble && got("n_dims") == dim.toDouble)
+    def dec(x: Double, s: Int) =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP)
+    val energies = (0 until dim).map { d =>
+      val mean = rows.map(v => dec(v(d), 12)).sum.toDouble /
+        n.toDouble // exact decimal sum, one double division
+      rows.map(v => dec((v(d) - mean) * (v(d) - mean), 12)).sum
+    }
+    val total = energies.sum
+    val top2 = energies.sorted.reverse.take(2).sum
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("total_ss") == r6(total.toDouble), s"total_ss ${got("total_ss")}")
+    assert(got("axes_energy_rel") ==
+      r6(top2.toDouble / total.toDouble), s"axes ${got("axes_energy_rel")}")
+  }
 }
