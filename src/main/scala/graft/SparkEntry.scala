@@ -326,7 +326,8 @@ object SparkEntry {
       .orderBy("doc_id")
 
   /** A10 scale path: approx_count_distinct (HLL — engine-specific values,
-    * rows-only check).
+    * rows-only check; the ORACLE-EXACT portable-HLL audit is q180, the
+    * oracle-exact KMV distinct tier is q170).
     */
   private def q43(s: SparkSession, d: String): DataFrame =
     ev(s, d).groupBy("event_type")
@@ -392,7 +393,10 @@ object SparkEntry {
       .select("doc_id", "pred_lang", "score_en")
       .orderBy("doc_id")
 
-  /** MinHash signatures (deterministic; the LSH pair path is q31). */
+  /** MinHash signatures (deterministic; the LSH pair path is q31).
+    * Rows-only here (xxhash64); the ORACLE-EXACT signature-fidelity
+    * audit over portable hashes is q179.
+    */
   private def q29(s: SparkSession, d: String): DataFrame =
     docs(s, d).select(
         col("doc_id"),
@@ -418,7 +422,8 @@ object SparkEntry {
     * probabilistic near the threshold (~11% miss at j=0.7 for 8 bands ×
     * 4 rows), so an exact oracle would only pass while the corpus happens
     * to have no near-threshold pairs — the EXACT operator with the same
-    * output contract is q60 (prefix-filtered, perfect recall).
+    * output contract is q60 (prefix-filtered, perfect recall), and the
+    * ORACLE-EXACT recall audit of the banded-LSH mechanism is q177.
     */
   private def q31(s: SparkSession, d: String): DataFrame = {
     val base = docs(s, d).select("doc_id", "text")
@@ -433,7 +438,8 @@ object SparkEntry {
   /** Embedding near-dup pairs (cosine ≥ 0.99) over corpus ∪ clone via
     * hyperplane LSH. Rows-only check, same reasoning as q31 (~17% miss
     * near cosine 0.99 with 4 planes) — the exact-recall operator with
-    * this output contract is q61 (coordinate-grid blocked).
+    * this output contract is q61 (coordinate-grid blocked), and the
+    * ORACLE-EXACT recall audit of the sign-bucket mechanism is q178.
     */
   private def q32(s: SparkSession, d: String): DataFrame = {
     val base = emb(s, d).select("vec_id", "embedding")
@@ -457,7 +463,9 @@ object SparkEntry {
       .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
   }
 
-  /** M2 PCA 2-component embedding (rows-only: SVD signs are arbitrary). */
+  /** M2 PCA 2-component embedding (rows-only: SVD signs are arbitrary;
+    * the ORACLE-EXACT sign-invariant audit is q181).
+    */
   private def q34(s: SparkSession, d: String): DataFrame =
     VectorOps.pca2(
         emb(s, d).select(col("vec_id"), col("embedding").cast("array<double>").as("features")),

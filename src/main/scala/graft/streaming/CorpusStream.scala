@@ -87,7 +87,9 @@ object CorpusStream {
       checkpointDir: String, outDir: String,
       glob: String = "*.warc*",
       sketchDir: String = null,
-      sketchDepth: Int = 4, sketchWidth: Int = 1024): StreamingQuery =
+      sketchDepth: Int = 4, sketchWidth: Int = 1024,
+      kmvDir: String = null, kmvK: Int = 256,
+      compactEvery: Int = 0): StreamingQuery =
     docStream(spark, warcDir, glob)
       .writeStream
       .outputMode("append")
@@ -117,6 +119,34 @@ object CorpusStream {
                 "tok", sketchDepth, sketchWidth)
               .write.mode("overwrite")
               .parquet(s"$sketchDir/batch_id=$batchId")
+          // running DISTINCT-token telemetry (the KMV sibling of the
+          // CMS frequency sketch): each drain writes its own batch's
+          // k-minimum-values rows — a pure function of the batch's
+          // token SET, so the same batchId-keyed overwrite replay
+          // contract holds — and [[readKmvSketch]] merges (union, keep
+          // k smallest) into the stream-lifetime distinct estimate.
+          if (kmvDir != null)
+            graft.operators.Sketch.kmvSketch(
+                docs.select(lit("all").as("g"),
+                  explode(graft.operators.TextAnalysis.tokens(
+                    col("text"))).as("tok")),
+                "g", "tok", kmvK)
+              .write.mode("overwrite")
+              .parquet(s"$kmvDir/batch_id=$batchId")
+          // the corpus and both telemetry layouts are all batchId-keyed
+          // partition trees, so they all decay into small files; the
+          // sketch dirs consolidate with a RE-AGGREGATING pass (CMS
+          // counters re-sum; KMV buffers re-merge) so the consolidated
+          // partition stays <= its fixed sketch size instead of
+          // accreting one row-set per drain
+          maybeCompact(spark, Seq(outDir), compactEvery, batchId)
+          if (sketchDir != null)
+            maybeCompact(spark, Seq(sketchDir), compactEvery, batchId,
+              _.groupBy(col("row"), col("bucket"))
+                .agg(sum(col("c")).as("c")))
+          if (kmvDir != null)
+            maybeCompact(spark, Seq(kmvDir), compactEvery, batchId,
+              mergeKmvRows(_, kmvK))
         }
       }
       .start()
@@ -130,6 +160,27 @@ object CorpusStream {
     spark.read.parquet(dir)
       .groupBy(col("row"), col("bucket"))
       .agg(sum(col("c")).as("c"))
+
+  /** KMV merge over a relation of per-drain (g, kmv) rows: explode,
+    * and re-run the [[graft.operators.Sketch.KmvAgg]] aggregator over
+    * the hashes — its `merge` IS union-keep-k-smallest, so this equals
+    * the sketch of the union stream by construction. Shared by
+    * [[readKmvSketch]] and the telemetry compaction pass.
+    */
+  private def mergeKmvRows(rows: DataFrame, k: Int): DataFrame =
+    rows.select(col("g"), explode(col("kmv")).as("h"))
+      .groupBy(col("g"))
+      .agg(udaf(new graft.operators.Sketch.KmvAgg(k),
+        org.apache.spark.sql.Encoders.scalaLong)(col("h")).as("kmv"))
+
+  /** The merged KMV distinct sketch of every drain so far (one row per
+    * group): union the per-drain buffers, keep the k smallest distinct
+    * hashes — [[graft.operators.Sketch.kmvEstimate]] turns it into the
+    * stream-lifetime distinct-count estimate. ≤ k longs out regardless
+    * of how many drains ran.
+    */
+  def readKmvSketch(spark: SparkSession, dir: String, k: Int): DataFrame =
+    mergeKmvRows(spark.read.parquet(dir).select("g", "kmv"), k)
 
   /** One row per URL per drain: a drain whose segments carry the SAME
     * url with two different bodies (an in-flight re-crawl — different
@@ -235,9 +286,12 @@ object CorpusStream {
     * pass no-ops below 2 consolidatable partitions.
     */
   private def maybeCompact(spark: SparkSession, dirs: Seq[String],
-      compactEvery: Int, batchId: Long): Unit =
+      compactEvery: Int, batchId: Long,
+      aggregate: DataFrame => DataFrame = identity): Unit =
     if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
-      dirs.foreach(d => compactBatches(spark, d, beforeBatch = batchId))
+      dirs.foreach(d =>
+        compactBatches(spark, d, beforeBatch = batchId,
+          aggregate = aggregate))
 
   /** The CURATED ingest — q134's composed quality chain running in the
     * stream: the doc stream is extracted with
@@ -506,9 +560,18 @@ object CorpusStream {
     * of the consolidated mass, `targetFiles` bounds the output file
     * count. Returns true iff a consolidation was performed.
     */
+  /** @param aggregate applied to the unioned covered rows before the
+    *   consolidated write — identity for row layouts (corpus, band
+    *   index); sketch layouts pass their merge (CMS counter re-sum,
+    *   KMV buffer re-merge) so the consolidated partition keeps the
+    *   sketch's FIXED size instead of accreting one row set per drain.
+    *   Must be a pure merge (output row set ≡ what readers would
+    *   derive from the inputs) or replay reads change.
+    */
   def compactBatches(
       spark: SparkSession, dir: String, beforeBatch: Long,
-      targetFiles: Int = 1): Boolean = {
+      targetFiles: Int = 1,
+      aggregate: DataFrame => DataFrame = identity): Boolean = {
     require(targetFiles >= 1, s"targetFiles=$targetFiles must be positive")
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -537,9 +600,9 @@ object CorpusStream {
     // read via basePath so the partition column materializes, drop it,
     // and write the union under the explicit consolidated dir (the
     // same no-column-in-data layout the drains write)
-    spark.read.option("basePath", dir)
-      .parquet(sources.map(_._2.toString): _*)
-      .drop("batch_id")
+    aggregate(spark.read.option("basePath", dir)
+        .parquet(sources.map(_._2.toString): _*)
+        .drop("batch_id"))
       .coalesce(targetFiles)
       .write.mode("overwrite").parquet(s"$dir/batch_id=${-(newCover + 2)}")
     sources.foreach { case (_, p) => fs.delete(p, true) }

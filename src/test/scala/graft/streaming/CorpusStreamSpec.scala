@@ -141,6 +141,94 @@ class CorpusStreamSpec extends SparkSpec {
     CacheRegistry.drain()
   }
 
+  test("telemetry lifecycle under compaction: CMS and KMV dirs " +
+      "consolidate into RE-AGGREGATED coverage partitions (fixed sketch " +
+      "size, not one row set per drain), merged reads equal one-shot " +
+      "sketches, and a same-batchId replay cannot double-count") {
+    val session = spark
+    import session.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tele-stream")
+    val ckpt = java.nio.file.Files.createTempDirectory("tele-ckpt")
+    val out = java.nio.file.Files.createTempDirectory("tele-out")
+    val skd = java.nio.file.Files.createTempDirectory("tele-cms")
+    val kvd = java.nio.file.Files.createTempDirectory("tele-kmv")
+    val model = Bpe.learnMerges(Seq("a b c ab").toDF("text"), "text", 2)
+    val kmvK = 8
+    def drain(): Unit = {
+      val q = CorpusStream.run(spark, dir.toString, model,
+        ckpt.toString, out.toString,
+        sketchDir = skd.toString, sketchDepth = 3, sketchWidth = 16,
+        kmvDir = kvd.toString, kmvK = kmvK, compactEvery = 1)
+      q.awaitTermination()
+    }
+    java.nio.file.Files.write(dir.resolve("seg-00001.warc.gz"),
+      WarcReader.write(Seq(htmlRec(1, "alpha beta alpha gamma"),
+        htmlRec(2, "gamma beta epsilon")), gzipPerRecord = true))
+    drain()
+    java.nio.file.Files.write(dir.resolve("seg-00002.warc.gz"),
+      WarcReader.write(Seq(htmlRec(3, "alpha delta zeta eta theta")),
+        gzipPerRecord = true))
+    drain()
+    java.nio.file.Files.write(dir.resolve("seg-00003.warc.gz"),
+      WarcReader.write(Seq(htmlRec(4, "iota kappa lambda mu nu xi")),
+        gzipPerRecord = true))
+    drain()
+
+    def partitions(d: java.nio.file.Path): Seq[Long] =
+      new java.io.File(d.toString).listFiles.toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+        .map(_.getName.stripPrefix("batch_id=").toLong).sorted
+    // drain 2 compacted batches 0 and 1 of EVERY layout into a
+    // negative coverage partition; batch 2 (still replayable) remains
+    for (d <- Seq(out, skd, kvd))
+      assert(partitions(d) == Seq(-3L, 2L), s"$d: ${partitions(d)}")
+    // the CMS coverage partition holds a re-summed sketch (bounded by
+    // depth*width), and the KMV coverage partition ONE merged row —
+    // not one row set per covered drain
+    assert(spark.read.parquet(s"$skd/batch_id=-3")
+      .groupBy("row", "bucket").count().filter(col("count") > 1)
+      .isEmpty, "CMS coverage partition must be re-summed")
+    assert(spark.read.parquet(s"$kvd/batch_id=-3").count() == 1L,
+      "KMV coverage partition must be one merged row per group")
+
+    val admitted = spark.read.parquet(out.toString)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    def cmsMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Int]("row"),
+        r.getAs[Long]("bucket")) -> r.getAs[Long]("c")).toMap
+    assert(cmsMap(CorpusStream.readCmsSketch(spark, skd.toString)) ==
+      cmsMap(graft.operators.Sketch.cmsSketch(admitted, "tok", 3, 16)),
+      "merged CMS must equal the one-shot sketch of everything admitted")
+    def kmvOf(df: org.apache.spark.sql.DataFrame): Vector[Long] =
+      df.collect().map(_.getAs[scala.collection.Seq[Long]]("kmv").toVector)
+        .head
+    val mergedKmv = kmvOf(
+      CorpusStream.readKmvSketch(spark, kvd.toString, kmvK))
+    val oneShot = kmvOf(graft.operators.Sketch.kmvSketch(
+      admitted.select(lit("all").as("g"), col("tok")), "g", "tok", kmvK))
+    assert(mergedKmv == oneShot,
+      s"merged KMV must equal one-shot: $mergedKmv vs $oneShot")
+    assert(mergedKmv.length == kmvK,
+      s"k must bind (need > $kmvK distinct tokens): ${mergedKmv.length}")
+
+    // crash-replay of the still-live batch 2: overwrite its telemetry
+    // partitions from its own rows — reads must be unchanged
+    val batch2 = spark.read.parquet(out.toString)
+      .filter(col("batch_id") === 2L)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    graft.operators.Sketch.cmsSketch(batch2, "tok", 3, 16)
+      .write.mode("overwrite").parquet(s"$skd/batch_id=2")
+    graft.operators.Sketch.kmvSketch(
+        batch2.select(lit("all").as("g"), col("tok")), "g", "tok", kmvK)
+      .write.mode("overwrite").parquet(s"$kvd/batch_id=2")
+    assert(cmsMap(CorpusStream.readCmsSketch(spark, skd.toString)) ==
+      cmsMap(graft.operators.Sketch.cmsSketch(admitted, "tok", 3, 16)),
+      "CMS replay overwrite must not double-count")
+    assert(kmvOf(CorpusStream.readKmvSketch(spark, kvd.toString, kmvK))
+      == oneShot, "KMV replay overwrite must not double-count")
+    CacheRegistry.drain()
+  }
+
   test("runFuzzy: a NEAR-duplicate re-crawl (small edit, new exact " +
       "fingerprint) is suppressed by the persisted band-key index; " +
       "novel docs still land") {
