@@ -611,6 +611,13 @@ object Dedup {
     * (RECALL NOTE: spans consisting solely of capped shingles are
     * missed; spans merely CONTAINING one split in two — the
     * conservative failure for a provenance report).
+    *
+    * COMPLETENESS (uncapped): returns EXACTLY the maximal shared token
+    * spans of length ≥ minSpan — the Lee et al. 2022 exact-substring
+    * semantics for spans ≥ shingleN, without a suffix array. Pinned by
+    * SharedSpanSpec's PROPERTY test against a by-definition brute-force
+    * reference on seeded random corpora with planted overlapping/
+    * nested/adjacent/whole-document matches.
     */
   def sharedSpanPairs(df: DataFrame, idCol: String, textCol: String,
       minSpan: Int, shingleN: Int = 8,

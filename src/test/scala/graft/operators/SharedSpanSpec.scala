@@ -89,4 +89,86 @@ class SharedSpanSpec extends SparkSpec {
       s"untouched: ${out(4L)}")
     CacheRegistry.drain()
   }
+
+  /** COMPLETENESS property (VERDICT r14 order #4): over seeded random
+    * corpora with planted overlapping/nested/adjacent/duplicate spans,
+    * `sharedSpanPairs` (uncapped) returns EXACTLY the maximal shared
+    * token spans of length ≥ minSpan of every document pair — compared
+    * against a brute-force reference that applies the DEFINITION of
+    * maximality directly (left-boundary check + greedy right
+    * extension, the check a suffix-array LCP walk performs), with no
+    * shingles, no diagonals, no windows — a formulation the operator
+    * shares nothing with. This pins the claim the gaps-and-islands
+    * construction makes: the fixed shingle width n recovers every
+    * maximal span of length ≥ n exactly (the Lee et al. 2022 exact-
+    * substring semantics for spans ≥ n, without the suffix array).
+    */
+  test("PROPERTY: sharedSpanPairs == the by-definition maximal shared " +
+      "spans on seeded random corpora (overlapping, nested, adjacent, " +
+      "and whole-document planted matches), at two (shingleN, minSpan) " +
+      "configurations") {
+    def refSpans(ta: IndexedSeq[String], tb: IndexedSeq[String],
+        minSpan: Int): Set[(Long, Long, Long)] = {
+      val out = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+      for (i <- ta.indices; j <- tb.indices
+           if ta(i) == tb(j) && (i == 0 || j == 0 || ta(i - 1) != tb(j - 1))) {
+        var l = 0
+        while (i + l < ta.length && j + l < tb.length &&
+          ta(i + l) == tb(j + l)) l += 1
+        if (l >= minSpan) out += ((i.toLong, j.toLong, l.toLong))
+      }
+      out.toSet
+    }
+
+    for ((shingleN, minSpan) <- Seq((3, 4), (8, 10))) {
+      val rnd = new scala.util.Random(42 + shingleN)
+      val vocab = Vector("a", "b", "c", "d", "e", "f") // small: natural
+      def rand(n: Int) = Vector.fill(n)(vocab(rnd.nextInt(vocab.size)))
+      val long = rand(minSpan * 2) // long shared block
+      val nested = long.slice(2, 2 + minSpan) // its interior reappears
+      val x = rand(minSpan + 3)
+      val y = rand(minSpan)
+      val doc1 = rand(7) ++ long ++ rand(5)
+      val corpus: Seq[(Long, Vector[String])] = Seq(
+        1L -> doc1,
+        2L -> (rand(3) ++ long ++ rand(9)), // long match with 1
+        3L -> (rand(4) ++ nested ++ rand(6)), // nested interior piece
+        4L -> (rand(6) ++ x ++ y ++ rand(4)), // x,y ADJACENT here
+        5L -> (rand(5) ++ x ++ rand(5) ++ y ++ rand(3)), // separated here
+        6L -> doc1, // exact duplicate of 1
+        7L -> rand(45), // noise: accidental matches welcome
+        8L -> rand(45))
+      val session = spark
+      import session.implicits._
+      val df = corpus.map { case (id, t) => (id, t.mkString(" ")) }
+        .toDF("doc_id", "text")
+
+      val want = (for {
+        (ia, ta) <- corpus; (ib, tb) <- corpus
+        if ia < ib
+        s <- refSpans(ta, tb, minSpan)
+      } yield (ia, ib, s._1, s._2, s._3)).toSet
+      val got = Dedup.sharedSpanPairs(df, "doc_id", "text",
+          minSpan = minSpan, shingleN = shingleN)
+        .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+          r.getAs[Long]("start_a"), r.getAs[Long]("start_b"),
+          r.getAs[Long]("span_tokens"))).toSet
+      assert(got == want,
+        s"(n=$shingleN, minSpan=$minSpan)\nmissing: ${want -- got}\n" +
+          s"spurious: ${got -- want}")
+
+      // the planted structures genuinely exercised the interesting cases
+      val pair12 = want.filter(s => s._1 == 1L && s._2 == 2L)
+      assert(pair12.exists(_._5 >= minSpan * 2), s"long match lost: $pair12")
+      val pair45 = want.filter(s => s._1 == 4L && s._2 == 5L)
+      assert(pair45.size >= 2,
+        s"adjacent-vs-separated must stay two spans: $pair45")
+      val pair16 = want.filter(s => s._1 == 1L && s._2 == 6L)
+      assert(pair16.exists(_._5 == doc1.length.toLong),
+        s"whole-document duplicate span lost: $pair16")
+      assert(want.exists(s => s._1 == 3L || s._2 == 3L),
+        "nested interior piece must match somewhere")
+      CacheRegistry.drain()
+    }
+  }
 }
