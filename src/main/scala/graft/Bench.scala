@@ -166,14 +166,25 @@ object Bench {
       // expensive plans (probed floors ~6.8/7.1 s, PERFORMANCE.md
       // round 15) — a swing past ~9 s in the durable tail means the
       // composed chain regressed, not scatter
-      "q158_curation_pipeline2", "q167_curation_pipeline3")
+      "q158_curation_pipeline2", "q167_curation_pipeline3",
+      // standing q60 watch (r14 verdict order #6): BenchProbe floor
+      // 2.0-2.5 s steady, but its recorded history (r5/r12/r14 —
+      // cold 24.84 s in BENCH_r14, the largest cold entry ever) is
+      // compile-storm swings; its steady AND cold splits ride the
+      // durable tail so the next swing self-attributes (jit vs gc vs
+      // plan) from the artifact alone
+      "q60_jaccard_prefix_pairs")
     val watched = qObj("steady", 2)(results.filter(r => watchedNames(r._1)))
+    // cold-side watch too: q60's history is COLD-side, and the tail is
+    // all the driver durably records
+    val watchedCold = qObj("cold", 1)(cold.filter(r => watchedNames(r._1)))
     println(f"""{"metric":"summary","value":$total%.2f,"unit":"sec",""" +
       f""""steady_total_sec":$total%.2f,"steady_plan_sec":$planTotal%.2f,""" +
       f""""cold_total_sec":$coldTotal%.2f,""" +
       s""""slowest_steady":${top5("steady", 2)(results)},""" +
       s""""slowest_cold":${top5("cold", 1)(cold)},""" +
       s""""watched_steady":$watched,""" +
+      s""""watched_cold":$watchedCold,""" +
       s""""failed":$failed,"protocol":"pass2-steady","sf":"$sfDir"}""")
     spark.stop()
   }
