@@ -5429,6 +5429,59 @@ object OracleSql {
         |JOIN sigl sb ON sb.doc_id = e.id_b
         |ORDER BY e.id_a, e.id_b""".stripMargin,
 
+    // mixture-realization audit: replay the q140 mix (counts, sqrt
+    // threshold, md5 buckets), then realized doc/token shares vs the
+    // keep-rate-implied target shares
+    "q182_mixture_realization_audit" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT lang, CAST(count(*) AS DOUBLE) AS c FROM base
+        |  GROUP BY lang),
+        |m AS (SELECT min(c) AS mc FROM cnt),
+        |thr AS (
+        |  SELECT lang, c, floor(256.0 * sqrt(mc / c)) AS th FROM cnt, m),
+        |w AS (
+        |  SELECT lang, c * CAST(th AS DOUBLE) / CAST(256 AS DOUBLE) AS w
+        |  FROM thr),
+        |totw AS (
+        |  SELECT CAST(sum(CAST(w AS DECIMAL(28,12))) AS DOUBLE) AS tot_w
+        |  FROM w),
+        |kept AS (
+        |  SELECT b.lang, b.n_tokens
+        |  FROM base b JOIN thr USING (lang)
+        |  WHERE CAST(('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 2))
+        |          AS INTEGER) < CAST(th AS INTEGER)),
+        |ka AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+        |    CAST(sum(n_tokens) AS BIGINT) AS tok_kept
+        |  FROM kept GROUP BY lang),
+        |tk AS (
+        |  SELECT CAST(sum(n_kept) AS BIGINT) AS tot_docs,
+        |    CAST(sum(tok_kept) AS BIGINT) AS tot_toks
+        |  FROM ka),
+        |orig AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_orig FROM base
+        |  GROUP BY lang)
+        |SELECT o.lang, o.n_orig,
+        |  COALESCE(ka.n_kept, 0) AS n_kept,
+        |  COALESCE(ka.tok_kept, 0) AS tok_kept,
+        |  round(CAST(COALESCE(ka.n_kept, 0) AS DOUBLE)
+        |    / CAST(tk.tot_docs AS DOUBLE), 6) AS doc_share,
+        |  round(CAST(COALESCE(ka.tok_kept, 0) AS DOUBLE)
+        |    / CAST(tk.tot_toks AS DOUBLE), 6) AS tok_share,
+        |  round(w.w / tw.tot_w, 6) AS target_share,
+        |  round(abs(CAST(COALESCE(ka.n_kept, 0) AS DOUBLE)
+        |    / CAST(tk.tot_docs AS DOUBLE) - w.w / tw.tot_w), 6) AS doc_err
+        |FROM orig o
+        |LEFT JOIN ka USING (lang)
+        |JOIN w USING (lang)
+        |CROSS JOIN totw tw CROSS JOIN tk
+        |ORDER BY o.lang""".stripMargin,
+
     // PCA invariant audit: the invariant rows are literal 0.0/1.0 (their
     // values are provable, not replayed); total_ss / axes_energy_rel /
     // n_rows / n_dims are re-derived through the exact decimal sums

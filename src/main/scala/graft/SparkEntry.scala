@@ -3449,6 +3449,59 @@ object SparkEntry {
         col("embedding").cast("array<double>").as("features")),
       "vec_id", "features", pairIdLimit = 32L)
 
+  /** Mixture-realization audit (VERDICT r14 stretch #7): after the
+    * q140 temperature mix, did the mixture that was ASKED for actually
+    * materialize? Per language: original and kept doc counts, kept
+    * token mass, the REALIZED doc and token shares of the mixed
+    * corpus, the TARGET share implied by the keep-rates
+    * (c·⌊256·√(min/c)⌋/256, normalized), and the doc-share realization
+    * error — the read every training-data run wants after mixing.
+    * Deterministic end-to-end: the mix is md5-bucket arithmetic
+    * (q140's gate point), shares divide exact integer/decimal totals,
+    * so the oracle replays everything. All relational — counts,
+    * thresholds, and totals are scalar-sized relations crossed back in
+    * (broadcast), never collected.
+    */
+  private def q182(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"), col("lang"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+    val kept = base.join(
+      Sampling.temperatureMix(base.select("doc_id", "lang"), "doc_id",
+        "lang", alpha = 0.5).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val cnt = base.groupBy("lang")
+      .agg(count(lit(1)).cast("double").as("c"))
+    val thr = cnt.crossJoin(broadcast(cnt.agg(min(col("c")).as("mc"))))
+      .select(col("lang"), col("c"),
+        floor(lit(256.0) * sqrt(col("mc") / col("c"))).as("th"))
+    val w = thr.select(col("lang"),
+      (col("c") * col("th").cast("double") / lit(256.0)).as("w"))
+    val totW = w.agg(
+      sum(col("w").cast("decimal(28,12)")).cast("double").as("tot_w"))
+    val orig = base.groupBy("lang").agg(count(lit(1)).as("n_orig"))
+    val keptAgg = kept.groupBy("lang").agg(count(lit(1)).as("n_kept"),
+      sum(col("n_tokens")).as("tok_kept"))
+    val totKept = keptAgg.agg(sum(col("n_kept")).as("tot_docs"),
+      sum(col("tok_kept")).as("tot_toks"))
+    orig
+      .join(keptAgg, Seq("lang"), "left")
+      .join(w, Seq("lang"))
+      .crossJoin(broadcast(totW))
+      .crossJoin(broadcast(totKept))
+      .select(col("lang"), col("n_orig"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("tok_kept"), lit(0L)).as("tok_kept"),
+        round(coalesce(col("n_kept"), lit(0L)).cast("double") /
+          col("tot_docs").cast("double"), 6).as("doc_share"),
+        round(coalesce(col("tok_kept"), lit(0L)).cast("double") /
+          col("tot_toks").cast("double"), 6).as("tok_share"),
+        round(col("w") / col("tot_w"), 6).as("target_share"),
+        round(abs(coalesce(col("n_kept"), lit(0L)).cast("double") /
+          col("tot_docs").cast("double") - col("w") / col("tot_w")), 6)
+          .as("doc_err"))
+      .orderBy("lang")
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3632,6 +3685,7 @@ object SparkEntry {
     "q179_minhash_fidelity_audit" -> (q179(_, _)),
     "q180_hll_audit" -> (q180(_, _)),
     "q181_pca_invariant_audit" -> (q181(_, _)),
+    "q182_mixture_realization_audit" -> (q182(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

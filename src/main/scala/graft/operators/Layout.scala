@@ -82,6 +82,32 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** [[writeZOrderSorted]] AND [[writeBloomIndexed]] in ONE write —
+    * the combined layout a real corpus table wants: the z-order
+    * clustering serves RECTANGLE scans on (colA, colB) via footer
+    * min/max zone maps, while the bloom filter on a third, unsorted
+    * high-cardinality column serves exact point lookups on the very
+    * same files. The two mechanisms are independent parquet features
+    * (partition/sort order vs per-row-group filter metadata), so
+    * neither weakens the other — LayoutSpec MEASURES both prunings on
+    * one written table.
+    */
+  def writeZOrderBloom(df: DataFrame, path: String, numFiles: Int,
+      colA: String, colB: String, bloomCol: String, expectedNdv: Long,
+      bits: Int = 21): Unit = {
+    require(numFiles > 0, s"numFiles=$numFiles must be positive")
+    require(expectedNdv > 0, s"expectedNdv=$expectedNdv must be positive")
+    df.withColumn("__z", mortonCode(col(colA), col(colB), bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite")
+      .option(s"parquet.bloom.filter.enabled#$bloomCol", "true")
+      .option(s"parquet.bloom.filter.expected.ndv#$bloomCol",
+        expectedNdv.toString)
+      .parquet(path)
+  }
+
   /** Write parquet with a PER-ROW-GROUP BLOOM FILTER on `column` —
     * the point-lookup complement of the zone-map layouts: min/max
     * stats prune RANGE scans only when the layout is sorted, but a

@@ -150,6 +150,54 @@ class LayoutSpec extends SparkSpec {
       s"bloom must skip row groups: bloom=$bloomRows plain=$plainRows")
   }
 
+  test("writeZOrderBloom: rectangle pruning on the z-ordered pair AND " +
+      "bloom point-lookup pruning on a third unsorted column both hold, " +
+      "MEASURED on the same written files — the layouts compose rather " +
+      "than interfere") {
+    val session = spark
+    import session.implicits._
+    // dense 32x32 grid; id is a bijective scramble (odd multiplier mod
+    // 2^10), so it is high-cardinality and UNSORTED relative to the
+    // z-order — its per-file min/max spans the domain and only the
+    // bloom filter can prune the point lookup
+    val grid = (0 until 1024).map { i =>
+      (i.toLong % 32, i.toLong / 32, (i.toLong * 769L) % 1024L)
+    }.toDF("a", "b", "id")
+    val both = java.nio.file.Files.createTempDirectory("layout-zb").toString
+    val noBloom = java.nio.file.Files.createTempDirectory("layout-z0").toString
+    Layout.writeZOrderBloom(grid, both, numFiles = 16, "a", "b", "id",
+      expectedNdv = 1024L, bits = 5)
+    Layout.writeZOrderSorted(grid, noBloom, numFiles = 16, "a", "b",
+      bits = 5)
+    def scanRows(path: String,
+        pred: org.apache.spark.sql.Column, expect: Long): Long = {
+      val df = spark.read.parquet(path).filter(pred)
+      assert(df.count() == expect)
+      df.collect()
+      val scans = df.queryExecution.executedPlan.collectLeaves().collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      scans.map(_.metrics("numOutputRows").value).sum
+    }
+    // rectangle scan: zone-map pruning unchanged by the bloom option
+    val rect = scanRows(both, col("a") < 8 && col("b") < 8, 64L)
+    assert(rect <= 256, s"z-order rectangle scan emitted $rect of 1024")
+    // point lookup on id: the bloom filter skips non-containing row
+    // groups; the same z-order layout without it cannot prune (every
+    // file's id range spans the domain)
+    val bloomRows = scanRows(both, col("id") === 777L, 1L)
+    val plainRows = scanRows(noBloom, col("id") === 777L, 1L)
+    assert(plainRows == 1024L,
+      s"bloomless z-order must read everything: $plainRows")
+    assert(bloomRows < plainRows && bloomRows <= 256,
+      s"bloom must skip row groups on the combined layout: $bloomRows")
+    // both file stats agree the id ranges are unprunable — the bloom,
+    // not zone maps, did the point-lookup work
+    val idStats = Layout.fileStats(spark, both, "id")
+    assert(idStats.forall(s => s.max - s.min > 512),
+      s"id must span the domain per file: $idStats")
+  }
+
   test("fileStats reports range=None (not inverted sentinels) for a " +
       "column with no footer statistics, and the accessors fail loudly") {
     val session = spark
