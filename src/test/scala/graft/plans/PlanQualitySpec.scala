@@ -606,6 +606,69 @@ class PlanQualitySpec extends SparkSpec {
     graft.operators.CacheRegistry.drain()
   }
 
+  test("hllRegisters aggregates partially below its ONE shuffle " +
+      "(shuffle volume bounded at m rows per partition per group) and " +
+      "the rho branch chain stays inside whole-stage codegen") {
+    val vals = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("lang"), col("doc_id").cast("string").as("v"))
+    val regs = graft.operators.Sketch.hllRegisters(vals, "lang", "v", p = 6)
+    val plan = executed(regs)
+    val shuffles = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.length == 1, s"register shuffles: ${shuffles.length}")
+    assert(shuffles.head.child.toString.contains("HashAggregate"),
+      "no map-side combine under the register shuffle:\n" +
+        shuffles.head.child.toString.take(800))
+    assert(plan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec]),
+      "the rho chain must stay in codegen:\n" + plan.toString.take(800))
+    val est = graft.operators.Sketch.hllEstimate(
+      graft.operators.Sketch.hllRegisters(vals, "lang", "v", p = 6),
+      "lang", p = 6)
+    val ep = executed(est).toString
+    assert(!ep.contains("Exchange rangepartitioning") &&
+      !ep.contains("Exchange SinglePartition"),
+      "the estimate must stay group-keyed:\n" + ep.take(1200))
+    graft.operators.CacheRegistry.drain()
+  }
+
+  test("the minhash audits never go quadratic or single-partition: " +
+      "keyed equi-joins only (shingle hash, band key, pair key), no " +
+      "CartesianProduct, no global funnel (the only window is the " +
+      "shingle builder's per-document lead)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    for (df <- Seq(
+        graft.operators.Dedup.minhashRecallAudit(docs, "doc_id", "text",
+          shingleN = 3, numHashes = 32, bands = 8, threshold = 0.3),
+        graft.operators.Dedup.minhashFidelityAudit(docs, "doc_id", "text",
+          shingleN = 3, numHashes = 32, threshold = 0.3))) {
+      val p = executed(df).toString
+      assert(!p.contains("CartesianProduct"),
+        "audit must stay keyed:\n" + p.take(1500))
+      assert(!p.contains("Exchange SinglePartition"),
+        "audit must not funnel through one partition:\n" + p.take(1500))
+      graft.operators.CacheRegistry.drain()
+    }
+  }
+
+  test("the mixture-realization audit broadcasts its scalar totals " +
+      "(no CartesianProduct) and keeps the corpus side keyed") {
+    val q = graft.SparkEntry.queries("q182_mixture_realization_audit")(
+      spark, sf)
+    val p = executed(q).toString
+    assert(!p.contains("CartesianProduct"),
+      "scalar totals must broadcast:\n" + p.take(1500))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      "expected broadcast shapes:\n" + p.take(1500))
+    assert(!p.contains("Exchange SinglePartition") ||
+      p.contains("BroadcastExchange"),
+      "corpus side must not funnel:\n" + p.take(1500))
+    graft.operators.CacheRegistry.drain()
+  }
+
   test("jlProject is ONE shuffle-free codegen projection: no Exchange, " +
       "no Join, and the fold stays inside WholeStageCodegen") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
