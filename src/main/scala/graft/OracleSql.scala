@@ -4706,6 +4706,55 @@ object OracleSql {
         |SELECT doc_id, n_tokens, score, (score > 0) AS pred_pos
         |FROM fin ORDER BY doc_id""".stripMargin,
 
+    // NB calibration audit: the q163 scoring chain replayed, then
+    // width-2 integer score bins vs the true label rate
+    "q184_nb_calibration_audit" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    source IN ('src0','src1','src2','src3','src4') AS y,
+        |    list_filter(string_split(text, ' '), w -> w <> '') AS ts
+        |  FROM documents),
+        |tokl AS (SELECT y, unnest(ts) AS w FROM toks),
+        |cw AS (
+        |  SELECT w,
+        |    sum(CASE WHEN y THEN 1 ELSE 0 END) AS cp,
+        |    sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS cn
+        |  FROM tokl GROUP BY w),
+        |tot AS (
+        |  SELECT sum(CASE WHEN y THEN 1 ELSE 0 END) AS np,
+        |    sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS nn,
+        |    count(DISTINCT w) AS v
+        |  FROM tokl),
+        |pri AS (
+        |  SELECT sum(CASE WHEN y THEN 1 ELSE 0 END) AS dp,
+        |    sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS dn
+        |  FROM toks),
+        |st AS (SELECT doc_id, unnest(ts) AS w FROM toks),
+        |term AS (
+        |  SELECT s.doc_id,
+        |    CAST(ln((COALESCE(cw.cp, 0) + CAST(1.0 AS DOUBLE))
+        |      / (tot.np + CAST(1.0 AS DOUBLE) * tot.v))
+        |      AS DECIMAL(18,12))
+        |    - CAST(ln((COALESCE(cw.cn, 0) + CAST(1.0 AS DOUBLE))
+        |      / (tot.nn + CAST(1.0 AS DOUBLE) * tot.v))
+        |      AS DECIMAL(18,12)) AS t
+        |  FROM st s LEFT JOIN cw ON s.w = cw.w CROSS JOIN tot),
+        |sc AS (SELECT doc_id, SUM(t) AS s FROM term GROUP BY doc_id),
+        |fin AS (
+        |  SELECT sc.doc_id,
+        |    round(CAST(sc.s + CAST(ln(pri.dp) AS DECIMAL(18,12))
+        |      - CAST(ln(pri.dn) AS DECIMAL(18,12)) AS DOUBLE), 6) AS score
+        |  FROM sc CROSS JOIN pri),
+        |b AS (
+        |  SELECT CAST(floor(f.score / CAST(2 AS DOUBLE)) AS BIGINT)
+        |    AS bin, t.y
+        |  FROM fin f JOIN toks t USING (doc_id))
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  round(CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6) AS pos_rate
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
     // Morton interleave replayed as integer arithmetic: bit i of each
     // key lifted to curve positions 2i / 2i+1, summed (disjoint bits)
     "q164_zorder_cells" ->
@@ -5428,6 +5477,78 @@ object OracleSql {
         |JOIN sigl sa ON sa.doc_id = e.id_a
         |JOIN sigl sb ON sb.doc_id = e.id_b
         |ORDER BY e.id_a, e.id_b""".stripMargin,
+
+    // hot-shingle-cap loss audit: both span variants replayed (q150's
+    // gaps-and-islands machinery, string-joined shingles), the capped
+    // one through the same HAVING freq <= 64 rule, then the aggregate
+    // deltas
+    "q183_span_cap_audit" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |corpus AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN text || ' terms of use copyright notice all rights' ||
+        |           ' reserved contact us page footer'
+        |      ELSE text END AS text
+        |  FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    array_to_string(list_filter(string_split(text, ' '),
+        |      w -> w <> '')[11:40], ' ') AS text
+        |  FROM base WHERE doc_id % 10 = 0),
+        |toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), w -> w <> '') AS ts
+        |  FROM corpus),
+        |sh AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    array_to_string(ts[i:i+7], ' ') AS sh
+        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 6)) AS i
+        |        FROM toks WHERE len(ts) >= 8)),
+        |ok AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 64),
+        |shc AS (SELECT s.doc_id, s.pos, s.sh FROM sh s JOIN ok USING (sh)),
+        |mu AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib, a.pos AS pa, b.pos AS pb
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+        |iu AS (
+        |  SELECT ia, ib, pa - pb AS diag, pa, pb,
+        |    pa - row_number() OVER (PARTITION BY ia, ib, pa - pb
+        |                            ORDER BY pa) AS grp
+        |  FROM mu),
+        |su AS (
+        |  SELECT ia AS id_a, ib AS id_b, count(*) + 7 AS span_tokens
+        |  FROM iu GROUP BY ia, ib, diag, grp
+        |  HAVING count(*) + 7 >= 12),
+        |mc AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib, a.pos AS pa, b.pos AS pb
+        |  FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+        |ic AS (
+        |  SELECT ia, ib, pa - pb AS diag, pa, pb,
+        |    pa - row_number() OVER (PARTITION BY ia, ib, pa - pb
+        |                            ORDER BY pa) AS grp
+        |  FROM mc),
+        |sc AS (
+        |  SELECT ia AS id_a, ib AS id_b, count(*) + 7 AS span_tokens
+        |  FROM ic GROUP BY ia, ib, diag, grp
+        |  HAVING count(*) + 7 >= 12),
+        |pu AS (SELECT id_a, id_b, count(*) AS ns, sum(span_tokens) AS st
+        |       FROM su GROUP BY id_a, id_b),
+        |au AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |         CAST(sum(ns) AS BIGINT) AS n_spans,
+        |         CAST(sum(st) AS BIGINT) AS span_tokens FROM pu),
+        |pc AS (SELECT id_a, id_b, count(*) AS ns, sum(span_tokens) AS st
+        |       FROM sc GROUP BY id_a, id_b),
+        |ac AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |         CAST(sum(ns) AS BIGINT) AS n_spans,
+        |         CAST(sum(st) AS BIGINT) AS span_tokens FROM pc)
+        |SELECT 'capped' AS variant, n_pairs, n_spans, span_tokens FROM ac
+        |UNION ALL
+        |SELECT 'lost', u.n_pairs - c.n_pairs, u.n_spans - c.n_spans,
+        |  u.span_tokens - c.span_tokens
+        |FROM au u, ac c
+        |UNION ALL
+        |SELECT 'uncapped', n_pairs, n_spans, span_tokens FROM au
+        |ORDER BY variant""".stripMargin,
 
     // mixture-realization audit: replay the q140 mix (counts, sqrt
     // threshold, md5 buckets), then realized doc/token shares vs the

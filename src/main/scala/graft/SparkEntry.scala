@@ -3502,6 +3502,85 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** Hot-shingle-cap LOSS audit — the repo's no-silent-caps rule
+    * applied to [[graft.operators.Dedup.sharedSpanPairs]]' own
+    * `maxShingleFreq` knob: when a provenance run caps boilerplate
+    * fan-out, WHAT does the cap actually drop? The corpus plants a
+    * 12-token boilerplate footer on every fifth document (a shingle
+    * family shared by ~n/5 docs — exactly the quadratic hot spot the
+    * cap exists for) alongside q150's genuine 20-token quote pairs
+    * (frequency 2 — far under the cap). The audit runs the span scan
+    * capped (freq ≤ 64) and uncapped and emits, per variant plus the
+    * `lost` delta: documents pairs with shared spans, span count, and
+    * span token mass — making the cap's conservative failure mode
+    * (boilerplate pairs dropped, real quotes intact) a measured,
+    * oracle-checked relation instead of a scaladoc promise.
+    */
+  private def q183(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select("doc_id", "text")
+    val footer =
+      "terms of use copyright notice all rights reserved contact us page footer"
+    val withFooter = base.select(col("doc_id"),
+      when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" " + footer)))
+        .otherwise(col("text")).as("text"))
+    val quotes = base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 11, 30))
+          .as("text"))
+    val corpus = graft.operators.CacheRegistry.track(
+      withFooter.unionAll(quotes).persist())
+    def summarize(spans: DataFrame, name: String): DataFrame =
+      spans.groupBy("id_a", "id_b")
+        .agg(count(lit(1)).as("__ns"), sum(col("span_tokens")).as("__st"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("__ns")).as("n_spans"),
+          sum(col("__st")).as("span_tokens"))
+        .select(lit(name).as("variant"), col("n_pairs"), col("n_spans"),
+          col("span_tokens"))
+    val unc = summarize(Dedup.sharedSpanPairs(corpus, "doc_id", "text",
+      minSpan = 12, shingleN = 8), "uncapped")
+    val cap = summarize(Dedup.sharedSpanPairs(corpus, "doc_id", "text",
+      minSpan = 12, shingleN = 8, maxShingleFreq = 64), "capped")
+    val both = unc.unionAll(cap)
+    val sign = when(col("variant") === "uncapped", lit(1L)).otherwise(lit(-1L))
+    val lost = both.agg(
+        sum(sign * col("n_pairs")).as("n_pairs"),
+        sum(sign * col("n_spans")).as("n_spans"),
+        sum(sign * col("span_tokens")).as("span_tokens"))
+      .select(lit("lost").as("variant"), col("n_pairs"), col("n_spans"),
+        col("span_tokens"))
+    both.unionAll(lost).orderBy("variant")
+  }
+
+  /** NB-classifier CALIBRATION audit — the q174-for-quality-gates
+    * read: bucket every document's q163 log-likelihood-ratio score
+    * into width-2 integer bins and report, per bin, how many
+    * documents land there and what fraction actually carries the
+    * positive (curated) label. A quality gate is only as good as its
+    * score's monotonicity against the truth — this is the relation a
+    * pipeline owner reads before choosing `minNbScore` for the
+    * streaming drains. One keyed aggregation over the q163 scorer
+    * (fixed integer bins, never a global sort/ntile); the oracle
+    * replays the whole NB scoring chain plus the binning.
+    */
+  private def q184(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d).select("doc_id", "source", "text")
+    val labeled = dd.withColumn("is_curated",
+      col("source").isin("src0", "src1", "src2", "src3", "src4"))
+    TextAnalysis.nbQualityScore(labeled, "is_curated", dd, "doc_id",
+        "text", alpha = 1.0)
+      .join(labeled.select(col("doc_id"), col("is_curated")),
+        Seq("doc_id"))
+      .select(floor(col("score") / lit(2.0)).cast("long").as("bin"),
+        col("is_curated"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("is_curated"), 1L).otherwise(0L)).as("n_pos"))
+      .withColumn("pos_rate",
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6))
+      .orderBy("bin")
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3686,6 +3765,8 @@ object SparkEntry {
     "q180_hll_audit" -> (q180(_, _)),
     "q181_pca_invariant_audit" -> (q181(_, _)),
     "q182_mixture_realization_audit" -> (q182(_, _)),
+    "q183_span_cap_audit" -> (q183(_, _)),
+    "q184_nb_calibration_audit" -> (q184(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
