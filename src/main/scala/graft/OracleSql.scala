@@ -4706,6 +4706,58 @@ object OracleSql {
         |SELECT doc_id, n_tokens, score, (score > 0) AS pred_pos
         |FROM fin ORDER BY doc_id""".stripMargin,
 
+    // duplication-mass histogram: q72's recursive transitive closure,
+    // then cluster-size counts + the singleton complement row
+    "q185_dup_mass_histogram" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents),
+        |toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ts
+        |  FROM corpus),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ts) >= 3
+        |      THEN list_distinct(list_transform(range(1, len(ts) - 1),
+        |             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))
+        |      ELSE [array_to_string(ts, ' ')] END AS shingles
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |shared AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM shared
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.7),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+        |reach(id, label) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+        |comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id),
+        |cl AS (SELECT component, count(*) AS n_docs FROM comp
+        |       GROUP BY component),
+        |multi AS (
+        |  SELECT n_docs AS size, CAST(count(*) AS BIGINT) AS n_clusters,
+        |    CAST(sum(n_docs) AS BIGINT) AS doc_mass
+        |  FROM cl GROUP BY n_docs),
+        |tot AS (SELECT count(*) AS nt FROM corpus),
+        |inc AS (SELECT CAST(coalesce(sum(n_docs), 0) AS BIGINT) AS ic FROM cl),
+        |allrows AS (
+        |  SELECT size, n_clusters, doc_mass FROM multi
+        |  UNION ALL
+        |  SELECT 1 AS size, CAST(nt - ic AS BIGINT), CAST(nt - ic AS BIGINT)
+        |  FROM tot, inc)
+        |SELECT size, n_clusters, doc_mass,
+        |  doc_mass - n_clusters AS removable
+        |FROM allrows ORDER BY size""".stripMargin,
+
     // NB calibration audit: the q163 scoring chain replayed, then
     // width-2 integer score bins vs the true label rate
     "q184_nb_calibration_audit" ->

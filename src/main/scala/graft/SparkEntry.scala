@@ -3581,6 +3581,37 @@ object SparkEntry {
       .orderBy("bin")
   }
 
+  /** Duplication-mass histogram — the observability read a corpus
+    * owner wants BEFORE committing to a dedup pass: per transitive
+    * near-dup cluster SIZE, how many clusters exist, how much document
+    * mass they hold, and how much of it a keep-one-per-cluster pass
+    * would remove; singletons (docs in no cluster) appear as the
+    * size-1 row with removable = 0. Composes the q72 transitive
+    * clusters (exact pair tier, min-label propagation) with the
+    * singleton complement; the oracle chains the recursive closure
+    * with the histogram.
+    */
+  private def q185(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select("doc_id", "text")
+    val cloned = base.select((col("doc_id") + 1000000L).as("doc_id"),
+      col("text"))
+    val corpus = graft.operators.CacheRegistry.track(
+      base.unionAll(cloned).persist())
+    val clusters = graft.operators.CacheRegistry.track(
+      Dedup.nearDupClusters(corpus, "doc_id", "text", shingleN = 3,
+        threshold = 0.7).persist())
+    val multi = clusters.groupBy(col("n_docs").as("size"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("n_docs")).as("doc_mass"))
+    val single = corpus.agg(count(lit(1)).as("__nt"))
+      .crossJoin(broadcast(clusters.agg(sum(col("n_docs")).as("__in"))))
+      .select(lit(1L).as("size"),
+        (col("__nt") - col("__in")).as("n_clusters"),
+        (col("__nt") - col("__in")).as("doc_mass"))
+    multi.unionAll(single)
+      .withColumn("removable", col("doc_mass") - col("n_clusters"))
+      .orderBy("size")
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3767,6 +3798,7 @@ object SparkEntry {
     "q182_mixture_realization_audit" -> (q182(_, _)),
     "q183_span_cap_audit" -> (q183(_, _)),
     "q184_nb_calibration_audit" -> (q184(_, _)),
+    "q185_dup_mass_histogram" -> (q185(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -951,4 +951,27 @@ class DedupSpec extends SparkSpec {
       }
     assert(cloneBands, "exact clones must share every sign bucket")
   }
+
+  test("q185 dup-mass histogram: cluster sizes, mass, and removable " +
+      "count match a hand-derived corpus (clone doubling included)") {
+    import spark.implicits._
+    // A and B are near dups (one word changed in 20 → jaccard 17/19);
+    // C is unrelated. q185 clones every doc at +1000000, so the expected
+    // transitive clusters are {A, B, A', B'} (size 4) and {C, C'}
+    // (size 2); no true singletons remain, so the size-1 row is zeros.
+    val a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16 w17 w18 w19 w20"
+    val b = a.replace(" w20", " zz")
+    val c = "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12 x13 x14 x15 x16 x17 x18 x19 x20"
+    val dir = java.nio.file.Files.createTempDirectory("q185").toString
+    Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = graft.SparkEntry.queries("q185_dup_mass_histogram")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Long]("size"), r.getAs[Long]("n_clusters"),
+        r.getAs[Long]("doc_mass"), r.getAs[Long]("removable")))
+    assert(rows.toSeq == Seq(
+      (1L, 0L, 0L, 0L), (2L, 1L, 2L, 1L), (4L, 1L, 4L, 3L)),
+      s"histogram mismatch: ${rows.toSeq}")
+    CacheRegistry.drain()
+  }
 }

@@ -669,6 +669,19 @@ class PlanQualitySpec extends SparkSpec {
     graft.operators.CacheRegistry.drain()
   }
 
+  test("the dup-mass histogram broadcasts its scalar singleton complement " +
+      "and keeps the pair tier keyed (no CartesianProduct)") {
+    val q = graft.SparkEntry.queries("q185_dup_mass_histogram")(spark, sf)
+    val p = executed(q).toString
+    assert(!p.contains("CartesianProduct"),
+      "pair tier and scalar complement must stay keyed/broadcast:\n" +
+        p.take(1500))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      "scalar complement must broadcast:\n" + p.take(1500))
+    graft.operators.CacheRegistry.drain()
+  }
+
   test("jlProject is ONE shuffle-free codegen projection: no Exchange, " +
       "no Join, and the fold stays inside WholeStageCodegen") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
