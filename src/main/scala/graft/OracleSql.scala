@@ -4758,6 +4758,55 @@ object OracleSql {
         |  doc_mass - n_clusters AS removable
         |FROM allrows ORDER BY size""".stripMargin,
 
+    // quality-aware collapse: q72's closure over a corpus where every
+    // clone is EXTENDED by its own first two tokens, then per-cluster
+    // argmax on (n_tokens DESC, id ASC)
+    "q186_quality_collapse" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ts
+        |  FROM documents),
+        |corpus AS (
+        |  SELECT doc_id, ts FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, list_concat(ts, ts[1:2]) AS ts
+        |  FROM base),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ts) >= 3
+        |      THEN list_distinct(list_transform(range(1, len(ts) - 1),
+        |             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))
+        |      ELSE [array_to_string(ts, ' ')] END AS shingles
+        |  FROM corpus),
+        |sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |shared AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM shared
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.7),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+        |reach(id, label) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+        |comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id),
+        |q AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens FROM corpus),
+        |sel AS (
+        |  SELECT comp.component AS cluster_id, comp.id, q.n_tokens,
+        |    row_number() OVER (PARTITION BY comp.component
+        |      ORDER BY q.n_tokens DESC, comp.id ASC) AS rn,
+        |    count(*) OVER (PARTITION BY comp.component) AS n_docs
+        |  FROM comp JOIN q ON q.doc_id = comp.id)
+        |SELECT cluster_id, CAST(n_docs AS BIGINT) AS n_docs,
+        |  id AS keep_id, n_tokens AS keep_quality
+        |FROM sel WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
+
     // NB calibration audit: the q163 scoring chain replayed, then
     // width-2 integer score bins vs the true label rate
     "q184_nb_calibration_audit" ->

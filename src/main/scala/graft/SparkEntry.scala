@@ -3612,6 +3612,30 @@ object SparkEntry {
       .orderBy("size")
   }
 
+  /** Quality-aware near-dup collapse — the drain rule a production
+    * dedup pass actually wants: per transitive cluster keep the member
+    * with the MOST tokens (ties → smallest id), not whichever copy has
+    * the smallest id. The corpus plants the realistic shape: every doc
+    * gains a +1000000 near-dup clone EXTENDED by two tokens (its own
+    * first two, so no new cross-doc shingles), so the keeper is the
+    * longer clone — a min-id rule would keep every truncated original.
+    * One argmax aggregation over the membership relation; no window.
+    */
+  private def q186(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select("doc_id", "text")
+    val ts = graft.operators.TextAnalysis.tokens(col("text"))
+    val extended = base.select((col("doc_id") + 1000000L).as("doc_id"),
+      array_join(concat(ts, slice(ts, 1, 2)), " ").as("text"))
+    val corpus = graft.operators.CacheRegistry.track(
+      base.unionAll(extended)
+        .withColumn("n_tokens",
+          size(graft.operators.TextAnalysis.tokens(col("text"))).cast("long"))
+        .persist())
+    Dedup.qualityCollapse(corpus, "doc_id", "text", "n_tokens",
+      shingleN = 3, threshold = 0.7)
+      .orderBy("cluster_id")
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3799,6 +3823,7 @@ object SparkEntry {
     "q183_span_cap_audit" -> (q183(_, _)),
     "q184_nb_calibration_audit" -> (q184(_, _)),
     "q185_dup_mass_histogram" -> (q185(_, _)),
+    "q186_quality_collapse" -> (q186(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1277,6 +1277,20 @@ object Dedup {
     */
   def nearDupClusters(
       df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, threshold: Double): DataFrame =
+    nearDupMembers(df, idCol, textCol, shingleN, threshold)
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_docs"), max(col(idCol)).as("max_id"))
+
+  /** Per-document cluster MEMBERSHIP under [[nearDupClusters]]' exact
+    * semantics: one row `(idCol, cluster_id = min member id)` per doc
+    * that belongs to a transitive near-dup cluster; singleton docs (no
+    * exact twin, no near-dup neighbor) emit nothing. This is the
+    * relation a collapse pass joins back on — [[nearDupClusters]] is
+    * its per-cluster summary, [[qualityCollapse]] its argmax drain.
+    */
+  def nearDupMembers(
+      df: DataFrame, idCol: String, textCol: String,
       shingleN: Int, threshold: Double): DataFrame = {
     val withFp = df.select(col(idCol), col(textCol))
       .withColumn("fp", md5(col(textCol)))
@@ -1299,8 +1313,32 @@ object Dedup {
         coalesce(col("component"),
           when(col("grp_n") > 1, col("rep_id"))).as("cluster_id"))
       .filter(col("cluster_id").isNotNull)
+  }
+
+  /** Quality-aware near-dup collapse decision: per transitive cluster,
+    * keep the member with the HIGHEST value of `qualityCol` (ties → the
+    * smallest id) instead of the blind min-id rule. This is the rule a
+    * production drain actually wants — near-dup clusters routinely mix
+    * truncated/mangled copies with the full document, and min-id keeps
+    * whichever crawl happened to be seen first. Output one row per
+    * cluster: `(cluster_id, n_docs, keep_id, keep_quality)`; the drain
+    * itself is then an anti-join of the corpus against
+    * `members minus keep_id`. `qualityCol` must be a numeric column of
+    * `df`; the argmax runs as ONE map-side-combinable max(struct) — no
+    * window, no per-cluster sort.
+    */
+  def qualityCollapse(
+      df: DataFrame, idCol: String, textCol: String, qualityCol: String,
+      shingleN: Int, threshold: Double): DataFrame = {
+    val members = nearDupMembers(df, idCol, textCol, shingleN, threshold)
+    members.join(df.select(col(idCol), col(qualityCol)), Seq(idCol))
       .groupBy("cluster_id")
-      .agg(count(lit(1)).as("n_docs"), max(col(idCol)).as("max_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(struct(col(qualityCol).as("q"), (-col(idCol)).as("nid")))
+          .as("__best"))
+      .select(col("cluster_id"), col("n_docs"),
+        (-col("__best.nid")).as("keep_id"),
+        col("__best.q").as("keep_quality"))
   }
 
   /** Hard ceiling for the explicitly-named brute-force (O(n²) crossJoin)

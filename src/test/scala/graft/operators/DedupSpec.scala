@@ -952,6 +952,35 @@ class DedupSpec extends SparkSpec {
     assert(cloneBands, "exact clones must share every sign bucket")
   }
 
+  test("qualityCollapse keeps the max-quality member (ties -> min id), " +
+      "emits nothing for singletons, and nearDupMembers labels every " +
+      "cluster member") {
+    import spark.implicits._
+    def toks(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val df = Seq(
+      (1L, toks("a", 20)),  // full — keeps over its truncated copy
+      (2L, toks("a", 18)),  // jaccard 16/18 vs doc 1
+      (10L, toks("b", 18)), // truncated — the HIGHER id must win here
+      (11L, toks("b", 20)),
+      (20L, toks("c", 20)), // exact pair: tie on quality -> min id
+      (21L, toks("c", 20)),
+      (30L, toks("z", 20))) // singleton: no output row
+      .toDF("doc_id", "text")
+      .withColumn("n_tokens", size(TextAnalysis.tokens(col("text"))).cast("long"))
+    val out = Dedup.qualityCollapse(df, "doc_id", "text", "n_tokens", 3, 0.7)
+      .collect()
+      .map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("keep_id"), r.getAs[Long]("keep_quality"))).toSet
+    assert(out == Set((1L, 2L, 1L, 20L), (10L, 2L, 11L, 20L),
+      (20L, 2L, 20L, 20L)), s"collapse mismatch: $out")
+    val mem = Dedup.nearDupMembers(df, "doc_id", "text", 3, 0.7)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"))).toSet
+    assert(mem == Set((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L),
+      (20L, 20L), (21L, 20L)), s"membership mismatch: $mem")
+    CacheRegistry.drain()
+  }
+
   test("q185 dup-mass histogram: cluster sizes, mass, and removable " +
       "count match a hand-derived corpus (clone doubling included)") {
     import spark.implicits._

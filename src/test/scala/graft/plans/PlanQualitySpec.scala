@@ -682,6 +682,20 @@ class PlanQualitySpec extends SparkSpec {
     graft.operators.CacheRegistry.drain()
   }
 
+  test("qualityCollapse argmax is ONE partial-aggregated max(struct): " +
+      "keyed joins only, no CartesianProduct, no window sort, no " +
+      "single-partition funnel") {
+    val q = graft.SparkEntry.queries("q186_quality_collapse")(spark, sf)
+    val p = executed(q).toString
+    assert(!p.contains("CartesianProduct"),
+      "pair tier must stay keyed:\n" + p.take(1500))
+    assert(!p.contains("Window"),
+      "argmax must be an aggregation, not a window:\n" + p.take(1500))
+    assert(!p.contains("Exchange SinglePartition"),
+      "collapse must not funnel through one partition:\n" + p.take(1500))
+    graft.operators.CacheRegistry.drain()
+  }
+
   test("jlProject is ONE shuffle-free codegen projection: no Exchange, " +
       "no Join, and the fold stays inside WholeStageCodegen") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
