@@ -4807,6 +4807,43 @@ object OracleSql {
         |  id AS keep_id, n_tokens AS keep_quality
         |FROM sel WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
 
+    // content-defined chunking: boundary when the 48-bit md5 of the
+    // adjacent token pair ≡ 0 mod 8, chunks via a running boundary sum,
+    // then the occurrence histogram over chunk fingerprints
+    "q187_cdc_chunk_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ts
+        |  FROM documents),
+        |corpus AS (
+        |  SELECT doc_id, ts FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, list_concat(['XX'], ts) AS ts
+        |  FROM base),
+        |pos AS (
+        |  SELECT doc_id, i, ts[i] AS tok,
+        |    CASE WHEN i >= 2 AND
+        |        (CAST(('0x' || substr(md5(ts[i-1] || ' ' || ts[i]), 1, 12))
+        |           AS BIGINT) % 8 = 0)
+        |      THEN 1 ELSE 0 END AS b
+        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i
+        |        FROM corpus)),
+        |ch AS (
+        |  SELECT doc_id, i, tok,
+        |    sum(b) OVER (PARTITION BY doc_id ORDER BY i) AS chunk_idx
+        |  FROM pos),
+        |chunks AS (
+        |  SELECT doc_id, chunk_idx,
+        |    md5(string_agg(tok, ' ' ORDER BY i)) AS chunk_fp,
+        |    CAST(count(*) AS BIGINT) AS n_tokens
+        |  FROM ch GROUP BY doc_id, chunk_idx),
+        |per_fp AS (
+        |  SELECT chunk_fp, CAST(count(*) AS BIGINT) AS n_occ,
+        |    max(n_tokens) AS n_tok
+        |  FROM chunks GROUP BY chunk_fp)
+        |SELECT n_occ, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum((n_occ - 1) * n_tok) AS BIGINT) AS dup_token_mass
+        |FROM per_fp GROUP BY n_occ ORDER BY n_occ""".stripMargin,
+
     // NB calibration audit: the q163 scoring chain replayed, then
     // width-2 integer score bins vs the true label rate
     "q184_nb_calibration_audit" ->

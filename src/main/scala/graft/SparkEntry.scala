@@ -3636,6 +3636,29 @@ object SparkEntry {
       .orderBy("cluster_id")
   }
 
+  /** Content-defined chunk dedup mass — the insertion-robustness read:
+    * every doc gains a clone with ONE token prepended, which shifts
+    * every token position; CDC boundaries depend only on local token
+    * pairs, so all chunks after each clone's first still align with the
+    * original's and the duplicated token mass survives the shift (a
+    * fixed-window chunker would report ~zero). Histogram over chunk
+    * occurrence counts: distinct chunk contents, and the token mass a
+    * keep-one-copy chunk store would save.
+    */
+  private def q187(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select("doc_id", "text")
+    val clones = base.select((col("doc_id") + 1000000L).as("doc_id"),
+      concat(lit("XX "), col("text")).as("text"))
+    val chunks = Dedup.cdcChunks(base.unionAll(clones), "doc_id", "text",
+      divisor = 8)
+    chunks.groupBy(col("chunk_fp"))
+      .agg(count(lit(1)).as("n_occ"), max(col("n_tokens")).as("n_tok"))
+      .groupBy(col("n_occ"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum((col("n_occ") - 1) * col("n_tok")).as("dup_token_mass"))
+      .orderBy("n_occ")
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3824,6 +3847,7 @@ object SparkEntry {
     "q184_nb_calibration_audit" -> (q184(_, _)),
     "q185_dup_mass_histogram" -> (q185(_, _)),
     "q186_quality_collapse" -> (q186(_, _)),
+    "q187_cdc_chunk_dedup" -> (q187(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

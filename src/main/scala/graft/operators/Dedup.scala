@@ -1341,6 +1341,48 @@ object Dedup {
         col("__best.q").as("keep_quality"))
   }
 
+  /** Content-defined chunking (CDC — the LBFS/FastCDC family reduced to
+    * its deterministic token-level core): token i (0-based) STARTS a new
+    * chunk when the 48-bit md5 integer of the adjacent token pair
+    * `t_{i-1} || " " || t_i` is ≡ 0 mod `divisor` (expected chunk length
+    * ≈ divisor tokens). Because the boundary rule depends only on LOCAL
+    * content, an insertion near the head of a document shifts every
+    * downstream token's POSITION but no downstream chunk's IDENTITY —
+    * the property fixed-window chunking ([[graft.operators.Packing]]'
+    * chunkTokens) lacks, and the reason storage and corpus dedup
+    * pipelines chunk this way. Output one row per chunk:
+    * `(idCol, chunk_idx, chunk_fp = md5 of the space-joined chunk
+    * tokens, n_tokens)`; empty documents emit nothing.
+    *
+    * Long-form plan (the [[shingleRows]] precedent): posexplode + ONE
+    * doc-keyed window sort shared by the lag flag and its running sum,
+    * then a (doc, chunk) aggregation — no interpreted per-row lambdas
+    * (an `aggregate` fold building chunk arrays would copy O(chunks)
+    * state per token), no driver loop; parallelism is per-document at
+    * corpus scale.
+    */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+      divisor: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(divisor > 0, s"divisor=$divisor must be positive")
+    val toks = df.select(col(idCol),
+      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("__p", "__t")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__p"))
+    val pairHash = conv(substring(md5(concat(
+      lag(col("__t"), 1).over(w), lit(" "), col("__t"))), 1, 12), 16, 10)
+      .cast("long")
+    val flagged = toks.withColumn("__b",
+      when(col("__p") > 0 && pairHash % divisor === 0, lit(1))
+        .otherwise(lit(0)))
+    val idx = flagged.withColumn("chunk_idx", sum(col("__b")).over(w))
+    idx.groupBy(col(idCol), col("chunk_idx"))
+      .agg(
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("__p"), col("__t")))),
+          x => x.getField("__t")))).as("chunk_fp"),
+        count(lit(1)).as("n_tokens"))
+  }
+
   /** Hard ceiling for the explicitly-named brute-force (O(n²) crossJoin)
     * verify tiers: the guard probes with limit(max+1).count() so an
     * oversized relation costs one capped count, never a quadratic join.

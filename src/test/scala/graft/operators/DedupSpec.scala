@@ -981,6 +981,60 @@ class DedupSpec extends SparkSpec {
     CacheRegistry.drain()
   }
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+
+  private def refCdc(text: String, div: Int): Seq[(Long, String, Long)] = {
+    val toks = text.split(" ").filter(_.nonEmpty).toSeq
+    if (toks.isEmpty) Seq.empty
+    else {
+      val flags = toks.indices.map { i =>
+        i > 0 &&
+          java.lang.Long.parseLong(
+            md5hex(toks(i - 1) + " " + toks(i)).take(12), 16) % div == 0
+      }
+      val idx = flags.scanLeft(0L)((a, b) => a + (if (b) 1 else 0)).tail
+      toks.zip(idx).groupBy(_._2).toSeq.map { case (ci, ts) =>
+        (ci, md5hex(ts.map(_._1).mkString(" ")), ts.size.toLong)
+      }
+    }
+  }
+
+  test("cdcChunks EXACTLY matches a sequential reference chunker " +
+      "(boundary rule, fingerprints, token counts; empty/1-token docs)") {
+    import spark.implicits._
+    val texts = Seq(
+      (1L, (1 to 60).map(i => s"tok$i").mkString(" ")),
+      (2L, "solo"),
+      (3L, ""),
+      (4L, ("ph a b c " * 10).trim), // repeated phrase: duplicate fps in ONE doc
+      (5L, (1 to 25).map(i => s"w${i % 7}").mkString(" ")))
+    val out = Dedup.cdcChunks(texts.toDF("doc_id", "text"),
+      "doc_id", "text", divisor = 4)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx"),
+        r.getAs[String]("chunk_fp"), r.getAs[Long]("n_tokens")))
+      .toSet
+    val ref = texts.flatMap { case (id, t) =>
+      refCdc(t, 4).map { case (ci, fp, n) => (id, ci, fp, n) }
+    }.toSet
+    assert(out == ref, s"cdc mismatch:\n  spark=$out\n  ref=$ref")
+    assert(ref.count(_._1 == 1L) > 1, "divisor-4 60-token doc must split")
+  }
+
+  test("CDC chunk identity survives a head insertion: every chunk of " +
+      "the original except its first is also a chunk of the shifted doc") {
+    val orig = (1 to 80).map(i => s"t$i").mkString(" ")
+    val origChunks = refCdc(orig, 4).sortBy(_._1)
+    val shifted = refCdc("XX " + orig, 4).sortBy(_._1)
+    assert(origChunks.size > 3, "test doc must produce several chunks")
+    val origTail = origChunks.tail.map(c => (c._2, c._3))
+    val shiftedFps = shifted.map(c => (c._2, c._3)).toSet
+    assert(origTail.forall(shiftedFps.contains),
+      "downstream chunks must keep their identity under the shift")
+  }
+
   test("q185 dup-mass histogram: cluster sizes, mass, and removable " +
       "count match a hand-derived corpus (clone doubling included)") {
     import spark.implicits._

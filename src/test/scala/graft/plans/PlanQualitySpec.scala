@@ -696,6 +696,25 @@ class PlanQualitySpec extends SparkSpec {
     graft.operators.CacheRegistry.drain()
   }
 
+  test("cdcChunks windows stay DOC-keyed: no single-partition funnel, " +
+      "no cartesian, and the boundary flag + running sum share one " +
+      "window sort") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    val plan = executed(
+      graft.operators.Dedup.cdcChunks(docs, "doc_id", "text", divisor = 8))
+    val p = plan.toString
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(!p.contains("Exchange SinglePartition"),
+      "chunking must not funnel through one partition:\n" + p.take(1200))
+    val sorts = plan.collect {
+      case s: org.apache.spark.sql.execution.SortExec => s }.size
+    assert(sorts <= 2,
+      s"expected the two window passes to share one doc-keyed sort " +
+        s"(plus at most the aggregation's), got $sorts:\n" + p.take(1200))
+    graft.operators.CacheRegistry.drain()
+  }
+
   test("jlProject is ONE shuffle-free codegen projection: no Exchange, " +
       "no Join, and the fold stays inside WholeStageCodegen") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
