@@ -4844,6 +4844,71 @@ object OracleSql {
         |  CAST(sum((n_occ - 1) * n_tok) AS BIGINT) AS dup_token_mass
         |FROM per_fp GROUP BY n_occ ORDER BY n_occ""".stripMargin,
 
+    // NB threshold sweep: the q184 scoring chain, integer-floor bins,
+    // then per-threshold precision/recall/keep over the bin relation
+    "q188_nb_threshold_sweep" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    source IN ('src0','src1','src2','src3','src4') AS y,
+        |    list_filter(string_split(text, ' '), w -> w <> '') AS ts
+        |  FROM documents),
+        |tokl AS (SELECT y, unnest(ts) AS w FROM toks),
+        |cw AS (
+        |  SELECT w,
+        |    sum(CASE WHEN y THEN 1 ELSE 0 END) AS cp,
+        |    sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS cn
+        |  FROM tokl GROUP BY w),
+        |tot AS (
+        |  SELECT sum(CASE WHEN y THEN 1 ELSE 0 END) AS np,
+        |    sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS nn,
+        |    count(DISTINCT w) AS v
+        |  FROM tokl),
+        |pri AS (
+        |  SELECT sum(CASE WHEN y THEN 1 ELSE 0 END) AS dp,
+        |    sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS dn
+        |  FROM toks),
+        |st AS (SELECT doc_id, unnest(ts) AS w FROM toks),
+        |term AS (
+        |  SELECT s.doc_id,
+        |    CAST(ln((COALESCE(cw.cp, 0) + CAST(1.0 AS DOUBLE))
+        |      / (tot.np + CAST(1.0 AS DOUBLE) * tot.v))
+        |      AS DECIMAL(18,12))
+        |    - CAST(ln((COALESCE(cw.cn, 0) + CAST(1.0 AS DOUBLE))
+        |      / (tot.nn + CAST(1.0 AS DOUBLE) * tot.v))
+        |      AS DECIMAL(18,12)) AS t
+        |  FROM st s LEFT JOIN cw ON s.w = cw.w CROSS JOIN tot),
+        |sc AS (SELECT doc_id, SUM(t) AS s FROM term GROUP BY doc_id),
+        |fin AS (
+        |  SELECT sc.doc_id,
+        |    round(CAST(sc.s + CAST(ln(pri.dp) AS DECIMAL(18,12))
+        |      - CAST(ln(pri.dn) AS DECIMAL(18,12)) AS DOUBLE), 6) AS score
+        |  FROM sc CROSS JOIN pri),
+        |b AS (
+        |  SELECT CAST(floor(f.score) AS BIGINT) AS bin, t.y
+        |  FROM fin f JOIN toks t USING (doc_id)),
+        |bins AS (
+        |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+        |  FROM b GROUP BY bin),
+        |tots AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS nt,
+        |    CAST(sum(n_pos) AS BIGINT) AS pt
+        |  FROM bins),
+        |th AS (SELECT unnest(range(-5, 6)) * 2 AS threshold),
+        |kept AS (
+        |  SELECT th.threshold,
+        |    CAST(COALESCE(sum(bins.n), 0) AS BIGINT) AS n_kept,
+        |    CAST(COALESCE(sum(bins.n_pos), 0) AS BIGINT) AS pos_kept
+        |  FROM th LEFT JOIN bins ON bins.bin >= th.threshold
+        |  GROUP BY th.threshold)
+        |SELECT threshold, n_kept,
+        |  CASE WHEN n_kept > 0
+        |    THEN round(CAST(pos_kept AS DOUBLE) / CAST(n_kept AS DOUBLE), 6)
+        |    ELSE 0.0 END AS "precision",
+        |  round(CAST(pos_kept AS DOUBLE) / CAST(pt AS DOUBLE), 6) AS recall,
+        |  round(CAST(n_kept AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS keep_frac
+        |FROM kept CROSS JOIN tots ORDER BY threshold""".stripMargin,
+
     // NB calibration audit: the q163 scoring chain replayed, then
     // width-2 integer score bins vs the true label rate
     "q184_nb_calibration_audit" ->

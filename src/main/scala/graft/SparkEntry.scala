@@ -3659,6 +3659,51 @@ object SparkEntry {
       .orderBy("n_occ")
   }
 
+  /** NB threshold sweep — the OTHER half of the q184 read: per
+    * candidate decision threshold over the q163 score, the kept count,
+    * precision, recall (vs the curated label, over scored docs), and
+    * kept fraction — the PR curve a pipeline owner reads to PICK
+    * `minNbScore`, where q184's calibration bins only show the score is
+    * monotone. Scale shape: the corpus aggregates ONCE into bounded
+    * integer-floor score bins; the 11-row threshold ladder then joins
+    * the bin relation (broadcast nested loop over two tiny sides), so
+    * sweeping more thresholds never rescans the corpus.
+    */
+  private def q188(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d).select("doc_id", "source", "text")
+    val labeled = dd.withColumn("is_curated",
+      col("source").isin("src0", "src1", "src2", "src3", "src4"))
+    val bins = graft.operators.CacheRegistry.track(
+      TextAnalysis.nbQualityScore(labeled, "is_curated", dd, "doc_id",
+          "text", alpha = 1.0)
+        .join(labeled.select(col("doc_id"), col("is_curated")),
+          Seq("doc_id"))
+        .select(floor(col("score")).cast("long").as("bin"),
+          col("is_curated"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("is_curated"), 1L).otherwise(0L)).as("n_pos"))
+        .persist())
+    val totals = bins.agg(sum(col("n")).as("__nt"),
+      sum(col("n_pos")).as("__pt"))
+    val thresholds = s.range(-5, 6).select((col("id") * 2).as("threshold"))
+    thresholds
+      .join(bins, col("bin") >= col("threshold"), "left")
+      .groupBy("threshold")
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n_kept"),
+        coalesce(sum(col("n_pos")), lit(0L)).as("pos_kept"))
+      .crossJoin(broadcast(totals))
+      .select(col("threshold"), col("n_kept"),
+        when(col("n_kept") > 0,
+          round(col("pos_kept").cast("double") / col("n_kept").cast("double"), 6))
+          .otherwise(lit(0.0)).as("precision"),
+        round(col("pos_kept").cast("double") / col("__pt").cast("double"), 6)
+          .as("recall"),
+        round(col("n_kept").cast("double") / col("__nt").cast("double"), 6)
+          .as("keep_frac"))
+      .orderBy("threshold")
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3848,6 +3893,7 @@ object SparkEntry {
     "q185_dup_mass_histogram" -> (q185(_, _)),
     "q186_quality_collapse" -> (q186(_, _)),
     "q187_cdc_chunk_dedup" -> (q187(_, _)),
+    "q188_nb_threshold_sweep" -> (q188(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -88,4 +88,28 @@ class NbClassifierSpec extends SparkSpec {
     assert(live == saved, s"live=$live saved=$saved")
     CacheRegistry.drain()
   }
+
+  test("q188 threshold sweep invariants: n_kept/recall/keep_frac " +
+      "non-increasing in threshold, precision consistent with counts, " +
+      "and the full ladder present") {
+    val rows = graft.SparkEntry.queries("q188_nb_threshold_sweep")(
+      spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getAs[Long]("threshold"), r.getAs[Long]("n_kept"),
+        r.getAs[Double]("precision"), r.getAs[Double]("recall"),
+        r.getAs[Double]("keep_frac")))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (-10L to 10L by 2).toSeq)
+    assert(rows.sliding(2).forall { case Array(a, b) =>
+      a._2 >= b._2 && a._4 >= b._4 && a._5 >= b._5 },
+      s"kept/recall/keep_frac must not increase with the threshold: " +
+        rows.mkString(", "))
+    // at a threshold keeping everything, precision = global positive rate
+    // and recall = 1; somewhere the gate must actually bind
+    val head = rows.head
+    assert(head._4 == 1.0 || head._2 < rows.map(_._2).max,
+      "ladder bottom should keep (nearly) everything")
+    assert(rows.exists(_._2 < head._2), "ladder must bind somewhere")
+    CacheRegistry.drain()
+  }
 }

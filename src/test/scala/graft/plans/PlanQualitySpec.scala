@@ -715,6 +715,23 @@ class PlanQualitySpec extends SparkSpec {
     graft.operators.CacheRegistry.drain()
   }
 
+  test("the NB threshold sweep joins the 11-row ladder against BOUNDED " +
+      "score bins (broadcast nested loop over tiny sides, no cartesian, " +
+      "no corpus rescan per threshold)") {
+    val q = graft.SparkEntry.queries("q188_nb_threshold_sweep")(spark, sf)
+    val p = executed(q).toString
+    assert(!p.contains("CartesianProduct"),
+      "ladder join must broadcast:\n" + p.take(1500))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "expected the range-condition ladder join as BNLJ:\n" + p.take(1500))
+    // the corpus-side NB scorer materializes ONCE into the cached bin
+    // relation; both consumers (totals + ladder join) must read the
+    // cache, so sweeping thresholds never rescans the corpus
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      "bins must be served from cache for both consumers:\n" + p.take(1500))
+    graft.operators.CacheRegistry.drain()
+  }
+
   test("jlProject is ONE shuffle-free codegen projection: no Exchange, " +
       "no Join, and the fold stays inside WholeStageCodegen") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
