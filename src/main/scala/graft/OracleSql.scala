@@ -4844,6 +4844,50 @@ object OracleSql {
         |  CAST(sum((n_occ - 1) * n_tok) AS BIGINT) AS dup_token_mass
         |FROM per_fp GROUP BY n_occ ORDER BY n_occ""".stripMargin,
 
+    // first-fit packing audit: the sequential per-shard state machine
+    // replayed as a recursive CTE, then the fragmentation rollup
+    "q189_firstfit_fragmentation" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |ext AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM toks),
+        |d0 AS (
+        |  SELECT t.doc_id, t.n_tokens,
+        |    CAST((t.doc_id - e.lo)
+        |      // greatest(1, (e.hi - e.lo) // 8 + 1) AS BIGINT) AS shard
+        |  FROM toks t CROSS JOIN ext e),
+        |d AS (
+        |  SELECT doc_id, n_tokens, shard,
+        |    row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+        |  FROM d0),
+        |packed(shard, rn, doc_id, n_tokens, block, fill) AS (
+        |  SELECT shard, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT n.shard, n.rn, n.doc_id, n.n_tokens,
+        |    CASE WHEN p.fill + n.n_tokens <= 64 THEN p.block
+        |      ELSE p.block + 1 END,
+        |    CASE WHEN p.fill + n.n_tokens <= 64 THEN p.fill + n.n_tokens
+        |      ELSE n.n_tokens END
+        |  FROM packed p JOIN d n ON n.shard = p.shard AND n.rn = p.rn + 1),
+        |blocks AS (
+        |  SELECT shard, block, sum(n_tokens) AS used,
+        |    CAST(count(*) AS BIGINT) AS nd
+        |  FROM packed GROUP BY shard, block)
+        |SELECT shard, CAST(sum(nd) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_blocks,
+        |  CAST(sum(CASE WHEN used > 64 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_overfull,
+        |  CAST(sum(CASE WHEN used <= 64 THEN 64 - used ELSE 0 END)
+        |    AS BIGINT) AS padding_tokens,
+        |  CAST(sum(CASE WHEN used > 64 THEN used - 64 ELSE 0 END)
+        |    AS BIGINT) AS overflow_tokens,
+        |  round(CAST(sum(used) AS DOUBLE)
+        |    / CAST(count(*) * 64 AS DOUBLE), 6) AS utilization
+        |FROM blocks GROUP BY shard ORDER BY shard""".stripMargin,
+
     // NB threshold sweep: the q184 scoring chain, integer-floor bins,
     // then per-threshold precision/recall/keep over the bin relation
     "q188_nb_threshold_sweep" ->

@@ -3704,6 +3704,36 @@ object SparkEntry {
       .orderBy("threshold")
   }
 
+  /** First-fit packing fragmentation audit — what boundary-respecting
+    * SFT packing COSTS on this corpus at block size 64: per shard, the
+    * block count, padding (wasted tail tokens of normal blocks),
+    * overflow (tokens past capacity in the dedicated overfull blocks
+    * that oversized docs get), and realized utilization. The stream
+    * packer (q76) has zero waste but cuts documents; this is the other
+    * side of that trade, priced. The oracle replays the sequential
+    * first-fit state machine per shard as a recursive CTE.
+    */
+  private def q189(s: SparkSession, d: String): DataFrame = {
+    val toks = docs(s, d).select(col("doc_id"),
+      size(graft.operators.TextAnalysis.tokens(col("text"))).cast("long")
+        .as("n_tokens"))
+    val packed = graft.operators.Packing.firstFitBlocks(
+      toks, "doc_id", "n_tokens", blockSize = 64L, shards = 8)
+    val blocks = packed.groupBy(col("shard"), col("block"))
+      .agg(sum(col("n_tokens")).as("used"), count(lit(1)).as("nd"))
+    blocks.groupBy("shard")
+      .agg(sum(col("nd")).as("n_docs"),
+        count(lit(1)).as("n_blocks"),
+        sum(when(col("used") > 64L, 1L).otherwise(0L)).as("n_overfull"),
+        sum(when(col("used") <= 64L, lit(64L) - col("used"))
+          .otherwise(0L)).as("padding_tokens"),
+        sum(when(col("used") > 64L, col("used") - lit(64L))
+          .otherwise(0L)).as("overflow_tokens"),
+        round(sum(col("used")).cast("double")
+          / (count(lit(1)) * lit(64L)).cast("double"), 6).as("utilization"))
+      .orderBy("shard")
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3894,6 +3924,7 @@ object SparkEntry {
     "q186_quality_collapse" -> (q186(_, _)),
     "q187_cdc_chunk_dedup" -> (q187(_, _)),
     "q188_nb_threshold_sweep" -> (q188(_, _)),
+    "q189_firstfit_fragmentation" -> (q189(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -76,6 +76,62 @@ object Packing {
           .otherwise(lit(0L)).cast("long"))
   }
 
+  /** Boundary-respecting first-fit packing — the SFT complement of
+    * [[packedBlocks]]: documents NEVER split across blocks, so each
+    * block of `blockSize` tokens holds whole docs plus padding (the
+    * stream packer has zero waste but cuts docs; this one wastes the
+    * tail of every block but preserves doc boundaries — the
+    * fragmentation trade a fine-tuning pipeline actually prices).
+    * Docs pack in id order within deterministic id-range shards (the
+    * [[sequenceOffsets]] shard rule), each shard's `block` ids local to
+    * it: first-fit is inherently a sequential state machine, and the
+    * shard rule makes the assignment a pure function of
+    * (id, corpus min/max id) while shards pack in parallel — the same
+    * per-shard layout a production packer writes per output file.
+    * Oversized docs (len > blockSize) get a DEDICATED overfull block
+    * (padding reads negative downstream) — surfaced, never silently
+    * truncated. Like [[graft.operators.Sketch.mgCandidates]], the
+    * per-shard fold is a genuine `mapPartitions` (imperative
+    * data-dependent state no Catalyst expression expresses); rows
+    * arrive sorted by (shard, id) via sortWithinPartitions, and state
+    * resets on every shard change, so the output is deterministic no
+    * matter how shards co-locate. Emits (idCol, lenCol, shard, block).
+    */
+  def firstFitBlocks(
+      df: DataFrame, idCol: String, lenCol: String, blockSize: Long,
+      shards: Int = 64): DataFrame = {
+    require(blockSize > 0, s"blockSize=$blockSize must be positive")
+    require(shards > 0, s"shards=$shards must be positive")
+    val stats = df.agg(
+      min(col(idCol).cast("long")).as("lo"),
+      max(col(idCol).cast("long")).as("hi")).collect()(0)
+    val session = df.sparkSession
+    import session.implicits._
+    if (stats.isNullAt(0))
+      return df.select(col(idCol), col(lenCol))
+        .withColumn("shard", lit(0L)).withColumn("block", lit(0L)).limit(0)
+    val lo = stats.getLong(0)
+    val width = math.max(1L, (stats.getLong(1) - lo) / shards + 1)
+    df.select(col(idCol).cast("long").as("_1"),
+        col(lenCol).cast("long").as("_2"))
+      .withColumn("_3", ((col("_1") - lit(lo)) / lit(width)).cast("long"))
+      .repartition(col("_3"))
+      .sortWithinPartitions("_3", "_1")
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        var curShard = Long.MinValue
+        var fill = 0L
+        var block = 0L
+        it.map { case (id, len, shard) =>
+          if (shard != curShard) { curShard = shard; block = 0L; fill = len }
+          else if (fill + len <= blockSize) { fill += len }
+          else { block += 1; fill = len }
+          (id, len, shard, block)
+        }
+      }
+      .toDF(idCol, lenCol, "shard", "block")
+  }
+
   /** RAG-style overlapping token-window chunking: each document splits
     * into windows of `chunkSize` tokens advancing by `chunkSize -
     * overlap`, final partial window kept (ceil division), empty docs

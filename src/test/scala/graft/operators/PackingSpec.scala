@@ -144,4 +144,55 @@ class PackingSpec extends SparkSpec {
     assert(run(0.5, docs.repartition(7)) == out)
     CacheRegistry.drain()
   }
+
+  test("firstFitBlocks EXACTLY matches a sequential first-fit reference " +
+      "(oversized docs get dedicated overfull blocks, zero-length docs " +
+      "join the open block, shard co-location resets state)") {
+    import spark.implicits._
+    // ids 0..199 with a length mix: oversized (>B), exact-fit halves,
+    // zeros, and odd sizes; 40 shards over 32 partitions forces at least
+    // one partition to hold >= 2 shards (state-reset path).
+    val b = 50L
+    val rows = (0L until 200L).map { id =>
+      val len = (id % 9) match {
+        case 0 => 0L            // zero-length
+        case 1 => 60L           // oversized
+        case 2 => 25L           // exact half
+        case k => (k * 7) % 40  // odd sizes
+      }
+      (id, len)
+    }
+    val df = rows.toDF("doc_id", "n_tokens")
+    val out = Packing.firstFitBlocks(df, "doc_id", "n_tokens", b, shards = 40)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("shard"),
+          r.getAs[Long]("block")))).toMap
+    // sequential reference with the same shard rule
+    val lo = rows.map(_._1).min
+    val width = math.max(1L, (rows.map(_._1).max - lo) / 40 + 1)
+    val ref = scala.collection.mutable.Map.empty[Long, (Long, Long, Long)]
+    rows.groupBy { case (id, _) => (id - lo) / width }.foreach {
+      case (shard, docs0) =>
+        var block = -1L; var fill = 0L
+        docs0.sortBy(_._1).foreach { case (id, len) =>
+          if (block == -1L) { block = 0L; fill = len }
+          else if (fill + len <= b) fill += len
+          else { block += 1; fill = len }
+          ref(id) = (len, shard, block)
+        }
+    }
+    assert(out == ref.toMap, {
+      val diff = (out.keySet ++ ref.keySet)
+        .filter(k => out.get(k) != ref.get(k)).take(5)
+      s"first-fit mismatch at $diff: out=${diff.map(out.get)} " +
+        s"ref=${diff.map(ref.get)}"
+    })
+    // the planted shapes actually occurred
+    val blocks = out.values.groupBy(v => (v._2, v._3))
+      .map { case (_, vs) => vs.map(_._1).sum }
+    assert(blocks.exists(_ > b), "an overfull block must exist")
+    assert(blocks.exists(u => u <= b && u > 0), "a padded block must exist")
+    CacheRegistry.drain()
+  }
 }
