@@ -1362,7 +1362,7 @@ object Dedup {
     * corpus scale.
     */
   def cdcChunks(df: DataFrame, idCol: String, textCol: String,
-      divisor: Int): DataFrame = {
+      divisor: Int, keepText: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(divisor > 0, s"divisor=$divisor must be positive")
     val toks = df.select(col(idCol),
@@ -1375,12 +1375,19 @@ object Dedup {
       when(col("__p") > 0 && pairHash % divisor === 0, lit(1))
         .otherwise(lit(0)))
     val idx = flagged.withColumn("chunk_idx", sum(col("__b")).over(w))
-    idx.groupBy(col(idCol), col("chunk_idx"))
+    val chunks = idx.groupBy(col(idCol), col("chunk_idx"))
       .agg(
-        md5(concat_ws(" ", transform(
+        concat_ws(" ", transform(
           array_sort(collect_list(struct(col("__p"), col("__t")))),
-          x => x.getField("__t")))).as("chunk_fp"),
+          x => x.getField("__t"))).as("chunk_text"),
         count(lit(1)).as("n_tokens"))
+      .withColumn("chunk_fp", md5(col("chunk_text")))
+    if (keepText)
+      chunks.select(col(idCol), col("chunk_idx"), col("chunk_fp"),
+        col("n_tokens"), col("chunk_text"))
+    else
+      chunks.select(col(idCol), col("chunk_idx"), col("chunk_fp"),
+        col("n_tokens"))
   }
 
   /** Hard ceiling for the explicitly-named brute-force (O(n²) crossJoin)

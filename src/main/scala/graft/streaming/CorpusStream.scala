@@ -620,6 +620,106 @@ object CorpusStream {
     * a FILE_NOT_EXIST at action time). Empty but correctly typed
     * before the first drain has written anything.
     */
+  /** CHUNK-DEDUPED ingest — content-defined storage dedup running in
+    * the stream: each drain chunks its novel documents with
+    * [[graft.operators.Dedup.cdcChunks]] (insertion-robust boundaries,
+    * so a re-crawled page with an edited header still shares every
+    * downstream chunk with the stored copy), keeps only chunks whose
+    * fingerprint is NOT already in the chunk store, and writes two
+    * batchId-keyed exactly-once layouts: `chunkStoreDir` gains the
+    * batch's NOVEL chunk bodies (`chunk_fp, n_tokens, chunk_text` —
+    * one copy per distinct fingerprint, ever), `manifestDir` gains
+    * every document's full recipe (`url, chunk_idx, chunk_fp`).
+    * [[readChunkedCorpus]] reassembles the exact corpus from the two.
+    *
+    * Crash contract (the [[runFuzzy]] argument): the store partition
+    * writes FIRST; a replay re-reads the store WITHOUT the current
+    * batch's partition, so the novelty gate re-decides identically and
+    * both overwrites are rewrites. Compaction consolidates either
+    * layout with the identity aggregate — cross-batch fingerprints are
+    * unique by construction (a later batch's copy was gated out).
+    */
+  def runChunked(
+      spark: SparkSession, warcDir: String, checkpointDir: String,
+      manifestDir: String, chunkStoreDir: String,
+      glob: String = "*.warc*", divisor: Int = 8,
+      compactEvery: Int = 0): StreamingQuery =
+    docStream(spark, warcDir, glob)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        chunkedBatch(spark, manifestDir, chunkStoreDir, divisor,
+          compactEvery)(batch, batchId)
+      }
+      .start()
+
+  /** One [[runChunked]] micro-batch, factored out for the replay spec. */
+  private[streaming] def chunkedBatch(
+      spark: SparkSession, manifestDir: String, chunkStoreDir: String,
+      divisor: Int, compactEvery: Int = 0)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val docs = oneRowPerUrl(batch)
+    if (!docs.isEmpty) graft.operators.CacheRegistry.scope {
+      val chunks = graft.operators.CacheRegistry.track(
+        graft.operators.Dedup.cdcChunks(
+          docs.select("url", "text"), "url", "text", divisor,
+          keepText = true).persist())
+      // batch-local first occurrence per fingerprint (min (url, idx)
+      // rep — deterministic), then the cross-batch novelty gate
+      val localFirst = chunks
+        .groupBy(col("chunk_fp"))
+        .agg(min(struct(col("url"), col("chunk_idx"), col("n_tokens"),
+          col("chunk_text"))).as("__rep"))
+        .select(col("chunk_fp"), col("__rep.n_tokens").as("n_tokens"),
+          col("__rep.chunk_text").as("chunk_text"))
+      val novel = localFirst.join(
+        knownChunks(spark, chunkStoreDir, batchId), Seq("chunk_fp"),
+        "left_anti")
+      novel.write.mode("overwrite")
+        .parquet(s"$chunkStoreDir/batch_id=$batchId")
+      chunks.select("url", "chunk_idx", "chunk_fp")
+        .write.mode("overwrite").parquet(s"$manifestDir/batch_id=$batchId")
+      maybeCompact(spark, Seq(chunkStoreDir, manifestDir), compactEvery,
+        batchId)
+    }
+  }
+
+  /** The corpus reassembled from the chunk store: every manifest row
+    * joins its stored chunk body (an equi-join on the fingerprint —
+    * the store side is the small, deduplicated relation), and each
+    * document's chunks concatenate in `chunk_idx` order. Byte-exact
+    * for space-tokenized text by the CDC partition property.
+    */
+  def readChunkedCorpus(spark: SparkSession, manifestDir: String,
+      chunkStoreDir: String): DataFrame =
+    spark.read.parquet(manifestDir)
+      .join(spark.read.parquet(chunkStoreDir)
+        .select("chunk_fp", "chunk_text"), Seq("chunk_fp"))
+      .groupBy(col("url"))
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("chunk_idx"),
+          col("chunk_text")))),
+        x => x.getField("chunk_text"))).as("text"))
+
+  private def knownChunks(spark: SparkSession, dir: String,
+      currentBatch: Long): DataFrame =
+    try {
+      val idx = spark.read.parquet(dir)
+      (if (idx.columns.contains("batch_id"))
+         idx.filter(col("batch_id") =!= lit(currentBatch))
+       else idx)
+        .select("chunk_fp")
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("chunk_fp",
+              org.apache.spark.sql.types.StringType))))
+    }
+
   private def bandIndex(spark: SparkSession, dir: String,
       currentBatch: Long): DataFrame =
     try {

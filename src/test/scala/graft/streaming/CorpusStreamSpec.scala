@@ -940,4 +940,90 @@ class CorpusStreamSpec extends SparkSpec {
     assert(again == snap, "gated replay must rewrite, not change")
     CacheRegistry.drain()
   }
+
+  test("chunked ingest: one stored copy per chunk fingerprint across " +
+      "batches, a prepended re-crawl contributes only head chunks, " +
+      "reconstruction matches the batch extraction, and a same-batchId " +
+      "replay rewrites byte-identically") {
+    val session = spark
+    import session.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cdc-stream")
+    val ckpt = java.nio.file.Files.createTempDirectory("cdc-ckpt")
+    val man = java.nio.file.Files.createTempDirectory("cdc-manifest")
+    val store = java.nio.file.Files.createTempDirectory("cdc-store")
+    val aTxt = (1 to 60).map(i => s"a$i").mkString(" ")
+    val bTxt = (1 to 30).map(i => s"b$i").mkString(" ")
+    val cTxt = "XX " + aTxt // re-crawl of A with a prepended header token
+    val dTxt = (1 to 40).map(i => s"d$i").mkString(" ")
+    def drain(): Unit = {
+      val q = CorpusStream.runChunked(spark, dir.toString, ckpt.toString,
+        man.toString, store.toString, divisor = 4)
+      q.awaitTermination()
+    }
+    java.nio.file.Files.write(dir.resolve("seg-00001.warc.gz"),
+      WarcReader.write(Seq(htmlRec(1, aTxt), htmlRec(2, bTxt)),
+        gzipPerRecord = true))
+    drain()
+    java.nio.file.Files.write(dir.resolve("seg-00002.warc.gz"),
+      WarcReader.write(Seq(htmlRec(3, cTxt), htmlRec(4, dTxt)),
+        gzipPerRecord = true))
+    drain()
+
+    val storeDf = spark.read.parquet(store.toString)
+    val dupFps = storeDf.groupBy("chunk_fp").count()
+      .filter(col("count") > 1).count()
+    assert(dupFps == 0, "the store must hold ONE copy per fingerprint")
+    def fpsOf(batch: Long): Set[String] =
+      storeDf.filter(col("batch_id") === batch)
+        .select("chunk_fp").collect().map(_.getString(0)).toSet
+    val b0 = fpsOf(0L)
+    val b1 = fpsOf(1L)
+    assert(b0.intersect(b1).isEmpty, "cross-batch fps must be disjoint")
+
+    // batch-path parity: batch 1's novel fps are exactly cdcChunks(C, D)
+    // minus what batch 0 stored
+    def batchFps(rows: Seq[(Long, String)]): Set[String] =
+      graft.operators.Dedup.cdcChunks(rows.toDF("doc_id", "text"),
+        "doc_id", "text", 4)
+        .select("chunk_fp").distinct().collect().map(_.getString(0)).toSet
+    val cd = batchFps(Seq((3L, cTxt), (4L, dTxt)))
+    assert(b1 == cd -- b0,
+      s"streamed novelty gate must match the batch chunker: " +
+        s"extra=${b1 -- (cd -- b0)} missing=${(cd -- b0) -- b1}")
+    // the prepended re-crawl C shares every downstream chunk with the
+    // stored A: beyond D's own chunks, at most 2 head chunks are novel
+    val dOnly = batchFps(Seq((4L, dTxt)))
+    assert((b1 -- dOnly).size <= 2,
+      s"C must contribute only head chunks, got ${(b1 -- dOnly).size}")
+
+    // reconstruction parity with the batch extraction (token-normalized)
+    val expected = WarcReader.read(spark, dir.toString + "/*.warc*")
+      .filter(col("warc_type") === "response" &&
+        col("http_status") === 200 &&
+        col("http_content_type").startsWith("text/html"))
+      .select(col("target_uri").as("url"),
+        concat_ws(" ", TextAnalysis.tokens(
+          TextAnalysis.htmlToText(decode(col("body"), "UTF-8")))).as("text"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val rebuilt = CorpusStream.readChunkedCorpus(spark, man.toString,
+      store.toString)
+      .collect().map(r => r.getString(r.fieldIndex("url")) ->
+        r.getString(r.fieldIndex("text"))).toMap
+    assert(rebuilt == expected,
+      s"reassembly mismatch: ${rebuilt.keySet} vs ${expected.keySet}")
+
+    // crash-replay of batch 1: same batchId + same docs → byte-identical
+    def snap(): Seq[String] =
+      (spark.read.parquet(store.toString).collect().map(_.toString) ++
+        spark.read.parquet(man.toString).collect().map(_.toString))
+        .sorted.toSeq
+    val before = snap()
+    val batch1 = Seq(("https://x.example/p/3", cTxt),
+      ("https://x.example/p/4", dTxt)).toDF("url", "text")
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+    CorpusStream.chunkedBatch(spark, man.toString, store.toString, 4)(
+      batch1, 1L)
+    assert(snap() == before, "replay must rewrite, not change")
+    CacheRegistry.drain()
+  }
 }
