@@ -4844,6 +4844,42 @@ object OracleSql {
         |  CAST(sum((n_occ - 1) * n_tok) AS BIGINT) AS dup_token_mass
         |FROM per_fp GROUP BY n_occ ORDER BY n_occ""".stripMargin,
 
+    // temperature sweep: counts → per-(alpha, lang) sqrt-composed
+    // thresholds → bucket-rule kept counts and per-alpha shares
+    "q190_temperature_sweep" ->
+      """WITH cnt AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(count(*) AS DOUBLE) AS c
+        |  FROM documents GROUP BY lang),
+        |m AS (SELECT min(c) AS mc FROM cnt),
+        |al AS (SELECT unnest([0.0, 0.25, 0.5, 0.75, 1.0]) AS alpha),
+        |thr AS (
+        |  SELECT al.alpha, cnt.lang, cnt.n_docs,
+        |    CAST(floor(256 * (CASE
+        |      WHEN al.alpha = 1.0 THEN CAST(1.0 AS DOUBLE)
+        |      WHEN al.alpha = 0.75 THEN sqrt(sqrt(mc / c))
+        |      WHEN al.alpha = 0.5 THEN sqrt(mc / c)
+        |      WHEN al.alpha = 0.25 THEN sqrt(mc / c) * sqrt(sqrt(mc / c))
+        |      ELSE mc / c END)) AS BIGINT) AS thr
+        |  FROM al, cnt, m),
+        |bk AS (
+        |  SELECT lang,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+        |      AS INTEGER) AS bucket
+        |  FROM documents),
+        |kept AS (
+        |  SELECT t.alpha, t.lang, t.n_docs, t.thr,
+        |    CAST(coalesce(sum(CASE WHEN b.bucket < t.thr THEN 1 ELSE 0 END),
+        |      0) AS BIGINT) AS n_kept
+        |  FROM thr t LEFT JOIN bk b ON b.lang = t.lang
+        |  GROUP BY 1, 2, 3, 4),
+        |tot AS (SELECT alpha, sum(n_kept) AS tt FROM kept GROUP BY alpha)
+        |SELECT k.alpha, k.lang AS source, k.n_docs, k.thr, k.n_kept,
+        |  round(CAST(k.n_kept AS DOUBLE) / CAST(t.tt AS DOUBLE), 6)
+        |    AS kept_share
+        |FROM kept k JOIN tot t USING (alpha)
+        |ORDER BY k.alpha, source""".stripMargin,
+
     // first-fit packing audit: the sequential per-shard state machine
     // replayed as a recursive CTE, then the fragmentation rollup
     "q189_firstfit_fragmentation" ->

@@ -3734,6 +3734,21 @@ object SparkEntry {
       .orderBy("shard")
   }
 
+  /** Mixing-temperature sweep — per α in {0, .25, .5, .75, 1}, the
+    * per-language keep thresholds and realized shares of the q140
+    * temperature rebalance: the read that PICKS α by showing the share
+    * flattening from raw proportions (α=1, keep all) to full
+    * equalization (α=0). Every exponent on the ladder is a sqrt
+    * composition, so all five points stay in the bit-exact gate; the
+    * corpus aggregates once into the (lang, bucket) histogram and the
+    * ladder joins that.
+    */
+  private def q190(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling.temperatureSweep(
+        docs(s, d).select("doc_id", "lang"), "doc_id", "lang",
+        alphas = Seq(0.0, 0.25, 0.5, 0.75, 1.0))
+      .orderBy("alpha", "source")
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3925,6 +3940,7 @@ object SparkEntry {
     "q187_cdc_chunk_dedup" -> (q187(_, _)),
     "q188_nb_threshold_sweep" -> (q188(_, _)),
     "q189_firstfit_fragmentation" -> (q189(_, _)),
+    "q190_temperature_sweep" -> (q190(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -119,6 +119,76 @@ object Sampling {
     df.filter(stableBucket256(col(keyCol)) < thr)
   }
 
+  /** Temperature SWEEP — the knob-picking read for [[temperatureMix]]:
+    * for each α in the ladder, the per-source keep threshold and the
+    * realized kept counts and shares, computed WITHOUT rescanning the
+    * corpus per α: the corpus aggregates ONCE into the
+    * (source, bucket) histogram (≤ 256·|sources| rows), thresholds are
+    * derived per (α, source) on the driver from the same per-source
+    * counts [[temperatureMix]] collects, and each ladder point is a
+    * broadcast join over the bounded histogram. Exponents e = 1−α in
+    * {0, 0.25, 0.5, 0.75, 1} evaluate through IEEE-exact sqrt
+    * compositions (cross-engine bit-exact — the catalog gate); other α
+    * go through libm `pow` (fine for production mixing, excluded from
+    * the exactness gate — the [[temperatureMix]] caveat). Output one
+    * row per (α, source): `(alpha, source, n_docs, thr, n_kept,
+    * kept_share)` with the share round-6 of that α's total kept.
+    */
+  def temperatureSweep(
+      df: DataFrame, keyCol: String, sourceCol: String,
+      alphas: Seq[Double]): DataFrame = {
+    require(alphas.nonEmpty && alphas.forall(a => a >= 0 && a <= 1),
+      s"alphas=$alphas must be non-empty and within [0, 1]")
+    val spark = df.sparkSession
+    val hist = CacheRegistry.track(
+      df.select(col(sourceCol).as("source"),
+          stableBucket256(col(keyCol)).as("bucket"))
+        .groupBy("source", "bucket").agg(count(lit(1)).as("n"))
+        .persist())
+    val counts = hist.groupBy("source").agg(sum(col("n")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("alpha",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_docs",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("thr",
+        org.apache.spark.sql.types.LongType)))
+    if (counts.isEmpty)
+      return spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .withColumn("n_kept", lit(0L))
+        .withColumn("kept_share", lit(0.0))
+    val minC = counts.values.min.toDouble
+    def powE(e: Double, x: Double): Double =
+      if (e == 0.0) 1.0
+      else if (e == 0.25) math.sqrt(math.sqrt(x))
+      else if (e == 0.5) math.sqrt(x)
+      else if (e == 0.75) math.sqrt(x) * math.sqrt(math.sqrt(x))
+      else if (e == 1.0) x
+      else math.pow(x, e)
+    val thrRows = for (a <- alphas; (s, c) <- counts.toSeq) yield
+      org.apache.spark.sql.Row(a, s, c,
+        math.floor(256.0 * powE(1.0 - a, minC / c)).toLong)
+    val thrDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(thrRows, 1), schema)
+    val h = hist.select(col("source").as("__hsrc"), col("bucket"),
+      col("n"))
+    val kept = broadcast(thrDf)
+      .join(h, col("source") === col("__hsrc") &&
+        col("bucket") < col("thr"), "left")
+      .groupBy("alpha", "source", "n_docs", "thr")
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n_kept"))
+    val totals = kept.groupBy("alpha").agg(sum(col("n_kept")).as("__tot"))
+    kept.join(broadcast(totals), Seq("alpha"))
+      .select(col("alpha"), col("source"), col("n_docs"), col("thr"),
+        col("n_kept"),
+        round(col("n_kept").cast("double") / col("__tot").cast("double"), 6)
+          .as("kept_share"))
+  }
+
   /** Stratified deterministic sampling: a different keep-rate per stratum
     * value (16ths), e.g. downsample a dominant language while keeping the
     * long tail whole — the corpus-rebalancing step of a training-data

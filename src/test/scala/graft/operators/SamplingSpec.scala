@@ -214,4 +214,49 @@ class SamplingSpec extends SparkSpec {
     assert(headKept < 600 && headKept > 0, s"head kept $headKept")
     CacheRegistry.drain()
   }
+
+  test("temperatureSweep agrees with temperatureMix at every shared " +
+      "alpha, keeps everything at alpha=1, equalizes thresholds at " +
+      "alpha=0, and shares sum to 1 per alpha") {
+    import spark.implicits._
+    val rows = (1L to 600L).map(i => (i, "head")) ++
+      (601L to 720L).map(i => (i, "mid")) ++
+      (721L to 750L).map(i => (i, "tail"))
+    val df = rows.toDF("doc_id", "src")
+    val sweep = Sampling.temperatureSweep(df, "doc_id", "src",
+        alphas = Seq(0.0, 0.25, 0.5, 0.75, 1.0))
+      .collect()
+      .map(r => (r.getAs[Double]("alpha"), r.getAs[String]("source")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("thr"),
+          r.getAs[Long]("n_kept"), r.getAs[Double]("kept_share"))))
+      .toMap
+    assert(sweep.size == 15)
+    // parity with the gate operator at every ladder point
+    for (a <- Seq(0.0, 0.25, 0.5, 0.75, 1.0)) {
+      val mixed = Sampling.temperatureMix(df, "doc_id", "src",
+          alpha = if (a == 0.0) 1e-12 else a) // mix requires alpha > 0
+        .groupBy("src").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      if (a > 0.0)
+        for (s <- Seq("head", "mid", "tail"))
+          assert(sweep((a, s))._3 == mixed.getOrElse(s, 0L),
+            s"alpha=$a source=$s: sweep=${sweep((a, s))._3} mix=$mixed")
+    }
+    // alpha=1: thr 256 everywhere, everything kept
+    for (s <- Seq("head", "mid", "tail")) {
+      assert(sweep((1.0, s))._2 == 256L)
+      assert(sweep((1.0, s))._3 == sweep((1.0, s))._1)
+    }
+    // alpha=0: thr = floor(256*minC/c) — full equalization pressure
+    val counts = Map("head" -> 600L, "mid" -> 120L, "tail" -> 30L)
+    for (s <- Seq("head", "mid", "tail"))
+      assert(sweep((0.0, s))._2 ==
+        math.floor(256.0 * (30.0 / counts(s))).toLong)
+    // shares sum to ~1 per alpha (round-6 residue only)
+    for (a <- Seq(0.0, 0.25, 0.5, 0.75, 1.0)) {
+      val tot = Seq("head", "mid", "tail").map(s => sweep((a, s))._4).sum
+      assert(math.abs(tot - 1.0) < 1e-5, s"alpha=$a shares sum to $tot")
+    }
+    CacheRegistry.drain()
+  }
 }
