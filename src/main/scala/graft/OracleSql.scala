@@ -5646,6 +5646,33 @@ object OracleSql {
     // LSH recall audit: full band-key replay (string_agg over the j-th
     // signature slice == the Spark concat_ws band key), candidates from
     // the band self-join, recall per exact-Jaccard decile
+    // near-dup threshold sweep: the shared audit-corpus exact pairs at
+    // the 0.3 floor, then per-ladder-point counts/docs/mean jaccard
+    "q191_neardup_threshold_sweep" ->
+      s"""WITH $minhashAuditCtes,
+        |th AS (
+        |  SELECT CAST(i AS DOUBLE) / 10.0 AS threshold
+        |  FROM (SELECT unnest(range(3, 10)) AS i)),
+        |q AS (
+        |  SELECT th.threshold, e.id_a, e.id_b, e.jaccard
+        |  FROM th JOIN exact e ON e.jaccard >= th.threshold),
+        |agg AS (
+        |  SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    round(CAST(sum(CAST(round(jaccard, 6) AS DECIMAL(18,12)))
+        |        AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_jaccard
+        |  FROM q GROUP BY threshold),
+        |dt AS (
+        |  SELECT threshold, CAST(count(DISTINCT id) AS BIGINT) AS n_docs
+        |  FROM (SELECT threshold, id_a AS id FROM q
+        |        UNION ALL SELECT threshold, id_b AS id FROM q)
+        |  GROUP BY threshold)
+        |SELECT th.threshold, coalesce(a.n_pairs, 0) AS n_pairs,
+        |  coalesce(d.n_docs, 0) AS n_docs,
+        |  coalesce(a.mean_jaccard, 0.0) AS mean_jaccard
+        |FROM th LEFT JOIN agg a USING (threshold)
+        |LEFT JOIN dt d USING (threshold)
+        |ORDER BY threshold""".stripMargin,
+
     "q177_lsh_recall_audit" ->
       s"""WITH $minhashAuditCtes,
         |bands AS (

@@ -3749,6 +3749,39 @@ object SparkEntry {
         alphas = Seq(0.0, 0.25, 0.5, 0.75, 1.0))
       .orderBy("alpha", "source")
 
+  /** Near-dup threshold sweep — the knob-picking read for the dedup
+    * threshold (q185/q186 fix 0.7 by fiat; this shows what each choice
+    * costs): over the q177 audit corpus (truncated variants planting
+    * true pairs across Jaccard 0.3–1.0), the exact pair relation
+    * computes ONCE at the ladder floor and every threshold reads pair
+    * count, docs involved, and mean Jaccard from it — the q188 sweep
+    * shape: a 7-row ladder joined against a cached relation, never a
+    * rescan of the quadratic tier.
+    */
+  private def q191(s: SparkSession, d: String): DataFrame = {
+    val pairs = graft.operators.CacheRegistry.track(
+      Dedup.prefixJaccardPairs(minhashAuditCorpus(s, d), "doc_id", "text",
+        3, 0.3).persist())
+    val ladder = s.range(3, 10)
+      .select((col("id").cast("double") / lit(10.0)).as("threshold"))
+    val q = ladder.join(pairs, col("jaccard") >= col("threshold"))
+    val agg = q.groupBy("threshold")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(round(col("jaccard"), 6).cast("decimal(18,12)"))
+          .cast("double") / count(lit(1)).cast("double"), 6)
+          .as("mean_jaccard"))
+    val dt = q.select(col("threshold"),
+        explode(array(col("id_a"), col("id_b"))).as("id"))
+      .groupBy("threshold").agg(countDistinct(col("id")).as("n_docs"))
+    ladder.join(agg, Seq("threshold"), "left")
+      .join(dt, Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("mean_jaccard"), lit(0.0)).as("mean_jaccard"))
+      .orderBy("threshold")
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3941,6 +3974,7 @@ object SparkEntry {
     "q188_nb_threshold_sweep" -> (q188(_, _)),
     "q189_firstfit_fragmentation" -> (q189(_, _)),
     "q190_temperature_sweep" -> (q190(_, _)),
+    "q191_neardup_threshold_sweep" -> (q191(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1035,6 +1035,27 @@ class DedupSpec extends SparkSpec {
       "downstream chunks must keep their identity under the shift")
   }
 
+  test("q191 threshold sweep invariants: pairs/docs non-increasing and " +
+      "mean jaccard non-decreasing in the threshold; the ladder binds") {
+    val rows = graft.SparkEntry.queries("q191_neardup_threshold_sweep")(
+      spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getAs[Double]("threshold"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("n_docs"), r.getAs[Double]("mean_jaccard")))
+      .sortBy(_._1)
+    assert(rows.length == 7)
+    assert(rows.sliding(2).forall { case Array(a, b) =>
+      a._2 >= b._2 && a._3 >= b._3 },
+      s"pairs/docs must not increase with the threshold: ${rows.toSeq}")
+    assert(rows.filter(_._2 > 0).sliding(2).forall {
+      case Array(a, b) => a._4 <= b._4
+      case _ => true
+    }, s"mean jaccard must not decrease: ${rows.toSeq}")
+    assert(rows.head._2 > rows.last._2 && rows.last._2 > 0,
+      s"the planted corpus must make the ladder bind: ${rows.toSeq}")
+    CacheRegistry.drain()
+  }
+
   test("q185 dup-mass histogram: cluster sizes, mass, and removable " +
       "count match a hand-derived corpus (clone doubling included)") {
     import spark.implicits._
