@@ -4989,6 +4989,96 @@ object OracleSql {
         |  round(CAST(n_kept AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS keep_frac
         |FROM kept CROSS JOIN tots ORDER BY threshold""".stripMargin,
 
+    // dedup drain capstone: the q186 closure + argmax keepers, corpus
+    // drained, then a SECOND independent closure proving zero residue
+    "q192_dedup_drain_capstone" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ts
+        |  FROM documents),
+        |corpus AS (
+        |  SELECT doc_id, ts FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, list_concat(ts, ts[1:2]) AS ts
+        |  FROM base),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ts) >= 3
+        |      THEN list_distinct(list_transform(range(1, len(ts) - 1),
+        |             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))
+        |      ELSE [array_to_string(ts, ' ')] END AS shingles
+        |  FROM corpus),
+        |sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |shared AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM shared
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.7),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+        |reach(id, label) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+        |comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id),
+        |q AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens FROM corpus),
+        |sel AS (
+        |  SELECT comp.component, comp.id,
+        |    row_number() OVER (PARTITION BY comp.component
+        |      ORDER BY q.n_tokens DESC, comp.id ASC) AS rn
+        |  FROM comp JOIN q ON q.doc_id = comp.id),
+        |dropped AS (SELECT id FROM sel WHERE rn > 1),
+        |drained AS (
+        |  SELECT c.doc_id, c.ts FROM corpus c
+        |  WHERE c.doc_id NOT IN (SELECT id FROM dropped)),
+        |sh2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ts) >= 3
+        |      THEN list_distinct(list_transform(range(1, len(ts) - 1),
+        |             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))
+        |      ELSE [array_to_string(ts, ' ')] END AS shingles
+        |  FROM drained),
+        |sizes2 AS (SELECT doc_id, len(shingles) AS sz FROM sh2),
+        |ex2 AS (SELECT doc_id, unnest(shingles) AS s FROM sh2),
+        |shared2 AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM ex2 a JOIN ex2 b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs2 AS (
+        |  SELECT id_a, id_b FROM shared2
+        |  JOIN sizes2 sa ON sa.doc_id = id_a
+        |  JOIN sizes2 sb ON sb.doc_id = id_b
+        |  WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.7),
+        |edges2 AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs2
+        |  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs2),
+        |reach2(id, label) AS (
+        |  SELECT src, src FROM edges2
+        |  UNION
+        |  SELECT e.dst, r.label FROM reach2 r JOIN edges2 e ON e.src = r.id),
+        |comp2 AS (SELECT id, min(label) AS component FROM reach2 GROUP BY id),
+        |before_row AS (
+        |  SELECT '1_before' AS phase,
+        |    CAST(count(DISTINCT component) AS BIGINT) AS n_clusters,
+        |    CAST(count(*) AS BIGINT) AS clustered_docs,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM corpus) AS n_docs
+        |  FROM comp),
+        |after_row AS (
+        |  SELECT '2_after' AS phase,
+        |    CAST(count(DISTINCT component) AS BIGINT) AS n_clusters,
+        |    CAST(count(*) AS BIGINT) AS clustered_docs,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM drained) AS n_docs
+        |  FROM comp2)
+        |SELECT phase, n_clusters, clustered_docs, n_docs FROM before_row
+        |UNION ALL
+        |SELECT phase, n_clusters, clustered_docs, n_docs FROM after_row
+        |ORDER BY phase""".stripMargin,
+
     // NB calibration audit: the q163 scoring chain replayed, then
     // width-2 integer score bins vs the true label rate
     "q184_nb_calibration_audit" ->

@@ -3782,6 +3782,52 @@ object SparkEntry {
       .orderBy("threshold")
   }
 
+  /** Dedup drain capstone — the decision surface CLOSED END TO END:
+    * the q186 corpus (every doc + a longer near-dup clone) is collapsed
+    * quality-aware (membership computed ONCE, keepers by argmax, the
+    * corpus drained by anti-joining the non-keepers), and then the
+    * near-dup closure RE-RUNS on the drained corpus — the after-phase
+    * zeros are not true by construction here, they are independently
+    * re-derived by the oracle's second recursive closure, so this
+    * query PROVES the drain removed every cluster rather than
+    * asserting it.
+    */
+  private def q192(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select("doc_id", "text")
+    val ts = graft.operators.TextAnalysis.tokens(col("text"))
+    val extended = base.select((col("doc_id") + 1000000L).as("doc_id"),
+      array_join(concat(ts, slice(ts, 1, 2)), " ").as("text"))
+    val corpus = graft.operators.CacheRegistry.track(
+      base.unionAll(extended)
+        .withColumn("n_tokens",
+          size(graft.operators.TextAnalysis.tokens(col("text"))).cast("long"))
+        .persist())
+    val members = graft.operators.CacheRegistry.track(
+      Dedup.nearDupMembers(corpus, "doc_id", "text", shingleN = 3,
+        threshold = 0.7).persist())
+    val keepers = Dedup.collapseMembers(members, corpus, "doc_id",
+      "n_tokens").select(col("keep_id"))
+    val dropped = members.join(keepers,
+      col("doc_id") === col("keep_id"), "left_anti")
+    val drained = graft.operators.CacheRegistry.track(
+      corpus.join(dropped.select("doc_id"), Seq("doc_id"), "left_anti")
+        .persist())
+    val before = members
+      .agg(countDistinct(col("cluster_id")).as("n_clusters"),
+        count(lit(1)).as("clustered_docs"))
+      .crossJoin(broadcast(corpus.agg(count(lit(1)).as("n_docs"))))
+      .select(lit("1_before").as("phase"), col("n_clusters"),
+        col("clustered_docs"), col("n_docs"))
+    val after = Dedup.nearDupClusters(drained, "doc_id", "text",
+        shingleN = 3, threshold = 0.7)
+      .agg(count(lit(1)).as("n_clusters"),
+        coalesce(sum(col("n_docs")), lit(0L)).as("clustered_docs"))
+      .crossJoin(broadcast(drained.agg(count(lit(1)).as("n_docs"))))
+      .select(lit("2_after").as("phase"), col("n_clusters"),
+        col("clustered_docs"), col("n_docs"))
+    before.unionAll(after).orderBy("phase")
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3975,6 +4021,7 @@ object SparkEntry {
     "q189_firstfit_fragmentation" -> (q189(_, _)),
     "q190_temperature_sweep" -> (q190(_, _)),
     "q191_neardup_threshold_sweep" -> (q191(_, _)),
+    "q192_dedup_drain_capstone" -> (q192(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1329,8 +1329,19 @@ object Dedup {
     */
   def qualityCollapse(
       df: DataFrame, idCol: String, textCol: String, qualityCol: String,
-      shingleN: Int, threshold: Double): DataFrame = {
-    val members = nearDupMembers(df, idCol, textCol, shingleN, threshold)
+      shingleN: Int, threshold: Double): DataFrame =
+    collapseMembers(
+      nearDupMembers(df, idCol, textCol, shingleN, threshold),
+      df, idCol, qualityCol)
+
+  /** The argmax tail of [[qualityCollapse]] over a PRECOMPUTED (and
+    * typically cached) membership relation — for pipelines that need
+    * the membership twice (e.g. decide keepers AND drain the corpus by
+    * anti-joining the non-keepers) without re-running the pair tier.
+    */
+  def collapseMembers(
+      members: DataFrame, df: DataFrame, idCol: String,
+      qualityCol: String): DataFrame =
     members.join(df.select(col(idCol), col(qualityCol)), Seq(idCol))
       .groupBy("cluster_id")
       .agg(count(lit(1)).as("n_docs"),
@@ -1339,7 +1350,6 @@ object Dedup {
       .select(col("cluster_id"), col("n_docs"),
         (-col("__best.nid")).as("keep_id"),
         col("__best.q").as("keep_quality"))
-  }
 
   /** Content-defined chunking (CDC — the LBFS/FastCDC family reduced to
     * its deterministic token-level core): token i (0-based) STARTS a new

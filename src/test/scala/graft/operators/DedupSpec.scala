@@ -1056,6 +1056,24 @@ class DedupSpec extends SparkSpec {
     CacheRegistry.drain()
   }
 
+  test("q192 drain capstone: the before phase covers the whole cloned " +
+      "corpus, the after phase is independently zero, and exactly one " +
+      "doc per cluster survives") {
+    val rows = graft.SparkEntry.queries("q192_dedup_drain_capstone")(
+      spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => r.getAs[String]("phase") ->
+        ((r.getAs[Long]("n_clusters"), r.getAs[Long]("clustered_docs"),
+          r.getAs[Long]("n_docs")))).toMap
+    val (bc, bd, bn) = rows("1_before")
+    val (ac, ad, an) = rows("2_after")
+    assert(ac == 0L && ad == 0L, s"drain must leave zero clusters: $rows")
+    assert(an == bn - (bd - bc),
+      s"survivors = corpus - (clustered - one keeper per cluster): $rows")
+    assert(bc > 0 && bd >= 2 * bc, "planted corpus must actually cluster")
+    CacheRegistry.drain()
+  }
+
   test("q185 dup-mass histogram: cluster sizes, mass, and removable " +
       "count match a hand-derived corpus (clone doubling included)") {
     import spark.implicits._
