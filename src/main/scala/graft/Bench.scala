@@ -167,6 +167,12 @@ object Bench {
       // round 15) — a swing past ~9 s in the durable tail means the
       // composed chain regressed, not scatter
       "q158_curation_pipeline2", "q167_curation_pipeline3",
+      // the dedup drain capstone runs TWO full exact pair tiers by
+      // design (before-closure + independent after-closure on the
+      // drained corpus): BenchProbe floor ~10 s warm (jit drains to
+      // ~6 s residual, gc ≈ 0.2 s — genuine compute), so treat ~15 s
+      // as the regression bar
+      "q192_dedup_drain_capstone",
       // standing q60 watch (r14 verdict order #6): BenchProbe floor
       // 2.0-2.5 s steady, but its recorded history (r5/r12/r14 —
       // cold 24.84 s in BENCH_r14, the largest cold entry ever) is

@@ -162,6 +162,25 @@ object ScaleStress {
         "embedding", "cell", ivfCents, ivfModel, ivfQuery,
         topK = 10, nprobe = 4).count()
 
+    // round-16 tiers: CDC chunking (one doc-keyed window pass over the
+    // token long-form — the linear axis), the collapse-first membership
+    // closure (replication makes every doc a `reps`-member exact clique,
+    // so the quadratic pair stage sees only 1× representatives — the
+    // whole point of exact-collapse-first, here measured), first-fit
+    // packing (per-shard mapPartitions state machine over byte lengths),
+    // and the temperature sweep (one bounded histogram + ladder joins).
+    def cdc(d: DataFrame): Long =
+      Dedup.cdcChunks(d, "doc_id", "text", divisor = 8).count()
+    def members(d: DataFrame): Long =
+      Dedup.nearDupMembers(d, "doc_id", "text", 3, 0.7).count()
+    def firstfit(d: DataFrame): Long =
+      Packing.firstFitBlocks(
+        d.select(col("doc_id"), length(col("text")).as("len")),
+        "doc_id", "len", blockSize = 4096L).count()
+    def tempSweep(d: DataFrame): Long =
+      Sampling.temperatureSweep(d, "doc_id", "source",
+        Seq(0.0, 0.25, 0.5, 0.75, 1.0)).count()
+
     println(s"[stress] --- base (1x, $sfDir) ---")
     time("bloom_dedup")(bloom(docs))
     time("group_quota")(quota(docs))
@@ -180,6 +199,10 @@ object ScaleStress {
     time("audio_span_hash")(audioSpan(docs))
     time("content_box_hash")(contentBox(docs))
     time("ivfadc_topk")(ivfAdc(embs))
+    time("cdc_chunks")(cdc(docs))
+    time("neardup_members")(members(docs))
+    time("firstfit_blocks")(firstfit(docs))
+    time("temperature_sweep")(tempSweep(docs))
     println(s"[stress] --- ${reps}x replicated ---")
     time("bloom_dedup")(bloom(docsN))
     time("group_quota")(quota(docsN))
@@ -198,6 +221,10 @@ object ScaleStress {
     time("audio_span_hash")(audioSpan(docsN))
     time("content_box_hash")(contentBox(docsN))
     time("ivfadc_topk")(ivfAdc(embsN))
+    time("cdc_chunks")(cdc(docsN))
+    time("neardup_members")(members(docsN))
+    time("firstfit_blocks")(firstfit(docsN))
+    time("temperature_sweep")(tempSweep(docsN))
     spark.stop()
   }
 }
