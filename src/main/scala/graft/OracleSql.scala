@@ -4807,6 +4807,51 @@ object OracleSql {
         |  id AS keep_id, n_tokens AS keep_quality
         |FROM sel WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
 
+    // CDC divisor sweep: shared positional pair hashes, per-divisor
+    // boundary flags + running sums, then the per-divisor rollup
+    "q193_cdc_divisor_sweep" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ts
+        |  FROM documents),
+        |corpus AS (
+        |  SELECT doc_id, ts FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, list_concat(['XX'], ts) AS ts
+        |  FROM base),
+        |pos AS (
+        |  SELECT doc_id, i, ts[i] AS tok,
+        |    CASE WHEN i >= 2
+        |      THEN CAST(('0x' || substr(md5(ts[i-1] || ' ' || ts[i]), 1, 12))
+        |             AS BIGINT)
+        |      ELSE NULL END AS h
+        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i
+        |        FROM corpus)),
+        |dv AS (SELECT unnest([4, 8, 16, 32]) AS divisor),
+        |fl AS (
+        |  SELECT dv.divisor, p.doc_id, p.i, p.tok,
+        |    CASE WHEN p.h IS NOT NULL AND p.h % dv.divisor = 0
+        |      THEN 1 ELSE 0 END AS b
+        |  FROM pos p CROSS JOIN dv),
+        |ch AS (
+        |  SELECT divisor, doc_id, i, tok,
+        |    sum(b) OVER (PARTITION BY divisor, doc_id ORDER BY i) AS ci
+        |  FROM fl),
+        |chunks AS (
+        |  SELECT divisor, doc_id, ci,
+        |    md5(string_agg(tok, ' ' ORDER BY i)) AS fp,
+        |    CAST(count(*) AS BIGINT) AS nt
+        |  FROM ch GROUP BY divisor, doc_id, ci),
+        |perfp AS (
+        |  SELECT divisor, fp, CAST(count(*) AS BIGINT) AS occ,
+        |    max(nt) AS nt
+        |  FROM chunks GROUP BY divisor, fp)
+        |SELECT divisor, CAST(sum(occ) AS BIGINT) AS n_chunks,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  round(CAST(sum(occ * nt) AS DOUBLE) / CAST(sum(occ) AS DOUBLE), 6)
+        |    AS mean_tokens,
+        |  CAST(sum((occ - 1) * nt) AS BIGINT) AS dup_token_mass
+        |FROM perfp GROUP BY divisor ORDER BY divisor""".stripMargin,
+
     // content-defined chunking: boundary when the 48-bit md5 of the
     // adjacent token pair ≡ 0 mod 8, chunks via a running boundary sum,
     // then the occurrence histogram over chunk fingerprints

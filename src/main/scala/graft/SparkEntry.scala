@@ -3828,6 +3828,21 @@ object SparkEntry {
     before.unionAll(after).orderBy("phase")
   }
 
+  /** CDC divisor sweep — the expected-chunk-size knob over the q187
+    * corpus (every doc + a one-token-prepended clone): per divisor,
+    * chunk counts, mean length, and the duplicate mass recovered. The
+    * knob's trade reads directly: larger divisors → fewer, longer
+    * chunks → slightly less recoverable mass (each clone's head chunk
+    * is longer and never deduplicates).
+    */
+  private def q193(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select("doc_id", "text")
+    val clones = base.select((col("doc_id") + 1000000L).as("doc_id"),
+      concat(lit("XX "), col("text")).as("text"))
+    Dedup.cdcDivisorSweep(base.unionAll(clones), "doc_id", "text",
+      divisors = Seq(4, 8, 16, 32))
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4022,6 +4037,7 @@ object SparkEntry {
     "q190_temperature_sweep" -> (q190(_, _)),
     "q191_neardup_threshold_sweep" -> (q191(_, _)),
     "q192_dedup_drain_capstone" -> (q192(_, _)),
+    "q193_cdc_divisor_sweep" -> (q193(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1400,6 +1400,55 @@ object Dedup {
         col("n_tokens"))
   }
 
+  /** CDC divisor SWEEP — the expected-chunk-size knob read for
+    * [[cdcChunks]]: per divisor on the ladder, total and distinct chunk
+    * counts, the mean chunk length, and the duplicate token mass a
+    * keep-one-copy chunk store would recover — bigger chunks mean fewer
+    * objects but a larger head-chunk loss per edited re-crawl, and this
+    * relation prices that trade. The expensive shared work (tokenize +
+    * the per-position pair md5) computes ONCE into a cached long-form;
+    * only the boundary predicate and the per-(divisor, doc) running sum
+    * differ per ladder point, so the ×|divisors| expansion carries a
+    * precomputed hash, never a rescan of the corpus parse.
+    */
+  def cdcDivisorSweep(df: DataFrame, idCol: String, textCol: String,
+      divisors: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(divisors.nonEmpty && divisors.forall(_ > 0),
+      s"divisors=$divisors must be non-empty and positive")
+    val toks = df.select(col(idCol),
+      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("__p", "__t")))
+    val wDoc = Window.partitionBy(col(idCol)).orderBy(col("__p"))
+    val hashed = CacheRegistry.track(toks.withColumn("__h",
+        conv(substring(md5(concat(lag(col("__t"), 1).over(wDoc),
+          lit(" "), col("__t"))), 1, 12), 16, 10).cast("long"))
+      .persist())
+    val flagged = hashed.select(col(idCol), col("__p"), col("__t"),
+        col("__h"),
+        explode(array(divisors.map(d => lit(d)): _*)).as("divisor"))
+      .withColumn("__b",
+        when(col("__p") > 0 && col("__h") % col("divisor") === 0, lit(1))
+          .otherwise(lit(0)))
+    val w2 = Window.partitionBy(col("divisor"), col(idCol))
+      .orderBy(col("__p"))
+    val chunks = flagged.withColumn("__ci", sum(col("__b")).over(w2))
+      .groupBy(col("divisor"), col(idCol), col("__ci"))
+      .agg(
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("__p"), col("__t")))),
+          x => x.getField("__t")))).as("fp"),
+        count(lit(1)).as("nt"))
+    chunks.groupBy(col("divisor"), col("fp"))
+      .agg(count(lit(1)).as("occ"), max(col("nt")).as("nt"))
+      .groupBy("divisor")
+      .agg(sum(col("occ")).as("n_chunks"),
+        count(lit(1)).as("n_distinct"),
+        round(sum(col("occ") * col("nt")).cast("double")
+          / sum(col("occ")).cast("double"), 6).as("mean_tokens"),
+        sum((col("occ") - 1) * col("nt")).as("dup_token_mass"))
+      .orderBy("divisor")
+  }
+
   /** Hard ceiling for the explicitly-named brute-force (O(n²) crossJoin)
     * verify tiers: the guard probes with limit(max+1).count() so an
     * oversized relation costs one capped count, never a quadratic join.

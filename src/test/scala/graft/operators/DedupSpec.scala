@@ -1056,6 +1056,36 @@ class DedupSpec extends SparkSpec {
     CacheRegistry.drain()
   }
 
+  test("cdcDivisorSweep matches a per-divisor cdcChunks replay exactly " +
+      "and chunk counts fall as the divisor grows") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, (1 to 80).map(i => s"t$i").mkString(" ")),
+      (2L, "XX " + (1 to 80).map(i => s"t$i").mkString(" ")),
+      (3L, (1 to 40).map(i => s"u$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val sweep = Dedup.cdcDivisorSweep(df, "doc_id", "text",
+        divisors = Seq(4, 8, 16))
+      .collect()
+      .map(r => r.getAs[Int]("divisor") ->
+        ((r.getAs[Long]("n_chunks"), r.getAs[Long]("n_distinct"),
+          r.getAs[Long]("dup_token_mass")))).toMap
+    for (d <- Seq(4, 8, 16)) {
+      val perFp = Dedup.cdcChunks(df, "doc_id", "text", d)
+        .groupBy("chunk_fp")
+        .agg(count(lit(1)).as("occ"), max(col("n_tokens")).as("nt"))
+        .collect()
+        .map(r => (r.getAs[Long]("occ"), r.getAs[Long]("nt")))
+      val want = (perFp.map(_._1).sum, perFp.size.toLong,
+        perFp.map { case (o, n) => (o - 1) * n }.sum)
+      assert(sweep(d) == want, s"divisor $d: ${sweep(d)} vs $want")
+    }
+    assert(sweep(4)._1 >= sweep(8)._1 && sweep(8)._1 >= sweep(16)._1,
+      s"chunk count must fall with the divisor: $sweep")
+    assert(sweep(4)._3 > 0, "the prepended clone must create dup mass")
+    CacheRegistry.drain()
+  }
+
   test("q192 drain capstone: the before phase covers the whole cloned " +
       "corpus, the after phase is independently zero, and exactly one " +
       "doc per cluster survives") {
