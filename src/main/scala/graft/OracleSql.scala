@@ -5398,6 +5398,95 @@ object OracleSql {
 
     // batch IVF vs exact: q45's assignment, per-QUERY cell ranking
     // (sim desc, cell asc), both per-query top-10s, intersection
+    // IVF nprobe sweep: q169's replay with the probe rank kept, a
+    // 4-point ladder re-ranking top-10 from the shared candidate set
+    "q194_ivf_nprobe_sweep" ->
+      """WITH cents AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS c
+        |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+        |qs AS (SELECT vec_id AS qid, embedding AS qv
+        |       FROM embeddings WHERE vec_id < 8),
+        |assigned AS (
+        |  SELECT vec_id, embedding, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
+        |  FROM (
+        |    SELECT e.vec_id, e.embedding, c.cell,
+        |      list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.c[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(range(1, len(c.c) + 1),
+        |           i -> CAST(c.c[i] AS DOUBLE) * CAST(c.c[i] AS DOUBLE))))) AS sim
+        |    FROM embeddings e CROSS JOIN cents c)),
+        |routing AS (
+        |  SELECT qid, cell, crk FROM (
+        |    SELECT qid, cell,
+        |      row_number() OVER (PARTITION BY qid
+        |        ORDER BY csim DESC, cell ASC) AS crk
+        |    FROM (
+        |      SELECT q.qid, c.cell,
+        |        list_sum(list_transform(range(1, len(c.c) + 1),
+        |          i -> CAST(c.c[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+        |        / (sqrt(list_sum(list_transform(range(1, len(c.c) + 1),
+        |             i -> CAST(c.c[i] AS DOUBLE) * CAST(c.c[i] AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(range(1, len(q.qv) + 1),
+        |             i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))))
+        |          AS csim
+        |      FROM qs q CROSS JOIN cents c) s0)
+        |  WHERE crk <= 8),
+        |cand AS (
+        |  SELECT r.qid, a.vec_id, r.crk,
+        |    list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |         i -> CAST(a.embedding[i] AS DOUBLE)
+        |              * CAST(a.embedding[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1, len(q.qv) + 1),
+        |         i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))))
+        |      AS cos
+        |  FROM assigned a
+        |  JOIN routing r ON a.cell = r.cell AND a.rn = 1
+        |  JOIN qs q ON q.qid = r.qid),
+        |np AS (SELECT unnest([1, 2, 4, 8]) AS nprobe),
+        |lad AS (
+        |  SELECT np.nprobe, c.qid, c.vec_id,
+        |    row_number() OVER (PARTITION BY np.nprobe, c.qid
+        |      ORDER BY c.cos DESC, c.vec_id ASC) AS rk
+        |  FROM np JOIN cand c ON c.crk <= np.nprobe),
+        |scanned AS (
+        |  SELECT np.nprobe, CAST(count(*) AS BIGINT) AS n_scanned
+        |  FROM np JOIN cand c ON c.crk <= np.nprobe GROUP BY np.nprobe),
+        |ex AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id,
+        |      row_number() OVER (PARTITION BY qid
+        |        ORDER BY cos DESC, vec_id ASC) AS rk
+        |    FROM (
+        |      SELECT q.qid, e.vec_id,
+        |        list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+        |        / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |             i -> CAST(e.embedding[i] AS DOUBLE)
+        |                  * CAST(e.embedding[i] AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(range(1, len(q.qv) + 1),
+        |             i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))))
+        |          AS cos
+        |      FROM embeddings e CROSS JOIN qs q) s2)
+        |  WHERE rk <= 10),
+        |ext AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM ex),
+        |hits AS (
+        |  SELECT l.nprobe, CAST(count(*) AS BIGINT) AS n_hits
+        |  FROM lad l JOIN ex ON ex.qid = l.qid AND ex.vec_id = l.vec_id
+        |  WHERE l.rk <= 10 GROUP BY l.nprobe)
+        |SELECT np.nprobe, coalesce(h.n_hits, 0) AS n_hits,
+        |  round(CAST(coalesce(h.n_hits, 0) AS DOUBLE)
+        |    / CAST(ext.tot AS DOUBLE), 6) AS recall,
+        |  coalesce(s.n_scanned, 0) AS n_scanned
+        |FROM np CROSS JOIN ext
+        |LEFT JOIN hits h ON h.nprobe = np.nprobe
+        |LEFT JOIN scanned s ON s.nprobe = np.nprobe
+        |ORDER BY np.nprobe""".stripMargin,
+
     "q169_ivf_recall_audit" ->
       """WITH cents AS (
         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS c

@@ -3843,6 +3843,49 @@ object SparkEntry {
       divisors = Seq(4, 8, 16, 32))
   }
 
+  /** IVF nprobe sweep — the recall-vs-cost curve that TUNES the probe
+    * count (q169 audits ONE operating point; this prices the ladder):
+    * candidates score ONCE at the ladder ceiling with their probe rank
+    * kept ([[graft.operators.Ann.ivfScoredCandidates]]), and each
+    * nprobe re-ranks top-10 from the cached relation — filtering
+    * `probe_rank <= p` IS the nprobe-p candidate set, so the probe
+    * join never re-runs. `n_scanned` is the cost axis (candidate rows
+    * scored), recall the quality axis, over the 8-query batch.
+    */
+  private def q194(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(s, d)
+    val queries = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"),
+        col("embedding").cast("array<double>").as("qvec"))
+    val cents = Ann.sampleCentroids(e, "vec_id", "embedding", 16)
+    val assigned = Ann.assignCells(e, "embedding", cents)
+    val scored = graft.operators.CacheRegistry.track(
+      Ann.ivfScoredCandidates(assigned, "vec_id", "embedding", cents,
+        queries, "qid", "qvec", nprobe = 8).persist())
+    val exact = graft.operators.CacheRegistry.track(
+      Ann.bruteForceTopKBatch(e, "vec_id", "embedding", queries, "qid",
+        "qvec", 10).select("qid", "vec_id").persist())
+    val exTot = exact.agg(count(lit(1)).as("__ext"))
+    Seq(1, 2, 4, 8).map { p =>
+      val cand = scored.filter(col("probe_rank") <= p)
+      val topk = cand
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("cosine").desc, col("vec_id").asc)))
+        .filter(col("rnk") <= 10)
+      exact.join(topk.select("qid", "vec_id"), Seq("qid", "vec_id"),
+          "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_scanned"))))
+        .crossJoin(broadcast(exTot))
+        .select(lit(p).as("nprobe"), col("n_hits"),
+          round(col("n_hits").cast("double") / col("__ext").cast("double"),
+            6).as("recall"),
+          col("n_scanned"))
+    }.reduce(_ unionAll _).orderBy("nprobe")
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4038,6 +4081,7 @@ object SparkEntry {
     "q191_neardup_threshold_sweep" -> (q191(_, _)),
     "q192_dedup_drain_capstone" -> (q192(_, _)),
     "q193_cdc_divisor_sweep" -> (q193(_, _)),
+    "q194_ivf_nprobe_sweep" -> (q194(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

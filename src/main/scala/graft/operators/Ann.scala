@@ -371,7 +371,32 @@ object Ann {
       queries: DataFrame, qidCol: String, qvecCol: String,
       k: Int, nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(k > 0 && nprobe > 0, s"k=$k nprobe=$nprobe must be positive")
+    require(k > 0, s"k=$k must be positive")
+    ivfScoredCandidates(assigned, idCol, vecCol, centroids, queries,
+      qidCol, qvecCol, nprobe)
+      .drop("probe_rank")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col(qidCol))
+          .orderBy(col("cosine").desc, col(idCol).asc)))
+      .filter(col("rnk") <= k)
+  }
+
+  /** The scored candidate relation behind [[ivfTopKBatch]], with each
+    * candidate's PROBE RANK kept (`probe_rank` = how many cells deep
+    * the routing had to go to reach this row's cell): computing it once
+    * at the largest nprobe lets an nprobe SWEEP re-rank top-k per
+    * ladder point from one cached relation — filtering
+    * `probe_rank <= p` is exactly the candidate set ivfTopKBatch would
+    * have scored at nprobe = p, so the expensive probe join never
+    * re-runs. Output `(qidCol, idCol, cosine, probe_rank)`.
+    */
+  def ivfScoredCandidates(
+      assigned: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Int, Seq[Double])],
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nprobe > 0, s"nprobe=$nprobe must be positive")
     val session = assigned.sparkSession
     import session.implicits._
     val cents = centroids.map { case (cid, v) => (cid, v) }
@@ -385,15 +410,12 @@ object Ann {
         Window.partitionBy(col("__qid"))
           .orderBy(col("__csim").desc, col("cell").asc)))
       .filter(col("__crk") <= nprobe)
-      .select(col("__qid"), col("__qv"), col("cell"))
+      .select(col("__qid"), col("__qv"), col("cell"), col("__crk"))
     assigned.join(broadcast(routing), Seq("cell"))
       .select(col("__qid").as(qidCol), col(idCol),
         Dedup.cosine(col(vecCol).cast("array<double>"), col("__qv"))
-          .as("cosine"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col(qidCol))
-          .orderBy(col("cosine").desc, col(idCol).asc)))
-      .filter(col("rnk") <= k)
+          .as("cosine"),
+        col("__crk").as("probe_rank"))
   }
 
   /** IVF query: score only rows in the `nprobe` cells nearest the query. */

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, row_number}
 
 import graft.SparkSpec
 
@@ -110,6 +110,37 @@ class AnnSpec extends SparkSpec {
         .collect().map(_.getAs[Long]("vec_id")).toSeq
       val got = (1 to loop.length).map(r => batch((qid, r)))
       assert(got == loop, s"qid=$qid: batch $got != loop $loop")
+    }
+  }
+
+  test("ivfScoredCandidates at the ladder ceiling re-ranks to EXACTLY " +
+      "ivfTopKBatch at every smaller nprobe (probe_rank filter = the " +
+      "nprobe-p candidate set)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = vecs()
+    val cents = Ann.sampleCentroids(df, "vec_id", "embedding", 4)
+    val assigned = Ann.assignCells(df, "embedding", cents)
+    val queries = df.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"),
+        col("embedding").cast("array<double>").as("qvec"))
+    val scored = Ann.ivfScoredCandidates(assigned, "vec_id", "embedding",
+      cents, queries, "qid", "qvec", nprobe = 4)
+    for (p <- Seq(1, 2, 4)) {
+      val viaSweep = scored.filter(col("probe_rank") <= p)
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("cosine").desc, col("vec_id").asc)))
+        .filter(col("rnk") <= 5)
+        .collect()
+        .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rnk"),
+          r.getAs[Long]("vec_id"))).toSet
+      val direct = Ann.ivfTopKBatch(assigned, "vec_id", "embedding",
+          cents, queries, "qid", "qvec", k = 5, nprobe = p)
+        .collect()
+        .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rnk"),
+          r.getAs[Long]("vec_id"))).toSet
+      assert(viaSweep == direct, s"nprobe=$p: sweep != direct")
     }
   }
 
