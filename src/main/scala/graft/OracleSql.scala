@@ -5897,6 +5897,39 @@ object OracleSql {
         |LEFT JOIN dt d USING (threshold)
         |ORDER BY threshold""".stripMargin,
 
+    // LSH banding sweep: shared signatures, per-config band regrouping,
+    // candidate volume + true-pair recall per (bands x rows) split
+    "q195_lsh_band_sweep" ->
+      s"""WITH $minhashAuditCtes,
+        |cfg AS (SELECT unnest([4, 8, 16, 32]) AS bands),
+        |bk AS (
+        |  SELECT s.doc_id, cfg.bands,
+        |    s.j // (32 // cfg.bands) AS band_id,
+        |    string_agg(CAST(s.m AS VARCHAR), '_' ORDER BY s.j) AS key
+        |  FROM sig s CROSS JOIN cfg
+        |  GROUP BY s.doc_id, cfg.bands, s.j // (32 // cfg.bands)),
+        |cand AS (
+        |  SELECT DISTINCT a.bands, a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bk a JOIN bk b ON a.bands = b.bands
+        |    AND a.band_id = b.band_id AND a.key = b.key
+        |    AND a.doc_id < b.doc_id),
+        |ex5 AS (SELECT id_a, id_b FROM exact WHERE jaccard >= 0.5),
+        |ext AS (SELECT CAST(count(*) AS BIGINT) AS nex FROM ex5),
+        |nc AS (SELECT bands, CAST(count(*) AS BIGINT) AS n_candidates
+        |       FROM cand GROUP BY bands),
+        |nf AS (SELECT c.bands, CAST(count(*) AS BIGINT) AS n_found
+        |       FROM ex5 e JOIN cand c ON c.id_a = e.id_a AND c.id_b = e.id_b
+        |       GROUP BY c.bands)
+        |SELECT cfg.bands, CAST(32 // cfg.bands AS INT) AS rows_per_band,
+        |  coalesce(nc.n_candidates, 0) AS n_candidates,
+        |  coalesce(nf.n_found, 0) AS n_found,
+        |  round(CAST(coalesce(nf.n_found, 0) AS DOUBLE)
+        |    / CAST(ext.nex AS DOUBLE), 6) AS recall
+        |FROM cfg CROSS JOIN ext
+        |LEFT JOIN nc ON nc.bands = cfg.bands
+        |LEFT JOIN nf ON nf.bands = cfg.bands
+        |ORDER BY cfg.bands""".stripMargin,
+
     "q177_lsh_recall_audit" ->
       s"""WITH $minhashAuditCtes,
         |bands AS (

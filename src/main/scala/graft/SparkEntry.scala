@@ -3886,6 +3886,17 @@ object SparkEntry {
     }.reduce(_ unionAll _).orderBy("nprobe")
   }
 
+  /** LSH banding sweep — the last un-swept knob: over the q177 audit
+    * corpus, candidate volume (cost) and true-pair recall (quality)
+    * per (bands × rows) split of the SAME 32-component signatures.
+    * q177 shows one banding's recall S-curve per Jaccard decile; this
+    * prices the banding CHOICE.
+    */
+  private def q195(s: SparkSession, d: String): DataFrame =
+    Dedup.lshBandSweep(minhashAuditCorpus(s, d), "doc_id", "text",
+      shingleN = 3, numHashes = 32, bandsLadder = Seq(4, 8, 16, 32),
+      threshold = 0.5)
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4082,6 +4093,7 @@ object SparkEntry {
     "q192_dedup_drain_capstone" -> (q192(_, _)),
     "q193_cdc_divisor_sweep" -> (q193(_, _)),
     "q194_ivf_nprobe_sweep" -> (q194(_, _)),
+    "q195_lsh_band_sweep" -> (q195(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1088,6 +1088,58 @@ object Dedup {
       .orderBy("j_band")
   }
 
+  /** LSH banding SWEEP — the (bands × rows) knob read for the MinHash
+    * candidate stage: the 32-component signatures compute ONCE (one
+    * keyed aggregation over the cached portable hash relation), and
+    * each ladder point REGROUPS the same signature columns into its
+    * own band keys — more, narrower bands catch more true pairs but
+    * emit more candidate pairs for the exact check to pay for. Output
+    * per banding: `(bands, rows_per_band, n_candidates, n_found,
+    * recall)` against the TRUE pairs at `threshold` — the cost axis
+    * and the quality axis of the S-curve, priced together.
+    * Deterministic end-to-end ([[minhashRecallAudit]]'s argument).
+    */
+  def lshBandSweep(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 32,
+      bandsLadder: Seq[Int] = Seq(4, 8, 16, 32),
+      threshold: Double = 0.5): DataFrame = {
+    require(bandsLadder.nonEmpty &&
+      bandsLadder.forall(b => b > 0 && numHashes % b == 0),
+      s"every bands value in $bandsLadder must divide numHashes=$numHashes")
+    val ex = CacheRegistry.track(
+      portableShingleHashes(df, idCol, textCol, shingleN).persist())
+    val exact = CacheRegistry.track(
+      exactJaccardFromHashes(ex, threshold).persist())
+    val sigs = CacheRegistry.track(portableSigs(ex, numHashes).persist())
+    val exTot = exact.agg(count(lit(1)).as("__nex"))
+    bandsLadder.map { bands =>
+      val r = numHashes / bands
+      val bandRows = sigs.select(col("id"),
+          explode(array((0 until bands).map { b =>
+            struct(lit(b).as("band_id"),
+              concat_ws("_",
+                (0 until r).map(x => col(s"m${b * r + x}")): _*).as("key"))
+          }: _*)).as("bd"))
+        .select(col("id"), col("bd.band_id").as("band_id"),
+          col("bd.key").as("key"))
+      val cand = CacheRegistry.track(bandRows
+        .select(col("id").as("id_a"), col("band_id"), col("key"))
+        .join(bandRows.select(col("id").as("id_b"), col("band_id"),
+          col("key")), Seq("band_id", "key"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct().persist())
+      val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+      exact.join(cand, Seq("id_a", "id_b"), "left_semi")
+        .agg(count(lit(1)).as("n_found"))
+        .crossJoin(broadcast(nCand))
+        .crossJoin(broadcast(exTot))
+        .select(lit(bands).as("bands"), lit(r).as("rows_per_band"),
+          col("n_candidates"), col("n_found"),
+          round(col("n_found").cast("double") / col("__nex").cast("double"),
+            6).as("recall"))
+    }.reduce(_ unionAll _).orderBy("bands")
+  }
+
   /** MinHash signature-fidelity audit (VERDICT r14 order #1c): per
     * TRUE near-dup pair, the signature-estimated Jaccard (matching
     * fraction of the k portable signature components) against the

@@ -1086,6 +1086,25 @@ class DedupSpec extends SparkSpec {
     CacheRegistry.drain()
   }
 
+  test("q195 band sweep invariants: candidate sets nest (wider bands " +
+      "imply their sub-bands), so candidates and recall are " +
+      "non-decreasing in the band count; the trade genuinely binds") {
+    val rows = graft.SparkEntry.queries("q195_lsh_band_sweep")(
+      spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getAs[Int]("bands"), r.getAs[Long]("n_candidates"),
+        r.getAs[Long]("n_found"), r.getAs[Double]("recall")))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(4, 8, 16, 32))
+    assert(rows.sliding(2).forall { case Array(a, b) =>
+      a._2 <= b._2 && a._4 <= b._4 },
+      s"candidates/recall must not fall as bands grow: ${rows.toSeq}")
+    assert(rows.forall(r => r._3 <= r._2 && r._4 <= 1.0))
+    assert(rows.head._4 < rows.last._4,
+      s"the planted corpus must make banding bind: ${rows.toSeq}")
+    CacheRegistry.drain()
+  }
+
   test("q192 drain capstone: the before phase covers the whole cloned " +
       "corpus, the after phase is independently zero, and exactly one " +
       "doc per cluster survives") {
