@@ -732,6 +732,27 @@ class PlanQualitySpec extends SparkSpec {
     graft.operators.CacheRegistry.drain()
   }
 
+  test("the sweep queries never go quadratic: q190/q193/q195 plans are " +
+      "keyed joins + broadcast ladders only (no CartesianProduct), and " +
+      "the shared expensive relation is served from cache") {
+    for (name <- Seq("q190_temperature_sweep", "q193_cdc_divisor_sweep",
+        "q195_lsh_band_sweep")) {
+      val p = executed(graft.SparkEntry.queries(name)(spark, sf)).toString
+      assert(!p.contains("CartesianProduct"),
+        s"$name must stay keyed/broadcast:\n" + p.take(1200))
+      graft.operators.CacheRegistry.drain()
+    }
+    // q194's shared scored relation must be cached (each ladder point
+    // re-ranks from it; a re-run of the probe join would defeat the
+    // sweep's point)
+    val p194 = executed(graft.SparkEntry.queries("q194_ivf_nprobe_sweep")(
+      spark, sf)).toString
+    assert(p194.contains("InMemoryTableScan") ||
+      p194.contains("TableCacheQueryStage"),
+      "q194 must serve candidates from cache:\n" + p194.take(1200))
+    graft.operators.CacheRegistry.drain()
+  }
+
   test("jlProject is ONE shuffle-free codegen projection: no Exchange, " +
       "no Join, and the fold stays inside WholeStageCodegen") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
