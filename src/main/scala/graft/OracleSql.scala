@@ -4807,6 +4807,44 @@ object OracleSql {
         |  id AS keep_id, n_tokens AS keep_quality
         |FROM sel WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
 
+    // paragraph dedup (Dolma rule): first occurrence of every non-empty
+    // trimmed line keeps, later copies drop; empty lines are layout
+    "q196_paragraph_dedup" ->
+      """WITH src AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN chr(10) || 'Shared disclaimer paragraph' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN chr(10) || 'Subscribe to our newsletter' ELSE '' END
+        |    AS text
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id, i - 1 AS line_no, ls[i] AS line,
+        |    trim(ls[i]) AS trimmed
+        |  FROM (SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS i
+        |        FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+        |              FROM src))),
+        |fl AS (
+        |  SELECT doc_id, line_no, line, trimmed,
+        |    row_number() OVER (PARTITION BY trimmed
+        |      ORDER BY doc_id, line_no) AS rn
+        |  FROM lines),
+        |keptl AS (
+        |  SELECT doc_id, line_no, line FROM fl
+        |  WHERE trimmed = '' OR rn = 1),
+        |kg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    string_agg(line, chr(10) ORDER BY line_no) AS cleaned_text
+        |  FROM keptl GROUP BY doc_id),
+        |tot AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS nl
+        |  FROM lines GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(k.n_kept, 0) AS n_kept,
+        |  t.nl - coalesce(k.n_kept, 0) AS n_removed,
+        |  coalesce(k.cleaned_text, '') AS cleaned_text
+        |FROM tot t LEFT JOIN kg k USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
+
     // CDC divisor sweep: shared positional pair hashes, per-divisor
     // boundary flags + running sums, then the per-divisor rollup
     "q193_cdc_divisor_sweep" ->

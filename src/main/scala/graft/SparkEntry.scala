@@ -3897,6 +3897,25 @@ object SparkEntry {
       shingleN = 3, numHashes = 32, bandsLadder = Seq(4, 8, 16, 32),
       threshold = 0.5)
 
+  /** Cross-document paragraph dedup, Dolma rule — first occurrence
+    * keeps, every later copy drops (q80's frequency threshold removes
+    * chrome from ALL docs; this preserves one canonical copy): two
+    * boilerplate paragraphs are planted on overlapping thirds and
+    * fifths of the corpus, so only the smallest qualifying doc keeps
+    * each and the %15 docs lose two lines.
+    */
+  private def q196(s: SparkSession, d: String): DataFrame =
+    graft.operators.TextAnalysis.dedupParagraphs(
+        docs(s, d).select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 3 === 0,
+              lit("\nShared disclaimer paragraph")).otherwise(lit("")),
+            when(col("doc_id") % 5 === 0,
+              lit("\nSubscribe to our newsletter")).otherwise(lit("")))
+            .as("text")),
+        "doc_id", "text")
+      .orderBy("doc_id")
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4094,6 +4113,7 @@ object SparkEntry {
     "q193_cdc_divisor_sweep" -> (q193(_, _)),
     "q194_ivf_nprobe_sweep" -> (q194(_, _)),
     "q195_lsh_band_sweep" -> (q195(_, _)),
+    "q196_paragraph_dedup" -> (q196(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

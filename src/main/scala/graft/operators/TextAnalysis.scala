@@ -474,6 +474,46 @@ object TextAnalysis {
         coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
   }
 
+  /** Order-sensitive cross-document PARAGRAPH dedup (the Dolma rule —
+    * [[removeBoilerplate]]'s frequency threshold removes chrome from
+    * EVERY document; this keeps each duplicated paragraph's FIRST
+    * occurrence and drops every later copy, duplicated twice or ten
+    * thousand times alike): the first occurrence of a non-empty trimmed
+    * line is the one with the smallest `(idCol, line_no)` corpus-wide
+    * (one map-side-combinable min(struct) argmin per distinct line —
+    * no window, no sort); empty lines are layout, not content, and are
+    * never deduplicated. Output per doc: kept/removed counts and the
+    * reassembled `cleaned_text` in original line order.
+    */
+  def dedupParagraphs(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val lines = lineRows(df, idCol, textCol)
+    val firsts = lines.filter(col("trimmed") =!= "")
+      .groupBy(col("trimmed"))
+      .agg(min(struct(col(idCol).as("__i"), col("line_no").as("__l")))
+        .as("__first"))
+      .select(col("trimmed"), col("__first.__i").as("__i"),
+        col("__first.__l").as("__l"))
+    val kept = lines.join(firsts, Seq("trimmed"), "left")
+      .filter(col("trimmed") === "" ||
+        (col(idCol) === col("__i") && col("line_no") === col("__l")))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("line_no"),
+            col("line")))), s => s.getField("line")), "\n")
+          .as("cleaned_text"))
+    lineRows(df, idCol, textCol).groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n_lines"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__n_lines") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+  }
+
   // ---------------------------------------------- n-gram heavy hitters
 
   /** Top-k word n-grams per group (corpus analytics / template mining):

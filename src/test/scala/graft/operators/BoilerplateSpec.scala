@@ -60,4 +60,26 @@ class BoilerplateSpec extends SparkSpec {
     // both s2 shingles count 1: ASC tiebreak puts 'tiny' first
     assert(out(("s2", 1)) == (("tiny", 1L)))
   }
+
+  test("dedupParagraphs keeps the FIRST occurrence (min doc, then min " +
+      "line) of every duplicated line, never dedupes empty lines, and " +
+      "dedupes within a single document too") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "A\nB"),
+      (2L, "B\nC"),      // B first occurred in doc 1 -> dropped here
+      (3L, "\nB\n\nD"),  // empties kept; B dropped
+      (4L, "E\nE"))      // within-doc duplicate: second E drops
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.dedupParagraphs(df, "doc_id", "text")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_kept"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("cleaned_text")))).toMap
+    assert(out(1L) == ((2L, 0L, "A\nB")))
+    assert(out(2L) == ((1L, 1L, "C")))
+    assert(out(3L) == ((3L, 1L, "\n\nD")))
+    assert(out(4L) == ((1L, 1L, "E")))
+    CacheRegistry.drain()
+  }
 }
