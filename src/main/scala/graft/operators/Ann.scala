@@ -388,7 +388,9 @@ object Ann {
     * ladder point from one cached relation — filtering
     * `probe_rank <= p` is exactly the candidate set ivfTopKBatch would
     * have scored at nprobe = p, so the expensive probe join never
-    * re-runs. Output `(qidCol, idCol, cosine, probe_rank)`.
+    * re-runs. Output `(qidCol, idCol, cosine, probe_rank)`. Query ids
+    * must be unique (a duplicated qid duplicates its candidate rows and
+    * every downstream top-k).
     */
   def ivfScoredCandidates(
       assigned: DataFrame, idCol: String, vecCol: String,

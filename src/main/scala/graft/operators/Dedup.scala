@@ -1375,9 +1375,12 @@ object Dedup {
     * whichever crawl happened to be seen first. Output one row per
     * cluster: `(cluster_id, n_docs, keep_id, keep_quality)`; the drain
     * itself is then an anti-join of the corpus against
-    * `members minus keep_id`. `qualityCol` must be a numeric column of
-    * `df`; the argmax runs as ONE map-side-combinable max(struct) — no
-    * window, no per-cluster sort.
+    * `members minus keep_id`. `qualityCol` must be a NON-NULL numeric
+    * column of `df` (a null quality sorts below every real value in
+    * the struct argmax and silently loses to any scored sibling —
+    * score upstream, or coalesce a floor, before collapsing); the
+    * argmax runs as ONE map-side-combinable max(struct) — no window,
+    * no per-cluster sort.
     */
   def qualityCollapse(
       df: DataFrame, idCol: String, textCol: String, qualityCol: String,
@@ -1414,7 +1417,10 @@ object Dedup {
     * chunkTokens) lacks, and the reason storage and corpus dedup
     * pipelines chunk this way. Output one row per chunk:
     * `(idCol, chunk_idx, chunk_fp = md5 of the space-joined chunk
-    * tokens, n_tokens)`; empty documents emit nothing.
+    * tokens, n_tokens)`; empty documents emit nothing. `idCol` must be
+    * unique per document (duplicate ids would interleave two documents'
+    * tokens in one window — the same contract every keyed dedup tier
+    * states).
     *
     * Long-form plan (the [[shingleRows]] precedent): posexplode + ONE
     * doc-keyed window sort shared by the lag flag and its running sum,
