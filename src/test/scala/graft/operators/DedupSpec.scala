@@ -1023,6 +1023,31 @@ class DedupSpec extends SparkSpec {
     assert(ref.count(_._1 == 1L) > 1, "divisor-4 60-token doc must split")
   }
 
+  test("cdcChunks equals the sequential reference on SEEDED RANDOM " +
+      "corpora across divisors (repeated tokens, tiny vocab, ragged " +
+      "lengths)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    val vocab = Vector("a", "bb", "ccc", "w1", "w2", "z")
+    val texts = (1L to 40L).map { id =>
+      val n = rnd.nextInt(50) // 0..49 tokens, empties included
+      (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val df = texts.toDF("doc_id", "text")
+    for (div <- Seq(2, 4, 8)) {
+      val out = Dedup.cdcChunks(df, "doc_id", "text", div)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx"),
+          r.getAs[String]("chunk_fp"), r.getAs[Long]("n_tokens"))).toSet
+      val ref = texts.flatMap { case (id, t) =>
+        refCdc(t, div).map { case (ci, fp, n) => (id, ci, fp, n) }
+      }.toSet
+      assert(out == ref, s"divisor $div: random-corpus mismatch " +
+        s"(out ${out.size} vs ref ${ref.size})")
+    }
+    CacheRegistry.drain()
+  }
+
   test("CDC chunk identity survives a head insertion: every chunk of " +
       "the original except its first is also a chunk of the shifted doc") {
     val orig = (1 to 80).map(i => s"t$i").mkString(" ")

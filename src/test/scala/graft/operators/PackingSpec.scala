@@ -195,4 +195,38 @@ class PackingSpec extends SparkSpec {
     assert(blocks.exists(u => u <= b && u > 0), "a padded block must exist")
     CacheRegistry.drain()
   }
+
+  test("firstFitBlocks equals the sequential reference on SEEDED RANDOM " +
+      "corpora across (blockSize, shards) configs, including sparse " +
+      "non-contiguous ids") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(15082026L)
+    // sparse ids with gaps so the id-range shard rule sees ragged shards
+    val rows = (0 until 150).map { i =>
+      (i.toLong * (1 + rnd.nextInt(5)) + rnd.nextInt(3),
+        rnd.nextInt(120).toLong)  // lengths 0..119, some over blockSize
+    }.distinctBy(_._1)
+    val df = rows.toDF("doc_id", "n_tokens")
+    for ((b, sh) <- Seq((50L, 7), (100L, 13), (64L, 40))) {
+      val out = Packing.firstFitBlocks(df, "doc_id", "n_tokens", b, sh)
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("shard"), r.getAs[Long]("block")))).toMap
+      val lo = rows.map(_._1).min
+      val width = math.max(1L, (rows.map(_._1).max - lo) / sh + 1)
+      val ref = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+      rows.groupBy { case (id, _) => (id - lo) / width }.foreach {
+        case (shard, docs0) =>
+          var block = -1L; var fill = 0L
+          docs0.sortBy(_._1).foreach { case (id, len) =>
+            if (block == -1L) { block = 0L; fill = len }
+            else if (fill + len <= b) fill += len
+            else { block += 1; fill = len }
+            ref(id) = (shard, block)
+          }
+      }
+      assert(out == ref.toMap, s"config (b=$b, shards=$sh): mismatch")
+    }
+    CacheRegistry.drain()
+  }
 }
