@@ -3603,7 +3603,8 @@ object SparkEntry {
     val multi = clusters.groupBy(col("n_docs").as("size"))
       .agg(count(lit(1)).as("n_clusters"), sum(col("n_docs")).as("doc_mass"))
     val single = corpus.agg(count(lit(1)).as("__nt"))
-      .crossJoin(broadcast(clusters.agg(sum(col("n_docs")).as("__in"))))
+      .crossJoin(broadcast(clusters.agg(
+        coalesce(sum(col("n_docs")), lit(0L)).as("__in"))))
       .select(lit(1L).as("size"),
         (col("__nt") - col("__in")).as("n_clusters"),
         (col("__nt") - col("__in")).as("doc_mass"))
@@ -3756,11 +3757,15 @@ object SparkEntry {
     * computes ONCE at the ladder floor and every threshold reads pair
     * count, docs involved, and mean Jaccard from it — the q188 sweep
     * shape: a 7-row ladder joined against a cached relation, never a
-    * rescan of the quadratic tier.
+    * rescan of the quadratic tier. The pair tier is the PORTABLE
+    * md5-32 one ([[graft.operators.Dedup.portableExactPairs]]) so the
+    * Spark side and the oracle share the hash basis — mixing xxhash64
+    * pairs with an md5-32 oracle would surface 32-bit within-doc
+    * collisions as gate diffs at scale.
     */
   private def q191(s: SparkSession, d: String): DataFrame = {
     val pairs = graft.operators.CacheRegistry.track(
-      Dedup.prefixJaccardPairs(minhashAuditCorpus(s, d), "doc_id", "text",
+      Dedup.portableExactPairs(minhashAuditCorpus(s, d), "doc_id", "text",
         3, 0.3).persist())
     val ladder = s.range(3, 10)
       .select((col("id").cast("double") / lit(10.0)).as("threshold"))

@@ -1458,6 +1458,19 @@ object Dedup {
         col("n_tokens"))
   }
 
+  /** Audit-tier exact Jaccard pairs over the PORTABLE md5-32 shingle
+    * hashes — the pair relation whose hash basis a DuckDB oracle can
+    * replay bit-for-bit (the production exact tier
+    * [[prefixJaccardPairs]] hashes with xxhash64, which no other engine
+    * computes; mixing the two bases in one gated query makes 32-bit
+    * within-doc collisions VISIBLE as cross-engine diffs at scale).
+    * Output `(id_a, id_b, jaccard)` for pairs ≥ `threshold`.
+    */
+  def portableExactPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, threshold: Double): DataFrame =
+    exactJaccardFromHashes(
+      portableShingleHashes(df, idCol, textCol, shingleN), threshold)
+
   /** CDC divisor SWEEP — the expected-chunk-size knob read for
     * [[cdcChunks]]: per divisor on the ladder, total and distinct chunk
     * counts, the mean chunk length, and the duplicate token mass a

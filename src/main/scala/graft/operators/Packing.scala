@@ -114,7 +114,11 @@ object Packing {
     val width = math.max(1L, (stats.getLong(1) - lo) / shards + 1)
     df.select(col(idCol).cast("long").as("_1"),
         col(lenCol).cast("long").as("_2"))
-      .withColumn("_3", ((col("_1") - lit(lo)) / lit(width)).cast("long"))
+      // integer DIV, not '/': long '/' promotes to double, whose rounded
+      // quotient can land a 2^53+ id in the wrong shard vs the oracle's
+      // exact floor division (and here the shard IS semantic — it decides
+      // block boundaries, unlike sequenceOffsets' internal-only shards)
+      .withColumn("_3", expr(s"(_1 - ${lo}L) DIV ${width}L"))
       .repartition(col("_3"))
       .sortWithinPartitions("_3", "_1")
       .as[(Long, Long, Long)]

@@ -176,8 +176,11 @@ object Sampling {
       spark.sparkContext.parallelize(thrRows, 1), schema)
     val h = hist.select(col("source").as("__hsrc"), col("bucket"),
       col("n"))
-    val kept = broadcast(thrDf)
-      .join(h, col("source") === col("__hsrc") &&
+    // the hint goes on the RIGHT (buildable) side of the left join —
+    // broadcasting the preserved side is not a thing and Spark would
+    // silently drop that hint
+    val kept = thrDf
+      .join(broadcast(h), col("source") === col("__hsrc") &&
         col("bucket") < col("thr"), "left")
       .groupBy("alpha", "source", "n_docs", "thr")
       .agg(coalesce(sum(col("n")), lit(0L)).as("n_kept"))

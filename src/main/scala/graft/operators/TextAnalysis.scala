@@ -483,7 +483,10 @@ object TextAnalysis {
     * (one map-side-combinable min(struct) argmin per distinct line —
     * no window, no sort); empty lines are layout, not content, and are
     * never deduplicated. Output per doc: kept/removed counts and the
-    * reassembled `cleaned_text` in original line order.
+    * reassembled `cleaned_text` in original line order. At 100 TB the
+    * argmin groupBy and the join-back key on the raw line string —
+    * pre-hash the line and carry `(hash, doc, line_no)` instead (the
+    * [[boilerplateLines]] note); equality is all either side needs.
     */
   def dedupParagraphs(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
@@ -504,7 +507,7 @@ object TextAnalysis {
           transform(array_sort(collect_list(struct(col("line_no"),
             col("line")))), s => s.getField("line")), "\n")
           .as("cleaned_text"))
-    lineRows(df, idCol, textCol).groupBy(col(idCol))
+    lines.groupBy(col(idCol))
       .agg(count(lit(1)).as("__n_lines"))
       .join(kept, Seq(idCol), "left")
       .select(col(idCol),

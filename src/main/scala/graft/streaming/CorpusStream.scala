@@ -679,7 +679,13 @@ object CorpusStream {
         "left_anti")
       novel.write.mode("overwrite")
         .parquet(s"$chunkStoreDir/batch_id=$batchId")
+      // ingest_batch is a DATA column (not just the partition id): a
+      // same-url re-crawl with edited content lands a SECOND recipe for
+      // that url, and reassembly must version them — by a column that
+      // SURVIVES compaction, which rewrites old partitions under one
+      // negative coverage id
       chunks.select("url", "chunk_idx", "chunk_fp")
+        .withColumn("ingest_batch", lit(batchId))
         .write.mode("overwrite").parquet(s"$manifestDir/batch_id=$batchId")
       maybeCompact(spark, Seq(chunkStoreDir, manifestDir), compactEvery,
         batchId)
@@ -688,20 +694,26 @@ object CorpusStream {
 
   /** The corpus reassembled from the chunk store: every manifest row
     * joins its stored chunk body (an equi-join on the fingerprint —
-    * the store side is the small, deduplicated relation), and each
-    * document's chunks concatenate in `chunk_idx` order. Byte-exact
-    * for space-tokenized text by the CDC partition property.
+    * the store side is the small, deduplicated relation), each
+    * document VERSION's chunks concatenate in `chunk_idx` order, and
+    * the LATEST version per url (max `ingest_batch`) wins — a same-url
+    * re-crawl with edited content is a new recipe, never an interleave
+    * of two versions' chunks. Byte-exact for space-tokenized text by
+    * the CDC partition property.
     */
   def readChunkedCorpus(spark: SparkSession, manifestDir: String,
       chunkStoreDir: String): DataFrame =
     spark.read.parquet(manifestDir)
       .join(spark.read.parquet(chunkStoreDir)
         .select("chunk_fp", "chunk_text"), Seq("chunk_fp"))
-      .groupBy(col("url"))
+      .groupBy(col("url"), col("ingest_batch"))
       .agg(concat_ws(" ", transform(
         array_sort(collect_list(struct(col("chunk_idx"),
           col("chunk_text")))),
-        x => x.getField("chunk_text"))).as("text"))
+        x => x.getField("chunk_text"))).as("__text"))
+      .groupBy(col("url"))
+      .agg(max(struct(col("ingest_batch"), col("__text"))).as("__v"))
+      .select(col("url"), col("__v.__text").as("text"))
 
   private def knownChunks(spark: SparkSession, dir: String,
       currentBatch: Long): DataFrame =

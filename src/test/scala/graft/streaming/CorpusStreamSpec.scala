@@ -964,9 +964,14 @@ class CorpusStreamSpec extends SparkSpec {
       WarcReader.write(Seq(htmlRec(1, aTxt), htmlRec(2, bTxt)),
         gzipPerRecord = true))
     drain()
+    // segment 2: a prepended near-copy under a NEW url, a fresh doc,
+    // and a SAME-URL re-crawl of p/1 with edited content (new fp, so
+    // the content dedup admits it — reassembly must version it, not
+    // interleave the two recipes)
+    val a2Txt = "YY " + aTxt
     java.nio.file.Files.write(dir.resolve("seg-00002.warc.gz"),
-      WarcReader.write(Seq(htmlRec(3, cTxt), htmlRec(4, dTxt)),
-        gzipPerRecord = true))
+      WarcReader.write(Seq(htmlRec(3, cTxt), htmlRec(4, dTxt),
+        htmlRec(1, a2Txt)), gzipPerRecord = true))
     drain()
 
     val storeDf = spark.read.parquet(store.toString)
@@ -986,31 +991,30 @@ class CorpusStreamSpec extends SparkSpec {
       graft.operators.Dedup.cdcChunks(rows.toDF("doc_id", "text"),
         "doc_id", "text", 4)
         .select("chunk_fp").distinct().collect().map(_.getString(0)).toSet
-    val cd = batchFps(Seq((3L, cTxt), (4L, dTxt)))
+    val cd = batchFps(Seq((1L, a2Txt), (3L, cTxt), (4L, dTxt)))
     assert(b1 == cd -- b0,
       s"streamed novelty gate must match the batch chunker: " +
         s"extra=${b1 -- (cd -- b0)} missing=${(cd -- b0) -- b1}")
-    // the prepended re-crawl C shares every downstream chunk with the
-    // stored A: beyond D's own chunks, at most 2 head chunks are novel
+    // the prepended variants (C and the p/1 re-crawl) share every
+    // downstream chunk with the stored A: beyond D's own chunks, at
+    // most 2 head chunks EACH are novel
     val dOnly = batchFps(Seq((4L, dTxt)))
-    assert((b1 -- dOnly).size <= 2,
-      s"C must contribute only head chunks, got ${(b1 -- dOnly).size}")
+    assert((b1 -- dOnly).size <= 4,
+      s"variants must contribute only head chunks, got ${(b1 -- dOnly).size}")
 
-    // reconstruction parity with the batch extraction (token-normalized)
-    val expected = WarcReader.read(spark, dir.toString + "/*.warc*")
-      .filter(col("warc_type") === "response" &&
-        col("http_status") === 200 &&
-        col("http_content_type").startsWith("text/html"))
-      .select(col("target_uri").as("url"),
-        concat_ws(" ", TextAnalysis.tokens(
-          TextAnalysis.htmlToText(decode(col("body"), "UTF-8")))).as("text"))
-      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // reconstruction: the LATEST version wins per url — the re-crawled
+    // p/1 reassembles to its edited batch-1 text, never an interleave
+    val expected = Map(
+      "https://x.example/p/1" -> a2Txt,
+      "https://x.example/p/2" -> bTxt,
+      "https://x.example/p/3" -> cTxt,
+      "https://x.example/p/4" -> dTxt)
     val rebuilt = CorpusStream.readChunkedCorpus(spark, man.toString,
       store.toString)
       .collect().map(r => r.getString(r.fieldIndex("url")) ->
         r.getString(r.fieldIndex("text"))).toMap
     assert(rebuilt == expected,
-      s"reassembly mismatch: ${rebuilt.keySet} vs ${expected.keySet}")
+      s"reassembly must be latest-version exact: $rebuilt")
 
     // crash-replay of batch 1: same batchId + same docs → byte-identical
     def snap(): Seq[String] =
@@ -1019,7 +1023,8 @@ class CorpusStreamSpec extends SparkSpec {
         .sorted.toSeq
     val before = snap()
     val batch1 = Seq(("https://x.example/p/3", cTxt),
-      ("https://x.example/p/4", dTxt)).toDF("url", "text")
+      ("https://x.example/p/4", dTxt),
+      ("https://x.example/p/1", a2Txt)).toDF("url", "text")
       .withColumn("fp", TextAnalysis.fingerprint(col("text")))
     CorpusStream.chunkedBatch(spark, man.toString, store.toString, 4)(
       batch1, 1L)
