@@ -9,7 +9,9 @@ object OracleSql {
 
   /** Shared CTE chain for the portable-minhash audits (q177/q179):
     * corpus ∪ clone, 3-shingles, distinct 32-bit md5 shingle hashes,
-    * exact Jaccard pairs ≥ 0.7 from the hash relation, and the k=32
+    * exact Jaccard pairs ≥ 0.3 from the hash relation (the audit
+    * floor, NOT the dedup tiers' 0.7 — the recall curve needs the low
+    * bands), and the k=32
     * affine mod-prime signatures with the SAME (a_j, b_j) constants
     * the Spark side derives (inlined as a VALUES relation — parameters
     * shared, formulation independent).

@@ -3367,7 +3367,7 @@ object SparkEntry {
     */
   private def minhashAuditCorpus(s: SparkSession, d: String): DataFrame = {
     val base = docs(s, d).select("doc_id", "text")
-    val ts = filter(split(col("text"), " "), t => t =!= "")
+    val ts = graft.operators.TextAnalysis.tokens(col("text"))
     val variant = base
       .select(col("doc_id"), ts.as("__ts"))
       .withColumn("__len", size(col("__ts")))
@@ -3463,8 +3463,12 @@ object SparkEntry {
     * (broadcast), never collected.
     */
   private def q182(s: SparkSession, d: String): DataFrame = {
-    val base = docs(s, d).select(col("doc_id"), col("lang"),
-      size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+    // persisted: the tokenized relation feeds four consumers (counts,
+    // the mix's internal collect, the semi-join, the per-lang originals)
+    val base = graft.operators.CacheRegistry.track(
+      docs(s, d).select(col("doc_id"), col("lang"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+        .persist())
     val kept = base.join(
       Sampling.temperatureMix(base.select("doc_id", "lang"), "doc_id",
         "lang", alpha = 0.5).select("doc_id"),
@@ -3473,7 +3477,7 @@ object SparkEntry {
       .agg(count(lit(1)).cast("double").as("c"))
     val thr = cnt.crossJoin(broadcast(cnt.agg(min(col("c")).as("mc"))))
       .select(col("lang"), col("c"),
-        floor(lit(256.0) * sqrt(col("mc") / col("c"))).as("th"))
+        Sampling.sqrtKeepThreshold(col("mc"), col("c")).as("th"))
     val w = thr.select(col("lang"),
       (col("c") * col("th").cast("double") / lit(256.0)).as("w"))
     val totW = w.agg(
@@ -3508,7 +3512,7 @@ object SparkEntry {
     * fan-out, WHAT does the cap actually drop? The corpus plants a
     * 12-token boilerplate footer on every fifth document (a shingle
     * family shared by ~n/5 docs — exactly the quadratic hot spot the
-    * cap exists for) alongside q150's genuine 20-token quote pairs
+    * cap exists for) alongside q150-style genuine 30-token quote pairs
     * (frequency 2 — far under the cap). The audit runs the span scan
     * capped (freq ≤ 64) and uncapped and emits, per variant plus the
     * `lost` delta: documents pairs with shared spans, span count, and

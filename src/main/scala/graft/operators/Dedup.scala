@@ -834,9 +834,7 @@ object Dedup {
     * detection only. a*h stays < 2^63 (ANSI-safe).
     */
   def minhashSignature(shingleHashCol: Column, k: Int): Column = {
-    val perms = (0 until k).map { j =>
-      val a = (mix64(j.toLong * 2 + 1) & 0x7fffffffL) | 1L
-      val b = mix64(j.toLong * 2 + 2) & 0x7fffffffL
+    val perms = permConstants(k).map { case (a, b) =>
       array_min(transform(shingleHashCol,
         h => pmod(h.cast("long").bitwiseAND(lit(0xffffffffL)) * lit(a) + lit(b),
           lit(MersenneP))))
@@ -890,7 +888,7 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.7, broadcastSets: Option[Boolean] = None): DataFrame = {
-    require(numHashes % bands == 0 && bands <= numHashes,
+    require(bands > 0 && numHashes % bands == 0,
       s"numHashes=$numHashes must be a positive multiple of bands=$bands")
     // The shingle-set relation has two formulations, dispatched on corpus
     // size; downstream (signature min-aggs, banding, verify) is shared and
@@ -929,12 +927,11 @@ object Dedup {
     // warmup); in the large path the explode preserves collect_set's id
     // partitioning, so the aggregation needs no shuffle
     val exploded = sets.select(col(idCol), explode(col("shset")).as("h"))
-    val minAggs = (0 until numHashes).map { j =>
-      val a = (mix64(j.toLong * 2 + 1) & 0x7fffffffL) | 1L
-      val b = mix64(j.toLong * 2 + 2) & 0x7fffffffL
-      // mod-prime, like minhashSignature: without it the affine map is
-      // monotonic and every permutation picks the same argmin shingle
-      min(pmod(col("h") * lit(a) + lit(b), lit(MersenneP))).as(s"m$j")
+    val minAggs = permConstants(numHashes).zipWithIndex.map {
+      case ((a, b), j) =>
+        // mod-prime, like minhashSignature: without it the affine map is
+        // monotonic and every permutation picks the same argmin shingle
+        min(pmod(col("h") * lit(a) + lit(b), lit(MersenneP))).as(s"m$j")
     }
     val withSig = exploded.groupBy(col(idCol))
       .agg(minAggs.head, minAggs.tail: _*)
@@ -1054,7 +1051,7 @@ object Dedup {
   def minhashRecallAudit(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.7): DataFrame = {
-    require(numHashes % bands == 0 && bands <= numHashes,
+    require(bands > 0 && numHashes % bands == 0,
       s"numHashes=$numHashes must be a positive multiple of bands=$bands")
     val ex = CacheRegistry.track(
       portableShingleHashes(df, idCol, textCol, shingleN).persist())
@@ -1153,9 +1150,13 @@ object Dedup {
       threshold: Double = 0.7): DataFrame = {
     val ex = CacheRegistry.track(
       portableShingleHashes(df, idCol, textCol, shingleN).persist())
-    val sig = portableSigs(ex, numHashes)
+    // persisted: the signature relation joins BOTH pair sides, and
+    // Spark does not dedupe common aggregation subtrees across join
+    // inputs — uncached, the 32-min-aggregate build would run twice
+    val sig = CacheRegistry.track(portableSigs(ex, numHashes)
       .select(col("id"),
         array((0 until numHashes).map(j => col(s"m$j")): _*).as("sig"))
+      .persist())
     exactJaccardFromHashes(ex, threshold)
       .join(sig.select(col("id").as("id_a"), col("sig").as("sa")),
         Seq("id_a"))

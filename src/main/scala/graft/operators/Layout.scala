@@ -73,13 +73,21 @@ object Layout {
     * not an extra column, carries the structure.
     */
   def writeZOrderSorted(df: DataFrame, path: String, numFiles: Int,
-      colA: String, colB: String, bits: Int = 21): Unit = {
+      colA: String, colB: String, bits: Int = 21): Unit =
+    zOrderWriter(df, numFiles, colA, colB, bits)
+      .write.mode("overwrite").parquet(path)
+
+  /** The shared z-order write recipe (morton key → range partition →
+    * in-file sort → key dropped) — ONE copy, so the plain and
+    * bloom-indexed layouts can never drift apart.
+    */
+  private def zOrderWriter(df: DataFrame, numFiles: Int,
+      colA: String, colB: String, bits: Int): DataFrame = {
     require(numFiles > 0, s"numFiles=$numFiles must be positive")
     df.withColumn("__z", mortonCode(col(colA), col(colB), bits))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
-      .write.mode("overwrite").parquet(path)
   }
 
   /** [[writeZOrderSorted]] AND [[writeBloomIndexed]] in ONE write —
@@ -95,12 +103,8 @@ object Layout {
   def writeZOrderBloom(df: DataFrame, path: String, numFiles: Int,
       colA: String, colB: String, bloomCol: String, expectedNdv: Long,
       bits: Int = 21): Unit = {
-    require(numFiles > 0, s"numFiles=$numFiles must be positive")
     require(expectedNdv > 0, s"expectedNdv=$expectedNdv must be positive")
-    df.withColumn("__z", mortonCode(col(colA), col(colB), bits))
-      .repartitionByRange(numFiles, col("__z"))
-      .sortWithinPartitions(col("__z"))
-      .drop("__z")
+    zOrderWriter(df, numFiles, colA, colB, bits)
       .write.mode("overwrite")
       .option(s"parquet.bloom.filter.enabled#$bloomCol", "true")
       .option(s"parquet.bloom.filter.expected.ndv#$bloomCol",

@@ -119,6 +119,18 @@ object Sampling {
     df.filter(stableBucket256(col(keyCol)) < thr)
   }
 
+  /** The α = 0.5 keep-bucket threshold as a COLUMN expression —
+    * `floor(256·sqrt(minCount/count))` — published so audits (q182)
+    * derive their target shares from the same formula
+    * [[temperatureMix]] gates on instead of re-deriving it inline (the
+    * permConstants/planeVectorValues pattern: the owning module
+    * publishes its constants; SamplingSpec pins column-vs-driver
+    * equality). Both sides are the identical IEEE sqrt of the identical
+    * double quotient, so the values match bit-for-bit.
+    */
+  def sqrtKeepThreshold(minCount: Column, count: Column): Column =
+    floor(lit(256.0) * sqrt(minCount / count))
+
   /** Temperature SWEEP — the knob-picking read for [[temperatureMix]]:
     * for each α in the ladder, the per-source keep threshold and the
     * realized kept counts and shares, computed WITHOUT rescanning the

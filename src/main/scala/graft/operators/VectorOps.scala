@@ -110,7 +110,9 @@ object VectorOps {
     val rows = df.select(col(idCol).cast("long"), col(featCol).cast("array<double>"))
       .rdd.map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     CacheRegistry.trackRdd(rows.cache())
-    val dim = rows.first()._2.length
+    val head = rows.take(1)
+    require(head.nonEmpty, "pcaInvariantAudit requires a non-empty relation")
+    val dim = head(0)._2.length
     val n = rows.count()
     val meansF = rows.map(_._2).treeAggregate(new Array[Double](dim))(
       (acc, v) => { var i = 0; while (i < dim) { acc(i) += v(i); i += 1 }; acc },
@@ -124,12 +126,22 @@ object VectorOps {
       out
     }.cache()
     CacheRegistry.trackRdd(centered)
+    // request at most `dim` components: computeSVD refuses k > numCols,
+    // and dim = 1 is a legitimate degenerate input the audit must survive
     val svd = new RowMatrix(centered.values.map(OldVectors.dense))
-      .computeSVD(2, computeU = false)
+      .computeSVD(math.min(2, dim), computeU = false)
     rows.unpersist(blocking = false)
     val v = svd.V
-    val v1 = Array.tabulate(dim)(i => v(i, 0))
-    val v2 = Array.tabulate(dim)(i => v(i, 1))
+    // rank-deficient input (dim = 1, or a zero/constant matrix whose
+    // near-zero singular values rCond filters out) can return fewer
+    // than 2 — or zero — components: audit the degenerate case as
+    // zero axes, so v1/v2_norm_defect read 1.0 as DIAGNOSTIC rows
+    // instead of the audit itself crashing on exactly the pathological
+    // inputs it exists to measure
+    val v1 = if (v.numCols >= 1) Array.tabulate(dim)(i => v(i, 0))
+      else new Array[Double](dim)
+    val v2 = if (v.numCols >= 2) Array.tabulate(dim)(i => v(i, 1))
+      else new Array[Double](dim)
     val bV = spark.sparkContext.broadcast((v1, v2))
 
     // distributed score/residual accumulators: [Σp1², Σp2², Σp1p2,
@@ -168,7 +180,11 @@ object VectorOps {
     val top2Dec = energies.map(BigDecimal(_)).sorted.reverse.take(2)
       .foldLeft(java.math.BigDecimal.ZERO)((a, b) => a.add(b.bigDecimal))
     val totalSs = totalDec.doubleValue
-    val axesRel = top2Dec.doubleValue / totalSs
+    // 0/0 guards for the same degenerate family (constant vectors →
+    // zero total energy; rank-1 → sp22 = 0): a zero denominator reports
+    // the ratio as 0 rather than NaN, which r6's BigDecimal would throw on
+    def safeDiv(a: Double, b: Double): Double = if (b == 0.0) 0.0 else a / b
+    val axesRel = safeDiv(top2Dec.doubleValue, totalSs)
 
     // bounded contraction check: orthogonal projection can only shrink
     // pairwise distances (up to float tolerance)
@@ -199,13 +215,13 @@ object VectorOps {
       "axes_energy_rel" -> r6(axesRel),
       "contraction_violations" -> violations.toDouble,
       "energy_defect_rel" ->
-        r6(math.abs(sp11 + sp22 + sresid - stot) / stot),
+        r6(safeDiv(math.abs(sp11 + sp22 + sresid - stot), stot)),
       "n_dims" -> dim.toDouble,
       "n_rows" -> n.toDouble,
       "pca_ge_axes" ->
         (if (sp11 + sp22 >= top2Dec.doubleValue * (1.0 - 1e-9)) 1.0 else 0.0),
       "score_cross_corr" ->
-        r6(math.abs(sp12) / (math.sqrt(sp11) * math.sqrt(sp22))),
+        r6(safeDiv(math.abs(sp12), math.sqrt(sp11) * math.sqrt(sp22))),
       "total_ss" -> r6(totalSs),
       "v1_norm_defect" -> r6(math.abs(norm(v1) - 1.0)),
       "v2_norm_defect" -> r6(math.abs(norm(v2) - 1.0)),

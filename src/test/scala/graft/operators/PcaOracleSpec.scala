@@ -104,6 +104,29 @@ class PcaOracleSpec extends SparkSpec {
     assert(math.abs(s2 - l2) / l2 < 1e-9, s"energy(pc2)=$s2 != λ2=$l2")
   }
 
+  test("pcaInvariantAudit survives rank-deficient input as DIAGNOSTIC " +
+      "rows (zero second axis, zero ratios) instead of crashing on the " +
+      "pathology it exists to measure") {
+    import spark.implicits._
+    // dim = 1: the SVD can only return one component — the second axis
+    // is structurally missing
+    val df = (1L to 12L).map(i => (i, Array(i.toDouble)))
+      .toDF("vec_id", "features")
+    val got = VectorOps.pcaInvariantAudit(df, "vec_id", "features")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("v2_norm_defect") == 1.0,
+      s"the missing second axis must READ as a defect: $got")
+    assert(got("score_cross_corr") == 0.0 && !got.values.exists(_.isNaN),
+      s"degenerate ratios must be 0, never NaN: $got")
+    // constant vectors: total energy 0 — all ratios guard to 0
+    val const = (1L to 8L).map(i => (i, Array(2.0, 2.0, 2.0, 2.0)))
+      .toDF("vec_id", "features")
+    val g2 = VectorOps.pcaInvariantAudit(const, "vec_id", "features")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(!g2.values.exists(v => v.isNaN || v.isInfinite), s"$g2")
+    CacheRegistry.drain()
+  }
+
   test("pcaInvariantAudit (q181): every defect row reads 0, the gate " +
       "rows read 1, and the decimal-path values match a scalar replay") {
     val df = spark.read.parquet(s"$sf/embeddings.parquet")

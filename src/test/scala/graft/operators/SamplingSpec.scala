@@ -215,6 +215,24 @@ class SamplingSpec extends SparkSpec {
     CacheRegistry.drain()
   }
 
+  test("sqrtKeepThreshold (the published alpha=0.5 column formula) " +
+      "equals temperatureMix's driver-side threshold bit-for-bit " +
+      "across a count spread") {
+    import spark.implicits._
+    val counts = Seq(1L, 2L, 3L, 7L, 30L, 120L, 600L, 99991L)
+    val minC = counts.min.toDouble
+    import org.apache.spark.sql.functions.col
+    val got = counts.map(c => (c, minC))
+      .toDF("c", "mc")
+      .select(col("c"), Sampling.sqrtKeepThreshold(col("mc"),
+        col("c").cast("double")).as("th"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (c <- counts) {
+      val driver = math.floor(256.0 * math.sqrt(minC / c)).toLong
+      assert(got(c) == driver, s"c=$c: column ${got(c)} != driver $driver")
+    }
+  }
+
   test("temperatureSweep agrees with temperatureMix at every shared " +
       "alpha, keeps everything at alpha=1, equalizes thresholds at " +
       "alpha=0, and shares sum to 1 per alpha") {
