@@ -20,7 +20,11 @@ object BenchProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
+      // SPARK_GRAFT_AQE=false runs the attribution experiment for
+      // scatter suspected to track AQE runtime decisions (the r15 q192
+      // order): same queries, adaptive re-planning off.
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       // static conf: hold the whole catalog's generated classes (default
       // 100 evicts/recompiles across a multi-query run)
       .config("spark.sql.codegen.cache.maxEntries", "5000")

@@ -4847,6 +4847,479 @@ object OracleSql {
         |FROM tot t LEFT JOIN kg k USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin,
 
+    // epoch/repeat planner: replay the greedy waterfill over the exact
+    // integer value ladder (weight_ppm * 2^(4-epoch), strict total
+    // order, cumulative-token window, clamped boundary layer)
+    "q197_epoch_plan" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |per AS (
+        |  SELECT lang AS source,
+        |    CAST(sum(n_tokens) AS BIGINT) AS unique_tokens,
+        |    (1000000 * CAST(sum(CASE WHEN n_tokens >= 20 THEN 1 ELSE 0
+        |      END) AS BIGINT)) // CAST(count(*) AS BIGINT) AS weight_ppm
+        |  FROM base GROUP BY lang
+        |  HAVING CAST(sum(n_tokens) AS BIGINT) > 0),
+        |b AS (SELECT (47 * CAST(sum(unique_tokens) AS BIGINT)) // 20
+        |        AS budget
+        |      FROM per),
+        |layers AS (
+        |  SELECT p.source, p.unique_tokens, p.weight_ppm,
+        |    CAST(e.epoch AS INTEGER) AS epoch,
+        |    p.weight_ppm * (CAST(1 AS BIGINT) << (4 - e.epoch))
+        |      AS value_scaled
+        |  FROM per p CROSS JOIN generate_series(1, 4) e(epoch)),
+        |alloc AS (
+        |  SELECT l.*, b.budget,
+        |    COALESCE(sum(l.unique_tokens) OVER (
+        |      ORDER BY l.value_scaled DESC, l.source ASC, l.epoch ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_prev
+        |  FROM layers l CROSS JOIN b),
+        |la AS (
+        |  SELECT *, GREATEST(CAST(0 AS BIGINT),
+        |      LEAST(unique_tokens, budget - cum_prev)) AS layer_alloc
+        |  FROM alloc),
+        |plan AS (
+        |  SELECT source, unique_tokens, weight_ppm,
+        |    CAST(sum(layer_alloc) AS BIGINT) AS tokens_alloc,
+        |    CAST(sum(CASE WHEN layer_alloc = unique_tokens THEN 1
+        |      ELSE 0 END) AS BIGINT) AS full_epochs
+        |  FROM la GROUP BY source, unique_tokens, weight_ppm)
+        |SELECT source, unique_tokens, weight_ppm, tokens_alloc,
+        |  full_epochs,
+        |  (256 * (tokens_alloc - full_epochs * unique_tokens))
+        |    // unique_tokens AS frac_b256,
+        |  round(CAST(tokens_alloc AS DOUBLE)
+        |    / CAST(unique_tokens AS DOUBLE), 6) AS epochs_r6
+        |FROM plan ORDER BY source""".stripMargin,
+
+    // epoch-plan realization audit: the q197 waterfill composed with
+    // the per-doc repeat rule (full passes + md5-bucket fractional
+    // pass), realized tokens vs allocation per source
+    "q198_epoch_realization_audit" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |per AS (
+        |  SELECT lang AS source,
+        |    CAST(sum(n_tokens) AS BIGINT) AS unique_tokens,
+        |    (1000000 * CAST(sum(CASE WHEN n_tokens >= 20 THEN 1 ELSE 0
+        |      END) AS BIGINT)) // CAST(count(*) AS BIGINT) AS weight_ppm
+        |  FROM base GROUP BY lang
+        |  HAVING CAST(sum(n_tokens) AS BIGINT) > 0),
+        |b AS (SELECT (47 * CAST(sum(unique_tokens) AS BIGINT)) // 20
+        |        AS budget
+        |      FROM per),
+        |layers AS (
+        |  SELECT p.source, p.unique_tokens, p.weight_ppm,
+        |    CAST(e.epoch AS INTEGER) AS epoch,
+        |    p.weight_ppm * (CAST(1 AS BIGINT) << (4 - e.epoch))
+        |      AS value_scaled
+        |  FROM per p CROSS JOIN generate_series(1, 4) e(epoch)),
+        |alloc AS (
+        |  SELECT l.*, b.budget,
+        |    COALESCE(sum(l.unique_tokens) OVER (
+        |      ORDER BY l.value_scaled DESC, l.source ASC, l.epoch ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_prev
+        |  FROM layers l CROSS JOIN b),
+        |la AS (
+        |  SELECT *, GREATEST(CAST(0 AS BIGINT),
+        |      LEAST(unique_tokens, budget - cum_prev)) AS layer_alloc
+        |  FROM alloc),
+        |plan AS (
+        |  SELECT source, unique_tokens,
+        |    CAST(sum(layer_alloc) AS BIGINT) AS tokens_alloc,
+        |    CAST(sum(CASE WHEN layer_alloc = unique_tokens THEN 1
+        |      ELSE 0 END) AS BIGINT) AS full_epochs
+        |  FROM la GROUP BY source, unique_tokens),
+        |plan2 AS (
+        |  SELECT *,
+        |    (256 * (tokens_alloc - full_epochs * unique_tokens))
+        |      // unique_tokens AS frac_b256
+        |  FROM plan),
+        |rep AS (
+        |  SELECT b.lang AS source, b.n_tokens,
+        |    p.full_epochs + CASE WHEN
+        |      CAST(('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 2))
+        |        AS BIGINT) < p.frac_b256 THEN 1 ELSE 0 END AS repeats
+        |  FROM base b JOIN plan2 p ON b.lang = p.source),
+        |rz AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(repeats) AS BIGINT) AS doc_passes,
+        |    CAST(sum(n_tokens * repeats) AS BIGINT) AS realized_tokens
+        |  FROM rep GROUP BY source)
+        |SELECT p.source, p.unique_tokens, p.tokens_alloc, p.full_epochs,
+        |  p.frac_b256, r.n_docs, r.doc_passes, r.realized_tokens,
+        |  r.realized_tokens - p.tokens_alloc AS diff_tokens
+        |FROM plan2 p JOIN rz r USING (source)
+        |ORDER BY p.source""".stripMargin,
+
+    // packing-policy contrast: the q189 recursive-CTE state machine
+    // replayed twice — arrival (id) order vs largest-first — joined
+    // per shard
+    "q199_packing_policy_contrast" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |ext AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM toks),
+        |d0 AS (
+        |  SELECT t.doc_id, t.n_tokens,
+        |    CAST((t.doc_id - e.lo)
+        |      // greatest(1, (e.hi - e.lo) // 8 + 1) AS BIGINT) AS shard
+        |  FROM toks t CROSS JOIN ext e),
+        |da AS (
+        |  SELECT doc_id, n_tokens, shard,
+        |    row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+        |  FROM d0),
+        |pa(shard, rn, doc_id, n_tokens, block, fill) AS (
+        |  SELECT shard, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+        |  FROM da WHERE rn = 1
+        |  UNION ALL
+        |  SELECT n.shard, n.rn, n.doc_id, n.n_tokens,
+        |    CASE WHEN p.fill + n.n_tokens <= 64 THEN p.block
+        |      ELSE p.block + 1 END,
+        |    CASE WHEN p.fill + n.n_tokens <= 64 THEN p.fill + n.n_tokens
+        |      ELSE n.n_tokens END
+        |  FROM pa p JOIN da n ON n.shard = p.shard AND n.rn = p.rn + 1),
+        |dd AS (
+        |  SELECT doc_id, n_tokens, shard,
+        |    row_number() OVER (PARTITION BY shard
+        |      ORDER BY n_tokens DESC, doc_id) AS rn
+        |  FROM d0),
+        |pd(shard, rn, doc_id, n_tokens, block, fill) AS (
+        |  SELECT shard, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+        |  FROM dd WHERE rn = 1
+        |  UNION ALL
+        |  SELECT n.shard, n.rn, n.doc_id, n.n_tokens,
+        |    CASE WHEN p.fill + n.n_tokens <= 64 THEN p.block
+        |      ELSE p.block + 1 END,
+        |    CASE WHEN p.fill + n.n_tokens <= 64 THEN p.fill + n.n_tokens
+        |      ELSE n.n_tokens END
+        |  FROM pd p JOIN dd n ON n.shard = p.shard AND n.rn = p.rn + 1),
+        |ba AS (
+        |  SELECT shard, block, sum(n_tokens) AS used,
+        |    CAST(count(*) AS BIGINT) AS nd
+        |  FROM pa GROUP BY shard, block),
+        |bd AS (
+        |  SELECT shard, block, sum(n_tokens) AS used,
+        |    CAST(count(*) AS BIGINT) AS nd
+        |  FROM pd GROUP BY shard, block),
+        |sa AS (
+        |  SELECT shard, CAST(sum(nd) AS BIGINT) AS n_docs,
+        |    CAST(count(*) AS BIGINT) AS arrival_blocks,
+        |    CAST(sum(CASE WHEN used <= 64 THEN 64 - used ELSE 0 END)
+        |      AS BIGINT) AS arrival_padding,
+        |    round(CAST(sum(used) AS DOUBLE)
+        |      / CAST(count(*) * 64 AS DOUBLE), 6) AS arrival_util
+        |  FROM ba GROUP BY shard),
+        |sd AS (
+        |  SELECT shard,
+        |    CAST(count(*) AS BIGINT) AS ffd_blocks,
+        |    CAST(sum(CASE WHEN used <= 64 THEN 64 - used ELSE 0 END)
+        |      AS BIGINT) AS ffd_padding,
+        |    round(CAST(sum(used) AS DOUBLE)
+        |      / CAST(count(*) * 64 AS DOUBLE), 6) AS ffd_util
+        |  FROM bd GROUP BY shard)
+        |SELECT sa.shard, sa.n_docs, sa.arrival_blocks, sa.arrival_padding,
+        |  sa.arrival_util, sd.ffd_blocks, sd.ffd_padding, sd.ffd_util,
+        |  sa.arrival_blocks - sd.ffd_blocks AS blocks_saved
+        |FROM sa JOIN sd USING (shard) ORDER BY sa.shard""".stripMargin,
+
+    // knob-pick capstone: replay all five sweep relations (prefixed
+    // CTE blocks verbatim from their own oracles), then apply each
+    // knob's stated rule over its sweep
+    "q200_knob_pick_capstone" ->
+      s"""WITH $minhashAuditCtes,
+        |nd_th AS (
+        |  SELECT CAST(i AS DOUBLE) / 10.0 AS threshold
+        |  FROM (SELECT unnest(range(3, 10)) AS i)),
+        |nd_q AS (
+        |  SELECT th.threshold, e.id_a, e.id_b, e.jaccard
+        |  FROM nd_th th JOIN exact e ON e.jaccard >= th.threshold),
+        |nd_agg AS (
+        |  SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    round(CAST(sum(CAST(round(jaccard, 6) AS DECIMAL(18,12)))
+        |        AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_jaccard
+        |  FROM nd_q GROUP BY threshold),
+        |nd_sweep AS (
+        |  SELECT th.threshold,
+        |    CAST(coalesce(a.n_pairs, 0) AS BIGINT) AS n_pairs,
+        |    coalesce(a.mean_jaccard, 0.0) AS mean_jaccard
+        |  FROM nd_th th LEFT JOIN nd_agg a USING (threshold)),
+        |nb_toks AS (
+        |  SELECT doc_id,
+        |    source IN ('src0','src1','src2','src3','src4') AS y,
+        |    list_filter(string_split(text, ' '), w -> w <> '') AS ts
+        |  FROM documents),
+        |nb_tokl AS (SELECT y, unnest(ts) AS w FROM nb_toks),
+        |nb_cw AS (
+        |  SELECT w,
+        |    sum(CASE WHEN y THEN 1 ELSE 0 END) AS cp,
+        |    sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS cn
+        |  FROM nb_tokl GROUP BY w),
+        |nb_tot AS (
+        |  SELECT sum(CASE WHEN y THEN 1 ELSE 0 END) AS np,
+        |    sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS nn,
+        |    count(DISTINCT w) AS v
+        |  FROM nb_tokl),
+        |nb_pri AS (
+        |  SELECT sum(CASE WHEN y THEN 1 ELSE 0 END) AS dp,
+        |    sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS dn
+        |  FROM nb_toks),
+        |nb_st AS (SELECT doc_id, unnest(ts) AS w FROM nb_toks),
+        |nb_term AS (
+        |  SELECT s.doc_id,
+        |    CAST(ln((COALESCE(nb_cw.cp, 0) + CAST(1.0 AS DOUBLE))
+        |      / (nb_tot.np + CAST(1.0 AS DOUBLE) * nb_tot.v))
+        |      AS DECIMAL(18,12))
+        |    - CAST(ln((COALESCE(nb_cw.cn, 0) + CAST(1.0 AS DOUBLE))
+        |      / (nb_tot.nn + CAST(1.0 AS DOUBLE) * nb_tot.v))
+        |      AS DECIMAL(18,12)) AS t
+        |  FROM nb_st s LEFT JOIN nb_cw ON s.w = nb_cw.w
+        |  CROSS JOIN nb_tot),
+        |nb_sc AS (SELECT doc_id, SUM(t) AS s FROM nb_term GROUP BY doc_id),
+        |nb_fin AS (
+        |  SELECT nb_sc.doc_id,
+        |    round(CAST(nb_sc.s + CAST(ln(nb_pri.dp) AS DECIMAL(18,12))
+        |      - CAST(ln(nb_pri.dn) AS DECIMAL(18,12)) AS DOUBLE), 6)
+        |      AS score
+        |  FROM nb_sc CROSS JOIN nb_pri),
+        |nb_b AS (
+        |  SELECT CAST(floor(f.score) AS BIGINT) AS bin, t.y
+        |  FROM nb_fin f JOIN nb_toks t USING (doc_id)),
+        |nb_bins AS (
+        |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+        |  FROM nb_b GROUP BY bin),
+        |nb_th AS (SELECT unnest(range(-5, 6)) * 2 AS threshold),
+        |nb_kept AS (
+        |  SELECT nb_th.threshold,
+        |    CAST(COALESCE(sum(nb_bins.n), 0) AS BIGINT) AS n_kept,
+        |    CAST(COALESCE(sum(nb_bins.n_pos), 0) AS BIGINT) AS pos_kept
+        |  FROM nb_th LEFT JOIN nb_bins ON nb_bins.bin >= nb_th.threshold
+        |  GROUP BY nb_th.threshold),
+        |nb_sweep AS (
+        |  SELECT threshold, n_kept,
+        |    CASE WHEN n_kept > 0
+        |      THEN round(CAST(pos_kept AS DOUBLE)
+        |        / CAST(n_kept AS DOUBLE), 6)
+        |      ELSE 0.0 END AS prec
+        |  FROM nb_kept),
+        |tm_cnt AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(count(*) AS DOUBLE) AS c
+        |  FROM documents GROUP BY lang),
+        |tm_m AS (SELECT min(c) AS mc FROM tm_cnt),
+        |tm_al AS (SELECT unnest([0.0, 0.25, 0.5, 0.75, 1.0]) AS alpha),
+        |tm_thr AS (
+        |  SELECT al.alpha, tm_cnt.lang,
+        |    CAST(floor(256 * (CASE
+        |      WHEN al.alpha = 1.0 THEN CAST(1.0 AS DOUBLE)
+        |      WHEN al.alpha = 0.75 THEN sqrt(sqrt(mc / c))
+        |      WHEN al.alpha = 0.5 THEN sqrt(mc / c)
+        |      WHEN al.alpha = 0.25 THEN sqrt(mc / c) * sqrt(sqrt(mc / c))
+        |      ELSE mc / c END)) AS BIGINT) AS thr
+        |  FROM tm_al al, tm_cnt, tm_m),
+        |tm_bk AS (
+        |  SELECT lang,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+        |      AS INTEGER) AS bucket
+        |  FROM documents),
+        |tm_kept AS (
+        |  SELECT t.alpha, t.lang,
+        |    CAST(coalesce(sum(CASE WHEN b.bucket < t.thr THEN 1 ELSE 0
+        |      END), 0) AS BIGINT) AS n_kept
+        |  FROM tm_thr t LEFT JOIN tm_bk b ON b.lang = t.lang
+        |  GROUP BY 1, 2),
+        |tm_agg AS (
+        |  SELECT alpha, max(n_kept) AS mx, min(n_kept) AS mn,
+        |    CAST(sum(n_kept) AS BIGINT) AS tot
+        |  FROM tm_kept GROUP BY alpha),
+        |cd_base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), w -> w <> '') AS ts
+        |  FROM documents),
+        |cd_corpus AS (
+        |  SELECT doc_id, ts FROM cd_base
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, list_concat(['XX'], ts) AS ts
+        |  FROM cd_base),
+        |cd_pos AS (
+        |  SELECT doc_id, i, ts[i] AS tok,
+        |    CASE WHEN i >= 2
+        |      THEN CAST(('0x' || substr(md5(ts[i-1] || ' ' || ts[i]),
+        |             1, 12)) AS BIGINT)
+        |      ELSE NULL END AS h
+        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i
+        |        FROM cd_corpus)),
+        |cd_dv AS (SELECT unnest([4, 8, 16, 32]) AS divisor),
+        |cd_fl AS (
+        |  SELECT dv.divisor, p.doc_id, p.i, p.tok,
+        |    CASE WHEN p.h IS NOT NULL AND p.h % dv.divisor = 0
+        |      THEN 1 ELSE 0 END AS b
+        |  FROM cd_pos p CROSS JOIN cd_dv dv),
+        |cd_ch AS (
+        |  SELECT divisor, doc_id, i, tok,
+        |    sum(b) OVER (PARTITION BY divisor, doc_id ORDER BY i) AS ci
+        |  FROM cd_fl),
+        |cd_chunks AS (
+        |  SELECT divisor, doc_id, ci,
+        |    md5(string_agg(tok, ' ' ORDER BY i)) AS fp,
+        |    CAST(count(*) AS BIGINT) AS nt
+        |  FROM cd_ch GROUP BY divisor, doc_id, ci),
+        |cd_perfp AS (
+        |  SELECT divisor, fp, CAST(count(*) AS BIGINT) AS occ,
+        |    max(nt) AS nt
+        |  FROM cd_chunks GROUP BY divisor, fp),
+        |cd_sweep AS (
+        |  SELECT divisor, CAST(sum(occ) AS BIGINT) AS n_chunks,
+        |    CAST(sum((occ - 1) * nt) AS BIGINT) AS dup_token_mass
+        |  FROM cd_perfp GROUP BY divisor),
+        |ip_cents AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+        |    embedding AS c
+        |  FROM (SELECT vec_id, embedding FROM embeddings
+        |        ORDER BY vec_id LIMIT 16)),
+        |ip_qs AS (SELECT vec_id AS qid, embedding AS qv
+        |          FROM embeddings WHERE vec_id < 8),
+        |ip_assigned AS (
+        |  SELECT vec_id, embedding, cell,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY sim DESC, cell DESC) AS rn
+        |  FROM (
+        |    SELECT e.vec_id, e.embedding, c.cell,
+        |      list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.c[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |           i -> CAST(e.embedding[i] AS DOUBLE)
+        |                * CAST(e.embedding[i] AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(range(1, len(c.c) + 1),
+        |           i -> CAST(c.c[i] AS DOUBLE) * CAST(c.c[i] AS DOUBLE)))))
+        |        AS sim
+        |    FROM embeddings e CROSS JOIN ip_cents c)),
+        |ip_routing AS (
+        |  SELECT qid, cell, crk FROM (
+        |    SELECT qid, cell,
+        |      row_number() OVER (PARTITION BY qid
+        |        ORDER BY csim DESC, cell ASC) AS crk
+        |    FROM (
+        |      SELECT q.qid, c.cell,
+        |        list_sum(list_transform(range(1, len(c.c) + 1),
+        |          i -> CAST(c.c[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+        |        / (sqrt(list_sum(list_transform(range(1, len(c.c) + 1),
+        |             i -> CAST(c.c[i] AS DOUBLE) * CAST(c.c[i] AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(range(1, len(q.qv) + 1),
+        |             i -> CAST(q.qv[i] AS DOUBLE)
+        |                  * CAST(q.qv[i] AS DOUBLE)))))
+        |          AS csim
+        |      FROM ip_qs q CROSS JOIN ip_cents c) s0)
+        |  WHERE crk <= 8),
+        |ip_cand AS (
+        |  SELECT r.qid, a.vec_id, r.crk,
+        |    list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |         i -> CAST(a.embedding[i] AS DOUBLE)
+        |              * CAST(a.embedding[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1, len(q.qv) + 1),
+        |         i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))))
+        |      AS cos
+        |  FROM ip_assigned a
+        |  JOIN ip_routing r ON a.cell = r.cell AND a.rn = 1
+        |  JOIN ip_qs q ON q.qid = r.qid),
+        |ip_np AS (SELECT unnest([1, 2, 4, 8]) AS nprobe),
+        |ip_lad AS (
+        |  SELECT np.nprobe, c.qid, c.vec_id,
+        |    row_number() OVER (PARTITION BY np.nprobe, c.qid
+        |      ORDER BY c.cos DESC, c.vec_id ASC) AS rk
+        |  FROM ip_np np JOIN ip_cand c ON c.crk <= np.nprobe),
+        |ip_scanned AS (
+        |  SELECT np.nprobe, CAST(count(*) AS BIGINT) AS n_scanned
+        |  FROM ip_np np JOIN ip_cand c ON c.crk <= np.nprobe
+        |  GROUP BY np.nprobe),
+        |ip_ex AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id,
+        |      row_number() OVER (PARTITION BY qid
+        |        ORDER BY cos DESC, vec_id ASC) AS rk
+        |    FROM (
+        |      SELECT q.qid, e.vec_id,
+        |        list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |          i -> CAST(e.embedding[i] AS DOUBLE)
+        |               * CAST(q.qv[i] AS DOUBLE)))
+        |        / (sqrt(list_sum(list_transform(
+        |             range(1, len(e.embedding) + 1),
+        |             i -> CAST(e.embedding[i] AS DOUBLE)
+        |                  * CAST(e.embedding[i] AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(range(1, len(q.qv) + 1),
+        |             i -> CAST(q.qv[i] AS DOUBLE)
+        |                  * CAST(q.qv[i] AS DOUBLE)))))
+        |          AS cos
+        |      FROM embeddings e CROSS JOIN ip_qs q) s2)
+        |  WHERE rk <= 10),
+        |ip_ext AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM ip_ex),
+        |ip_hits AS (
+        |  SELECT l.nprobe, CAST(count(*) AS BIGINT) AS n_hits
+        |  FROM ip_lad l JOIN ip_ex ON ip_ex.qid = l.qid
+        |    AND ip_ex.vec_id = l.vec_id
+        |  WHERE l.rk <= 10 GROUP BY l.nprobe),
+        |ip_sweep AS (
+        |  SELECT np.nprobe,
+        |    round(CAST(coalesce(h.n_hits, 0) AS DOUBLE)
+        |      / CAST(ext.tot AS DOUBLE), 6) AS recall,
+        |    CAST(coalesce(s.n_scanned, 0) AS BIGINT) AS n_scanned
+        |  FROM ip_np np CROSS JOIN ip_ext ext
+        |  LEFT JOIN ip_hits h ON h.nprobe = np.nprobe
+        |  LEFT JOIN ip_scanned s ON s.nprobe = np.nprobe)
+        |SELECT knob, rule, chosen, quality_r6, cost FROM (
+        |  SELECT 'nb_threshold' AS knob,
+        |    'smallest threshold with precision >= 1/2' AS rule,
+        |    CAST(threshold AS DOUBLE) AS chosen, prec AS quality_r6,
+        |    n_kept AS cost
+        |  FROM nb_sweep
+        |  WHERE threshold = (SELECT min(threshold) FROM nb_sweep
+        |                     WHERE prec >= 0.5)
+        |  UNION ALL
+        |  SELECT 'mix_alpha', 'largest alpha with max_kept <= 2*min_kept',
+        |    alpha, round(CAST(mx AS DOUBLE) / CAST(mn AS DOUBLE), 6), tot
+        |  FROM tm_agg
+        |  WHERE alpha = (SELECT max(alpha) FROM tm_agg WHERE mx <= 2 * mn)
+        |  UNION ALL
+        |  SELECT 'neardup_jaccard',
+        |    'largest threshold keeping >= 1/2 of floor pair mass',
+        |    threshold, mean_jaccard, n_pairs
+        |  FROM nd_sweep
+        |  WHERE threshold = (SELECT max(threshold) FROM nd_sweep
+        |    WHERE n_pairs * 2 >= (SELECT n_pairs FROM nd_sweep
+        |      WHERE threshold = (SELECT min(threshold) FROM nd_sweep)))
+        |  UNION ALL
+        |  SELECT 'cdc_divisor', 'largest divisor with dup_mass >= 7/10 of max',
+        |    CAST(divisor AS DOUBLE),
+        |    round(CAST(dup_token_mass AS DOUBLE)
+        |      / CAST((SELECT max(dup_token_mass) FROM cd_sweep) AS DOUBLE),
+        |      6),
+        |    n_chunks
+        |  FROM cd_sweep
+        |  WHERE divisor = (SELECT max(divisor) FROM cd_sweep
+        |    WHERE dup_token_mass * 10 >=
+        |      (SELECT max(dup_token_mass) FROM cd_sweep) * 7)
+        |  UNION ALL
+        |  SELECT 'ivf_nprobe', 'smallest nprobe with recall >= 0.95',
+        |    CAST(nprobe AS DOUBLE), recall, n_scanned
+        |  FROM ip_sweep
+        |  WHERE nprobe = (SELECT min(nprobe) FROM ip_sweep
+        |                  WHERE recall >= 0.95)
+        |) ORDER BY knob""".stripMargin,
+
     // CDC divisor sweep: shared positional pair hashes, per-divisor
     // boundary flags + running sums, then the per-divisor rollup
     "q193_cdc_divisor_sweep" ->

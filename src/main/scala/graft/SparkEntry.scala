@@ -3601,19 +3601,8 @@ object SparkEntry {
       col("text"))
     val corpus = graft.operators.CacheRegistry.track(
       base.unionAll(cloned).persist())
-    val clusters = graft.operators.CacheRegistry.track(
-      Dedup.nearDupClusters(corpus, "doc_id", "text", shingleN = 3,
-        threshold = 0.7).persist())
-    val multi = clusters.groupBy(col("n_docs").as("size"))
-      .agg(count(lit(1)).as("n_clusters"), sum(col("n_docs")).as("doc_mass"))
-    val single = corpus.agg(count(lit(1)).as("__nt"))
-      .crossJoin(broadcast(clusters.agg(
-        coalesce(sum(col("n_docs")), lit(0L)).as("__in"))))
-      .select(lit(1L).as("size"),
-        (col("__nt") - col("__in")).as("n_clusters"),
-        (col("__nt") - col("__in")).as("doc_mass"))
-    multi.unionAll(single)
-      .withColumn("removable", col("doc_mass") - col("n_clusters"))
+    Dedup.dupMassHistogram(corpus, "doc_id", "text", shingleN = 3,
+        threshold = 0.7)
       .orderBy("size")
   }
 
@@ -3799,7 +3788,13 @@ object SparkEntry {
     * zeros are not true by construction here, they are independently
     * re-derived by the oracle's second recursive closure, so this
     * query PROVES the drain removed every cluster rather than
-    * asserting it.
+    * asserting it. The shingle stage (the dominant cost) runs ONCE:
+    * both closures feed from one persisted [[Dedup.shingleSets]]
+    * relation (identical text ⇒ identical shingle set — the drained
+    * reps' sets are a re-key join, never a re-shingle), per the r15
+    * verdict; everything past shingling (rarity order, prefix
+    * candidates, verify, components) still executes fully in each
+    * closure.
     */
   private def q192(s: SparkSession, d: String): DataFrame = {
     val base = docs(s, d).select("doc_id", "text")
@@ -3811,15 +3806,27 @@ object SparkEntry {
         .withColumn("n_tokens",
           size(graft.operators.TextAnalysis.tokens(col("text"))).cast("long"))
         .persist())
+    // BEFORE closure — the shingle stage (the query's dominant cost)
+    // runs exactly once, on the before-pass representatives, and is
+    // persisted for BOTH closures.
+    val memberMap = graft.operators.CacheRegistry.track(
+      Dedup.exactMemberMap(corpus, "doc_id", "text").persist())
+    val reps = corpus.select("doc_id", "text")
+      .join(memberMap.filter(col("doc_id") === col("rep_id"))
+        .select("doc_id"), Seq("doc_id"), "left_semi")
+    val repSets = graft.operators.CacheRegistry.track(
+      Dedup.shingleSets(reps, "doc_id", "text", 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val members = graft.operators.CacheRegistry.track(
-      Dedup.nearDupMembers(corpus, "doc_id", "text", shingleN = 3,
+      Dedup.nearDupMembersFromSets(memberMap, repSets, "doc_id",
         threshold = 0.7).persist())
     val keepers = Dedup.collapseMembers(members, corpus, "doc_id",
       "n_tokens").select(col("keep_id"))
     val dropped = members.join(keepers,
       col("doc_id") === col("keep_id"), "left_anti")
-    val drained = graft.operators.CacheRegistry.track(
-      corpus.join(dropped.select("doc_id"), Seq("doc_id"), "left_anti")
+    val drainedIds = graft.operators.CacheRegistry.track(
+      corpus.select("doc_id")
+        .join(dropped.select("doc_id"), Seq("doc_id"), "left_anti")
         .persist())
     val before = members
       .agg(countDistinct(col("cluster_id")).as("n_clusters"),
@@ -3827,11 +3834,32 @@ object SparkEntry {
       .crossJoin(broadcast(corpus.agg(count(lit(1)).as("n_docs"))))
       .select(lit("1_before").as("phase"), col("n_clusters"),
         col("clustered_docs"), col("n_docs"))
-    val after = Dedup.nearDupClusters(drained, "doc_id", "text",
-        shingleN = 3, threshold = 0.7)
-      .agg(count(lit(1)).as("n_clusters"),
-        coalesce(sum(col("n_docs")), lit(0L)).as("clustered_docs"))
-      .crossJoin(broadcast(drained.agg(count(lit(1)).as("n_docs"))))
+    // AFTER closure — a full second pair tier (rarity ranking, prefix
+    // candidates, verify, connected components) over the drained
+    // corpus, but fed from the persisted before-pass shingle work:
+    // the drained exact-group structure is the before memberMap
+    // restricted to surviving ids and re-repped WITHIN its fp-groups
+    // (rep_id is an fp proxy — same group ⟺ same old rep), and each
+    // new rep's shingle set is its old rep's set re-keyed (identical
+    // text ⇒ identical shingle set). No token of the drained corpus
+    // is re-shingled; the closure itself still re-derives every
+    // after-phase zero from the pair tier, not by assertion.
+    val dm = memberMap.join(drainedIds, Seq("doc_id"), "left_semi")
+    val regroup = dm.groupBy(col("rep_id"))
+      .agg(min(col("doc_id")).as("new_rep"), count(lit(1)).as("grp_n2"))
+    val memberMap2 = dm.select("doc_id", "rep_id").join(regroup, "rep_id")
+      .select(col("doc_id"), col("new_rep").as("rep_id"),
+        col("grp_n2").as("grp_n"))
+    val repSets2 = graft.operators.CacheRegistry.track(
+      regroup.select(col("rep_id").as("__old"), col("new_rep"))
+        .join(repSets.withColumnRenamed("doc_id", "__old"), Seq("__old"))
+        .select(col("new_rep").as("doc_id"), col("shset"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val after = Dedup.nearDupMembersFromSets(memberMap2, repSets2,
+        "doc_id", threshold = 0.7)
+      .agg(countDistinct(col("cluster_id")).as("n_clusters"),
+        count(lit(1)).as("clustered_docs"))
+      .crossJoin(broadcast(drainedIds.agg(count(lit(1)).as("n_docs"))))
       .select(lit("2_after").as("phase"), col("n_clusters"),
         col("clustered_docs"), col("n_docs"))
     before.unionAll(after).orderBy("phase")
@@ -3924,6 +3952,201 @@ object SparkEntry {
             .as("text")),
         "doc_id", "text")
       .orderBy("doc_id")
+
+  /** Per-source relation the epoch planner runs on: unique (post-dedup
+    * available) tokens per language, with an integer quality weight —
+    * parts-per-million of docs clearing a 20-token floor, computed with
+    * integer division so the value ladder both engines sort is exact.
+    * Shared by q197 (the plan) and q198 (its realization audit).
+    */
+  private def epochBase(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"), col("lang"),
+      size(graft.operators.TextAnalysis.tokens(col("text")))
+        .cast("long").as("n_tokens"))
+
+  private def epochPerSource(base: DataFrame): DataFrame =
+    base.groupBy(col("lang").as("source"))
+      .agg(sum(col("n_tokens")).as("unique_tokens"),
+        expr("(1000000 * sum(CASE WHEN n_tokens >= 20 THEN 1 ELSE 0 END))" +
+          " DIV count(*)").as("weight_ppm"))
+      .filter(col("unique_tokens") > 0)
+
+  /** Epoch/repeat plan — the data-constrained decision layer ABOVE the
+    * mixing tiers (q140/q152/q190 all assume single-pass sampling):
+    * with a token budget of 2.35× the corpus's unique tokens (47/20 —
+    * integer arithmetic, and deliberately NOT a whole number of layers,
+    * so the third pass fills partially in quality-weight order and the
+    * boundary source gets a fractional epoch) and a 4-epoch cap, how many passes of each language, under a δ=1/2
+    * diminishing-returns discount weighted by per-source quality
+    * ([[graft.operators.Sampling.epochPlan]] — greedy waterfill over
+    * the exact integer value ladder). Closed-form arithmetic over the
+    * |sources| relation: the only corpus scan is the per-source count
+    * aggregation; the budget scalar is one bounded driver-side read.
+    */
+  private def q197(s: SparkSession, d: String): DataFrame = {
+    val per = graft.operators.CacheRegistry.track(
+      epochPerSource(epochBase(s, d)).persist())
+    val budget = 47L * per.agg(sum(col("unique_tokens"))).collect()(0)
+      .getLong(0) / 20L
+    graft.operators.Sampling.epochPlan(per, budget, maxEpochs = 4)
+      .orderBy("source")
+  }
+
+  /** Epoch-plan realization audit — the q182 pattern applied to q197:
+    * apply [[graft.operators.Sampling.epochRealize]]'s per-doc repeat
+    * rule (full passes + an md5-bucket-gated fractional pass) to the
+    * corpus and compare realized tokens against each source's
+    * allocation. `diff_tokens` reads the bucket-granularity
+    * quantization error directly — the reason a plan's `tokens_alloc`
+    * and a run's realized token count never match exactly, priced
+    * per source instead of discovered in production.
+    */
+  private def q198(s: SparkSession, d: String): DataFrame = {
+    val base = graft.operators.CacheRegistry.track(
+      epochBase(s, d).persist())
+    val perC = graft.operators.CacheRegistry.track(
+      epochPerSource(base).persist())
+    val budget = 47L * perC.agg(sum(col("unique_tokens"))).collect()(0)
+      .getLong(0) / 20L
+    val plan = graft.operators.Sampling.epochPlan(perC, budget,
+      maxEpochs = 4)
+    val realized = graft.operators.Sampling.epochRealize(base, "doc_id",
+        "lang", plan)
+      .groupBy(col("lang").as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("repeats")).as("doc_passes"),
+        sum(col("n_tokens") * col("repeats")).as("realized_tokens"))
+    plan.join(realized, Seq("source"))
+      .select(col("source"), col("unique_tokens"), col("tokens_alloc"),
+        col("full_epochs"), col("frac_b256"), col("n_docs"),
+        col("doc_passes"), col("realized_tokens"),
+        (col("realized_tokens") - col("tokens_alloc")).as("diff_tokens"))
+      .orderBy("source")
+  }
+
+  /** Packing-policy contrast — q189 closed into the decision a
+    * fine-tuning pipeline actually makes: boundary-respecting first-fit
+    * in ARRIVAL (id) order vs LARGEST-FIRST (first-fit-decreasing
+    * family) over the same corpus, same shards, same 64-token blocks,
+    * utilization side by side per shard. The two runs differ by ONE
+    * sortWithinPartitions key ([[graft.operators.Packing
+    * .firstFitBlocks]] `lengthDescending`); the oracle replays both
+    * with the same recursive-CTE state machine, ORDER BY swapped.
+    * The read: `ffd_*` columns should show fewer blocks / less padding
+    * wherever doc lengths are skewed — the utilization gain you buy by
+    * giving up arrival locality within blocks.
+    */
+  private def q199(s: SparkSession, d: String): DataFrame = {
+    val toks = graft.operators.CacheRegistry.track(
+      docs(s, d).select(col("doc_id"),
+        size(graft.operators.TextAnalysis.tokens(col("text"))).cast("long")
+          .as("n_tokens")).persist())
+    def summarize(lengthDescending: Boolean, prefix: String) =
+      graft.operators.Packing.firstFitBlocks(
+          toks, "doc_id", "n_tokens", blockSize = 64L, shards = 8,
+          lengthDescending = lengthDescending)
+        .groupBy(col("shard"), col("block"))
+        .agg(sum(col("n_tokens")).as("used"), count(lit(1)).as("nd"))
+        .groupBy("shard")
+        .agg(sum(col("nd")).as(s"${prefix}_n_docs"),
+          count(lit(1)).as(s"${prefix}_blocks"),
+          sum(when(col("used") <= 64L, lit(64L) - col("used"))
+            .otherwise(0L)).as(s"${prefix}_padding"),
+          round(sum(col("used")).cast("double")
+            / (count(lit(1)) * lit(64L)).cast("double"), 6)
+            .as(s"${prefix}_util"))
+    summarize(lengthDescending = false, "arrival")
+      .join(summarize(lengthDescending = true, "ffd"), Seq("shard"))
+      .select(col("shard"), col("arrival_n_docs").as("n_docs"),
+        col("arrival_blocks"), col("arrival_padding"), col("arrival_util"),
+        col("ffd_blocks"), col("ffd_padding"), col("ffd_util"),
+        (col("arrival_blocks") - col("ffd_blocks")).as("blocks_saved"))
+      .orderBy("shard")
+  }
+
+  /** Knob-pick capstone — the sweep tier CLOSED into decisions: one
+    * row per engine knob with the CHOSEN value under a stated rule,
+    * consuming the sweep relations themselves (q188 NB threshold, q190
+    * mixing temperature, q191 near-dup Jaccard, q193 CDC divisor, q194
+    * IVF nprobe — q195's banding read is excluded only because its
+    * signature tier would double this query's cost for a one-line
+    * rule). Every rule compares either raw integer counts or the
+    * sweeps' own round-6 columns — values each sweep's hash-exact gate
+    * already pins identical across engines — so the decision layer
+    * inherits the pricing layer's exactness for free. The rules:
+    * precision floor for the NB gate, balance cap (no source may keep
+    * more than 2× another) for the temperature, half-the-floor-mass
+    * retention for the dedup threshold, 70%-of-max recovered mass for
+    * the CDC divisor, and a 0.95 recall floor for nprobe. Ladder
+    * relations are dozens of rows; the rules add no corpus work.
+    */
+  private def q200(s: SparkSession, d: String): DataFrame = {
+    def cache(df: DataFrame) =
+      graft.operators.CacheRegistry.track(df.persist())
+    val row = (knob: String, rule: String) => (chosen: Column,
+        quality: Column, cost: Column) => Seq(
+      lit(knob).as("knob"), lit(rule).as("rule"),
+      chosen.cast("double").as("chosen"), quality.as("quality_r6"),
+      cost.cast("long").as("cost"))
+    // NB decision threshold: smallest with precision >= 1/2
+    val nb = cache(q188(s, d))
+    val nbPick = nb
+      .join(broadcast(nb.filter(col("precision") >= 0.5)
+        .agg(min(col("threshold")).as("__c"))),
+        col("threshold") === col("__c"))
+      .select(row("nb_threshold",
+        "smallest threshold with precision >= 1/2")(
+        col("threshold"), col("precision"), col("n_kept")): _*)
+    // mixing temperature: largest alpha keeping shares within 2x
+    val tm = q190(s, d).groupBy("alpha")
+      .agg(max(col("n_kept")).as("__mx"), min(col("n_kept")).as("__mn"),
+        sum(col("n_kept")).as("__tot"))
+    val tmC = cache(tm)
+    val tmPick = tmC
+      .join(broadcast(tmC.filter(col("__mx") <= lit(2L) * col("__mn"))
+        .agg(max(col("alpha")).as("__c"))), col("alpha") === col("__c"))
+      .select(row("mix_alpha",
+        "largest alpha with max_kept <= 2*min_kept")(
+        col("alpha"),
+        round(col("__mx").cast("double") / col("__mn").cast("double"), 6),
+        col("__tot")): _*)
+    // near-dup threshold: largest keeping >= half the floor pair mass
+    val nd = cache(q191(s, d))
+    val ndFloor = nd
+      .join(broadcast(nd.agg(min(col("threshold")).as("__ft"))),
+        col("threshold") === col("__ft"))
+      .select(col("n_pairs").as("__fp"))
+    val ndPick = nd
+      .join(broadcast(nd.crossJoin(broadcast(ndFloor))
+        .filter(col("n_pairs") * 2 >= col("__fp"))
+        .agg(max(col("threshold")).as("__c"))),
+        col("threshold") === col("__c"))
+      .select(row("neardup_jaccard",
+        "largest threshold keeping >= 1/2 of floor pair mass")(
+        col("threshold"), col("mean_jaccard"), col("n_pairs")): _*)
+    // CDC divisor: largest recovering >= 7/10 of the max dup mass
+    val cd = cache(q193(s, d))
+    val cdMax = broadcast(cd.agg(max(col("dup_token_mass")).as("__mx")))
+    val cdPick = cd.crossJoin(cdMax)
+      .join(broadcast(cd.crossJoin(cdMax)
+        .filter(col("dup_token_mass") * 10 >= col("__mx") * 7)
+        .agg(max(col("divisor")).as("__c"))), col("divisor") === col("__c"))
+      .select(row("cdc_divisor",
+        "largest divisor with dup_mass >= 7/10 of max")(
+        col("divisor"),
+        round(col("dup_token_mass").cast("double")
+          / col("__mx").cast("double"), 6),
+        col("n_chunks")): _*)
+    // IVF nprobe: smallest with recall >= 0.95
+    val ip = cache(q194(s, d))
+    val ipPick = ip
+      .join(broadcast(ip.filter(col("recall") >= 0.95)
+        .agg(min(col("nprobe")).as("__c"))), col("nprobe") === col("__c"))
+      .select(row("ivf_nprobe", "smallest nprobe with recall >= 0.95")(
+        col("nprobe"), col("recall"), col("n_scanned")): _*)
+    nbPick.unionAll(tmPick).unionAll(ndPick).unionAll(cdPick)
+      .unionAll(ipPick).orderBy("knob")
+  }
 
   // ------------------------------------------------------------- contract
 
@@ -4123,6 +4346,10 @@ object SparkEntry {
     "q194_ivf_nprobe_sweep" -> (q194(_, _)),
     "q195_lsh_band_sweep" -> (q195(_, _)),
     "q196_paragraph_dedup" -> (q196(_, _)),
+    "q197_epoch_plan" -> (q197(_, _)),
+    "q198_epoch_realization_audit" -> (q198(_, _)),
+    "q199_packing_policy_contrast" -> (q199(_, _)),
+    "q200_knob_pick_capstone" -> (q200(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1215,22 +1215,54 @@ object Dedup {
       shingleN: Int, threshold: Double,
       broadcastSets: Option[Boolean] = None,
       probeIds: Option[DataFrame] = None): DataFrame = {
-    require(threshold > 0 && threshold <= 1, s"threshold=$threshold must be in (0,1]")
     val doBroadcast = broadcastSets.getOrElse(autoBroadcastSets(df))
-    // shingling via [[shingleRows]] (no interpreted lambdas); hash the
-    // shingle STRING with xxhash64 — 64-bit keeps distinct counts equal to
-    // the string sets' (32-bit combined hashes risk collisions an exact
-    // oracle can see); per-doc dedup via collect_set reuses the shingle
-    // window's hash-partitioning by id (no extra shuffle). (A q31-style
-    // small-corpus array path was MEASURED slower here: building shingle
-    // STRINGS with interpreted wordShingles lambdas costs more warm time
-    // than the window+agg stages cost cold; the exactness contract pins
-    // string hashing, so the long form stays the only formulation.)
     val sets = CacheRegistry.track(
-      shingleRows(df, idCol, textCol, shingleN)
-        .select(col(idCol), xxhash64(col("sh")).as("h"))
-        .groupBy(col(idCol)).agg(collect_set(col("h")).as("shset"))
+      shingleSets(df, idCol, textCol, shingleN)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    prefixPairsFromSets(sets, idCol, threshold, doBroadcast, probeIds)
+  }
+
+  /** The per-doc shingle-hash SET relation `(idCol, shset: array<long>)`
+    * that the exact pair tier runs on: shingling via [[shingleRows]]
+    * (no interpreted lambdas); hash the shingle STRING with xxhash64 —
+    * 64-bit keeps distinct counts equal to the string sets' (32-bit
+    * combined hashes risk collisions an exact oracle can see); per-doc
+    * dedup via collect_set reuses the shingle window's hash-partitioning
+    * by id (no extra shuffle). (A q31-style small-corpus array path was
+    * MEASURED slower here: building shingle STRINGS with interpreted
+    * wordShingles lambdas costs more warm time than the window+agg
+    * stages cost cold; the exactness contract pins string hashing, so
+    * the long form stays the only formulation.)
+    *
+    * Public so a two-closure pipeline (q192's before/after drain proof)
+    * can compute the dominant shingle stage ONCE, persist it, and feed
+    * both closures through [[prefixJaccardPairsFromSets]] — identical
+    * texts have identical shingle sets, so a drained subset's sets are
+    * a join away, never a re-shingle. Returned UNPERSISTED; callers
+    * that use it more than once own the persist.
+    */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int): DataFrame =
+    shingleRows(df, idCol, textCol, shingleN)
+      .select(col(idCol), xxhash64(col("sh")).as("h"))
+      .groupBy(col(idCol)).agg(collect_set(col("h")).as("shset"))
+
+  /** [[prefixJaccardPairs]] over a PRECOMPUTED (and typically persisted —
+    * the relation is consumed twice: rarity ranking and verify) shingle
+    * set relation from [[shingleSets]]. Output identical to calling
+    * [[prefixJaccardPairs]] on the corpus the sets were built from.
+    */
+  def prefixJaccardPairsFromSets(
+      sets: DataFrame, idCol: String, threshold: Double,
+      broadcastSets: Option[Boolean] = None,
+      probeIds: Option[DataFrame] = None): DataFrame =
+    prefixPairsFromSets(sets, idCol, threshold,
+      broadcastSets.getOrElse(autoBroadcastSets(sets)), probeIds)
+
+  private def prefixPairsFromSets(
+      sets: DataFrame, idCol: String, threshold: Double,
+      doBroadcast: Boolean, probeIds: Option[DataFrame]): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold=$threshold must be in (0,1]")
     // global rarity order: document frequency, hash as tiebreak; freq is
     // |distinct shingles| rows — broadcast it back to the per-doc relation
     // only under the same size gate as the verify join (the distinct-
@@ -1345,20 +1377,51 @@ object Dedup {
   def nearDupMembers(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int, threshold: Double): DataFrame = {
-    val withFp = df.select(col(idCol), col(textCol))
-      .withColumn("fp", md5(col(textCol)))
+    val memberMap = exactMemberMap(df, idCol, textCol)
+    // representatives keep their text for the pair stage
+    val reps = df.select(col(idCol), col(textCol))
+      .join(memberMap.filter(col(idCol) === col("rep_id")).select(col(idCol)),
+        Seq(idCol), "left_semi")
+    val pairs = prefixJaccardPairs(reps, idCol, textCol, shingleN, threshold)
+    membersFromPairs(memberMap, pairs, idCol)
+  }
+
+  /** The exact-duplicate group structure the near-dup tier collapses
+    * first: one row per doc, `(idCol, rep_id = min id sharing its RAW
+    * md5 text fingerprint, grp_n = group size)` — one shuffle on the
+    * fingerprint. Public so a two-closure pipeline can restrict/regroup
+    * it for a drained subset without re-hashing the corpus.
+    */
+  def exactMemberMap(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val withFp = df.select(col(idCol), md5(col(textCol)).as("fp"))
     val groups = withFp.groupBy(col("fp"))
       .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("grp_n"))
-    // every doc → its exact-group representative (one shuffle on fp)
-    val members = withFp.select(col(idCol), col("fp")).join(groups, "fp")
-    // representatives keep their text for the pair stage
-    val reps = withFp
-      .join(groups.select(col("rep_id").as(idCol)), Seq(idCol), "left_semi")
-      .select(col(idCol), col(textCol))
-    val pairs = prefixJaccardPairs(reps, idCol, textCol, shingleN, threshold)
+    withFp.join(groups, "fp").select(col(idCol), col("rep_id"), col("grp_n"))
+  }
+
+  /** [[nearDupMembers]] over PRECOMPUTED exact-group structure
+    * ([[exactMemberMap]]) and representative shingle sets
+    * ([[shingleSets]] restricted to the reps; persisted by the caller —
+    * the pair tier reads it twice). Output identical to
+    * [[nearDupMembers]] on the corpus both relations were built from.
+    * This is the second-closure entry point: a drained corpus's
+    * memberMap is the original one re-repped within its fp-groups, and
+    * its rep sets are the original reps' sets re-keyed (identical text
+    * ⇒ identical shingle set), so the drain proof never re-shingles.
+    */
+  def nearDupMembersFromSets(
+      memberMap: DataFrame, repSets: DataFrame, idCol: String,
+      threshold: Double,
+      broadcastSets: Option[Boolean] = None): DataFrame =
+    membersFromPairs(memberMap,
+      prefixJaccardPairsFromSets(repSets, idCol, threshold, broadcastSets),
+      idCol)
+
+  private def membersFromPairs(
+      memberMap: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
     val comp = Components.connectedComponents(pairs, "id_a", "id_b")
       .withColumnRenamed("id", "rep_id")
-    members.join(comp, Seq("rep_id"), "left")
+    memberMap.join(comp, Seq("rep_id"), "left")
       .select(col(idCol),
         // rep in a component → its label; otherwise a size-≥2 exact
         // group is its own cluster labeled by the rep (= min id);
@@ -1366,6 +1429,32 @@ object Dedup {
         coalesce(col("component"),
           when(col("grp_n") > 1, col("rep_id"))).as("cluster_id"))
       .filter(col("cluster_id").isNotNull)
+  }
+
+  /** Duplication-mass histogram — the read BEFORE committing to a
+    * dedup pass (q185's relation, factored so the streaming telemetry
+    * writes the same rows per drain): per transitive near-dup cluster
+    * size, how many clusters, how much document mass, and how many
+    * docs a keep-one-per-cluster collapse would remove. Size-1 rows
+    * are the singletons (docs in no cluster), derived from the corpus
+    * total minus the clustered mass — removable 0 by construction.
+    * Cost is one [[nearDupClusters]] pass (persisted internally — the
+    * cluster relation is consumed twice) plus two scalar aggregates.
+    */
+  def dupMassHistogram(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, threshold: Double): DataFrame = {
+    val clusters = CacheRegistry.track(
+      nearDupClusters(df, idCol, textCol, shingleN, threshold).persist())
+    val multi = clusters.groupBy(col("n_docs").as("size"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("n_docs")).as("doc_mass"))
+    val single = df.agg(count(lit(1)).as("__nt"))
+      .crossJoin(broadcast(clusters.agg(
+        coalesce(sum(col("n_docs")), lit(0L)).as("__in"))))
+      .select(lit(1L).as("size"),
+        (col("__nt") - col("__in")).as("n_clusters"),
+        (col("__nt") - col("__in")).as("doc_mass"))
+    multi.unionAll(single)
+      .withColumn("removable", col("doc_mass") - col("n_clusters"))
   }
 
   /** Quality-aware near-dup collapse decision: per transitive cluster,
@@ -1394,6 +1483,14 @@ object Dedup {
     * typically cached) membership relation — for pipelines that need
     * the membership twice (e.g. decide keepers AND drain the corpus by
     * anti-joining the non-keepers) without re-running the pair tier.
+    *
+    * `idCol` must be a SIGNED NUMERIC id (long-castable, and greater
+    * than Long.MinValue): the smallest-id tiebreak rides inside the
+    * max(struct) as an arithmetic NEGATION — a string or decimal id
+    * has no negation to ride, and Long.MinValue's would overflow (ANSI
+    * mode throws). The long cast below makes the contract explicit —
+    * `keep_id` is always emitted as long — matching the non-null
+    * contract documented for `qualityCol` on [[qualityCollapse]].
     */
   def collapseMembers(
       members: DataFrame, df: DataFrame, idCol: String,
@@ -1401,8 +1498,8 @@ object Dedup {
     members.join(df.select(col(idCol), col(qualityCol)), Seq(idCol))
       .groupBy("cluster_id")
       .agg(count(lit(1)).as("n_docs"),
-        max(struct(col(qualityCol).as("q"), (-col(idCol)).as("nid")))
-          .as("__best"))
+        max(struct(col(qualityCol).as("q"),
+          (-col(idCol).cast("long")).as("nid"))).as("__best"))
       .select(col("cluster_id"), col("n_docs"),
         (-col("__best.nid")).as("keep_id"),
         col("__best.q").as("keep_quality"))

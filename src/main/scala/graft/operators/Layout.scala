@@ -125,16 +125,27 @@ object Layout {
     * filter pushdown consults the filters automatically
     * (spec-MEASURED in LayoutSpec, same discipline as the zone-map
     * and rectangle-pruning claims).
+    *
+    * `fpp` is the filter's false-positive probability — the ONE knob
+    * that prices this layout: tighter fpp costs filter bytes per row
+    * group (split-block bloom size ≈ -ndv·ln(fpp)/ln²2 bits) and buys
+    * skip rate on non-member probes (a false positive reads a whole
+    * row group for nothing). 0.01 is parquet-mr's default, stated
+    * explicitly so the LayoutSpec FPP sweep and production calls share
+    * one contract; the sweep (bytes-vs-measured-skip-rate per ladder
+    * point, planted non-member probe set) is the knob's pricing read.
     */
   def writeBloomIndexed(df: DataFrame, path: String, numFiles: Int,
-      column: String, expectedNdv: Long): Unit = {
+      column: String, expectedNdv: Long, fpp: Double = 0.01): Unit = {
     require(numFiles > 0, s"numFiles=$numFiles must be positive")
     require(expectedNdv > 0, s"expectedNdv=$expectedNdv must be positive")
+    require(fpp > 0 && fpp < 1, s"fpp=$fpp must be in (0, 1)")
     df.repartition(numFiles)
       .write.mode("overwrite")
       .option(s"parquet.bloom.filter.enabled#$column", "true")
       .option(s"parquet.bloom.filter.expected.ndv#$column",
         expectedNdv.toString)
+      .option(s"parquet.bloom.filter.fpp#$column", fpp.toString)
       .parquet(path)
   }
 

@@ -96,10 +96,21 @@ object Packing {
     * arrive sorted by (shard, id) via sortWithinPartitions, and state
     * resets on every shard change, so the output is deterministic no
     * matter how shards co-locate. Emits (idCol, lenCol, shard, block).
+    *
+    * `lengthDescending = true` packs each shard LARGEST-FIRST (ties by
+    * id) instead of arrival order — the packing literature's
+    * decreasing variant: long docs claim fresh blocks early and the
+    * small-doc tail backfills, which cuts padding whenever lengths are
+    * skewed. The state machine, shard rule, and overfull handling are
+    * identical; ONLY the within-shard visit order changes (one
+    * sortWithinPartitions key — same shuffle), so the two policies'
+    * fragmentation is directly comparable (the q199 contrast). The
+    * trade it prices: decreasing order improves utilization but loses
+    * arrival locality (a block no longer holds consecutive ids).
     */
   def firstFitBlocks(
       df: DataFrame, idCol: String, lenCol: String, blockSize: Long,
-      shards: Int = 64): DataFrame = {
+      shards: Int = 64, lengthDescending: Boolean = false): DataFrame = {
     require(blockSize > 0, s"blockSize=$blockSize must be positive")
     require(shards > 0, s"shards=$shards must be positive")
     val stats = df.agg(
@@ -107,10 +118,23 @@ object Packing {
       max(col(idCol).cast("long")).as("hi")).collect()(0)
     val session = df.sparkSession
     import session.implicits._
+    // empty branch mirrors the non-empty output schema EXACTLY (both
+    // id and len emerge long-cast from the typed fold below) — a
+    // downstream union/writer that saw the empty branch first must not
+    // bind a different schema
     if (stats.isNullAt(0))
-      return df.select(col(idCol), col(lenCol))
+      return df.select(col(idCol).cast("long").as(idCol),
+          col(lenCol).cast("long").as(lenCol))
         .withColumn("shard", lit(0L)).withColumn("block", lit(0L)).limit(0)
     val lo = stats.getLong(0)
+    // id-range sharding needs the span hi-lo as a long: full-range
+    // keys (raw xxhash64 ids) would overflow BOTH this subtraction and
+    // the ANSI-mode (_1 - lo) below — fail by name, and tell the
+    // caller the one-shift fix, instead of surfacing a mid-job
+    // ARITHMETIC_OVERFLOW
+    require(BigInt(stats.getLong(1)) - BigInt(lo) < BigInt(Long.MaxValue),
+      s"id span [${lo}, ${stats.getLong(1)}] exceeds 2^63; shift hash " +
+        "keys into [0, 2^63) first (e.g. shiftrightunsigned(xxhash64(k), 1))")
     val width = math.max(1L, (stats.getLong(1) - lo) / shards + 1)
     df.select(col(idCol).cast("long").as("_1"),
         col(lenCol).cast("long").as("_2"))
@@ -120,7 +144,9 @@ object Packing {
       // block boundaries, unlike sequenceOffsets' internal-only shards)
       .withColumn("_3", expr(s"(_1 - ${lo}L) DIV ${width}L"))
       .repartition(col("_3"))
-      .sortWithinPartitions("_3", "_1")
+      .sortWithinPartitions(
+        (if (lengthDescending) Seq(col("_3"), col("_2").desc, col("_1"))
+         else Seq(col("_3"), col("_1"))): _*)
       .as[(Long, Long, Long)]
       .mapPartitions { it =>
         var curShard = Long.MinValue

@@ -91,10 +91,13 @@ object Sampling {
     * keep threshold reduces to `⌊256·(min_c/c_s)^(1−α)⌋` (the
     * smallest source keeps everything, larger sources downsample by
     * their count ratio to the α−1 power) — because the canceled form
-    * is what an independent engine can replay bit-exactly: at the
-    * α = 0.5 catalog gate the power is `sqrt` of an identical double
-    * quotient, correctly rounded per IEEE 754 in BOTH engines. Other
-    * α values go through `pow`, whose last-ulp rounding is NOT
+    * is what an independent engine can replay bit-exactly: exponents
+    * on the [[powExact]] ladder (α ∈ {0, .25, .5, .75, 1}) evaluate
+    * through sqrt compositions of an identical double quotient,
+    * correctly rounded per IEEE 754 in BOTH engines — and through the
+    * SAME function [[temperatureSweep]] prices with, so the sweep's
+    * published thresholds are bit-identical to what this gate keeps.
+    * Other α go through `pow`, whose last-ulp rounding is NOT
     * specified identically across libm implementations — a threshold
     * can flip by one bucket in ~2⁻⁵² of configurations; fine for
     * production mixing, excluded from the exactness gate by design.
@@ -105,19 +108,40 @@ object Sampling {
       df: DataFrame, keyCol: String, sourceCol: String,
       alpha: Double): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha=$alpha must be in (0, 1]")
-    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("c"))
+    // key read + comparison via an explicit string cast so non-string
+    // source codes (int domains) work; the cast is deterministic both
+    // sides of the when
+    val counts = df.groupBy(col(sourceCol).cast("string").as("__src"))
+      .agg(count(lit(1)).as("c"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     if (counts.isEmpty) return df.limit(0)
     val minC = counts.values.min.toDouble
-    val e = 1.0 - alpha
-    def powE(x: Double): Double =
-      if (e == 0.5) math.sqrt(x) else math.pow(x, e)
     val thr = counts.foldLeft(lit(0)) { case (acc, (s, c)) =>
-      when(col(sourceCol) === s,
-        lit(math.floor(256.0 * powE(minC / c)).toInt)).otherwise(acc)
+      when(col(sourceCol).cast("string") === s,
+        lit(math.floor(256.0 * powExact(1.0 - alpha, minC / c)).toInt))
+        .otherwise(acc)
     }
     df.filter(stableBucket256(col(keyCol)) < thr)
   }
+
+  /** The shared exponent ladder of the temperature family:
+    * e ∈ {0, 0.25, 0.5, 0.75, 1} evaluate through IEEE-exact sqrt
+    * compositions (correctly rounded per IEEE 754, so cross-engine
+    * bit-exact — the catalog gate); anything else goes through libm
+    * `pow` (last-ulp unspecified, excluded from the exactness gate).
+    * ONE function used by both [[temperatureMix]] (the gate) and
+    * [[temperatureSweep]] (the knob-pricing read) — if the two evolved
+    * separate ladders, a floor(256·x) boundary case could put the
+    * sweep's published threshold one bucket off what the gate actually
+    * keeps.
+    */
+  private[graft] def powExact(e: Double, x: Double): Double =
+    if (e == 0.0) 1.0
+    else if (e == 0.25) math.sqrt(math.sqrt(x))
+    else if (e == 0.5) math.sqrt(x)
+    else if (e == 0.75) math.sqrt(x) * math.sqrt(math.sqrt(x))
+    else if (e == 1.0) x
+    else math.pow(x, e)
 
   /** The α = 0.5 keep-bucket threshold as a COLUMN expression —
     * `floor(256·sqrt(minCount/count))` — published so audits (q182)
@@ -152,8 +176,11 @@ object Sampling {
     require(alphas.nonEmpty && alphas.forall(a => a >= 0 && a <= 1),
       s"alphas=$alphas must be non-empty and within [0, 1]")
     val spark = df.sparkSession
+    // source cast to string in the histogram projection so any key
+    // type (int source codes) flows through the driver map, the thrDf
+    // schema, and the join without a ClassCastException
     val hist = CacheRegistry.track(
-      df.select(col(sourceCol).as("source"),
+      df.select(col(sourceCol).cast("string").as("source"),
           stableBucket256(col(keyCol)).as("bucket"))
         .groupBy("source", "bucket").agg(count(lit(1)).as("n"))
         .persist())
@@ -174,16 +201,9 @@ object Sampling {
         .withColumn("n_kept", lit(0L))
         .withColumn("kept_share", lit(0.0))
     val minC = counts.values.min.toDouble
-    def powE(e: Double, x: Double): Double =
-      if (e == 0.0) 1.0
-      else if (e == 0.25) math.sqrt(math.sqrt(x))
-      else if (e == 0.5) math.sqrt(x)
-      else if (e == 0.75) math.sqrt(x) * math.sqrt(math.sqrt(x))
-      else if (e == 1.0) x
-      else math.pow(x, e)
     val thrRows = for (a <- alphas; (s, c) <- counts.toSeq) yield
       org.apache.spark.sql.Row(a, s, c,
-        math.floor(256.0 * powE(1.0 - a, minC / c)).toLong)
+        math.floor(256.0 * powExact(1.0 - a, minC / c)).toLong)
     val thrDf = spark.createDataFrame(
       spark.sparkContext.parallelize(thrRows, 1), schema)
     val h = hist.select(col("source").as("__hsrc"), col("bucket"),
@@ -203,6 +223,100 @@ object Sampling {
         round(col("n_kept").cast("double") / col("__tot").cast("double"), 6)
           .as("kept_share"))
   }
+
+  /** Epoch/repeat PLANNER — the decision a DATA-CONSTRAINED training
+    * run makes before any sampling (Muennighoff et al. 2023-style
+    * repeat accounting: when the token budget exceeds the unique data,
+    * the question is how many EPOCHS of each source, under diminishing
+    * returns per repeat). Every mixing tier here ([[temperatureMix]],
+    * [[mixToTarget]], UniMax) assumes single-pass sampling; this is the
+    * layer above them.
+    *
+    * Model: repeat k of source s is worth `weight_ppm(s) · δ^(k-1)`
+    * per token with δ = 1/2 — a geometric diminishing-returns discount
+    * whose per-layer values are EXACT INTEGERS after scaling by
+    * 2^(maxEpochs-1) (`weight_ppm · 2^(maxEpochs-k)`), so the greedy
+    * waterfill is replayable bit-exactly by any engine: sort the
+    * |sources|·maxEpochs layer relation by (value DESC, source, epoch)
+    * — a strict total order — and fill each layer's `unique_tokens`
+    * until the budget runs out; the boundary layer takes the
+    * remainder. Zero-weight sources sort last (budget still fills them
+    * once everything valued is exhausted — a fixed-compute run spends
+    * its budget). This is the optimal allocation for the model
+    * (marginal values are layer-constant, so greedy-by-value is
+    * exchange-optimal), and it is pure closed-form arithmetic over the
+    * per-source count relation — dozens of rows, no corpus scan.
+    *
+    * `perSource` contract: one row per source with columns
+    * `source` (string), `unique_tokens` (long > 0 — the post-dedup
+    * available tokens), `weight_ppm` (long in [0, 1e6] — per-source
+    * quality weight in parts-per-million, integer so the value ladder
+    * stays exact). Output one row per source:
+    * `(source, unique_tokens, weight_ppm, tokens_alloc, full_epochs,
+    * frac_b256, epochs_r6)` — `full_epochs` whole passes,
+    * `frac_b256 = ⌊256·partial/unique⌋` the md5-bucket threshold
+    * [[epochRealize]] gates the fractional pass on, `epochs_r6` the
+    * display ratio. The layer window is over a bounded relation
+    * (|sources|·maxEpochs rows), never the corpus.
+    */
+  def epochPlan(perSource: DataFrame, budgetTokens: Long,
+      maxEpochs: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgetTokens >= 0, s"budgetTokens=$budgetTokens must be >= 0")
+    require(maxEpochs >= 1 && maxEpochs <= 32,
+      s"maxEpochs=$maxEpochs must be in [1, 32] — the exact value ladder " +
+        "shifts 1L by up to maxEpochs-1 and weight_ppm*2^31 is the " +
+        "overflow-safe ceiling")
+    val layers = perSource
+      .select(col("source").cast("string").as("source"),
+        col("unique_tokens").cast("long").as("unique_tokens"),
+        col("weight_ppm").cast("long").as("weight_ppm"))
+      .withColumn("epoch", explode(sequence(lit(1), lit(maxEpochs))))
+      .withColumn("value_scaled",
+        expr(s"weight_ppm * shiftleft(CAST(1 AS BIGINT), $maxEpochs - epoch)"))
+    val ord = Window
+      .orderBy(col("value_scaled").desc, col("source").asc, col("epoch").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    layers
+      .withColumn("cum_prev",
+        coalesce(sum(col("unique_tokens")).over(ord), lit(0L)))
+      .withColumn("layer_alloc",
+        greatest(lit(0L), least(col("unique_tokens"),
+          lit(budgetTokens) - col("cum_prev"))))
+      .groupBy("source", "unique_tokens", "weight_ppm")
+      .agg(sum(col("layer_alloc")).as("tokens_alloc"),
+        sum(when(col("layer_alloc") === col("unique_tokens"), 1L)
+          .otherwise(0L)).as("full_epochs"))
+      .withColumn("frac_b256",
+        expr("(256 * (tokens_alloc - full_epochs * unique_tokens)) " +
+          "DIV unique_tokens"))
+      .withColumn("epochs_r6",
+        round(col("tokens_alloc").cast("double") /
+          col("unique_tokens").cast("double"), 6))
+  }
+
+  /** The corpus-side keep rule of [[epochPlan]]: every doc of source s
+    * repeats `full_epochs(s)` times, plus once more when its md5
+    * bucket-of-256 falls under `frac_b256(s)` — the same deterministic
+    * content-hash gate as every sampling tier here, so the realized
+    * fractional pass is reproducible across engines, runs, and
+    * partitionings, and realized tokens track `tokens_alloc` to bucket
+    * granularity. Pure per-row broadcast-join + filter arithmetic — no
+    * shuffle, scan-speed at any corpus size. Emits the input columns
+    * plus `repeats` (long, possibly 0 — budget exhausted before this
+    * source's first pass); sources absent from the plan are dropped.
+    */
+  def epochRealize(df: DataFrame, keyCol: String, sourceCol: String,
+      plan: DataFrame): DataFrame =
+    df.join(
+        broadcast(plan.select(col("source").as("__psrc"),
+          col("full_epochs"), col("frac_b256"))),
+        col(sourceCol).cast("string") === col("__psrc"))
+      .withColumn("repeats",
+        col("full_epochs") +
+          when(stableBucket256(col(keyCol)) < col("frac_b256"), 1L)
+            .otherwise(0L))
+      .drop("__psrc", "full_epochs", "frac_b256")
 
   /** Stratified deterministic sampling: a different keep-rate per stratum
     * value (16ths), e.g. downsample a dominant language while keeping the

@@ -89,6 +89,8 @@ object CorpusStream {
       sketchDir: String = null,
       sketchDepth: Int = 4, sketchWidth: Int = 1024,
       kmvDir: String = null, kmvK: Int = 256,
+      dupMassDir: String = null,
+      dupMassShingleN: Int = 3, dupMassThreshold: Double = 0.7,
       compactEvery: Int = 0): StreamingQuery =
     docStream(spark, warcDir, glob)
       .writeStream
@@ -133,6 +135,28 @@ object CorpusStream {
                 "g", "tok", kmvK)
               .write.mode("overwrite")
               .parquet(s"$kmvDir/batch_id=$batchId")
+          // per-drain DEDUP DECISION telemetry (the q185 read, live):
+          // this drain's within-batch near-dup duplication-mass
+          // histogram, so the collapse-or-not decision surface exists
+          // for a live ingest, not just batch corpora. Same
+          // batchId-keyed overwrite contract (the histogram is a pure
+          // function of the drain's docs, so replay-rewriting is
+          // idempotent); the drain id ALSO rides as a DATA column
+          // (`drain_batch`, the ingest_batch precedent) because
+          // partition ids do not survive compaction and a per-drain
+          // read must.
+          // doc key: NUMERIC per the cluster tier's contract (connected
+          // components casts node ids to long — a url string throws);
+          // xxhash64 shifted into [0, 2^63) so any downstream id-range
+          // consumer is safe from full-range spans
+          if (dupMassDir != null)
+            graft.operators.Dedup.dupMassHistogram(
+                docs.select(shiftrightunsigned(xxhash64(col("url")), 1)
+                  .as("doc_key"), col("text")), "doc_key", "text",
+                dupMassShingleN, dupMassThreshold)
+              .withColumn("drain_batch", lit(batchId))
+              .write.mode("overwrite")
+              .parquet(s"$dupMassDir/batch_id=$batchId")
           // the corpus and both telemetry layouts are all batchId-keyed
           // partition trees, so they all decay into small files; the
           // sketch dirs consolidate with a RE-AGGREGATING pass (CMS
@@ -147,6 +171,13 @@ object CorpusStream {
           if (kmvDir != null)
             maybeCompact(spark, Seq(kmvDir), compactEvery, batchId,
               mergeKmvRows(_, kmvK))
+          // dup-mass rows consolidate with NO re-aggregation: each row
+          // is already keyed by (drain_batch, size) — per-drain
+          // histograms of different drains must never merge (a
+          // cross-drain sum would claim a dup-mass read no within-
+          // drain closure ever computed)
+          if (dupMassDir != null)
+            maybeCompact(spark, Seq(dupMassDir), compactEvery, batchId)
         }
       }
       .start()
@@ -181,6 +212,17 @@ object CorpusStream {
     */
   def readKmvSketch(spark: SparkSession, dir: String, k: Int): DataFrame =
     mergeKmvRows(spark.read.parquet(dir).select("g", "kmv"), k)
+
+  /** The per-drain dedup-decision telemetry: one q185-shaped histogram
+    * row set per drain, keyed by the compaction-stable `drain_batch`
+    * DATA column (never the partition id). Deliberately NOT merged
+    * across drains — a dup-mass histogram is a within-closure read,
+    * and summing two drains' histograms would describe a corpus no
+    * closure ever ran on.
+    */
+  def readDupMassTelemetry(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+      .select("drain_batch", "size", "n_clusters", "doc_mass", "removable")
 
   /** One row per URL per drain: a drain whose segments carry the SAME
     * url with two different bodies (an in-flight re-crawl — different

@@ -150,6 +150,64 @@ class LayoutSpec extends SparkSpec {
       s"bloom must skip row groups: bloom=$bloomRows plain=$plainRows")
   }
 
+  test("bloom FPP sweep: per ladder point, filter bytes (cost) vs " +
+      "measured skip rate on a planted NON-MEMBER probe set (quality) " +
+      "— scanned rows non-increasing and bytes non-decreasing as fpp " +
+      "tightens, strict between the ladder ends") {
+    val session = spark
+    import session.implicits._
+    // same adversarial shape as the point-lookup test: every file
+    // spans the whole id domain, so ONLY the bloom filter can skip.
+    // Two experiment-design traps, both measured into this arm's shape:
+    // (a) expectedNdv must be the PER-ROW-GROUP truth (4096/8 = 512),
+    // not the table total — overstating it 8x oversizes the filter and
+    // drives the real FP rate to ~fpp^8, silencing the knob under test;
+    // (b) the planted non-members must sit INSIDE every row group's
+    // [min, max] — out-of-domain probes are pruned by footer stats
+    // before any bloom is consulted (both mis-designs measured ZERO
+    // false positives at fpp=0.25). So: store even ids, probe odd.
+    val ids = (0L until 4096L).map(i => (2 * i, s"payload$i"))
+      .toDF("id", "p")
+    val probes = (0 until 40).map(i => 2L * i * 100L + 1L)
+    def dirBytes(path: String): Long =
+      new java.io.File(path).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    def nonMemberScanRows(path: String): Long = probes.map { k =>
+      val df = spark.read.parquet(path).filter(col("id") === k)
+      assert(df.count() == 0L, s"probe $k must be a non-member")
+      df.collect()
+      val scans = df.queryExecution.executedPlan.collectLeaves().collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      scans.map(_.metrics("numOutputRows").value).sum
+    }.sum
+    val ladder = Seq(0.25, 0.05, 0.01, 0.001)
+    val sweep = ladder.map { fpp =>
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"layout-fpp").toString
+      Layout.writeBloomIndexed(ids, dir, numFiles = 8, "id",
+        expectedNdv = 512L, fpp = fpp)
+      val bytes = dirBytes(dir)
+      val scanned = nonMemberScanRows(dir)
+      info(f"fpp=$fpp%.3f: $bytes bytes, $scanned false-positive rows " +
+        f"over ${probes.size} non-member probes")
+      (fpp, bytes, scanned)
+    }
+    // quality: skip rate improves (scanned rows never increase) as fpp
+    // tightens down the ladder
+    for (Seq((fa, _, sa), (fb, _, sb)) <- sweep.sliding(2))
+      assert(sa >= sb, s"fpp $fa -> $fb: scanned rows rose $sa -> $sb")
+    // cost: filter bytes never shrink as fpp tightens
+    for (Seq((fa, ba, _), (fb, bb, _)) <- sweep.sliding(2))
+      assert(bb >= ba, s"fpp $fa -> $fb: bytes shrank $ba -> $bb")
+    // strict trade between the ladder ends: the loose end pays real
+    // false-positive reads, the tight end pays real bytes
+    assert(sweep.head._3 > sweep.last._3,
+      s"loose fpp must show false positives: ${sweep.map(_._3)}")
+    assert(sweep.last._2 > sweep.head._2,
+      s"tight fpp must cost bytes: ${sweep.map(_._2)}")
+  }
+
   test("writeZOrderBloom: rectangle pruning on the z-ordered pair AND " +
       "bloom point-lookup pruning on a third unsorted column both hold, " +
       "MEASURED on the same written files — the layouts compose rather " +

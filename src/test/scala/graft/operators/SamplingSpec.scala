@@ -277,4 +277,72 @@ class SamplingSpec extends SparkSpec {
     }
     CacheRegistry.drain()
   }
+
+  test("epochPlan replays a hand-computed waterfill: whole layers fill " +
+      "in (weight-discounted value, source) order, the boundary layer " +
+      "takes the remainder, zero-weight sources fill last, and the " +
+      "budget is conserved") {
+    import spark.implicits._
+    // values scaled by 2^(3-k) with maxEpochs=3:
+    //   a: w=1000000 -> layers 4000000, 2000000, 1000000
+    //   b: w=500000  -> layers 2000000, 1000000,  500000
+    //   z: w=0       -> layers 0, 0, 0 (sorts last, source/epoch order)
+    // strict fill order: a1(100), then a2 ties b1 at 2000000 -> a2(100)
+    // then b1(200), then a3 ties b2 at 1000000 -> a3(100) then b2(200),
+    // then b3(500000), then z1 z2 z3.
+    val per = Seq(("a", 100L, 1000000L), ("b", 200L, 500000L),
+      ("z", 50L, 0L)).toDF("source", "unique_tokens", "weight_ppm")
+    def planMap(budget: Long) =
+      Sampling.epochPlan(per, budget, maxEpochs = 3).collect()
+        .map(r => r.getAs[String]("source") ->
+          ((r.getAs[Long]("tokens_alloc"), r.getAs[Long]("full_epochs"),
+            r.getAs[Long]("frac_b256"))))
+        .toMap
+    // budget 450 = a1(100) + a2(100) + b1(200) + 50 into a3:
+    // a: 250 alloc, 2 full, frac floor(256*50/100)=128; b: 200, 1, 0
+    val p450 = planMap(450L)
+    assert(p450("a") == ((250L, 2L, 128L)), s"got ${p450("a")}")
+    assert(p450("b") == ((200L, 1L, 0L)), s"got ${p450("b")}")
+    assert(p450("z") == ((0L, 0L, 0L)), s"got ${p450("z")}")
+    // budget conservation: sum(alloc) = min(budget, total capacity)
+    assert(p450.values.map(_._1).sum == 450L)
+    // budget beyond all valued layers spills into the zero-weight
+    // source; beyond EVERYTHING it caps at maxEpochs * capacity
+    val p920 = planMap(920L)
+    assert(p920("a") == ((300L, 3L, 0L)))
+    assert(p920("b") == ((600L, 3L, 0L)))
+    assert(p920("z") == ((20L, 0L, (256L * 20L) / 50L)))
+    val pBig = planMap(5000L)
+    assert(pBig("a") == ((300L, 3L, 0L)) && pBig("b") == ((600L, 3L, 0L))
+      && pBig("z") == ((150L, 3L, 0L)))
+    assert(planMap(0L).values.forall(_ == ((0L, 0L, 0L))))
+  }
+
+  test("epochRealize applies the plan's repeat rule: full_epochs " +
+      "everywhere plus one md5-bucket-gated extra pass, matching a " +
+      "driver replay doc by doc; unplanned sources drop") {
+    import spark.implicits._
+    val docsDf = ((1L to 300L).map(i => (i, "a")) ++
+      (301L to 400L).map(i => (i, "b")) ++
+      (401L to 420L).map(i => (i, "ghost"))).toDF("doc_id", "src")
+    val plan = Seq(("a", 300L, 1000000L, 2L, 100L),
+      ("b", 100L, 500000L, 1L, 0L))
+      .toDF("source", "unique_tokens", "weight_ppm", "full_epochs",
+        "frac_b256")
+    val got = Sampling.epochRealize(docsDf, "doc_id", "src", plan)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("repeats")).toMap
+    def bucket(id: Long): Int =
+      Integer.parseInt(java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).take(1)
+        .map("%02x".format(_)).mkString, 16)
+    assert(got.size == 400, s"ghost rows leaked: ${got.size}")
+    for (i <- 1L to 300L)
+      assert(got(i) == 2L + (if (bucket(i) < 100) 1L else 0L),
+        s"doc $i bucket ${bucket(i)}: got ${got(i)}")
+    for (i <- 301L to 400L) assert(got(i) == 1L)
+    // the fractional pass is a genuine partial subset
+    val extras = (1L to 300L).count(i => got(i) == 3L)
+    assert(extras > 0 && extras < 300, s"extras=$extras")
+  }
 }

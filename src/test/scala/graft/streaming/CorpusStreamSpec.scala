@@ -229,6 +229,102 @@ class CorpusStreamSpec extends SparkSpec {
     CacheRegistry.drain()
   }
 
+  test("per-drain dup-mass telemetry: each drain writes its own q185 " +
+      "histogram keyed by a compaction-stable drain_batch column, the " +
+      "rows equal a direct batch-read recomputation for EVERY drain " +
+      "even after compaction consolidates the partitions, and a " +
+      "same-batchId replay overwrite changes nothing") {
+    val session = spark
+    import session.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dm-stream")
+    val ckpt = java.nio.file.Files.createTempDirectory("dm-ckpt")
+    val out = java.nio.file.Files.createTempDirectory("dm-out")
+    val dmd = java.nio.file.Files.createTempDirectory("dm-tele")
+    val model = Bpe.learnMerges(Seq("a b c ab").toDF("text"), "text", 2)
+    def drain(): Unit = {
+      val q = CorpusStream.run(spark, dir.toString, model,
+        ckpt.toString, out.toString,
+        dupMassDir = dmd.toString, dupMassShingleN = 3,
+        dupMassThreshold = 0.7, compactEvery = 1)
+      q.awaitTermination()
+    }
+    // drain 0: a 10-token page, its 2-token-extended near-dup (shares
+    // 8 of 10 shingles -> jaccard 0.8 >= 0.7), and one singleton
+    val baseText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    java.nio.file.Files.write(dir.resolve("seg-00001.warc.gz"),
+      WarcReader.write(Seq(htmlRec(1, baseText),
+        htmlRec(2, baseText + " alpha beta"),
+        htmlRec(3, "unrelated totally different words here")),
+        gzipPerRecord = true))
+    drain()
+    // drain 1: singletons only
+    java.nio.file.Files.write(dir.resolve("seg-00002.warc.gz"),
+      WarcReader.write(Seq(htmlRec(4, "lambda mu nu xi omicron pi")),
+        gzipPerRecord = true))
+    drain()
+    // drain 2: two exact-shingle clones again (within-drain cluster)
+    java.nio.file.Files.write(dir.resolve("seg-00003.warc.gz"),
+      WarcReader.write(Seq(htmlRec(5, "rho sigma tau upsilon phi chi psi"),
+        htmlRec(6, "rho sigma tau upsilon phi chi psi omega extra")),
+        gzipPerRecord = true))
+    drain()
+
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("drain_batch"),
+        r.getAs[Long]("size"), r.getAs[Long]("n_clusters"),
+        r.getAs[Long]("doc_mass"), r.getAs[Long]("removable"))).toSet
+    val tele = rowsOf(CorpusStream.readDupMassTelemetry(spark, dmd.toString))
+    // drain 0: one 2-cluster + one singleton; drain 1: one singleton;
+    // drain 2: one 2-cluster and an explicit ZERO singleton row (the
+    // histogram always carries its size-1 row — "no singletons" is a
+    // reading, not an absence)
+    assert(tele == Set(
+      (0L, 2L, 1L, 2L, 1L), (0L, 1L, 1L, 1L, 0L),
+      (1L, 1L, 1L, 1L, 0L),
+      (2L, 2L, 1L, 2L, 1L), (2L, 1L, 0L, 0L, 0L)), tele.toString)
+    // compaction consolidated drains 0 and 1 (compactEvery=1, 3 drains
+    // -> coverage partition -3 plus live batch 2), yet every drain's
+    // rows above survived bit-identical via the drain_batch DATA column
+    val parts = new java.io.File(dmd.toString).listFiles.toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+      .map(_.getName.stripPrefix("batch_id=").toLong).sorted
+    assert(parts == Seq(-3L, 2L), parts.toString)
+    // merged-equals-batch-read: every drain's telemetry equals the
+    // q185 histogram recomputed directly from that drain's PLANTED
+    // docs (drains 0/1's corpus partitions were consolidated into the
+    // coverage partition — partition ids don't survive compaction,
+    // which is exactly why the telemetry carries drain_batch as data)
+    val planted = Map(
+      0L -> Seq(baseText, baseText + " alpha beta",
+        "unrelated totally different words here"),
+      1L -> Seq("lambda mu nu xi omicron pi"),
+      2L -> Seq("rho sigma tau upsilon phi chi psi",
+        "rho sigma tau upsilon phi chi psi omega extra"))
+    for ((b, texts) <- planted) {
+      val direct = graft.operators.Dedup.dupMassHistogram(
+          texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+            .toDF("doc_key", "text"),
+          "doc_key", "text", 3, 0.7)
+        .withColumn("drain_batch", lit(b))
+      assert(rowsOf(direct) == tele.filter(_._1 == b),
+        s"drain $b: telemetry diverged from the batch read")
+    }
+    // crash-replay of the still-live batch 2: overwrite its partition
+    // from its own corpus rows — the read must be unchanged (same
+    // shifted-hash doc key as the stream's own write)
+    val batch2 = spark.read.parquet(out.toString)
+      .filter(col("batch_id") === 2L)
+      .select(shiftrightunsigned(xxhash64(col("url")), 1).as("doc_key"),
+        col("text"))
+    graft.operators.Dedup.dupMassHistogram(batch2, "doc_key", "text",
+        3, 0.7)
+      .withColumn("drain_batch", lit(2L))
+      .write.mode("overwrite").parquet(s"$dmd/batch_id=2")
+    assert(rowsOf(CorpusStream.readDupMassTelemetry(spark, dmd.toString))
+      == tele, "replay overwrite must not change the telemetry")
+    CacheRegistry.drain()
+  }
+
   test("runFuzzy: a NEAR-duplicate re-crawl (small edit, new exact " +
       "fingerprint) is suppressed by the persisted band-key index; " +
       "novel docs still land") {
@@ -1029,6 +1125,32 @@ class CorpusStreamSpec extends SparkSpec {
     CorpusStream.chunkedBatch(spark, man.toString, store.toString, 4)(
       batch1, 1L)
     assert(snap() == before, "replay must rewrite, not change")
+
+    // integration read (r15 verdict stretch #8): the chunk store's
+    // REASSEMBLED corpus feeds the boundary-respecting packer — the
+    // decision a fine-tuning pipeline makes over a live chunked ingest
+    // — and because reconstruction is exact, the packing layout is
+    // IDENTICAL to packing the original texts directly (doc ids are
+    // xxhash64(url) shifted into [0, 2^63) — the firstFitBlocks span
+    // contract — the same key both sides, so shards and blocks
+    // coincide bit for bit)
+    def packed(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Packing.firstFitBlocks(
+          df.select(shiftrightunsigned(xxhash64(col("url")), 1)
+            .as("doc_id"),
+            size(TextAnalysis.tokens(col("text"))).cast("long")
+              .as("n_tokens")),
+          "doc_id", "n_tokens", blockSize = 16L, shards = 4,
+          lengthDescending = true)
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("shard"), r.getAs[Long]("block")))).toMap
+    val viaStore = packed(CorpusStream.readChunkedCorpus(spark,
+      man.toString, store.toString))
+    val viaDirect = packed(expected.toSeq.toDF("url", "text"))
+    assert(viaStore.size == 4 && viaStore == viaDirect,
+      s"packing the reassembled corpus must equal packing the " +
+        s"originals: $viaStore vs $viaDirect")
     CacheRegistry.drain()
   }
 }
