@@ -178,7 +178,10 @@ object Bench {
       // AQE-off attribution arm reads 4.6-5.6 s steady — the residual
       // ~1.5 s is adaptive re-planning overhead across the query's
       // many small exchanges, not scatter (both arms are tight). The
-      // 15 s bar stands and now clears even cold.
+      // 15 s bar stands as a STEADY bar (watched_steady is the gated
+      // read, clearing it 2x); fresh-JVM cold runs 15.6-19.1 s — at or
+      // just above the bar — so a cold/pass-1 reading near 17 s is
+      // codegen+JIT, not a regression.
       "q192_dedup_drain_capstone",
       // standing q60 watch (r14 verdict order #6): BenchProbe floor
       // 2.0-2.5 s steady, but its recorded history (r5/r12/r14 —

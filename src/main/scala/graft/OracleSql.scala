@@ -5034,6 +5034,74 @@ object OracleSql {
         |  sa.arrival_blocks - sd.ffd_blocks AS blocks_saved
         |FROM sa JOIN sd USING (shard) ORDER BY sa.shard""".stripMargin,
 
+    // temperature-composed epoch plan: alpha=0.5 md5-bucket gate on
+    // doc counts, quality ppm over the kept docs, then the waterfill
+    "q201_epoch_temperature_plan" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT lang, CAST(count(*) AS DOUBLE) AS c FROM base
+        |  GROUP BY lang),
+        |m AS (SELECT min(c) AS mc FROM cnt),
+        |thr AS (
+        |  SELECT lang, CAST(floor(256 * sqrt(mc / c)) AS BIGINT) AS th
+        |  FROM cnt, m),
+        |kept AS (
+        |  SELECT b.doc_id, b.lang, b.n_tokens
+        |  FROM base b JOIN thr t ON b.lang = t.lang
+        |  WHERE CAST(('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)),
+        |      1, 2)) AS BIGINT) < t.th),
+        |per AS (
+        |  SELECT lang AS source,
+        |    CAST(sum(n_tokens) AS BIGINT) AS unique_tokens,
+        |    (1000000 * CAST(sum(CASE WHEN n_tokens >= 20 THEN 1 ELSE 0
+        |      END) AS BIGINT)) // CAST(count(*) AS BIGINT) AS weight_ppm
+        |  FROM kept GROUP BY lang
+        |  HAVING CAST(sum(n_tokens) AS BIGINT) > 0),
+        |b AS (SELECT (47 * CAST(sum(unique_tokens) AS BIGINT)) // 20
+        |        AS budget
+        |      FROM per),
+        |layers AS (
+        |  SELECT p.source, p.unique_tokens, p.weight_ppm,
+        |    CAST(e.epoch AS INTEGER) AS epoch,
+        |    p.weight_ppm * (CAST(1 AS BIGINT) << (4 - e.epoch))
+        |      AS value_scaled
+        |  FROM per p CROSS JOIN generate_series(1, 4) e(epoch)),
+        |alloc AS (
+        |  SELECT l.*, b.budget,
+        |    COALESCE(sum(l.unique_tokens) OVER (
+        |      ORDER BY l.value_scaled DESC, l.source ASC, l.epoch ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_prev
+        |  FROM layers l CROSS JOIN b),
+        |la AS (
+        |  SELECT *, GREATEST(CAST(0 AS BIGINT),
+        |      LEAST(unique_tokens, budget - cum_prev)) AS layer_alloc
+        |  FROM alloc),
+        |plan AS (
+        |  SELECT source, unique_tokens, weight_ppm,
+        |    CAST(sum(layer_alloc) AS BIGINT) AS tokens_alloc,
+        |    CAST(sum(CASE WHEN layer_alloc = unique_tokens THEN 1
+        |      ELSE 0 END) AS BIGINT) AS full_epochs
+        |  FROM la GROUP BY source, unique_tokens, weight_ppm),
+        |oc AS (
+        |  SELECT lang AS source, CAST(count(*) AS BIGINT) AS n_docs_orig
+        |  FROM base GROUP BY lang),
+        |kc AS (
+        |  SELECT lang AS source, CAST(count(*) AS BIGINT) AS n_docs_kept
+        |  FROM kept GROUP BY lang)
+        |SELECT p.source, oc.n_docs_orig, kc.n_docs_kept,
+        |  p.unique_tokens, p.weight_ppm, p.tokens_alloc, p.full_epochs,
+        |  (256 * (p.tokens_alloc - p.full_epochs * p.unique_tokens))
+        |    // p.unique_tokens AS frac_b256,
+        |  round(CAST(p.tokens_alloc AS DOUBLE)
+        |    / CAST(p.unique_tokens AS DOUBLE), 6) AS epochs_r6
+        |FROM plan p JOIN oc USING (source) JOIN kc USING (source)
+        |ORDER BY p.source""".stripMargin,
+
     // knob-pick capstone: replay all five sweep relations (prefixed
     // CTE blocks verbatim from their own oracles), then apply each
     // knob's stated rule over its sweep

@@ -3817,9 +3817,13 @@ object SparkEntry {
     val repSets = graft.operators.CacheRegistry.track(
       Dedup.shingleSets(reps, "doc_id", "text", 3)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // broadcast decision from the SOURCE relation (the gate's
+    // calibration basis), shared by both closures — the after-closure's
+    // sets are a subset of these
+    val bcast = Some(Dedup.autoBroadcastSets(reps))
     val members = graft.operators.CacheRegistry.track(
       Dedup.nearDupMembersFromSets(memberMap, repSets, "doc_id",
-        threshold = 0.7).persist())
+        threshold = 0.7, broadcastSets = bcast).persist())
     val keepers = Dedup.collapseMembers(members, corpus, "doc_id",
       "n_tokens").select(col("keep_id"))
     val dropped = members.join(keepers,
@@ -3856,7 +3860,7 @@ object SparkEntry {
         .select(col("new_rep").as("doc_id"), col("shset"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val after = Dedup.nearDupMembersFromSets(memberMap2, repSets2,
-        "doc_id", threshold = 0.7)
+        "doc_id", threshold = 0.7, broadcastSets = bcast)
       .agg(countDistinct(col("cluster_id")).as("n_clusters"),
         count(lit(1)).as("clustered_docs"))
       .crossJoin(broadcast(drainedIds.agg(count(lit(1)).as("n_docs"))))
@@ -3983,12 +3987,21 @@ object SparkEntry {
     * |sources| relation: the only corpus scan is the per-source count
     * aggregation; the budget scalar is one bounded driver-side read.
     */
+  /** 2.35× the corpus's unique tokens (47/20 integer arithmetic), as a
+    * bounded driver-side read; 0 when the per-source relation is empty
+    * (sum aggregates to NULL there — the oracle's budget CTE does the
+    * same and both sides return zero rows instead of one crashing).
+    */
+  private def epochBudget(per: DataFrame): Long = {
+    val r = per.agg(sum(col("unique_tokens"))).collect()(0)
+    if (r.isNullAt(0)) 0L else 47L * r.getLong(0) / 20L
+  }
+
   private def q197(s: SparkSession, d: String): DataFrame = {
     val per = graft.operators.CacheRegistry.track(
       epochPerSource(epochBase(s, d)).persist())
-    val budget = 47L * per.agg(sum(col("unique_tokens"))).collect()(0)
-      .getLong(0) / 20L
-    graft.operators.Sampling.epochPlan(per, budget, maxEpochs = 4)
+    graft.operators.Sampling.epochPlan(per, epochBudget(per),
+        maxEpochs = 4)
       .orderBy("source")
   }
 
@@ -4006,10 +4019,8 @@ object SparkEntry {
       epochBase(s, d).persist())
     val perC = graft.operators.CacheRegistry.track(
       epochPerSource(base).persist())
-    val budget = 47L * perC.agg(sum(col("unique_tokens"))).collect()(0)
-      .getLong(0) / 20L
-    val plan = graft.operators.Sampling.epochPlan(perC, budget,
-      maxEpochs = 4)
+    val plan = graft.operators.Sampling.epochPlan(perC,
+      epochBudget(perC), maxEpochs = 4)
     val realized = graft.operators.Sampling.epochRealize(base, "doc_id",
         "lang", plan)
       .groupBy(col("lang").as("source"))
@@ -4041,23 +4052,30 @@ object SparkEntry {
       docs(s, d).select(col("doc_id"),
         size(graft.operators.TextAnalysis.tokens(col("text"))).cast("long")
           .as("n_tokens")).persist())
-    def summarize(lengthDescending: Boolean, prefix: String) =
+    val blockSize = 64L
+    // n_docs is policy-invariant (both orders place every doc), so
+    // only the arrival arm carries it
+    def summarize(lengthDescending: Boolean, prefix: String) = {
+      val aggs = Seq(
+        count(lit(1)).as(s"${prefix}_blocks"),
+        sum(when(col("used") <= blockSize, lit(blockSize) - col("used"))
+          .otherwise(0L)).as(s"${prefix}_padding"),
+        round(sum(col("used")).cast("double")
+          / (count(lit(1)) * lit(blockSize)).cast("double"), 6)
+          .as(s"${prefix}_util")) ++
+        (if (lengthDescending) Nil
+         else Seq(sum(col("nd")).as("n_docs")))
       graft.operators.Packing.firstFitBlocks(
-          toks, "doc_id", "n_tokens", blockSize = 64L, shards = 8,
+          toks, "doc_id", "n_tokens", blockSize = blockSize, shards = 8,
           lengthDescending = lengthDescending)
         .groupBy(col("shard"), col("block"))
         .agg(sum(col("n_tokens")).as("used"), count(lit(1)).as("nd"))
         .groupBy("shard")
-        .agg(sum(col("nd")).as(s"${prefix}_n_docs"),
-          count(lit(1)).as(s"${prefix}_blocks"),
-          sum(when(col("used") <= 64L, lit(64L) - col("used"))
-            .otherwise(0L)).as(s"${prefix}_padding"),
-          round(sum(col("used")).cast("double")
-            / (count(lit(1)) * lit(64L)).cast("double"), 6)
-            .as(s"${prefix}_util"))
+        .agg(aggs.head, aggs.tail: _*)
+    }
     summarize(lengthDescending = false, "arrival")
       .join(summarize(lengthDescending = true, "ffd"), Seq("shard"))
-      .select(col("shard"), col("arrival_n_docs").as("n_docs"),
+      .select(col("shard"), col("n_docs"),
         col("arrival_blocks"), col("arrival_padding"), col("arrival_util"),
         col("ffd_blocks"), col("ffd_padding"), col("ffd_util"),
         (col("arrival_blocks") - col("ffd_blocks")).as("blocks_saved"))
@@ -4146,6 +4164,38 @@ object SparkEntry {
         col("nprobe"), col("recall"), col("n_scanned")): _*)
     nbPick.unionAll(tmPick).unionAll(ndPick).unionAll(cdPick)
       .unionAll(ipPick).orderBy("knob")
+  }
+
+  /** Temperature-composed epoch plan — the full data-constrained
+    * decision chain in one relation: the α=0.5 temperature gate
+    * (q140's machinery, the bit-exact sqrt tier) first rebalances the
+    * corpus by doc counts, quality weights are computed over the KEPT
+    * docs, and the epoch waterfill (q197) allocates the token budget
+    * over the kept per-source token counts. This is the order a real
+    * run composes them: rebalance what you have, then decide how many
+    * times to repeat what remains. One corpus aggregation feeds
+    * everything; the gate is the per-row md5-bucket filter (no
+    * shuffle), the planner a bounded-ladder window.
+    */
+  private def q201(s: SparkSession, d: String): DataFrame = {
+    val base = graft.operators.CacheRegistry.track(
+      epochBase(s, d).persist())
+    val kept = graft.operators.CacheRegistry.track(
+      graft.operators.Sampling.temperatureMix(base, "doc_id", "lang",
+        alpha = 0.5).persist())
+    val per = graft.operators.CacheRegistry.track(
+      epochPerSource(kept).persist())
+    val plan = graft.operators.Sampling.epochPlan(per,
+      epochBudget(per), maxEpochs = 4)
+    val counts = base.groupBy(col("lang").as("source"))
+      .agg(count(lit(1)).as("n_docs_orig"))
+      .join(kept.groupBy(col("lang").as("source"))
+        .agg(count(lit(1)).as("n_docs_kept")), Seq("source"))
+    plan.join(counts, Seq("source"))
+      .select(col("source"), col("n_docs_orig"), col("n_docs_kept"),
+        col("unique_tokens"), col("weight_ppm"), col("tokens_alloc"),
+        col("full_epochs"), col("frac_b256"), col("epochs_r6"))
+      .orderBy("source")
   }
 
   // ------------------------------------------------------------- contract
@@ -4350,6 +4400,7 @@ object SparkEntry {
     "q198_epoch_realization_audit" -> (q198(_, _)),
     "q199_packing_policy_contrast" -> (q199(_, _)),
     "q200_knob_pick_capstone" -> (q200(_, _)),
+    "q201_epoch_temperature_plan" -> (q201(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1251,13 +1251,23 @@ object Dedup {
     * the relation is consumed twice: rarity ranking and verify) shingle
     * set relation from [[shingleSets]]. Output identical to calling
     * [[prefixJaccardPairs]] on the corpus the sets were built from.
+    *
+    * `broadcastSets = None` defaults to NO broadcast: the size gate
+    * [[autoBroadcastSets]] is calibrated for a SOURCE relation's
+    * scan-based estimate (×4 for set blowup) — evaluated on the
+    * collect_set aggregate plan it would read ArrayType default sizes
+    * and can badly underestimate variable-length shingle arrays, which
+    * at corpus scale means broadcasting the full per-doc set relation
+    * (the OOM the gate exists to prevent). Callers that still hold the
+    * source relation should pass `Some(autoBroadcastSets(source))` to
+    * keep the bench-scale broadcast fast path.
     */
   def prefixJaccardPairsFromSets(
       sets: DataFrame, idCol: String, threshold: Double,
       broadcastSets: Option[Boolean] = None,
       probeIds: Option[DataFrame] = None): DataFrame =
     prefixPairsFromSets(sets, idCol, threshold,
-      broadcastSets.getOrElse(autoBroadcastSets(sets)), probeIds)
+      broadcastSets.getOrElse(false), probeIds)
 
   private def prefixPairsFromSets(
       sets: DataFrame, idCol: String, threshold: Double,
@@ -1408,6 +1418,9 @@ object Dedup {
     * memberMap is the original one re-repped within its fp-groups, and
     * its rep sets are the original reps' sets re-keyed (identical text
     * ⇒ identical shingle set), so the drain proof never re-shingles.
+    * `broadcastSets` follows [[prefixJaccardPairsFromSets]]' contract:
+    * None = no broadcast (scale-safe default); pass the source-derived
+    * [[autoBroadcastSets]] decision for the bench-scale fast path.
     */
   def nearDupMembersFromSets(
       memberMap: DataFrame, repSets: DataFrame, idCol: String,

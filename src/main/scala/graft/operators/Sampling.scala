@@ -272,8 +272,18 @@ object Sampling {
         col("unique_tokens").cast("long").as("unique_tokens"),
         col("weight_ppm").cast("long").as("weight_ppm"))
       .withColumn("epoch", explode(sequence(lit(1), lit(maxEpochs))))
+      // the ppm contract is enforced by name INSIDE the ladder: an
+      // out-of-range weight (raw counts instead of ppm, or a negative)
+      // would otherwise surface as a mid-job ANSI ARITHMETIC_OVERFLOW
+      // — or silently sort below the zero-weight tier — instead of
+      // telling the caller what to fix (the firstFitBlocks id-span
+      // discipline; the maxEpochs<=32 require above is only safe
+      // GIVEN weight_ppm <= 1e6)
       .withColumn("value_scaled",
-        expr(s"weight_ppm * shiftleft(CAST(1 AS BIGINT), $maxEpochs - epoch)"))
+        expr(s"CASE WHEN weight_ppm BETWEEN 0 AND 1000000 THEN " +
+          s"weight_ppm * shiftleft(CAST(1 AS BIGINT), $maxEpochs - epoch) " +
+          "ELSE raise_error(concat('epochPlan: weight_ppm must be in " +
+          "[0, 1000000] ppm, got ', CAST(weight_ppm AS STRING))) END"))
     val ord = Window
       .orderBy(col("value_scaled").desc, col("source").asc, col("epoch").asc)
       .rowsBetween(Window.unboundedPreceding, -1)

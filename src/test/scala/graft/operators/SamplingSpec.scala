@@ -316,6 +316,15 @@ class SamplingSpec extends SparkSpec {
     assert(pBig("a") == ((300L, 3L, 0L)) && pBig("b") == ((600L, 3L, 0L))
       && pBig("z") == ((150L, 3L, 0L)))
     assert(planMap(0L).values.forall(_ == ((0L, 0L, 0L))))
+    // the ppm contract fails BY NAME, not as a mid-job overflow: a
+    // caller passing raw counts (or a negative) gets told what to fix
+    val bad = Seq(("a", 100L, 10000000000000L))
+      .toDF("source", "unique_tokens", "weight_ppm")
+    val ex = intercept[Exception] {
+      Sampling.epochPlan(bad, 100L, maxEpochs = 3).collect()
+    }
+    assert(ex.getMessage.contains("weight_ppm must be in [0, 1000000]"),
+      ex.getMessage)
   }
 
   test("epochRealize applies the plan's repeat rule: full_epochs " +
