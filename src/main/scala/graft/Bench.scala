@@ -183,6 +183,13 @@ object Bench {
       // just above the bar — so a cold/pass-1 reading near 17 s is
       // codegen+JIT, not a regression.
       "q192_dedup_drain_capstone",
+      // the knob-pick capstone recomputes all five sweep relations it
+      // decides over (q191 pair tier + q194 IVF dominate) — BY DESIGN
+      // the catalog's second most expensive plan. 6-repeat BenchProbe
+      // floor 10.0-10.9 s steady (gc <= 0.15, janino drains to 0 by
+      // repeat 6), in-catalog steady 13.4 s under pass-2 pressure:
+      // treat ~18 s steady as the regression bar
+      "q200_knob_pick_capstone",
       // standing q60 watch (r14 verdict order #6): BenchProbe floor
       // 2.0-2.5 s steady, but its recorded history (r5/r12/r14 —
       // cold 24.84 s in BENCH_r14, the largest cold entry ever) is
