@@ -5102,6 +5102,105 @@ object OracleSql {
         |FROM plan p JOIN oc USING (source) JOIN kc USING (source)
         |ORDER BY p.source""".stripMargin,
 
+    // epoch-budget sweep: the q197 waterfill with the budget ladder
+    // folded into the window key
+    "q203_epoch_budget_sweep" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |per AS (
+        |  SELECT lang AS source,
+        |    CAST(sum(n_tokens) AS BIGINT) AS unique_tokens,
+        |    (1000000 * CAST(sum(CASE WHEN n_tokens >= 20 THEN 1 ELSE 0
+        |      END) AS BIGINT)) // CAST(count(*) AS BIGINT) AS weight_ppm
+        |  FROM base GROUP BY lang
+        |  HAVING CAST(sum(n_tokens) AS BIGINT) > 0),
+        |tt AS (SELECT CAST(sum(unique_tokens) AS BIGINT) AS total
+        |       FROM per),
+        |bl AS (SELECT CAST(unnest([20, 30, 47, 60, 80]) AS BIGINT)
+        |         AS budget_20ths),
+        |layers AS (
+        |  SELECT b.budget_20ths,
+        |    (b.budget_20ths * tt.total) // 20 AS budget,
+        |    p.source, p.unique_tokens, p.weight_ppm,
+        |    CAST(e.epoch AS INTEGER) AS epoch,
+        |    p.weight_ppm * (CAST(1 AS BIGINT) << (4 - e.epoch))
+        |      AS value_scaled
+        |  FROM per p CROSS JOIN generate_series(1, 4) e(epoch)
+        |  CROSS JOIN bl b CROSS JOIN tt),
+        |alloc AS (
+        |  SELECT l.*,
+        |    COALESCE(sum(l.unique_tokens) OVER (
+        |      PARTITION BY l.budget_20ths
+        |      ORDER BY l.value_scaled DESC, l.source ASC, l.epoch ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_prev
+        |  FROM layers l),
+        |la AS (
+        |  SELECT *, GREATEST(CAST(0 AS BIGINT),
+        |      LEAST(unique_tokens, budget - cum_prev)) AS layer_alloc
+        |  FROM alloc),
+        |plan AS (
+        |  SELECT budget_20ths, source, unique_tokens,
+        |    CAST(sum(layer_alloc) AS BIGINT) AS tokens_alloc,
+        |    CAST(sum(CASE WHEN layer_alloc = unique_tokens THEN 1
+        |      ELSE 0 END) AS BIGINT) AS full_epochs
+        |  FROM la GROUP BY budget_20ths, source, unique_tokens)
+        |SELECT budget_20ths, source, unique_tokens, tokens_alloc,
+        |  full_epochs,
+        |  (256 * (tokens_alloc - full_epochs * unique_tokens))
+        |    // unique_tokens AS frac_b256,
+        |  round(CAST(tokens_alloc AS DOUBLE)
+        |    / CAST(unique_tokens AS DOUBLE), 6) AS epochs_r6
+        |FROM plan ORDER BY budget_20ths, source""".stripMargin,
+
+    // block-size sweep: the q189 recursive-CTE state machine with the
+    // ladder folded into the recursion key (block_size, shard)
+    "q202_block_size_sweep" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |ext AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM toks),
+        |d0 AS (
+        |  SELECT t.doc_id, t.n_tokens,
+        |    CAST((t.doc_id - e.lo)
+        |      // greatest(1, (e.hi - e.lo) // 8 + 1) AS BIGINT) AS shard
+        |  FROM toks t CROSS JOIN ext e),
+        |bsl AS (SELECT CAST(unnest([32, 64, 128, 256]) AS BIGINT)
+        |          AS block_size),
+        |d AS (
+        |  SELECT b.block_size, d0.doc_id, d0.n_tokens, d0.shard,
+        |    row_number() OVER (PARTITION BY b.block_size, d0.shard
+        |      ORDER BY d0.doc_id) AS rn
+        |  FROM d0 CROSS JOIN bsl b),
+        |packed(block_size, shard, rn, n_tokens, block, fill) AS (
+        |  SELECT block_size, shard, rn, n_tokens, CAST(0 AS BIGINT),
+        |    n_tokens
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT n.block_size, n.shard, n.rn, n.n_tokens,
+        |    CASE WHEN p.fill + n.n_tokens <= n.block_size THEN p.block
+        |      ELSE p.block + 1 END,
+        |    CASE WHEN p.fill + n.n_tokens <= n.block_size
+        |      THEN p.fill + n.n_tokens ELSE n.n_tokens END
+        |  FROM packed p JOIN d n ON n.block_size = p.block_size
+        |    AND n.shard = p.shard AND n.rn = p.rn + 1),
+        |blocks AS (
+        |  SELECT block_size, shard, block, sum(n_tokens) AS used
+        |  FROM packed GROUP BY 1, 2, 3)
+        |SELECT block_size, CAST(count(*) AS BIGINT) AS n_blocks,
+        |  CAST(sum(CASE WHEN used > block_size THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_overfull,
+        |  CAST(sum(CASE WHEN used <= block_size THEN block_size - used
+        |    ELSE 0 END) AS BIGINT) AS padding_tokens,
+        |  round(CAST(sum(used) AS DOUBLE)
+        |    / CAST(count(*) * block_size AS DOUBLE), 6) AS utilization
+        |FROM blocks GROUP BY block_size ORDER BY block_size""".stripMargin,
+
     // knob-pick capstone: replay all five sweep relations (prefixed
     // CTE blocks verbatim from their own oracles), then apply each
     // knob's stated rule over its sweep

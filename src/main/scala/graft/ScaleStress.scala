@@ -177,6 +177,11 @@ object ScaleStress {
       Packing.firstFitBlocks(
         d.select(col("doc_id"), length(col("text")).as("len")),
         "doc_id", "len", blockSize = 4096L).count()
+    def firstfitFfd(d: DataFrame): Long =
+      Packing.firstFitBlocks(
+        d.select(col("doc_id"), length(col("text")).as("len")),
+        "doc_id", "len", blockSize = 4096L,
+        lengthDescending = true).count()
     def tempSweep(d: DataFrame): Long =
       Sampling.temperatureSweep(d, "doc_id", "source",
         Seq(0.0, 0.25, 0.5, 0.75, 1.0)).count()
@@ -202,6 +207,7 @@ object ScaleStress {
     time("cdc_chunks")(cdc(docs))
     time("neardup_members")(members(docs))
     time("firstfit_blocks")(firstfit(docs))
+    time("firstfit_ffd")(firstfitFfd(docs))
     time("temperature_sweep")(tempSweep(docs))
     println(s"[stress] --- ${reps}x replicated ---")
     time("bloom_dedup")(bloom(docsN))
@@ -224,6 +230,7 @@ object ScaleStress {
     time("cdc_chunks")(cdc(docsN))
     time("neardup_members")(members(docsN))
     time("firstfit_blocks")(firstfit(docsN))
+    time("firstfit_ffd")(firstfitFfd(docsN))
     time("temperature_sweep")(tempSweep(docsN))
     spark.stop()
   }

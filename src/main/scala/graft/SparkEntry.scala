@@ -4198,6 +4198,65 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  /** Block-size sweep — the packer's OWN knob priced (q189/q199 fix 64
+    * by fiat): per block size on the ladder, corpus-wide blocks,
+    * padding, overfull blocks, and utilization under boundary-
+    * respecting first-fit. The trade reads directly: small blocks
+    * waste little padding but fragment long docs into overfull blocks;
+    * large blocks absorb every doc but pad heavily. The token-length
+    * relation computes ONCE (persisted); each ladder point re-runs
+    * only the per-shard state machine over that tiny relation — the
+    * fold itself depends on the block size, so unlike the pure-join
+    * sweeps the machine runs per point, but its input never recomputes
+    * and at corpus scale each run is one mapPartitions over
+    * (id, length) pairs, not documents.
+    */
+  private def q202(s: SparkSession, d: String): DataFrame = {
+    val toks = graft.operators.CacheRegistry.track(
+      docs(s, d).select(col("doc_id"),
+        size(graft.operators.TextAnalysis.tokens(col("text"))).cast("long")
+          .as("n_tokens")).persist())
+    Seq(32L, 64L, 128L, 256L).map { bs =>
+      graft.operators.Packing.firstFitBlocks(
+          toks, "doc_id", "n_tokens", blockSize = bs, shards = 8)
+        .groupBy(col("shard"), col("block"))
+        .agg(sum(col("n_tokens")).as("used"))
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(when(col("used") > bs, 1L).otherwise(0L)).as("n_overfull"),
+          sum(when(col("used") <= bs, lit(bs) - col("used"))
+            .otherwise(0L)).as("padding_tokens"),
+          round(sum(col("used")).cast("double")
+            / (count(lit(1)) * lit(bs)).cast("double"), 6)
+            .as("utilization"))
+        .select(lit(bs).as("block_size"), col("n_blocks"),
+          col("n_overfull"), col("padding_tokens"), col("utilization"))
+    }.reduce(_ unionAll _).orderBy("block_size")
+  }
+
+  /** Epoch-budget sweep — the planner's own knob priced (q197 fixes
+    * 2.35× by fiat): per token budget on the ladder (expressed in
+    * 20ths of the corpus's unique tokens — integer arithmetic, no
+    * float budget), every source's allocation under the q197
+    * waterfill. The read a data-constrained run actually wants:
+    * "at what budget does source X cross k epochs, and when does the
+    * budget spill into the low-quality tail". The per-source relation
+    * aggregates ONCE; each ladder point is one bounded-window
+    * waterfill over |sources|·maxEpochs rows.
+    */
+  private def q203(s: SparkSession, d: String): DataFrame = {
+    val per = graft.operators.CacheRegistry.track(
+      epochPerSource(epochBase(s, d)).persist())
+    val r = per.agg(sum(col("unique_tokens"))).collect()(0)
+    val total = if (r.isNullAt(0)) 0L else r.getLong(0)
+    Seq(20L, 30L, 47L, 60L, 80L).map { num =>
+      graft.operators.Sampling.epochPlan(per, num * total / 20L,
+          maxEpochs = 4)
+        .select(lit(num).as("budget_20ths"), col("source"),
+          col("unique_tokens"), col("tokens_alloc"), col("full_epochs"),
+          col("frac_b256"), col("epochs_r6"))
+    }.reduce(_ unionAll _).orderBy("budget_20ths", "source")
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4401,6 +4460,8 @@ object SparkEntry {
     "q199_packing_policy_contrast" -> (q199(_, _)),
     "q200_knob_pick_capstone" -> (q200(_, _)),
     "q201_epoch_temperature_plan" -> (q201(_, _)),
+    "q202_block_size_sweep" -> (q202(_, _)),
+    "q203_epoch_budget_sweep" -> (q203(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
