@@ -3987,15 +3987,20 @@ object SparkEntry {
     * |sources| relation: the only corpus scan is the per-source count
     * aggregation; the budget scalar is one bounded driver-side read.
     */
-  /** 2.35× the corpus's unique tokens (47/20 integer arithmetic), as a
-    * bounded driver-side read; 0 when the per-source relation is empty
-    * (sum aggregates to NULL there — the oracle's budget CTE does the
-    * same and both sides return zero rows instead of one crashing).
+  /** Corpus-wide unique-token total as a bounded driver-side read; 0
+    * when the per-source relation is empty (sum aggregates to NULL
+    * there — the oracles' budget CTEs do the same and both sides
+    * return zero rows instead of one crashing). ONE null-guard shared
+    * by every budget consumer (q197/q198/q201/q203).
     */
-  private def epochBudget(per: DataFrame): Long = {
+  private def totalUniqueTokens(per: DataFrame): Long = {
     val r = per.agg(sum(col("unique_tokens"))).collect()(0)
-    if (r.isNullAt(0)) 0L else 47L * r.getLong(0) / 20L
+    if (r.isNullAt(0)) 0L else r.getLong(0)
   }
+
+  /** 2.35× the corpus's unique tokens (47/20 integer arithmetic). */
+  private def epochBudget(per: DataFrame): Long =
+    47L * totalUniqueTokens(per) / 20L
 
   private def q197(s: SparkSession, d: String): DataFrame = {
     val per = graft.operators.CacheRegistry.track(
@@ -4053,9 +4058,15 @@ object SparkEntry {
         size(graft.operators.TextAnalysis.tokens(col("text"))).cast("long")
           .as("n_tokens")).persist())
     val blockSize = 64L
+    val ext = toks.agg(min(col("doc_id")), max(col("doc_id"))).collect()(0)
+    val extent =
+      if (ext.isNullAt(0)) None else Some((ext.getLong(0), ext.getLong(1)))
     // n_docs is policy-invariant (both orders place every doc), so
-    // only the arrival arm carries it
+    // only the arrival arm aggregates it — the ffd arm neither emits
+    // nor computes a per-block doc count
     def summarize(lengthDescending: Boolean, prefix: String) = {
+      val blockAggs = Seq(sum(col("n_tokens")).as("used")) ++
+        (if (lengthDescending) Nil else Seq(count(lit(1)).as("nd")))
       val aggs = Seq(
         count(lit(1)).as(s"${prefix}_blocks"),
         sum(when(col("used") <= blockSize, lit(blockSize) - col("used"))
@@ -4067,9 +4078,9 @@ object SparkEntry {
          else Seq(sum(col("nd")).as("n_docs")))
       graft.operators.Packing.firstFitBlocks(
           toks, "doc_id", "n_tokens", blockSize = blockSize, shards = 8,
-          lengthDescending = lengthDescending)
+          lengthDescending = lengthDescending, extent = extent)
         .groupBy(col("shard"), col("block"))
-        .agg(sum(col("n_tokens")).as("used"), count(lit(1)).as("nd"))
+        .agg(blockAggs.head, blockAggs.tail: _*)
         .groupBy("shard")
         .agg(aggs.head, aggs.tail: _*)
     }
@@ -4216,11 +4227,23 @@ object SparkEntry {
       docs(s, d).select(col("doc_id"),
         size(graft.operators.TextAnalysis.tokens(col("text"))).cast("long")
           .as("n_tokens")).persist())
+    // the id extent computes ONCE over the cached relation and feeds
+    // all four ladder points (each firstFitBlocks call would otherwise
+    // re-run the driver-side stat pass — a full scan at corpus scale)
+    val ext = toks.agg(min(col("doc_id")), max(col("doc_id"))).collect()(0)
+    val extent =
+      if (ext.isNullAt(0)) None else Some((ext.getLong(0), ext.getLong(1)))
     Seq(32L, 64L, 128L, 256L).map { bs =>
       graft.operators.Packing.firstFitBlocks(
-          toks, "doc_id", "n_tokens", blockSize = bs, shards = 8)
+          toks, "doc_id", "n_tokens", blockSize = bs, shards = 8,
+          extent = extent)
         .groupBy(col("shard"), col("block"))
         .agg(sum(col("n_tokens")).as("used"))
+        // grouped (not global) final agg, so an empty corpus yields
+        // ZERO rows on both engines — the oracle's GROUP BY block_size
+        // over an empty blocks relation does the same
+        .withColumn("block_size", lit(bs))
+        .groupBy("block_size")
         .agg(count(lit(1)).as("n_blocks"),
           sum(when(col("used") > bs, 1L).otherwise(0L)).as("n_overfull"),
           sum(when(col("used") <= bs, lit(bs) - col("used"))
@@ -4228,8 +4251,6 @@ object SparkEntry {
           round(sum(col("used")).cast("double")
             / (count(lit(1)) * lit(bs)).cast("double"), 6)
             .as("utilization"))
-        .select(lit(bs).as("block_size"), col("n_blocks"),
-          col("n_overfull"), col("padding_tokens"), col("utilization"))
     }.reduce(_ unionAll _).orderBy("block_size")
   }
 
@@ -4246,8 +4267,7 @@ object SparkEntry {
   private def q203(s: SparkSession, d: String): DataFrame = {
     val per = graft.operators.CacheRegistry.track(
       epochPerSource(epochBase(s, d)).persist())
-    val r = per.agg(sum(col("unique_tokens"))).collect()(0)
-    val total = if (r.isNullAt(0)) 0L else r.getLong(0)
+    val total = totalUniqueTokens(per)
     Seq(20L, 30L, 47L, 60L, 80L).map { num =>
       graft.operators.Sampling.epochPlan(per, num * total / 20L,
           maxEpochs = 4)

@@ -107,35 +107,49 @@ object Packing {
     * fragmentation is directly comparable (the q199 contrast). The
     * trade it prices: decreasing order improves utilization but loses
     * arrival locality (a block no longer holds consecutive ids).
+    *
+    * `extent` (inclusive (min, max) id) skips the driver-side stat
+    * pass: at corpus scale that pass is a full scan, and a caller that
+    * knows its id domain — or sweeps several configurations over one
+    * cached relation (q202) — pays it once, or never. The extent must
+    * COVER every id (the shard assignment is a pure function of
+    * (id, lo, width)); a wider-than-actual extent only changes which
+    * shards are empty, never correctness.
     */
   def firstFitBlocks(
       df: DataFrame, idCol: String, lenCol: String, blockSize: Long,
-      shards: Int = 64, lengthDescending: Boolean = false): DataFrame = {
+      shards: Int = 64, lengthDescending: Boolean = false,
+      extent: Option[(Long, Long)] = None): DataFrame = {
     require(blockSize > 0, s"blockSize=$blockSize must be positive")
     require(shards > 0, s"shards=$shards must be positive")
-    val stats = df.agg(
-      min(col(idCol).cast("long")).as("lo"),
-      max(col(idCol).cast("long")).as("hi")).collect()(0)
     val session = df.sparkSession
     import session.implicits._
+    val bounds = extent.orElse {
+      val stats = df.agg(
+        min(col(idCol).cast("long")).as("lo"),
+        max(col(idCol).cast("long")).as("hi")).collect()(0)
+      if (stats.isNullAt(0)) None
+      else Some((stats.getLong(0), stats.getLong(1)))
+    }
     // empty branch mirrors the non-empty output schema EXACTLY (both
     // id and len emerge long-cast from the typed fold below) — a
     // downstream union/writer that saw the empty branch first must not
     // bind a different schema
-    if (stats.isNullAt(0))
+    if (bounds.isEmpty)
       return df.select(col(idCol).cast("long").as(idCol),
           col(lenCol).cast("long").as(lenCol))
         .withColumn("shard", lit(0L)).withColumn("block", lit(0L)).limit(0)
-    val lo = stats.getLong(0)
+    val (lo, hi) = bounds.get
+    require(lo <= hi, s"extent ($lo, $hi) must be ordered")
     // id-range sharding needs the span hi-lo as a long: full-range
     // keys (raw xxhash64 ids) would overflow BOTH this subtraction and
     // the ANSI-mode (_1 - lo) below — fail by name, and tell the
     // caller the one-shift fix, instead of surfacing a mid-job
     // ARITHMETIC_OVERFLOW
-    require(BigInt(stats.getLong(1)) - BigInt(lo) < BigInt(Long.MaxValue),
-      s"id span [${lo}, ${stats.getLong(1)}] exceeds 2^63; shift hash " +
+    require(BigInt(hi) - BigInt(lo) < BigInt(Long.MaxValue),
+      s"id span [$lo, $hi] exceeds 2^63; shift hash " +
         "keys into [0, 2^63) first (e.g. shiftrightunsigned(xxhash64(k), 1))")
-    val width = math.max(1L, (stats.getLong(1) - lo) / shards + 1)
+    val width = math.max(1L, (hi - lo) / shards + 1)
     df.select(col(idCol).cast("long").as("_1"),
         col(lenCol).cast("long").as("_2"))
       // integer DIV, not '/': long '/' promotes to double, whose rounded

@@ -261,6 +261,23 @@ class PackingSpec extends SparkSpec {
           }
       }
       assert(out == ref.toMap, s"config (b=$b, shards=$sh): mismatch")
+      // a caller-provided covering extent skips the stat pass without
+      // changing a single assignment; a WIDER extent may move shard
+      // ids but still packs every doc exactly once
+      val lo2 = rows.map(_._1).min
+      val hi2 = rows.map(_._1).max
+      val withExtent = Packing.firstFitBlocks(df, "doc_id", "n_tokens",
+          b, sh, lengthDescending = true, extent = Some((lo2, hi2)))
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("shard"), r.getAs[Long]("block")))).toMap
+      assert(withExtent == out, "covering extent must be a no-op")
+      val wider = Packing.firstFitBlocks(df, "doc_id", "n_tokens",
+          b, sh, lengthDescending = true,
+          extent = Some((lo2 - 1000L, hi2 + 1000L)))
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(wider == rows.map(_._1).toSet,
+        "wider extent must still place every doc")
       // both policies place every doc exactly once, in the same shard
       // (the policy changes block assignment, never sharding) — note
       // a single-open-block fold gives NO universal block-count
