@@ -5102,6 +5102,79 @@ object OracleSql {
         |FROM plan p JOIN oc USING (source) JOIN kc USING (source)
         |ORDER BY p.source""".stripMargin,
 
+    // per-source duplication mass: the q192-pattern exact closure over
+    // a corpus with planted cross-source mirrors and within-source
+    // clones, grouped by source with cross-source span attribution
+    "q204_source_dup_mass" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split(text, ' '), w -> w <> '') AS ts
+        |  FROM documents),
+        |corpus AS (
+        |  SELECT doc_id, lang, ts FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, 'xx' AS lang, ts
+        |  FROM base WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id, lang, ts
+        |  FROM base WHERE doc_id % 5 = 0),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ts) >= 3
+        |      THEN list_distinct(list_transform(range(1, len(ts) - 1),
+        |             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))
+        |      ELSE [array_to_string(ts, ' ')] END AS shingles
+        |  FROM corpus),
+        |sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |shared AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM shared
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE CAST(inter AS DOUBLE)
+        |    / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.7),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+        |reach(id, label) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+        |comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id),
+        |mem AS (
+        |  SELECT comp.id AS doc_id, comp.component AS cluster_id, c.lang
+        |  FROM comp JOIN corpus c ON c.doc_id = comp.id),
+        |span AS (
+        |  SELECT cluster_id, count(DISTINCT lang) AS n_langs
+        |  FROM mem GROUP BY cluster_id),
+        |pl AS (
+        |  SELECT lang AS source, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM corpus GROUP BY lang),
+        |cl AS (
+        |  SELECT lang AS source, CAST(count(*) AS BIGINT) AS n_clustered
+        |  FROM mem GROUP BY lang),
+        |kp AS (
+        |  SELECT lang AS source, CAST(count(*) AS BIGINT) AS n_kept
+        |  FROM mem WHERE doc_id = cluster_id GROUP BY lang),
+        |cr AS (
+        |  SELECT m.lang AS source, CAST(count(*) AS BIGINT) AS n_cross
+        |  FROM mem m JOIN span s ON s.cluster_id = m.cluster_id
+        |    AND s.n_langs > 1
+        |  GROUP BY m.lang)
+        |SELECT pl.source, pl.n_docs,
+        |  COALESCE(cl.n_clustered, 0) AS n_clustered,
+        |  COALESCE(kp.n_kept, 0) AS n_kept_reps,
+        |  COALESCE(cl.n_clustered, 0) - COALESCE(kp.n_kept, 0)
+        |    AS n_removed,
+        |  COALESCE(cr.n_cross, 0) AS n_cross_source
+        |FROM pl LEFT JOIN cl USING (source) LEFT JOIN kp USING (source)
+        |LEFT JOIN cr USING (source)
+        |ORDER BY pl.source""".stripMargin,
+
     // epoch-budget sweep: the q197 waterfill with the budget ladder
     // folded into the window key
     "q203_epoch_budget_sweep" ->

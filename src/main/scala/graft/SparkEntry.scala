@@ -4277,6 +4277,60 @@ object SparkEntry {
     }.reduce(_ unionAll _).orderBy("budget_20ths", "source")
   }
 
+  /** Per-source duplication mass — the read that CONNECTS the dedup
+    * tier to the mixing tier (q185 prices dup mass corpus-wide; the
+    * mixing tiers weigh sources; nothing showed WHOSE mass it is):
+    * per source, docs, clustered docs, clusters this source KEEPS
+    * (its doc is the cluster's min-id representative), docs a
+    * keep-one-per-cluster drain removes, and docs whose cluster spans
+    * ANOTHER source (mirror-site/translation-template mass — the dup
+    * class a per-source dedup pass cannot see). The corpus plants both
+    * shapes: every third doc mirrored under a synthetic 'xx' source
+    * (cross-source) and every fifth doc cloned within its own source.
+    * The 'xx' row reads as pure removable mass (it owns no reps) —
+    * exactly the mirror-crawl signature a mixing pass must discount
+    * BEFORE trusting per-source counts.
+    */
+  private def q204(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select("doc_id", "lang", "text")
+    val cross = base.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        lit("xx").as("lang"), col("text"))
+    val within = base.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("lang"),
+        col("text"))
+    val corpus = graft.operators.CacheRegistry.track(
+      base.unionAll(cross).unionAll(within).persist())
+    val members = Dedup.nearDupMembers(corpus, "doc_id", "text",
+      shingleN = 3, threshold = 0.7)
+    val m = graft.operators.CacheRegistry.track(
+      members.join(corpus.select("doc_id", "lang"), Seq("doc_id"))
+        .persist())
+    val span = m.groupBy("cluster_id")
+      .agg(countDistinct(col("lang")).as("n_langs"))
+    val perLang = corpus.groupBy(col("lang").as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val clustered = m.groupBy(col("lang").as("source"))
+      .agg(count(lit(1)).as("n_clustered"))
+    val kept = m.filter(col("doc_id") === col("cluster_id"))
+      .groupBy(col("lang").as("source"))
+      .agg(count(lit(1)).as("n_kept_reps"))
+    val crossDocs = m.join(span.filter(col("n_langs") > 1)
+        .select("cluster_id"), Seq("cluster_id"), "left_semi")
+      .groupBy(col("lang").as("source"))
+      .agg(count(lit(1)).as("n_cross_source"))
+    perLang.join(clustered, Seq("source"), "left")
+      .join(kept, Seq("source"), "left")
+      .join(crossDocs, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_clustered"), lit(0L)).as("n_clustered"),
+        coalesce(col("n_kept_reps"), lit(0L)).as("n_kept_reps"),
+        (coalesce(col("n_clustered"), lit(0L))
+          - coalesce(col("n_kept_reps"), lit(0L))).as("n_removed"),
+        coalesce(col("n_cross_source"), lit(0L)).as("n_cross_source"))
+      .orderBy("source")
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4482,6 +4536,7 @@ object SparkEntry {
     "q201_epoch_temperature_plan" -> (q201(_, _)),
     "q202_block_size_sweep" -> (q202(_, _)),
     "q203_epoch_budget_sweep" -> (q203(_, _)),
+    "q204_source_dup_mass" -> (q204(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
