@@ -5102,6 +5102,101 @@ object OracleSql {
         |FROM plan p JOIN oc USING (source) JOIN kc USING (source)
         |ORDER BY p.source""".stripMargin,
 
+    // dedup-composed epoch plan: exact-dedup the 3x-planted corpus,
+    // waterfill BOTH count relations under the deduped budget
+    "q205_dedup_epoch_plan" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+        |      AS BIGINT) AS n_tokens,
+        |    md5(text) AS fp
+        |  FROM documents),
+        |corpus AS (
+        |  SELECT doc_id, lang, n_tokens, fp FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, lang, n_tokens, fp FROM base
+        |  WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, lang, n_tokens, fp FROM base
+        |  WHERE doc_id % 3 = 0),
+        |dedup AS (
+        |  SELECT doc_id, lang, n_tokens FROM (
+        |    SELECT *, min(doc_id) OVER (PARTITION BY fp) AS k
+        |    FROM corpus)
+        |  WHERE doc_id = k),
+        |pr AS (
+        |  SELECT lang AS source,
+        |    CAST(sum(n_tokens) AS BIGINT) AS unique_tokens,
+        |    (1000000 * CAST(sum(CASE WHEN n_tokens >= 20 THEN 1 ELSE 0
+        |      END) AS BIGINT)) // CAST(count(*) AS BIGINT) AS weight_ppm
+        |  FROM corpus GROUP BY lang
+        |  HAVING CAST(sum(n_tokens) AS BIGINT) > 0),
+        |pd AS (
+        |  SELECT lang AS source,
+        |    CAST(sum(n_tokens) AS BIGINT) AS unique_tokens,
+        |    (1000000 * CAST(sum(CASE WHEN n_tokens >= 20 THEN 1 ELSE 0
+        |      END) AS BIGINT)) // CAST(count(*) AS BIGINT) AS weight_ppm
+        |  FROM dedup GROUP BY lang
+        |  HAVING CAST(sum(n_tokens) AS BIGINT) > 0),
+        |b AS (SELECT (47 * CAST(sum(unique_tokens) AS BIGINT)) // 20
+        |        AS budget
+        |      FROM pd),
+        |lr AS (
+        |  SELECT p.source, p.unique_tokens, p.weight_ppm,
+        |    CAST(e.epoch AS INTEGER) AS epoch,
+        |    p.weight_ppm * (CAST(1 AS BIGINT) << (4 - e.epoch))
+        |      AS value_scaled
+        |  FROM pr p CROSS JOIN generate_series(1, 4) e(epoch)),
+        |ar AS (
+        |  SELECT l.*, b.budget,
+        |    COALESCE(sum(l.unique_tokens) OVER (
+        |      ORDER BY l.value_scaled DESC, l.source ASC, l.epoch ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_prev
+        |  FROM lr l CROSS JOIN b),
+        |plr AS (
+        |  SELECT source, unique_tokens,
+        |    CAST(sum(GREATEST(CAST(0 AS BIGINT),
+        |      LEAST(unique_tokens, budget - cum_prev))) AS BIGINT)
+        |      AS tokens_alloc,
+        |    CAST(sum(CASE WHEN GREATEST(CAST(0 AS BIGINT),
+        |      LEAST(unique_tokens, budget - cum_prev)) = unique_tokens
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS full_epochs
+        |  FROM ar GROUP BY source, unique_tokens),
+        |ld AS (
+        |  SELECT p.source, p.unique_tokens, p.weight_ppm,
+        |    CAST(e.epoch AS INTEGER) AS epoch,
+        |    p.weight_ppm * (CAST(1 AS BIGINT) << (4 - e.epoch))
+        |      AS value_scaled
+        |  FROM pd p CROSS JOIN generate_series(1, 4) e(epoch)),
+        |ad AS (
+        |  SELECT l.*, b.budget,
+        |    COALESCE(sum(l.unique_tokens) OVER (
+        |      ORDER BY l.value_scaled DESC, l.source ASC, l.epoch ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_prev
+        |  FROM ld l CROSS JOIN b),
+        |pld AS (
+        |  SELECT source, unique_tokens,
+        |    CAST(sum(GREATEST(CAST(0 AS BIGINT),
+        |      LEAST(unique_tokens, budget - cum_prev))) AS BIGINT)
+        |      AS tokens_alloc,
+        |    CAST(sum(CASE WHEN GREATEST(CAST(0 AS BIGINT),
+        |      LEAST(unique_tokens, budget - cum_prev)) = unique_tokens
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS full_epochs
+        |  FROM ad GROUP BY source, unique_tokens)
+        |SELECT r.source,
+        |  r.unique_tokens AS tokens_raw, r.tokens_alloc AS alloc_raw,
+        |  r.full_epochs AS full_epochs_raw,
+        |  round(CAST(r.tokens_alloc AS DOUBLE)
+        |    / CAST(r.unique_tokens AS DOUBLE), 6) AS epochs_raw_r6,
+        |  d.unique_tokens AS tokens_dedup, d.tokens_alloc AS alloc_dedup,
+        |  d.full_epochs AS full_epochs_dedup,
+        |  round(CAST(d.tokens_alloc AS DOUBLE)
+        |    / CAST(d.unique_tokens AS DOUBLE), 6) AS epochs_dedup_r6
+        |FROM plr r JOIN pld d USING (source)
+        |ORDER BY r.source""".stripMargin,
+
     // per-source duplication mass: the q192-pattern exact closure over
     // a corpus with planted cross-source mirrors and within-source
     // clones, grouped by source with cross-source span attribution

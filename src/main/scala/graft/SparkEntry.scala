@@ -4289,7 +4289,10 @@ object SparkEntry {
     * (cross-source) and every fifth doc cloned within its own source.
     * The 'xx' row reads as pure removable mass (it owns no reps) —
     * exactly the mirror-crawl signature a mixing pass must discount
-    * BEFORE trusting per-source counts.
+    * BEFORE trusting per-source counts. The +1M/+2M planted-id shifts
+    * follow the catalog's corpus-plant convention (q185/q186/q192/
+    * q193): the driver fixtures keep doc_id < 1e6 at every SF, and the
+    * oracle plants with the same shifts, so ids never collide.
     */
   private def q204(s: SparkSession, d: String): DataFrame = {
     val base = docs(s, d).select("doc_id", "lang", "text")
@@ -4328,6 +4331,66 @@ object SparkEntry {
         (coalesce(col("n_clustered"), lit(0L))
           - coalesce(col("n_kept_reps"), lit(0L))).as("n_removed"),
         coalesce(col("n_cross_source"), lit(0L)).as("n_cross_source"))
+      .orderBy("source")
+  }
+
+  /** Dedup-composed epoch plan — q201's sibling on the OTHER upstream
+    * axis: where q201 rebalances then plans, this DEDUPLICATES then
+    * plans. The corpus plants exact-duplicate mass unevenly (every
+    * third doc cloned TWICE into its own source — a 3× class), exact
+    * dedup (md5 keep-min-id) collapses it, and the waterfill allocates
+    * over the per-source counts as they look BEFORE vs AFTER dedup,
+    * side by side. The read: the duplicated source's raw counts buy it
+    * epochs it does not deserve — `full_epochs_raw` vs
+    * `full_epochs_dedup` shows the allocation the duplicate mass would
+    * have stolen. Exact dedup is one md5 groupBy; both plans are
+    * bounded-ladder windows.
+    */
+  private def q205(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select("doc_id", "lang", "text")
+    val dupes = base.filter(col("doc_id") % 3 === 0)
+    val corpus = graft.operators.CacheRegistry.track(
+      base
+        .unionAll(dupes.select((col("doc_id") + 1000000L).as("doc_id"),
+          col("lang"), col("text")))
+        .unionAll(dupes.select((col("doc_id") + 2000000L).as("doc_id"),
+          col("lang"), col("text")))
+        .select(col("doc_id"), col("lang"),
+          size(graft.operators.TextAnalysis.tokens(col("text")))
+            .cast("long").as("n_tokens"),
+          md5(col("text")).as("__fp"))
+        .persist())
+    val deduped = corpus
+      .withColumn("__keep",
+        min(col("doc_id")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__fp"))))
+      .filter(col("doc_id") === col("__keep"))
+    def perSrc(df: DataFrame) = df.groupBy(col("lang").as("source"))
+      .agg(sum(col("n_tokens")).as("unique_tokens"),
+        expr("(1000000 * sum(CASE WHEN n_tokens >= 20 THEN 1 ELSE 0 END))" +
+          " DIV count(*)").as("weight_ppm"))
+      .filter(col("unique_tokens") > 0)
+    val perRaw = graft.operators.CacheRegistry.track(
+      perSrc(corpus).persist())
+    val perDe = graft.operators.CacheRegistry.track(
+      perSrc(deduped).persist())
+    // ONE budget for both plans — the deduped corpus's 2.35×, the
+    // number a run that HAS deduped would use — so the contrast isolates
+    // the count relation, not the budget
+    val budget = epochBudget(perDe)
+    val raw = graft.operators.Sampling.epochPlan(perRaw, budget,
+        maxEpochs = 4)
+      .select(col("source"), col("unique_tokens").as("tokens_raw"),
+        col("tokens_alloc").as("alloc_raw"),
+        col("full_epochs").as("full_epochs_raw"),
+        col("epochs_r6").as("epochs_raw_r6"))
+    val de = graft.operators.Sampling.epochPlan(perDe, budget,
+        maxEpochs = 4)
+      .select(col("source"), col("unique_tokens").as("tokens_dedup"),
+        col("tokens_alloc").as("alloc_dedup"),
+        col("full_epochs").as("full_epochs_dedup"),
+        col("epochs_r6").as("epochs_dedup_r6"))
+    raw.join(de, Seq("source"))
       .orderBy("source")
   }
 
@@ -4537,6 +4600,7 @@ object SparkEntry {
     "q202_block_size_sweep" -> (q202(_, _)),
     "q203_epoch_budget_sweep" -> (q203(_, _)),
     "q204_source_dup_mass" -> (q204(_, _)),
+    "q205_dedup_epoch_plan" -> (q205(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -753,6 +753,36 @@ class PlanQualitySpec extends SparkSpec {
     graft.operators.CacheRegistry.drain()
   }
 
+  test("the round-16 decision tier stays keyed/broadcast: the planner " +
+      "queries, both new sweeps, the knob-pick capstone, and the " +
+      "source-dup-mass closure plan without a CartesianProduct, and " +
+      "the sweeps' shared relations serve from cache") {
+    for (name <- Seq("q197_epoch_plan", "q199_packing_policy_contrast",
+        "q201_epoch_temperature_plan", "q202_block_size_sweep",
+        "q203_epoch_budget_sweep", "q204_source_dup_mass")) {
+      val p = executed(graft.SparkEntry.queries(name)(spark, sf)).toString
+      assert(!p.contains("CartesianProduct"),
+        s"$name must stay keyed/broadcast:\n" + p.take(1200))
+      // the once-computed expensive relation (per-source counts, token
+      // lengths, membership) must be served from cache, not recomputed
+      // per ladder point / per consumer
+      assert(p.contains("InMemoryTableScan") ||
+        p.contains("TableCacheQueryStage"),
+        s"$name must reuse its cached base relation:\n" + p.take(1200))
+      graft.operators.CacheRegistry.drain()
+    }
+    // q200 consumes five sweeps; its plan must carry their caches and
+    // no quadratic shape beyond the broadcast ladders
+    val p200 = executed(graft.SparkEntry.queries("q200_knob_pick_capstone")(
+      spark, sf)).toString
+    assert(!p200.contains("CartesianProduct"),
+      "q200 must stay keyed/broadcast:\n" + p200.take(1200))
+    assert(p200.contains("InMemoryTableScan") ||
+      p200.contains("TableCacheQueryStage"),
+      "q200 must serve the sweep relations from cache:\n" + p200.take(1200))
+    graft.operators.CacheRegistry.drain()
+  }
+
   test("jlProject is ONE shuffle-free codegen projection: no Exchange, " +
       "no Join, and the fold stays inside WholeStageCodegen") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
