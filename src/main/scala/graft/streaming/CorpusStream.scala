@@ -218,7 +218,10 @@ object CorpusStream {
     * DATA column (never the partition id). Deliberately NOT merged
     * across drains — a dup-mass histogram is a within-closure read,
     * and summing two drains' histograms would describe a corpus no
-    * closure ever ran on.
+    * closure ever ran on. [[run]] histograms the drain's url-deduped
+    * docs (everything it admits); [[runCurated]] histograms the
+    * ADMITTED docs post-quality-gates — in both cases, the drain's
+    * actual corpus contribution.
     */
   def readDupMassTelemetry(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)
@@ -360,7 +363,9 @@ object CorpusStream {
       blockTerms: Seq[String] = Nil,
       blockPhrases: Seq[String] = Nil,
       nbRefDir: String = null,
-      minNbScore: Double = 0.0): StreamingQuery =
+      minNbScore: Double = 0.0,
+      dupMassDir: String = null,
+      dupMassShingleN: Int = 3, dupMassThreshold: Double = 0.7): StreamingQuery =
     graft.sources.WarcReader.readStream(spark, warcDir, glob)
       .filter(col("warc_type") === "response" &&
         col("http_status") === 200 &&
@@ -378,7 +383,8 @@ object CorpusStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         curatedBatch(spark, model, outDir, minWords, minStopKinds,
           compactEvery, bigramRefDir, minAvgLogprob,
-          blockTerms, blockPhrases, nbRefDir, minNbScore)(batch, batchId)
+          blockTerms, blockPhrases, nbRefDir, minNbScore,
+          dupMassDir, dupMassShingleN, dupMassThreshold)(batch, batchId)
       }
       .start()
 
@@ -391,14 +397,19 @@ object CorpusStream {
       compactEvery: Int = 0,
       bigramRefDir: String = null, minAvgLogprob: Double = 0.0,
       blockTerms: Seq[String] = Nil, blockPhrases: Seq[String] = Nil,
-      nbRefDir: String = null, minNbScore: Double = 0.0)(
+      nbRefDir: String = null, minNbScore: Double = 0.0,
+      dupMassDir: String = null,
+      dupMassShingleN: Int = 3, dupMassThreshold: Double = 0.7)(
       batch: DataFrame, batchId: Long): Unit = {
     val docs = oneRowPerUrl(batch)
     if (!docs.isEmpty) graft.operators.CacheRegistry.scope {
       curateAndWrite(model, outDir, minWords, minStopKinds,
         bigramRefDir, minAvgLogprob, blockTerms, blockPhrases,
-        nbRefDir, minNbScore)(docs, batchId)
+        nbRefDir, minNbScore, dupMassDir, dupMassShingleN,
+        dupMassThreshold)(docs, batchId)
       maybeCompact(spark, Seq(outDir), compactEvery, batchId)
+      if (dupMassDir != null)
+        maybeCompact(spark, Seq(dupMassDir), compactEvery, batchId)
     }
   }
 
@@ -431,7 +442,9 @@ object CorpusStream {
       minWords: Int, minStopKinds: Int,
       bigramRefDir: String = null, minAvgLogprob: Double = 0.0,
       blockTerms: Seq[String] = Nil, blockPhrases: Seq[String] = Nil,
-      nbRefDir: String = null, minNbScore: Double = 0.0)(
+      nbRefDir: String = null, minNbScore: Double = 0.0,
+      dupMassDir: String = null,
+      dupMassShingleN: Int = 3, dupMassThreshold: Double = 0.7)(
       docs: DataFrame, batchId: Long): Unit = {
     val cleaned = graft.operators.TextAnalysis
       .c4LineFilters(docs.select("url", "text"), "text")
@@ -475,11 +488,29 @@ object CorpusStream {
           .filter(col("score") >= minNbScore)
           .select("url"),
         Seq("url"), "left_semi")
-    if (!admitted.isEmpty)
-      admitted.join(
-          graft.operators.Bpe.applyModel(admitted, "url", "text", model),
+    if (!admitted.isEmpty) {
+      // the gates consume `admitted` once; the corpus write (and the
+      // optional telemetry) read it again — persist within the drain's
+      // CacheRegistry scope so the quality chain runs once per drain
+      val adm = graft.operators.CacheRegistry.track(admitted.persist())
+      adm.join(
+          graft.operators.Bpe.applyModel(adm, "url", "text", model),
           Seq("url"), "left")
         .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+      // per-drain dedup-decision telemetry over the ADMITTED docs —
+      // what this drain actually contributed to the corpus (run()'s
+      // contract, post-gate here because the curated chain's gates
+      // define the contribution); same batchId-keyed overwrite and
+      // compaction-stable drain_batch column as run()'s
+      if (dupMassDir != null)
+        graft.operators.Dedup.dupMassHistogram(
+            adm.select(shiftrightunsigned(xxhash64(col("url")), 1)
+              .as("doc_key"), col("text")), "doc_key", "text",
+            dupMassShingleN, dupMassThreshold)
+          .withColumn("drain_batch", lit(batchId))
+          .write.mode("overwrite")
+          .parquet(s"$dupMassDir/batch_id=$batchId")
+    }
   }
 
   /** [[runCurated]] with [[runFuzzy]]'s NEAR-duplicate gate composed

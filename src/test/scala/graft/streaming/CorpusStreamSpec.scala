@@ -501,6 +501,64 @@ class CorpusStreamSpec extends SparkSpec {
     CacheRegistry.drain()
   }
 
+  test("curated drain dup-mass telemetry: the histogram covers the " +
+      "ADMITTED docs (post-gate — the drain's actual contribution), " +
+      "equals a direct recomputation over the written partition, and " +
+      "clusters a pair of near-dup survivors") {
+    val session = spark
+    import session.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cdm-stream")
+    val ckpt = java.nio.file.Files.createTempDirectory("cdm-ckpt")
+    val out = java.nio.file.Files.createTempDirectory("cdm-out")
+    val dmd = java.nio.file.Files.createTempDirectory("cdm-tele")
+    val model = Bpe.learnMerges(Seq("a b ab").toDF("text"), "text", 2)
+    def rec(i: Int, paras: String*): WarcReader.WarcRecord =
+      WarcReader.WarcRecord("response", s"https://x.example/p/$i",
+        "2026-01-01T00:00:00Z", 200, "text/html",
+        (s"<html><body>${paras.map(p => s"<p>$p</p>").mkString}" +
+          "</body></html>").getBytes("UTF-8"))
+    val s1 = "The first proper sentence has enough words to pass here."
+    val s2 = "Here is the second proper sentence with more words now."
+    val s3 = "And here is the third proper sentence closing the page."
+    java.nio.file.Files.write(dir.resolve("seg-00001.warc.gz"),
+      WarcReader.write(Seq(
+        // two near-dup SURVIVORS: same three sentences, one page adds
+        // a fourth short-but-proper line (different fp, shared
+        // shingle mass at jaccard >= 0.7)
+        rec(1, s1, s2, s3),
+        rec(2, s1, s2, s3, "One more proper closing sentence here."),
+        // a gate-killed page must NOT appear in the telemetry: the
+        // lorem tell kills it even though it near-dups page 1
+        rec(3, s1, s2, s3,
+          "Lorem ipsum dolor sit amet consectetur adipiscing elit.")),
+        gzipPerRecord = true))
+    CorpusStream.runCurated(spark, dir.toString, model,
+        ckpt.toString, out.toString, minWords = 12, minStopKinds = 1,
+        dupMassDir = dmd.toString)
+      .awaitTermination()
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("drain_batch"),
+        r.getAs[Long]("size"), r.getAs[Long]("n_clusters"),
+        r.getAs[Long]("doc_mass"), r.getAs[Long]("removable"))).toSet
+    val tele = rowsOf(CorpusStream.readDupMassTelemetry(spark, dmd.toString))
+    // pages 1+2 cluster; page 3 was gated out BEFORE the telemetry, so
+    // the histogram reads 1 cluster of 2 and zero singletons
+    assert(tele == Set((0L, 2L, 1L, 2L, 1L), (0L, 1L, 0L, 0L, 0L)),
+      tele.toString)
+    // merged-equals-batch-read over the ADMITTED (written) partition
+    val admitted = spark.read.parquet(out.toString)
+      .filter(col("batch_id") === 0L)
+      .select(shiftrightunsigned(xxhash64(col("url")), 1).as("doc_key"),
+        col("text"))
+    assert(admitted.count() == 2L)
+    val direct = graft.operators.Dedup.dupMassHistogram(
+        admitted, "doc_key", "text", 3, 0.7)
+      .withColumn("drain_batch", lit(0L))
+    assert(rowsOf(direct) == tele,
+      "telemetry must equal the batch read over the written partition")
+    CacheRegistry.drain()
+  }
+
   test("curated drain with the perplexity gate: a doc scoring below " +
       "the precomputed threshold under the SAVED bigram reference " +
       "never lands, the same doc lands with the gate off, and the " +
