@@ -163,7 +163,8 @@ object CorpusStream {
           // counters re-sum; KMV buffers re-merge) so the consolidated
           // partition stays <= its fixed sketch size instead of
           // accreting one row-set per drain
-          maybeCompact(spark, Seq(outDir), compactEvery, batchId)
+          maybeCompact(spark, Seq(outDir) ++ Option(dupMassDir),
+            compactEvery, batchId)
           if (sketchDir != null)
             maybeCompact(spark, Seq(sketchDir), compactEvery, batchId,
               _.groupBy(col("row"), col("bucket"))
@@ -171,13 +172,10 @@ object CorpusStream {
           if (kmvDir != null)
             maybeCompact(spark, Seq(kmvDir), compactEvery, batchId,
               mergeKmvRows(_, kmvK))
-          // dup-mass rows consolidate with NO re-aggregation: each row
-          // is already keyed by (drain_batch, size) — per-drain
-          // histograms of different drains must never merge (a
-          // cross-drain sum would claim a dup-mass read no within-
-          // drain closure ever computed)
-          if (dupMassDir != null)
-            maybeCompact(spark, Seq(dupMassDir), compactEvery, batchId)
+          // (dup-mass rows rode the identity compaction above: each
+          // row is already keyed by (drain_batch, size) — per-drain
+          // histograms of different drains must never merge, so NO
+          // re-aggregation, unlike the sketch dirs)
         }
       }
       .start()
@@ -407,9 +405,8 @@ object CorpusStream {
         bigramRefDir, minAvgLogprob, blockTerms, blockPhrases,
         nbRefDir, minNbScore, dupMassDir, dupMassShingleN,
         dupMassThreshold)(docs, batchId)
-      maybeCompact(spark, Seq(outDir), compactEvery, batchId)
-      if (dupMassDir != null)
-        maybeCompact(spark, Seq(dupMassDir), compactEvery, batchId)
+      maybeCompact(spark, Seq(outDir) ++ Option(dupMassDir),
+        compactEvery, batchId)
     }
   }
 
@@ -539,7 +536,10 @@ object CorpusStream {
       blockTerms: Seq[String] = Nil,
       blockPhrases: Seq[String] = Nil,
       nbRefDir: String = null,
-      minNbScore: Double = 0.0): StreamingQuery =
+      minNbScore: Double = 0.0,
+      dupMassDir: String = null,
+      dupMassShingleN: Int = 3,
+      dupMassThreshold: Double = 0.7): StreamingQuery =
     graft.sources.WarcReader.readStream(spark, warcDir, glob)
       .filter(col("warc_type") === "response" &&
         col("http_status") === 200 &&
@@ -558,7 +558,8 @@ object CorpusStream {
         curatedFuzzyBatch(spark, model, outDir, bandIndexDir,
           minWords, minStopKinds, shingleN, k, bands, compactEvery,
           bigramRefDir, minAvgLogprob, blockTerms, blockPhrases,
-          nbRefDir, minNbScore)(batch, batchId)
+          nbRefDir, minNbScore, dupMassDir, dupMassShingleN,
+          dupMassThreshold)(batch, batchId)
       }
       .start()
 
@@ -573,7 +574,9 @@ object CorpusStream {
       compactEvery: Int = 0,
       bigramRefDir: String = null, minAvgLogprob: Double = 0.0,
       blockTerms: Seq[String] = Nil, blockPhrases: Seq[String] = Nil,
-      nbRefDir: String = null, minNbScore: Double = 0.0)(
+      nbRefDir: String = null, minNbScore: Double = 0.0,
+      dupMassDir: String = null,
+      dupMassShingleN: Int = 3, dupMassThreshold: Double = 0.7)(
       batch: DataFrame, batchId: Long): Unit = {
     val docs = oneRowPerUrl(batch)
     if (!docs.isEmpty) graft.operators.CacheRegistry.scope {
@@ -587,8 +590,11 @@ object CorpusStream {
         .parquet(s"$bandIndexDir/batch_id=$batchId")
       curateAndWrite(model, outDir, minWords, minStopKinds,
         bigramRefDir, minAvgLogprob, blockTerms, blockPhrases,
-        nbRefDir, minNbScore)(novel, batchId)
-      maybeCompact(spark, Seq(bandIndexDir, outDir), compactEvery, batchId)
+        nbRefDir, minNbScore, dupMassDir, dupMassShingleN,
+        dupMassThreshold)(novel, batchId)
+      maybeCompact(spark,
+        Seq(bandIndexDir, outDir) ++ Option(dupMassDir),
+        compactEvery, batchId)
     }
   }
 
