@@ -224,6 +224,88 @@ object Sampling {
           .as("kept_share"))
   }
 
+  /** [[temperatureSweep]] with the per-source counts DISCOUNTED by an
+    * externally measured duplication mass before the thresholds
+    * derive — the dedup→mixing connector: a mirror-crawl source must
+    * not buy sampling mass with duplicate counts, and the discount
+    * comes from a MEASUREMENT (the q204 closure / the live ingest's
+    * dup-mass telemetry), not from actually draining the corpus.
+    * `effective` is one row per source, `(source, eff_docs)` —
+    * typically `n_docs − n_removed`, what a keep-one-per-cluster
+    * drain would leave. Thresholds are
+    * `⌊256·(min_eff/eff)^(1−α)⌋` over the sources with `eff > 0`
+    * (same [[powExact]] ladder and bucket rule as the undiscounted
+    * sweep — the gate this sweep prices keeps bit-identical sets);
+    * a source with `eff ≤ 0` is pure removable mass and gates to
+    * threshold 0 — kept count zero at every α. Sources absent from
+    * `effective` keep their RAW count (no measured discount, no
+    * silent drop). The kept counts are measured over `df` ITSELF —
+    * the actual, un-drained corpus the gate would run on. Output one
+    * row per (α, source): `(alpha, source, n_docs, eff_docs, thr,
+    * n_kept, kept_share)`.
+    *
+    * Scale shape: identical to [[temperatureSweep]] — one
+    * (source, bucket) histogram aggregation of the corpus (≤
+    * 256·|sources| rows), a bounded driver read of the per-source
+    * counts plus the |sources|-row `effective` relation, broadcast
+    * joins for each ladder point.
+    */
+  def temperatureSweepDiscounted(
+      df: DataFrame, keyCol: String, sourceCol: String,
+      alphas: Seq[Double], effective: DataFrame): DataFrame = {
+    require(alphas.nonEmpty && alphas.forall(a => a >= 0 && a <= 1),
+      s"alphas=$alphas must be non-empty and within [0, 1]")
+    val spark = df.sparkSession
+    val hist = CacheRegistry.track(
+      df.select(col(sourceCol).cast("string").as("source"),
+          stableBucket256(col(keyCol)).as("bucket"))
+        .groupBy("source", "bucket").agg(count(lit(1)).as("n"))
+        .persist())
+    val counts = hist.groupBy("source").agg(sum(col("n")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val effMap = effective
+      .select(col("source").cast("string"), col("eff_docs").cast("long"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("alpha",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_docs",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("eff_docs",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("thr",
+        org.apache.spark.sql.types.LongType)))
+    if (counts.isEmpty)
+      return spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .withColumn("n_kept", lit(0L))
+        .withColumn("kept_share", lit(0.0))
+    val eff = counts.map { case (s, c) => s -> effMap.getOrElse(s, c) }
+    val positive = eff.values.filter(_ > 0)
+    val minE = if (positive.isEmpty) 0.0 else positive.min.toDouble
+    val thrRows = for (a <- alphas; (s, c) <- counts.toSeq) yield
+      org.apache.spark.sql.Row(a, s, c, math.max(eff(s), 0L),
+        if (eff(s) <= 0) 0L
+        else math.floor(256.0 * powExact(1.0 - a, minE / eff(s))).toLong)
+    val thrDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(thrRows, 1), schema)
+    val h = hist.select(col("source").as("__hsrc"), col("bucket"),
+      col("n"))
+    val kept = thrDf
+      .join(broadcast(h), col("source") === col("__hsrc") &&
+        col("bucket") < col("thr"), "left")
+      .groupBy("alpha", "source", "n_docs", "eff_docs", "thr")
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n_kept"))
+    val totals = kept.groupBy("alpha").agg(sum(col("n_kept")).as("__tot"))
+    kept.join(broadcast(totals), Seq("alpha"))
+      .select(col("alpha"), col("source"), col("n_docs"), col("eff_docs"),
+        col("thr"), col("n_kept"),
+        round(col("n_kept").cast("double") / col("__tot").cast("double"), 6)
+          .as("kept_share"))
+  }
+
   /** Epoch/repeat PLANNER — the decision a DATA-CONSTRAINED training
     * run makes before any sampling (Muennighoff et al. 2023-style
     * repeat accounting: when the token budget exceeds the unique data,
@@ -257,16 +339,52 @@ object Sampling {
     * `frac_b256 = ⌊256·partial/unique⌋` the md5-bucket threshold
     * [[epochRealize]] gates the fractional pass on, `epochs_r6` the
     * display ratio. The layer window is over a bounded relation
-    * (|sources|·maxEpochs rows), never the corpus.
+    * (|sources|·maxEpochs rows), never the corpus. δ is a parameter on
+    * [[epochPlanDiscounted]] (any rational ≤ 1, same exact-integer
+    * ladder); this entry point IS that function at δ = 1/2.
     */
   def epochPlan(perSource: DataFrame, budgetTokens: Long,
-      maxEpochs: Int): DataFrame = {
+      maxEpochs: Int): DataFrame =
+    epochPlanDiscounted(perSource, budgetTokens, maxEpochs,
+      deltaNumer = 1L, deltaDenom = 2L)
+
+  /** [[epochPlan]] with the diminishing-returns discount δ EXPLICIT —
+    * the planner's last un-priced assumption: repeat k of source s is
+    * worth `weight_ppm(s) · δ^(k-1)` per token with
+    * δ = deltaNumer/deltaDenom ∈ (0, 1]. Scaling every layer by
+    * deltaDenom^(maxEpochs-1) keeps the value ladder EXACT-INTEGER for
+    * any rational δ: `value = weight_ppm · deltaNumer^(k-1) ·
+    * deltaDenom^(maxEpochs-k)` (δ = 1/2 recovers [[epochPlan]]'s
+    * power-of-two ladder; δ = 1 is the no-discount control, where only
+    * the quality weight ranks layers and the (source, epoch) tiebreak
+    * decides within a weight class). The per-epoch factors are
+    * precomputed BigInt-checked long literals indexed by epoch — never
+    * a float `pow` — so the greedy waterfill stays replayable
+    * bit-exactly by any engine, and the overflow ceiling is enforced
+    * up front: `1e6 · deltaDenom^(maxEpochs-1) < 2^63` (δ = 1/2 at the
+    * full maxEpochs = 32 passes; coarser denominators need fewer
+    * epochs). `frac_b256` widens through DECIMAL(38,0), so the
+    * 256·partial product is exact for any sub-2^63 token count — a
+    * plain long product would overflow ANSI mode past 2^55 tokens
+    * (≈ 36 PB of text) in a function that names every other ceiling.
+    */
+  def epochPlanDiscounted(perSource: DataFrame, budgetTokens: Long,
+      maxEpochs: Int, deltaNumer: Long, deltaDenom: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(budgetTokens >= 0, s"budgetTokens=$budgetTokens must be >= 0")
     require(maxEpochs >= 1 && maxEpochs <= 32,
-      s"maxEpochs=$maxEpochs must be in [1, 32] — the exact value ladder " +
-        "shifts 1L by up to maxEpochs-1 and weight_ppm*2^31 is the " +
-        "overflow-safe ceiling")
+      s"maxEpochs=$maxEpochs must be in [1, 32]")
+    require(deltaNumer >= 1 && deltaDenom >= deltaNumer,
+      s"delta=$deltaNumer/$deltaDenom must be a rational in (0, 1]")
+    require(BigInt(1000000) * BigInt(deltaDenom).pow(maxEpochs - 1) <
+        (BigInt(1) << 63),
+      s"delta denominator $deltaDenom at maxEpochs=$maxEpochs overflows " +
+        "the exact value ladder: need 1e6 * deltaDenom^(maxEpochs-1) < 2^63")
+    // exact per-epoch layer factors, BigInt-built then narrowed (the
+    // require above guarantees the narrowing is lossless)
+    val factors = (1 to maxEpochs).map(k =>
+      (BigInt(deltaNumer).pow(k - 1) * BigInt(deltaDenom).pow(maxEpochs - k))
+        .toLong)
     val layers = perSource
       .select(col("source").cast("string").as("source"),
         col("unique_tokens").cast("long").as("unique_tokens"),
@@ -277,11 +395,12 @@ object Sampling {
       // would otherwise surface as a mid-job ANSI ARITHMETIC_OVERFLOW
       // — or silently sort below the zero-weight tier — instead of
       // telling the caller what to fix (the firstFitBlocks id-span
-      // discipline; the maxEpochs<=32 require above is only safe
-      // GIVEN weight_ppm <= 1e6)
+      // discipline; the overflow requires above are only safe GIVEN
+      // weight_ppm <= 1e6)
       .withColumn("value_scaled",
         expr(s"CASE WHEN weight_ppm BETWEEN 0 AND 1000000 THEN " +
-          s"weight_ppm * shiftleft(CAST(1 AS BIGINT), $maxEpochs - epoch) " +
+          s"weight_ppm * element_at(array(${factors.mkString("L,")}L), " +
+          "epoch) " +
           "ELSE raise_error(concat('epochPlan: weight_ppm must be in " +
           "[0, 1000000] ppm, got ', CAST(weight_ppm AS STRING))) END"))
     val ord = Window
@@ -298,8 +417,9 @@ object Sampling {
         sum(when(col("layer_alloc") === col("unique_tokens"), 1L)
           .otherwise(0L)).as("full_epochs"))
       .withColumn("frac_b256",
-        expr("(256 * (tokens_alloc - full_epochs * unique_tokens)) " +
-          "DIV unique_tokens"))
+        expr("CAST((CAST(256 AS DECIMAL(38,0)) * " +
+          "(tokens_alloc - full_epochs * unique_tokens)) " +
+          "DIV unique_tokens AS BIGINT)"))
       .withColumn("epochs_r6",
         round(col("tokens_alloc").cast("double") /
           col("unique_tokens").cast("double"), 6))

@@ -278,6 +278,58 @@ class SamplingSpec extends SparkSpec {
     CacheRegistry.drain()
   }
 
+  test("temperatureSweepDiscounted derives thresholds from EFFECTIVE " +
+      "counts while gating the actual corpus: a zero-effective source " +
+      "keeps nothing at every alpha, a source absent from the mass " +
+      "relation keeps its raw count, and undiscounted effectives " +
+      "reproduce temperatureSweep exactly") {
+    import spark.implicits._
+    val rows = (1L to 600L).map(i => (i, "head")) ++
+      (601L to 720L).map(i => (i, "mid")) ++
+      (721L to 750L).map(i => (i, "tail"))
+    val df = rows.toDF("doc_id", "src")
+    val alphas = Seq(0.0, 0.25, 0.5, 0.75, 1.0)
+    // head measured 50% removable, mid pure mirror mass, tail absent
+    val eff = Seq(("head", 300L), ("mid", 0L))
+      .toDF("source", "eff_docs")
+    val got = Sampling.temperatureSweepDiscounted(df, "doc_id", "src",
+        alphas, eff)
+      .collect()
+      .map(r => (r.getAs[Double]("alpha"), r.getAs[String]("source")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("eff_docs"),
+          r.getAs[Long]("thr"), r.getAs[Long]("n_kept"))))
+      .toMap
+    assert(got.size == 15)
+    for (a <- alphas) {
+      // mirror source: threshold 0, kept 0, at EVERY alpha
+      assert(got((a, "mid")) == ((120L, 0L, 0L, 0L)),
+        s"alpha=$a mid: ${got((a, "mid"))}")
+      // thresholds replay the driver formula over effective counts
+      // (min positive effective = 30, tail's raw count)
+      for ((s, e) <- Seq("head" -> 300L, "tail" -> 30L)) {
+        val driver = math.floor(256.0 *
+          Sampling.powExact(1.0 - a, 30.0 / e)).toLong
+        assert(got((a, s))._3 == driver,
+          s"alpha=$a $s: thr ${got((a, s))._3} != driver $driver")
+      }
+      // kept counts are measured over the UN-drained corpus: head
+      // keeps its bucket mass under the discounted threshold, which
+      // at alpha<1 is STRICTLY below its undiscounted keep
+      assert(got((a, "tail"))._4 == 30L, s"alpha=$a tail keeps all")
+    }
+    // degenerate discount (eff = raw) reproduces the plain sweep
+    val raw = Seq(("head", 600L), ("mid", 120L), ("tail", 30L))
+      .toDF("source", "eff_docs")
+    val viaDisc = Sampling.temperatureSweepDiscounted(df, "doc_id",
+        "src", alphas, raw)
+      .drop("eff_docs").collect().map(_.toSeq).toSet
+    val viaPlain = Sampling.temperatureSweep(df, "doc_id", "src", alphas)
+      .collect().map(_.toSeq).toSet
+    assert(viaDisc == viaPlain,
+      "eff=raw must reproduce temperatureSweep bit for bit")
+    CacheRegistry.drain()
+  }
+
   test("epochPlan replays a hand-computed waterfill: whole layers fill " +
       "in (weight-discounted value, source) order, the boundary layer " +
       "takes the remainder, zero-weight sources fill last, and the " +
@@ -324,6 +376,47 @@ class SamplingSpec extends SparkSpec {
       Sampling.epochPlan(bad, 100L, maxEpochs = 3).collect()
     }
     assert(ex.getMessage.contains("weight_ppm must be in [0, 1000000]"),
+      ex.getMessage)
+  }
+
+  test("epochPlanDiscounted generalizes the ladder: delta=1 ranks by " +
+      "weight alone (source/epoch tiebreak), delta=1/4 steepens the " +
+      "discount so first epochs fill across sources before any second, " +
+      "delta=1/2 IS epochPlan, and an overflowing denominator fails " +
+      "by name") {
+    import spark.implicits._
+    val per = Seq(("a", 100L, 1000000L), ("b", 200L, 500000L),
+      ("z", 50L, 0L)).toDF("source", "unique_tokens", "weight_ppm")
+    def planMap(numer: Long, denom: Long) =
+      Sampling.epochPlanDiscounted(per, 450L, maxEpochs = 3,
+          deltaNumer = numer, deltaDenom = denom).collect()
+        .map(r => r.getAs[String]("source") ->
+          ((r.getAs[Long]("tokens_alloc"), r.getAs[Long]("full_epochs"),
+            r.getAs[Long]("frac_b256"))))
+        .toMap
+    // delta=1: a's three layers all value 1e6 and precede b's (5e5) —
+    // fill a1 a2 a3 (300), then 150 into b1
+    val p1 = planMap(1L, 1L)
+    assert(p1("a") == ((300L, 3L, 0L)), s"got ${p1("a")}")
+    assert(p1("b") == ((150L, 0L, (256L * 150L) / 200L)), s"got ${p1("b")}")
+    assert(p1("z") == ((0L, 0L, 0L)))
+    // delta=1/4: values a(16e6, 4e6, 1e6), b(8e6, 2e6, 5e5) — strict
+    // order a1 b1 a2 b2: 100+200+100 fills, 50 spills into b2
+    val p4 = planMap(1L, 4L)
+    assert(p4("a") == ((200L, 2L, 0L)), s"got ${p4("a")}")
+    assert(p4("b") == ((250L, 1L, (256L * 50L) / 200L)), s"got ${p4("b")}")
+    // delta=1/2 is the epochPlan entry point, value for value
+    val viaPlan = Sampling.epochPlan(per, 450L, maxEpochs = 3).collect()
+      .map(_.toSeq).toSet
+    val viaDelta = planMap(1L, 2L)
+    assert(Sampling.epochPlanDiscounted(per, 450L, 3, 1L, 2L).collect()
+      .map(_.toSeq).toSet == viaPlan, s"delta=1/2 drifted: $viaDelta")
+    // ladder overflow is a named require, not a mid-job ANSI error
+    val ex = intercept[IllegalArgumentException] {
+      Sampling.epochPlanDiscounted(per, 450L, maxEpochs = 32,
+        deltaNumer = 1L, deltaDenom = 3L)
+    }
+    assert(ex.getMessage.contains("overflows the exact value ladder"),
       ex.getMessage)
   }
 
