@@ -176,6 +176,50 @@ object Packing {
       .toDF(idCol, lenCol, "shard", "block")
   }
 
+  /** [[firstFitBlocks]] with an EXPLICIT packing domain instead of the
+    * id-range shard rule: documents pack first-fit in id order WITHIN
+    * each distinct `keyCol` value (per training source, per output
+    * shard a plan names — the q208 plan→realize→pack chain), and a
+    * block never spans two keys. Same sequential state machine, same
+    * overfull contract; the state resets on every key change, so the
+    * layout is a pure function of (key, id order) no matter how keys
+    * co-locate. Emits (keyCol string-cast, idCol, lenCol, block).
+    *
+    * Scale shape: one shuffle on the key, shards pack in parallel —
+    * one key = one task's sequential fold, the same bound as a
+    * production per-source packer writing one file per source. A
+    * single mega-key serializes into one task by construction (the
+    * packing ORDER is the semantics); subdivide upstream by composing
+    * the key with an id-range shard when a source outgrows a task.
+    */
+  def firstFitBlocksKeyed(
+      df: DataFrame, idCol: String, lenCol: String, keyCol: String,
+      blockSize: Long, lengthDescending: Boolean = false): DataFrame = {
+    require(blockSize > 0, s"blockSize=$blockSize must be positive")
+    val session = df.sparkSession
+    import session.implicits._
+    df.select(col(keyCol).cast("string").as("_1"),
+        col(idCol).cast("long").as("_2"),
+        col(lenCol).cast("long").as("_3"))
+      .repartition(col("_1"))
+      .sortWithinPartitions(
+        (if (lengthDescending) Seq(col("_1"), col("_3").desc, col("_2"))
+         else Seq(col("_1"), col("_2"))): _*)
+      .as[(String, Long, Long)]
+      .mapPartitions { it =>
+        var curKey: String = null
+        var fill = 0L
+        var block = 0L
+        it.map { case (key, id, len) =>
+          if (key != curKey) { curKey = key; block = 0L; fill = len }
+          else if (fill + len <= blockSize) { fill += len }
+          else { block += 1; fill = len }
+          (key, id, len, block)
+        }
+      }
+      .toDF(keyCol, idCol, lenCol, "block")
+  }
+
   /** RAG-style overlapping token-window chunking: each document splits
     * into windows of `chunkSize` tokens advancing by `chunkSize -
     * overlap`, final partial window kept (ceil division), empty docs

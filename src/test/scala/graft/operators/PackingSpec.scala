@@ -294,4 +294,51 @@ class PackingSpec extends SparkSpec {
     }
     CacheRegistry.drain()
   }
+
+  test("firstFitBlocksKeyed packs per explicit key exactly like the " +
+      "sequential reference, never spans a block across keys, and " +
+      "honors lengthDescending within each key") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17082026L)
+    val keys = Seq("en", "de", "fr", "zh")
+    val rows = (0 until 160).map { i =>
+      (keys(rnd.nextInt(keys.size)), i.toLong, rnd.nextInt(90).toLong)
+    }
+    val df = rows.toDF("src", "doc_id", "n_tokens")
+    val b = 64L
+    for (desc <- Seq(false, true)) {
+      val out = Packing.firstFitBlocksKeyed(df, "doc_id", "n_tokens",
+          "src", b, lengthDescending = desc)
+        .collect()
+        .map(r => (r.getAs[String]("src"), r.getAs[Long]("doc_id")) ->
+          r.getAs[Long]("block")).toMap
+      val ref = scala.collection.mutable.Map.empty[(String, Long), Long]
+      rows.groupBy(_._1).foreach { case (key, docs0) =>
+        var block = -1L; var fill = 0L
+        val ordered =
+          if (desc) docs0.sortBy { case (_, id, len) => (-len, id) }
+          else docs0.sortBy(_._2)
+        ordered.foreach { case (_, id, len) =>
+          if (block == -1L) { block = 0L; fill = len }
+          else if (fill + len <= b) fill += len
+          else { block += 1; fill = len }
+          ref((key, id)) = block
+        }
+      }
+      assert(out == ref.toMap, s"desc=$desc: keyed first-fit mismatch")
+    }
+    // every (key, block) holds docs of ONE key by construction of the
+    // output schema; blocks respect capacity except DEDICATED overfull
+    // singletons (lengths run to 89 > b, the firstFitBlocks contract)
+    val blocks = Packing.firstFitBlocksKeyed(df, "doc_id", "n_tokens",
+        "src", b).collect()
+      .groupBy(r => (r.getAs[String]("src"), r.getAs[Long]("block")))
+      .map { case (_, rs) => rs.map(_.getAs[Long]("n_tokens")).sum ->
+        rs.length }
+    assert(blocks.forall { case (used, n) => used <= b || n == 1 },
+      "an over-capacity block must be a dedicated overfull singleton")
+    assert(blocks.exists { case (used, n) => used > b && n == 1 },
+      "the planted >b lengths must surface as overfull singletons")
+    CacheRegistry.drain()
+  }
 }
