@@ -135,28 +135,13 @@ object CorpusStream {
                 "g", "tok", kmvK)
               .write.mode("overwrite")
               .parquet(s"$kmvDir/batch_id=$batchId")
-          // per-drain DEDUP DECISION telemetry (the q185 read, live):
-          // this drain's within-batch near-dup duplication-mass
-          // histogram, so the collapse-or-not decision surface exists
-          // for a live ingest, not just batch corpora. Same
-          // batchId-keyed overwrite contract (the histogram is a pure
-          // function of the drain's docs, so replay-rewriting is
-          // idempotent); the drain id ALSO rides as a DATA column
-          // (`drain_batch`, the ingest_batch precedent) because
-          // partition ids do not survive compaction and a per-drain
-          // read must.
-          // doc key: NUMERIC per the cluster tier's contract (connected
-          // components casts node ids to long — a url string throws);
-          // xxhash64 shifted into [0, 2^63) so any downstream id-range
-          // consumer is safe from full-range spans
+          // per-drain DEDUP DECISION telemetry — the collapse-or-not
+          // decision surface for a live ingest (contract on
+          // [[writeDupMass]]); this variant admits everything
+          // url-deduped, so the histogram runs over `docs`
           if (dupMassDir != null)
-            graft.operators.Dedup.dupMassHistogram(
-                docs.select(shiftrightunsigned(xxhash64(col("url")), 1)
-                  .as("doc_key"), col("text")), "doc_key", "text",
-                dupMassShingleN, dupMassThreshold)
-              .withColumn("drain_batch", lit(batchId))
-              .write.mode("overwrite")
-              .parquet(s"$dupMassDir/batch_id=$batchId")
+            writeDupMass(docs, dupMassDir, dupMassShingleN,
+              dupMassThreshold, batchId)
           // the corpus and both telemetry layouts are all batchId-keyed
           // partition trees, so they all decay into small files; the
           // sketch dirs consolidate with a RE-AGGREGATING pass (CMS
@@ -216,14 +201,39 @@ object CorpusStream {
     * DATA column (never the partition id). Deliberately NOT merged
     * across drains — a dup-mass histogram is a within-closure read,
     * and summing two drains' histograms would describe a corpus no
-    * closure ever ran on. [[run]] histograms the drain's url-deduped
-    * docs (everything it admits); [[runCurated]] histograms the
-    * ADMITTED docs post-quality-gates — in both cases, the drain's
-    * actual corpus contribution.
+    * closure ever ran on. Every ingest variant histograms the docs it
+    * ADMITS — its actual corpus contribution: [[run]] and
+    * [[runChunked]] the drain's url-deduped docs, [[runCurated]] and
+    * [[runCuratedFuzzy]] the post-quality-gate survivors, [[runFuzzy]]
+    * the post-near-dup-gate novel docs (a gate-killed near-dup never
+    * reaches the telemetry; what the histogram reads there is the
+    * gate's residual — exact-Jaccard pairs whose bands missed).
     */
   def readDupMassTelemetry(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)
       .select("drain_batch", "size", "n_clusters", "doc_mass", "removable")
+
+  /** The one dup-mass telemetry write every ingest variant shares:
+    * this drain's within-batch near-dup duplication-mass histogram
+    * (the q185 read, live) over the docs the drain ADMITS, under the
+    * same batchId-keyed overwrite contract as the corpus itself (the
+    * histogram is a pure function of the drain's docs, so a
+    * crash-replay rewrites identical rows). The drain id ALSO rides as
+    * the compaction-stable `drain_batch` DATA column. Doc key: NUMERIC
+    * per the cluster tier's contract (connected components casts node
+    * ids to long — a url string throws); xxhash64 shifted into
+    * [0, 2^63) so any downstream id-range consumer is safe from
+    * full-range spans.
+    */
+  private def writeDupMass(docs: DataFrame, dupMassDir: String,
+      shingleN: Int, threshold: Double, batchId: Long): Unit =
+    graft.operators.Dedup.dupMassHistogram(
+        docs.select(shiftrightunsigned(xxhash64(col("url")), 1)
+          .as("doc_key"), col("text")), "doc_key", "text",
+        shingleN, threshold)
+      .withColumn("drain_batch", lit(batchId))
+      .write.mode("overwrite")
+      .parquet(s"$dupMassDir/batch_id=$batchId")
 
   /** One row per URL per drain: a drain whose segments carry the SAME
     * url with two different bodies (an in-flight re-crawl — different
@@ -267,7 +277,9 @@ object CorpusStream {
       checkpointDir: String, outDir: String, bandIndexDir: String,
       glob: String = "*.warc*",
       shingleN: Int = 3, k: Int = 64, bands: Int = 16,
-      compactEvery: Int = 0): StreamingQuery =
+      compactEvery: Int = 0,
+      dupMassDir: String = null,
+      dupMassShingleN: Int = 3, dupMassThreshold: Double = 0.7): StreamingQuery =
     docStream(spark, warcDir, glob)
       .writeStream
       .outputMode("append")
@@ -275,7 +287,9 @@ object CorpusStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         fuzzyBatch(spark, model, outDir, bandIndexDir, shingleN, k,
-          bands, compactEvery)(batch, batchId)
+          bands, compactEvery, dupMassDir = dupMassDir,
+          dupMassShingleN = dupMassShingleN,
+          dupMassThreshold = dupMassThreshold)(batch, batchId)
       }
       .start()
 
@@ -292,7 +306,9 @@ object CorpusStream {
       compactEvery: Int = 0,
       bigramRefDir: String = null, minAvgLogprob: Double = 0.0,
       blockTerms: Seq[String] = Nil, blockPhrases: Seq[String] = Nil,
-      nbRefDir: String = null, minNbScore: Double = 0.0)(
+      nbRefDir: String = null, minNbScore: Double = 0.0,
+      dupMassDir: String = null,
+      dupMassShingleN: Int = 3, dupMassThreshold: Double = 0.7)(
       batch: DataFrame, batchId: Long): Unit = {
     val docs = oneRowPerUrl(batch)
     if (!docs.isEmpty) graft.operators.CacheRegistry.scope {
@@ -312,7 +328,18 @@ object CorpusStream {
           graft.operators.Bpe.applyModel(novel, "url", "text", model),
           Seq("url"), "left")
         .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
-      maybeCompact(spark, Seq(bandIndexDir, outDir), compactEvery, batchId)
+      // per-drain dup-mass telemetry over the ADMITTED docs — the
+      // near-dup gate runs FIRST (cross-drain index AND within-batch
+      // band collisions), so a gate-killed near-dup never reaches the
+      // histogram: what the telemetry reads is the gate's RESIDUAL —
+      // exact-Jaccard mass whose MinHash bands happened not to
+      // collide, the false-negative rate a banding audit (q195)
+      // prices — normally all-singleton rows
+      if (dupMassDir != null)
+        writeDupMass(novel, dupMassDir, dupMassShingleN,
+          dupMassThreshold, batchId)
+      maybeCompact(spark, Seq(bandIndexDir, outDir) ++ Option(dupMassDir),
+        compactEvery, batchId)
     }
   }
 
@@ -495,18 +522,12 @@ object CorpusStream {
           Seq("url"), "left")
         .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
       // per-drain dedup-decision telemetry over the ADMITTED docs —
-      // what this drain actually contributed to the corpus (run()'s
-      // contract, post-gate here because the curated chain's gates
-      // define the contribution); same batchId-keyed overwrite and
-      // compaction-stable drain_batch column as run()'s
+      // what this drain actually contributed to the corpus
+      // ([[writeDupMass]]'s contract, post-gate here because the
+      // curated chain's gates define the contribution)
       if (dupMassDir != null)
-        graft.operators.Dedup.dupMassHistogram(
-            adm.select(shiftrightunsigned(xxhash64(col("url")), 1)
-              .as("doc_key"), col("text")), "doc_key", "text",
-            dupMassShingleN, dupMassThreshold)
-          .withColumn("drain_batch", lit(batchId))
-          .write.mode("overwrite")
-          .parquet(s"$dupMassDir/batch_id=$batchId")
+        writeDupMass(adm, dupMassDir, dupMassShingleN, dupMassThreshold,
+          batchId)
     }
   }
 
@@ -722,7 +743,9 @@ object CorpusStream {
       spark: SparkSession, warcDir: String, checkpointDir: String,
       manifestDir: String, chunkStoreDir: String,
       glob: String = "*.warc*", divisor: Int = 8,
-      compactEvery: Int = 0): StreamingQuery =
+      compactEvery: Int = 0,
+      dupMassDir: String = null,
+      dupMassShingleN: Int = 3, dupMassThreshold: Double = 0.7): StreamingQuery =
     docStream(spark, warcDir, glob)
       .writeStream
       .outputMode("append")
@@ -730,14 +753,17 @@ object CorpusStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         chunkedBatch(spark, manifestDir, chunkStoreDir, divisor,
-          compactEvery)(batch, batchId)
+          compactEvery, dupMassDir, dupMassShingleN, dupMassThreshold)(
+          batch, batchId)
       }
       .start()
 
   /** One [[runChunked]] micro-batch, factored out for the replay spec. */
   private[streaming] def chunkedBatch(
       spark: SparkSession, manifestDir: String, chunkStoreDir: String,
-      divisor: Int, compactEvery: Int = 0)(
+      divisor: Int, compactEvery: Int = 0,
+      dupMassDir: String = null,
+      dupMassShingleN: Int = 3, dupMassThreshold: Double = 0.7)(
       batch: DataFrame, batchId: Long): Unit = {
     val docs = oneRowPerUrl(batch)
     if (!docs.isEmpty) graft.operators.CacheRegistry.scope {
@@ -766,8 +792,16 @@ object CorpusStream {
       chunks.select("url", "chunk_idx", "chunk_fp")
         .withColumn("ingest_batch", lit(batchId))
         .write.mode("overwrite").parquet(s"$manifestDir/batch_id=$batchId")
-      maybeCompact(spark, Seq(chunkStoreDir, manifestDir), compactEvery,
-        batchId)
+      // per-drain dup-mass telemetry over the drain's DOCUMENTS (what
+      // this variant manifests — its storage-side chunk dedup is a
+      // different axis than document near-dup mass, which is exactly
+      // why a chunked ingest still wants the document histogram)
+      if (dupMassDir != null)
+        writeDupMass(docs, dupMassDir, dupMassShingleN,
+          dupMassThreshold, batchId)
+      maybeCompact(spark,
+        Seq(chunkStoreDir, manifestDir) ++ Option(dupMassDir),
+        compactEvery, batchId)
     }
   }
 

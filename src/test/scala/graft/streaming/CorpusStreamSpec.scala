@@ -559,6 +559,171 @@ class CorpusStreamSpec extends SparkSpec {
     CacheRegistry.drain()
   }
 
+  test("fuzzy drain dup-mass telemetry: gate-killed near-dups never " +
+      "reach the histogram (ADMITTED-docs semantics), every drain's " +
+      "rows equal a batch recompute over its admitted docs even after " +
+      "compaction, and a drain whose bands catch everything reads " +
+      "all-singleton") {
+    val session = spark
+    import session.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fdm-stream")
+    val ckpt = java.nio.file.Files.createTempDirectory("fdm-ckpt")
+    val out = java.nio.file.Files.createTempDirectory("fdm-out")
+    val bidx = java.nio.file.Files.createTempDirectory("fdm-bidx")
+    val dmd = java.nio.file.Files.createTempDirectory("fdm-tele")
+    val model = Bpe.learnMerges(Seq("a b ab").toDF("text"), "text", 2)
+    def drain(): Unit =
+      CorpusStream.runFuzzy(spark, dir.toString, model, ckpt.toString,
+          out.toString, bidx.toString, compactEvery = 1,
+          dupMassDir = dmd.toString)
+        .awaitTermination()
+    val longA = (1 to 20).map(k => s"ab token$k").mkString(" ")
+    val longB = (1 to 20).map(k => s"cc other$k").mkString(" ")
+    val longC = (1 to 20).map(k => s"dd third$k").mkString(" ")
+    val pairX = (1 to 20).map(k => s"ee fourth$k").mkString(" ")
+    // drain 0: two unrelated docs, both admitted
+    java.nio.file.Files.write(dir.resolve("seg-00001.warc.gz"),
+      WarcReader.write(Seq(htmlRec(1, longA), htmlRec(2, longB)),
+        gzipPerRecord = true))
+    drain()
+    // drain 1: a near-dup re-crawl of longA (last word dropped — new
+    // exact fp, suppressed by the persisted band index) plus one
+    // genuinely new doc: only the new doc may reach the telemetry
+    java.nio.file.Files.write(dir.resolve("seg-00002.warc.gz"),
+      WarcReader.write(Seq(
+        htmlRec(3, longA.split(" ").dropRight(1).mkString(" ")),
+        htmlRec(4, longC)), gzipPerRecord = true))
+    drain()
+    // drain 2: a WITHIN-drain near-dup pair — the batch-side band
+    // collision admits exactly one, so the telemetry reads singleton
+    java.nio.file.Files.write(dir.resolve("seg-00003.warc.gz"),
+      WarcReader.write(Seq(htmlRec(5, pairX),
+        htmlRec(6, pairX.split(" ").dropRight(1).mkString(" "))),
+        gzipPerRecord = true))
+    drain()
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("drain_batch"),
+        r.getAs[Long]("size"), r.getAs[Long]("n_clusters"),
+        r.getAs[Long]("doc_mass"), r.getAs[Long]("removable"))).toSet
+    val tele = rowsOf(CorpusStream.readDupMassTelemetry(spark, dmd.toString))
+    // ADMITTED-docs pin: drain 1's histogram is ONE singleton — had
+    // the gate-killed near-dup leaked into the telemetry, the size-1
+    // row would read 2 docs; drain 2's within-drain pair collapsed to
+    // one admitted doc, so its residual read is all-singleton too
+    assert(tele == Set(
+      (0L, 1L, 2L, 2L, 0L),
+      (1L, 1L, 1L, 1L, 0L),
+      (2L, 1L, 1L, 1L, 0L)), tele.toString)
+    // compaction consolidated drains 0/1 (compactEvery=1), and the
+    // per-drain reads above survived via the drain_batch DATA column
+    val parts = new java.io.File(dmd.toString).listFiles.toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+      .map(_.getName.stripPrefix("batch_id=").toLong).sorted
+    assert(parts == Seq(-3L, 2L), parts.toString)
+    // merged-equals-batch-recompute: each drain's telemetry equals the
+    // q185 histogram over its ADMITTED (url, text) rows — recovered
+    // from the corpus by the drain's planted urls, since compaction
+    // already dissolved the corpus's own batch partitions
+    val corpus = spark.read.parquet(out.toString)
+      .select("url", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val drainUrls = Map(
+      0L -> Seq("https://x.example/p/1", "https://x.example/p/2"),
+      1L -> Seq("https://x.example/p/3", "https://x.example/p/4"),
+      2L -> Seq("https://x.example/p/5", "https://x.example/p/6"))
+    for ((b, urls) <- drainUrls) {
+      val admitted = urls.flatMap(u => corpus.get(u).map(u -> _))
+      val direct = graft.operators.Dedup.dupMassHistogram(
+          admitted.toDF("url", "text")
+            .select(shiftrightunsigned(xxhash64(col("url")), 1)
+              .as("doc_key"), col("text")),
+          "doc_key", "text", 3, 0.7)
+        .withColumn("drain_batch", lit(b))
+      assert(rowsOf(direct) == tele.filter(_._1 == b),
+        s"drain $b: telemetry diverged from the admitted-docs recompute")
+    }
+    CacheRegistry.drain()
+  }
+
+  test("chunked drain dup-mass telemetry: the histogram covers the " +
+      "drain's documents (storage-side chunk dedup is a different " +
+      "axis), every drain equals a batch recompute after compaction, " +
+      "and a replay overwrite changes nothing") {
+    val session = spark
+    import session.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("kdm-stream")
+    val ckpt = java.nio.file.Files.createTempDirectory("kdm-ckpt")
+    val man = java.nio.file.Files.createTempDirectory("kdm-manifest")
+    val store = java.nio.file.Files.createTempDirectory("kdm-store")
+    val dmd = java.nio.file.Files.createTempDirectory("kdm-tele")
+    def drain(): Unit =
+      CorpusStream.runChunked(spark, dir.toString, ckpt.toString,
+          man.toString, store.toString, divisor = 4, compactEvery = 1,
+          dupMassDir = dmd.toString)
+        .awaitTermination()
+    val aTxt = (1 to 60).map(i => s"a$i").mkString(" ")
+    val cTxt = (1 to 30).map(i => s"c$i").mkString(" ")
+    val dTxt = (1 to 40).map(i => s"d$i").mkString(" ")
+    val eTxt = (1 to 25).map(i => s"e$i").mkString(" ")
+    // drain 0: a near-dup PAIR (prepended re-crawl — runChunked has no
+    // near-dup gate, both land; the chunk store dedups their shared
+    // chunks, but the DOCUMENT histogram must still read the cluster)
+    // plus one unrelated doc
+    java.nio.file.Files.write(dir.resolve("seg-00001.warc.gz"),
+      WarcReader.write(Seq(htmlRec(1, aTxt), htmlRec(2, "XX " + aTxt),
+        htmlRec(3, cTxt)), gzipPerRecord = true))
+    drain()
+    java.nio.file.Files.write(dir.resolve("seg-00002.warc.gz"),
+      WarcReader.write(Seq(htmlRec(4, dTxt)), gzipPerRecord = true))
+    drain()
+    java.nio.file.Files.write(dir.resolve("seg-00003.warc.gz"),
+      WarcReader.write(Seq(htmlRec(5, eTxt)), gzipPerRecord = true))
+    drain()
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("drain_batch"),
+        r.getAs[Long]("size"), r.getAs[Long]("n_clusters"),
+        r.getAs[Long]("doc_mass"), r.getAs[Long]("removable"))).toSet
+    val tele = rowsOf(CorpusStream.readDupMassTelemetry(spark, dmd.toString))
+    assert(tele == Set(
+      (0L, 2L, 1L, 2L, 1L), (0L, 1L, 1L, 1L, 0L),
+      (1L, 1L, 1L, 1L, 0L),
+      (2L, 1L, 1L, 1L, 0L)), tele.toString)
+    // compaction consolidated drains 0/1; per-drain reads survive via
+    // the drain_batch data column
+    val parts = new java.io.File(dmd.toString).listFiles.toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+      .map(_.getName.stripPrefix("batch_id=").toLong).sorted
+    assert(parts == Seq(-3L, 2L), parts.toString)
+    val planted = Map(
+      0L -> Seq("https://x.example/p/1" -> aTxt,
+        "https://x.example/p/2" -> ("XX " + aTxt),
+        "https://x.example/p/3" -> cTxt),
+      1L -> Seq("https://x.example/p/4" -> dTxt),
+      2L -> Seq("https://x.example/p/5" -> eTxt))
+    for ((b, docs0) <- planted) {
+      val direct = graft.operators.Dedup.dupMassHistogram(
+          docs0.toDF("url", "text")
+            .select(shiftrightunsigned(xxhash64(col("url")), 1)
+              .as("doc_key"), col("text")),
+          "doc_key", "text", 3, 0.7)
+        .withColumn("drain_batch", lit(b))
+      assert(rowsOf(direct) == tele.filter(_._1 == b),
+        s"drain $b: telemetry diverged from the batch recompute")
+    }
+    // crash-replay of the still-live drain 2: overwrite its partition
+    // from the same planted docs — the read must be unchanged
+    graft.operators.Dedup.dupMassHistogram(
+        planted(2L).toDF("url", "text")
+          .select(shiftrightunsigned(xxhash64(col("url")), 1)
+            .as("doc_key"), col("text")),
+        "doc_key", "text", 3, 0.7)
+      .withColumn("drain_batch", lit(2L))
+      .write.mode("overwrite").parquet(s"$dmd/batch_id=2")
+    assert(rowsOf(CorpusStream.readDupMassTelemetry(spark, dmd.toString))
+      == tele, "replay overwrite must not change the telemetry")
+    CacheRegistry.drain()
+  }
+
   test("curated drain with the perplexity gate: a doc scoring below " +
       "the precomputed threshold under the SAVED bigram reference " +
       "never lands, the same doc lands with the gate off, and the " +
