@@ -66,6 +66,429 @@ object OracleSql {
       |  FROM ex e CROSS JOIN perms p GROUP BY e.doc_id, p.j)""".stripMargin
   }
 
+  // ------------------------------------------------------- shared sweeps
+  // Each knob sweep's pricing relation is defined ONCE below and
+  // interpolated into BOTH its standalone oracle and the knob-pick
+  // capstones (q200/q206) — the minhashAuditCtes pattern — so a fix to
+  // a sweep's oracle can never silently diverge from the decision rule
+  // that consumes it. CTE names are prefixed per sweep so any subset
+  // composes in one WITH clause.
+
+  /** Near-dup Jaccard threshold ladder (q191/q200): requires
+    * [[minhashAuditCtes]]'s `exact` relation; ends in
+    * `nd_sweep(threshold, n_pairs, mean_jaccard)` plus the
+    * intermediate `nd_q` (per-threshold qualifying pairs) for q191's
+    * distinct-doc tally.
+    */
+  private val ndSweepCtes: String =
+    """nd_th AS (
+      |  SELECT CAST(i AS DOUBLE) / 10.0 AS threshold
+      |  FROM (SELECT unnest(range(3, 10)) AS i)),
+      |nd_q AS (
+      |  SELECT th.threshold, e.id_a, e.id_b, e.jaccard
+      |  FROM nd_th th JOIN exact e ON e.jaccard >= th.threshold),
+      |nd_agg AS (
+      |  SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs,
+      |    round(CAST(sum(CAST(round(jaccard, 6) AS DECIMAL(18,12)))
+      |        AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_jaccard
+      |  FROM nd_q GROUP BY threshold),
+      |nd_sweep AS (
+      |  SELECT th.threshold,
+      |    CAST(coalesce(a.n_pairs, 0) AS BIGINT) AS n_pairs,
+      |    coalesce(a.mean_jaccard, 0.0) AS mean_jaccard
+      |  FROM nd_th th LEFT JOIN nd_agg a USING (threshold))""".stripMargin
+
+  /** NB gate threshold ladder (q188/q200): self-contained; ends in
+    * `nb_sweep(threshold, n_kept, pos_kept, prec)` plus
+    * `nb_tots(nt, pt)` for q188's recall/keep_frac columns.
+    */
+  private val nbSweepCtes: String =
+    """nb_toks AS (
+      |  SELECT doc_id,
+      |    source IN ('src0','src1','src2','src3','src4') AS y,
+      |    list_filter(string_split(text, ' '), w -> w <> '') AS ts
+      |  FROM documents),
+      |nb_tokl AS (SELECT y, unnest(ts) AS w FROM nb_toks),
+      |nb_cw AS (
+      |  SELECT w,
+      |    sum(CASE WHEN y THEN 1 ELSE 0 END) AS cp,
+      |    sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS cn
+      |  FROM nb_tokl GROUP BY w),
+      |nb_tot AS (
+      |  SELECT sum(CASE WHEN y THEN 1 ELSE 0 END) AS np,
+      |    sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS nn,
+      |    count(DISTINCT w) AS v
+      |  FROM nb_tokl),
+      |nb_pri AS (
+      |  SELECT sum(CASE WHEN y THEN 1 ELSE 0 END) AS dp,
+      |    sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS dn
+      |  FROM nb_toks),
+      |nb_st AS (SELECT doc_id, unnest(ts) AS w FROM nb_toks),
+      |nb_term AS (
+      |  SELECT s.doc_id,
+      |    CAST(ln((COALESCE(nb_cw.cp, 0) + CAST(1.0 AS DOUBLE))
+      |      / (nb_tot.np + CAST(1.0 AS DOUBLE) * nb_tot.v))
+      |      AS DECIMAL(18,12))
+      |    - CAST(ln((COALESCE(nb_cw.cn, 0) + CAST(1.0 AS DOUBLE))
+      |      / (nb_tot.nn + CAST(1.0 AS DOUBLE) * nb_tot.v))
+      |      AS DECIMAL(18,12)) AS t
+      |  FROM nb_st s LEFT JOIN nb_cw ON s.w = nb_cw.w
+      |  CROSS JOIN nb_tot),
+      |nb_sc AS (SELECT doc_id, SUM(t) AS s FROM nb_term GROUP BY doc_id),
+      |nb_fin AS (
+      |  SELECT nb_sc.doc_id,
+      |    round(CAST(nb_sc.s + CAST(ln(nb_pri.dp) AS DECIMAL(18,12))
+      |      - CAST(ln(nb_pri.dn) AS DECIMAL(18,12)) AS DOUBLE), 6)
+      |      AS score
+      |  FROM nb_sc CROSS JOIN nb_pri),
+      |nb_b AS (
+      |  SELECT CAST(floor(f.score) AS BIGINT) AS bin, t.y
+      |  FROM nb_fin f JOIN nb_toks t USING (doc_id)),
+      |nb_bins AS (
+      |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+      |  FROM nb_b GROUP BY bin),
+      |nb_tots AS (
+      |  SELECT CAST(sum(n) AS BIGINT) AS nt,
+      |    CAST(sum(n_pos) AS BIGINT) AS pt
+      |  FROM nb_bins),
+      |nb_th AS (SELECT unnest(range(-5, 6)) * 2 AS threshold),
+      |nb_kept AS (
+      |  SELECT nb_th.threshold,
+      |    CAST(COALESCE(sum(nb_bins.n), 0) AS BIGINT) AS n_kept,
+      |    CAST(COALESCE(sum(nb_bins.n_pos), 0) AS BIGINT) AS pos_kept
+      |  FROM nb_th LEFT JOIN nb_bins ON nb_bins.bin >= nb_th.threshold
+      |  GROUP BY nb_th.threshold),
+      |nb_sweep AS (
+      |  SELECT threshold, n_kept, pos_kept,
+      |    CASE WHEN n_kept > 0
+      |      THEN round(CAST(pos_kept AS DOUBLE)
+      |        / CAST(n_kept AS DOUBLE), 6)
+      |      ELSE 0.0 END AS prec
+      |  FROM nb_kept)""".stripMargin
+
+  /** Temperature α ladder (q190/q200): self-contained; ends in
+    * `tm_kept(alpha, lang, n_docs, thr, n_kept)` — q190 derives
+    * per-α shares, q200 the max/min balance rollup.
+    */
+  private val tempSweepCtes: String =
+    """tm_cnt AS (
+      |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(count(*) AS DOUBLE) AS c
+      |  FROM documents GROUP BY lang),
+      |tm_m AS (SELECT min(c) AS mc FROM tm_cnt),
+      |tm_al AS (SELECT unnest([0.0, 0.25, 0.5, 0.75, 1.0]) AS alpha),
+      |tm_thr AS (
+      |  SELECT al.alpha, tm_cnt.lang, tm_cnt.n_docs,
+      |    CAST(floor(256 * (CASE
+      |      WHEN al.alpha = 1.0 THEN CAST(1.0 AS DOUBLE)
+      |      WHEN al.alpha = 0.75 THEN sqrt(sqrt(mc / c))
+      |      WHEN al.alpha = 0.5 THEN sqrt(mc / c)
+      |      WHEN al.alpha = 0.25 THEN sqrt(mc / c) * sqrt(sqrt(mc / c))
+      |      ELSE mc / c END)) AS BIGINT) AS thr
+      |  FROM tm_al al, tm_cnt, tm_m),
+      |tm_bk AS (
+      |  SELECT lang,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+      |      AS INTEGER) AS bucket
+      |  FROM documents),
+      |tm_kept AS (
+      |  SELECT t.alpha, t.lang, t.n_docs, t.thr,
+      |    CAST(coalesce(sum(CASE WHEN b.bucket < t.thr THEN 1 ELSE 0
+      |      END), 0) AS BIGINT) AS n_kept
+      |  FROM tm_thr t LEFT JOIN tm_bk b ON b.lang = t.lang
+      |  GROUP BY 1, 2, 3, 4)""".stripMargin
+
+  /** CDC divisor ladder (q193/q200): self-contained; ends in the
+    * per-fingerprint occurrence relation
+    * `cd_perfp(divisor, fp, occ, nt)` — q193's rollup derives
+    * n_distinct/mean_tokens from it, q200's `cd_sweep` the dup-mass
+    * totals.
+    */
+  private val cdcSweepCtes: String =
+    """cd_base AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, ' '), w -> w <> '') AS ts
+      |  FROM documents),
+      |cd_corpus AS (
+      |  SELECT doc_id, ts FROM cd_base
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, list_concat(['XX'], ts) AS ts
+      |  FROM cd_base),
+      |cd_pos AS (
+      |  SELECT doc_id, i, ts[i] AS tok,
+      |    CASE WHEN i >= 2
+      |      THEN CAST(('0x' || substr(md5(ts[i-1] || ' ' || ts[i]),
+      |             1, 12)) AS BIGINT)
+      |      ELSE NULL END AS h
+      |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i
+      |        FROM cd_corpus)),
+      |cd_dv AS (SELECT unnest([4, 8, 16, 32]) AS divisor),
+      |cd_fl AS (
+      |  SELECT dv.divisor, p.doc_id, p.i, p.tok,
+      |    CASE WHEN p.h IS NOT NULL AND p.h % dv.divisor = 0
+      |      THEN 1 ELSE 0 END AS b
+      |  FROM cd_pos p CROSS JOIN cd_dv dv),
+      |cd_ch AS (
+      |  SELECT divisor, doc_id, i, tok,
+      |    sum(b) OVER (PARTITION BY divisor, doc_id ORDER BY i) AS ci
+      |  FROM cd_fl),
+      |cd_chunks AS (
+      |  SELECT divisor, doc_id, ci,
+      |    md5(string_agg(tok, ' ' ORDER BY i)) AS fp,
+      |    CAST(count(*) AS BIGINT) AS nt
+      |  FROM cd_ch GROUP BY divisor, doc_id, ci),
+      |cd_perfp AS (
+      |  SELECT divisor, fp, CAST(count(*) AS BIGINT) AS occ,
+      |    max(nt) AS nt
+      |  FROM cd_chunks GROUP BY divisor, fp)""".stripMargin
+
+  /** IVF nprobe ladder (q194/q200): self-contained; ends in
+    * `ip_sweep(nprobe, n_hits, recall, n_scanned)`.
+    */
+  private val ivfSweepCtes: String =
+    """ip_cents AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+      |    embedding AS c
+      |  FROM (SELECT vec_id, embedding FROM embeddings
+      |        ORDER BY vec_id LIMIT 16)),
+      |ip_qs AS (SELECT vec_id AS qid, embedding AS qv
+      |          FROM embeddings WHERE vec_id < 8),
+      |ip_assigned AS (
+      |  SELECT vec_id, embedding, cell,
+      |    row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY sim DESC, cell DESC) AS rn
+      |  FROM (
+      |    SELECT e.vec_id, e.embedding, c.cell,
+      |      list_sum(list_transform(range(1, len(e.embedding) + 1),
+      |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.c[i] AS DOUBLE)))
+      |      / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+      |           i -> CAST(e.embedding[i] AS DOUBLE)
+      |                * CAST(e.embedding[i] AS DOUBLE))))
+      |       * sqrt(list_sum(list_transform(range(1, len(c.c) + 1),
+      |           i -> CAST(c.c[i] AS DOUBLE) * CAST(c.c[i] AS DOUBLE)))))
+      |        AS sim
+      |    FROM embeddings e CROSS JOIN ip_cents c)),
+      |ip_routing AS (
+      |  SELECT qid, cell, crk FROM (
+      |    SELECT qid, cell,
+      |      row_number() OVER (PARTITION BY qid
+      |        ORDER BY csim DESC, cell ASC) AS crk
+      |    FROM (
+      |      SELECT q.qid, c.cell,
+      |        list_sum(list_transform(range(1, len(c.c) + 1),
+      |          i -> CAST(c.c[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+      |        / (sqrt(list_sum(list_transform(range(1, len(c.c) + 1),
+      |             i -> CAST(c.c[i] AS DOUBLE) * CAST(c.c[i] AS DOUBLE))))
+      |         * sqrt(list_sum(list_transform(range(1, len(q.qv) + 1),
+      |             i -> CAST(q.qv[i] AS DOUBLE)
+      |                  * CAST(q.qv[i] AS DOUBLE)))))
+      |          AS csim
+      |      FROM ip_qs q CROSS JOIN ip_cents c) s0)
+      |  WHERE crk <= 8),
+      |ip_cand AS (
+      |  SELECT r.qid, a.vec_id, r.crk,
+      |    list_sum(list_transform(range(1, len(a.embedding) + 1),
+      |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+      |         i -> CAST(a.embedding[i] AS DOUBLE)
+      |              * CAST(a.embedding[i] AS DOUBLE))))
+      |     * sqrt(list_sum(list_transform(range(1, len(q.qv) + 1),
+      |         i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))))
+      |      AS cos
+      |  FROM ip_assigned a
+      |  JOIN ip_routing r ON a.cell = r.cell AND a.rn = 1
+      |  JOIN ip_qs q ON q.qid = r.qid),
+      |ip_np AS (SELECT unnest([1, 2, 4, 8]) AS nprobe),
+      |ip_lad AS (
+      |  SELECT np.nprobe, c.qid, c.vec_id,
+      |    row_number() OVER (PARTITION BY np.nprobe, c.qid
+      |      ORDER BY c.cos DESC, c.vec_id ASC) AS rk
+      |  FROM ip_np np JOIN ip_cand c ON c.crk <= np.nprobe),
+      |ip_scanned AS (
+      |  SELECT np.nprobe, CAST(count(*) AS BIGINT) AS n_scanned
+      |  FROM ip_np np JOIN ip_cand c ON c.crk <= np.nprobe
+      |  GROUP BY np.nprobe),
+      |ip_ex AS (
+      |  SELECT qid, vec_id FROM (
+      |    SELECT qid, vec_id,
+      |      row_number() OVER (PARTITION BY qid
+      |        ORDER BY cos DESC, vec_id ASC) AS rk
+      |    FROM (
+      |      SELECT q.qid, e.vec_id,
+      |        list_sum(list_transform(range(1, len(e.embedding) + 1),
+      |          i -> CAST(e.embedding[i] AS DOUBLE)
+      |               * CAST(q.qv[i] AS DOUBLE)))
+      |        / (sqrt(list_sum(list_transform(
+      |             range(1, len(e.embedding) + 1),
+      |             i -> CAST(e.embedding[i] AS DOUBLE)
+      |                  * CAST(e.embedding[i] AS DOUBLE))))
+      |         * sqrt(list_sum(list_transform(range(1, len(q.qv) + 1),
+      |             i -> CAST(q.qv[i] AS DOUBLE)
+      |                  * CAST(q.qv[i] AS DOUBLE)))))
+      |          AS cos
+      |      FROM embeddings e CROSS JOIN ip_qs q) s2)
+      |  WHERE rk <= 10),
+      |ip_ext AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM ip_ex),
+      |ip_hits AS (
+      |  SELECT l.nprobe, CAST(count(*) AS BIGINT) AS n_hits
+      |  FROM ip_lad l JOIN ip_ex ON ip_ex.qid = l.qid
+      |    AND ip_ex.vec_id = l.vec_id
+      |  WHERE l.rk <= 10 GROUP BY l.nprobe),
+      |ip_sweep AS (
+      |  SELECT np.nprobe,
+      |    CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+      |    round(CAST(coalesce(h.n_hits, 0) AS DOUBLE)
+      |      / CAST(ext.tot AS DOUBLE), 6) AS recall,
+      |    CAST(coalesce(s.n_scanned, 0) AS BIGINT) AS n_scanned
+      |  FROM ip_np np CROSS JOIN ip_ext ext
+      |  LEFT JOIN ip_hits h ON h.nprobe = np.nprobe
+      |  LEFT JOIN ip_scanned s ON s.nprobe = np.nprobe)""".stripMargin
+
+  /** LSH banding ladder (q195/q206): requires [[minhashAuditCtes]]'s
+    * `sig` and `exact`; ends in `lb_sweep(bands, rows_per_band,
+    * n_candidates, n_found, recall)`.
+    */
+  private val lshSweepCtes: String =
+    """lb_cfg AS (SELECT unnest([4, 8, 16, 32]) AS bands),
+      |lb_bk AS (
+      |  SELECT s.doc_id, lb_cfg.bands,
+      |    s.j // (32 // lb_cfg.bands) AS band_id,
+      |    string_agg(CAST(s.m AS VARCHAR), '_' ORDER BY s.j) AS key
+      |  FROM sig s CROSS JOIN lb_cfg
+      |  GROUP BY s.doc_id, lb_cfg.bands, s.j // (32 // lb_cfg.bands)),
+      |lb_cand AS (
+      |  SELECT DISTINCT a.bands, a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM lb_bk a JOIN lb_bk b ON a.bands = b.bands
+      |    AND a.band_id = b.band_id AND a.key = b.key
+      |    AND a.doc_id < b.doc_id),
+      |lb_ex5 AS (SELECT id_a, id_b FROM exact WHERE jaccard >= 0.5),
+      |lb_ext AS (SELECT CAST(count(*) AS BIGINT) AS nex FROM lb_ex5),
+      |lb_nc AS (SELECT bands, CAST(count(*) AS BIGINT) AS n_candidates
+      |          FROM lb_cand GROUP BY bands),
+      |lb_nf AS (SELECT c.bands, CAST(count(*) AS BIGINT) AS n_found
+      |          FROM lb_ex5 e JOIN lb_cand c ON c.id_a = e.id_a
+      |            AND c.id_b = e.id_b
+      |          GROUP BY c.bands),
+      |lb_sweep AS (
+      |  SELECT lb_cfg.bands,
+      |    CAST(32 // lb_cfg.bands AS INT) AS rows_per_band,
+      |    coalesce(lb_nc.n_candidates, 0) AS n_candidates,
+      |    coalesce(lb_nf.n_found, 0) AS n_found,
+      |    round(CAST(coalesce(lb_nf.n_found, 0) AS DOUBLE)
+      |      / CAST(lb_ext.nex AS DOUBLE), 6) AS recall
+      |  FROM lb_cfg CROSS JOIN lb_ext
+      |  LEFT JOIN lb_nc ON lb_nc.bands = lb_cfg.bands
+      |  LEFT JOIN lb_nf ON lb_nf.bands = lb_cfg.bands)""".stripMargin
+
+  /** Block-size ladder (q202/q206): self-contained but RECURSIVE (the
+    * first-fit state machine) — interpolate under `WITH RECURSIVE`;
+    * ends in `bs_sweep(block_size, n_blocks, n_overfull,
+    * padding_tokens, utilization)`.
+    */
+  private val blockSizeSweepCtes: String =
+    """bs_toks AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+      |      AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |bs_ext AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi
+      |           FROM bs_toks),
+      |bs_d0 AS (
+      |  SELECT t.doc_id, t.n_tokens,
+      |    CAST((t.doc_id - e.lo)
+      |      // greatest(1, (e.hi - e.lo) // 8 + 1) AS BIGINT) AS shard
+      |  FROM bs_toks t CROSS JOIN bs_ext e),
+      |bs_bsl AS (SELECT CAST(unnest([32, 64, 128, 256]) AS BIGINT)
+      |             AS block_size),
+      |bs_d AS (
+      |  SELECT b.block_size, bs_d0.doc_id, bs_d0.n_tokens, bs_d0.shard,
+      |    row_number() OVER (PARTITION BY b.block_size, bs_d0.shard
+      |      ORDER BY bs_d0.doc_id) AS rn
+      |  FROM bs_d0 CROSS JOIN bs_bsl b),
+      |bs_packed(block_size, shard, rn, n_tokens, block, fill) AS (
+      |  SELECT block_size, shard, rn, n_tokens, CAST(0 AS BIGINT),
+      |    n_tokens
+      |  FROM bs_d WHERE rn = 1
+      |  UNION ALL
+      |  SELECT n.block_size, n.shard, n.rn, n.n_tokens,
+      |    CASE WHEN p.fill + n.n_tokens <= n.block_size THEN p.block
+      |      ELSE p.block + 1 END,
+      |    CASE WHEN p.fill + n.n_tokens <= n.block_size
+      |      THEN p.fill + n.n_tokens ELSE n.n_tokens END
+      |  FROM bs_packed p JOIN bs_d n ON n.block_size = p.block_size
+      |    AND n.shard = p.shard AND n.rn = p.rn + 1),
+      |bs_blocks AS (
+      |  SELECT block_size, shard, block, sum(n_tokens) AS used
+      |  FROM bs_packed GROUP BY 1, 2, 3),
+      |bs_sweep AS (
+      |  SELECT block_size, CAST(count(*) AS BIGINT) AS n_blocks,
+      |    CAST(sum(CASE WHEN used > block_size THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_overfull,
+      |    CAST(sum(CASE WHEN used <= block_size THEN block_size - used
+      |      ELSE 0 END) AS BIGINT) AS padding_tokens,
+      |    round(CAST(sum(used) AS DOUBLE)
+      |      / CAST(count(*) * block_size AS DOUBLE), 6) AS utilization
+      |  FROM bs_blocks GROUP BY block_size)""".stripMargin
+
+  /** Epoch-budget ladder (q203/q206): self-contained (the q197
+    * waterfill with the budget folded into the window key); ends in
+    * `eb_sweep(budget_20ths, source, unique_tokens, tokens_alloc,
+    * full_epochs, frac_b256, epochs_r6)`.
+    */
+  private val budgetSweepCtes: String =
+    """eb_base AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+      |      AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |eb_per AS (
+      |  SELECT lang AS source,
+      |    CAST(sum(n_tokens) AS BIGINT) AS unique_tokens,
+      |    (1000000 * CAST(sum(CASE WHEN n_tokens >= 20 THEN 1 ELSE 0
+      |      END) AS BIGINT)) // CAST(count(*) AS BIGINT) AS weight_ppm
+      |  FROM eb_base GROUP BY lang
+      |  HAVING CAST(sum(n_tokens) AS BIGINT) > 0),
+      |eb_tt AS (SELECT CAST(sum(unique_tokens) AS BIGINT) AS total
+      |          FROM eb_per),
+      |eb_bl AS (SELECT CAST(unnest([20, 30, 47, 60, 80]) AS BIGINT)
+      |            AS budget_20ths),
+      |eb_layers AS (
+      |  SELECT b.budget_20ths,
+      |    (b.budget_20ths * tt.total) // 20 AS budget,
+      |    p.source, p.unique_tokens, p.weight_ppm,
+      |    CAST(e.epoch AS INTEGER) AS epoch,
+      |    p.weight_ppm * (CAST(1 AS BIGINT) << (4 - e.epoch))
+      |      AS value_scaled
+      |  FROM eb_per p CROSS JOIN generate_series(1, 4) e(epoch)
+      |  CROSS JOIN eb_bl b CROSS JOIN eb_tt tt),
+      |eb_alloc AS (
+      |  SELECT l.*,
+      |    COALESCE(sum(l.unique_tokens) OVER (
+      |      PARTITION BY l.budget_20ths
+      |      ORDER BY l.value_scaled DESC, l.source ASC, l.epoch ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS cum_prev
+      |  FROM eb_layers l),
+      |eb_la AS (
+      |  SELECT *, GREATEST(CAST(0 AS BIGINT),
+      |      LEAST(unique_tokens, budget - cum_prev)) AS layer_alloc
+      |  FROM eb_alloc),
+      |eb_plan AS (
+      |  SELECT budget_20ths, source, unique_tokens,
+      |    CAST(sum(layer_alloc) AS BIGINT) AS tokens_alloc,
+      |    CAST(sum(CASE WHEN layer_alloc = unique_tokens THEN 1
+      |      ELSE 0 END) AS BIGINT) AS full_epochs
+      |  FROM eb_la GROUP BY budget_20ths, source, unique_tokens),
+      |eb_sweep AS (
+      |  SELECT budget_20ths, source, unique_tokens, tokens_alloc,
+      |    full_epochs,
+      |    (256 * (tokens_alloc - full_epochs * unique_tokens))
+      |      // unique_tokens AS frac_b256,
+      |    round(CAST(tokens_alloc AS DOUBLE)
+      |      / CAST(unique_tokens AS DOUBLE), 6) AS epochs_r6
+      |  FROM eb_plan)""".stripMargin
+
   private val voteFactsCte =
     """vf AS (
       |  SELECT l.l_orderkey AS vote_id, l.l_suppkey AS member_id,
@@ -5273,348 +5696,38 @@ object OracleSql {
     // epoch-budget sweep: the q197 waterfill with the budget ladder
     // folded into the window key
     "q203_epoch_budget_sweep" ->
-      """WITH base AS (
-        |  SELECT doc_id, lang,
-        |    CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
-        |      AS BIGINT) AS n_tokens
-        |  FROM documents),
-        |per AS (
-        |  SELECT lang AS source,
-        |    CAST(sum(n_tokens) AS BIGINT) AS unique_tokens,
-        |    (1000000 * CAST(sum(CASE WHEN n_tokens >= 20 THEN 1 ELSE 0
-        |      END) AS BIGINT)) // CAST(count(*) AS BIGINT) AS weight_ppm
-        |  FROM base GROUP BY lang
-        |  HAVING CAST(sum(n_tokens) AS BIGINT) > 0),
-        |tt AS (SELECT CAST(sum(unique_tokens) AS BIGINT) AS total
-        |       FROM per),
-        |bl AS (SELECT CAST(unnest([20, 30, 47, 60, 80]) AS BIGINT)
-        |         AS budget_20ths),
-        |layers AS (
-        |  SELECT b.budget_20ths,
-        |    (b.budget_20ths * tt.total) // 20 AS budget,
-        |    p.source, p.unique_tokens, p.weight_ppm,
-        |    CAST(e.epoch AS INTEGER) AS epoch,
-        |    p.weight_ppm * (CAST(1 AS BIGINT) << (4 - e.epoch))
-        |      AS value_scaled
-        |  FROM per p CROSS JOIN generate_series(1, 4) e(epoch)
-        |  CROSS JOIN bl b CROSS JOIN tt),
-        |alloc AS (
-        |  SELECT l.*,
-        |    COALESCE(sum(l.unique_tokens) OVER (
-        |      PARTITION BY l.budget_20ths
-        |      ORDER BY l.value_scaled DESC, l.source ASC, l.epoch ASC
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      AS cum_prev
-        |  FROM layers l),
-        |la AS (
-        |  SELECT *, GREATEST(CAST(0 AS BIGINT),
-        |      LEAST(unique_tokens, budget - cum_prev)) AS layer_alloc
-        |  FROM alloc),
-        |plan AS (
-        |  SELECT budget_20ths, source, unique_tokens,
-        |    CAST(sum(layer_alloc) AS BIGINT) AS tokens_alloc,
-        |    CAST(sum(CASE WHEN layer_alloc = unique_tokens THEN 1
-        |      ELSE 0 END) AS BIGINT) AS full_epochs
-        |  FROM la GROUP BY budget_20ths, source, unique_tokens)
+      s"""WITH $budgetSweepCtes
         |SELECT budget_20ths, source, unique_tokens, tokens_alloc,
-        |  full_epochs,
-        |  (256 * (tokens_alloc - full_epochs * unique_tokens))
-        |    // unique_tokens AS frac_b256,
-        |  round(CAST(tokens_alloc AS DOUBLE)
-        |    / CAST(unique_tokens AS DOUBLE), 6) AS epochs_r6
-        |FROM plan ORDER BY budget_20ths, source""".stripMargin,
+        |  full_epochs, frac_b256, epochs_r6
+        |FROM eb_sweep ORDER BY budget_20ths, source""".stripMargin,
 
     // block-size sweep: the q189 recursive-CTE state machine with the
     // ladder folded into the recursion key (block_size, shard)
     "q202_block_size_sweep" ->
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id,
-        |    CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
-        |      AS BIGINT) AS n_tokens
-        |  FROM documents),
-        |ext AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM toks),
-        |d0 AS (
-        |  SELECT t.doc_id, t.n_tokens,
-        |    CAST((t.doc_id - e.lo)
-        |      // greatest(1, (e.hi - e.lo) // 8 + 1) AS BIGINT) AS shard
-        |  FROM toks t CROSS JOIN ext e),
-        |bsl AS (SELECT CAST(unnest([32, 64, 128, 256]) AS BIGINT)
-        |          AS block_size),
-        |d AS (
-        |  SELECT b.block_size, d0.doc_id, d0.n_tokens, d0.shard,
-        |    row_number() OVER (PARTITION BY b.block_size, d0.shard
-        |      ORDER BY d0.doc_id) AS rn
-        |  FROM d0 CROSS JOIN bsl b),
-        |packed(block_size, shard, rn, n_tokens, block, fill) AS (
-        |  SELECT block_size, shard, rn, n_tokens, CAST(0 AS BIGINT),
-        |    n_tokens
-        |  FROM d WHERE rn = 1
-        |  UNION ALL
-        |  SELECT n.block_size, n.shard, n.rn, n.n_tokens,
-        |    CASE WHEN p.fill + n.n_tokens <= n.block_size THEN p.block
-        |      ELSE p.block + 1 END,
-        |    CASE WHEN p.fill + n.n_tokens <= n.block_size
-        |      THEN p.fill + n.n_tokens ELSE n.n_tokens END
-        |  FROM packed p JOIN d n ON n.block_size = p.block_size
-        |    AND n.shard = p.shard AND n.rn = p.rn + 1),
-        |blocks AS (
-        |  SELECT block_size, shard, block, sum(n_tokens) AS used
-        |  FROM packed GROUP BY 1, 2, 3)
-        |SELECT block_size, CAST(count(*) AS BIGINT) AS n_blocks,
-        |  CAST(sum(CASE WHEN used > block_size THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_overfull,
-        |  CAST(sum(CASE WHEN used <= block_size THEN block_size - used
-        |    ELSE 0 END) AS BIGINT) AS padding_tokens,
-        |  round(CAST(sum(used) AS DOUBLE)
-        |    / CAST(count(*) * block_size AS DOUBLE), 6) AS utilization
-        |FROM blocks GROUP BY block_size ORDER BY block_size""".stripMargin,
+      s"""WITH RECURSIVE $blockSizeSweepCtes
+        |SELECT block_size, n_blocks, n_overfull, padding_tokens,
+        |  utilization
+        |FROM bs_sweep ORDER BY block_size""".stripMargin,
 
-    // knob-pick capstone: replay all five sweep relations (prefixed
-    // CTE blocks verbatim from their own oracles), then apply each
-    // knob's stated rule over its sweep
+    // knob-pick capstone: the five sweep relations interpolated from
+    // the SHARED constants their standalone oracles also use (a fix to
+    // a sweep's oracle reaches both by construction), then each knob's
+    // stated rule over its sweep
     "q200_knob_pick_capstone" ->
       s"""WITH $minhashAuditCtes,
-        |nd_th AS (
-        |  SELECT CAST(i AS DOUBLE) / 10.0 AS threshold
-        |  FROM (SELECT unnest(range(3, 10)) AS i)),
-        |nd_q AS (
-        |  SELECT th.threshold, e.id_a, e.id_b, e.jaccard
-        |  FROM nd_th th JOIN exact e ON e.jaccard >= th.threshold),
-        |nd_agg AS (
-        |  SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs,
-        |    round(CAST(sum(CAST(round(jaccard, 6) AS DECIMAL(18,12)))
-        |        AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_jaccard
-        |  FROM nd_q GROUP BY threshold),
-        |nd_sweep AS (
-        |  SELECT th.threshold,
-        |    CAST(coalesce(a.n_pairs, 0) AS BIGINT) AS n_pairs,
-        |    coalesce(a.mean_jaccard, 0.0) AS mean_jaccard
-        |  FROM nd_th th LEFT JOIN nd_agg a USING (threshold)),
-        |nb_toks AS (
-        |  SELECT doc_id,
-        |    source IN ('src0','src1','src2','src3','src4') AS y,
-        |    list_filter(string_split(text, ' '), w -> w <> '') AS ts
-        |  FROM documents),
-        |nb_tokl AS (SELECT y, unnest(ts) AS w FROM nb_toks),
-        |nb_cw AS (
-        |  SELECT w,
-        |    sum(CASE WHEN y THEN 1 ELSE 0 END) AS cp,
-        |    sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS cn
-        |  FROM nb_tokl GROUP BY w),
-        |nb_tot AS (
-        |  SELECT sum(CASE WHEN y THEN 1 ELSE 0 END) AS np,
-        |    sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS nn,
-        |    count(DISTINCT w) AS v
-        |  FROM nb_tokl),
-        |nb_pri AS (
-        |  SELECT sum(CASE WHEN y THEN 1 ELSE 0 END) AS dp,
-        |    sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS dn
-        |  FROM nb_toks),
-        |nb_st AS (SELECT doc_id, unnest(ts) AS w FROM nb_toks),
-        |nb_term AS (
-        |  SELECT s.doc_id,
-        |    CAST(ln((COALESCE(nb_cw.cp, 0) + CAST(1.0 AS DOUBLE))
-        |      / (nb_tot.np + CAST(1.0 AS DOUBLE) * nb_tot.v))
-        |      AS DECIMAL(18,12))
-        |    - CAST(ln((COALESCE(nb_cw.cn, 0) + CAST(1.0 AS DOUBLE))
-        |      / (nb_tot.nn + CAST(1.0 AS DOUBLE) * nb_tot.v))
-        |      AS DECIMAL(18,12)) AS t
-        |  FROM nb_st s LEFT JOIN nb_cw ON s.w = nb_cw.w
-        |  CROSS JOIN nb_tot),
-        |nb_sc AS (SELECT doc_id, SUM(t) AS s FROM nb_term GROUP BY doc_id),
-        |nb_fin AS (
-        |  SELECT nb_sc.doc_id,
-        |    round(CAST(nb_sc.s + CAST(ln(nb_pri.dp) AS DECIMAL(18,12))
-        |      - CAST(ln(nb_pri.dn) AS DECIMAL(18,12)) AS DOUBLE), 6)
-        |      AS score
-        |  FROM nb_sc CROSS JOIN nb_pri),
-        |nb_b AS (
-        |  SELECT CAST(floor(f.score) AS BIGINT) AS bin, t.y
-        |  FROM nb_fin f JOIN nb_toks t USING (doc_id)),
-        |nb_bins AS (
-        |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
-        |  FROM nb_b GROUP BY bin),
-        |nb_th AS (SELECT unnest(range(-5, 6)) * 2 AS threshold),
-        |nb_kept AS (
-        |  SELECT nb_th.threshold,
-        |    CAST(COALESCE(sum(nb_bins.n), 0) AS BIGINT) AS n_kept,
-        |    CAST(COALESCE(sum(nb_bins.n_pos), 0) AS BIGINT) AS pos_kept
-        |  FROM nb_th LEFT JOIN nb_bins ON nb_bins.bin >= nb_th.threshold
-        |  GROUP BY nb_th.threshold),
-        |nb_sweep AS (
-        |  SELECT threshold, n_kept,
-        |    CASE WHEN n_kept > 0
-        |      THEN round(CAST(pos_kept AS DOUBLE)
-        |        / CAST(n_kept AS DOUBLE), 6)
-        |      ELSE 0.0 END AS prec
-        |  FROM nb_kept),
-        |tm_cnt AS (
-        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
-        |    CAST(count(*) AS DOUBLE) AS c
-        |  FROM documents GROUP BY lang),
-        |tm_m AS (SELECT min(c) AS mc FROM tm_cnt),
-        |tm_al AS (SELECT unnest([0.0, 0.25, 0.5, 0.75, 1.0]) AS alpha),
-        |tm_thr AS (
-        |  SELECT al.alpha, tm_cnt.lang,
-        |    CAST(floor(256 * (CASE
-        |      WHEN al.alpha = 1.0 THEN CAST(1.0 AS DOUBLE)
-        |      WHEN al.alpha = 0.75 THEN sqrt(sqrt(mc / c))
-        |      WHEN al.alpha = 0.5 THEN sqrt(mc / c)
-        |      WHEN al.alpha = 0.25 THEN sqrt(mc / c) * sqrt(sqrt(mc / c))
-        |      ELSE mc / c END)) AS BIGINT) AS thr
-        |  FROM tm_al al, tm_cnt, tm_m),
-        |tm_bk AS (
-        |  SELECT lang,
-        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))
-        |      AS INTEGER) AS bucket
-        |  FROM documents),
-        |tm_kept AS (
-        |  SELECT t.alpha, t.lang,
-        |    CAST(coalesce(sum(CASE WHEN b.bucket < t.thr THEN 1 ELSE 0
-        |      END), 0) AS BIGINT) AS n_kept
-        |  FROM tm_thr t LEFT JOIN tm_bk b ON b.lang = t.lang
-        |  GROUP BY 1, 2),
+        |$ndSweepCtes,
+        |$nbSweepCtes,
+        |$tempSweepCtes,
         |tm_agg AS (
         |  SELECT alpha, max(n_kept) AS mx, min(n_kept) AS mn,
         |    CAST(sum(n_kept) AS BIGINT) AS tot
         |  FROM tm_kept GROUP BY alpha),
-        |cd_base AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split(text, ' '), w -> w <> '') AS ts
-        |  FROM documents),
-        |cd_corpus AS (
-        |  SELECT doc_id, ts FROM cd_base
-        |  UNION ALL
-        |  SELECT doc_id + 1000000 AS doc_id, list_concat(['XX'], ts) AS ts
-        |  FROM cd_base),
-        |cd_pos AS (
-        |  SELECT doc_id, i, ts[i] AS tok,
-        |    CASE WHEN i >= 2
-        |      THEN CAST(('0x' || substr(md5(ts[i-1] || ' ' || ts[i]),
-        |             1, 12)) AS BIGINT)
-        |      ELSE NULL END AS h
-        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i
-        |        FROM cd_corpus)),
-        |cd_dv AS (SELECT unnest([4, 8, 16, 32]) AS divisor),
-        |cd_fl AS (
-        |  SELECT dv.divisor, p.doc_id, p.i, p.tok,
-        |    CASE WHEN p.h IS NOT NULL AND p.h % dv.divisor = 0
-        |      THEN 1 ELSE 0 END AS b
-        |  FROM cd_pos p CROSS JOIN cd_dv dv),
-        |cd_ch AS (
-        |  SELECT divisor, doc_id, i, tok,
-        |    sum(b) OVER (PARTITION BY divisor, doc_id ORDER BY i) AS ci
-        |  FROM cd_fl),
-        |cd_chunks AS (
-        |  SELECT divisor, doc_id, ci,
-        |    md5(string_agg(tok, ' ' ORDER BY i)) AS fp,
-        |    CAST(count(*) AS BIGINT) AS nt
-        |  FROM cd_ch GROUP BY divisor, doc_id, ci),
-        |cd_perfp AS (
-        |  SELECT divisor, fp, CAST(count(*) AS BIGINT) AS occ,
-        |    max(nt) AS nt
-        |  FROM cd_chunks GROUP BY divisor, fp),
+        |$cdcSweepCtes,
         |cd_sweep AS (
         |  SELECT divisor, CAST(sum(occ) AS BIGINT) AS n_chunks,
         |    CAST(sum((occ - 1) * nt) AS BIGINT) AS dup_token_mass
         |  FROM cd_perfp GROUP BY divisor),
-        |ip_cents AS (
-        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
-        |    embedding AS c
-        |  FROM (SELECT vec_id, embedding FROM embeddings
-        |        ORDER BY vec_id LIMIT 16)),
-        |ip_qs AS (SELECT vec_id AS qid, embedding AS qv
-        |          FROM embeddings WHERE vec_id < 8),
-        |ip_assigned AS (
-        |  SELECT vec_id, embedding, cell,
-        |    row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY sim DESC, cell DESC) AS rn
-        |  FROM (
-        |    SELECT e.vec_id, e.embedding, c.cell,
-        |      list_sum(list_transform(range(1, len(e.embedding) + 1),
-        |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.c[i] AS DOUBLE)))
-        |      / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
-        |           i -> CAST(e.embedding[i] AS DOUBLE)
-        |                * CAST(e.embedding[i] AS DOUBLE))))
-        |       * sqrt(list_sum(list_transform(range(1, len(c.c) + 1),
-        |           i -> CAST(c.c[i] AS DOUBLE) * CAST(c.c[i] AS DOUBLE)))))
-        |        AS sim
-        |    FROM embeddings e CROSS JOIN ip_cents c)),
-        |ip_routing AS (
-        |  SELECT qid, cell, crk FROM (
-        |    SELECT qid, cell,
-        |      row_number() OVER (PARTITION BY qid
-        |        ORDER BY csim DESC, cell ASC) AS crk
-        |    FROM (
-        |      SELECT q.qid, c.cell,
-        |        list_sum(list_transform(range(1, len(c.c) + 1),
-        |          i -> CAST(c.c[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
-        |        / (sqrt(list_sum(list_transform(range(1, len(c.c) + 1),
-        |             i -> CAST(c.c[i] AS DOUBLE) * CAST(c.c[i] AS DOUBLE))))
-        |         * sqrt(list_sum(list_transform(range(1, len(q.qv) + 1),
-        |             i -> CAST(q.qv[i] AS DOUBLE)
-        |                  * CAST(q.qv[i] AS DOUBLE)))))
-        |          AS csim
-        |      FROM ip_qs q CROSS JOIN ip_cents c) s0)
-        |  WHERE crk <= 8),
-        |ip_cand AS (
-        |  SELECT r.qid, a.vec_id, r.crk,
-        |    list_sum(list_transform(range(1, len(a.embedding) + 1),
-        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
-        |    / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
-        |         i -> CAST(a.embedding[i] AS DOUBLE)
-        |              * CAST(a.embedding[i] AS DOUBLE))))
-        |     * sqrt(list_sum(list_transform(range(1, len(q.qv) + 1),
-        |         i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))))
-        |      AS cos
-        |  FROM ip_assigned a
-        |  JOIN ip_routing r ON a.cell = r.cell AND a.rn = 1
-        |  JOIN ip_qs q ON q.qid = r.qid),
-        |ip_np AS (SELECT unnest([1, 2, 4, 8]) AS nprobe),
-        |ip_lad AS (
-        |  SELECT np.nprobe, c.qid, c.vec_id,
-        |    row_number() OVER (PARTITION BY np.nprobe, c.qid
-        |      ORDER BY c.cos DESC, c.vec_id ASC) AS rk
-        |  FROM ip_np np JOIN ip_cand c ON c.crk <= np.nprobe),
-        |ip_scanned AS (
-        |  SELECT np.nprobe, CAST(count(*) AS BIGINT) AS n_scanned
-        |  FROM ip_np np JOIN ip_cand c ON c.crk <= np.nprobe
-        |  GROUP BY np.nprobe),
-        |ip_ex AS (
-        |  SELECT qid, vec_id FROM (
-        |    SELECT qid, vec_id,
-        |      row_number() OVER (PARTITION BY qid
-        |        ORDER BY cos DESC, vec_id ASC) AS rk
-        |    FROM (
-        |      SELECT q.qid, e.vec_id,
-        |        list_sum(list_transform(range(1, len(e.embedding) + 1),
-        |          i -> CAST(e.embedding[i] AS DOUBLE)
-        |               * CAST(q.qv[i] AS DOUBLE)))
-        |        / (sqrt(list_sum(list_transform(
-        |             range(1, len(e.embedding) + 1),
-        |             i -> CAST(e.embedding[i] AS DOUBLE)
-        |                  * CAST(e.embedding[i] AS DOUBLE))))
-        |         * sqrt(list_sum(list_transform(range(1, len(q.qv) + 1),
-        |             i -> CAST(q.qv[i] AS DOUBLE)
-        |                  * CAST(q.qv[i] AS DOUBLE)))))
-        |          AS cos
-        |      FROM embeddings e CROSS JOIN ip_qs q) s2)
-        |  WHERE rk <= 10),
-        |ip_ext AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM ip_ex),
-        |ip_hits AS (
-        |  SELECT l.nprobe, CAST(count(*) AS BIGINT) AS n_hits
-        |  FROM ip_lad l JOIN ip_ex ON ip_ex.qid = l.qid
-        |    AND ip_ex.vec_id = l.vec_id
-        |  WHERE l.rk <= 10 GROUP BY l.nprobe),
-        |ip_sweep AS (
-        |  SELECT np.nprobe,
-        |    round(CAST(coalesce(h.n_hits, 0) AS DOUBLE)
-        |      / CAST(ext.tot AS DOUBLE), 6) AS recall,
-        |    CAST(coalesce(s.n_scanned, 0) AS BIGINT) AS n_scanned
-        |  FROM ip_np np CROSS JOIN ip_ext ext
-        |  LEFT JOIN ip_hits h ON h.nprobe = np.nprobe
-        |  LEFT JOIN ip_scanned s ON s.nprobe = np.nprobe)
+        |$ivfSweepCtes
         |SELECT knob, rule, chosen, quality_r6, cost FROM (
         |  SELECT 'nb_threshold' AS knob,
         |    'smallest threshold with precision >= 1/2' AS rule,
@@ -5655,50 +5768,298 @@ object OracleSql {
         |                  WHERE recall >= 0.95)
         |) ORDER BY knob""".stripMargin,
 
+    // knob-pick extension: the three sweeps q200 scoped out, each
+    // interpolated from the SAME shared constant its standalone oracle
+    // uses, then the stated one-comparison rules
+    "q206_knob_pick_extension" ->
+      s"""WITH RECURSIVE $minhashAuditCtes,
+        |$lshSweepCtes,
+        |$blockSizeSweepCtes,
+        |$budgetSweepCtes,
+        |eb_roll AS (
+        |  SELECT budget_20ths, min(full_epochs) AS mn,
+        |    min(epochs_r6) AS mne,
+        |    CAST(sum(tokens_alloc) AS BIGINT) AS tot
+        |  FROM eb_sweep GROUP BY budget_20ths)
+        |SELECT knob, rule, chosen, quality_r6, cost FROM (
+        |  SELECT 'pack_block_size' AS knob,
+        |    'smallest block size with zero overfull blocks' AS rule,
+        |    CAST(block_size AS DOUBLE) AS chosen,
+        |    utilization AS quality_r6, padding_tokens AS cost
+        |  FROM bs_sweep
+        |  WHERE block_size = (SELECT min(block_size) FROM bs_sweep
+        |                      WHERE n_overfull = 0)
+        |  UNION ALL
+        |  SELECT 'epoch_budget_20ths',
+        |    'smallest budget with every source at >= 2 full epochs',
+        |    CAST(budget_20ths AS DOUBLE), mne, tot
+        |  FROM eb_roll
+        |  WHERE budget_20ths = (SELECT min(budget_20ths) FROM eb_roll
+        |                        WHERE mn >= 2)
+        |  UNION ALL
+        |  SELECT 'lsh_bands',
+        |    'fewest candidates at recall 1.0 (ties: fewest bands)',
+        |    CAST(bands AS DOUBLE), recall, n_candidates
+        |  FROM (SELECT * FROM lb_sweep WHERE recall = 1.0
+        |        ORDER BY n_candidates ASC, bands ASC LIMIT 1)
+        |) ORDER BY knob""".stripMargin,
+
+    // delta-discount sweep: the q197 waterfill with the per-epoch
+    // layer factor generalized to denom^(4-epoch) and the delta arm
+    // folded into the window key
+    "q207_epoch_delta_sweep" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |per AS (
+        |  SELECT lang AS source,
+        |    CAST(sum(n_tokens) AS BIGINT) AS unique_tokens,
+        |    (1000000 * CAST(sum(CASE WHEN n_tokens >= 20 THEN 1 ELSE 0
+        |      END) AS BIGINT)) // CAST(count(*) AS BIGINT) AS weight_ppm
+        |  FROM base GROUP BY lang
+        |  HAVING CAST(sum(n_tokens) AS BIGINT) > 0),
+        |b AS (SELECT (47 * CAST(sum(unique_tokens) AS BIGINT)) // 20
+        |        AS budget
+        |      FROM per),
+        |dl(delta, dd) AS (VALUES (0.25, CAST(4 AS BIGINT)),
+        |  (0.5, CAST(2 AS BIGINT)), (1.0, CAST(1 AS BIGINT))),
+        |layers AS (
+        |  SELECT d.delta, p.source, p.unique_tokens, p.weight_ppm,
+        |    CAST(e.epoch AS INTEGER) AS epoch,
+        |    p.weight_ppm * (CASE e.epoch
+        |      WHEN 1 THEN d.dd * d.dd * d.dd
+        |      WHEN 2 THEN d.dd * d.dd
+        |      WHEN 3 THEN d.dd ELSE CAST(1 AS BIGINT) END)
+        |      AS value_scaled
+        |  FROM per p CROSS JOIN generate_series(1, 4) e(epoch)
+        |  CROSS JOIN dl d),
+        |alloc AS (
+        |  SELECT l.*, b.budget,
+        |    COALESCE(sum(l.unique_tokens) OVER (
+        |      PARTITION BY l.delta
+        |      ORDER BY l.value_scaled DESC, l.source ASC, l.epoch ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_prev
+        |  FROM layers l CROSS JOIN b),
+        |la AS (
+        |  SELECT *, GREATEST(CAST(0 AS BIGINT),
+        |      LEAST(unique_tokens, budget - cum_prev)) AS layer_alloc
+        |  FROM alloc),
+        |plan AS (
+        |  SELECT delta, source, unique_tokens,
+        |    CAST(sum(layer_alloc) AS BIGINT) AS tokens_alloc,
+        |    CAST(sum(CASE WHEN layer_alloc = unique_tokens THEN 1
+        |      ELSE 0 END) AS BIGINT) AS full_epochs
+        |  FROM la GROUP BY delta, source, unique_tokens)
+        |SELECT delta, source, unique_tokens, tokens_alloc, full_epochs,
+        |  (256 * (tokens_alloc - full_epochs * unique_tokens))
+        |    // unique_tokens AS frac_b256,
+        |  round(CAST(tokens_alloc AS DOUBLE)
+        |    / CAST(unique_tokens AS DOUBLE), 6) AS epochs_r6
+        |FROM plan ORDER BY delta, source""".stripMargin,
+
+    // plan -> realize -> pack capstone: the q197 waterfill, the q198
+    // per-doc repeat rule exploded into epoch-major instance ids, and
+    // the q199 first-fit state machine replayed per SOURCE
+    "q208_plan_pack_capstone" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |per AS (
+        |  SELECT lang AS source,
+        |    CAST(sum(n_tokens) AS BIGINT) AS unique_tokens,
+        |    (1000000 * CAST(sum(CASE WHEN n_tokens >= 20 THEN 1 ELSE 0
+        |      END) AS BIGINT)) // CAST(count(*) AS BIGINT) AS weight_ppm
+        |  FROM base GROUP BY lang
+        |  HAVING CAST(sum(n_tokens) AS BIGINT) > 0),
+        |b AS (SELECT (47 * CAST(sum(unique_tokens) AS BIGINT)) // 20
+        |        AS budget
+        |      FROM per),
+        |layers AS (
+        |  SELECT p.source, p.unique_tokens, p.weight_ppm,
+        |    CAST(e.epoch AS INTEGER) AS epoch,
+        |    p.weight_ppm * (CAST(1 AS BIGINT) << (4 - e.epoch))
+        |      AS value_scaled
+        |  FROM per p CROSS JOIN generate_series(1, 4) e(epoch)),
+        |alloc AS (
+        |  SELECT l.*, b.budget,
+        |    COALESCE(sum(l.unique_tokens) OVER (
+        |      ORDER BY l.value_scaled DESC, l.source ASC, l.epoch ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_prev
+        |  FROM layers l CROSS JOIN b),
+        |la AS (
+        |  SELECT *, GREATEST(CAST(0 AS BIGINT),
+        |      LEAST(unique_tokens, budget - cum_prev)) AS layer_alloc
+        |  FROM alloc),
+        |plan AS (
+        |  SELECT source, unique_tokens,
+        |    CAST(sum(layer_alloc) AS BIGINT) AS tokens_alloc,
+        |    CAST(sum(CASE WHEN layer_alloc = unique_tokens THEN 1
+        |      ELSE 0 END) AS BIGINT) AS full_epochs
+        |  FROM la GROUP BY source, unique_tokens),
+        |plan2 AS (
+        |  SELECT *,
+        |    (256 * (tokens_alloc - full_epochs * unique_tokens))
+        |      // unique_tokens AS frac_b256
+        |  FROM plan),
+        |rep AS (
+        |  SELECT b.doc_id, b.lang AS source, b.n_tokens,
+        |    p.full_epochs + CASE WHEN
+        |      CAST(('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 2))
+        |        AS BIGINT) < p.frac_b256 THEN 1 ELSE 0 END AS repeats
+        |  FROM base b JOIN plan2 p ON b.lang = p.source),
+        |passes AS (
+        |  SELECT source, doc_id, n_tokens,
+        |    unnest(range(1, repeats + 1)) AS p
+        |  FROM rep),
+        |inst AS (
+        |  SELECT source, p * 10000000 + doc_id AS instance_id, n_tokens
+        |  FROM passes),
+        |di AS (
+        |  SELECT source, instance_id, n_tokens,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY instance_id) AS rn
+        |  FROM inst),
+        |pk(source, rn, n_tokens, block, fill) AS (
+        |  SELECT source, rn, n_tokens, CAST(0 AS BIGINT), n_tokens
+        |  FROM di WHERE rn = 1
+        |  UNION ALL
+        |  SELECT n.source, n.rn, n.n_tokens,
+        |    CASE WHEN p.fill + n.n_tokens <= 64 THEN p.block
+        |      ELSE p.block + 1 END,
+        |    CASE WHEN p.fill + n.n_tokens <= 64 THEN p.fill + n.n_tokens
+        |      ELSE n.n_tokens END
+        |  FROM pk p JOIN di n ON n.source = p.source AND n.rn = p.rn + 1),
+        |blk AS (
+        |  SELECT source, block, sum(n_tokens) AS used,
+        |    CAST(count(*) AS BIGINT) AS nd
+        |  FROM pk GROUP BY 1, 2),
+        |st AS (
+        |  SELECT source, CAST(sum(nd) AS BIGINT) AS doc_passes,
+        |    CAST(sum(used) AS BIGINT) AS realized_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_blocks,
+        |    CAST(sum(CASE WHEN used > 64 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_overfull,
+        |    CAST(sum(CASE WHEN used <= 64 THEN 64 - used ELSE 0 END)
+        |      AS BIGINT) AS padding_tokens,
+        |    round(CAST(sum(used) AS DOUBLE)
+        |      / CAST(count(*) * 64 AS DOUBLE), 6) AS utilization
+        |  FROM blk GROUP BY source)
+        |SELECT p.source, p.tokens_alloc, p.full_epochs, st.doc_passes,
+        |  st.realized_tokens,
+        |  st.realized_tokens - p.tokens_alloc AS diff_tokens,
+        |  st.n_blocks, st.n_overfull, st.padding_tokens, st.utilization
+        |FROM plan2 p JOIN st USING (source)
+        |ORDER BY p.source""".stripMargin,
+
+    // dedup-discounted temperature sweep: the q204 closure measures
+    // per-source removable mass, effective = docs - removed derives
+    // the thresholds, the bucket gate runs over the UN-drained corpus
+    "q209_dedup_discounted_mix" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split(text, ' '), w -> w <> '') AS ts
+        |  FROM documents),
+        |corpus AS (
+        |  SELECT doc_id, lang, ts FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, 'xx' AS lang, ts
+        |  FROM base WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id, lang, ts
+        |  FROM base WHERE doc_id % 5 = 0),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ts) >= 3
+        |      THEN list_distinct(list_transform(range(1, len(ts) - 1),
+        |             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))
+        |      ELSE [array_to_string(ts, ' ')] END AS shingles
+        |  FROM corpus),
+        |sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |shared AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM shared
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE CAST(inter AS DOUBLE)
+        |    / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.7),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+        |reach(id, label) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+        |comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id),
+        |mem AS (
+        |  SELECT comp.id AS doc_id, comp.component AS cluster_id, c.lang
+        |  FROM comp JOIN corpus c ON c.doc_id = comp.id),
+        |pl AS (
+        |  SELECT lang AS source, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM corpus GROUP BY lang),
+        |cl AS (
+        |  SELECT lang AS source, CAST(count(*) AS BIGINT) AS n_clustered
+        |  FROM mem GROUP BY lang),
+        |kp AS (
+        |  SELECT lang AS source, CAST(count(*) AS BIGINT) AS n_kept
+        |  FROM mem WHERE doc_id = cluster_id GROUP BY lang),
+        |eff AS (
+        |  SELECT pl.source, pl.n_docs,
+        |    GREATEST(pl.n_docs - (COALESCE(cl.n_clustered, 0)
+        |      - COALESCE(kp.n_kept, 0)), 0) AS eff_docs
+        |  FROM pl LEFT JOIN cl USING (source)
+        |  LEFT JOIN kp USING (source)),
+        |m AS (SELECT min(CAST(eff_docs AS DOUBLE)) AS me FROM eff
+        |      WHERE eff_docs > 0),
+        |al AS (SELECT unnest([0.0, 0.25, 0.5, 0.75, 1.0]) AS alpha),
+        |thr AS (
+        |  SELECT al.alpha, e.source, e.n_docs, e.eff_docs,
+        |    CASE WHEN e.eff_docs <= 0 THEN CAST(0 AS BIGINT)
+        |      ELSE CAST(floor(256 * (CASE
+        |        WHEN al.alpha = 1.0 THEN CAST(1.0 AS DOUBLE)
+        |        WHEN al.alpha = 0.75 THEN sqrt(sqrt(m.me / e.eff_docs))
+        |        WHEN al.alpha = 0.5 THEN sqrt(m.me / e.eff_docs)
+        |        WHEN al.alpha = 0.25 THEN sqrt(m.me / e.eff_docs)
+        |          * sqrt(sqrt(m.me / e.eff_docs))
+        |        ELSE m.me / e.eff_docs END)) AS BIGINT) END AS thr
+        |  FROM al, eff e, m),
+        |bk AS (
+        |  SELECT lang,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+        |      AS INTEGER) AS bucket
+        |  FROM corpus),
+        |kept AS (
+        |  SELECT t.alpha, t.source, t.n_docs, t.eff_docs, t.thr,
+        |    CAST(coalesce(sum(CASE WHEN b.bucket < t.thr THEN 1 ELSE 0
+        |      END), 0) AS BIGINT) AS n_kept
+        |  FROM thr t LEFT JOIN bk b ON b.lang = t.source
+        |  GROUP BY 1, 2, 3, 4, 5),
+        |tot AS (SELECT alpha, sum(n_kept) AS tt FROM kept GROUP BY alpha)
+        |SELECT k.alpha, k.source, k.n_docs, k.eff_docs, k.thr, k.n_kept,
+        |  round(CAST(k.n_kept AS DOUBLE) / CAST(t.tt AS DOUBLE), 6)
+        |    AS kept_share
+        |FROM kept k JOIN tot t USING (alpha)
+        |ORDER BY k.alpha, k.source""".stripMargin,
+
     // CDC divisor sweep: shared positional pair hashes, per-divisor
     // boundary flags + running sums, then the per-divisor rollup
     "q193_cdc_divisor_sweep" ->
-      """WITH base AS (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ts
-        |  FROM documents),
-        |corpus AS (
-        |  SELECT doc_id, ts FROM base
-        |  UNION ALL
-        |  SELECT doc_id + 1000000 AS doc_id, list_concat(['XX'], ts) AS ts
-        |  FROM base),
-        |pos AS (
-        |  SELECT doc_id, i, ts[i] AS tok,
-        |    CASE WHEN i >= 2
-        |      THEN CAST(('0x' || substr(md5(ts[i-1] || ' ' || ts[i]), 1, 12))
-        |             AS BIGINT)
-        |      ELSE NULL END AS h
-        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i
-        |        FROM corpus)),
-        |dv AS (SELECT unnest([4, 8, 16, 32]) AS divisor),
-        |fl AS (
-        |  SELECT dv.divisor, p.doc_id, p.i, p.tok,
-        |    CASE WHEN p.h IS NOT NULL AND p.h % dv.divisor = 0
-        |      THEN 1 ELSE 0 END AS b
-        |  FROM pos p CROSS JOIN dv),
-        |ch AS (
-        |  SELECT divisor, doc_id, i, tok,
-        |    sum(b) OVER (PARTITION BY divisor, doc_id ORDER BY i) AS ci
-        |  FROM fl),
-        |chunks AS (
-        |  SELECT divisor, doc_id, ci,
-        |    md5(string_agg(tok, ' ' ORDER BY i)) AS fp,
-        |    CAST(count(*) AS BIGINT) AS nt
-        |  FROM ch GROUP BY divisor, doc_id, ci),
-        |perfp AS (
-        |  SELECT divisor, fp, CAST(count(*) AS BIGINT) AS occ,
-        |    max(nt) AS nt
-        |  FROM chunks GROUP BY divisor, fp)
+      s"""WITH $cdcSweepCtes
         |SELECT divisor, CAST(sum(occ) AS BIGINT) AS n_chunks,
         |  CAST(count(*) AS BIGINT) AS n_distinct,
         |  round(CAST(sum(occ * nt) AS DOUBLE) / CAST(sum(occ) AS DOUBLE), 6)
         |    AS mean_tokens,
         |  CAST(sum((occ - 1) * nt) AS BIGINT) AS dup_token_mass
-        |FROM perfp GROUP BY divisor ORDER BY divisor""".stripMargin,
+        |FROM cd_perfp GROUP BY divisor ORDER BY divisor""".stripMargin,
 
     // content-defined chunking: boundary when the 48-bit md5 of the
     // adjacent token pair ≡ 0 mod 8, chunks via a running boundary sum,
@@ -5740,37 +6101,13 @@ object OracleSql {
     // temperature sweep: counts → per-(alpha, lang) sqrt-composed
     // thresholds → bucket-rule kept counts and per-alpha shares
     "q190_temperature_sweep" ->
-      """WITH cnt AS (
-        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
-        |    CAST(count(*) AS DOUBLE) AS c
-        |  FROM documents GROUP BY lang),
-        |m AS (SELECT min(c) AS mc FROM cnt),
-        |al AS (SELECT unnest([0.0, 0.25, 0.5, 0.75, 1.0]) AS alpha),
-        |thr AS (
-        |  SELECT al.alpha, cnt.lang, cnt.n_docs,
-        |    CAST(floor(256 * (CASE
-        |      WHEN al.alpha = 1.0 THEN CAST(1.0 AS DOUBLE)
-        |      WHEN al.alpha = 0.75 THEN sqrt(sqrt(mc / c))
-        |      WHEN al.alpha = 0.5 THEN sqrt(mc / c)
-        |      WHEN al.alpha = 0.25 THEN sqrt(mc / c) * sqrt(sqrt(mc / c))
-        |      ELSE mc / c END)) AS BIGINT) AS thr
-        |  FROM al, cnt, m),
-        |bk AS (
-        |  SELECT lang,
-        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))
-        |      AS INTEGER) AS bucket
-        |  FROM documents),
-        |kept AS (
-        |  SELECT t.alpha, t.lang, t.n_docs, t.thr,
-        |    CAST(coalesce(sum(CASE WHEN b.bucket < t.thr THEN 1 ELSE 0 END),
-        |      0) AS BIGINT) AS n_kept
-        |  FROM thr t LEFT JOIN bk b ON b.lang = t.lang
-        |  GROUP BY 1, 2, 3, 4),
-        |tot AS (SELECT alpha, sum(n_kept) AS tt FROM kept GROUP BY alpha)
+      s"""WITH $tempSweepCtes,
+        |tm_tot AS (SELECT alpha, sum(n_kept) AS tt FROM tm_kept
+        |           GROUP BY alpha)
         |SELECT k.alpha, k.lang AS source, k.n_docs, k.thr, k.n_kept,
         |  round(CAST(k.n_kept AS DOUBLE) / CAST(t.tt AS DOUBLE), 6)
         |    AS kept_share
-        |FROM kept k JOIN tot t USING (alpha)
+        |FROM tm_kept k JOIN tm_tot t USING (alpha)
         |ORDER BY k.alpha, source""".stripMargin,
 
     // first-fit packing audit: the sequential per-shard state machine
@@ -5820,67 +6157,11 @@ object OracleSql {
     // NB threshold sweep: the q184 scoring chain, integer-floor bins,
     // then per-threshold precision/recall/keep over the bin relation
     "q188_nb_threshold_sweep" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    source IN ('src0','src1','src2','src3','src4') AS y,
-        |    list_filter(string_split(text, ' '), w -> w <> '') AS ts
-        |  FROM documents),
-        |tokl AS (SELECT y, unnest(ts) AS w FROM toks),
-        |cw AS (
-        |  SELECT w,
-        |    sum(CASE WHEN y THEN 1 ELSE 0 END) AS cp,
-        |    sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS cn
-        |  FROM tokl GROUP BY w),
-        |tot AS (
-        |  SELECT sum(CASE WHEN y THEN 1 ELSE 0 END) AS np,
-        |    sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS nn,
-        |    count(DISTINCT w) AS v
-        |  FROM tokl),
-        |pri AS (
-        |  SELECT sum(CASE WHEN y THEN 1 ELSE 0 END) AS dp,
-        |    sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS dn
-        |  FROM toks),
-        |st AS (SELECT doc_id, unnest(ts) AS w FROM toks),
-        |term AS (
-        |  SELECT s.doc_id,
-        |    CAST(ln((COALESCE(cw.cp, 0) + CAST(1.0 AS DOUBLE))
-        |      / (tot.np + CAST(1.0 AS DOUBLE) * tot.v))
-        |      AS DECIMAL(18,12))
-        |    - CAST(ln((COALESCE(cw.cn, 0) + CAST(1.0 AS DOUBLE))
-        |      / (tot.nn + CAST(1.0 AS DOUBLE) * tot.v))
-        |      AS DECIMAL(18,12)) AS t
-        |  FROM st s LEFT JOIN cw ON s.w = cw.w CROSS JOIN tot),
-        |sc AS (SELECT doc_id, SUM(t) AS s FROM term GROUP BY doc_id),
-        |fin AS (
-        |  SELECT sc.doc_id,
-        |    round(CAST(sc.s + CAST(ln(pri.dp) AS DECIMAL(18,12))
-        |      - CAST(ln(pri.dn) AS DECIMAL(18,12)) AS DOUBLE), 6) AS score
-        |  FROM sc CROSS JOIN pri),
-        |b AS (
-        |  SELECT CAST(floor(f.score) AS BIGINT) AS bin, t.y
-        |  FROM fin f JOIN toks t USING (doc_id)),
-        |bins AS (
-        |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
-        |  FROM b GROUP BY bin),
-        |tots AS (
-        |  SELECT CAST(sum(n) AS BIGINT) AS nt,
-        |    CAST(sum(n_pos) AS BIGINT) AS pt
-        |  FROM bins),
-        |th AS (SELECT unnest(range(-5, 6)) * 2 AS threshold),
-        |kept AS (
-        |  SELECT th.threshold,
-        |    CAST(COALESCE(sum(bins.n), 0) AS BIGINT) AS n_kept,
-        |    CAST(COALESCE(sum(bins.n_pos), 0) AS BIGINT) AS pos_kept
-        |  FROM th LEFT JOIN bins ON bins.bin >= th.threshold
-        |  GROUP BY th.threshold)
-        |SELECT threshold, n_kept,
-        |  CASE WHEN n_kept > 0
-        |    THEN round(CAST(pos_kept AS DOUBLE) / CAST(n_kept AS DOUBLE), 6)
-        |    ELSE 0.0 END AS "precision",
+      s"""WITH $nbSweepCtes
+        |SELECT threshold, n_kept, prec AS "precision",
         |  round(CAST(pos_kept AS DOUBLE) / CAST(pt AS DOUBLE), 6) AS recall,
         |  round(CAST(n_kept AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS keep_frac
-        |FROM kept CROSS JOIN tots ORDER BY threshold""".stripMargin,
+        |FROM nb_sweep CROSS JOIN nb_tots ORDER BY threshold""".stripMargin,
 
     // dedup drain capstone: the q186 closure + argmax keepers, corpus
     // drained, then a SECOND independent closure proving zero residue
@@ -6249,91 +6530,9 @@ object OracleSql {
     // IVF nprobe sweep: q169's replay with the probe rank kept, a
     // 4-point ladder re-ranking top-10 from the shared candidate set
     "q194_ivf_nprobe_sweep" ->
-      """WITH cents AS (
-        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS c
-        |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
-        |qs AS (SELECT vec_id AS qid, embedding AS qv
-        |       FROM embeddings WHERE vec_id < 8),
-        |assigned AS (
-        |  SELECT vec_id, embedding, cell,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
-        |  FROM (
-        |    SELECT e.vec_id, e.embedding, c.cell,
-        |      list_sum(list_transform(range(1, len(e.embedding) + 1),
-        |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.c[i] AS DOUBLE)))
-        |      / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
-        |           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
-        |       * sqrt(list_sum(list_transform(range(1, len(c.c) + 1),
-        |           i -> CAST(c.c[i] AS DOUBLE) * CAST(c.c[i] AS DOUBLE))))) AS sim
-        |    FROM embeddings e CROSS JOIN cents c)),
-        |routing AS (
-        |  SELECT qid, cell, crk FROM (
-        |    SELECT qid, cell,
-        |      row_number() OVER (PARTITION BY qid
-        |        ORDER BY csim DESC, cell ASC) AS crk
-        |    FROM (
-        |      SELECT q.qid, c.cell,
-        |        list_sum(list_transform(range(1, len(c.c) + 1),
-        |          i -> CAST(c.c[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
-        |        / (sqrt(list_sum(list_transform(range(1, len(c.c) + 1),
-        |             i -> CAST(c.c[i] AS DOUBLE) * CAST(c.c[i] AS DOUBLE))))
-        |         * sqrt(list_sum(list_transform(range(1, len(q.qv) + 1),
-        |             i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))))
-        |          AS csim
-        |      FROM qs q CROSS JOIN cents c) s0)
-        |  WHERE crk <= 8),
-        |cand AS (
-        |  SELECT r.qid, a.vec_id, r.crk,
-        |    list_sum(list_transform(range(1, len(a.embedding) + 1),
-        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
-        |    / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
-        |         i -> CAST(a.embedding[i] AS DOUBLE)
-        |              * CAST(a.embedding[i] AS DOUBLE))))
-        |     * sqrt(list_sum(list_transform(range(1, len(q.qv) + 1),
-        |         i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))))
-        |      AS cos
-        |  FROM assigned a
-        |  JOIN routing r ON a.cell = r.cell AND a.rn = 1
-        |  JOIN qs q ON q.qid = r.qid),
-        |np AS (SELECT unnest([1, 2, 4, 8]) AS nprobe),
-        |lad AS (
-        |  SELECT np.nprobe, c.qid, c.vec_id,
-        |    row_number() OVER (PARTITION BY np.nprobe, c.qid
-        |      ORDER BY c.cos DESC, c.vec_id ASC) AS rk
-        |  FROM np JOIN cand c ON c.crk <= np.nprobe),
-        |scanned AS (
-        |  SELECT np.nprobe, CAST(count(*) AS BIGINT) AS n_scanned
-        |  FROM np JOIN cand c ON c.crk <= np.nprobe GROUP BY np.nprobe),
-        |ex AS (
-        |  SELECT qid, vec_id FROM (
-        |    SELECT qid, vec_id,
-        |      row_number() OVER (PARTITION BY qid
-        |        ORDER BY cos DESC, vec_id ASC) AS rk
-        |    FROM (
-        |      SELECT q.qid, e.vec_id,
-        |        list_sum(list_transform(range(1, len(e.embedding) + 1),
-        |          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
-        |        / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
-        |             i -> CAST(e.embedding[i] AS DOUBLE)
-        |                  * CAST(e.embedding[i] AS DOUBLE))))
-        |         * sqrt(list_sum(list_transform(range(1, len(q.qv) + 1),
-        |             i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))))
-        |          AS cos
-        |      FROM embeddings e CROSS JOIN qs q) s2)
-        |  WHERE rk <= 10),
-        |ext AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM ex),
-        |hits AS (
-        |  SELECT l.nprobe, CAST(count(*) AS BIGINT) AS n_hits
-        |  FROM lad l JOIN ex ON ex.qid = l.qid AND ex.vec_id = l.vec_id
-        |  WHERE l.rk <= 10 GROUP BY l.nprobe)
-        |SELECT np.nprobe, coalesce(h.n_hits, 0) AS n_hits,
-        |  round(CAST(coalesce(h.n_hits, 0) AS DOUBLE)
-        |    / CAST(ext.tot AS DOUBLE), 6) AS recall,
-        |  coalesce(s.n_scanned, 0) AS n_scanned
-        |FROM np CROSS JOIN ext
-        |LEFT JOIN hits h ON h.nprobe = np.nprobe
-        |LEFT JOIN scanned s ON s.nprobe = np.nprobe
-        |ORDER BY np.nprobe""".stripMargin,
+      s"""WITH $ivfSweepCtes
+        |SELECT nprobe, n_hits, recall, n_scanned
+        |FROM ip_sweep ORDER BY nprobe""".stripMargin,
 
     "q169_ivf_recall_audit" ->
       """WITH cents AS (
@@ -6722,61 +6921,24 @@ object OracleSql {
     // the 0.3 floor, then per-ladder-point counts/docs/mean jaccard
     "q191_neardup_threshold_sweep" ->
       s"""WITH $minhashAuditCtes,
-        |th AS (
-        |  SELECT CAST(i AS DOUBLE) / 10.0 AS threshold
-        |  FROM (SELECT unnest(range(3, 10)) AS i)),
-        |q AS (
-        |  SELECT th.threshold, e.id_a, e.id_b, e.jaccard
-        |  FROM th JOIN exact e ON e.jaccard >= th.threshold),
-        |agg AS (
-        |  SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs,
-        |    round(CAST(sum(CAST(round(jaccard, 6) AS DECIMAL(18,12)))
-        |        AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_jaccard
-        |  FROM q GROUP BY threshold),
-        |dt AS (
+        |$ndSweepCtes,
+        |nd_dt AS (
         |  SELECT threshold, CAST(count(DISTINCT id) AS BIGINT) AS n_docs
-        |  FROM (SELECT threshold, id_a AS id FROM q
-        |        UNION ALL SELECT threshold, id_b AS id FROM q)
+        |  FROM (SELECT threshold, id_a AS id FROM nd_q
+        |        UNION ALL SELECT threshold, id_b AS id FROM nd_q)
         |  GROUP BY threshold)
-        |SELECT th.threshold, coalesce(a.n_pairs, 0) AS n_pairs,
-        |  coalesce(d.n_docs, 0) AS n_docs,
-        |  coalesce(a.mean_jaccard, 0.0) AS mean_jaccard
-        |FROM th LEFT JOIN agg a USING (threshold)
-        |LEFT JOIN dt d USING (threshold)
+        |SELECT s.threshold, s.n_pairs,
+        |  coalesce(d.n_docs, 0) AS n_docs, s.mean_jaccard
+        |FROM nd_sweep s LEFT JOIN nd_dt d USING (threshold)
         |ORDER BY threshold""".stripMargin,
 
     // LSH banding sweep: shared signatures, per-config band regrouping,
     // candidate volume + true-pair recall per (bands x rows) split
     "q195_lsh_band_sweep" ->
       s"""WITH $minhashAuditCtes,
-        |cfg AS (SELECT unnest([4, 8, 16, 32]) AS bands),
-        |bk AS (
-        |  SELECT s.doc_id, cfg.bands,
-        |    s.j // (32 // cfg.bands) AS band_id,
-        |    string_agg(CAST(s.m AS VARCHAR), '_' ORDER BY s.j) AS key
-        |  FROM sig s CROSS JOIN cfg
-        |  GROUP BY s.doc_id, cfg.bands, s.j // (32 // cfg.bands)),
-        |cand AS (
-        |  SELECT DISTINCT a.bands, a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM bk a JOIN bk b ON a.bands = b.bands
-        |    AND a.band_id = b.band_id AND a.key = b.key
-        |    AND a.doc_id < b.doc_id),
-        |ex5 AS (SELECT id_a, id_b FROM exact WHERE jaccard >= 0.5),
-        |ext AS (SELECT CAST(count(*) AS BIGINT) AS nex FROM ex5),
-        |nc AS (SELECT bands, CAST(count(*) AS BIGINT) AS n_candidates
-        |       FROM cand GROUP BY bands),
-        |nf AS (SELECT c.bands, CAST(count(*) AS BIGINT) AS n_found
-        |       FROM ex5 e JOIN cand c ON c.id_a = e.id_a AND c.id_b = e.id_b
-        |       GROUP BY c.bands)
-        |SELECT cfg.bands, CAST(32 // cfg.bands AS INT) AS rows_per_band,
-        |  coalesce(nc.n_candidates, 0) AS n_candidates,
-        |  coalesce(nf.n_found, 0) AS n_found,
-        |  round(CAST(coalesce(nf.n_found, 0) AS DOUBLE)
-        |    / CAST(ext.nex AS DOUBLE), 6) AS recall
-        |FROM cfg CROSS JOIN ext
-        |LEFT JOIN nc ON nc.bands = cfg.bands
-        |LEFT JOIN nf ON nf.bands = cfg.bands
-        |ORDER BY cfg.bands""".stripMargin,
+        |$lshSweepCtes
+        |SELECT bands, rows_per_band, n_candidates, n_found, recall
+        |FROM lb_sweep ORDER BY bands""".stripMargin,
 
     "q177_lsh_recall_audit" ->
       s"""WITH $minhashAuditCtes,

@@ -4099,7 +4099,8 @@ object SparkEntry {
     * mixing temperature, q191 near-dup Jaccard, q193 CDC divisor, q194
     * IVF nprobe — q195's banding read is excluded only because its
     * signature tier would double this query's cost for a one-line
-    * rule). Every rule compares either raw integer counts or the
+    * rule; q206 closes it, with the block-size and epoch-budget
+    * picks, as a sibling). Every rule compares either raw integer counts or the
     * sweeps' own round-6 columns — values each sweep's hash-exact gate
     * already pins identical across engines — so the decision layer
     * inherits the pricing layer's exactness for free. The rules:
@@ -4294,7 +4295,12 @@ object SparkEntry {
     * q193): the driver fixtures keep doc_id < 1e6 at every SF, and the
     * oracle plants with the same shifts, so ids never collide.
     */
-  private def q204(s: SparkSession, d: String): DataFrame = {
+  /** q204's planted corpus (every third doc mirrored under the
+    * synthetic 'xx' source, every fifth cloned within its own source)
+    * — shared with q209, which feeds the measured mass back into the
+    * mixing weights.
+    */
+  private def dupMassCorpus(s: SparkSession, d: String): DataFrame = {
     val base = docs(s, d).select("doc_id", "lang", "text")
     val cross = base.filter(col("doc_id") % 3 === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"),
@@ -4302,8 +4308,14 @@ object SparkEntry {
     val within = base.filter(col("doc_id") % 5 === 0)
       .select((col("doc_id") + 2000000L).as("doc_id"), col("lang"),
         col("text"))
-    val corpus = graft.operators.CacheRegistry.track(
+    graft.operators.CacheRegistry.track(
       base.unionAll(cross).unionAll(within).persist())
+  }
+
+  /** The per-source dup-mass relation over `corpus` — q204's body,
+    * factored so q209 consumes the same measurement.
+    */
+  private def sourceDupMass(corpus: DataFrame): DataFrame = {
     val members = Dedup.nearDupMembers(corpus, "doc_id", "text",
       shingleN = 3, threshold = 0.7)
     val m = graft.operators.CacheRegistry.track(
@@ -4331,8 +4343,10 @@ object SparkEntry {
         (coalesce(col("n_clustered"), lit(0L))
           - coalesce(col("n_kept_reps"), lit(0L))).as("n_removed"),
         coalesce(col("n_cross_source"), lit(0L)).as("n_cross_source"))
-      .orderBy("source")
   }
+
+  private def q204(s: SparkSession, d: String): DataFrame =
+    sourceDupMass(dupMassCorpus(s, d)).orderBy("source")
 
   /** Dedup-composed epoch plan — q201's sibling on the OTHER upstream
     * axis: where q201 rebalances then plans, this DEDUPLICATES then
@@ -4392,6 +4406,180 @@ object SparkEntry {
         col("epochs_r6").as("epochs_dedup_r6"))
     raw.join(de, Seq("source"))
       .orderBy("source")
+  }
+
+  /** Knob-pick extension — the three knobs q200 left priced but
+    * undecided, closed under the same integer/round-6 rule discipline
+    * so exactness is inherited from the sweeps' own hash-exact gates:
+    * the packer's block size (q202's sweep — smallest size packing
+    * every doc without an overfull block), the epoch planner's token
+    * budget (q203's sweep — smallest budget at which EVERY source
+    * completes ≥ 2 full epochs, i.e. past the single-pass regime for
+    * the whole mixture), and the MinHash banding (q195's sweep — the
+    * (bands × rows) split minimizing candidate volume at recall 1.0,
+    * the cheapest split that misses nothing). A sibling of q200
+    * rather than surgery on it: q195's signature tier would double
+    * q200's cost for a one-line rule (q200's own scoping note). The
+    * ladder relations are dozens of rows; the rules add no corpus
+    * work beyond the sweeps themselves.
+    */
+  private def q206(s: SparkSession, d: String): DataFrame = {
+    def cache(df: DataFrame) =
+      graft.operators.CacheRegistry.track(df.persist())
+    val row = (knob: String, rule: String) => (chosen: Column,
+        quality: Column, cost: Column) => Seq(
+      lit(knob).as("knob"), lit(rule).as("rule"),
+      chosen.cast("double").as("chosen"), quality.as("quality_r6"),
+      cost.cast("long").as("cost"))
+    // packer block size: smallest whose first-fit run has no overfull
+    // block (every doc fits whole), cost read = the padding it buys
+    val bs = cache(q202(s, d))
+    val bsPick = bs
+      .join(broadcast(bs.filter(col("n_overfull") === 0L)
+        .agg(min(col("block_size")).as("__c"))),
+        col("block_size") === col("__c"))
+      .select(row("pack_block_size",
+        "smallest block size with zero overfull blocks")(
+        col("block_size"), col("utilization"), col("padding_tokens")): _*)
+    // epoch budget: smallest ladder point where the waterfill gives
+    // every source at least 2 full passes (integer compare on the
+    // sweep's own full_epochs column)
+    val eb = q203(s, d).groupBy("budget_20ths")
+      .agg(min(col("full_epochs")).as("__mn"),
+        min(col("epochs_r6")).as("__mne"),
+        sum(col("tokens_alloc")).as("__tot"))
+    val ebC = cache(eb)
+    val ebPick = ebC
+      .join(broadcast(ebC.filter(col("__mn") >= 2L)
+        .agg(min(col("budget_20ths")).as("__c"))),
+        col("budget_20ths") === col("__c"))
+      .select(row("epoch_budget_20ths",
+        "smallest budget with every source at >= 2 full epochs")(
+        col("budget_20ths"), col("__mne"), col("__tot")): _*)
+    // LSH banding: fewest candidate pairs among the splits that found
+    // every true pair (recall is the sweep's round-6 column; 1.0 is
+    // exact iff n_found = n_exact)
+    val lb = cache(q195(s, d))
+    val lbPick = lb
+      .join(broadcast(lb.filter(col("recall") === 1.0)
+        .agg(min(struct(col("n_candidates"), col("bands"))).as("__c"))),
+        col("n_candidates") === col("__c.n_candidates") &&
+          col("bands") === col("__c.bands"))
+      .select(row("lsh_bands",
+        "fewest candidates at recall 1.0 (ties: fewest bands)")(
+        col("bands"), col("recall"), col("n_candidates")): _*)
+    bsPick.unionAll(ebPick).unionAll(lbPick).orderBy("knob")
+  }
+
+  /** δ-discount sweep — the epoch planner's LAST un-priced assumption
+    * (q203 sweeps its budget; this sweeps the diminishing-returns
+    * discount itself): the q197 plan recomputed at δ ∈ {1/4, 1/2, 1}
+    * under the same 2.35× budget. δ = 1 is the no-discount control
+    * (only quality ranks layers — high-weight sources take ALL their
+    * passes before lower-weight sources take any); δ = 1/4 steepens
+    * the repetition penalty so first epochs fill across the whole
+    * mixture before any source repeats. Every arm stays on the exact
+    * integer value ladder ([[graft.operators.Sampling
+    * .epochPlanDiscounted]]: value = weight_ppm · deltaDenom^(maxEpochs−k)
+    * for the 1/denom family). The read: sources whose full_epochs
+    * move between arms are the ones whose allocation is a MODELING
+    * choice, not a data fact — the sensitivity a data-constrained run
+    * wants priced before committing compute.
+    */
+  private def q207(s: SparkSession, d: String): DataFrame = {
+    val per = graft.operators.CacheRegistry.track(
+      epochPerSource(epochBase(s, d)).persist())
+    val budget = epochBudget(per)
+    Seq((1L, 4L), (1L, 2L), (1L, 1L)).map { case (n, dd) =>
+      graft.operators.Sampling.epochPlanDiscounted(per, budget,
+          maxEpochs = 4, deltaNumer = n, deltaDenom = dd)
+        .select(lit(n.toDouble / dd.toDouble).as("delta"),
+          col("source"), col("unique_tokens"), col("tokens_alloc"),
+          col("full_epochs"), col("frac_b256"), col("epochs_r6"))
+    }.reduce(_ unionAll _).orderBy("delta", "source")
+  }
+
+  /** Full-chain capstone: plan → realize → pack — the planner tier
+    * composed into the packer tier the way q204 composed dedup into
+    * mixing. The q197 epoch plan realizes into per-doc repeats
+    * (q198's md5-bucket rule), every repeat becomes a training
+    * INSTANCE on a deterministic id (pass·10⁷ + doc_id — epoch-major,
+    * the order a repeating run actually emits; doc_id < 10⁶ at every
+    * SF per the fixtures' id-domain convention), and each source's
+    * instance stream packs into 64-token blocks with
+    * boundary-respecting first-fit ([[graft.operators.Packing
+    * .firstFitBlocksKeyed]] — a block never spans sources, because a
+    * training shard never does). Output per source: the plan beside
+    * the blocks/padding/utilization its repeats actually cost —
+    * `realized_tokens − tokens_alloc` (the q198 quantization read)
+    * now priced all the way down to block fragmentation. Scale shape:
+    * the plan is a bounded ladder, realization a broadcast join plus
+    * a per-row ≤ maxEpochs explode, packing one shuffle on the source
+    * key.
+    */
+  private def q208(s: SparkSession, d: String): DataFrame = {
+    val base = graft.operators.CacheRegistry.track(
+      epochBase(s, d).persist())
+    val perC = graft.operators.CacheRegistry.track(
+      epochPerSource(base).persist())
+    val plan = graft.operators.Sampling.epochPlan(perC,
+      epochBudget(perC), maxEpochs = 4)
+    val instances = graft.operators.Sampling
+      .epochRealize(base, "doc_id", "lang", plan)
+      .filter(col("repeats") > 0)
+      .withColumn("pass", explode(sequence(lit(1L), col("repeats"))))
+      .select(col("lang"),
+        (col("pass") * 10000000L + col("doc_id")).as("instance_id"),
+        col("n_tokens"))
+    val blockSize = 64L
+    val perBlock = graft.operators.Packing.firstFitBlocksKeyed(
+        instances, "instance_id", "n_tokens", "lang", blockSize)
+      .groupBy(col("lang"), col("block"))
+      .agg(sum(col("n_tokens")).as("used"), count(lit(1)).as("nd"))
+    val packStats = perBlock.groupBy(col("lang").as("source"))
+      .agg(sum(col("nd")).as("doc_passes"),
+        sum(col("used")).as("realized_tokens"),
+        count(lit(1)).as("n_blocks"),
+        sum(when(col("used") > blockSize, 1L).otherwise(0L))
+          .as("n_overfull"),
+        sum(when(col("used") <= blockSize, lit(blockSize) - col("used"))
+          .otherwise(0L)).as("padding_tokens"),
+        round(sum(col("used")).cast("double")
+          / (count(lit(1)) * lit(blockSize)).cast("double"), 6)
+          .as("utilization"))
+    plan.select(col("source"), col("tokens_alloc"), col("full_epochs"))
+      .join(packStats, Seq("source"))
+      .select(col("source"), col("tokens_alloc"), col("full_epochs"),
+        col("doc_passes"), col("realized_tokens"),
+        (col("realized_tokens") - col("tokens_alloc")).as("diff_tokens"),
+        col("n_blocks"), col("n_overfull"), col("padding_tokens"),
+        col("utilization"))
+      .orderBy("source")
+  }
+
+  /** Dedup-discounted temperature sweep — q204's measurement FED BACK
+    * into the mixing weights (the connector the r16 verdict's stretch
+    * names: a mirror-crawl source must not buy sampling mass with
+    * duplicate counts). Each source's effective count is its docs
+    * minus its removable mass (what a keep-one-per-cluster drain
+    * would delete — measured by the q204 closure, the telemetry a
+    * live ingest already writes), and the temperature thresholds
+    * derive from the EFFECTIVE counts while the gate still runs over
+    * the actual, un-drained corpus ([[graft.operators.Sampling
+    * .temperatureSweepDiscounted]]). The planted 'xx' mirror source
+    * measures 100 % removable → effective 0 → threshold 0 at every α:
+    * the mixing pass discounts the mirror crawl to nothing WITHOUT
+    * running a drain, which is the point.
+    */
+  private def q209(s: SparkSession, d: String): DataFrame = {
+    val corpus = dupMassCorpus(s, d)
+    val eff = sourceDupMass(corpus)
+      .select(col("source"),
+        (col("n_docs") - col("n_removed")).as("eff_docs"))
+    graft.operators.Sampling.temperatureSweepDiscounted(
+        corpus, "doc_id", "lang",
+        alphas = Seq(0.0, 0.25, 0.5, 0.75, 1.0), effective = eff)
+      .orderBy("alpha", "source")
   }
 
   // ------------------------------------------------------------- contract
@@ -4601,6 +4789,10 @@ object SparkEntry {
     "q203_epoch_budget_sweep" -> (q203(_, _)),
     "q204_source_dup_mass" -> (q204(_, _)),
     "q205_dedup_epoch_plan" -> (q205(_, _)),
+    "q206_knob_pick_extension" -> (q206(_, _)),
+    "q207_epoch_delta_sweep" -> (q207(_, _)),
+    "q208_plan_pack_capstone" -> (q208(_, _)),
+    "q209_dedup_discounted_mix" -> (q209(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

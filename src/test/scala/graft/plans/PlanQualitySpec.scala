@@ -783,6 +783,22 @@ class PlanQualitySpec extends SparkSpec {
     graft.operators.CacheRegistry.drain()
   }
 
+  test("the round-17 decision tier stays keyed/broadcast: the delta " +
+      "sweep, the plan-pack capstone, the dedup-discounted mix, and " +
+      "the knob-pick extension plan without a CartesianProduct and " +
+      "serve their once-computed relations from cache") {
+    for (name <- Seq("q207_epoch_delta_sweep", "q208_plan_pack_capstone",
+        "q209_dedup_discounted_mix", "q206_knob_pick_extension")) {
+      val p = executed(graft.SparkEntry.queries(name)(spark, sf)).toString
+      assert(!p.contains("CartesianProduct"),
+        s"$name must stay keyed/broadcast:\n" + p.take(1200))
+      assert(p.contains("InMemoryTableScan") ||
+        p.contains("TableCacheQueryStage"),
+        s"$name must reuse its cached base relation:\n" + p.take(1200))
+      graft.operators.CacheRegistry.drain()
+    }
+  }
+
   test("jlProject is ONE shuffle-free codegen projection: no Exchange, " +
       "no Join, and the fold stays inside WholeStageCodegen") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
