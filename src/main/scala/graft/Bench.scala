@@ -201,6 +201,18 @@ object Bench {
     // cold-side watch too: q60's history is COLD-side, and the tail is
     // all the driver durably records
     val watchedCold = qObj("cold", 1)(cold.filter(r => watchedNames(r._1)))
+    // the bars RIDE THE ARTIFACT (r16 verdict: a pass-1 q192 reading
+    // near 17 s re-opened a closed breach for anyone who hadn't read
+    // the PERFORMANCE.md paragraph) — every watched bar states which
+    // side it gates and its cold-compile ceiling where one applies
+    val watchedBars =
+      """"watched_bars":{""" +
+        """"q192_dedup_drain_capstone":"15s STEADY / cold-compile ceiling ~20s (pass-1 near 17s is codegen+JIT, not a regression)",""" +
+        """"q200_knob_pick_capstone":"~18s steady (recomputes its five sweeps by design)",""" +
+        """"q158_curation_pipeline2":"~9s steady (floor ~6.8s)",""" +
+        """"q167_curation_pipeline3":"~9s steady (floor ~7.1s)",""" +
+        """"q105_pagerank":"3.5-4.2s steady",""" +
+        """"q60_jaccard_prefix_pairs":"~4s steady; cold history is compile-storm swings (24.8s in BENCH_r14)"}"""
     println(f"""{"metric":"summary","value":$total%.2f,"unit":"sec",""" +
       f""""steady_total_sec":$total%.2f,"steady_plan_sec":$planTotal%.2f,""" +
       f""""cold_total_sec":$coldTotal%.2f,""" +

@@ -186,6 +186,34 @@ object ScaleStress {
       Sampling.temperatureSweep(d, "doc_id", "source",
         Seq(0.0, 0.25, 0.5, 0.75, 1.0)).count()
 
+    // round-17 tiers: KEYED first-fit (explicit per-source packing
+    // domains — one shuffle on the key, then parallel sequential
+    // folds; replication keeps |sources| constant, so this measures
+    // the mega-key shape honestly: per-key cost must grow linearly)
+    // and the plan→realize chain (bounded-ladder plan + broadcast
+    // realize + per-row explode — the corpus-side cost is the explode,
+    // linear in realized instances).
+    def firstfitKeyed(d: DataFrame): Long =
+      Packing.firstFitBlocksKeyed(
+        d.select(col("doc_id"), length(col("text")).as("len"),
+          col("source")),
+        "doc_id", "len", "source", blockSize = 4096L).count()
+    def planRealize(d: DataFrame): Long = {
+      val base = d.select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("n_tokens"))
+      val per = base.groupBy(col("source"))
+        .agg(sum(col("n_tokens")).as("unique_tokens"),
+          expr("(1000000 * sum(CASE WHEN n_tokens >= 20 THEN 1 ELSE 0 " +
+            "END)) DIV count(*)").as("weight_ppm"))
+        .filter(col("unique_tokens") > 0)
+      val tot = per.agg(sum(col("unique_tokens"))).collect()(0).getLong(0)
+      val plan = Sampling.epochPlan(per, 47L * tot / 20L, maxEpochs = 4)
+      Sampling.epochRealize(base, "doc_id", "source", plan)
+        .filter(col("repeats") > 0)
+        .withColumn("pass", explode(sequence(lit(1L), col("repeats"))))
+        .count()
+    }
+
     println(s"[stress] --- base (1x, $sfDir) ---")
     time("bloom_dedup")(bloom(docs))
     time("group_quota")(quota(docs))
@@ -209,6 +237,8 @@ object ScaleStress {
     time("firstfit_blocks")(firstfit(docs))
     time("firstfit_ffd")(firstfitFfd(docs))
     time("temperature_sweep")(tempSweep(docs))
+    time("firstfit_keyed")(firstfitKeyed(docs))
+    time("plan_realize")(planRealize(docs))
     println(s"[stress] --- ${reps}x replicated ---")
     time("bloom_dedup")(bloom(docsN))
     time("group_quota")(quota(docsN))
@@ -232,6 +262,8 @@ object ScaleStress {
     time("firstfit_blocks")(firstfit(docsN))
     time("firstfit_ffd")(firstfitFfd(docsN))
     time("temperature_sweep")(tempSweep(docsN))
+    time("firstfit_keyed")(firstfitKeyed(docsN))
+    time("plan_realize")(planRealize(docsN))
     spark.stop()
   }
 }
