@@ -43,4 +43,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // hypothesis stays testable without editing the build; evidence in
   // PERFORMANCE.md round 10.
   s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_CODE_CACHE", "2g")}",
-)
+  // env-keyed extra flags so JIT/deopt hypotheses stay A/B-testable
+  // without editing the build (the SPARK_CODE_CACHE pattern)
+) ++ sys.env.get("SPARK_EXTRA_JVM_OPTS").toSeq.flatMap(_.trim.split("\\s+").toSeq)

@@ -67,13 +67,36 @@ object Bench {
         val secs = (System.nanoTime() - t0) / 1e9
         val gcSecs = (gcMillis() - gc0) / 1e3
         val jitSecs = (jitMillis() - jit0) / 1e3
-        graft.operators.CacheRegistry.drain()
+        // BLOCKING drain: a non-blocking unpersist's block removal can
+        // still be in flight when the next window opens, and the
+        // eviction churn bleeds into a heavy successor's measured time
+        // (r17: the shingle-pair tiers q186/q192 spiked to 17.8/35.9 s
+        // in ONE catalog run while their fresh-JVM probe floors stayed
+        // 2.9/6.5 s tight) — waiting here keeps each window honest
+        graft.operators.CacheRegistry.drain(blocking = true)
         System.gc()
         (name, if (ok) secs else -secs, ok, gcSecs, jitSecs)
       }
 
     def objOf(vals: Seq[(String, Double)]): String =
       vals.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // JVM pool telemetry per pass end: code-heap and metaspace usage vs
+    // max — the round-6 CodeCacheFlushing regression class (hot methods
+    // silently evicted once a CodeHeap fills) is only diagnosable from
+    // the artifact if the fill level rides it
+    def poolsLine(label: String): Unit = {
+      val pools = java.lang.management.ManagementFactory
+        .getMemoryPoolMXBeans.asScala
+        .filter(p => p.getName.contains("CodeHeap") ||
+          p.getName.contains("Metaspace"))
+        .map { p =>
+          val u = p.getUsage
+          s""""${p.getName}":{"used_mb":${u.getUsed / 1048576},""" +
+            s""""max_mb":${u.getMax / 1048576}}"""
+        }
+      println(s"""{"metric":"jvm_pools","at":"$label",""" +
+        pools.mkString(",") + "}")
+    }
     // every per-query dict that reaches stdout is wrapped in a line that
     // names its pass and run ordinal (the r11 "internally ambiguous tail"
     // finding: a truncated unlabeled dict in the captured tail could not
@@ -90,8 +113,10 @@ object Bench {
 
     val cold = runPass()
     passLine("cold", 1, cold)
+    poolsLine("after_pass1")
     val results = runPass()
     passLine("steady", 2, results)
+    poolsLine("after_pass2")
     val qs = objOf(results.map { case (k, v, _, _, _) => k -> v })
     val colds = objOf(cold.map { case (k, v, _, _, _) => k -> v })
     val gcs = objOf(results.map { case (k, _, _, g, _) => k -> g })
@@ -190,6 +215,10 @@ object Bench {
       // repeat 6), in-catalog steady 13.4 s under pass-2 pressure:
       // treat ~18 s steady as the regression bar
       "q200_knob_pick_capstone",
+      // its r17 sibling closes the other three knobs and recomputes
+      // q195's signature tier + q202 + q203 by design: 3-repeat probe
+      // floor 7.4-9.1 s; same ~18 s steady regression bar as q200
+      "q206_knob_pick_extension",
       // standing q60 watch (r14 verdict order #6): BenchProbe floor
       // 2.0-2.5 s steady, but its recorded history (r5/r12/r14 —
       // cold 24.84 s in BENCH_r14, the largest cold entry ever) is
@@ -207,8 +236,9 @@ object Bench {
     // side it gates and its cold-compile ceiling where one applies
     val watchedBars =
       """"watched_bars":{""" +
-        """"q192_dedup_drain_capstone":"15s STEADY / cold-compile ceiling ~20s (pass-1 near 17s is codegen+JIT, not a regression)",""" +
-        """"q200_knob_pick_capstone":"~18s steady (recomputes its five sweeps by design)",""" +
+        """"q192_dedup_drain_capstone":"15s STEADY at the probe (floor 6.5-6.8s); cold-compile ceiling ~20s; in-catalog excursions are attributed JVM-lifecycle scatter (PERFORMANCE.md r17) - probe before re-opening",""" +
+        """"q200_knob_pick_capstone":"~18s steady (recomputes its five sweeps by design; probe floor 9.0-10.9s)",""" +
+        """"q206_knob_pick_extension":"~18s steady (recomputes q195 sig tier + q202 + q203 by design; probe floor 7.4-9.1s)",""" +
         """"q158_curation_pipeline2":"~9s steady (floor ~6.8s)",""" +
         """"q167_curation_pipeline3":"~9s steady (floor ~7.1s)",""" +
         """"q105_pagerank":"3.5-4.2s steady",""" +

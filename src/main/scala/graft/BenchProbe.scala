@@ -50,15 +50,41 @@ object BenchProbe {
     // CodegenMetrics counts each generated-class compilation.
     def janinoCount(): Long = org.apache.spark.metrics.source
       .CodegenMetrics.METRIC_COMPILATION_TIME.getCount
+    // SPARK_PROBE_STACKDUMP=<sec>: if a repeat is still running after
+    // <sec> seconds, dump every thread's top frames ONCE — the direct
+    // read on a mystery stall (elapsed time with gc≈0, jit≈0, janino≈0
+    // that none of the counters above attribute)
+    val dumpAfterSec = sys.env.get("SPARK_PROBE_STACKDUMP").map(_.toInt)
+    def withWatchdog[T](label: String)(f: => T): T = dumpAfterSec match {
+      case None => f
+      case Some(after) =>
+        val timer = new java.util.Timer(true)
+        timer.schedule(new java.util.TimerTask {
+          def run(): Unit = {
+            val dump = Thread.getAllStackTraces.asScala.toSeq
+              .sortBy(_._1.getName)
+              .map { case (t, frames) =>
+                s"  ${t.getName} [${t.getState}]\n" +
+                  frames.take(10).map(f => s"    at $f").mkString("\n")
+              }.mkString("\n")
+            System.err.println(
+              s"[probe-watchdog] $label still running after ${after}s:\n" +
+                dump)
+          }
+        }, after * 1000L)
+        try f finally timer.cancel()
+    }
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       val times = (1 to repeats).map { i =>
         val gc0 = gcMillis(); val jit0 = jitMillis()
         val jan0 = janinoCount()
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        withWatchdog(s"$name repeat $i")(fn(spark, sfDir).count())
         val secs = (System.nanoTime() - t0) / 1e9
-        graft.operators.CacheRegistry.drain()
+        // blocking, like Bench: eviction must not bleed into the next
+        // repeat's window
+        graft.operators.CacheRegistry.drain(blocking = true)
         (secs, (gcMillis() - gc0) / 1e3, (jitMillis() - jit0) / 1e3,
           janinoCount() - jan0)
       }

@@ -3763,10 +3763,21 @@ object SparkEntry {
     val ladder = s.range(3, 10)
       .select((col("id").cast("double") / lit(10.0)).as("threshold"))
     val q = ladder.join(pairs, col("jaccard") >= col("threshold"))
+    // mean via an exact SCALED-LONG sum, not a decimal sum: round-6
+    // values are integers k/1e6, so summing k as longs is the same
+    // exact sum (recovered k = r6·1e6 + 0.5 truncated — r6 is within
+    // 1e-10 of k/1e6, never near a truncation boundary), and
+    // sum_long→double→/1e6 hits the identical correctly-rounded double
+    // the decimal→double cast produced. Why it matters: the decimal
+    // sum's per-row BigDecimal.valueOf(double) (= Double.toString) ran
+    // SINGLE-THREADED in this query's AQE-coalesced aggregate and was
+    // the hot frame of a watchdog-caught 36 s stall (r17,
+    // PERFORMANCE.md) — a long sum keeps the serial stage primitive
     val agg = q.groupBy("threshold")
       .agg(count(lit(1)).as("n_pairs"),
-        round(sum(round(col("jaccard"), 6).cast("decimal(18,12)"))
-          .cast("double") / count(lit(1)).cast("double"), 6)
+        round((sum((round(col("jaccard"), 6) * lit(1e6) + lit(0.5))
+            .cast("long")).cast("double") / lit(1e6))
+          / count(lit(1)).cast("double"), 6)
           .as("mean_jaccard"))
     val dt = q.select(col("threshold"),
         explode(array(col("id_a"), col("id_b"))).as("id"))

@@ -103,20 +103,30 @@ object CacheRegistry {
   }
 
   /** Unpersist every tracked frame/RDD (non-blocking), clear the registry. */
-  def drain(): Unit = {
+  def drain(): Unit = drain(blocking = false)
+
+  /** [[drain]] with the blocking choice explicit. Serving paths want
+    * `blocking = false` (never stall a request on block removal);
+    * MEASUREMENT paths (Bench/BenchProbe) want `blocking = true`, so
+    * one query's async eviction cannot still be in flight — competing
+    * for executor CPU and storage locks — when the NEXT query's timing
+    * window opens (drain already runs outside the window; blocking
+    * moves the eviction itself outside too).
+    */
+  def drain(blocking: Boolean): Unit = {
     var df = tracked.poll()
     while (df != null) {
-      df.unpersist(blocking = false)
+      df.unpersist(blocking)
       df = tracked.poll()
     }
     var rdd = trackedRdds.poll()
     while (rdd != null) {
-      rdd.unpersist(blocking = false)
+      rdd.unpersist(blocking)
       rdd = trackedRdds.poll()
     }
     var bc = trackedBroadcasts.poll()
     while (bc != null) {
-      bc.unpersist(false)
+      bc.unpersist(blocking)
       bc = trackedBroadcasts.poll()
     }
     var ck = trackedCheckpointed.poll()
