@@ -431,6 +431,75 @@ object OracleSql {
       |      / CAST(count(*) * block_size AS DOUBLE), 6) AS utilization
       |  FROM bs_blocks GROUP BY block_size)""".stripMargin
 
+  /** The epoch planner's shared base (q197/q198/q207/q208): per-source
+    * unique tokens + integer ppm quality weight over `documents`, and
+    * the 2.35× (47/20ths) token budget. Ends in `base(doc_id, lang,
+    * n_tokens)`, `per(source, unique_tokens, weight_ppm)`,
+    * `b(budget)`.
+    */
+  private val epochPerCtes: String =
+    """base AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+      |      AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |per AS (
+      |  SELECT lang AS source,
+      |    CAST(sum(n_tokens) AS BIGINT) AS unique_tokens,
+      |    (1000000 * CAST(sum(CASE WHEN n_tokens >= 20 THEN 1 ELSE 0
+      |      END) AS BIGINT)) // CAST(count(*) AS BIGINT) AS weight_ppm
+      |  FROM base GROUP BY lang
+      |  HAVING CAST(sum(n_tokens) AS BIGINT) > 0),
+      |b AS (SELECT (47 * CAST(sum(unique_tokens) AS BIGINT)) // 20
+      |        AS budget
+      |      FROM per)""".stripMargin
+
+  /** δ-discount ladder (q207/q206): [[epochPerCtes]] + the waterfill
+    * with the per-epoch factor generalized to denom^(4-epoch) and the
+    * δ arm folded into the window key; ends in `dl_sweep(delta,
+    * source, unique_tokens, tokens_alloc, full_epochs, frac_b256,
+    * epochs_r6)`.
+    */
+  private val deltaSweepCtes: String =
+    s"""$epochPerCtes,
+      |dl(delta, dd) AS (VALUES (0.25, CAST(4 AS BIGINT)),
+      |  (0.5, CAST(2 AS BIGINT)), (1.0, CAST(1 AS BIGINT))),
+      |dl_layers AS (
+      |  SELECT d.delta, p.source, p.unique_tokens, p.weight_ppm,
+      |    CAST(e.epoch AS INTEGER) AS epoch,
+      |    p.weight_ppm * (CASE e.epoch
+      |      WHEN 1 THEN d.dd * d.dd * d.dd
+      |      WHEN 2 THEN d.dd * d.dd
+      |      WHEN 3 THEN d.dd ELSE CAST(1 AS BIGINT) END)
+      |      AS value_scaled
+      |  FROM per p CROSS JOIN generate_series(1, 4) e(epoch)
+      |  CROSS JOIN dl d),
+      |dl_alloc AS (
+      |  SELECT l.*, b.budget,
+      |    COALESCE(sum(l.unique_tokens) OVER (
+      |      PARTITION BY l.delta
+      |      ORDER BY l.value_scaled DESC, l.source ASC, l.epoch ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS cum_prev
+      |  FROM dl_layers l CROSS JOIN b),
+      |dl_la AS (
+      |  SELECT *, GREATEST(CAST(0 AS BIGINT),
+      |      LEAST(unique_tokens, budget - cum_prev)) AS layer_alloc
+      |  FROM dl_alloc),
+      |dl_plan AS (
+      |  SELECT delta, source, unique_tokens,
+      |    CAST(sum(layer_alloc) AS BIGINT) AS tokens_alloc,
+      |    CAST(sum(CASE WHEN layer_alloc = unique_tokens THEN 1
+      |      ELSE 0 END) AS BIGINT) AS full_epochs
+      |  FROM dl_la GROUP BY delta, source, unique_tokens),
+      |dl_sweep AS (
+      |  SELECT delta, source, unique_tokens, tokens_alloc, full_epochs,
+      |    (256 * (tokens_alloc - full_epochs * unique_tokens))
+      |      // unique_tokens AS frac_b256,
+      |    round(CAST(tokens_alloc AS DOUBLE)
+      |      / CAST(unique_tokens AS DOUBLE), 6) AS epochs_r6
+      |  FROM dl_plan)""".stripMargin
+
   /** Epoch-budget ladder (q203/q206): self-contained (the q197
     * waterfill with the budget folded into the window key); ends in
     * `eb_sweep(budget_20ths, source, unique_tokens, tokens_alloc,
@@ -5274,21 +5343,7 @@ object OracleSql {
     // integer value ladder (weight_ppm * 2^(4-epoch), strict total
     // order, cumulative-token window, clamped boundary layer)
     "q197_epoch_plan" ->
-      """WITH base AS (
-        |  SELECT doc_id, lang,
-        |    CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
-        |      AS BIGINT) AS n_tokens
-        |  FROM documents),
-        |per AS (
-        |  SELECT lang AS source,
-        |    CAST(sum(n_tokens) AS BIGINT) AS unique_tokens,
-        |    (1000000 * CAST(sum(CASE WHEN n_tokens >= 20 THEN 1 ELSE 0
-        |      END) AS BIGINT)) // CAST(count(*) AS BIGINT) AS weight_ppm
-        |  FROM base GROUP BY lang
-        |  HAVING CAST(sum(n_tokens) AS BIGINT) > 0),
-        |b AS (SELECT (47 * CAST(sum(unique_tokens) AS BIGINT)) // 20
-        |        AS budget
-        |      FROM per),
+      s"""WITH $epochPerCtes,
         |layers AS (
         |  SELECT p.source, p.unique_tokens, p.weight_ppm,
         |    CAST(e.epoch AS INTEGER) AS epoch,
@@ -5324,21 +5379,7 @@ object OracleSql {
     // the per-doc repeat rule (full passes + md5-bucket fractional
     // pass), realized tokens vs allocation per source
     "q198_epoch_realization_audit" ->
-      """WITH base AS (
-        |  SELECT doc_id, lang,
-        |    CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
-        |      AS BIGINT) AS n_tokens
-        |  FROM documents),
-        |per AS (
-        |  SELECT lang AS source,
-        |    CAST(sum(n_tokens) AS BIGINT) AS unique_tokens,
-        |    (1000000 * CAST(sum(CASE WHEN n_tokens >= 20 THEN 1 ELSE 0
-        |      END) AS BIGINT)) // CAST(count(*) AS BIGINT) AS weight_ppm
-        |  FROM base GROUP BY lang
-        |  HAVING CAST(sum(n_tokens) AS BIGINT) > 0),
-        |b AS (SELECT (47 * CAST(sum(unique_tokens) AS BIGINT)) // 20
-        |        AS budget
-        |      FROM per),
+      s"""WITH $epochPerCtes,
         |layers AS (
         |  SELECT p.source, p.unique_tokens, p.weight_ppm,
         |    CAST(e.epoch AS INTEGER) AS epoch,
@@ -5780,7 +5821,20 @@ object OracleSql {
         |  SELECT budget_20ths, min(full_epochs) AS mn,
         |    min(epochs_r6) AS mne,
         |    CAST(sum(tokens_alloc) AS BIGINT) AS tot
-        |  FROM eb_sweep GROUP BY budget_20ths)
+        |  FROM eb_sweep GROUP BY budget_20ths),
+        |$deltaSweepCtes,
+        |dl_base05 AS (
+        |  SELECT source, full_epochs AS fe5, tokens_alloc AS ta5,
+        |    epochs_r6 AS er5
+        |  FROM dl_sweep WHERE delta = 0.5),
+        |dl_roll AS (
+        |  SELECT s.delta,
+        |    CAST(sum(CASE WHEN s.full_epochs <> d5.fe5 THEN 1 ELSE 0
+        |      END) AS BIGINT) AS ndiff,
+        |    max(round(abs(s.epochs_r6 - d5.er5), 6)) AS mxd,
+        |    CAST(sum(abs(s.tokens_alloc - d5.ta5)) AS BIGINT) AS tdiff
+        |  FROM dl_sweep s JOIN dl_base05 d5 USING (source)
+        |  GROUP BY s.delta)
         |SELECT knob, rule, chosen, quality_r6, cost FROM (
         |  SELECT 'pack_block_size' AS knob,
         |    'smallest block size with zero overfull blocks' AS rule,
@@ -5802,83 +5856,28 @@ object OracleSql {
         |    CAST(bands AS DOUBLE), recall, n_candidates
         |  FROM (SELECT * FROM lb_sweep WHERE recall = 1.0
         |        ORDER BY n_candidates ASC, bands ASC LIMIT 1)
+        |  UNION ALL
+        |  SELECT 'epoch_delta',
+        |    'smallest delta matching the delta=1/2 full_epochs in every source',
+        |    delta, mxd, tdiff
+        |  FROM dl_roll
+        |  WHERE delta = (SELECT min(delta) FROM dl_roll WHERE ndiff = 0)
         |) ORDER BY knob""".stripMargin,
 
     // delta-discount sweep: the q197 waterfill with the per-epoch
     // layer factor generalized to denom^(4-epoch) and the delta arm
     // folded into the window key
     "q207_epoch_delta_sweep" ->
-      """WITH base AS (
-        |  SELECT doc_id, lang,
-        |    CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
-        |      AS BIGINT) AS n_tokens
-        |  FROM documents),
-        |per AS (
-        |  SELECT lang AS source,
-        |    CAST(sum(n_tokens) AS BIGINT) AS unique_tokens,
-        |    (1000000 * CAST(sum(CASE WHEN n_tokens >= 20 THEN 1 ELSE 0
-        |      END) AS BIGINT)) // CAST(count(*) AS BIGINT) AS weight_ppm
-        |  FROM base GROUP BY lang
-        |  HAVING CAST(sum(n_tokens) AS BIGINT) > 0),
-        |b AS (SELECT (47 * CAST(sum(unique_tokens) AS BIGINT)) // 20
-        |        AS budget
-        |      FROM per),
-        |dl(delta, dd) AS (VALUES (0.25, CAST(4 AS BIGINT)),
-        |  (0.5, CAST(2 AS BIGINT)), (1.0, CAST(1 AS BIGINT))),
-        |layers AS (
-        |  SELECT d.delta, p.source, p.unique_tokens, p.weight_ppm,
-        |    CAST(e.epoch AS INTEGER) AS epoch,
-        |    p.weight_ppm * (CASE e.epoch
-        |      WHEN 1 THEN d.dd * d.dd * d.dd
-        |      WHEN 2 THEN d.dd * d.dd
-        |      WHEN 3 THEN d.dd ELSE CAST(1 AS BIGINT) END)
-        |      AS value_scaled
-        |  FROM per p CROSS JOIN generate_series(1, 4) e(epoch)
-        |  CROSS JOIN dl d),
-        |alloc AS (
-        |  SELECT l.*, b.budget,
-        |    COALESCE(sum(l.unique_tokens) OVER (
-        |      PARTITION BY l.delta
-        |      ORDER BY l.value_scaled DESC, l.source ASC, l.epoch ASC
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      AS cum_prev
-        |  FROM layers l CROSS JOIN b),
-        |la AS (
-        |  SELECT *, GREATEST(CAST(0 AS BIGINT),
-        |      LEAST(unique_tokens, budget - cum_prev)) AS layer_alloc
-        |  FROM alloc),
-        |plan AS (
-        |  SELECT delta, source, unique_tokens,
-        |    CAST(sum(layer_alloc) AS BIGINT) AS tokens_alloc,
-        |    CAST(sum(CASE WHEN layer_alloc = unique_tokens THEN 1
-        |      ELSE 0 END) AS BIGINT) AS full_epochs
-        |  FROM la GROUP BY delta, source, unique_tokens)
+      s"""WITH $deltaSweepCtes
         |SELECT delta, source, unique_tokens, tokens_alloc, full_epochs,
-        |  (256 * (tokens_alloc - full_epochs * unique_tokens))
-        |    // unique_tokens AS frac_b256,
-        |  round(CAST(tokens_alloc AS DOUBLE)
-        |    / CAST(unique_tokens AS DOUBLE), 6) AS epochs_r6
-        |FROM plan ORDER BY delta, source""".stripMargin,
+        |  frac_b256, epochs_r6
+        |FROM dl_sweep ORDER BY delta, source""".stripMargin,
 
     // plan -> realize -> pack capstone: the q197 waterfill, the q198
     // per-doc repeat rule exploded into epoch-major instance ids, and
     // the q199 first-fit state machine replayed per SOURCE
     "q208_plan_pack_capstone" ->
-      """WITH RECURSIVE base AS (
-        |  SELECT doc_id, lang,
-        |    CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
-        |      AS BIGINT) AS n_tokens
-        |  FROM documents),
-        |per AS (
-        |  SELECT lang AS source,
-        |    CAST(sum(n_tokens) AS BIGINT) AS unique_tokens,
-        |    (1000000 * CAST(sum(CASE WHEN n_tokens >= 20 THEN 1 ELSE 0
-        |      END) AS BIGINT)) // CAST(count(*) AS BIGINT) AS weight_ppm
-        |  FROM base GROUP BY lang
-        |  HAVING CAST(sum(n_tokens) AS BIGINT) > 0),
-        |b AS (SELECT (47 * CAST(sum(unique_tokens) AS BIGINT)) // 20
-        |        AS budget
-        |      FROM per),
+      s"""WITH RECURSIVE $epochPerCtes,
         |layers AS (
         |  SELECT p.source, p.unique_tokens, p.weight_ppm,
         |    CAST(e.epoch AS INTEGER) AS epoch,

@@ -4419,16 +4419,18 @@ object SparkEntry {
       .orderBy("source")
   }
 
-  /** Knob-pick extension — the three knobs q200 left priced but
-    * undecided, closed under the same integer/round-6 rule discipline
-    * so exactness is inherited from the sweeps' own hash-exact gates:
+  /** Knob-pick extension — the knobs q200 left priced but undecided,
+    * closed under the same integer/round-6 rule discipline so
+    * exactness is inherited from the sweeps' own hash-exact gates:
     * the packer's block size (q202's sweep — smallest size packing
     * every doc without an overfull block), the epoch planner's token
     * budget (q203's sweep — smallest budget at which EVERY source
     * completes ≥ 2 full epochs, i.e. past the single-pass regime for
-    * the whole mixture), and the MinHash banding (q195's sweep — the
+    * the whole mixture), the MinHash banding (q195's sweep — the
     * (bands × rows) split minimizing candidate volume at recall 1.0,
-    * the cheapest split that misses nothing). A sibling of q200
+    * the cheapest split that misses nothing), and the δ-discount
+    * sensitivity (q207's sweep — the smallest δ whose allocation
+    * matches the δ=1/2 plan source for source). A sibling of q200
     * rather than surgery on it: q195's signature tier would double
     * q200's cost for a one-line rule (q200's own scoping note). The
     * ladder relations are dozens of rows; the rules add no corpus
@@ -4479,7 +4481,31 @@ object SparkEntry {
       .select(row("lsh_bands",
         "fewest candidates at recall 1.0 (ties: fewest bands)")(
         col("bands"), col("recall"), col("n_candidates")): _*)
-    bsPick.unionAll(ebPick).unionAll(lbPick).orderBy("knob")
+    // δ-discount SENSITIVITY (q207's sweep closed into a read): the
+    // smallest δ whose allocation agrees with the δ=1/2 plan in every
+    // source's full_epochs — integer compare, so exactness inherits;
+    // quality = the max round-6 epochs drift, cost = total absolute
+    // token-allocation movement. A pick of 0.25 reads "the plan is
+    // robust to steepening the discount"; only δ=1/2 qualifying reads
+    // "the allocation IS the discount assumption — price it first"
+    val ds = cache(q207(s, d))
+    val d5 = ds.filter(col("delta") === 0.5)
+      .select(col("source"), col("full_epochs").as("__fe5"),
+        col("tokens_alloc").as("__ta5"), col("epochs_r6").as("__er5"))
+    val dRoll = cache(ds.join(d5, Seq("source"))
+      .groupBy("delta")
+      .agg(sum(when(col("full_epochs") =!= col("__fe5"), 1L)
+          .otherwise(0L)).as("__ndiff"),
+        max(round(abs(col("epochs_r6") - col("__er5")), 6)).as("__mxd"),
+        sum(abs(col("tokens_alloc") - col("__ta5"))).as("__tdiff")))
+    val dPick = dRoll
+      .join(broadcast(dRoll.filter(col("__ndiff") === 0L)
+        .agg(min(col("delta")).as("__c"))), col("delta") === col("__c"))
+      .select(row("epoch_delta",
+        "smallest delta matching the delta=1/2 full_epochs in every source")(
+        col("delta"), col("__mxd"), col("__tdiff")): _*)
+    bsPick.unionAll(ebPick).unionAll(lbPick).unionAll(dPick)
+      .orderBy("knob")
   }
 
   /** δ-discount sweep — the epoch planner's LAST un-priced assumption

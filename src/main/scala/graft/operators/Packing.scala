@@ -207,11 +207,18 @@ object Packing {
          else Seq(col("_1"), col("_2"))): _*)
       .as[(String, Long, Long)]
       .mapPartitions { it =>
+        // explicit started flag, not a null sentinel: a NULL key on the
+        // partition's first row must still take the reset branch
+        // (null != null is false — an oversized first doc would
+        // otherwise open at block 1)
+        var started = false
         var curKey: String = null
         var fill = 0L
         var block = 0L
         it.map { case (key, id, len) =>
-          if (key != curKey) { curKey = key; block = 0L; fill = len }
+          if (!started || key != curKey) {
+            started = true; curKey = key; block = 0L; fill = len
+          }
           else if (fill + len <= blockSize) { fill += len }
           else { block += 1; fill = len }
           (key, id, len, block)

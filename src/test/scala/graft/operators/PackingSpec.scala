@@ -339,6 +339,16 @@ class PackingSpec extends SparkSpec {
       "an over-capacity block must be a dedicated overfull singleton")
     assert(blocks.exists { case (used, n) => used > b && n == 1 },
       "the planted >b lengths must surface as overfull singletons")
+    // null-key edge: a NULL key's first row must take the reset branch
+    // (block 0) even when oversized — null != null is false, so a
+    // null-sentinel fold would open at block 1
+    val nullKeyed = Packing.firstFitBlocksKeyed(
+        Seq((Option.empty[String], 1L, 100L), (Some("en"), 2L, 100L))
+          .toDF("src", "doc_id", "n_tokens"),
+        "doc_id", "n_tokens", "src", b).collect()
+      .map(r => Option(r.getString(0)) -> r.getAs[Long]("block")).toMap
+    assert(nullKeyed == Map(None -> 0L, Some("en") -> 0L),
+      s"both first rows must open block 0: $nullKeyed")
     CacheRegistry.drain()
   }
 }
