@@ -117,6 +117,22 @@ object Bench {
     val results = runPass()
     passLine("steady", 2, results)
     poolsLine("after_pass2")
+    // post-catalog floor probe for the scatter-sensitive watched bar:
+    // q192's 15 s bar gates its steady FLOOR, and a single
+    // catalog-context sample scatters ±(the r17-attributed JVM band) —
+    // three extra repeats AFTER the catalog ride the artifact, so a
+    // watched_steady excursion self-attributes from the same JSON line
+    // instead of needing a separate BenchProbe session
+    val floorProbe = "q192_dedup_drain_capstone"
+    val floorRuns = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      SparkEntry.queries(floorProbe)(spark, sfDir).count()
+      graft.operators.CacheRegistry.drain(blocking = true)
+      System.gc()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val floorJson = s""""watched_floor_probe":{"$floorProbe":[""" +
+      floorRuns.map(t => f"$t%.3f").mkString(",") + "]},"
     val qs = objOf(results.map { case (k, v, _, _, _) => k -> v })
     val colds = objOf(cold.map { case (k, v, _, _, _) => k -> v })
     val gcs = objOf(results.map { case (k, _, _, g, _) => k -> g })
@@ -250,6 +266,8 @@ object Bench {
       s""""slowest_cold":${top5("cold", 1)(cold)},""" +
       s""""watched_steady":$watched,""" +
       s""""watched_cold":$watchedCold,""" +
+      s"""$watchedBars,""" +
+      floorJson +
       s""""failed":$failed,"protocol":"pass2-steady","sf":"$sfDir"}""")
     spark.stop()
   }
