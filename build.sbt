@@ -45,4 +45,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_CODE_CACHE", "2g")}",
   // env-keyed extra flags so JIT/deopt hypotheses stay A/B-testable
   // without editing the build (the SPARK_CODE_CACHE pattern)
-) ++ sys.env.get("SPARK_EXTRA_JVM_OPTS").toSeq.flatMap(_.trim.split("\\s+").toSeq)
+  // filter(_.nonEmpty): an empty or whitespace-only value would split to
+  // Array("") and pass an empty-string JVM argument the forked JVM
+  // refuses to launch with
+) ++ sys.env.get("SPARK_EXTRA_JVM_OPTS").toSeq
+  .flatMap(_.trim.split("\\s+").toSeq).filter(_.nonEmpty)

@@ -91,8 +91,11 @@ object Bench {
           p.getName.contains("Metaspace"))
         .map { p =>
           val u = p.getUsage
+          // getMax is -1 when the pool is uncapped (Metaspace default);
+          // dividing would print 0 and read as a used>max breach — emit
+          // -1 so "no cap" stays distinguishable in the artifact
           s""""${p.getName}":{"used_mb":${u.getUsed / 1048576},""" +
-            s""""max_mb":${u.getMax / 1048576}}"""
+            s""""max_mb":${if (u.getMax < 0) -1L else u.getMax / 1048576}}"""
         }
       println(s"""{"metric":"jvm_pools","at":"$label",""" +
         pools.mkString(",") + "}")
@@ -123,13 +126,26 @@ object Bench {
     // three extra repeats AFTER the catalog ride the artifact, so a
     // watched_steady excursion self-attributes from the same JSON line
     // instead of needing a separate BenchProbe session
+    // 5 repeats (r17 verdict order #7): with 3 and a band-riding scatter
+    // mechanism, min-of-3 is one unlucky run from a false breach; each
+    // repeat is Try-guarded like runPass so a late failure (e.g. OOM
+    // after two full passes) cannot abort main before the summary lines
+    // print — a failed repeat records NEGATIVE elapsed, never a speedup
     val floorProbe = "q192_dedup_drain_capstone"
-    val floorRuns = (1 to 3).map { _ =>
+    val floorRuns = (1 to 5).map { _ =>
       val t0 = System.nanoTime()
-      SparkEntry.queries(floorProbe)(spark, sfDir).count()
-      graft.operators.CacheRegistry.drain(blocking = true)
-      System.gc()
-      (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { SparkEntry.queries(floorProbe)(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] floor probe FAILED: ${e.getMessage}")
+          false
+        }
+      val secs = (System.nanoTime() - t0) / 1e9
+      try {
+        graft.operators.CacheRegistry.drain(blocking = true)
+        System.gc()
+      } catch { case _: Throwable => () }
+      if (ok) secs else -secs
     }
     val floorJson = s""""watched_floor_probe":{"$floorProbe":[""" +
       floorRuns.map(t => f"$t%.3f").mkString(",") + "]},"
@@ -269,6 +285,23 @@ object Bench {
       s"""$watchedBars,""" +
       floorJson +
       s""""failed":$failed,"protocol":"pass2-steady","sf":"$sfDir"}""")
+    // LAST line, kept SHORT by design (r17 verdict order #2): the driver
+    // records only the TAIL of bench output, and in round 17 the big
+    // summary line above outgrew the capture window — the steady totals
+    // and every watched steady value were lost. This line repeats ONLY
+    // the gated reads (totals + each watched query's steady seconds +
+    // the floor probe), no cold objects, no bars, no per-query dicts,
+    // so whatever the driver truncates, the last ~400 bytes always
+    // carry the numbers the watched bars gate.
+    val watchedShort = results
+      .filter(r => watchedNames(r._1)).sortBy(_._1)
+      .map { case (k, v, _, _, _) => f""""$k":$v%.2f""" }
+      .mkString("{", ",", "}")
+    println(f"""{"metric":"durable","steady_total_sec":$total%.2f,""" +
+      f""""steady_plan_sec":$planTotal%.2f,"cold_total_sec":$coldTotal%.2f,""" +
+      s""""watched_steady_sec":$watchedShort,""" +
+      s""""floor_probe_q192":[${floorRuns.map(t => f"$t%.2f").mkString(",")}],""" +
+      s""""n_failed":${results.count(!_._3)}}""")
     spark.stop()
   }
 }

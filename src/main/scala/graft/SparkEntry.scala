@@ -3766,17 +3766,22 @@ object SparkEntry {
     // mean via an exact SCALED-LONG sum, not a decimal sum: round-6
     // values are integers k/1e6, so summing k as longs is the same
     // exact sum (recovered k = r6·1e6 + 0.5 truncated — r6 is within
-    // 1e-10 of k/1e6, never near a truncation boundary), and
-    // sum_long→double→/1e6 hits the identical correctly-rounded double
-    // the decimal→double cast produced. Why it matters: the decimal
-    // sum's per-row BigDecimal.valueOf(double) (= Double.toString) ran
-    // SINGLE-THREADED in this query's AQE-coalesced aggregate and was
-    // the hot frame of a watchdog-caught 36 s stall (r17,
-    // PERFORMANCE.md) — a long sum keeps the serial stage primitive
+    // 1e-10 of k/1e6, never near a truncation boundary). Why it
+    // matters: the decimal sum's per-row BigDecimal.valueOf(double)
+    // (= Double.toString) ran SINGLE-THREADED in this query's
+    // AQE-coalesced aggregate and was the hot frame of a
+    // watchdog-caught 36 s stall (r17, PERFORMANCE.md) — a long sum
+    // keeps the serial stage primitive. POST-aggregation (one row per
+    // threshold) the long total K widens through DECIMAL(38,6) before
+    // dividing, so K/1e6 → double is ONE correctly-rounded conversion
+    // matching the oracle's exact-decimal-sum cast at ANY K — the
+    // plain double(K)/1e6 form double-rounds past K = 2^53 (~9e9
+    // pairs), the same ceiling class the frac_b256 DECIMAL note names
     val agg = q.groupBy("threshold")
       .agg(count(lit(1)).as("n_pairs"),
         round((sum((round(col("jaccard"), 6) * lit(1e6) + lit(0.5))
-            .cast("long")).cast("double") / lit(1e6))
+            .cast("long")).cast("decimal(38,6)") / lit(1000000L))
+          .cast("double")
           / count(lit(1)).cast("double"), 6)
           .as("mean_jaccard"))
     val dt = q.select(col("threshold"),

@@ -302,7 +302,12 @@ object Sampling {
     kept.join(broadcast(totals), Seq("alpha"))
       .select(col("alpha"), col("source"), col("n_docs"), col("eff_docs"),
         col("thr"), col("n_kept"),
-        round(col("n_kept").cast("double") / col("__tot").cast("double"), 6)
+        // share guard: when EVERY source measures eff_docs <= 0, all
+        // thresholds are 0 and __tot is 0 — the documented "kept count
+        // zero at every alpha" case must read share 0.0, not 0/0 = NaN
+        when(col("__tot") === 0L, lit(0.0))
+          .otherwise(round(
+            col("n_kept").cast("double") / col("__tot").cast("double"), 6))
           .as("kept_share"))
   }
 

@@ -327,6 +327,19 @@ class SamplingSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(viaDisc == viaPlain,
       "eff=raw must reproduce temperatureSweep bit for bit")
+    // ALL sources pure removable mass: every threshold 0, every kept
+    // count 0 — and the share column must read 0.0 (the documented
+    // contract), never the 0/0 NaN a bare division would produce
+    val allZero = Seq(("head", 0L), ("mid", 0L), ("tail", -5L))
+      .toDF("source", "eff_docs")
+    val zeroRows = Sampling.temperatureSweepDiscounted(df, "doc_id",
+        "src", alphas, allZero).collect()
+    assert(zeroRows.length == 15)
+    zeroRows.foreach { r =>
+      assert(r.getAs[Long]("thr") == 0L && r.getAs[Long]("n_kept") == 0L)
+      assert(r.getAs[Double]("kept_share") == 0.0,
+        s"share must be 0.0 not NaN: $r")
+    }
     CacheRegistry.drain()
   }
 
