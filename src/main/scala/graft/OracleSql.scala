@@ -6049,6 +6049,273 @@ object OracleSql {
         |FROM kept k JOIN tot t USING (alpha)
         |ORDER BY k.alpha, k.source""".stripMargin,
 
+    // pick->execute capstone: the three chain-relevant picks re-derived
+    // from the SHARED sweep CTE constants (a fix to a sweep's oracle
+    // reaches the pick, the decision row, and this execution replay by
+    // construction), then the q208 plan->realize->pack replay run per
+    // configuration (default vs picked) with the config folded into the
+    // window and recursion keys
+    "q210_pick_execute_capstone" ->
+      s"""WITH RECURSIVE $blockSizeSweepCtes,
+        |$budgetSweepCtes,
+        |eb_roll2 AS (
+        |  SELECT budget_20ths, min(full_epochs) AS mn
+        |  FROM eb_sweep GROUP BY budget_20ths),
+        |$deltaSweepCtes,
+        |dl_b05 AS (
+        |  SELECT source, full_epochs AS fe5
+        |  FROM dl_sweep WHERE delta = 0.5),
+        |dl_nd AS (
+        |  SELECT s.delta,
+        |    CAST(sum(CASE WHEN s.full_epochs <> d5.fe5 THEN 1 ELSE 0
+        |      END) AS BIGINT) AS ndiff
+        |  FROM dl_sweep s JOIN dl_b05 d5 USING (source)
+        |  GROUP BY s.delta),
+        |cfg AS (
+        |  SELECT '1_default' AS config, CAST(2 AS BIGINT) AS dd,
+        |    CAST(47 AS BIGINT) AS b20, CAST(64 AS BIGINT) AS bs
+        |  UNION ALL
+        |  SELECT '2_picked',
+        |    (SELECT CAST(CASE WHEN min(delta) = 0.25 THEN 4
+        |       WHEN min(delta) = 1.0 THEN 1 ELSE 2 END AS BIGINT)
+        |     FROM dl_nd WHERE ndiff = 0),
+        |    COALESCE((SELECT min(budget_20ths) FROM eb_roll2
+        |              WHERE mn >= 2), 47),
+        |    COALESCE((SELECT CAST(min(block_size) AS BIGINT)
+        |              FROM bs_sweep WHERE n_overfull = 0), 64)),
+        |ctt AS (SELECT CAST(sum(unique_tokens) AS BIGINT) AS total
+        |        FROM per),
+        |clayers AS (
+        |  SELECT c.config, c.bs, c.b20, c.dd,
+        |    (c.b20 * ctt.total) // 20 AS budget,
+        |    p.source, p.unique_tokens, p.weight_ppm,
+        |    CAST(e.epoch AS INTEGER) AS epoch,
+        |    p.weight_ppm * (CASE e.epoch
+        |      WHEN 1 THEN c.dd * c.dd * c.dd
+        |      WHEN 2 THEN c.dd * c.dd
+        |      WHEN 3 THEN c.dd ELSE CAST(1 AS BIGINT) END)
+        |      AS value_scaled
+        |  FROM per p CROSS JOIN generate_series(1, 4) e(epoch)
+        |  CROSS JOIN cfg c CROSS JOIN ctt),
+        |calloc AS (
+        |  SELECT l.*,
+        |    COALESCE(sum(l.unique_tokens) OVER (
+        |      PARTITION BY l.config
+        |      ORDER BY l.value_scaled DESC, l.source ASC, l.epoch ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_prev
+        |  FROM clayers l),
+        |cla AS (
+        |  SELECT *, GREATEST(CAST(0 AS BIGINT),
+        |      LEAST(unique_tokens, budget - cum_prev)) AS layer_alloc
+        |  FROM calloc),
+        |cplan AS (
+        |  SELECT config, source, unique_tokens,
+        |    min(bs) AS bs, min(b20) AS b20, min(dd) AS dd,
+        |    CAST(sum(layer_alloc) AS BIGINT) AS tokens_alloc,
+        |    CAST(sum(CASE WHEN layer_alloc = unique_tokens THEN 1
+        |      ELSE 0 END) AS BIGINT) AS full_epochs
+        |  FROM cla GROUP BY config, source, unique_tokens),
+        |cplan2 AS (
+        |  SELECT *,
+        |    (256 * (tokens_alloc - full_epochs * unique_tokens))
+        |      // unique_tokens AS frac_b256
+        |  FROM cplan),
+        |crep AS (
+        |  SELECT p.config, p.bs, b.doc_id, b.lang AS source, b.n_tokens,
+        |    p.full_epochs + CASE WHEN
+        |      CAST(('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 2))
+        |        AS BIGINT) < p.frac_b256 THEN 1 ELSE 0 END AS repeats
+        |  FROM base b JOIN cplan2 p ON b.lang = p.source),
+        |cpasses AS (
+        |  SELECT config, bs, source, doc_id, n_tokens,
+        |    unnest(range(1, repeats + 1)) AS p
+        |  FROM crep),
+        |cinst AS (
+        |  SELECT config, bs, source,
+        |    p * 10000000 + doc_id AS instance_id, n_tokens
+        |  FROM cpasses),
+        |cdi AS (
+        |  SELECT config, bs, source, instance_id, n_tokens,
+        |    row_number() OVER (PARTITION BY config, source
+        |      ORDER BY instance_id) AS rn
+        |  FROM cinst),
+        |cpk(config, bs, source, rn, n_tokens, block, fill) AS (
+        |  SELECT config, bs, source, rn, n_tokens, CAST(0 AS BIGINT),
+        |    n_tokens
+        |  FROM cdi WHERE rn = 1
+        |  UNION ALL
+        |  SELECT n.config, n.bs, n.source, n.rn, n.n_tokens,
+        |    CASE WHEN p.fill + n.n_tokens <= n.bs THEN p.block
+        |      ELSE p.block + 1 END,
+        |    CASE WHEN p.fill + n.n_tokens <= n.bs
+        |      THEN p.fill + n.n_tokens ELSE n.n_tokens END
+        |  FROM cpk p JOIN cdi n ON n.config = p.config
+        |    AND n.source = p.source AND n.rn = p.rn + 1),
+        |cblk AS (
+        |  SELECT config, bs, source, block, sum(n_tokens) AS used,
+        |    CAST(count(*) AS BIGINT) AS nd
+        |  FROM cpk GROUP BY 1, 2, 3, 4),
+        |cst AS (
+        |  SELECT config, source,
+        |    CAST(sum(nd) AS BIGINT) AS doc_passes,
+        |    CAST(sum(used) AS BIGINT) AS realized_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_blocks,
+        |    CAST(sum(CASE WHEN used > bs THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_overfull,
+        |    CAST(sum(CASE WHEN used <= bs THEN bs - used ELSE 0 END)
+        |      AS BIGINT) AS padding_tokens,
+        |    round(CAST(sum(used) AS DOUBLE)
+        |      / CAST(count(*) * bs AS DOUBLE), 6) AS utilization
+        |  FROM cblk GROUP BY config, source, bs)
+        |SELECT p.config, p.bs AS block_size, p.b20 AS budget_20ths,
+        |  CAST(1 AS DOUBLE) / p.dd AS delta,
+        |  p.source, p.tokens_alloc, p.full_epochs, st.doc_passes,
+        |  st.realized_tokens,
+        |  st.realized_tokens - p.tokens_alloc AS diff_tokens,
+        |  st.n_blocks, st.n_overfull, st.padding_tokens, st.utilization
+        |FROM cplan2 p JOIN cst st USING (config, source)
+        |ORDER BY p.config, p.source""".stripMargin,
+
+    // near-dup-discounted epoch plan: the q204 closure measures the
+    // per-source keep ratio, unique tokens scale by it (HUGEINT exact
+    // integer arithmetic, the DECIMAL(38,0) twin of the Spark side),
+    // and the q197 waterfill replays over raw vs effective counts
+    // under the effective corpus's budget
+    "q211_neardup_discounted_plan" ->
+      """WITH RECURSIVE dbase AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split(text, ' '), w -> w <> '') AS ts
+        |  FROM documents),
+        |corpus AS (
+        |  SELECT doc_id, lang, ts FROM dbase
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, 'xx' AS lang, ts
+        |  FROM dbase WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id, lang, ts
+        |  FROM dbase WHERE doc_id % 5 = 0),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ts) >= 3
+        |      THEN list_distinct(list_transform(range(1, len(ts) - 1),
+        |             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))
+        |      ELSE [array_to_string(ts, ' ')] END AS shingles
+        |  FROM corpus),
+        |sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |shared AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM shared
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE CAST(inter AS DOUBLE)
+        |    / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.7),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+        |reach(id, label) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+        |comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id),
+        |mem AS (
+        |  SELECT comp.id AS doc_id, comp.component AS cluster_id, c.lang
+        |  FROM comp JOIN corpus c ON c.doc_id = comp.id),
+        |pl AS (
+        |  SELECT lang AS source, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM corpus GROUP BY lang),
+        |cl AS (
+        |  SELECT lang AS source, CAST(count(*) AS BIGINT) AS n_clustered
+        |  FROM mem GROUP BY lang),
+        |kp AS (
+        |  SELECT lang AS source, CAST(count(*) AS BIGINT) AS n_kept
+        |  FROM mem WHERE doc_id = cluster_id GROUP BY lang),
+        |eff AS (
+        |  SELECT pl.source, pl.n_docs,
+        |    GREATEST(pl.n_docs - (COALESCE(cl.n_clustered, 0)
+        |      - COALESCE(kp.n_kept, 0)), 0) AS eff_docs
+        |  FROM pl LEFT JOIN cl USING (source)
+        |  LEFT JOIN kp USING (source)),
+        |pr AS (
+        |  SELECT lang AS source,
+        |    CAST(sum(len(ts)) AS BIGINT) AS unique_tokens,
+        |    (1000000 * CAST(sum(CASE WHEN len(ts) >= 20 THEN 1 ELSE 0
+        |      END) AS BIGINT)) // CAST(count(*) AS BIGINT) AS weight_ppm
+        |  FROM corpus GROUP BY lang
+        |  HAVING CAST(sum(len(ts)) AS BIGINT) > 0),
+        |pe AS (
+        |  SELECT p.source,
+        |    CAST((CAST(p.unique_tokens AS HUGEINT) * e.eff_docs)
+        |      // e.n_docs AS BIGINT) AS unique_tokens,
+        |    p.weight_ppm
+        |  FROM pr p JOIN eff e USING (source)
+        |  WHERE CAST((CAST(p.unique_tokens AS HUGEINT) * e.eff_docs)
+        |    // e.n_docs AS BIGINT) > 0),
+        |b AS (SELECT (47 * CAST(sum(unique_tokens) AS BIGINT)) // 20
+        |        AS budget
+        |      FROM pe),
+        |lr AS (
+        |  SELECT p.source, p.unique_tokens, p.weight_ppm,
+        |    CAST(e.epoch AS INTEGER) AS epoch,
+        |    p.weight_ppm * (CAST(1 AS BIGINT) << (4 - e.epoch))
+        |      AS value_scaled
+        |  FROM pr p CROSS JOIN generate_series(1, 4) e(epoch)),
+        |ar AS (
+        |  SELECT l.*, b.budget,
+        |    COALESCE(sum(l.unique_tokens) OVER (
+        |      ORDER BY l.value_scaled DESC, l.source ASC, l.epoch ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_prev
+        |  FROM lr l CROSS JOIN b),
+        |plr AS (
+        |  SELECT source, unique_tokens,
+        |    CAST(sum(GREATEST(CAST(0 AS BIGINT),
+        |      LEAST(unique_tokens, budget - cum_prev))) AS BIGINT)
+        |      AS tokens_alloc,
+        |    CAST(sum(CASE WHEN GREATEST(CAST(0 AS BIGINT),
+        |      LEAST(unique_tokens, budget - cum_prev)) = unique_tokens
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS full_epochs
+        |  FROM ar GROUP BY source, unique_tokens),
+        |ld AS (
+        |  SELECT p.source, p.unique_tokens, p.weight_ppm,
+        |    CAST(e.epoch AS INTEGER) AS epoch,
+        |    p.weight_ppm * (CAST(1 AS BIGINT) << (4 - e.epoch))
+        |      AS value_scaled
+        |  FROM pe p CROSS JOIN generate_series(1, 4) e(epoch)),
+        |ad AS (
+        |  SELECT l.*, b.budget,
+        |    COALESCE(sum(l.unique_tokens) OVER (
+        |      ORDER BY l.value_scaled DESC, l.source ASC, l.epoch ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_prev
+        |  FROM ld l CROSS JOIN b),
+        |pld AS (
+        |  SELECT source, unique_tokens,
+        |    CAST(sum(GREATEST(CAST(0 AS BIGINT),
+        |      LEAST(unique_tokens, budget - cum_prev))) AS BIGINT)
+        |      AS tokens_alloc,
+        |    CAST(sum(CASE WHEN GREATEST(CAST(0 AS BIGINT),
+        |      LEAST(unique_tokens, budget - cum_prev)) = unique_tokens
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS full_epochs
+        |  FROM ad GROUP BY source, unique_tokens)
+        |SELECT r.source, e.n_docs, e.eff_docs,
+        |  r.unique_tokens AS tokens_raw, r.tokens_alloc AS alloc_raw,
+        |  r.full_epochs AS full_epochs_raw,
+        |  round(CAST(r.tokens_alloc AS DOUBLE)
+        |    / CAST(r.unique_tokens AS DOUBLE), 6) AS epochs_raw_r6,
+        |  COALESCE(d.unique_tokens, 0) AS tokens_eff,
+        |  COALESCE(d.tokens_alloc, 0) AS alloc_eff,
+        |  COALESCE(d.full_epochs, 0) AS full_epochs_eff,
+        |  COALESCE(round(CAST(d.tokens_alloc AS DOUBLE)
+        |    / CAST(d.unique_tokens AS DOUBLE), 6), 0.0) AS epochs_eff_r6
+        |FROM plr r JOIN eff e USING (source)
+        |LEFT JOIN pld d USING (source)
+        |ORDER BY r.source""".stripMargin,
+
     // CDC divisor sweep: shared positional pair hashes, per-divisor
     // boundary flags + running sums, then the per-divisor rollup
     "q193_cdc_divisor_sweep" ->

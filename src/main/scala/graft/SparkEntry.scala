@@ -398,10 +398,11 @@ object SparkEntry {
     * audit over portable hashes is q179.
     */
   private def q29(s: SparkSession, d: String): DataFrame =
-    docs(s, d).select(
+    docs(s, d)
+      .select(col("doc_id"), Dedup.shingleHashes(col("text"), 3).as("__sh"))
+      .select(
         col("doc_id"),
-        Dedup.minhashSignature(
-          Dedup.shingleHashes(col("text"), 3), 32).as("sig"))
+        Dedup.minhashSignature(col("__sh"), 32).as("sig"))
       .select(
         col("doc_id"),
         xxhash64(concat_ws(",", transform(col("sig"), v => v.cast("string"))))
@@ -4624,6 +4625,181 @@ object SparkEntry {
       .orderBy("alpha", "source")
   }
 
+  /** Pick→EXECUTE capstone — the decision layer's outputs actually
+    * CONFIGURING the pipeline (the r17 verdict's gap: q206 picks a
+    * block size of 128, yet q208 packs at a hard-coded 64; the layer
+    * decided and nothing executed a decision). The plan→realize→pack
+    * chain (q208's body) runs twice, side by side: at the catalog
+    * defaults (δ = 1/2, budget 47/20ths, 64-token blocks) and at the
+    * values q206's rules pick from their own sweeps — the three
+    * chain-relevant knobs (q202's block size, q203's budget, q207's
+    * δ; q206's fourth row, the LSH banding, configures the dedup
+    * tier, which this chain has no stage to consume). The picks are
+    * re-derived under q206's exact rules (integer comparisons over
+    * the same sweep relations, so exactness inherits from the sweeps'
+    * own hash-exact gates) and collected as three bounded scalars —
+    * the ladder relations are dozens of rows, the [[epochBudget]]
+    * driver-read pattern. The block-size pick carries from doc level
+    * to the instance stream because instances are whole-doc copies
+    * (identical lengths). The read: the picked arm packs with ZERO
+    * overfull blocks and gives every source ≥ 2 full epochs — the two
+    * rules' contracts, now holding in the EXECUTED layout, priced
+    * (padding, utilization, block count) against what the defaults
+    * cost. Scale shape: three ladder sweeps + two q208 chains — each
+    * a bounded-ladder window, a broadcast-join realize with a ≤
+    * maxEpochs explode, and one keyed-packer shuffle.
+    */
+  private def q210(s: SparkSession, d: String): DataFrame = {
+    def cache(df: DataFrame) =
+      graft.operators.CacheRegistry.track(df.persist())
+    // --- the three chain-relevant picks, q206's rules verbatim; each
+    // falls back to the catalog default when no ladder point qualifies
+    // (never on the fixtures — q206 is hash-exact with all rows — but
+    // the oracle COALESCEs identically, so the arms can't diverge)
+    val bsRow = q202(s, d).filter(col("n_overfull") === 0L)
+      .agg(min(col("block_size"))).collect()(0)
+    val pickedBs = if (bsRow.isNullAt(0)) 64L else bsRow.getLong(0)
+    val ebRow = q203(s, d).groupBy("budget_20ths")
+      .agg(min(col("full_epochs")).as("__mn"))
+      .filter(col("__mn") >= 2L)
+      .agg(min(col("budget_20ths"))).collect()(0)
+    val pickedB20 = if (ebRow.isNullAt(0)) 47L else ebRow.getLong(0)
+    val ds = cache(q207(s, d))
+    val d5 = ds.filter(col("delta") === 0.5)
+      .select(col("source"), col("full_epochs").as("__fe5"))
+    val dRow = ds.join(d5, Seq("source")).groupBy("delta")
+      .agg(sum(when(col("full_epochs") =!= col("__fe5"), 1L)
+        .otherwise(0L)).as("__nd"))
+      .filter(col("__nd") === 0L)
+      .agg(min(col("delta"))).collect()(0)
+    // the sweep's arms are the 1/denom family — map the picked double
+    // back to the exact rational the generalized planner takes
+    val pickedDenom =
+      if (dRow.isNullAt(0)) 2L
+      else if (dRow.getDouble(0) == 0.25) 4L
+      else if (dRow.getDouble(0) == 1.0) 1L
+      else 2L
+    // --- the q208 chain, once per configuration
+    val base = cache(epochBase(s, d))
+    val perC = cache(epochPerSource(base))
+    val total = totalUniqueTokens(perC)
+    def arm(label: String, denom: Long, b20: Long, blockSize: Long) = {
+      val plan = graft.operators.Sampling.epochPlanDiscounted(perC,
+        b20 * total / 20L, maxEpochs = 4, deltaNumer = 1L,
+        deltaDenom = denom)
+      val instances = graft.operators.Sampling
+        .epochRealize(base, "doc_id", "lang", plan)
+        .filter(col("repeats") > 0)
+        .withColumn("pass", explode(sequence(lit(1L), col("repeats"))))
+        .select(col("lang"),
+          (col("pass") * 10000000L + col("doc_id")).as("instance_id"),
+          col("n_tokens"))
+      val perBlock = graft.operators.Packing.firstFitBlocksKeyed(
+          instances, "instance_id", "n_tokens", "lang", blockSize)
+        .groupBy(col("lang"), col("block"))
+        .agg(sum(col("n_tokens")).as("used"), count(lit(1)).as("nd"))
+      val packStats = perBlock.groupBy(col("lang").as("source"))
+        .agg(sum(col("nd")).as("doc_passes"),
+          sum(col("used")).as("realized_tokens"),
+          count(lit(1)).as("n_blocks"),
+          sum(when(col("used") > blockSize, 1L).otherwise(0L))
+            .as("n_overfull"),
+          sum(when(col("used") <= blockSize, lit(blockSize) - col("used"))
+            .otherwise(0L)).as("padding_tokens"),
+          round(sum(col("used")).cast("double")
+            / (count(lit(1)) * lit(blockSize)).cast("double"), 6)
+            .as("utilization"))
+      plan.select(col("source"), col("tokens_alloc"), col("full_epochs"))
+        .join(packStats, Seq("source"))
+        .select(lit(label).as("config"),
+          lit(blockSize).as("block_size"),
+          lit(b20).as("budget_20ths"),
+          (lit(1.0) / lit(denom.toDouble)).as("delta"),
+          col("source"), col("tokens_alloc"), col("full_epochs"),
+          col("doc_passes"), col("realized_tokens"),
+          (col("realized_tokens") - col("tokens_alloc")).as("diff_tokens"),
+          col("n_blocks"), col("n_overfull"), col("padding_tokens"),
+          col("utilization"))
+    }
+    arm("1_default", 2L, 47L, 64L)
+      .unionAll(arm("2_picked", pickedDenom, pickedB20, pickedBs))
+      .orderBy("config", "source")
+  }
+
+  /** Near-dup-DISCOUNTED epoch plan — q205's raw-vs-dedup contrast
+    * moved from exact dedup to the MEASURED near-dup mass (the r17
+    * verdict's planner-side connector: q209 feeds the measurement to
+    * the temperature gate; a mirror-heavy source could still buy
+    * EPOCH allocation with near-duplicate tokens). Each source's
+    * unique_tokens is scaled by its measured keep ratio
+    * `eff_docs / n_docs` (what a keep-one-per-cluster drain would
+    * leave — the q204 closure, i.e. the dup-mass telemetry a live
+    * ingest already writes), integer arithmetic widened through
+    * DECIMAL(38,0) so the product is exact for any sub-2^63 token
+    * count (the frac_b256 convention). The waterfill runs over raw vs
+    * effective counts side by side under ONE budget — the effective
+    * corpus's 2.35×, the number a run that HAS measured would use
+    * (the q205 convention), so the contrast isolates the count
+    * relation. The planted 'xx' mirror source measures 100 %
+    * removable → effective tokens 0 → it DROPS from the discounted
+    * plan (alloc_eff reads 0): the epochs its duplicate tokens bought
+    * move to the real sources without running a drain. Scale shape:
+    * one q204 closure + two bounded-ladder windows; the token scaling
+    * is |sources| rows of arithmetic.
+    */
+  private def q211(s: SparkSession, d: String): DataFrame = {
+    val corpus = dupMassCorpus(s, d)
+    val withTok = graft.operators.CacheRegistry.track(
+      corpus.select(col("doc_id"), col("lang"),
+        size(graft.operators.TextAnalysis.tokens(col("text")))
+          .cast("long").as("n_tokens")).persist())
+    val eff = graft.operators.CacheRegistry.track(
+      sourceDupMass(corpus)
+        .select(col("source"), col("n_docs"),
+          greatest(col("n_docs") - col("n_removed"), lit(0L))
+            .as("eff_docs"))
+        .persist())
+    val perRaw = graft.operators.CacheRegistry.track(
+      withTok.groupBy(col("lang").as("source"))
+        .agg(sum(col("n_tokens")).as("unique_tokens"),
+          expr("(1000000 * sum(CASE WHEN n_tokens >= 20 THEN 1 ELSE 0" +
+            " END)) DIV count(*)").as("weight_ppm"))
+        .filter(col("unique_tokens") > 0).persist())
+    val perEff = graft.operators.CacheRegistry.track(
+      perRaw.join(eff, Seq("source"))
+        .select(col("source"),
+          expr("CAST((CAST(unique_tokens AS DECIMAL(38,0)) * eff_docs)" +
+            " DIV n_docs AS BIGINT)").as("unique_tokens"),
+          col("weight_ppm"))
+        .filter(col("unique_tokens") > 0).persist())
+    val budget = epochBudget(perEff)
+    val raw = graft.operators.Sampling.epochPlan(perRaw, budget,
+        maxEpochs = 4)
+      .select(col("source"), col("unique_tokens").as("tokens_raw"),
+        col("tokens_alloc").as("alloc_raw"),
+        col("full_epochs").as("full_epochs_raw"),
+        col("epochs_r6").as("epochs_raw_r6"))
+    val de = graft.operators.Sampling.epochPlan(perEff, budget,
+        maxEpochs = 4)
+      .select(col("source"), col("unique_tokens").as("tokens_eff"),
+        col("tokens_alloc").as("alloc_eff"),
+        col("full_epochs").as("full_epochs_eff"),
+        col("epochs_r6").as("epochs_eff_r6"))
+    // LEFT join: a fully-removable source (the 'xx' mirror) exists in
+    // the raw plan but has no effective-plan row — it reads as zeros,
+    // never as a dropped output row
+    raw.join(eff, Seq("source"))
+      .join(de, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("eff_docs"),
+        col("tokens_raw"), col("alloc_raw"), col("full_epochs_raw"),
+        col("epochs_raw_r6"),
+        coalesce(col("tokens_eff"), lit(0L)).as("tokens_eff"),
+        coalesce(col("alloc_eff"), lit(0L)).as("alloc_eff"),
+        coalesce(col("full_epochs_eff"), lit(0L)).as("full_epochs_eff"),
+        coalesce(col("epochs_eff_r6"), lit(0.0)).as("epochs_eff_r6"))
+      .orderBy("source")
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4835,6 +5011,8 @@ object SparkEntry {
     "q207_epoch_delta_sweep" -> (q207(_, _)),
     "q208_plan_pack_capstone" -> (q208(_, _)),
     "q209_dedup_discounted_mix" -> (q209(_, _)),
+    "q210_pick_execute_capstone" -> (q210(_, _)),
+    "q211_neardup_discounted_plan" -> (q211(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

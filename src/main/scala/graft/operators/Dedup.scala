@@ -383,8 +383,12 @@ object Dedup {
       shingleN: Int = 3, k: Int = 64, bands: Int = 16): DataFrame = {
     require(bands > 0 && k % bands == 0,
       s"k=$k must be a positive multiple of bands=$bands")
-    val sigs = df.select(col(idCol),
-      minhashSignature(shingleHashes(col(textCol), shingleN), k).as("sig"))
+    // shingle hashes projected FIRST so the signature's k-pass outer
+    // lambda re-reads a bound column, never re-derives the hash tree
+    // (minhashSignature's caller contract)
+    val sigs = df
+      .select(col(idCol), shingleHashes(col(textCol), shingleN).as("__sh"))
+      .select(col(idCol), minhashSignature(col("__sh"), k).as("sig"))
     lshBands(sigs, idCol, "sig", bands, k / bands)
   }
 
@@ -832,15 +836,102 @@ object Dedup {
     * affine map is MONOTONIC in h, so every "permutation" would select
     * the same global-min shingle and LSH recall collapses to exact-dup
     * detection only. a*h stays < 2^63 (ANSI-safe).
+    *
+    * SHAPE (r18 — the task-binary lever's per-row half): one nested
+    * transform over a k-element index sequence with the permutation
+    * constants as two k-literal arrays, NOT k separate
+    * `array_min(transform(...))` columns. The old form inlined k
+    * copies of `shingleHashCol`'s whole expression tree into every
+    * stage closure — at the streaming gates' k = 64 that serialized to
+    * the multi-MiB task binaries the catalog's deserialization storms
+    * chewed on (PERFORMANCE.md round 18). Values are bit-identical
+    * (same constants, same mod arithmetic, same order).
+    *
+    * CALLER CONTRACT: `shingleHashCol` sits inside the outer lambda,
+    * so it is evaluated once per permutation (k times per row).
+    * Passing a plain column reference makes that free; passing a
+    * compound expression (the shingleHashes tree) recomputes it k
+    * times per row — project it into a column first (every in-repo
+    * caller does).
     */
   def minhashSignature(shingleHashCol: Column, k: Int): Column = {
-    val perms = permConstants(k).map { case (a, b) =>
+    val (as, bs) = permConstants(k).unzip
+    val aArr = array(as.map(lit): _*)
+    val bArr = array(bs.map(lit): _*)
+    transform(sequence(lit(1), lit(k)), j =>
       array_min(transform(shingleHashCol,
-        h => pmod(h.cast("long").bitwiseAND(lit(0xffffffffL)) * lit(a) + lit(b),
-          lit(MersenneP))))
-    }
-    array(perms: _*)
+        h => pmod(h.cast("long").bitwiseAND(lit(0xffffffffL))
+          * element_at(aArr, j) + element_at(bArr, j),
+          lit(MersenneP)))))
   }
+
+  /** Elementwise-min MinHash signature AGGREGATOR — the array-typed
+    * form of "k min-aggregates over the exploded shingle-hash
+    * relation": one typed fold whose buffer is the k-long running
+    * signature, updated in place with `min(buf_j, (h·a_j + b_j) mod p)`
+    * per input hash. Arithmetic is IDENTICAL to the k named
+    * `min(pmod(h·a_j + b_j, p))` columns it replaces (same
+    * [[permConstants]], same [[MersenneP]], h < 2^32 keeps h·a_j + b_j
+    * inside 63 bits), so every consumer's output is bit-unchanged.
+    *
+    * Why an aggregator and not k codegen min-columns (the r17
+    * PERFORMANCE.md open thread, closed r18): the k-column form puts k
+    * independent `Min(Pmod(...))` Expression trees into EVERY stage
+    * closure of every plan built over the signature relation — the
+    * verify log's largest serialized task binaries (1–2.5 MiB) were
+    * all signature-tier stages, and at catalog scale their
+    * per-stage-per-executor deserialization was the attributed
+    * mechanism behind the q192/q195/q206 scatter band (26–36 s
+    * excursions against 7–10 s floors). This class serializes as one
+    * object holding two k-long constant arrays (~0.5 KB at k = 32).
+    * The trade — the aggregation runs as ObjectHashAggregate instead
+    * of whole-stage-codegen — was measured before committing
+    * (PERFORMANCE.md round 18): the per-row cost is a k-step primitive
+    * loop either way, and the signature stage's wall-clock held while
+    * the task-binary tax fell.
+    */
+  class MinhashSigAgg(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        Long, Array[Long], Array[Long]] {
+    require(k > 0, s"k=$k must be positive")
+    private val as = new Array[Long](k)
+    private val bs = new Array[Long](k)
+    locally {
+      val cs = permConstants(k)
+      var j = 0
+      while (j < k) { as(j) = cs(j)._1; bs(j) = cs(j)._2; j += 1 }
+    }
+    // Long.MaxValue sentinel: every real value is < MersenneP, so the
+    // first reduce overwrites all k slots (groups are never empty —
+    // the aggregation only sees keys that have rows)
+    override def zero: Array[Long] = Array.fill(k)(Long.MaxValue)
+    override def reduce(buf: Array[Long], h: Long): Array[Long] = {
+      var j = 0
+      while (j < k) {
+        val v = (h * as(j) + bs(j)) % MersenneP
+        if (v < buf(j)) buf(j) = v
+        j += 1
+      }
+      buf
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var j = 0
+      while (j < k) { if (b(j) < a(j)) a(j) = b(j); j += 1 }
+      a
+    }
+    override def finish(b: Array[Long]): Array[Long] = b
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** The [[MinhashSigAgg]] fold as a ready-to-agg Column over a 32-bit
+    * hash column: `sig` = the k-value signature array.
+    */
+  def minhashSigAgg(hashCol: Column, k: Int): Column =
+    udaf(new MinhashSigAgg(k),
+      org.apache.spark.sql.Encoders.scalaLong)(hashCol)
 
   /** LSH banding: explode the signature into `bands` rows of
     * (band_id, band_hash) where band_hash fingerprints `rowsPerBand`
@@ -922,21 +1013,16 @@ object Dedup {
           .groupBy(col(idCol)).agg(collect_set(col("h")).as("shset"))
       ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
-    // signature via explode + k codegen'd min-aggregates (faster than the
-    // interpreted per-row minhashSignature fold even counting codegen
-    // warmup); in the large path the explode preserves collect_set's id
-    // partitioning, so the aggregation needs no shuffle
+    // signature via explode + the elementwise-min aggregator (same
+    // values as k named min-aggregates — [[MinhashSigAgg]] — but ONE
+    // small serialized expression instead of k trees per stage
+    // closure, the r18 task-binary lever; still far faster than the
+    // interpreted per-row minhashSignature fold); in the large path
+    // the explode preserves collect_set's id partitioning, so the
+    // aggregation needs no shuffle
     val exploded = sets.select(col(idCol), explode(col("shset")).as("h"))
-    val minAggs = permConstants(numHashes).zipWithIndex.map {
-      case ((a, b), j) =>
-        // mod-prime, like minhashSignature: without it the affine map is
-        // monotonic and every permutation picks the same argmin shingle
-        min(pmod(col("h") * lit(a) + lit(b), lit(MersenneP))).as(s"m$j")
-    }
     val withSig = exploded.groupBy(col(idCol))
-      .agg(minAggs.head, minAggs.tail: _*)
-      .withColumn("sig", array((0 until numHashes).map(j => col(s"m$j")): _*))
-      .select(col(idCol), col("sig"))
+      .agg(minhashSigAgg(col("h"), numHashes).as("sig"))
     val rowsPerBand = numHashes / bands
     val bandTable = lshBands(withSig, idCol, "sig", bands, rowsPerBand)
 
@@ -1019,17 +1105,16 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** Wide minhash signatures (m0..m_{k-1}) over the portable hash
-    * relation: explode-free — `ex` is already long-form, so the
-    * signature is k codegen'd min-aggregates in ONE keyed aggregation.
+  /** Array-typed minhash signatures over the portable hash relation:
+    * explode-free — `ex` is already long-form, so the signature is ONE
+    * keyed [[MinhashSigAgg]] fold producing `sig` (k values; component
+    * j is `element_at(sig, j + 1)`). Values identical to the k named
+    * min-aggregate columns this replaced (r18 — the task-binary
+    * lever; see [[MinhashSigAgg]]).
     */
-  private def portableSigs(ex: DataFrame, numHashes: Int): DataFrame = {
-    val aggs = permConstants(numHashes).zipWithIndex.map {
-      case ((a, b), j) =>
-        min(pmod(col("h") * lit(a) + lit(b), lit(MersenneP))).as(s"m$j")
-    }
-    ex.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
-  }
+  private def portableSigs(ex: DataFrame, numHashes: Int): DataFrame =
+    ex.groupBy(col("id"))
+      .agg(minhashSigAgg(col("h"), numHashes).as("sig"))
 
   /** MinHash-LSH recall audit (the q169 in-catalog-audit pattern,
     * VERDICT r14 order #1a): per exact-Jaccard decile band ≥ the
@@ -1062,7 +1147,8 @@ object Dedup {
         explode(array((0 until bands).map { b =>
           struct(lit(b).as("band_id"),
             concat_ws("_",
-              (0 until r).map(x => col(s"m${b * r + x}")): _*).as("key"))
+              (0 until r).map(x =>
+                element_at(col("sig"), b * r + x + 1)): _*).as("key"))
         }: _*)).as("bd"))
       .select(col("id"), col("bd.band_id").as("band_id"),
         col("bd.key").as("key"))
@@ -1115,7 +1201,8 @@ object Dedup {
           explode(array((0 until bands).map { b =>
             struct(lit(b).as("band_id"),
               concat_ws("_",
-                (0 until r).map(x => col(s"m${b * r + x}")): _*).as("key"))
+                (0 until r).map(x =>
+                  element_at(col("sig"), b * r + x + 1)): _*).as("key"))
           }: _*)).as("bd"))
         .select(col("id"), col("bd.band_id").as("band_id"),
           col("bd.key").as("key"))
@@ -1153,10 +1240,7 @@ object Dedup {
     // persisted: the signature relation joins BOTH pair sides, and
     // Spark does not dedupe common aggregation subtrees across join
     // inputs — uncached, the 32-min-aggregate build would run twice
-    val sig = CacheRegistry.track(portableSigs(ex, numHashes)
-      .select(col("id"),
-        array((0 until numHashes).map(j => col(s"m$j")): _*).as("sig"))
-      .persist())
+    val sig = CacheRegistry.track(portableSigs(ex, numHashes).persist())
     exactJaccardFromHashes(ex, threshold)
       .join(sig.select(col("id").as("id_a"), col("sig").as("sa")),
         Seq("id_a"))

@@ -107,34 +107,11 @@ object CorpusStream {
               graft.operators.Bpe.applyModel(docs, "url", "text", model),
               Seq("url"), "left")
             .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
-          // running corpus frequency telemetry: each drain writes ITS
-          // OWN batch's token CMS under batch_id=N (same exactly-once
-          // overwrite contract as the corpus itself — counters add, so
-          // replay-rewriting a batch's sketch partition cannot
-          // double-count), and [[readCmsSketch]] folds the partitions
-          // back into ONE sketch of everything admitted so far.
-          // sketchDir = null (default) disables; drains are unchanged.
-          if (sketchDir != null)
-            graft.operators.Sketch.cmsSketch(
-                docs.select(explode(graft.operators.TextAnalysis.tokens(
-                  col("text"))).as("tok")),
-                "tok", sketchDepth, sketchWidth)
-              .write.mode("overwrite")
-              .parquet(s"$sketchDir/batch_id=$batchId")
-          // running DISTINCT-token telemetry (the KMV sibling of the
-          // CMS frequency sketch): each drain writes its own batch's
-          // k-minimum-values rows — a pure function of the batch's
-          // token SET, so the same batchId-keyed overwrite replay
-          // contract holds — and [[readKmvSketch]] merges (union, keep
-          // k smallest) into the stream-lifetime distinct estimate.
-          if (kmvDir != null)
-            graft.operators.Sketch.kmvSketch(
-                docs.select(lit("all").as("g"),
-                  explode(graft.operators.TextAnalysis.tokens(
-                    col("text"))).as("tok")),
-                "g", "tok", kmvK)
-              .write.mode("overwrite")
-              .parquet(s"$kmvDir/batch_id=$batchId")
+          // running corpus token telemetry (CMS frequency + KMV
+          // distinct) over the docs this variant ADMITS — here
+          // everything url-deduped ([[writeTokenSketches]]'s contract)
+          writeTokenSketches(docs, sketchDir, sketchDepth, sketchWidth,
+            kmvDir, kmvK, batchId)
           // per-drain DEDUP DECISION telemetry — the collapse-or-not
           // decision surface for a live ingest (contract on
           // [[writeDupMass]]); this variant admits everything
@@ -142,21 +119,16 @@ object CorpusStream {
           if (dupMassDir != null)
             writeDupMass(docs, dupMassDir, dupMassShingleN,
               dupMassThreshold, batchId)
-          // the corpus and both telemetry layouts are all batchId-keyed
+          // the corpus and every telemetry layout are batchId-keyed
           // partition trees, so they all decay into small files; the
-          // sketch dirs consolidate with a RE-AGGREGATING pass (CMS
-          // counters re-sum; KMV buffers re-merge) so the consolidated
-          // partition stays <= its fixed sketch size instead of
-          // accreting one row-set per drain
+          // sketch dirs consolidate with a RE-AGGREGATING pass
+          // ([[compactSketchDirs]]) so the consolidated partition
+          // stays <= its fixed sketch size instead of accreting one
+          // row-set per drain
           maybeCompact(spark, Seq(outDir) ++ Option(dupMassDir),
             compactEvery, batchId)
-          if (sketchDir != null)
-            maybeCompact(spark, Seq(sketchDir), compactEvery, batchId,
-              _.groupBy(col("row"), col("bucket"))
-                .agg(sum(col("c")).as("c")))
-          if (kmvDir != null)
-            maybeCompact(spark, Seq(kmvDir), compactEvery, batchId,
-              mergeKmvRows(_, kmvK))
+          compactSketchDirs(spark, sketchDir, kmvDir, kmvK,
+            compactEvery, batchId)
           // (dup-mass rows rode the identity compaction above: each
           // row is already keyed by (drain_batch, size) — per-drain
           // histograms of different drains must never merge, so NO
@@ -164,6 +136,55 @@ object CorpusStream {
         }
       }
       .start()
+
+  /** The per-drain token-sketch telemetry writes every ingest variant
+    * shares (r18 — the base drain had them since r14; the curated,
+    * fuzzy, and chunked drains now take the same knobs): this drain's
+    * token CMS (frequency) and KMV (distinct) sketches over the docs
+    * the drain ADMITS, each under the same batchId-keyed overwrite
+    * contract as the corpus itself — counters add and the KMV rows are
+    * a pure function of the batch's token set, so a crash-replay
+    * rewrites identical rows instead of double-counting.
+    * [[readCmsSketch]] / [[readKmvSketch]] fold the partitions back
+    * into ONE stream-lifetime sketch. Either dir null disables that
+    * sketch; both null is a no-op (every existing drain unchanged).
+    */
+  private def writeTokenSketches(docs: DataFrame, sketchDir: String,
+      sketchDepth: Int, sketchWidth: Int, kmvDir: String, kmvK: Int,
+      batchId: Long): Unit = {
+    if (sketchDir != null)
+      graft.operators.Sketch.cmsSketch(
+          docs.select(explode(graft.operators.TextAnalysis.tokens(
+            col("text"))).as("tok")),
+          "tok", sketchDepth, sketchWidth)
+        .write.mode("overwrite")
+        .parquet(s"$sketchDir/batch_id=$batchId")
+    if (kmvDir != null)
+      graft.operators.Sketch.kmvSketch(
+          docs.select(lit("all").as("g"),
+            explode(graft.operators.TextAnalysis.tokens(
+              col("text"))).as("tok")),
+          "g", "tok", kmvK)
+        .write.mode("overwrite")
+        .parquet(s"$kmvDir/batch_id=$batchId")
+  }
+
+  /** The sketch layouts' RE-AGGREGATING compaction (CMS counters
+    * re-sum, KMV buffers re-merge — never the identity pass, which
+    * would accrete one row set per drain instead of holding the
+    * sketch's fixed size). Shared by every drain that takes the
+    * sketch-telemetry knobs.
+    */
+  private def compactSketchDirs(spark: SparkSession, sketchDir: String,
+      kmvDir: String, kmvK: Int, compactEvery: Int, batchId: Long): Unit = {
+    if (sketchDir != null)
+      maybeCompact(spark, Seq(sketchDir), compactEvery, batchId,
+        _.groupBy(col("row"), col("bucket"))
+          .agg(sum(col("c")).as("c")))
+    if (kmvDir != null)
+      maybeCompact(spark, Seq(kmvDir), compactEvery, batchId,
+        mergeKmvRows(_, kmvK))
+  }
 
   /** The merged Count-Min sketch of every drain so far: the
     * batchId-keyed per-drain sketches under `dir` re-summed —
@@ -279,7 +300,10 @@ object CorpusStream {
       shingleN: Int = 3, k: Int = 64, bands: Int = 16,
       compactEvery: Int = 0,
       dupMassDir: String = null,
-      dupMassShingleN: Int = 3, dupMassThreshold: Double = 0.7): StreamingQuery =
+      dupMassShingleN: Int = 3, dupMassThreshold: Double = 0.7,
+      sketchDir: String = null,
+      sketchDepth: Int = 4, sketchWidth: Int = 1024,
+      kmvDir: String = null, kmvK: Int = 256): StreamingQuery =
     docStream(spark, warcDir, glob)
       .writeStream
       .outputMode("append")
@@ -289,7 +313,10 @@ object CorpusStream {
         fuzzyBatch(spark, model, outDir, bandIndexDir, shingleN, k,
           bands, compactEvery, dupMassDir = dupMassDir,
           dupMassShingleN = dupMassShingleN,
-          dupMassThreshold = dupMassThreshold)(batch, batchId)
+          dupMassThreshold = dupMassThreshold,
+          sketchDir = sketchDir, sketchDepth = sketchDepth,
+          sketchWidth = sketchWidth, kmvDir = kmvDir, kmvK = kmvK)(
+          batch, batchId)
       }
       .start()
 
@@ -308,7 +335,10 @@ object CorpusStream {
       blockTerms: Seq[String] = Nil, blockPhrases: Seq[String] = Nil,
       nbRefDir: String = null, minNbScore: Double = 0.0,
       dupMassDir: String = null,
-      dupMassShingleN: Int = 3, dupMassThreshold: Double = 0.7)(
+      dupMassShingleN: Int = 3, dupMassThreshold: Double = 0.7,
+      sketchDir: String = null,
+      sketchDepth: Int = 4, sketchWidth: Int = 1024,
+      kmvDir: String = null, kmvK: Int = 256)(
       batch: DataFrame, batchId: Long): Unit = {
     val docs = oneRowPerUrl(batch)
     if (!docs.isEmpty) graft.operators.CacheRegistry.scope {
@@ -328,6 +358,11 @@ object CorpusStream {
           graft.operators.Bpe.applyModel(novel, "url", "text", model),
           Seq("url"), "left")
         .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+      // token-sketch telemetry over the ADMITTED (post-near-dup-gate)
+      // docs — this drain's actual corpus contribution, the same
+      // basis as its dup-mass histogram below
+      writeTokenSketches(novel, sketchDir, sketchDepth, sketchWidth,
+        kmvDir, kmvK, batchId)
       // per-drain dup-mass telemetry over the ADMITTED docs — the
       // near-dup gate runs FIRST (cross-drain index AND within-batch
       // band collisions), so a gate-killed near-dup never reaches the
@@ -340,6 +375,8 @@ object CorpusStream {
           dupMassThreshold, batchId)
       maybeCompact(spark, Seq(bandIndexDir, outDir) ++ Option(dupMassDir),
         compactEvery, batchId)
+      compactSketchDirs(spark, sketchDir, kmvDir, kmvK, compactEvery,
+        batchId)
     }
   }
 
@@ -390,7 +427,10 @@ object CorpusStream {
       nbRefDir: String = null,
       minNbScore: Double = 0.0,
       dupMassDir: String = null,
-      dupMassShingleN: Int = 3, dupMassThreshold: Double = 0.7): StreamingQuery =
+      dupMassShingleN: Int = 3, dupMassThreshold: Double = 0.7,
+      sketchDir: String = null,
+      sketchDepth: Int = 4, sketchWidth: Int = 1024,
+      kmvDir: String = null, kmvK: Int = 256): StreamingQuery =
     graft.sources.WarcReader.readStream(spark, warcDir, glob)
       .filter(col("warc_type") === "response" &&
         col("http_status") === 200 &&
@@ -409,7 +449,9 @@ object CorpusStream {
         curatedBatch(spark, model, outDir, minWords, minStopKinds,
           compactEvery, bigramRefDir, minAvgLogprob,
           blockTerms, blockPhrases, nbRefDir, minNbScore,
-          dupMassDir, dupMassShingleN, dupMassThreshold)(batch, batchId)
+          dupMassDir, dupMassShingleN, dupMassThreshold,
+          sketchDir, sketchDepth, sketchWidth, kmvDir, kmvK)(
+          batch, batchId)
       }
       .start()
 
@@ -424,16 +466,22 @@ object CorpusStream {
       blockTerms: Seq[String] = Nil, blockPhrases: Seq[String] = Nil,
       nbRefDir: String = null, minNbScore: Double = 0.0,
       dupMassDir: String = null,
-      dupMassShingleN: Int = 3, dupMassThreshold: Double = 0.7)(
+      dupMassShingleN: Int = 3, dupMassThreshold: Double = 0.7,
+      sketchDir: String = null,
+      sketchDepth: Int = 4, sketchWidth: Int = 1024,
+      kmvDir: String = null, kmvK: Int = 256)(
       batch: DataFrame, batchId: Long): Unit = {
     val docs = oneRowPerUrl(batch)
     if (!docs.isEmpty) graft.operators.CacheRegistry.scope {
       curateAndWrite(model, outDir, minWords, minStopKinds,
         bigramRefDir, minAvgLogprob, blockTerms, blockPhrases,
         nbRefDir, minNbScore, dupMassDir, dupMassShingleN,
-        dupMassThreshold)(docs, batchId)
+        dupMassThreshold, sketchDir, sketchDepth, sketchWidth,
+        kmvDir, kmvK)(docs, batchId)
       maybeCompact(spark, Seq(outDir) ++ Option(dupMassDir),
         compactEvery, batchId)
+      compactSketchDirs(spark, sketchDir, kmvDir, kmvK, compactEvery,
+        batchId)
     }
   }
 
@@ -468,7 +516,10 @@ object CorpusStream {
       blockTerms: Seq[String] = Nil, blockPhrases: Seq[String] = Nil,
       nbRefDir: String = null, minNbScore: Double = 0.0,
       dupMassDir: String = null,
-      dupMassShingleN: Int = 3, dupMassThreshold: Double = 0.7)(
+      dupMassShingleN: Int = 3, dupMassThreshold: Double = 0.7,
+      sketchDir: String = null,
+      sketchDepth: Int = 4, sketchWidth: Int = 1024,
+      kmvDir: String = null, kmvK: Int = 256)(
       docs: DataFrame, batchId: Long): Unit = {
     val cleaned = graft.operators.TextAnalysis
       .c4LineFilters(docs.select("url", "text"), "text")
@@ -521,6 +572,11 @@ object CorpusStream {
           graft.operators.Bpe.applyModel(adm, "url", "text", model),
           Seq("url"), "left")
         .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+      // token-sketch telemetry over the ADMITTED (post-quality-gate)
+      // docs — the curated chain's gates define the contribution, the
+      // same basis as the dup-mass histogram below
+      writeTokenSketches(adm, sketchDir, sketchDepth, sketchWidth,
+        kmvDir, kmvK, batchId)
       // per-drain dedup-decision telemetry over the ADMITTED docs —
       // what this drain actually contributed to the corpus
       // ([[writeDupMass]]'s contract, post-gate here because the
@@ -560,7 +616,10 @@ object CorpusStream {
       minNbScore: Double = 0.0,
       dupMassDir: String = null,
       dupMassShingleN: Int = 3,
-      dupMassThreshold: Double = 0.7): StreamingQuery =
+      dupMassThreshold: Double = 0.7,
+      sketchDir: String = null,
+      sketchDepth: Int = 4, sketchWidth: Int = 1024,
+      kmvDir: String = null, kmvK: Int = 256): StreamingQuery =
     graft.sources.WarcReader.readStream(spark, warcDir, glob)
       .filter(col("warc_type") === "response" &&
         col("http_status") === 200 &&
@@ -580,7 +639,8 @@ object CorpusStream {
           minWords, minStopKinds, shingleN, k, bands, compactEvery,
           bigramRefDir, minAvgLogprob, blockTerms, blockPhrases,
           nbRefDir, minNbScore, dupMassDir, dupMassShingleN,
-          dupMassThreshold)(batch, batchId)
+          dupMassThreshold, sketchDir, sketchDepth, sketchWidth,
+          kmvDir, kmvK)(batch, batchId)
       }
       .start()
 
@@ -597,7 +657,10 @@ object CorpusStream {
       blockTerms: Seq[String] = Nil, blockPhrases: Seq[String] = Nil,
       nbRefDir: String = null, minNbScore: Double = 0.0,
       dupMassDir: String = null,
-      dupMassShingleN: Int = 3, dupMassThreshold: Double = 0.7)(
+      dupMassShingleN: Int = 3, dupMassThreshold: Double = 0.7,
+      sketchDir: String = null,
+      sketchDepth: Int = 4, sketchWidth: Int = 1024,
+      kmvDir: String = null, kmvK: Int = 256)(
       batch: DataFrame, batchId: Long): Unit = {
     val docs = oneRowPerUrl(batch)
     if (!docs.isEmpty) graft.operators.CacheRegistry.scope {
@@ -612,10 +675,13 @@ object CorpusStream {
       curateAndWrite(model, outDir, minWords, minStopKinds,
         bigramRefDir, minAvgLogprob, blockTerms, blockPhrases,
         nbRefDir, minNbScore, dupMassDir, dupMassShingleN,
-        dupMassThreshold)(novel, batchId)
+        dupMassThreshold, sketchDir, sketchDepth, sketchWidth,
+        kmvDir, kmvK)(novel, batchId)
       maybeCompact(spark,
         Seq(bandIndexDir, outDir) ++ Option(dupMassDir),
         compactEvery, batchId)
+      compactSketchDirs(spark, sketchDir, kmvDir, kmvK, compactEvery,
+        batchId)
     }
   }
 
@@ -745,7 +811,10 @@ object CorpusStream {
       glob: String = "*.warc*", divisor: Int = 8,
       compactEvery: Int = 0,
       dupMassDir: String = null,
-      dupMassShingleN: Int = 3, dupMassThreshold: Double = 0.7): StreamingQuery =
+      dupMassShingleN: Int = 3, dupMassThreshold: Double = 0.7,
+      sketchDir: String = null,
+      sketchDepth: Int = 4, sketchWidth: Int = 1024,
+      kmvDir: String = null, kmvK: Int = 256): StreamingQuery =
     docStream(spark, warcDir, glob)
       .writeStream
       .outputMode("append")
@@ -753,7 +822,8 @@ object CorpusStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         chunkedBatch(spark, manifestDir, chunkStoreDir, divisor,
-          compactEvery, dupMassDir, dupMassShingleN, dupMassThreshold)(
+          compactEvery, dupMassDir, dupMassShingleN, dupMassThreshold,
+          sketchDir, sketchDepth, sketchWidth, kmvDir, kmvK)(
           batch, batchId)
       }
       .start()
@@ -763,7 +833,10 @@ object CorpusStream {
       spark: SparkSession, manifestDir: String, chunkStoreDir: String,
       divisor: Int, compactEvery: Int = 0,
       dupMassDir: String = null,
-      dupMassShingleN: Int = 3, dupMassThreshold: Double = 0.7)(
+      dupMassShingleN: Int = 3, dupMassThreshold: Double = 0.7,
+      sketchDir: String = null,
+      sketchDepth: Int = 4, sketchWidth: Int = 1024,
+      kmvDir: String = null, kmvK: Int = 256)(
       batch: DataFrame, batchId: Long): Unit = {
     val docs = oneRowPerUrl(batch)
     if (!docs.isEmpty) graft.operators.CacheRegistry.scope {
@@ -792,6 +865,14 @@ object CorpusStream {
       chunks.select("url", "chunk_idx", "chunk_fp")
         .withColumn("ingest_batch", lit(batchId))
         .write.mode("overwrite").parquet(s"$manifestDir/batch_id=$batchId")
+      // token-sketch telemetry over the drain's DOCUMENTS — what this
+      // variant manifests (the corpus readChunkedCorpus reassembles),
+      // the same document-level basis as its dup-mass histogram: the
+      // storage-side chunk dedup changes what is STORED, not what the
+      // corpus contains, so the token telemetry must not be filtered
+      // by chunk novelty
+      writeTokenSketches(docs, sketchDir, sketchDepth, sketchWidth,
+        kmvDir, kmvK, batchId)
       // per-drain dup-mass telemetry over the drain's DOCUMENTS (what
       // this variant manifests — its storage-side chunk dedup is a
       // different axis than document near-dup mass, which is exactly
@@ -802,6 +883,8 @@ object CorpusStream {
       maybeCompact(spark,
         Seq(chunkStoreDir, manifestDir) ++ Option(dupMassDir),
         compactEvery, batchId)
+      compactSketchDirs(spark, sketchDir, kmvDir, kmvK, compactEvery,
+        batchId)
     }
   }
 

@@ -887,6 +887,35 @@ class DedupSpec extends SparkSpec {
     assert(dup._4 == 32L && dup._3 == 1.0 && dup._6 == 0.0, dup.toString)
   }
 
+  test("MinhashSigAgg: the elementwise-min aggregator equals a driver " +
+      "replay of the k min-aggregates value for value, and its merge " +
+      "path (partials across many partitions) changes nothing") {
+    val session = spark
+    import session.implicits._
+    val P = 4294967311L
+    val perms = Dedup.permConstants(8)
+    val rows = (1L to 5L).flatMap(id =>
+      (0L until 40L).map(k => (id, (id * 7919L + k * 104729L) % 4294967296L)))
+    val want = rows.groupBy(_._1).map { case (id, hs) =>
+      id -> perms.map { case (a, b) => hs.map(_._2).map(h =>
+        (h * a + b) % P).min }.toVector
+    }
+    def got(df: org.apache.spark.sql.DataFrame): Map[Long, Vector[Long]] =
+      df.groupBy(col("id"))
+        .agg(Dedup.minhashSigAgg(col("h"), 8).as("sig"))
+        .collect()
+        .map(r => r.getAs[Long]("id") ->
+          r.getAs[scala.collection.Seq[Long]]("sig").toVector)
+        .toMap
+    val one = got(rows.toDF("id", "h").coalesce(1))
+    assert(one == want, s"single-partition: $one\nvs $want")
+    // 16 partitions force per-partition partial buffers and the merge
+    // fold at the exchange — result must be identical
+    assert(got(rows.toDF("id", "h").repartition(16)) == one,
+      "merge across partitions must not change the signature")
+    CacheRegistry.drain()
+  }
+
   test("hyperplaneRecallAudit matches a scalar replay of buckets, " +
       "cosines, and per-band recall; exact clones always share the " +
       "bucket") {

@@ -724,6 +724,183 @@ class CorpusStreamSpec extends SparkSpec {
     CacheRegistry.drain()
   }
 
+  test("curated drain token-sketch telemetry: CMS and KMV cover the " +
+      "ADMITTED (post-gate) docs, and the merged per-drain sketches " +
+      "equal one-shot sketches over the written corpus even after the " +
+      "re-aggregating compaction") {
+    val session = spark
+    import session.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("csk-stream")
+    val ckpt = java.nio.file.Files.createTempDirectory("csk-ckpt")
+    val out = java.nio.file.Files.createTempDirectory("csk-out")
+    val skd = java.nio.file.Files.createTempDirectory("csk-sketch")
+    val kvd = java.nio.file.Files.createTempDirectory("csk-kmv")
+    val model = Bpe.learnMerges(Seq("a b ab").toDF("text"), "text", 2)
+    def rec(i: Int, paras: String*): WarcReader.WarcRecord =
+      WarcReader.WarcRecord("response", s"https://x.example/p/$i",
+        "2026-01-01T00:00:00Z", 200, "text/html",
+        (s"<html><body>${paras.map(p => s"<p>$p</p>").mkString}" +
+          "</body></html>").getBytes("UTF-8"))
+    // three proper sentences per page — the C4 page gate drops pages
+    // with fewer than 3 sentences, and the point of this arm is pages
+    // that PASS vs pages the lorem tell kills
+    val s1 = "The first proper sentence has enough words to pass here."
+    val s2 = "Here is the second proper sentence with more words now."
+    val s3 = "And here is the third proper sentence closing the page."
+    def drain(): Unit =
+      CorpusStream.runCurated(spark, dir.toString, model,
+          ckpt.toString, out.toString, minWords = 12, minStopKinds = 1,
+          compactEvery = 1,
+          sketchDir = skd.toString, sketchDepth = 3, sketchWidth = 16,
+          kmvDir = kvd.toString, kmvK = 8)
+        .awaitTermination()
+    // drain 0: one admitted page and one GATE-KILLED page (the lorem
+    // tell) — had the reject leaked into the sketches, its distinct
+    // lorem tokens would shift both
+    java.nio.file.Files.write(dir.resolve("seg-00001.warc.gz"),
+      WarcReader.write(Seq(
+        rec(1, s1, s2, s3),
+        rec(2, s1, s2, s3,
+          "Lorem ipsum dolor sit amet consectetur adipiscing elit.")),
+        gzipPerRecord = true))
+    drain()
+    // drains 1 and 2: one more admitted page each — after drain 2 the
+    // compaction pass has TWO closed partitions (0 and 1) to fold
+    // under a negative coverage id (one closed partition is a no-op)
+    java.nio.file.Files.write(dir.resolve("seg-00002.warc.gz"),
+      WarcReader.write(Seq(
+        rec(3, "A different third sentence with plenty of words here.",
+          s2, s3)), gzipPerRecord = true))
+    drain()
+    java.nio.file.Files.write(dir.resolve("seg-00003.warc.gz"),
+      WarcReader.write(Seq(
+        rec(4, "Yet another page arrives with its own proper words.",
+          s2, s3)), gzipPerRecord = true))
+    drain()
+    def cmsMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Int]("row"),
+        r.getAs[Long]("bucket")) -> r.getAs[Long]("c")).toMap
+    val admitted = spark.read.parquet(out.toString)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    assert(spark.read.parquet(out.toString).count() == 3L,
+      "gate must have rejected the lorem page")
+    assert(cmsMap(CorpusStream.readCmsSketch(spark, skd.toString)) ==
+      cmsMap(graft.operators.Sketch.cmsSketch(admitted, "tok", 3, 16)),
+      "merged CMS must equal the one-shot sketch of the admitted docs")
+    def kmvOf(df: org.apache.spark.sql.DataFrame): Vector[Long] =
+      df.collect().map(r =>
+        r.getAs[scala.collection.Seq[Long]]("kmv").toVector).head
+    assert(kmvOf(CorpusStream.readKmvSketch(spark, kvd.toString, 8)) ==
+      kmvOf(graft.operators.Sketch.kmvSketch(
+        admitted.select(lit("all").as("g"), col("tok")), "g", "tok", 8)),
+      "merged KMV must equal the one-shot sketch of the admitted docs")
+    // the re-aggregating compaction actually ran: drains 0 and 1 were
+    // folded under one negative coverage id in both sketch dirs
+    for (d <- Seq(skd, kvd)) {
+      val parts = new java.io.File(d.toString).listFiles.toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+        .map(_.getName.stripPrefix("batch_id=").toLong).sorted
+      assert(parts == Seq(-3L, 2L), s"$d: $parts")
+    }
+    CacheRegistry.drain()
+  }
+
+  test("fuzzy drain token-sketch telemetry: a gate-killed near-dup " +
+      "never reaches the sketches (ADMITTED semantics), and the merged " +
+      "sketches equal one-shot sketches over the written corpus") {
+    val session = spark
+    import session.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fsk-stream")
+    val ckpt = java.nio.file.Files.createTempDirectory("fsk-ckpt")
+    val out = java.nio.file.Files.createTempDirectory("fsk-out")
+    val bidx = java.nio.file.Files.createTempDirectory("fsk-bidx")
+    val skd = java.nio.file.Files.createTempDirectory("fsk-sketch")
+    val kvd = java.nio.file.Files.createTempDirectory("fsk-kmv")
+    val model = Bpe.learnMerges(Seq("a b ab").toDF("text"), "text", 2)
+    def drain(): Unit =
+      CorpusStream.runFuzzy(spark, dir.toString, model, ckpt.toString,
+          out.toString, bidx.toString,
+          sketchDir = skd.toString, sketchDepth = 3, sketchWidth = 16,
+          kmvDir = kvd.toString, kmvK = 8)
+        .awaitTermination()
+    val longA = (1 to 20).map(k => s"ab token$k").mkString(" ")
+    val longB = (1 to 20).map(k => s"cc other$k").mkString(" ")
+    java.nio.file.Files.write(dir.resolve("seg-00001.warc.gz"),
+      WarcReader.write(Seq(htmlRec(1, longA), htmlRec(2, longB)),
+        gzipPerRecord = true))
+    drain()
+    // drain 1: a near-dup re-crawl of longA (suppressed by the band
+    // index — its tokens must NOT enter the sketches) plus a new doc
+    java.nio.file.Files.write(dir.resolve("seg-00002.warc.gz"),
+      WarcReader.write(Seq(
+        htmlRec(3, longA.split(" ").dropRight(1).mkString(" ")),
+        htmlRec(4, (1 to 20).map(k => s"dd third$k").mkString(" "))),
+        gzipPerRecord = true))
+    drain()
+    def cmsMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Int]("row"),
+        r.getAs[Long]("bucket")) -> r.getAs[Long]("c")).toMap
+    val admitted = spark.read.parquet(out.toString)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    assert(spark.read.parquet(out.toString).count() == 3L,
+      "the near-dup re-crawl must have been suppressed")
+    assert(cmsMap(CorpusStream.readCmsSketch(spark, skd.toString)) ==
+      cmsMap(graft.operators.Sketch.cmsSketch(admitted, "tok", 3, 16)))
+    def kmvOf(df: org.apache.spark.sql.DataFrame): Vector[Long] =
+      df.collect().map(r =>
+        r.getAs[scala.collection.Seq[Long]]("kmv").toVector).head
+    assert(kmvOf(CorpusStream.readKmvSketch(spark, kvd.toString, 8)) ==
+      kmvOf(graft.operators.Sketch.kmvSketch(
+        admitted.select(lit("all").as("g"), col("tok")), "g", "tok", 8)))
+    CacheRegistry.drain()
+  }
+
+  test("chunked drain token-sketch telemetry: the sketches cover the " +
+      "drain's DOCUMENTS (the corpus the manifests reassemble — chunk " +
+      "novelty must not filter them), merged equals one-shot") {
+    val session = spark
+    import session.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ksk-stream")
+    val ckpt = java.nio.file.Files.createTempDirectory("ksk-ckpt")
+    val man = java.nio.file.Files.createTempDirectory("ksk-manifest")
+    val store = java.nio.file.Files.createTempDirectory("ksk-store")
+    val skd = java.nio.file.Files.createTempDirectory("ksk-sketch")
+    val kvd = java.nio.file.Files.createTempDirectory("ksk-kmv")
+    def drain(): Unit =
+      CorpusStream.runChunked(spark, dir.toString, ckpt.toString,
+          man.toString, store.toString, divisor = 4,
+          sketchDir = skd.toString, sketchDepth = 3, sketchWidth = 16,
+          kmvDir = kvd.toString, kmvK = 8)
+        .awaitTermination()
+    val aTxt = (1 to 40).map(i => s"a$i").mkString(" ")
+    // drain 0: a doc; drain 1: a prepended re-crawl whose DOWNSTREAM
+    // chunks are all store-known (near-zero novel chunk mass) — its
+    // tokens must still count in full, because the document landed
+    java.nio.file.Files.write(dir.resolve("seg-00001.warc.gz"),
+      WarcReader.write(Seq(htmlRec(1, aTxt)), gzipPerRecord = true))
+    drain()
+    java.nio.file.Files.write(dir.resolve("seg-00002.warc.gz"),
+      WarcReader.write(Seq(htmlRec(2, "XX " + aTxt)),
+        gzipPerRecord = true))
+    drain()
+    def cmsMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Int]("row"),
+        r.getAs[Long]("bucket")) -> r.getAs[Long]("c")).toMap
+    val docsAll = CorpusStream.readChunkedCorpus(spark, man.toString,
+        store.toString)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    assert(cmsMap(CorpusStream.readCmsSketch(spark, skd.toString)) ==
+      cmsMap(graft.operators.Sketch.cmsSketch(docsAll, "tok", 3, 16)),
+      "document-level sketch must cover re-crawls whose chunks dedup")
+    def kmvOf(df: org.apache.spark.sql.DataFrame): Vector[Long] =
+      df.collect().map(r =>
+        r.getAs[scala.collection.Seq[Long]]("kmv").toVector).head
+    assert(kmvOf(CorpusStream.readKmvSketch(spark, kvd.toString, 8)) ==
+      kmvOf(graft.operators.Sketch.kmvSketch(
+        docsAll.select(lit("all").as("g"), col("tok")), "g", "tok", 8)))
+    CacheRegistry.drain()
+  }
+
   test("curated drain with the perplexity gate: a doc scoring below " +
       "the precomputed threshold under the SAVED bigram reference " +
       "never lands, the same doc lands with the gate off, and the " +
