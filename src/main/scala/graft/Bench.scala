@@ -268,11 +268,11 @@ object Bench {
     // side it gates and its cold-compile ceiling where one applies
     val watchedBars =
       """"watched_bars":{""" +
-        """"q192_dedup_drain_capstone":"15s STEADY at the probe (floor 6.5-6.8s); cold-compile ceiling ~20s; in-catalog excursions are attributed JVM-lifecycle scatter (PERFORMANCE.md r17) - probe before re-opening",""" +
+        """"q192_dedup_drain_capstone":"15s STEADY at the probe (floor re-pinned r18: 7.5-7.9s, 5/5 repeats tight); the r17 scatter mechanism (signature-tier task-binary storms) was structurally removed in r18, so an excursion now IS suspicious - probe before re-opening",""" +
         """"q200_knob_pick_capstone":"~18s steady (recomputes its five sweeps by design; probe floor 9.0-10.9s)",""" +
-        """"q206_knob_pick_extension":"~18s steady (recomputes q195 sig tier + q202 + q203 by design; probe floor 7.4-9.1s)",""" +
+        """"q206_knob_pick_extension":"~18s steady (recomputes q195 sig tier + q202 + q203 by design; probe floor re-pinned r18: 8.4-9.8s)",""" +
         """"q158_curation_pipeline2":"~9s steady (floor ~6.8s)",""" +
-        """"q167_curation_pipeline3":"~9s steady (floor ~7.1s)",""" +
+        """"q167_curation_pipeline3":"~9s steady (floor re-probed r18: 5.5-6.9s; in-catalog drift rides jit_sec, check it first)",""" +
         """"q105_pagerank":"3.5-4.2s steady",""" +
         """"q60_jaccard_prefix_pairs":"~4s steady; cold history is compile-storm swings (24.8s in BENCH_r14)"}"""
     println(f"""{"metric":"summary","value":$total%.2f,"unit":"sec",""" +
