@@ -1877,13 +1877,28 @@ object SparkEntry {
     val corpus = base.unionAll(
       base.filter(col("doc_id") % 9 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
-    val cleaned = TextAnalysis.c4LineFilters(corpus, "text")
-      .filter(col("page_keep"))
-      .select(col("doc_id"), col("clean_text").as("text"))
-    val kept = TextAnalysis.gopherQualityRules(cleaned, "text",
-        minWords = 30, minStopKinds = 1)
-      .filter(col("keep"))
-      .select("doc_id", "text", "n_words")
+    // both gate outputs PERSIST (CacheRegistry scope): c4's clean_text
+    // is a large expression tree, gopher references its text ~20 times
+    // per feature set, and exactDedup branches its input into both
+    // sides of a self-join — unpersisted, the optimizer inlines the
+    // whole upstream chain into every reference (measured r18: ~204
+    // copies of the c4 array_join tree in one plan, a 1.96 MiB task
+    // binary — the catalog's last >1 MiB broadcast — and the chain
+    // recomputed per join branch). The persists are what a production
+    // curation pipeline does at the gate boundary anyway: the
+    // post-gate relations are the small survivors, and the downstream
+    // dedup re-reads them instead of re-running the batteries.
+    val cleaned = graft.operators.CacheRegistry.track(
+      TextAnalysis.c4LineFilters(corpus, "text")
+        .filter(col("page_keep"))
+        .select(col("doc_id"), col("clean_text").as("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val kept = graft.operators.CacheRegistry.track(
+      TextAnalysis.gopherQualityRules(cleaned, "text",
+          minWords = 30, minStopKinds = 1)
+        .filter(col("keep"))
+        .select("doc_id", "text", "n_words")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     Dedup.exactDedup(kept, "doc_id", "text")
       .select(col("doc_id"), col("n_words"))
       .orderBy("doc_id")
