@@ -6049,6 +6049,69 @@ object OracleSql {
         |FROM kept k JOIN tot t USING (alpha)
         |ORDER BY k.alpha, k.source""".stripMargin,
 
+    // epoch-plan drift: the q197 waterfill with the cumulative-batch
+    // arm folded into the window key, the per-(source, batch) counts
+    // aggregated once, and each arm's budget derived from its own
+    // cumulative corpus; drift joins each arm to the 3-batch plan
+    "q212_epoch_plan_drift" ->
+      """WITH dbase AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |perb AS (
+        |  SELECT lang AS source, doc_id % 3 AS b,
+        |    CAST(sum(n_tokens) AS BIGINT) AS tk,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN n_tokens >= 20 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS q
+        |  FROM dbase GROUP BY lang, doc_id % 3),
+        |nbl AS (SELECT CAST(unnest([1, 2, 3]) AS BIGINT) AS nb),
+        |per AS (
+        |  SELECT l.nb, p.source,
+        |    CAST(sum(p.tk) AS BIGINT) AS unique_tokens,
+        |    (1000000 * CAST(sum(p.q) AS BIGINT))
+        |      // CAST(sum(p.n) AS BIGINT) AS weight_ppm
+        |  FROM perb p JOIN nbl l ON p.b < l.nb
+        |  GROUP BY l.nb, p.source
+        |  HAVING CAST(sum(p.tk) AS BIGINT) > 0),
+        |bud AS (
+        |  SELECT nb, (47 * CAST(sum(unique_tokens) AS BIGINT)) // 20
+        |    AS budget
+        |  FROM per GROUP BY nb),
+        |layers AS (
+        |  SELECT p.nb, p.source, p.unique_tokens, p.weight_ppm,
+        |    CAST(e.epoch AS INTEGER) AS epoch,
+        |    p.weight_ppm * (CAST(1 AS BIGINT) << (4 - e.epoch))
+        |      AS value_scaled
+        |  FROM per p CROSS JOIN generate_series(1, 4) e(epoch)),
+        |alloc AS (
+        |  SELECT l.*, b.budget,
+        |    COALESCE(sum(l.unique_tokens) OVER (
+        |      PARTITION BY l.nb
+        |      ORDER BY l.value_scaled DESC, l.source ASC, l.epoch ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_prev
+        |  FROM layers l JOIN bud b USING (nb)),
+        |pln AS (
+        |  SELECT nb, source, unique_tokens,
+        |    CAST(sum(GREATEST(CAST(0 AS BIGINT),
+        |      LEAST(unique_tokens, budget - cum_prev))) AS BIGINT)
+        |      AS tokens_alloc,
+        |    CAST(sum(CASE WHEN GREATEST(CAST(0 AS BIGINT),
+        |      LEAST(unique_tokens, budget - cum_prev)) = unique_tokens
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS full_epochs
+        |  FROM alloc GROUP BY nb, source, unique_tokens),
+        |fin AS (
+        |  SELECT source, full_epochs AS fe3 FROM pln WHERE nb = 3)
+        |SELECT p.nb AS n_batches, p.source, p.unique_tokens,
+        |  p.tokens_alloc, p.full_epochs,
+        |  round(CAST(p.tokens_alloc AS DOUBLE)
+        |    / CAST(p.unique_tokens AS DOUBLE), 6) AS epochs_r6,
+        |  p.full_epochs - f.fe3 AS drift_vs_final
+        |FROM pln p JOIN fin f USING (source)
+        |ORDER BY p.nb, p.source""".stripMargin,
+
     // pick->execute capstone: the three chain-relevant picks re-derived
     // from the SHARED sweep CTE constants (a fix to a sweep's oracle
     // reaches the pick, the decision row, and this execution replay by

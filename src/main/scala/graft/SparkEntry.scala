@@ -4815,6 +4815,58 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  /** Epoch-plan DRIFT under corpus growth — the ingest→planner
+    * connector (q203 sweeps the budget, q207 the discount; nothing
+    * priced the third axis a live pipeline actually moves along: the
+    * CORPUS ITSELF growing as drains land). The corpus arrives in
+    * three deterministic batches (doc_id % 3 — the catalog's plant
+    * convention), and after each landing the run re-plans everything
+    * landed so far under the same policy (δ = 1/2, 2.35× of the
+    * CURRENT corpus, 4-epoch cap — budgets scale with the corpus, the
+    * way a fixed-compute-per-token run actually re-budgets). Output
+    * one row per (n_batches, source) with the plan beside
+    * `drift_vs_final` = full_epochs − the 3-batch plan's full_epochs:
+    * zero everywhere reads "the mixture stabilized by batch 1; plan
+    * early"; a flapping source reads "its allocation is still a
+    * function of arrival order — don't commit compute to it yet".
+    * Scale shape: ONE corpus aggregation into the (source, batch)
+    * relation (|sources|·3 rows, cached); each arm is a bounded
+    * re-aggregation + ladder window; budgets are three bounded driver
+    * reads (the [[epochBudget]] pattern).
+    */
+  private def q212(s: SparkSession, d: String): DataFrame = {
+    def cache(df: DataFrame) =
+      graft.operators.CacheRegistry.track(df.persist())
+    val perB = cache(epochBase(s, d)
+      .groupBy(col("lang").as("source"), (col("doc_id") % 3).as("__b"))
+      .agg(sum(col("n_tokens")).as("__tk"), count(lit(1)).as("__n"),
+        sum(when(col("n_tokens") >= 20, 1L).otherwise(0L)).as("__q")))
+    def perAt(nb: Long) = perB.filter(col("__b") < nb)
+      .groupBy("source")
+      .agg(sum(col("__tk")).as("unique_tokens"),
+        expr("(1000000 * sum(__q)) DIV sum(__n)").as("weight_ppm"))
+      .filter(col("unique_tokens") > 0)
+    val plans = Seq(1L, 2L, 3L).map { nb =>
+      val per = cache(perAt(nb))
+      nb -> cache(graft.operators.Sampling.epochPlan(per,
+        epochBudget(per), maxEpochs = 4))
+    }
+    // slices nest, so every source in an early plan is in the final
+    // one — the join is total by construction
+    val fin = plans.last._2
+      .select(col("source"), col("full_epochs").as("__fe3"))
+    plans.map { case (nb, p) =>
+      p.select(lit(nb).as("n_batches"), col("source"),
+        col("unique_tokens"), col("tokens_alloc"), col("full_epochs"),
+        col("epochs_r6"))
+    }.reduce(_ unionAll _)
+      .join(fin, Seq("source"))
+      .select(col("n_batches"), col("source"), col("unique_tokens"),
+        col("tokens_alloc"), col("full_epochs"), col("epochs_r6"),
+        (col("full_epochs") - col("__fe3")).as("drift_vs_final"))
+      .orderBy("n_batches", "source")
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5028,6 +5080,7 @@ object SparkEntry {
     "q209_dedup_discounted_mix" -> (q209(_, _)),
     "q210_pick_execute_capstone" -> (q210(_, _)),
     "q211_neardup_discounted_plan" -> (q211(_, _)),
+    "q212_epoch_plan_drift" -> (q212(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
