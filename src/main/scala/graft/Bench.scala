@@ -122,15 +122,20 @@ object Bench {
     poolsLine("after_pass2")
     // post-catalog floor probe for the scatter-sensitive watched bar:
     // q192's 15 s bar gates its steady FLOOR, and a single
-    // catalog-context sample scatters ±(the r17-attributed JVM band) —
-    // three extra repeats AFTER the catalog ride the artifact, so a
-    // watched_steady excursion self-attributes from the same JSON line
-    // instead of needing a separate BenchProbe session
-    // 5 repeats (r17 verdict order #7): with 3 and a band-riding scatter
-    // mechanism, min-of-3 is one unlucky run from a false breach; each
-    // repeat is Try-guarded like runPass so a late failure (e.g. OOM
-    // after two full passes) cannot abort main before the summary lines
-    // print — a failed repeat records NEGATIVE elapsed, never a speedup
+    // catalog-context sample scatters with the JVM band — 5 extra
+    // repeats AFTER the catalog ride the artifact (r17 verdict order
+    // #7: with 3 and a band-riding mechanism, min-of-3 is one unlucky
+    // run from a false breach), so a watched_steady excursion
+    // self-attributes from the same JSON line instead of needing a
+    // separate BenchProbe session. Each repeat is Try-guarded like
+    // runPass so a late failure (e.g. OOM after two full passes)
+    // cannot abort main before the summary lines print — a failed
+    // repeat records NEGATIVE elapsed, never a speedup.
+    // WINDOW DEFINITION (changed r18, disclosed): the timed span is
+    // the query alone; the cache drain + GC now happen OUTSIDE it —
+    // the same convention as runPass's windows. r17 floor-probe values
+    // included drain+gc (typically ~0.1-0.5 s) in each repeat; compare
+    // across rounds with that offset in mind.
     val floorProbe = "q192_dedup_drain_capstone"
     val floorRuns = (1 to 5).map { _ =>
       val t0 = System.nanoTime()
@@ -268,7 +273,7 @@ object Bench {
     // side it gates and its cold-compile ceiling where one applies
     val watchedBars =
       """"watched_bars":{""" +
-        """"q192_dedup_drain_capstone":"15s STEADY at the probe (floor re-pinned r18: 7.5-7.9s, 5/5 repeats tight); the r17 scatter mechanism (signature-tier task-binary storms) was structurally removed in r18, so an excursion now IS suspicious - probe before re-opening",""" +
+        """"q192_dedup_drain_capstone":"15s STEADY at the probe (post-catalog probe band ~7-9.1s across both r18 closes, 10/10 repeats inside; isolated floor 6.6-7.5s); the r17 scatter mechanism (signature-tier task-binary storms) was structurally removed in r18, so a repeat past ~10s now IS suspicious - probe before re-opening",""" +
         """"q200_knob_pick_capstone":"~18s steady (recomputes its five sweeps by design; probe floor 9.0-10.9s)",""" +
         """"q206_knob_pick_extension":"~18s steady (recomputes q195 sig tier + q202 + q203 by design; probe floor re-pinned r18: 8.4-9.8s)",""" +
         """"q158_curation_pipeline2":"~9s steady (floor ~6.8s)",""" +

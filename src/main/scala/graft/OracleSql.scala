@@ -6044,8 +6044,9 @@ object OracleSql {
         |  GROUP BY 1, 2, 3, 4, 5),
         |tot AS (SELECT alpha, sum(n_kept) AS tt FROM kept GROUP BY alpha)
         |SELECT k.alpha, k.source, k.n_docs, k.eff_docs, k.thr, k.n_kept,
-        |  round(CAST(k.n_kept AS DOUBLE) / CAST(t.tt AS DOUBLE), 6)
-        |    AS kept_share
+        |  CASE WHEN t.tt = 0 THEN 0.0
+        |    ELSE round(CAST(k.n_kept AS DOUBLE) / CAST(t.tt AS DOUBLE), 6)
+        |  END AS kept_share
         |FROM kept k JOIN tot t USING (alpha)
         |ORDER BY k.alpha, k.source""".stripMargin,
 

@@ -4764,10 +4764,11 @@ object SparkEntry {
     */
   private def q211(s: SparkSession, d: String): DataFrame = {
     val corpus = dupMassCorpus(s, d)
-    val withTok = graft.operators.CacheRegistry.track(
-      corpus.select(col("doc_id"), col("lang"),
-        size(graft.operators.TextAnalysis.tokens(col("text")))
-          .cast("long").as("n_tokens")).persist())
+    // no persist: the tokenized projection has exactly one consumer
+    // (the perRaw aggregation), and `corpus` itself is already cached
+    val withTok = corpus.select(col("doc_id"), col("lang"),
+      size(graft.operators.TextAnalysis.tokens(col("text")))
+        .cast("long").as("n_tokens"))
     val eff = graft.operators.CacheRegistry.track(
       sourceDupMass(corpus)
         .select(col("source"), col("n_docs"),

@@ -848,11 +848,17 @@ object Dedup {
     * (same constants, same mod arithmetic, same order).
     *
     * CALLER CONTRACT: `shingleHashCol` sits inside the outer lambda,
-    * so it is evaluated once per permutation (k times per row).
-    * Passing a plain column reference makes that free; passing a
-    * compound expression (the shingleHashes tree) recomputes it k
-    * times per row — project it into a column first (every in-repo
-    * caller does).
+    * so it is evaluated once per permutation (k times per row) — the
+    * same interpreted per-row cost the old k-column form paid, so this
+    * is size-neutral on runtime. Note that projecting the hash array
+    * into a bound column first does NOT avoid the k evaluations:
+    * CollapseProject re-inlines a once-referenced alias, so the tree
+    * lands back inside the lambda either way. What the binding (and
+    * this shape) buys is the SERIALIZED plan carrying ONE copy of the
+    * tree instead of k — the task-binary lever — not a per-row
+    * speedup. Callers that need the hashes computed once per row
+    * should materialize the relation (persist), as the aggregate-tier
+    * pipelines do.
     */
   def minhashSignature(shingleHashCol: Column, k: Int): Column = {
     val (as, bs) = permConstants(k).unzip
