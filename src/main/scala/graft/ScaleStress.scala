@@ -214,6 +214,19 @@ object ScaleStress {
         .count()
     }
 
+    // round-18 tier: the array-typed signature aggregator (the
+    // task-binary lever replaced k codegen min-columns with ONE
+    // ObjectHashAggregate fold) — this row evidences the fold's scale
+    // shape: per-row cost is a k-step primitive loop, per-group state
+    // is k longs, partial buffers merge elementwise at the exchange,
+    // and replication multiplies groups (docs), not group width.
+    def sigAgg(d: DataFrame): Long =
+      Dedup.shingleSets(d, "doc_id", "text", 3)
+        .select(col("doc_id"), explode(col("shset")).as("h"))
+        .groupBy("doc_id")
+        .agg(Dedup.minhashSigAgg(col("h"), 32).as("sig"))
+        .count()
+
     println(s"[stress] --- base (1x, $sfDir) ---")
     time("bloom_dedup")(bloom(docs))
     time("group_quota")(quota(docs))
@@ -239,6 +252,7 @@ object ScaleStress {
     time("temperature_sweep")(tempSweep(docs))
     time("firstfit_keyed")(firstfitKeyed(docs))
     time("plan_realize")(planRealize(docs))
+    time("minhash_sig_agg")(sigAgg(docs))
     println(s"[stress] --- ${reps}x replicated ---")
     time("bloom_dedup")(bloom(docsN))
     time("group_quota")(quota(docsN))
@@ -264,6 +278,7 @@ object ScaleStress {
     time("temperature_sweep")(tempSweep(docsN))
     time("firstfit_keyed")(firstfitKeyed(docsN))
     time("plan_realize")(planRealize(docsN))
+    time("minhash_sig_agg")(sigAgg(docsN))
     spark.stop()
   }
 }
