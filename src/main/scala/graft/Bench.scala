@@ -46,18 +46,32 @@ object Bench {
     def jitMillis(): Long =
       if (jitBean != null && jitBean.isCompilationTimeMonitoringSupported)
         jitBean.getTotalCompilationTime else 0L
+    // janino source-compiles run synchronously ON THE DRIVER THREAD and
+    // are invisible to both beans above — a codegen-cache miss
+    // mid-window shows up as elapsed time with gc≈0 and jit≈0 (the r12
+    // q60 mystery-stall shape, and the lead suspect for the r18 q200
+    // pass-2 excursion: the judge's fresh-JVM probe put 426 janino
+    // compiles under the one slow repeat). Counting it per window makes
+    // a recompile storm attributable from the artifact alone.
+    def janinoCount(): Long = org.apache.spark.metrics.source
+      .CodegenMetrics.METRIC_COMPILATION_TIME.getCount
 
-    // one catalog pass: per-query (secs, ok, gcSecs, jitSecs); failed
-    // queries report NEGATIVE elapsed so a regression can never read as
-    // a speedup in the summary line; the cache drain and GC happen
-    // OUTSIDE the timing window (bookkeeping, not query cost — the GC
-    // keeps one query's garbage from surfacing as a collection pause
-    // inside a LATER query's window, which produced the r2 one-shot
-    // spikes)
-    def runPass(): Seq[(String, Double, Boolean, Double, Double)] =
+    // per-window measurement record: elapsed (negative iff the query
+    // FAILED — the ok flag is the authoritative read; the sign is kept
+    // only so legacy pass-line consumers can't mistake a failure for a
+    // speedup), plus the three JVM-lifecycle attributions
+    case class W(name: String, secs: Double, ok: Boolean,
+                 gcSecs: Double, jitSecs: Double, janino: Long)
+
+    // one catalog pass; the cache drain and GC happen OUTSIDE the
+    // timing window (bookkeeping, not query cost — the GC keeps one
+    // query's garbage from surfacing as a collection pause inside a
+    // LATER query's window, which produced the r2 one-shot spikes)
+    def runPass(): Seq[W] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val gc0 = gcMillis()
         val jit0 = jitMillis()
+        val jan0 = janinoCount()
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }
@@ -67,6 +81,7 @@ object Bench {
         val secs = (System.nanoTime() - t0) / 1e9
         val gcSecs = (gcMillis() - gc0) / 1e3
         val jitSecs = (jitMillis() - jit0) / 1e3
+        val jan = janinoCount() - jan0
         // BLOCKING drain: a non-blocking unpersist's block removal can
         // still be in flight when the next window opens, and the
         // eviction churn bleeds into a heavy successor's measured time
@@ -75,7 +90,7 @@ object Bench {
         // 2.9/6.5 s tight) — waiting here keeps each window honest
         graft.operators.CacheRegistry.drain(blocking = true)
         System.gc()
-        (name, if (ok) secs else -secs, ok, gcSecs, jitSecs)
+        W(name, if (ok) secs else -secs, ok, gcSecs, jitSecs, jan)
       }
 
     def objOf(vals: Seq[(String, Double)]): String =
@@ -104,14 +119,15 @@ object Bench {
     // names its pass and run ordinal (the r11 "internally ambiguous tail"
     // finding: a truncated unlabeled dict in the captured tail could not
     // be attributed to either pass from the artifact alone)
-    def passLine(pass: String, run: Int,
-                 vals: Seq[(String, Double, Boolean, Double, Double)]): Unit = {
-      val total = vals.collect { case (_, v, true, _, _) => v }.sum
+    def passLine(pass: String, run: Int, vals: Seq[W]): Unit = {
+      val total = vals.collect { case w if w.ok => w.secs }.sum
       println(s"""{"metric":"pass","pass":"$pass","run":$run,""" +
         f""""total_sec":$total%.2f,""" +
-        s""""queries_sec":${objOf(vals.map { case (k, v, _, _, _) => k -> v })},""" +
-        s""""gc_sec":${objOf(vals.map { case (k, _, _, g, _) => k -> g })},""" +
-        s""""jit_sec":${objOf(vals.map { case (k, _, _, _, j) => k -> j })}}""")
+        s""""queries_sec":${objOf(vals.map(w => w.name -> w.secs))},""" +
+        s""""gc_sec":${objOf(vals.map(w => w.name -> w.gcSecs))},""" +
+        s""""jit_sec":${objOf(vals.map(w => w.name -> w.jitSecs))},""" +
+        s""""janino_compiles":${vals.map(w =>
+          s"\"" + w.name + "\":" + w.janino).mkString("{", ",", "}")}}""")
     }
 
     val cold = runPass()
@@ -129,44 +145,66 @@ object Bench {
     // self-attributes from the same JSON line instead of needing a
     // separate BenchProbe session. Each repeat is Try-guarded like
     // runPass so a late failure (e.g. OOM after two full passes)
-    // cannot abort main before the summary lines print — a failed
-    // repeat records NEGATIVE elapsed, never a speedup.
+    // cannot abort main before the summary lines print.
     // WINDOW DEFINITION (changed r18, disclosed): the timed span is
     // the query alone; the cache drain + GC now happen OUTSIDE it —
     // the same convention as runPass's windows. r17 floor-probe values
     // included drain+gc (typically ~0.1-0.5 s) in each repeat; compare
     // across rounds with that offset in mind.
+    // Failure encoding (changed r19, per ADVICE): each repeat records
+    // POSITIVE elapsed always, with a PARALLEL ok-flags array — the old
+    // sign-encoding put a failure into the same numeric array as the
+    // timings, so any consumer computing min() without filtering sign
+    // read the failure as a record-low floor. Each repeat also carries
+    // its own gc/jit/janino split so an excursion repeat (the r18 28.6 s
+    // outlier) self-attributes from the artifact instead of needing a
+    // separate fresh-JVM probe session.
     val floorProbe = "q192_dedup_drain_capstone"
-    val floorRuns = (1 to 5).map { _ =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { SparkEntry.queries(floorProbe)(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] floor probe FAILED: ${e.getMessage}")
-          false
-        }
-      val secs = (System.nanoTime() - t0) / 1e9
-      try {
-        graft.operators.CacheRegistry.drain(blocking = true)
-        System.gc()
-      } catch { case _: Throwable => () }
-      if (ok) secs else -secs
-    }
-    val floorJson = s""""watched_floor_probe":{"$floorProbe":[""" +
-      floorRuns.map(t => f"$t%.3f").mkString(",") + "]},"
-    val qs = objOf(results.map { case (k, v, _, _, _) => k -> v })
-    val colds = objOf(cold.map { case (k, v, _, _, _) => k -> v })
-    val gcs = objOf(results.map { case (k, _, _, g, _) => k -> g })
-    val jits = objOf(results.map { case (k, _, _, _, j) => k -> j })
+    val floorRuns: Seq[(Double, Boolean, Double, Double, Long)] =
+      (1 to 5).map { _ =>
+        val gc0 = gcMillis(); val jit0 = jitMillis()
+        val jan0 = janinoCount()
+        val t0 = System.nanoTime()
+        val ok =
+          try { SparkEntry.queries(floorProbe)(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] floor probe FAILED: ${e.getMessage}")
+            false
+          }
+        val secs = (System.nanoTime() - t0) / 1e9
+        val gcS = (gcMillis() - gc0) / 1e3
+        val jitS = (jitMillis() - jit0) / 1e3
+        val jan = janinoCount() - jan0
+        try {
+          graft.operators.CacheRegistry.drain(blocking = true)
+          System.gc()
+        } catch { case _: Throwable => () }
+        (secs, ok, gcS, jitS, jan)
+      }
+    def arr(f: ((Double, Boolean, Double, Double, Long)) => String): String =
+      floorRuns.map(f).mkString("[", ",", "]")
+    val floorAttrJson =
+      s""""sec":${arr(r => f"${r._1}%.2f")},"ok":${arr(r => r._2.toString)},""" +
+        s""""gc_sec":${arr(r => f"${r._3}%.2f")},""" +
+        s""""jit_sec":${arr(r => f"${r._4}%.2f")},""" +
+        s""""janino":${arr(r => r._5.toString)}"""
+    val floorJson =
+      s""""watched_floor_probe":{"$floorProbe":{$floorAttrJson}},"""
+    val qs = objOf(results.map(w => w.name -> w.secs))
+    val colds = objOf(cold.map(w => w.name -> w.secs))
+    val gcs = objOf(results.map(w => w.name -> w.gcSecs))
+    val jits = objOf(results.map(w => w.name -> w.jitSecs))
+    val jans = results.map(w => s"\"" + w.name + "\":" + w.janino)
+      .mkString("{", ",", "}")
     // cold-pass hygiene too: the r9 cold-total regression (122→155 s
     // with steady IMPROVING) could only be bisected by re-running
     // locally because pass 1's gc/jit split wasn't in the artifact
-    val coldGcs = objOf(cold.map { case (k, _, _, g, _) => k -> g })
-    val coldJits = objOf(cold.map { case (k, _, _, _, j) => k -> j })
-    val failed = results.collect { case (k, _, false, _, _) => s"\"" + k + "\"" }
+    val coldGcs = objOf(cold.map(w => w.name -> w.gcSecs))
+    val coldJits = objOf(cold.map(w => w.name -> w.jitSecs))
+    val failed = results.collect { case w if !w.ok => s"\"" + w.name + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true, _, _) => v }.sum
-    val coldTotal = cold.collect { case (_, v, true, _, _) => v }.sum
+    val total = results.collect { case w if w.ok => w.secs }.sum
+    val coldTotal = cold.collect { case w if w.ok => w.secs }.sum
     // jit-subtracted steady: the catalog's steady total carries a
     // ±15-20 s compile-scatter band at 125+ query shapes (PERFORMANCE.md
     // round-10 probes: q60 read 3.1-25.9 s in-catalog against a 2.0 s
@@ -175,13 +213,13 @@ object Bench {
     // round-over-round comparison should use — catalog growth stops
     // reading as regression. Clamped per-query at 0 so a window where
     // background compilation exceeded elapsed can't go negative.
-    val planTotal = results.collect { case (_, v, true, _, j) =>
-      math.max(0.0, v - j) }.sum
+    val planTotal = results.collect { case w if w.ok =>
+      math.max(0.0, w.secs - w.jitSecs) }.sum
     val heapGb = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       f""""steady_plan_sec":$planTotal%.2f,""" +
       s""""cold_total":$coldTotal,"cold_sec":$colds,""" +
-      s""""gc_sec":$gcs,"jit_sec":$jits,""" +
+      s""""gc_sec":$gcs,"jit_sec":$jits,"janino_compiles":$jans,""" +
       s""""cold_gc_sec":$coldGcs,"cold_jit_sec":$coldJits,"failed":$failed,""" +
       s""""pass_of":{"queries":"steady-run2","cold_sec":"cold-run1"},""" +
       f""""max_heap_gb":$heapGb%.1f,"protocol":"pass2-steady","sf":"$sfDir"}""")
@@ -198,16 +236,15 @@ object Bench {
     // recorded regressions could rule OUT jit from the tail alone but
     // not GC — plan_sec conflated GC pause with real plan cost until
     // the full dict, which tail truncation loses, was consulted)
-    def qObj(pass: String, run: Int)
-            (vals: Seq[(String, Double, Boolean, Double, Double)]): String =
-      vals.map { case (k, v, _, g, j) =>
-        f""""$k":{"sec":$v%.3f,"gc_sec":$g%.3f,"jit_sec":$j%.3f,""" +
-          f""""plan_sec":${math.max(0.0, v - j)}%.3f,""" +
+    def qObj(pass: String, run: Int)(vals: Seq[W]): String =
+      vals.map { w =>
+        f""""${w.name}":{"sec":${w.secs}%.3f,"gc_sec":${w.gcSecs}%.3f,""" +
+          f""""jit_sec":${w.jitSecs}%.3f,"janino":${w.janino},""" +
+          f""""plan_sec":${math.max(0.0, w.secs - w.jitSecs)}%.3f,""" +
           s""""pass":"$pass","run":$run}"""
       }.mkString("{", ",", "}")
-    def top5(pass: String, run: Int)
-            (vals: Seq[(String, Double, Boolean, Double, Double)]): String =
-      qObj(pass, run)(vals.filter(_._3).sortBy(-_._2).take(5))
+    def top5(pass: String, run: Int)(vals: Seq[W]): String =
+      qObj(pass, run)(vals.filter(_.ok).sortBy(-_.secs).take(5))
     // queries with an ordered performance bar (q91 ≤ 0.7 s steady —
     // re-baselined in round 10 from the r6 verdict's 0.5 after three
     // rounds of straddling: the isolated BenchProbe floor over 16
@@ -263,10 +300,10 @@ object Bench {
       // durable tail so the next swing self-attributes (jit vs gc vs
       // plan) from the artifact alone
       "q60_jaccard_prefix_pairs")
-    val watched = qObj("steady", 2)(results.filter(r => watchedNames(r._1)))
+    val watched = qObj("steady", 2)(results.filter(w => watchedNames(w.name)))
     // cold-side watch too: q60's history is COLD-side, and the tail is
     // all the driver durably records
-    val watchedCold = qObj("cold", 1)(cold.filter(r => watchedNames(r._1)))
+    val watchedCold = qObj("cold", 1)(cold.filter(w => watchedNames(w.name)))
     // the bars RIDE THE ARTIFACT (r16 verdict: a pass-1 q192 reading
     // near 17 s re-opened a closed breach for anyone who hadn't read
     // the PERFORMANCE.md paragraph) — every watched bar states which
@@ -291,22 +328,29 @@ object Bench {
       floorJson +
       s""""failed":$failed,"protocol":"pass2-steady","sf":"$sfDir"}""")
     // LAST line, kept SHORT by design (r17 verdict order #2): the driver
-    // records only the TAIL of bench output, and in round 17 the big
-    // summary line above outgrew the capture window — the steady totals
-    // and every watched steady value were lost. This line repeats ONLY
-    // the gated reads (totals + each watched query's steady seconds +
-    // the floor probe), no cold objects, no bars, no per-query dicts,
-    // so whatever the driver truncates, the last ~400 bytes always
-    // carry the numbers the watched bars gate.
+    // records only the TAIL of bench output (~2 KB), and in round 17 the
+    // big summary line above outgrew the capture window — the steady
+    // totals and every watched steady value were lost. This line carries
+    // ONLY the gated reads, but since r19 each watched row carries its
+    // own gc/jit/janino split (r18 verdict order #1: q200 breached its
+    // bar and the durable line could not self-attribute the excursion —
+    // steady-slower-than-cold with no fields to prove compile churn).
+    // Keys are shortened (gc/jit/jan, seconds / compile count) to keep
+    // the whole line ~1.1 KB — inside the capture window with room.
+    // The floor probe's ok[] array is the failure channel (a failed
+    // repeat is ok:false with its real elapsed, never sign-encoded).
     val watchedShort = results
-      .filter(r => watchedNames(r._1)).sortBy(_._1)
-      .map { case (k, v, _, _, _) => f""""$k":$v%.2f""" }
+      .filter(w => watchedNames(w.name)).sortBy(_.name)
+      .map { w =>
+        f""""${w.name}":{"sec":${w.secs}%.2f,"gc":${w.gcSecs}%.2f,""" +
+          f""""jit":${w.jitSecs}%.2f,"jan":${w.janino}}"""
+      }
       .mkString("{", ",", "}")
     println(f"""{"metric":"durable","steady_total_sec":$total%.2f,""" +
       f""""steady_plan_sec":$planTotal%.2f,"cold_total_sec":$coldTotal%.2f,""" +
-      s""""watched_steady_sec":$watchedShort,""" +
-      s""""floor_probe_q192":[${floorRuns.map(t => f"$t%.2f").mkString(",")}],""" +
-      s""""n_failed":${results.count(!_._3)}}""")
+      s""""watched_steady":$watchedShort,""" +
+      s""""floor_probe_q192":{$floorAttrJson},""" +
+      s""""n_failed":${results.count(!_.ok)}}""")
     spark.stop()
   }
 }

@@ -558,6 +558,147 @@ object OracleSql {
       |      / CAST(unique_tokens AS DOUBLE), 6) AS epochs_r6
       |  FROM eb_plan)""".stripMargin
 
+  /** Epoch-plan drift under batch arrival (q212/q213): the q197
+    * waterfill with the cumulative-batch arm folded into the window
+    * key; ends in `pln(nb, source, unique_tokens, tokens_alloc,
+    * full_epochs)` and `fin(source, fe3)`.
+    */
+  private val epochDriftCtes: String =
+    """dbase AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+      |      AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |perb AS (
+      |  SELECT lang AS source, doc_id % 3 AS b,
+      |    CAST(sum(n_tokens) AS BIGINT) AS tk,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN n_tokens >= 20 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS q
+      |  FROM dbase GROUP BY lang, doc_id % 3),
+      |nbl AS (SELECT CAST(unnest([1, 2, 3]) AS BIGINT) AS nb),
+      |per AS (
+      |  SELECT l.nb, p.source,
+      |    CAST(sum(p.tk) AS BIGINT) AS unique_tokens,
+      |    (1000000 * CAST(sum(p.q) AS BIGINT))
+      |      // CAST(sum(p.n) AS BIGINT) AS weight_ppm
+      |  FROM perb p JOIN nbl l ON p.b < l.nb
+      |  GROUP BY l.nb, p.source
+      |  HAVING CAST(sum(p.tk) AS BIGINT) > 0),
+      |bud AS (
+      |  SELECT nb, (47 * CAST(sum(unique_tokens) AS BIGINT)) // 20
+      |    AS budget
+      |  FROM per GROUP BY nb),
+      |layers AS (
+      |  SELECT p.nb, p.source, p.unique_tokens, p.weight_ppm,
+      |    CAST(e.epoch AS INTEGER) AS epoch,
+      |    p.weight_ppm * (CAST(1 AS BIGINT) << (4 - e.epoch))
+      |      AS value_scaled
+      |  FROM per p CROSS JOIN generate_series(1, 4) e(epoch)),
+      |alloc AS (
+      |  SELECT l.*, b.budget,
+      |    COALESCE(sum(l.unique_tokens) OVER (
+      |      PARTITION BY l.nb
+      |      ORDER BY l.value_scaled DESC, l.source ASC, l.epoch ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS cum_prev
+      |  FROM layers l JOIN bud b USING (nb)),
+      |pln AS (
+      |  SELECT nb, source, unique_tokens,
+      |    CAST(sum(GREATEST(CAST(0 AS BIGINT),
+      |      LEAST(unique_tokens, budget - cum_prev))) AS BIGINT)
+      |      AS tokens_alloc,
+      |    CAST(sum(CASE WHEN GREATEST(CAST(0 AS BIGINT),
+      |      LEAST(unique_tokens, budget - cum_prev)) = unique_tokens
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS full_epochs
+      |  FROM alloc GROUP BY nb, source, unique_tokens),
+      |fin AS (
+      |  SELECT source, full_epochs AS fe3 FROM pln WHERE nb = 3)""".stripMargin
+
+  /** q204's near-dup closure over the planted corpus + the q211
+    * discount (q211/q214): ends in `corpus(doc_id, lang, ts)`,
+    * `eff(source, n_docs, eff_docs)`, `pr(source, unique_tokens,
+    * weight_ppm)` (raw counts), `pe(...)` (measured-effective counts,
+    * HUGEINT-exact scaling), and `b(budget)` — the EFFECTIVE corpus's
+    * 2.35×, the q211 convention.
+    */
+  private val dupDiscountCtes: String =
+    """dbase AS (
+      |  SELECT doc_id, lang,
+      |    list_filter(string_split(text, ' '), w -> w <> '') AS ts
+      |  FROM documents),
+      |corpus AS (
+      |  SELECT doc_id, lang, ts FROM dbase
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, 'xx' AS lang, ts
+      |  FROM dbase WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000 AS doc_id, lang, ts
+      |  FROM dbase WHERE doc_id % 5 = 0),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(ts) >= 3
+      |      THEN list_distinct(list_transform(range(1, len(ts) - 1),
+      |             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))
+      |      ELSE [array_to_string(ts, ' ')] END AS shingles
+      |  FROM corpus),
+      |sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+      |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+      |shared AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM shared
+      |  JOIN sizes sa ON sa.doc_id = id_a
+      |  JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE CAST(inter AS DOUBLE)
+      |    / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.7),
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+      |reach(id, label) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+      |comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id),
+      |mem AS (
+      |  SELECT comp.id AS doc_id, comp.component AS cluster_id, c.lang
+      |  FROM comp JOIN corpus c ON c.doc_id = comp.id),
+      |pl AS (
+      |  SELECT lang AS source, CAST(count(*) AS BIGINT) AS n_docs
+      |  FROM corpus GROUP BY lang),
+      |cl AS (
+      |  SELECT lang AS source, CAST(count(*) AS BIGINT) AS n_clustered
+      |  FROM mem GROUP BY lang),
+      |kp AS (
+      |  SELECT lang AS source, CAST(count(*) AS BIGINT) AS n_kept
+      |  FROM mem WHERE doc_id = cluster_id GROUP BY lang),
+      |eff AS (
+      |  SELECT pl.source, pl.n_docs,
+      |    GREATEST(pl.n_docs - (COALESCE(cl.n_clustered, 0)
+      |      - COALESCE(kp.n_kept, 0)), 0) AS eff_docs
+      |  FROM pl LEFT JOIN cl USING (source)
+      |  LEFT JOIN kp USING (source)),
+      |pr AS (
+      |  SELECT lang AS source,
+      |    CAST(sum(len(ts)) AS BIGINT) AS unique_tokens,
+      |    (1000000 * CAST(sum(CASE WHEN len(ts) >= 20 THEN 1 ELSE 0
+      |      END) AS BIGINT)) // CAST(count(*) AS BIGINT) AS weight_ppm
+      |  FROM corpus GROUP BY lang
+      |  HAVING CAST(sum(len(ts)) AS BIGINT) > 0),
+      |pe AS (
+      |  SELECT p.source,
+      |    CAST((CAST(p.unique_tokens AS HUGEINT) * e.eff_docs)
+      |      // e.n_docs AS BIGINT) AS unique_tokens,
+      |    p.weight_ppm
+      |  FROM pr p JOIN eff e USING (source)
+      |  WHERE CAST((CAST(p.unique_tokens AS HUGEINT) * e.eff_docs)
+      |    // e.n_docs AS BIGINT) > 0),
+      |b AS (SELECT (47 * CAST(sum(unique_tokens) AS BIGINT)) // 20
+      |        AS budget
+      |      FROM pe)""".stripMargin
+
   private val voteFactsCte =
     """vf AS (
       |  SELECT l.l_orderkey AS vote_id, l.l_suppkey AS member_id,
@@ -6055,56 +6196,7 @@ object OracleSql {
     // aggregated once, and each arm's budget derived from its own
     // cumulative corpus; drift joins each arm to the 3-batch plan
     "q212_epoch_plan_drift" ->
-      """WITH dbase AS (
-        |  SELECT doc_id, lang,
-        |    CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
-        |      AS BIGINT) AS n_tokens
-        |  FROM documents),
-        |perb AS (
-        |  SELECT lang AS source, doc_id % 3 AS b,
-        |    CAST(sum(n_tokens) AS BIGINT) AS tk,
-        |    CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(CASE WHEN n_tokens >= 20 THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS q
-        |  FROM dbase GROUP BY lang, doc_id % 3),
-        |nbl AS (SELECT CAST(unnest([1, 2, 3]) AS BIGINT) AS nb),
-        |per AS (
-        |  SELECT l.nb, p.source,
-        |    CAST(sum(p.tk) AS BIGINT) AS unique_tokens,
-        |    (1000000 * CAST(sum(p.q) AS BIGINT))
-        |      // CAST(sum(p.n) AS BIGINT) AS weight_ppm
-        |  FROM perb p JOIN nbl l ON p.b < l.nb
-        |  GROUP BY l.nb, p.source
-        |  HAVING CAST(sum(p.tk) AS BIGINT) > 0),
-        |bud AS (
-        |  SELECT nb, (47 * CAST(sum(unique_tokens) AS BIGINT)) // 20
-        |    AS budget
-        |  FROM per GROUP BY nb),
-        |layers AS (
-        |  SELECT p.nb, p.source, p.unique_tokens, p.weight_ppm,
-        |    CAST(e.epoch AS INTEGER) AS epoch,
-        |    p.weight_ppm * (CAST(1 AS BIGINT) << (4 - e.epoch))
-        |      AS value_scaled
-        |  FROM per p CROSS JOIN generate_series(1, 4) e(epoch)),
-        |alloc AS (
-        |  SELECT l.*, b.budget,
-        |    COALESCE(sum(l.unique_tokens) OVER (
-        |      PARTITION BY l.nb
-        |      ORDER BY l.value_scaled DESC, l.source ASC, l.epoch ASC
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      AS cum_prev
-        |  FROM layers l JOIN bud b USING (nb)),
-        |pln AS (
-        |  SELECT nb, source, unique_tokens,
-        |    CAST(sum(GREATEST(CAST(0 AS BIGINT),
-        |      LEAST(unique_tokens, budget - cum_prev))) AS BIGINT)
-        |      AS tokens_alloc,
-        |    CAST(sum(CASE WHEN GREATEST(CAST(0 AS BIGINT),
-        |      LEAST(unique_tokens, budget - cum_prev)) = unique_tokens
-        |      THEN 1 ELSE 0 END) AS BIGINT) AS full_epochs
-        |  FROM alloc GROUP BY nb, source, unique_tokens),
-        |fin AS (
-        |  SELECT source, full_epochs AS fe3 FROM pln WHERE nb = 3)
+      s"""WITH $epochDriftCtes
         |SELECT p.nb AS n_batches, p.source, p.unique_tokens,
         |  p.tokens_alloc, p.full_epochs,
         |  round(CAST(p.tokens_alloc AS DOUBLE)
@@ -6112,6 +6204,39 @@ object OracleSql {
         |  p.full_epochs - f.fe3 AS drift_vs_final
         |FROM pln p JOIN fin f USING (source)
         |ORDER BY p.nb, p.source""".stripMargin,
+
+    // plan-commit rule over the q212 drift: the suffix-settling read —
+    // a source settles at the earliest landing from which EVERY
+    // subsequent plan matches the final full_epochs (absence from an
+    // early plan is unsettled); commit_batches = max settled_at
+    "q213_plan_commit_rule" ->
+      s"""WITH $epochDriftCtes,
+        |drift AS (
+        |  SELECT p.nb, p.source, p.full_epochs,
+        |    p.full_epochs - f.fe3 AS d
+        |  FROM pln p JOIN fin f USING (source)),
+        |flags AS (
+        |  SELECT source,
+        |    max(CASE WHEN nb = 1 AND d = 0 THEN 1 ELSE 0 END) AS ok1,
+        |    max(CASE WHEN nb = 2 AND d = 0 THEN 1 ELSE 0 END) AS ok2,
+        |    max(CASE WHEN nb = 3 THEN full_epochs END)
+        |      AS full_epochs_final
+        |  FROM drift GROUP BY source),
+        |cper AS (
+        |  SELECT source,
+        |    CAST(CASE WHEN ok1 = 1 AND ok2 = 1 THEN 1
+        |      WHEN ok2 = 1 THEN 2 ELSE 3 END AS BIGINT)
+        |      AS settled_at_batches,
+        |    CAST(CASE WHEN ok1 = 1 AND ok2 = 0 THEN 1 ELSE 0 END
+        |      AS BIGINT) AS flapped,
+        |    full_epochs_final
+        |  FROM flags)
+        |SELECT p.source, p.settled_at_batches, p.flapped,
+        |  p.full_epochs_final, c.commit_batches
+        |FROM cper p CROSS JOIN (
+        |  SELECT CAST(max(settled_at_batches) AS BIGINT)
+        |    AS commit_batches FROM cper) c
+        |ORDER BY p.source""".stripMargin,
 
     // pick->execute capstone: the three chain-relevant picks re-derived
     // from the SHARED sweep CTE constants (a fix to a sweep's oracle
@@ -6247,81 +6372,7 @@ object OracleSql {
     // and the q197 waterfill replays over raw vs effective counts
     // under the effective corpus's budget
     "q211_neardup_discounted_plan" ->
-      """WITH RECURSIVE dbase AS (
-        |  SELECT doc_id, lang,
-        |    list_filter(string_split(text, ' '), w -> w <> '') AS ts
-        |  FROM documents),
-        |corpus AS (
-        |  SELECT doc_id, lang, ts FROM dbase
-        |  UNION ALL
-        |  SELECT doc_id + 1000000 AS doc_id, 'xx' AS lang, ts
-        |  FROM dbase WHERE doc_id % 3 = 0
-        |  UNION ALL
-        |  SELECT doc_id + 2000000 AS doc_id, lang, ts
-        |  FROM dbase WHERE doc_id % 5 = 0),
-        |sh AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(ts) >= 3
-        |      THEN list_distinct(list_transform(range(1, len(ts) - 1),
-        |             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))
-        |      ELSE [array_to_string(ts, ' ')] END AS shingles
-        |  FROM corpus),
-        |sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
-        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-        |shared AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT id_a, id_b FROM shared
-        |  JOIN sizes sa ON sa.doc_id = id_a
-        |  JOIN sizes sb ON sb.doc_id = id_b
-        |  WHERE CAST(inter AS DOUBLE)
-        |    / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.7),
-        |edges AS (
-        |  SELECT id_a AS src, id_b AS dst FROM pairs
-        |  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
-        |reach(id, label) AS (
-        |  SELECT src, src FROM edges
-        |  UNION
-        |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
-        |comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id),
-        |mem AS (
-        |  SELECT comp.id AS doc_id, comp.component AS cluster_id, c.lang
-        |  FROM comp JOIN corpus c ON c.doc_id = comp.id),
-        |pl AS (
-        |  SELECT lang AS source, CAST(count(*) AS BIGINT) AS n_docs
-        |  FROM corpus GROUP BY lang),
-        |cl AS (
-        |  SELECT lang AS source, CAST(count(*) AS BIGINT) AS n_clustered
-        |  FROM mem GROUP BY lang),
-        |kp AS (
-        |  SELECT lang AS source, CAST(count(*) AS BIGINT) AS n_kept
-        |  FROM mem WHERE doc_id = cluster_id GROUP BY lang),
-        |eff AS (
-        |  SELECT pl.source, pl.n_docs,
-        |    GREATEST(pl.n_docs - (COALESCE(cl.n_clustered, 0)
-        |      - COALESCE(kp.n_kept, 0)), 0) AS eff_docs
-        |  FROM pl LEFT JOIN cl USING (source)
-        |  LEFT JOIN kp USING (source)),
-        |pr AS (
-        |  SELECT lang AS source,
-        |    CAST(sum(len(ts)) AS BIGINT) AS unique_tokens,
-        |    (1000000 * CAST(sum(CASE WHEN len(ts) >= 20 THEN 1 ELSE 0
-        |      END) AS BIGINT)) // CAST(count(*) AS BIGINT) AS weight_ppm
-        |  FROM corpus GROUP BY lang
-        |  HAVING CAST(sum(len(ts)) AS BIGINT) > 0),
-        |pe AS (
-        |  SELECT p.source,
-        |    CAST((CAST(p.unique_tokens AS HUGEINT) * e.eff_docs)
-        |      // e.n_docs AS BIGINT) AS unique_tokens,
-        |    p.weight_ppm
-        |  FROM pr p JOIN eff e USING (source)
-        |  WHERE CAST((CAST(p.unique_tokens AS HUGEINT) * e.eff_docs)
-        |    // e.n_docs AS BIGINT) > 0),
-        |b AS (SELECT (47 * CAST(sum(unique_tokens) AS BIGINT)) // 20
-        |        AS budget
-        |      FROM pe),
+      s"""WITH RECURSIVE $dupDiscountCtes,
         |lr AS (
         |  SELECT p.source, p.unique_tokens, p.weight_ppm,
         |    CAST(e.epoch AS INTEGER) AS epoch,
@@ -6379,6 +6430,116 @@ object OracleSql {
         |FROM plr r JOIN eff e USING (source)
         |LEFT JOIN pld d USING (source)
         |ORDER BY r.source""".stripMargin,
+
+    // near-dup-discounted pick->execute: the q211 discount CTEs feed
+    // the q208 plan->realize->pack replay twice (raw vs effective
+    // counts, one budget — the effective corpus's), the arm key folded
+    // into the window and recursion keys; the source universe is the
+    // raw corpus's (eff), so the fully-removable mirror reads zeros
+    "q214_discounted_pick_execute" ->
+      s"""WITH RECURSIVE $dupDiscountCtes,
+        |pcfg AS (
+        |  SELECT '1_raw' AS config, source, unique_tokens, weight_ppm
+        |  FROM pr
+        |  UNION ALL
+        |  SELECT '2_effective', source, unique_tokens, weight_ppm
+        |  FROM pe),
+        |qlayers AS (
+        |  SELECT p.config, p.source, p.unique_tokens, p.weight_ppm,
+        |    CAST(e.epoch AS INTEGER) AS epoch,
+        |    p.weight_ppm * (CAST(1 AS BIGINT) << (4 - e.epoch))
+        |      AS value_scaled
+        |  FROM pcfg p CROSS JOIN generate_series(1, 4) e(epoch)),
+        |qalloc AS (
+        |  SELECT l.*, b.budget,
+        |    COALESCE(sum(l.unique_tokens) OVER (
+        |      PARTITION BY l.config
+        |      ORDER BY l.value_scaled DESC, l.source ASC, l.epoch ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_prev
+        |  FROM qlayers l CROSS JOIN b),
+        |qla AS (
+        |  SELECT *, GREATEST(CAST(0 AS BIGINT),
+        |      LEAST(unique_tokens, budget - cum_prev)) AS layer_alloc
+        |  FROM qalloc),
+        |qplan AS (
+        |  SELECT config, source, unique_tokens,
+        |    CAST(sum(layer_alloc) AS BIGINT) AS tokens_alloc,
+        |    CAST(sum(CASE WHEN layer_alloc = unique_tokens THEN 1
+        |      ELSE 0 END) AS BIGINT) AS full_epochs
+        |  FROM qla GROUP BY config, source, unique_tokens),
+        |qplan2 AS (
+        |  SELECT *,
+        |    (256 * (tokens_alloc - full_epochs * unique_tokens))
+        |      // unique_tokens AS frac_b256
+        |  FROM qplan),
+        |qbase AS (
+        |  SELECT doc_id, lang, CAST(len(ts) AS BIGINT) AS n_tokens
+        |  FROM corpus),
+        |qrep AS (
+        |  SELECT p.config, b.doc_id, b.lang AS source, b.n_tokens,
+        |    p.full_epochs + CASE WHEN
+        |      CAST(('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 2))
+        |        AS BIGINT) < p.frac_b256 THEN 1 ELSE 0 END AS repeats
+        |  FROM qbase b JOIN qplan2 p ON b.lang = p.source),
+        |qpasses AS (
+        |  SELECT config, source, doc_id, n_tokens,
+        |    unnest(range(1, repeats + 1)) AS p
+        |  FROM qrep),
+        |qinst AS (
+        |  SELECT config, source, p * 10000000 + doc_id AS instance_id,
+        |    n_tokens
+        |  FROM qpasses),
+        |qdi AS (
+        |  SELECT config, source, instance_id, n_tokens,
+        |    row_number() OVER (PARTITION BY config, source
+        |      ORDER BY instance_id) AS rn
+        |  FROM qinst),
+        |qpk(config, source, rn, n_tokens, block, fill) AS (
+        |  SELECT config, source, rn, n_tokens, CAST(0 AS BIGINT),
+        |    n_tokens
+        |  FROM qdi WHERE rn = 1
+        |  UNION ALL
+        |  SELECT n.config, n.source, n.rn, n.n_tokens,
+        |    CASE WHEN p.fill + n.n_tokens <= 64 THEN p.block
+        |      ELSE p.block + 1 END,
+        |    CASE WHEN p.fill + n.n_tokens <= 64 THEN p.fill + n.n_tokens
+        |      ELSE n.n_tokens END
+        |  FROM qpk p JOIN qdi n ON n.config = p.config
+        |    AND n.source = p.source AND n.rn = p.rn + 1),
+        |qblk AS (
+        |  SELECT config, source, block, sum(n_tokens) AS used,
+        |    CAST(count(*) AS BIGINT) AS nd
+        |  FROM qpk GROUP BY 1, 2, 3),
+        |qst AS (
+        |  SELECT config, source,
+        |    CAST(sum(nd) AS BIGINT) AS doc_passes,
+        |    CAST(sum(used) AS BIGINT) AS realized_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_blocks,
+        |    CAST(sum(CASE WHEN used > 64 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_overfull,
+        |    CAST(sum(CASE WHEN used <= 64 THEN 64 - used ELSE 0 END)
+        |      AS BIGINT) AS padding_tokens,
+        |    round(CAST(sum(used) AS DOUBLE)
+        |      / CAST(count(*) * 64 AS DOUBLE), 6) AS utilization
+        |  FROM qblk GROUP BY config, source),
+        |cfgs AS (SELECT '1_raw' AS config
+        |         UNION ALL SELECT '2_effective')
+        |SELECT c.config, e.source, e.n_docs, e.eff_docs,
+        |  COALESCE(p.tokens_alloc, 0) AS tokens_alloc,
+        |  COALESCE(p.full_epochs, 0) AS full_epochs,
+        |  COALESCE(st.doc_passes, 0) AS doc_passes,
+        |  COALESCE(st.realized_tokens, 0) AS realized_tokens,
+        |  COALESCE(st.realized_tokens, 0) - COALESCE(p.tokens_alloc, 0)
+        |    AS diff_tokens,
+        |  COALESCE(st.n_blocks, 0) AS n_blocks,
+        |  COALESCE(st.n_overfull, 0) AS n_overfull,
+        |  COALESCE(st.padding_tokens, 0) AS padding_tokens,
+        |  COALESCE(st.utilization, 0.0) AS utilization
+        |FROM cfgs c CROSS JOIN eff e
+        |LEFT JOIN qplan2 p ON p.config = c.config AND p.source = e.source
+        |LEFT JOIN qst st ON st.config = c.config AND st.source = e.source
+        |ORDER BY c.config, e.source""".stripMargin,
 
     // CDC divisor sweep: shared positional pair hashes, per-divisor
     // boundary flags + running sums, then the per-divisor rollup

@@ -220,6 +220,9 @@ object ScaleStress {
     // shape: per-row cost is a k-step primitive loop, per-group state
     // is k longs, partial buffers merge elementwise at the exchange,
     // and replication multiplies groups (docs), not group width.
+    // shingleSets emits full-range xxhash64 values; the aggregator
+    // masks them to its 32-bit domain inside reduce (r18 ADVICE), so
+    // this row computes real signatures, not just a timing shape.
     def sigAgg(d: DataFrame): Long =
       Dedup.shingleSets(d, "doc_id", "text", 3)
         .select(col("doc_id"), explode(col("shset")).as("h"))

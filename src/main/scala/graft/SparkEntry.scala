@@ -4835,7 +4835,15 @@ object SparkEntry {
     * re-aggregation + ladder window; budgets are three bounded driver
     * reads (the [[epochBudget]] pattern).
     */
-  private def q212(s: SparkSession, d: String): DataFrame = {
+  private def q212(s: SparkSession, d: String): DataFrame =
+    epochDriftRows(s, d).orderBy("n_batches", "source")
+
+  /** q212's drift relation unordered — factored so q213's commit rule
+    * consumes the same rows (the price→pick discipline: the decision
+    * layer reads the pricing relation, never re-derives it under
+    * subtly different arithmetic).
+    */
+  private def epochDriftRows(s: SparkSession, d: String): DataFrame = {
     def cache(df: DataFrame) =
       graft.operators.CacheRegistry.track(df.persist())
     val perB = cache(epochBase(s, d)
@@ -4865,7 +4873,149 @@ object SparkEntry {
       .select(col("n_batches"), col("source"), col("unique_tokens"),
         col("tokens_alloc"), col("full_epochs"), col("epochs_r6"),
         (col("full_epochs") - col("__fe3")).as("drift_vs_final"))
-      .orderBy("n_batches", "source")
+  }
+
+  /** Plan-commit rule over the q212 drift — the decision the drift
+    * relation exists to feed (the r18 verdict's gap: q212 PRICES
+    * plan stability under batch arrival; nothing decided on it —
+    * the same price→pick gap q200 closed for the sweep tier, one
+    * level up at the ingest→planner boundary). Per source:
+    * `settled_at_batches` = the earliest landing from which the
+    * source's full_epochs allocation equals the final plan's AT EVERY
+    * SUBSEQUENT landing (a suffix rule, not a first-hit rule — a
+    * source whose batch-1 plan coincides with the final one but
+    * flaps away at batch 2 has NOT settled at 1; committing compute
+    * on the coincidence is exactly the mistake the rule exists to
+    * prevent). A source missing from an early plan (no tokens landed
+    * yet) is unsettled through that landing — a plan that has never
+    * seen the source cannot have committed to it. `flapped` marks the
+    * non-monotone shape (drift-free at batch 1, drifting at batch 2):
+    * those sources' allocations are functions of arrival order, the
+    * "don't commit compute to it yet" read. The decision scalar rides
+    * every row: `commit_batches` = max settled_at over sources — the
+    * earliest landing after which the WHOLE mixture's plan is final,
+    * i.e. "commit compute now" (1 or 2) vs "the plan is still moving;
+    * wait for the full corpus" (3). Scale shape: one bounded
+    * aggregation over the drift relation (|sources|·3 rows) — the
+    * corpus scan is q212's, shared.
+    */
+  private def q213(s: SparkSession, d: String): DataFrame = {
+    val drift = epochDriftRows(s, d)
+    val flags = drift.groupBy("source")
+      .agg(
+        max(when(col("n_batches") === 1 && col("drift_vs_final") === 0L,
+          1L).otherwise(0L)).as("__ok1"),
+        max(when(col("n_batches") === 2 && col("drift_vs_final") === 0L,
+          1L).otherwise(0L)).as("__ok2"),
+        max(when(col("n_batches") === 3, col("full_epochs")))
+          .as("full_epochs_final"))
+    val per = graft.operators.CacheRegistry.track(flags.select(
+        col("source"),
+        when(col("__ok1") === 1L && col("__ok2") === 1L, 1L)
+          .when(col("__ok2") === 1L, 2L)
+          .otherwise(3L).as("settled_at_batches"),
+        when(col("__ok1") === 1L && col("__ok2") === 0L, 1L)
+          .otherwise(0L).as("flapped"),
+        col("full_epochs_final"))
+      .persist())
+    per.crossJoin(broadcast(
+        per.agg(max(col("settled_at_batches")).as("commit_batches"))))
+      .select(col("source"), col("settled_at_batches"), col("flapped"),
+        col("full_epochs_final"), col("commit_batches"))
+      .orderBy("source")
+  }
+
+  /** Near-dup-discounted pick→execute — the LAST raw-count consumer
+    * closed (the r18 verdict's order #6: q211 discounts the epoch
+    * PLAN and q209 the temperature gate, but the full-chain capstones
+    * q208/q210 still planned on raw counts; a mirror-heavy source
+    * could still buy EXECUTED blocks with duplicate tokens). The
+    * q208 plan→realize→pack chain runs twice over q204's planted
+    * corpus, side by side: once planned on RAW per-source counts,
+    * once on q211's measured-effective counts (unique_tokens scaled
+    * by eff_docs/n_docs through exact DECIMAL(38,0) arithmetic),
+    * both under ONE budget — the effective corpus's 2.35×, the q211
+    * convention, so the contrast isolates the count relation.
+    * Realization runs over the ACTUAL corpus both times (the docs
+    * exist either way — what changes is how many passes the plan
+    * buys each source), so the discounted arm's packed layout is the
+    * one a run that HAS measured its near-dup mass would actually
+    * emit. The planted 'xx' mirror measures 100 % removable →
+    * effective tokens 0 → no plan row → zero passes realize: its row
+    * reads zeros via the q211 LEFT-join convention (never a dropped
+    * row), and the blocks its duplicate tokens bought in the raw arm
+    * move to the real sources. Scale shape: one q204 closure, two
+    * bounded-ladder waterfills, two broadcast-join realizes with
+    * ≤ maxEpochs explodes, two keyed-packer shuffles.
+    */
+  private def q214(s: SparkSession, d: String): DataFrame = {
+    def cache(df: DataFrame) =
+      graft.operators.CacheRegistry.track(df.persist())
+    val corpus = dupMassCorpus(s, d)
+    val base = cache(corpus.select(col("doc_id"), col("lang"),
+      size(graft.operators.TextAnalysis.tokens(col("text")))
+        .cast("long").as("n_tokens")))
+    val eff = cache(sourceDupMass(corpus)
+      .select(col("source"), col("n_docs"),
+        greatest(col("n_docs") - col("n_removed"), lit(0L))
+          .as("eff_docs")))
+    val perRaw = cache(epochPerSource(base))
+    val perEff = cache(perRaw.join(eff, Seq("source"))
+      .select(col("source"),
+        expr("CAST((CAST(unique_tokens AS DECIMAL(38,0)) * eff_docs)" +
+          " DIV n_docs AS BIGINT)").as("unique_tokens"),
+        col("weight_ppm"))
+      .filter(col("unique_tokens") > 0))
+    val budget = epochBudget(perEff)
+    val blockSize = 64L
+    def arm(label: String, per: DataFrame): DataFrame = {
+      val plan = graft.operators.Sampling.epochPlan(per, budget,
+        maxEpochs = 4)
+      val instances = graft.operators.Sampling
+        .epochRealize(base, "doc_id", "lang", plan)
+        .filter(col("repeats") > 0)
+        .withColumn("pass", explode(sequence(lit(1L), col("repeats"))))
+        .select(col("lang"),
+          (col("pass") * 10000000L + col("doc_id")).as("instance_id"),
+          col("n_tokens"))
+      val perBlock = graft.operators.Packing.firstFitBlocksKeyed(
+          instances, "instance_id", "n_tokens", "lang", blockSize)
+        .groupBy(col("lang"), col("block"))
+        .agg(sum(col("n_tokens")).as("used"), count(lit(1)).as("nd"))
+      val packStats = perBlock.groupBy(col("lang").as("source"))
+        .agg(sum(col("nd")).as("doc_passes"),
+          sum(col("used")).as("realized_tokens"),
+          count(lit(1)).as("n_blocks"),
+          sum(when(col("used") > blockSize, 1L).otherwise(0L))
+            .as("n_overfull"),
+          sum(when(col("used") <= blockSize, lit(blockSize) - col("used"))
+            .otherwise(0L)).as("padding_tokens"),
+          round(sum(col("used")).cast("double")
+            / (count(lit(1)) * lit(blockSize)).cast("double"), 6)
+            .as("utilization"))
+      // source universe = the RAW corpus's sources (from eff, which
+      // carries every source): the mirror's discounted row reads
+      // zeros, never drops
+      eff.select(col("source"), col("n_docs"), col("eff_docs"))
+        .join(plan.select(col("source"),
+          col("tokens_alloc"), col("full_epochs")), Seq("source"), "left")
+        .join(packStats, Seq("source"), "left")
+        .select(lit(label).as("config"), col("source"), col("n_docs"),
+          col("eff_docs"),
+          coalesce(col("tokens_alloc"), lit(0L)).as("tokens_alloc"),
+          coalesce(col("full_epochs"), lit(0L)).as("full_epochs"),
+          coalesce(col("doc_passes"), lit(0L)).as("doc_passes"),
+          coalesce(col("realized_tokens"), lit(0L))
+            .as("realized_tokens"),
+          (coalesce(col("realized_tokens"), lit(0L))
+            - coalesce(col("tokens_alloc"), lit(0L))).as("diff_tokens"),
+          coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+          coalesce(col("n_overfull"), lit(0L)).as("n_overfull"),
+          coalesce(col("padding_tokens"), lit(0L)).as("padding_tokens"),
+          coalesce(col("utilization"), lit(0.0)).as("utilization"))
+    }
+    arm("1_raw", perRaw).unionAll(arm("2_effective", perEff))
+      .orderBy("config", "source")
   }
 
   // ------------------------------------------------------------- contract
@@ -5082,6 +5232,8 @@ object SparkEntry {
     "q210_pick_execute_capstone" -> (q210(_, _)),
     "q211_neardup_discounted_plan" -> (q211(_, _)),
     "q212_epoch_plan_drift" -> (q212(_, _)),
+    "q213_plan_commit_rule" -> (q213(_, _)),
+    "q214_discounted_pick_execute" -> (q214(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

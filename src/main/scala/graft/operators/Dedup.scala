@@ -877,8 +877,10 @@ object Dedup {
     * signature, updated in place with `min(buf_j, (h·a_j + b_j) mod p)`
     * per input hash. Arithmetic is IDENTICAL to the k named
     * `min(pmod(h·a_j + b_j, p))` columns it replaces (same
-    * [[permConstants]], same [[MersenneP]], h < 2^32 keeps h·a_j + b_j
-    * inside 63 bits), so every consumer's output is bit-unchanged.
+    * [[permConstants]], same [[MersenneP]]; `reduce` masks the input to
+    * 32 bits so h·a_j + b_j stays inside 63 bits for ANY Long input —
+    * a no-op for the in-contract 0 <= h < 2^32 callers), so every
+    * consumer's output is bit-unchanged.
     *
     * Why an aggregator and not k codegen min-columns (the r17
     * PERFORMANCE.md open thread, closed r18): the k-column form puts k
@@ -912,9 +914,16 @@ object Dedup {
     // the aggregation only sees keys that have rows)
     override def zero: Array[Long] = Array.fill(k)(Long.MaxValue)
     override def reduce(buf: Array[Long], h: Long): Array[Long] = {
+      // mask to the documented 0 <= h < 2^32 domain HERE, not at the
+      // caller: an out-of-range input (e.g. a raw full-range xxhash64)
+      // would overflow h*a_j and Scala's % returns negative remainders,
+      // silently producing garbage signature values. The mask is a
+      // bit-identical no-op for every in-contract input, so production
+      // outputs are unchanged; it makes the aggregator total over Long.
+      val hv = h & 0xffffffffL
       var j = 0
       while (j < k) {
-        val v = (h * as(j) + bs(j)) % MersenneP
+        val v = (hv * as(j) + bs(j)) % MersenneP
         if (v < buf(j)) buf(j) = v
         j += 1
       }

@@ -41,6 +41,94 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object CorpusStream {
 
+  /** Decision-relation knob consumption — the PICK→EXECUTE wire at the
+    * ingest boundary (r18 verdict order #3: the decision layer's sweep
+    * queries pick `minNbScore` from the q188 PR curve, the LSH banding
+    * from the q195 sweep, and the CDC divisor from the q193 sweep, yet
+    * the drains ran at caller-supplied constants — the picks existed
+    * but nothing streaming could consume them).
+    *
+    * `picksDir` points at a plain-parquet PICKS RELATION in the
+    * q200/q206 output shape — at minimum the columns
+    * `(knob: string, chosen: double)`; extra columns (rule,
+    * quality_r6, cost) pass through untouched. Write it with
+    * [[writePicks]] from the decision queries themselves (e.g.
+    * `writePicks(q200Result.unionByName(q206Result, true), dir)`), or
+    * from any relation carrying the two columns. Knobs the drains
+    * read:
+    *
+    *   - `nb_threshold`  → `minNbScore` ([[runCurated]] /
+    *     [[runCuratedFuzzy]] — the q188 PR-curve pick; overrides the
+    *     numeric threshold only, the gate still arms via `nbRefDir`)
+    *   - `lsh_bands`     → `bands` ([[runFuzzy]] / [[runCuratedFuzzy]]
+    *     — the q195 banding pick; `k` stays caller-supplied and must
+    *     stay divisible by the picked band count)
+    *   - `cdc_divisor`   → `divisor` ([[runChunked]] — the q193 pick)
+    *
+    * A knob MISSING from the relation falls back to the caller's
+    * constant (the pre-r19 behavior, so a picks relation covering one
+    * knob configures one knob). A `picksDir` that does not exist or
+    * holds no parquet FAILS FAST — the caller asked for pick-driven
+    * configuration, and silently running at fallback constants is the
+    * misconfiguration this wire exists to remove.
+    *
+    * WHEN the picks are read: ONCE, at stream start (each `run*` call
+    * resolves the knobs before `.start()`), never per micro-batch.
+    * Two reasons, both load-bearing: (1) the fuzzy drains' persisted
+    * band-key index stores `(band_id, band_hash)` rows whose layout is
+    * a pure function of the banding — a mid-stream banding change
+    * would silently desynchronize the suppression join against every
+    * already-written key (re-banding requires rebuilding the index,
+    * which is a restart-shaped operation anyway); (2) the
+    * same-batchId crash-replay contract needs the replayed drain to
+    * re-decide admission identically, so knob values must be stable
+    * across a crash→replay window — the same rule the caller
+    * constants they replace already lived under. A live pipeline
+    * adopts refreshed picks by restarting the drain loop (the
+    * `Trigger.AvailableNow` drains restart per call, so "re-read at
+    * stream start" IS "re-read per drain" for them — each `run*` call
+    * picks up the latest relation).
+    */
+  def readPicks(spark: SparkSession, dir: String): Map[String, Double] =
+    try {
+      spark.read.parquet(dir).select(col("knob"), col("chosen"))
+        .collect()
+        .map(r => r.getString(0) -> r.getDouble(1))
+        .toMap
+    } catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"picksDir=$dir is not a readable picks relation (knob, " +
+            s"chosen); write it with CorpusStream.writePicks — refusing " +
+            s"to silently run at fallback constants", e)
+    }
+
+  /** Persist a decision relation for the drains to consume: any
+    * DataFrame carrying `(knob: string, chosen: double)` — the
+    * q200/q206 output shape — overwritten as plain parquet. Overwrite,
+    * not append: the relation is a SNAPSHOT of the current picks, and
+    * two generations of the same knob in one directory would make the
+    * drain's read ambiguous.
+    */
+  def writePicks(picks: DataFrame, dir: String): Unit =
+    picks.write.mode("overwrite").parquet(dir)
+
+  /** One knob's resolution: the picks value if present (cast through
+    * the relation's double `chosen` column), else the caller constant.
+    * Integer knobs validate that the picked double IS integral — a
+    * fractional band count or divisor is a malformed relation, not a
+    * roundable suggestion.
+    */
+  private def pickInt(picks: Map[String, Double], knob: String,
+      fallback: Int): Int =
+    picks.get(knob) match {
+      case None => fallback
+      case Some(v) =>
+        require(v == math.rint(v) && v >= 1 && v <= Int.MaxValue,
+          s"picked $knob=$v is not a positive integer")
+        v.toInt
+    }
+
   /** The streaming relation of NOVEL documents: `(url, text, fp)` —
     * parsed, text-extracted, fingerprint-deduplicated against every
     * document any earlier batch emitted (checkpointed state).
@@ -303,7 +391,13 @@ object CorpusStream {
       dupMassShingleN: Int = 3, dupMassThreshold: Double = 0.7,
       sketchDir: String = null,
       sketchDepth: Int = 4, sketchWidth: Int = 1024,
-      kmvDir: String = null, kmvK: Int = 256): StreamingQuery =
+      kmvDir: String = null, kmvK: Int = 256,
+      picksDir: String = null): StreamingQuery = {
+    // resolved ONCE at stream start ([[readPicks]]' contract — the
+    // band-index key layout is a function of the banding)
+    val eBands = pickInt(resolvePicks(spark, picksDir), "lsh_bands", bands)
+    require(k % eBands == 0,
+      s"numHashes k=$k must be divisible by the banding bands=$eBands")
     docStream(spark, warcDir, glob)
       .writeStream
       .outputMode("append")
@@ -311,7 +405,7 @@ object CorpusStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         fuzzyBatch(spark, model, outDir, bandIndexDir, shingleN, k,
-          bands, compactEvery, dupMassDir = dupMassDir,
+          eBands, compactEvery, dupMassDir = dupMassDir,
           dupMassShingleN = dupMassShingleN,
           dupMassThreshold = dupMassThreshold,
           sketchDir = sketchDir, sketchDepth = sketchDepth,
@@ -319,6 +413,13 @@ object CorpusStream {
           batch, batchId)
       }
       .start()
+  }
+
+  /** `Map.empty` when no picks dir was supplied; [[readPicks]]'
+    * fail-fast read otherwise. */
+  private def resolvePicks(spark: SparkSession,
+      picksDir: String): Map[String, Double] =
+    if (picksDir == null) Map.empty else readPicks(spark, picksDir)
 
   /** One [[runFuzzy]] micro-batch, factored out so the at-least-once
     * replay contract is directly testable: executing this twice with
@@ -430,7 +531,12 @@ object CorpusStream {
       dupMassShingleN: Int = 3, dupMassThreshold: Double = 0.7,
       sketchDir: String = null,
       sketchDepth: Int = 4, sketchWidth: Int = 1024,
-      kmvDir: String = null, kmvK: Int = 256): StreamingQuery =
+      kmvDir: String = null, kmvK: Int = 256,
+      picksDir: String = null): StreamingQuery = {
+    // the q188 PR-curve pick configures the NB gate's threshold;
+    // resolved once at stream start ([[readPicks]]' contract)
+    val eMinNb = resolvePicks(spark, picksDir)
+      .getOrElse("nb_threshold", minNbScore)
     graft.sources.WarcReader.readStream(spark, warcDir, glob)
       .filter(col("warc_type") === "response" &&
         col("http_status") === 200 &&
@@ -448,12 +554,13 @@ object CorpusStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         curatedBatch(spark, model, outDir, minWords, minStopKinds,
           compactEvery, bigramRefDir, minAvgLogprob,
-          blockTerms, blockPhrases, nbRefDir, minNbScore,
+          blockTerms, blockPhrases, nbRefDir, eMinNb,
           dupMassDir, dupMassShingleN, dupMassThreshold,
           sketchDir, sketchDepth, sketchWidth, kmvDir, kmvK)(
           batch, batchId)
       }
       .start()
+  }
 
   /** One [[runCurated]] micro-batch (factored out like [[fuzzyBatch]]
     * so the at-least-once replay contract is directly testable).
@@ -619,7 +726,16 @@ object CorpusStream {
       dupMassThreshold: Double = 0.7,
       sketchDir: String = null,
       sketchDepth: Int = 4, sketchWidth: Int = 1024,
-      kmvDir: String = null, kmvK: Int = 256): StreamingQuery =
+      kmvDir: String = null, kmvK: Int = 256,
+      picksDir: String = null): StreamingQuery = {
+    // both gated knobs resolve once at stream start ([[readPicks]]'
+    // contract): the q195 banding pick configures the near-dup gate,
+    // the q188 PR-curve pick the NB gate's threshold
+    val picks = resolvePicks(spark, picksDir)
+    val eBands = pickInt(picks, "lsh_bands", bands)
+    require(k % eBands == 0,
+      s"numHashes k=$k must be divisible by the banding bands=$eBands")
+    val eMinNb = picks.getOrElse("nb_threshold", minNbScore)
     graft.sources.WarcReader.readStream(spark, warcDir, glob)
       .filter(col("warc_type") === "response" &&
         col("http_status") === 200 &&
@@ -636,13 +752,14 @@ object CorpusStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         curatedFuzzyBatch(spark, model, outDir, bandIndexDir,
-          minWords, minStopKinds, shingleN, k, bands, compactEvery,
+          minWords, minStopKinds, shingleN, k, eBands, compactEvery,
           bigramRefDir, minAvgLogprob, blockTerms, blockPhrases,
-          nbRefDir, minNbScore, dupMassDir, dupMassShingleN,
+          nbRefDir, eMinNb, dupMassDir, dupMassShingleN,
           dupMassThreshold, sketchDir, sketchDepth, sketchWidth,
           kmvDir, kmvK)(batch, batchId)
       }
       .start()
+  }
 
   /** One [[runCuratedFuzzy]] micro-batch (factored out like
     * [[fuzzyBatch]] so the replay contract is directly testable).
@@ -814,19 +931,27 @@ object CorpusStream {
       dupMassShingleN: Int = 3, dupMassThreshold: Double = 0.7,
       sketchDir: String = null,
       sketchDepth: Int = 4, sketchWidth: Int = 1024,
-      kmvDir: String = null, kmvK: Int = 256): StreamingQuery =
+      kmvDir: String = null, kmvK: Int = 256,
+      picksDir: String = null): StreamingQuery = {
+    // the q193 sweep's pick configures the chunker; resolved once at
+    // stream start ([[readPicks]]' contract — the chunk store's
+    // fingerprints are divisor-dependent, so a mid-stream change
+    // would stop old chunks deduplicating against new ones)
+    val eDivisor = pickInt(resolvePicks(spark, picksDir),
+      "cdc_divisor", divisor)
     docStream(spark, warcDir, glob)
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        chunkedBatch(spark, manifestDir, chunkStoreDir, divisor,
+        chunkedBatch(spark, manifestDir, chunkStoreDir, eDivisor,
           compactEvery, dupMassDir, dupMassShingleN, dupMassThreshold,
           sketchDir, sketchDepth, sketchWidth, kmvDir, kmvK)(
           batch, batchId)
       }
       .start()
+  }
 
   /** One [[runChunked]] micro-batch, factored out for the replay spec. */
   private[streaming] def chunkedBatch(

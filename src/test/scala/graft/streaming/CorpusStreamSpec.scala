@@ -1553,4 +1553,191 @@ class CorpusStreamSpec extends SparkSpec {
         s"originals: $viaStore vs $viaDirect")
     CacheRegistry.drain()
   }
+
+  test("picks→execute at the ingest boundary: the curated drain reads " +
+      "minNbScore from the decision relation's nb_threshold row, the " +
+      "streamed output equals the batch chain at the PICKED threshold, " +
+      "and a knob missing from the relation falls back to the caller " +
+      "constant") {
+    val session = spark
+    import session.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("picks-stream")
+    val ckpt = java.nio.file.Files.createTempDirectory("picks-ckpt")
+    val out = java.nio.file.Files.createTempDirectory("picks-out")
+    val model = Bpe.learnMerges(
+      Seq("abab abab bc cc ab", "bc bc abab cc a b c").toDF("text"),
+      "text", numMerges = 4)
+    val goodParas = Seq(
+      "the quick brown fox jumps over the lazy dog today.",
+      "Here is the second proper sentence now.",
+      "And here is the third proper sentence.")
+    val junkParas = Seq(
+      "the zqpw xvktra qplduv wkrmes jxvnot vztyle bnmdia today.",
+      "Here is the wvqzor kxjpan mnrtle sentence now.",
+      "And here is the pxvkel qjwmus sentence.")
+    val refDir = java.nio.file.Files.createTempDirectory("picks-nb").toString
+    TextAnalysis.saveNbRef(Seq(
+        (true, goodParas.mkString("\n")),
+        (true, "the quick brown fox naps under the old dog."),
+        (false, junkParas.mkString("\n")),
+        (false, "zzqy wwrtk jjplm sentence vvbnm kkrty.")).toDF(
+        "is_curated", "text"),
+      "is_curated", "text", refDir)
+    def rec(i: Int, paras: Seq[String]): WarcReader.WarcRecord =
+      WarcReader.WarcRecord("response", s"https://x.example/k/$i",
+        "2026-01-01T00:00:00Z", 200, "text/html",
+        (s"<html><body>${paras.map(p => s"<p>$p</p>").mkString}" +
+          "</body></html>").getBytes("UTF-8"))
+    java.nio.file.Files.write(dir.resolve("seg-00001.warc.gz"),
+      WarcReader.write(Seq(rec(1, goodParas), rec(2, junkParas)),
+        gzipPerRecord = true))
+    // the decision relation, q200's output shape (extra columns ride
+    // along untouched): nb_threshold = 0.0 — the sign threshold the
+    // q188 PR-curve rule would pick on this seed
+    val picksDir = java.nio.file.Files
+      .createTempDirectory("picks-rel").toString
+    CorpusStream.writePicks(Seq(
+        ("nb_threshold", "smallest threshold with precision >= 1/2",
+          0.0, 0.5, 1L)).toDF(
+        "knob", "rule", "chosen", "quality_r6", "cost"), picksDir)
+    // caller constant is ADMIT-EVERYTHING (-1e9): if the drain ran at
+    // the constant, both docs would land — only the pick rejects junk
+    CorpusStream.runCurated(spark, dir.toString, model, ckpt.toString,
+        out.toString, minWords = 12, minStopKinds = 1,
+        nbRefDir = refDir, minNbScore = -1e9, picksDir = picksDir)
+      .awaitTermination()
+    def rows(d: String): Map[String, Vector[Int]] =
+      spark.read.parquet(d).collect()
+        .map(r => r.getAs[String]("url") ->
+          Option(r.getAs[scala.collection.Seq[Int]]("token_ids"))
+            .map(_.toVector).orNull).toMap
+    val streamed = rows(out.toString)
+    assert(streamed.keySet == Set("https://x.example/k/1"),
+      s"the pick (0.0) must gate junk out: ${streamed.keySet}")
+    // batch-chain parity AT THE PICKED KNOB: the same extraction and
+    // curated chain run directly with minNbScore = 0.0
+    val batchDocs = WarcReader.read(spark, dir.toString + "/*.warc*")
+      .filter(col("warc_type") === "response" &&
+        col("http_status") === 200 &&
+        col("http_content_type").startsWith("text/html"))
+      .select(col("target_uri").as("url"),
+        TextAnalysis.htmlToTextLines(decode(col("body"), "UTF-8"))
+          .as("text"))
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+    val batchOut = java.nio.file.Files.createTempDirectory("picks-batch")
+    CorpusStream.curatedBatch(spark, model, batchOut.toString, 12, 1,
+      compactEvery = 0, bigramRefDir = null, minAvgLogprob = 0.0,
+      blockTerms = Nil, blockPhrases = Nil,
+      nbRefDir = refDir, minNbScore = 0.0)(batchDocs, 0L)
+    assert(streamed == rows(batchOut.toString),
+      "the picks-driven drain must equal the batch chain at the " +
+        "picked threshold")
+    // FALLBACK: a relation NOT carrying nb_threshold leaves the
+    // caller constant in force — admit-everything lands both docs
+    val partialPicks = java.nio.file.Files
+      .createTempDirectory("picks-partial").toString
+    CorpusStream.writePicks(
+      Seq(("cdc_divisor", 16.0)).toDF("knob", "chosen"), partialPicks)
+    val ckpt2 = java.nio.file.Files.createTempDirectory("picks-ckpt2")
+    val out2 = java.nio.file.Files.createTempDirectory("picks-out2")
+    CorpusStream.runCurated(spark, dir.toString, model, ckpt2.toString,
+        out2.toString, minWords = 12, minStopKinds = 1,
+        nbRefDir = refDir, minNbScore = -1e9, picksDir = partialPicks)
+      .awaitTermination()
+    assert(rows(out2.toString).keySet == Set("https://x.example/k/1",
+      "https://x.example/k/2"),
+      "a missing knob must fall back to the caller constant")
+    CacheRegistry.drain()
+  }
+
+  test("picks→execute, chunked and fuzzy drains: cdc_divisor drives " +
+      "the chunker (store equals the batch chunker at the picked " +
+      "divisor), lsh_bands drives the band-key layout, and " +
+      "misconfiguration fails fast (missing dir, fractional or " +
+      "non-dividing banding)") {
+    val session = spark
+    import session.implicits._
+    val model = Bpe.learnMerges(Seq("a b c ab").toDF("text"), "text", 2)
+    val aTxt = (1 to 60).map(i => s"a$i").mkString(" ")
+    val bTxt = (1 to 30).map(i => s"b$i").mkString(" ")
+    val picksDir = java.nio.file.Files
+      .createTempDirectory("picks2-rel").toString
+    CorpusStream.writePicks(Seq(
+        ("cdc_divisor", 4.0), ("lsh_bands", 8.0)).toDF("knob", "chosen"),
+      picksDir)
+    // chunked drain at caller divisor 16, picks say 4: the store must
+    // equal the batch chunker at 4 (and differ from 16's chunking)
+    val dir = java.nio.file.Files.createTempDirectory("picks2-stream")
+    val ckpt = java.nio.file.Files.createTempDirectory("picks2-ckpt")
+    val man = java.nio.file.Files.createTempDirectory("picks2-man")
+    val store = java.nio.file.Files.createTempDirectory("picks2-store")
+    java.nio.file.Files.write(dir.resolve("seg-00001.warc.gz"),
+      WarcReader.write(Seq(htmlRec(1, aTxt), htmlRec(2, bTxt)),
+        gzipPerRecord = true))
+    CorpusStream.runChunked(spark, dir.toString, ckpt.toString,
+        man.toString, store.toString, divisor = 16,
+        picksDir = picksDir)
+      .awaitTermination()
+    def batchFps(divisor: Int): Set[String] =
+      graft.operators.Dedup.cdcChunks(
+          Seq((1L, aTxt), (2L, bTxt)).toDF("doc_id", "text"),
+          "doc_id", "text", divisor)
+        .select("chunk_fp").distinct().collect().map(_.getString(0)).toSet
+    val stored = spark.read.parquet(store.toString)
+      .select("chunk_fp").collect().map(_.getString(0)).toSet
+    assert(batchFps(4) != batchFps(16),
+      "fixture broke: the two divisors must chunk differently")
+    assert(stored == batchFps(4),
+      "the picks-driven chunker must equal the batch chunker at the " +
+        s"PICKED divisor: extra=${stored -- batchFps(4)} " +
+        s"missing=${batchFps(4) -- stored}")
+    // fuzzy drain at caller bands=16, picks say 8: the band-key index
+    // layout follows the pick — 8 keys per admitted doc, equal to the
+    // batch chain's band keys at (k=64, bands=8)
+    val fdir = java.nio.file.Files.createTempDirectory("picks2-fz")
+    val fckpt = java.nio.file.Files.createTempDirectory("picks2-fckpt")
+    val fout = java.nio.file.Files.createTempDirectory("picks2-fout")
+    val bidx = java.nio.file.Files.createTempDirectory("picks2-bidx")
+    java.nio.file.Files.write(fdir.resolve("seg-00001.warc.gz"),
+      WarcReader.write(Seq(htmlRec(1, aTxt)), gzipPerRecord = true))
+    CorpusStream.runFuzzy(spark, fdir.toString, model, fckpt.toString,
+        fout.toString, bidx.toString, k = 64, bands = 16,
+        picksDir = picksDir)
+      .awaitTermination()
+    val idx = spark.read.parquet(bidx.toString)
+      .select("band_id", "band_hash").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toSet
+    val streamedText = spark.read.parquet(fout.toString)
+      .select("url", "text")
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+    val want = graft.operators.Dedup.lshBandKeys(streamedText, "fp",
+        "text", 3, 64, 8)
+      .select("band_id", "band_hash").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toSet
+    assert(idx.size == 8 && idx == want,
+      s"band-key layout must follow the picked banding: $idx vs $want")
+    // fail-fast arms
+    intercept[IllegalArgumentException] {
+      CorpusStream.readPicks(spark, "/nonexistent/picks-dir")
+    }
+    val badFrac = java.nio.file.Files
+      .createTempDirectory("picks2-frac").toString
+    CorpusStream.writePicks(
+      Seq(("lsh_bands", 7.5)).toDF("knob", "chosen"), badFrac)
+    intercept[IllegalArgumentException] {
+      CorpusStream.runFuzzy(spark, fdir.toString, model,
+        fckpt.toString, fout.toString, bidx.toString,
+        picksDir = badFrac)
+    }
+    val badDiv = java.nio.file.Files
+      .createTempDirectory("picks2-div").toString
+    CorpusStream.writePicks(
+      Seq(("lsh_bands", 6.0)).toDF("knob", "chosen"), badDiv)
+    intercept[IllegalArgumentException] {
+      CorpusStream.runFuzzy(spark, fdir.toString, model,
+        fckpt.toString, fout.toString, bidx.toString, k = 64,
+        picksDir = badDiv)
+    }
+    CacheRegistry.drain()
+  }
 }
