@@ -211,7 +211,16 @@ object Bench {
     // isolated floor purely from in-window JIT). Subtracting each
     // steady window's measured jit_sec gives the plan-cost total that
     // round-over-round comparison should use — catalog growth stops
-    // reading as regression. Clamped per-query at 0 so a window where
+    // reading as regression.
+    // KNOWN RESIDUAL (disclosed, r19): the synchronous driver-side
+    // janino source-compile time is NOT subtracted — CodegenMetrics
+    // exposes it only as a reservoir-SAMPLED DropWizard histogram, so
+    // no exact per-window time delta exists (the compile COUNT is
+    // exact and rides every window as janino_compiles). plan_sec on a
+    // recompile-storm window therefore still carries the storm's
+    // source-compile milliseconds; adjudicate those windows from
+    // jan > 0, per the watched_bars rule.
+    // Clamped per-query at 0 so a window where
     // background compilation exceeded elapsed can't go negative.
     val planTotal = results.collect { case w if w.ok =>
       math.max(0.0, w.secs - w.jitSecs) }.sum
@@ -318,7 +327,7 @@ object Bench {
     val watchedBars =
       """"watched_bars":{""" +
         """"q192_dedup_drain_capstone":"15s STEADY plan-cost (sec-jit); isolated floor r19: AQE-on 7.4-9.8s, AQE-off control 5.4-6.2s with janino 0 every repeat - an excursion repeat with jan>0/high jit is the AQE-replan compile class (the r18 28.6s outlier's shape), now self-attributing from the probe's own fields",""" +
-        """"q200_knob_pick_capstone":"~18s steady plan-cost (recomputes its five sweeps by design; r19 isolated floor: AQE-on 11.7-14.1s with 0-42 janino per repeat, AQE-off 6.9-8.6s with 0 - pass-2 in-catalog janino>0 IS the r18 excursion mechanism, attributed",""" +
+        """"q200_knob_pick_capstone":"~18s steady plan-cost (recomputes its five sweeps by design; r19 isolated floor: AQE-on 11.7-14.1s with 0-42 janino per repeat, AQE-off 6.9-8.6s with 0 - pass-2 in-catalog janino>0 IS the r18 excursion mechanism, attributed)",""" +
         """"q206_knob_pick_extension":"~18s steady plan-cost (recomputes q195 sig tier + q202 + q203 by design; probe floor r18: 8.4-9.8s)",""" +
         """"q158_curation_pipeline2":"~9s steady plan-cost; raw sec rides to ~11 under AQE-variant recompiles (r19 floor: AQE-on 6.9-8.7s jan 0-14, AQE-off 5.8-6.2s jan 0)",""" +
         """"q167_curation_pipeline3":"~9s steady plan-cost (r19 floor: AQE-on 6.2-8.4s, AQE-off 4.4-6.5s jan 0; the r16-r18 drift rode jit+jan, attributed)",""" +

@@ -6238,6 +6238,40 @@ object OracleSql {
         |    AS commit_batches FROM cper) c
         |ORDER BY p.source""".stripMargin,
 
+    // early-commit regret: each landing's plan (with its frac_b256
+    // bucket rule) applied to the FULL corpus, realized token sums per
+    // (landing, source) beside the final plan's realization; the
+    // source universe is the final plan's, missing plans realize 0
+    "q215_early_commit_regret" ->
+      s"""WITH $epochDriftCtes,
+        |plnf AS (
+        |  SELECT *,
+        |    (256 * (tokens_alloc - full_epochs * unique_tokens))
+        |      // unique_tokens AS frac_b256
+        |  FROM pln),
+        |rel AS (
+        |  SELECT p.nb, b.lang AS source,
+        |    CAST(sum(b.n_tokens * (p.full_epochs + CASE WHEN
+        |      CAST(('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 2))
+        |        AS BIGINT) < p.frac_b256 THEN 1 ELSE 0 END)) AS BIGINT)
+        |      AS realized_tokens
+        |  FROM dbase b JOIN plnf p ON b.lang = p.source
+        |  GROUP BY p.nb, b.lang),
+        |rf AS (
+        |  SELECT source, realized_tokens AS realized_final
+        |  FROM rel WHERE nb = 3)
+        |SELECT l.nb AS n_batches, f.source,
+        |  COALESCE(p.full_epochs, 0) AS full_epochs_at_k,
+        |  COALESCE(r.realized_tokens, 0) AS realized_tokens,
+        |  rf.realized_final,
+        |  COALESCE(r.realized_tokens, 0) - rf.realized_final
+        |    AS regret_tokens
+        |FROM nbl l CROSS JOIN fin f
+        |JOIN rf ON rf.source = f.source
+        |LEFT JOIN plnf p ON p.nb = l.nb AND p.source = f.source
+        |LEFT JOIN rel r ON r.nb = l.nb AND r.source = f.source
+        |ORDER BY l.nb, f.source""".stripMargin,
+
     // pick->execute capstone: the three chain-relevant picks re-derived
     // from the SHARED sweep CTE constants (a fix to a sweep's oracle
     // reaches the pick, the decision row, and this execution replay by

@@ -4838,15 +4838,20 @@ object SparkEntry {
   private def q212(s: SparkSession, d: String): DataFrame =
     epochDriftRows(s, d).orderBy("n_batches", "source")
 
-  /** q212's drift relation unordered — factored so q213's commit rule
-    * consumes the same rows (the price→pick discipline: the decision
-    * layer reads the pricing relation, never re-derives it under
-    * subtly different arithmetic).
+  /** The three cumulative-batch epoch plans (batch arm = doc_id % 3,
+    * the catalog's plant convention; each arm's budget is 2.35× of
+    * ITS corpus) — factored so q212's drift, q213's commit rule, and
+    * q215's regret pricing all consume the SAME plan relations (the
+    * price→pick discipline: the decision layer reads the pricing
+    * relation, never re-derives it under subtly different
+    * arithmetic). `base` is the (doc_id, lang, n_tokens) relation —
+    * pass a persisted one when the caller also realizes over it.
     */
-  private def epochDriftRows(s: SparkSession, d: String): DataFrame = {
+  private def epochBatchPlans(
+      base: DataFrame): Seq[(Long, DataFrame)] = {
     def cache(df: DataFrame) =
       graft.operators.CacheRegistry.track(df.persist())
-    val perB = cache(epochBase(s, d)
+    val perB = cache(base
       .groupBy(col("lang").as("source"), (col("doc_id") % 3).as("__b"))
       .agg(sum(col("n_tokens")).as("__tk"), count(lit(1)).as("__n"),
         sum(when(col("n_tokens") >= 20, 1L).otherwise(0L)).as("__q")))
@@ -4855,11 +4860,18 @@ object SparkEntry {
       .agg(sum(col("__tk")).as("unique_tokens"),
         expr("(1000000 * sum(__q)) DIV sum(__n)").as("weight_ppm"))
       .filter(col("unique_tokens") > 0)
-    val plans = Seq(1L, 2L, 3L).map { nb =>
+    Seq(1L, 2L, 3L).map { nb =>
       val per = cache(perAt(nb))
       nb -> cache(graft.operators.Sampling.epochPlan(per,
         epochBudget(per), maxEpochs = 4))
     }
+  }
+
+  /** q212's drift relation unordered — factored so q213's commit rule
+    * consumes the same rows.
+    */
+  private def epochDriftRows(s: SparkSession, d: String): DataFrame = {
+    val plans = epochBatchPlans(epochBase(s, d))
     // slices nest, so every source in an early plan is in the final
     // one — the join is total by construction
     val fin = plans.last._2
@@ -4895,9 +4907,12 @@ object SparkEntry {
     * every row: `commit_batches` = max settled_at over sources — the
     * earliest landing after which the WHOLE mixture's plan is final,
     * i.e. "commit compute now" (1 or 2) vs "the plan is still moving;
-    * wait for the full corpus" (3). Scale shape: one bounded
-    * aggregation over the drift relation (|sources|·3 rows) — the
-    * corpus scan is q212's, shared.
+    * wait for the full corpus" (3). The identity gated here is
+    * full_epochs — q212's drift definition; the FRACTIONAL epoch
+    * (frac_b256) can still move under an identical full_epochs, and
+    * q215 prices exactly that residual in tokens. Scale shape: one
+    * bounded aggregation over the drift relation (|sources|·3 rows)
+    * — the corpus scan is q212's, shared.
     */
   private def q213(s: SparkSession, d: String): DataFrame = {
     val drift = epochDriftRows(s, d)
@@ -5016,6 +5031,64 @@ object SparkEntry {
     }
     arm("1_raw", perRaw).unionAll(arm("2_effective", perEff))
       .orderBy("config", "source")
+  }
+
+  /** Early-commit REGRET — what q213's decision would cost if taken
+    * at each landing (q213 says WHEN the plan stops moving; this
+    * prices committing BEFORE that point): a run that commits at
+    * landing k freezes plan_k's per-source repeat policy
+    * (full_epochs + the frac_b256 bucket rule) and applies it to the
+    * FULL eventual corpus — so per (n_batches, source) the relation
+    * reads the tokens that policy actually emits once everything has
+    * landed, beside the final plan's realization, and
+    * `regret_tokens` = the signed difference (negative = the early
+    * policy under-repeats the source once the corpus grows — lost
+    * passes; positive = over-repeats — compute spent re-reading what
+    * the final plan would not). A source missing from an early plan
+    * realizes 0 (the policy has never seen it — its whole final
+    * allocation is regret). The q213 commit rule gates on plan
+    * IDENTITY; this is the token-denominated version of the same
+    * read, the number a compute-budget owner puts next to
+    * `commit_batches`. Scale shape: the three plans are q212's cached
+    * relations (shared derivation); each realization is one
+    * broadcast-join + per-row bucket arithmetic over the base
+    * relation — no explode, no packer, integer sums.
+    */
+  private def q215(s: SparkSession, d: String): DataFrame = {
+    def cache(df: DataFrame) =
+      graft.operators.CacheRegistry.track(df.persist())
+    val base = cache(epochBase(s, d))
+    val plans = epochBatchPlans(base)
+    val realized = plans.map { case (nb, p) =>
+      graft.operators.Sampling.epochRealize(base, "doc_id", "lang", p)
+        .groupBy(col("lang").as("source"))
+        .agg(sum(col("n_tokens") * col("repeats"))
+          .as("realized_tokens"))
+        .select(lit(nb).as("n_batches"), col("source"),
+          col("realized_tokens"))
+    }.reduce(_ unionAll _)
+    val realizedC = cache(realized)
+    val rf = realizedC.filter(col("n_batches") === 3L)
+      .select(col("source"), col("realized_tokens").as("realized_final"))
+    // universe: every source the FINAL corpus has (plan_3's — by
+    // batch 3 every source with tokens is present), per landing
+    val universe = s.range(1, 4).select(col("id").as("n_batches"))
+      .crossJoin(plans.last._2.select("source"))
+    val fe = plans.map { case (nb, p) =>
+      p.select(lit(nb).as("n_batches"), col("source"),
+        col("full_epochs").as("__fe"))
+    }.reduce(_ unionAll _)
+    universe
+      .join(rf, Seq("source"))
+      .join(fe, Seq("n_batches", "source"), "left")
+      .join(realizedC, Seq("n_batches", "source"), "left")
+      .select(col("n_batches"), col("source"),
+        coalesce(col("__fe"), lit(0L)).as("full_epochs_at_k"),
+        coalesce(col("realized_tokens"), lit(0L)).as("realized_tokens"),
+        col("realized_final"),
+        (coalesce(col("realized_tokens"), lit(0L))
+          - col("realized_final")).as("regret_tokens"))
+      .orderBy("n_batches", "source")
   }
 
   // ------------------------------------------------------------- contract
@@ -5234,6 +5307,7 @@ object SparkEntry {
     "q212_epoch_plan_drift" -> (q212(_, _)),
     "q213_plan_commit_rule" -> (q213(_, _)),
     "q214_discounted_pick_execute" -> (q214(_, _)),
+    "q215_early_commit_regret" -> (q215(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -64,13 +64,22 @@ object CorpusStream {
     *     — the q195 banding pick; `k` stays caller-supplied and must
     *     stay divisible by the picked band count)
     *   - `cdc_divisor`   → `divisor` ([[runChunked]] — the q193 pick)
+    *   - `neardup_jaccard` → `dupMassThreshold` (every drain that
+    *     writes dup-mass telemetry — the q191 sweep's pick; the
+    *     histogram then prices collapse at the threshold the decision
+    *     layer actually chose, not a hard-coded 0.7)
     *
     * A knob MISSING from the relation falls back to the caller's
     * constant (the pre-r19 behavior, so a picks relation covering one
-    * knob configures one knob). A `picksDir` that does not exist or
-    * holds no parquet FAILS FAST — the caller asked for pick-driven
-    * configuration, and silently running at fallback constants is the
-    * misconfiguration this wire exists to remove.
+    * knob configures one knob). A `picksDir` that does not exist,
+    * holds no parquet, holds an EMPTY relation (e.g. an over-eager
+    * filter matched zero decision rows), carries a NULL knob/chosen,
+    * or carries the same knob twice (two pick generations unioned —
+    * collection order would resolve the ambiguity arbitrarily) FAILS
+    * FAST — the caller asked for pick-driven configuration, and
+    * silently running at fallback constants (or at an
+    * arbitrarily-chosen generation) is the misconfiguration this wire
+    * exists to remove.
     *
     * WHEN the picks are read: ONCE, at stream start (each `run*` call
     * resolves the knobs before `.start()`), never per micro-batch.
@@ -89,19 +98,41 @@ object CorpusStream {
     * stream start" IS "re-read per drain" for them — each `run*` call
     * picks up the latest relation).
     */
-  def readPicks(spark: SparkSession, dir: String): Map[String, Double] =
-    try {
-      spark.read.parquet(dir).select(col("knob"), col("chosen"))
-        .collect()
-        .map(r => r.getString(0) -> r.getDouble(1))
-        .toMap
-    } catch {
-      case e: org.apache.spark.sql.AnalysisException =>
-        throw new IllegalArgumentException(
-          s"picksDir=$dir is not a readable picks relation (knob, " +
-            s"chosen); write it with CorpusStream.writePicks — refusing " +
-            s"to silently run at fallback constants", e)
+  def readPicks(spark: SparkSession, dir: String): Map[String, Double] = {
+    // casts, not raw getters: a picks relation written outside
+    // writePicks may carry an INT/DECIMAL chosen column — the knob
+    // VALUE is the contract, not the writer's physical type
+    val rows =
+      try {
+        spark.read.parquet(dir)
+          .select(col("knob").cast("string"), col("chosen").cast("double"))
+          .collect()
+      } catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"picksDir=$dir is not a readable picks relation (knob, " +
+              s"chosen); write it with CorpusStream.writePicks — refusing " +
+              s"to silently run at fallback constants", e)
+      }
+    require(rows.nonEmpty,
+      s"picksDir=$dir holds an EMPTY picks relation — every knob would " +
+        s"silently run at its fallback constant; write at least one " +
+        s"(knob, chosen) row or drop the picksDir argument")
+    val pairs = rows.map { r =>
+      require(!r.isNullAt(0) && !r.isNullAt(1),
+        s"picks relation at $dir carries a NULL knob/chosen row")
+      r.getString(0) -> r.getDouble(1)
     }
+    val dups = pairs.groupBy(_._1).collect {
+      case (k, vs) if vs.length > 1 => k
+    }
+    require(dups.isEmpty,
+      s"picks relation at $dir carries DUPLICATE rows for knob(s) " +
+        s"${dups.mkString(", ")} — two pick generations in one " +
+        s"directory; overwrite via writePicks so the drain's read is " +
+        s"unambiguous")
+    pairs.toMap
+  }
 
   /** Persist a decision relation for the drains to consume: any
     * DataFrame carrying `(knob: string, chosen: double)` — the
@@ -179,7 +210,12 @@ object CorpusStream {
       kmvDir: String = null, kmvK: Int = 256,
       dupMassDir: String = null,
       dupMassShingleN: Int = 3, dupMassThreshold: Double = 0.7,
-      compactEvery: Int = 0): StreamingQuery =
+      compactEvery: Int = 0,
+      picksDir: String = null): StreamingQuery = {
+    // the q191 sweep's pick configures the dup-mass telemetry
+    // threshold; resolved once at stream start ([[readPicks]])
+    val eDupThr = resolvePicks(spark, picksDir)
+      .getOrElse("neardup_jaccard", dupMassThreshold)
     docStream(spark, warcDir, glob)
       .writeStream
       .outputMode("append")
@@ -206,7 +242,7 @@ object CorpusStream {
           // url-deduped, so the histogram runs over `docs`
           if (dupMassDir != null)
             writeDupMass(docs, dupMassDir, dupMassShingleN,
-              dupMassThreshold, batchId)
+              eDupThr, batchId)
           // the corpus and every telemetry layout are batchId-keyed
           // partition trees, so they all decay into small files; the
           // sketch dirs consolidate with a RE-AGGREGATING pass
@@ -224,6 +260,7 @@ object CorpusStream {
         }
       }
       .start()
+  }
 
   /** The per-drain token-sketch telemetry writes every ingest variant
     * shares (r18 — the base drain had them since r14; the curated,
@@ -395,9 +432,13 @@ object CorpusStream {
       picksDir: String = null): StreamingQuery = {
     // resolved ONCE at stream start ([[readPicks]]' contract — the
     // band-index key layout is a function of the banding)
-    val eBands = pickInt(resolvePicks(spark, picksDir), "lsh_bands", bands)
+    val picks = resolvePicks(spark, picksDir)
+    val eBands = pickInt(picks, "lsh_bands", bands)
     require(k % eBands == 0,
       s"numHashes k=$k must be divisible by the banding bands=$eBands")
+    val eDupThr = picks.getOrElse("neardup_jaccard", dupMassThreshold)
+    pinLayout(spark, bandIndexDir,
+      "shingleN" -> shingleN, "k" -> k, "bands" -> eBands)
     docStream(spark, warcDir, glob)
       .writeStream
       .outputMode("append")
@@ -407,7 +448,7 @@ object CorpusStream {
         fuzzyBatch(spark, model, outDir, bandIndexDir, shingleN, k,
           eBands, compactEvery, dupMassDir = dupMassDir,
           dupMassShingleN = dupMassShingleN,
-          dupMassThreshold = dupMassThreshold,
+          dupMassThreshold = eDupThr,
           sketchDir = sketchDir, sketchDepth = sketchDepth,
           sketchWidth = sketchWidth, kmvDir = kmvDir, kmvK = kmvK)(
           batch, batchId)
@@ -420,6 +461,45 @@ object CorpusStream {
   private def resolvePicks(spark: SparkSession,
       picksDir: String): Map[String, Double] =
     if (picksDir == null) Map.empty else readPicks(spark, picksDir)
+
+  /** Pin the LAYOUT-DEFINING knobs of a persisted directory — the
+    * band-key index's rows are a pure function of (shingleN, k,
+    * bands) and the chunk store's fingerprints of the CDC divisor, so
+    * a later drain running different values would silently
+    * desynchronize against every already-written row (near-dups
+    * re-entering the corpus, or stored chunks never deduplicating
+    * again). The guard the resolve-once-at-stream-start doc promised
+    * but nothing enforced ACROSS stream restarts (a refreshed picks
+    * relation, or simply a caller editing constants): the first
+    * stream start writes a `_graft_layout` marker (underscore prefix
+    * — Spark's file listing ignores it, and [[compactBatches]] only
+    * touches `batch_id=` directories); every later start REQUIRES
+    * equality and names both layouts in the error. Adopting a new
+    * banding/divisor is a rebuild-shaped operation: point the drain
+    * at a fresh directory (re-keying the old rows is corpus-sized
+    * work no drain should do implicitly).
+    */
+  private def pinLayout(spark: SparkSession, dir: String,
+      props: (String, Any)*): Unit = {
+    val path = new org.apache.hadoop.fs.Path(dir, "_graft_layout")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val want = props.sortBy(_._1)
+      .map { case (k, v) => s"$k=$v" }.mkString(" ")
+    if (fs.exists(path)) {
+      val in = fs.open(path)
+      val got =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      require(got == want,
+        s"$dir was written under layout {$got} but this drain is " +
+          s"configured for {$want} — the persisted rows would silently " +
+          s"stop matching; point the drain at a fresh directory (or " +
+          s"restore the original knobs) instead")
+    } else {
+      val out = fs.create(path, false)
+      try out.write(want.getBytes("UTF-8")) finally out.close()
+    }
+  }
 
   /** One [[runFuzzy]] micro-batch, factored out so the at-least-once
     * replay contract is directly testable: executing this twice with
@@ -533,10 +613,12 @@ object CorpusStream {
       sketchDepth: Int = 4, sketchWidth: Int = 1024,
       kmvDir: String = null, kmvK: Int = 256,
       picksDir: String = null): StreamingQuery = {
-    // the q188 PR-curve pick configures the NB gate's threshold;
-    // resolved once at stream start ([[readPicks]]' contract)
-    val eMinNb = resolvePicks(spark, picksDir)
-      .getOrElse("nb_threshold", minNbScore)
+    // the q188 PR-curve pick configures the NB gate's threshold, the
+    // q191 pick the dup-mass telemetry threshold; resolved once at
+    // stream start ([[readPicks]]' contract)
+    val cPicks = resolvePicks(spark, picksDir)
+    val eMinNb = cPicks.getOrElse("nb_threshold", minNbScore)
+    val eDupThr = cPicks.getOrElse("neardup_jaccard", dupMassThreshold)
     graft.sources.WarcReader.readStream(spark, warcDir, glob)
       .filter(col("warc_type") === "response" &&
         col("http_status") === 200 &&
@@ -555,7 +637,7 @@ object CorpusStream {
         curatedBatch(spark, model, outDir, minWords, minStopKinds,
           compactEvery, bigramRefDir, minAvgLogprob,
           blockTerms, blockPhrases, nbRefDir, eMinNb,
-          dupMassDir, dupMassShingleN, dupMassThreshold,
+          dupMassDir, dupMassShingleN, eDupThr,
           sketchDir, sketchDepth, sketchWidth, kmvDir, kmvK)(
           batch, batchId)
       }
@@ -728,14 +810,18 @@ object CorpusStream {
       sketchDepth: Int = 4, sketchWidth: Int = 1024,
       kmvDir: String = null, kmvK: Int = 256,
       picksDir: String = null): StreamingQuery = {
-    // both gated knobs resolve once at stream start ([[readPicks]]'
+    // the gated knobs resolve once at stream start ([[readPicks]]'
     // contract): the q195 banding pick configures the near-dup gate,
-    // the q188 PR-curve pick the NB gate's threshold
+    // the q188 PR-curve pick the NB gate's threshold, the q191 pick
+    // the dup-mass telemetry threshold
     val picks = resolvePicks(spark, picksDir)
     val eBands = pickInt(picks, "lsh_bands", bands)
     require(k % eBands == 0,
       s"numHashes k=$k must be divisible by the banding bands=$eBands")
     val eMinNb = picks.getOrElse("nb_threshold", minNbScore)
+    val eDupThr = picks.getOrElse("neardup_jaccard", dupMassThreshold)
+    pinLayout(spark, bandIndexDir,
+      "shingleN" -> shingleN, "k" -> k, "bands" -> eBands)
     graft.sources.WarcReader.readStream(spark, warcDir, glob)
       .filter(col("warc_type") === "response" &&
         col("http_status") === 200 &&
@@ -755,7 +841,7 @@ object CorpusStream {
           minWords, minStopKinds, shingleN, k, eBands, compactEvery,
           bigramRefDir, minAvgLogprob, blockTerms, blockPhrases,
           nbRefDir, eMinNb, dupMassDir, dupMassShingleN,
-          dupMassThreshold, sketchDir, sketchDepth, sketchWidth,
+          eDupThr, sketchDir, sketchDepth, sketchWidth,
           kmvDir, kmvK)(batch, batchId)
       }
       .start()
@@ -933,12 +1019,15 @@ object CorpusStream {
       sketchDepth: Int = 4, sketchWidth: Int = 1024,
       kmvDir: String = null, kmvK: Int = 256,
       picksDir: String = null): StreamingQuery = {
-    // the q193 sweep's pick configures the chunker; resolved once at
-    // stream start ([[readPicks]]' contract — the chunk store's
+    // the q193 sweep's pick configures the chunker (resolved once at
+    // stream start, [[readPicks]]' contract — the chunk store's
     // fingerprints are divisor-dependent, so a mid-stream change
-    // would stop old chunks deduplicating against new ones)
-    val eDivisor = pickInt(resolvePicks(spark, picksDir),
-      "cdc_divisor", divisor)
+    // would stop old chunks deduplicating against new ones); the
+    // q191 pick configures the dup-mass telemetry threshold
+    val kPicks = resolvePicks(spark, picksDir)
+    val eDivisor = pickInt(kPicks, "cdc_divisor", divisor)
+    val eDupThr = kPicks.getOrElse("neardup_jaccard", dupMassThreshold)
+    pinLayout(spark, chunkStoreDir, "divisor" -> eDivisor)
     docStream(spark, warcDir, glob)
       .writeStream
       .outputMode("append")
@@ -946,7 +1035,7 @@ object CorpusStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         chunkedBatch(spark, manifestDir, chunkStoreDir, eDivisor,
-          compactEvery, dupMassDir, dupMassShingleN, dupMassThreshold,
+          compactEvery, dupMassDir, dupMassShingleN, eDupThr,
           sketchDir, sketchDepth, sketchWidth, kmvDir, kmvK)(
           batch, batchId)
       }

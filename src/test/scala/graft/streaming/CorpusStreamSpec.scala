@@ -1716,6 +1716,35 @@ class CorpusStreamSpec extends SparkSpec {
       .map(r => r.getInt(0) -> r.getLong(1)).toSet
     assert(idx.size == 8 && idx == want,
       s"band-key layout must follow the picked banding: $idx vs $want")
+    // neardup_jaccard drives the dup-mass TELEMETRY threshold: at the
+    // picked 1.0 a prepended near-copy (jaccard < 1) must NOT cluster,
+    // while the caller's 0.7 default would have collapsed the pair
+    val nTxt = "XX " + aTxt
+    assert(graft.operators.Dedup.dupMassHistogram(
+        Seq((1L, aTxt), (2L, nTxt)).toDF("doc_id", "text"),
+        "doc_id", "text", 3, 0.7)
+      .filter(col("size") >= 2).count() > 0,
+      "fixture broke: the pair must cluster at 0.7")
+    val pick3 = java.nio.file.Files
+      .createTempDirectory("picks2-thr").toString
+    CorpusStream.writePicks(Seq(
+        ("cdc_divisor", 4.0), ("neardup_jaccard", 1.0))
+      .toDF("knob", "chosen"), pick3)
+    val tdir = java.nio.file.Files.createTempDirectory("picks2-t")
+    val tckpt = java.nio.file.Files.createTempDirectory("picks2-tck")
+    val tman = java.nio.file.Files.createTempDirectory("picks2-tman")
+    val tstore = java.nio.file.Files.createTempDirectory("picks2-tst")
+    val tdm = java.nio.file.Files.createTempDirectory("picks2-tdm")
+    java.nio.file.Files.write(tdir.resolve("seg-00001.warc.gz"),
+      WarcReader.write(Seq(htmlRec(1, aTxt), htmlRec(2, nTxt)),
+        gzipPerRecord = true))
+    CorpusStream.runChunked(spark, tdir.toString, tckpt.toString,
+        tman.toString, tstore.toString, divisor = 16,
+        dupMassDir = tdm.toString, picksDir = pick3)
+      .awaitTermination()
+    val tele = CorpusStream.readDupMassTelemetry(spark, tdm.toString)
+    assert(tele.filter(col("size") >= 2).count() == 0,
+      "the picked 1.0 threshold must keep the near-copy unclustered")
     // fail-fast arms
     intercept[IllegalArgumentException] {
       CorpusStream.readPicks(spark, "/nonexistent/picks-dir")
@@ -1738,6 +1767,52 @@ class CorpusStreamSpec extends SparkSpec {
         fckpt.toString, fout.toString, bidx.toString, k = 64,
         picksDir = badDiv)
     }
+    // LAYOUT PIN: the band index was written under bands=8 — a later
+    // drain configured for a DIFFERENT (valid) banding must fail at
+    // stream start, not silently stop matching the persisted keys;
+    // same for the chunk store's divisor
+    val rebandPicks = java.nio.file.Files
+      .createTempDirectory("picks2-reband").toString
+    CorpusStream.writePicks(
+      Seq(("lsh_bands", 4.0)).toDF("knob", "chosen"), rebandPicks)
+    intercept[IllegalArgumentException] {
+      CorpusStream.runFuzzy(spark, fdir.toString, model,
+        fckpt.toString, fout.toString, bidx.toString, k = 64,
+        picksDir = rebandPicks)
+    }
+    intercept[IllegalArgumentException] {
+      CorpusStream.runChunked(spark, dir.toString, ckpt.toString,
+        man.toString, store.toString, divisor = 16)
+    }
+    // unchanged knobs re-enter freely (the pin is equality, not a lock)
+    CorpusStream.runChunked(spark, dir.toString, ckpt.toString,
+        man.toString, store.toString, divisor = 16, picksDir = picksDir)
+      .awaitTermination()
+    // empty and duplicate picks relations fail fast
+    val emptyPicks = java.nio.file.Files
+      .createTempDirectory("picks2-empty").toString
+    CorpusStream.writePicks(
+      Seq(("x", 1.0)).toDF("knob", "chosen").filter(col("chosen") > 2),
+      emptyPicks)
+    intercept[IllegalArgumentException] {
+      CorpusStream.readPicks(spark, emptyPicks)
+    }
+    val dupPicks = java.nio.file.Files
+      .createTempDirectory("picks2-dup").toString
+    CorpusStream.writePicks(
+      Seq(("lsh_bands", 8.0), ("lsh_bands", 4.0)).toDF("knob", "chosen"),
+      dupPicks)
+    intercept[IllegalArgumentException] {
+      CorpusStream.readPicks(spark, dupPicks)
+    }
+    // an INT-typed chosen column written outside writePicks still reads
+    assert(CorpusStream.readPicks(spark, {
+      val d = java.nio.file.Files
+        .createTempDirectory("picks2-int").toString
+      Seq(("cdc_divisor", 4)).toDF("knob", "chosen")
+        .write.mode("overwrite").parquet(d)
+      d
+    }) == Map("cdc_divisor" -> 4.0))
     CacheRegistry.drain()
   }
 }
