@@ -211,7 +211,9 @@ object CorpusStream {
       dupMassDir: String = null,
       dupMassShingleN: Int = 3, dupMassThreshold: Double = 0.7,
       compactEvery: Int = 0,
-      picksDir: String = null): StreamingQuery = {
+      picksDir: String = null,
+      tokenStatsDir: String = null,
+      statsMinQualityTokens: Int = 20): StreamingQuery = {
     // the q191 sweep's pick configures the dup-mass telemetry
     // threshold; resolved once at stream start ([[readPicks]])
     val eDupThr = resolvePicks(spark, picksDir)
@@ -236,6 +238,11 @@ object CorpusStream {
           // everything url-deduped ([[writeTokenSketches]]'s contract)
           writeTokenSketches(docs, sketchDir, sketchDepth, sketchWidth,
             kmvDir, kmvK, batchId)
+          // per-source token stats — the epoch planner's live input
+          // ([[writeTokenStats]]); this variant admits everything
+          // url-deduped
+          writeTokenStats(docs, tokenStatsDir, statsMinQualityTokens,
+            batchId)
           // per-drain DEDUP DECISION telemetry — the collapse-or-not
           // decision surface for a live ingest (contract on
           // [[writeDupMass]]); this variant admits everything
@@ -252,7 +259,7 @@ object CorpusStream {
           maybeCompact(spark, Seq(outDir) ++ Option(dupMassDir),
             compactEvery, batchId)
           compactSketchDirs(spark, sketchDir, kmvDir, kmvK,
-            compactEvery, batchId)
+            compactEvery, batchId, statsDir = tokenStatsDir)
           // (dup-mass rows rode the identity compaction above: each
           // row is already keyed by (drain_batch, size) — per-drain
           // histograms of different drains must never merge, so NO
@@ -294,6 +301,71 @@ object CorpusStream {
         .parquet(s"$kmvDir/batch_id=$batchId")
   }
 
+  /** Per-source token STATS telemetry — the exact, additive numbers
+    * the EPOCH PLANNER consumes, emitted by the drains themselves so
+    * the planner never has to rescan the corpus (the ingest→planner
+    * wire from the live side: [[planFromTokenStats]] runs the q197
+    * waterfill over this directory alone — at 100 TB the plan input
+    * is a bounded per-source relation, not data). One row per
+    * registrable domain of the docs this drain ADMITS (the same
+    * basis as the drain's other telemetry): doc count, token total,
+    * and the count of docs clearing the epoch tier's quality floor
+    * (`n_tokens >= minQualityTokens`, default 20 — the q197
+    * weight_ppm convention). Exactly-once under the batchId-keyed
+    * overwrite contract, and ADDITIVE — compaction re-aggregates by
+    * summing the three counters, so the consolidated partition holds
+    * ≤ |sources| rows no matter how many drains ran. Token totals
+    * here are post-exact-dedup by construction (the drain admitted
+    * only novel docs), which is exactly the "unique tokens" the
+    * epoch planner budgets against.
+    */
+  private def writeTokenStats(docs: DataFrame, dir: String,
+      minQualityTokens: Int, batchId: Long): Unit =
+    if (dir != null)
+      docs.select(
+          graft.operators.TextAnalysis.registrableDomain(col("url"))
+            .as("source"),
+          size(graft.operators.TextAnalysis.tokens(col("text")))
+            .cast("long").as("__nt"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__nt")).as("n_tokens"),
+          sum(when(col("__nt") >= minQualityTokens, 1L).otherwise(0L))
+            .as("n_quality"))
+        .write.mode("overwrite").parquet(s"$dir/batch_id=$batchId")
+
+  /** The accumulated per-source stats folded into the epoch planner's
+    * input shape: `(source, unique_tokens, weight_ppm)` — counters
+    * sum across drains, then weight_ppm derives from the SUMS (ppm is
+    * not additive; the parts are). Sources whose token total is 0
+    * drop, the [[graft.operators.Sampling.epochPlan]] precondition.
+    */
+  def readTokenStats(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+      .groupBy("source")
+      .agg(sum(col("n_tokens")).as("unique_tokens"),
+        expr("(1000000 * sum(n_quality)) DIV sum(n_docs)")
+          .as("weight_ppm"))
+      .filter(col("unique_tokens") > 0)
+
+  /** The epoch plan derived from the drains' OWN telemetry — the live
+    * half of the q197/q212/q213 tier: the same waterfill (δ = 1/2,
+    * 4-epoch cap by default) under the same 2.35× (47/20ths) budget
+    * rule, computed over [[readTokenStats]]' bounded relation instead
+    * of a corpus scan. Re-running this after each drain and applying
+    * q213's suffix-settling rule over the successive plans IS the
+    * live commit decision. The budget is one bounded driver-side
+    * read (the epochBudget pattern); everything else is |sources|
+    * rows of window arithmetic.
+    */
+  def planFromTokenStats(spark: SparkSession, dir: String,
+      maxEpochs: Int = 4): DataFrame = {
+    val per = readTokenStats(spark, dir)
+    val r = per.agg(sum(col("unique_tokens"))).collect()(0)
+    val total = if (r.isNullAt(0)) 0L else r.getLong(0)
+    graft.operators.Sampling.epochPlan(per, 47L * total / 20L, maxEpochs)
+  }
+
   /** The sketch layouts' RE-AGGREGATING compaction (CMS counters
     * re-sum, KMV buffers re-merge — never the identity pass, which
     * would accrete one row set per drain instead of holding the
@@ -301,7 +373,8 @@ object CorpusStream {
     * sketch-telemetry knobs.
     */
   private def compactSketchDirs(spark: SparkSession, sketchDir: String,
-      kmvDir: String, kmvK: Int, compactEvery: Int, batchId: Long): Unit = {
+      kmvDir: String, kmvK: Int, compactEvery: Int, batchId: Long,
+      statsDir: String = null): Unit = {
     if (sketchDir != null)
       maybeCompact(spark, Seq(sketchDir), compactEvery, batchId,
         _.groupBy(col("row"), col("bucket"))
@@ -309,6 +382,14 @@ object CorpusStream {
     if (kmvDir != null)
       maybeCompact(spark, Seq(kmvDir), compactEvery, batchId,
         mergeKmvRows(_, kmvK))
+    // token stats are additive — the consolidated partition re-sums
+    // to <= |sources| rows instead of accreting one row set per drain
+    if (statsDir != null)
+      maybeCompact(spark, Seq(statsDir), compactEvery, batchId,
+        _.groupBy(col("source"))
+          .agg(sum(col("n_docs")).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"),
+            sum(col("n_quality")).as("n_quality")))
   }
 
   /** The merged Count-Min sketch of every drain so far: the
@@ -429,7 +510,9 @@ object CorpusStream {
       sketchDir: String = null,
       sketchDepth: Int = 4, sketchWidth: Int = 1024,
       kmvDir: String = null, kmvK: Int = 256,
-      picksDir: String = null): StreamingQuery = {
+      picksDir: String = null,
+      tokenStatsDir: String = null,
+      statsMinQualityTokens: Int = 20): StreamingQuery = {
     // resolved ONCE at stream start ([[readPicks]]' contract — the
     // band-index key layout is a function of the banding)
     val picks = resolvePicks(spark, picksDir)
@@ -450,7 +533,9 @@ object CorpusStream {
           dupMassShingleN = dupMassShingleN,
           dupMassThreshold = eDupThr,
           sketchDir = sketchDir, sketchDepth = sketchDepth,
-          sketchWidth = sketchWidth, kmvDir = kmvDir, kmvK = kmvK)(
+          sketchWidth = sketchWidth, kmvDir = kmvDir, kmvK = kmvK,
+          tokenStatsDir = tokenStatsDir,
+          statsMinQualityTokens = statsMinQualityTokens)(
           batch, batchId)
       }
       .start()
@@ -519,7 +604,9 @@ object CorpusStream {
       dupMassShingleN: Int = 3, dupMassThreshold: Double = 0.7,
       sketchDir: String = null,
       sketchDepth: Int = 4, sketchWidth: Int = 1024,
-      kmvDir: String = null, kmvK: Int = 256)(
+      kmvDir: String = null, kmvK: Int = 256,
+      tokenStatsDir: String = null,
+      statsMinQualityTokens: Int = 20)(
       batch: DataFrame, batchId: Long): Unit = {
     val docs = oneRowPerUrl(batch)
     if (!docs.isEmpty) graft.operators.CacheRegistry.scope {
@@ -544,6 +631,8 @@ object CorpusStream {
       // basis as its dup-mass histogram below
       writeTokenSketches(novel, sketchDir, sketchDepth, sketchWidth,
         kmvDir, kmvK, batchId)
+      writeTokenStats(novel, tokenStatsDir, statsMinQualityTokens,
+        batchId)
       // per-drain dup-mass telemetry over the ADMITTED docs — the
       // near-dup gate runs FIRST (cross-drain index AND within-batch
       // band collisions), so a gate-killed near-dup never reaches the
@@ -557,7 +646,7 @@ object CorpusStream {
       maybeCompact(spark, Seq(bandIndexDir, outDir) ++ Option(dupMassDir),
         compactEvery, batchId)
       compactSketchDirs(spark, sketchDir, kmvDir, kmvK, compactEvery,
-        batchId)
+        batchId, statsDir = tokenStatsDir)
     }
   }
 
@@ -612,7 +701,9 @@ object CorpusStream {
       sketchDir: String = null,
       sketchDepth: Int = 4, sketchWidth: Int = 1024,
       kmvDir: String = null, kmvK: Int = 256,
-      picksDir: String = null): StreamingQuery = {
+      picksDir: String = null,
+      tokenStatsDir: String = null,
+      statsMinQualityTokens: Int = 20): StreamingQuery = {
     // the q188 PR-curve pick configures the NB gate's threshold, the
     // q191 pick the dup-mass telemetry threshold; resolved once at
     // stream start ([[readPicks]]' contract)
@@ -638,7 +729,8 @@ object CorpusStream {
           compactEvery, bigramRefDir, minAvgLogprob,
           blockTerms, blockPhrases, nbRefDir, eMinNb,
           dupMassDir, dupMassShingleN, eDupThr,
-          sketchDir, sketchDepth, sketchWidth, kmvDir, kmvK)(
+          sketchDir, sketchDepth, sketchWidth, kmvDir, kmvK,
+          tokenStatsDir, statsMinQualityTokens)(
           batch, batchId)
       }
       .start()
@@ -658,7 +750,9 @@ object CorpusStream {
       dupMassShingleN: Int = 3, dupMassThreshold: Double = 0.7,
       sketchDir: String = null,
       sketchDepth: Int = 4, sketchWidth: Int = 1024,
-      kmvDir: String = null, kmvK: Int = 256)(
+      kmvDir: String = null, kmvK: Int = 256,
+      tokenStatsDir: String = null,
+      statsMinQualityTokens: Int = 20)(
       batch: DataFrame, batchId: Long): Unit = {
     val docs = oneRowPerUrl(batch)
     if (!docs.isEmpty) graft.operators.CacheRegistry.scope {
@@ -666,11 +760,12 @@ object CorpusStream {
         bigramRefDir, minAvgLogprob, blockTerms, blockPhrases,
         nbRefDir, minNbScore, dupMassDir, dupMassShingleN,
         dupMassThreshold, sketchDir, sketchDepth, sketchWidth,
-        kmvDir, kmvK)(docs, batchId)
+        kmvDir, kmvK, tokenStatsDir, statsMinQualityTokens)(
+        docs, batchId)
       maybeCompact(spark, Seq(outDir) ++ Option(dupMassDir),
         compactEvery, batchId)
       compactSketchDirs(spark, sketchDir, kmvDir, kmvK, compactEvery,
-        batchId)
+        batchId, statsDir = tokenStatsDir)
     }
   }
 
@@ -708,7 +803,9 @@ object CorpusStream {
       dupMassShingleN: Int = 3, dupMassThreshold: Double = 0.7,
       sketchDir: String = null,
       sketchDepth: Int = 4, sketchWidth: Int = 1024,
-      kmvDir: String = null, kmvK: Int = 256)(
+      kmvDir: String = null, kmvK: Int = 256,
+      tokenStatsDir: String = null,
+      statsMinQualityTokens: Int = 20)(
       docs: DataFrame, batchId: Long): Unit = {
     val cleaned = graft.operators.TextAnalysis
       .c4LineFilters(docs.select("url", "text"), "text")
@@ -766,6 +863,8 @@ object CorpusStream {
       // same basis as the dup-mass histogram below
       writeTokenSketches(adm, sketchDir, sketchDepth, sketchWidth,
         kmvDir, kmvK, batchId)
+      writeTokenStats(adm, tokenStatsDir, statsMinQualityTokens,
+        batchId)
       // per-drain dedup-decision telemetry over the ADMITTED docs —
       // what this drain actually contributed to the corpus
       // ([[writeDupMass]]'s contract, post-gate here because the
@@ -809,7 +908,9 @@ object CorpusStream {
       sketchDir: String = null,
       sketchDepth: Int = 4, sketchWidth: Int = 1024,
       kmvDir: String = null, kmvK: Int = 256,
-      picksDir: String = null): StreamingQuery = {
+      picksDir: String = null,
+      tokenStatsDir: String = null,
+      statsMinQualityTokens: Int = 20): StreamingQuery = {
     // the gated knobs resolve once at stream start ([[readPicks]]'
     // contract): the q195 banding pick configures the near-dup gate,
     // the q188 PR-curve pick the NB gate's threshold, the q191 pick
@@ -842,7 +943,8 @@ object CorpusStream {
           bigramRefDir, minAvgLogprob, blockTerms, blockPhrases,
           nbRefDir, eMinNb, dupMassDir, dupMassShingleN,
           eDupThr, sketchDir, sketchDepth, sketchWidth,
-          kmvDir, kmvK)(batch, batchId)
+          kmvDir, kmvK, tokenStatsDir, statsMinQualityTokens)(
+          batch, batchId)
       }
       .start()
   }
@@ -863,7 +965,9 @@ object CorpusStream {
       dupMassShingleN: Int = 3, dupMassThreshold: Double = 0.7,
       sketchDir: String = null,
       sketchDepth: Int = 4, sketchWidth: Int = 1024,
-      kmvDir: String = null, kmvK: Int = 256)(
+      kmvDir: String = null, kmvK: Int = 256,
+      tokenStatsDir: String = null,
+      statsMinQualityTokens: Int = 20)(
       batch: DataFrame, batchId: Long): Unit = {
     val docs = oneRowPerUrl(batch)
     if (!docs.isEmpty) graft.operators.CacheRegistry.scope {
@@ -879,12 +983,13 @@ object CorpusStream {
         bigramRefDir, minAvgLogprob, blockTerms, blockPhrases,
         nbRefDir, minNbScore, dupMassDir, dupMassShingleN,
         dupMassThreshold, sketchDir, sketchDepth, sketchWidth,
-        kmvDir, kmvK)(novel, batchId)
+        kmvDir, kmvK, tokenStatsDir, statsMinQualityTokens)(
+        novel, batchId)
       maybeCompact(spark,
         Seq(bandIndexDir, outDir) ++ Option(dupMassDir),
         compactEvery, batchId)
       compactSketchDirs(spark, sketchDir, kmvDir, kmvK, compactEvery,
-        batchId)
+        batchId, statsDir = tokenStatsDir)
     }
   }
 
@@ -1018,7 +1123,9 @@ object CorpusStream {
       sketchDir: String = null,
       sketchDepth: Int = 4, sketchWidth: Int = 1024,
       kmvDir: String = null, kmvK: Int = 256,
-      picksDir: String = null): StreamingQuery = {
+      picksDir: String = null,
+      tokenStatsDir: String = null,
+      statsMinQualityTokens: Int = 20): StreamingQuery = {
     // the q193 sweep's pick configures the chunker (resolved once at
     // stream start, [[readPicks]]' contract — the chunk store's
     // fingerprints are divisor-dependent, so a mid-stream change
@@ -1036,7 +1143,8 @@ object CorpusStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         chunkedBatch(spark, manifestDir, chunkStoreDir, eDivisor,
           compactEvery, dupMassDir, dupMassShingleN, eDupThr,
-          sketchDir, sketchDepth, sketchWidth, kmvDir, kmvK)(
+          sketchDir, sketchDepth, sketchWidth, kmvDir, kmvK,
+          tokenStatsDir, statsMinQualityTokens)(
           batch, batchId)
       }
       .start()
@@ -1050,7 +1158,9 @@ object CorpusStream {
       dupMassShingleN: Int = 3, dupMassThreshold: Double = 0.7,
       sketchDir: String = null,
       sketchDepth: Int = 4, sketchWidth: Int = 1024,
-      kmvDir: String = null, kmvK: Int = 256)(
+      kmvDir: String = null, kmvK: Int = 256,
+      tokenStatsDir: String = null,
+      statsMinQualityTokens: Int = 20)(
       batch: DataFrame, batchId: Long): Unit = {
     val docs = oneRowPerUrl(batch)
     if (!docs.isEmpty) graft.operators.CacheRegistry.scope {
@@ -1087,6 +1197,11 @@ object CorpusStream {
       // by chunk novelty
       writeTokenSketches(docs, sketchDir, sketchDepth, sketchWidth,
         kmvDir, kmvK, batchId)
+      // per-source token stats over the drain's DOCUMENTS — what the
+      // chunked variant manifests (storage-side chunk dedup changes
+      // what is STORED, not what the corpus contains)
+      writeTokenStats(docs, tokenStatsDir, statsMinQualityTokens,
+        batchId)
       // per-drain dup-mass telemetry over the drain's DOCUMENTS (what
       // this variant manifests — its storage-side chunk dedup is a
       // different axis than document near-dup mass, which is exactly
@@ -1098,7 +1213,7 @@ object CorpusStream {
         Seq(chunkStoreDir, manifestDir) ++ Option(dupMassDir),
         compactEvery, batchId)
       compactSketchDirs(spark, sketchDir, kmvDir, kmvK, compactEvery,
-        batchId)
+        batchId, statsDir = tokenStatsDir)
     }
   }
 

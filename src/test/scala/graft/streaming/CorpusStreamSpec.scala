@@ -1815,4 +1815,95 @@ class CorpusStreamSpec extends SparkSpec {
     }) == Map("cdc_divisor" -> 4.0))
     CacheRegistry.drain()
   }
+
+  test("token-stats telemetry: the drains emit the exact per-source " +
+      "relation the epoch planner consumes — planFromTokenStats equals " +
+      "the plan computed directly over the admitted corpus, stats are " +
+      "post-dedup, and compaction re-aggregates to <= |sources| rows") {
+    val session = spark
+    import session.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ts-stream")
+    val ckpt = java.nio.file.Files.createTempDirectory("ts-ckpt")
+    val out = java.nio.file.Files.createTempDirectory("ts-out")
+    val stats = java.nio.file.Files.createTempDirectory("ts-stats")
+    val model = Bpe.learnMerges(Seq("a b c ab").toDF("text"), "text", 2)
+    def rec(host: String, i: Int, words: Int): WarcReader.WarcRecord =
+      WarcReader.WarcRecord("response", s"https://$host/p/$i",
+        "2026-01-01T00:00:00Z", 200, "text/html",
+        (s"<html><body><p>u$i " +
+          (1 to words).map(k => s"w$k").mkString(" ") +
+          "</p></body></html>").getBytes("UTF-8"))
+    def drain(): Unit =
+      CorpusStream.run(spark, dir.toString, model, ckpt.toString,
+          out.toString, tokenStatsDir = stats.toString,
+          compactEvery = 1)
+        .awaitTermination()
+    val A = "a-news.example"; val B = "b-blog.example"
+    // drain 0: two A docs (one above, one below the 20-token quality
+    // floor) and one B doc
+    java.nio.file.Files.write(dir.resolve("seg-00001.warc.gz"),
+      WarcReader.write(Seq(rec(A, 1, 25), rec(A, 2, 5), rec(B, 3, 30)),
+        gzipPerRecord = true))
+    drain()
+    // drain 1: one more A doc, one short B doc, and an exact duplicate
+    // of doc 1's TEXT under a new B url — the dedup gate drops it, so
+    // it must not buy B any stats mass (post-dedup contract)
+    val dup = WarcReader.WarcRecord("response", s"https://$B/p/99",
+      "2026-01-01T00:00:00Z", 200, "text/html",
+      ("<html><body><p>u1 " +
+        (1 to 25).map(k => s"w$k").mkString(" ") +
+        "</p></body></html>").getBytes("UTF-8"))
+    java.nio.file.Files.write(dir.resolve("seg-00002.warc.gz"),
+      WarcReader.write(Seq(rec(A, 4, 22), dup, rec(B, 5, 8)),
+        gzipPerRecord = true))
+    drain()
+    // drain 2: one long B doc; compactEvery=1 consolidates batches 0-1
+    java.nio.file.Files.write(dir.resolve("seg-00003.warc.gz"),
+      WarcReader.write(Seq(rec(B, 6, 40)), gzipPerRecord = true))
+    drain()
+
+    // the accumulated stats equal a direct aggregation of the ADMITTED
+    // corpus (urls in `out` — the dedup-dropped p/99 is absent)
+    val admitted = spark.read.parquet(out.toString)
+      .select(TextAnalysis.registrableDomain(col("url")).as("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("nt"))
+    val directStats = admitted.groupBy("source")
+      .agg(sum(col("nt")).as("unique_tokens"),
+        expr("(1000000 * sum(CASE WHEN nt >= 20 THEN 1 ELSE 0 END))" +
+          " DIV count(*)").as("weight_ppm"))
+      .collect().map(_.toString).sorted.toSeq
+    val teleStats = CorpusStream.readTokenStats(spark, stats.toString)
+      .collect().map(_.toString).sorted.toSeq
+    assert(teleStats == directStats,
+      s"telemetry stats must equal the direct aggregation: " +
+        s"$teleStats vs $directStats")
+    assert(spark.read.parquet(out.toString)
+      .filter(col("url") === s"https://$B/p/99").isEmpty,
+      "fixture broke: the duplicate must have been gated")
+    // the planner runs off the telemetry alone and matches the plan
+    // computed from the corpus
+    val per = admitted.groupBy("source")
+      .agg(sum(col("nt")).as("unique_tokens"),
+        expr("(1000000 * sum(CASE WHEN nt >= 20 THEN 1 ELSE 0 END))" +
+          " DIV count(*)").as("weight_ppm"))
+      .filter(col("unique_tokens") > 0)
+    val total = per.agg(sum(col("unique_tokens"))).collect()(0).getLong(0)
+    val want = graft.operators.Sampling.epochPlan(per, 47L * total / 20L,
+      maxEpochs = 4).collect().map(_.toString).sorted.toSeq
+    val got = CorpusStream.planFromTokenStats(spark, stats.toString)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == want, s"telemetry plan must equal corpus plan: " +
+      s"$got vs $want")
+    // drain 2's compaction consolidated batches 0-1 into a
+    // RE-AGGREGATED coverage partition: <= |sources| rows, not one
+    // row set per drain
+    val parts = new java.io.File(stats.toString).listFiles.toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+      .map(_.getName.stripPrefix("batch_id=").toLong).sorted
+    assert(parts == Seq(-3L, 2L), s"stats partitions: $parts")
+    assert(spark.read.parquet(s"$stats/batch_id=-3")
+      .groupBy("source").count().filter(col("count") > 1).isEmpty,
+      "the coverage partition must be re-aggregated per source")
+    CacheRegistry.drain()
+  }
 }
