@@ -4914,31 +4914,14 @@ object SparkEntry {
     * bounded aggregation over the drift relation (|sources|·3 rows)
     * — the corpus scan is q212's, shared.
     */
-  private def q213(s: SparkSession, d: String): DataFrame = {
-    val drift = epochDriftRows(s, d)
-    val flags = drift.groupBy("source")
-      .agg(
-        max(when(col("n_batches") === 1 && col("drift_vs_final") === 0L,
-          1L).otherwise(0L)).as("__ok1"),
-        max(when(col("n_batches") === 2 && col("drift_vs_final") === 0L,
-          1L).otherwise(0L)).as("__ok2"),
-        max(when(col("n_batches") === 3, col("full_epochs")))
-          .as("full_epochs_final"))
-    val per = graft.operators.CacheRegistry.track(flags.select(
-        col("source"),
-        when(col("__ok1") === 1L && col("__ok2") === 1L, 1L)
-          .when(col("__ok2") === 1L, 2L)
-          .otherwise(3L).as("settled_at_batches"),
-        when(col("__ok1") === 1L && col("__ok2") === 0L, 1L)
-          .otherwise(0L).as("flapped"),
-        col("full_epochs_final"))
-      .persist())
-    per.crossJoin(broadcast(
-        per.agg(max(col("settled_at_batches")).as("commit_batches"))))
-      .select(col("source"), col("settled_at_batches"), col("flapped"),
-        col("full_epochs_final"), col("commit_batches"))
+  private def q213(s: SparkSession, d: String): DataFrame =
+    // the rule itself is the library operator
+    // ([[graft.operators.Sampling.planCommitRule]] — r19: factored so
+    // the LIVE side can run it over successive telemetry plans); this
+    // query feeds it q212's three cached batch plans
+    graft.operators.Sampling
+      .planCommitRule(epochBatchPlans(epochBase(s, d)))
       .orderBy("source")
-  }
 
   /** Near-dup-discounted pick→execute — the LAST raw-count consumer
     * closed (the r18 verdict's order #6: q211 discounts the epoch

@@ -430,6 +430,75 @@ object Sampling {
           col("unique_tokens").cast("double"), 6))
   }
 
+  /** The suffix-settling PLAN-COMMIT rule over a ladder of epoch
+    * plans — the q213 decision as a library operator, so the LIVE
+    * side can run it too (snapshot [[graft.streaming.CorpusStream
+    * .planFromTokenStats]] after each drain and feed the snapshots
+    * here): per source, `settled_at_batches` = the earliest landing
+    * from which the source's `full_epochs` equals the FINAL plan's at
+    * every subsequent landing — a suffix rule, not a first-hit rule
+    * (a landing-1 coincidence that flaps away at landing 2 has not
+    * settled; committing compute on it is the mistake the rule
+    * exists to prevent), with absence from an early plan counting as
+    * unsettled (a plan that has never seen the source cannot have
+    * committed to it). `flapped` marks the non-monotone shape (an
+    * agreeing landing strictly before a later disagreeing one).
+    * `commit_batches` = max settled_at over sources rides every row
+    * — the earliest landing after which the WHOLE mixture's plan is
+    * final. The identity gated is `full_epochs`; the fractional
+    * epoch can still move under an identical full_epochs — price
+    * that residual in tokens (q215's read) before committing.
+    *
+    * `plans`: (landing id, plan) pairs — any relation carrying
+    * `source` and `full_epochs` (an [[epochPlan]] output, or a
+    * telemetry-derived plan); landing ids must be distinct, compare
+    * by `<`, and the largest is the reference plan. Bounded
+    * arithmetic end to end: the grid is |ladder|·|sources| rows.
+    */
+  def planCommitRule(plans: Seq[(Long, DataFrame)]): DataFrame = {
+    require(plans.nonEmpty, "planCommitRule needs at least one plan")
+    val ladder = plans.map(_._1)
+    require(ladder.distinct.size == ladder.size,
+      s"landing ids must be distinct, got $ladder")
+    val finalNb = ladder.max
+    val spark = plans.head._2.sparkSession
+    import spark.implicits._
+    val tagged = plans.map { case (nb, p) =>
+      p.select(lit(nb).as("__nb"),
+        col("source").cast("string").as("source"),
+        col("full_epochs").cast("long").as("__fe"))
+    }.reduce(_ unionAll _)
+    val fin = tagged.filter(col("__nb") === finalNb)
+      .select(col("source"), col("__fe").as("full_epochs_final"))
+    // the (landing × final-source) grid — a LEFT join so a source
+    // missing from an early plan reads NOT ok at that landing
+    val flags = ladder.toDF("__nb").crossJoin(fin)
+      .join(tagged, Seq("__nb", "source"), "left")
+      .select(col("__nb"), col("source"), col("full_epochs_final"),
+        (col("__fe").isNotNull &&
+          col("__fe") === col("full_epochs_final")).as("__ok"))
+    // last disagreeing landing per source (null = never disagreed);
+    // settled_at = the smallest landing past it, flapped = an
+    // agreeing landing strictly before it
+    val per = flags
+      .join(flags.groupBy("source")
+        .agg(max(when(!col("__ok"), col("__nb"))).as("__last_bad")),
+        Seq("source"))
+      .groupBy(col("source"), col("full_epochs_final"),
+        col("__last_bad"))
+      .agg(
+        min(when(col("__last_bad").isNull ||
+          col("__nb") > col("__last_bad"), col("__nb")))
+          .as("settled_at_batches"),
+        max(when(col("__ok") && col("__last_bad").isNotNull &&
+          col("__nb") < col("__last_bad"), 1L).otherwise(0L))
+          .as("flapped"))
+    per.crossJoin(broadcast(
+        per.agg(max(col("settled_at_batches")).as("commit_batches"))))
+      .select(col("source"), col("settled_at_batches"), col("flapped"),
+        col("full_epochs_final"), col("commit_batches"))
+  }
+
   /** The corpus-side keep rule of [[epochPlan]]: every doc of source s
     * repeats `full_epochs(s)` times, plus once more when its md5
     * bucket-of-256 falls under `frac_b256(s)` — the same deterministic

@@ -392,6 +392,45 @@ class SamplingSpec extends SparkSpec {
       ex.getMessage)
   }
 
+  test("planCommitRule is a SUFFIX rule: a landing-1 coincidence that " +
+      "flaps away has not settled, absence from an early plan is " +
+      "unsettled, and commit_batches is the max settle over sources") {
+    import spark.implicits._
+    def plan(rows: (String, Long)*) =
+      rows.toSeq.toDF("source", "full_epochs")
+    val plans = Seq(
+      1L -> plan("stable" -> 2L, "late" -> 1L, "flap" -> 2L,
+        "never" -> 1L),
+      2L -> plan("stable" -> 2L, "late" -> 2L, "flap" -> 1L,
+        "missing" -> 3L, "never" -> 0L),
+      3L -> plan("stable" -> 2L, "late" -> 2L, "flap" -> 2L,
+        "missing" -> 3L, "never" -> 4L))
+    val got = Sampling.planCommitRule(plans).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("settled_at_batches"), r.getAs[Long]("flapped"),
+          r.getAs[Long]("full_epochs_final"),
+          r.getAs[Long]("commit_batches"))))
+      .toMap
+    assert(got("stable") == ((1L, 0L, 2L, 3L)), s"${got("stable")}")
+    assert(got("late") == ((2L, 0L, 2L, 3L)), s"${got("late")}")
+    // agreed at 1, disagreed at 2: the coincidence does NOT settle it
+    assert(got("flap") == ((3L, 1L, 2L, 3L)), s"${got("flap")}")
+    // absent at landing 1 -> unsettled through it
+    assert(got("missing") == ((2L, 0L, 3L, 3L)), s"${got("missing")}")
+    assert(got("never") == ((3L, 0L, 4L, 3L)), s"${got("never")}")
+    // a degenerate one-plan ladder settles everything at that landing
+    val one = Sampling.planCommitRule(Seq(7L -> plan("a" -> 1L)))
+      .collect()
+    assert(one.length == 1 &&
+      one(0).getAs[Long]("settled_at_batches") == 7L &&
+      one(0).getAs[Long]("commit_batches") == 7L)
+    intercept[IllegalArgumentException] {
+      Sampling.planCommitRule(Seq(1L -> plan("a" -> 1L),
+        1L -> plan("a" -> 1L)))
+    }
+    CacheRegistry.drain()
+  }
+
   test("epochPlanDiscounted generalizes the ladder: delta=1 ranks by " +
       "weight alone (source/epoch tiebreak), delta=1/4 steepens the " +
       "discount so first epochs fill across sources before any second, " +
