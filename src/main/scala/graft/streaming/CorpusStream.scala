@@ -341,29 +341,130 @@ object CorpusStream {
     * drop, the [[graft.operators.Sampling.epochPlan]] precondition.
     */
   def readTokenStats(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(dir)
-      .groupBy("source")
+    foldStats(spark.read.parquet(dir))
+
+  /** The one definition of the counter→planner-input fold (shared by
+    * the whole-dir read, and [[commitFromTokenStats]]' per-landing
+    * snapshots — the two must agree or the live commit decision
+    * would gate a different plan than the one the planner runs).
+    */
+  private def foldStats(stats: DataFrame): DataFrame =
+    stats.groupBy("source")
       .agg(sum(col("n_tokens")).as("unique_tokens"),
         expr("(1000000 * sum(n_quality)) DIV sum(n_docs)")
           .as("weight_ppm"))
       .filter(col("unique_tokens") > 0)
 
+  /** The budget rule over a planner-input relation — `n20`/20ths of
+    * the snapshot total (the default 47 is the 2.35× rule every batch
+    * query uses); one bounded 1-row driver read (the epochBudget
+    * pattern).
+    */
+  private def statsBudget(per: DataFrame, n20: Long): Long = {
+    val r = per.agg(sum(col("unique_tokens"))).collect()(0)
+    if (r.isNullAt(0)) 0L else n20 * r.getLong(0) / 20L
+  }
+
+  /** The live planner's knob resolution — the q206 decision relation
+    * consumed at the PLANNER boundary the way [[readPicks]] already
+    * configures the drain gates: `epoch_budget_20ths` (q206's budget
+    * pick, default the 47/20ths rule) and `epoch_delta` (q206's
+    * δ-sensitivity pick; [[graft.operators.Sampling
+    * .epochPlanDiscounted]]'s exact-integer ladder needs a rational,
+    * and the q207 sweep the pick comes from is the 1/denom family, so
+    * any other double is a malformed relation, not a roundable
+    * suggestion). Returns (budget-20ths, deltaNumer, deltaDenom).
+    */
+  private def plannerKnobs(spark: SparkSession,
+      picksDir: String): (Long, Long, Long) = {
+    val picks = resolvePicks(spark, picksDir)
+    val b20 = pickInt(picks, "epoch_budget_20ths", 47).toLong
+    val delta = picks.getOrElse("epoch_delta", 0.5)
+    require(delta > 0.0 && delta <= 1.0,
+      s"picked epoch_delta=$delta must be in (0, 1]")
+    val denom = math.round(1.0 / delta)
+    require(denom >= 1 && math.abs(1.0 / denom.toDouble - delta) < 1e-9,
+      s"picked epoch_delta=$delta is not in the 1/denom family the " +
+        "q207 sweep prices — refusing to run the planner at an " +
+        "unswept discount")
+    (b20, 1L, denom)
+  }
+
   /** The epoch plan derived from the drains' OWN telemetry — the live
     * half of the q197/q212/q213 tier: the same waterfill (δ = 1/2,
     * 4-epoch cap by default) under the same 2.35× (47/20ths) budget
     * rule, computed over [[readTokenStats]]' bounded relation instead
-    * of a corpus scan. Re-running this after each drain and applying
-    * q213's suffix-settling rule over the successive plans IS the
-    * live commit decision. The budget is one bounded driver-side
-    * read (the epochBudget pattern); everything else is |sources|
-    * rows of window arithmetic.
+    * of a corpus scan. `picksDir` lets the q206 decision relation set
+    * the budget and δ ([[plannerKnobs]]) — the planner analog of the
+    * drains' picks wire; absent picks, the constants stand. For the
+    * plan-as-of-each-landing ladder and the commit decision over it,
+    * see [[commitFromTokenStats]].
     */
   def planFromTokenStats(spark: SparkSession, dir: String,
-      maxEpochs: Int = 4): DataFrame = {
+      maxEpochs: Int = 4, picksDir: String = null): DataFrame = {
+    val (b20, dn, dd) = plannerKnobs(spark, picksDir)
     val per = readTokenStats(spark, dir)
-    val r = per.agg(sum(col("unique_tokens"))).collect()(0)
-    val total = if (r.isNullAt(0)) 0L else r.getLong(0)
-    graft.operators.Sampling.epochPlan(per, 47L * total / 20L, maxEpochs)
+    graft.operators.Sampling.epochPlanDiscounted(per,
+      statsBudget(per, b20), maxEpochs, dn, dd)
+  }
+
+  /** The LIVE plan-commit decision — q213's suffix-settling rule run
+    * entirely off the drains' token-stats telemetry, closing the loop
+    * [[planFromTokenStats]]' r19 docstring only described: the
+    * batchId-keyed stats layout retains the per-landing granularity,
+    * so the plan AS OF each landing is re-derivable after the fact
+    * (cumulate partitions ≤ the landing, fold, plan under THAT
+    * snapshot's 47/20ths budget — the q212/q213 batch-side semantics
+    * exactly), and [[graft.operators.Sampling.planCommitRule]] over
+    * the ladder yields per-source `settled_at_batches` / `flapped`
+    * and the whole-mixture `commit_batches` row.
+    *
+    * Compaction coarsens the ladder honestly: a coverage partition
+    * `batch_id=-c` (batches 0..c-2 consolidated — [[compactBatches]]'
+    * convention) is one landing at id `c-2`; "plan after batch 0"
+    * stops being a distinct question once batches 0–1 have merged,
+    * and the rule runs over the landings the telemetry still
+    * distinguishes rather than inventing snapshots the layout no
+    * longer carries. A fully-compacted dir degenerates to the 1-plan
+    * ladder (everything settles at the final landing, nothing can
+    * flap) — the caller who wants a finer decision keeps
+    * `compactEvery` above the decision horizon.
+    *
+    * Scale shape: the stats relation is ≤ |landings|·|sources| rows
+    * (never the corpus); driver traffic is |landings| + one 1-row
+    * budget read per landing; each snapshot plan is |sources|·4
+    * window rows; the rule's grid is |ladder|·|sources|. `picksDir`
+    * configures the per-landing planner exactly as on
+    * [[planFromTokenStats]] — every snapshot in the ladder runs at
+    * the SAME picked knobs (a ladder mixing knob settings would gate
+    * plan drift against knob drift and decide nothing).
+    */
+  def commitFromTokenStats(spark: SparkSession, dir: String,
+      maxEpochs: Int = 4, picksDir: String = null): DataFrame = {
+    val (b20, dn, dd) = plannerKnobs(spark, picksDir)
+    val landing = when(col("batch_id") < 0, -col("batch_id") - 2)
+      .otherwise(col("batch_id")).cast("long")
+    // deliberately NOT persisted: the stats dir MUTATES under
+    // [[compactBatches]], and a cached plan keyed on the path would
+    // substitute its stale rows into the NEXT read of the same dir
+    // (CacheManager matches canonicalized file-source subtrees) —
+    // re-asking after a compaction would silently answer from the
+    // pre-compaction layout. The relation is bounded telemetry
+    // (≤ |landings|·|sources| rows), so the |landings| re-scans the
+    // snapshot filters pay are noise; the spec's compaction arm pins
+    // this.
+    val stats = spark.read.parquet(dir).withColumn("__landing", landing)
+    val landings = stats.select(col("__landing")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    require(landings.nonEmpty,
+      s"tokenStatsDir=$dir holds no batch partitions — run a drain " +
+        "with tokenStatsDir set before asking for a commit decision")
+    val plans = landings.map { wm =>
+      val per = foldStats(stats.filter(col("__landing") <= wm))
+      wm -> graft.operators.Sampling.epochPlanDiscounted(per,
+        statsBudget(per, b20), maxEpochs, dn, dd)
+    }
+    graft.operators.Sampling.planCommitRule(plans)
   }
 
   /** The sketch layouts' RE-AGGREGATING compaction (CMS counters

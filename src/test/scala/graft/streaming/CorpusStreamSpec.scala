@@ -1906,4 +1906,126 @@ class CorpusStreamSpec extends SparkSpec {
       "the coverage partition must be re-aggregated per source")
     CacheRegistry.drain()
   }
+
+  test("commitFromTokenStats: the LIVE plan-commit decision runs off " +
+      "the telemetry alone — it equals planCommitRule over the plans " +
+      "replayed from the admitted corpus at each landing, and " +
+      "compaction coarsens the ladder to the retained landings") {
+    val session = spark
+    import session.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pc-stream")
+    val ckpt = java.nio.file.Files.createTempDirectory("pc-ckpt")
+    val out = java.nio.file.Files.createTempDirectory("pc-out")
+    val stats = java.nio.file.Files.createTempDirectory("pc-stats")
+    val model = Bpe.learnMerges(Seq("a b c ab").toDF("text"), "text", 2)
+    def rec(host: String, i: Int, words: Int): WarcReader.WarcRecord =
+      WarcReader.WarcRecord("response", s"https://$host/p/$i",
+        "2026-01-01T00:00:00Z", 200, "text/html",
+        (s"<html><body><p>u$i " +
+          (1 to words).map(k => s"w$k").mkString(" ") +
+          "</p></body></html>").getBytes("UTF-8"))
+    // compactEvery = 0: every landing stays re-derivable
+    def drain(): Unit =
+      CorpusStream.run(spark, dir.toString, model, ckpt.toString,
+          out.toString, tokenStatsDir = stats.toString)
+        .awaitTermination()
+    val A = "a-news.example"; val B = "b-blog.example"
+    val C = "c-wiki.example"
+    // landing 0: A dominates; landing 1: B arrives (so B CANNOT have
+    // settled at 0 — absence counts as unsettled); landing 2: C tail
+    java.nio.file.Files.write(dir.resolve("seg-00001.warc.gz"),
+      WarcReader.write(Seq(rec(A, 1, 60), rec(A, 2, 45), rec(C, 3, 25)),
+        gzipPerRecord = true))
+    drain()
+    java.nio.file.Files.write(dir.resolve("seg-00002.warc.gz"),
+      WarcReader.write(Seq(rec(B, 4, 40), rec(A, 5, 21)),
+        gzipPerRecord = true))
+    drain()
+    java.nio.file.Files.write(dir.resolve("seg-00003.warc.gz"),
+      WarcReader.write(Seq(rec(C, 6, 22)), gzipPerRecord = true))
+    drain()
+
+    // the batch-side replay: per-landing plans computed DIRECTLY from
+    // the admitted corpus (batch_id surfaces as the out partition
+    // column), q212/q213's snapshot-budget semantics
+    val admitted = spark.read.parquet(out.toString)
+      .select(col("batch_id").cast("long").as("b"),
+        TextAnalysis.registrableDomain(col("url")).as("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("nt"))
+    def planAt(wm: Long, b20: Long = 47L, deltaDenom: Long = 2L) = {
+      val per = admitted.filter(col("b") <= wm)
+        .groupBy("source")
+        .agg(sum(col("nt")).as("unique_tokens"),
+          expr("(1000000 * sum(CASE WHEN nt >= 20 THEN 1 ELSE 0 END))" +
+            " DIV count(*)").as("weight_ppm"))
+        .filter(col("unique_tokens") > 0)
+      val total = per.agg(sum(col("unique_tokens"))).collect()(0)
+        .getLong(0)
+      graft.operators.Sampling.epochPlanDiscounted(per,
+        b20 * total / 20L, maxEpochs = 4, deltaNumer = 1L,
+        deltaDenom = deltaDenom)
+    }
+    val want = graft.operators.Sampling
+      .planCommitRule(Seq(0L, 1L, 2L).map(w => w -> planAt(w)))
+      .collect().map(_.toString).sorted.toSeq
+    val got = CorpusStream.commitFromTokenStats(spark, stats.toString)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == want,
+      s"live commit decision must equal the corpus replay: $got vs $want")
+    // the fixture is non-degenerate: B landed at 1, so it cannot read
+    // settled_at_batches = 0
+    val bRow = CorpusStream.commitFromTokenStats(spark, stats.toString)
+      .filter(col("source") === B).collect()
+    assert(bRow.length == 1 && bRow(0).getAs[Long]("settled_at_batches") >= 1L,
+      s"B arrived at landing 1 and cannot have settled earlier: " +
+        bRow.toSeq)
+
+    // the q206 picks configure the live PLANNER the way they already
+    // configure the drain gates: a tighter budget (40/20ths) and a
+    // steeper discount (δ = 1/4) flow into every snapshot in the
+    // ladder, and the decision equals the replay at those knobs
+    val picksDir = java.nio.file.Files
+      .createTempDirectory("pc-picks").toString
+    CorpusStream.writePicks(
+      Seq(("epoch_budget_20ths", 40.0), ("epoch_delta", 0.25))
+        .toDF("knob", "chosen"), picksDir)
+    val wantP = graft.operators.Sampling
+      .planCommitRule(Seq(0L, 1L, 2L).map(w =>
+        w -> planAt(w, b20 = 40L, deltaDenom = 4L)))
+      .collect().map(_.toString).sorted.toSeq
+    val gotP = CorpusStream.commitFromTokenStats(spark, stats.toString,
+        picksDir = picksDir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(gotP == wantP,
+      s"picked-knob commit must equal the replay at the picked knobs: " +
+        s"$gotP vs $wantP")
+    // an unswept discount is a malformed relation, not a suggestion
+    val badPicks = java.nio.file.Files
+      .createTempDirectory("pc-picks-bad").toString
+    CorpusStream.writePicks(
+      Seq(("epoch_delta", 0.3)).toDF("knob", "chosen"), badPicks)
+    intercept[IllegalArgumentException] {
+      CorpusStream.planFromTokenStats(spark, stats.toString,
+        picksDir = badPicks)
+    }
+
+    // consolidate landings 0-1 (coverage partition batch_id=-3 —
+    // landing 1) and re-ask: the ladder coarsens to (1, 2), never an
+    // invented snapshot the layout no longer carries
+    assert(CorpusStream.compactBatches(spark, stats.toString,
+      beforeBatch = 2,
+      aggregate = _.groupBy(col("source"))
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(col("n_quality")).as("n_quality"))))
+    val want2 = graft.operators.Sampling
+      .planCommitRule(Seq(1L, 2L).map(w => w -> planAt(w)))
+      .collect().map(_.toString).sorted.toSeq
+    val got2 = CorpusStream.commitFromTokenStats(spark, stats.toString)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got2 == want2,
+      s"post-compaction ladder must match the retained landings: " +
+        s"$got2 vs $want2")
+    CacheRegistry.drain()
+  }
 }
