@@ -619,8 +619,10 @@ object OracleSql {
     * discount (q211/q214): ends in `corpus(doc_id, lang, ts)`,
     * `eff(source, n_docs, eff_docs)`, `pr(source, unique_tokens,
     * weight_ppm)` (raw counts), `pe(...)` (measured-effective counts,
-    * HUGEINT-exact scaling), and `b(budget)` — the EFFECTIVE corpus's
-    * 2.35×, the q211 convention.
+    * HUGEINT-exact scaling), and `beff(budget)` — the EFFECTIVE
+    * corpus's 2.35×, the q211 convention. (Named `beff`, not `b`, so
+    * the block composes with [[epochPerCtes]]' `b` in the q216
+    * capstone.)
     */
   private val dupDiscountCtes: String =
     """dbase AS (
@@ -695,7 +697,7 @@ object OracleSql {
       |  FROM pr p JOIN eff e USING (source)
       |  WHERE CAST((CAST(p.unique_tokens AS HUGEINT) * e.eff_docs)
       |    // e.n_docs AS BIGINT) > 0),
-      |b AS (SELECT (47 * CAST(sum(unique_tokens) AS BIGINT)) // 20
+      |beff AS (SELECT (47 * CAST(sum(unique_tokens) AS BIGINT)) // 20
       |        AS budget
       |      FROM pe)""".stripMargin
 
@@ -6419,7 +6421,7 @@ object OracleSql {
         |      ORDER BY l.value_scaled DESC, l.source ASC, l.epoch ASC
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |      AS cum_prev
-        |  FROM lr l CROSS JOIN b),
+        |  FROM lr l CROSS JOIN beff b),
         |plr AS (
         |  SELECT source, unique_tokens,
         |    CAST(sum(GREATEST(CAST(0 AS BIGINT),
@@ -6441,7 +6443,7 @@ object OracleSql {
         |      ORDER BY l.value_scaled DESC, l.source ASC, l.epoch ASC
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |      AS cum_prev
-        |  FROM ld l CROSS JOIN b),
+        |  FROM ld l CROSS JOIN beff b),
         |pld AS (
         |  SELECT source, unique_tokens,
         |    CAST(sum(GREATEST(CAST(0 AS BIGINT),
@@ -6491,7 +6493,7 @@ object OracleSql {
         |      ORDER BY l.value_scaled DESC, l.source ASC, l.epoch ASC
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |      AS cum_prev
-        |  FROM qlayers l CROSS JOIN b),
+        |  FROM qlayers l CROSS JOIN beff b),
         |qla AS (
         |  SELECT *, GREATEST(CAST(0 AS BIGINT),
         |      LEAST(unique_tokens, budget - cum_prev)) AS layer_alloc
@@ -6573,6 +6575,150 @@ object OracleSql {
         |FROM cfgs c CROSS JOIN eff e
         |LEFT JOIN qplan2 p ON p.config = c.config AND p.source = e.source
         |LEFT JOIN qst st ON st.config = c.config AND st.source = e.source
+        |ORDER BY c.config, e.source""".stripMargin,
+
+    // production-configuration capstone: the q210 pick CTEs re-derive
+    // the knobs (block size, budget, delta — q206's rules, identical
+    // COALESCE fallbacks), the q211/q214 discount CTEs measure the
+    // effective counts, and the q208 chain replays raw vs effective
+    // AT the picked knobs under the effective corpus's picked budget;
+    // source universe = eff, so the mirror reads zeros
+    "q216_picked_discounted_chain" ->
+      s"""WITH RECURSIVE $blockSizeSweepCtes,
+        |$budgetSweepCtes,
+        |eb_roll2 AS (
+        |  SELECT budget_20ths, min(full_epochs) AS mn
+        |  FROM eb_sweep GROUP BY budget_20ths),
+        |$deltaSweepCtes,
+        |dl_b05 AS (
+        |  SELECT source, full_epochs AS fe5
+        |  FROM dl_sweep WHERE delta = 0.5),
+        |dl_nd AS (
+        |  SELECT s.delta,
+        |    CAST(sum(CASE WHEN s.full_epochs <> d5.fe5 THEN 1 ELSE 0
+        |      END) AS BIGINT) AS ndiff
+        |  FROM dl_sweep s JOIN dl_b05 d5 USING (source)
+        |  GROUP BY s.delta),
+        |$dupDiscountCtes,
+        |pck AS (
+        |  SELECT
+        |    COALESCE((SELECT CAST(min(block_size) AS BIGINT)
+        |              FROM bs_sweep WHERE n_overfull = 0), 64) AS bs,
+        |    COALESCE((SELECT min(budget_20ths) FROM eb_roll2
+        |              WHERE mn >= 2), 47) AS b20,
+        |    (SELECT CAST(CASE WHEN min(delta) = 0.25 THEN 4
+        |       WHEN min(delta) = 1.0 THEN 1 ELSE 2 END AS BIGINT)
+        |     FROM dl_nd WHERE ndiff = 0) AS dd),
+        |rtt AS (SELECT CAST(sum(unique_tokens) AS BIGINT) AS total
+        |        FROM pe),
+        |rcfg AS (
+        |  SELECT '1_raw' AS config, source, unique_tokens, weight_ppm
+        |  FROM pr
+        |  UNION ALL
+        |  SELECT '2_effective', source, unique_tokens, weight_ppm
+        |  FROM pe),
+        |rlayers AS (
+        |  SELECT c.config, c.source, c.unique_tokens, c.weight_ppm,
+        |    CAST(e.epoch AS INTEGER) AS epoch,
+        |    k.bs, k.b20, k.dd, (k.b20 * t.total) // 20 AS budget,
+        |    c.weight_ppm * (CASE e.epoch
+        |      WHEN 1 THEN k.dd * k.dd * k.dd
+        |      WHEN 2 THEN k.dd * k.dd
+        |      WHEN 3 THEN k.dd ELSE CAST(1 AS BIGINT) END)
+        |      AS value_scaled
+        |  FROM rcfg c CROSS JOIN generate_series(1, 4) e(epoch)
+        |  CROSS JOIN pck k CROSS JOIN rtt t),
+        |ralloc AS (
+        |  SELECT l.*,
+        |    COALESCE(sum(l.unique_tokens) OVER (
+        |      PARTITION BY l.config
+        |      ORDER BY l.value_scaled DESC, l.source ASC, l.epoch ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_prev
+        |  FROM rlayers l),
+        |rla AS (
+        |  SELECT *, GREATEST(CAST(0 AS BIGINT),
+        |      LEAST(unique_tokens, budget - cum_prev)) AS layer_alloc
+        |  FROM ralloc),
+        |rplan AS (
+        |  SELECT config, source, unique_tokens, min(bs) AS bs,
+        |    CAST(sum(layer_alloc) AS BIGINT) AS tokens_alloc,
+        |    CAST(sum(CASE WHEN layer_alloc = unique_tokens THEN 1
+        |      ELSE 0 END) AS BIGINT) AS full_epochs
+        |  FROM rla GROUP BY config, source, unique_tokens),
+        |rplan2 AS (
+        |  SELECT *,
+        |    (256 * (tokens_alloc - full_epochs * unique_tokens))
+        |      // unique_tokens AS frac_b256
+        |  FROM rplan),
+        |rbase AS (
+        |  SELECT doc_id, lang, CAST(len(ts) AS BIGINT) AS n_tokens
+        |  FROM corpus),
+        |rrep AS (
+        |  SELECT p.config, p.bs, b.doc_id, b.lang AS source, b.n_tokens,
+        |    p.full_epochs + CASE WHEN
+        |      CAST(('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 2))
+        |        AS BIGINT) < p.frac_b256 THEN 1 ELSE 0 END AS repeats
+        |  FROM rbase b JOIN rplan2 p ON b.lang = p.source),
+        |rpasses AS (
+        |  SELECT config, bs, source, doc_id, n_tokens,
+        |    unnest(range(1, repeats + 1)) AS p
+        |  FROM rrep),
+        |rinst AS (
+        |  SELECT config, bs, source,
+        |    p * 10000000 + doc_id AS instance_id, n_tokens
+        |  FROM rpasses),
+        |rdi AS (
+        |  SELECT config, bs, source, instance_id, n_tokens,
+        |    row_number() OVER (PARTITION BY config, source
+        |      ORDER BY instance_id) AS rn
+        |  FROM rinst),
+        |rpk(config, bs, source, rn, n_tokens, block, fill) AS (
+        |  SELECT config, bs, source, rn, n_tokens, CAST(0 AS BIGINT),
+        |    n_tokens
+        |  FROM rdi WHERE rn = 1
+        |  UNION ALL
+        |  SELECT n.config, n.bs, n.source, n.rn, n.n_tokens,
+        |    CASE WHEN p.fill + n.n_tokens <= n.bs THEN p.block
+        |      ELSE p.block + 1 END,
+        |    CASE WHEN p.fill + n.n_tokens <= n.bs
+        |      THEN p.fill + n.n_tokens ELSE n.n_tokens END
+        |  FROM rpk p JOIN rdi n ON n.config = p.config
+        |    AND n.source = p.source AND n.rn = p.rn + 1),
+        |rblk AS (
+        |  SELECT config, bs, source, block, sum(n_tokens) AS used,
+        |    CAST(count(*) AS BIGINT) AS nd
+        |  FROM rpk GROUP BY 1, 2, 3, 4),
+        |rst AS (
+        |  SELECT config, source,
+        |    CAST(sum(nd) AS BIGINT) AS doc_passes,
+        |    CAST(sum(used) AS BIGINT) AS realized_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_blocks,
+        |    CAST(sum(CASE WHEN used > bs THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_overfull,
+        |    CAST(sum(CASE WHEN used <= bs THEN bs - used ELSE 0 END)
+        |      AS BIGINT) AS padding_tokens,
+        |    round(CAST(sum(used) AS DOUBLE)
+        |      / CAST(count(*) * bs AS DOUBLE), 6) AS utilization
+        |  FROM rblk GROUP BY config, source, bs),
+        |rcfgs AS (SELECT '1_raw' AS config
+        |          UNION ALL SELECT '2_effective')
+        |SELECT c.config, k.bs AS block_size, k.b20 AS budget_20ths,
+        |  CAST(1 AS DOUBLE) / k.dd AS delta,
+        |  e.source, e.n_docs, e.eff_docs,
+        |  COALESCE(p.tokens_alloc, 0) AS tokens_alloc,
+        |  COALESCE(p.full_epochs, 0) AS full_epochs,
+        |  COALESCE(st.doc_passes, 0) AS doc_passes,
+        |  COALESCE(st.realized_tokens, 0) AS realized_tokens,
+        |  COALESCE(st.realized_tokens, 0) - COALESCE(p.tokens_alloc, 0)
+        |    AS diff_tokens,
+        |  COALESCE(st.n_blocks, 0) AS n_blocks,
+        |  COALESCE(st.n_overfull, 0) AS n_overfull,
+        |  COALESCE(st.padding_tokens, 0) AS padding_tokens,
+        |  COALESCE(st.utilization, 0.0) AS utilization
+        |FROM rcfgs c CROSS JOIN eff e CROSS JOIN pck k
+        |LEFT JOIN rplan2 p ON p.config = c.config AND p.source = e.source
+        |LEFT JOIN rst st ON st.config = c.config AND st.source = e.source
         |ORDER BY c.config, e.source""".stripMargin,
 
     // CDC divisor sweep: shared positional pair hashes, per-divisor

@@ -4664,13 +4664,16 @@ object SparkEntry {
     * a bounded-ladder window, a broadcast-join realize with a ≤
     * maxEpochs explode, and one keyed-packer shuffle.
     */
-  private def q210(s: SparkSession, d: String): DataFrame = {
+  /** The three chain-relevant knob picks, q206's rules verbatim; each
+    * falls back to the catalog default when no ladder point qualifies
+    * (never on the fixtures — q206 is hash-exact with all rows — but
+    * the oracles COALESCE identically, so the arms can't diverge).
+    * Returns (block size, budget 20ths, δ denominator) — shared by the
+    * pick→execute capstones q210 and q216.
+    */
+  private def chainKnobPicks(s: SparkSession, d: String): (Long, Long, Long) = {
     def cache(df: DataFrame) =
       graft.operators.CacheRegistry.track(df.persist())
-    // --- the three chain-relevant picks, q206's rules verbatim; each
-    // falls back to the catalog default when no ladder point qualifies
-    // (never on the fixtures — q206 is hash-exact with all rows — but
-    // the oracle COALESCEs identically, so the arms can't diverge)
     val bsRow = q202(s, d).filter(col("n_overfull") === 0L)
       .agg(min(col("block_size"))).collect()(0)
     val pickedBs = if (bsRow.isNullAt(0)) 64L else bsRow.getLong(0)
@@ -4694,6 +4697,13 @@ object SparkEntry {
       else if (dRow.getDouble(0) == 0.25) 4L
       else if (dRow.getDouble(0) == 1.0) 1L
       else 2L
+    (pickedBs, pickedB20, pickedDenom)
+  }
+
+  private def q210(s: SparkSession, d: String): DataFrame = {
+    def cache(df: DataFrame) =
+      graft.operators.CacheRegistry.track(df.persist())
+    val (pickedBs, pickedB20, pickedDenom) = chainKnobPicks(s, d)
     // --- the q208 chain, once per configuration
     val base = cache(epochBase(s, d))
     val perC = cache(epochPerSource(base))
@@ -4965,55 +4975,65 @@ object SparkEntry {
         col("weight_ppm"))
       .filter(col("unique_tokens") > 0))
     val budget = epochBudget(perEff)
-    val blockSize = 64L
-    def arm(label: String, per: DataFrame): DataFrame = {
-      val plan = graft.operators.Sampling.epochPlan(per, budget,
-        maxEpochs = 4)
-      val instances = graft.operators.Sampling
-        .epochRealize(base, "doc_id", "lang", plan)
-        .filter(col("repeats") > 0)
-        .withColumn("pass", explode(sequence(lit(1L), col("repeats"))))
-        .select(col("lang"),
-          (col("pass") * 10000000L + col("doc_id")).as("instance_id"),
-          col("n_tokens"))
-      val perBlock = graft.operators.Packing.firstFitBlocksKeyed(
-          instances, "instance_id", "n_tokens", "lang", blockSize)
-        .groupBy(col("lang"), col("block"))
-        .agg(sum(col("n_tokens")).as("used"), count(lit(1)).as("nd"))
-      val packStats = perBlock.groupBy(col("lang").as("source"))
-        .agg(sum(col("nd")).as("doc_passes"),
-          sum(col("used")).as("realized_tokens"),
-          count(lit(1)).as("n_blocks"),
-          sum(when(col("used") > blockSize, 1L).otherwise(0L))
-            .as("n_overfull"),
-          sum(when(col("used") <= blockSize, lit(blockSize) - col("used"))
-            .otherwise(0L)).as("padding_tokens"),
-          round(sum(col("used")).cast("double")
-            / (count(lit(1)) * lit(blockSize)).cast("double"), 6)
-            .as("utilization"))
-      // source universe = the RAW corpus's sources (from eff, which
-      // carries every source): the mirror's discounted row reads
-      // zeros, never drops
-      eff.select(col("source"), col("n_docs"), col("eff_docs"))
-        .join(plan.select(col("source"),
-          col("tokens_alloc"), col("full_epochs")), Seq("source"), "left")
-        .join(packStats, Seq("source"), "left")
-        .select(lit(label).as("config"), col("source"), col("n_docs"),
-          col("eff_docs"),
-          coalesce(col("tokens_alloc"), lit(0L)).as("tokens_alloc"),
-          coalesce(col("full_epochs"), lit(0L)).as("full_epochs"),
-          coalesce(col("doc_passes"), lit(0L)).as("doc_passes"),
-          coalesce(col("realized_tokens"), lit(0L))
-            .as("realized_tokens"),
-          (coalesce(col("realized_tokens"), lit(0L))
-            - coalesce(col("tokens_alloc"), lit(0L))).as("diff_tokens"),
-          coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
-          coalesce(col("n_overfull"), lit(0L)).as("n_overfull"),
-          coalesce(col("padding_tokens"), lit(0L)).as("padding_tokens"),
-          coalesce(col("utilization"), lit(0.0)).as("utilization"))
-    }
-    arm("1_raw", perRaw).unionAll(arm("2_effective", perEff))
+    discountedChainArm(base, eff, perRaw, "1_raw", budget, 64L, 2L)
+      .unionAll(discountedChainArm(base, eff, perEff, "2_effective",
+        budget, 64L, 2L))
       .orderBy("config", "source")
+  }
+
+  /** One plan→realize→pack chain arm over the eff source universe
+    * (q214's LEFT-join zero convention: a source whose counts drop it
+    * from the plan reads zeros, never a dropped row), parameterized by
+    * the knobs so the default-knob (q214) and picked-knob (q216)
+    * consumers share ONE definition of the chain.
+    */
+  private def discountedChainArm(base: DataFrame, eff: DataFrame,
+      per: DataFrame, label: String, budget: Long, blockSize: Long,
+      denom: Long): DataFrame = {
+    val plan = graft.operators.Sampling.epochPlanDiscounted(per, budget,
+      maxEpochs = 4, deltaNumer = 1L, deltaDenom = denom)
+    val instances = graft.operators.Sampling
+      .epochRealize(base, "doc_id", "lang", plan)
+      .filter(col("repeats") > 0)
+      .withColumn("pass", explode(sequence(lit(1L), col("repeats"))))
+      .select(col("lang"),
+        (col("pass") * 10000000L + col("doc_id")).as("instance_id"),
+        col("n_tokens"))
+    val perBlock = graft.operators.Packing.firstFitBlocksKeyed(
+        instances, "instance_id", "n_tokens", "lang", blockSize)
+      .groupBy(col("lang"), col("block"))
+      .agg(sum(col("n_tokens")).as("used"), count(lit(1)).as("nd"))
+    val packStats = perBlock.groupBy(col("lang").as("source"))
+      .agg(sum(col("nd")).as("doc_passes"),
+        sum(col("used")).as("realized_tokens"),
+        count(lit(1)).as("n_blocks"),
+        sum(when(col("used") > blockSize, 1L).otherwise(0L))
+          .as("n_overfull"),
+        sum(when(col("used") <= blockSize, lit(blockSize) - col("used"))
+          .otherwise(0L)).as("padding_tokens"),
+        round(sum(col("used")).cast("double")
+          / (count(lit(1)) * lit(blockSize)).cast("double"), 6)
+          .as("utilization"))
+    // source universe = the RAW corpus's sources (from eff, which
+    // carries every source): the mirror's discounted row reads
+    // zeros, never drops
+    eff.select(col("source"), col("n_docs"), col("eff_docs"))
+      .join(plan.select(col("source"),
+        col("tokens_alloc"), col("full_epochs")), Seq("source"), "left")
+      .join(packStats, Seq("source"), "left")
+      .select(lit(label).as("config"), col("source"), col("n_docs"),
+        col("eff_docs"),
+        coalesce(col("tokens_alloc"), lit(0L)).as("tokens_alloc"),
+        coalesce(col("full_epochs"), lit(0L)).as("full_epochs"),
+        coalesce(col("doc_passes"), lit(0L)).as("doc_passes"),
+        coalesce(col("realized_tokens"), lit(0L))
+          .as("realized_tokens"),
+        (coalesce(col("realized_tokens"), lit(0L))
+          - coalesce(col("tokens_alloc"), lit(0L))).as("diff_tokens"),
+        coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+        coalesce(col("n_overfull"), lit(0L)).as("n_overfull"),
+        coalesce(col("padding_tokens"), lit(0L)).as("padding_tokens"),
+        coalesce(col("utilization"), lit(0.0)).as("utilization"))
   }
 
   /** Early-commit REGRET — what q213's decision would cost if taken
@@ -5072,6 +5092,59 @@ object SparkEntry {
         (coalesce(col("realized_tokens"), lit(0L))
           - col("realized_final")).as("regret_tokens"))
       .orderBy("n_batches", "source")
+  }
+
+  /** The PRODUCTION-configuration capstone — every decision relation
+    * consumed by one chain: q210 executes the q206 knob picks but
+    * plans on RAW counts, and q214 plans on measured-effective counts
+    * but at the DEFAULT knobs; this runs the plan→realize→pack chain
+    * at the picked knobs (block size, budget, δ — [[chainKnobPicks]],
+    * q206's rules verbatim) over raw vs measured-effective counts
+    * (q211's DECIMAL(38,0)-exact discount from the q204 dup-mass
+    * closure), both arms under the effective corpus's picked budget —
+    * so the contrast isolates the COUNT relation under the knobs a
+    * production run would actually commit, the last pairing the
+    * triangle was missing. The planted 'xx' mirror reads zeros via
+    * the eff-universe LEFT join; the blocks its duplicate tokens buy
+    * in the raw arm move to the real sources. Scale shape: the three
+    * knob sweeps (bounded ladders), one q204 closure, and two
+    * [[discountedChainArm]] chains — each one broadcast-join realize
+    * with ≤ maxEpochs explodes and one keyed-packer shuffle.
+    */
+  private def q216(s: SparkSession, d: String): DataFrame = {
+    def cache(df: DataFrame) =
+      graft.operators.CacheRegistry.track(df.persist())
+    val (pickedBs, pickedB20, pickedDenom) = chainKnobPicks(s, d)
+    val corpus = dupMassCorpus(s, d)
+    val base = cache(corpus.select(col("doc_id"), col("lang"),
+      size(graft.operators.TextAnalysis.tokens(col("text")))
+        .cast("long").as("n_tokens")))
+    val eff = cache(sourceDupMass(corpus)
+      .select(col("source"), col("n_docs"),
+        greatest(col("n_docs") - col("n_removed"), lit(0L))
+          .as("eff_docs")))
+    val perRaw = cache(epochPerSource(base))
+    val perEff = cache(perRaw.join(eff, Seq("source"))
+      .select(col("source"),
+        expr("CAST((CAST(unique_tokens AS DECIMAL(38,0)) * eff_docs)" +
+          " DIV n_docs AS BIGINT)").as("unique_tokens"),
+        col("weight_ppm"))
+      .filter(col("unique_tokens") > 0))
+    val budget = pickedB20 * totalUniqueTokens(perEff) / 20L
+    def withKnobs(arm: DataFrame): DataFrame =
+      arm.select(col("config"),
+        lit(pickedBs).as("block_size"),
+        lit(pickedB20).as("budget_20ths"),
+        (lit(1.0) / lit(pickedDenom.toDouble)).as("delta"),
+        col("source"), col("n_docs"), col("eff_docs"),
+        col("tokens_alloc"), col("full_epochs"), col("doc_passes"),
+        col("realized_tokens"), col("diff_tokens"), col("n_blocks"),
+        col("n_overfull"), col("padding_tokens"), col("utilization"))
+    withKnobs(discountedChainArm(base, eff, perRaw, "1_raw",
+        budget, pickedBs, pickedDenom))
+      .unionAll(withKnobs(discountedChainArm(base, eff, perEff,
+        "2_effective", budget, pickedBs, pickedDenom)))
+      .orderBy("config", "source")
   }
 
   // ------------------------------------------------------------- contract
@@ -5291,6 +5364,7 @@ object SparkEntry {
     "q213_plan_commit_rule" -> (q213(_, _)),
     "q214_discounted_pick_execute" -> (q214(_, _)),
     "q215_early_commit_regret" -> (q215(_, _)),
+    "q216_picked_discounted_chain" -> (q216(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
