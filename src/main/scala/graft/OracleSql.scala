@@ -6274,6 +6274,56 @@ object OracleSql {
         |LEFT JOIN rel r ON r.nb = l.nb AND r.source = f.source
         |ORDER BY l.nb, f.source""".stripMargin,
 
+    // token-gated plan commit: q215's realization read per landing
+    // (each plan's repeat policy applied to the full corpus), then the
+    // q213 suffix-settling logic gated on realized_tokens equality —
+    // emission identity, the strictly stronger commit
+    "q217_token_commit_rule" ->
+      s"""WITH $epochDriftCtes,
+        |plnf AS (
+        |  SELECT *,
+        |    (256 * (tokens_alloc - full_epochs * unique_tokens))
+        |      // unique_tokens AS frac_b256
+        |  FROM pln),
+        |rel AS (
+        |  SELECT p.nb, b.lang AS source,
+        |    CAST(sum(b.n_tokens * (p.full_epochs + CASE WHEN
+        |      CAST(('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 2))
+        |        AS BIGINT) < p.frac_b256 THEN 1 ELSE 0 END)) AS BIGINT)
+        |      AS realized_tokens
+        |  FROM dbase b JOIN plnf p ON b.lang = p.source
+        |  GROUP BY p.nb, b.lang),
+        |rf AS (
+        |  SELECT source, realized_tokens AS realized_final
+        |  FROM rel WHERE nb = 3),
+        |tflags AS (
+        |  SELECT f.source,
+        |    max(CASE WHEN r.nb = 1
+        |      AND r.realized_tokens = x.realized_final
+        |      THEN 1 ELSE 0 END) AS ok1,
+        |    max(CASE WHEN r.nb = 2
+        |      AND r.realized_tokens = x.realized_final
+        |      THEN 1 ELSE 0 END) AS ok2,
+        |    max(x.realized_final) AS realized_tokens_final
+        |  FROM fin f JOIN rf x ON x.source = f.source
+        |  LEFT JOIN rel r ON r.source = f.source
+        |  GROUP BY f.source),
+        |tper AS (
+        |  SELECT source,
+        |    CAST(CASE WHEN ok1 = 1 AND ok2 = 1 THEN 1
+        |      WHEN ok2 = 1 THEN 2 ELSE 3 END AS BIGINT)
+        |      AS settled_at_batches,
+        |    CAST(CASE WHEN ok1 = 1 AND ok2 = 0 THEN 1 ELSE 0 END
+        |      AS BIGINT) AS flapped,
+        |    realized_tokens_final
+        |  FROM tflags)
+        |SELECT p.source, p.settled_at_batches, p.flapped,
+        |  p.realized_tokens_final, c.commit_batches
+        |FROM tper p CROSS JOIN (
+        |  SELECT CAST(max(settled_at_batches) AS BIGINT)
+        |    AS commit_batches FROM tper) c
+        |ORDER BY p.source""".stripMargin,
+
     // pick->execute capstone: the three chain-relevant picks re-derived
     // from the SHARED sweep CTE constants (a fix to a sweep's oracle
     // reaches the pick, the decision row, and this execution replay by

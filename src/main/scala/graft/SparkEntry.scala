@@ -5147,6 +5147,40 @@ object SparkEntry {
       .orderBy("config", "source")
   }
 
+  /** TOKEN-gated plan commit — the commit rule run on what each
+    * frozen policy actually EMITS, closing q213's own caveat (its
+    * docstring: full_epochs identity is not realization identity —
+    * the fractional-epoch bucket rule keeps moving tokens under an
+    * identical full_epochs, and q215 prices exactly that residual):
+    * per landing, q215's realization read (plan_k's repeat policy —
+    * full_epochs + frac_b256 — applied to the FULL eventual corpus,
+    * realized token sums per source), then
+    * [[graft.operators.Sampling.planCommitRule]] gated on
+    * `realized_tokens` instead of `full_epochs`. settled_at here can
+    * only be ≥ q213's (emission identity implies plan identity on
+    * the gated suffix, not conversely), so `commit_batches` is the
+    * conservative answer a compute-budget owner acts on when the
+    * token bill, not the plan shape, is the commitment. Scale shape:
+    * q212's cached batch plans, one broadcast-join realization
+    * rollup per landing (|sources| rows each), then the rule's
+    * |ladder|·|sources| grid.
+    */
+  private def q217(s: SparkSession, d: String): DataFrame = {
+    def cache(df: DataFrame) =
+      graft.operators.CacheRegistry.track(df.persist())
+    val base = cache(epochBase(s, d))
+    val realized = epochBatchPlans(base).map { case (nb, p) =>
+      nb -> cache(graft.operators.Sampling
+        .epochRealize(base, "doc_id", "lang", p)
+        .groupBy(col("lang").as("source"))
+        .agg(sum(col("n_tokens") * col("repeats"))
+          .as("realized_tokens")))
+    }
+    graft.operators.Sampling
+      .planCommitRule(realized, gateCol = "realized_tokens")
+      .orderBy("source")
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5365,6 +5399,7 @@ object SparkEntry {
     "q214_discounted_pick_execute" -> (q214(_, _)),
     "q215_early_commit_regret" -> (q215(_, _)),
     "q216_picked_discounted_chain" -> (q216(_, _)),
+    "q217_token_commit_rule" -> (q217(_, _)),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -445,38 +445,46 @@ object Sampling {
     * agreeing landing strictly before a later disagreeing one).
     * `commit_batches` = max settled_at over sources rides every row
     * — the earliest landing after which the WHOLE mixture's plan is
-    * final. The identity gated is `full_epochs`; the fractional
-    * epoch can still move under an identical full_epochs — price
-    * that residual in tokens (q215's read) before committing.
+    * final. The identity gated is `gateCol` — `full_epochs` by
+    * default (q213: plan identity; the fractional epoch can still
+    * move under an identical full_epochs — price that residual in
+    * tokens, q215's read), or any long-valued per-source column:
+    * gate `realized_tokens` (q217) to demand EMISSION identity — the
+    * strictly stronger commit that closes q215's caveat — or
+    * `tokens_alloc` for the telemetry-side allocation gate.
     *
     * `plans`: (landing id, plan) pairs — any relation carrying
-    * `source` and `full_epochs` (an [[epochPlan]] output, or a
-    * telemetry-derived plan); landing ids must be distinct, compare
-    * by `<`, and the largest is the reference plan. Bounded
-    * arithmetic end to end: the grid is |ladder|·|sources| rows.
+    * `source` and the gate column (an [[epochPlan]] output, a
+    * telemetry-derived plan, or a realization rollup); landing ids
+    * must be distinct, compare by `<`, and the largest is the
+    * reference. The final-value column in the output is named
+    * `<gateCol>_final`. Bounded arithmetic end to end: the grid is
+    * |ladder|·|sources| rows.
     */
-  def planCommitRule(plans: Seq[(Long, DataFrame)]): DataFrame = {
+  def planCommitRule(plans: Seq[(Long, DataFrame)],
+      gateCol: String = "full_epochs"): DataFrame = {
     require(plans.nonEmpty, "planCommitRule needs at least one plan")
     val ladder = plans.map(_._1)
     require(ladder.distinct.size == ladder.size,
       s"landing ids must be distinct, got $ladder")
     val finalNb = ladder.max
+    val finalCol = s"${gateCol}_final"
     val spark = plans.head._2.sparkSession
     import spark.implicits._
     val tagged = plans.map { case (nb, p) =>
       p.select(lit(nb).as("__nb"),
         col("source").cast("string").as("source"),
-        col("full_epochs").cast("long").as("__fe"))
+        col(gateCol).cast("long").as("__fe"))
     }.reduce(_ unionAll _)
     val fin = tagged.filter(col("__nb") === finalNb)
-      .select(col("source"), col("__fe").as("full_epochs_final"))
+      .select(col("source"), col("__fe").as(finalCol))
     // the (landing × final-source) grid — a LEFT join so a source
     // missing from an early plan reads NOT ok at that landing
     val flags = ladder.toDF("__nb").crossJoin(fin)
       .join(tagged, Seq("__nb", "source"), "left")
-      .select(col("__nb"), col("source"), col("full_epochs_final"),
+      .select(col("__nb"), col("source"), col(finalCol),
         (col("__fe").isNotNull &&
-          col("__fe") === col("full_epochs_final")).as("__ok"))
+          col("__fe") === col(finalCol)).as("__ok"))
     // last disagreeing landing per source (null = never disagreed);
     // settled_at = the smallest landing past it, flapped = an
     // agreeing landing strictly before it
@@ -484,7 +492,7 @@ object Sampling {
       .join(flags.groupBy("source")
         .agg(max(when(!col("__ok"), col("__nb"))).as("__last_bad")),
         Seq("source"))
-      .groupBy(col("source"), col("full_epochs_final"),
+      .groupBy(col("source"), col(finalCol),
         col("__last_bad"))
       .agg(
         min(when(col("__last_bad").isNull ||
@@ -496,7 +504,7 @@ object Sampling {
     per.crossJoin(broadcast(
         per.agg(max(col("settled_at_batches")).as("commit_batches"))))
       .select(col("source"), col("settled_at_batches"), col("flapped"),
-        col("full_epochs_final"), col("commit_batches"))
+        col(finalCol), col("commit_batches"))
   }
 
   /** The corpus-side keep rule of [[epochPlan]]: every doc of source s

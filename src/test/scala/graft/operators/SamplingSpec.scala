@@ -431,6 +431,36 @@ class SamplingSpec extends SparkSpec {
     CacheRegistry.drain()
   }
 
+  test("planCommitRule gateCol: gating realized tokens is strictly " +
+      "stronger than gating full_epochs when the fractional pass " +
+      "keeps moving under an identical plan shape") {
+    import spark.implicits._
+    // q215's caveat as a fixture: source 'frac' has full_epochs 2 at
+    // every landing (plan-identity settles at 1) while its realized
+    // tokens still move between landings 1 and 2 (the frac_b256
+    // bucket drifting) — emission identity settles only at 2
+    def rows(rs: (String, Long, Long)*) =
+      rs.toSeq.toDF("source", "full_epochs", "realized_tokens")
+    val plans = Seq(
+      1L -> rows(("frac", 2L, 900L), ("solid", 1L, 500L)),
+      2L -> rows(("frac", 2L, 950L), ("solid", 1L, 500L)),
+      3L -> rows(("frac", 2L, 950L), ("solid", 1L, 500L)))
+    val byPlan = Sampling.planCommitRule(plans).collect()
+      .map(r => r.getAs[String]("source") ->
+        r.getAs[Long]("settled_at_batches")).toMap
+    val byTokens = Sampling
+      .planCommitRule(plans, gateCol = "realized_tokens").collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("settled_at_batches"),
+          r.getAs[Long]("realized_tokens_final"),
+          r.getAs[Long]("commit_batches"))))
+      .toMap
+    assert(byPlan("frac") == 1L && byPlan("solid") == 1L, s"$byPlan")
+    assert(byTokens("frac") == ((2L, 950L, 2L)), s"$byTokens")
+    assert(byTokens("solid") == ((1L, 500L, 2L)), s"$byTokens")
+    CacheRegistry.drain()
+  }
+
   test("epochPlanDiscounted generalizes the ladder: delta=1 ranks by " +
       "weight alone (source/epoch tiebreak), delta=1/4 steepens the " +
       "discount so first epochs fill across sources before any second, " +
