@@ -437,10 +437,16 @@ object CorpusStream {
     * configures the per-landing planner exactly as on
     * [[planFromTokenStats]] — every snapshot in the ladder runs at
     * the SAME picked knobs (a ladder mixing knob settings would gate
-    * plan drift against knob drift and decide nothing).
+    * plan drift against knob drift and decide nothing). `gateCol`
+    * passes through to the rule: `full_epochs` (default — plan
+    * identity, q213) or `tokens_alloc` (allocation identity, the
+    * token-denominated gate the telemetry can answer without the
+    * corpus; q217's realized-token gate needs the docs themselves
+    * and stays batch-side).
     */
   def commitFromTokenStats(spark: SparkSession, dir: String,
-      maxEpochs: Int = 4, picksDir: String = null): DataFrame = {
+      maxEpochs: Int = 4, picksDir: String = null,
+      gateCol: String = "full_epochs"): DataFrame = {
     val (b20, dn, dd) = plannerKnobs(spark, picksDir)
     val landing = when(col("batch_id") < 0, -col("batch_id") - 2)
       .otherwise(col("batch_id")).cast("long")
@@ -464,7 +470,7 @@ object CorpusStream {
       wm -> graft.operators.Sampling.epochPlanDiscounted(per,
         statsBudget(per, b20), maxEpochs, dn, dd)
     }
-    graft.operators.Sampling.planCommitRule(plans)
+    graft.operators.Sampling.planCommitRule(plans, gateCol)
   }
 
   /** The sketch layouts' RE-AGGREGATING compaction (CMS counters

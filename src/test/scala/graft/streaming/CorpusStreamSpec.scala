@@ -2026,6 +2026,17 @@ class CorpusStreamSpec extends SparkSpec {
     assert(got2 == want2,
       s"post-compaction ladder must match the retained landings: " +
         s"$got2 vs $want2")
+    // the allocation-identity gate (tokens_alloc) rides the same
+    // ladder — the token-denominated commit the telemetry can answer
+    val wantA = graft.operators.Sampling
+      .planCommitRule(Seq(1L, 2L).map(w => w -> planAt(w)),
+        gateCol = "tokens_alloc")
+      .collect().map(_.toString).sorted.toSeq
+    val gotA = CorpusStream.commitFromTokenStats(spark, stats.toString,
+        gateCol = "tokens_alloc")
+      .collect().map(_.toString).sorted.toSeq
+    assert(gotA == wantA,
+      s"tokens_alloc-gated commit must match the replay: $gotA vs $wantA")
     CacheRegistry.drain()
   }
 }
