@@ -32,6 +32,23 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 48g leaves the OS plenty and keeps full-rate task concurrency out of
   // collection pauses.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // Pin the heap (Xms = Xmx) and commit it up front: this guest's kernel
+  // commits anonymous pages at only ~300 MB/s (measured r19: 71% system
+  // CPU while the growing heap faulted in), so without Xms every
+  // System.gc() between bench windows let G1 uncommit regions and the
+  // NEXT window paid the re-commit as wall-clock (floor-probe repeats
+  // read 22-99 s against a 7-9 s band with gc/jit/janino all ≈ 0 — pure
+  // kernel page-fault time). With Xms+AlwaysPreTouch the same probe
+  // converges to 7.1-8.7 s from repeat 2 on. Same practice as pinning
+  // executor heaps on a production cluster; measured A/B in
+  // OPTIMIZATION_r19.md.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  "-XX:+AlwaysPreTouch",
+  // madvise-THP for the heap (the box runs THP=madvise): 2 MiB pages cut
+  // TLB pressure for the 48 GiB heap; with it the same q192 probe's
+  // in-band floor dropped 7.07 -> 6.08 s and the 8-repeat band tightened
+  // to 6.1-11.1 s (A/B in OPTIMIZATION_r19.md).
+  "-XX:+UseTransparentHugePages",
   // The full query catalog generates several whole-stage-codegen classes
   // per query per pass; the JDK's default 240 MB code cache fills mid-
   // run and CodeCacheFlushing then evicts hot methods, so later queries
