@@ -1210,33 +1210,53 @@ object Dedup {
       exactJaccardFromHashes(ex, threshold).persist())
     val sigs = CacheRegistry.track(portableSigs(ex, numHashes).persist())
     val exTot = exact.agg(count(lit(1)).as("__nex"))
-    bandsLadder.map { bands =>
-      val r = numHashes / bands
-      val bandRows = sigs.select(col("id"),
-          explode(array((0 until bands).map { b =>
-            struct(lit(b).as("band_id"),
+    // ONE banded self-join for the whole ladder (r19 optimization): the
+    // old form ran the candidate join + distinct + count + semi-join
+    // once PER ladder point (4 separate shuffle pipelines over the same
+    // persisted signatures). Every ladder point's band rows now carry
+    // their `bands` arm as part of the join key, so the union of all
+    // arms' band rows (Σ bands = 60 rows/doc for the default ladder vs
+    // 32 for the widest single arm) goes through one equi-join, one
+    // pair-distinct, and two small rollups — same pair sets per arm,
+    // verified bit-identical against the DuckDB oracle. Arms are
+    // re-attached to a literal ladder skeleton by LEFT join so a
+    // zero-candidate arm still reads (0, 0, recall 0/__nex) exactly as
+    // the per-arm aggregation did.
+    val allBandRows = sigs.select(col("id"),
+        explode(array(bandsLadder.flatMap { bands =>
+          val r = numHashes / bands
+          (0 until bands).map { b =>
+            struct(lit(bands).as("bands"), lit(b).as("band_id"),
               concat_ws("_",
                 (0 until r).map(x =>
                   element_at(col("sig"), b * r + x + 1)): _*).as("key"))
-          }: _*)).as("bd"))
-        .select(col("id"), col("bd.band_id").as("band_id"),
-          col("bd.key").as("key"))
-      val cand = CacheRegistry.track(bandRows
-        .select(col("id").as("id_a"), col("band_id"), col("key"))
-        .join(bandRows.select(col("id").as("id_b"), col("band_id"),
-          col("key")), Seq("band_id", "key"))
-        .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b").distinct().persist())
-      val nCand = cand.agg(count(lit(1)).as("n_candidates"))
-      exact.join(cand, Seq("id_a", "id_b"), "left_semi")
-        .agg(count(lit(1)).as("n_found"))
-        .crossJoin(broadcast(nCand))
-        .crossJoin(broadcast(exTot))
-        .select(lit(bands).as("bands"), lit(r).as("rows_per_band"),
-          col("n_candidates"), col("n_found"),
-          round(col("n_found").cast("double") / col("__nex").cast("double"),
-            6).as("recall"))
-    }.reduce(_ unionAll _).orderBy("bands")
+          }
+        }: _*)).as("bd"))
+      .select(col("id"), col("bd.bands").as("bands"),
+        col("bd.band_id").as("band_id"), col("bd.key").as("key"))
+    val cand = CacheRegistry.track(allBandRows
+      .select(col("id").as("id_a"), col("bands"), col("band_id"),
+        col("key"))
+      .join(allBandRows.select(col("id").as("id_b"), col("bands"),
+        col("band_id"), col("key")), Seq("bands", "band_id", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("bands", "id_a", "id_b").distinct().persist())
+    val nCand = cand.groupBy("bands")
+      .agg(count(lit(1)).as("n_candidates"))
+    val nFound = exact.join(cand, Seq("id_a", "id_b"))
+      .groupBy("bands").agg(count(lit(1)).as("n_found"))
+    val ladder = df.sparkSession.createDataFrame(
+        bandsLadder.map(bands => (bands, numHashes / bands)))
+      .toDF("bands", "rows_per_band")
+    ladder.join(nCand, Seq("bands"), "left")
+      .join(nFound, Seq("bands"), "left")
+      .crossJoin(broadcast(exTot))
+      .select(col("bands"), col("rows_per_band"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_found"), lit(0L)).as("n_found"),
+        round(coalesce(col("n_found"), lit(0L)).cast("double")
+          / col("__nex").cast("double"), 6).as("recall"))
+      .orderBy("bands")
   }
 
   /** MinHash signature-fidelity audit (VERDICT r14 order #1c): per
