@@ -4150,12 +4150,24 @@ object SparkEntry {
       lit(knob).as("knob"), lit(rule).as("rule"),
       chosen.cast("double").as("chosen"), quality.as("quality_r6"),
       cost.cast("long").as("cost"))
+    // Pick reads as GLOBAL-WINDOW aggregates over the cached ladders
+    // (r19 optimization): the old join(broadcast(ladder.agg(...))) form
+    // launched a separate broadcast-exchange job per pick; a window
+    // aggregate over the same ≤ dozens-of-rows cached relation computes
+    // the identical rule (min/max over a conditional) in the ladder's
+    // own plan with no extra exchange. An empty qualifying set yields a
+    // NULL pick and the === filter drops every row — exactly the empty
+    // join result the old form produced. The single-partition window is
+    // bounded by the ladder's size BY DESIGN (the sweeps emit one row
+    // per knob value).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
     // NB decision threshold: smallest with precision >= 1/2
     val nb = cache(q188(s, d))
     val nbPick = nb
-      .join(broadcast(nb.filter(col("precision") >= 0.5)
-        .agg(min(col("threshold")).as("__c"))),
-        col("threshold") === col("__c"))
+      .withColumn("__c",
+        min(when(col("precision") >= 0.5, col("threshold"))).over(w))
+      .filter(col("threshold") === col("__c"))
       .select(row("nb_threshold",
         "smallest threshold with precision >= 1/2")(
         col("threshold"), col("precision"), col("n_kept")): _*)
@@ -4165,8 +4177,10 @@ object SparkEntry {
         sum(col("n_kept")).as("__tot"))
     val tmC = cache(tm)
     val tmPick = tmC
-      .join(broadcast(tmC.filter(col("__mx") <= lit(2L) * col("__mn"))
-        .agg(max(col("alpha")).as("__c"))), col("alpha") === col("__c"))
+      .withColumn("__c",
+        max(when(col("__mx") <= lit(2L) * col("__mn"), col("alpha")))
+          .over(w))
+      .filter(col("alpha") === col("__c"))
       .select(row("mix_alpha",
         "largest alpha with max_kept <= 2*min_kept")(
         col("alpha"),
@@ -4174,25 +4188,26 @@ object SparkEntry {
         col("__tot")): _*)
     // near-dup threshold: largest keeping >= half the floor pair mass
     val nd = cache(q191(s, d))
-    val ndFloor = nd
-      .join(broadcast(nd.agg(min(col("threshold")).as("__ft"))),
-        col("threshold") === col("__ft"))
-      .select(col("n_pairs").as("__fp"))
     val ndPick = nd
-      .join(broadcast(nd.crossJoin(broadcast(ndFloor))
-        .filter(col("n_pairs") * 2 >= col("__fp"))
-        .agg(max(col("threshold")).as("__c"))),
-        col("threshold") === col("__c"))
+      .withColumn("__ft", min(col("threshold")).over(w))
+      .withColumn("__fp",
+        max(when(col("threshold") === col("__ft"), col("n_pairs")))
+          .over(w))
+      .withColumn("__c",
+        max(when(col("n_pairs") * 2 >= col("__fp"), col("threshold")))
+          .over(w))
+      .filter(col("threshold") === col("__c"))
       .select(row("neardup_jaccard",
         "largest threshold keeping >= 1/2 of floor pair mass")(
         col("threshold"), col("mean_jaccard"), col("n_pairs")): _*)
     // CDC divisor: largest recovering >= 7/10 of the max dup mass
     val cd = cache(q193(s, d))
-    val cdMax = broadcast(cd.agg(max(col("dup_token_mass")).as("__mx")))
-    val cdPick = cd.crossJoin(cdMax)
-      .join(broadcast(cd.crossJoin(cdMax)
-        .filter(col("dup_token_mass") * 10 >= col("__mx") * 7)
-        .agg(max(col("divisor")).as("__c"))), col("divisor") === col("__c"))
+    val cdPick = cd
+      .withColumn("__mx", max(col("dup_token_mass")).over(w))
+      .withColumn("__c",
+        max(when(col("dup_token_mass") * 10 >= col("__mx") * 7,
+          col("divisor"))).over(w))
+      .filter(col("divisor") === col("__c"))
       .select(row("cdc_divisor",
         "largest divisor with dup_mass >= 7/10 of max")(
         col("divisor"),
@@ -4202,8 +4217,9 @@ object SparkEntry {
     // IVF nprobe: smallest with recall >= 0.95
     val ip = cache(q194(s, d))
     val ipPick = ip
-      .join(broadcast(ip.filter(col("recall") >= 0.95)
-        .agg(min(col("nprobe")).as("__c"))), col("nprobe") === col("__c"))
+      .withColumn("__c",
+        min(when(col("recall") >= 0.95, col("nprobe"))).over(w))
+      .filter(col("nprobe") === col("__c"))
       .select(row("ivf_nprobe", "smallest nprobe with recall >= 0.95")(
         col("nprobe"), col("recall"), col("n_scanned")): _*)
     nbPick.unionAll(tmPick).unionAll(ndPick).unionAll(cdPick)
@@ -4465,13 +4481,18 @@ object SparkEntry {
       lit(knob).as("knob"), lit(rule).as("rule"),
       chosen.cast("double").as("chosen"), quality.as("quality_r6"),
       cost.cast("long").as("cost"))
+    // pick reads as global-window aggregates over the cached ladders —
+    // same rewrite as q200 (see its comment): identical rule, no
+    // per-pick broadcast-exchange job; ladders are bounded by design
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
     // packer block size: smallest whose first-fit run has no overfull
     // block (every doc fits whole), cost read = the padding it buys
     val bs = cache(q202(s, d))
     val bsPick = bs
-      .join(broadcast(bs.filter(col("n_overfull") === 0L)
-        .agg(min(col("block_size")).as("__c"))),
-        col("block_size") === col("__c"))
+      .withColumn("__c",
+        min(when(col("n_overfull") === 0L, col("block_size"))).over(w))
+      .filter(col("block_size") === col("__c"))
       .select(row("pack_block_size",
         "smallest block size with zero overfull blocks")(
         col("block_size"), col("utilization"), col("padding_tokens")): _*)
@@ -4484,9 +4505,9 @@ object SparkEntry {
         sum(col("tokens_alloc")).as("__tot"))
     val ebC = cache(eb)
     val ebPick = ebC
-      .join(broadcast(ebC.filter(col("__mn") >= 2L)
-        .agg(min(col("budget_20ths")).as("__c"))),
-        col("budget_20ths") === col("__c"))
+      .withColumn("__c",
+        min(when(col("__mn") >= 2L, col("budget_20ths"))).over(w))
+      .filter(col("budget_20ths") === col("__c"))
       .select(row("epoch_budget_20ths",
         "smallest budget with every source at >= 2 full epochs")(
         col("budget_20ths"), col("__mne"), col("__tot")): _*)
@@ -4495,10 +4516,11 @@ object SparkEntry {
     // exact iff n_found = n_exact)
     val lb = cache(q195(s, d))
     val lbPick = lb
-      .join(broadcast(lb.filter(col("recall") === 1.0)
-        .agg(min(struct(col("n_candidates"), col("bands"))).as("__c"))),
-        col("n_candidates") === col("__c.n_candidates") &&
-          col("bands") === col("__c.bands"))
+      .withColumn("__c",
+        min(when(col("recall") === 1.0,
+          struct(col("n_candidates"), col("bands")))).over(w))
+      .filter(col("n_candidates") === col("__c.n_candidates") &&
+        col("bands") === col("__c.bands"))
       .select(row("lsh_bands",
         "fewest candidates at recall 1.0 (ties: fewest bands)")(
         col("bands"), col("recall"), col("n_candidates")): _*)
@@ -4520,8 +4542,9 @@ object SparkEntry {
         max(round(abs(col("epochs_r6") - col("__er5")), 6)).as("__mxd"),
         sum(abs(col("tokens_alloc") - col("__ta5"))).as("__tdiff")))
     val dPick = dRoll
-      .join(broadcast(dRoll.filter(col("__ndiff") === 0L)
-        .agg(min(col("delta")).as("__c"))), col("delta") === col("__c"))
+      .withColumn("__c",
+        min(when(col("__ndiff") === 0L, col("delta"))).over(w))
+      .filter(col("delta") === col("__c"))
       .select(row("epoch_delta",
         "smallest delta matching the delta=1/2 full_epochs in every source")(
         col("delta"), col("__mxd"), col("__tdiff")): _*)

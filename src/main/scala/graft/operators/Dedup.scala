@@ -1895,7 +1895,16 @@ object Dedup {
       maxBucket: Int = 0): DataFrame = {
     require(maxHamming < nChunks,
       s"pigeonhole needs maxHamming=$maxHamming < nChunks=$nChunks")
-    val all = pigeonholeChunks(sigs, idCol, sigCol, chunkBits, nChunks)
+    // persisted (r19): both sides of the candidate self-join read this
+    // relation, and Spark re-executes the whole upstream per join input
+    // — for the perceptual tiers that upstream is the image/audio/video
+    // decode+hash MapPartitions pipeline, by far the dominant cost
+    // (q114's plan carried the full synth+canonical-hash pipeline
+    // TWICE). The exploded form is nChunks rows × ~32 B per signature,
+    // a bounded fraction of the input the decode already scanned.
+    val all = CacheRegistry.track(
+      pigeonholeChunks(sigs, idCol, sigCol, chunkBits, nChunks)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val chunked =
       if (maxBucket <= 0) all
       else {
@@ -1934,7 +1943,13 @@ object Dedup {
   def simhashNearDups(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol), simhash(col(textCol)).as("sim"))
+    // persisted (r19): the candidate self-join below reads `chunked`
+    // twice, and each read re-tokenizes + re-hashes every document —
+    // the signature pass is the dominant cost, the exploded relation a
+    // few dozen bytes per doc.
+    val sigs = CacheRegistry.track(
+      df.select(col(idCol), simhash(col(textCol)).as("sim"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val chunked = sigs.select(
       col(idCol), col("sim"),
       explode(array((0 until 4).map { c =>

@@ -850,9 +850,15 @@ object Multimodal {
   def perceptualDupClusters(
       hashes: DataFrame, idCol: String, hashCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val groups = hashes.groupBy(col(hashCol))
+    // persisted (r19): `hashes` feeds the exact-group rollup AND the
+    // member join-back as separate plan subtrees, so an un-persisted
+    // input re-runs the upstream decode+hash pipeline per consumer
+    // (2-3 passes for the image/audio callers). Two longs per asset.
+    val hc = CacheRegistry.track(
+      hashes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val groups = hc.groupBy(col(hashCol))
       .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("grp_n"))
-    val members = hashes.select(col(idCol), col(hashCol))
+    val members = hc.select(col(idCol), col(hashCol))
       .join(groups, hashCol)
     val reps = groups.select(col("rep_id").as(idCol), col(hashCol))
     val pairs = Dedup.simhashPairsFromSigs(reps, idCol, hashCol,
