@@ -1406,15 +1406,23 @@ object Dedup {
     // one too high and shorten the prefix below the safe length).
     // Ranking happens INSIDE a per-doc sorted array (sort_array on
     // (df_cnt, h) structs) — no row_number window over the full corpus.
-    val ranked = exploded.join(freq, "h")
-      .groupBy(col(idCol))
-      .agg(sort_array(collect_list(struct(col("df_cnt"), col("h")))).as("ord"))
-      .withColumn("sz", size(col("ord")).cast("long"))
-      .select(col(idCol), col("sz"),
-        explode(slice(col("ord"), lit(1),
-          (col("sz") - ceil(col("sz") * threshold - 1e-9) + 1).cast("int")))
-          .as("pref"))
-      .select(col(idCol), col("pref.h").as("h"), col("sz"))
+    // Persisted (r19): both sides of the candidate self-join (and both
+    // probe orientations) read `ranked`, and un-persisted each side
+    // re-ran the whole rarity stage — the shingle explode, the
+    // document-frequency aggregation, the freq join, and the per-doc
+    // sort — twice. The prefix relation is a bounded fraction of the
+    // exploded shingle rows (|x| − ceil(t·|x|) + 1 per doc).
+    val ranked = CacheRegistry.track(
+      exploded.join(freq, "h")
+        .groupBy(col(idCol))
+        .agg(sort_array(collect_list(struct(col("df_cnt"), col("h")))).as("ord"))
+        .withColumn("sz", size(col("ord")).cast("long"))
+        .select(col(idCol), col("sz"),
+          explode(slice(col("ord"), lit(1),
+            (col("sz") - ceil(col("sz") * threshold - 1e-9) + 1).cast("int")))
+            .as("pref"))
+        .select(col(idCol), col("pref.h").as("h"), col("sz"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // length filter: min size >= t*max size is necessary for J >= t
     // (same epsilon guard: never prune on a float rounding artifact)
     val candidates = probeIds match {

@@ -887,6 +887,87 @@ class DedupSpec extends SparkSpec {
     assert(dup._4 == 32L && dup._3 == 1.0 && dup._6 == 0.0, dup.toString)
   }
 
+  test("lshBandSweep: the r19 one-join ladder matches a scalar per-arm " +
+      "replay, and a zero-candidate corpus still emits every arm's " +
+      "skeleton row") {
+    val session = spark
+    import session.implicits._
+    val docsSeq = Seq(
+      (1L, "a b c d e f g h i j k l"),
+      (2L, "a b c d e f g h i j k l"), // exact dup of 1
+      (3L, "a b c d e f g h i j k x"), // near dup of 1
+      (4L, "a b c d e f zz yy xx ww vv uu"), // mid-jaccard with 1
+      (5L, "p q r s t u v w y z")) // unrelated
+    val df = docsSeq.toDF("doc_id", "text")
+    def md5_32(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString,
+      16)
+    def shingleSet(text: String): Set[Long] = {
+      val t = text.split(" ").filter(_.nonEmpty).toSeq
+      val ss =
+        if (t.length >= 3) t.sliding(3).map(_.mkString(" ")).toSeq
+        else Seq(t.mkString(" "))
+      ss.map(md5_32).toSet
+    }
+    val P = 4294967311L
+    val perms = Dedup.permConstants(32)
+    def sig(h: Set[Long]): Seq[Long] =
+      perms.map { case (a, b) => h.map(x => (x * a + b) % P).min }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val sets = docsSeq.map { case (id, t) => id -> shingleSet(t) }.toMap
+    val sigs = sets.map { case (id, h) => id -> sig(h) }
+    def bandKeysAt(s: Seq[Long], bands: Int): Set[(Int, String)] =
+      s.grouped(32 / bands).zipWithIndex
+        .map { case (g, b) => (b, g.mkString("_")) }.toSet
+    val ids = docsSeq.map(_._1)
+    val allPairs = for {
+      i <- ids; j <- ids if i < j
+      si = sets(i); sj = sets(j)
+      inter = (si & sj).size
+    } yield (i, j, inter.toDouble / (si.size + sj.size - inter))
+    val exact = allPairs.filter(_._3 >= 0.5)
+    assert(exact.nonEmpty)
+    val want = Seq(4, 8, 16, 32).map { bands =>
+      def shares(i: Long, j: Long) =
+        (bandKeysAt(sigs(i), bands) & bandKeysAt(sigs(j), bands)).nonEmpty
+      val nCand = allPairs.count(p => shares(p._1, p._2)).toLong
+      val nFound = exact.count(p => shares(p._1, p._2)).toLong
+      (bands, 32 / bands, nCand, nFound,
+        r6(nFound.toDouble / exact.size.toDouble))
+    }
+    val got = Dedup.lshBandSweep(df, "doc_id", "text", shingleN = 3,
+        numHashes = 32, bandsLadder = Seq(4, 8, 16, 32), threshold = 0.5)
+      .collect().map(r => (r.getAs[Int]("bands"),
+        r.getAs[Int]("rows_per_band"), r.getAs[Long]("n_candidates"),
+        r.getAs[Long]("n_found"), r.getAs[Double]("recall"))).toSeq
+    assert(got == want, s"band sweep:\n$got\n$want")
+    // zero-candidate ARM: one mid-Jaccard pair (J = 4/12 ≈ 0.33) whose
+    // 8-consecutive-component band match is combinatorially absent at
+    // bands=4 — the ladder skeleton LEFT join must still emit that
+    // arm's row with zeros (the per-arm aggregation of the old
+    // formulation always did). Verified against the same scalar replay
+    // rather than assumed.
+    val midSeq = Seq((1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f q r s t"))
+    val midSets = midSeq.map { case (id, t) => id -> shingleSet(t) }.toMap
+    val midSigs = midSets.map { case (id, h) => id -> sig(h) }
+    val wantMid = Seq(4, 8, 16, 32).map { bands =>
+      val share = (bandKeysAt(midSigs(1L), bands) &
+        bandKeysAt(midSigs(2L), bands)).nonEmpty
+      (bands, if (share) 1L else 0L)
+    }
+    assert(wantMid.exists(_._2 == 0L),
+      s"fixture must leave at least one arm candidate-free: $wantMid")
+    val z = Dedup.lshBandSweep(midSeq.toDF("doc_id", "text"), "doc_id",
+        "text", shingleN = 3, numHashes = 32,
+        bandsLadder = Seq(4, 8, 16, 32), threshold = 0.3)
+      .collect().map(r => (r.getAs[Int]("bands"),
+        r.getAs[Long]("n_candidates"))).toSeq
+    assert(z == wantMid, s"skeleton arms:\n$z\n$wantMid")
+  }
+
   test("MinhashSigAgg: the elementwise-min aggregator equals a driver " +
       "replay of the k min-aggregates value for value, and its merge " +
       "path (partials across many partitions) changes nothing") {
