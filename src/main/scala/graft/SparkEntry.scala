@@ -4271,11 +4271,19 @@ object SparkEntry {
     * and at corpus scale each run is one mapPartitions over
     * (id, length) pairs, not documents.
     */
-  private def q202(s: SparkSession, d: String): DataFrame = {
-    val toks = graft.operators.CacheRegistry.track(
+  private def q202(s: SparkSession, d: String): DataFrame =
+    q202From(graft.operators.CacheRegistry.track(
       docs(s, d).select(col("doc_id"),
         size(graft.operators.TextAnalysis.tokens(col("text"))).cast("long")
-          .as("n_tokens")).persist())
+          .as("n_tokens")).persist()))
+
+  /** q202's sweep over a PRECOMPUTED (persisted) (doc_id, n_tokens)
+    * relation — factored (r19) so [[chainKnobPicks]] can feed the
+    * three knob sweeps from ONE shared corpus scan instead of each
+    * sweep re-scanning docs. Output identical to [[q202]] when fed
+    * the same relation.
+    */
+  private def q202From(toks: DataFrame): DataFrame = {
     // the id extent computes ONCE over the cached relation and feeds
     // all four ladder points (each firstFitBlocks call would otherwise
     // re-run the driver-side stat pass — a full scan at corpus scale)
@@ -4313,9 +4321,15 @@ object SparkEntry {
     * aggregates ONCE; each ladder point is one bounded-window
     * waterfill over |sources|·maxEpochs rows.
     */
-  private def q203(s: SparkSession, d: String): DataFrame = {
-    val per = graft.operators.CacheRegistry.track(
-      epochPerSource(epochBase(s, d)).persist())
+  private def q203(s: SparkSession, d: String): DataFrame =
+    q203From(graft.operators.CacheRegistry.track(
+      epochPerSource(epochBase(s, d)).persist()))
+
+  /** q203's sweep over a PRECOMPUTED (persisted) per-source relation —
+    * factored (r19) for [[chainKnobPicks]], same contract as
+    * [[q202From]].
+    */
+  private def q203From(per: DataFrame): DataFrame = {
     val total = totalUniqueTokens(per)
     Seq(20L, 30L, 47L, 60L, 80L).map { num =>
       graft.operators.Sampling.epochPlan(per, num * total / 20L,
@@ -4486,9 +4500,14 @@ object SparkEntry {
     // per-pick broadcast-exchange job; ladders are bounded by design
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(lit(1))
+    // ONE corpus scan feeds the three epoch-family sweeps (r19, the
+    // chainKnobPicks sharing): value-identical to each sweep's own
+    // build, so every ladder row is unchanged
+    val base = cache(epochBase(s, d))
+    val per = cache(epochPerSource(base))
     // packer block size: smallest whose first-fit run has no overfull
     // block (every doc fits whole), cost read = the padding it buys
-    val bs = cache(q202(s, d))
+    val bs = cache(q202From(cache(base.select("doc_id", "n_tokens"))))
     val bsPick = bs
       .withColumn("__c",
         min(when(col("n_overfull") === 0L, col("block_size"))).over(w))
@@ -4499,7 +4518,7 @@ object SparkEntry {
     // epoch budget: smallest ladder point where the waterfill gives
     // every source at least 2 full passes (integer compare on the
     // sweep's own full_epochs column)
-    val eb = q203(s, d).groupBy("budget_20ths")
+    val eb = q203From(per).groupBy("budget_20ths")
       .agg(min(col("full_epochs")).as("__mn"),
         min(col("epochs_r6")).as("__mne"),
         sum(col("tokens_alloc")).as("__tot"))
@@ -4531,7 +4550,7 @@ object SparkEntry {
     // token-allocation movement. A pick of 0.25 reads "the plan is
     // robust to steepening the discount"; only δ=1/2 qualifying reads
     // "the allocation IS the discount assumption — price it first"
-    val ds = cache(q207(s, d))
+    val ds = cache(q207From(per))
     val d5 = ds.filter(col("delta") === 0.5)
       .select(col("source"), col("full_epochs").as("__fe5"),
         col("tokens_alloc").as("__ta5"), col("epochs_r6").as("__er5"))
@@ -4567,9 +4586,15 @@ object SparkEntry {
     * choice, not a data fact — the sensitivity a data-constrained run
     * wants priced before committing compute.
     */
-  private def q207(s: SparkSession, d: String): DataFrame = {
-    val per = graft.operators.CacheRegistry.track(
-      epochPerSource(epochBase(s, d)).persist())
+  private def q207(s: SparkSession, d: String): DataFrame =
+    q207From(graft.operators.CacheRegistry.track(
+      epochPerSource(epochBase(s, d)).persist()))
+
+  /** q207's sweep over a PRECOMPUTED (persisted) per-source relation —
+    * factored (r19) for [[chainKnobPicks]], same contract as
+    * [[q202From]].
+    */
+  private def q207From(per: DataFrame): DataFrame = {
     val budget = epochBudget(per)
     Seq((1L, 4L), (1L, 2L), (1L, 1L)).map { case (n, dd) =>
       graft.operators.Sampling.epochPlanDiscounted(per, budget,
@@ -4697,15 +4722,23 @@ object SparkEntry {
   private def chainKnobPicks(s: SparkSession, d: String): (Long, Long, Long) = {
     def cache(df: DataFrame) =
       graft.operators.CacheRegistry.track(df.persist())
-    val bsRow = q202(s, d).filter(col("n_overfull") === 0L)
+    // ONE corpus scan feeds all three sweeps (r19): q202/q203/q207 each
+    // rebuilt their (doc_id, n_tokens) / per-source relation from the
+    // docs scan; the shared base is value-identical to each sweep's own
+    // build (q202's toks = epochBase minus the lang column), so every
+    // pick is unchanged — verified by the q210/q216 oracle gates.
+    val base = cache(epochBase(s, d))
+    val per = cache(epochPerSource(base))
+    val bsRow = q202From(cache(base.select("doc_id", "n_tokens")))
+      .filter(col("n_overfull") === 0L)
       .agg(min(col("block_size"))).collect()(0)
     val pickedBs = if (bsRow.isNullAt(0)) 64L else bsRow.getLong(0)
-    val ebRow = q203(s, d).groupBy("budget_20ths")
+    val ebRow = q203From(per).groupBy("budget_20ths")
       .agg(min(col("full_epochs")).as("__mn"))
       .filter(col("__mn") >= 2L)
       .agg(min(col("budget_20ths"))).collect()(0)
     val pickedB20 = if (ebRow.isNullAt(0)) 47L else ebRow.getLong(0)
-    val ds = cache(q207(s, d))
+    val ds = cache(q207From(per))
     val d5 = ds.filter(col("delta") === 0.5)
       .select(col("source"), col("full_epochs").as("__fe5"))
     val dRow = ds.join(d5, Seq("source")).groupBy("delta")
