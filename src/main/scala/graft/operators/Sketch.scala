@@ -329,7 +329,12 @@ object Sketch {
     */
   def cmsHeavyHitters(df: DataFrame, valueCol: String, depth: Int,
       width: Int, threshold: Long): DataFrame = {
-    val vals = df.select(col(valueCol).cast("string").as(valueCol))
+    // persisted (r19): the sketch pass and the exact-count pass both
+    // consume `vals`, and un-persisted each re-ran the caller's
+    // upstream (q160: the bigram explode over the corpus) — the
+    // [[mgHeavyHitters]] pattern applied here
+    val vals = CacheRegistry.track(
+      df.select(col(valueCol).cast("string").as(valueCol)).persist())
     val sketch = cmsSketch(vals, valueCol, depth, width)
     val exact = vals.groupBy(col(valueCol))
       .agg(count(lit(1)).as("exact_n"))
