@@ -324,15 +324,23 @@ object Bench {
     // so an elapsed breach whose row shows jan > 0 / high jit is the
     // AQE-replan compile tax, not a plan regression. The heavy bars
     // gate PLAN COST (sec - jit); the jan field names the mechanism.
+    // r19-OPT re-pin note: a second excursion mechanism was found and
+    // structurally removed this round — without -Xms the between-window
+    // System.gc() let G1 uncommit heap and the NEXT window re-faulted
+    // pages at this guest's ~300 MB/s commit rate (gc/jit/jan all ~0 on
+    // such repeats; q192 floor probe read 22-99s). build.sbt now pins
+    // Xms=Xmx + AlwaysPreTouch + madvise-THP, so a no-attribution
+    // excursion should no longer occur; one that still does is a real
+    // plan regression OR host contention (check /proc/stat system time).
     val watchedBars =
       """"watched_bars":{""" +
-        """"q192_dedup_drain_capstone":"15s STEADY plan-cost (sec-jit); isolated floor r19: AQE-on 7.4-9.8s, AQE-off control 5.4-6.2s with janino 0 every repeat - an excursion repeat with jan>0/high jit is the AQE-replan compile class (the r18 28.6s outlier's shape), now self-attributing from the probe's own fields",""" +
-        """"q200_knob_pick_capstone":"~18s steady plan-cost (recomputes its five sweeps by design; r19 isolated floor: AQE-on 11.7-14.1s with 0-42 janino per repeat, AQE-off 6.9-8.6s with 0 - pass-2 in-catalog janino>0 IS the r18 excursion mechanism, attributed)",""" +
-        """"q206_knob_pick_extension":"~18s steady plan-cost (recomputes q195 sig tier + q202 + q203 by design; probe floor r18: 8.4-9.8s)",""" +
-        """"q158_curation_pipeline2":"~9s steady plan-cost; raw sec rides to ~11 under AQE-variant recompiles (r19 floor: AQE-on 6.9-8.7s jan 0-14, AQE-off 5.8-6.2s jan 0)",""" +
+        """"q192_dedup_drain_capstone":"15s STEADY plan-cost (sec-jit); r19-OPT floor with the pinned pre-touched heap: 7.1-8.7s AQE-on (in-catalog floor probe 7.3-7.8s, gc 0.00) - an excursion repeat with jan>0/high jit is the AQE-replan compile class; one with jan~0/jit~0 was the heap-uncommit class, structurally removed by build.sbt Xms pinning",""" +
+        """"q200_knob_pick_capstone":"~18s steady plan-cost (recomputes its five sweeps by design; r19-OPT floor after the window-pick rewrite: 9.3-10.6s AQE-on, in-catalog steady 8.4s raw / 5.9s plan-cost)",""" +
+        """"q206_knob_pick_extension":"~18s steady plan-cost (recomputes q195 sig tier + q202 + q203 by design; r19-OPT floor after the one-join band sweep + shared epoch scans: 6.2-7.3s)",""" +
+        """"q158_curation_pipeline2":"~9s steady plan-cost; raw sec rides under AQE-variant recompiles (r19 floor: AQE-on 6.9-8.7s jan 0-14, AQE-off 5.8-6.2s jan 0)",""" +
         """"q167_curation_pipeline3":"~9s steady plan-cost (r19 floor: AQE-on 6.2-8.4s, AQE-off 4.4-6.5s jan 0; the r16-r18 drift rode jit+jan, attributed)",""" +
         """"q105_pagerank":"3.5-4.2s steady",""" +
-        """"q60_jaccard_prefix_pairs":"~4s steady; cold history is compile-storm swings (24.8s in BENCH_r14)"}"""
+        """"q60_jaccard_prefix_pairs":"~4s steady (r19-OPT floor with the persisted prefix relation: 2.0-2.5s); cold history is compile-storm swings (24.8s in BENCH_r14)"}"""
     println(f"""{"metric":"summary","value":$total%.2f,"unit":"sec",""" +
       f""""steady_total_sec":$total%.2f,"steady_plan_sec":$planTotal%.2f,""" +
       f""""cold_total_sec":$coldTotal%.2f,""" +
